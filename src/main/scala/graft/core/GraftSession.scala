@@ -1,0 +1,26 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * SparkSession factory with the engine's standard configuration:
+ * UTC session time zone (determinism across engines), AQE enabled
+ * (runtime join-strategy switch / skew splitting / partition coalescing
+ * — our stand-in for hand-tuned plans at 100 TB), and shuffle
+ * partitions sized to the local core count rather than the 200 default.
+ */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

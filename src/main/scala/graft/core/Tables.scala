@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Canonical loaders for the driver-generated testdata tables
+ * (`/root/testdata/sf*`; schemas in repo:FIXTURES.md §A).
+ *
+ * All loaders return the table with its documented schema. The only
+ * normalization applied is on `events.ts`: the parquet file stores
+ * TIMESTAMP(NANOS), which Spark cannot read natively
+ * (PARQUET_TYPE_ILLEGAL). We read nanos as a long
+ * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds
+ * with integer division — byte-identical to what DuckDB produces when it
+ * reads the same file (its TIMESTAMP is µs and the ns payload is
+ * truncated, not rounded), so oracle comparisons stay exact.
+ */
+object Tables {
+  private def path(dir: String, name: String) = s"$dir/$name.parquet"
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** `events` with `ts` as a µs-precision TimestampType (see class doc). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+}
