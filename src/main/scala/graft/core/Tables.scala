@@ -32,11 +32,27 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** `events` with `ts` as a µs-precision TimestampType (see class doc). */
+  /** `events` with `ts` as a µs-precision TIMESTAMP_NTZ (see class doc).
+    *
+    * NTZ matters for oracle parity: Spark writes TimestampType parquet with
+    * isAdjustedToUTC=true, which DuckDB reads back as TIMESTAMPTZ and renders
+    * with a zone suffix; TimestampNTZType round-trips as a naive timestamp,
+    * exactly like the source data. The nanosAsLong conf is scoped: saved and
+    * restored so other parquet reads in the session keep strict semantics.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      read(spark, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 }
