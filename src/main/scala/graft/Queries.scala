@@ -1,0 +1,516 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Relational
+
+/**
+ * The canonical query set Q1–Q28 (SURVEY.md §2.11): one DataFrame program
+ * per operator capability, each paired with ANSI SQL the driver runs in
+ * DuckDB over the same parquet tables.
+ *
+ * Determinism rules (SURVEY §2.11, FIXTURES.md): every query ends in a
+ * total ORDER BY; doubles go through ROUND(x,4); order-sensitive double
+ * SUMs are computed in DECIMAL (exact, associative — engine-independent)
+ * and only cast back to double at the end; timestamps are NTZ/UTC.
+ * Column names are aliased identically on both sides — the driver's
+ * compare sorts columns by name before hashing.
+ */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact decimal image of a double expression, for order-independent
+    * sums: double→decimal rounding is per-element and deterministic in
+    * both engines; decimal addition is exact and associative. */
+  private def dec6(c: Column): Column = c.cast("decimal(18,6)")
+  private def dec4(c: Column): Column = c.cast("decimal(18,4)")
+
+  // ---------------------------------------------------------------- Q1–Q4
+  // scans, projections, masks, filters, incremental high-water mark
+
+  /** Q1 scan + projection (S3 bulk scan). Column-pruned parquet read. */
+  val q01: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q2 mask projection (P1, reference MaskField SMT). */
+  val q02: Q = (s, dir) =>
+    Relational.maskColumn(Tables.customer(s, dir), "c_name")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Q3 filter / pushed predicate (P3). */
+  val q03: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey")
+      .orderBy("o_orderkey")
+
+  /** Q4 incremental high-water-mark predicate (S1 JDBC timestamp mode):
+    * the hwm is a 1-row aggregate broadcast against the fact side — no
+    * driver-side collect, scales to any fact size. */
+  val q04: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val hwm = e.filter(col("event_id") < 500).agg(max("ts").as("__hwm"))
+    e.crossJoin(broadcast(hwm))
+      .where(col("ts") > col("__hwm"))
+      .select("event_id")
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- Q5–Q11
+  // joins
+
+  /** Q5 equi inner join (J1). */
+  val q05: Q = (s, dir) =>
+    Tables.nation(s, dir)
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .select("n_name", "r_name")
+      .orderBy("n_name", "r_name")
+
+  /** Q6 multi-way join + aggregation — revenue per nation. Dimension
+    * tables broadcast; the lineitem⋈orders⋈customer chain shuffles on its
+    * keys and partial-aggregates map-side. */
+  val q06: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("double"), 4).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Q7 broadcast join (J2): part is the small dim, hinted explicitly. */
+  val q07: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  /** Q8 left outer join (J1): customers with order counts incl. zero. */
+  val q08: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** Q9 semi join (J3). */
+  val q09: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Q10 anti join (J3): customers with no orders since 1998 (the
+    * unfiltered anti join is empty at every SF — every customer has
+    * orders — so the filtered variant keeps the check non-vacuous). */
+  val q10: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Q11 theta/range join (J4) via the bucketed interval join — an
+    * equi-join on bucket id + residual predicate instead of the
+    * BroadcastNestedLoopJoin Spark would otherwise plan. */
+  val q11: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select("value")
+    val o = Tables.orders(s, dir).select("o_totalprice", "o_orderstatus")
+    val lo = col("o_totalprice") * lit(0.001)
+    val hi = col("o_totalprice") * lit(0.001) + lit(0.5)
+    val residual = col("value") >= col("o_totalprice") * lit(0.001) &&
+      col("value") <= col("o_totalprice") * lit(0.001) + lit(0.5)
+    Relational.intervalPointJoin(e, col("value"), o, lo, hi, residual, bucketWidth = 0.5)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------- Q12–Q19
+  // aggregations, windows, top-k, set ops
+
+  /** Q12 hash agg + exact distinct (§2.4). */
+  val q12: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("o_orderstatus")
+
+  /** Q13 rollup with grouping indicators (§2.4). NULL group cells are
+    * coalesced to 'ALL' so null-ordering differences between engines
+    * can't flap the total order. */
+  val q13: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(col("g_rf"), col("g_ls"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("g_rf", "g_ls", "rf", "ls")
+
+  /** Q14 cube (§2.4). */
+  val q14: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_s"),
+        grouping(col("o_orderpriority")).cast("int").as("g_p"),
+        count(lit(1)).as("n"))
+      .select(col("g_s"), col("g_p"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"))
+      .orderBy("g_s", "g_p", "status", "priority")
+
+  /** Q15 window ranking / per-group top-k (§2.5): top-3 orders per
+    * customer by date. One shuffle on the partition key. */
+  val q15: Q = (s, dir) =>
+    Relational.topKPerGroup(
+      Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_orderdate"),
+      keys = Seq("o_custkey"),
+      ordering = Seq(col("o_orderdate"), col("o_orderkey")),
+      k = 3, rankCol = Some("rn"))
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+
+  /** Q16 window frame / running sum (§2.5). The sum runs in DECIMAL so
+    * the result is engine-independent regardless of how the window
+    * aggregation tree associates additions. */
+  val q16: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(dec4(col("o_totalprice"))).over(w).cast("double"), 4).as("running"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q17 lag/rate (§2.9, PromQL rate analogue): per-user value delta. */
+  val q17: Q = (s, dir) =>
+    Relational.lagDelta(Tables.events(s, dir),
+      series = Seq("user_id"),
+      ordering = Seq(col("ts"), col("event_id")),
+      valueCol = "value", out = "delta")
+      .select(col("event_id"), col("user_id"), round(col("delta"), 4).as("delta"))
+      .orderBy("event_id")
+
+  /** Q18 global top-k (§2.5): plans as TakeOrderedAndProject — no full
+    * sort materialization, scales as a per-partition heap + merge. */
+  val q18: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q19 set ops (§2.6): intersect / except / union-all cardinalities. */
+  val q19: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+    val inter = o.intersect(c).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+    val exc = c.except(o).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+    val uni = o.unionAll(c).agg(count(lit(1)).as("n")).withColumn("op", lit("union_all"))
+    inter.unionByName(exc).unionByName(uni)
+      .select("op", "n")
+      .orderBy("op")
+  }
+
+  // ---------------------------------------------------------------- Q20–Q21
+  // scalar function surface
+
+  /** Q20 string/date/math functions (F1–F6). */
+  val q20: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") < 5)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        concat(lit("o_"), col("l_orderkey").cast("string")).as("tag"),
+        substring(col("l_returnflag"), 1, 1).as("rf"),
+        year(col("l_shipdate")).as("yr"),
+        round(col("l_extendedprice") * (lit(1.0) + col("l_tax")), 4).as("gross"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q21 JSON functions (F4): path extraction from the props column. */
+  val q21: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------------- Q22–Q24
+  // event-time windows + CDC latest-state
+
+  /** Q22 tumbling window (ST7): the same `window()` op drives the
+    * streaming variant; epoch-aligned so DuckDB's date_trunc matches. */
+  val q22: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec6(col("value"))).cast("double"), 4).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+
+  /** Q23 session window (ST7), 30-minute gap. Oracle is the
+    * gaps-and-islands formulation; Spark sessions are half-open
+    * [start, last+gap), so a gap of exactly 30 min starts a new session
+    * on both sides. */
+  val q23: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
+      .orderBy("user_id", "session_start")
+
+  /** Q24 CDC latest-state materialization (A1/A2): events as a changelog
+    * keyed by user_id; newest row per key wins, event_id breaks ties. */
+  val q24: Q = (s, dir) =>
+    Relational.latestStatePerKey(Tables.events(s, dir),
+      keys = Seq("user_id"),
+      ordering = Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy("user_id")
+
+  // ---------------------------------------------------------------- Q25–Q28
+  // LLM-pipeline north-star ops
+
+  /** Q25 exact dedup (north star): group by normalized text, min doc_id
+    * survives, survivor counts per lang. One hash shuffle on the
+    * normalized key — the 100 TB shape for exact dedup. */
+  val q25: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val survivors = d
+      .groupBy(lower(trim(col("text"))).as("__norm"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    d.join(survivors, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang")
+  }
+
+  /** Q26 text analysis (north star): token counts, top-20. explode +
+    * hash agg; partial aggregation keeps the shuffle small. */
+  val q26: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  /** Q27 similarity search (north star): brute-force cosine top-5 of
+    * vec_id=0. The 1-row query vector broadcasts; dot products are a
+    * codegen'd zip_with/aggregate — no UDF. Scale path: LSH/IVF
+    * candidate pruning, same residual scoring. */
+  val q27: Q = (s, dir) => {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val tgt = emb.filter(col("vec_id") === 0).select(col("e").as("t_e"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(tgt))
+      .select(col("vec_id"),
+        round(dot(col("e"), col("t_e")) /
+          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("t_e"), col("t_e")))), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** Q28 multimodal columns (north star): documents × embeddings joined
+    * on id, filtered by label, n_chars stats per lang. avg computed as
+    * exact-int-sum / count so both engines divide identical operands. */
+  val q28: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .filter(col("label") === 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+
+  // ------------------------------------------------------------------ maps
+
+  val all: Map[String, Q] = Map(
+    "q01_scan_project" -> q01,
+    "q02_mask" -> q02,
+    "q03_filter" -> q03,
+    "q04_incremental_hwm" -> q04,
+    "q05_join_inner" -> q05,
+    "q06_multiway_agg" -> q06,
+    "q07_broadcast_join" -> q07,
+    "q08_left_outer" -> q08,
+    "q09_semi_join" -> q09,
+    "q10_anti_join" -> q10,
+    "q11_range_join" -> q11,
+    "q12_agg_distinct" -> q12,
+    "q13_rollup" -> q13,
+    "q14_cube" -> q14,
+    "q15_window_topk" -> q15,
+    "q16_window_running" -> q16,
+    "q17_lag_delta" -> q17,
+    "q18_topk" -> q18,
+    "q19_setops" -> q19,
+    "q20_scalar_fns" -> q20,
+    "q21_json" -> q21,
+    "q22_window_tumbling" -> q22,
+    "q23_session_window" -> q23,
+    "q24_cdc_latest_state" -> q24,
+    "q25_dedup_exact" -> q25,
+    "q26_token_counts" -> q26,
+    "q27_cosine_topk" -> q27,
+    "q28_multimodal" -> q28,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q02_mask" ->
+      "SELECT c_custkey, 'CENSORED' AS c_name FROM customer ORDER BY c_custkey",
+    "q03_filter" ->
+      "SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' ORDER BY o_orderkey",
+    "q04_incremental_hwm" ->
+      ("SELECT event_id FROM events " +
+        "WHERE ts > (SELECT MAX(ts) FROM events WHERE event_id < 500) ORDER BY event_id"),
+    "q05_join_inner" ->
+      ("SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey " +
+        "ORDER BY n_name, r_name"),
+    "q06_multiway_agg" ->
+      ("SELECT n_name, ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) " +
+        "AS DOUBLE), 4) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
+    "q07_broadcast_join" ->
+      ("SELECT p_brand, COUNT(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+    "q08_left_outer" ->
+      ("SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey"),
+    "q09_semi_join" ->
+      ("SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) " +
+        "ORDER BY c_custkey"),
+    "q10_anti_join" ->
+      ("SELECT c_custkey FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '1998-01-01') ORDER BY c_custkey"),
+    "q11_range_join" ->
+      ("SELECT o_orderstatus, COUNT(*) AS n FROM events, orders " +
+        "WHERE value >= o_totalprice * 0.001 AND value <= o_totalprice * 0.001 + 0.5 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q12_agg_distinct" ->
+      ("SELECT o_orderstatus, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q13_rollup" ->
+      ("SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_rf, " +
+        "CAST(GROUPING(l_linestatus) AS INT) AS g_ls, " +
+        "COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, " +
+        "ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY g_rf, g_ls, rf, ls"),
+    "q14_cube" ->
+      ("SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_s, " +
+        "CAST(GROUPING(o_orderpriority) AS INT) AS g_p, " +
+        "COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority, " +
+        "COUNT(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY g_s, g_p, status, priority"),
+    "q15_window_topk" ->
+      ("SELECT o_custkey, o_orderkey, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q16_window_running" ->
+      ("SELECT o_custkey, o_orderkey, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "q17_lag_delta" ->
+      ("SELECT event_id, user_id, ROUND(value - LAG(value) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta " +
+        "FROM events ORDER BY event_id"),
+    "q18_topk" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q19_setops" ->
+      ("SELECT 'intersect' AS op, COUNT(*) AS n FROM " +
+        "((SELECT o_custkey FROM orders) INTERSECT (SELECT c_custkey FROM customer)) t1 " +
+        "UNION ALL SELECT 'except' AS op, COUNT(*) AS n FROM " +
+        "((SELECT c_custkey FROM customer) EXCEPT (SELECT o_custkey FROM orders)) t2 " +
+        "UNION ALL SELECT 'union_all' AS op, COUNT(*) AS n FROM " +
+        "((SELECT o_custkey FROM orders) UNION ALL (SELECT c_custkey FROM customer)) t3 " +
+        "ORDER BY op"),
+    "q20_scalar_fns" ->
+      ("SELECT l_orderkey, l_linenumber, CONCAT('o_', CAST(l_orderkey AS VARCHAR)) AS tag, " +
+        "SUBSTRING(l_returnflag, 1, 1) AS rf, YEAR(l_shipdate) AS yr, " +
+        "ROUND(l_extendedprice * (1.0 + l_tax), 4) AS gross " +
+        "FROM lineitem WHERE l_quantity < 5 ORDER BY l_orderkey, l_linenumber"),
+    "q21_json" ->
+      ("SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events ORDER BY event_id"),
+    "q22_window_tumbling" ->
+      ("SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n, " +
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value " +
+        "FROM events GROUP BY date_trunc('hour', ts), event_type ORDER BY wstart, event_type"),
+    "q23_session_window" ->
+      ("WITH g AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL " +
+        "OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT user_id, ts, SUM(brk) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid " +
+        "FROM g) " +
+        "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n FROM s " +
+        "GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "q24_cdc_latest_state" ->
+      ("SELECT user_id, event_id, ts, event_type, ROUND(value, 4) AS value FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) t WHERE rn = 1 ORDER BY user_id"),
+    "q25_dedup_exact" ->
+      ("WITH survivors AS (SELECT MIN(doc_id) AS doc_id FROM documents " +
+        "GROUP BY LOWER(TRIM(text))) " +
+        "SELECT lang, COUNT(*) AS n FROM documents JOIN survivors USING(doc_id) " +
+        "GROUP BY lang ORDER BY lang"),
+    "q26_token_counts" ->
+      ("SELECT token, COUNT(*) AS n FROM (SELECT UNNEST(str_split(LOWER(text), ' ')) AS token " +
+        "FROM documents) t WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+    "q27_cosine_topk" ->
+      ("WITH tgt AS (SELECT CAST(embedding AS DOUBLE[]) AS t_e FROM embeddings WHERE vec_id = 0), " +
+        "scored AS (SELECT vec_id, " +
+        "list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT t_e FROM tgt)) / " +
+        "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product((SELECT t_e FROM tgt), (SELECT t_e FROM tgt)))) AS raw " +
+        "FROM embeddings WHERE vec_id <> 0) " +
+        "SELECT vec_id, ROUND(raw, 4) AS score FROM scored " +
+        "ORDER BY score DESC, vec_id LIMIT 5"),
+    "q28_multimodal" ->
+      ("SELECT lang, COUNT(*) AS n, " +
+        "ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars, " +
+        "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars " +
+        "FROM documents JOIN embeddings ON doc_id = vec_id WHERE label = 1 " +
+        "GROUP BY lang ORDER BY lang"),
+  )
+}

@@ -20,6 +20,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate ignores builder configs when a session already exists;
+    // re-assert the runtime-settable ones so the standard configuration
+    // (UTC in particular — a correctness matter for timestamp queries)
+    // is guaranteed on every code path.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

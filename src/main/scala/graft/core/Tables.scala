@@ -45,8 +45,12 @@ object Tables {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
+      // timestampadd over an NTZ literal is pure calendar arithmetic —
+      // no session-timezone dependence (timestamp_micros(..).cast(ntz)
+      // would silently shift under a non-UTC session zone).
       read(spark, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        .withColumn("ts", expr(
+          "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } finally {
       prev match {

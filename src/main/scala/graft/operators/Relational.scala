@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
  */
 object Relational {
 
+  /** Pick a working-column name that cannot collide with the input schema
+    * (inputs like `events.props` may legitimately flatten into
+    * `__`-prefixed columns under the reference's A4 metadata semantics). */
+  private def fresh(base: String, taken: Iterable[String]): String = {
+    val t = taken.toSet
+    if (!t(base)) base
+    else Iterator.from(1).map(i => s"$base$i").find(n => !t(n)).get
+  }
+
   /**
    * PII mask: replace a column with a constant.
    * Reference: `MaskField$Value` SMT replacing `private_info` with
@@ -24,26 +33,34 @@ object Relational {
 
   /**
    * Latest-state materialization of a changelog: keep, per key, the row
-   * that is last in `ordering`. This is the table-level semantics of the
+   * ranked FIRST by `ordering`. This is the table-level semantics of the
    * reference's `ExtractNewRecordState` unwrap + compacted topic
    * (postgres/connector.json:11-14): the per-key newest row wins.
+   *
+   * `ordering` is used verbatim — pass direction explicitly (e.g.
+   * `Seq($"ts".desc, $"event_id".desc)`) and ALWAYS include a unique
+   * tie-breaker column, otherwise ties pick a nondeterministic winner.
    *
    * Implemented as a ranking window (one shuffle on the key). At scale,
    * per-key state is one row — no skew concerns beyond what AQE handles.
    */
   def latestStatePerKey(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val rn = fresh("__rn", df.columns)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
-  /** Per-group top-k by `ordering` (ascending): ranking window + filter. */
-  def topKPerGroup(df: DataFrame, keys: Seq[String], ordering: Seq[Column], k: Int): DataFrame = {
+  /** Per-group top-k by `ordering` (direction-bearing columns welcome):
+    * ranking window + filter. `rankCol = Some(name)` keeps the 1-based
+    * rank in the output under `name`. */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], ordering: Seq[Column], k: Int,
+                   rankCol: Option[String] = None): DataFrame = {
+    val rn = rankCol.getOrElse(fresh("__rn", df.columns))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    val ranked = df.withColumn(rn, row_number().over(w)).filter(col(rn) <= k)
+    if (rankCol.isDefined) ranked else ranked.drop(rn)
   }
 
   /**
@@ -60,8 +77,8 @@ object Relational {
 
   /**
    * Scalable interval × point join (range/theta join): joins `points`
-   * rows to `intervals` rows where `pointCol ∈ [lo, hi]`, without a
-   * cartesian product.
+   * rows to `intervals` rows where the caller's `residual` predicate
+   * holds, without a cartesian product.
    *
    * Spark plans a raw range predicate as BroadcastNestedLoopJoin —
    * O(|P|·|I|) comparisons, hopeless at 100 TB. Instead we discretize the
@@ -74,20 +91,38 @@ object Relational {
    * prunes pairs. Cost: O(Σ interval_width / W) exploded rows and a hash
    * join, both linear-ish and shuffle-partitionable.
    *
+   * Guard rails: inverted intervals (hi < lo) match nothing and are
+   * dropped before the explode; an interval spanning more than
+   * `maxBucketsPerInterval` buckets fails the job loudly (raise_error)
+   * instead of OOMing an executor or tripping Spark's max sequence
+   * length — pick a larger `bucketWidth` instead.
+   *
    * @param residual the exact join predicate evaluated on candidate pairs
    */
   def intervalPointJoin(points: DataFrame, pointCol: Column,
                         intervals: DataFrame, lo: Column, hi: Column,
-                        residual: Column, bucketWidth: Double): DataFrame = {
+                        residual: Column, bucketWidth: Double,
+                        maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val pb = points.withColumn("__bucket", floor(pointCol / bucketWidth).cast("long"))
+    val taken = points.columns ++ intervals.columns
+    val bkt = fresh("__bucket", taken)
+    val blo = fresh("__blo", taken)
+    val bhi = fresh("__bhi", taken)
+    val pb = points.withColumn(bkt, floor(pointCol / bucketWidth).cast("long"))
+    val span = col(bhi) - col(blo)
     val ib = intervals
-      .withColumn("__blo", floor(lo / bucketWidth).cast("long") - 1)
-      .withColumn("__bhi", floor(hi / bucketWidth).cast("long") + 1)
-      .withColumn("__bucket", explode(sequence(col("__blo"), col("__bhi"))))
-      .drop("__blo", "__bhi")
-    pb.join(ib, Seq("__bucket"))
+      .filter(hi >= lo)
+      .withColumn(blo, floor(lo / bucketWidth).cast("long") - 1)
+      .withColumn(bhi, floor(hi / bucketWidth).cast("long") + 1)
+      .withColumn(bkt, explode(
+        when(span > maxBucketsPerInterval.toLong,
+          raise_error(concat(
+            lit("intervalPointJoin: interval spans "), span,
+            lit(s" buckets > max $maxBucketsPerInterval; increase bucketWidth"))))
+          .otherwise(sequence(col(blo), col(bhi)))))
+      .drop(blo, bhi)
+    pb.join(ib, Seq(bkt))
       .where(residual)
-      .drop("__bucket")
+      .drop(bkt)
   }
 }
