@@ -1,0 +1,27 @@
+package graft
+
+/** t1 smoke (SURVEY §5): every registered query runs at sf0.001 and
+  * returns rows; the oracle map covers every query; the flagship entry
+  * is non-empty. */
+class QueriesSmokeSpec extends SparkTestBase {
+
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("every oracle has a query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle SQL without a query: $dangling")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name returns rows at sf0.001") {
+      assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")
+    }
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
+
+import graft.SparkTestBase
+
+/** Determinism / equivalence properties for the operator helpers
+  * (SURVEY §5 item 3). */
+class RelationalSpec extends SparkTestBase with ScalaCheckPropertyChecks {
+  import spark.implicits._
+
+  private val changelogGen: Gen[List[(Long, Long, String)]] =
+    Gen.listOfN(60, for {
+      key <- Gen.chooseNum(0L, 5L)
+      ver <- Gen.chooseNum(0L, 20L)
+      payload <- Gen.alphaStr.map(_.take(8))
+    } yield (key, ver, payload))
+
+  test("latestStatePerKey equals a groupBy max-struct fold on random changelogs") {
+    forAll(changelogGen) { rows =>
+      whenever(rows.nonEmpty) {
+        // unique tie-breaker: the changelog sequence number
+        val df = rows.zipWithIndex
+          .map { case ((k, v, p), i) => (k, v, i.toLong, p) }
+          .toDF("key", "ver", "seq", "payload")
+        val viaWindow = Relational
+          .latestStatePerKey(df, Seq("key"), Seq($"ver".desc, $"seq".desc))
+          .select("key", "ver", "seq", "payload")
+        // independent formulation: per-key max over a sortable struct
+        val viaFold = df
+          .groupBy("key")
+          .agg(max(struct($"ver", $"seq", $"payload")).as("s"))
+          .select($"key", $"s.ver", $"s.seq", $"s.payload")
+        assert(viaWindow.except(viaFold).isEmpty && viaFold.except(viaWindow).isEmpty)
+      }
+    }
+  }
+
+  test("maskColumn is idempotent and constant") {
+    val df = Seq((1, "secret"), (2, "other")).toDF("id", "private_info")
+    val once = Relational.maskColumn(df, "private_info")
+    val twice = Relational.maskColumn(once, "private_info")
+    assert(once.collect().sameElements(twice.collect()))
+    assert(once.select("private_info").distinct().as[String].collect().toSeq == Seq("CENSORED"))
+  }
+
+  test("topKPerGroup returns at most k rows per group, rank 1..k") {
+    val df = (1 to 100).map(i => (i % 7, i)).toDF("g", "v")
+    val top = Relational.topKPerGroup(df, Seq("g"), Seq($"v".desc), 3, Some("rn"))
+    val perGroup = top.groupBy("g").count().as[(Int, Long)].collect()
+    assert(perGroup.forall(_._2 <= 3))
+    assert(top.agg(max("rn")).as[Int].head() <= 3)
+    // top-3 desc of 0..99 by residue class: ranks are the 3 largest values
+    val g0 = top.filter($"g" === 0).orderBy("rn").select("v").as[Int].collect().toSeq
+    assert(g0 == Seq(98, 91, 84))
+  }
+
+  test("lagDelta first row per series is null, deltas reconstruct the series") {
+    val df = Seq((1, 1, 10.0), (1, 2, 15.0), (1, 3, 12.0), (2, 1, 5.0))
+      .toDF("series", "t", "v")
+    val out = Relational.lagDelta(df, Seq("series"), Seq($"t"), "v")
+      .orderBy("series", "t")
+      .select("series", "t", "delta")
+      .as[(Int, Int, Option[Double])]
+      .collect()
+      .toSeq
+    assert(out == Seq((1, 1, None), (1, 2, Some(5.0)), (1, 3, Some(-3.0)), (2, 1, None)))
+  }
+
+  private val pointsGen = Gen.listOfN(40, Gen.chooseNum(0.0, 100.0))
+  private val intervalsGen = Gen.listOfN(25, for {
+    lo <- Gen.chooseNum(-10.0, 100.0)
+    w <- Gen.chooseNum(-5.0, 20.0) // negative → inverted interval
+  } yield (lo, lo + w))
+
+  test("intervalPointJoin matches the naive theta join on random data") {
+    forAll(pointsGen, intervalsGen) { (ps, is) =>
+      whenever(ps.nonEmpty && is.nonEmpty) {
+        val points = ps.zipWithIndex.map { case (p, i) => (i, p) }.toDF("pid", "p")
+        val ivals = is.zipWithIndex.map { case ((lo, hi), i) => (i, lo, hi) }
+          .toDF("iid", "lo", "hi")
+        val residual = $"p" >= $"lo" && $"p" <= $"hi"
+        val bucketed = Relational
+          .intervalPointJoin(points, $"p", ivals, $"lo", $"hi", residual, bucketWidth = 7.0)
+          .select("pid", "iid")
+        val naive = points.crossJoin(ivals).where(residual).select("pid", "iid")
+        assert(bucketed.except(naive).isEmpty && naive.except(bucketed).isEmpty)
+      }
+    }
+  }
+
+  test("intervalPointJoin fails loudly on an interval spanning too many buckets") {
+    val points = Seq((1, 5.0)).toDF("pid", "p")
+    val ivals = Seq((1, 0.0, 1e9)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      Relational.intervalPointJoin(points, $"p", ivals, $"lo", $"hi",
+        $"p" >= $"lo" && $"p" <= $"hi", bucketWidth = 1.0, maxBucketsPerInterval = 1000)
+        .count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("temp-column names never collide with input columns") {
+    // inputs already carrying __bucket/__rn must come through unharmed
+    val points = Seq((1, 5.0, "keep")).toDF("pid", "p", "__bucket")
+    val ivals = Seq((1, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val out = Relational.intervalPointJoin(points, $"p", ivals, $"lo", $"hi",
+      $"p" >= $"lo" && $"p" <= $"hi", bucketWidth = 1.0)
+    assert(out.columns.contains("__bucket"))
+    assert(out.select("__bucket").as[String].head() == "keep")
+
+    val df = Seq((1L, 2L, "x")).toDF("key", "ver", "__rn")
+    val latest = Relational.latestStatePerKey(df, Seq("key"), Seq($"ver".desc))
+    assert(latest.columns.contains("__rn"))
+    assert(latest.select("__rn").as[String].head() == "x")
+  }
+}
