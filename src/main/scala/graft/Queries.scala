@@ -113,14 +113,15 @@ object Queries {
       .select("c_custkey")
       .orderBy("c_custkey")
 
-  /** Q10 anti join (J3): customers with no orders since 1998 (the
+  /** Q10 anti join (J3): customers with no orders since mid-1998 (the
     * unfiltered anti join is empty at every SF — every customer has
-    * orders — so the filtered variant keeps the check non-vacuous). */
+    * orders — and the 1998-06-01 cutoff is the earliest that is
+    * non-vacuous at sf0.001/0.01/0.1 alike: 3/8/142 rows). */
   val q10: Q = (s, dir) =>
     Tables.customer(s, dir)
       .join(
         Tables.orders(s, dir)
-          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz")),
+          .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp_ntz")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey")
       .orderBy("c_custkey")
@@ -323,13 +324,15 @@ object Queries {
   /** Q27 similarity search (north star): brute-force cosine top-5 of
     * vec_id=0. The 1-row query vector broadcasts; dot products are a
     * codegen'd zip_with/aggregate — no UDF. Scale path: LSH/IVF
-    * candidate pruning, same residual scoring. */
+    * candidate pruning (q30), same residual scoring. The target is
+    * reduced to exactly one row via MIN so both engines behave
+    * identically whether vec_id=0 is absent or duplicated. */
   val q27: Q = (s, dir) => {
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val emb = Tables.embeddings(s, dir)
       .withColumn("e", col("embedding").cast("array<double>"))
-    val tgt = emb.filter(col("vec_id") === 0).select(col("e").as("t_e"))
+    val tgt = emb.filter(col("vec_id") === 0).agg(min(col("e")).as("t_e"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(tgt))
       .select(col("vec_id"),
@@ -419,7 +422,7 @@ object Queries {
     "q10_anti_join" ->
       ("SELECT c_custkey FROM customer WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
-        "AND o_orderdate >= TIMESTAMP '1998-01-01') ORDER BY c_custkey"),
+        "AND o_orderdate >= TIMESTAMP '1998-06-01') ORDER BY c_custkey"),
     "q11_range_join" ->
       ("SELECT o_orderstatus, COUNT(*) AS n FROM events, orders " +
         "WHERE value >= o_totalprice * 0.001 AND value <= o_totalprice * 0.001 + 0.5 " +
@@ -477,12 +480,12 @@ object Queries {
         "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value " +
         "FROM events GROUP BY date_trunc('hour', ts), event_type ORDER BY wstart, event_type"),
     "q23_session_window" ->
-      ("WITH g AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL " +
+      ("WITH g AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL " +
         "OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
         "s AS (SELECT user_id, ts, SUM(brk) OVER " +
-        "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid " +
-        "FROM g) " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid " +
+        "FROM g) " + // ts,event_id: same total order as window w (ties must not flap sid)
         "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n FROM s " +
         "GROUP BY user_id, sid ORDER BY user_id, session_start"),
     "q24_cdc_latest_state" ->
@@ -498,7 +501,7 @@ object Queries {
       ("SELECT token, COUNT(*) AS n FROM (SELECT UNNEST(str_split(LOWER(text), ' ')) AS token " +
         "FROM documents) t WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20"),
     "q27_cosine_topk" ->
-      ("WITH tgt AS (SELECT CAST(embedding AS DOUBLE[]) AS t_e FROM embeddings WHERE vec_id = 0), " +
+      ("WITH tgt AS (SELECT MIN(CAST(embedding AS DOUBLE[])) AS t_e FROM embeddings WHERE vec_id = 0), " +
         "scored AS (SELECT vec_id, " +
         "list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT t_e FROM tgt)) / " +
         "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * " +

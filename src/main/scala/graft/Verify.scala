@@ -15,7 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A reused outDir may hold a previous run's parquet for this query;
+    // delete it BEFORE attempting the write so a newly-broken query shows
+    // up as missing output (per-query FAIL) instead of false-passing
+    // against stale data.
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      rmrf(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

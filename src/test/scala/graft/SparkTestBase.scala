@@ -10,6 +10,8 @@ object SparkTestBase {
 }
 
 trait SparkTestBase extends AnyFunSuite {
-  def spark: SparkSession = SparkTestBase.spark
-  def sf0001: String = SparkTestBase.sf0001
+  // A stable `val` (not a `def`) so `import spark.implicits._` compiles:
+  // imports require a stable identifier path.
+  protected lazy val spark: SparkSession = SparkTestBase.spark
+  protected def sf0001: String = SparkTestBase.sf0001
 }
