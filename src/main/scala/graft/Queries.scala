@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
+import graft.codec.Debezium
 import graft.core.Tables
 import graft.operators.Relational
 
@@ -357,6 +359,46 @@ object Queries {
         max(col("n_chars")).as("max_chars"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- Q29
+  // CDC codec: envelope encode → Debezium unwrap → latest-state
+
+  /** Q29 CDC envelope roundtrip (S4 + A1–A4): events re-expressed as a
+    * Debezium changelog — each row serialized into the full
+    * `{before,after,source,op,ts_ms}` JSON envelope (op derived
+    * deterministically from event_type: signup→c, error→d, else u),
+    * then unwrapped with delete-rewrite + `__op`/`__ts_ms` metadata, and
+    * materialized to per-key latest state. Exercises the exact transform
+    * chain of the reference's flagship CDC task
+    * (postgres/connector.json:11-14) end to end in one batch plan.
+    * Timestamps travel as epoch millis (envelope wire precision), so the
+    * latest-state ordering is on (ms, event_id) on both sides. */
+  val q29: Q = (s, dir) => {
+    val rowSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val op = when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "error", "d")
+      .otherwise("u")
+    val rowStruct = struct(col("event_id"), col("user_id"), col("value"))
+    val tsMs = unix_millis(col("ts").cast("timestamp")) // UTC session: NTZ cast is exact
+    val enveloped = Tables.events(s, dir).select(
+      to_json(struct(
+        when(op === "d", rowStruct).as("before"),
+        when(op =!= "d", rowStruct).as("after"),
+        struct(lit("postgresql").as("connector"), lit("graft").as("db"),
+          lit("events").as("table"), tsMs.as("ts_ms"),
+          col("event_id").as("lsn")).as("source"),
+        op.as("op"),
+        tsMs.as("ts_ms"))).as("value"))
+    val unwrapped = Debezium.unwrap(enveloped, "value", rowSchema)
+    Relational.latestStatePerKey(unwrapped, Seq("user_id"),
+        Seq(col("__ts_ms").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_id"), col("__op"), col("__deleted"),
+        round(col("value"), 4).as("value"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -388,6 +430,7 @@ object Queries {
     "q26_token_counts" -> q26,
     "q27_cosine_topk" -> q27,
     "q28_multimodal" -> q28,
+    "q29_cdc_unwrap" -> q29,
   )
 
   val oracle: Map[String, String] = Map(
@@ -515,5 +558,13 @@ object Queries {
         "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars " +
         "FROM documents JOIN embeddings ON doc_id = vec_id WHERE label = 1 " +
         "GROUP BY lang ORDER BY lang"),
+    "q29_cdc_unwrap" ->
+      ("WITH c AS (SELECT event_id, user_id, value, " +
+        "CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op, " +
+        "epoch_ms(ts) AS ts_ms FROM events), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn FROM c) " +
+        "SELECT user_id, event_id, op AS __op, " +
+        "CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted, " +
+        "ROUND(value, 4) AS value FROM r WHERE rn = 1 ORDER BY user_id"),
   )
 }
