@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 
 import graft.codec.Debezium
 import graft.core.Tables
-import graft.operators.Relational
+import graft.operators.{Dedup, Relational, Similarity}
 
 /**
  * The canonical query set Q1–Q28 (SURVEY.md §2.11): one DataFrame program
@@ -297,16 +297,15 @@ object Queries {
   // ---------------------------------------------------------------- Q25–Q28
   // LLM-pipeline north-star ops
 
-  /** Q25 exact dedup (north star): group by normalized text, min doc_id
-    * survives, survivor counts per lang. One hash shuffle on the
-    * normalized key — the 100 TB shape for exact dedup. */
+  /** Q25 exact dedup (north star): group by a 128-bit hash pair of the
+    * normalized text (the shuffle carries 16 bytes per row, never the
+    * corpus body — the 100 TB shape), min doc_id survives, survivor
+    * counts per lang. The oracle groups on the text itself; the hash
+    * pair makes a cross-engine divergence require an xxhash64 double
+    * collision (< 10⁻¹⁴ even at 10¹² docs). */
   val q25: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
-    val survivors = d
-      .groupBy(lower(trim(col("text"))).as("__norm"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    d.join(survivors, "doc_id")
+    d.join(Dedup.exactSurvivors(d, "doc_id", "text"), "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang")
@@ -399,6 +398,52 @@ object Queries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- Q30–Q33
+  // near-dup dedup, pruned kNN, observability remainder
+
+  /** Q30 near-duplicate pairs (north star, SURVEY §7 step 7): MinHash
+    * over 3-word shingles, 16×2 LSH banding, exact Jaccard residual
+    * ≥ 0.8. The oracle is the brute-force all-pairs formulation; the
+    * banding (miss probability ≈ 3·10⁻⁸ at the threshold) only prunes
+    * candidates, the residual keeps the result exact. */
+  val q30: Q = (s, dir) =>
+    Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.8, shingleWidth = 3, bands = 16, rowsPerBand = 2)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("d1", "d2")
+
+  /** Q31 pruned exact kNN (north star scale path for Q27): Cauchy–
+    * Schwarz upper bound → top-C exact rescore → thresholded exact
+    * top-k. Equals brute force by construction (see Similarity
+    * scaladoc), so the oracle is the plain brute-force query. */
+  val q31: Q = (s, dir) =>
+    Similarity.boundedExactKnn(
+      Tables.embeddings(s, dir).withColumn("e", col("embedding").cast("array<double>")),
+      "vec_id", "e", targetId = 1L, k = 10, candidateCount = 64)
+
+  /** Q32 label remap (§2.9, PromQL label_replace / JMX relabel rules):
+    * regex-remap the event_type label (click/view → engagement), then
+    * aggregate per remapped label — the reference's Grafana status-remap
+    * panel (grafana/dashboards/connect.json:1581) as a DataFrame op. */
+  val q32: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("label", regexp_replace(col("event_type"), "^(click|view)$", "engagement"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec6(col("value"))).cast("double"), 4).as("sum_value"))
+      .orderBy("label")
+
+  /** Q33 windowed rate (§2.9, PromQL rate(x[1h])): per event_type and
+    * 1-hour tumbling window, (max − min)/window_seconds of the value
+    * gauge — the Grafana poll/write-rate panels
+    * (grafana/dashboards/connect.json:1722,1825) over event time. */
+  val q33: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(round(((max(col("value")) - min(col("value"))) / lit(3600.0)), 6).as("rate"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("rate"))
+      .orderBy("wstart", "event_type")
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -431,6 +476,10 @@ object Queries {
     "q27_cosine_topk" -> q27,
     "q28_multimodal" -> q28,
     "q29_cdc_unwrap" -> q29,
+    "q30_neardup_minhash" -> q30,
+    "q31_knn_pruned" -> q31,
+    "q32_label_remap" -> q32,
+    "q33_rate_windowed" -> q33,
   )
 
   val oracle: Map[String, String] = Map(
@@ -566,5 +615,32 @@ object Queries {
         "SELECT user_id, event_id, op AS __op, " +
         "CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted, " +
         "ROUND(value, 4) AS value FROM r WHERE rn = 1 ORDER BY user_id"),
+    "q30_neardup_minhash" ->
+      ("WITH toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+        "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), " +
+        "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
+        "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(a.ts) > 0 AND len(b.ts) > 0) " +
+        "SELECT d1, d2, ROUND(jac, 4) AS jaccard FROM j WHERE jac >= 0.8 ORDER BY d1, d2"),
+    "q31_knn_pruned" ->
+      ("WITH tgt AS (SELECT MIN(CAST(embedding AS DOUBLE[])) AS t_e FROM embeddings WHERE vec_id = 1), " +
+        "scored AS (SELECT vec_id, " +
+        "list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT t_e FROM tgt)) / " +
+        "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product((SELECT t_e FROM tgt), (SELECT t_e FROM tgt)))) AS raw " +
+        "FROM embeddings WHERE vec_id <> 1) " +
+        "SELECT vec_id, ROUND(raw, 4) AS score FROM scored " +
+        "ORDER BY score DESC, vec_id LIMIT 10"),
+    "q32_label_remap" ->
+      ("SELECT regexp_replace(event_type, '^(click|view)$', 'engagement') AS label, " +
+        "COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value " +
+        "FROM events GROUP BY label ORDER BY label"),
+    "q33_rate_windowed" ->
+      ("SELECT date_trunc('hour', ts) AS wstart, event_type, " +
+        "ROUND((MAX(value) - MIN(value)) / 3600.0, 6) AS rate " +
+        "FROM events GROUP BY date_trunc('hour', ts), event_type ORDER BY wstart, event_type"),
   )
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{size => sqlSize}
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+import graft.core.Tables
+
+/** Correctness of the LLM-pipeline north-star operators against their
+  * brute-force formulations on the sf0.001 tables. */
+class DedupSimilaritySpec extends SparkTestBase with Matchers {
+
+  test("exactSurvivors equals group-on-text survivors") {
+    val d = Tables.documents(spark, sf0001)
+    val byHash = Dedup.exactSurvivors(d, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    val byText = d.groupBy(lower(trim(col("text"))))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    byHash should contain theSameElementsInOrderAs byText
+  }
+
+  test("wordShingles: sliding distinct 3-grams; short texts empty") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b"),
+      (3L, "x y z x y z")).toDF("id", "t")
+    val out = df.select(col("id"), Dedup.wordShingles(col("t"), 3).as("sh"))
+      .orderBy("id").collect()
+    out(0).getSeq[String](1).sorted shouldBe Seq("a b c", "b c d")
+    out(1).getSeq[String](1) shouldBe Seq.empty
+    // duplicates collapse: "x y z ..." repeats the shingle "x y z"
+    out(2).getSeq[String](1) should contain("x y z")
+    out(2).getSeq[String](1).distinct.length shouldBe out(2).getSeq[String](1).length
+  }
+
+  test("nearDupPairs equals brute-force all-pairs Jaccard at sf0.001") {
+    val d = Tables.documents(spark, sf0001)
+    val lsh = runLsh(d)
+    val sh = d.select(col("doc_id"),
+      Dedup.wordShingles(col("text"), 3).as("sh"))
+      .filter(sqlSize(col("sh")) > 0)
+    val inter = sqlSize(array_intersect(col("a.sh"), col("b.sh")))
+    val uni = sqlSize(col("a.sh")) + sqlSize(col("b.sh")) - inter
+    val brute = sh.alias("a").join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        (inter.cast("double") / uni).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    lsh should contain theSameElementsInOrderAs brute
+    lsh.length should be > 0
+  }
+
+  private def runLsh(d: org.apache.spark.sql.DataFrame) =
+    Dedup.nearDupPairs(d, "doc_id", "text", threshold = 0.8)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+  test("boundedExactKnn equals brute-force cosine top-k at sf0.001") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    for (target <- Seq(0L, 1L, 7L)) {
+      val pruned = Similarity.boundedExactKnn(emb, "vec_id", "e", target, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val brute = Similarity.cosineTopK(emb, "vec_id", "e", target, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      withClue(s"target=$target: ") {
+        pruned should contain theSameElementsInOrderAs brute
+        pruned.length shouldBe 10
+      }
+    }
+  }
+
+  test("boundedExactKnn tolerates a missing target id deterministically") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    // id far outside the table: the MIN-reduced target is a null vector;
+    // scores are null, output must still be well-defined (empty after
+    // null-safe ordering drops nothing — rows with null scores remain,
+    // matching the brute-force behavior).
+    val pruned = Similarity.boundedExactKnn(emb, "vec_id", "e", 999999L, k = 5)
+      .collect()
+    val brute = Similarity.cosineTopK(emb, "vec_id", "e", 999999L, k = 5)
+      .collect()
+    pruned.length shouldBe brute.length
+  }
+}
