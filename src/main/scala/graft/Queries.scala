@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 import graft.codec.Debezium
 import graft.core.Tables
 import graft.operators.{Dedup, Relational, Similarity}
+import graft.streaming.StreamingOps
 
 /**
  * The canonical query set Q1–Q28 (SURVEY.md §2.11): one DataFrame program
@@ -263,14 +264,14 @@ object Queries {
   // ---------------------------------------------------------------- Q22–Q24
   // event-time windows + CDC latest-state
 
-  /** Q22 tumbling window (ST7): the same `window()` op drives the
-    * streaming variant; epoch-aligned so DuckDB's date_trunc matches. */
+  /** Q22 tumbling window (ST7): the exact operator
+    * (`StreamingOps.tumblingAgg`) that drives the streaming variant —
+    * one plan, two execution modes; epoch-aligned so DuckDB's
+    * date_trunc matches. The watermark is a no-op in batch. */
   val q22: Q = (s, dir) =>
-    Tables.events(s, dir)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(dec6(col("value"))).cast("double"), 4).as("sum_value"))
-      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+    StreamingOps.tumblingAgg(Tables.events(s, dir),
+        tsCol = "ts", windowDuration = "1 hour", watermarkDelay = "10 minutes",
+        keyCols = Seq("event_type"), valueCol = "value")
       .orderBy("wstart", "event_type")
 
   /** Q23 session window (ST7), 30-minute gap. Oracle is the

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/**
+ * Streaming execution surface (SURVEY.md §2.8): the reference's delivery
+ * loop — offset tracking, poll cadence, windowed aggregation, per-key
+ * latest state — re-expressed as Structured Streaming primitives.
+ *
+ * Mapping (SURVEY §2.8):
+ *  - ST1 offset topics (`connect-offset-storage`) → `checkpointLocation`
+ *  - ST4 `poll.interval.ms=200` → `Trigger.ProcessingTime("200 ms")`
+ *  - ST6 watermarks → `withWatermark` (engine-declared; Connect has no
+ *    event time)
+ *  - ST7 windows → the SAME `window()`/`session_window()` expressions the
+ *    batch queries use (Q22/Q23) — one plan, two execution modes
+ *  - ST8 per-key latest state → `mapGroupsWithState` (the streaming twin
+ *    of Q24's ranking window)
+ *
+ * Everything here is plan construction only — callers attach sources,
+ * sinks, triggers and checkpoints. That keeps the operators testable
+ * offline (MemoryStream in, memory sink out) and cluster-ready
+ * unchanged (Kafka in, Kafka/foreachBatch out).
+ */
+object StreamingOps {
+
+  /**
+   * Watermarked tumbling-window aggregate — the streaming twin of Q22.
+   * Works identically on a batch DataFrame (watermark is a no-op there),
+   * which is exactly how the oracle asserts it.
+   *
+   * State at scale: one row per (window, key) within the watermark
+   * horizon; expired windows are dropped by the state store, so state is
+   * bounded by (horizon / windowDuration) × |keys|.
+   */
+  def tumblingAgg(events: DataFrame, tsCol: String, windowDuration: String,
+                  watermarkDelay: String, keyCols: Seq[String],
+                  valueCol: String): DataFrame = {
+    // Watermarks only accept TIMESTAMP, not TIMESTAMP_NTZ
+    // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session is pinned to
+    // UTC, so NTZ ⇄ TIMESTAMP casts are exact reinterpretations; the
+    // output window start is cast back so batch oracle parity (NTZ on
+    // the wire) is preserved.
+    val evt = "__evt"
+    events
+      .withColumn(evt, col(tsCol).cast("timestamp"))
+      .withWatermark(evt, watermarkDelay)
+      .groupBy(window(col(evt), windowDuration) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol).cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("wstart") +:
+        keyCols.map(col) :+ col("n") :+ col("sum_value"): _*)
+  }
+
+  /**
+   * Streaming per-key latest state (ST8 / A1): `mapGroupsWithState`
+   * keeping, per key, the record that ranks highest under `newer`.
+   * Emits the updated state for every key touched by a micro-batch
+   * (update output mode); state survives restarts via the checkpoint.
+   *
+   * `newer(a, b)` must be a strict total order ("a strictly newer than
+   * b") including a unique tie-breaker, mirroring the determinism
+   * contract of `Relational.latestStatePerKey`.
+   *
+   * State at scale: exactly one record per key — the same footprint a
+   * compacted topic holds in the reference. For unbounded key spaces add
+   * a TTL via `GroupStateTimeout` in a wrapper.
+   */
+  def latestStateStream[K, T](ds: Dataset[T])(key: T => K)(newer: (T, T) => Boolean)(
+      implicit ke: Encoder[K], te: Encoder[T]): Dataset[T] =
+    ds.groupByKey(key)
+      .mapGroupsWithState[T, T](GroupStateTimeout.NoTimeout()) {
+        (_: K, rows: Iterator[T], state: GroupState[T]) =>
+          var cur = state.getOption.getOrElse(null.asInstanceOf[T])
+          rows.foreach { r =>
+            if (cur == null || newer(r, cur)) cur = r
+          }
+          state.update(cur)
+          cur
+      }
+}

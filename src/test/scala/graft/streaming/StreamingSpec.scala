@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.{Queries, SparkTestBase}
+import graft.core.Tables
+
+/** The sf0.001 events row as a typed streaming record (ts is NTZ →
+  * LocalDateTime). */
+case class Ev(event_id: Long, ts: LocalDateTime, user_id: Long,
+              event_type: String, value: Double)
+
+/**
+ * The streaming t1 smoke the SURVEY §2.11 footnote demands: MemoryStream
+ * variants of Q22 (watermark + tumbling window) and Q24 (latest state via
+ * mapGroupsWithState), each with a checkpoint, asserted equal to the
+ * batch results over the same sf0.001 rows.
+ */
+class StreamingSpec extends SparkTestBase with Matchers {
+
+  private def ckpt(): String =
+    Files.createTempDirectory("graft-ckpt").toString
+
+  /** Total-order key for NTZ timestamps (LocalDateTime lacks an implicit
+    * Scala Ordering). */
+  private def tsKey(t: LocalDateTime): (Long, Int) =
+    (t.toEpochSecond(java.time.ZoneOffset.UTC), t.getNano)
+
+  private def eventRows: Array[Ev] = {
+    val ss = spark
+    import ss.implicits._
+    Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(e => (tsKey(e.ts), e.event_id))
+  }
+
+  test("streaming tumblingAgg (complete mode, 2 micro-batches) equals batch q22") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventRows
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.tumblingAgg(input.toDF(), "ts", "1 hour",
+        "10 minutes", Seq("event_type"), "value")
+      .writeStream.format("memory").queryName("t22_complete")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      input.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("t22_complete")
+      .orderBy("wstart", "event_type")
+      .collect().map(r => (r.getAs[LocalDateTime]("wstart"), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = Queries.q22(spark, sf0001)
+      .collect().map(r => (r.getAs[LocalDateTime]("wstart"), r.getString(1), r.getLong(2), r.getDouble(3)))
+    got should contain theSameElementsInOrderAs want
+    got.length should be > 0
+  }
+
+  test("streaming tumblingAgg (append mode) emits exactly the watermark-finalized windows") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventRows
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.tumblingAgg(input.toDF(), "ts", "1 hour",
+        "10 minutes", Seq("event_type"), "value")
+      .writeStream.format("memory").queryName("t22_append")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      input.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // Final watermark: max event time − 10 min delay. Append mode emits a
+    // window once window.end <= watermark — i.e. everything except the
+    // still-open tail windows.
+    val maxTs = rows.map(_.ts).maxBy(tsKey)
+    val wm = maxTs.minusMinutes(10)
+    val want = Queries.q22(spark, sf0001)
+      .collect()
+      .map(r => (r.getAs[LocalDateTime]("wstart"), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .filter { case (wstart, _, _, _) => !wstart.plusHours(1).isAfter(wm) }
+    val got = spark.table("t22_append")
+      .orderBy("wstart", "event_type")
+      .collect().map(r => (r.getAs[LocalDateTime]("wstart"), r.getString(1), r.getLong(2), r.getDouble(3)))
+    got should contain theSameElementsInOrderAs want
+    got.length should be > 0
+    // the open tail windows were genuinely held back
+    got.length should be < Queries.q22(spark, sf0001).count().toInt
+  }
+
+  test("latestStateStream (mapGroupsWithState, 3 micro-batches) equals batch q24") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventRows
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.latestStateStream(input.toDS())(_.user_id) {
+        (a, b) => (a.ts.compareTo(b.ts), a.event_id.compareTo(b.event_id)) match {
+          case (c, _) if c != 0 => c > 0
+          case (_, c) => c > 0
+        }
+      }
+      .writeStream.format("memory").queryName("t24_update")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val third = rows.length / 3
+      input.addData(rows.take(third))
+      query.processAllAvailable()
+      input.addData(rows.slice(third, 2 * third))
+      query.processAllAvailable()
+      input.addData(rows.drop(2 * third))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // One emission per touched key per micro-batch; the per-key emission
+    // that ranks newest IS the final state.
+    val finalState = spark.table("t24_update").as[Ev].collect()
+      .groupBy(_.user_id)
+      .map { case (_, es) => es.maxBy(e => (tsKey(e.ts), e.event_id)) }
+      .toSeq.sortBy(_.user_id)
+    val want = Queries.q24(spark, sf0001)
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    finalState.map(e => (e.user_id, e.event_id)) should contain theSameElementsInOrderAs want
+    finalState.length should be > 0
+  }
+}
