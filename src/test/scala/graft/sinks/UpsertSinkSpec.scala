@@ -1,0 +1,120 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+import graft.codec.Debezium
+
+/** A5 upsert + A2/A3 delete/tombstone + ST3 DLQ semantics, batch and
+  * end-to-end through a checkpointed MemoryStream of Debezium JSON. */
+class UpsertSinkSpec extends SparkTestBase with Matchers {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def snapshot(t: ParquetKeyedTable): Map[Long, (String, String)] =
+    t.read(spark).get.collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("name"), r.getAs[String]("__deleted"))))
+      .toMap
+
+  test("merge: insert, update, delete, tombstone, replay idempotence") {
+    val ss = spark
+    import ss.implicits._
+    val t = new ParquetKeyedTable(tmp("graft-upsert"), Seq("id"))
+    def batch(rows: (Long, String, Long, String)*) =
+      rows.toDF("id", "name", "ver", "__deleted")
+    val order = Seq(col("ver").desc)
+    val isDelete = col("__deleted") === "true"
+
+    // epoch 0: inserts, including an intra-batch update (id 2 ver 2 wins)
+    t.merge(batch((1L, "a", 1L, "false"), (2L, "b", 1L, "false"),
+      (2L, "b2", 2L, "false"), (3L, "c", 1L, "false")), 0L, order, isDelete)
+    snapshot(t).view.mapValues(_._1).toMap shouldBe
+      Map(1L -> "a", 2L -> "b2", 3L -> "c")
+
+    // epoch 1: update id 1, delete id 3 (rewrite row)
+    t.merge(batch((1L, "a9", 9L, "false"), (3L, "c", 9L, "true")),
+      1L, order, isDelete)
+    snapshot(t).view.mapValues(_._1).toMap shouldBe Map(1L -> "a9", 2L -> "b2")
+
+    // epoch 1 REPLAYED with different payload: must be a no-op
+    t.merge(batch((1L, "poison", 99L, "false")), 1L, order, isDelete)
+    snapshot(t).view.mapValues(_._1).toMap shouldBe Map(1L -> "a9", 2L -> "b2")
+    t.lastEpoch shouldBe Some(1L)
+
+    // epoch 2: delete beats earlier update within one batch (newest wins)
+    t.merge(batch((2L, "b3", 10L, "false"), (2L, "gone", 11L, "true")),
+      2L, order, isDelete)
+    snapshot(t).view.mapValues(_._1).toMap shouldBe Map(1L -> "a9")
+  }
+
+  test("Dlq.route quarantines bad rows with metadata and passes the rest") {
+    val ss = spark
+    import ss.implicits._
+    val dlqDir = tmp("graft-dlq")
+    val batch = Seq((1L, "ok"), (2L, null.asInstanceOf[String]), (3L, "ok2"))
+      .toDF("id", "payload")
+    val good = Dlq.route(batch, col("payload").isNull,
+      lit("null payload"), dlqDir, epochId = 7L)
+    good.select("id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+    val bad = spark.read.parquet(dlqDir).collect()
+    bad.length shouldBe 1
+    bad.head.getAs[Long]("id") shouldBe 2L
+    bad.head.getAs[String]("__error") shouldBe "null payload"
+    bad.head.getAs[Long]("__epoch") shouldBe 7L
+  }
+
+  test("end-to-end: Debezium JSON stream -> unwrap -> DLQ -> upsert table") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    def env(id: Long, name: String, op: String, tsMs: Long): String = {
+      val row = s"""{"id": $id, "name": "$name"}"""
+      val (before, after) =
+        if (op == "d") (row, "null") else ("null", row)
+      s"""{"before": $before, "after": $after, "source": {"ts_ms": $tsMs, "lsn": $tsMs}, "op": "$op", "ts_ms": $tsMs}"""
+    }
+
+    val tableDir = tmp("graft-e2e-table")
+    val dlqDir = tmp("graft-e2e-dlq")
+    val table = new ParquetKeyedTable(tableDir, Seq("id"))
+
+    val input = MemoryStream[String]
+    val unwrapped = Debezium.unwrap(
+      input.toDF().withColumnRenamed("value", "json"), "json", rowSchema,
+      keep = Seq("json"))
+    val sink = Dlq.withDlq(col("id").isNull, lit("unparseable or keyless"), dlqDir)(
+      table.foreachBatchMerge(Seq(col("__ts_ms").desc), col("__deleted") === "true"))
+    val query = unwrapped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("graft-e2e-ckpt"))
+      .foreachBatch(sink)
+      .start()
+    try {
+      input.addData(env(1, "alice", "c", 100), env(2, "bob", "c", 101),
+        "THIS IS NOT JSON")
+      query.processAllAvailable()
+      input.addData(env(1, "alice2", "u", 200), env(2, "bob", "d", 201),
+        env(3, "carol", "c", 202))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = table.read(spark).get
+      .select("id", "name", "__deleted")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    rows shouldBe Map(1L -> "alice2", 3L -> "carol")
+    // the malformed record landed in the DLQ, not the table
+    val dlq = spark.read.parquet(dlqDir)
+    dlq.count() shouldBe 1
+    dlq.select("json").head().getString(0) shouldBe "THIS IS NOT JSON"
+  }
+}
