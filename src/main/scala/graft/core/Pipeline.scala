@@ -1,0 +1,116 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.codec.{ConnectJson, Debezium}
+import graft.operators.Relational
+import graft.sources.{FileSource, KafkaRelaySource, Source}
+
+/**
+ * Spec → running pipeline (SURVEY §3.1). Stage vocabulary maps 1:1 to
+ * the reference's connector/SMT configuration:
+ *
+ * sources: `file` (S5; format/path/schema DDL), `kafka` (S6, gated on a
+ * deployed connector jar + brokers).
+ * transforms: `mask` (P1 MaskField), `filter` (P3 predicate),
+ * `drop_fields` (P5), `envelope_encode`/`envelope_decode` (Connect JSON
+ * envelope, §1.2), `debezium_unwrap` (A1–A4).
+ * sinks: `file` (FileStreamSink twin), `noop` (bench), `memory`
+ * (tests; streaming only).
+ *
+ * Batch and streaming share the transform chain verbatim — the same
+ * `build` output either `.write`s once or `.writeStream`s forever,
+ * which is the engine-side guarantee behind every "streaming variant
+ * asserted equal to batch" test in this repo.
+ */
+object Pipeline {
+
+  def source(spec: StageSpec): Source = spec.stageType match {
+    case "file" =>
+      FileSource(
+        spec.optionOr("format", "parquet"),
+        spec.option("path"),
+        StructType.fromDDL(spec.option("schema")),
+        spec.options - "format" - "path" - "schema")
+    case "kafka" =>
+      KafkaRelaySource(
+        spec.option("bootstrap.servers"),
+        spec.option("subscribe"),
+        spec.optionOr("startingOffsets", "earliest"),
+        spec.options.get("maxOffsetsPerTrigger").map(_.toLong))
+    case other =>
+      throw new IllegalArgumentException(s"unknown source type '$other'")
+  }
+
+  def applyTransform(df: DataFrame, t: StageSpec): DataFrame = t.stageType match {
+    case "mask" =>
+      Relational.maskColumn(df, t.option("field"), t.optionOr("replacement", "CENSORED"))
+    case "filter" =>
+      df.filter(expr(t.option("predicate")))
+    case "drop_fields" =>
+      df.drop(t.option("fields").split(",").map(_.trim): _*)
+    case "envelope_encode" =>
+      // encode the whole row into one Connect-JSON value column
+      df.select(ConnectJson.encodeEnvelope(df.schema, t.optionOr("name", "record"))
+        .as(t.optionOr("as", "value")))
+    case "envelope_decode" =>
+      val schema = StructType.fromDDL(t.option("schema"))
+      val src = t.optionOr("column", "value")
+      df.withColumn("__payload", ConnectJson.decodeEnvelope(col(src), schema))
+        .select(schema.fields.map(f => col(s"__payload.${f.name}").as(f.name)): _*)
+    case "debezium_unwrap" =>
+      Debezium.unwrap(df, t.optionOr("column", "value"),
+        StructType.fromDDL(t.option("schema")),
+        addMetadata = t.optionOr("add.metadata", "true").toBoolean,
+        dropTombstones = t.optionOr("drop.tombstones", "false").toBoolean)
+    case other =>
+      throw new IllegalArgumentException(s"unknown transform type '$other'")
+  }
+
+  /** The (lazy) DataFrame program for a spec: source + transform chain. */
+  def build(spark: SparkSession, spec: PipelineSpec, streaming: Boolean): DataFrame = {
+    val src = source(spec.source)
+    val df0 = if (streaming) src.stream(spark) else src.batch(spark)
+    spec.transforms.foldLeft(df0)(applyTransform)
+  }
+
+  /** Run a spec as a one-shot batch job. */
+  def runBatch(spark: SparkSession, spec: PipelineSpec): Unit = {
+    val df = build(spark, spec, streaming = false)
+    val s = spec.sink
+    s.stageType match {
+      case "file" =>
+        df.write.format(s.optionOr("format", "parquet"))
+          .mode(s.optionOr("mode", "append")).save(s.option("path"))
+      case "noop" =>
+        df.write.format("noop").mode("overwrite").save()
+      case other =>
+        throw new IllegalArgumentException(s"unknown batch sink type '$other'")
+    }
+  }
+
+  /** Start a spec as a streaming query (ST1 checkpoint required for
+    * durable sinks; ST4 trigger from `trigger.ms`, default 200 — the
+    * reference's `poll.interval.ms`, README.md:100). */
+  def runStream(spark: SparkSession, spec: PipelineSpec): StreamingQuery = {
+    val df = build(spark, spec, streaming = true)
+    val s = spec.sink
+    val trigger = Trigger.ProcessingTime(s.optionOr("trigger.ms", "200").toLong)
+    s.stageType match {
+      case "file" =>
+        df.writeStream.format(s.optionOr("format", "parquet"))
+          .option("checkpointLocation", s.option("checkpoint"))
+          .option("path", s.option("path"))
+          .outputMode("append").trigger(trigger).start()
+      case "memory" =>
+        df.writeStream.format("memory").queryName(s.option("name"))
+          .option("checkpointLocation", s.option("checkpoint"))
+          .outputMode(s.optionOr("outputMode", "append")).trigger(trigger).start()
+      case other =>
+        throw new IllegalArgumentException(s"unknown stream sink type '$other'")
+    }
+  }
+}
