@@ -403,13 +403,13 @@ object Queries {
   // near-dup dedup, pruned kNN, observability remainder
 
   /** Q30 near-duplicate pairs (north star, SURVEY §7 step 7): MinHash
-    * over 3-word shingles, 16×2 LSH banding, exact Jaccard residual
+    * over 3-word shingles, 16×3 LSH banding, exact Jaccard residual
     * ≥ 0.8. The oracle is the brute-force all-pairs formulation; the
-    * banding (miss probability ≈ 3·10⁻⁸ at the threshold) only prunes
+    * banding (miss probability ≈ 3·10⁻⁵ at the threshold) only prunes
     * candidates, the residual keeps the result exact. */
   val q30: Q = (s, dir) =>
     Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-        threshold = 0.8, shingleWidth = 3, bands = 16, rowsPerBand = 2)
+        threshold = 0.8, shingleWidth = 3, bands = 16, rowsPerBand = 3)
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("d1", "d2")
 
@@ -444,6 +444,25 @@ object Queries {
       .agg(round(((max(col("value")) - min(col("value"))) / lit(3600.0)), 6).as("rate"))
       .select(col("window.start").as("wstart"), col("event_type"), col("rate"))
       .orderBy("wstart", "event_type")
+
+  /** Q34 as-of join (§2.3): each purchase event enriched with the
+    * newest signup of the same user at-or-before it (the standard
+    * enrich-with-latest-dim-version pattern). The build side is
+    * collapsed to one row per (user, ts) first — the operator's
+    * determinism contract. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val q34: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = Relational.latestStatePerKey(
+        e.filter(col("event_type") === "signup"),
+        keys = Seq("user_id", "ts"), ordering = Seq(col("event_id").desc))
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_event_id"))
+    Relational.asOfJoin(purchases, signups,
+        keys = Seq("user_id"), tsCol = "ts", payload = Seq("signup_event_id"))
+      .select("event_id", "user_id", "signup_event_id")
+      .orderBy("event_id")
+  }
 
   // ------------------------------------------------------------------ maps
 
@@ -481,6 +500,7 @@ object Queries {
     "q31_knn_pruned" -> q31,
     "q32_label_remap" -> q32,
     "q33_rate_windowed" -> q33,
+    "q34_asof_join" -> q34,
   )
 
   val oracle: Map[String, String] = Map(
@@ -643,5 +663,12 @@ object Queries {
       ("SELECT date_trunc('hour', ts) AS wstart, event_type, " +
         "ROUND((MAX(value) - MIN(value)) / 3600.0, 6) AS rate " +
         "FROM events GROUP BY date_trunc('hour', ts), event_type ORDER BY wstart, event_type"),
+    "q34_asof_join" ->
+      ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "s AS (SELECT user_id, ts, MAX(event_id) AS signup_event_id FROM events " +
+        "WHERE event_type = 'signup' GROUP BY user_id, ts) " +
+        "SELECT p.event_id, p.user_id, s.signup_event_id " +
+        "FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts " +
+        "ORDER BY p.event_id"),
   )
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.codec.{ConnectJson, Debezium}
 import graft.operators.Relational
-import graft.sources.{FileSource, KafkaRelaySource, Source}
+import graft.sources.{FileSource, KafkaRelaySource, PromTextSource, Source}
 
 /**
  * Spec → running pipeline (SURVEY §3.1). Stage vocabulary maps 1:1 to
@@ -35,6 +35,8 @@ object Pipeline {
         spec.option("path"),
         StructType.fromDDL(spec.option("schema")),
         spec.options - "format" - "path" - "schema")
+    case "prom_text" =>
+      PromTextSource(spec.option("path"), spec.options - "path")
     case "kafka" =>
       KafkaRelaySource(
         spec.option("bootstrap.servers"),
@@ -48,10 +50,37 @@ object Pipeline {
   def applyTransform(df: DataFrame, t: StageSpec): DataFrame = t.stageType match {
     case "mask" =>
       Relational.maskColumn(df, t.option("field"), t.optionOr("replacement", "CENSORED"))
+    case "mask_when" =>
+      // P6 SMT predicate framework (reference `predicates`/`negate`,
+      // README.md:290,410): the transform applies only to records
+      // matching the predicate; others pass through unchanged.
+      val f = t.option("field")
+      df.withColumn(f,
+        when(expr(t.option("predicate")),
+          lit(t.optionOr("replacement", "CENSORED"))).otherwise(col(f)))
     case "filter" =>
       df.filter(expr(t.option("predicate")))
+    case "whitelist" =>
+      // P2 table/topic whitelist (reference `table.whitelist`,
+      // README.md:99; `postgres/connector.json:10`)
+      val values = t.option("values").split(",").map(_.trim)
+      df.filter(col(t.optionOr("field", "topic")).isin(values.toIndexedSeq: _*))
+    case "op_filter" =>
+      // P4 operation filter (reference `skipped.operations`,
+      // postgres/connector.json:19) over the unwrapped __op column
+      val ops = t.option("ops").split(",").map(_.trim)
+      df.filter(col(t.optionOr("field", "__op")).isin(ops.toIndexedSeq: _*))
     case "drop_fields" =>
-      df.drop(t.option("fields").split(",").map(_.trim): _*)
+      // P5 drop-fields; with `keep.schema.compatible` (README.md:324) the
+      // result must still satisfy a pinned DDL contract, else fail loudly
+      val dropped = df.drop(t.option("fields").split(",").map(_.trim): _*)
+      t.options.get("keep.schema.compatible.ddl").foreach { ddl =>
+        val want = StructType.fromDDL(ddl)
+        require(dropped.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+          want.fields.map(f => (f.name, f.dataType)).toSeq,
+          s"drop_fields: result schema ${dropped.schema.toDDL} is not compatible with pinned '$ddl'")
+      }
+      dropped
     case "envelope_encode" =>
       // encode the whole row into one Connect-JSON value column
       df.select(ConnectJson.encodeEnvelope(df.schema, t.optionOr("name", "record"))

@@ -76,6 +76,61 @@ object Relational {
   }
 
   /**
+   * As-of join (§2.3): enrich each probe row with the newest build-side
+   * row of the same key whose timestamp is <= the probe's (the
+   * enrich-with-latest-dim-version pattern; DuckDB spells it ASOF JOIN).
+   *
+   * Implemented as the union-window trick — the scalable shape:
+   * both sides union into one relation tagged by origin, one shuffle
+   * on the key, one per-key sort by (ts, tag), and
+   * `last(payload, ignoreNulls)` carries the most recent build payload
+   * forward onto each probe row. No explode, no range bucketing, no
+   * per-probe subquery — cost is a single sort-shuffle regardless of
+   * how many build versions precede each probe.
+   *
+   * Build rows sort BEFORE probe rows at equal timestamps, so the match
+   * condition is inclusive (`build.ts <= probe.ts`), matching DuckDB
+   * ASOF semantics. The build side must be unique per (key, ts) —
+   * pre-collapse with `latestStatePerKey` if it is not, otherwise the
+   * carried payload among same-ts duplicates is nondeterministic.
+   *
+   * @param probe     left side, kept in full (left-join semantics)
+   * @param build     right side providing the as-of payload
+   * @param keys      equi-key column names present on both sides
+   * @param tsCol     timestamp column name present on both sides
+   * @param payload   build-side columns to carry (must not collide with
+   *                  probe columns)
+   */
+  def asOfJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+               tsCol: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asOfJoin: payload must name at least one build column")
+    require(payload.forall(build.columns.contains),
+      s"asOfJoin: payload ${payload.mkString(",")} missing from build side")
+    require(!payload.exists(probe.columns.contains),
+      "asOfJoin: payload columns must not collide with probe columns")
+    val tag = fresh("__tag", probe.columns ++ build.columns ++ payload)
+    val common = keys :+ tsCol
+    val probeSide = probe
+      .withColumn(tag, lit(1))
+      .select(probe.columns.map(col) ++
+        payload.map(p => lit(null).cast(build.schema(p).dataType).as(p)) :+ col(tag): _*)
+    val buildSide = build
+      .withColumn(tag, lit(0))
+      .select(common.map(col) ++
+        probe.columns.filterNot(common.contains).map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++
+        payload.map(col) :+ col(tag): _*)
+      .select(probeSide.columns.map(col): _*) // align column order
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tag).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probeSide.unionByName(buildSide)
+      .select((probe.columns.map(col) ++
+        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)) :+ col(tag)): _*)
+      .filter(col(tag) === 1)
+      .drop(tag)
+  }
+
+  /**
    * Scalable interval × point join (range/theta join): joins `points`
    * rows to `intervals` rows where the caller's `residual` predicate
    * holds, without a cartesian product.

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * S7/S8: Prometheus text-format ingestion. The reference's Task 2 is a
+ * FastAPI app rendering gauges/counters in Prometheus exposition format
+ * (fastapi/main.py:18-63: `# HELP`/`# TYPE` comments + `name value`
+ * sample lines), scraped every 5 s (prometheus/prometheus.yml:2-4,34-37).
+ *
+ * Our engine ingests the same text: `parse` turns a line column into
+ * typed samples — (metric name, label map, double value, optional
+ * timestamp) — with pure regex/`str_to_map` column ops (codegen'd, no
+ * UDF), and `PromTextSource` wires it behind the `Source` trait over a
+ * file/directory of scraped bodies, batch and streaming alike. A real
+ * scrape loop lands HTTP bodies into that directory (or a Kafka topic);
+ * the parser is identical either way.
+ */
+object PromText {
+
+  /** Exposition-format sample line:
+    * `name{label="x",...} value [timestamp_ms]` (labels/ts optional). */
+  private val lineRe =
+    "^([a-zA-Z_:][a-zA-Z0-9_:]*)(\\{[^}]*\\})?\\s+([^\\s]+)(?:\\s+(-?\\d+))?\\s*$"
+
+  /** Parse exposition-format lines into samples. Comment (`#`), blank,
+    * and non-matching lines are dropped. Output columns:
+    * (name string, labels map<string,string>, value double, ts_ms long). */
+  def parse(lines: DataFrame, lineCol: String): DataFrame = {
+    val l = trim(col(lineCol))
+    val name = regexp_extract(l, lineRe, 1)
+    val rawLabels = regexp_extract(l, lineRe, 2)
+    val value = regexp_extract(l, lineRe, 3)
+    val tsMs = regexp_extract(l, lineRe, 4)
+    // {a="x",b="y"} → map(a -> x, b -> y)
+    val labelBody = regexp_replace(regexp_replace(rawLabels, "^\\{|\\}$", ""), "\"", "")
+    lines
+      .filter(l =!= "" && !l.startsWith("#"))
+      .select(
+        name.as("name"),
+        when(rawLabels === "" , map().cast("map<string,string>"))
+          .otherwise(str_to_map(labelBody, lit(","), lit("="))).as("labels"),
+        // try_cast: garbage lines must parse to null (and be filtered),
+        // not abort the scrape under ANSI mode
+        value.try_cast("double").as("value"),
+        tsMs.try_cast("long").as("ts_ms"))
+      .filter(col("name") =!= "" && col("value").isNotNull)
+  }
+}
+
+/** File-landed Prometheus scrapes behind the Source trait: each file is
+  * one scrape body, each line one sample. */
+final case class PromTextSource(path: String,
+                                options: Map[String, String] = Map.empty) extends Source {
+  private val raw = FileSource("text", path,
+    StructType.fromDDL("value STRING"), options)
+  def batch(spark: SparkSession): DataFrame =
+    PromText.parse(raw.batch(spark), "value")
+  def stream(spark: SparkSession): DataFrame =
+    PromText.parse(raw.stream(spark), "value")
+}

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+import graft.core.{Pipeline, StageSpec}
+
+/** S7/S8 Prometheus exposition-format ingestion + the P2/P4/P5/P6
+  * transform vocabulary added to the pipeline. */
+class PromTextSpec extends SparkTestBase with Matchers {
+
+  test("PromText.parse handles the reference's exposition format") {
+    val ss = spark
+    import ss.implicits._
+    // shaped like fastapi/main.py's rendered output
+    val body = Seq(
+      "# HELP app_request_count Total requests",
+      "# TYPE app_request_count counter",
+      "app_request_count 42",
+      "# TYPE app_temperature gauge",
+      "app_temperature 21.5",
+      """kafka_connect_worker_task_count{connector="jdbc",status="running"} 3 1700000000000""",
+      "",
+      "not a metric line at all !!!")
+    val parsed = PromText.parse(body.toDF("value"), "value")
+      .orderBy("name").collect()
+    parsed.length shouldBe 3
+    val byName = parsed.map(r => r.getString(0) ->
+      ((r.getMap[String, String](1), r.getDouble(2), Option(r.get(3))))).toMap
+    byName("app_request_count")._2 shouldBe 42.0
+    byName("app_temperature")._2 shouldBe 21.5
+    val (labels, v, ts) = byName("kafka_connect_worker_task_count")
+    v shouldBe 3.0
+    labels("connector") shouldBe "jdbc"
+    labels("status") shouldBe "running"
+    ts shouldBe Some(1700000000000L)
+    byName("app_request_count")._1.isEmpty shouldBe true
+  }
+
+  test("pipeline transforms: mask_when, whitelist, op_filter, drop_fields guard") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (1L, "users", "c", "alice"),
+      (2L, "users", "d", "bob"),
+      (3L, "audit", "c", "carol"))
+      .toDF("id", "topic", "__op", "name")
+
+    // P6: conditional mask — only delete records get censored
+    val masked = Pipeline.applyTransform(df,
+      StageSpec("mask_when", Map("field" -> "name", "predicate" -> "__op = 'd'")))
+    masked.filter(col("id") === 2).head().getString(3) shouldBe "CENSORED"
+    masked.filter(col("id") === 1).head().getString(3) shouldBe "alice"
+
+    // P2: topic whitelist
+    val wl = Pipeline.applyTransform(df,
+      StageSpec("whitelist", Map("values" -> "users")))
+    wl.select("id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+
+    // P4: operation filter
+    val ops = Pipeline.applyTransform(df,
+      StageSpec("op_filter", Map("ops" -> "c")))
+    ops.select("id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+
+    // P5: drop with schema guard — compatible drop passes...
+    val dropped = Pipeline.applyTransform(df, StageSpec("drop_fields",
+      Map("fields" -> "name",
+        "keep.schema.compatible.ddl" -> "id BIGINT, topic STRING, __op STRING")))
+    dropped.columns shouldBe Array("id", "topic", "__op")
+    // ...incompatible contract fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.applyTransform(df, StageSpec("drop_fields",
+        Map("fields" -> "name,topic",
+          "keep.schema.compatible.ddl" -> "id BIGINT, topic STRING, __op STRING")))
+  }
+}

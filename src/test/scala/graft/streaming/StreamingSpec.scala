@@ -145,4 +145,51 @@ class StreamingSpec extends SparkTestBase with Matchers {
     finalState.map(e => (e.user_id, e.event_id)) should contain theSameElementsInOrderAs want
     finalState.length should be > 0
   }
+
+  test("stream-stream interval join (watermarked both sides) equals the batch join") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventRows
+    val purchases = rows.filter(_.event_type == "purchase")
+    val signups = rows.filter(_.event_type == "signup")
+
+    def prep(name: String, in: org.apache.spark.sql.DataFrame) =
+      in.select(col("event_id").as(s"${name}_id"), col("user_id").as(s"${name}_user"),
+          col("ts").cast("timestamp").as(s"${name}_ts"))
+        .withWatermark(s"${name}_ts", "1 hour")
+
+    val lIn = MemoryStream[Ev]
+    val rIn = MemoryStream[Ev]
+    val joinExpr = expr(
+      "p_user = s_user AND s_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts")
+    val joined = prep("p", lIn.toDF()).join(prep("s", rIn.toDF()), joinExpr)
+      .select("p_id", "s_id")
+    val query = joined.writeStream
+      .format("memory").queryName("ssj")
+      .option("checkpointLocation", ckpt())
+      .outputMode("append")
+      .start()
+    try {
+      // two ordered batches per side: nothing arrives later than its
+      // watermark, so the streaming result must be the complete join
+      val (p1, p2) = purchases.splitAt(purchases.length / 2)
+      val (s1, s2) = signups.splitAt(signups.length / 2)
+      lIn.addData(p1); rIn.addData(s1)
+      query.processAllAvailable()
+      lIn.addData(p2); rIn.addData(s2)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val pq = purchases.toSeq.toDF()
+    val sq = signups.toSeq.toDF()
+    val want = prep("p", pq).join(prep("s", sq), joinExpr)
+      .select("p_id", "s_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    got should contain theSameElementsInOrderAs want
+    got.length should be > 0
+  }
 }
