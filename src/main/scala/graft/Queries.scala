@@ -445,6 +445,77 @@ object Queries {
       .select(col("window.start").as("wstart"), col("event_type"), col("rate"))
       .orderBy("wstart", "event_type")
 
+  /** The fixed sign-LSH geometry shared by q35 and its oracle: 8 seeded
+    * ±1 hyperplanes over the 64-dim embeddings. Deterministic, so the
+    * DuckDB oracle inlines the identical coefficients and reproduces
+    * the exact candidate set (integer-quantized projections — no float
+    * summation-order hazard). */
+  private val lshPlanes = Similarity.hyperplanes(planes = 8, dim = 64, seed = 42L)
+
+  /** Q35 LSH-bucketed ANN (north star scale path, SURVEY §4): sign-LSH
+    * bucket codes, Hamming-radius-2 multi-probe, exact cosine rescore
+    * of the candidate subset. Approximate by contract — the oracle
+    * replicates the bucketing, so the result is exact over the
+    * deterministic candidate set. */
+  val q35: Q = (s, dir) =>
+    Similarity.lshTopK(
+      Tables.embeddings(s, dir).withColumn("e", col("embedding").cast("array<double>")),
+      "vec_id", "e", targetId = 2L, k = 5, planes = lshPlanes, radius = 2)
+
+  private def lshOracle: String = {
+    def codeExpr(vecSql: String): String =
+      lshPlanes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(list_transform($vecSql, x -> round(x * 1024)), " +
+          s"[${p.map(c => s"$c.0").mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      "tgt AS (SELECT MIN(e) AS t_e FROM c WHERE vec_id = 2), " +
+      s"tc AS (SELECT ${codeExpr("(SELECT t_e FROM tgt)")} AS t_code), " +
+      s"cand AS (SELECT vec_id, e FROM c WHERE vec_id <> 2 " +
+      s"AND bit_count(xor(${codeExpr("e")}, (SELECT t_code FROM tc))) <= 2), " +
+      "scored AS (SELECT vec_id, list_dot_product(e, (SELECT t_e FROM tgt)) / " +
+      "(sqrt(list_dot_product(e, e)) * sqrt(list_dot_product((SELECT t_e FROM tgt), (SELECT t_e FROM tgt)))) AS raw FROM cand) " +
+      "SELECT vec_id, ROUND(raw, 4) AS score FROM scored ORDER BY score DESC, vec_id LIMIT 5"
+  }
+
+  /** Q36 SimHash near-dup pairs (north star dedup family): 64-bit
+    * simhash over word tokens, EXACT pigeonhole chunk banding (no
+    * probabilistic misses), Hamming ≤ 3 residual. Depends on Spark's
+    * xxhash64, which no external engine replicates — registered without
+    * an oracle (driver records the weaker rows-only check); exactness
+    * vs the in-Spark brute force is property-tested instead. */
+  val q36: Q = (s, dir) =>
+    Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("d1", "d2")
+
+  /** Q37 embedding-cosine near-dup pairs (north star dedup family):
+    * deterministic sign-LSH code blocking (radius 2 of 8 bits, exact
+    * pigeonhole) + exact cosine ≥ 0.3 residual. The code filter is part
+    * of the contract, so the DuckDB oracle reproduces the result
+    * exactly from the same inlined hyperplanes. */
+  val q37: Q = (s, dir) =>
+    Dedup.embeddingNearDupPairs(
+        Tables.embeddings(s, dir).withColumn("e", col("embedding").cast("array<double>")),
+        "vec_id", "e", planes = lshPlanes, codeRadius = 2, threshold = 0.3)
+      .select(col("d1"), col("d2"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("d1", "d2")
+
+  private def embNearDupOracle: String = {
+    def codeExpr(vecSql: String): String =
+      lshPlanes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(list_transform($vecSql, x -> round(x * 1024)), " +
+          s"[${p.map(c => s"$c.0").mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    s"WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, " +
+      s"${codeExpr("CAST(embedding AS DOUBLE[])")} AS code FROM embeddings), " +
+      "p AS (SELECT a.vec_id AS d1, b.vec_id AS d2, a.e AS ae, b.e AS be FROM c a JOIN c b " +
+      "ON a.vec_id < b.vec_id AND bit_count(xor(a.code, b.code)) <= 2), " +
+      "s AS (SELECT d1, d2, list_dot_product(ae, be) / " +
+      "(sqrt(list_dot_product(ae, ae)) * sqrt(list_dot_product(be, be))) AS cs FROM p) " +
+      "SELECT d1, d2, ROUND(cs, 4) AS cosine FROM s WHERE cs >= 0.3 ORDER BY d1, d2"
+  }
+
   /** Q34 as-of join (§2.3): each purchase event enriched with the
     * newest signup of the same user at-or-before it (the standard
     * enrich-with-latest-dim-version pattern). The build side is
@@ -501,6 +572,9 @@ object Queries {
     "q32_label_remap" -> q32,
     "q33_rate_windowed" -> q33,
     "q34_asof_join" -> q34,
+    "q35_ann_lsh" -> q35,
+    "q36_simhash_neardup" -> q36,
+    "q37_embedding_neardup" -> q37,
   )
 
   val oracle: Map[String, String] = Map(
@@ -670,5 +744,9 @@ object Queries {
         "SELECT p.event_id, p.user_id, s.signup_event_id " +
         "FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts " +
         "ORDER BY p.event_id"),
+    "q35_ann_lsh" -> lshOracle,
+    // q36_simhash_neardup: intentionally no oracle — simhash is xxhash64-
+    // derived and not reproducible outside Spark (rows-only check).
+    "q37_embedding_neardup" -> embNearDupOracle,
   )
 }

@@ -81,6 +81,99 @@ object Dedup {
   }
 
   /**
+   * 64-bit SimHash of the word tokens of `text`, packed into a long:
+   * bit b is set iff the sum over tokens of (bit b of xxhash64(token) ?
+   * +1 : −1) is positive. Near-identical documents differ in few bits;
+   * Hamming distance on the codes approximates token-set divergence.
+   *
+   * 64 static per-bit aggregates over the token array — verbose codegen
+   * but pure Catalyst (no UDF); a fused TypedImperativeAggregate is the
+   * known optimization if profiles ever demand it.
+   */
+  def simhash64(text: Column): Column = {
+    val tokens = split(normText(text), " ")
+    (0 until 64).map { b =>
+      val vote = aggregate(tokens, lit(0L),
+        (acc, t) => acc +
+          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /**
+   * SimHash near-duplicate pairs with EXACT pigeonhole banding: split
+   * the 64-bit code into `maxHamming + 1` chunks — two codes within
+   * `maxHamming` Hamming bits must agree exactly on at least one chunk
+   * (pigeonhole), so the chunk equi-join is a lossless candidate
+   * generator, unlike MinHash's probabilistic S-curve. Residual:
+   * exact `bit_count(xor)`.
+   *
+   * Output: (d1, d2, hamming) with d1 < d2, hamming <= maxHamming.
+   * Scale shape mirrors `nearDupPairs`: the all-rows shuffle carries
+   * (chunk index, chunk bits) — 16 bytes per doc per chunk.
+   */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, "maxHamming must be in [0, 16)")
+    val nChunks = maxHamming + 1
+    val width = 64 / nChunks // last chunk also takes the remainder bits
+    val codes = docs.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
+    val chunkCols = (0 until nChunks).map { i =>
+      val lo = i * width
+      val bits =
+        if (i == nChunks - 1) shiftrightunsigned(col("__sh"), lo)
+        else shiftrightunsigned(col("__sh"), lo).bitwiseAND((1L << width) - 1)
+      struct(lit(i).as("i"), bits.as("bits"))
+    }
+    val buckets = codes.select(col("__id"), col("__sh"),
+      explode(array(chunkCols: _*)).as("__ck"))
+    buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.__ck") === col("b.__ck") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
+        bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs with deterministic sign-LSH
+   * blocking: pairs whose quantized sign-LSH codes differ in at most
+   * `codeRadius` bits (exact pigeonhole banding on the code chunks, as
+   * in `simhashNearDupPairs`) and whose exact cosine ≥ `threshold`.
+   * The code filter is part of the contract — with integer-quantized
+   * projections it is engine-independent, so an external oracle can
+   * replicate the result exactly.
+   */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            planes: Array[Array[Int]], codeRadius: Int,
+                            threshold: Double): DataFrame = {
+    val nChunks = codeRadius + 1
+    val nBits = planes.length
+    require(nBits >= nChunks, "need at least codeRadius+1 code bits")
+    val width = nBits / nChunks
+    val codes = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      Similarity.signCode(col(vecCol), planes).as("__c"))
+    val chunkCols = (0 until nChunks).map { i =>
+      val lo = i * width
+      val bits =
+        if (i == nChunks - 1) shiftrightunsigned(col("__c"), lo)
+        else shiftrightunsigned(col("__c"), lo).bitwiseAND((1L << width) - 1)
+      struct(lit(i).as("i"), bits.as("bits"))
+    }
+    val buckets = codes.select(col("__id"), col("__v"), col("__c"),
+      explode(array(chunkCols: _*)).as("__ck"))
+    buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.__ck") === col("b.__ck") && col("a.__id") < col("b.__id"))
+      .filter(bit_count(col("a.__c").bitwiseXOR(col("b.__c"))) <= codeRadius)
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
+        Similarity.cosine(col("a.__v"), col("b.__v")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
    * Near-duplicate pairs by MinHash/LSH banding with an exact residual:
    *
    *   shingle → minhash signature → band buckets → bucket equi-join →

@@ -54,6 +54,65 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** Seeded ±1 random-hyperplane coefficients for sign-LSH: `planes`
+    * rows × `dim` columns. Deterministic (fixed seed) so the same
+    * planes can be inlined into an external oracle's SQL. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Int]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(planes, dim)(if (rng.nextBoolean()) 1 else -1)
+  }
+
+  /** Integer-quantized vector image: round(x·1024), carried as exact
+    * integers in doubles. Sign decisions computed from these are
+    * bit-identical across engines — float summation order can never
+    * flip a bucket bit, unlike projecting the raw floats. */
+  def quantize(vec: Column): Column = transform(vec, x => round(x * 1024))
+
+  /** Packed sign-LSH bucket code: bit p set iff ⟨quantized vec,
+    * plane_p⟩ ≥ 0. */
+  def signCode(vec: Column, planes: Array[Array[Int]]): Column = {
+    val qv = quantize(vec)
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(qv, typedLit(p.map(_.toDouble).toSeq)) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed approximate kNN — the multi-probe scale path
+   * (SURVEY §4's declared rewrite for Q27): candidates are vectors
+   * whose bucket code is within `radius` Hamming bits of the target's,
+   * exact cosine rescoring on candidates only.
+   *
+   * The contract is explicitly approximate: the result is the exact
+   * top-k OF THE CANDIDATE SET, which the quantized integer projections
+   * make deterministic and engine-independent — an oracle can replicate
+   * the candidate set exactly. Recall depends on data geometry: high on
+   * clustered real-world embeddings (neighbors agree on most sign
+   * bits), poor on uniform random vectors (no structure to hash).
+   * `boundedExactKnn` is the exact alternative when recall must be 1.
+   *
+   * Scale shape: code assignment is one scan (planes × dim multiplies);
+   * candidate filtering is a broadcast of the 1-row target code + a
+   * `bit_count(xor)` filter — no shuffle at all until the final top-k.
+   * With a bucket-partitioned layout the filter becomes partition
+   * pruning.
+   */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String, targetId: Long,
+              k: Int, planes: Array[Array[Int]], radius: Int): DataFrame = {
+    val coded = emb.withColumn("__code", signCode(col(vecCol), planes))
+    val t = coded.filter(col(idCol) === targetId)
+      .agg(min(col(vecCol)).as("__t"))
+      .withColumn("__tcode", signCode(col("__t"), planes))
+    coded.filter(col(idCol) =!= targetId)
+      .crossJoin(broadcast(t))
+      .filter(bit_count(col("__code").bitwiseXOR(col("__tcode"))) <= radius)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__t")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /**
    * Exact top-k cosine with candidate pruning — the 100 TB shape.
    *

@@ -60,6 +60,64 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
       .orderBy("d1", "d2")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
 
+  test("simhashNearDupPairs equals brute-force hamming pairs (pigeonhole is lossless)") {
+    val d = Tables.documents(spark, sf0001)
+    val banded = Dedup.simhashNearDupPairs(d, "doc_id", "text", maxHamming = 3)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    val codes = d.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+    val brute = codes.alias("a").join(codes.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    banded should contain theSameElementsInOrderAs brute
+    withClue("planted near-dups should collide at hamming<=3: ") {
+      banded.length should be > 0
+    }
+  }
+
+  test("embeddingNearDupPairs equals brute force under the same code filter") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    val banded = Dedup.embeddingNearDupPairs(emb, "vec_id", "e", planes, 2, 0.3)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val codes = emb.select(col("vec_id"), col("e"),
+      Similarity.signCode(col("e"), planes).as("c"))
+    val brute = codes.alias("a").join(codes.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(bit_count(col("a.c").bitwiseXOR(col("b.c"))) <= 2)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        Similarity.cosine(col("a.e"), col("b.e")).as("cs"))
+      .filter(col("cs") >= 0.3)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    banded should contain theSameElementsInOrderAs brute
+    banded.length should be > 0
+  }
+
+  test("lshTopK returns the exact top-k of its deterministic candidate set") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    val got = Similarity.lshTopK(emb, "vec_id", "e", 2L, 5, planes, radius = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // brute force restricted to the same candidate set
+    val codes = emb.withColumn("c", Similarity.signCode(col("e"), planes))
+    val tgt = codes.filter(col("vec_id") === 2L)
+      .select(col("e").as("te"), col("c").as("tc"))
+    val want = codes.filter(col("vec_id") =!= 2L)
+      .crossJoin(broadcast(tgt))
+      .filter(bit_count(col("c").bitwiseXOR(col("tc"))) <= 2)
+      .select(col("vec_id"), round(Similarity.cosine(col("e"), col("te")), 4).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    got should contain theSameElementsInOrderAs want
+    got.length shouldBe 5
+  }
+
   test("boundedExactKnn equals brute-force cosine top-k at sf0.001") {
     val emb = Tables.embeddings(spark, sf0001)
       .withColumn("e", col("embedding").cast("array<double>"))
