@@ -535,6 +535,74 @@ object Queries {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- Q38–Q40
+  // text analysis (north star): quality scoring, language-ID, fingerprints
+
+  /** Non-empty word tokens of a normalized text column. */
+  private def toks(text: Column): Column =
+    filter(split(lower(trim(text)), " "), t => t =!= "")
+
+  /** Q38 text quality scoring (north star): per-language corpus stats —
+    * token counts, mean token length, stopword ratio — from exact
+    * integer sums (identical division operands in both engines). */
+  val q38: Q = (s, dir) => {
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+    val t = toks(col("text"))
+    val stopN = size(filter(t, x => x.isInCollection(stop)))
+    val charN = aggregate(transform(t, x => length(x)), lit(0L), (a, x) => a + x)
+    Tables.documents(s, dir)
+      .select(col("lang"), size(t).as("n_tok"), stopN.as("n_stop"), charN.as("n_char"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 4).as("avg_tokens"),
+        round(sum(col("n_char")).cast("double") / sum(col("n_tok")), 4).as("avg_token_len"),
+        round(sum(col("n_stop")).cast("double") / sum(col("n_tok")), 4).as("stopword_ratio"))
+      .orderBy("lang")
+  }
+
+  /** Q39 language-ID (north star): marker-token scoring with a
+    * deterministic alphabetical tie-break — the n-gram-heuristic
+    * mechanism over the documents table (the synthetic corpus shares
+    * one vocabulary, so the interesting part is the operator, not the
+    * confusion matrix). */
+  val q39: Q = (s, dir) => {
+    val markers = Seq(
+      "de" -> Seq("der", "die", "das", "und"),
+      "en" -> Seq("the", "a", "of", "and"),
+      "es" -> Seq("el", "la", "los", "y"),
+      "fr" -> Seq("le", "la", "les", "et"))
+    val t = toks(col("text"))
+    def score(ws: Seq[String]): Column = size(filter(t, x => x.isInCollection(ws)))
+    val Seq(sDe, sEn, sEs, sFr) = markers.map { case (_, ws) => score(ws) }
+    val predicted = when(sDe >= sEn && sDe >= sEs && sDe >= sFr, "de")
+      .when(sEn >= sEs && sEn >= sFr, "en")
+      .when(sEs >= sFr, "es")
+      .otherwise("fr")
+    Tables.documents(s, dir)
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Q40 document fingerprinting (north star): char-level polynomial
+    * rolling hash (Rabin–Karp shape, h = h·31 + code mod 2³¹−1) over
+    * the normalized text — pure integer arithmetic, bit-identical in
+    * any engine. Per-language fingerprint stats. */
+  val q40: Q = (s, dir) => {
+    val norm = lower(trim(col("text")))
+    val codes = transform(sequence(lit(1), length(norm)),
+      i => ascii(norm.substr(i, lit(1))).cast("long"))
+    val fp = aggregate(codes, lit(0L), (a, c) => (a * 31 + c) % 2147483647L)
+    Tables.documents(s, dir)
+      .select(col("lang"), fp.as("fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("fp")).as("n_fp"),
+        min(col("fp")).as("min_fp"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -575,6 +643,9 @@ object Queries {
     "q35_ann_lsh" -> q35,
     "q36_simhash_neardup" -> q36,
     "q37_embedding_neardup" -> q37,
+    "q38_text_quality" -> q38,
+    "q39_langid" -> q39,
+    "q40_fingerprint" -> q40,
   )
 
   val oracle: Map[String, String] = Map(
@@ -748,5 +819,36 @@ object Queries {
     // q36_simhash_neardup: intentionally no oracle — simhash is xxhash64-
     // derived and not reproducible outside Spark (rows-only check).
     "q37_embedding_neardup" -> embNearDupOracle,
+    "q38_text_quality" ->
+      ("WITH d AS (SELECT lang, list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS w " +
+        "FROM documents), " +
+        "m AS (SELECT lang, len(w) AS n_tok, " +
+        "len(list_filter(w, t -> list_contains(['the','a','of','and','in','to','is'], t))) AS n_stop, " +
+        "list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS n_char FROM d) " +
+        "SELECT lang, COUNT(*) AS n, " +
+        "ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 4) AS avg_tokens, " +
+        "ROUND(CAST(SUM(n_char) AS DOUBLE) / SUM(n_tok), 4) AS avg_token_len, " +
+        "ROUND(CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok), 4) AS stopword_ratio " +
+        "FROM m GROUP BY lang ORDER BY lang"),
+    "q39_langid" ->
+      ("WITH d AS (SELECT lang, list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS w " +
+        "FROM documents), " +
+        "sc AS (SELECT lang, " +
+        "len(list_filter(w, t -> list_contains(['der','die','das','und'], t))) AS s_de, " +
+        "len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS s_en, " +
+        "len(list_filter(w, t -> list_contains(['el','la','los','y'], t))) AS s_es, " +
+        "len(list_filter(w, t -> list_contains(['le','la','les','et'], t))) AS s_fr FROM d) " +
+        "SELECT lang, CASE " +
+        "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' " +
+        "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' " +
+        "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted, COUNT(*) AS n " +
+        "FROM sc GROUP BY lang, predicted ORDER BY lang, predicted"),
+    "q40_fingerprint" ->
+      ("WITH f AS (SELECT lang, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(lower(trim(text))) + 1), " +
+        "i -> CAST(unicode(substr(lower(trim(text)), CAST(i AS INT), 1)) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 2147483647) AS fp FROM documents) " +
+        "SELECT lang, COUNT(*) AS n, COUNT(DISTINCT fp) AS n_fp, MIN(fp) AS min_fp " +
+        "FROM f GROUP BY lang ORDER BY lang"),
   )
 }

@@ -1,0 +1,105 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** An opaque media asset: binary payload + typed metadata. The schema a
+  * 100 TB training-data lake stores per image/audio/video object
+  * alongside its provenance (north-star multimodal columns). */
+final case class Asset(asset_id: Long, media_type: String, bytes: Array[Byte],
+                       width: Int, height: Int)
+
+/** Decoded per-asset features. `embedding` is what a real decoder +
+  * model head would emit; here it derives from the stub decode. */
+final case class AssetFeatures(asset_id: Long, media_type: String,
+                               n_bytes: Long, mean_byte: Double,
+                               histogram: Array[Long], embedding: Array[Float])
+
+/**
+ * Multimodal column operators (north star): media as opaque `binary`
+ * columns with typed metadata, processed in partition-batched iterators.
+ *
+ * `decodeFeatures` is the Scala analogue of PySpark's `mapInPandas`
+ * pipeline: `Dataset.mapPartitions` hands each executor core an
+ * iterator over its partition's assets, the decoder processes them
+ * one batch at a time, and the output is a typed Dataset again. The
+ * ACTUAL decode (JPEG/PNG pixel decode, audio PCM, video frames) is
+ * STUBBED — this container has no media libraries — behind
+ * `stubDecode`, a deterministic fake with the same signature a real
+ * decoder has (bytes → fixed-width feature batch). Everything around
+ * it — schema, encoders, partition batching, 1-row-in/1-row-out
+ * shape — is the real plumbing and is what the tests pin.
+ *
+ * Scale notes: decode is embarrassingly parallel and CPU-bound; the
+ * operator preserves the input partitioning (no shuffle), so
+ * `repartition(n)` upstream is the only knob needed to saturate a
+ * cluster, and skew is byte-size skew — repartitioning by
+ * `ceil(length(bytes) / chunk)` buckets equalizes it.
+ */
+object Multimodal {
+
+  val HistogramBins = 16
+
+  /**
+   * STUB DECODER — the plug point for a real media library.
+   * Deterministic fake: a 16-bin byte histogram stands in for pixel
+   * statistics, and the "embedding" is the normalized histogram. A real
+   * implementation replaces ONLY this function (same signature:
+   * one asset's bytes in, fixed-width features out).
+   */
+  def stubDecode(bytes: Array[Byte]): (Array[Long], Array[Float]) = {
+    val hist = new Array[Long](HistogramBins)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) / (256 / HistogramBins)) += 1
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toFloat
+    (hist, hist.map(_ / n))
+  }
+
+  /** Partition-batched feature extraction (the mapInPandas seam). */
+  def decodeFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val (hist, emb) = stubDecode(a.bytes)
+        val mean =
+          if (a.bytes.isEmpty) 0.0
+          else a.bytes.iterator.map(_ & 0xff).sum.toDouble / a.bytes.length
+        AssetFeatures(a.asset_id, a.media_type, a.bytes.length.toLong, mean, hist, emb)
+      }
+    }
+  }
+
+  /**
+   * Frame sampling as a pure Catalyst program (no UDF): treat the
+   * binary payload as fixed-size frames and keep every `everyN`-th —
+   * the video-pipeline shape (decode happens downstream on the sampled
+   * frames only, cutting decode cost by everyN×).
+   */
+  def frameSample(df: DataFrame, bytesCol: String, frameSize: Int,
+                  everyN: Int): DataFrame = {
+    require(frameSize > 0 && everyN > 0, "frameSize and everyN must be positive")
+    val nFrames = ceil(length(col(bytesCol)).cast("double") / frameSize).cast("long")
+    df.withColumn("__frame_idx",
+        explode(filter(sequence(lit(0L), nFrames - 1),
+          i => i % everyN === 0)))
+      .withColumn("frame",
+        // substring on BINARY slices bytes; 1-based offset
+        expr(s"substring($bytesCol, CAST(__frame_idx * $frameSize + 1 AS INT), $frameSize)"))
+      .withColumn("frame_idx", col("__frame_idx"))
+      .drop("__frame_idx")
+  }
+
+  /** Resize metadata transform (stub): a real implementation rewrites
+    * pixels in `stubDecode`'s seam; the metadata contract — scaled
+    * dimensions travel with the asset — is what downstream operators
+    * consume and what this pins. */
+  def resizeMeta(df: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim.toDouble) / greatest(col("width"), col("height")))
+    df.withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** Multimodal plumbing: schema, partition batching, determinism, and
+  * the Catalyst frame-sampling/resize paths. The decode itself is the
+  * documented stub — these tests pin everything around the seam. */
+class MultimodalSpec extends SparkTestBase with Matchers {
+
+  private def mkAssets(n: Int): Seq[Asset] =
+    (0 until n).map { i =>
+      // deterministic pseudo-random payload per asset
+      val rng = new scala.util.Random(1000 + i)
+      val bytes = Array.fill(64 + i * 17)(rng.nextInt(256).toByte)
+      Asset(i.toLong, if (i % 2 == 0) "image/png" else "audio/wav",
+        bytes, 640 + i, 480)
+    }
+
+  test("decodeFeatures: 1:1 rows, schema, determinism, no shuffle") {
+    val ss = spark
+    import ss.implicits._
+    val assets = mkAssets(20).toDS().repartition(4)
+    val feats = Multimodal.decodeFeatures(assets)
+
+    feats.columns shouldBe Array(
+      "asset_id", "media_type", "n_bytes", "mean_byte", "histogram", "embedding")
+    // mapPartitions must not shuffle: partitioning preserved
+    feats.rdd.getNumPartitions shouldBe assets.rdd.getNumPartitions
+
+    val rows = feats.collect().sortBy(_.asset_id)
+    rows.length shouldBe 20
+    rows.foreach { f =>
+      f.histogram.length shouldBe Multimodal.HistogramBins
+      f.histogram.sum shouldBe f.n_bytes // every byte lands in one bin
+      f.embedding.length shouldBe Multimodal.HistogramBins
+    }
+    // deterministic: a second run produces identical features
+    val again = Multimodal.decodeFeatures(assets).collect().sortBy(_.asset_id)
+    rows.map(_.histogram.toSeq) shouldBe again.map(_.histogram.toSeq)
+  }
+
+  test("frameSample keeps every Nth fixed-size frame, 1-based binary slicing") {
+    val ss = spark
+    import ss.implicits._
+    val payload = Array.tabulate(100)(_.toByte) // 100 bytes → 10 frames of 10
+    val df = Seq((1L, payload)).toDF("asset_id", "bytes")
+    val frames = Multimodal.frameSample(df, "bytes", frameSize = 10, everyN = 3)
+      .select("frame_idx", "frame")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    frames.map(_._1) shouldBe Array(0L, 3L, 6L, 9L)
+    frames.head._2 shouldBe Array.tabulate(10)(_.toByte)
+    frames(1)._2 shouldBe Array.tabulate(10)(i => (30 + i).toByte)
+  }
+
+  test("resizeMeta scales metadata down to the bound, never up") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, 4000, 3000), (2L, 320, 240)).toDF("asset_id", "width", "height")
+    val out = Multimodal.resizeMeta(df, maxDim = 1000)
+      .select("asset_id", "out_width", "out_height")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    out(0) shouldBe ((1L, 1000, 750))
+    out(1) shouldBe ((2L, 320, 240)) // already small: untouched
+  }
+
+  test("features join back to the documents/embeddings tables (multimodal columns)") {
+    val ss = spark
+    import ss.implicits._
+    val assets = mkAssets(10).toDS()
+    val feats = Multimodal.decodeFeatures(assets)
+    // typed features join relational metadata — the lakehouse shape
+    val joined = feats.toDF().join(
+      assets.toDF().select(col("asset_id"), col("width")), "asset_id")
+    joined.count() shouldBe 10
+    joined.filter(col("n_bytes") <= 0).count() shouldBe 0
+  }
+}
