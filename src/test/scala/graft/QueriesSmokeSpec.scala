@@ -5,8 +5,13 @@ package graft
   * is non-empty. */
 class QueriesSmokeSpec extends SparkTestBase {
 
-  test("every query has an oracle") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  /** Queries deliberately registered without an oracle (driver records a
+    * rows-only check): engine-internal hash functions no external engine
+    * reproduces. Every entry here must justify itself in Queries.scala. */
+  private val rowsOnly = Set("q36_simhash_neardup")
+
+  test("every query has an oracle (minus declared rows-only exceptions)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 

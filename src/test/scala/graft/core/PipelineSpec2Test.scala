@@ -45,6 +45,21 @@ class PipelineSpecTest extends SparkTestBase with Matchers {
     relay.writerOptions("broker2:9092")("kafka.bootstrap.servers") shouldBe "broker2:9092"
   }
 
+  test("JdbcSource assembles pushed-down poll queries and chunked readers (S1-S3, gated)") {
+    import graft.sources.JdbcSource
+    val src = JdbcSource("jdbc:postgresql://db:5432/app", "users",
+      "u", "p", hwmCol = Some("updated_at"),
+      partitionColumn = Some("id"), lowerBound = Some(0L),
+      upperBound = Some(1000000L), numPartitions = 8)
+    // bulk mode: plain table
+    src.pollQuery(None) shouldBe "users"
+    // incremental: predicate pushed into a DB-side subquery
+    src.pollQuery(Some("2024-01-01 00:00:00")) shouldBe
+      "(SELECT * FROM users WHERE updated_at > '2024-01-01 00:00:00') AS __graft_poll"
+    src.connectionProperties.getProperty("user") shouldBe "u"
+    an[UnsupportedOperationException] should be thrownBy src.stream(spark)
+  }
+
   test("IncrementalPollSource: hwm advances on commit and survives restart (S1)") {
     val ss = spark
     import ss.implicits._
