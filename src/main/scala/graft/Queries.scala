@@ -591,8 +591,12 @@ object Queries {
     * any engine. Per-language fingerprint stats. */
   val q40: Q = (s, dir) => {
     val norm = lower(trim(col("text")))
-    val codes = transform(sequence(lit(1), length(norm)),
-      i => ascii(norm.substr(i, lit(1))).cast("long"))
+    // split-to-chars (O(n)) rather than per-index substr (O(n²) — Spark's
+    // substringSQL rescans codepoints from the string start each call);
+    // Spark's split keeps a trailing "" that DuckDB's str_split omits,
+    // so empties are filtered before hashing
+    val codes = transform(filter(split(norm, ""), c => c =!= ""),
+      c => ascii(c).cast("long"))
     val fp = aggregate(codes, lit(0L), (a, c) => (a * 31 + c) % 2147483647L)
     Tables.documents(s, dir)
       .select(col("lang"), fp.as("fp"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -59,45 +60,28 @@ object Dedup {
   }
 
   /**
-   * MinHash band signatures for LSH banding: `bands × rowsPerBand`
-   * seeded xxhash64 min-hashes, grouped into per-band keys. Two
-   * documents land in the same bucket of band b iff all `rowsPerBand`
-   * min-hashes of that band agree; for Jaccard similarity s the
-   * candidate probability is 1 − (1 − s^r)^b (the standard S-curve).
+   * 64-bit SimHash codes, one row per document: bit b of the code is
+   * set iff the sum over tokens of (bit b of xxhash64(token) ? +1 : −1)
+   * is positive. Near-identical documents differ in few bits; Hamming
+   * distance on the codes approximates token-set divergence.
    *
-   * Returns an array<struct<band:int, sig:array<bigint>>> column — one
-   * element per band, ready to `explode` into the bucket join.
+   * Computed as token rows → one hash-aggregate with 64 codegen'd
+   * vote sums → packed projection. (The equivalent single-expression
+   * `aggregate()` over the token array is a CodegenFallback lambda and
+   * runs interpreted — measured ~8× slower.) Output: (idCol, __code).
    */
-  def minhashBands(shingles: Column, bands: Int, rowsPerBand: Int): Column = {
-    require(bands >= 1 && rowsPerBand >= 1, "bands and rowsPerBand must be >= 1")
-    val perBand = (0 until bands).map { b =>
-      val sig = array((0 until rowsPerBand).map { r =>
-        val seed = b * rowsPerBand + r
-        array_min(transform(shingles, s => xxhash64(lit(seed.toLong), s)))
-      }: _*)
-      struct(lit(b).as("band"), sig.as("sig"))
+  def simhashCodes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(normText(col(textCol)), " ")).as("__t"))
+    val h = xxhash64(col("__t"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"__v$b")
     }
-    array(perBand: _*)
-  }
-
-  /**
-   * 64-bit SimHash of the word tokens of `text`, packed into a long:
-   * bit b is set iff the sum over tokens of (bit b of xxhash64(token) ?
-   * +1 : −1) is positive. Near-identical documents differ in few bits;
-   * Hamming distance on the codes approximates token-set divergence.
-   *
-   * 64 static per-bit aggregates over the token array — verbose codegen
-   * but pure Catalyst (no UDF); a fused TypedImperativeAggregate is the
-   * known optimization if profiles ever demand it.
-   */
-  def simhash64(text: Column): Column = {
-    val tokens = split(normText(text), " ")
-    (0 until 64).map { b =>
-      val vote = aggregate(tokens, lit(0L),
-        (acc, t) => acc +
-          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    toks.groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b => when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("__code"))
   }
 
   /**
@@ -117,7 +101,8 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 16, "maxHamming must be in [0, 16)")
     val nChunks = maxHamming + 1
     val width = 64 / nChunks // last chunk also takes the remainder bits
-    val codes = docs.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
+    val codes = simhashCodes(docs, idCol, textCol)
+      .select(col(idCol).as("__id"), col("__code").as("__sh"))
     val chunkCols = (0 until nChunks).map { i =>
       val lo = i * width
       val bits =
@@ -152,7 +137,11 @@ object Dedup {
     val nBits = planes.length
     require(nBits >= nChunks, "need at least codeRadius+1 code bits")
     val width = nBits / nChunks
-    val codes = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+    // Bucket join carries only (id, code) — 16 bytes/row; the vectors
+    // rejoin AFTER pair dedup so each surviving pair pays exactly one
+    // (interpreted — higher-order fns don't codegen) dot product, with
+    // per-id norms precomputed once.
+    val codes = emb.select(col(idCol).as("__id"),
       Similarity.signCode(col(vecCol), planes).as("__c"))
     val chunkCols = (0 until nChunks).map { i =>
       val lo = i * width
@@ -161,23 +150,62 @@ object Dedup {
         else shiftrightunsigned(col("__c"), lo).bitwiseAND((1L << width) - 1)
       struct(lit(i).as("i"), bits.as("bits"))
     }
-    val buckets = codes.select(col("__id"), col("__v"), col("__c"),
+    val buckets = codes.select(col("__id"), col("__c"),
       explode(array(chunkCols: _*)).as("__ck"))
-    buckets.alias("a")
+    val pairs = buckets.alias("a")
       .join(buckets.alias("b"),
         col("a.__ck") === col("b.__ck") && col("a.__id") < col("b.__id"))
       .filter(bit_count(col("a.__c").bitwiseXOR(col("b.__c"))) <= codeRadius)
-      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
-        Similarity.cosine(col("a.__v"), col("b.__v")).as("cosine"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
       .distinct()
+    val vecs = emb.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("__n"))
+    pairs
+      .join(vecs.alias("v1"), col("d1") === col("v1.__vid"))
+      .join(vecs.alias("v2"), col("d2") === col("v2.__vid"))
+      // same operand tree as dot/(sqrt(dot aa)·sqrt(dot bb)): the norms
+      // are those sqrt values, computed once per id
+      .select(col("d1"), col("d2"),
+        (Similarity.dot(col("v1.__v"), col("v2.__v")) /
+          (col("v1.__n") * col("v2.__n"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /**
+   * Distinct hashed shingle rows: (doc id, 64-bit shingle hash), one
+   * row per distinct n-token window per document. The codegen-friendly
+   * backbone of near-dup detection: `posexplode` the tokens, slide the
+   * window with `lead()` (one shuffle-sort on the id), hash the window
+   * tokens directly with `xxhash64` — no string concatenation, no
+   * higher-order array lambdas (those are CodegenFallback in Spark and
+   * run interpreted, measured ~7 s for 5 k docs the lambda way).
+   * Hashing loses nothing for set arithmetic: intersect/union counts on
+   * 64-bit shingle hashes equal the counts on shingle strings unless
+   * xxhash64 collides within one comparison (~10⁻¹⁵ per doc pair).
+   */
+  def shingleHashRows(docs: DataFrame, idCol: String, textCol: String,
+                      shingleWidth: Int): DataFrame = {
+    require(shingleWidth >= 1, "shingle width must be >= 1")
+    val toks = docs.select(col(idCol).as("__id"),
+        posexplode(split(normText(col(textCol)), " ")).as(Seq("__pos", "__t0")))
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    val leads = (1 until shingleWidth)
+      .map(k => lead(col("__t0"), k).over(w).as(s"__t$k"))
+    val withW = toks.select(col("__id") +: col("__t0") +: leads: _*)
+    val lastTok = col(s"__t${shingleWidth - 1}")
+    withW
+      .filter(lastTok.isNotNull) // windows running off the end
+      .select(col("__id"),
+        xxhash64((0 until shingleWidth).map(k => col(s"__t$k")): _*).as("__sh"))
+      .distinct()
   }
 
   /**
    * Near-duplicate pairs by MinHash/LSH banding with an exact residual:
    *
-   *   shingle → minhash signature → band buckets → bucket equi-join →
-   *   exact Jaccard on the candidate pairs → threshold filter.
+   *   shingle hash rows → per-doc minhash signature (one codegen'd
+   *   hash-aggregate with bands×rows min() columns) → band buckets →
+   *   bucket equi-join → exact Jaccard on candidate pairs → threshold.
    *
    * The residual check makes false positives impossible; false negatives
    * are bounded by the banding S-curve (defaults 16×3: a pair at
@@ -188,21 +216,30 @@ object Dedup {
    * missing borderline pairs. Output: (d1, d2, jaccard) with d1 < d2,
    * exact Jaccard ≥ threshold.
    *
-   * Scale shape: the only all-rows shuffle carries band keys (16 bytes ×
-   * bands per doc); shingle arrays travel only for candidate pairs.
-   * Skewed buckets (boilerplate-heavy corpora) are AQE's skew-join case;
-   * degenerate giant buckets should be length-capped upstream.
+   * Scale shape: two shuffles on the doc id (shingle window + signature
+   * aggregate) carrying (id, 8 B hash) rows, then a bucket-key shuffle
+   * of bands×16 B per doc. Candidate pairs travel as bare id pairs; the
+   * Jaccard counts come from a hash-equi-join on the shingle rows —
+   * the corpus text itself never crosses the wire. Skewed buckets
+   * (boilerplate-heavy corpora) are AQE's skew-join case.
    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleWidth: Int = 3,
                    bands: Int = 16, rowsPerBand: Int = 3): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("__id"), wordShingles(col(textCol), shingleWidth).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    val k = bands * rowsPerBand
+    val sh = shingleHashRows(docs, idCol, textCol, shingleWidth)
 
-    val buckets = sh.select(
-      col("__id"),
-      explode(minhashBands(col("__sh"), bands, rowsPerBand)).as("__bk"))
+    // one codegen'd aggregate: k min-hash columns + the distinct count
+    val sigCols = (0 until k).map(j => min(xxhash64(lit(j.toLong), col("__sh"))).as(s"__m$j"))
+    val sig = sh.groupBy("__id")
+      .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("__n"): _*)
+
+    val bandCols = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        struct((0 until rowsPerBand).map(r =>
+          col(s"__m${i * rowsPerBand + r}").as(s"h$r")): _*).as("sig"))
+    }
+    val buckets = sig.select(col("__id"), explode(array(bandCols: _*)).as("__bk"))
 
     val candidates = buckets.alias("a")
       .join(buckets.alias("b"),
@@ -210,13 +247,21 @@ object Dedup {
       .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
       .distinct()
 
-    val inter = size(array_intersect(col("s1.__sh"), col("s2.__sh")))
-    val unionSize = size(col("s1.__sh")) + size(col("s2.__sh")) - inter
-    candidates
+    // exact |intersection| per pair via the hash rows; |union| from the
+    // per-doc distinct counts
+    val inter = candidates
       .join(sh.alias("s1"), col("d1") === col("s1.__id"))
-      .join(sh.alias("s2"), col("d2") === col("s2.__id"))
+      .join(sh.alias("s2"),
+        col("d2") === col("s2.__id") && col("s1.__sh") === col("s2.__sh"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("__i"))
+    val counts = sig.select(col("__id"), col("__n"))
+    inter
+      .join(counts.alias("c1"), col("d1") === col("c1.__id"))
+      .join(counts.alias("c2"), col("d2") === col("c2.__id"))
       .select(col("d1"), col("d2"),
-        (inter.cast("double") / unionSize).as("jaccard"))
+        (col("__i").cast("double") /
+          (col("c1.__n") + col("c2.__n") - col("__i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -65,7 +65,8 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     val banded = Dedup.simhashNearDupPairs(d, "doc_id", "text", maxHamming = 3)
       .orderBy("d1", "d2")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
-    val codes = d.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+    val codes = Dedup.simhashCodes(d, "doc_id", "text")
+      .select(col("doc_id"), col("__code").as("sh"))
     val brute = codes.alias("a").join(codes.alias("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
