@@ -42,6 +42,12 @@ object Probe {
     time("fingerprint q40") {
       Queries.q40(spark, dir).count()
     }
+    time("q31 bounded knn (1st)") {
+      Queries.q31(spark, dir).count()
+    }
+    time("q31 bounded knn (2nd)") {
+      Queries.q31(spark, dir).count()
+    }
     spark.stop()
   }
 }
