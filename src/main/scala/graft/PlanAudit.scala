@@ -1,0 +1,28 @@
+package graft
+// Scratch plan audit (dev tool): scans every registered query's physical
+// plan for scale anti-patterns — unintended BroadcastNestedLoopJoin /
+// CartesianProduct, and text/body columns appearing in shuffle exchanges.
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(8, "plan-audit")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // 1-row cross joins against broadcast aggregates are intentional
+    // (hwm, kNN thresholds, LSH targets): BroadcastNestedLoopJoin over a
+    // 1-row side is a constant, not a scale risk. Flag only the rest.
+    val intentional1Row = Set("q04_incremental_hwm", "q27_cosine_topk",
+      "q31_knn_pruned", "q35_ann_lsh")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val flags = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "BNLJoin" -> (plan.contains("BroadcastNestedLoopJoin") &&
+          !intentional1Row.contains(name)),
+        "text-in-exchange" -> plan.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning") && l.contains("text#"))
+      ).collect { case (f, true) => f }
+      if (flags.nonEmpty) println(s"FLAG $name: ${flags.mkString(", ")}")
+    }
+    println("plan audit done")
+    spark.stop()
+  }
+}

@@ -274,15 +274,16 @@ object Queries {
         keyCols = Seq("event_type"), valueCol = "value")
       .orderBy("wstart", "event_type")
 
-  /** Q23 session window (ST7), 30-minute gap. Oracle is the
-    * gaps-and-islands formulation; Spark sessions are half-open
-    * [start, last+gap), so a gap of exactly 30 min starts a new session
-    * on both sides. */
+  /** Q23 session window (ST7), 30-minute gap — the same
+    * `StreamingOps.sessionAgg` operator that drives the streaming
+    * variant. Oracle is the gaps-and-islands formulation; Spark
+    * sessions are half-open [start, last+gap), so a gap of exactly
+    * 30 min starts a new session on both sides. */
   val q23: Q = (s, dir) =>
-    Tables.events(s, dir)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
+    StreamingOps.sessionAgg(Tables.events(s, dir),
+        tsCol = "ts", gap = "30 minutes", watermarkDelay = "10 minutes",
+        keyCols = Seq("user_id"))
+      .select("user_id", "session_start", "n")
       .orderBy("user_id", "session_start")
 
   /** Q24 CDC latest-state materialization (A1/A2): events as a changelog

@@ -138,6 +138,19 @@ object Pipeline {
         df.writeStream.format("memory").queryName(s.option("name"))
           .option("checkpointLocation", s.option("checkpoint"))
           .outputMode(s.optionOr("outputMode", "append")).trigger(trigger).start()
+      case "upsert" =>
+        // A5 JDBC-sink-shaped upsert: keyed MERGE per micro-batch with
+        // CDC delete semantics (pk/order/deleted options)
+        val table = new graft.sinks.ParquetKeyedTable(
+          s.option("path"), s.option("pk").split(",").map(_.trim).toSeq)
+        val order = s.optionOr("order", "__ts_ms").split(",").map(_.trim)
+          .map(c => col(c).desc).toSeq
+        val deleted = col(s.optionOr("deleted.column", "__deleted")) === "true"
+        df.writeStream
+          .option("checkpointLocation", s.option("checkpoint"))
+          .outputMode("append").trigger(trigger)
+          .foreachBatch(table.foreachBatchMerge(order, deleted))
+          .start()
       case other =>
         throw new IllegalArgumentException(s"unknown stream sink type '$other'")
     }

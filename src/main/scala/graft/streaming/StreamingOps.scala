@@ -55,6 +55,27 @@ object StreamingOps {
   }
 
   /**
+   * Watermarked session-window count — the streaming twin of Q23
+   * (30-minute-gap sessions). Same NTZ⇄TIMESTAMP treatment as
+   * `tumblingAgg`. In append mode a session emits once the watermark
+   * passes its close (last event + gap); state per key is bounded by
+   * the watermark horizon.
+   */
+  def sessionAgg(events: DataFrame, tsCol: String, gap: String,
+                 watermarkDelay: String, keyCols: Seq[String]): DataFrame = {
+    val evt = "__evt"
+    events
+      .withColumn(evt, col(tsCol).cast("timestamp"))
+      .withWatermark(evt, watermarkDelay)
+      .groupBy(session_window(col(evt), gap) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(keyCols.map(col) :+
+        col("session_window.start").cast("timestamp_ntz").as("session_start") :+
+        col("session_window.end").cast("timestamp_ntz").as("session_end") :+
+        col("n"): _*)
+  }
+
+  /**
    * Streaming per-key latest state (ST8 / A1): `mapGroupsWithState`
    * keeping, per key, the record that ranks highest under `newer`.
    * Emits the updated state for every key touched by a micro-batch

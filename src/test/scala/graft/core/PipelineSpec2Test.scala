@@ -94,6 +94,41 @@ class PipelineSpecTest extends SparkTestBase with Matchers {
     restarted.currentHwm shouldBe Some("5")
   }
 
+  test("end-to-end: spec-driven CDC pipeline — Debezium file stream -> unwrap -> upsert table") {
+    val inDir = tmp("graft-cdc-in")
+    val tableDir = tmp("graft-cdc-table")
+    def env(id: Long, name: String, op: String, tsMs: Long): String = {
+      val row = s"""{"id": $id, "name": "$name"}"""
+      val (before, after) = if (op == "d") (row, "null") else ("null", row)
+      s"""{"before": $before, "after": $after, "source": {"ts_ms": $tsMs, "lsn": $tsMs}, "op": "$op", "ts_ms": $tsMs}"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "batch1.jsonl"),
+      Seq(env(1, "alice", "c", 100), env(2, "bob", "c", 101),
+        env(1, "alice2", "u", 200), env(2, "bob", "d", 300))
+        .mkString("\n").getBytes("UTF-8"))
+
+    val spec = PipelineSpec.fromJson(
+      s"""{
+         |  "name": "cdc-upsert",
+         |  "source": {"type": "file", "options": {
+         |    "format": "text", "path": "$inDir", "schema": "value STRING"}},
+         |  "transforms": [
+         |    {"type": "debezium_unwrap", "options": {"column": "value", "schema": "id BIGINT, name STRING"}},
+         |    {"type": "op_filter", "options": {"ops": "c,u,d"}}
+         |  ],
+         |  "sink": {"type": "upsert", "options": {
+         |    "path": "$tableDir", "pk": "id", "order": "__ts_ms",
+         |    "checkpoint": "${tmp("graft-cdc-ckpt")}", "trigger.ms": "50"}}
+         |}""".stripMargin)
+    val q = Pipeline.runStream(spark, spec)
+    try q.processAllAvailable() finally q.stop()
+
+    val table = new graft.sinks.ParquetKeyedTable(tableDir, Seq("id"))
+    val rows = table.read(spark).get.select("id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    rows shouldBe Map(1L -> "alice2") // bob deleted, alice updated
+  }
+
   test("end-to-end: file source -> mask -> envelope encode -> file sink, checkpoint-resumable") {
     val ss = spark
     import ss.implicits._

@@ -146,6 +146,43 @@ class StreamingSpec extends SparkTestBase with Matchers {
     finalState.length should be > 0
   }
 
+  test("streaming sessionAgg (append mode) emits exactly the watermark-closed sessions of batch q23") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventRows
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.sessionAgg(input.toDF(), "ts", "30 minutes",
+        "10 minutes", Seq("user_id"))
+      .writeStream.format("memory").queryName("t23_append")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      input.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val wm = rows.map(_.ts).maxBy(tsKey).minusMinutes(10)
+    // batch twin with session end, restricted to watermark-closed sessions
+    val batch = StreamingOps.sessionAgg(
+        graft.core.Tables.events(spark, sf0001), "ts", "30 minutes",
+        "10 minutes", Seq("user_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](1), r.getAs[LocalDateTime](2), r.getLong(3)))
+      .filter { case (_, _, end, _) => end.isBefore(wm) }
+      .sortBy { case (u, s, _, _) => (u, tsKey(s)) }
+    val got = spark.table("t23_append")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](1), r.getAs[LocalDateTime](2), r.getLong(3)))
+    got should contain theSameElementsInOrderAs batch
+    got.length should be > 0
+  }
+
   test("stream-stream interval join (watermarked both sides) equals the batch join") {
     val ss = spark
     import ss.implicits._
