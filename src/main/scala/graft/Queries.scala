@@ -608,6 +608,26 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q41 regex token counting (north star text analysis): a BPE-ish
+    * pre-tokenizer — alpha runs, digit runs, and single symbols as
+    * separate tokens (`[a-z]+|[0-9]+|[^a-z0-9\s]`) — with per-language
+    * token-class counts. The pattern sticks to constructs Java regex
+    * and DuckDB's RE2 interpret identically. */
+  val q41: Q = (s, dir) => {
+    val t = regexp_extract_all(lower(trim(col("text"))),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    val isAlpha = (x: Column) => x.rlike("^[a-z]+$")
+    val isNum = (x: Column) => x.rlike("^[0-9]+$")
+    Tables.documents(s, dir)
+      .select(col("lang"), t.as("tok"))
+      .groupBy("lang")
+      .agg(
+        sum(size(col("tok"))).as("n_tokens"),
+        sum(size(filter(col("tok"), isAlpha))).as("n_alpha"),
+        sum(size(filter(col("tok"), isNum))).as("n_num"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -651,6 +671,7 @@ object Queries {
     "q38_text_quality" -> q38,
     "q39_langid" -> q39,
     "q40_fingerprint" -> q40,
+    "q41_token_regex" -> q41,
   )
 
   val oracle: Map[String, String] = Map(
@@ -855,5 +876,12 @@ object Queries {
         "(a, b) -> (a * 31 + b) % 2147483647) AS fp FROM documents) " +
         "SELECT lang, COUNT(*) AS n, COUNT(DISTINCT fp) AS n_fp, MIN(fp) AS min_fp " +
         "FROM f GROUP BY lang ORDER BY lang"),
+    "q41_token_regex" ->
+      ("WITH d AS (SELECT lang, regexp_extract_all(lower(trim(text)), " +
+        "'[a-z]+|[0-9]+|[^a-z0-9\\s]') AS tok FROM documents) " +
+        "SELECT lang, SUM(len(tok)) AS n_tokens, " +
+        "SUM(len(list_filter(tok, t -> regexp_full_match(t, '[a-z]+')))) AS n_alpha, " +
+        "SUM(len(list_filter(tok, t -> regexp_full_match(t, '[0-9]+')))) AS n_num " +
+        "FROM d GROUP BY lang ORDER BY lang"),
   )
 }

@@ -31,6 +31,38 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
       (5L, None), (6L, Some("v1")), (7L, Some("v2")), (8L, None))
   }
 
+  test("asOfJoin equals the per-probe argmax on random keyed timelines (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ss = spark
+    import ss.implicits._
+    def sample[A](gen: Gen[List[A]], seed: Long): List[A] =
+      gen.pureApply(Gen.Parameters.default, Seed(seed))
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 6L)
+      t <- Gen.chooseNum(0L, 50L)
+    } yield (k, t)
+    for (seed <- 1L to 3L) {
+      val probes = sample(Gen.listOfN(80, rowGen), seed).zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+      val builds0 = sample(Gen.listOfN(40, rowGen), seed + 100).zipWithIndex
+        .map { case ((k, t), i) => (k, t, s"v$i") }
+      // operator contract: build unique per (key, ts) — keep max version
+      val builds = builds0.groupBy(b => (b._1, b._2))
+        .map { case (_, g) => g.maxBy(_._3) }.toList
+      val out = Relational.asOfJoin(
+          probes.toDF("k", "t", "pid"), builds.toDF("k", "t", "ver"),
+          keys = Seq("k"), tsCol = "t", payload = Seq("ver"))
+        .collect().map(r => r.getAs[Long]("pid") -> Option(r.getAs[String]("ver"))).toMap
+      val expect = probes.map { case (k, t, pid) =>
+        val cands = builds.filter(b => b._1 == k && b._2 <= t)
+        pid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(_._2)._3))
+      }.toMap
+      withClue(s"seed=$seed: ") { out shouldBe expect }
+    }
+  }
+
   test("asOfJoin rejects payload collisions and missing payload columns") {
     val ss = spark
     import ss.implicits._
