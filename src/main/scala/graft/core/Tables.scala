@@ -40,7 +40,11 @@ object Tables {
     * exactly like the source data. The nanosAsLong conf is scoped: saved and
     * restored so other parquet reads in the session keep strict semantics.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  /** Guards the process-global nanosAsLong toggle below: two threads
+    * loading tables concurrently must not interleave set/restore. */
+  private val nanosConfLock = new Object
+
+  def events(spark: SparkSession, dir: String): DataFrame = nanosConfLock.synchronized {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
