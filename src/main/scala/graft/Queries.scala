@@ -628,6 +628,20 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q42 exact percentiles (§2.4 aggregation surface): interpolated
+    * median/p95 per return flag. Spark's `percentile` and DuckDB's
+    * `quantile_cont` both use linear interpolation over the sorted
+    * values, so the operands agree exactly; ROUND(,4) absorbs the last
+    * ulp of the interpolation arithmetic. */
+  val q42: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95D)"), 4).as("p95"),
+        round(expr("percentile(l_quantity, 0.5D)"), 4).as("q50"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -672,6 +686,7 @@ object Queries {
     "q39_langid" -> q39,
     "q40_fingerprint" -> q40,
     "q41_token_regex" -> q41,
+    "q42_percentiles" -> q42,
   )
 
   val oracle: Map[String, String] = Map(
@@ -883,5 +898,10 @@ object Queries {
         "SUM(len(list_filter(tok, t -> regexp_full_match(t, '[a-z]+')))) AS n_alpha, " +
         "SUM(len(list_filter(tok, t -> regexp_full_match(t, '[0-9]+')))) AS n_num " +
         "FROM d GROUP BY lang ORDER BY lang"),
+    "q42_percentiles" ->
+      ("SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95, " +
+        "ROUND(quantile_cont(l_quantity, 0.5), 4) AS q50 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
   )
 }
