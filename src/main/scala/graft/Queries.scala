@@ -632,7 +632,10 @@ object Queries {
     * median/p95 per return flag. Spark's `percentile` and DuckDB's
     * `quantile_cont` both use linear interpolation over the sorted
     * values, so the operands agree exactly; ROUND(,4) absorbs the last
-    * ulp of the interpolation arithmetic. */
+    * ulp of the interpolation arithmetic. Scale note: exact percentile
+    * buffers each group's values; at 100 TB swap in
+    * `approx_percentile` (t-digest, mergeable partial aggregation) —
+    * kept exact here because the oracle must hash-match. */
   val q42: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")

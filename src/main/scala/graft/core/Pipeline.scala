@@ -127,7 +127,12 @@ object Pipeline {
   def runStream(spark: SparkSession, spec: PipelineSpec): StreamingQuery = {
     val df = build(spark, spec, streaming = true)
     val s = spec.sink
-    val trigger = Trigger.ProcessingTime(s.optionOr("trigger.ms", "200").toLong)
+    // ST4: poll cadence (reference poll.interval.ms=200) or a one-shot
+    // drain-everything run (`trigger = availableNow`, the bulk-catchup
+    // mode S3 maps to)
+    val trigger =
+      if (s.optionOr("trigger", "") == "availableNow") Trigger.AvailableNow()
+      else Trigger.ProcessingTime(s.optionOr("trigger.ms", "200").toLong)
     s.stageType match {
       case "file" =>
         df.writeStream.format(s.optionOr("format", "parquet"))

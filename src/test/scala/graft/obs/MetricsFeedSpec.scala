@@ -12,6 +12,24 @@ import graft.SparkTestBase
   * the same sum-by/rate shapes the reference's Grafana panels use. */
 class MetricsFeedSpec extends SparkTestBase with Matchers {
 
+  test("Relabel maps raw JMX-ish names to renamed series with extracted labels") {
+    val ss = spark
+    import ss.implicits._
+    val raw = Seq(
+      "kafka.connect<type=connect-worker-metrics, connector=jdbc-src>",
+      "kafka.connect<type=connect-worker-metrics, connector=debezium>",
+      "unrelated_metric_name").toDF("raw")
+    val out = Relabel.relabel(raw, "raw",
+        pattern = "kafka\\.connect<type=connect-worker-metrics, connector=(.+)>",
+        nameTemplate = "kafka_connect_worker_connector_metrics",
+        labels = Map("connector" -> 1))
+      .select("name", "connector")
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_.toString)
+    out should contain ("kafka_connect_worker_connector_metrics" -> "jdbc-src")
+    out should contain ("kafka_connect_worker_connector_metrics" -> "debezium")
+    out should contain ("unrelated_metric_name" -> "")
+  }
+
   test("MetricsFeed captures per-batch progress as queryable metric rows") {
     val ss = spark
     import ss.implicits._
