@@ -645,6 +645,41 @@ object Queries {
         round(expr("percentile(l_quantity, 0.5D)"), 4).as("q50"))
       .orderBy("l_returnflag")
 
+  /** Q43 full outer join (§2.3 — the declared-but-unexercised member of
+    * the equi-join family): key-range–restricted sides guarantee rows
+    * on both null sides. COALESCE merges the key, indicator columns
+    * mark the provenance. */
+  val q43: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 900).select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_custkey") >= 100)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.cast("int").as("has_c"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
+  /** Q44 explicit GROUPING SETS (§2.4): the third grouping-shape the
+    * engine exposes beside rollup (q13) and cube (q14) — two 1-D
+    * marginals plus the grand total, via SQL (the Dataset API has no
+    * direct groupingSets builder). */
+  val q44: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q44_lineitem")
+    s.sql(
+      """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |       COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n
+        |FROM graft_q44_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -690,6 +725,8 @@ object Queries {
     "q40_fingerprint" -> q40,
     "q41_token_regex" -> q41,
     "q42_percentiles" -> q42,
+    "q43_full_outer" -> q43,
+    "q44_grouping_sets" -> q44,
   )
 
   val oracle: Map[String, String] = Map(
@@ -906,5 +943,20 @@ object Queries {
         "ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95, " +
         "ROUND(quantile_cont(l_quantity, 0.5), 4) AS q50 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q43_full_outer" ->
+      ("WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey <= 900), " +
+        "o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders " +
+        "WHERE o_custkey >= 100 GROUP BY o_custkey) " +
+        "SELECT COALESCE(c_custkey, o_custkey) AS custkey, " +
+        "CAST(c_custkey IS NOT NULL AS INT) AS has_c, " +
+        "COALESCE(n_orders, 0) AS n_orders " +
+        "FROM c FULL OUTER JOIN o ON c_custkey = o_custkey ORDER BY custkey"),
+    "q44_grouping_sets" ->
+      ("SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_rf, " +
+        "CAST(GROUPING(l_linestatus) AS INT) AS g_ls, " +
+        "COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, " +
+        "COUNT(*) AS n FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY g_rf, g_ls, rf, ls"),
   )
 }
