@@ -94,6 +94,31 @@ class PipelineSpecTest extends SparkTestBase with Matchers {
     restarted.currentHwm shouldBe Some("5")
   }
 
+  test("runBatch executes the same spec one-shot (S3 bulk mode)") {
+    val ss = spark
+    import ss.implicits._
+    val inDir = tmp("graft-batch-in")
+    val outDir = tmp("graft-batch-out")
+    Seq((1L, "x", "s1"), (2L, "y", "s2"), (11L, "z", "s3"))
+      .toDF("id", "name", "private_info")
+      .write.mode("overwrite").parquet(inDir)
+    val spec = PipelineSpec.fromJson(
+      s"""{
+         |  "name": "bulk-masked",
+         |  "source": {"type": "file", "options": {
+         |    "path": "$inDir", "schema": "id BIGINT, name STRING, private_info STRING"}},
+         |  "transforms": [
+         |    {"type": "mask", "options": {"field": "private_info"}},
+         |    {"type": "filter", "options": {"predicate": "id > 10"}}
+         |  ],
+         |  "sink": {"type": "file", "options": {"path": "$outDir", "mode": "overwrite"}}
+         |}""".stripMargin)
+    Pipeline.runBatch(spark, spec)
+    val rows = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    rows shouldBe Array((11L, "z", "CENSORED"))
+  }
+
   test("end-to-end: spec-driven CDC pipeline — Debezium file stream -> unwrap -> upsert table") {
     val inDir = tmp("graft-cdc-in")
     val tableDir = tmp("graft-cdc-table")
