@@ -76,6 +76,31 @@ object Relational {
   }
 
   /**
+   * Skew-resistant equi join by key salting: the heavy side's rows get
+   * a random-free deterministic salt (hash of the whole row modulo
+   * `saltFactor`), the other side is replicated across all salt values,
+   * and the join runs on (keys, salt) — splitting each hot key's rows
+   * across `saltFactor` reducers instead of funneling them into one.
+   *
+   * Use when AQE's skew-join split is not enough (e.g. a single key
+   * holding >> one partition's worth on BOTH sides of a shuffle join).
+   * Cost: `replicated` is materialized saltFactor×, so put the smaller
+   * relation there. Results are identical to a plain inner equi join.
+   */
+  def saltedJoin(skewed: DataFrame, replicated: DataFrame, keys: Seq[String],
+                 saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val salt = fresh("__salt", skewed.columns ++ replicated.columns)
+    // deterministic per-row salt: hash of all columns (no rand() — the
+    // engine's determinism contract), uniform enough to split hot keys
+    val s = skewed.withColumn(salt,
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor.toLong)))
+    val r = replicated.withColumn(salt,
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    s.join(r, keys :+ salt).drop(salt)
+  }
+
+  /**
    * As-of join (§2.3): enrich each probe row with the newest build-side
    * row of the same key whose timestamp is <= the probe's (the
    * enrich-with-latest-dim-version pattern; DuckDB spells it ASOF JOIN).
