@@ -680,6 +680,29 @@ object Queries {
         |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)
   }
 
+  /** Q45 counter rate with reset handling (§2.9): PromQL's `rate()`
+    * treats a decrease as a counter reset and counts the new value as
+    * the increase. Per user: sum of per-step increases divided by the
+    * observed time span — the faithful Prometheus semantics over the
+    * events value column as a pseudo-counter. */
+  val q45: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("value"), 1).over(w)
+    val increase = when(prev.isNull, lit(0.0))
+      .when(col("value") >= prev, col("value") - prev)
+      .otherwise(col("value")) // reset: counter restarted at `value`
+    val spanSec = (unix_millis(max(col("ts")).cast("timestamp")) -
+      unix_millis(min(col("ts")).cast("timestamp"))).cast("double") / 1000.0
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), increase.as("inc"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_samples"),
+        round(sum(dec6(col("inc"))).cast("double"), 4).as("total_increase"),
+        round(spanSec, 4).as("span_sec"))
+      .filter(col("span_sec") > 0)
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -727,6 +750,7 @@ object Queries {
     "q42_percentiles" -> q42,
     "q43_full_outer" -> q43,
     "q44_grouping_sets" -> q44,
+    "q45_rate_resets" -> q45,
   )
 
   val oracle: Map[String, String] = Map(
@@ -958,5 +982,14 @@ object Queries {
         "COUNT(*) AS n FROM lineitem " +
         "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
         "ORDER BY g_rf, g_ls, rf, ls"),
+    "q45_rate_resets" ->
+      ("WITH s AS (SELECT user_id, ts, value, LAG(value) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+        "i AS (SELECT user_id, ts, CASE WHEN prev IS NULL THEN 0.0 " +
+        "WHEN value >= prev THEN value - prev ELSE value END AS inc FROM s) " +
+        "SELECT user_id, COUNT(*) AS n_samples, " +
+        "ROUND(CAST(SUM(CAST(inc AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_increase, " +
+        "ROUND(CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS DOUBLE) / 1000.0, 4) AS span_sec " +
+        "FROM i GROUP BY user_id HAVING span_sec > 0 ORDER BY user_id"),
   )
 }
