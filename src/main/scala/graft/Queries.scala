@@ -956,11 +956,14 @@ object Queries {
         "SELECT lang, COUNT(*) AS n, COUNT(DISTINCT fp) AS n_fp, MIN(fp) AS min_fp " +
         "FROM f GROUP BY lang ORDER BY lang"),
     "q41_token_regex" ->
+      // CAST AS BIGINT: DuckDB's SUM over integers returns HUGEINT/INT128,
+      // Spark returns LongType — uncast, the schema hash diverges even
+      // when every value agrees (the one red hash in CORRECTNESS_r04)
       ("WITH d AS (SELECT lang, regexp_extract_all(lower(trim(text)), " +
         "'[a-z]+|[0-9]+|[^a-z0-9\\s]') AS tok FROM documents) " +
-        "SELECT lang, SUM(len(tok)) AS n_tokens, " +
-        "SUM(len(list_filter(tok, t -> regexp_full_match(t, '[a-z]+')))) AS n_alpha, " +
-        "SUM(len(list_filter(tok, t -> regexp_full_match(t, '[0-9]+')))) AS n_num " +
+        "SELECT lang, CAST(SUM(len(tok)) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(len(list_filter(tok, t -> regexp_full_match(t, '[a-z]+')))) AS BIGINT) AS n_alpha, " +
+        "CAST(SUM(len(list_filter(tok, t -> regexp_full_match(t, '[0-9]+')))) AS BIGINT) AS n_num " +
         "FROM d GROUP BY lang ORDER BY lang"),
     "q42_percentiles" ->
       ("SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +

@@ -148,8 +148,13 @@ object Pipeline {
         // CDC delete semantics (pk/order/deleted options)
         val table = new graft.sinks.ParquetKeyedTable(
           s.option("path"), s.option("pk").split(",").map(_.trim).toSeq)
+        // the configured ordering plus a deterministic tie-breaker (hash
+        // of the whole row): same-key rows with equal order values in one
+        // micro-batch must pick the same winner on every replay, or the
+        // sink's total-order/idempotency contract breaks
         val order = s.optionOr("order", "__ts_ms").split(",").map(_.trim)
-          .map(c => col(c).desc).toSeq
+          .map(c => col(c).desc).toSeq :+
+          xxhash64(df.columns.map(col): _*).desc
         val deleted = col(s.optionOr("deleted.column", "__deleted")) === "true"
         df.writeStream
           .option("checkpointLocation", s.option("checkpoint"))

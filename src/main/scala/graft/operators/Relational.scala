@@ -119,6 +119,12 @@ object Relational {
    * pre-collapse with `latestStatePerKey` if it is not, otherwise the
    * carried payload among same-ts duplicates is nondeterministic.
    *
+   * The payload travels as ONE struct column and `last(_, ignoreNulls)`
+   * carries the whole struct: a build row whose payload value is
+   * legitimately NULL still wins (the struct itself is non-null), and
+   * multi-column payloads can never mix values from different build
+   * rows — both divergences the naive per-column carry has.
+   *
    * @param probe     left side, kept in full (left-join semantics)
    * @param build     right side providing the as-of payload
    * @param keys      equi-key column names present on both sides
@@ -134,25 +140,28 @@ object Relational {
     require(!payload.exists(probe.columns.contains),
       "asOfJoin: payload columns must not collide with probe columns")
     val tag = fresh("__tag", probe.columns ++ build.columns ++ payload)
+    val pay = fresh("__pay", probe.columns ++ build.columns ++ payload :+ tag)
     val common = keys :+ tsCol
+    val payType = org.apache.spark.sql.types.StructType(payload.map(p => build.schema(p)))
     val probeSide = probe
       .withColumn(tag, lit(1))
-      .select(probe.columns.map(col) ++
-        payload.map(p => lit(null).cast(build.schema(p).dataType).as(p)) :+ col(tag): _*)
+      .select(probe.columns.map(col) :+
+        lit(null).cast(payType).as(pay) :+ col(tag): _*)
     val buildSide = build
       .withColumn(tag, lit(0))
       .select(common.map(col) ++
-        probe.columns.filterNot(common.contains).map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++
-        payload.map(col) :+ col(tag): _*)
+        probe.columns.filterNot(common.contains).map(c => lit(null).cast(probe.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as(pay) :+ col(tag): _*)
       .select(probeSide.columns.map(col): _*) // align column order
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col(tag).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     probeSide.unionByName(buildSide)
-      .select((probe.columns.map(col) ++
-        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)) :+ col(tag)): _*)
+      .select((probe.columns.map(col) :+
+        last(col(pay), ignoreNulls = true).over(w).as(pay) :+ col(tag)): _*)
       .filter(col(tag) === 1)
-      .drop(tag)
+      .select(probe.columns.map(col) ++
+        payload.map(p => col(s"$pay.$p").as(p)): _*)
   }
 
   /**

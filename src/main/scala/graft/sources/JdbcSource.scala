@@ -28,10 +28,13 @@ final case class JdbcSource(url: String, table: String,
                             numPartitions: Int = 1) extends Source {
 
   /** The DB-side relation for a poll past `hwm`: a pushed-down subquery
-    * (None ⇒ bulk mode). SQL-literal escaping is the caller's concern —
-    * hwm values come from our own checkpoint state, not user input. */
+    * (None ⇒ bulk mode). The hwm literal is quote-escaped: it originates
+    * from table data (IncrementalPollSource stores max(hwmCol)), so a
+    * string-typed hwm column can legally contain a single quote — which
+    * must not break the query or inject SQL. */
   def pollQuery(hwm: Option[String]): String = (hwmCol, hwm) match {
-    case (Some(c), Some(v)) => s"(SELECT * FROM $table WHERE $c > '$v') AS __graft_poll"
+    case (Some(c), Some(v)) =>
+      s"(SELECT * FROM $table WHERE $c > '${v.replace("'", "''")}') AS __graft_poll"
     case _ => table
   }
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -25,26 +25,52 @@ object PromText {
   private val lineRe =
     "^([a-zA-Z_:][a-zA-Z0-9_:]*)(\\{[^}]*\\})?\\s+([^\\s]+)(?:\\s+(-?\\d+))?\\s*$"
 
+  /** One `name="value"` label pair, escape-aware: the value group admits
+    * `\"`, `\\`, `\n` escapes, so quoted commas / equals / escaped quotes
+    * inside label values never split a pair. */
+  private val pairRe = "([a-zA-Z_][a-zA-Z0-9_]*)\\s*=\\s*\"((?:\\\\.|[^\"\\\\])*)\""
+
+  /** Prometheus label-value unescape (`\\`→`\`, `\"`→`"`, `\n`→LF).
+    * Escaped backslashes are swapped to a sentinel first so the
+    * remaining backslashes are unambiguous escape leads. */
+  private def unescape(v: Column): Column = {
+    val sentinel = "\u0001"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(v, "\\\\\\\\", sentinel),
+          "\\\\\"", "\""),
+        "\\\\n", "\n"),
+      sentinel, "\\\\")
+  }
+
   /** Parse exposition-format lines into samples. Comment (`#`), blank,
     * and non-matching lines are dropped. Output columns:
-    * (name string, labels map<string,string>, value double, ts_ms long). */
+    * (name string, labels map<string,string>, value double, ts_ms long).
+    * `+Inf`/`-Inf`/`NaN` sample values map to the IEEE specials the
+    * exposition format means by them. */
   def parse(lines: DataFrame, lineCol: String): DataFrame = {
     val l = trim(col(lineCol))
     val name = regexp_extract(l, lineRe, 1)
     val rawLabels = regexp_extract(l, lineRe, 2)
     val value = regexp_extract(l, lineRe, 3)
     val tsMs = regexp_extract(l, lineRe, 4)
-    // {a="x",b="y"} → map(a -> x, b -> y)
-    val labelBody = regexp_replace(regexp_replace(rawLabels, "^\\{|\\}$", ""), "\"", "")
+    // {a="x, y",b="\"z\""} → map(a -> 'x, y', b -> '"z"') — pair-wise
+    // extraction, not a global split, so commas/equals in values survive
+    val keys = regexp_extract_all(rawLabels, lit(pairRe), lit(1))
+    val vals = transform(regexp_extract_all(rawLabels, lit(pairRe), lit(2)), v => unescape(v))
+    val valueNum = when(value.isin("+Inf", "Inf"), lit(Double.PositiveInfinity))
+      .when(value === "-Inf", lit(Double.NegativeInfinity))
+      .when(value === "NaN", lit(Double.NaN))
+      // try_cast: garbage lines must parse to null (and be filtered),
+      // not abort the scrape under ANSI mode
+      .otherwise(value.try_cast("double"))
     lines
       .filter(l =!= "" && !l.startsWith("#"))
       .select(
         name.as("name"),
-        when(rawLabels === "" , map().cast("map<string,string>"))
-          .otherwise(str_to_map(labelBody, lit(","), lit("="))).as("labels"),
-        // try_cast: garbage lines must parse to null (and be filtered),
-        // not abort the scrape under ANSI mode
-        value.try_cast("double").as("value"),
+        map_from_arrays(keys, vals).as("labels"),
+        valueNum.as("value"),
         tsMs.try_cast("long").as("ts_ms"))
       .filter(col("name") =!= "" && col("value").isNotNull)
   }

@@ -63,6 +63,25 @@ class AsOfJoinSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("asOfJoin carries legitimately-NULL payload values and never mixes build rows") {
+    val ss = spark
+    import ss.implicits._
+    val probe = Seq((1L, 250L, 1L), (1L, 350L, 2L)).toDF("k", "t", "pid")
+    // newest build at ts<=250 is (200, null, "b200"): the null `a` must
+    // come through as null, NOT fall back to row 100's "a100"; and (a, b)
+    // must both come from the SAME build row
+    val build = Seq(
+      (1L, 100L, Some("a100"), "b100"),
+      (1L, 200L, None: Option[String], "b200"),
+      (1L, 300L, Some("a300"), "b300")
+    ).toDF("k", "t", "a", "b")
+    val out = Relational.asOfJoin(probe, build,
+        keys = Seq("k"), tsCol = "t", payload = Seq("a", "b"))
+      .orderBy("pid")
+      .collect().map(r => (Option(r.getAs[String]("a")), r.getAs[String]("b")))
+    out shouldBe Array((None, "b200"), (Some("a300"), "b300"))
+  }
+
   test("asOfJoin rejects payload collisions and missing payload columns") {
     val ss = spark
     import ss.implicits._

@@ -38,6 +38,30 @@ class PromTextSpec extends SparkTestBase with Matchers {
     byName("app_request_count")._1.isEmpty shouldBe true
   }
 
+  test("PromText.parse: escaped quotes/commas/equals in label values, ±Inf samples") {
+    val ss = spark
+    import ss.implicits._
+    val body = Seq(
+      // legal exposition format: comma, equals, escaped quote, escaped
+      // backslash and \n inside label values
+      """m1{path="/a,b=c",msg="say \"hi\"",dir="C:\\tmp",nl="x\ny"} 1""",
+      "m2 +Inf",
+      "m3 -Inf",
+      "m4 NaN")
+    val parsed = PromText.parse(body.toDF("value"), "value")
+      .orderBy("name").collect()
+    // NaN parses but the sample survives only if non-null — NaN is not null
+    parsed.length shouldBe 4
+    val labels = parsed(0).getMap[String, String](1)
+    labels("path") shouldBe "/a,b=c"
+    labels("msg") shouldBe "say \"hi\""
+    labels("dir") shouldBe "C:\\tmp"
+    labels("nl") shouldBe "x\ny"
+    parsed(1).getDouble(2) shouldBe Double.PositiveInfinity
+    parsed(2).getDouble(2) shouldBe Double.NegativeInfinity
+    parsed(3).getDouble(2).isNaN shouldBe true
+  }
+
   test("pipeline transforms: mask_when, whitelist, op_filter, drop_fields guard") {
     val ss = spark
     import ss.implicits._
