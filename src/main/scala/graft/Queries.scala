@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 import graft.codec.Debezium
-import graft.core.Tables
+import graft.core.{Pipeline, PipelineSpec, Tables}
 import graft.operators.{Dedup, Relational, Similarity}
 import graft.streaming.StreamingOps
 
@@ -331,8 +331,7 @@ object Queries {
     * reduced to exactly one row via MIN so both engines behave
     * identically whether vec_id=0 is absent or duplicated. */
   val q27: Q = (s, dir) => {
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def dot(a: Column, b: Column): Column = Similarity.dot(a, b)
     val emb = Tables.embeddings(s, dir)
       .withColumn("e", col("embedding").cast("array<double>"))
     val tgt = emb.filter(col("vec_id") === 0).agg(min(col("e")).as("t_e"))
@@ -479,16 +478,36 @@ object Queries {
       "SELECT vec_id, ROUND(raw, 4) AS score FROM scored ORDER BY score DESC, vec_id LIMIT 5"
   }
 
-  /** Q36 SimHash near-dup pairs (north star dedup family): 64-bit
-    * simhash over word tokens, EXACT pigeonhole chunk banding (no
-    * probabilistic misses), Hamming ≤ 3 residual. Depends on Spark's
-    * xxhash64, which no external engine replicates — registered without
-    * an oracle (driver records the weaker rows-only check); exactness
-    * vs the in-Spark brute force is property-tested instead. */
+  /** Q36 SimHash near-dup pairs (north star dedup family): 60-bit
+    * simhash over word tokens from the PORTABLE polynomial hash family
+    * (char-level rolling hash + pairwise-independent bit expansion —
+    * pure integer arithmetic), EXACT pigeonhole chunk banding (no
+    * probabilistic misses), Hamming ≤ 3 residual. The portable basis
+    * makes the codes engine-independent, so the DuckDB oracle replays
+    * them exactly (the xxhash64 basis kept in `simhashNearDupPairs`
+    * could only support a rows-only check). */
   val q36: Q = (s, dir) =>
-    Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 3)
+    Dedup.portableSimhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3, bits = 60)
       .orderBy("d1", "d2")
+
+  private def simhashOracle: String =
+    // replay of Dedup.portableSimhashCodes: h = fold(chars, 5381, h*33+c mod P);
+    // bit b = ((2b+3)h + 7b+1 mod P) mod 2; vote ±1 per token; pack 60 bits;
+    // then brute-force all-pairs Hamming (banding is lossless by pigeonhole)
+    "WITH toks AS (SELECT doc_id, unnest(list_filter(str_split(lower(trim(text)), ' '), t -> t <> '')) AS t " +
+      "FROM documents), " +
+      "th AS (SELECT doc_id, list_reduce(list_prepend(CAST(5381 AS BIGINT), " +
+      "list_transform(range(1, length(t) + 1), i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(a, c) -> (a * 33 + c) % 1000000007) AS h FROM toks), " +
+      "votes AS (SELECT doc_id, b, SUM(CASE WHEN (((2 * b + 3) * h + (7 * b + 1)) % 1000000007) % 2 = 1 " +
+      "THEN 1 ELSE -1 END) AS v FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb GROUP BY doc_id, b), " +
+      "codes AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS code " +
+      "FROM votes GROUP BY doc_id) " +
+      "SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+      "CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming " +
+      "FROM codes a JOIN codes b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.code, b.code)) <= 3 ORDER BY d1, d2"
 
   /** Q37 embedding-cosine near-dup pairs (north star dedup family):
     * deterministic sign-LSH code blocking (radius 2 of 8 bits, exact
@@ -640,9 +659,14 @@ object Queries {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95D)"), 4).as("p95"),
+        // one buffered-sort pass for both l_extendedprice percentiles
+        // (array form) instead of two independent percentile aggs
+        expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("__pe"),
         round(expr("percentile(l_quantity, 0.5D)"), 4).as("q50"))
+      .select(col("l_returnflag"),
+        round(element_at(col("__pe"), 1), 4).as("p50"),
+        round(element_at(col("__pe"), 2), 4).as("p95"),
+        col("q50"))
       .orderBy("l_returnflag")
 
   /** Q43 full outer join (§2.3 — the declared-but-unexercised member of
@@ -703,6 +727,74 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Q46 IVF ANN (north star scale path #2, beside q35's sign-LSH):
+    * deterministic stride-sampled coarse quantizer, integer-quantized
+    * exact cell assignment, nprobe-cell candidate search, exact cosine
+    * rescore. Approximate by contract; the oracle replays the identical
+    * assignment, so the result is exact over the deterministic
+    * candidate set. */
+  val q46: Q = (s, dir) =>
+    Similarity.ivfTopK(
+      Tables.embeddings(s, dir).withColumn("e", col("embedding").cast("array<double>")),
+      "vec_id", "e", targetId = 3L, k = 10, centroidStride = 37L, nprobe = 8)
+
+  private def ivfOracle: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+      "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
+      "cent AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), " +
+      "dist AS (SELECT e.vec_id, cent.cid, " +
+      "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, cent.cv) + " +
+      "list_dot_product(cent.cv, cent.cv) AS d2 FROM e, cent), " +
+      "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist) t WHERE rn = 1), " +
+      "probes AS (SELECT cid FROM dist WHERE vec_id = 3 ORDER BY d2, cid LIMIT 8), " +
+      "cand AS (SELECT a.vec_id FROM asg a JOIN probes p USING (cid) WHERE a.vec_id <> 3), " +
+      "tgt AS (SELECT MIN(v) AS t FROM e WHERE vec_id = 3), " +
+      "scored AS (SELECT e.vec_id, list_dot_product(e.v, (SELECT t FROM tgt)) / " +
+      "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product((SELECT t FROM tgt), (SELECT t FROM tgt)))) AS raw " +
+      "FROM e JOIN cand USING (vec_id)) " +
+      "SELECT vec_id, ROUND(raw, 4) AS score FROM scored ORDER BY score DESC, vec_id LIMIT 10"
+
+  /** Q47 control-plane SMT chain (P2 whitelist + P6 conditional mask +
+    * P5 drop-fields with schema guard, §3.1): the transform pipeline is
+    * built from the JSON connector-config twin (`PipelineSpec.fromJson`
+    * → `Pipeline.build`), not hand-wired DataFrame code — proving the
+    * REST-shaped config surface produces oracle-exact results. */
+  val q47: Q = (s, dir) => {
+    val json =
+      s"""{"name": "smt-chain",
+         |  "source": {"type": "file", "options": {"format": "parquet",
+         |    "path": "$dir/documents.parquet",
+         |    "schema": "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"}},
+         |  "transforms": [
+         |    {"type": "whitelist", "options": {"field": "lang", "values": "en,fr"}},
+         |    {"type": "mask_when", "options": {"field": "source",
+         |      "predicate": "n_chars < 200", "replacement": "CENSORED"}},
+         |    {"type": "drop_fields", "options": {"fields": "text",
+         |      "keep.schema.compatible.ddl": "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"}}],
+         |  "sink": {"type": "noop"}}""".stripMargin
+    Pipeline.build(s, PipelineSpec.fromJson(json), streaming = false)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("source") === "CENSORED", 1L).otherwise(0L)).as("n_masked"))
+      .orderBy("lang")
+  }
+
+  /** Q48 incrementing-mode high-water mark (S2, reference
+    * `mode=incrementing` / `incrementing.column.name`): new rows are
+    * those whose monotonically-increasing id exceeds the last id seen —
+    * the id-column twin of q04's timestamp mode, same broadcast-hwm
+    * no-collect shape. */
+  val q48: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val hwm = e.filter(col("event_type") === "signup" && col("user_id") < 50)
+      .agg(max("event_id").as("__hwm"))
+    e.crossJoin(broadcast(hwm))
+      .where(col("event_id") > col("__hwm"))
+      .select("event_id", "user_id")
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -751,6 +843,9 @@ object Queries {
     "q43_full_outer" -> q43,
     "q44_grouping_sets" -> q44,
     "q45_rate_resets" -> q45,
+    "q46_ann_ivf" -> q46,
+    "q47_pipeline_smt" -> q47,
+    "q48_incremental_id" -> q48,
   )
 
   val oracle: Map[String, String] = Map(
@@ -921,8 +1016,7 @@ object Queries {
         "FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts " +
         "ORDER BY p.event_id"),
     "q35_ann_lsh" -> lshOracle,
-    // q36_simhash_neardup: intentionally no oracle — simhash is xxhash64-
-    // derived and not reproducible outside Spark (rows-only check).
+    "q36_simhash_neardup" -> simhashOracle,
     "q37_embedding_neardup" -> embNearDupOracle,
     "q38_text_quality" ->
       ("WITH d AS (SELECT lang, list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS w " +
@@ -994,5 +1088,14 @@ object Queries {
         "ROUND(CAST(SUM(CAST(inc AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_increase, " +
         "ROUND(CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS DOUBLE) / 1000.0, 4) AS span_sec " +
         "FROM i GROUP BY user_id HAVING span_sec > 0 ORDER BY user_id"),
+    "q46_ann_ivf" -> ivfOracle,
+    "q47_pipeline_smt" ->
+      ("SELECT lang, COUNT(*) AS n, " +
+        "CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked " +
+        "FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang ORDER BY lang"),
+    "q48_incremental_id" ->
+      ("SELECT event_id, user_id FROM events WHERE event_id > " +
+        "(SELECT MAX(event_id) FROM events WHERE event_type = 'signup' AND user_id < 50) " +
+        "ORDER BY event_id"),
   )
 }

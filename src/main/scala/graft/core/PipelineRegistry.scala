@@ -1,0 +1,74 @@
+package graft.core
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Named-pipeline lifecycle — the engine-side twin of the reference's
+ * connector REST surface (SURVEY §3.1; reference README.md:88-133:
+ * `POST /connectors` with a JSON config, `GET /connectors/{name}/status`,
+ * `DELETE /connectors/{name}`). A real deployment fronts this with any
+ * HTTP layer; the lifecycle semantics live here and are testable
+ * offline.
+ *
+ * Semantics mirrored from the reference:
+ *  - `submit` upserts by name: re-submitting a name replaces the running
+ *    pipeline (the reference's `PUT /connectors/{name}/config` restart
+ *    path) — the old query is stopped first, and the new one resumes
+ *    from the spec's checkpoint (ST1), so a config update never loses
+ *    offsets.
+ *  - `status` reports RUNNING / FAILED(cause) / STOPPED — the
+ *    reference's connector-state vocabulary (README.md:269-276).
+ *  - `delete` stops the query and forgets the name.
+ *
+ * Thread-safe: the registry is a TrieMap and per-name replace is
+ * atomic enough for a control plane (Spark serializes query start/stop
+ * internally).
+ */
+final class PipelineRegistry(spark: SparkSession) {
+
+  sealed trait Status
+  case object Running extends Status
+  final case class Failed(cause: String) extends Status
+  case object Stopped extends Status
+  case object Unknown extends Status
+
+  private val queries = TrieMap.empty[String, StreamingQuery]
+
+  /** Start (or replace) the named streaming pipeline from its spec. */
+  def submit(spec: PipelineSpec): StreamingQuery = {
+    queries.remove(spec.name).foreach(q => if (q.isActive) q.stop())
+    val q = Pipeline.runStream(spark, spec)
+    queries.put(spec.name, q)
+    q
+  }
+
+  /** One-shot batch execution of a spec (the reference's bulk mode). */
+  def runBatch(spec: PipelineSpec): Unit = Pipeline.runBatch(spark, spec)
+
+  def status(name: String): Status = queries.get(name) match {
+    case None => Unknown
+    case Some(q) if q.isActive => Running
+    case Some(q) => q.exception match {
+      case Some(e) => Failed(e.getMessage)
+      case None => Stopped
+    }
+  }
+
+  /** Stop and forget. True if the name existed. */
+  def delete(name: String): Boolean =
+    queries.remove(name) match {
+      case Some(q) => if (q.isActive) q.stop(); true
+      case None => false
+    }
+
+  def names: Seq[String] = queries.keys.toSeq.sorted
+
+  /** Block until the named query has processed all currently-available
+    * input (test/drain helper; AvailableNow-triggered queries just
+    * `awaitTermination`). True if the name exists. */
+  def drain(name: String): Boolean =
+    queries.get(name).exists { q => q.processAllAvailable(); true }
+}

@@ -85,32 +85,69 @@ object Dedup {
   }
 
   /**
-   * SimHash near-duplicate pairs with EXACT pigeonhole banding: split
-   * the 64-bit code into `maxHamming + 1` chunks — two codes within
-   * `maxHamming` Hamming bits must agree exactly on at least one chunk
-   * (pigeonhole), so the chunk equi-join is a lossless candidate
-   * generator, unlike MinHash's probabilistic S-curve. Residual:
-   * exact `bit_count(xor)`.
+   * The portable per-token hash family behind `portableSimhashCodes`:
+   * a char-level polynomial hash (h = h·33 + code mod P, the q40
+   * rolling-hash shape) expanded to per-bit decisions via the
+   * pairwise-independent family g_b(h) = ((2b+3)·h + 7b+1 mod P) mod 2.
+   * Pure integer arithmetic under 2^35 — bit-identical in any engine,
+   * so an external oracle can replay the exact simhash codes (which
+   * xxhash64 cannot). */
+  val PortableHashP = 1000000007L
+  val PortableHashSeed = 5381L
+
+  /** Portable `bits`-wide SimHash codes (same vote semantics as
+    * `simhashCodes`, engine-independent hash basis). 60 bits by default:
+    * bit 63 would need unsigned shifts an external SQL engine may lack,
+    * and 60 splits evenly into the pigeonhole chunks for maxHamming ≤ 3.
+    * Output: (idCol, __code). */
+  def portableSimhashCodes(docs: DataFrame, idCol: String, textCol: String,
+                           bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 62, "bits must be in [1, 62]")
+    val toks = docs.select(col(idCol),
+      explode(filter(split(normText(col(textCol)), " "), t => t =!= "")).as("__t"))
+    val chars = transform(filter(split(col("__t"), ""), c => c =!= ""),
+      c => ascii(c).cast("long"))
+    val h = aggregate(chars, lit(PortableHashSeed),
+      (a, c) => (a * 33 + c) % PortableHashP)
+    val votes = (0 until bits).map { b =>
+      val bit = ((lit(2L * b + 3) * col("__h") + lit(7L * b + 1)) % PortableHashP) % 2
+      sum(when(bit === 1, 1L).otherwise(-1L)).as(s"__v$b")
+    }
+    toks.select(col(idCol), h.as("__h"))
+      .groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(b => when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("__code"))
+  }
+
+  /**
+   * Near-duplicate pairs from precomputed `bits`-wide codes with EXACT
+   * pigeonhole banding: split the code into `maxHamming + 1` chunks —
+   * two codes within `maxHamming` Hamming bits must agree exactly on at
+   * least one chunk (pigeonhole), so the chunk equi-join is a lossless
+   * candidate generator, unlike MinHash's probabilistic S-curve.
+   * Residual: exact `bit_count(xor)`.
    *
    * Output: (d1, d2, hamming) with d1 < d2, hamming <= maxHamming.
    * Scale shape mirrors `nearDupPairs`: the all-rows shuffle carries
    * (chunk index, chunk bits) — 16 bytes per doc per chunk.
    */
-  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+  def simhashPairsFromCodes(codes: DataFrame, idCol: String,
+                            maxHamming: Int, bits: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "maxHamming must be in [0, 16)")
+    require(bits > maxHamming, "need more code bits than maxHamming")
     val nChunks = maxHamming + 1
-    val width = 64 / nChunks // last chunk also takes the remainder bits
-    val codes = simhashCodes(docs, idCol, textCol)
-      .select(col(idCol).as("__id"), col("__code").as("__sh"))
+    val width = bits / nChunks // last chunk also takes the remainder bits
+    val c = codes.select(col(idCol).as("__id"), col("__code").as("__sh"))
     val chunkCols = (0 until nChunks).map { i =>
       val lo = i * width
-      val bits =
+      val chunkBits =
         if (i == nChunks - 1) shiftrightunsigned(col("__sh"), lo)
         else shiftrightunsigned(col("__sh"), lo).bitwiseAND((1L << width) - 1)
-      struct(lit(i).as("i"), bits.as("bits"))
+      struct(lit(i).as("i"), chunkBits.as("bits"))
     }
-    val buckets = codes.select(col("__id"), col("__sh"),
+    val buckets = c.select(col("__id"), col("__sh"),
       explode(array(chunkCols: _*)).as("__ck"))
     buckets.alias("a")
       .join(buckets.alias("b"),
@@ -120,6 +157,20 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs over the 64-bit xxhash64 code basis (fast;
+    * in-Spark reproducible only). */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame =
+    simhashPairsFromCodes(simhashCodes(docs, idCol, textCol), idCol, maxHamming, 64)
+
+  /** SimHash near-dup pairs over the portable polynomial code basis —
+    * same banding, engine-independent codes, so the result is exactly
+    * replayable by an external SQL oracle. */
+  def portableSimhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                                  maxHamming: Int = 3, bits: Int = 60): DataFrame =
+    simhashPairsFromCodes(portableSimhashCodes(docs, idCol, textCol, bits),
+      idCol, maxHamming, bits)
 
   /**
    * Embedding-cosine near-duplicate pairs with deterministic sign-LSH

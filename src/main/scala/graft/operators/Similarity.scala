@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Codegen'd dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product of two array<double> columns — the native
+    * expression (graft.functions.DotProduct): one fused loop inside
+    * whole-stage codegen, same left-to-right accumulation from +0.0 as
+    * the `aggregate(zip_with(...))` lambda form and DuckDB's
+    * `list_dot_product`, so cross-engine rounding agrees exactly. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   /** Cosine similarity of two raw (unnormalized) vectors. Computed as
     * dot/(|a|·|b|) — operand-for-operand the formulation DuckDB's
@@ -107,6 +110,65 @@ object Similarity {
     coded.filter(col(idCol) =!= targetId)
       .crossJoin(broadcast(t))
       .filter(bit_count(col("__code").bitwiseXOR(col("__tcode"))) <= radius)
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__t")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * IVF (inverted-file) approximate kNN — the coarse-quantizer scale
+   * path beside sign-LSH (`lshTopK`): partition the vector space by a
+   * centroid set, search only the `nprobe` cells nearest the target.
+   *
+   * Centroids are a deterministic data sample (every `centroidStride`-th
+   * id) rather than k-means — the standard random-sample coarse
+   * quantizer, made reproducible so an external oracle can replay the
+   * exact cell assignment. All assignment arithmetic runs on
+   * integer-quantized vectors (`quantize`): squared-L2 distances are
+   * exact integers in doubles, so argmin decisions are bit-identical in
+   * any engine, and ties break on the centroid id.
+   *
+   * The contract is approximate by construction (recall < 1 when a true
+   * neighbor's cell is not probed): the result is the exact top-k OF THE
+   * CANDIDATE SET, which is deterministic.
+   *
+   * Scale shape (N vectors, C = N/stride centroids, stride ≈ √N):
+   * assignment is a broadcast of the centroid set + one map-side
+   * partial-min, shuffling one 24-byte (id, cell) row per vector — the
+   * corpus-wide O(N·C) distance work is the standard IVF build cost and
+   * embarrassingly parallel; the probe phase touches ~nprobe/C of the
+   * data. At 100 TB the assignment is computed once and persisted as a
+   * bucketed layout (cell id = bucket key), turning every later probe
+   * into partition pruning instead of a scan.
+   */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, targetId: Long,
+              k: Int, centroidStride: Long, nprobe: Int): DataFrame = {
+    require(centroidStride >= 1, "centroidStride must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+    val cent = q.filter(pmod(col("__id"), lit(centroidStride)) === 0)
+      .select(col("__id").as("__cid"), col("__q").as("__cv"))
+    // exact integer-valued squared L2: d2 = q·q − 2 q·c + c·c
+    def d2: Column = dot(col("__q"), col("__q")) -
+      lit(2.0) * dot(col("__q"), col("__cv")) +
+      dot(col("__cv"), col("__cv"))
+    val dists = q.crossJoin(broadcast(cent))
+      .select(col("__id"), struct(d2.as("d2"), col("__cid").as("cid")).as("__dc"))
+    // argmin(d2, cid): lexicographic struct-min — deterministic ties
+    val asg = dists.groupBy("__id")
+      .agg(min(col("__dc")).as("__m"))
+      .select(col("__id"), col("__m.cid").as("__cell"))
+    val probes = dists.filter(col("__id") === targetId)
+      .select(col("__dc.d2").as("__d2"), col("__dc.cid").as("__cid"))
+      .orderBy(col("__d2"), col("__cid"))
+      .limit(nprobe)
+      .select(col("__cid").as("__cell"))
+    val cand = asg.join(broadcast(probes), "__cell")
+      .filter(col("__id") =!= targetId)
+      .select(col("__id"))
+    emb.join(cand, col(idCol) === col("__id"), "left_semi")
+      .crossJoin(broadcast(targetRow(emb, idCol, vecCol, targetId)))
       .select(col(idCol),
         round(cosine(col(vecCol), col("__t")), 4).as("score"))
       .orderBy(col("score").desc, col(idCol))

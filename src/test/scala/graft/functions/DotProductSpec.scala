@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** The native codegen'd dot product must be value-identical to the
+  * higher-order-function formulation it replaced (same accumulation
+  * order — bit-for-bit, not just approximately). */
+class DotProductSpec extends SparkTestBase with Matchers {
+
+  private def lambdaDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  test("DotProduct equals the aggregate/zip_with formulation bit-for-bit") {
+    val ss = spark
+    import ss.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(200)(
+      (Array.fill(64)(rng.nextDouble() * 2 - 1), Array.fill(64)(rng.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      DotProduct(col("a"), col("b")).as("native"),
+      lambdaDot(col("a"), col("b")).as("lambda")).collect()
+    out.foreach { r =>
+      // exact comparison: same summation order must give the same bits
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+
+  test("DotProduct null inputs yield null; empty arrays yield 0.0") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))),
+      (None: Option[Array[Double]], Some(Array(3.0, 4.0))),
+      (Some(Array.empty[Double]), Some(Array.empty[Double])))
+      .toDF("a", "b")
+    val out = df.select(DotProduct(col("a"), col("b"))).collect()
+    out(0).getDouble(0) shouldBe 11.0
+    out(1).isNullAt(0) shouldBe true
+    out(2).getDouble(0) shouldBe 0.0
+  }
+
+  test("graft_dot resolves in SQL once registered") {
+    val ss = spark
+    GraftExtensions.register(ss)
+    ss.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0) shouldBe 11.0
+  }
+}

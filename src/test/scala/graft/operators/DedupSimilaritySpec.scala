@@ -79,6 +79,25 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("portableSimhashNearDupPairs equals brute-force hamming pairs on portable codes") {
+    val d = Tables.documents(spark, sf0001)
+    val banded = Dedup.portableSimhashNearDupPairs(d, "doc_id", "text", maxHamming = 3)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    val codes = Dedup.portableSimhashCodes(d, "doc_id", "text")
+      .select(col("doc_id"), col("__code").as("sh"))
+    val brute = codes.alias("a").join(codes.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    banded should contain theSameElementsInOrderAs brute
+    withClue("planted near-dups should collide at hamming<=3: ") {
+      banded.length should be > 0
+    }
+  }
+
   test("embeddingNearDupPairs equals brute force under the same code filter") {
     val emb = Tables.embeddings(spark, sf0001)
       .withColumn("e", col("embedding").cast("array<double>"))
@@ -117,6 +136,30 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     got should contain theSameElementsInOrderAs want
     got.length shouldBe 5
+  }
+
+  test("ivfTopK with all cells probed equals brute force; fewer probes is a subset") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val nCells = emb.filter(col("vec_id") % 37 === 0).count().toInt
+    nCells should be > 2
+    // probing every cell makes the candidate set = everything ⇒ exact
+    val all = Similarity.ivfTopK(emb, "vec_id", "e", targetId = 3L, k = 10,
+        centroidStride = 37L, nprobe = nCells)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.cosineTopK(emb, "vec_id", "e", 3L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    all should contain theSameElementsInOrderAs brute
+    // a partial probe returns the exact top-k of a candidate subset:
+    // every returned (id, score) must appear in the brute-force FULL
+    // scoring with the same score, in consistent order
+    val partial = Similarity.ivfTopK(emb, "vec_id", "e", targetId = 3L, k = 10,
+        centroidStride = 37L, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val fullScores = Similarity.cosineTopK(emb, "vec_id", "e", 3L, k = 100000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    partial.foreach { case (id, s) => fullScores(id) shouldBe s }
+    partial.map(_._2).toSeq shouldBe partial.map(_._2).toSeq.sorted.reverse
   }
 
   test("boundedExactKnn equals brute-force cosine top-k at sf0.001") {
