@@ -800,6 +800,37 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Q49 end-to-end training-data prep (north star composition): the
+    * realistic pipeline shape — exact dedup survivors → quality gate
+    * (≥ 10 tokens, stopword ratio < 0.5 as an exact integer comparison:
+    * 2·n_stop < n_tok, no float thresholds) → language-ID label →
+    * per-(lang, predicted) corpus stats. One plan: the dedup hash
+    * shuffle, a semi-join back, and a final aggregation. */
+  val q49: Q = (s, dir) => {
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+    val t = toks(col("text"))
+    val markers = Seq(
+      "de" -> Seq("der", "die", "das", "und"),
+      "en" -> Seq("the", "a", "of", "and"),
+      "es" -> Seq("el", "la", "los", "y"),
+      "fr" -> Seq("le", "la", "les", "et"))
+    def score(ws: Seq[String]): Column = size(filter(t, x => x.isInCollection(ws)))
+    val Seq(sDe, sEn, sEs, sFr) = markers.map { case (_, ws) => score(ws) }
+    val predicted = when(sDe >= sEn && sDe >= sEs && sDe >= sFr, "de")
+      .when(sEn >= sEs && sEn >= sFr, "en")
+      .when(sEs >= sFr, "es")
+      .otherwise("fr")
+    val d = Tables.documents(s, dir)
+    d.join(Dedup.exactSurvivors(d, "doc_id", "text"), "doc_id")
+      .withColumn("__n_tok", size(t))
+      .withColumn("__n_stop", size(filter(t, x => x.isInCollection(stop))))
+      .filter(col("__n_tok") >= 10 && lit(2) * col("__n_stop") < col("__n_tok"))
+      .select(col("lang"), predicted.as("predicted"), col("n_chars"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "predicted")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -851,6 +882,7 @@ object Queries {
     "q46_ann_ivf" -> q46,
     "q47_pipeline_smt" -> q47,
     "q48_incremental_id" -> q48,
+    "q49_dataprep" -> q49,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1102,5 +1134,24 @@ object Queries {
       ("SELECT event_id, user_id FROM events WHERE event_id > " +
         "(SELECT MAX(event_id) FROM events WHERE event_type = 'signup' AND user_id < 50) " +
         "ORDER BY event_id"),
+    "q49_dataprep" ->
+      ("WITH survivors AS (SELECT MIN(doc_id) AS doc_id FROM documents " +
+        "GROUP BY LOWER(TRIM(text))), " +
+        "d AS (SELECT doc_id, lang, n_chars, " +
+        "list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS w " +
+        "FROM documents JOIN survivors USING (doc_id)), " +
+        "m AS (SELECT lang, n_chars, len(w) AS n_tok, " +
+        "len(list_filter(w, t -> list_contains(['the','a','of','and','in','to','is'], t))) AS n_stop, " +
+        "len(list_filter(w, t -> list_contains(['der','die','das','und'], t))) AS s_de, " +
+        "len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS s_en, " +
+        "len(list_filter(w, t -> list_contains(['el','la','los','y'], t))) AS s_es, " +
+        "len(list_filter(w, t -> list_contains(['le','la','les','et'], t))) AS s_fr FROM d), " +
+        "f AS (SELECT lang, n_chars, CASE " +
+        "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' " +
+        "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' " +
+        "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted " +
+        "FROM m WHERE n_tok >= 10 AND 2 * n_stop < n_tok) " +
+        "SELECT lang, predicted, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM f GROUP BY lang, predicted ORDER BY lang, predicted"),
   )
 }

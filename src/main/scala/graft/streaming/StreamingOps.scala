@@ -76,6 +76,28 @@ object StreamingOps {
   }
 
   /**
+   * Streaming exact dedup — the LLM-pipeline dedup north star under
+   * streaming delivery: drop rows whose dedup key was already seen,
+   * with state expiry bounded by the watermark horizon
+   * (`dropDuplicatesWithinWatermark`). This is also the engine's
+   * at-least-once → effectively-once compaction step: replayed source
+   * records (ST2) collapse in-stream before reaching a sink.
+   *
+   * Pass a HASHED key (the `Dedup.textHashKey` shape) for document
+   * dedup so the state store holds 16 bytes per seen key, never the
+   * document body — the same 100 TB posture as the batch operator.
+   */
+  def dedupStream(df: DataFrame, tsCol: String, watermarkDelay: String,
+                  keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "dedupStream needs at least one key column")
+    val evt = "__evt"
+    df.withColumn(evt, col(tsCol).cast("timestamp"))
+      .withWatermark(evt, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+      .drop(evt)
+  }
+
+  /**
    * Streaming per-key latest state (ST8 / A1): `mapGroupsWithState`
    * keeping, per key, the record that ranks highest under `newer`.
    * Emits the updated state for every key touched by a micro-batch

@@ -68,6 +68,38 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.length should be > 0
   }
 
+  test("dedupStream drops replayed keys across micro-batches, keeps first arrival") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventRows
+    // simulate at-least-once delivery: batch 2 replays half of batch 1
+    // plus genuinely new rows
+    val b1 = rows.take(40)
+    val b2 = rows.slice(20, 80) // 20 replays + 40 new
+    val input = MemoryStream[Ev]
+    // delay wider than the fixture's whole time span: no state expiry in
+    // play, so every replay is inside its original's dedup horizon
+    val query = StreamingOps.dedupStream(input.toDF(), "ts", "30 days",
+        Seq("event_id"))
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      input.addData(b1)
+      query.processAllAvailable()
+      input.addData(b2)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("t_dedup")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    // exactly-once output: each of the 80 distinct ids exactly once
+    got shouldBe rows.take(80).map(_.event_id).sorted
+  }
+
   test("streaming tumblingAgg (append mode) emits exactly the watermark-finalized windows") {
     val ss = spark
     import ss.implicits._
