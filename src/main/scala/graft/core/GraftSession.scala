@@ -18,6 +18,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // getOrCreate ignores builder configs when a session already exists;
@@ -27,6 +28,9 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
+    // extensions are builder-time only — post-hoc registration covers the
+    // session-reuse path (same function, same registry entry)
+    graft.functions.GraftExtensions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
