@@ -73,7 +73,17 @@ object Debezium {
     // Tombstone filter must run against the raw value column, before the
     // projection narrows the schema.
     val in = if (dropTombstones) df.filter(col(valueCol).isNotNull) else df
-    val env = parseEnvelope(col(valueCol), row)
+    // Materialize the parse in its OWN projection: the envelope fields
+    // reference it ~10 times, and inlined from_json would be re-parsed
+    // per referencing column (OptimizeJsonExprs narrows each copy, but
+    // that still tokenizes the JSON string once per field). CollapseProject
+    // keeps the two-step shape because a non-cheap alias with multiple
+    // references is never inlined — so this is one parse per row.
+    val envName = Iterator.from(0).map(i => s"__env$i")
+      .find(n => !df.columns.contains(n) && !keep.contains(n)).get
+    val parsed = in.select(keep.map(col) :+
+      parseEnvelope(col(valueCol), row).as(envName): _*)
+    val env = col(envName)
     val isDelete = env.getField("op") === "d"
     val state = when(isDelete, env.getField("before")).otherwise(env.getField("after"))
     val base = keep.map(col) ++
@@ -83,6 +93,6 @@ object Debezium {
     val metaCols =
       if (addMetadata) Seq(env.getField("op").as("__op"), env.getField("ts_ms").as("__ts_ms"))
       else Seq.empty
-    in.select(base ++ metaCols: _*)
+    parsed.select(base ++ metaCols: _*)
   }
 }
