@@ -7,7 +7,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 
 import graft.codec.Debezium
 import graft.core.{Pipeline, PipelineSpec, Tables}
+import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Relational, Similarity}
+import graft.sources.PromText
 import graft.streaming.StreamingOps
 
 /**
@@ -831,6 +833,49 @@ object Queries {
       .orderBy("lang", "predicted")
   }
 
+  /** Q50 Prometheus exposition roundtrip (S7/S8 under the correctness
+    * gate): events rendered as exposition-format sample lines
+    * (`name{labels} value ts`), re-parsed by `PromText.parse`, then
+    * aggregated per series. parse ∘ format is the identity on every
+    * field (shortest-repr double strings round-trip exactly), so the
+    * oracle aggregates the raw table directly — any parser divergence
+    * (label splitting, value/timestamp casts) breaks the hash. */
+  val q50: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val line = concat(
+      lit("graft_value{user=\""), col("user_id").cast("string"),
+      lit("\",type=\""), col("event_type"), lit("\"} "),
+      col("value").cast("string"), lit(" "),
+      unix_millis(col("ts").cast("timestamp")).cast("string"))
+    PromText.parse(e.select(line.as("value")), "value")
+      .groupBy(col("name"),
+        element_at(col("labels"), "user").cast("long").as("user_id"),
+        element_at(col("labels"), "type").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec6(col("value"))).cast("double"), 4).as("sum_value"),
+        max(col("ts_ms")).as("max_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Q51 multimodal binary columns (north star): text payloads as opaque
+    * bytes → fixed-size frame sampling (`Multimodal.frameSample`, every
+    * 4th 64-byte frame) → per-frame md5 digests → per-language frame
+    * stats. Byte-level slicing and hashing agree across engines on the
+    * ASCII corpus (substring on BINARY/BLOB is byte-based in both). */
+  val q51: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text").cast("binary").as("bin"))
+    Multimodal.frameSample(d, "bin", frameSize = 64, everyN = 4)
+      .select(col("lang"), col("frame_idx"),
+        length(col("frame")).as("fbytes"), md5(col("frame")).as("digest"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("fbytes")).as("total_bytes"),
+        countDistinct(col("digest")).as("n_digests"),
+        min(col("digest")).as("min_digest"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -883,6 +928,8 @@ object Queries {
     "q47_pipeline_smt" -> q47,
     "q48_incremental_id" -> q48,
     "q49_dataprep" -> q49,
+    "q50_promtext_roundtrip" -> q50,
+    "q51_multimodal_binary" -> q51,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1153,5 +1200,21 @@ object Queries {
         "FROM m WHERE n_tok >= 10 AND 2 * n_stop < n_tok) " +
         "SELECT lang, predicted, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
         "FROM f GROUP BY lang, predicted ORDER BY lang, predicted"),
+    "q50_promtext_roundtrip" ->
+      // parse ∘ format = identity, so the oracle aggregates the raw table
+      ("SELECT 'graft_value' AS name, user_id, event_type, COUNT(*) AS n, " +
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value, " +
+        "MAX(epoch_ms(ts)) AS max_ts " +
+        "FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"),
+    "q51_multimodal_binary" ->
+      // ASCII corpus: char positions == byte positions, so VARCHAR substr
+      // replays the engine's byte-based binary slicing exactly
+      ("WITH idx AS (SELECT lang, text, " +
+        "unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i FROM documents), " +
+        "f AS (SELECT lang, substr(text, CAST(i * 64 + 1 AS BIGINT), 64) AS frame " +
+        "FROM idx WHERE i % 4 = 0) " +
+        "SELECT lang, COUNT(*) AS n_frames, CAST(SUM(length(frame)) AS BIGINT) AS total_bytes, " +
+        "COUNT(DISTINCT md5(frame)) AS n_digests, MIN(md5(frame)) AS min_digest " +
+        "FROM f GROUP BY lang ORDER BY lang"),
   )
 }

@@ -82,9 +82,12 @@ object Multimodal {
                   everyN: Int): DataFrame = {
     require(frameSize > 0 && everyN > 0, "frameSize and everyN must be positive")
     val nFrames = ceil(length(col(bytesCol)).cast("double") / frameSize).cast("long")
+    // guard empty payloads: sequence(0, -1) would generate a DESCENDING
+    // [0, -1] range (Spark infers step -1), not an empty one
     df.withColumn("__frame_idx",
-        explode(filter(sequence(lit(0L), nFrames - 1),
-          i => i % everyN === 0)))
+        explode(when(nFrames > 0, filter(sequence(lit(0L), nFrames - 1),
+            i => i % everyN === 0))
+          .otherwise(array().cast("array<long>"))))
       .withColumn("frame",
         // substring on BINARY slices bytes; 1-based offset
         expr(s"substring($bytesCol, CAST(__frame_idx * $frameSize + 1 AS INT), $frameSize)"))
