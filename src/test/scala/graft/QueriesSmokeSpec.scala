@@ -6,9 +6,10 @@ package graft
 class QueriesSmokeSpec extends SparkTestBase {
 
   /** Queries deliberately registered without an oracle (driver records a
-    * rows-only check): engine-internal hash functions no external engine
-    * reproduces. Every entry here must justify itself in Queries.scala. */
-  private val rowsOnly = Set("q36_simhash_neardup")
+    * rows-only check). Empty since round 5: q36 moved to the portable
+    * simhash basis and gained a real oracle. Every future entry here
+    * must justify itself in Queries.scala. */
+  private val rowsOnly = Set.empty[String]
 
   test("every query has an oracle (minus declared rows-only exceptions)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
