@@ -53,9 +53,10 @@ class PipelineRegistrySpec extends SparkTestBase with Matchers {
     // chain — the replacement resumes from the stored offsets (the
     // reference's PUT-config restart path), so rows 1–2 are NOT
     // reprocessed and only NEW input flows through the new (masking)
-    // config
-    Seq((3L, "s3")).toDF("id", "secret").write.mode("append").parquet(inDir)
+    // config. Replace BEFORE appending: the old unmasked query is
+    // still triggering and would race for the new file otherwise.
     reg.submit(PipelineSpec.fromJson(specJson("p1", inDir, ckpt, out, masked = true)))
+    Seq((3L, "s3")).toDF("id", "secret").write.mode("append").parquet(inDir)
     reg.drain("p1") shouldBe true
     val rows = spark.read.parquet(out)
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
@@ -64,5 +65,31 @@ class PipelineRegistrySpec extends SparkTestBase with Matchers {
     reg.delete("p1") shouldBe true
     reg.status("p1") shouldBe reg.Unknown
     reg.delete("p1") shouldBe false
+  }
+
+  test("a pipeline that fails at runtime reports FAILED with its cause") {
+    val ss = spark
+    import ss.implicits._
+    val inDir = tmp("graft-reg-fail-in")
+    val reg = new PipelineRegistry(spark)
+    // non-numeric strings: the ANSI cast inside the filter blows up on
+    // the first micro-batch, AFTER the query starts successfully
+    Seq((1L, "not-a-number")).toDF("id", "secret")
+      .write.mode("overwrite").parquet(inDir)
+    val json =
+      s"""{
+         |  "name": "pfail",
+         |  "source": {"type": "file", "options": {
+         |    "format": "parquet", "path": "$inDir",
+         |    "schema": "id BIGINT, secret STRING"}},
+         |  "transforms": [{"type": "filter", "options": {"predicate": "CAST(secret AS INT) > 0"}}],
+         |  "sink": {"type": "file", "options": {
+         |    "format": "parquet", "path": "${tmp("graft-reg-fail-out")}",
+         |    "checkpoint": "${tmp("graft-reg-fail-ckpt")}", "trigger.ms": "50"}}
+         |}""".stripMargin
+    val q = reg.submit(PipelineSpec.fromJson(json))
+    intercept[Exception](q.processAllAvailable())
+    reg.status("pfail") shouldBe a[reg.Failed]
+    reg.delete("pfail") shouldBe true
   }
 }

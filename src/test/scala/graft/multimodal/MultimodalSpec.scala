@@ -56,6 +56,18 @@ class MultimodalSpec extends SparkTestBase with Matchers {
     frames(1)._2 shouldBe Array.tabulate(10)(i => (30 + i).toByte)
   }
 
+  test("frameSample emits no frames for an empty payload") {
+    val ss = spark
+    import ss.implicits._
+    // regression: sequence(0, -1) generates a DESCENDING [0, -1] in
+    // Spark, which produced one phantom frame for empty payloads
+    val df = Seq((1L, Array.empty[Byte]), (2L, Array.tabulate(5)(_.toByte)))
+      .toDF("asset_id", "bytes")
+    val frames = Multimodal.frameSample(df, "bytes", frameSize = 10, everyN = 1)
+      .select("asset_id").collect().map(_.getLong(0))
+    frames shouldBe Array(2L)
+  }
+
   test("resizeMeta scales metadata down to the bound, never up") {
     val ss = spark
     import ss.implicits._
