@@ -44,6 +44,19 @@ class DotProductSpec extends SparkTestBase with Matchers {
     out(2).getDouble(0) shouldBe 0.0
   }
 
+  test("DotProduct projects inside whole-stage codegen (not a fallback)") {
+    val df = spark.range(100)
+      .select(
+        array(col("id").cast("double"), (col("id") + 1).cast("double")).as("a"),
+        array(col("id").cast("double"), (col("id") * 2).cast("double")).as("b"))
+      .select(DotProduct(col("a"), col("b")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark operators fused into a WholeStageCodegen stage
+    plan should include("*(1) Project")
+    df.agg(sum(col("d"))).collect().head.getDouble(0) shouldBe
+      (0 until 100).map(i => i.toDouble * i + (i + 1.0) * (i * 2.0)).sum
+  }
+
   test("graft_dot resolves in SQL once registered") {
     val ss = spark
     GraftExtensions.register(ss)
