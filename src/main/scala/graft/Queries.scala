@@ -876,6 +876,19 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q52 char-n-gram Jaccard near-dup pairs (north star dedup family —
+    * the character-level member beside word-shingle MinHash q30):
+    * 5-char shingles, same 16×3 MinHash banding, exact Jaccard ≥ 0.8
+    * residual. Char n-grams survive word-boundary edits (joined/split
+    * words) that break word shingles. Oracle: brute-force all-pairs
+    * over the same shingle sets. */
+  val q52: Q = (s, dir) =>
+    Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.8, shingleWidth = 5, bands = 16, rowsPerBand = 3,
+        charLevel = true)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("d1", "d2")
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -930,6 +943,7 @@ object Queries {
     "q49_dataprep" -> q49,
     "q50_promtext_roundtrip" -> q50,
     "q51_multimodal_binary" -> q51,
+    "q52_neardup_ngram" -> q52,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1206,6 +1220,16 @@ object Queries {
         "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value, " +
         "MAX(epoch_ms(ts)) AS max_ts " +
         "FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"),
+    "q52_neardup_ngram" ->
+      ("WITH s AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([substr(t, i, 5) for i in range(1, length(t) - 3)]) AS gs " +
+        "FROM s WHERE length(t) >= 5), " +
+        "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / " +
+        "(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jac " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(a.gs) > 0 AND len(b.gs) > 0) " +
+        "SELECT d1, d2, ROUND(jac, 4) AS jaccard FROM j WHERE jac >= 0.8 ORDER BY d1, d2"),
     "q51_multimodal_binary" ->
       // ASCII corpus: char positions == byte positions, so VARCHAR substr
       // replays the engine's byte-based binary slicing exactly

@@ -247,10 +247,15 @@ object Dedup {
    * xxhash64 collides within one comparison (~10⁻¹⁵ per doc pair).
    */
   def shingleHashRows(docs: DataFrame, idCol: String, textCol: String,
-                      shingleWidth: Int): DataFrame = {
+                      shingleWidth: Int, charLevel: Boolean = false): DataFrame = {
     require(shingleWidth >= 1, "shingle width must be >= 1")
+    // char-level: shingles slide over characters (n-gram Jaccard, robust
+    // to word-boundary edits); word-level: over space tokens
+    val units =
+      if (charLevel) filter(split(normText(col(textCol)), ""), c => c =!= "")
+      else split(normText(col(textCol)), " ")
     val toks = docs.select(col(idCol).as("__id"),
-        posexplode(split(normText(col(textCol)), " ")).as(Seq("__pos", "__t0")))
+        posexplode(units).as(Seq("__pos", "__t0")))
     val w = Window.partitionBy("__id").orderBy("__pos")
     val leads = (1 until shingleWidth)
       .map(k => lead(col("__t0"), k).over(w).as(s"__t$k"))
@@ -288,9 +293,10 @@ object Dedup {
    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleWidth: Int = 3,
-                   bands: Int = 16, rowsPerBand: Int = 3): DataFrame = {
+                   bands: Int = 16, rowsPerBand: Int = 3,
+                   charLevel: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
-    val sh = shingleHashRows(docs, idCol, textCol, shingleWidth)
+    val sh = shingleHashRows(docs, idCol, textCol, shingleWidth, charLevel)
 
     // one codegen'd aggregate: k min-hash columns + the distinct count
     val sigCols = (0 until k).map(j => min(xxhash64(lit(j.toLong), col("__sh"))).as(s"__m$j"))
