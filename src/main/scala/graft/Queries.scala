@@ -1087,6 +1087,9 @@ object Queries {
         "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
         "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        // J ≤ min/max: size-ratio prune (sound with float slack), same
+        // bound the Spark operator applies before its intersection join
+        "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 " +
         "WHERE len(a.ts) > 0 AND len(b.ts) > 0) " +
         "SELECT d1, d2, ROUND(jac, 4) AS jaccard FROM j WHERE jac >= 0.8 ORDER BY d1, d2"),
     "q31_knn_pruned" ->
@@ -1228,6 +1231,7 @@ object Queries {
         "CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / " +
         "(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jac " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "AND least(len(a.gs), len(b.gs)) >= 0.8 * greatest(len(a.gs), len(b.gs)) - 1e-9 " +
         "WHERE len(a.gs) > 0 AND len(b.gs) > 0) " +
         "SELECT d1, d2, ROUND(jac, 4) AS jaccard FROM j WHERE jac >= 0.8 ORDER BY d1, d2"),
     "q51_multimodal_binary" ->

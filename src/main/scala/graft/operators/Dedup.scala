@@ -316,21 +316,30 @@ object Dedup {
       .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
       .distinct()
 
-    // exact |intersection| per pair via the hash rows; |union| from the
-    // per-doc distinct counts
-    val inter = candidates
-      .join(sh.alias("s1"), col("d1") === col("s1.__id"))
-      .join(sh.alias("s2"),
-        col("d2") === col("s2.__id") && col("s1.__sh") === col("s2.__sh"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("__i"))
+    // size-ratio prune BEFORE the expensive intersection: J(A,B) ≤
+    // min(|A|,|B|)/max(|A|,|B|), so a qualifying pair must have
+    // min ≥ t·max. The 1e-9 slack keeps the bound sound under float
+    // rounding (the exact threshold is re-applied on the true Jaccard).
     val counts = sig.select(col("__id"), col("__n"))
-    inter
+    val sized = candidates
       .join(counts.alias("c1"), col("d1") === col("c1.__id"))
       .join(counts.alias("c2"), col("d2") === col("c2.__id"))
       .select(col("d1"), col("d2"),
+        col("c1.__n").as("__n1"), col("c2.__n").as("__n2"))
+      .filter(least(col("__n1"), col("__n2")).cast("double") >=
+        lit(threshold) * greatest(col("__n1"), col("__n2")) - lit(1e-9))
+
+    // exact |intersection| per surviving pair via the hash rows; |union|
+    // from the per-doc distinct counts carried alongside
+    sized
+      .join(sh.alias("s1"), col("d1") === col("s1.__id"))
+      .join(sh.alias("s2"),
+        col("d2") === col("s2.__id") && col("s1.__sh") === col("s2.__sh"))
+      .groupBy("d1", "d2", "__n1", "__n2")
+      .agg(count(lit(1)).as("__i"))
+      .select(col("d1"), col("d2"),
         (col("__i").cast("double") /
-          (col("c1.__n") + col("c2.__n") - col("__i"))).as("jaccard"))
+          (col("__n1") + col("__n2") - col("__i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }
