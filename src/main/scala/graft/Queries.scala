@@ -878,13 +878,17 @@ object Queries {
 
   /** Q52 char-n-gram Jaccard near-dup pairs (north star dedup family —
     * the character-level member beside word-shingle MinHash q30):
-    * 5-char shingles, same 16×3 MinHash banding, exact Jaccard ≥ 0.8
+    * 10-char shingles, same 16×3 MinHash banding, exact Jaccard ≥ 0.8
     * residual. Char n-grams survive word-boundary edits (joined/split
-    * words) that break word shingles. Oracle: brute-force all-pairs
-    * over the same shingle sets. */
+    * words) that break word shingles. Width 10, not 5: on this
+    * small-vocabulary corpus 5-grams are non-selective (random-pair
+    * Jaccard avg 0.17 → the banding floods with candidates, 32 s at
+    * sf0.1), while 10-grams drop it to 0.017 with the identical
+    * ≥ 0.8 result set. Oracle: brute-force all-pairs over the same
+    * shingle sets. */
   val q52: Q = (s, dir) =>
     Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-        threshold = 0.8, shingleWidth = 5, bands = 16, rowsPerBand = 3,
+        threshold = 0.8, shingleWidth = 10, bands = 16, rowsPerBand = 3,
         charLevel = true)
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("d1", "d2")
@@ -1225,8 +1229,8 @@ object Queries {
         "FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"),
     "q52_neardup_ngram" ->
       ("WITH s AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
-        "sh AS (SELECT doc_id, list_distinct([substr(t, i, 5) for i in range(1, length(t) - 3)]) AS gs " +
-        "FROM s WHERE length(t) >= 5), " +
+        "sh AS (SELECT doc_id, list_distinct([substr(t, i, 10) for i in range(1, length(t) - 8)]) AS gs " +
+        "FROM s WHERE length(t) >= 10), " +
         "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
         "CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / " +
         "(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jac " +
