@@ -1228,15 +1228,20 @@ object Queries {
         "MAX(epoch_ms(ts)) AS max_ts " +
         "FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"),
     "q52_neardup_ngram" ->
+      // intersection via unnest + equi-join (the Spark operator's own
+      // shape): selective 10-grams keep the join sparse — the all-pairs
+      // list_intersect formulation is quadratic in documents and did not
+      // terminate in reasonable time at sf0.1. Zero-intersection pairs
+      // are absent from `inter`, which the >= 0.8 filter excludes anyway.
       ("WITH s AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
         "sh AS (SELECT doc_id, list_distinct([substr(t, i, 10) for i in range(1, length(t) - 8)]) AS gs " +
         "FROM s WHERE length(t) >= 10), " +
-        "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
-        "CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / " +
-        "(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jac " +
-        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-        "AND least(len(a.gs), len(b.gs)) >= 0.8 * greatest(len(a.gs), len(b.gs)) - 1e-9 " +
-        "WHERE len(a.gs) > 0 AND len(b.gs) > 0) " +
+        "r AS (SELECT doc_id, unnest(gs) AS g FROM sh), " +
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i " +
+        "FROM r a JOIN r b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY d1, d2), " +
+        "lens AS (SELECT doc_id, len(gs) AS n FROM sh), " +
+        "j AS (SELECT d1, d2, CAST(i AS DOUBLE) / (la.n + lb.n - i) AS jac " +
+        "FROM inter JOIN lens la ON d1 = la.doc_id JOIN lens lb ON d2 = lb.doc_id) " +
         "SELECT d1, d2, ROUND(jac, 4) AS jaccard FROM j WHERE jac >= 0.8 ORDER BY d1, d2"),
     "q51_multimodal_binary" ->
       // ASCII corpus: char positions == byte positions, so VARCHAR substr
