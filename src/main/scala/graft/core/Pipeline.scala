@@ -149,12 +149,24 @@ object Pipeline {
         val table = new graft.sinks.ParquetKeyedTable(
           s.option("path"), s.option("pk").split(",").map(_.trim).toSeq)
         // the configured ordering plus a deterministic tie-breaker (hash
-        // of the whole row): same-key rows with equal order values in one
+        // of the row): same-key rows with equal order values in one
         // micro-batch must pick the same winner on every replay, or the
-        // sink's total-order/idempotency contract breaks
+        // sink's total-order/idempotency contract breaks. MapType columns
+        // are excluded — Spark refuses to hash maps (unordered), and the
+        // remaining columns still pin a deterministic winner.
+        import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+        def hasMap(dt: DataType): Boolean = dt match {
+          case _: MapType    => true
+          case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+          case a: ArrayType  => hasMap(a.elementType)
+          case _             => false
+        }
+        val hashable = df.schema.fields.collect {
+          case f if !hasMap(f.dataType) => col(f.name)
+        }.toSeq
         val order = s.optionOr("order", "__ts_ms").split(",").map(_.trim)
-          .map(c => col(c).desc).toSeq :+
-          xxhash64(df.columns.map(col): _*).desc
+          .map(c => col(c).desc).toSeq ++
+          (if (hashable.nonEmpty) Seq(xxhash64(hashable: _*).desc) else Nil)
         val deleted = col(s.optionOr("deleted.column", "__deleted")) === "true"
         df.writeStream
           .option("checkpointLocation", s.option("checkpoint"))

@@ -16,9 +16,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * Semantics mirrored from the reference:
  *  - `submit` upserts by name: re-submitting a name replaces the running
  *    pipeline (the reference's `PUT /connectors/{name}/config` restart
- *    path) — the old query is stopped first, and the new one resumes
- *    from the spec's checkpoint (ST1), so a config update never loses
- *    offsets.
+ *    path) — the new spec is validated before the old query is stopped
+ *    (a rejected config leaves the healthy pipeline running), and the
+ *    new one resumes from the spec's checkpoint (ST1), so a config
+ *    update never loses offsets.
  *  - `status` reports RUNNING / FAILED(cause) / STOPPED — the
  *    reference's connector-state vocabulary (README.md:269-276).
  *  - `delete` stops the query and forgets the name.
@@ -36,11 +37,29 @@ final class PipelineRegistry(spark: SparkSession) {
   case object Unknown extends Status
 
   private val queries = TrieMap.empty[String, StreamingQuery]
+  private val startFailures = TrieMap.empty[String, String]
 
-  /** Start (or replace) the named streaming pipeline from its spec. */
+  /** Start (or replace) the named streaming pipeline from its spec.
+    *
+    * Replace is validate-first: the new spec's plan is analyzed BEFORE the
+    * running query is touched, so a bad config (unknown source path, bad
+    * schema DDL, unknown transform) throws and leaves the healthy pipeline
+    * running — the reference's PUT-config behavior, where a rejected config
+    * never takes down the old connector. Only a failure in the final
+    * `start()` itself (after the old query must be stopped — two queries
+    * cannot share a checkpoint) is recorded as Failed for `status`. */
   def submit(spec: PipelineSpec): StreamingQuery = {
+    // analyze the new plan first; throws on a bad spec without side effects
+    Pipeline.build(spark, spec, streaming = true).schema
     queries.remove(spec.name).foreach(q => if (q.isActive) q.stop())
-    val q = Pipeline.runStream(spark, spec)
+    val q =
+      try Pipeline.runStream(spark, spec)
+      catch {
+        case e: Exception =>
+          startFailures.put(spec.name, s"${e.getClass.getName}: ${e.getMessage}")
+          throw e
+      }
+    startFailures.remove(spec.name)
     queries.put(spec.name, q)
     q
   }
@@ -49,7 +68,7 @@ final class PipelineRegistry(spark: SparkSession) {
   def runBatch(spec: PipelineSpec): Unit = Pipeline.runBatch(spark, spec)
 
   def status(name: String): Status = queries.get(name) match {
-    case None => Unknown
+    case None => startFailures.get(name).map(Failed(_)).getOrElse(Unknown)
     case Some(q) if q.isActive => Running
     case Some(q) => q.exception match {
       case Some(e) => Failed(e.getMessage)
@@ -58,11 +77,13 @@ final class PipelineRegistry(spark: SparkSession) {
   }
 
   /** Stop and forget. True if the name existed. */
-  def delete(name: String): Boolean =
+  def delete(name: String): Boolean = {
+    val hadFailure = startFailures.remove(name).isDefined
     queries.remove(name) match {
       case Some(q) => if (q.isActive) q.stop(); true
-      case None => false
+      case None => hadFailure
     }
+  }
 
   def names: Seq[String] = queries.keys.toSeq.sorted
 

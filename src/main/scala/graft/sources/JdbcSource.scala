@@ -28,13 +28,21 @@ final case class JdbcSource(url: String, table: String,
                             numPartitions: Int = 1) extends Source {
 
   /** The DB-side relation for a poll past `hwm`: a pushed-down subquery
-    * (None ⇒ bulk mode). The hwm literal is quote-escaped: it originates
+    * (None ⇒ bulk mode). The hwm literal is escaped: it originates
     * from table data (IncrementalPollSource stores max(hwmCol)), so a
-    * string-typed hwm column can legally contain a single quote — which
-    * must not break the query or inject SQL. */
+    * string-typed hwm column can legally contain a single quote or a
+    * trailing backslash — neither may break the query or inject SQL.
+    * Backslashes are doubled first so that on MySQL-style backends
+    * (backslash escapes enabled) a stored value ending in `\` cannot
+    * turn the doubled quote into an escaped quote. On strict-ANSI
+    * backends `\\` reads as two literal characters, shifting the
+    * predicate boundary for backslash-bearing hwm values — acceptable
+    * because hwm columns are timestamps/ids in every supported mode;
+    * injection safety under both dialects wins over that corner. */
   def pollQuery(hwm: Option[String]): String = (hwmCol, hwm) match {
     case (Some(c), Some(v)) =>
-      s"(SELECT * FROM $table WHERE $c > '${v.replace("'", "''")}') AS __graft_poll"
+      val escaped = v.replace("\\", "\\\\").replace("'", "''")
+      s"(SELECT * FROM $table WHERE $c > '$escaped') AS __graft_poll"
     case _ => table
   }
 

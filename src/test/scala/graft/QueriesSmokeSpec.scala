@@ -25,6 +25,22 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Corpus invariant behind the byte-vs-character oracles (q36/q51/q52):
+  // Spark slices BINARY by bytes while DuckDB substr is character-based, so
+  // those oracles are only valid while documents.text is pure ASCII. A future
+  // corpus change must fail HERE, loudly, not as an opaque red hash.
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+       if new java.io.File(dir).isDirectory) {
+    test(s"documents.text is pure ASCII at $dir") {
+      import org.apache.spark.sql.functions._
+      val nonAscii = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(length(col("text")) =!= expr("octet_length(text)"))
+        .count()
+      assert(nonAscii == 0L,
+        s"$nonAscii documents with multi-byte characters; byte-sliced oracles (q36/q51/q52) assume ASCII")
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name returns rows at sf0.001") {
       assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")

@@ -67,6 +67,36 @@ class PipelineRegistrySpec extends SparkTestBase with Matchers {
     reg.delete("p1") shouldBe false
   }
 
+  test("a bad replacement config leaves the healthy pipeline running") {
+    val ss = spark
+    import ss.implicits._
+    val inDir = tmp("graft-reg-keep-in")
+    val ckpt = tmp("graft-reg-keep-ckpt")
+    val out = tmp("graft-reg-keep-out")
+    val reg = new PipelineRegistry(spark)
+    Seq((1L, "s1")).toDF("id", "secret").write.mode("overwrite").parquet(inDir)
+    reg.submit(PipelineSpec.fromJson(specJson("pkeep", inDir, ckpt, out, masked = false)))
+    reg.status("pkeep") shouldBe reg.Running
+
+    // the reference's PUT-config contract: a rejected config (here an
+    // unknown transform type) must NOT take down the running connector
+    val bad = s"""{
+       |  "name": "pkeep",
+       |  "source": {"type": "file", "options": {
+       |    "format": "parquet", "path": "$inDir",
+       |    "schema": "id BIGINT, secret STRING"}},
+       |  "transforms": [{"type": "no_such_transform", "options": {}}],
+       |  "sink": {"type": "file", "options": {
+       |    "format": "parquet", "path": "$out", "checkpoint": "$ckpt",
+       |    "trigger.ms": "50"}}
+       |}""".stripMargin
+    intercept[IllegalArgumentException](reg.submit(PipelineSpec.fromJson(bad)))
+    reg.status("pkeep") shouldBe reg.Running
+    reg.drain("pkeep") shouldBe true
+    spark.read.parquet(out).count() shouldBe 1
+    reg.delete("pkeep") shouldBe true
+  }
+
   test("a pipeline that fails at runtime reports FAILED with its cause") {
     val ss = spark
     import ss.implicits._
