@@ -893,6 +893,85 @@ object Queries {
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("d1", "d2")
 
+  /** Q53 sliding window (ST7 — the third window shape beside tumbling
+    * q22 and session q23): 1-hour windows every 30 minutes, so each
+    * event lands in exactly 2 overlapping windows. Driven by the same
+    * `StreamingOps.slidingAgg` operator as the streaming variant;
+    * epoch-aligned starts so the oracle can replay the window set. */
+  val q53: Q = (s, dir) =>
+    StreamingOps.slidingAgg(Tables.events(s, dir),
+        tsCol = "ts", windowDuration = "1 hour", slideDuration = "30 minutes",
+        watermarkDelay = "10 minutes", keyCols = Seq("event_type"), valueCol = "value")
+      .orderBy("wstart", "event_type")
+
+  /** Q54 batch kNN join (north star similarity at pipeline shape): exact
+    * cosine top-3 neighbors for every probe in a query batch
+    * (`Similarity.knnJoin`, vec_id < 5) in ONE plan — broadcast probes,
+    * map-side scoring, a (probe, id, score)-only ranking shuffle. The
+    * realistic embedding-dedup/retrieval shape vs q27's single target. */
+  val q54: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    Similarity.knnJoin(e, e.filter(col("vec_id") < 5), "vec_id", "e", k = 3)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Q55 duplicate clustering (north star — pairs → groups): connected
+    * components over the q30 near-dup pair graph via min-label
+    * propagation (`Dedup.dupClusters`), so transitive chains collapse
+    * into one cluster keyed by its minimum doc_id — the canonical-
+    * representative assignment a dedup pipeline actually applies.
+    * Oracle: recursive-CTE transitive closure over the same pairs. */
+  val q55: Q = (s, dir) =>
+    Dedup.dupClusters(
+        Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.8, shingleWidth = 3, bands = 16, rowsPerBand = 3),
+        "d1", "d2")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+
+  /** Q56 skew-salted join (§2.3 / 100 TB posture): the
+    * lineitem ⋈ orders revenue aggregation routed through
+    * `Relational.saltedJoin` — per-row deterministic salt on the fact
+    * side, 8× replicated dim side, join on (key, salt) — and asserted
+    * equal to the plain join by the oracle. The mechanism AQE's
+    * skew-split cannot cover (both-side single-key skew) under the
+    * correctness gate. */
+  val q56: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    Relational.saltedJoin(li, o, Seq("okey"), saltFactor = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double"), 4).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q57 interval self-join funnel (§2.3 stream-stream join, batch
+    * twin): purchases within 30 minutes of a signup by the same user —
+    * the equi-key (user) + time-bound condition shape Structured
+    * Streaming's stream-stream join requires, planned as a sort-merge
+    * join with a range residual (no BNLJ: the equi key anchors the
+    * shuffle). StreamingSpec asserts the watermarked streaming variant
+    * equals this batch form. */
+  val q57: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val sgn = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("t1"))
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t2"), col("value"))
+    sgn.join(pur, "user_id")
+      .filter(col("t2") >= col("t1") &&
+        col("t2") < col("t1") + expr("INTERVAL 30 MINUTES"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(dec6(col("value"))).cast("double"), 4).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -948,6 +1027,11 @@ object Queries {
     "q50_promtext_roundtrip" -> q50,
     "q51_multimodal_binary" -> q51,
     "q52_neardup_ngram" -> q52,
+    "q53_window_sliding" -> q53,
+    "q54_knn_join" -> q54,
+    "q55_dup_clusters" -> q55,
+    "q56_salted_join" -> q56,
+    "q57_interval_funnel" -> q57,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1243,6 +1327,63 @@ object Queries {
         "j AS (SELECT d1, d2, CAST(i AS DOUBLE) / (la.n + lb.n - i) AS jac " +
         "FROM inter JOIN lens la ON d1 = la.doc_id JOIN lens lb ON d2 = lb.doc_id) " +
         "SELECT d1, d2, ROUND(jac, 4) AS jaccard FROM j WHERE jac >= 0.8 ORDER BY d1, d2"),
+    "q53_window_sliding" ->
+      // each event belongs to 2 overlapping 1h/30m windows: the 30-min
+      // bucket of ts and the one 30 min earlier (both epoch-aligned,
+      // matching Spark's window() alignment)
+      ("WITH b AS (SELECT event_type, value, date_trunc('hour', ts) + " +
+        "CASE WHEN EXTRACT(minute FROM ts) >= 30 THEN INTERVAL 30 MINUTE " +
+        "ELSE INTERVAL 0 MINUTE END AS tb FROM events), " +
+        "w AS (SELECT event_type, value, " +
+        "CASE WHEN k = 1 THEN tb - INTERVAL 30 MINUTE ELSE tb END AS wstart " +
+        "FROM b CROSS JOIN (VALUES (0), (1)) t(k)) " +
+        "SELECT wstart, event_type, COUNT(*) AS n, " +
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value " +
+        "FROM w GROUP BY wstart, event_type ORDER BY wstart, event_type"),
+    "q54_knn_join" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5), " +
+        "scored AS (SELECT p.probe_id, e.vec_id AS neighbor_id, " +
+        "list_dot_product(e.v, p.pv) / (sqrt(list_dot_product(e.v, e.v)) * " +
+        "sqrt(list_dot_product(p.pv, p.pv))) AS raw " +
+        "FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id), " +
+        "r AS (SELECT probe_id, neighbor_id, raw, ROW_NUMBER() OVER " +
+        "(PARTITION BY probe_id ORDER BY raw DESC, neighbor_id) AS rank FROM scored) " +
+        "SELECT probe_id, neighbor_id, ROUND(raw, 4) AS score, rank FROM r " +
+        "WHERE rank <= 3 ORDER BY probe_id, rank"),
+    "q55_dup_clusters" ->
+      // transitive closure (recursive CTE) over the q30 pair graph;
+      // cluster id = min reachable node — identical to min-label
+      // propagation's fixpoint
+      ("WITH RECURSIVE toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+        "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), " +
+        "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
+        "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 " +
+        "WHERE len(a.ts) > 0 AND len(b.ts) > 0), " +
+        "p AS (SELECT d1, d2 FROM j WHERE jac >= 0.8), " +
+        "nodes AS (SELECT d1 AS id FROM p UNION SELECT d2 FROM p), " +
+        "edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p), " +
+        "reach(id, lbl) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id) " +
+        "SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+    "q56_salted_join" ->
+      // the plain join: salting must be invisible in the result
+      ("SELECT o_orderpriority, COUNT(*) AS n, " +
+        "ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) " +
+        "AS DOUBLE), 4) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q57_interval_funnel" ->
+      ("SELECT s.user_id, COUNT(*) AS n_pairs, " +
+        "ROUND(CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value " +
+        "FROM events s JOIN events p ON s.user_id = p.user_id " +
+        "WHERE s.event_type = 'signup' AND p.event_type = 'purchase' " +
+        "AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 30 MINUTE " +
+        "GROUP BY s.user_id ORDER BY s.user_id"),
     "q51_multimodal_binary" ->
       // ASCII corpus: char positions == byte positions, so VARCHAR substr
       // replays the engine's byte-based binary slicing exactly

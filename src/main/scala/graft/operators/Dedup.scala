@@ -235,6 +235,55 @@ object Dedup {
   }
 
   /**
+   * Duplicate-cluster assignment from a pair list: connected components
+   * of the (undirected) duplicate graph via min-label propagation, so a
+   * chain a~b, b~c lands all three in ONE cluster — the step that turns
+   * near-dup PAIRS (`nearDupPairs` et al.) into the thing a training-data
+   * pipeline actually needs: one canonical representative per duplicate
+   * group (the cluster id IS the minimum member id).
+   *
+   * Output: (id, cluster_id), one row per distinct id appearing in
+   * `pairs`; singleton documents never enter the pair list and keep
+   * themselves by construction.
+   *
+   * Iterates label = min(label, min over neighbors' labels) to fixpoint —
+   * the standard Pregel-style CC. Rounds = graph diameter; duplicate
+   * clusters are near-cliques (diameter 2–3), so convergence is fast
+   * regardless of corpus size. Each round is one equi-join + one
+   * hash-aggregate on the EDGE list (a vanishing fraction of the corpus),
+   * never the corpus itself; `localCheckpoint` cuts the growing lineage
+   * so round N's plan does not replay rounds 1..N−1. The convergence
+   * `count()` is control-plane (one long per round), not a data collect.
+   */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                  maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .union(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("__src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = edges.join(labels, edges("__dst") === labels("id"))
+        .select(edges("__src").as("id"), col("cluster_id"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster_id", "__old"), "id")
+        .filter(col("cluster_id") =!= col("__old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"dupClusters did not converge in $maxIters rounds — " +
+      "graph diameter exceeds the bound; raise maxIters")
+    labels
+  }
+
+  /**
    * Distinct hashed shingle rows: (doc id, 64-bit shingle hash), one
    * row per distinct n-token window per document. The codegen-friendly
    * backbone of near-dup detection: `posexplode` the tokens, slide the

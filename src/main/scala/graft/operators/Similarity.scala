@@ -57,6 +57,41 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /**
+   * Batch kNN join — exact cosine top-k neighbors for EVERY probe
+   * vector at once (the training-data-pipeline shape: score a query
+   * batch, not one target id). Output one row per (probe, neighbor)
+   * with `rank` 1..k, self-matches excluded.
+   *
+   * Scale shape: the probe set broadcasts (its vectors never shuffle),
+   * scoring is one map-side scan of the corpus — |probes| dot products
+   * per corpus row inside whole-stage codegen — and the only shuffle is
+   * the per-probe ranking, carrying bare (probe_id, id, score) triples
+   * (~24 B × N × |probes|), never a vector. For probe batches too large
+   * to broadcast, chunk the probe set and union — each chunk keeps this
+   * plan; at 100 TB the candidate scan drops in for an LSH/IVF-pruned
+   * one (`lshTopK`/`ivfTopK`) with the same ranking tail.
+   *
+   * Ranking is deterministic: (raw score desc, neighbor id asc). The raw
+   * cosine operand tree matches `cosineTopK`'s, so an external oracle
+   * reproduces the exact ranking.
+   *
+   * @param probes subset of rows carrying (idCol, vecCol) to query for
+   */
+  def knnJoin(emb: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+              k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+    val scored = emb
+      .crossJoin(broadcast(p))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        cosine(col(vecCol), col("__pv")).as("__raw"))
+    Relational.topKPerGroup(scored, Seq("probe_id"),
+        Seq(col("__raw").desc, col("neighbor_id").asc), k, rankCol = Some("rank"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("__raw"), 4).as("score"), col("rank"))
+  }
+
   /** Seeded ±1 random-hyperplane coefficients for sign-LSH: `planes`
     * rows × `dim` columns. Deterministic (fixed seed) so the same
     * planes can be inlined into an external oracle's SQL. */

@@ -55,6 +55,32 @@ object StreamingOps {
   }
 
   /**
+   * Watermarked sliding-window aggregate — the third ST7 window shape
+   * beside tumbling (`tumblingAgg`) and session (`sessionAgg`): each
+   * event lands in `windowDuration / slideDuration` overlapping
+   * windows (the PromQL `rate(x[1m])` evaluated every 30 s shape).
+   * Same NTZ⇄TIMESTAMP treatment and batch/streaming duality as
+   * `tumblingAgg`.
+   *
+   * State at scale: (horizon / slideDuration) × |keys| window rows —
+   * a factor duration/slide more than tumbling; keep the slide coarse
+   * enough that the multiplier stays small.
+   */
+  def slidingAgg(events: DataFrame, tsCol: String, windowDuration: String,
+                 slideDuration: String, watermarkDelay: String,
+                 keyCols: Seq[String], valueCol: String): DataFrame = {
+    val evt = "__evt"
+    events
+      .withColumn(evt, col(tsCol).cast("timestamp"))
+      .withWatermark(evt, watermarkDelay)
+      .groupBy(window(col(evt), windowDuration, slideDuration) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol).cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("wstart") +:
+        keyCols.map(col) :+ col("n") :+ col("sum_value"): _*)
+  }
+
+  /**
    * Watermarked session-window count — the streaming twin of Q23
    * (30-minute-gap sessions). Same NTZ⇄TIMESTAMP treatment as
    * `tumblingAgg`. In append mode a session emits once the watermark

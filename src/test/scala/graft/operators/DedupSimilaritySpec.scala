@@ -60,6 +60,65 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
       .orderBy("d1", "d2")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
 
+  test("dupClusters: transitive chains collapse, disjoint groups stay apart") {
+    val ss = spark
+    import ss.implicits._
+    // chain 1-2-3 (diameter 2), pair 10-11, long path 20-21-...-26
+    // (diameter 6 — exercises multi-round convergence)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20L until 26L).map(i => (i, i + 1))).toDF("d1", "d2")
+    val got = Dedup.dupClusters(pairs, "d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = (Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)) ++
+      (20L to 26L).map(i => (i, 20L))).sorted
+    got should contain theSameElementsInOrderAs want
+  }
+
+  test("dupClusters on q30's sf0.001 pairs matches per-component minima") {
+    val d = Tables.documents(spark, sf0001)
+    val pairs = Dedup.nearDupPairs(d, "doc_id", "text",
+      threshold = 0.8, shingleWidth = 3, bands = 16, rowsPerBand = 3)
+    val edges = pairs.select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find on the collected (small) pair list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => (k, find(k))).toSeq.sorted
+    val got = Dedup.dupClusters(pairs, "d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    got should contain theSameElementsInOrderAs want
+    got.length should be > 0
+  }
+
+  test("knnJoin per-probe rows equal the per-probe brute-force raw-ranked top-k") {
+    val e = Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val got = Similarity.knnJoin(e, e.filter(col("vec_id") < 4), "vec_id", "e", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    got.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    for ((probe, rows) <- got) {
+      // brute force with knnJoin's own ranking contract: RAW score desc,
+      // id asc (cosineTopK ranks by the rounded score — not comparable
+      // when two raw scores collide at 4 decimals)
+      val t = e.filter(col("vec_id") === probe).agg(min(col("e")).as("__t"))
+      val raw = Similarity.cosine(col("e"), col("__t"))
+      val want = e.filter(col("vec_id") =!= probe).crossJoin(broadcast(t))
+        .select(col("vec_id"), round(raw, 4).as("score"), raw.as("__raw"))
+        .orderBy(col("__raw").desc, col("vec_id")).limit(5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      rows.sortBy(_._4).map(r => (r._2, r._3)) should contain theSameElementsInOrderAs want
+    }
+  }
+
   test("simhashNearDupPairs equals brute-force hamming pairs (pigeonhole is lossless)") {
     val d = Tables.documents(spark, sf0001)
     val banded = Dedup.simhashNearDupPairs(d, "doc_id", "text", maxHamming = 3)

@@ -68,6 +68,35 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.length should be > 0
   }
 
+  test("streaming slidingAgg (complete mode, 2 micro-batches) equals batch q53") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventRows
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.slidingAgg(input.toDF(), "ts", "1 hour",
+        "30 minutes", "10 minutes", Seq("event_type"), "value")
+      .writeStream.format("memory").queryName("t53_complete")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      input.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("t53_complete")
+      .orderBy("wstart", "event_type")
+      .collect().map(r => (r.getAs[LocalDateTime]("wstart"), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = Queries.q53(spark, sf0001)
+      .collect().map(r => (r.getAs[LocalDateTime]("wstart"), r.getString(1), r.getLong(2), r.getDouble(3)))
+    got should contain theSameElementsInOrderAs want
+    got.length should be > 0
+  }
+
   test("dedupStream drops replayed keys across micro-batches, keeps first arrival") {
     val ss = spark
     import ss.implicits._
