@@ -11,8 +11,11 @@ object PlanAudit {
     // q46's centroid table (IVF assignment is O(N·C) by definition, with
     // C bounded ≈ √N): a broadcast nested loop over a tiny side is a
     // constant factor, not a scale risk. Flag only the rest.
+    // q54: the broadcast probe BATCH (bounded query set) — scoring is
+    // map-side by design; the ranking shuffle carries only scored triples
     val intentional1Row = Set("q04_incremental_hwm", "q27_cosine_topk",
-      "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id")
+      "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
+      "q54_knn_join")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val flags = Seq(

@@ -847,7 +847,9 @@ object Queries {
       lit("\",type=\""), col("event_type"), lit("\"} "),
       col("value").cast("string"), lit(" "),
       unix_millis(col("ts").cast("timestamp")).cast("string"))
-    PromText.parse(e.select(line.as("value")), "value")
+    // regex-parse is the dominant per-row cost: fan the under-split
+    // single-row-group fixture out so it runs on all cores
+    PromText.parse(Tables.fanOut(e.select(line.as("value"))), "value")
       .groupBy(col("name"),
         element_at(col("labels"), "user").cast("long").as("user_id"),
         element_at(col("labels"), "type").as("event_type"))

@@ -22,6 +22,22 @@ object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
+  /** Fan an under-split input out to the session's parallelism. The
+    * driver's fixtures are single-row-group parquet files — Spark's
+    * byte-range splitting can never yield more than one non-empty scan
+    * task for them, so a pre-shuffle pipeline runs on ONE core. One
+    * round-robin pass fixes that — worth it ONLY in front of operators
+    * whose per-row work dwarfs an exchange (byte-shingling, regex
+    * parsing); a blanket fan-out measurably SLOWS the cheap scan-agg
+    * queries (extra exchange ≫ saved compute). At production scale
+    * inputs have many splits, `getNumPartitions >= target` holds, and
+    * this is a no-op. Catalyst still pushes filters and pruning through
+    * the Repartition node into the scan. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")

@@ -298,23 +298,47 @@ object Dedup {
   def shingleHashRows(docs: DataFrame, idCol: String, textCol: String,
                       shingleWidth: Int, charLevel: Boolean = false): DataFrame = {
     require(shingleWidth >= 1, "shingle width must be >= 1")
-    // char-level: shingles slide over characters (n-gram Jaccard, robust
-    // to word-boundary edits); word-level: over space tokens
-    val units =
-      if (charLevel) filter(split(normText(col(textCol)), ""), c => c =!= "")
-      else split(normText(col(textCol)), " ")
-    val toks = docs.select(col(idCol).as("__id"),
-        posexplode(units).as(Seq("__pos", "__t0")))
-    val w = Window.partitionBy("__id").orderBy("__pos")
-    val leads = (1 until shingleWidth)
-      .map(k => lead(col("__t0"), k).over(w).as(s"__t$k"))
-    val withW = toks.select(col("__id") +: col("__t0") +: leads: _*)
-    val lastTok = col(s"__t${shingleWidth - 1}")
-    withW
-      .filter(lastTok.isNotNull) // windows running off the end
-      .select(col("__id"),
-        xxhash64((0 until shingleWidth).map(k => col(s"__t$k")): _*).as("__sh"))
-      .distinct()
+    if (charLevel) {
+      // Byte-level sliding windows over the normalized text as BINARY:
+      // `substring` on BinaryType slices bytes in O(width) (unlike
+      // VARCHAR substr, which rescans codepoints from the start — O(n)
+      // per call), so each window is one cheap codegen'd slice and the
+      // whole computation needs NO shuffle before the final distinct.
+      // The previous shape (posexplode chars + 9× lead() over a per-doc
+      // window) paid a full sort-shuffle of one row PER CHARACTER —
+      // measured 6.7 s → 2.6 s at sf0.1 for q52. On ASCII corpora
+      // (asserted by the corpus invariant test) byte windows ARE char
+      // windows; on multi-byte text this is byte-n-gram Jaccard — the
+      // standard bytes-level fingerprint, and documented as such.
+      val bin = normText(col(textCol)).cast("binary")
+      val nWin = octet_length(bin) - (shingleWidth - 1)
+      // under-split inputs serialize the whole slice+hash pipeline on one
+      // core (single-row-group test fixtures); no-op on real layouts
+      graft.core.Tables.fanOut(docs)
+        .select(col(idCol).as("__id"), bin.as("__b"),
+          explode(when(nWin >= 1, sequence(lit(1), nWin))
+            .otherwise(array().cast("array<int>"))).as("__pos"))
+        .select(col("__id"),
+          xxhash64(col("__b").substr(col("__pos"), lit(shingleWidth))).as("__sh"))
+        .distinct()
+    } else {
+      // word-level: shingles slide over space tokens via lead() — token
+      // counts per doc are ~10× smaller than char counts, and the
+      // window shuffle doubles as the distinct's partitioning
+      val units = split(normText(col(textCol)), " ")
+      val toks = docs.select(col(idCol).as("__id"),
+          posexplode(units).as(Seq("__pos", "__t0")))
+      val w = Window.partitionBy("__id").orderBy("__pos")
+      val leads = (1 until shingleWidth)
+        .map(k => lead(col("__t0"), k).over(w).as(s"__t$k"))
+      val withW = toks.select(col("__id") +: col("__t0") +: leads: _*)
+      val lastTok = col(s"__t${shingleWidth - 1}")
+      withW
+        .filter(lastTok.isNotNull) // windows running off the end
+        .select(col("__id"),
+          xxhash64((0 until shingleWidth).map(k => col(s"__t$k")): _*).as("__sh"))
+        .distinct()
+    }
   }
 
   /**
