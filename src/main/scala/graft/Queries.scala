@@ -974,6 +974,37 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Q58 multimodal decode pipeline (north star): documents as opaque
+    * binary Assets → `Multimodal.decodeFeatures` — the typed
+    * `mapPartitions` seam where a real media decoder plugs in (the
+    * Scala analogue of `mapInPandas`; decode itself is the deterministic
+    * stub histogram) → features joined back to metadata → per-lang
+    * stats over exact integer histogram bins. The one query whose hot
+    * path is intentionally NOT a Catalyst expression — it gates the
+    * partition-batched typed-Dataset plumbing itself. Oracle replays
+    * the byte histogram via per-char codepoint arithmetic (ASCII
+    * corpus: bytes are chars, enforced by the corpus invariant test). */
+  val q58: Q = (s, dir) => {
+    import graft.multimodal.{Asset, Multimodal}
+    val d = Tables.documents(s, dir)
+    val assets = d.select(
+        col("doc_id").as("asset_id"), lit("text/plain").as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[Asset](org.apache.spark.sql.Encoders.product[Asset])
+    Multimodal.decodeFeatures(assets).toDF()
+      .join(d.select(col("doc_id"), col("lang")), col("asset_id") === col("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(sum(dec6(col("mean_byte"))).cast("double"), 4).as("sum_mean"),
+        // bins 3 (digits 48-57), 6-7 (lowercase 96-127): exact longs
+        sum(element_at(col("histogram"), 4)).as("h3"),
+        sum(element_at(col("histogram"), 7)).as("h6"),
+        sum(element_at(col("histogram"), 8)).as("h7"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1034,6 +1065,7 @@ object Queries {
     "q55_dup_clusters" -> q55,
     "q56_salted_join" -> q56,
     "q57_interval_funnel" -> q57,
+    "q58_multimodal_decode" -> q58,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1386,6 +1418,21 @@ object Queries {
         "WHERE s.event_type = 'signup' AND p.event_type = 'purchase' " +
         "AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 30 MINUTE " +
         "GROUP BY s.user_id ORDER BY s.user_id"),
+    "q58_multimodal_decode" ->
+      // per-char codepoint arithmetic replays the stub decoder's byte
+      // histogram exactly (ASCII: 1 char = 1 byte, codepoint = byte)
+      ("WITH c AS (SELECT doc_id, lang, length(text) AS n_bytes, " +
+        "unnest(str_split(text, '')) AS ch FROM documents), " +
+        "per AS (SELECT doc_id, lang, n_bytes, " +
+        "CAST(SUM(ord(ch)) AS DOUBLE) / n_bytes AS mean_byte, " +
+        "SUM(CASE WHEN ord(ch) // 16 = 3 THEN 1 ELSE 0 END) AS h3, " +
+        "SUM(CASE WHEN ord(ch) // 16 = 6 THEN 1 ELSE 0 END) AS h6, " +
+        "SUM(CASE WHEN ord(ch) // 16 = 7 THEN 1 ELSE 0 END) AS h7 " +
+        "FROM c GROUP BY doc_id, lang, n_bytes) " +
+        "SELECT lang, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, " +
+        "ROUND(CAST(SUM(CAST(mean_byte AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_mean, " +
+        "CAST(SUM(h3) AS BIGINT) AS h3, CAST(SUM(h6) AS BIGINT) AS h6, " +
+        "CAST(SUM(h7) AS BIGINT) AS h7 FROM per GROUP BY lang ORDER BY lang"),
     "q51_multimodal_binary" ->
       // ASCII corpus: char positions == byte positions, so VARCHAR substr
       // replays the engine's byte-based binary slicing exactly
