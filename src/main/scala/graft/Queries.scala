@@ -1005,6 +1005,29 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q59 JMX-exporter relabel (§2.9 — the reference's
+    * kafka-connect.yml:6-106 rule list): raw MBean-style metric names →
+    * renamed series + regex-extracted label columns via `Relabel.relabel`
+    * (rename + capture-group labels in the scan projection, no shuffle
+    * until the aggregate), then a sum-by over the extracted labels. The
+    * raw names are constructed from events columns so the oracle can
+    * rebuild and relabel them with the identical RE2-safe pattern. */
+  val q59: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val raw = concat(
+      lit("kafka.connect<type=task-metrics, connector="), col("event_type"),
+      lit(", task="), pmod(col("user_id"), lit(4L)), lit("><>poll-total"))
+    graft.obs.Relabel.relabel(
+        e.select(raw.as("raw"), col("value")), "raw",
+        "kafka\\.connect<type=task-metrics, connector=([a-z]+), task=([0-9]+)><>poll-total",
+        "kafka_connect_task_poll_total",
+        Map("connector" -> 1, "task" -> 2))
+      .groupBy("name", "connector", "task")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec6(col("value"))).cast("double"), 4).as("sum_value"))
+      .orderBy("name", "connector", "task")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1066,6 +1089,7 @@ object Queries {
     "q56_salted_join" -> q56,
     "q57_interval_funnel" -> q57,
     "q58_multimodal_decode" -> q58,
+    "q59_jmx_relabel" -> q59,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1433,6 +1457,20 @@ object Queries {
         "ROUND(CAST(SUM(CAST(mean_byte AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_mean, " +
         "CAST(SUM(h3) AS BIGINT) AS h3, CAST(SUM(h6) AS BIGINT) AS h6, " +
         "CAST(SUM(h7) AS BIGINT) AS h7 FROM per GROUP BY lang ORDER BY lang"),
+    "q59_jmx_relabel" ->
+      // rebuild the raw MBean names, relabel with the same RE2-safe
+      // pattern (literal rename template, no group refs — Java regex and
+      // RE2 agree), sum by the extracted labels
+      ("WITH m AS (SELECT 'kafka.connect<type=task-metrics, connector=' || event_type || " +
+        "', task=' || CAST(user_id % 4 AS VARCHAR) || '><>poll-total' AS raw, value FROM events), " +
+        "r AS (SELECT regexp_replace(raw, " +
+        "'kafka\\.connect<type=task-metrics, connector=([a-z]+), task=([0-9]+)><>poll-total', " +
+        "'kafka_connect_task_poll_total') AS name, " +
+        "regexp_extract(raw, 'connector=([a-z]+)', 1) AS connector, " +
+        "regexp_extract(raw, 'task=([0-9]+)', 1) AS task, value FROM m) " +
+        "SELECT name, connector, task, COUNT(*) AS n, " +
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value " +
+        "FROM r GROUP BY name, connector, task ORDER BY name, connector, task"),
     "q51_multimodal_binary" ->
       // ASCII corpus: char positions == byte positions, so VARCHAR substr
       // replays the engine's byte-based binary slicing exactly
