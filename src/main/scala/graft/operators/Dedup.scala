@@ -71,7 +71,7 @@ object Dedup {
    * runs interpreted — measured ~8× slower.) Output: (idCol, __code).
    */
   def simhashCodes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
+    val toks = graft.core.Tables.fanOut(docs).select(col(idCol),
       explode(split(normText(col(textCol)), " ")).as("__t"))
     val h = xxhash64(col("__t"))
     val votes = (0 until 64).map { b =>
@@ -108,7 +108,10 @@ object Dedup {
   def portableSimhashCodes(docs: DataFrame, idCol: String, textCol: String,
                            bits: Int = 60): DataFrame = {
     require(bits >= 1 && bits <= 62, "bits must be in [1, 62]")
-    val toks = docs.select(col(idCol),
+    // fan under-split inputs out: the 60-column vote partial-aggregate
+    // below otherwise runs on the scan's single core (test fixtures are
+    // single-row-group parquet; no-op on real multi-split layouts)
+    val toks = graft.core.Tables.fanOut(docs).select(col(idCol),
       explode(filter(split(normText(col(textCol)), " "), t => t =!= "")).as("__t"))
     val chars = transform(filter(split(col("__t"), ""), c => c =!= ""),
       c => ascii(c).cast("long"))
@@ -369,7 +372,14 @@ object Dedup {
                    bands: Int = 16, rowsPerBand: Int = 3,
                    charLevel: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
+    // The shingle rows feed THREE consumers (signature aggregate + both
+    // sides of the intersection join); localCheckpoint materializes them
+    // once instead of recomputing the shingle pipeline per consumer
+    // (block-manager storage, reclaimed by the ContextCleaner when the
+    // plan is dropped). At scale this is the standard persist point —
+    // the materialized rows are (id, 8 B hash), not text.
     val sh = shingleHashRows(docs, idCol, textCol, shingleWidth, charLevel)
+      .localCheckpoint()
 
     // one codegen'd aggregate: k min-hash columns + the distinct count
     val sigCols = (0 until k).map(j => min(xxhash64(lit(j.toLong), col("__sh"))).as(s"__m$j"))
