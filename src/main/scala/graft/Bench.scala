@@ -45,8 +45,9 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // -------- timed passes: min of 2 per query (single runs on a busy
-    // 32-thread JVM show multi-second GC/scheduling outliers)
+    // -------- timed passes: min of 3 per query (single runs on a busy
+    // shared box show multi-second GC/scheduling outliers — BENCH_r05
+    // recorded one query 10× over its quiet-box time even at min-of-2)
     var failed = List.empty[String]
     val results = queries.flatMap { case (name, fn) =>
       def once(): Option[Double] = {
@@ -60,10 +61,11 @@ object Bench {
             None
         }
       }
-      (once(), once()) match {
-        case (Some(a), Some(b)) => Some(name -> math.min(a, b))
-        case (Some(a), None) => failed ::= name; Some(name -> a)
-        case (None, _) => failed ::= name; None
+      val runs = Seq(once(), once(), once()).flatten
+      if (runs.isEmpty) { failed ::= name; None }
+      else {
+        if (runs.length < 3) failed ::= name
+        Some(name -> runs.min)
       }
     }
 

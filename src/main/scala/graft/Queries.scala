@@ -1028,6 +1028,27 @@ object Queries {
       .orderBy("name", "connector", "task")
   }
 
+  /** Q60 full dedup pipeline (north star capstone): the complete corpus
+    * dedup a training-data pipeline runs — exact dedup (128-bit hash
+    * survivors) → near-dup pair detection over the survivors → connected-
+    * component clustering → keep only each cluster's canonical (minimum)
+    * member → per-lang corpus stats. q25/q30/q55 gate the stages; this
+    * gates their composition end to end. */
+  val q60: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val exact = d.join(Dedup.exactSurvivors(d, "doc_id", "text"), "doc_id")
+    val clusters = Dedup.dupClusters(
+      Dedup.nearDupPairs(exact, "doc_id", "text",
+        threshold = 0.8, shingleWidth = 3, bands = 16, rowsPerBand = 3),
+      "d1", "d2")
+    val dropIds = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    exact.join(dropIds, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1090,6 +1111,7 @@ object Queries {
     "q57_interval_funnel" -> q57,
     "q58_multimodal_decode" -> q58,
     "q59_jmx_relabel" -> q59,
+    "q60_dedup_pipeline" -> q60,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1471,6 +1493,30 @@ object Queries {
         "SELECT name, connector, task, COUNT(*) AS n, " +
         "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value " +
         "FROM r GROUP BY name, connector, task ORDER BY name, connector, task"),
+    "q60_dedup_pipeline" ->
+      // exact survivors → near-dup pairs over survivors → recursive-CTE
+      // closure → drop non-canonical members → per-lang stats
+      ("WITH RECURSIVE surv AS (SELECT MIN(doc_id) AS doc_id FROM documents " +
+        "GROUP BY lower(trim(text))), " +
+        "docs2 AS (SELECT d.* FROM documents d JOIN surv USING (doc_id)), " +
+        "toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM docs2), " +
+        "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+        "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), " +
+        "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
+        "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 " +
+        "WHERE len(a.ts) > 0 AND len(b.ts) > 0), " +
+        "p AS (SELECT d1, d2 FROM j WHERE jac >= 0.8), " +
+        "nodes AS (SELECT d1 AS id FROM p UNION SELECT d2 FROM p), " +
+        "edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p), " +
+        "reach(id, lbl) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
+        "cc AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id) " +
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM docs2 WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id) " +
+        "GROUP BY lang ORDER BY lang"),
     "q51_multimodal_binary" ->
       // ASCII corpus: char positions == byte positions, so VARCHAR substr
       // replays the engine's byte-based binary slicing exactly

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+/**
+ * Physical-plan regression tests (SURVEY §4): the plan PROPERTIES each
+ * query's 100 TB posture depends on, pinned under `sbt test` so a
+ * refactor that silently trades them away (a lost pushdown, a join that
+ * degrades to a nested loop, a vanished broadcast) fails here rather
+ * than surfacing as a bench regression three rounds later.
+ */
+class PlanQualitySpec extends SparkTestBase with Matchers {
+
+  private def plan(q: Queries.Q): String =
+    q(spark, sf0001).queryExecution.executedPlan.toString
+
+  // Queries whose BroadcastNestedLoopJoin is a deliberate 1-row/tiny-side
+  // broadcast (hwm aggregates, kNN targets/thresholds, IVF centroids,
+  // q54's bounded probe batch) — same whitelist as the PlanAudit dev tool.
+  private val intentionalBnl = Set("q04_incremental_hwm", "q27_cosine_topk",
+    "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
+    "q54_knn_join")
+
+  test("no query plans a CartesianProduct; BNL joins only where intended") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+      val flags =
+        (if (p.contains("CartesianProduct")) Seq("CartesianProduct") else Nil) ++
+        (if (p.contains("BroadcastNestedLoopJoin") && !intentionalBnl(name))
+          Seq("BroadcastNestedLoopJoin") else Nil)
+      if (flags.isEmpty) None else Some(s"$name: ${flags.mkString(",")}")
+    }
+    offenders shouldBe empty
+  }
+
+  test("no query shuffles the document body (text column in a hash exchange)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+      val hit = p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("text#"))
+      if (hit) Some(name) else None
+    }
+    offenders shouldBe empty
+  }
+
+  test("q03: the date predicate is pushed into the parquet scan") {
+    val p = plan(Queries.q03)
+    p should include("PushedFilters")
+    p should include regex "PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\]"
+  }
+
+  test("q01: the scan reads only the projected columns") {
+    val p = plan(Queries.q01)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    readSchema should include("l_orderkey")
+    readSchema should include("l_linenumber")
+    // a pruned scan must not drag the wide columns along
+    readSchema should not include "l_comment"
+    readSchema should not include "l_extendedprice"
+  }
+
+  test("q07: the dim side joins via broadcast hash join") {
+    plan(Queries.q07) should include("BroadcastHashJoin")
+  }
+
+  test("q18: top-k plans as TakeOrderedAndProject, not a global sort") {
+    plan(Queries.q18) should include("TakeOrderedAndProject")
+  }
+
+  test("q11: the range join is a bucketed equi-join, not a nested loop") {
+    val p = plan(Queries.q11)
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+}
