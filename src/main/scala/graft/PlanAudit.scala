@@ -15,7 +15,7 @@ object PlanAudit {
     // map-side by design; the ranking shuffle carries only scored triples
     val intentional1Row = Set("q04_incremental_hwm", "q27_cosine_topk",
       "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
-      "q54_knn_join")
+      "q54_knn_join", "q61_gapfill")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val flags = Seq(

@@ -1049,6 +1049,62 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q61 window gap-fill (§2.9 — Grafana's null-as-zero fill): the
+    * complete (hour × event_type) grid over the observed time range,
+    * with zero counts where no events landed. The grid is a broadcast-
+    * sized dimension cross product (|hours| × |types|, derived from two
+    * 1-row/tiny aggregates — never corpus-sized), left-joined to the
+    * real counts: the standard dense-timeline shape dashboards need. */
+  val q61: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val hours = e
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+        .as("wstart"))
+    val types = e.select("event_type").distinct()
+    val counts = e
+      .groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    hours.crossJoin(broadcast(types))
+      .join(counts, Seq("wstart", "event_type"), "left")
+      .select(col("wstart"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("wstart", "event_type")
+  }
+
+  /** Q62 pivot (§2.4 — the wide-format aggregation surface): per-user
+    * event counts pivoted to one column per event type. The pivot value
+    * list is explicit (no discovery scan, deterministic column order);
+    * the oracle is the equivalent conditional aggregation. */
+  val q62: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Q63 analytic window family (§2.5 breadth beside q15's row_number/
+    * rank, q16's frames, q17's lag): dense_rank, ntile quartiles,
+    * cume_dist (never divides by zero, unlike percent_rank on 1-row
+    * partitions) and a running first_value — all over one deterministic
+    * (date, key) order. */
+  val q63: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("dr"),
+        ntile(4).over(w).as("nt"),
+        round(cume_dist().over(w), 4).as("cd"),
+        first(col("o_orderkey"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1112,6 +1168,9 @@ object Queries {
     "q58_multimodal_decode" -> q58,
     "q59_jmx_relabel" -> q59,
     "q60_dedup_pipeline" -> q60,
+    "q61_gapfill" -> q61,
+    "q62_pivot" -> q62,
+    "q63_window_family" -> q63,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1517,6 +1576,32 @@ object Queries {
         "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
         "FROM docs2 WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id) " +
         "GROUP BY lang ORDER BY lang"),
+    "q61_gapfill" ->
+      ("WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo, " +
+        "date_trunc('hour', MAX(ts)) AS hi FROM events), " +
+        "hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS wstart FROM bounds), " +
+        "types AS (SELECT DISTINCT event_type FROM events), " +
+        "counts AS (SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT h.wstart, t.event_type, COALESCE(c.n, 0) AS n " +
+        "FROM hours h CROSS JOIN types t " +
+        "LEFT JOIN counts c ON c.wstart = h.wstart AND c.event_type = t.event_type " +
+        "ORDER BY h.wstart, t.event_type"),
+    "q62_pivot" ->
+      ("SELECT user_id, " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
+        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, " +
+        "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q63_window_family" ->
+      ("SELECT o_custkey, o_orderkey, DENSE_RANK() OVER w AS dr, NTILE(4) OVER w AS nt, " +
+        "ROUND(CUME_DIST() OVER w, 4) AS cd, " +
+        "FIRST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ok " +
+        "FROM orders WHERE o_custkey <= 200 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
     "q51_multimodal_binary" ->
       // ASCII corpus: char positions == byte positions, so VARCHAR substr
       // replays the engine's byte-based binary slicing exactly

@@ -17,9 +17,11 @@ class PlanQualitySpec extends SparkTestBase with Matchers {
   // Queries whose BroadcastNestedLoopJoin is a deliberate 1-row/tiny-side
   // broadcast (hwm aggregates, kNN targets/thresholds, IVF centroids,
   // q54's bounded probe batch) — same whitelist as the PlanAudit dev tool.
+  // q61's cross join is the (hours × types) dimension GRID — two tiny
+  // derived sides, never corpus-sized.
   private val intentionalBnl = Set("q04_incremental_hwm", "q27_cosine_topk",
     "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
-    "q54_knn_join")
+    "q54_knn_join", "q61_gapfill")
 
   test("no query plans a CartesianProduct; BNL joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

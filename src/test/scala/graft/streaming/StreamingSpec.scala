@@ -167,6 +167,45 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.length should be < Queries.q22(spark, sf0001).count().toInt
   }
 
+  test("dedupStream under the RocksDB state store matches the default-store result") {
+    // The 100 TB state posture: HDFS-backed in-memory state caps at the
+    // executor heap; RocksDB spills keyed state to local disk. Same
+    // query, same semantics — only the provider changes.
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = eventRows
+      val b1 = rows.take(40)
+      val b2 = rows.slice(20, 80)
+      val input = MemoryStream[Ev]
+      val query = StreamingOps.dedupStream(input.toDF(), "ts", "30 days",
+          Seq("event_id"))
+        .writeStream.format("memory").queryName("t_dedup_rocks")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt())
+        .start()
+      try {
+        input.addData(b1)
+        query.processAllAvailable()
+        input.addData(b2)
+        query.processAllAvailable()
+      } finally query.stop()
+
+      val got = spark.table("t_dedup_rocks")
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      got shouldBe rows.take(80).map(_.event_id).sorted
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("latestStateStream (mapGroupsWithState, 3 micro-batches) equals batch q24") {
     val ss = spark
     import ss.implicits._
