@@ -1106,6 +1106,26 @@ object Queries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Q64 schema-evolution merge (§2.6 / S3 topic-per-table landing):
+    * two differently-shaped entity tables union by NAME with missing
+    * columns null-padded (`unionByName(allowMissingColumns = true)`) —
+    * the merge a multi-table capture feed needs when schemas drift —
+    * then per-source presence stats. */
+  val q64: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        lit("customer").as("src"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+        col("s_acctbal").as("bal"), lit("supplier").as("src"))
+    c.unionByName(sup, allowMissingColumns = true)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n"),
+        count(col("bal")).as("n_bal"),
+        round(sum(dec6(coalesce(col("bal"), lit(0.0)))).cast("double"), 4).as("sum_bal"))
+      .orderBy("src")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1172,6 +1192,7 @@ object Queries {
     "q61_gapfill" -> q61,
     "q62_pivot" -> q62,
     "q63_window_family" -> q63,
+    "q64_schema_merge" -> q64,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1603,6 +1624,13 @@ object Queries {
         "FROM orders WHERE o_custkey <= 200 " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+    "q64_schema_merge" ->
+      ("WITH u AS (SELECT c_custkey AS id, c_name AS name, NULL::DOUBLE AS bal, " +
+        "'customer' AS src FROM customer " +
+        "UNION ALL SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier) " +
+        "SELECT src, COUNT(*) AS n, COUNT(bal) AS n_bal, " +
+        "ROUND(CAST(SUM(CAST(COALESCE(bal, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_bal " +
+        "FROM u GROUP BY src ORDER BY src"),
     "q51_multimodal_binary" ->
       // ASCII corpus: char positions == byte positions, so VARCHAR substr
       // replays the engine's byte-based binary slicing exactly
