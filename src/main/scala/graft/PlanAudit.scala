@@ -3,19 +3,21 @@ package graft
 // plan for scale anti-patterns — unintended BroadcastNestedLoopJoin /
 // CartesianProduct, and text/body columns appearing in shuffle exchanges.
 object PlanAudit {
+  // Cross joins against small broadcast sides are intentional in these
+  // queries — 1-row aggregates (hwm, kNN thresholds, LSH targets),
+  // q46's centroid table (IVF assignment is O(N·C) by definition, with
+  // C bounded ≈ √N), q54's bounded probe batch, and q61's (hours ×
+  // types) dimension grid: a broadcast nested loop over a tiny side is
+  // a constant factor, not a scale risk. Flag only the rest.
+  // Shared with PlanQualitySpec — ONE list, edited in one place.
+  val intentionalBnl: Set[String] = Set("q04_incremental_hwm", "q27_cosine_topk",
+    "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
+    "q54_knn_join", "q61_gapfill")
+
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    // Cross joins against small broadcast sides are intentional in these
-    // queries — 1-row aggregates (hwm, kNN thresholds, LSH targets) and
-    // q46's centroid table (IVF assignment is O(N·C) by definition, with
-    // C bounded ≈ √N): a broadcast nested loop over a tiny side is a
-    // constant factor, not a scale risk. Flag only the rest.
-    // q54: the broadcast probe BATCH (bounded query set) — scoring is
-    // map-side by design; the ranking shuffle carries only scored triples
-    val intentional1Row = Set("q04_incremental_hwm", "q27_cosine_topk",
-      "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
-      "q54_knn_join", "q61_gapfill")
+    val intentional1Row = intentionalBnl
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val flags = Seq(

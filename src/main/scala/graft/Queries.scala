@@ -999,7 +999,9 @@ object Queries {
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
         round(sum(dec6(col("mean_byte"))).cast("double"), 4).as("sum_mean"),
-        // bins 3 (digits 48-57), 6-7 (lowercase 96-127): exact longs
+        // byte/16 bins 3 (0x30-3F: digits + :;<=>?), 6 (0x60-6F) and
+        // 7 (0x70-7F) — the lowercase range plus adjacent punctuation;
+        // exact longs either way
         sum(element_at(col("histogram"), 4)).as("h3"),
         sum(element_at(col("histogram"), 7)).as("h6"),
         sum(element_at(col("histogram"), 8)).as("h7"))

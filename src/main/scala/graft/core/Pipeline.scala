@@ -121,6 +121,21 @@ object Pipeline {
     }
   }
 
+  /** Statically validate a streaming sink spec: known type + every
+    * option the `runStream` sink match will demand. Lets the registry
+    * reject a bad config BEFORE stopping a running pipeline — start()
+    * itself is the only failure left after this passes. */
+  def validateStreamSink(s: StageSpec): Unit = {
+    val required: Seq[String] = s.stageType match {
+      case "file"   => Seq("checkpoint", "path")
+      case "memory" => Seq("name", "checkpoint")
+      case "upsert" => Seq("path", "pk", "checkpoint")
+      case other =>
+        throw new IllegalArgumentException(s"unknown stream sink type '$other'")
+    }
+    required.foreach { k => s.option(k); () } // throws on a missing option
+  }
+
   /** Start a spec as a streaming query (ST1 checkpoint required for
     * durable sinks; ST4 trigger from `trigger.ms`, default 200 — the
     * reference's `poll.interval.ms`, README.md:100). */
@@ -151,9 +166,12 @@ object Pipeline {
         // the configured ordering plus a deterministic tie-breaker (hash
         // of the row): same-key rows with equal order values in one
         // micro-batch must pick the same winner on every replay, or the
-        // sink's total-order/idempotency contract breaks. MapType columns
-        // are excluded — Spark refuses to hash maps (unordered), and the
-        // remaining columns still pin a deterministic winner.
+        // sink's total-order/idempotency contract breaks. Spark refuses
+        // to hash MapType (unordered), so top-level maps enter the hash
+        // as sorted entry arrays — canonical, so two rows differing only
+        // in a map column still get distinct hashes. Only maps nested
+        // INSIDE deeper maps fall out of the hash (no canonical form
+        // expressible without reshaping the value type).
         import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
         def hasMap(dt: DataType): Boolean = dt match {
           case _: MapType    => true
@@ -161,8 +179,13 @@ object Pipeline {
           case a: ArrayType  => hasMap(a.elementType)
           case _             => false
         }
-        val hashable = df.schema.fields.collect {
-          case f if !hasMap(f.dataType) => col(f.name)
+        val hashable = df.schema.fields.flatMap { f =>
+          f.dataType match {
+            case m: MapType if !hasMap(m.keyType) && !hasMap(m.valueType) =>
+              Some(array_sort(map_entries(col(f.name))))
+            case dt if hasMap(dt) => None
+            case _ => Some(col(f.name))
+          }
         }.toSeq
         val order = s.optionOr("order", "__ts_ms").split(",").map(_.trim)
           .map(c => col(c).desc).toSeq ++

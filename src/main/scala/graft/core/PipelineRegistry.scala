@@ -49,8 +49,10 @@ final class PipelineRegistry(spark: SparkSession) {
     * `start()` itself (after the old query must be stopped — two queries
     * cannot share a checkpoint) is recorded as Failed for `status`. */
   def submit(spec: PipelineSpec): StreamingQuery = {
-    // analyze the new plan first; throws on a bad spec without side effects
+    // analyze the new plan AND statically validate the sink first;
+    // both throw on a bad spec without side effects
     Pipeline.build(spark, spec, streaming = true).schema
+    Pipeline.validateStreamSink(spec.sink)
     queries.remove(spec.name).foreach(q => if (q.isActive) q.stop())
     val q =
       try Pipeline.runStream(spark, spec)

@@ -34,8 +34,26 @@ object Tables {
     * this is a no-op. Catalyst still pushes filters and pruning through
     * the Repartition node into the scan. */
   def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch planning owns parallelism
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // File count, not df.rdd.getNumPartitions: building the RDD under AQE
+    // eagerly materializes upstream shuffle stages for non-leaf inputs.
+    // Non-file inputs (local relations, post-shuffle frames) report no
+    // files and pass through untouched — they are already parallel.
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= target) return df
+    // Fanning out is a SMALL-INPUT remedy: a few large files are better
+    // served by byte-range splits than by shipping every row through a
+    // round-robin exchange. Unknown schemes / unstattable files count as
+    // large (conservative pass-through).
+    val maxFanOutBytes = 1L << 30
+    val totalBytes = files.map { uri =>
+      try {
+        if (uri.startsWith("file:")) new java.io.File(new java.net.URI(uri)).length()
+        else maxFanOutBytes
+      } catch { case _: Exception => maxFanOutBytes }
+    }.sum
+    if (totalBytes < maxFanOutBytes) df.repartition(target) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")

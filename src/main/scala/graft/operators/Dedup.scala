@@ -376,10 +376,12 @@ object Dedup {
     // sides of the intersection join); localCheckpoint materializes them
     // once instead of recomputing the shingle pipeline per consumer
     // (block-manager storage, reclaimed by the ContextCleaner when the
-    // plan is dropped). At scale this is the standard persist point —
-    // the materialized rows are (id, 8 B hash), not text.
+    // plan is dropped). LAZY: materialization happens on the first
+    // action, so merely constructing/inspecting the returned plan costs
+    // nothing. At scale this is the standard persist point — the
+    // materialized rows are (id, 8 B hash), not text.
     val sh = shingleHashRows(docs, idCol, textCol, shingleWidth, charLevel)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // one codegen'd aggregate: k min-hash columns + the distinct count
     val sigCols = (0 until k).map(j => min(xxhash64(lit(j.toLong), col("__sh"))).as(s"__m$j"))

@@ -14,14 +14,9 @@ class PlanQualitySpec extends SparkTestBase with Matchers {
   private def plan(q: Queries.Q): String =
     q(spark, sf0001).queryExecution.executedPlan.toString
 
-  // Queries whose BroadcastNestedLoopJoin is a deliberate 1-row/tiny-side
-  // broadcast (hwm aggregates, kNN targets/thresholds, IVF centroids,
-  // q54's bounded probe batch) — same whitelist as the PlanAudit dev tool.
-  // q61's cross join is the (hours × types) dimension GRID — two tiny
-  // derived sides, never corpus-sized.
-  private val intentionalBnl = Set("q04_incremental_hwm", "q27_cosine_topk",
-    "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
-    "q54_knn_join", "q61_gapfill")
+  // Queries whose BroadcastNestedLoopJoin is a deliberate tiny-side
+  // broadcast — the ONE list shared with the PlanAudit dev tool.
+  private def intentionalBnl = PlanAudit.intentionalBnl
 
   test("no query plans a CartesianProduct; BNL joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -35,12 +30,23 @@ class PlanQualitySpec extends SparkTestBase with Matchers {
     offenders shouldBe empty
   }
 
-  test("no query shuffles the document body (text column in a hash exchange)") {
+  test("no query hash-shuffles the document body (text in a hash exchange's payload)") {
+    // Inspect the exchange CHILD's output (the shuffled payload), not the
+    // Exchange plan line — that line prints only partitioning keys, so a
+    // text column travelling as payload would slip past a string match.
+    // sparkPlan (pre-AQE) keeps ShuffleExchangeExec nodes collectable.
+    // Round-robin fan-out of an under-split SMALL input is exempt by
+    // design (Tables.fanOut — a no-op on real layouts).
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val p = fn(spark, sf0001).queryExecution.executedPlan.toString
-      val hit = p.linesIterator.exists(l =>
-        l.contains("Exchange hashpartitioning") && l.contains("text#"))
-      if (hit) Some(name) else None
+      val sp = fn(spark, sf0001).queryExecution.sparkPlan
+      val bad = sp.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] &&
+            e.child.output.exists(_.name == "text") => e
+      }
+      if (bad.nonEmpty) Some(name) else None
     }
     offenders shouldBe empty
   }

@@ -92,6 +92,19 @@ class PipelineRegistrySpec extends SparkTestBase with Matchers {
        |}""".stripMargin
     intercept[IllegalArgumentException](reg.submit(PipelineSpec.fromJson(bad)))
     reg.status("pkeep") shouldBe reg.Running
+
+    // a bad SINK (unknown type / missing required option) must be caught
+    // by the static sink validation, also without stopping the old query
+    val badSink = s"""{
+       |  "name": "pkeep",
+       |  "source": {"type": "file", "options": {
+       |    "format": "parquet", "path": "$inDir",
+       |    "schema": "id BIGINT, secret STRING"}},
+       |  "transforms": [],
+       |  "sink": {"type": "file", "options": {"format": "parquet", "path": "$out"}}
+       |}""".stripMargin // no checkpoint
+    intercept[IllegalArgumentException](reg.submit(PipelineSpec.fromJson(badSink)))
+    reg.status("pkeep") shouldBe reg.Running
     reg.drain("pkeep") shouldBe true
     spark.read.parquet(out).count() shouldBe 1
     reg.delete("pkeep") shouldBe true
