@@ -1128,6 +1128,20 @@ object Queries {
       .orderBy("src")
   }
 
+  /** Q65 right outer join (§2.3 — the last declared-but-unexercised
+    * equi-join member beside inner q05, left q08, semi q09, anti q10,
+    * full q43): suppliers right-joined to nation, so every nation
+    * appears even with zero suppliers in the filtered slice. */
+  val q65: Q = (s, dir) => {
+    val sup = Tables.supplier(s, dir).filter(col("s_acctbal") > 5000)
+    sup.join(Tables.nation(s, dir),
+        col("s_nationkey") === col("n_nationkey"), "right_outer")
+      .select(col("n_name"), col("s_suppkey"))
+      .groupBy("n_name")
+      .agg(count(col("s_suppkey")).as("n_suppliers"))
+      .orderBy("n_name")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1195,6 +1209,7 @@ object Queries {
     "q62_pivot" -> q62,
     "q63_window_family" -> q63,
     "q64_schema_merge" -> q64,
+    "q65_right_outer" -> q65,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1633,6 +1648,11 @@ object Queries {
         "SELECT src, COUNT(*) AS n, COUNT(bal) AS n_bal, " +
         "ROUND(CAST(SUM(CAST(COALESCE(bal, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_bal " +
         "FROM u GROUP BY src ORDER BY src"),
+    "q65_right_outer" ->
+      ("SELECT n_name, COUNT(s_suppkey) AS n_suppliers " +
+        "FROM (SELECT * FROM supplier WHERE s_acctbal > 5000) s " +
+        "RIGHT JOIN nation ON s_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
     "q51_multimodal_binary" ->
       // ASCII corpus: char positions == byte positions, so VARCHAR substr
       // replays the engine's byte-based binary slicing exactly

@@ -80,4 +80,20 @@ class PlanQualitySpec extends SparkTestBase with Matchers {
     p should not include "BroadcastNestedLoopJoin"
     p should not include "CartesianProduct"
   }
+
+  test("q20 scalar pipeline and q27's native DotProduct run inside whole-stage codegen") {
+    // The no-UDF policy's payoff: scalar chains fuse into generated
+    // code, including graft.functions.DotProduct (doGenCode) — a
+    // CodegenFallback expression in the hot path would break the span.
+    // AQE defers codegen insertion to per-stage runtime, so inspect the
+    // statically-prepared plan with AQE off.
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      // codegen'd operators print with the `*(n)` span marker
+      plan(Queries.q20) should include regex "\\*\\(\\d+\\) (Project|Filter)"
+      plan(Queries.q27) should include regex "\\*\\(\\d+\\) Project"
+    } finally spark.conf.set(key, prev)
+  }
 }
