@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 import graft.codec.Debezium
 import graft.core.{Pipeline, PipelineSpec, Tables}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{Dedup, Relational, Sampling, Similarity}
 import graft.sources.PromText
 import graft.streaming.StreamingOps
 
@@ -1142,6 +1142,22 @@ object Queries {
       .orderBy("n_name")
   }
 
+  /** Q66 deterministic sampling + stratified quotas (north star: data
+    * mixing): a 300‰ portable-hash sample of the corpus, then at most
+    * 25 documents per (lang) stratum by the same deterministic
+    * pseudo-random order (`Sampling`). No rand() — the oracle replays
+    * the identical selection with plain integer arithmetic. */
+  val q66: Q = (s, dir) => {
+    val sampled = Sampling.hashSample(Tables.documents(s, dir), "doc_id", permille = 300)
+    Sampling.stratifiedQuota(sampled, Seq("lang"), "doc_id", quota = 25)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1210,6 +1226,7 @@ object Queries {
     "q63_window_family" -> q63,
     "q64_schema_merge" -> q64,
     "q65_right_outer" -> q65,
+    "q66_sampling" -> q66,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1653,6 +1670,15 @@ object Queries {
         "FROM (SELECT * FROM supplier WHERE s_acctbal > 5000) s " +
         "RIGHT JOIN nation ON s_nationkey = n_nationkey " +
         "GROUP BY n_name ORDER BY n_name"),
+    "q66_sampling" ->
+      // identical integer arithmetic: selector = (id·2654435761) mod P,
+      // sample keeps s/P < 300/1000, quota ranks by (s, id) per lang
+      ("WITH sel AS (SELECT *, (doc_id * 2654435761) % 1000000007 AS s FROM documents), " +
+        "samp AS (SELECT * FROM sel WHERE s * 1000 < 300::BIGINT * 1000000007), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY s, doc_id) AS rn FROM samp) " +
+        "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+        "MIN(doc_id) AS min_id, MAX(doc_id) AS max_id " +
+        "FROM r WHERE rn <= 25 GROUP BY lang ORDER BY lang"),
     "q51_multimodal_binary" ->
       // ASCII corpus: char positions == byte positions, so VARCHAR substr
       // replays the engine's byte-based binary slicing exactly

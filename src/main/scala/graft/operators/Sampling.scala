@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic corpus sampling (north star: training-data mixing) —
+ * the subsampling/quota steps a data-mixture pipeline runs after dedup
+ * and quality filtering. No `rand()` anywhere: sampling decisions are
+ * pure functions of the row's id, so a re-run (or a replayed micro-batch)
+ * selects the identical subset, and an external engine can replay the
+ * exact sample.
+ *
+ * The selector is the portable multiplicative hash
+ * `(id · 2654435761) mod 1e9+7` (Knuth's 2^32/φ constant over the same
+ * prime the portable SimHash family uses — `Dedup.PortableHashP`):
+ * integer arithmetic under 2^62, bit-identical in any engine, and
+ * well-mixed across consecutive ids.
+ *
+ * Scale shape: `hashSample` is a pure filter — pushes into the scan
+ * projection, no shuffle, no state. `stratifiedQuota` is one ranking
+ * shuffle on the strata key (the same shape as per-group top-k), state
+ * bounded by quota × |strata|.
+ */
+object Sampling {
+
+  /** Portable per-id selector in [0, 1e9+7). */
+  def selector(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(Dedup.PortableHashP))
+
+  /**
+   * Keep ≈`permille`/1000 of rows, deterministically by id hash.
+   * Exactly reproducible: the same ids survive on every run and engine.
+   */
+  def hashSample(df: DataFrame, idCol: String, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille must be in [0, 1000]")
+    df.filter(selector(col(idCol)) * 1000 < lit(permille.toLong) * lit(Dedup.PortableHashP))
+  }
+
+  /**
+   * Exact per-stratum quotas (the data-mixture step: "at most K
+   * documents per language/source"): rank rows within each stratum by
+   * (selector, id) — a deterministic pseudo-random order — and keep the
+   * first `quota`. Strata smaller than the quota survive whole.
+   */
+  def stratifiedQuota(df: DataFrame, strataCols: Seq[String], idCol: String,
+                      quota: Int): DataFrame = {
+    require(quota >= 1, "quota must be >= 1")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(selector(col(idCol)), col(idCol))
+    val rn = "__sq_rn"
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= quota)
+      .drop(rn)
+  }
+}

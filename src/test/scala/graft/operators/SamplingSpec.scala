@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+import graft.core.Tables
+
+/** Deterministic sampling: reproducible selection, correct rates,
+  * exact quotas, whole-strata survival below quota. */
+class SamplingSpec extends SparkTestBase with Matchers {
+
+  test("hashSample is reproducible and rate-accurate") {
+    val d = Tables.documents(spark, sf0001)
+    val a = Sampling.hashSample(d, "doc_id", 300).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val b = Sampling.hashSample(d, "doc_id", 300).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    a should contain theSameElementsInOrderAs b
+    // multiplicative hashing: rate lands near the target on any id set
+    val rate = a.length.toDouble / d.count()
+    rate should be(0.3 +- 0.06)
+    // edge permilles
+    Sampling.hashSample(d, "doc_id", 0).count() shouldBe 0
+    Sampling.hashSample(d, "doc_id", 1000).count() shouldBe d.count()
+  }
+
+  test("stratifiedQuota keeps exactly min(quota, |stratum|) rows per stratum") {
+    val d = Tables.documents(spark, sf0001)
+    val perLang = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quota = 30
+    val kept = Sampling.stratifiedQuota(d, Seq("lang"), "doc_id", quota)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.keySet shouldBe perLang.keySet
+    for ((lang, n) <- perLang)
+      kept(lang) shouldBe math.min(quota.toLong, n)
+    // determinism: same subset both times
+    val a = Sampling.stratifiedQuota(d, Seq("lang"), "doc_id", quota)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.stratifiedQuota(d, Seq("lang"), "doc_id", quota)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    a should contain theSameElementsInOrderAs b
+  }
+
+  test("hashSample pushes the selector filter below the scan (no shuffle)") {
+    val d = Tables.documents(spark, sf0001)
+    val sp = Sampling.hashSample(d, "doc_id", 300).queryExecution.sparkPlan
+    sp.toString should not include "Exchange"
+  }
+}
