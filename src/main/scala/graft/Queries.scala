@@ -1158,6 +1158,17 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q67 weighted mixture sampling (north star: the data-mixing
+    * recipe): per-language sampling rates (en 500‰, de 300‰, fr 100‰,
+    * default 50‰) over the same portable selector as q66 — nested,
+    * reproducible samples; per-lang survivor stats. */
+  val q67: Q = (s, dir) =>
+    Sampling.mixtureSample(Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 500, "de" -> 300, "fr" -> 100), defaultPermille = 50)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1227,6 +1238,7 @@ object Queries {
     "q64_schema_merge" -> q64,
     "q65_right_outer" -> q65,
     "q66_sampling" -> q66,
+    "q67_mixture" -> q67,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1679,6 +1691,13 @@ object Queries {
         "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
         "MIN(doc_id) AS min_id, MAX(doc_id) AS max_id " +
         "FROM r WHERE rn <= 25 GROUP BY lang ORDER BY lang"),
+    "q67_mixture" ->
+      ("WITH sel AS (SELECT *, (doc_id * 2654435761) % 1000000007 AS s, " +
+        "CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 WHEN 'fr' THEN 100 " +
+        "ELSE 50 END AS rate FROM documents) " +
+        "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM sel WHERE s * 1000 < rate::BIGINT * 1000000007 " +
+        "GROUP BY lang ORDER BY lang"),
     "q51_multimodal_binary" ->
       // ASCII corpus: char positions == byte positions, so VARCHAR substr
       // replays the engine's byte-based binary slicing exactly

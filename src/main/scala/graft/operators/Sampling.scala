@@ -39,6 +39,26 @@ object Sampling {
   }
 
   /**
+   * Weighted mixture sampling — per-stratum rates (the actual data-
+   * mixing recipe: "500‰ of English, 300‰ of German, 50‰ of everything
+   * else"). Same portable selector, so the survivor set is exactly
+   * reproducible; a stratum's sample is a SUPERSET of any lower-rate
+   * sample of it (nested samples — raising a rate only adds documents,
+   * it never reshuffles the ones already chosen).
+   */
+  def mixtureSample(df: DataFrame, strataCol: String, idCol: String,
+                    permilleByStratum: Map[String, Int],
+                    defaultPermille: Int = 0): DataFrame = {
+    require((defaultPermille +: permilleByStratum.values.toSeq)
+      .forall(p => p >= 0 && p <= 1000), "permille values must be in [0, 1000]")
+    val rate = permilleByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille.toLong)) { case (acc, (k, v)) =>
+        when(col(strataCol) === k, lit(v.toLong)).otherwise(acc)
+      }
+    df.filter(selector(col(idCol)) * 1000 < rate * lit(Dedup.PortableHashP))
+  }
+
+  /**
    * Exact per-stratum quotas (the data-mixture step: "at most K
    * documents per language/source"): rank rows within each stratum by
    * (selector, id) — a deterministic pseudo-random order — and keep the

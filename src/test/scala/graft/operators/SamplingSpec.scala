@@ -44,6 +44,21 @@ class SamplingSpec extends SparkTestBase with Matchers {
     a should contain theSameElementsInOrderAs b
   }
 
+  test("mixtureSample applies per-stratum rates and nests within higher rates") {
+    val d = Tables.documents(spark, sf0001)
+    val mixed = Sampling.mixtureSample(d, "lang", "doc_id",
+      Map("en" -> 500, "de" -> 100), defaultPermille = 0)
+    val langs = mixed.select("lang").distinct().collect().map(_.getString(0)).toSet
+    langs shouldBe Set("en", "de")
+    // nesting: the 100‰ German sample is a subset of the 500‰ one
+    val de100 = Sampling.mixtureSample(d, "lang", "doc_id", Map("de" -> 100))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val de500 = Sampling.mixtureSample(d, "lang", "doc_id", Map("de" -> 500))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    de100.subsetOf(de500) shouldBe true
+    de500.size should be > de100.size
+  }
+
   test("hashSample pushes the selector filter below the scan (no shuffle)") {
     val d = Tables.documents(spark, sf0001)
     val sp = Sampling.hashSample(d, "doc_id", 300).queryExecution.sparkPlan
