@@ -1169,6 +1169,21 @@ object Queries {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
 
+  /** Q68 token-budget selection (north star: fill a training budget):
+    * documents in deterministic pseudo-random order until 10 000
+    * characters accumulate — `Sampling.tokenBudget`'s two-phase global
+    * running sum (bucketed partials + broadcast offsets; the only
+    * single-partition window is bucket-count-sized). The oracle is the
+    * plain `SUM() OVER (ORDER BY selector, id)` prefix — the two-phase
+    * form must reproduce it exactly. */
+  val q68: Q = (s, dir) =>
+    Sampling.tokenBudget(Tables.documents(s, dir), "doc_id", "n_chars",
+        budget = 10000L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        max(col("__cum")).as("max_cum"))
+      .orderBy("lang")
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1239,6 +1254,7 @@ object Queries {
     "q65_right_outer" -> q65,
     "q66_sampling" -> q66,
     "q67_mixture" -> q67,
+    "q68_token_budget" -> q68,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1698,6 +1714,13 @@ object Queries {
         "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
         "FROM sel WHERE s * 1000 < rate::BIGINT * 1000000007 " +
         "GROUP BY lang ORDER BY lang"),
+    "q68_token_budget" ->
+      ("WITH sel AS (SELECT *, (doc_id * 2654435761) % 1000000007 AS s FROM documents), " +
+        "c AS (SELECT *, SUM(n_chars) OVER (ORDER BY s, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sel) " +
+        "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(MAX(cum) AS BIGINT) AS max_cum " +
+        "FROM c WHERE cum <= 10000 GROUP BY lang ORDER BY lang"),
     "q51_multimodal_binary" ->
       // ASCII corpus: char positions == byte positions, so VARCHAR substr
       // replays the engine's byte-based binary slicing exactly

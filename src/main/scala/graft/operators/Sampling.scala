@@ -59,6 +59,49 @@ object Sampling {
   }
 
   /**
+   * Token-budget selection — "take documents, in deterministic
+   * pseudo-random order, until the running weight total reaches B"
+   * (the fill-a-training-budget step after dedup/quality/mixing).
+   *
+   * A naive global running sum is `Window.orderBy(...)` with no
+   * partition key — Spark funnels the ENTIRE dataset through one task.
+   * This is the scale-correct two-phase form: bucket the selector range
+   * (selectors are uniform, so buckets are balanced), aggregate one
+   * weight total per bucket, prefix-sum the ~`buckets` totals in a tiny
+   * single-partition window (bucket-count rows, not data rows), and
+   * broadcast-join each bucket's exclusive offset back so the per-bucket
+   * running sums — computed in parallel — compose into the exact global
+   * running sum. Output rows carry `__cum` (inclusive global total) and
+   * survive while `__cum <= budget`.
+   *
+   * Deterministic: ordering is (selector, id), both integer.
+   */
+  def tokenBudget(df: DataFrame, idCol: String, weightCol: String,
+                  budget: Long, buckets: Int = 256): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    require(buckets >= 1, "buckets must be >= 1")
+    val sel = selector(col(idCol))
+    val bkt = (sel * buckets) / lit(Dedup.PortableHashP) // order-preserving
+    val withB = df.withColumn("__sel", sel).withColumn("__bkt", bkt)
+    val perBucket = withB.groupBy("__bkt")
+      .agg(sum(col(weightCol)).as("__bsum"))
+    // prefix over ≤ `buckets` rows — the ONLY single-partition window,
+    // and it is bucket-count-sized by construction
+    val wB = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = perBucket
+      .withColumn("__off", sum(col("__bsum")).over(wB) - col("__bsum"))
+      .select("__bkt", "__off")
+    val wIn = Window.partitionBy("__bkt").orderBy(col("__sel"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .join(broadcast(offsets), "__bkt")
+      .withColumn("__cum", col("__off") + sum(col(weightCol)).over(wIn))
+      .filter(col("__cum") <= budget)
+      .drop("__sel", "__bkt", "__off")
+  }
+
+  /**
    * Exact per-stratum quotas (the data-mixture step: "at most K
    * documents per language/source"): rank rows within each stratum by
    * (selector, id) — a deterministic pseudo-random order — and keep the

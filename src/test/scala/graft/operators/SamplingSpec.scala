@@ -59,6 +59,28 @@ class SamplingSpec extends SparkTestBase with Matchers {
     de500.size should be > de100.size
   }
 
+  test("tokenBudget two-phase cumsum equals the naive global-window prefix") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sf0001)
+    val got = Sampling.tokenBudget(d, "doc_id", "n_chars", budget = 5000L)
+      .select("doc_id", "__cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // naive single-partition global running sum — fine at test scale
+    val w = Window.orderBy(Sampling.selector(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = d.withColumn("__cum", sum(col("n_chars")).over(w))
+      .filter(col("__cum") <= 5000L)
+      .select("doc_id", "__cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    got should contain theSameElementsInOrderAs want
+    got.length should be > 0
+    // the selection genuinely stops short of the whole corpus
+    got.length.toLong should be < d.count()
+    // budget 0 selects nothing; huge budget selects everything
+    Sampling.tokenBudget(d, "doc_id", "n_chars", 0L).count() shouldBe 0
+    Sampling.tokenBudget(d, "doc_id", "n_chars", Long.MaxValue / 4).count() shouldBe d.count()
+  }
+
   test("hashSample pushes the selector filter below the scan (no shuffle)") {
     val d = Tables.documents(spark, sf0001)
     val sp = Sampling.hashSample(d, "doc_id", 300).queryExecution.sparkPlan
