@@ -993,12 +993,20 @@ object Queries {
         col("text").cast("binary").as("bytes"),
         lit(0).as("width"), lit(0).as("height"))
       .as[Asset](org.apache.spark.sql.Encoders.product[Asset])
+    // The per-doc mean byte travels as EXACT integer micro-units:
+    // recover the integer byte sum from the decoder's double mean
+    // (|float error| ≪ 0.5, so round() is exact), then integer-divide.
+    // Summing per-doc DOUBLE means hits double→decimal half-up
+    // boundaries that DuckDB and the JVM resolve differently (observed
+    // one 4th-decimal quantum of drift at sf0.1) — integers cannot.
+    val meanMicro = expr(
+      "CAST(ROUND(mean_byte * n_bytes) AS BIGINT) * 1000000 div n_bytes")
     Multimodal.decodeFeatures(assets).toDF()
       .join(d.select(col("doc_id"), col("lang")), col("asset_id") === col("doc_id"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(sum(dec6(col("mean_byte"))).cast("double"), 4).as("sum_mean"),
+        sum(meanMicro).as("sum_mean_micro"),
         // byte/16 bins 3 (0x30-3F: digits + :;<=>?), 6 (0x60-6F) and
         // 7 (0x70-7F) — the lowercase range plus adjacent punctuation;
         // exact longs either way
@@ -1613,13 +1621,13 @@ object Queries {
       ("WITH c AS (SELECT doc_id, lang, length(text) AS n_bytes, " +
         "unnest(str_split(text, '')) AS ch FROM documents), " +
         "per AS (SELECT doc_id, lang, n_bytes, " +
-        "CAST(SUM(ord(ch)) AS DOUBLE) / n_bytes AS mean_byte, " +
+        "CAST(SUM(ord(ch)) AS BIGINT) * 1000000 // n_bytes AS mean_micro, " +
         "SUM(CASE WHEN ord(ch) // 16 = 3 THEN 1 ELSE 0 END) AS h3, " +
         "SUM(CASE WHEN ord(ch) // 16 = 6 THEN 1 ELSE 0 END) AS h6, " +
         "SUM(CASE WHEN ord(ch) // 16 = 7 THEN 1 ELSE 0 END) AS h7 " +
         "FROM c GROUP BY doc_id, lang, n_bytes) " +
         "SELECT lang, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, " +
-        "ROUND(CAST(SUM(CAST(mean_byte AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_mean, " +
+        "CAST(SUM(mean_micro) AS BIGINT) AS sum_mean_micro, " +
         "CAST(SUM(h3) AS BIGINT) AS h3, CAST(SUM(h6) AS BIGINT) AS h6, " +
         "CAST(SUM(h7) AS BIGINT) AS h7 FROM per GROUP BY lang ORDER BY lang"),
     "q59_jmx_relabel" ->
