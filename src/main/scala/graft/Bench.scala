@@ -39,10 +39,24 @@ object Bench {
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // Drop state a query leaves behind: the dedup/CC family localCheckpoints
+    // shingle/edge RDDs that linger in the block manager until GC. Inside a
+    // 68-query JVM those blocks accumulate and taxed later queries 4-5×
+    // (BENCH_r06 q55/q56 recorded ~8 s vs ~2 s isolated). Scrubbing between
+    // queries (never inside a timed window) makes each measurement
+    // approximate an isolated run.
+    def scrub(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
     // -------- warm-up pass (untimed; failures deferred to the timed pass)
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      scrub()
     }
 
     // -------- timed passes: min of 3 per query (single runs on a busy
@@ -62,6 +76,7 @@ object Bench {
         }
       }
       val runs = Seq(once(), once(), once()).flatten
+      scrub() // this query's checkpoints must not tax the next query
       if (runs.isEmpty) { failed ::= name; None }
       else {
         if (runs.length < 3) failed ::= name
@@ -92,11 +107,14 @@ object Bench {
         0.0
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // keep the one-line JSON compact (3 decimals ≈ ms precision): the
+    // driver's capture window truncated the head of BENCH_r06's longer line
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"throughput_rps":$throughput,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fj,"throughput_rps":${f3(throughput)},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

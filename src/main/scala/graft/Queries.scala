@@ -655,26 +655,27 @@ object Queries {
   }
 
   /** Q42 exact percentiles (§2.4 aggregation surface): interpolated
-    * median/p95 per return flag. Spark's `percentile` and DuckDB's
-    * `quantile_cont` both use linear interpolation over the sorted
-    * values, so the operands agree exactly; ROUND(,4) absorbs the last
-    * ulp of the interpolation arithmetic. Scale note: exact percentile
-    * buffers each group's values; at 100 TB swap in
-    * `approx_percentile` (t-digest, mergeable partial aggregation) —
-    * kept exact here because the oracle must hash-match. */
-  val q42: Q = (s, dir) =>
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
-      .agg(
-        // one buffered-sort pass for both l_extendedprice percentiles
-        // (array form) instead of two independent percentile aggs
-        expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("__pe"),
-        round(expr("percentile(l_quantity, 0.5D)"), 4).as("q50"))
+    * median/p95 per return flag, via `Relational.exactQuantiles` — the
+    * distributed counts-based exact quantile (value→count hash agg,
+    * bucketed prefix-sum, covering-row selection). Unlike Spark's
+    * built-in `percentile` (an ImperativeAggregate whose per-group
+    * buffer holds every distinct value — memory-unbounded at 100×),
+    * no stage here holds O(group) state. Interpolation is the same
+    * h = q·(n−1) linear form as `quantile_cont`, so the oracle
+    * hash-matches; ROUND(,4) absorbs the last ulp. */
+  val q42: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val price = Relational.exactQuantiles(li, Seq("l_returnflag"),
+      "l_extendedprice", Seq("p50" -> 0.5, "p95" -> 0.95))
+    val qty = Relational.exactQuantiles(li, Seq("l_returnflag"),
+      "l_quantity", Seq("q50" -> 0.5))
+    price.join(qty, "l_returnflag")
       .select(col("l_returnflag"),
-        round(element_at(col("__pe"), 1), 4).as("p50"),
-        round(element_at(col("__pe"), 2), 4).as("p95"),
-        col("q50"))
+        round(col("p50"), 4).as("p50"),
+        round(col("p95"), 4).as("p95"),
+        round(col("q50"), 4).as("q50"))
       .orderBy("l_returnflag")
+  }
 
   /** Q43 full outer join (§2.3 — the declared-but-unexercised member of
     * the equi-join family): key-range–restricted sides guarantee rows

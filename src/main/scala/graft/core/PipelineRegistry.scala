@@ -36,7 +36,7 @@ final class PipelineRegistry(spark: SparkSession) {
   case object Stopped extends Status
   case object Unknown extends Status
 
-  private val queries = TrieMap.empty[String, StreamingQuery]
+  private val queries = TrieMap.empty[String, (PipelineSpec, StreamingQuery)]
   private val startFailures = TrieMap.empty[String, String]
 
   /** Start (or replace) the named streaming pipeline from its spec.
@@ -45,24 +45,34 @@ final class PipelineRegistry(spark: SparkSession) {
     * running query is touched, so a bad config (unknown source path, bad
     * schema DDL, unknown transform) throws and leaves the healthy pipeline
     * running — the reference's PUT-config behavior, where a rejected config
-    * never takes down the old connector. Only a failure in the final
-    * `start()` itself (after the old query must be stopped — two queries
-    * cannot share a checkpoint) is recorded as Failed for `status`. */
+    * never takes down the old connector. If the final `start()` itself
+    * fails (after the old query must be stopped — two queries cannot share
+    * a checkpoint), the old spec is restarted from its checkpoint so a bad
+    * replacement still cannot take down a healthy pipeline; the failure is
+    * recorded for `status` either way. */
   def submit(spec: PipelineSpec): StreamingQuery = {
     // analyze the new plan AND statically validate the sink first;
     // both throw on a bad spec without side effects
     Pipeline.build(spark, spec, streaming = true).schema
     Pipeline.validateStreamSink(spec.sink)
-    queries.remove(spec.name).foreach(q => if (q.isActive) q.stop())
+    val previous = queries.remove(spec.name)
+    previous.foreach { case (_, q) => if (q.isActive) q.stop() }
     val q =
       try Pipeline.runStream(spark, spec)
       catch {
         case e: Exception =>
           startFailures.put(spec.name, s"${e.getClass.getName}: ${e.getMessage}")
+          // best-effort rollback: resume the old spec from its checkpoint
+          // (offsets are durable, so this loses nothing). If even the old
+          // spec cannot restart, the recorded failure stands alone.
+          previous.foreach { case (oldSpec, _) =>
+            try queries.put(spec.name, (oldSpec, Pipeline.runStream(spark, oldSpec)))
+            catch { case _: Exception => () }
+          }
           throw e
       }
     startFailures.remove(spec.name)
-    queries.put(spec.name, q)
+    queries.put(spec.name, (spec, q))
     q
   }
 
@@ -71,8 +81,8 @@ final class PipelineRegistry(spark: SparkSession) {
 
   def status(name: String): Status = queries.get(name) match {
     case None => startFailures.get(name).map(Failed(_)).getOrElse(Unknown)
-    case Some(q) if q.isActive => Running
-    case Some(q) => q.exception match {
+    case Some((_, q)) if q.isActive => Running
+    case Some((_, q)) => q.exception match {
       case Some(e) => Failed(e.getMessage)
       case None => Stopped
     }
@@ -82,7 +92,7 @@ final class PipelineRegistry(spark: SparkSession) {
   def delete(name: String): Boolean = {
     val hadFailure = startFailures.remove(name).isDefined
     queries.remove(name) match {
-      case Some(q) => if (q.isActive) q.stop(); true
+      case Some((_, q)) => if (q.isActive) q.stop(); true
       case None => hadFailure
     }
   }
@@ -93,5 +103,5 @@ final class PipelineRegistry(spark: SparkSession) {
     * input (test/drain helper; AvailableNow-triggered queries just
     * `awaitTermination`). True if the name exists. */
   def drain(name: String): Boolean =
-    queries.get(name).exists { q => q.processAllAvailable(); true }
+    queries.get(name).exists { case (_, q) => q.processAllAvailable(); true }
 }

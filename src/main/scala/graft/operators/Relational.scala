@@ -165,6 +165,85 @@ object Relational {
   }
 
   /**
+   * Distributed exact interpolated quantiles (§2.4) — the scale-safe
+   * replacement for Spark's built-in `percentile`, which is an
+   * ImperativeAggregate buffering every (value → count) of a group inside
+   * ONE aggregation buffer: correct at test scale, memory-unbounded when a
+   * 100× scale-up concentrates ~N/groups mostly-distinct doubles in a
+   * single buffer.
+   *
+   * Same semantics as Spark `percentile` / DuckDB `quantile_cont`: linear
+   * interpolation at rank h = q·(n−1) over the sorted non-null values,
+   * result = v⌊h⌋ + (h−⌊h⌋)·(v⌊h⌋₊₁ − v⌊h⌋).
+   *
+   * Shape (every stage distributed, no O(group) buffer anywhere):
+   *  1. hash-agg (group, value) → count          — distinct-value compression
+   *  2. per-group min/max/n                      — tiny, broadcast back
+   *  3. value-range bucketing (`buckets` equal-width ranges per group);
+   *     per-(group, bucket) totals; per-group prefix over ≤`buckets` rows
+   *     gives each bucket's exclusive offset (the only window whose
+   *     partition is group-wide is bucket-count-sized by construction)
+   *  4. per-(group, bucket) running count + broadcast offset → exact
+   *     global cumulative count per distinct value, computed in parallel
+   *  5. one final hash-agg per group: the value at 0-indexed position p is
+   *     min(value | cum > p) — values increase with cum, so the covering
+   *     row wins; interpolate the two straddling positions.
+   *
+   * Skewed value distributions only unbalance bucket SIZES (a bucket is
+   * still streamed through a spillable window sort, ~rows/buckets each for
+   * uniform data); correctness never depends on the bucketing.
+   *
+   * @param quantiles (outputColumn, q) pairs, each q in [0, 1]
+   * @return one row per group: groupCols ++ quantile columns (double)
+   */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     quantiles: Seq[(String, Double)], buckets: Int = 256): DataFrame = {
+    require(quantiles.nonEmpty, "exactQuantiles: need at least one quantile")
+    require(quantiles.forall { case (_, q) => q >= 0.0 && q <= 1.0 },
+      "exactQuantiles: quantiles must be in [0, 1]")
+    require(buckets >= 1, "exactQuantiles: buckets must be >= 1")
+    val gcols = groupCols.map(col)
+    val v = col(valueCol)
+    val counts = df.filter(v.isNotNull)
+      .groupBy((gcols :+ v.as(valueCol)): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val stats = counts.groupBy(gcols: _*)
+      .agg(min(v).as("__vmin"), max(v).as("__vmax"), sum(col("__cnt")).as("__n"))
+    val withStats = counts.join(broadcast(stats), groupCols)
+    val span = col("__vmax") - col("__vmin")
+    val bkt = when(span === 0, lit(0L)).otherwise(
+      least(floor((v - col("__vmin")) / span * buckets).cast("long"),
+        lit(buckets.toLong - 1)))
+    val bucketed = withStats.withColumn("__bkt", bkt)
+    val perBucket = bucketed.groupBy((gcols :+ col("__bkt")): _*)
+      .agg(sum(col("__cnt")).as("__bsum"))
+    val wB = Window.partitionBy(gcols: _*).orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = perBucket
+      .withColumn("__off", sum(col("__bsum")).over(wB) - col("__bsum"))
+      .select((gcols :+ col("__bkt") :+ col("__off")): _*)
+    val wIn = Window.partitionBy((gcols :+ col("__bkt")): _*).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed
+      .join(broadcast(offsets), groupCols :+ "__bkt")
+      .withColumn("__cum", col("__off") + sum(col("__cnt")).over(wIn))
+    val aggs = quantiles.zipWithIndex.flatMap { case ((_, q), i) =>
+      val h = lit(q) * (col("__n") - 1).cast("double")
+      val lo = floor(h)
+      Seq(
+        min(when(col("__cum") > lo, v)).as(s"__vlo_$i"),
+        min(when(col("__cum") > lo + 1, v)).as(s"__vhi_$i"),
+        min(h - lo).as(s"__frac_$i"))
+    }
+    val outCols = gcols ++ quantiles.zipWithIndex.map { case ((name, _), i) =>
+      val vlo = col(s"__vlo_$i").cast("double")
+      val vhi = coalesce(col(s"__vhi_$i").cast("double"), col(s"__vlo_$i").cast("double"))
+      (vlo + col(s"__frac_$i") * (vhi - vlo)).as(name)
+    }
+    cum.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*).select(outCols: _*)
+  }
+
+  /**
    * Scalable interval × point join (range/theta join): joins `points`
    * rows to `intervals` rows where the caller's `residual` predicate
    * holds, without a cartesian product.

@@ -110,6 +110,38 @@ class PipelineRegistrySpec extends SparkTestBase with Matchers {
     reg.delete("pkeep") shouldBe true
   }
 
+  test("a replacement that fails at start() rolls back to the old pipeline") {
+    val ss = spark
+    import ss.implicits._
+    val inDir = tmp("graft-reg-rb-in")
+    val ckpt = tmp("graft-reg-rb-ckpt")
+    val out = tmp("graft-reg-rb-out")
+    val reg = new PipelineRegistry(spark)
+    Seq((1L, "s1")).toDF("id", "secret").write.mode("overwrite").parquet(inDir)
+    reg.submit(PipelineSpec.fromJson(specJson("prb", inDir, ckpt, out, masked = false)))
+    reg.drain("prb") shouldBe true
+    reg.status("prb") shouldBe reg.Running
+
+    // validation passes (known sink type, checkpoint option present) but
+    // start() itself fails: the checkpoint location is a regular FILE, so
+    // Spark cannot create the checkpoint directory. The registry must
+    // restart the old spec from its checkpoint rather than leave the name
+    // dead — the reference's PUT-config contract extended to start()-time
+    // failures.
+    val ckptFile = Files.createTempFile("graft-reg-rb-notadir", ".tmp").toString
+    intercept[Exception](
+      reg.submit(PipelineSpec.fromJson(specJson("prb", inDir, ckptFile, out, masked = true))))
+    reg.status("prb") shouldBe reg.Running
+
+    // the rolled-back pipeline still processes new input with the OLD config
+    Seq((2L, "s2")).toDF("id", "secret").write.mode("append").parquet(inDir)
+    reg.drain("prb") shouldBe true
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    rows shouldBe Array((1L, "s1"), (2L, "s2"))
+    reg.delete("prb") shouldBe true
+  }
+
   test("a pipeline that fails at runtime reports FAILED with its cause") {
     val ss = spark
     import ss.implicits._

@@ -108,6 +108,40 @@ class RelationalSpec extends SparkTestBase {
     assert(ex.getMessage != null)
   }
 
+  test("exactQuantiles equals the built-in percentile on random grouped doubles") {
+    val dataGen: Gen[List[(String, Double)]] =
+      Gen.listOfN(300, for {
+        g <- Gen.oneOf("a", "b", "c")
+        // mix of distinct doubles and deliberate repeats (count compression path)
+        v <- Gen.oneOf(Gen.chooseNum(-1000.0, 1000.0), Gen.chooseNum(0L, 20L).map(_.toDouble))
+      } yield (g, v))
+    for ((rows, i) <- samples(dataGen, n = 4).zipWithIndex) {
+      val df = rows.toDF("g", "v")
+      val qs = Seq("p10" -> 0.1, "p50" -> 0.5, "p95" -> 0.95, "p100" -> 1.0)
+      // small bucket count forces multi-value buckets + offset composition
+      val got = Relational.exactQuantiles(df, Seq("g"), "v", qs, buckets = 7)
+        .orderBy("g").collect()
+      val want = df.groupBy("g").agg(
+        expr("percentile(v, array(0.1D, 0.5D, 0.95D, 1.0D))").as("p"))
+        .orderBy("g").collect()
+      assert(got.length == want.length, s"batch $i row count")
+      got.zip(want).foreach { case (gr, wr) =>
+        assert(gr.getString(0) == wr.getString(0))
+        val w = wr.getSeq[Double](1)
+        (1 to 4).foreach { j =>
+          assert(math.abs(gr.getDouble(j) - w(j - 1)) < 1e-9,
+            s"batch $i group ${gr.getString(0)} q#$j: ${gr.getDouble(j)} vs ${w(j - 1)}")
+        }
+      }
+    }
+    // single-value group (span == 0) and single-row group edge cases
+    val edge = Seq(("s", 5.0), ("s", 5.0), ("one", 3.14)).toDF("g", "v")
+    val r = Relational.exactQuantiles(edge, Seq("g"), "v",
+      Seq("p50" -> 0.5), buckets = 4).orderBy("g").collect()
+    assert(r.map(x => (x.getString(0), x.getDouble(1))).toSeq ==
+      Seq(("one", 3.14), ("s", 5.0)))
+  }
+
   test("temp-column names never collide with input columns") {
     // inputs already carrying __bucket/__rn must come through unharmed
     val points = Seq((1, 5.0, "keep")).toDF("pid", "p", "__bucket")
