@@ -935,18 +935,20 @@ object Queries {
 
   /** Q56 skew-salted join (§2.3 / 100 TB posture): the
     * lineitem ⋈ orders revenue aggregation routed through
-    * `Relational.saltedJoin` — per-row deterministic salt on the fact
-    * side, 4× replicated dim side, join on (key, salt) — and asserted
-    * equal to the plain join by the oracle. The mechanism AQE's
-    * skew-split cannot cover (both-side single-key skew) under the
-    * correctness gate. (Salt factor sizes to the hot key's excess over
-    * one partition — 4 here; the mechanism is factor-independent.) */
+    * `Relational.saltedJoin` in its two-path hot-key form — keys with
+    * ≥4 fact rows are salted (deterministic per-row salt, replicated
+    * dim, join on (key, salt)); cold keys take the plain equi join; the
+    * union is asserted equal to the plain join by the oracle. The
+    * mechanism AQE's skew-split cannot cover (both-side single-key
+    * skew) under the correctness gate, without paying factor×
+    * replication for the cold majority. */
   val q56: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("okey"), col("l_extendedprice"), col("l_discount"))
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-    Relational.saltedJoin(li, o, Seq("okey"), saltFactor = 4)
+    Relational.saltedJoin(li, o, Seq("okey"), saltFactor = 4,
+        hotKeyThreshold = Some(4L))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         round(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))

@@ -255,11 +255,22 @@ object Dedup {
    * regardless of corpus size. Each round is one equi-join + one
    * hash-aggregate on the EDGE list (a vanishing fraction of the corpus),
    * never the corpus itself; `localCheckpoint` cuts the growing lineage
-   * so round N's plan does not replay rounds 1..N−1. The convergence
-   * `count()` is control-plane (one long per round), not a data collect.
+   * so round N's plan does not replay rounds 1..N−1.
+   *
+   * The convergence check is FUSED into the round's single job: each
+   * label row travels with its previous label through the min-aggregate,
+   * and a streaming `mapPartitions` pass bumps a LongAccumulator for
+   * every changed label while stripping the carried column — so the
+   * eager checkpoint both materializes the next labels AND delivers the
+   * changed-count, where the unfused form spent a second join+isEmpty
+   * job per round re-shuffling both label sets. (Accumulators can
+   * overcount on task retry; here a false non-zero only buys one extra
+   * round — convergence itself stays exact because a converged round
+   * genuinely adds nothing.)
    */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
                   maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .union(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
       .distinct()
@@ -267,17 +278,28 @@ object Dedup {
     var labels = edges.select(col("__src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint()
+    val outEnc = org.apache.spark.sql.Encoders.row(labels.schema)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val prop = edges.join(labels, edges("__dst") === labels("id"))
         .select(edges("__src").as("id"), col("cluster_id"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster_id", "__old"), "id")
-        .filter(col("cluster_id") =!= col("__old"))
-        .isEmpty
+      // every merged id also has a labels row (edge sources are seeded),
+      // so min(__old) is exactly its previous label
+      val merged = labels
+        .withColumn("__old", col("cluster_id"))
+        .unionByName(prop.withColumn("__old", lit(null)
+          .cast(labels.schema("cluster_id").dataType)))
+        .groupBy("id")
+        .agg(min("cluster_id").as("cluster_id"), min("__old").as("__old"))
+      val changed = spark.sparkContext.longAccumulator(s"graft-cc-changed-$i")
+      val next = merged.mapPartitions { rows =>
+        rows.map { r =>
+          if (r.get(1) != r.get(2)) changed.add(1L)
+          org.apache.spark.sql.Row(r.get(0), r.get(1))
+        }
+      }(outEnc).localCheckpoint() // eager: the one job of this round
+      converged = changed.value == 0L
       labels = next
       i += 1
     }

@@ -84,20 +84,50 @@ object Relational {
    *
    * Use when AQE's skew-join split is not enough (e.g. a single key
    * holding >> one partition's worth on BOTH sides of a shuffle join).
-   * Cost: `replicated` is materialized saltFactor×, so put the smaller
-   * relation there. Results are identical to a plain inner equi join.
+   * Results are identical to a plain inner equi join.
+   *
+   * With `hotKeyThreshold = Some(t)` the salting is TWO-PATH: one
+   * map-combined key-count pass finds the heavy-hitter keys (count ≥ t;
+   * the hot set is ≤ |skewed|/t keys by construction, so it broadcasts),
+   * only rows of those keys are salted/replicated, and everything else
+   * takes the plain equi join — replication cost drops from
+   * |replicated|·factor to |hot dim rows|·factor, which is what makes
+   * the technique affordable when the dim side is itself large. `None`
+   * salts everything (the right call when most keys are hot or the
+   * replicated side is trivially small).
+   *
+   * Detection is exact counting, not sampling: deterministic on every
+   * run/engine (the engine's no-rand contract), and the count shuffle
+   * carries one long per distinct key — noise next to the join itself.
    */
   def saltedJoin(skewed: DataFrame, replicated: DataFrame, keys: Seq[String],
-                 saltFactor: Int): DataFrame = {
+                 saltFactor: Int, hotKeyThreshold: Option[Long] = None): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
-    val salt = fresh("__salt", skewed.columns ++ replicated.columns)
-    // deterministic per-row salt: hash of all columns (no rand() — the
-    // engine's determinism contract), uniform enough to split hot keys
-    val s = skewed.withColumn(salt,
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor.toLong)))
-    val r = replicated.withColumn(salt,
-      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
-    s.join(r, keys :+ salt).drop(salt)
+    def saltAll(s0: DataFrame, r0: DataFrame): DataFrame = {
+      val salt = fresh("__salt", s0.columns ++ r0.columns)
+      // deterministic per-row salt: hash of all columns (no rand() — the
+      // engine's determinism contract), uniform enough to split hot keys
+      val s = s0.withColumn(salt,
+        pmod(xxhash64(s0.columns.map(col): _*), lit(saltFactor.toLong)))
+      val r = r0.withColumn(salt,
+        explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+      s.join(r, keys :+ salt).drop(salt)
+    }
+    hotKeyThreshold match {
+      case None => saltAll(skewed, replicated)
+      case Some(t) =>
+        require(t >= 1, "hotKeyThreshold must be >= 1")
+        val nCol = fresh("__hk_n", skewed.columns ++ replicated.columns)
+        val hot = broadcast(
+          skewed.groupBy(keys.map(col): _*).agg(count(lit(1)).as(nCol))
+            .filter(col(nCol) >= t).select(keys.map(col): _*))
+        val hotFacts = skewed.join(hot, keys, "left_semi")
+        val coldFacts = skewed.join(hot, keys, "left_anti")
+        val hotDim = replicated.join(hot, keys, "left_semi")
+        // cold facts carry no hot key, so joining the FULL dim is exact
+        // (hot dim rows simply find no partner) and saves an anti-join
+        saltAll(hotFacts, hotDim).unionByName(coldFacts.join(replicated, keys))
+    }
   }
 
   /**

@@ -30,23 +30,49 @@ class PlanQualitySpec extends SparkTestBase with Matchers {
     offenders shouldBe empty
   }
 
-  test("no query hash-shuffles the document body (text in a hash exchange's payload)") {
+  test("no hash exchange carries a wide string/binary column as NON-KEY payload") {
     // Inspect the exchange CHILD's output (the shuffled payload), not the
     // Exchange plan line — that line prints only partitioning keys, so a
-    // text column travelling as payload would slip past a string match.
+    // wide column travelling as payload would slip past a string match.
     // sparkPlan (pre-AQE) keeps ShuffleExchangeExec nodes collectable.
+    //
+    // Wide = BinaryType (blobs are never legitimate shuffle cargo here),
+    // or a String / Array(String) column whose name is in the corpus-
+    // payload vocabulary below (the audit's old form only knew `text`,
+    // so a refactor that started shuffling `bytes`/`frame`/`props` was
+    // invisible). Columns that ARE the partitioning key are exempt by
+    // construction: a groupBy(token) cannot avoid shuffling the token —
+    // that covers portableSimhashCodes' intentional `__t` vote shuffle,
+    // where the token is the key, never dead payload.
     // Round-robin fan-out of an under-split SMALL input is exempt by
     // design (Tables.fanOut — a no-op on real layouts).
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, StringType}
+    val wideNames = Set("text", "bytes", "frame", "props", "body", "payload",
+      "content", "line", "value", "tok", "tokens", "sh", "shingle", "shingles")
+    // (query, column) pairs reviewed and accepted as intentional
+    val whitelist = Set.empty[(String, String)]
+    def isWide(a: org.apache.spark.sql.catalyst.expressions.Attribute): Boolean =
+      a.dataType match {
+        case BinaryType => true
+        case StringType | ArrayType(StringType, _) =>
+          wideNames(a.name.toLowerCase.stripPrefix("__"))
+        case ArrayType(BinaryType, _) => true
+        case _ => false
+      }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val sp = fn(spark, sf0001).queryExecution.sparkPlan
-      val bad = sp.collect {
+      sp.collect {
         case e: ShuffleExchangeExec
-          if e.outputPartitioning.isInstanceOf[HashPartitioning] &&
-            e.child.output.exists(_.name == "text") => e
-      }
-      if (bad.nonEmpty) Some(name) else None
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+          val keyIds = e.outputPartitioning.asInstanceOf[HashPartitioning]
+            .expressions.flatMap(_.references.map(_.exprId)).toSet
+          e.child.output
+            .filterNot(a => keyIds.contains(a.exprId))
+            .filter(isWide)
+            .map(a => (name, a.name))
+      }.flatten.filterNot(whitelist)
     }
     offenders shouldBe empty
   }

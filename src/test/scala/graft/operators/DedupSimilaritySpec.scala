@@ -74,6 +74,63 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     got should contain theSameElementsInOrderAs want
   }
 
+  /** Jobs submitted (incl. AQE stage jobs) while `body` runs, via a job
+    * group + statusTracker. The status store is fed by the async listener
+    * bus, so poll until the count stabilizes. */
+  private def countJobs(group: String)(body: => Unit): Int = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try body finally sc.clearJobGroup()
+    var last = -1
+    var cur = sc.statusTracker.getJobIdsForGroup(group).length
+    while (cur != last) {
+      Thread.sleep(300)
+      last = cur
+      cur = sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    cur
+  }
+
+  test("dupClusters' fused convergence spends fewer jobs than the two-job-per-round form") {
+    val ss = spark
+    import ss.implicits._
+    // path graph 0-1-...-6: diameter 6, so min-label propagation needs
+    // several rounds — enough for the per-round job saving to dominate
+    // the constant setup jobs
+    val pairs = (0L until 6L).map(i => (i, i + 1)).toDF("d1", "d2")
+
+    val fusedJobs = countJobs("cc-fused") {
+      val got = Dedup.dupClusters(pairs, "d1", "d2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == (0L to 6L).map(i => (i, 0L)))
+    }
+
+    // the pre-fusion loop, replicated inline: same propagation job plus a
+    // SECOND join+isEmpty job per round for the convergence check
+    val unfusedJobs = countJobs("cc-unfused") {
+      val edges = pairs.select(col("d1").as("__src"), col("d2").as("__dst"))
+        .union(pairs.select(col("d2").as("__src"), col("d1").as("__dst")))
+        .distinct().localCheckpoint()
+      var labels = edges.select(col("__src").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster_id")).localCheckpoint()
+      var converged = false
+      while (!converged) {
+        val prop = edges.join(labels, edges("__dst") === labels("id"))
+          .select(edges("__src").as("id"), col("cluster_id"))
+        val next = labels.union(prop)
+          .groupBy("id").agg(min("cluster_id").as("cluster_id")).localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("cluster_id", "__old"), "id")
+          .filter(col("cluster_id") =!= col("__old")).isEmpty
+        labels = next
+      }
+      labels.collect()
+      ()
+    }
+
+    assert(fusedJobs < unfusedJobs,
+      s"fused=$fusedJobs should beat unfused=$unfusedJobs on a diameter-6 graph")
+  }
+
   test("dupClusters on q30's sf0.001 pairs matches per-component minima") {
     val d = Tables.documents(spark, sf0001)
     val pairs = Dedup.nearDupPairs(d, "doc_id", "text",

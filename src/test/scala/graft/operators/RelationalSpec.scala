@@ -142,6 +142,33 @@ class RelationalSpec extends SparkTestBase {
       Seq(("one", 3.14), ("s", 5.0)))
   }
 
+  test("hot-key saltedJoin equals the plain join on random skewed data") {
+    val factGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(400, for {
+        // zipf-ish: key 0 is heavily hot, a few warm keys, a long cold tail
+        key <- Gen.frequency(
+          5 -> Gen.const(0L), 2 -> Gen.chooseNum(1L, 3L), 3 -> Gen.chooseNum(4L, 60L))
+        payload <- Gen.chooseNum(0L, 1000L)
+      } yield (key, payload))
+    for ((rows, i) <- samples(factGen, n = 3).zipWithIndex) {
+      val fact = rows.toDF("k", "payload")
+      val dim = (0L to 60L).map(k => (k, s"dim$k")).toDF("k", "name")
+        // drop some dim keys so unmatched fact rows exercise inner-join drops
+        .filter($"k" % 7 =!= 3)
+      val plain = fact.join(dim, Seq("k"))
+      for (threshold <- Seq(1L, 5L, 1000000L)) { // all-hot, mixed, all-cold
+        val salted = Relational.saltedJoin(fact, dim, Seq("k"),
+          saltFactor = 4, hotKeyThreshold = Some(threshold))
+        assert(salted.columns.toSeq == plain.columns.toSeq, s"batch $i t=$threshold cols")
+        // multiset equality (duplicates matter under a hot key)
+        val a = salted.groupBy("k", "payload", "name").count()
+        val b = plain.groupBy("k", "payload", "name").count()
+        assert(a.except(b).isEmpty && b.except(a).isEmpty,
+          s"batch $i threshold=$threshold diverged from the plain join")
+      }
+    }
+  }
+
   test("temp-column names never collide with input columns") {
     // inputs already carrying __bucket/__rn must come through unharmed
     val points = Seq((1, 5.0, "keep")).toDF("pid", "p", "__bucket")
