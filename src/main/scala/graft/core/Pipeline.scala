@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -127,13 +127,48 @@ object Pipeline {
     * itself is the only failure left after this passes. */
   def validateStreamSink(s: StageSpec): Unit = {
     val required: Seq[String] = s.stageType match {
-      case "file"   => Seq("checkpoint", "path")
-      case "memory" => Seq("name", "checkpoint")
-      case "upsert" => Seq("path", "pk", "checkpoint")
+      case "file"        => Seq("checkpoint", "path")
+      case "memory"      => Seq("name", "checkpoint")
+      case "upsert"      => Seq("path", "pk", "checkpoint")
+      case "jdbc_upsert" => Seq("url", "table", "pk", "dialect", "checkpoint")
       case other =>
         throw new IllegalArgumentException(s"unknown stream sink type '$other'")
     }
     required.foreach { k => s.option(k); () } // throws on a missing option
+    // a bad dialect name must reject at submit time, not first micro-batch
+    if (s.stageType == "jdbc_upsert") {
+      graft.sinks.UpsertDialect.forName(s.option("dialect")); ()
+    }
+  }
+
+  /** Newest-wins merge ordering for keyed sinks: the configured order
+    * columns plus a deterministic whole-row tie-breaker (same-key rows
+    * with equal order values in one micro-batch must pick the same
+    * winner on every replay, or the sink's idempotency contract
+    * breaks). Spark refuses to hash MapType (unordered), so top-level
+    * maps enter the hash as sorted entry arrays — canonical, so two
+    * rows differing only in a map column still get distinct hashes.
+    * Only maps nested INSIDE deeper types fall out of the hash (no
+    * canonical form expressible without reshaping the value type). */
+  private def mergeOrder(df: DataFrame, s: StageSpec): Seq[Column] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType    => true
+      case st: StructType => st.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType  => hasMap(a.elementType)
+      case _             => false
+    }
+    val hashable = df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case m: MapType if !hasMap(m.keyType) && !hasMap(m.valueType) =>
+          Some(array_sort(map_entries(col(f.name))))
+        case dt if hasMap(dt) => None
+        case _ => Some(col(f.name))
+      }
+    }.toSeq
+    s.optionOr("order", "__ts_ms").split(",").map(_.trim)
+      .map(c => col(c).desc).toSeq ++
+      (if (hashable.nonEmpty) Seq(xxhash64(hashable: _*).desc) else Nil)
   }
 
   /** Start a spec as a streaming query (ST1 checkpoint required for
@@ -163,38 +198,29 @@ object Pipeline {
         // CDC delete semantics (pk/order/deleted options)
         val table = new graft.sinks.ParquetKeyedTable(
           s.option("path"), s.option("pk").split(",").map(_.trim).toSeq)
-        // the configured ordering plus a deterministic tie-breaker (hash
-        // of the row): same-key rows with equal order values in one
-        // micro-batch must pick the same winner on every replay, or the
-        // sink's total-order/idempotency contract breaks. Spark refuses
-        // to hash MapType (unordered), so top-level maps enter the hash
-        // as sorted entry arrays — canonical, so two rows differing only
-        // in a map column still get distinct hashes. Only maps nested
-        // INSIDE deeper maps fall out of the hash (no canonical form
-        // expressible without reshaping the value type).
-        import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
-        def hasMap(dt: DataType): Boolean = dt match {
-          case _: MapType    => true
-          case s: StructType => s.fields.exists(f => hasMap(f.dataType))
-          case a: ArrayType  => hasMap(a.elementType)
-          case _             => false
-        }
-        val hashable = df.schema.fields.flatMap { f =>
-          f.dataType match {
-            case m: MapType if !hasMap(m.keyType) && !hasMap(m.valueType) =>
-              Some(array_sort(map_entries(col(f.name))))
-            case dt if hasMap(dt) => None
-            case _ => Some(col(f.name))
-          }
-        }.toSeq
-        val order = s.optionOr("order", "__ts_ms").split(",").map(_.trim)
-          .map(c => col(c).desc).toSeq ++
-          (if (hashable.nonEmpty) Seq(xxhash64(hashable: _*).desc) else Nil)
         val deleted = col(s.optionOr("deleted.column", "__deleted")) === "true"
         df.writeStream
           .option("checkpointLocation", s.option("checkpoint"))
           .outputMode("append").trigger(trigger)
-          .foreachBatch(table.foreachBatchMerge(order, deleted))
+          .foreachBatch(table.foreachBatchMerge(mergeOrder(df, s), deleted))
+          .start()
+      case "jdbc_upsert" =>
+        // A5's actual production target: per-dialect INSERT..ON CONFLICT /
+        // INSERT OR REPLACE / MERGE INTO against a live database
+        // (reference insert.mode=upsert + pk.fields,
+        // etc/sink-quickstart-sqlite.properties:19-29)
+        val table = new graft.sinks.JdbcKeyedTable(
+          s.option("url"), s.option("table"),
+          s.option("pk").split(",").map(_.trim).toSeq,
+          graft.sinks.UpsertDialect.forName(s.option("dialect")),
+          s.options.filter(_._1.startsWith("conn.")).map {
+            case (k, v) => k.stripPrefix("conn.") -> v
+          })
+        val deleted = col(s.optionOr("deleted.column", "__deleted")) === "true"
+        df.writeStream
+          .option("checkpointLocation", s.option("checkpoint"))
+          .outputMode("append").trigger(trigger)
+          .foreachBatch(table.foreachBatchMerge(mergeOrder(df, s), deleted))
           .start()
       case other =>
         throw new IllegalArgumentException(s"unknown stream sink type '$other'")
