@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /**
@@ -16,21 +16,38 @@ import org.apache.spark.sql.functions._
  * Structured Streaming's native behavior.
  *
  * The quarantine write happens BEFORE the downstream sink runs, so a
- * downstream failure can only cause duplicate DLQ entries on retry
- * (at-least-once), never lost error rows.
+ * downstream failure can never lose error rows; and because each epoch
+ * overwrites its own `epoch=<id>` subdirectory, a replayed epoch
+ * rewrites the same quarantine rows instead of appending duplicates —
+ * DLQ delivery is idempotent per epoch.
  */
 object Dlq {
 
   /** Split `batch` on `isBad`; quarantine the bad rows (with the epoch
-    * and a caller-supplied reason column) and return the good rows. */
+    * and a caller-supplied reason column) and return the good rows.
+    *
+    * Single-pass: the bad-row filter is evaluated ONCE, by the write
+    * job itself. The row count rides that job as an `Observation`
+    * metric (no separate probe scan — the old `isEmpty` guard was a
+    * second evaluation of the filter on every batch), and when the
+    * batch turns out clean the just-written empty `epoch=` directory is
+    * dropped driver-side, so clean epochs leave no empty-file litter
+    * behind. Partition-style epoch dirs also bound the cleanup to O(1):
+    * no listing of the (possibly huge) quarantine root. */
   def route(batch: DataFrame, isBad: Column, reason: Column,
             quarantineDir: String, epochId: Long): DataFrame = {
     val bad = batch.filter(isBad)
       .withColumn("__error", reason)
       .withColumn("__epoch", lit(epochId))
-    // cheap guard: only write when something is actually bad
-    if (!bad.isEmpty) {
-      bad.write.mode("append").parquet(quarantineDir)
+    val obs = Observation()
+    val epochDir = s"$quarantineDir/epoch=$epochId"
+    bad.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(epochDir)
+    if (obs.get("n").asInstanceOf[Long] == 0L) {
+      val p = new org.apache.hadoop.fs.Path(epochDir)
+      val fs = p.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(p, true): Unit
     }
     batch.filter(!coalesce(isBad, lit(false)))
   }

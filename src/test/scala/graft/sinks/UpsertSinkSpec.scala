@@ -70,6 +70,60 @@ class UpsertSinkSpec extends SparkTestBase with Matchers {
     bad.head.getAs[Long]("__epoch") shouldBe 7L
   }
 
+  test("Dlq.route on an all-clean batch: one pass, no quarantine data, fewer jobs than a guarded write") {
+    val ss = spark
+    import ss.implicits._
+    // parquet-backed batch: a LocalRelation would short-circuit collect/
+    // isEmpty without Spark jobs and hide the scan the guard costs
+    val srcDir = tmp("graft-dlq-src")
+    Seq((1L, "ok"), (2L, "ok2")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(srcDir)
+    val batch = spark.read.parquet(srcDir)
+    val isBad = col("payload").isNull
+
+    // jobs submitted while a body runs, via job group + statusTracker
+    // (the status store is fed async — poll until stable)
+    val sc = spark.sparkContext
+    def countJobs(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      var last = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      while (cur != last) {
+        Thread.sleep(300); last = cur
+        cur = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+
+    // clean batch: the unconditional empty write must not litter data
+    // files (only _SUCCESS) — the cost objection to dropping the guard
+    val dlqDir = tmp("graft-dlq-clean")
+    Dlq.route(batch, isBad, lit("null payload"), dlqDir, epochId = 1L)
+      .collect().length shouldBe 2
+    val files = Option(new java.io.File(dlqDir).listFiles()).get
+      .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
+    files shouldBe empty
+
+    // dirty batch: single-pass route beats the pre-fix isEmpty-guarded
+    // form, which evaluated the bad filter twice (probe job + write job)
+    val dirtyDir = tmp("graft-dlq-dirty-src")
+    Seq((1L, "ok"), (2L, null.asInstanceOf[String])).toDF("id", "payload")
+      .write.mode("overwrite").parquet(dirtyDir)
+    val dirty = spark.read.parquet(dirtyDir)
+
+    val routedJobs = countJobs("dlq-route") {
+      Dlq.route(dirty, isBad, lit("null payload"), tmp("graft-dlq-r"),
+        epochId = 1L).collect().length shouldBe 1
+    }
+    val guardedJobs = countJobs("dlq-guarded") {
+      val bad = dirty.filter(isBad)
+      if (!bad.isEmpty) bad.write.mode("append").parquet(tmp("graft-dlq-g"))
+      dirty.filter(!coalesce(isBad, lit(false))).collect().length shouldBe 1
+    }
+    routedJobs should be < guardedJobs
+  }
+
   test("end-to-end: Debezium JSON stream -> unwrap -> DLQ -> upsert table") {
     val ss = spark
     import ss.implicits._
