@@ -67,6 +67,54 @@ class PipelineRegistrySpec extends SparkTestBase with Matchers {
     reg.delete("p1") shouldBe false
   }
 
+  test("pause keeps the config and offsets; resume continues without reprocessing") {
+    val ss = spark
+    import ss.implicits._
+    val inDir = tmp("graft-reg-pr-in")
+    val ckpt = tmp("graft-reg-pr-ckpt")
+    val out = tmp("graft-reg-pr-out")
+    val reg = new PipelineRegistry(spark)
+
+    Seq((1L, "s1")).toDF("id", "secret").write.mode("overwrite").parquet(inDir)
+    reg.submit(PipelineSpec.fromJson(specJson("pp", inDir, ckpt, out, masked = false)))
+    reg.drain("pp") shouldBe true
+    spark.read.parquet(out).count() shouldBe 1
+
+    // pause: stops processing, stays configured (Connect PUT .../pause)
+    reg.pause("pp") shouldBe true
+    reg.status("pp") shouldBe reg.Paused
+    reg.names shouldBe Seq("pp") // paused names stay listed
+    reg.pause("pp") shouldBe true // idempotent
+    Seq((2L, "s2")).toDF("id", "secret").write.mode("append").parquet(inDir)
+    Thread.sleep(200) // paused: the new file must NOT be consumed
+    spark.read.parquet(out).count() shouldBe 1
+
+    // resume: picks up from the checkpoint — row 1 is not reprocessed,
+    // row 2 (arrived while paused) flows through
+    reg.resume("pp") shouldBe true
+    reg.status("pp") shouldBe reg.Running
+    reg.drain("pp") shouldBe true
+    spark.read.parquet(out).collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+
+    // restart: bounce through the checkpoint, no data loss or replay
+    reg.restart("pp") shouldBe true
+    reg.status("pp") shouldBe reg.Running
+    Seq((3L, "s3")).toDF("id", "secret").write.mode("append").parquet(inDir)
+    reg.drain("pp") shouldBe true
+    spark.read.parquet(out).collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L)
+
+    // unknown names: pause/resume/restart are all false
+    reg.pause("nope") shouldBe false
+    reg.resume("nope") shouldBe false
+    reg.restart("nope") shouldBe false
+
+    // delete forgets a paused name too
+    reg.pause("pp") shouldBe true
+    reg.delete("pp") shouldBe true
+    reg.status("pp") shouldBe reg.Unknown
+    reg.names shouldBe empty
+  }
+
   test("a bad replacement config leaves the healthy pipeline running") {
     val ss = spark
     import ss.implicits._
