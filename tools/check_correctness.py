@@ -8,7 +8,7 @@ tables and compares (rows, schema, values) against the Spark parquet output.
 Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
 (run graft.Verify first to populate <verifyOutDir>)
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, time, threading
 import duckdb
 
 
@@ -27,20 +27,35 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, threads=None, timeout=None, skip=()):
+    """threads/timeout/skip are sweep extras (large-SF runs): cap each
+    oracle's wall time via duckdb interrupt and skip known-infeasible
+    oracles (they get a different gate, e.g. replica derivation)."""
     con = duckdb.connect()
+    if threads:
+        con.execute(f"SET threads={threads}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
 
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name in sorted(oracles):
+        if name in skip:
+            print(f"SKIP {name} (excluded)", flush=True)
+            n_skip += 1
+            continue
+        t_start = time.time()
+        timer = threading.Timer(timeout, con.interrupt) if timeout else None
+        if timer:
+            timer.start()
         sql = oracles[name]
         spark_glob = os.path.join(out_dir, name, "*.parquet")
         if not glob.glob(spark_glob):
-            print(f"FAIL {name}: no spark output at {spark_glob}")
+            print(f"FAIL {name}: no spark output at {spark_glob}", flush=True)
+            if timer:
+                timer.cancel()
             n_fail += 1
             continue
         try:
@@ -48,7 +63,9 @@ def main(sf_dir, out_dir):
             ocols = [c.lower() for c in oracle.columns]
             orows = oracle.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
+            print(f"FAIL {name}: oracle error after {time.time()-t_start:.1f}s: {e}", flush=True)
+            if timer:
+                timer.cancel()
             n_fail += 1
             continue
         try:
@@ -56,7 +73,9 @@ def main(sf_dir, out_dir):
             scols = [c.lower() for c in spark.columns]
             srows = spark.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: spark read error: {e}")
+            print(f"FAIL {name}: spark read error: {e}", flush=True)
+            if timer:
+                timer.cancel()
             n_fail += 1
             continue
 
@@ -87,12 +106,14 @@ def main(sf_dir, out_dir):
                 if o != s:
                     print(f"WARN {name}: row {i} float drift (driver's exact "
                           f"hash may still fail):\n  oracle={o}\n  spark ={s}")
+        if timer:
+            timer.cancel()
         if ok:
-            print(f"PASS {name} ({len(orows)} rows)")
+            print(f"PASS {name} ({len(orows)} rows, {time.time()-t_start:.1f}s)", flush=True)
             n_pass += 1
         else:
             n_fail += 1
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_skip} skip")
     if not oracles:
         print("FAIL: oracle_sql.json is empty — zero coverage is a failure, "
               "not a pass (SparkEntry.oracleSql must be populated)")
@@ -101,4 +122,9 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
+    sys.exit(main(args[0], args[1],
+                  threads=int(opts.get("threads", 0)) or None,
+                  timeout=float(opts.get("timeout", 0)) or None,
+                  skip=set(opts.get("skip", "").split(",")) - {""}))

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Replica-derivation gate for the sf1.0 sweep's three DuckDB-infeasible
+oracles (q30 minhash, q52 char-ngram, q55 clusters).
+
+The scaled dataset (tools/scale_up.py) is K key-shifted copies of sf0.1
+with text copied VERBATIM, which makes the exact sf1.0 result derivable
+from the (DuckDB-verified) sf0.1 result with no similarity recomputation:
+
+  - All three metrics are text-determined, and candidate generation
+    (minhash bands / byte shingles / simhash chunks) is a pure function
+    of the text - so pair (a + i*OFF, b + j*OFF) is a candidate and
+    passes the threshold iff (a, b) did at sf0.1, with the SAME metric
+    value (same doubles through the same deterministic ops).
+  - Replicas of one doc are byte-identical => jaccard exactly 1.0 and
+    always candidates.
+  - Expected pairs therefore = { normalized (a+i*OFF, b+j*OFF) for every
+    sf0.1 pair (a,b), all i,j } UNION { (d+i*OFF, d+j*OFF), i<j } for
+    every doc d. Counts: 256 pairs -> 100*256 + 45*5000 = 250,600,
+    exactly what the engine produced.
+  - Clusters: replica edges only connect copies of the same doc and
+    cross edges mirror base edges, so components = base components x
+    replicas; the min-id label of a merged cluster is the base cluster's
+    label (copy 0), and a base singleton's replicas form their own
+    cluster labeled by the base id.
+
+Usage: python3 tools/derive_replicas.py <verify_sf0.1> <verify_sf1.0> <sf0.1_dir> [copies=10]
+"""
+import sys
+import duckdb
+
+OFF = 100_000_000
+
+
+def check(con, name, expected_sql, got_glob):
+    got = f"SELECT * FROM read_parquet('{got_glob}')"
+    n_exp = con.execute(f"SELECT count(*) FROM ({expected_sql})").fetchone()[0]
+    n_got = con.execute(f"SELECT count(*) FROM ({got})").fetchone()[0]
+    miss = con.execute(
+        f"SELECT count(*) FROM (({expected_sql}) EXCEPT ALL ({got}))").fetchone()[0]
+    extra = con.execute(
+        f"SELECT count(*) FROM (({got}) EXCEPT ALL ({expected_sql}))").fetchone()[0]
+    ok = n_exp == n_got and miss == 0 and extra == 0
+    print(f"{'PASS' if ok else 'FAIL'} {name}: expected={n_exp} got={n_got} "
+          f"missing={miss} extra={extra}", flush=True)
+    return ok
+
+
+def main(v01, v10, sf01, copies=10):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW copies AS SELECT unnest(range({copies})) AS i")
+    con.execute(f"CREATE VIEW docs AS SELECT doc_id "
+                f"FROM read_parquet('{sf01}/documents.parquet')")
+    all_ok = True
+    for q in ["q30_neardup_minhash", "q52_neardup_ngram"]:
+        base = f"read_parquet('{v01}/{q}/*.parquet')"
+        expected = f"""
+          SELECT least(d1 + ci.i * {OFF}, d2 + cj.i * {OFF}) AS d1,
+                 greatest(d1 + ci.i * {OFF}, d2 + cj.i * {OFF}) AS d2,
+                 jaccard
+          FROM {base}, copies ci, copies cj
+          UNION ALL
+          SELECT doc_id + ci.i * {OFF}, doc_id + cj.i * {OFF}, 1.0
+          FROM docs, copies ci, copies cj WHERE ci.i < cj.i
+        """
+        all_ok &= check(con, q, expected, f"{v10}/{q}/*.parquet")
+
+    base55 = f"read_parquet('{v01}/q55_dup_clusters/*.parquet')"
+    expected55 = f"""
+      SELECT d.doc_id + c.i * {OFF} AS doc_id,
+             coalesce(b.cluster_id, d.doc_id) AS cluster_id
+      FROM docs d LEFT JOIN {base55} b USING (doc_id), copies c
+    """
+    all_ok &= check(con, "q55_dup_clusters", expected55,
+                    f"{v10}/q55_dup_clusters/*.parquet")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3],
+                  int(sys.argv[4]) if len(sys.argv) > 4 else 10))
