@@ -257,7 +257,11 @@ object Queries {
         substring(col("l_returnflag"), 1, 1).as("rf"),
         year(col("l_shipdate")).as("yr"),
         round(col("l_extendedprice") * (lit(1.0) + col("l_tax")), 4).as("gross"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // yr/gross complete the sort key: the synthetic lineitem does NOT
+      // keep (l_orderkey, l_linenumber) unique (TPC-H would), and tie
+      // rows with distinct payloads order differently per engine — found
+      // by the r7 sf1.0 sweep, latent at any SF
+      .orderBy("l_orderkey", "l_linenumber", "yr", "gross")
 
   /** Q21 JSON functions (F4): path extraction from the props column. */
   val q21: Q = (s, dir) =>
@@ -1350,7 +1354,7 @@ object Queries {
       ("SELECT l_orderkey, l_linenumber, CONCAT('o_', CAST(l_orderkey AS VARCHAR)) AS tag, " +
         "SUBSTRING(l_returnflag, 1, 1) AS rf, YEAR(l_shipdate) AS yr, " +
         "ROUND(l_extendedprice * (1.0 + l_tax), 4) AS gross " +
-        "FROM lineitem WHERE l_quantity < 5 ORDER BY l_orderkey, l_linenumber"),
+        "FROM lineitem WHERE l_quantity < 5 ORDER BY l_orderkey, l_linenumber, yr, gross"),
     "q21_json" ->
       ("SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events ORDER BY event_id"),
     "q22_window_tumbling" ->

@@ -27,10 +27,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, out_dir, threads=None, timeout=None, skip=()):
-    """threads/timeout/skip are sweep extras (large-SF runs): cap each
-    oracle's wall time via duckdb interrupt and skip known-infeasible
-    oracles (they get a different gate, e.g. replica derivation)."""
+def main(sf_dir, out_dir, threads=None, timeout=None, skip=(), only=None):
+    """threads/timeout/skip/only are sweep extras (large-SF runs): cap
+    each oracle's wall time via duckdb interrupt, skip known-infeasible
+    oracles (they get a different gate, e.g. replica derivation), or
+    check only the named queries (single-query fix reruns)."""
     con = duckdb.connect()
     if threads:
         con.execute(f"SET threads={threads}")
@@ -42,6 +43,8 @@ def main(sf_dir, out_dir, threads=None, timeout=None, skip=()):
 
     n_pass = n_fail = n_skip = 0
     for name in sorted(oracles):
+        if only is not None and name not in only:
+            continue
         if name in skip:
             print(f"SKIP {name} (excluded)", flush=True)
             n_skip += 1
@@ -124,7 +127,9 @@ def main(sf_dir, out_dir, threads=None, timeout=None, skip=()):
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     opts = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
+    only = set(opts["only"].split(",")) if "only" in opts else None
     sys.exit(main(args[0], args[1],
                   threads=int(opts.get("threads", 0)) or None,
                   timeout=float(opts.get("timeout", 0)) or None,
-                  skip=set(opts.get("skip", "").split(",")) - {""}))
+                  skip=set(opts.get("skip", "").split(",")) - {""},
+                  only=only))
