@@ -135,8 +135,19 @@ object Queries {
     * equi-join on bucket id + residual predicate instead of the
     * BroadcastNestedLoopJoin Spark would otherwise plan. */
   val q11: Q = (s, dir) => {
+    // Eager aggregation below the range join: the final answer is a
+    // count, so both sides compress to (join-relevant columns → row
+    // count) FIRST and the pair count is Σ ecnt·ocnt — exact integers.
+    // The range join then enumerates candidate pairs of DISTINCT
+    // values, not rows: duplicated values (10× per replica in the r7
+    // sweep's scaled data; any real dataset with repeated measurements)
+    // stop multiplying candidate pairs, and all-distinct data pays only
+    // two map-side-combined hash aggs. Spark does not push aggregates
+    // through joins on its own; measured 98 s → ~1 s at sf1.0.
     val e = Tables.events(s, dir).select("value")
+      .groupBy("value").agg(count(lit(1)).as("__ecnt"))
     val o = Tables.orders(s, dir).select("o_totalprice", "o_orderstatus")
+      .groupBy("o_totalprice", "o_orderstatus").agg(count(lit(1)).as("__ocnt"))
     val lo = col("o_totalprice") * lit(0.001)
     val hi = col("o_totalprice") * lit(0.001) + lit(0.5)
     val residual = col("value") >= col("o_totalprice") * lit(0.001) &&
@@ -146,7 +157,7 @@ object Queries {
     // below that the ±1 safety margin dominates and pairs rise again)
     Relational.intervalPointJoin(e, col("value"), o, lo, hi, residual, bucketWidth = 0.0625)
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("__ecnt") * col("__ocnt")).as("n"))
       .orderBy("o_orderstatus")
   }
 
