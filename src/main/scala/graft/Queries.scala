@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 import graft.codec.Debezium
 import graft.core.{Pipeline, PipelineSpec, Tables}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Relational, Sampling, Similarity}
+import graft.operators.{Dedup, Relational, Sampling, Similarity, TextMetrics}
 import graft.sources.PromText
 import graft.streaming.StreamingOps
 
@@ -1210,6 +1210,51 @@ object Queries {
         max(col("__cum")).as("max_cum"))
       .orderBy("lang")
 
+  /** Q69 repetition filters (LLM pipeline): Gopher/MassiveText-style
+    * per-document quality rules — top-bigram fraction (how much of the
+    * text is one repeated bigram) and duplicate-bigram fraction — in
+    * exact integer micro-units (numerators ≤ 10⁶·98, both engines
+    * integer-divide the same operands), aggregated per language with
+    * flag counts at the 6%/4% thresholds. The only shuffle carries
+    * (doc, bigram) pairs through codegen'd hash aggs. */
+  val q69: Q = (s, dir) => {
+    TextMetrics.repetitionStats(
+        Tables.documents(s, dir), "doc_id", "text", n = 2,
+        keep = Seq("lang"))
+      // `div`: exact integer division on longs (the `/` Column op is
+      // double division; floor() of it can straddle an ulp)
+      .select(col("lang"),
+        expr("top_gram_count * 1000000 div gram_total").as("top_micro"),
+        expr("(gram_total - gram_distinct) * 1000000 div gram_total").as("dup_micro"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("top_micro") > 60000L, 1L).otherwise(0L)).as("n_top_flag"),
+        sum(when(col("dup_micro") > 40000L, 1L).otherwise(0L)).as("n_dup_flag"),
+        sum(col("top_micro")).as("sum_top_micro"),
+        sum(col("dup_micro")).as("sum_dup_micro"))
+      .orderBy("lang")
+  }
+
+  /** Q70 eval-set decontamination (LLM pipeline): documents with
+    * doc_id ≡ 0 (mod 97) act as the held-out benchmark; every training
+    * doc sharing a distinct word-4-gram with any eval doc is flagged —
+    * the standard n-gram-overlap leak check. Per-language flagged/total
+    * counts. Eval gram dictionary broadcasts; nothing corpus-sized
+    * shuffles. */
+  val q70: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val isEval = col("doc_id") % 97 === 0
+    val flagged = TextMetrics.contaminatedDocs(
+        docs, "doc_id", "text", isEval, n = 4, keep = Seq("lang"))
+      .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+    docs.filter(!isEval)
+      .groupBy("lang").agg(count(lit(1)).as("n_train"))
+      .join(flagged, Seq("lang"), "left")
+      .select(col("lang"), col("n_train"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1281,6 +1326,8 @@ object Queries {
     "q66_sampling" -> q66,
     "q67_mixture" -> q67,
     "q68_token_budget" -> q68,
+    "q69_repetition" -> q69,
+    "q70_decontamination" -> q70,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1747,6 +1794,31 @@ object Queries {
         "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
         "CAST(MAX(cum) AS BIGINT) AS max_cum " +
         "FROM c WHERE cum <= 10000 GROUP BY lang ORDER BY lang"),
+    "q69_repetition" ->
+      ("WITH w AS (SELECT doc_id, lang, str_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "b AS (SELECT doc_id, lang, unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS bg " +
+        "FROM w WHERE len(ws) >= 2), " +
+        "c AS (SELECT doc_id, lang, bg, COUNT(*) AS cnt FROM b GROUP BY ALL), " +
+        "g AS (SELECT doc_id, lang, SUM(cnt) AS tb, MAX(cnt) AS tm, COUNT(*) AS td FROM c GROUP BY ALL), " +
+        "m AS (SELECT lang, (tm * 1000000) // tb AS top_micro, ((tb - td) * 1000000) // tb AS dup_micro FROM g) " +
+        "SELECT lang, COUNT(*) AS n, " +
+        "SUM(CASE WHEN top_micro > 60000 THEN 1 ELSE 0 END) AS n_top_flag, " +
+        "SUM(CASE WHEN dup_micro > 40000 THEN 1 ELSE 0 END) AS n_dup_flag, " +
+        "CAST(SUM(top_micro) AS BIGINT) AS sum_top_micro, " +
+        "CAST(SUM(dup_micro) AS BIGINT) AS sum_dup_micro " +
+        "FROM m GROUP BY lang ORDER BY lang"),
+    "q70_decontamination" ->
+      ("WITH w AS (SELECT doc_id, lang, str_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, lang, " +
+        "unnest(list_distinct([array_to_string(ws[i:i+3], ' ') FOR i IN range(1, len(ws) - 2)])) AS gram " +
+        "FROM w WHERE len(ws) >= 4), " +
+        "e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), " +
+        "t AS (SELECT DISTINCT doc_id, lang FROM g WHERE doc_id % 97 <> 0 " +
+        "AND gram IN (SELECT gram FROM e)), " +
+        "tot AS (SELECT lang, COUNT(*) AS n_train FROM documents WHERE doc_id % 97 <> 0 GROUP BY lang) " +
+        "SELECT tot.lang, n_train, COALESCE(c.n, 0) AS n_contaminated " +
+        "FROM tot LEFT JOIN (SELECT lang, COUNT(*) AS n FROM t GROUP BY lang) c USING (lang) " +
+        "ORDER BY lang"),
     "q51_multimodal_binary" ->
       // ASCII corpus: char positions == byte positions, so VARCHAR substr
       // replays the engine's byte-based binary slicing exactly

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Pretraining-corpus quality operators beyond the reference's surface
+ * (SURVEY §LLM-pipeline ops): Gopher/MassiveText-style repetition
+ * metrics and eval-set n-gram decontamination. Both are standard stages
+ * of a training-data pipeline; the reference (a streaming-ETL
+ * deployment) has no equivalent, so these are first-party extensions in
+ * the same gated-query regime as the dedup family.
+ *
+ * Scale shape: the repetition metrics are SCAN-LOCAL column programs —
+ * per-row array ops, no shuffle, no state; the only corpus-wide
+ * movement in decontamination is a broadcast of the (small) eval-set
+ * gram dictionary. Document bodies never enter a shuffle (the payload
+ * audit in PlanQualitySpec applies to these queries like any other).
+ *
+ * Two computation paths for the repetition counts, same results:
+ * `repetitionStats` (the default; what q69 uses) explodes grams into
+ * rows and counts through two codegen'd hash aggregations — one thin
+ * shuffle of (doc, gram) pairs, linear work. The in-array Column
+ * variants (`topGramCount`) are shuffle-free but O(grams²) interpreted
+ * per row — measured 10× slower already at 50 k × ~50-word docs, so
+ * they are only the right trade when a shuffle is genuinely
+ * unaffordable and docs are short.
+ */
+object TextMetrics {
+
+  /** ALL n-word shingles of a text column, duplicates preserved —
+    * multiset counterpart of `Dedup.wordShingles` (which is
+    * distinct-per-doc); same normalization (lower/trim, single-space
+    * split) so the two compose. Texts with fewer than n tokens yield
+    * an empty array. */
+  def allWordShingles(text: Column, n: Int): Column = {
+    require(n >= 1, "shingle width must be >= 1")
+    val w = split(lower(trim(text)), " ")
+    val windows = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
+    when(size(w) >= n, windows).otherwise(array().cast("array<string>"))
+  }
+
+  /** Total n-gram count of the text (multiset size). */
+  def gramTotal(text: Column, n: Int): Column =
+    size(allWordShingles(text, n)).cast("long")
+
+  /** Distinct n-gram count. */
+  def gramDistinct(text: Column, n: Int): Column =
+    size(array_distinct(allWordShingles(text, n))).cast("long")
+
+  /**
+   * Per-document repetition counts via explode + two codegen'd hash
+   * aggregations: one row per doc with
+   * (gram_total, top_gram_count, gram_distinct) — the operands of
+   * MassiveText's "top n-gram fraction" and "duplicate n-gram fraction"
+   * rules. Documents shorter than n words produce no row (they have no
+   * n-grams; filter upstream if they must appear).
+   *
+   * The only shuffle carries (doc, n-gram) pairs — bounded by the
+   * corpus token count, partial-aggregated map-side; no full document
+   * ever moves.
+   */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, keep: Seq[String] = Nil): DataFrame = {
+    val out = (idCol +: keep).distinct
+    // fan out single-split inputs: shingling cost dwarfs one exchange
+    graft.core.Tables.fanOut(docs)
+      .select((out.map(col) :+
+        explode(allWordShingles(col(textCol), n)).as("__gram")): _*)
+      .groupBy((out.map(col) :+ col("__gram")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(out.map(col): _*)
+      .agg(sum(col("__cnt")).as("gram_total"),
+        max(col("__cnt")).as("top_gram_count"),
+        count(lit(1)).as("gram_distinct"))
+  }
+
+  /** Occurrence count of the single most frequent n-gram (0 for texts
+    * shorter than n words) — the numerator of MassiveText's
+    * "top n-gram fraction" quality rule. Scan-local but O(grams²)
+    * interpreted: prefer `repetitionStats` unless a shuffle is
+    * genuinely unaffordable and documents are short. */
+  def topGramCount(text: Column, n: Int): Column = {
+    val g = allWordShingles(text, n)
+    coalesce(
+      array_max(transform(array_distinct(g),
+        x => size(filter(g, y => y === x)))),
+      lit(0)).cast("long")
+  }
+
+  /**
+   * Eval-set decontamination: flag every non-eval document that shares
+   * at least one distinct n-gram with any eval document — the standard
+   * "n-gram overlap" test-set leak check run before training.
+   *
+   * Returns the flagged documents as (keep columns), one row per doc.
+   * The eval gram dictionary is broadcast (eval sets are small by
+   * nature); the train side stays a scan + broadcast-hash semi-join,
+   * so nothing corpus-sized shuffles.
+   */
+  def contaminatedDocs(docs: DataFrame, idCol: String, textCol: String,
+                       isEval: Column, n: Int,
+                       keep: Seq[String] = Nil): DataFrame = {
+    val out = (idCol +: keep).distinct
+    val gram = "__gram"
+    // fan out single-split inputs: shingling cost dwarfs one exchange
+    val grams = graft.core.Tables.fanOut(docs).select(
+      (out.map(col) :+ isEval.as("__eval") :+
+        explode(Dedup.wordShingles(col(textCol), n)).as(gram)): _*)
+    val evalGrams = grams.filter(col("__eval")).select(gram).distinct()
+    grams.filter(!col("__eval"))
+      .join(broadcast(evalGrams), gram)
+      .select(out.map(col): _*)
+      .distinct()
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** Pretraining quality operators: repetition counts (both computation
+  * paths agree) and eval-set n-gram decontamination. */
+class TextMetricsSpec extends SparkTestBase with Matchers {
+
+  test("repetition counts on hand-checked texts; in-array path agrees") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),    // bigrams: ab ba ab ba -> B=4 M=2 D=2
+      (2L, "x x x x"),      // xx xx xx -> B=3 M=3 D=1
+      (3L, "p q r s"),      // pq qr rs -> B=3 M=1 D=3
+      (4L, "solo")          // no bigrams -> no row
+    ).toDF("doc_id", "text")
+
+    val stats = TextMetrics.repetitionStats(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    stats shouldBe Array((1L, 4L, 2L, 2L), (2L, 3L, 3L, 1L), (3L, 3L, 1L, 3L))
+
+    // the scan-local Column variants must agree where both apply
+    val cols = docs.select(col("doc_id"),
+        TextMetrics.gramTotal(col("text"), 2).as("b"),
+        TextMetrics.topGramCount(col("text"), 2).as("m"),
+        TextMetrics.gramDistinct(col("text"), 2).as("d"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    cols shouldBe Array((1L, 4L, 2L, 2L), (2L, 3L, 3L, 1L),
+      (3L, 3L, 1L, 3L), (4L, 0L, 0L, 0L))
+  }
+
+  test("contaminatedDocs flags exactly the train docs sharing an n-gram with the eval set") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (100L, "the quick brown fox jumps"),      // eval
+      (1L, "a lazy dog sat here"),              // clean train
+      (2L, "see the quick brown fox run"),      // shares 4-gram with eval
+      (3L, "quick brown fox jumps high today"), // shares 4-gram with eval
+      (4L, "the quick brown cat sleeps")        // 4-grams differ (cat)
+    ).toDF("doc_id", "text")
+
+    val flagged = TextMetrics.contaminatedDocs(
+        docs, "doc_id", "text", isEval = col("doc_id") >= 100L, n = 4)
+      .collect().map(_.getLong(0)).sorted
+    flagged shouldBe Array(2L, 3L)
+
+    // the eval gram dictionary must broadcast: nothing corpus-sized
+    // shuffles for the membership test
+    val plan = TextMetrics.contaminatedDocs(
+        docs, "doc_id", "text", isEval = col("doc_id") >= 100L, n = 4)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+}
