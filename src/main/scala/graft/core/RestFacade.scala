@@ -1,0 +1,132 @@
+package graft.core
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/**
+ * Connect-REST-shaped HTTP control plane over `PipelineRegistry`
+ * (SURVEY §3.1; reference README.md:88-133 drives everything through
+ * `POST /connectors`, `GET /connectors/{name}/status`,
+ * `PUT /connectors/{name}/pause|resume`, `DELETE /connectors/{name}`).
+ * The lifecycle semantics live in the registry and are tested there;
+ * this layer is routing + status codes, so a user of the reference can
+ * keep their curl workflow verbatim.
+ *
+ * Routes (name = URL path segment):
+ *   GET    /connectors                 → 200 `["a","b"]`
+ *   POST   /connectors        (spec)   → 201 `{"name":...}` | 400
+ *   GET    /connectors/{n}/status      → 200 `{"name","state"[,"trace"]}` | 404
+ *   PUT    /connectors/{n}/config (spec) → 200 | 400 (replace; a bad
+ *          config leaves the old pipeline running — registry contract)
+ *   PUT    /connectors/{n}/pause       → 202 | 404
+ *   PUT    /connectors/{n}/resume      → 202 | 404
+ *   POST   /connectors/{n}/restart     → 204 | 404
+ *   DELETE /connectors/{n}             → 204 | 404
+ *
+ * Config body: the engine's `PipelineSpec` JSON (documented divergence
+ * from Connect's flat `{"name","config"}` string map — the spec format
+ * IS this engine's config language). For POST/PUT the path/spec name
+ * must agree, else 400.
+ *
+ * Control-plane-only by construction: a single-threaded executor
+ * serves requests; all data-plane work stays inside Spark.
+ */
+final class RestFacade(registry: PipelineRegistry, port: Int = 0)
+    extends AutoCloseable {
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(null) // serialize control-plane requests
+  server.createContext("/connectors", (ex: HttpExchange) => handle(ex))
+
+  /** Bound port (useful with port=0 ephemeral binding). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = server.start()
+  override def close(): Unit = server.stop(0)
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def respond(ex: HttpExchange, code: Int, body: String = ""): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    if (body.nonEmpty)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def submit(ex: HttpExchange, pathName: Option[String],
+                     okCode: Int): Unit =
+    try {
+      val spec = PipelineSpec.fromJson(readBody(ex))
+      if (pathName.exists(_ != spec.name))
+        respond(ex, 400, s"""{"error":${jstr(
+          s"path name '${pathName.get}' != spec name '${spec.name}'")}}""")
+      else {
+        registry.submit(spec)
+        respond(ex, okCode, s"""{"name":${jstr(spec.name)}}""")
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, s"""{"error":${jstr(
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")}}""")
+    }
+
+  private def status(ex: HttpExchange, name: String): Unit =
+    registry.status(name) match {
+      case registry.Unknown => respond(ex, 404)
+      case registry.Failed(cause) => respond(ex, 200,
+        s"""{"name":${jstr(name)},"state":"FAILED","trace":${jstr(cause)}}""")
+      case s => respond(ex, 200,
+        s"""{"name":${jstr(name)},"state":"${s.toString.toUpperCase}"}""")
+    }
+
+  private def lifecycle(ex: HttpExchange, ok: Boolean, code: Int): Unit =
+    if (ok) respond(ex, code) else respond(ex, 404)
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val parts = ex.getRequestURI.getPath.stripPrefix("/connectors")
+      .split("/").filter(_.nonEmpty).toList
+    try (method, parts) match {
+      case ("GET", Nil) =>
+        respond(ex, 200, registry.names.map(jstr).mkString("[", ",", "]"))
+      case ("POST", Nil) => submit(ex, None, 201)
+      case ("GET", name :: "status" :: Nil) => status(ex, name)
+      case ("PUT", name :: "config" :: Nil) => submit(ex, Some(name), 200)
+      case ("PUT", name :: "pause" :: Nil) =>
+        lifecycle(ex, registry.pause(name), 202)
+      case ("PUT", name :: "resume" :: Nil) =>
+        try lifecycle(ex, registry.resume(name), 202)
+        catch { case e: Exception => respond(ex, 500,
+          s"""{"error":${jstr(String.valueOf(e.getMessage))}}""") }
+      case ("POST", name :: "restart" :: Nil) =>
+        try lifecycle(ex, registry.restart(name), 204)
+        catch { case e: Exception => respond(ex, 500,
+          s"""{"error":${jstr(String.valueOf(e.getMessage))}}""") }
+      case ("DELETE", name :: Nil) =>
+        lifecycle(ex, registry.delete(name), 204)
+      case _ => respond(ex, 405)
+    } catch {
+      case e: Exception => // never leave a connection dangling
+        try respond(ex, 500, s"""{"error":${jstr(
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")}}""")
+        catch { case _: Exception => () }
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft.core
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** The reference's curl workflow against the REST facade: create via
+  * POST, watch status, pause/resume/restart, reject bad configs with
+  * the old pipeline kept running, delete. */
+class RestFacadeSpec extends SparkTestBase with Matchers {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val http = HttpClient.newHttpClient()
+
+  private def req(method: String, url: String, body: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    val withBody =
+      if (body.isEmpty) b.method(method, HttpRequest.BodyPublishers.noBody())
+      else b.method(method, HttpRequest.BodyPublishers.ofString(body))
+    http.send(withBody.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def specJson(name: String, inDir: String, ckpt: String, outDir: String): String =
+    s"""{
+       |  "name": "$name",
+       |  "source": {"type": "file", "options": {
+       |    "format": "parquet", "path": "$inDir",
+       |    "schema": "id BIGINT, secret STRING"}},
+       |  "transforms": [{"type": "mask", "options": {"field": "secret"}}],
+       |  "sink": {"type": "file", "options": {
+       |    "format": "parquet", "path": "$outDir", "checkpoint": "$ckpt",
+       |    "trigger.ms": "50"}}
+       |}""".stripMargin
+
+  test("full curl lifecycle: POST, status, pause/resume/restart, bad config 400, DELETE") {
+    val ss = spark
+    import ss.implicits._
+    val inDir = tmp("graft-rest-in")
+    val ckpt = tmp("graft-rest-ckpt")
+    val out = tmp("graft-rest-out")
+    Seq((1L, "s1")).toDF("id", "secret").write.mode("overwrite").parquet(inDir)
+
+    val reg = new PipelineRegistry(spark)
+    val facade = new RestFacade(reg)
+    facade.start()
+    val base = s"http://127.0.0.1:${facade.boundPort}/connectors"
+    try {
+      req("GET", base).body() shouldBe "[]"
+
+      val created = req("POST", base, specJson("p1", inDir, ckpt, out))
+      created.statusCode() shouldBe 201
+      created.body() shouldBe """{"name":"p1"}"""
+      req("GET", base).body() shouldBe """["p1"]"""
+      req("GET", s"$base/p1/status").body() shouldBe
+        """{"name":"p1","state":"RUNNING"}"""
+      reg.drain("p1") shouldBe true
+      spark.read.parquet(out).count() shouldBe 1
+
+      // name mismatch and unparseable config are 400s; the running
+      // pipeline is untouched either way (registry validate-first)
+      req("PUT", s"$base/other/config",
+        specJson("p1", inDir, ckpt, out)).statusCode() shouldBe 400
+      req("POST", base, """{"name": "p2", "source": {}}""")
+        .statusCode() shouldBe 400
+      val badTransform = specJson("p1", inDir, ckpt, out)
+        .replace("\"mask\"", "\"no_such_transform\"")
+      req("PUT", s"$base/p1/config", badTransform).statusCode() shouldBe 400
+      req("GET", s"$base/p1/status").body() should include("RUNNING")
+
+      req("PUT", s"$base/p1/pause").statusCode() shouldBe 202
+      req("GET", s"$base/p1/status").body() should include("PAUSED")
+      req("PUT", s"$base/p1/resume").statusCode() shouldBe 202
+      req("GET", s"$base/p1/status").body() should include("RUNNING")
+      req("POST", s"$base/p1/restart").statusCode() shouldBe 204
+      req("GET", s"$base/p1/status").body() should include("RUNNING")
+
+      // unknown names: 404 across the lifecycle
+      req("GET", s"$base/nope/status").statusCode() shouldBe 404
+      req("PUT", s"$base/nope/pause").statusCode() shouldBe 404
+      req("PUT", s"$base/nope/resume").statusCode() shouldBe 404
+      req("POST", s"$base/nope/restart").statusCode() shouldBe 404
+      req("DELETE", s"$base/nope").statusCode() shouldBe 404
+
+      req("DELETE", s"$base/p1").statusCode() shouldBe 204
+      req("GET", s"$base/p1/status").statusCode() shouldBe 404
+      req("GET", base).body() shouldBe "[]"
+    } finally facade.close()
+  }
+}
