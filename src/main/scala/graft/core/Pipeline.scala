@@ -58,6 +58,30 @@ object Pipeline {
       df.withColumn(f,
         when(expr(t.option("predicate")),
           lit(t.optionOr("replacement", "CENSORED"))).otherwise(col(f)))
+    case "redact" =>
+      // PII redaction inside free-text fields — the training-data
+      // counterpart of the whole-field mask SMT: every match of the
+      // configured pattern classes is replaced by a tag, the rest of
+      // the text survives. Built-in classes email/phone/ipv4 plus an
+      // optional custom `pattern`/`replacement` pair. Pure chained
+      // regexp_replace: codegen'd, scan-local. Rules apply in the
+      // class-list order; the default runs email then ipv4 BEFORE the
+      // (greedy digits-and-separators) phone pattern, which would
+      // otherwise eat dotted-quads. Custom orders own that concern.
+      val f = t.option("field")
+      val builtin = scala.collection.immutable.ListMap(
+        "email" -> ("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>"),
+        "ipv4" -> ("""(\d{1,3}\.){3}\d{1,3}""" -> "<IP>"),
+        "phone" -> ("""\+?\d[\d\s().-]{7,}\d""" -> "<PHONE>"))
+      val classes = t.optionOr("classes", "email,ipv4,phone")
+        .split(",").map(_.trim).filter(_.nonEmpty)
+      val rules = classes.map(c => builtin.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"redact: unknown class '$c' (know: ${builtin.keys.mkString(",")})"))) ++
+        t.options.get("pattern").map(_ -> t.optionOr("replacement", "<REDACTED>"))
+      df.withColumn(f, rules.foldLeft(col(f)) {
+        case (c, (re, tag)) => regexp_replace(c, re, tag)
+      })
     case "filter" =>
       df.filter(expr(t.option("predicate")))
     case "whitelist" =>

@@ -102,15 +102,27 @@ object TextMetrics {
    */
   def contaminatedDocs(docs: DataFrame, idCol: String, textCol: String,
                        isEval: Column, n: Int,
-                       keep: Seq[String] = Nil): DataFrame = {
+                       keep: Seq[String] = Nil): DataFrame =
+    contaminatedAgainst(docs.filter(!isEval), idCol, textCol,
+      docs.filter(isEval), textCol, n, keep)
+
+  /** General form of [[contaminatedDocs]]: the eval set is its own
+    * (static) DataFrame, so `train` may be a STREAM — the gram
+    * explode, broadcast membership join, and per-doc `distinct` (a
+    * streaming-safe Deduplicate, not an aggregation) all run
+    * incrementally, flagging leaks as documents arrive. */
+  def contaminatedAgainst(train: DataFrame, idCol: String, textCol: String,
+                          evalDocs: DataFrame, evalTextCol: String, n: Int,
+                          keep: Seq[String] = Nil): DataFrame = {
     val out = (idCol +: keep).distinct
     val gram = "__gram"
     // fan out single-split inputs: shingling cost dwarfs one exchange
-    val grams = graft.core.Tables.fanOut(docs).select(
-      (out.map(col) :+ isEval.as("__eval") :+
+    val evalGrams = graft.core.Tables.fanOut(evalDocs)
+      .select(explode(Dedup.wordShingles(col(evalTextCol), n)).as(gram))
+      .distinct()
+    graft.core.Tables.fanOut(train)
+      .select((out.map(col) :+
         explode(Dedup.wordShingles(col(textCol), n)).as(gram)): _*)
-    val evalGrams = grams.filter(col("__eval")).select(gram).distinct()
-    grams.filter(!col("__eval"))
       .join(broadcast(evalGrams), gram)
       .select(out.map(col): _*)
       .distinct()

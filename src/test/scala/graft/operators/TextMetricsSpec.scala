@@ -58,4 +58,34 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
       .queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
   }
+
+  test("streaming decontamination (stream-static) flags incrementally and survives replay") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val evalDocs = Seq((100L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val flagged = TextMetrics.contaminatedAgainst(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      evalDocs, "text", n = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-decon-ckpt").toString
+    val query = flagged.writeStream.format("memory").queryName("t_decon")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((1L, "a lazy dog sat here"),
+        (2L, "see the quick brown fox run"))
+      query.processAllAvailable()
+      // replay doc 2 (at-least-once delivery) + a new contaminated doc:
+      // the Deduplicate state must emit each flagged id exactly once
+      input.addData((2L, "see the quick brown fox run"),
+        (3L, "quick brown fox jumps high today"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    spark.table("t_decon").collect().map(_.getLong(0)).sorted shouldBe
+      Array(2L, 3L)
+  }
 }

@@ -98,4 +98,31 @@ class PromTextSpec extends SparkTestBase with Matchers {
         Map("fields" -> "name,topic",
           "keep.schema.compatible.ddl" -> "id BIGINT, topic STRING, __op STRING")))
   }
+
+  test("pipeline transform: redact scrubs PII inside free text, keeps the rest") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (1L, "mail alice@example.com or call +1 (555) 123-4567 now"),
+      (2L, "server at 10.0.0.17 responded"),
+      (3L, "nothing sensitive here"))
+      .toDF("id", "note")
+
+    val red = Pipeline.applyTransform(df,
+        StageSpec("redact", Map("field" -> "note")))
+      .orderBy("id").collect().map(_.getString(1))
+    red(0) shouldBe "mail <EMAIL> or call <PHONE> now"
+    red(1) shouldBe "server at <IP> responded"
+    red(2) shouldBe "nothing sensitive here"
+
+    // custom pattern rides along; unknown class fails loudly
+    val custom = Pipeline.applyTransform(df,
+        StageSpec("redact", Map("field" -> "note", "classes" -> "email",
+          "pattern" -> "server", "replacement" -> "<HOST>")))
+      .orderBy("id").collect().map(_.getString(1))
+    custom(1) should startWith("<HOST> at 10.0.0.17")
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.applyTransform(df,
+        StageSpec("redact", Map("field" -> "note", "classes" -> "ssn")))
+  }
 }
