@@ -149,6 +149,11 @@ final class PipelineRegistry(spark: SparkSession) {
 
   def names: Seq[String] = (queries.keys ++ paused.keys).toSeq.distinct.sorted
 
+  /** The stored spec of a known (running or paused) pipeline — the
+    * reference's `GET /connectors/{name}` config payload. */
+  def spec(name: String): Option[PipelineSpec] =
+    queries.get(name).map(_._1).orElse(paused.get(name))
+
   /** Block until the named query has processed all currently-available
     * input (test/drain helper; AvailableNow-triggered queries just
     * `awaitTermination`). True if the name exists. */

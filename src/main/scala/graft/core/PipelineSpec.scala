@@ -22,7 +22,29 @@ final case class StageSpec(stageType: String, options: Map[String, String]) {
 }
 
 final case class PipelineSpec(name: String, source: StageSpec,
-                              transforms: Seq[StageSpec], sink: StageSpec)
+                              transforms: Seq[StageSpec], sink: StageSpec) {
+  /** Canonical JSON form — parseable by [[PipelineSpec.fromJson]]
+    * (fromJson(toJson) == this), so `GET /connectors/{name}` returns a
+    * config the caller can PUT straight back. Jackson renders values,
+    * so escaping is symmetric with the parser. */
+  def toJson: String = {
+    val m = new ObjectMapper()
+    def stage(s: StageSpec) = {
+      val n = m.createObjectNode()
+      n.put("type", s.stageType)
+      val o = n.putObject("options")
+      s.options.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+      n
+    }
+    val root = m.createObjectNode()
+    root.put("name", name)
+    root.set[com.fasterxml.jackson.databind.node.ObjectNode]("source", stage(source))
+    val arr = root.putArray("transforms")
+    transforms.foreach(t => arr.add(stage(t)))
+    root.set[com.fasterxml.jackson.databind.node.ObjectNode]("sink", stage(sink))
+    m.writeValueAsString(root)
+  }
+}
 
 object PipelineSpec {
   private val mapper = new ObjectMapper()

@@ -18,6 +18,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  *   GET    /connectors                 → 200 `["a","b"]`
  *   POST   /connectors        (spec)   → 201 `{"name":...}` | 400
  *   GET    /connectors/{n}/status      → 200 `{"name","state"[,"trace"]}` | 404
+ *   GET    /connectors/{n}             → 200 `{"name","config"}` | 404
+ *   GET    /connectors/{n}/config      → 200 (spec JSON, PUT-able back) | 404
  *   PUT    /connectors/{n}/config (spec) → 200 | 400 (replace; a bad
  *          config leaves the old pipeline running — registry contract)
  *   PUT    /connectors/{n}/pause       → 202 | 404
@@ -108,6 +110,17 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0)
         respond(ex, 200, registry.names.map(jstr).mkString("[", ",", "]"))
       case ("POST", Nil) => submit(ex, None, 201)
       case ("GET", name :: "status" :: Nil) => status(ex, name)
+      case ("GET", name :: Nil) => // name + stored config, PUT-able back
+        registry.spec(name) match {
+          case Some(spec) => respond(ex, 200,
+            s"""{"name":${jstr(name)},"config":${spec.toJson}}""")
+          case None => respond(ex, 404)
+        }
+      case ("GET", name :: "config" :: Nil) =>
+        registry.spec(name) match {
+          case Some(spec) => respond(ex, 200, spec.toJson)
+          case None => respond(ex, 404)
+        }
       case ("PUT", name :: "config" :: Nil) => submit(ex, Some(name), 200)
       case ("PUT", name :: "pause" :: Nil) =>
         lifecycle(ex, registry.pause(name), 202)

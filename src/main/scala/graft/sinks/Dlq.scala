@@ -58,4 +58,34 @@ object Dlq {
       sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch, epochId) =>
       sink(route(batch, isBad, reason, quarantineDir, epochId), epochId)
+
+  /** foreachBatch combinator for TRANSIENT sink failures — the
+    * reference's `errors.retry.timeout` / `errors.retry.delay.max.ms`
+    * surface: re-run the sink up to `attempts` times with exponential
+    * backoff (delay doubles per retry, capped at `maxDelayMs`) before
+    * letting the exception fail the stream. Safe exactly when the sink
+    * is idempotent per epoch — which every keyed sink here is
+    * (`ParquetKeyedTable`/`JdbcUpsert` MERGE replay, `route`'s
+    * per-epoch overwrite) — because a retried attempt replays the SAME
+    * epochId. Composes with `withDlq` on either side. */
+  def withRetry(attempts: Int, delayMs: Long = 100L, maxDelayMs: Long = 10000L)(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    require(attempts >= 1, "withRetry: need at least one attempt")
+    (batch, epochId) => {
+      var attempt = 0
+      var delay = delayMs
+      var done = false
+      while (!done) {
+        attempt += 1
+        try { sink(batch, epochId); done = true }
+        catch {
+          case _: Exception if attempt < attempts =>
+            // control-plane sleep on the driver between micro-batch
+            // retries — the reference's retry delay, not a task sleep
+            Thread.sleep(delay)
+            delay = math.min(delay * 2, maxDelayMs)
+        }
+      }
+    }
+  }
 }

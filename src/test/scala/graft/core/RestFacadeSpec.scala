@@ -73,6 +73,15 @@ class RestFacadeSpec extends SparkTestBase with Matchers {
       req("PUT", s"$base/p1/config", badTransform).statusCode() shouldBe 400
       req("GET", s"$base/p1/status").body() should include("RUNNING")
 
+      // GET config is PUT-able back verbatim (fromJson∘toJson identity)
+      val cfg = req("GET", s"$base/p1/config")
+      cfg.statusCode() shouldBe 200
+      PipelineSpec.fromJson(cfg.body()) shouldBe
+        PipelineSpec.fromJson(specJson("p1", inDir, ckpt, out))
+      req("PUT", s"$base/p1/config", cfg.body()).statusCode() shouldBe 200
+      req("GET", s"$base/p1").body() should startWith("""{"name":"p1","config":{""")
+      req("GET", s"$base/nope").statusCode() shouldBe 404
+
       req("PUT", s"$base/p1/pause").statusCode() shouldBe 202
       req("GET", s"$base/p1/status").body() should include("PAUSED")
       req("PUT", s"$base/p1/resume").statusCode() shouldBe 202

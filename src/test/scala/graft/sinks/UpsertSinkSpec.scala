@@ -124,6 +124,32 @@ class UpsertSinkSpec extends SparkTestBase with Matchers {
     routedJobs should be < guardedJobs
   }
 
+  test("withRetry re-runs a transiently failing sink with backoff, then fails for good") {
+    val ss = spark
+    import ss.implicits._
+    val batch = Seq((1L, "ok")).toDF("id", "payload")
+
+    // transient: first two attempts throw, third lands
+    var calls = 0
+    val flaky: (org.apache.spark.sql.DataFrame, Long) => Unit = (_, _) => {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+    }
+    Dlq.withRetry(attempts = 3, delayMs = 1)(flaky)(batch, 7L)
+    calls shouldBe 3
+
+    // exhausted: the final exception propagates (fails the stream)
+    var calls2 = 0
+    val alwaysDown: (org.apache.spark.sql.DataFrame, Long) => Unit = (_, _) => {
+      calls2 += 1
+      throw new RuntimeException("hard down")
+    }
+    the[RuntimeException] thrownBy
+      Dlq.withRetry(attempts = 3, delayMs = 1)(alwaysDown)(batch, 8L) should
+      have message "hard down"
+    calls2 shouldBe 3
+  }
+
   test("end-to-end: Debezium JSON stream -> unwrap -> DLQ -> upsert table") {
     val ss = spark
     import ss.implicits._
