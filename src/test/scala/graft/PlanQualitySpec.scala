@@ -50,7 +50,8 @@ class PlanQualitySpec extends SparkTestBase with Matchers {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, BinaryType, StringType}
     val wideNames = Set("text", "bytes", "frame", "props", "body", "payload",
-      "content", "line", "value", "tok", "tokens", "sh", "shingle", "shingles")
+      "content", "line", "value", "tok", "tokens", "sh", "shingle", "shingles",
+      "gram", "grams")
     // (query, column) pairs reviewed and accepted as intentional
     val whitelist = Set.empty[(String, String)]
     def isWide(a: org.apache.spark.sql.catalyst.expressions.Attribute): Boolean =
