@@ -210,7 +210,9 @@ object Queries {
       keys = Seq("o_custkey"),
       ordering = Seq(col("o_orderdate"), col("o_orderkey")),
       k = 3, rankCol = Some("rn"))
-      .select("o_custkey", "o_orderkey", "rn")
+      // long rn: oracle ROW_NUMBER() is BIGINT and the checker's
+      // type-identity gate wants representation parity, not just values
+      .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
       .orderBy("o_custkey", "rn")
 
   /** Q16 window frame / running sum (§2.5). The sum runs in DECIMAL so
@@ -266,13 +268,15 @@ object Queries {
         col("l_orderkey"), col("l_linenumber"),
         concat(lit("o_"), col("l_orderkey").cast("string")).as("tag"),
         substring(col("l_returnflag"), 1, 1).as("rf"),
-        year(col("l_shipdate")).as("yr"),
+        year(col("l_shipdate")).cast("long").as("yr"),
         round(col("l_extendedprice") * (lit(1.0) + col("l_tax")), 4).as("gross"))
-      // yr/gross complete the sort key: the synthetic lineitem does NOT
-      // keep (l_orderkey, l_linenumber) unique (TPC-H would), and tie
-      // rows with distinct payloads order differently per engine — found
-      // by the r7 sf1.0 sweep, latent at any SF
-      .orderBy("l_orderkey", "l_linenumber", "yr", "gross")
+      // yr/gross/rf complete the sort key: the synthetic lineitem does
+      // NOT keep (l_orderkey, l_linenumber) unique (TPC-H would), and
+      // tie rows with distinct payloads order differently per engine —
+      // found by the r7 sf1.0 sweep, latent at any SF. rf covers the
+      // last non-key-derived output column (tag is orderkey-derived),
+      // making the ordering total over the output.
+      .orderBy("l_orderkey", "l_linenumber", "yr", "gross", "rf")
 
   /** Q21 JSON functions (F4): path extraction from the props column. */
   val q21: Q = (s, dir) =>
@@ -931,6 +935,7 @@ object Queries {
     val e = Tables.embeddings(s, dir)
       .withColumn("e", col("embedding").cast("array<double>"))
     Similarity.knnJoin(e, e.filter(col("vec_id") < 5), "vec_id", "e", k = 3)
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy("probe_id", "rank")
   }
 
@@ -1125,8 +1130,8 @@ object Queries {
     Tables.orders(s, dir)
       .filter(col("o_custkey") <= 200)
       .select(col("o_custkey"), col("o_orderkey"),
-        dense_rank().over(w).as("dr"),
-        ntile(4).over(w).as("nt"),
+        dense_rank().over(w).cast("long").as("dr"),
+        ntile(4).over(w).cast("long").as("nt"),
         round(cume_dist().over(w), 4).as("cd"),
         first(col("o_orderkey"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -1412,7 +1417,7 @@ object Queries {
       ("SELECT l_orderkey, l_linenumber, CONCAT('o_', CAST(l_orderkey AS VARCHAR)) AS tag, " +
         "SUBSTRING(l_returnflag, 1, 1) AS rf, YEAR(l_shipdate) AS yr, " +
         "ROUND(l_extendedprice * (1.0 + l_tax), 4) AS gross " +
-        "FROM lineitem WHERE l_quantity < 5 ORDER BY l_orderkey, l_linenumber, yr, gross"),
+        "FROM lineitem WHERE l_quantity < 5 ORDER BY l_orderkey, l_linenumber, yr, gross, rf"),
     "q21_json" ->
       ("SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events ORDER BY event_id"),
     "q22_window_tumbling" ->
@@ -1802,8 +1807,8 @@ object Queries {
         "g AS (SELECT doc_id, lang, SUM(cnt) AS tb, MAX(cnt) AS tm, COUNT(*) AS td FROM c GROUP BY ALL), " +
         "m AS (SELECT lang, (tm * 1000000) // tb AS top_micro, ((tb - td) * 1000000) // tb AS dup_micro FROM g) " +
         "SELECT lang, COUNT(*) AS n, " +
-        "SUM(CASE WHEN top_micro > 60000 THEN 1 ELSE 0 END) AS n_top_flag, " +
-        "SUM(CASE WHEN dup_micro > 40000 THEN 1 ELSE 0 END) AS n_dup_flag, " +
+        "CAST(SUM(CASE WHEN top_micro > 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_top_flag, " +
+        "CAST(SUM(CASE WHEN dup_micro > 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_flag, " +
         "CAST(SUM(top_micro) AS BIGINT) AS sum_top_micro, " +
         "CAST(SUM(dup_micro) AS BIGINT) AS sum_dup_micro " +
         "FROM m GROUP BY lang ORDER BY lang"),

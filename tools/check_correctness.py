@@ -26,6 +26,33 @@ def values_equal(o, s):
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Oracle-vs-Spark type pairs that the driver's exact hash is known to
+# tolerate (same wire representation after its normalization). Anything
+# else — notably DuckDB HUGEINT vs Spark BIGINT from an uncast
+# SUM(CASE...) — must fail HERE, before the driver's hash does (r7's
+# q69 red was exactly that class).
+TYPE_EQUIV = {
+    # Spark writes TimestampType as parquet isAdjustedToUTC=true, which
+    # DuckDB reads back as TIMESTAMP WITH TIME ZONE; oracle-side window
+    # arithmetic yields plain TIMESTAMP. Same instant, same hash.
+    ("timestamp", "timestamp with time zone"),
+}
+
+
+def types_identical(name, ocols, otypes, scols, stypes):
+    """Column-by-column (name-matched) oracle/Spark type identity."""
+    omap = dict(zip(ocols, otypes))
+    smap = dict(zip(scols, stypes))
+    ok = True
+    for c in sorted(ocols):
+        o, s = omap[c].lower(), smap[c].lower()
+        if o != s and (o, s) not in TYPE_EQUIV and (s, o) not in TYPE_EQUIV:
+            print(f"FAIL {name}: column '{c}' type mismatch oracle={o} "
+                  f"spark={s} (the driver's hash is representation-exact; "
+                  f"CAST the oracle side)")
+            ok = False
+    return ok
+
 
 def main(sf_dir, out_dir, threads=None, timeout=None, skip=(), only=None):
     """threads/timeout/skip/only are sweep extras (large-SF runs): cap
@@ -64,6 +91,7 @@ def main(sf_dir, out_dir, threads=None, timeout=None, skip=(), only=None):
         try:
             oracle = con.sql(sql)
             ocols = [c.lower() for c in oracle.columns]
+            otypes = [str(t) for t in oracle.types]
             orows = oracle.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error after {time.time()-t_start:.1f}s: {e}", flush=True)
@@ -74,6 +102,7 @@ def main(sf_dir, out_dir, threads=None, timeout=None, skip=(), only=None):
         try:
             spark = con.sql(f"SELECT * FROM read_parquet('{spark_glob}')")
             scols = [c.lower() for c in spark.columns]
+            stypes = [str(t) for t in spark.types]
             srows = spark.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark read error: {e}", flush=True)
@@ -91,6 +120,8 @@ def main(sf_dir, out_dir, threads=None, timeout=None, skip=(), only=None):
             ok = False
         elif sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: schema mismatch oracle={sorted(ocols)} spark={sorted(scols)}")
+            ok = False
+        elif not types_identical(name, ocols, otypes, scols, stypes):
             ok = False
         elif len(orows) != len(srows):
             print(f"FAIL {name}: rowcount oracle={len(orows)} spark={len(srows)}")
