@@ -674,9 +674,12 @@ object Queries {
   }
 
   /** Q42 exact percentiles (§2.4 aggregation surface): interpolated
-    * median/p95 per return flag, via `Relational.exactQuantiles` — the
-    * distributed counts-based exact quantile (value→count hash agg,
-    * bucketed prefix-sum, covering-row selection). Unlike Spark's
+    * median/p95 of price AND median quantity per return flag, via
+    * `Relational.exactQuantilesMulti` — both measures melted through
+    * ONE run of the distributed counts-based exact quantile program
+    * (value→count hash agg, bucketed prefix-sum, covering-row
+    * selection; r7 ran the 5-stage pipeline once per measure plus a
+    * join). Unlike Spark's
     * built-in `percentile` (an ImperativeAggregate whose per-group
     * buffer holds every distinct value — memory-unbounded at 100×),
     * no stage here holds O(group) state. Interpolation is the same
@@ -684,11 +687,9 @@ object Queries {
     * hash-matches; ROUND(,4) absorbs the last ulp. */
   val q42: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
-    val price = Relational.exactQuantiles(li, Seq("l_returnflag"),
-      "l_extendedprice", Seq("p50" -> 0.5, "p95" -> 0.95))
-    val qty = Relational.exactQuantiles(li, Seq("l_returnflag"),
-      "l_quantity", Seq("q50" -> 0.5))
-    price.join(qty, "l_returnflag")
+    Relational.exactQuantilesMulti(li, Seq("l_returnflag"), Seq(
+      "l_extendedprice" -> Seq("p50" -> 0.5, "p95" -> 0.95),
+      "l_quantity" -> Seq("q50" -> 0.5)))
       .select(col("l_returnflag"),
         round(col("p50"), 4).as("p50"),
         round(col("p95"), 4).as("p95"),

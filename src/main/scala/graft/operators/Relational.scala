@@ -273,6 +273,50 @@ object Relational {
     cum.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*).select(outCols: _*)
   }
 
+  /** Multi-measure [[exactQuantiles]]: several value columns through ONE
+    * run of the 5-stage program instead of one run (scan + shuffle +
+    * join) per measure. Measures are melted to long form — each row
+    * explodes to (group, measureIndex, value) — and the measure index
+    * joins the grouping key, so distinct-value compression, bucketing
+    * and the covering-row selection all run per (group, measure) in the
+    * same job over a single table scan. The melt ships a 4-byte index,
+    * never the measure name. Quantile fractions are computed as the
+    * union across specs (deduplicated), then a final tiny pivot maps
+    * each measure's requested fractions to its output names.
+    *
+    * @param specs (valueColumn, (outputName, q) pairs) per measure;
+    *              output names must be globally unique
+    * @return one row per group: groupCols ++ every named quantile
+    */
+  def exactQuantilesMulti(df: DataFrame, groupCols: Seq[String],
+                          specs: Seq[(String, Seq[(String, Double)])],
+                          buckets: Int = 256): DataFrame = {
+    require(specs.nonEmpty, "exactQuantilesMulti: need at least one measure")
+    val outNames = specs.flatMap(_._2.map(_._1))
+    require(outNames.distinct.size == outNames.size,
+      "exactQuantilesMulti: output names must be unique across measures")
+    val gcols = groupCols.map(col)
+    val taken = df.columns
+    val mvc = fresh("__mv", taken)
+    val m = fresh("__m", taken)
+    val v = fresh("__v", taken)
+    val melted = df
+      .select((gcols :+ explode(array(specs.zipWithIndex.map {
+        case ((vc, _), i) =>
+          struct(lit(i).as("m"), col(vc).cast("double").as("v"))
+      }: _*)).as(mvc)): _*)
+      .select((gcols :+ col(s"$mvc.m").as(m) :+ col(s"$mvc.v").as(v)): _*)
+    val fracs = specs.flatMap(_._2.map(_._2)).distinct.sorted
+    val united = exactQuantiles(melted, groupCols :+ m, v,
+      fracs.indices.map(i => s"__uq_$i" -> fracs(i)), buckets)
+    val pivots = specs.zipWithIndex.flatMap { case ((_, qs), i) =>
+      qs.map { case (name, q) =>
+        min(when(col(m) === i, col(s"__uq_${fracs.indexOf(q)}"))).as(name)
+      }
+    }
+    united.groupBy(gcols: _*).agg(pivots.head, pivots.tail: _*)
+  }
+
   /**
    * Scalable interval × point join (range/theta join): joins `points`
    * rows to `intervals` rows where the caller's `residual` predicate

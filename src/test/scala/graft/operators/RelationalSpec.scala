@@ -142,6 +142,32 @@ class RelationalSpec extends SparkTestBase {
       Seq(("one", 3.14), ("s", 5.0)))
   }
 
+  test("exactQuantilesMulti equals per-measure exactQuantiles") {
+    val dataGen: Gen[List[(String, Double, Double)]] =
+      Gen.listOfN(200, for {
+        g <- Gen.oneOf("a", "b")
+        v1 <- Gen.chooseNum(-100.0, 100.0)
+        v2 <- Gen.chooseNum(0L, 30L).map(_.toDouble)
+      } yield (g, v1, v2))
+    for (rows <- samples(dataGen, n = 3)) {
+      val df = rows.toDF("g", "x", "y")
+      val multi = Relational.exactQuantilesMulti(df, Seq("g"), Seq(
+        "x" -> Seq("xp50" -> 0.5, "xp95" -> 0.95),
+        "y" -> Seq("yp50" -> 0.5)), buckets = 7)
+        .orderBy("g").collect()
+      val wx = Relational.exactQuantiles(df, Seq("g"), "x",
+        Seq("xp50" -> 0.5, "xp95" -> 0.95), buckets = 7).orderBy("g").collect()
+      val wy = Relational.exactQuantiles(df, Seq("g"), "y",
+        Seq("yp50" -> 0.5), buckets = 7).orderBy("g").collect()
+      multi.zip(wx.zip(wy)).foreach { case (m, (x, y)) =>
+        assert(m.getString(0) == x.getString(0))
+        assert(math.abs(m.getDouble(1) - x.getDouble(1)) < 1e-9)
+        assert(math.abs(m.getDouble(2) - x.getDouble(2)) < 1e-9)
+        assert(math.abs(m.getDouble(3) - y.getDouble(1)) < 1e-9)
+      }
+    }
+  }
+
   test("hot-key saltedJoin equals the plain join on random skewed data") {
     val factGen: Gen[List[(Long, Long)]] =
       Gen.listOfN(400, for {
