@@ -29,9 +29,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *  - `restart` maps `POST /connectors/{name}/restart` (pause + resume).
  *  - `delete` stops the query and forgets the name.
  *
- * Thread-safe: the registry is a TrieMap and per-name replace is
- * atomic enough for a control plane (Spark serializes query start/stop
- * internally).
+ * Thread-safe: all state lives in ONE map (a name is always Live or
+ * Idle, never split across maps), reads are lock-free snapshots, and
+ * every state transition serializes on a single registry lock — the
+ * same single-threaded-herder model Kafka Connect uses for lifecycle
+ * verbs. A name therefore never transiently disappears mid-pause, and
+ * a submit interleaving with pause/resume cannot double-start a spec.
  */
 final class PipelineRegistry(spark: SparkSession) {
 
@@ -42,9 +45,17 @@ final class PipelineRegistry(spark: SparkSession) {
   case object Stopped extends Status
   case object Unknown extends Status
 
-  private val queries = TrieMap.empty[String, (PipelineSpec, StreamingQuery)]
+  /** Registry entry: Live = has a StreamingQuery; Idle = paused, spec
+    * retained. One map, so status/names/spec always see a whole state. */
+  private sealed trait Entry { def spec: PipelineSpec }
+  private final case class Live(spec: PipelineSpec, q: StreamingQuery) extends Entry
+  private final case class Idle(spec: PipelineSpec) extends Entry
+
+  private val state = TrieMap.empty[String, Entry]
   private val startFailures = TrieMap.empty[String, String]
-  private val paused = TrieMap.empty[String, PipelineSpec]
+  // serializes every lifecycle transition (the "herder" lock); reads
+  // never take it. Reentrant, so restart can compose pause + resume.
+  private val herder = new Object
 
   /** Start (or replace) the named streaming pipeline from its spec.
     *
@@ -57,13 +68,16 @@ final class PipelineRegistry(spark: SparkSession) {
     * a checkpoint), the old spec is restarted from its checkpoint so a bad
     * replacement still cannot take down a healthy pipeline; the failure is
     * recorded for `status` either way. */
-  def submit(spec: PipelineSpec): StreamingQuery = {
+  def submit(spec: PipelineSpec): StreamingQuery = herder.synchronized {
     // analyze the new plan AND statically validate the sink first;
     // both throw on a bad spec without side effects
     Pipeline.build(spark, spec, streaming = true).schema
     Pipeline.validateStreamSink(spec.sink)
-    val previous = queries.remove(spec.name)
-    previous.foreach { case (_, q) => if (q.isActive) q.stop() }
+    val previous = state.get(spec.name)
+    previous.foreach {
+      case Live(_, q) => if (q.isActive) q.stop()
+      case Idle(_) => ()
+    }
     val q =
       try Pipeline.runStream(spark, spec)
       catch {
@@ -72,91 +86,103 @@ final class PipelineRegistry(spark: SparkSession) {
           // best-effort rollback: resume the old spec from its checkpoint
           // (offsets are durable, so this loses nothing). If even the old
           // spec cannot restart, the recorded failure stands alone.
-          previous.foreach { case (oldSpec, _) =>
-            try queries.put(spec.name, (oldSpec, Pipeline.runStream(spark, oldSpec)))
-            catch { case _: Exception => () }
+          previous match {
+            case Some(Live(oldSpec, _)) =>
+              try state.put(spec.name, Live(oldSpec, Pipeline.runStream(spark, oldSpec)))
+              catch { case _: Exception => state.remove(spec.name) }
+            case Some(idle @ Idle(_)) => state.put(spec.name, idle): Unit
+            case None => state.remove(spec.name): Unit
           }
           throw e
       }
     startFailures.remove(spec.name)
-    paused.remove(spec.name) // a replaced name is no longer paused
-    queries.put(spec.name, (spec, q))
+    state.put(spec.name, Live(spec, q)) // replaces any Idle: no longer paused
     q
   }
 
   /** Stop processing but stay configured (`PUT /connectors/{name}/pause`).
     * The checkpoint keeps the offsets; `resume` picks up exactly there.
     * Idempotent: pausing a paused name is true, unknown names false. */
-  def pause(name: String): Boolean = queries.remove(name) match {
-    case Some((spec, q)) =>
-      if (q.isActive) q.stop()
-      paused.put(name, spec)
-      true
-    case None => paused.contains(name)
+  def pause(name: String): Boolean = herder.synchronized {
+    state.get(name) match {
+      case Some(Live(spec, q)) =>
+        if (q.isActive) q.stop()
+        state.put(name, Idle(spec))
+        true
+      case Some(Idle(_)) => true
+      case None => false
+    }
   }
 
   /** Restart a paused pipeline from its checkpoint
     * (`PUT /connectors/{name}/resume`). A failed start records FAILED
     * status and leaves the name paused so resume can be retried. */
-  def resume(name: String): Boolean = paused.get(name) match {
-    case Some(spec) =>
-      val q =
-        try Pipeline.runStream(spark, spec)
-        catch {
-          case e: Exception =>
-            startFailures.put(name, s"${e.getClass.getName}: ${e.getMessage}")
-            throw e
-        }
-      startFailures.remove(name)
-      paused.remove(name)
-      queries.put(name, (spec, q))
-      true
-    case None => false
+  def resume(name: String): Boolean = herder.synchronized {
+    state.get(name) match {
+      case Some(Idle(spec)) =>
+        val q =
+          try Pipeline.runStream(spark, spec)
+          catch {
+            case e: Exception =>
+              startFailures.put(name, s"${e.getClass.getName}: ${e.getMessage}")
+              throw e
+          }
+        startFailures.remove(name)
+        state.put(name, Live(spec, q))
+        true
+      case _ => false
+    }
   }
 
   /** Bounce a pipeline through its checkpoint
     * (`POST /connectors/{name}/restart`): running → stop + start; a
-    * paused name resumes. True if the name was known. */
-  def restart(name: String): Boolean = queries.get(name) match {
-    case Some(_) => pause(name) && resume(name)
-    case None => resume(name)
+    * paused name resumes. True if the name was known. The herder lock is
+    * held across both steps, so no other verb can interleave. */
+  def restart(name: String): Boolean = herder.synchronized {
+    state.get(name) match {
+      case Some(Live(_, _)) => pause(name) && resume(name)
+      case _ => resume(name)
+    }
   }
 
   /** One-shot batch execution of a spec (the reference's bulk mode). */
   def runBatch(spec: PipelineSpec): Unit = Pipeline.runBatch(spark, spec)
 
-  def status(name: String): Status = queries.get(name) match {
-    case None =>
-      startFailures.get(name).map(Failed(_))
-        .orElse(if (paused.contains(name)) Some(Paused) else None)
-        .getOrElse(Unknown)
-    case Some((_, q)) if q.isActive => Running
-    case Some((_, q)) => q.exception match {
+  def status(name: String): Status = state.get(name) match {
+    case None => startFailures.get(name).map(Failed(_)).getOrElse(Unknown)
+    case Some(Idle(_)) =>
+      // a failed resume leaves the name paused AND records the cause;
+      // surface the failure (retryable via resume) over plain Paused
+      startFailures.get(name).map(Failed(_)).getOrElse(Paused)
+    case Some(Live(_, q)) if q.isActive => Running
+    case Some(Live(_, q)) => q.exception match {
       case Some(e) => Failed(e.getMessage)
       case None => Stopped
     }
   }
 
   /** Stop and forget. True if the name existed (running or paused). */
-  def delete(name: String): Boolean = {
+  def delete(name: String): Boolean = herder.synchronized {
     val hadFailure = startFailures.remove(name).isDefined
-    val wasPaused = paused.remove(name).isDefined
-    queries.remove(name) match {
-      case Some((_, q)) => if (q.isActive) q.stop(); true
-      case None => hadFailure || wasPaused
+    state.remove(name) match {
+      case Some(Live(_, q)) => if (q.isActive) q.stop(); true
+      case Some(Idle(_)) => true
+      case None => hadFailure
     }
   }
 
-  def names: Seq[String] = (queries.keys ++ paused.keys).toSeq.distinct.sorted
+  def names: Seq[String] = state.keys.toSeq.sorted
 
   /** The stored spec of a known (running or paused) pipeline — the
     * reference's `GET /connectors/{name}` config payload. */
-  def spec(name: String): Option[PipelineSpec] =
-    queries.get(name).map(_._1).orElse(paused.get(name))
+  def spec(name: String): Option[PipelineSpec] = state.get(name).map(_.spec)
 
   /** Block until the named query has processed all currently-available
     * input (test/drain helper; AvailableNow-triggered queries just
-    * `awaitTermination`). True if the name exists. */
+    * `awaitTermination`). True if the name exists and is running. */
   def drain(name: String): Boolean =
-    queries.get(name).exists { case (_, q) => q.processAllAvailable(); true }
+    state.get(name).exists {
+      case Live(_, q) => q.processAllAvailable(); true
+      case Idle(_) => false
+    }
 }

@@ -16,7 +16,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  *
  * Routes (name = URL path segment):
  *   GET    /connectors                 → 200 `["a","b"]`
- *   POST   /connectors        (spec)   → 201 `{"name":...}` | 400
+ *   POST   /connectors        (spec)   → 201 `{"name":...}` | 400 |
+ *          409 (name exists — POST is create-only, like Connect; use
+ *          PUT /connectors/{name}/config to replace)
  *   GET    /connectors/{n}/status      → 200 `{"name","state"[,"trace"]}` | 404
  *   GET    /connectors/{n}             → 200 `{"name","config"}` | 404
  *   GET    /connectors/{n}/config      → 200 (spec JSON, PUT-able back) | 404
@@ -79,10 +81,18 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0)
       if (pathName.exists(_ != spec.name))
         respond(ex, 400, s"""{"error":${jstr(
           s"path name '${pathName.get}' != spec name '${spec.name}'")}}""")
-      else {
-        registry.submit(spec)
-        respond(ex, okCode, s"""{"name":${jstr(spec.name)}}""")
-      }
+      else submitParsed(ex, spec, okCode)
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, s"""{"error":${jstr(
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")}}""")
+    }
+
+  private def submitParsed(ex: HttpExchange, spec: PipelineSpec,
+                           okCode: Int): Unit =
+    try {
+      registry.submit(spec)
+      respond(ex, okCode, s"""{"name":${jstr(spec.name)}}""")
     } catch {
       case e: Exception =>
         respond(ex, 400, s"""{"error":${jstr(
@@ -108,7 +118,23 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0)
     try (method, parts) match {
       case ("GET", Nil) =>
         respond(ex, 200, registry.names.map(jstr).mkString("[", ",", "]"))
-      case ("POST", Nil) => submit(ex, None, 201)
+      case ("POST", Nil) =>
+        // Connect returns 409 when the name already exists: POST is
+        // create-only; replacement is PUT /connectors/{name}/config.
+        // Check-then-submit races are benign here — the single-threaded
+        // executor serializes requests, and the registry's herder lock
+        // serializes any out-of-band submit.
+        try {
+          val spec = PipelineSpec.fromJson(readBody(ex))
+          if (registry.spec(spec.name).isDefined)
+            respond(ex, 409, s"""{"error":${jstr(
+              s"Connector ${spec.name} already exists")}}""")
+          else submitParsed(ex, spec, 201)
+        } catch {
+          case e: Exception =>
+            respond(ex, 400, s"""{"error":${jstr(
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")}}""")
+        }
       case ("GET", name :: "status" :: Nil) => status(ex, name)
       case ("GET", name :: Nil) => // name + stored config, PUT-able back
         registry.spec(name) match {

@@ -67,8 +67,18 @@ object Dlq {
     * is idempotent per epoch — which every keyed sink here is
     * (`ParquetKeyedTable`/`JdbcUpsert` MERGE replay, `route`'s
     * per-epoch overwrite) — because a retried attempt replays the SAME
-    * epochId. Composes with `withDlq` on either side. */
-  def withRetry(attempts: Int, delayMs: Long = 100L, maxDelayMs: Long = 10000L)(
+    * epochId. Composes with `withDlq` on either side.
+    *
+    * Only exceptions matching `retryable` are retried; anything else —
+    * a deterministic failure like an `AnalysisException`, schema
+    * mismatch, or auth error — rethrows immediately instead of burning
+    * attempts×delay of driver wall time per micro-batch on an outcome
+    * that cannot change. The default predicate covers the transient
+    * classes the reference's retry surface targets: I/O and SQL
+    * recoverable/transient/timeout failures, wherever they sit in the
+    * sink's cause chain (Spark wraps executor faults). */
+  def withRetry(attempts: Int, delayMs: Long = 100L, maxDelayMs: Long = 10000L,
+                retryable: Throwable => Boolean = defaultRetryable)(
       sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     require(attempts >= 1, "withRetry: need at least one attempt")
     (batch, epochId) => {
@@ -79,7 +89,7 @@ object Dlq {
         attempt += 1
         try { sink(batch, epochId); done = true }
         catch {
-          case _: Exception if attempt < attempts =>
+          case e: Exception if attempt < attempts && retryable(e) =>
             // control-plane sleep on the driver between micro-batch
             // retries — the reference's retry delay, not a task sleep
             Thread.sleep(delay)
@@ -87,5 +97,24 @@ object Dlq {
         }
       }
     }
+  }
+
+  /** Default transience test: true if the exception — or any cause in
+    * its chain — is an I/O failure or a recoverable/transient/timeout
+    * SQL failure. Deterministic plan/schema/syntax/auth errors return
+    * false and fail the stream on the first attempt. */
+  def defaultRetryable(t: Throwable): Boolean = {
+    @annotation.tailrec
+    def loop(cur: Throwable, depth: Int): Boolean =
+      if (cur == null || depth > 16) false
+      else cur match {
+        case _: java.io.IOException => true
+        case _: java.sql.SQLRecoverableException => true
+        case _: java.sql.SQLTransientException => true
+        case _: java.sql.SQLTimeoutException => true
+        case _: java.util.concurrent.TimeoutException => true
+        case _ => loop(cur.getCause, depth + 1)
+      }
+    loop(t, 0)
   }
 }

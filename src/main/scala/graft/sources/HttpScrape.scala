@@ -89,8 +89,21 @@ final class HttpScrapeLoop(
       val s = Executors.newSingleThreadScheduledExecutor { r =>
         val th = new Thread(r, "graft-scrape-loop"); th.setDaemon(true); th
       }
-      s.scheduleAtFixedRate(() => { scrapeOnce(): Unit },
-        0, math.max(1, interval.toMillis), TimeUnit.MILLISECONDS)
+      // The tick body must never throw: per ScheduledExecutorService
+      // contract an escaping throwable (e.g. createDirectories on a
+      // full/unwritable spool disk) would cancel the schedule and the
+      // loop would die silently. Record it under a reserved key instead
+      // and let the next tick retry, like a down target.
+      s.scheduleAtFixedRate(() => {
+        try {
+          scrapeOnce(): Unit
+          errors.remove(HttpScrapeLoop.LoopErrorKey): Unit
+        } catch {
+          case t: Throwable =>
+            errors.put(HttpScrapeLoop.LoopErrorKey,
+              s"${t.getClass.getSimpleName}: ${t.getMessage}"): Unit
+        }
+      }, 0, math.max(1, interval.toMillis), TimeUnit.MILLISECONDS)
       scheduler = Some(s)
     }
   }
@@ -105,6 +118,11 @@ final class HttpScrapeLoop(
 }
 
 object HttpScrapeLoop {
+  /** Reserved `lastErrors` key for failures of the scrape tick itself
+    * (spool-dir I/O, OOM-adjacent errors) as opposed to a per-target
+    * fetch failure. Never collides with a job name via the `__` prefix. */
+  val LoopErrorKey = "__scrape_loop"
+
   /** A scrape target: `job` names the target in landed file names
     * (Prometheus `job_name`), `url` is the full metrics endpoint. */
   final case class Target(job: String, url: String)

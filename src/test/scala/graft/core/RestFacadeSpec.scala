@@ -62,6 +62,12 @@ class RestFacadeSpec extends SparkTestBase with Matchers {
       reg.drain("p1") shouldBe true
       spark.read.parquet(out).count() shouldBe 1
 
+      // POST is create-only: re-POSTing a live name is 409 Conflict
+      // (Connect semantics — replacement goes through PUT .../config)
+      req("POST", base, specJson("p1", inDir, ckpt, out))
+        .statusCode() shouldBe 409
+      req("GET", s"$base/p1/status").body() should include("RUNNING")
+
       // name mismatch and unparseable config are 400s; the running
       // pipeline is untouched either way (registry validate-first)
       req("PUT", s"$base/other/config",

@@ -129,11 +129,12 @@ class UpsertSinkSpec extends SparkTestBase with Matchers {
     import ss.implicits._
     val batch = Seq((1L, "ok")).toDF("id", "payload")
 
-    // transient: first two attempts throw, third lands
+    // transient (IOException = retryable): first two attempts throw,
+    // third lands
     var calls = 0
     val flaky: (org.apache.spark.sql.DataFrame, Long) => Unit = (_, _) => {
       calls += 1
-      if (calls < 3) throw new RuntimeException("transient")
+      if (calls < 3) throw new java.io.IOException("transient")
     }
     Dlq.withRetry(attempts = 3, delayMs = 1)(flaky)(batch, 7L)
     calls shouldBe 3
@@ -142,12 +143,35 @@ class UpsertSinkSpec extends SparkTestBase with Matchers {
     var calls2 = 0
     val alwaysDown: (org.apache.spark.sql.DataFrame, Long) => Unit = (_, _) => {
       calls2 += 1
-      throw new RuntimeException("hard down")
+      throw new java.io.IOException("hard down")
     }
-    the[RuntimeException] thrownBy
+    the[java.io.IOException] thrownBy
       Dlq.withRetry(attempts = 3, delayMs = 1)(alwaysDown)(batch, 8L) should
       have message "hard down"
     calls2 shouldBe 3
+
+    // deterministic (plain RuntimeException, e.g. an analysis/schema
+    // error): rethrown on the FIRST attempt, no retry burn
+    var calls3 = 0
+    val broken: (org.apache.spark.sql.DataFrame, Long) => Unit = (_, _) => {
+      calls3 += 1
+      throw new RuntimeException("schema mismatch")
+    }
+    the[RuntimeException] thrownBy
+      Dlq.withRetry(attempts = 3, delayMs = 1)(broken)(batch, 9L) should
+      have message "schema mismatch"
+    calls3 shouldBe 1
+
+    // transience detected through the cause chain (Spark wrapping)
+    var calls4 = 0
+    val wrapped: (org.apache.spark.sql.DataFrame, Long) => Unit = (_, _) => {
+      calls4 += 1
+      if (calls4 < 2)
+        throw new RuntimeException("wrapper",
+          new java.sql.SQLTransientConnectionException("conn reset"))
+    }
+    Dlq.withRetry(attempts = 3, delayMs = 1)(wrapped)(batch, 10L)
+    calls4 shouldBe 2
   }
 
   test("end-to-end: Debezium JSON stream -> unwrap -> DLQ -> upsert table") {
