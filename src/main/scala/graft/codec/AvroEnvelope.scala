@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
  * even though its quickstarts configure JsonConverter — one magic byte
  * `0x00`, a big-endian int32 schema id, then the Avro binary body.
  *
- * The registry here is a LOCAL id → schema map (this sandbox has no
- * HTTP registry; the lookup seam is the same either way): decode reads
- * the frame's id, resolves the WRITER schema from the map, and decodes
+ * Writer-schema lookup goes through the [[AvroEnvelope.SchemaResolver]]
+ * seam: a local id → schema map ([[AvroEnvelope.MapResolver]]) or a
+ * real registry over HTTP ([[AvroEnvelope.HttpResolver]], Confluent's
+ * `GET /schemas/ids/{id}` wire API with a per-JVM immutable cache).
+ * Decode reads the frame's id, resolves the WRITER schema, and decodes
  * with the reader schema derived from the target Spark schema — Avro's
  * standard schema-resolution path, so old-id frames keep decoding after
  * a compatible evolution.
@@ -36,6 +38,78 @@ import org.apache.spark.sql.types._
 object AvroEnvelope {
 
   val Magic: Byte = 0x00
+
+  /** Writer-schema lookup seam — the engine-side stand-in for the
+    * Schema Registry client. Implementations must be serializable (the
+    * resolver ships inside the decode closure to executors) and
+    * id-stable (a registry id stays bound to one schema forever, which is
+    * what makes executor-side caching sound). */
+  trait SchemaResolver extends Serializable {
+    /** The writer schema JSON for a registry id; throw on unknown id. */
+    def schemaJson(id: Int): String
+  }
+
+  /** Local in-memory resolver (tests / broker-less deployments). */
+  final case class MapResolver(byId: Map[Int, String]) extends SchemaResolver {
+    def schemaJson(id: Int): String = byId.getOrElse(id,
+      throw new IllegalArgumentException(
+        s"AvroEnvelope: schema id $id not in the local registry " +
+          s"(known: ${byId.keys.toSeq.sorted.mkString(",")})"))
+  }
+
+  /**
+   * Confluent-wire Schema Registry HTTP resolver: GET
+   * `{baseUrl}/schemas/ids/{id}` returning `{"schema": "<json>"}` —
+   * the service the reference deploys at `schema-registry:8081`
+   * (docker-compose.yaml:63-75).
+   *
+   * Resolution is cached per JVM (a registry id is immutable once
+   * assigned, so entries never invalidate): on a 1000-executor
+   * cluster each executor fetches a given id at most once, no matter
+   * how many billions of frames carry it — the registry sees
+   * O(executors × distinct ids) requests, never O(rows). The case
+   * class itself holds only the URL/timeout, so the closure stays a
+   * few bytes; client and cache are JVM-static.
+   */
+  final case class HttpResolver(baseUrl: String, timeoutMs: Long = 10000L)
+      extends SchemaResolver {
+    def schemaJson(id: Int): String = HttpResolver.resolve(baseUrl, id, timeoutMs)
+  }
+
+  object HttpResolver {
+    import java.util.concurrent.ConcurrentHashMap
+
+    private val cache = new ConcurrentHashMap[(String, Int), String]()
+    private lazy val client = java.net.http.HttpClient.newHttpClient()
+    private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    /** Visible for tests: number of ids resolved over the wire so far
+      * in this JVM (cache misses, not requests served from cache). */
+    def cacheSize: Int = cache.size()
+
+    private[codec] def resolve(baseUrl: String, id: Int, timeoutMs: Long): String =
+      cache.computeIfAbsent((baseUrl, id), { _ =>
+        val uri = java.net.URI.create(s"${baseUrl.stripSuffix("/")}/schemas/ids/$id")
+        val req = java.net.http.HttpRequest.newBuilder(uri)
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+          .header("Accept", "application/vnd.schemaregistry.v1+json")
+          .GET().build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() == 404)
+          throw new IllegalArgumentException(
+            s"AvroEnvelope: schema id $id not found in registry $baseUrl")
+        if (resp.statusCode() / 100 != 2)
+          throw new java.io.IOException(
+            s"AvroEnvelope: registry $uri returned HTTP ${resp.statusCode()}")
+        val node = mapper.readTree(resp.body())
+        val schema = node.get("schema")
+        if (schema == null || !schema.isTextual)
+          throw new java.io.IOException(
+            s"AvroEnvelope: registry $uri body has no textual 'schema' field")
+        schema.asText()
+      })
+  }
 
   /** Avro record schema (JSON) for a Spark struct — nullable fields
     * become `["null", T]` unions, matching Connect's optional fields. */
@@ -91,32 +165,32 @@ object AvroEnvelope {
 
   /**
    * Decode framed messages from `column` into `sparkSchema` columns.
-   * `registry` maps schema id → writer schema JSON (the local stand-in
-   * for the Schema Registry's `/schemas/ids/{id}`); the reader schema
-   * derives from `sparkSchema`. Unknown ids and bad magic fail loudly —
+   * The writer schema comes from `resolver` (a [[MapResolver]] locally,
+   * an [[HttpResolver]] against a live Schema Registry); the reader
+   * schema derives from `sparkSchema` — Avro schema resolution, so
+   * old-id frames keep decoding after a compatible evolution. Readers
+   * are built once per (partition, id): the resolver is hit on first
+   * sight of an id and the datum reader is reused for every subsequent
+   * frame carrying it. Unknown ids and bad magic fail loudly —
    * silently dropping undecodable records is how corpora rot.
    */
-  def decode(df: DataFrame, column: String, registry: Map[Int, String],
+  def decode(df: DataFrame, column: String, resolver: SchemaResolver,
              sparkSchema: StructType): DataFrame = {
     val readerJson = avroSchemaFor(sparkSchema)
     val fields = sparkSchema.fields
     val enc = Encoders.row(sparkSchema)
     df.select(column).mapPartitions { rows =>
       val readerSchema = new Schema.Parser().parse(readerJson)
-      val readers = registry.map { case (id, json) =>
-        id -> new GenericDatumReader[GenericRecord](
-          new Schema.Parser().parse(json), readerSchema)
-      }
+      val readers = scala.collection.mutable.HashMap.empty[Int, GenericDatumReader[GenericRecord]]
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](0)
         require(bytes.length >= 5 && bytes(0) == Magic,
           s"AvroEnvelope: bad frame (len=${bytes.length}, " +
             s"magic=${if (bytes.isEmpty) "none" else bytes(0).toString})")
         val id = ByteBuffer.wrap(bytes, 1, 4).getInt
-        val reader = readers.getOrElse(id,
-          throw new IllegalArgumentException(
-            s"AvroEnvelope: schema id $id not in the local registry " +
-              s"(known: ${registry.keys.toSeq.sorted.mkString(",")})"))
+        val reader = readers.getOrElseUpdate(id,
+          new GenericDatumReader[GenericRecord](
+            new Schema.Parser().parse(resolver.schemaJson(id)), readerSchema))
         val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
         val rec = reader.read(null, dec)
         Row.fromSeq(fields.indices.map { i =>
@@ -130,6 +204,11 @@ object AvroEnvelope {
       }
     }(enc)
   }
+
+  /** Map-registry convenience (the pre-resolver signature). */
+  def decode(df: DataFrame, column: String, registry: Map[Int, String],
+             sparkSchema: StructType): DataFrame =
+    decode(df, column, MapResolver(registry), sparkSchema)
 
   /** Java-map convenience for config-driven callers. */
   def decode(df: DataFrame, column: String,

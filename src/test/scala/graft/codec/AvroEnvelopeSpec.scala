@@ -98,6 +98,72 @@ class AvroEnvelopeSpec extends SparkTestBase with Matchers {
     e2.getMessage should include("99")
   }
 
+  test("HttpResolver decodes against a live registry fixture, cached per id") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import java.util.concurrent.atomic.AtomicInteger
+    import com.sun.net.httpserver.HttpServer
+
+    // Confluent-wire fixture: GET /schemas/ids/{id} → {"schema": "..."}
+    // (reference deploys the real service at schema-registry:8081,
+    // docker-compose.yaml:63-75). Counts hits to prove the cache.
+    val hits = new AtomicInteger(0)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val known = Map(
+      41 -> AvroEnvelope.avroSchemaFor(schema),
+      42 -> AvroEnvelope.avroSchemaFor(schema))
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/", { ex =>
+      hits.incrementAndGet()
+      val id = ex.getRequestURI.getPath.stripPrefix("/schemas/ids/").toInt
+      val (code, body) = known.get(id) match {
+        case Some(s) =>
+          val node = mapper.createObjectNode()
+          node.put("schema", s)
+          (200, mapper.writeValueAsString(node))
+        case None => (404, """{"error_code":40403,"message":"Schema not found"}""")
+      }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        "application/vnd.schemaregistry.v1+json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val resolver = AvroEnvelope.HttpResolver(base)
+
+      val rows = samples(rowGen, 48, seed = 11L)
+      val df = spark.createDataFrame(rows.asJava, schema)
+      // two writer ids across many partitions: resolution must happen
+      // once per id JVM-wide, not once per frame or per partition
+      val mixed = AvroEnvelope.encode(df, schemaId = 41)
+        .unionByName(AvroEnvelope.encode(df, schemaId = 42))
+        .repartition(8)
+      val back = AvroEnvelope.decode(mixed, "value", resolver, schema)
+      back.count() shouldBe 96
+      val misses = hits.get()
+      misses shouldBe 2 // one fetch per distinct id (local[32] = one JVM)
+
+      // map path unchanged: same frames, same rows through MapResolver
+      def canon(r: Row) =
+        (r.getLong(0), Option(r.getString(1)), r.getDouble(2), r.getBoolean(3),
+          Option(r.getAs[Array[Byte]](4)).map(_.toSeq))
+      AvroEnvelope.decode(mixed, "value", known, schema)
+        .collect().map(canon).sortBy(_.toString) shouldBe
+        back.collect().map(canon).sortBy(_.toString)
+      hits.get() shouldBe misses // the re-decode resolved from cache only
+
+      // unknown id → loud 404 failure, not a dropped record
+      val unknown = AvroEnvelope.encode(df.limit(1), schemaId = 77)
+      val e = intercept[Exception](
+        AvroEnvelope.decode(unknown, "value", resolver, schema).collect())
+      e.getMessage should include("77")
+    } finally server.stop(0)
+  }
+
   private implicit class SeqAsJava[A](s: Seq[A]) {
     def asJava: java.util.List[A] = {
       val l = new java.util.ArrayList[A](s.length)
