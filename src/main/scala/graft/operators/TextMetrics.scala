@@ -77,6 +77,51 @@ object TextMetrics {
         count(lit(1)).as("gram_distinct"))
   }
 
+  /**
+   * Streaming twin of [[repetitionStats]]: the same per-doc
+   * (gram_total, top_gram_count, gram_distinct) computed entirely
+   * IN-ROW — a document arrives whole in its row, so repetition is a
+   * property of the row, not of the stream. No explode, no shuffle, no
+   * state, no watermark: a stateless projection that runs identically
+   * on a batch frame or an unbounded `readStream` in any output mode
+   * (strictly stronger than a watermark-bounded stateful variant — a
+   * late document can never change another document's stats).
+   *
+   * Linear per row, unlike `topGramCount`'s O(grams²) filter-count:
+   * grams are array_sort'ed (O(g log g)) and a single `aggregate` pass
+   * run-length-scans the sorted array, tracking (prev, run, max run,
+   * distinct). Matches `repetitionStats` exactly, including dropping
+   * docs shorter than n words.
+   */
+  def repetitionStatsInRow(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, keep: Seq[String] = Nil): DataFrame = {
+    val out = (idCol +: keep).distinct
+    val sorted = array_sort(allWordShingles(col(textCol), n))
+    // run-length scan over the sorted grams; prev=null marks the start
+    // (a gram itself may be "" when the text has doubled spaces, so the
+    // sentinel must be null, not a magic string)
+    val init = struct(
+      lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("maxrun"), lit(0L).as("distinct"))
+    val scanned = aggregate(sorted, init, (acc, x) => {
+      val run = when(acc.getField("prev").isNotNull &&
+        acc.getField("prev") === x, acc.getField("run") + 1L).otherwise(lit(1L))
+      struct(
+        x.as("prev"),
+        run.as("run"),
+        greatest(acc.getField("maxrun"), run).as("maxrun"),
+        when(acc.getField("prev").isNull || acc.getField("prev") =!= x,
+          acc.getField("distinct") + 1L).otherwise(acc.getField("distinct"))
+          .as("distinct"))
+    })
+    docs
+      .select((out.map(col) :+
+        size(sorted).cast("long").as("gram_total") :+
+        scanned.getField("maxrun").as("top_gram_count") :+
+        scanned.getField("distinct").as("gram_distinct")): _*)
+      .filter(col("gram_total") > 0)
+  }
+
   /** Occurrence count of the single most frequent n-gram (0 for texts
     * shorter than n words) — the numerator of MassiveText's
     * "top n-gram fraction" quality rule. Scan-local but O(grams²)

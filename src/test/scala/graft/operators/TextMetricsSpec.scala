@@ -35,6 +35,65 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
       (3L, 3L, 1L, 3L), (4L, 0L, 0L, 0L))
   }
 
+  test("repetitionStatsInRow equals repetitionStats, batch and on a streamed replay") {
+    val ss = spark
+    import ss.implicits._
+
+    // hand-checked set plus the edge cases the in-row scan must honor:
+    // doubled spaces (empty-string grams) and an all-same-gram doc
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "x x x x"),
+      (3L, "p q r s"),
+      (4L, "solo"),
+      (5L, "a  b  a"),   // doubled spaces -> "" tokens are real tokens
+      (6L, "z z z z z z")
+    ).toDF("doc_id", "text")
+
+    def canon(df: org.apache.spark.sql.DataFrame): Array[(Long, Long, Long, Long)] =
+      df.select("doc_id", "gram_total", "top_gram_count", "gram_distinct")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+
+    val viaAgg = canon(TextMetrics.repetitionStats(docs, "doc_id", "text", n = 2))
+    val inRow = canon(TextMetrics.repetitionStatsInRow(docs, "doc_id", "text", n = 2))
+    inRow shouldBe viaAgg
+
+    // realistic corpus: the sf0.001 documents table, keep column carried
+    val corpus = graft.core.Tables.documents(spark, sf0001)
+    def canonK(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "gram_total", "top_gram_count", "gram_distinct")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+    canonK(TextMetrics.repetitionStatsInRow(corpus, "doc_id", "text", n = 2,
+      keep = Seq("lang"))) shouldBe
+      canonK(TextMetrics.repetitionStats(corpus, "doc_id", "text", n = 2,
+        keep = Seq("lang")))
+
+    // streaming twin: the same operator runs UNCHANGED on an unbounded
+    // source (stateless projection — no watermark, no state store),
+    // and a replayed MemoryStream over 2 micro-batches equals batch
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stats = TextMetrics.repetitionStatsInRow(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", n = 2)
+    stats.isStreaming shouldBe true
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rep-ckpt").toString
+    val query = stats.writeStream.format("memory").queryName("t_repstats")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((1L, "a b a b a"), (2L, "x x x x"), (4L, "solo"))
+      query.processAllAvailable()
+      input.addData((3L, "p q r s"), (6L, "z z z z z z"))
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table("t_repstats")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1) shouldBe viaAgg.filter(t => Set(1L, 2L, 3L, 6L)(t._1))
+  }
+
   test("contaminatedDocs flags exactly the train docs sharing an n-gram with the eval set") {
     val ss = spark
     import ss.implicits._
