@@ -1241,6 +1241,29 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q71 repetition filters via the STREAMING twin (same report as
+    * q69, different engine path): `repetitionStatsInRow` computes the
+    * per-doc counts as a stateless in-row column program (array_sort +
+    * run-length aggregate scan — what an unbounded stream runs, no
+    * explode shuffle, no state), so the official oracle gate pins the
+    * streaming path's batch equivalence alongside StreamingSpec's
+    * MemoryStream replay. Shares q69's oracle SQL verbatim. */
+  val q71: Q = (s, dir) => {
+    TextMetrics.repetitionStatsInRow(
+        Tables.documents(s, dir), "doc_id", "text", n = 2,
+        keep = Seq("lang"))
+      .select(col("lang"),
+        expr("top_gram_count * 1000000 div gram_total").as("top_micro"),
+        expr("(gram_total - gram_distinct) * 1000000 div gram_total").as("dup_micro"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("top_micro") > 60000L, 1L).otherwise(0L)).as("n_top_flag"),
+        sum(when(col("dup_micro") > 40000L, 1L).otherwise(0L)).as("n_dup_flag"),
+        sum(col("top_micro")).as("sum_top_micro"),
+        sum(col("dup_micro")).as("sum_dup_micro"))
+      .orderBy("lang")
+  }
+
   /** Q70 eval-set decontamination (LLM pipeline): documents with
     * doc_id ≡ 0 (mod 97) act as the held-out benchmark; every training
     * doc sharing a distinct word-4-gram with any eval doc is flagged —
@@ -1334,7 +1357,24 @@ object Queries {
     "q68_token_budget" -> q68,
     "q69_repetition" -> q69,
     "q70_decontamination" -> q70,
+    "q71_repetition_stream_twin" -> q71,
   )
+
+  /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
+    * two engine paths, one report, one oracle. */
+  private val repetitionOracleSql: String =
+    "WITH w AS (SELECT doc_id, lang, str_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+      "b AS (SELECT doc_id, lang, unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS bg " +
+      "FROM w WHERE len(ws) >= 2), " +
+      "c AS (SELECT doc_id, lang, bg, COUNT(*) AS cnt FROM b GROUP BY ALL), " +
+      "g AS (SELECT doc_id, lang, SUM(cnt) AS tb, MAX(cnt) AS tm, COUNT(*) AS td FROM c GROUP BY ALL), " +
+      "m AS (SELECT lang, (tm * 1000000) // tb AS top_micro, ((tb - td) * 1000000) // tb AS dup_micro FROM g) " +
+      "SELECT lang, COUNT(*) AS n, " +
+      "CAST(SUM(CASE WHEN top_micro > 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_top_flag, " +
+      "CAST(SUM(CASE WHEN dup_micro > 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_flag, " +
+      "CAST(SUM(top_micro) AS BIGINT) AS sum_top_micro, " +
+      "CAST(SUM(dup_micro) AS BIGINT) AS sum_dup_micro " +
+      "FROM m GROUP BY lang ORDER BY lang"
 
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1800,19 +1840,10 @@ object Queries {
         "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
         "CAST(MAX(cum) AS BIGINT) AS max_cum " +
         "FROM c WHERE cum <= 10000 GROUP BY lang ORDER BY lang"),
-    "q69_repetition" ->
-      ("WITH w AS (SELECT doc_id, lang, str_split(lower(trim(text)), ' ') AS ws FROM documents), " +
-        "b AS (SELECT doc_id, lang, unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS bg " +
-        "FROM w WHERE len(ws) >= 2), " +
-        "c AS (SELECT doc_id, lang, bg, COUNT(*) AS cnt FROM b GROUP BY ALL), " +
-        "g AS (SELECT doc_id, lang, SUM(cnt) AS tb, MAX(cnt) AS tm, COUNT(*) AS td FROM c GROUP BY ALL), " +
-        "m AS (SELECT lang, (tm * 1000000) // tb AS top_micro, ((tb - td) * 1000000) // tb AS dup_micro FROM g) " +
-        "SELECT lang, COUNT(*) AS n, " +
-        "CAST(SUM(CASE WHEN top_micro > 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_top_flag, " +
-        "CAST(SUM(CASE WHEN dup_micro > 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_flag, " +
-        "CAST(SUM(top_micro) AS BIGINT) AS sum_top_micro, " +
-        "CAST(SUM(dup_micro) AS BIGINT) AS sum_dup_micro " +
-        "FROM m GROUP BY lang ORDER BY lang"),
+    "q69_repetition" -> repetitionOracleSql,
+    // q71 runs the same report through the stateless in-row path; the
+    // oracle is the SAME SQL — path equivalence is the point
+    "q71_repetition_stream_twin" -> repetitionOracleSql,
     "q70_decontamination" ->
       ("WITH w AS (SELECT doc_id, lang, str_split(lower(trim(text)), ' ') AS ws FROM documents), " +
         "g AS (SELECT DISTINCT doc_id, lang, " +
