@@ -210,13 +210,10 @@ object Relational {
    *  1. hash-agg (group, value) → count          — distinct-value compression
    *  2. per-group min/max/n                      — tiny, broadcast back
    *  3. value-range bucketing (`buckets` equal-width ranges per group);
-   *     per-(group, bucket) running counts via a window sort — bucket
-   *     totals then derive from the window output (max running count),
-   *     so totals and running counts share ONE (group, bucket) exchange
-   *     and the counts subtree is evaluated once, not per branch
-   *  4. per-group prefix over ≤`buckets` total rows gives each bucket's
-   *     exclusive offset (the only window whose partition is group-wide
-   *     is bucket-count-sized by construction); broadcast back → exact
+   *     per-(group, bucket) totals; per-group prefix over ≤`buckets` rows
+   *     gives each bucket's exclusive offset (the only window whose
+   *     partition is group-wide is bucket-count-sized by construction)
+   *  4. per-(group, bucket) running count + broadcast offset → exact
    *     global cumulative count per distinct value, computed in parallel
    *  5. one final hash-agg per group: the value at 0-indexed position p is
    *     min(value | cum > p) — values increase with cum, so the covering
@@ -248,26 +245,26 @@ object Relational {
       least(floor((v - col("__vmin")) / span * buckets).cast("long"),
         lit(buckets.toLong - 1)))
     val bucketed = withStats.withColumn("__bkt", bkt)
-    // In-bucket running counts FIRST; bucket totals derive from the
-    // window output (max running count per bucket) instead of a
-    // separate groupBy branch — both consumers then hang off the SAME
-    // (group, bucket) exchange, so the counts subtree is shuffled and
-    // evaluated once (ReusedExchange), not once per branch, and the
-    // bucket-total aggregation itself needs no new exchange (the
-    // window's partitioning already satisfies it).
-    val wIn = Window.partitionBy((gcols :+ col("__bkt")): _*).orderBy(v)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumIn = bucketed.withColumn("__incum", sum(col("__cnt")).over(wIn))
+    // Offsets come from a SEPARATE per-(group, bucket) aggregation
+    // branch, not from the window output. Deriving totals from the
+    // window (max running count) was tried in r8 and is a wall-clock
+    // pessimization: the broadcast subtree then sits ABOVE the window,
+    // so the expensive in-bucket sort evaluates twice, sequentially
+    // (only the exchange below it is reused), where this shape runs
+    // the cheap totals branch in parallel with the one window sort —
+    // measured 1.65 s vs 2.37 s at sf0.1 in the full bench.
+    val perBucket = bucketed.groupBy((gcols :+ col("__bkt")): _*)
+      .agg(sum(col("__cnt")).as("__bsum"))
     val wB = Window.partitionBy(gcols: _*).orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = cumIn
-      .groupBy((gcols :+ col("__bkt")): _*)
-      .agg(max(col("__incum")).as("__bsum"))
+    val offsets = perBucket
       .withColumn("__off", sum(col("__bsum")).over(wB) - col("__bsum"))
       .select((gcols :+ col("__bkt") :+ col("__off")): _*)
-    val cum = cumIn
+    val wIn = Window.partitionBy((gcols :+ col("__bkt")): _*).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed
       .join(broadcast(offsets), groupCols :+ "__bkt")
-      .withColumn("__cum", col("__off") + col("__incum"))
+      .withColumn("__cum", col("__off") + sum(col("__cnt")).over(wIn))
     val aggs = quantiles.zipWithIndex.flatMap { case ((_, q), i) =>
       val h = lit(q) * (col("__n") - 1).cast("double")
       val lo = floor(h)
