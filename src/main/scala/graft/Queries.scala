@@ -1284,6 +1284,63 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q72 worker SMT catalog chain (§2.10 `transforms.*.type` — the
+    * reference's cp-kafka-connect image ships the full
+    * `org.apache.kafka.connect.transforms.*` set, reference
+    * `README.md:105`): cast → hoist_field → flatten → replace_field →
+    * insert_field → filter, built from the JSON connector-config twin
+    * like q47. The whole chain projection-collapses to one codegen
+    * stage over the scan (SmtCatalogSpec pins that), so catalog depth
+    * costs nothing at 100 TB. */
+  val q72: Q = (s, dir) => {
+    val json =
+      s"""{"name": "smt-catalog",
+         |  "source": {"type": "file", "options": {"format": "parquet",
+         |    "path": "$dir/customer.parquet",
+         |    "schema": "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE"}},
+         |  "transforms": [
+         |    {"type": "cast", "options": {"spec": "c_custkey:int32"}},
+         |    {"type": "hoist_field", "options": {"field": "rec"}},
+         |    {"type": "flatten", "options": {"delimiter": "_"}},
+         |    {"type": "replace_field", "options": {
+         |      "renames": "rec_c_custkey:id, rec_c_name:name, rec_c_acctbal:bal",
+         |      "include": "id,name,bal"}},
+         |    {"type": "insert_field", "options": {"static.field": "src", "static.value": "crm"}},
+         |    {"type": "filter", "options": {"predicate": "id <= 500"}}],
+         |  "sink": {"type": "noop"}}""".stripMargin
+    Pipeline.build(s, PipelineSpec.fromJson(json), streaming = false)
+      .orderBy("id")
+  }
+
+  /** Q73 routing + time SMTs (same catalog seam as q72):
+    * insert_field(static topic) → regex_router (anchored whole-match
+    * rewrite) → timestamp_router (per-row month routing off
+    * `o_orderdate`) → timestamp_converter (in-place timestamp →
+    * formatted string), then a per-topic rollup. Routing SMTs are how
+    * Connect users fan one stream into per-period sinks; here the
+    * derived topic is just a column, so the "route" is a groupBy key
+    * and the month fan-out shuffles 16-byte keys, not bodies. */
+  val q73: Q = (s, dir) => {
+    val json =
+      s"""{"name": "smt-routing",
+         |  "source": {"type": "file", "options": {"format": "parquet",
+         |    "path": "$dir/orders.parquet",
+         |    "schema": "o_orderkey BIGINT, o_orderdate TIMESTAMP"}},
+         |  "transforms": [
+         |    {"type": "insert_field", "options": {"static.field": "topic", "static.value": "orders"}},
+         |    {"type": "regex_router", "options": {"regex": "(.*)", "replacement": "$$1-v2"}},
+         |    {"type": "timestamp_router", "options": {"timestamp.field": "o_orderdate", "format": "yyyyMM"}},
+         |    {"type": "timestamp_converter", "options": {"field": "o_orderdate",
+         |      "target.type": "string", "format": "yyyy-MM-dd"}}],
+         |  "sink": {"type": "noop"}}""".stripMargin
+    Pipeline.build(s, PipelineSpec.fromJson(json), streaming = false)
+      .groupBy("topic")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderdate")).as("first_day"),
+        max(col("o_orderdate")).as("last_day"))
+      .orderBy("topic")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1358,6 +1415,8 @@ object Queries {
     "q69_repetition" -> q69,
     "q70_decontamination" -> q70,
     "q71_repetition_stream_twin" -> q71,
+    "q72_smt_catalog" -> q72,
+    "q73_smt_routing" -> q73,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -1866,5 +1925,15 @@ object Queries {
         "SELECT lang, COUNT(*) AS n_frames, CAST(SUM(length(frame)) AS BIGINT) AS total_bytes, " +
         "COUNT(DISTINCT md5(frame)) AS n_digests, MIN(md5(frame)) AS min_digest " +
         "FROM f GROUP BY lang ORDER BY lang"),
+    "q72_smt_catalog" ->
+      ("SELECT CAST(c_custkey AS INTEGER) AS id, c_name AS name, " +
+        "c_acctbal AS bal, 'crm' AS src FROM customer " +
+        "WHERE c_custkey <= 500 ORDER BY id"),
+    "q73_smt_routing" ->
+      ("SELECT 'orders-v2-' || strftime(o_orderdate, '%Y%m') AS topic, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day, " +
+        "MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day " +
+        "FROM orders GROUP BY topic ORDER BY topic"),
   )
 }

@@ -17,7 +17,18 @@ import graft.sources.{FileSource, KafkaRelaySource, PromTextSource, Source}
  * deployed connector jar + brokers).
  * transforms: `mask` (P1 MaskField), `filter` (P3 predicate),
  * `drop_fields` (P5), `envelope_encode`/`envelope_decode` (Connect JSON
- * envelope, §1.2), `debezium_unwrap` (A1–A4).
+ * envelope, §1.2), `debezium_unwrap` (A1–A4), plus the rest of the
+ * worker's built-in SMT catalog (the reference's `cp-kafka-connect`
+ * image ships every `org.apache.kafka.connect.transforms.*` class —
+ * that is how `MaskField$Value` resolves at `README.md:105` — so a
+ * reference user's config may name any of them via the §2.10
+ * `transforms.*.type` seam): `cast`, `insert_field`, `extract_field`,
+ * `hoist_field`, `flatten`, `replace_field`, `regex_router`,
+ * `timestamp_converter`, `timestamp_router`, `value_to_key`. Each is a
+ * pure Column program (codegen'd, projection-collapsible, so filters
+ * behind a rename/hoist/flatten still push to the scan). Omitted by
+ * design: `SetSchemaMetadata` (a DataFrame has no Connect schema
+ * name/version; the envelope encoder's `name` option is that seam).
  * sinks: `file` (FileStreamSink twin), `noop` (bench), `memory`
  * (tests; streaming only).
  *
@@ -105,6 +116,161 @@ object Pipeline {
           s"drop_fields: result schema ${dropped.schema.toDDL} is not compatible with pinned '$ddl'")
       }
       dropped
+    case "cast" =>
+      // Connect `Cast$Value` (`spec` = "field:type,..."): per-field type
+      // coercion using Connect's type vocabulary. Whole-value casts are
+      // meaningless on a multi-column row; require field:type pairs.
+      val sparkType = Map(
+        "int8" -> "tinyint", "int16" -> "smallint", "int32" -> "int",
+        "int64" -> "bigint", "float32" -> "float", "float64" -> "double",
+        "boolean" -> "boolean", "string" -> "string")
+      t.option("spec").split(",").map(_.trim).filter(_.nonEmpty).foldLeft(df) { (d, pair) =>
+        pair.split(":").map(_.trim) match {
+          case Array(f, ty) =>
+            val st = sparkType.getOrElse(ty, throw new IllegalArgumentException(
+              s"cast: unknown Connect type '$ty' (know: ${sparkType.keys.toSeq.sorted.mkString(",")})"))
+            d.withColumn(f, d(f).cast(st))
+          case _ => throw new IllegalArgumentException(
+            s"cast: bad spec entry '$pair' (want field:type)")
+        }
+      }
+    case "insert_field" =>
+      // Connect `InsertField$Value`: `static.field`/`static.value` adds a
+      // constant; `timestamp.field` stamps processing time (wall-clock —
+      // spec-tested, never used in an oracled query). Kafka coordinates
+      // (topic/partition/offset.field) have no batch-file meaning here.
+      val withStatic = t.options.get("static.field").fold(df)(f =>
+        df.withColumn(f, lit(t.option("static.value"))))
+      t.options.get("timestamp.field").fold(withStatic)(f =>
+        withStatic.withColumn(f, current_timestamp()))
+    case "extract_field" =>
+      // Connect `ExtractField$Value`: the record value BECOMES the named
+      // (possibly nested, dot-path) field. A struct field expands to its
+      // members (the value is that struct); a scalar becomes the single
+      // column, keeping its leaf name unless `as` overrides.
+      val path = t.option("field").split('.')
+      val c = path.tail.foldLeft(df(path.head))(_.getField(_))
+      def typeAt(struct: StructType, p: Seq[String]): org.apache.spark.sql.types.DataType =
+        p.foldLeft(struct: org.apache.spark.sql.types.DataType) {
+          case (s: StructType, n) => s(n).dataType
+          case (other, n) => throw new IllegalArgumentException(
+            s"extract_field: '$n' addresses into non-struct $other")
+        }
+      typeAt(df.schema, path.toSeq) match {
+        case s: StructType =>
+          df.select(s.fieldNames.toIndexedSeq.map(n => c.getField(n).as(n)): _*)
+        case _ => df.select(c.as(t.optionOr("as", path.last)))
+      }
+    case "hoist_field" =>
+      // Connect `HoistField$Value`: wrap the entire value in one struct
+      // field — the exact inverse of `extract_field` on a struct.
+      df.select(struct(df.columns.toIndexedSeq.map(df(_)): _*).as(t.option("field")))
+    case "flatten" =>
+      // Connect `Flatten$Value`: recursively lift nested struct leaves to
+      // top level, joining path segments with `delimiter` (Connect
+      // default "."). Arrays/maps pass through opaque at the level they
+      // sit, as in Connect.
+      val delim = t.optionOr("delimiter", ".")
+      def leaves(name: String, c: Column, dt: org.apache.spark.sql.types.DataType): Seq[Column] =
+        dt match {
+          case s: StructType =>
+            s.fields.toSeq.flatMap(f =>
+              leaves(name + delim + f.name, c.getField(f.name), f.dataType))
+          case _ => Seq(c.as(name))
+        }
+      df.select(df.schema.fields.toIndexedSeq.flatMap(f =>
+        leaves(f.name, df(f.name), f.dataType)): _*)
+    case "replace_field" =>
+      // Connect `ReplaceField$Value`: `exclude` drops, `renames`
+      // ("old:new,...") renames, `include` (applied last, post-rename
+      // names) projects-and-orders.
+      val excluded = t.options.get("exclude").fold(df)(ex =>
+        df.drop(ex.split(",").map(_.trim).toIndexedSeq: _*))
+      val renamed = t.options.get("renames").fold(excluded)(_.split(",")
+        .map(_.trim).filter(_.nonEmpty).foldLeft(excluded) { (d, pair) =>
+          pair.split(":").map(_.trim) match {
+            case Array(a, b) => d.withColumnRenamed(a, b)
+            case _ => throw new IllegalArgumentException(
+              s"replace_field: bad rename '$pair' (want old:new)")
+          }
+        })
+      t.options.get("include").fold(renamed)(inc =>
+        renamed.select(inc.split(",").map(n => renamed(n.trim)).toIndexedSeq: _*))
+    case "regex_router" =>
+      // Connect `RegexRouter`: rewrite the routing column only when the
+      // WHOLE value matches `regex` (Connect uses matcher.matches() then
+      // replaceFirst) — anchoring preserves that exact semantic.
+      val f = t.optionOr("field", "topic")
+      val anchored = "^(?:" + t.option("regex") + ")$"
+      df.withColumn(f,
+        when(df(f).rlike(anchored),
+          regexp_replace(df(f), anchored, t.option("replacement")))
+          .otherwise(df(f)))
+    case "timestamp_converter" =>
+      // Connect `TimestampConverter$Value`: in-place conversion of
+      // `field` between epoch-int64, formatted string, Timestamp and
+      // Date. Source representation is inferred from the column type
+      // (numeric = epoch per `unix.precision`, Connect default millis).
+      import org.apache.spark.sql.types._
+      val f = t.option("field")
+      val precision = t.optionOr("unix.precision", "milliseconds")
+      def fromUnix(c: Column): Column = precision match {
+        case "seconds"      => timestamp_seconds(c)
+        case "milliseconds" => timestamp_millis(c)
+        case "microseconds" => timestamp_micros(c)
+        case p => throw new IllegalArgumentException(
+          s"timestamp_converter: unknown unix.precision '$p'")
+      }
+      def toUnix(c: Column): Column = precision match {
+        case "seconds"      => unix_seconds(c)
+        case "milliseconds" => unix_millis(c)
+        case "microseconds" => unix_micros(c)
+        case p => throw new IllegalArgumentException(
+          s"timestamp_converter: unknown unix.precision '$p'")
+      }
+      val asTs: Column = df.schema(f).dataType match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+          fromUnix(df(f))
+        case _: StringType => to_timestamp(df(f), t.option("format"))
+        case _: DateType | _: TimestampType => df(f).cast("timestamp")
+        case other => throw new IllegalArgumentException(
+          s"timestamp_converter: cannot read $other as a timestamp")
+      }
+      val out: Column = t.option("target.type") match {
+        case "string"    => date_format(asTs, t.option("format"))
+        case "unix"      => toUnix(asTs)
+        case "Timestamp" => asTs
+        case "Date"      => asTs.cast("date")
+        case ty => throw new IllegalArgumentException(
+          s"timestamp_converter: unknown target.type '$ty'")
+      }
+      df.withColumn(f, out)
+    case "timestamp_router" =>
+      // Connect `TimestampRouter`: routing column := `topic.format` with
+      // `${topic}` and `${timestamp}` (formatted per `format`,
+      // default yyyyMMdd) substituted. Connect reads the record's Kafka
+      // timestamp; a batch row has none, so `timestamp.field` is
+      // REQUIRED here — which also keeps the transform deterministic.
+      val topicCol = t.optionOr("field", "topic")
+      val tsStr = date_format(
+        df(t.option("timestamp.field")).cast("timestamp"),
+        t.optionOr("format", "yyyyMMdd"))
+      val fmt = t.optionOr("topic.format", "${topic}-${timestamp}")
+      val parts = "\\$\\{topic\\}|\\$\\{timestamp\\}".r
+        .split(fmt).toSeq // literal segments
+      val holes = "\\$\\{topic\\}|\\$\\{timestamp\\}".r
+        .findAllIn(fmt).toSeq
+      val pieces = parts.map(lit(_)).zipAll(
+        holes.map { case "${topic}" => df(topicCol); case _ => tsStr },
+        lit(""), lit("")).flatMap { case (a, b) => Seq(a, b) }
+      df.withColumn(topicCol, concat(pieces: _*))
+    case "value_to_key" =>
+      // Connect `ValueToKey`: copy the listed value fields into the
+      // record key — here a struct column (default `__key`), the same
+      // shape the keyed upsert sinks consume as `pk`.
+      val fields = t.option("fields").split(",").map(_.trim)
+      df.withColumn(t.optionOr("as", "__key"),
+        struct(fields.toIndexedSeq.map(df(_)): _*))
     case "envelope_encode" =>
       // encode the whole row into one Connect-JSON value column
       df.select(ConnectJson.encodeEnvelope(df.schema, t.optionOr("name", "record"))
