@@ -58,7 +58,69 @@ object Pipeline {
       throw new IllegalArgumentException(s"unknown source type '$other'")
   }
 
-  def applyTransform(df: DataFrame, t: StageSpec): DataFrame = t.stageType match {
+  /** Connect's SMT predicate framework generalized (reference
+    * `predicates.*` + per-transform `predicate`/`negate`,
+    * README.md:290,410): reserved options `when` (a SQL boolean over the
+    * row; NULL counts as false) and `negate` gate ANY transform —
+    * matching rows go through it, the rest pass through unchanged.
+    * Filter-family transforms rewrite their keep-condition in place
+    * (single scan, no union); value transforms split-apply-union, with
+    * columns the transform ADDS (e.g. a gated `insert_field`) padded as
+    * typed NULLs on the untouched side — Connect's "record without the
+    * field" twin. A gated transform that REMOVES or retypes columns
+    * (gated `cast`/`flatten`/...) rejects loudly: one DataFrame has one
+    * schema, a per-row conditional schema is not representable.
+    * `mask_when` remains the fused single-scan fast path for the common
+    * conditional-mask case. */
+  def applyTransform(df: DataFrame, t: StageSpec): DataFrame =
+    t.options.get("when") match {
+      case None => applyTransform0(df, t)
+      case Some(p) =>
+        val matched = {
+          val c = expr(p) <=> lit(true)
+          if (t.optionOr("negate", "false").toBoolean) not(c) else c
+        }
+        val inner = StageSpec(t.stageType, t.options - "when" - "negate")
+        t.stageType match {
+          case "filter" | "whitelist" | "op_filter" =>
+            // keep = NOT matched OR the transform's own keep-condition
+            df.filter(not(matched) || keepCondition(inner))
+          case _ =>
+            val out = applyTransform0(df.filter(matched), inner)
+            val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+            val broken = out.schema.fields.collect {
+              case f if byName.get(f.name).exists(_ != f.dataType) =>
+                s"${f.name} retyped ${byName(f.name)} -> ${f.dataType}"
+            } ++ byName.keySet.diff(out.schema.fieldNames.toSet).map(n => s"$n removed")
+            require(broken.isEmpty,
+              s"${t.stageType}: cannot gate a schema-changing transform with 'when' (${broken.mkString("; ")})")
+            val untouched = df.filter(not(matched)).select(
+              out.schema.fields.toIndexedSeq.map(f =>
+                if (byName.contains(f.name)) col(f.name)
+                else lit(null).cast(f.dataType).as(f.name)): _*)
+            out.unionByName(untouched)
+        }
+    }
+
+  /** The row-keep condition of the filter-family transforms — shared by
+    * their plain form and the `when`-gated rewrite above. */
+  private def keepCondition(t: StageSpec): Column = t.stageType match {
+    case "filter" => expr(t.option("predicate"))
+    case "whitelist" =>
+      // P2 table/topic whitelist (reference `table.whitelist`,
+      // README.md:99; `postgres/connector.json:10`)
+      val values = t.option("values").split(",").map(_.trim)
+      col(t.optionOr("field", "topic")).isin(values.toIndexedSeq: _*)
+    case "op_filter" =>
+      // P4 operation filter (reference `skipped.operations`,
+      // postgres/connector.json:19) over the unwrapped __op column
+      val ops = t.option("ops").split(",").map(_.trim)
+      col(t.optionOr("field", "__op")).isin(ops.toIndexedSeq: _*)
+    case other =>
+      throw new IllegalArgumentException(s"'$other' has no keep-condition")
+  }
+
+  private def applyTransform0(df: DataFrame, t: StageSpec): DataFrame = t.stageType match {
     case "mask" =>
       Relational.maskColumn(df, t.option("field"), t.optionOr("replacement", "CENSORED"))
     case "mask_when" =>
@@ -93,18 +155,9 @@ object Pipeline {
       df.withColumn(f, rules.foldLeft(col(f)) {
         case (c, (re, tag)) => regexp_replace(c, re, tag)
       })
-    case "filter" =>
-      df.filter(expr(t.option("predicate")))
-    case "whitelist" =>
-      // P2 table/topic whitelist (reference `table.whitelist`,
-      // README.md:99; `postgres/connector.json:10`)
-      val values = t.option("values").split(",").map(_.trim)
-      df.filter(col(t.optionOr("field", "topic")).isin(values.toIndexedSeq: _*))
-    case "op_filter" =>
-      // P4 operation filter (reference `skipped.operations`,
-      // postgres/connector.json:19) over the unwrapped __op column
-      val ops = t.option("ops").split(",").map(_.trim)
-      df.filter(col(t.optionOr("field", "__op")).isin(ops.toIndexedSeq: _*))
+    case "filter" | "whitelist" | "op_filter" =>
+      // P2/P3/P4 — keep-conditions shared with the `when`-gated rewrite
+      df.filter(keepCondition(t))
     case "drop_fields" =>
       // P5 drop-fields; with `keep.schema.compatible` (README.md:324) the
       // result must still satisfy a pinned DDL contract, else fail loudly
@@ -289,8 +342,12 @@ object Pipeline {
       throw new IllegalArgumentException(s"unknown transform type '$other'")
   }
 
-  /** The (lazy) DataFrame program for a spec: source + transform chain. */
-  def build(spark: SparkSession, spec: PipelineSpec, streaming: Boolean): DataFrame = {
+  /** The (lazy) DataFrame program for a spec: source + transform chain.
+    * Config-provider placeholders resolve HERE (use time), not at parse
+    * time — stored specs and `GET .../config` readbacks keep the raw
+    * `${file:...}`/`${env:...}` form (see [[ConfigProviders]]). */
+  def build(spark: SparkSession, spec0: PipelineSpec, streaming: Boolean): DataFrame = {
+    val spec = ConfigProviders.resolve(spec0)
     val src = source(spec.source)
     val df0 = if (streaming) src.stream(spark) else src.batch(spark)
     spec.transforms.foldLeft(df0)(applyTransform)
@@ -299,7 +356,7 @@ object Pipeline {
   /** Run a spec as a one-shot batch job. */
   def runBatch(spark: SparkSession, spec: PipelineSpec): Unit = {
     val df = build(spark, spec, streaming = false)
-    val s = spec.sink
+    val s = ConfigProviders.resolveStage(spec.sink)
     s.stageType match {
       case "file" =>
         df.write.format(s.optionOr("format", "parquet"))
@@ -314,8 +371,11 @@ object Pipeline {
   /** Statically validate a streaming sink spec: known type + every
     * option the `runStream` sink match will demand. Lets the registry
     * reject a bad config BEFORE stopping a running pipeline — start()
-    * itself is the only failure left after this passes. */
-  def validateStreamSink(s: StageSpec): Unit = {
+    * itself is the only failure left after this passes. Validates the
+    * RESOLVED options, so a mis-wired `${file:...}` secret (or a
+    * placeholder in `dialect`) also rejects at submit time. */
+  def validateStreamSink(s0: StageSpec): Unit = {
+    val s = ConfigProviders.resolveStage(s0)
     val required: Seq[String] = s.stageType match {
       case "file"        => Seq("checkpoint", "path")
       case "memory"      => Seq("name", "checkpoint")
@@ -366,7 +426,7 @@ object Pipeline {
     * reference's `poll.interval.ms`, README.md:100). */
   def runStream(spark: SparkSession, spec: PipelineSpec): StreamingQuery = {
     val df = build(spark, spec, streaming = true)
-    val s = spec.sink
+    val s = ConfigProviders.resolveStage(spec.sink)
     // ST4: poll cadence (reference poll.interval.ms=200) or a one-shot
     // drain-everything run (`trigger = availableNow`, the bulk-catchup
     // mode S3 maps to)

@@ -151,6 +151,56 @@ class SmtCatalogSpec extends SparkTestBase with Matchers {
       .collect() shouldBe Array((1L, "ann"), (2L, "bob"))
   }
 
+  test("'when' gates any value transform; unmatched rows pass through unchanged") {
+    // mask only short names — the generic-framework twin of mask_when
+    val masked = apply1(people, t("mask",
+      "field" -> "name", "when" -> "length(name) <= 3", "negate" -> "false"))
+    masked.orderBy("id").select("name").as[String].collect() shouldBe
+      Array("CENSORED", "CENSORED")
+    val negated = apply1(people, t("mask",
+      "field" -> "name", "when" -> "id = 1", "negate" -> "true"))
+    negated.orderBy("id").select("name").as[String].collect() shouldBe
+      Array("ann", "CENSORED")
+    // agrees with the fused mask_when fast path
+    val fused = apply1(people, t("mask_when",
+      "field" -> "name", "predicate" -> "id = 2"))
+    val gated = apply1(people, t("mask", "field" -> "name", "when" -> "id = 2"))
+    gated.orderBy("id").collect() shouldBe fused.orderBy("id").collect()
+  }
+
+  test("'when' on the filter family rewrites the keep-condition — no row loss outside the gate") {
+    // drop low scores, but only for rows the predicate selects
+    val out = apply1(people, t("filter",
+      "predicate" -> "score > 10", "when" -> "name = 'bob'"))
+    // ann (unmatched) survives regardless of score; bob fails score>10
+    out.select("name").as[String].collect() shouldBe Array("ann")
+    // single scan: the gate must not union two branches of the source
+    out.queryExecution.executedPlan.toString should not include "Union"
+    val wl = apply1(people, t("whitelist",
+      "field" -> "name", "values" -> "ann", "when" -> "id >= 2"))
+    wl.count() shouldBe 1L // id=1 passes ungated; id=2 fails the whitelist
+  }
+
+  test("'when' on insert_field pads unmatched rows with typed NULL (Connect's absent field)") {
+    val out = apply1(people, t("insert_field",
+      "static.field" -> "tier", "static.value" -> "gold", "when" -> "score > 10"))
+    out.schema("tier").dataType shouldBe StringType
+    out.orderBy("id").select("tier").as[Option[String]].collect() shouldBe
+      Array(Some("gold"), None)
+  }
+
+  test("'when' rejects schema-changing transforms with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      apply1(people, t("cast", "spec" -> "id:string", "when" -> "id = 1")).collect()
+    }
+    e.getMessage should include("schema-changing")
+    e.getMessage should include("retyped")
+    val e2 = intercept[IllegalArgumentException] {
+      apply1(people, t("replace_field", "exclude" -> "day", "when" -> "id = 1")).collect()
+    }
+    e2.getMessage should include("removed")
+  }
+
   test("the chained catalog runs from a JSON connector config end-to-end") {
     val json =
       """{"name": "catalog-chain",
