@@ -389,6 +389,21 @@ object Pipeline {
     if (s.stageType == "jdbc_upsert") {
       graft.sinks.UpsertDialect.forName(s.option("dialect")); ()
     }
+    // error-policy keys: reject a bad tolerance value, a DLQ config with
+    // missing parts, or an errors.* key on a sink that cannot honor it
+    // (file/memory do not go through foreachBatch) at submit time
+    val keyedSink = s.stageType == "upsert" || s.stageType == "jdbc_upsert"
+    if (!keyedSink && s.options.keys.exists(_.startsWith("errors.")))
+      throw new IllegalArgumentException(
+        s"${s.stageType}: errors.* options are only honored by the keyed sinks (upsert, jdbc_upsert)")
+    s.optionOr("errors.tolerance", "none") match {
+      case "none" => ()
+      case "all"  => s.option("errors.dlq.path"); s.option("errors.predicate"); ()
+      case other  => throw new IllegalArgumentException(
+        s"errors.tolerance must be 'none' or 'all', got '$other'")
+    }
+    require(s.optionOr("errors.retry.attempts", "1").toInt >= 1,
+      "errors.retry.attempts must be >= 1")
   }
 
   /** Newest-wins merge ordering for keyed sinks: the configured order
@@ -452,7 +467,8 @@ object Pipeline {
         df.writeStream
           .option("checkpointLocation", s.option("checkpoint"))
           .outputMode("append").trigger(trigger)
-          .foreachBatch(table.foreachBatchMerge(mergeOrder(df, s), deleted))
+          .foreachBatch(errorPolicy(s)(
+            table.foreachBatchMerge(mergeOrder(df, s), deleted)))
           .start()
       case "jdbc_upsert" =>
         // A5's actual production target: per-dialect INSERT..ON CONFLICT /
@@ -470,10 +486,47 @@ object Pipeline {
         df.writeStream
           .option("checkpointLocation", s.option("checkpoint"))
           .outputMode("append").trigger(trigger)
-          .foreachBatch(table.foreachBatchMerge(mergeOrder(df, s), deleted))
+          .foreachBatch(errorPolicy(s)(
+            table.foreachBatchMerge(mergeOrder(df, s), deleted)))
           .start()
       case other =>
         throw new IllegalArgumentException(s"unknown stream sink type '$other'")
+    }
+  }
+
+  /** The reference's declarative error surface (ST3: `errors.tolerance`,
+    * `errors.retry.*`, DLQ topic — README.md:280-284) as sink options on
+    * the keyed foreachBatch sinks:
+    *
+    *   errors.retry.attempts / .delay.ms / .delay.max.ms → Dlq.withRetry
+    *     (transient-only exponential backoff; safe because the keyed
+    *     sinks replay an epoch idempotently)
+    *   errors.tolerance = all + errors.dlq.path + errors.predicate
+    *     [+ errors.reason] → Dlq.withDlq (bad rows quarantined with
+    *     metadata; clean remainder continues). `errors.predicate` is the
+    *     columnar analog of Connect's per-record conversion failure: a
+    *     SQL boolean marking rows the sink must not see.
+    *
+    * Composition order: route to the DLQ FIRST, retry the clean-row sink
+    * inside — a poison row must never burn retry attempts. */
+  private def errorPolicy(s: StageSpec)(
+      base: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val attempts = s.optionOr("errors.retry.attempts", "1").toInt
+    val retried =
+      if (attempts <= 1) base
+      else graft.sinks.Dlq.withRetry(attempts,
+        s.optionOr("errors.retry.delay.ms", "100").toLong,
+        s.optionOr("errors.retry.delay.max.ms", "10000").toLong)(base)
+    s.optionOr("errors.tolerance", "none") match {
+      case "none" => retried
+      case "all" =>
+        val reason = s.options.get("errors.reason").map(expr)
+          .getOrElse(lit(s.option("errors.predicate")))
+        graft.sinks.Dlq.withDlq(
+          expr(s.option("errors.predicate")), reason,
+          s.option("errors.dlq.path"))(retried)
+      case other => throw new IllegalArgumentException(
+        s"errors.tolerance must be 'none' or 'all', got '$other'")
     }
   }
 }

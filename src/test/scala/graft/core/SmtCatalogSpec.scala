@@ -201,6 +201,23 @@ class SmtCatalogSpec extends SparkTestBase with Matchers {
     e2.getMessage should include("removed")
   }
 
+  test("a 'when'-gated transform runs unchanged on a stream (union path is stream-safe)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gate = t("insert_field",
+      "static.field" -> "tier", "static.value" -> "gold", "when" -> "score > 10")
+    val input = MemoryStream[(Long, String, Double, String)]
+    val streamed = apply1(input.toDF().toDF("id", "name", "score", "day"), gate)
+    val q = streamed.writeStream.format("memory").queryName("smt_gated_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "ann", 12.5, "2024-03-05"), (2L, "bob", 7.25, "2024-12-31"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("smt_gated_stream").orderBy("id").collect()
+    got shouldBe apply1(people, gate).orderBy("id").collect()
+  }
+
   test("the chained catalog runs from a JSON connector config end-to-end") {
     val json =
       """{"name": "catalog-chain",
