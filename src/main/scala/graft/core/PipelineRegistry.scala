@@ -185,4 +185,64 @@ final class PipelineRegistry(spark: SparkSession) {
       case Live(_, q) => q.processAllAvailable(); true
       case Idle(_) => false
     }
+
+  /** The most recent source positions of a pipeline — Connect's
+    * `GET /connectors/{name}/offsets` (KIP-875), read from the spec's
+    * checkpoint (where Structured Streaming makes offsets durable:
+    * `offsets/<batchId>` is the planned position, `commits/<batchId>`
+    * marks it processed). None = unknown name; a pipeline that has not
+    * completed a batch yet reports batchId -1 and no sources. */
+  def offsets(name: String): Option[PipelineRegistry.Offsets] =
+    state.get(name).map { e =>
+      val dir = checkpointDir(e.spec)
+      val offsetsPath = new org.apache.hadoop.fs.Path(dir, "offsets")
+      val fs = offsetsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val latest =
+        if (!fs.exists(offsetsPath)) None
+        else fs.listStatus(offsetsPath).toSeq
+          .flatMap(st => st.getPath.getName.toLongOption)
+          .maxOption
+      latest match {
+        case None => PipelineRegistry.Offsets(-1L, committed = false, Nil)
+        case Some(b) =>
+          val in = fs.open(new org.apache.hadoop.fs.Path(offsetsPath, b.toString))
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                     finally in.close()
+          // HDFSMetadataLog layout: "v1" header, batch-metadata JSON,
+          // then one offset line per source ("-" = source not started)
+          val sources = text.linesIterator.drop(2).toSeq
+          val committed = fs.exists(
+            new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir, "commits"), b.toString))
+          PipelineRegistry.Offsets(b, committed, sources)
+      }
+    }
+
+  /** Reset a pipeline's source positions — Connect's
+    * `DELETE /connectors/{name}/offsets` (KIP-875). Exactly Connect's
+    * precondition: only a NON-running connector may be reset (Connect
+    * answers 400 on a running one; callers map the IllegalStateException
+    * the same way). Deletes the whole checkpoint, so the next resume
+    * starts from scratch. False = unknown name. */
+  def resetOffsets(name: String): Boolean = herder.synchronized {
+    state.get(name) match {
+      case None => false
+      case Some(Live(_, q)) if q.isActive =>
+        throw new IllegalStateException(
+          s"cannot reset offsets of running pipeline '$name'; pause it first")
+      case Some(e) =>
+        val p = new org.apache.hadoop.fs.Path(checkpointDir(e.spec))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) { fs.delete(p, true): Unit }
+        true
+    }
+  }
+
+  private def checkpointDir(spec: PipelineSpec): String =
+    ConfigProviders.resolveStage(spec.sink).option("checkpoint")
+}
+
+object PipelineRegistry {
+  /** One checkpointed position: the latest planned batch, whether its
+    * commit marker exists, and the raw per-source offset JSON lines. */
+  final case class Offsets(batchId: Long, committed: Boolean, sources: Seq[String])
 }

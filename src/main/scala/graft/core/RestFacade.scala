@@ -27,6 +27,10 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  *   PUT    /connectors/{n}/pause       → 202 | 404
  *   PUT    /connectors/{n}/resume      → 202 | 404
  *   POST   /connectors/{n}/restart     → 204 | 404
+ *   GET    /connectors/{n}/offsets     → 200 (KIP-875: checkpointed
+ *          batchId + committed flag + raw per-source offsets) | 404
+ *   DELETE /connectors/{n}/offsets     → 200 (reset; paused only) |
+ *          400 (running — Connect's precondition) | 404
  *   DELETE /connectors/{n}             → 204 | 404
  *
  * Config body: the engine's `PipelineSpec` JSON (documented divergence
@@ -157,6 +161,27 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0)
       case ("POST", name :: "restart" :: Nil) =>
         try lifecycle(ex, registry.restart(name), 204)
         catch { case e: Exception => respond(ex, 500,
+          s"""{"error":${jstr(String.valueOf(e.getMessage))}}""") }
+      case ("GET", name :: "offsets" :: Nil) =>
+        // KIP-875: the pipeline's durable source positions, read from
+        // its checkpoint (raw per-source offset JSON, Connect-style list)
+        registry.offsets(name) match {
+          case Some(o) =>
+            val srcs = o.sources.zipWithIndex.map { case (s, i) =>
+              val off = if (s == "-") "null"
+                        else if (s.startsWith("{") || s.startsWith("[")) s
+                        else jstr(s)
+              s"""{"source":$i,"offset":$off}"""
+            }
+            respond(ex, 200,
+              s"""{"name":${jstr(name)},"batchId":${o.batchId},""" +
+                s""""committed":${o.committed},"offsets":${srcs.mkString("[", ",", "]")}}""")
+          case None => respond(ex, 404)
+        }
+      case ("DELETE", name :: "offsets" :: Nil) =>
+        // KIP-875: reset — Connect answers 400 on a running connector
+        try lifecycle(ex, registry.resetOffsets(name), 200)
+        catch { case e: IllegalStateException => respond(ex, 400,
           s"""{"error":${jstr(String.valueOf(e.getMessage))}}""") }
       case ("DELETE", name :: Nil) =>
         lifecycle(ex, registry.delete(name), 204)

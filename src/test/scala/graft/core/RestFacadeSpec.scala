@@ -107,4 +107,58 @@ class RestFacadeSpec extends SparkTestBase with Matchers {
       req("GET", base).body() shouldBe "[]"
     } finally facade.close()
   }
+
+  test("KIP-875 offsets: GET reads the checkpoint, DELETE resets only when paused") {
+    val ss = spark
+    import ss.implicits._
+    val inDir = tmp("graft-off-in")
+    val ckpt = tmp("graft-off-ckpt")
+    val out = tmp("graft-off-out")
+    Seq((1L, "s1"), (2L, "s2")).toDF("id", "secret")
+      .write.mode("overwrite").parquet(inDir)
+
+    val reg = new PipelineRegistry(spark)
+    val facade = new RestFacade(reg)
+    facade.start()
+    val base = s"http://127.0.0.1:${facade.boundPort}/connectors"
+    try {
+      req("POST", base, specJson("p_off", inDir, ckpt, out)).statusCode() shouldBe 201
+      reg.drain("p_off") shouldBe true
+      spark.read.parquet(out).count() shouldBe 2
+
+      val got = req("GET", s"$base/p_off/offsets")
+      got.statusCode() shouldBe 200
+      got.body() should include(""""name":"p_off"""")
+      got.body() should include(""""batchId":0""")
+      got.body() should include(""""committed":true""")
+      got.body() should include(""""offsets":[{"source":0,""")
+
+      // a second input file advances the committed position to batch 1
+      Seq((3L, "s3")).toDF("id", "secret").write.mode("append").parquet(inDir)
+      reg.drain("p_off") shouldBe true
+      req("GET", s"$base/p_off/offsets").body() should include(""""batchId":1""")
+
+      // Connect's precondition: resetting a RUNNING connector is 400
+      req("DELETE", s"$base/p_off/offsets").statusCode() shouldBe 400
+
+      req("PUT", s"$base/p_off/pause").statusCode() shouldBe 202
+      req("DELETE", s"$base/p_off/offsets").statusCode() shouldBe 200
+      // the checkpoint is gone: a fresh GET reports the empty position
+      req("GET", s"$base/p_off/offsets").body() should include(""""batchId":-1""")
+      // resume restarts from a clean slate: the whole input re-plans as
+      // batch 0 of a NEW offsets log (down from 1 — the reset is visible
+      // in the durable position, not in duplicate rows: the file sink's
+      // own _spark_metadata log deduplicates the re-delivery, which is
+      // Spark's exactly-once guarantee composing with at-least-once
+      // source replay)
+      req("PUT", s"$base/p_off/resume").statusCode() shouldBe 202
+      reg.drain("p_off") shouldBe true
+      val after = req("GET", s"$base/p_off/offsets").body()
+      after should include(""""batchId":0""")
+      after should include(""""committed":true""")
+
+      req("GET", s"$base/nope/offsets").statusCode() shouldBe 404
+      req("DELETE", s"$base/nope/offsets").statusCode() shouldBe 404
+    } finally facade.close()
+  }
 }
