@@ -39,6 +39,18 @@ import graft.sources.{FileSource, KafkaRelaySource, PromTextSource, Source}
  */
 object Pipeline {
 
+  /** The declared stage vocabulary — what `GET /connector-plugins`
+    * advertises. KEEP IN SYNC with the match arms below (RestFacadeSpec
+    * pins representative members of each list). */
+  val sourceTypes: Seq[String] = Seq("file", "prom_text", "kafka")
+  val transformTypes: Seq[String] = Seq(
+    "mask", "mask_when", "redact", "filter", "whitelist", "op_filter",
+    "drop_fields", "cast", "insert_field", "extract_field", "hoist_field",
+    "flatten", "replace_field", "regex_router", "timestamp_converter",
+    "timestamp_router", "value_to_key",
+    "envelope_encode", "envelope_decode", "debezium_unwrap")
+  val streamSinkTypes: Seq[String] = Seq("file", "memory", "upsert", "jdbc_upsert")
+
   def source(spec: StageSpec): Source = spec.stageType match {
     case "file" =>
       FileSource(

@@ -148,6 +148,20 @@ final class PipelineRegistry(spark: SparkSession) {
   /** One-shot batch execution of a spec (the reference's bulk mode). */
   def runBatch(spec: PipelineSpec): Unit = Pipeline.runBatch(spark, spec)
 
+  /** Dry-run validation — `submit`'s gate with zero side effects (the
+    * engine-side of Connect's `PUT /connector-plugins/.../config/
+    * validate`). Returns every error found, empty = would submit
+    * cleanly. Both checks run even if the first fails, so one round
+    * trip reports both a bad transform AND a bad sink. */
+  def validate(spec: PipelineSpec): Seq[String] = {
+    def check(f: => Unit): Option[String] =
+      try { f; None }
+      catch { case e: Exception =>
+        Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}") }
+    (check { Pipeline.build(spark, spec, streaming = true).schema: Unit } ++
+      check { Pipeline.validateStreamSink(spec.sink) }).toSeq
+  }
+
   def status(name: String): Status = state.get(name) match {
     case None => startFailures.get(name).map(Failed(_)).getOrElse(Unknown)
     case Some(Idle(_)) =>

@@ -32,6 +32,10 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  *   DELETE /connectors/{n}/offsets     → 200 (reset; paused only) |
  *          400 (running — Connect's precondition) | 404
  *   DELETE /connectors/{n}             → 204 | 404
+ *   GET    /connector-plugins          → 200 (stage vocabulary:
+ *          `{"class","type":"source|transform|sink"}` entries)
+ *   PUT    /connector-plugins/pipeline/config/validate (spec) →
+ *          200 `{"name","error_count","errors"}` | 400 (unparseable)
  *
  * Config body: the engine's `PipelineSpec` JSON (documented divergence
  * from Connect's flat `{"name","config"}` string map — the spec format
@@ -48,6 +52,7 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0)
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(null) // serialize control-plane requests
   server.createContext("/connectors", (ex: HttpExchange) => handle(ex))
+  server.createContext("/connector-plugins", (ex: HttpExchange) => handlePlugins(ex))
 
   /** Bound port (useful with port=0 ephemeral binding). */
   def boundPort: Int = server.getAddress.getPort
@@ -114,6 +119,43 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0)
 
   private def lifecycle(ex: HttpExchange, ok: Boolean, code: Int): Unit =
     if (ok) respond(ex, code) else respond(ex, 404)
+
+  /** Connect's plugin-discovery + config-validation routes:
+    *   GET /connector-plugins → the declared stage vocabulary
+    *   PUT /connector-plugins/pipeline/config/validate (spec) →
+    *     200 `{"name","error_count","errors"}` — submit's gate as a
+    *     dry run (Connect-style; the one "plugin" is the pipeline spec
+    *     language itself, hence the fixed `pipeline` segment). */
+  private def handlePlugins(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val parts = ex.getRequestURI.getPath.stripPrefix("/connector-plugins")
+      .split("/").filter(_.nonEmpty).toList
+    try (method, parts) match {
+      case ("GET", Nil) =>
+        val entries =
+          Pipeline.sourceTypes.map(t => s"""{"class":${jstr(t)},"type":"source"}""") ++
+          Pipeline.transformTypes.map(t => s"""{"class":${jstr(t)},"type":"transform"}""") ++
+          Pipeline.streamSinkTypes.map(t => s"""{"class":${jstr(t)},"type":"sink"}""")
+        respond(ex, 200, entries.mkString("[", ",", "]"))
+      case ("PUT", "pipeline" :: "config" :: "validate" :: Nil) =>
+        try {
+          val spec = PipelineSpec.fromJson(readBody(ex))
+          val errors = registry.validate(spec)
+          respond(ex, 200,
+            s"""{"name":${jstr(spec.name)},"error_count":${errors.length},""" +
+              s""""errors":${errors.map(jstr).mkString("[", ",", "]")}}""")
+        } catch {
+          case e: Exception => respond(ex, 400, s"""{"error":${jstr(
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")}}""")
+        }
+      case _ => respond(ex, 405)
+    } catch {
+      case e: Exception =>
+        try respond(ex, 500, s"""{"error":${jstr(
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")}}""")
+        catch { case _: Exception => () }
+    }
+  }
 
   private def handle(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod

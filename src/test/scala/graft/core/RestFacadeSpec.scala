@@ -161,4 +161,45 @@ class RestFacadeSpec extends SparkTestBase with Matchers {
       req("DELETE", s"$base/nope/offsets").statusCode() shouldBe 404
     } finally facade.close()
   }
+
+  test("connector-plugins: GET lists the stage vocabulary, PUT validate dry-runs a config") {
+    val ss = spark
+    import ss.implicits._
+    val inDir = tmp("graft-plug-in")
+    Seq((1L, "s1")).toDF("id", "secret").write.mode("overwrite").parquet(inDir)
+
+    val reg = new PipelineRegistry(spark)
+    val facade = new RestFacade(reg)
+    facade.start()
+    val root = s"http://127.0.0.1:${facade.boundPort}"
+    try {
+      val plugins = req("GET", s"$root/connector-plugins")
+      plugins.statusCode() shouldBe 200
+      plugins.body() should include("""{"class":"file","type":"source"}""")
+      plugins.body() should include("""{"class":"regex_router","type":"transform"}""")
+      plugins.body() should include("""{"class":"jdbc_upsert","type":"sink"}""")
+
+      // a clean spec validates with zero errors — and starts nothing
+      val good = specJson("v1", inDir, tmp("graft-plug-ck"), tmp("graft-plug-out"))
+      val ok = req("PUT", s"$root/connector-plugins/pipeline/config/validate", good)
+      ok.statusCode() shouldBe 200
+      ok.body() should include(""""error_count":0""")
+      req("GET", s"$root/connectors").body() shouldBe "[]" // dry run
+
+      // one round trip reports BOTH a bad transform and a bad sink
+      val bad = good.replace("\"mask\"", "\"no_such_transform\"")
+        .replace("\"file\", \"options\": {\n    \"format\": \"parquet\", \"path\"", "\"file\", \"options\": {\"path\"")
+        .replace(""""sink": {"type": "file"""", """"sink": {"type": "no_such_sink"""")
+      val res = req("PUT", s"$root/connector-plugins/pipeline/config/validate", bad)
+      res.statusCode() shouldBe 200
+      res.body() should include(""""error_count":2""")
+      res.body() should include("no_such_transform")
+      res.body() should include("no_such_sink")
+
+      // unparseable body is a 400, unknown route 405
+      req("PUT", s"$root/connector-plugins/pipeline/config/validate", "{nope")
+        .statusCode() shouldBe 400
+      req("GET", s"$root/connector-plugins/pipeline").statusCode() shouldBe 405
+    } finally facade.close()
+  }
 }
