@@ -1341,6 +1341,22 @@ object Queries {
       .orderBy("topic")
   }
 
+  /** Q74 corpus n-gram frequency top-k (LLM pipeline: the corpus
+    * statistic behind tokenizer training and stopword/boilerplate
+    * inventories): explode word bigrams, count corpus-wide, keep the 50
+    * most frequent with a total (count desc, gram asc) order. The
+    * 100 TB shape is the point: partial aggregation combines map-side
+    * so the exchange carries (gram, count) — bounded by the vocabulary,
+    * not the token count — and the top-k is TakeOrdered (per-partition
+    * heaps + driver merge of 50-row sets), never a total sort. */
+  val q74: Q = (s, dir) => {
+    Tables.fanOut(Tables.documents(s, dir))
+      .select(explode(TextMetrics.allWordShingles(col("text"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(50)
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1417,6 +1433,7 @@ object Queries {
     "q71_repetition_stream_twin" -> q71,
     "q72_smt_catalog" -> q72,
     "q73_smt_routing" -> q73,
+    "q74_corpus_ngrams" -> q74,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -1935,5 +1952,13 @@ object Queries {
         "MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day, " +
         "MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day " +
         "FROM orders GROUP BY topic ORDER BY topic"),
+    "q74_corpus_ngrams" ->
+      // same split/window construction as the q70 oracle (ws[i:i+1] is
+      // DuckDB's inclusive 2-element slice — a bigram)
+      ("WITH w AS (SELECT str_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "g AS (SELECT unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]) AS gram " +
+        "FROM w WHERE len(ws) >= 2) " +
+        "SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g " +
+        "GROUP BY gram ORDER BY n DESC, gram LIMIT 50"),
   )
 }

@@ -102,6 +102,14 @@ class PlanQualitySpec extends SparkTestBase with Matchers {
     plan(Queries.q18) should include("TakeOrderedAndProject")
   }
 
+  test("q74: corpus n-gram top-k combines map-side and takes k, no total sort") {
+    val p = plan(Queries.q74)
+    p should include("TakeOrderedAndProject")
+    // partial aggregation before the exchange: the shuffle carries
+    // (gram, count) — vocabulary-bounded, not token-count-bounded
+    p should include("partial_count")
+  }
+
   test("q11: the range join is a bucketed equi-join, not a nested loop") {
     val p = plan(Queries.q11)
     p should not include "BroadcastNestedLoopJoin"
