@@ -12,7 +12,10 @@ object PlanAudit {
   // Shared with PlanQualitySpec — ONE list, edited in one place.
   val intentionalBnl: Set[String] = Set("q04_incremental_hwm", "q27_cosine_topk",
     "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
-    "q54_knn_join", "q61_gapfill")
+    "q54_knn_join", "q61_gapfill",
+    // q75: the per-round centroid set collapses to ONE broadcast row
+    // (collect_list) — the crossJoin against it is a C·d-double constant
+    "q75_kmeans_refine")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

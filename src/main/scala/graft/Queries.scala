@@ -1357,6 +1357,23 @@ object Queries {
       .limit(50)
   }
 
+  /** Q75 k-means refinement of the IVF coarse quantizer (the training
+    * path q46's index presumes): 2 Lloyd rounds from the deterministic
+    * stride sample, integer-exact by re-quantizing every mean — the
+    * oracle replays both rounds bit-for-bit. Output per centroid: final
+    * member count plus two integer checksums of the refined vector
+    * (self-dot and component sum), which pin all 64 components without
+    * comparing arrays. */
+  val q75: Q = (s, dir) => {
+    val cents = Similarity.kmeansCentroids(
+      Tables.embeddings(s, dir).withColumn("e", col("embedding").cast("array<double>")),
+      "vec_id", "e", centroidStride = 37L, iters = 2, dim = 64)
+    cents.select(col("__cid").as("cid"), col("__n").as("n"),
+        Similarity.dot(col("__cv"), col("__cv")).cast("long").as("mu_dot"),
+        aggregate(col("__cv"), lit(0.0d), (a, x) => a + x).cast("long").as("mu_sum"))
+      .orderBy("cid")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1434,6 +1451,7 @@ object Queries {
     "q72_smt_catalog" -> q72,
     "q73_smt_routing" -> q73,
     "q74_corpus_ngrams" -> q74,
+    "q75_kmeans_refine" -> q75,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -1960,5 +1978,26 @@ object Queries {
         "FROM w WHERE len(ws) >= 2) " +
         "SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g " +
         "GROUP BY gram ORDER BY n DESC, gram LIMIT 50"),
+    "q75_kmeans_refine" ->
+      // replays both Lloyd rounds bit-for-bit: quantized vectors and
+      // re-quantized means keep every distance integer-valued, so the
+      // (d2, cid) assignment order is engine-independent
+      ("WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
+        "c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), " +
+        "p AS (SELECT unnest(range(1, 65)) AS i), " +
+        "a1 AS (SELECT e.vec_id, e.q, c0.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn FROM e, c0), " +
+        "m1 AS (SELECT vec_id, q, cid FROM a1 WHERE rn = 1), " +
+        "s1 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu, COUNT(*) AS n FROM m1, p GROUP BY cid, i), " +
+        "n1 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s1 GROUP BY cid), " +
+        "c1 AS (SELECT c0.cid, COALESCE(n1.cv, c0.cv) AS cv FROM c0 LEFT JOIN n1 USING (cid)), " +
+        "a2 AS (SELECT e.vec_id, e.q, c1.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c1.cv) + list_dot_product(c1.cv, c1.cv), c1.cid) AS rn FROM e, c1), " +
+        "m2 AS (SELECT vec_id, q, cid FROM a2 WHERE rn = 1), " +
+        "s2 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu, COUNT(*) AS n FROM m2, p GROUP BY cid, i), " +
+        "n2 AS (SELECT cid, list(mu ORDER BY i) AS cv, MAX(n) AS n FROM s2 GROUP BY cid), " +
+        "c2 AS (SELECT c1.cid, COALESCE(n2.cv, c1.cv) AS cv, COALESCE(n2.n, 0) AS n FROM c1 LEFT JOIN n2 USING (cid)) " +
+        "SELECT cid, CAST(n AS BIGINT) AS n, CAST(list_dot_product(cv, cv) AS BIGINT) AS mu_dot, " +
+        "CAST(list_aggregate(cv, 'sum') AS BIGINT) AS mu_sum FROM c2 ORDER BY cid"),
   )
 }

@@ -282,4 +282,72 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * K-means (Lloyd) refinement of the IVF coarse quantizer: start from
+   * `ivfTopK`'s deterministic stride sample, run `iters` rounds of
+   * assign-to-nearest + recompute-mean. Output one row per centroid:
+   * (cid, n = member count of the final assignment, centroid vector).
+   *
+   * Exactness without floats: vectors are integer-quantized (`quantize`)
+   * and every refined centroid is RE-QUANTIZED to the same grid
+   * (`round(sum/count)` per component), so all distances stay
+   * integer-valued doubles — assignment argmin ties break on (d2, cid)
+   * lexicographically and an external oracle replays every round
+   * bit-for-bit. An unrounded float mean would make cell boundaries
+   * depend on summation order and the result engine-dependent.
+   *
+   * Scale shape (N vectors, C ≈ N/stride centroids, dim d):
+   *  - per round, the centroid set collapses to ONE broadcast row
+   *    (`collect_list`, C·d doubles) and assignment is a per-row
+   *    `aggregate` loop over that array inside the scan — the corpus is
+   *    read once per round and NEVER shuffles;
+   *  - the only exchange carries (cell, count, d partial sums) —
+   *    C·(d+2) values after map-side combine, independent of N;
+   *  - empty cells keep their previous centroid (left join on the C-row
+   *    set); each round's result is a C-row localCheckpoint so round
+   *    r+1's broadcast does not recompute rounds 1..r.
+   * Integer-exactness bound: per-component |sum| ≤ n_cell·max|q| — at
+   * quantize's ×1024 grid that stays inside double's 2^53 for any cell
+   * below ~10^9 members; far past any realistic cell at 100 TB.
+   */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      centroidStride: Long, iters: Int, dim: Int): DataFrame = {
+    require(centroidStride >= 1, "centroidStride must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    require(dim >= 1, "dim must be >= 1")
+    val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+    val init = q.filter(pmod(col("__id"), lit(centroidStride)) === 0)
+      .select(col("__id").as("__cid"), col("__q").as("__cv"), lit(0L).as("__n"))
+    (1 to iters).foldLeft(init) { (cent, _) =>
+      val centArr = cent
+        .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
+      // argmin over the broadcast centroid array, inside the scan: a
+      // lexicographic (d2, cid) running minimum, so the fold's result
+      // is independent of collect_list's nondeterministic order
+      val far = struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cid"))
+      val best = aggregate(col("__cents"), far, (acc, c) => {
+        val cv = c.getField("__cv")
+        val d2 = dot(col("__q"), col("__q")) -
+          lit(2.0) * dot(col("__q"), cv) + dot(cv, cv)
+        val cand = struct(d2.as("d2"), c.getField("__cid").as("cid"))
+        when(cand < acc, cand).otherwise(acc)
+      })
+      val assigned = q.crossJoin(broadcast(centArr))
+        .select(col("__id"), col("__q"), best.getField("cid").as("__cell"))
+      val sums = assigned.groupBy(col("__cell"))
+        .agg(count(lit(1)).as("__nn"),
+          (0 until dim).map(i =>
+            sum(element_at(col("__q"), i + 1)).as(s"__s$i")): _*)
+      val refreshed = sums.select(col("__cell"),
+        array((0 until dim).map(i =>
+          round(col(s"__s$i") / col("__nn"))): _*).as("__nv"),
+        col("__nn"))
+      cent.join(refreshed, cent("__cid") === refreshed("__cell"), "left")
+        .select(cent("__cid"),
+          coalesce(col("__nv"), cent("__cv")).as("__cv"),
+          coalesce(col("__nn"), lit(0L)).as("__n"))
+        .localCheckpoint()
+    }
+  }
 }

@@ -306,4 +306,37 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
       .collect()
     pruned.length shouldBe brute.length
   }
+
+  test("kmeansCentroids: Lloyd rounds are deterministic, integer-grid, and improve the quantizer") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansCentroids(df, "vec_id", "e",
+        centroidStride = 11L, iters = 2, dim = 64)
+    val cents = run(emb).orderBy("__cid").collect()
+    // partition-layout independence: same result from a reshuffled input
+    // (the argmin fold is order-independent, sums are integer-exact)
+    run(emb.repartition(7, col("vec_id"))).orderBy("__cid").collect() shouldBe cents
+    // every refined component sits on the integer grid
+    cents.foreach(_.getSeq[Double](1).foreach(x => x shouldBe math.rint(x)))
+    // the member counts cover the corpus exactly once
+    cents.map(_.getLong(2)).sum shouldBe emb.count()
+    // refinement does not worsen the quantizer: total within-cell d2
+    // after 2 rounds <= after the 0-round (stride-sample) assignment
+    def cost(cent: Array[org.apache.spark.sql.Row]): Double = {
+      val q = emb.select(col("vec_id"),
+        Similarity.quantize(col("e")).as("q")).collect()
+      q.map { r =>
+        val v = r.getSeq[Double](1)
+        cent.map { c =>
+          val cv = c.getSeq[Double](1)
+          v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+        }.min
+      }.sum
+    }
+    val init = emb.filter(pmod(col("vec_id"), lit(11L)) === 0)
+      .select(col("vec_id"), Similarity.quantize(col("e")).as("cv"), lit(0L).as("n"))
+      .orderBy("vec_id").collect()
+    cost(cents) should be <= cost(init)
+  }
 }
