@@ -13,9 +13,9 @@ object PlanAudit {
   val intentionalBnl: Set[String] = Set("q04_incremental_hwm", "q27_cosine_topk",
     "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
     "q54_knn_join", "q61_gapfill",
-    // q75: the per-round centroid set collapses to ONE broadcast row
+    // q75/q76: the per-round centroid set collapses to ONE broadcast row
     // (collect_list) — the crossJoin against it is a C·d-double constant
-    "q75_kmeans_refine")
+    "q75_kmeans_refine", "q76_ivf_trained")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

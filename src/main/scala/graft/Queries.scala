@@ -1374,6 +1374,22 @@ object Queries {
       .orderBy("cid")
   }
 
+  /** Q76 IVF train-then-search (the full index pipeline: q75's trained
+    * quantizer feeding q46's search shape): 2 Lloyd rounds refine the
+    * stride sample, then the nprobe-cell candidate search + exact
+    * cosine rescore runs against the REFINED cells. Same contract as
+    * q46 — approximate by construction, exact over the deterministic
+    * candidate set, and the oracle replays training AND search. */
+  val q76: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val trained = Similarity.kmeansCentroids(
+        emb, "vec_id", "e", centroidStride = 37L, iters = 2, dim = 64)
+      .select(col("__cid"), col("__cv"))
+    Similarity.ivfTopKWith(emb, "vec_id", "e", trained,
+      targetId = 3L, k = 10, nprobe = 8)
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1452,6 +1468,7 @@ object Queries {
     "q73_smt_routing" -> q73,
     "q74_corpus_ngrams" -> q74,
     "q75_kmeans_refine" -> q75,
+    "q76_ivf_trained" -> q76,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -1999,5 +2016,35 @@ object Queries {
         "c2 AS (SELECT c1.cid, COALESCE(n2.cv, c1.cv) AS cv, COALESCE(n2.n, 0) AS n FROM c1 LEFT JOIN n2 USING (cid)) " +
         "SELECT cid, CAST(n AS BIGINT) AS n, CAST(list_dot_product(cv, cv) AS BIGINT) AS mu_dot, " +
         "CAST(list_aggregate(cv, 'sum') AS BIGINT) AS mu_sum FROM c2 ORDER BY cid"),
+    "q76_ivf_trained" ->
+      // q75's two training rounds verbatim, then q46's search tail
+      // against the refined centroids
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
+        "c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), " +
+        "p AS (SELECT unnest(range(1, 65)) AS i), " +
+        "a1 AS (SELECT e.vec_id, e.q, c0.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn FROM e, c0), " +
+        "m1 AS (SELECT vec_id, q, cid FROM a1 WHERE rn = 1), " +
+        "s1 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu FROM m1, p GROUP BY cid, i), " +
+        "n1 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s1 GROUP BY cid), " +
+        "c1 AS (SELECT c0.cid, COALESCE(n1.cv, c0.cv) AS cv FROM c0 LEFT JOIN n1 USING (cid)), " +
+        "a2 AS (SELECT e.vec_id, e.q, c1.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c1.cv) + list_dot_product(c1.cv, c1.cv), c1.cid) AS rn FROM e, c1), " +
+        "m2 AS (SELECT vec_id, q, cid FROM a2 WHERE rn = 1), " +
+        "s2 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu FROM m2, p GROUP BY cid, i), " +
+        "n2 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s2 GROUP BY cid), " +
+        "c2 AS (SELECT c1.cid, COALESCE(n2.cv, c1.cv) AS cv FROM c1 LEFT JOIN n2 USING (cid)), " +
+        "dist AS (SELECT e.vec_id, c2.cid, " +
+        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c2.cv) + list_dot_product(c2.cv, c2.cv) AS d2 FROM e, c2), " +
+        "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist) t WHERE rn = 1), " +
+        "probes AS (SELECT cid FROM dist WHERE vec_id = 3 ORDER BY d2, cid LIMIT 8), " +
+        "cand AS (SELECT a.vec_id FROM asg a JOIN probes pr USING (cid) WHERE a.vec_id <> 3), " +
+        "tgt AS (SELECT MIN(v) AS t FROM e WHERE vec_id = 3), " +
+        "scored AS (SELECT e.vec_id, list_dot_product(e.v, (SELECT t FROM tgt)) / " +
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product((SELECT t FROM tgt), (SELECT t FROM tgt)))) AS raw " +
+        "FROM e JOIN cand USING (vec_id)) " +
+        "SELECT vec_id, ROUND(raw, 4) AS score FROM scored ORDER BY score DESC, vec_id LIMIT 10"),
   )
 }

@@ -284,6 +284,54 @@ object Similarity {
   }
 
   /**
+   * IVF search against a SUPPLIED (trained) centroid set — the search
+   * half of the train-then-search pipeline (`kmeansCentroids` is the
+   * training half; `ivfTopK` remains the zero-training stride variant).
+   * `centroids` must carry (__cid, __cv) with __cv on `quantize`'s
+   * integer grid — exactly `kmeansCentroids`' output — so cell
+   * assignment stays integer-exact and an oracle can replay it.
+   *
+   * Scale shape improves on `ivfTopK`'s assignment: the centroid set
+   * collapses to ONE broadcast row and the argmin is a per-row
+   * `aggregate` fold inside the scan, so the corpus never shuffles and
+   * no (id, d2) pair materializes per centroid; the probe ranking
+   * touches C rows, and the exact rescore reads only the probed cells.
+   */
+  def ivfTopKWith(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, targetId: Long, k: Int,
+                  nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+    def d2(cv: Column): Column = dot(col("__q"), col("__q")) -
+      lit(2.0) * dot(col("__q"), cv) + dot(cv, cv)
+    val centArr = centroids
+      .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
+    val far = struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cid"))
+    val best = aggregate(col("__cents"), far, (acc, c) => {
+      val cand = struct(d2(c.getField("__cv")).as("d2"),
+        c.getField("__cid").as("cid"))
+      when(cand < acc, cand).otherwise(acc)
+    })
+    val asg = q.crossJoin(broadcast(centArr))
+      .select(col("__id"), best.getField("cid").as("__cell"))
+    val probes = q.filter(col("__id") === targetId)
+      .crossJoin(broadcast(centroids))
+      .select(struct(d2(col("__cv")).as("d2"), col("__cid").as("cid")).as("__dc"))
+      .orderBy(col("__dc"))
+      .limit(nprobe)
+      .select(col("__dc.cid").as("__cell"))
+    val cand = asg.join(broadcast(probes), "__cell")
+      .filter(col("__id") =!= targetId)
+      .select(col("__id"))
+    emb.join(cand, col(idCol) === col("__id"), "left_semi")
+      .crossJoin(broadcast(targetRow(emb, idCol, vecCol, targetId)))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__t")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * K-means (Lloyd) refinement of the IVF coarse quantizer: start from
    * `ivfTopK`'s deterministic stride sample, run `iters` rounds of
    * assign-to-nearest + recompute-mean. Output one row per centroid:
