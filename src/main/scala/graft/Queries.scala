@@ -1390,6 +1390,25 @@ object Queries {
       targetId = 3L, k = 10, nprobe = 8)
   }
 
+  /** Q77 corpus-frequency quality scoring (north star: the
+    * corpus-statistics filter beside q69's within-doc rules): per doc,
+    * how common are its bigrams corpus-wide — then per language, count
+    * the boilerplate tail (mean corpus frequency > 30, compared
+    * exactly as freq_sum > 30·n_grams) and the docs carrying a hapax
+    * bigram (freq_min = 1). Integer counts throughout. */
+  val q77: Q = (s, dir) => {
+    TextMetrics.corpusFreqStats(
+        Tables.documents(s, dir), "doc_id", "text", n = 2, keep = Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("freq_sum") > lit(30L) * col("n_grams"), 1L)
+          .otherwise(0L)).as("n_boiler"),
+        sum(when(col("freq_min") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("freq_sum")).as("sum_freq"),
+        sum(col("n_grams")).as("sum_grams"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1469,6 +1488,7 @@ object Queries {
     "q74_corpus_ngrams" -> q74,
     "q75_kmeans_refine" -> q75,
     "q76_ivf_trained" -> q76,
+    "q77_corpus_freq" -> q77,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2046,5 +2066,20 @@ object Queries {
         "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product((SELECT t FROM tgt), (SELECT t FROM tgt)))) AS raw " +
         "FROM e JOIN cand USING (vec_id)) " +
         "SELECT vec_id, ROUND(raw, 4) AS score FROM scored ORDER BY score DESC, vec_id LIMIT 10"),
+    "q77_corpus_freq" ->
+      // same bigram construction as q74; per-doc stats then per-lang
+      // rollup, thresholds as exact integer cross-multiplications
+      ("WITH w AS (SELECT doc_id, lang, str_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "g AS (SELECT doc_id, lang, unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]) AS gram " +
+        "FROM w WHERE len(ws) >= 2), " +
+        "cf AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram), " +
+        "d AS (SELECT g.doc_id, g.lang, COUNT(*) AS n_grams, SUM(cf.c) AS freq_sum, MIN(cf.c) AS freq_min " +
+        "FROM g JOIN cf USING (gram) GROUP BY g.doc_id, g.lang) " +
+        "SELECT lang, COUNT(*) AS n, " +
+        "CAST(SUM(CASE WHEN freq_sum > 30 * n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler, " +
+        "CAST(SUM(CASE WHEN freq_min = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, " +
+        "CAST(SUM(freq_sum) AS BIGINT) AS sum_freq, " +
+        "CAST(SUM(n_grams) AS BIGINT) AS sum_grams " +
+        "FROM d GROUP BY lang ORDER BY lang"),
   )
 }

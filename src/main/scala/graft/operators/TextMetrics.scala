@@ -162,4 +162,36 @@ object TextMetrics {
       .select(out.map(col): _*)
       .distinct()
   }
+
+  /**
+   * Corpus-frequency document scoring: how common are this document's
+   * n-grams in the WHOLE corpus? Per doc: (n_grams, freq_sum = Σ corpus
+   * count of each gram occurrence, freq_min). High mean frequency
+   * (freq_sum ≫ n_grams) marks boilerplate/template text; freq_min = 1
+   * marks a hapax n-gram (text unique in the corpus) — the two tails a
+   * corpus-statistics quality filter trims. All outputs are integer
+   * counts, so thresholds compare exactly via cross-multiplication
+   * (freq_sum > T·n_grams), never a float mean.
+   *
+   * Scale shape: gram counts are a vocabulary-bounded aggregation, and
+   * the join back is gram-keyed on BOTH sides — the (doc, gram) shuffle
+   * is the one exchange and Spark reuses it for the counts branch
+   * (same subtree, same partitioning). The gram string is the join key,
+   * never dead payload; at extreme scale swap the key for a 128-bit
+   * hash exactly as `Dedup.exactSurvivors` does.
+   */
+  def corpusFreqStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, keep: Seq[String] = Nil): DataFrame = {
+    val out = (idCol +: keep).distinct
+    val grams = graft.core.Tables.fanOut(docs)
+      .select((out.map(col) :+
+        explode(allWordShingles(col(textCol), n)).as("__gram")): _*)
+    val counts = grams.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__cf"))
+    grams.join(counts, "__gram")
+      .groupBy(out.map(col): _*)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("__cf")).as("freq_sum"),
+        min(col("__cf")).as("freq_min"))
+  }
 }
