@@ -1409,6 +1409,19 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q78 batch IVF-pruned kNN join (q54's exact batch join at the
+    * 100 TB shape): the 5-probe batch searches only its nprobe nearest
+    * stride cells, then exact-rescored and ranked like q54. The oracle
+    * replays assignment, per-probe cell ranking and the rescore. */
+  val q78: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    Similarity.ivfKnnJoin(e, e.filter(col("vec_id") < 5), "vec_id", "e",
+        centroidStride = 37L, k = 3, nprobe = 8)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("probe_id", "rank")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1489,6 +1502,7 @@ object Queries {
     "q75_kmeans_refine" -> q75,
     "q76_ivf_trained" -> q76,
     "q77_corpus_freq" -> q77,
+    "q78_ivf_knn_join" -> q78,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2081,5 +2095,26 @@ object Queries {
         "CAST(SUM(freq_sum) AS BIGINT) AS sum_freq, " +
         "CAST(SUM(n_grams) AS BIGINT) AS sum_grams " +
         "FROM d GROUP BY lang ORDER BY lang"),
+    "q78_ivf_knn_join" ->
+      // q46's assignment CTEs, then q54's scoring tail restricted to
+      // each probe's nprobe cells
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
+        "cent AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), " +
+        "dist AS (SELECT e.vec_id, cent.cid, " +
+        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, cent.cv) + list_dot_product(cent.cv, cent.cv) AS d2 FROM e, cent), " +
+        "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist) t WHERE rn = 1), " +
+        "pc AS (SELECT vec_id AS probe_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist WHERE vec_id < 5) t WHERE rn <= 8), " +
+        "cand AS (SELECT pc.probe_id, a.vec_id FROM asg a JOIN pc USING (cid) WHERE a.vec_id <> pc.probe_id), " +
+        "p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5), " +
+        "scored AS (SELECT c.probe_id, c.vec_id AS neighbor_id, " +
+        "list_dot_product(e.v, p.pv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS raw " +
+        "FROM cand c JOIN e ON c.vec_id = e.vec_id JOIN p ON c.probe_id = p.probe_id), " +
+        "r AS (SELECT probe_id, neighbor_id, raw, ROW_NUMBER() OVER " +
+        "(PARTITION BY probe_id ORDER BY raw DESC, neighbor_id) AS rank FROM scored) " +
+        "SELECT probe_id, neighbor_id, ROUND(raw, 4) AS score, rank FROM r " +
+        "WHERE rank <= 3 ORDER BY probe_id, rank"),
   )
 }

@@ -332,6 +332,65 @@ object Similarity {
   }
 
   /**
+   * Batch IVF-pruned kNN join — `knnJoin`'s exhaustive scoring swapped
+   * for IVF cell probing: the batch-ANN shape that holds at 100 TB,
+   * where |probes|·N dot products stop being affordable. Approximate by
+   * construction (same contract as `ivfTopK`): candidates are the
+   * corpus rows assigned to any of a probe's `nprobe` nearest cells;
+   * the exact cosine rescore + deterministic (score desc, id asc)
+   * ranking runs over that candidate set only.
+   *
+   * Scale shape: corpus assignment is the in-scan argmin fold (one
+   * broadcast centroid row, corpus never shuffles for it); probe-cell
+   * ranking touches |probes|·C thin rows; the cell join and the
+   * candidate rescore shuffle (probe, id) pairs and candidate vectors
+   * keyed by id — output-bounded, never |probes|·N.
+   */
+  def ivfKnnJoin(emb: DataFrame, probes: DataFrame, idCol: String,
+                 vecCol: String, centroidStride: Long, k: Int,
+                 nprobe: Int): DataFrame = {
+    require(centroidStride >= 1, "centroidStride must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+    val cent = q.filter(pmod(col("__id"), lit(centroidStride)) === 0)
+      .select(col("__id").as("__cid"), col("__q").as("__cv"))
+    val centArr = cent
+      .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
+    def d2(cv: Column): Column = dot(col("__q"), col("__q")) -
+      lit(2.0) * dot(col("__q"), cv) + dot(cv, cv)
+    val far = struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cid"))
+    val best = aggregate(col("__cents"), far, (acc, c) => {
+      val cand = struct(d2(c.getField("__cv")).as("d2"),
+        c.getField("__cid").as("cid"))
+      when(cand < acc, cand).otherwise(acc)
+    })
+    val asg = q.crossJoin(broadcast(centArr))
+      .select(col("__id"), best.getField("cid").as("__cell"))
+    val pq = probes.select(col(idCol).as("probe_id"),
+      quantize(col(vecCol)).as("__q"))
+    val pcells = Relational.topKPerGroup(
+      pq.crossJoin(broadcast(centArr))
+        .select(col("probe_id"), col("__q"), explode(col("__cents")).as("__c"))
+        .select(col("probe_id"),
+          struct(d2(col("__c.__cv")).as("d2"), col("__c.__cid").as("cid")).as("__dc")),
+      Seq("probe_id"), Seq(col("__dc").asc), nprobe)
+      .select(col("probe_id"), col("__dc.cid").as("__cell"))
+    val cand = asg.join(pcells, "__cell")
+      .filter(col("__id") =!= col("probe_id"))
+      .select(col("probe_id"), col("__id"))
+    val scored = cand
+      .join(emb.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__id")
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(vecCol).as("__pv"))), "probe_id")
+      .select(col("probe_id"), col("__id").as("neighbor_id"),
+        cosine(col("__v"), col("__pv")).as("__raw"))
+    Relational.topKPerGroup(scored, Seq("probe_id"),
+        Seq(col("__raw").desc, col("neighbor_id").asc), k, rankCol = Some("rank"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("__raw"), 4).as("score"), col("rank"))
+  }
+
+  /**
    * K-means (Lloyd) refinement of the IVF coarse quantizer: start from
    * `ivfTopK`'s deterministic stride sample, run `iters` rounds of
    * assign-to-nearest + recompute-mean. Output one row per centroid:

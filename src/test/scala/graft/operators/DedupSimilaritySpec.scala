@@ -307,6 +307,20 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     pruned.length shouldBe brute.length
   }
 
+  test("ivfKnnJoin with nprobe covering every cell equals the exact knnJoin") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val probes = emb.filter(col("vec_id") < 4)
+    // probing ALL cells makes the candidate set the whole corpus, so
+    // the pruned join must reproduce the exhaustive one bit-for-bit
+    val pruned = Similarity.ivfKnnJoin(emb, probes, "vec_id", "e",
+        centroidStride = 11L, k = 3, nprobe = 1000)
+      .orderBy("probe_id", "rank").collect()
+    val exact = Similarity.knnJoin(emb, probes, "vec_id", "e", k = 3)
+      .orderBy("probe_id", "rank").collect()
+    pruned shouldBe exact
+  }
+
   test("kmeansCentroids: Lloyd rounds are deterministic, integer-grid, and improve the quantizer") {
     val emb = Tables.embeddings(spark, sf0001)
       .withColumn("e", col("embedding").cast("array<double>"))
