@@ -194,4 +194,32 @@ object TextMetrics {
         sum(col("__cf")).as("freq_sum"),
         min(col("__cf")).as("freq_min"))
   }
+
+  /** Stream-static form of [[corpusFreqStats]]: score arriving
+    * documents against a PRECOMPUTED frequency table (`(__gram, __cf)`
+    * — e.g. yesterday's corpus statistics). Fully stateless per row:
+    * the vocabulary collapses to one broadcast map row and the stats
+    * are a per-row HOF over the document's own grams — no explode, no
+    * shuffle, no streaming aggregation state, so it runs unchanged in
+    * append mode on an unbounded stream (the `repetitionStatsInRow`
+    * pattern). Grams absent from the table count 0 (out-of-corpus).
+    * The broadcast map bounds this to vocabularies that fit an
+    * executor; past that, use the batch join form. */
+  def corpusFreqStatsAgainst(docs: DataFrame, idCol: String, textCol: String,
+                             counts: DataFrame, n: Int,
+                             keep: Seq[String] = Nil): DataFrame = {
+    val out = (idCol +: keep).distinct
+    val cmap = counts
+      .agg(map_from_entries(collect_list(struct(col("__gram"), col("__cf"))))
+        .as("__cfm"))
+    val grams = allWordShingles(col(textCol), n)
+    val freqs = transform(grams,
+      g => coalesce(element_at(col("__cfm"), g), lit(0L)))
+    docs.crossJoin(broadcast(cmap))
+      .select((out.map(col) :+
+        size(grams).cast("long").as("n_grams") :+
+        aggregate(freqs, lit(0L), _ + _).as("freq_sum") :+
+        array_min(freqs).as("freq_min")): _*)
+      .filter(col("n_grams") > 0) // match corpusFreqStats: short docs drop
+  }
 }

@@ -147,4 +147,36 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     spark.table("t_decon").collect().map(_.getLong(0)).sorted shouldBe
       Array(2L, 3L)
   }
+
+  test("corpusFreqStatsAgainst on a stream equals the batch join form on the same corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "a b a b a"), (2L, "a b c d"), (3L, "x y"), (4L, "solo"))
+    val corpus = rows.toDF("doc_id", "text")
+    val batch = TextMetrics.corpusFreqStats(corpus, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    // the static frequency table is the batch corpus's own counts
+    val counts = corpus
+      .select(explode(TextMetrics.allWordShingles(col("text"), 2)).as("__gram"))
+      .groupBy("__gram").agg(count(lit(1)).as("__cf"))
+    // same docs arriving as a stream, scored statelessly per row
+    val input = MemoryStream[(Long, String)]
+    val scored = TextMetrics.corpusFreqStatsAgainst(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", counts, n = 2)
+    val q = scored.writeStream.format("memory").queryName("t_cfreq")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("t_cfreq").orderBy("doc_id").collect() shouldBe batch
+    // out-of-corpus grams count 0 and drive freq_min to 0
+    val novel = TextMetrics.corpusFreqStatsAgainst(
+      Seq((9L, "zz qq")).toDF("doc_id", "text"), "doc_id", "text", counts, n = 2)
+      .collect().head
+    (novel.getLong(1), novel.getLong(2), novel.getLong(3)) shouldBe ((1L, 0L, 0L))
+  }
 }
