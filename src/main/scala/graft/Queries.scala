@@ -1422,6 +1422,28 @@ object Queries {
       .orderBy("probe_id", "rank")
   }
 
+  /** Q79 bloom-pruned semi-join (explicit runtime filter): lineitems of
+    * high-value orders. The ~10%-selective order key set folds into a
+    * Bloom sketch that prunes the lineitem scan inside codegen before
+    * the exact semi-join sees it — at 100 TB the semi-join exchange
+    * carries survivors only, for a few hundred KB of broadcast sketch.
+    * The residual exact join makes the Bloom's false positives
+    * unobservable, so the oracle is the plain IN-subquery. */
+  val q79: Q = (s, dir) => {
+    val hi = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 450000.0)
+      .select("o_orderkey")
+    Relational.bloomSemiJoin(
+        Tables.lineitem(s, dir), "l_orderkey", hi, "o_orderkey",
+        expectedKeys = 1L << 16)
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double"), 4).as("revenue"))
+      .orderBy("rf")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1503,6 +1525,7 @@ object Queries {
     "q76_ivf_trained" -> q76,
     "q77_corpus_freq" -> q77,
     "q78_ivf_knn_join" -> q78,
+    "q79_bloom_semi_join" -> q79,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2116,5 +2139,13 @@ object Queries {
         "(PARTITION BY probe_id ORDER BY raw DESC, neighbor_id) AS rank FROM scored) " +
         "SELECT probe_id, neighbor_id, ROUND(raw, 4) AS score, rank FROM r " +
         "WHERE rank <= 3 ORDER BY probe_id, rank"),
+    "q79_bloom_semi_join" ->
+      // the Bloom prune is invisible to semantics: plain IN-subquery
+      ("SELECT l_returnflag AS rf, COUNT(*) AS n, " +
+        "ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) " +
+        "AS DOUBLE), 4) AS revenue " +
+        "FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 450000) " +
+        "GROUP BY 1 ORDER BY 1"),
   )
 }

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /**
  * Record-level and relational operators re-expressing the reference's
@@ -374,5 +376,52 @@ object Relational {
     pb.join(ib, Seq(bkt))
       .where(residual)
       .drop(bkt)
+  }
+
+  /**
+   * Bloom-pruned semi-join (an explicit runtime filter): keep `big` rows
+   * whose `bigKey` appears in `keys.keyCol`, pruning the big side with a
+   * compact Bloom filter BEFORE the join's exchange ever sees it.
+   *
+   * The key set is first folded distributedly (`stat.bloomFilter` runs a
+   * `treeAggregate`) into a Bloom sketch of `xxhash64(key)` values — a
+   * few hundred KB for a million keys at 3% fpp — which ships to every
+   * scan task as a constant and probes inside whole-stage codegen
+   * (catalyst's `BloomFilterMightContain`, the same expression Spark's
+   * own `InjectRuntimeFilter` plants). Rows failing the probe never
+   * reach the semi-join exchange, so at 100 TB with a selective key set
+   * the shuffle shrinks to the survivors; the exact semi-join on the
+   * real key column then removes the Bloom's false positives (and rows
+   * whose hashes collide), so the result is EXACTLY the plain semi-join,
+   * for any key type. Null big-side keys probe as xxhash64's seed but
+   * cannot survive the null-rejecting equi-join — also exact.
+   *
+   * Versus relying on Spark's automatic runtime filter: the optimizer
+   * only injects one under size/selectivity heuristics and inside a
+   * single query's join; this operator makes the prune deterministic and
+   * lets the built sketch prune ANY number of downstream scans (build
+   * once per dim, probe many facts).
+   *
+   * @param expectedKeys sizes the sketch — overshooting costs bytes,
+   *                     undershooting costs false-positive rate (never
+   *                     correctness)
+   */
+  def bloomSemiJoin(big: DataFrame, bigKey: String,
+                    keys: DataFrame, keyCol: String,
+                    expectedKeys: Long = 1L << 20,
+                    fpp: Double = 0.03): DataFrame = {
+    val kh = fresh("__bloom_hash", big.columns ++ keys.columns)
+    val kk = fresh("__bloom_key", big.columns ++ keys.columns)
+    val keyRows = keys.filter(col(keyCol).isNotNull)
+    val bf = keyRows.select(xxhash64(col(keyCol)).as(kh))
+      .stat.bloomFilter(kh, expectedKeys, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = GraftBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      GraftBridge.expression(xxhash64(col(bigKey)))))
+    big.filter(probe)
+      .join(keyRows.select(col(keyCol).as(kk)),
+        col(bigKey) === col(kk), "left_semi")
   }
 }

@@ -110,8 +110,7 @@ object Dlq {
       else cur match {
         case _: java.io.IOException => true
         case _: java.sql.SQLRecoverableException => true
-        case _: java.sql.SQLTransientException => true
-        case _: java.sql.SQLTimeoutException => true
+        case _: java.sql.SQLTransientException => true // includes SQLTimeoutException
         case _: java.util.concurrent.TimeoutException => true
         case _ => loop(cur.getCause, depth + 1)
       }

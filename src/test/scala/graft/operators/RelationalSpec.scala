@@ -195,6 +195,51 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("bloomSemiJoin equals the plain semi-join on random keys, any key type") {
+    val bigGen: Gen[List[(Long, String)]] =
+      Gen.listOfN(300, for {
+        key <- Gen.chooseNum(0L, 120L)
+        tag <- Gen.alphaStr.map(_.take(6))
+      } yield (key, tag))
+    for ((rows, i) <- samples(bigGen, n = 3).zipWithIndex) {
+      val big = rows.toDF("k", "tag")
+      // key side with duplicates, a null, and keys absent from big
+      val keys = ((0L to 120L by 3).map(java.lang.Long.valueOf) ++
+        Seq(java.lang.Long.valueOf(7L), null, java.lang.Long.valueOf(999L)))
+        .toDF("dk")
+      val plain = big.join(keys, $"k" === $"dk", "left_semi")
+      // tiny sketch forces a high false-positive rate: the residual
+      // exact join must hide every one of them
+      for (expected <- Seq(4L, 1L << 16)) {
+        val pruned = Relational.bloomSemiJoin(big, "k", keys, "dk",
+          expectedKeys = expected, fpp = 0.5)
+        assert(pruned.columns.toSeq == plain.columns.toSeq, s"batch $i cols")
+        val a = pruned.groupBy("k", "tag").count()
+        val b = plain.groupBy("k", "tag").count()
+        assert(a.except(b).isEmpty && b.except(a).isEmpty,
+          s"batch $i expected=$expected diverged from the plain semi-join")
+      }
+      // string keys go through the same hash-prune + exact-residual path
+      val bigS = rows.toDF("k", "tag").withColumn("k", concat(lit("id-"), $"k"))
+      val keysS = keys.na.drop.withColumn("dk", concat(lit("id-"), $"dk"))
+      val plainS = bigS.join(keysS, $"k" === $"dk", "left_semi")
+      val prunedS = Relational.bloomSemiJoin(bigS, "k", keysS, "dk",
+        expectedKeys = 64L, fpp = 0.1)
+      assert(prunedS.except(plainS).isEmpty && plainS.except(prunedS).isEmpty,
+        s"batch $i string keys diverged")
+    }
+    // the probe is a real pre-join prune: the plan carries the codegen'd
+    // might_contain filter below the semi-join (a parquet-backed scan —
+    // over a LocalRelation the optimizer folds the filter at plan time)
+    val dir = java.nio.file.Files.createTempDirectory("bloomsemi").toString
+    (0L to 50L).map(k => (k, "x")).toDF("k", "tag")
+      .write.mode("overwrite").parquet(dir)
+    val keys = Seq(1L, 2L).toDF("dk")
+    val plan = Relational.bloomSemiJoin(spark.read.parquet(dir), "k", keys, "dk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+  }
+
   test("temp-column names never collide with input columns") {
     // inputs already carrying __bucket/__rn must come through unharmed
     val points = Seq((1, 5.0, "keep")).toDF("pid", "p", "__bucket")
