@@ -1444,6 +1444,17 @@ object Queries {
       .orderBy("rf")
   }
 
+  /** Q80 deterministic training-order shuffle: the seeded global
+    * permutation a training run uses for epoch ordering. The permuted
+    * position is exposed as the sort key so the oracle can replay the
+    * exact order; one range-partitioned total sort at any scale. */
+  val q80: Q = (s, dir) => {
+    Sampling.seededShuffle(Tables.documents(s, dir), "doc_id", seed = 7L)
+      .select(col("doc_id"),
+        Sampling.shuffleKey(col("doc_id"), 7L).as("shuffle_key"))
+      .limit(2000)
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1526,6 +1537,7 @@ object Queries {
     "q77_corpus_freq" -> q77,
     "q78_ivf_knn_join" -> q78,
     "q79_bloom_semi_join" -> q79,
+    "q80_seeded_shuffle" -> q80,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2147,5 +2159,9 @@ object Queries {
         "FROM lineitem WHERE l_orderkey IN " +
         "(SELECT o_orderkey FROM orders WHERE o_totalprice > 450000) " +
         "GROUP BY 1 ORDER BY 1"),
+    "q80_seeded_shuffle" ->
+      // the portable permutation key replays exactly in any engine
+      ("SELECT doc_id, (((doc_id + 7) % 1000000007) * 2654435761) % 1000000007 " +
+        "AS shuffle_key FROM documents ORDER BY shuffle_key, doc_id LIMIT 2000"),
   )
 }

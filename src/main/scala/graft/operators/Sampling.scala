@@ -38,6 +38,34 @@ object Sampling {
     df.filter(selector(col(idCol)) * 1000 < lit(permille.toLong) * lit(Dedup.PortableHashP))
   }
 
+  /** Seeded permutation key in [0, 1e9+7): the seed translates the id
+    * before the multiplicative mix, so each seed yields a different,
+    * exactly reproducible ordering. Inner `pmod` keeps the product
+    * under 2^62 for any non-negative id/seed. */
+  def shuffleKey(id: Column, seed: Long): Column = {
+    require(seed >= 0, "seed must be non-negative")
+    pmod(pmod(id + lit(seed), lit(Dedup.PortableHashP)) * lit(2654435761L),
+      lit(Dedup.PortableHashP))
+  }
+
+  /**
+   * Deterministic training-order shuffle: a seeded global permutation of
+   * the corpus (the epoch shuffle every training run needs, minus the
+   * nondeterminism). The sort key is the portable seeded hash of the
+   * row id with the id itself as tie-break, so the order is TOTAL,
+   * identical on every run and engine for a given seed, and a new seed
+   * is a new permutation — reshuffling between epochs is just seed+1,
+   * no state carried.
+   *
+   * Scale shape: one range-partitioned total sort (Spark samples the
+   * key space to build balanced ranges) — the same cost as any global
+   * sort of the corpus, with output files landing in shuffled order
+   * ready for sequential training reads. No window, no single-partition
+   * stage, no rand().
+   */
+  def seededShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.orderBy(shuffleKey(col(idCol), seed), col(idCol))
+
   /**
    * Weighted mixture sampling — per-stratum rates (the actual data-
    * mixing recipe: "500‰ of English, 300‰ of German, 50‰ of everything

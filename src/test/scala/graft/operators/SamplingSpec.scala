@@ -86,4 +86,23 @@ class SamplingSpec extends SparkTestBase with Matchers {
     val sp = Sampling.hashSample(d, "doc_id", 300).queryExecution.sparkPlan
     sp.toString should not include "Exchange"
   }
+
+  test("seededShuffle is a reproducible permutation; a new seed reorders") {
+    val d = Tables.documents(spark, sf0001)
+    val ids = d.select("doc_id").collect().map(_.getLong(0)).sorted
+    val run1 = Sampling.seededShuffle(d, "doc_id", 7L)
+      .select("doc_id").collect().map(_.getLong(0))
+    // permutation: same multiset, nothing dropped or duplicated
+    run1.sorted shouldBe ids
+    // reproducible: a second evaluation yields the identical order
+    val run2 = Sampling.seededShuffle(d, "doc_id", 7L)
+      .select("doc_id").collect().map(_.getLong(0))
+    run2 shouldBe run1
+    // genuinely shuffled, and a new seed is a different permutation
+    run1 should not be ids
+    val other = Sampling.seededShuffle(d, "doc_id", 8L)
+      .select("doc_id").collect().map(_.getLong(0))
+    other.sorted shouldBe ids
+    other should not be run1
+  }
 }
