@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /**
  * Small-files compaction — the maintenance job every streaming file sink
@@ -46,9 +47,20 @@ object Compaction {
    * Compact `sourceDir` into a new snapshot under `root`, swap the
    * pointer, drop the previous snapshot. Returns the file count of the
    * new snapshot.
+   *
+   * `clusterBy` additionally imposes a clustered layout: output files
+   * are range-partitioned and internally sorted on the given columns,
+   * so each file covers a disjoint key range and parquet's row-group
+   * min/max statistics line up with predicates on those columns. At
+   * 100 TB this is the difference between a key-slice query opening
+   * every compacted file and opening ~one: the filter prunes on footer
+   * stats before any data page is read. Cost over plain compaction:
+   * the one exchange becomes a range exchange (sampled bounds) and each
+   * writer sorts its partition — no extra pass.
    */
   def compact(spark: SparkSession, sourceDir: String, root: String,
-              targetFileBytes: Long = 128L << 20): Int = {
+              targetFileBytes: Long = 128L << 20,
+              clusterBy: Seq[String] = Nil): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val df = spark.read.parquet(sourceDir)
     val totalBytes = df.inputFiles.map { uri =>
@@ -60,7 +72,11 @@ object Compaction {
     val epoch = prev.flatMap(p => "v(\\d+)$".r.findFirstMatchIn(p).map(_.group(1).toLong))
       .getOrElse(-1L) + 1
     val snap = s"v$epoch"
-    df.repartition(nFiles).write.mode("overwrite")
+    val shaped =
+      if (clusterBy.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    shaped.write.mode("overwrite")
       .parquet(Paths.get(root, snap).toString)
     // atomic pointer swap, then reclaim the stale snapshot
     Files.createDirectories(Paths.get(root))

@@ -57,4 +57,31 @@ class CompactionSpec extends SparkTestBase with Matchers {
     Compaction.read(spark, src, root).inputFiles.length shouldBe 2
     Compaction.read(spark, src, root).count() shouldBe 50000
   }
+
+  test("clusterBy compaction yields disjoint per-file key ranges") {
+    import org.apache.spark.sql.functions._
+    val ss = spark
+    import ss.implicits._
+    val src = Files.createTempDirectory("graft-compact-src3").toString
+    val root = Files.createTempDirectory("graft-compact-root3").toString
+    // shuffled key order across many small files: every file initially
+    // spans nearly the whole key domain
+    (1L to 20000L).map(i => ((i * 48271L) % 20011L, s"p-$i")).toDF("k", "payload")
+      .repartition(16).write.mode("overwrite").parquet(src)
+    val n = Compaction.compact(spark, src, root,
+      targetFileBytes = 1L << 14, clusterBy = Seq("k"))
+    n should be > 1
+    val got = Compaction.read(spark, src, root)
+    got.count() shouldBe 20000
+    // per-file [min, max] intervals must not interleave — the layout
+    // precondition for footer-stats pruning of key-slice predicates
+    val ranges = got
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    ranges.length shouldBe n
+    for (Array((_, hi1), (lo2, _)) <- ranges.sliding(2))
+      assert(hi1 <= lo2, s"file ranges interleave: $ranges")
+  }
 }
