@@ -99,6 +99,50 @@ object Dlq {
     }
   }
 
+  /** Reprocess quarantined epochs through a sink — the operational
+    * second half of error tolerance (the reference's DLQ topic is
+    * drained the same way: fix the poison, re-consume, delete).
+    *
+    * Each quarantined `epoch=N` directory is read, stripped of the DLQ
+    * metadata (`__error`, `__epoch` and the partition column), passed
+    * through the caller's `fix` (the schema patch / decode correction
+    * that makes the poison rows processable), and delivered to `sink`
+    * under a FRESH epoch id (`startEpoch`, `startEpoch+1`, … in
+    * original-epoch order). Fresh ids matter: keyed sinks skip
+    * already-committed epoch ids as replays (`ParquetKeyedTable.merge`),
+    * so re-delivering under the original id would be silently dropped —
+    * pass a `startEpoch` above the sink's last applied epoch. After an
+    * epoch's sink call returns, its quarantine directory is deleted
+    * (`drain=true`), so a crashed replay resumes exactly where it
+    * stopped: drained epochs are gone, undrained ones re-deliver under
+    * later ids — harmless for keyed upserts (same keys, same values).
+    *
+    * Driver-side work is one directory listing plus one job per epoch;
+    * row data moves executor-side only. Returns the number of
+    * quarantine epochs replayed.
+    */
+  def replay(spark: org.apache.spark.sql.SparkSession, quarantineDir: String,
+             startEpoch: Long, fix: DataFrame => DataFrame = identity,
+             epochs: Seq[Long] = Nil, drain: Boolean = true)(
+             sink: (DataFrame, Long) => Unit): Int = {
+    val root = new org.apache.hadoop.fs.Path(quarantineDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val present = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s =>
+        "^epoch=(\\d+)$".r.findFirstMatchIn(s.getPath.getName).map(_.group(1).toLong))
+      .sorted
+    val todo = if (epochs.isEmpty) present else present.filter(epochs.toSet)
+    todo.zipWithIndex.foreach { case (e, i) =>
+      val dir = s"$quarantineDir/epoch=$e"
+      val rows = spark.read.parquet(dir).drop("__error", "__epoch", "epoch")
+      sink(fix(rows), startEpoch + i)
+      if (drain) fs.delete(new org.apache.hadoop.fs.Path(dir), true): Unit
+    }
+    todo.size
+  }
+
   /** Default transience test: true if the exception — or any cause in
     * its chain — is an I/O failure or a recoverable/transient/timeout
     * SQL failure. Deterministic plan/schema/syntax/auth errors return

@@ -70,6 +70,45 @@ class UpsertSinkSpec extends SparkTestBase with Matchers {
     bad.head.getAs[Long]("__epoch") shouldBe 7L
   }
 
+  test("Dlq.replay drains quarantined epochs through a fix into the keyed sink") {
+    val ss = spark
+    import ss.implicits._
+    val dlqDir = tmp("graft-dlq-replay")
+    val t = new ParquetKeyedTable(tmp("graft-dlq-replay-sink"), Seq("id"))
+    val order = Seq(col("ver").desc)
+    val isDelete = lit(false)
+    def deliver(batch: org.apache.spark.sql.DataFrame, epoch: Long): Unit =
+      t.merge(batch, epoch, order, isDelete)
+
+    // two epochs with poison rows (null name); clean rows flow through
+    for ((rows, e) <- Seq(
+        Seq((1L, "a", 1L), (2L, null.asInstanceOf[String], 1L)) -> 0L,
+        Seq((3L, null.asInstanceOf[String], 2L), (4L, "d", 2L)) -> 1L)) {
+      val good = Dlq.route(rows.toDF("id", "name", "ver"),
+        col("name").isNull, lit("null name"), dlqDir, e)
+      deliver(good, e)
+    }
+    snapshot2(t) shouldBe Map(1L -> "a", 4L -> "d")
+
+    // fix the poison (patch the null) and replay under FRESH epochs —
+    // original ids would be skipped as replays by the keyed sink
+    val replayed = Dlq.replay(spark, dlqDir, startEpoch = 2L,
+      fix = _.withColumn("name", coalesce(col("name"), lit("fixed"))))(deliver)
+    replayed shouldBe 2
+    snapshot2(t) shouldBe Map(1L -> "a", 2L -> "fixed", 3L -> "fixed", 4L -> "d")
+    t.lastEpoch shouldBe Some(3L)
+
+    // drained: a second replay finds nothing and changes nothing
+    Dlq.replay(spark, dlqDir, startEpoch = 4L)(deliver) shouldBe 0
+    t.lastEpoch shouldBe Some(3L)
+    // missing quarantine root is a clean no-op too
+    Dlq.replay(spark, tmp("graft-dlq-none") + "/never", 0L)(deliver) shouldBe 0
+  }
+
+  private def snapshot2(t: ParquetKeyedTable): Map[Long, String] =
+    t.read(spark).get.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+
   test("Dlq.route on an all-clean batch: one pass, no quarantine data, fewer jobs than a guarded write") {
     val ss = spark
     import ss.implicits._
