@@ -116,11 +116,22 @@ object SchemaCompat {
       new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
     private val modes =
       new java.util.concurrent.ConcurrentHashMap[String, Mode]()
+    // the registry's GLOBAL id space: a schema registered under any
+    // number of subjects holds ONE immutable id (what the wire format's
+    // 4-byte header and `GET /schemas/ids/{id}` refer to)
+    private val ids =
+      new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    private val byId =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
 
     def setMode(subject: String, m: Mode): Unit = { modes.put(subject, m): Unit }
     def modeOf(subject: String): Mode = modes.getOrDefault(subject, defaultMode)
     def history(subject: String): Vector[String] =
       versions.getOrDefault(subject, Vector.empty)
+    def subjects: Seq[String] = versions.keySet.asScala.toSeq.sorted
+    def schemaById(id: Int): Option[String] = Option(byId.get(id))
+    def idOf(schemaJson: String): Option[Int] =
+      Option(ids.get(new Schema.Parser().parse(schemaJson).toString))
 
     /** Register under the gate; returns the 1-based version. */
     def register(subject: String, schemaJson: String): Int = synchronized {
@@ -132,6 +143,11 @@ object SchemaCompat {
       if (violations.nonEmpty)
         throw new IncompatibleSchemaException(subject, violations)
       versions.put(subject, hist :+ canonical)
+      ids.computeIfAbsent(canonical, { _ =>
+        val next = byId.size + 1
+        byId.put(next, canonical)
+        next
+      }): Unit
       hist.size + 1
     }
   }
