@@ -24,7 +24,10 @@ import graft.sources.{FileSource, KafkaRelaySource, PromTextSource, Source}
  * reference user's config may name any of them via the §2.10
  * `transforms.*.type` seam): `cast`, `insert_field`, `extract_field`,
  * `hoist_field`, `flatten`, `replace_field`, `regex_router`,
- * `timestamp_converter`, `timestamp_router`, `value_to_key`. Each is a
+ * `timestamp_converter`, `timestamp_router`, `value_to_key`, and the
+ * record model's header third (`insert_header`, `header_from`,
+ * `drop_headers` over an ordered duplicate-allowing
+ * `array<struct<key,value>>` column). Each is a
  * pure Column program (codegen'd, projection-collapsible, so filters
  * behind a rename/hoist/flatten still push to the scan). Omitted by
  * design: `SetSchemaMetadata` (a DataFrame has no Connect schema
@@ -48,6 +51,7 @@ object Pipeline {
     "drop_fields", "cast", "insert_field", "extract_field", "hoist_field",
     "flatten", "replace_field", "regex_router", "timestamp_converter",
     "timestamp_router", "value_to_key",
+    "insert_header", "header_from", "drop_headers",
     "envelope_encode", "envelope_decode", "debezium_unwrap")
   val streamSinkTypes: Seq[String] = Seq("file", "memory", "upsert", "jdbc_upsert")
 
@@ -130,6 +134,17 @@ object Pipeline {
       col(t.optionOr("field", "__op")).isin(ops.toIndexedSeq: _*)
     case other =>
       throw new IllegalArgumentException(s"'$other' has no keep-condition")
+  }
+
+  /** Append (key, value) string pairs to the headers column, creating
+    * it as an empty `array<struct<key,value>>` when absent. */
+  private def appendHeaders(df: DataFrame, hc: String,
+                            pairs: Seq[(Column, Column)]): DataFrame = {
+    val existing =
+      if (df.columns.contains(hc)) df(hc)
+      else array().cast("array<struct<key:string,value:string>>")
+    df.withColumn(hc, concat(existing,
+      array(pairs.map { case (k, v) => struct(k.as("key"), v.as("value")) }: _*)))
   }
 
   private def applyTransform0(df: DataFrame, t: StageSpec): DataFrame = t.stageType match {
@@ -336,6 +351,38 @@ object Pipeline {
       val fields = t.option("fields").split(",").map(_.trim)
       df.withColumn(t.optionOr("as", "__key"),
         struct(fields.toIndexedSeq.map(df(_)): _*))
+    case "insert_header" =>
+      // Connect `InsertHeader`: append one (header, value.literal) pair.
+      // Headers are the record model's third part — an ORDERED,
+      // duplicate-allowing list, modeled as `array<struct<key,value>>`
+      // (default column `__headers`, created on first use). Values are
+      // strings at this seam; typed header values render via cast.
+      appendHeaders(df, t.optionOr("headers.column", "__headers"),
+        Seq(lit(t.option("header")) -> lit(t.option("value.literal"))))
+    case "header_from" =>
+      // Connect `HeaderFrom$Value`: copy (or move) the listed record
+      // fields into same-positioned header names; `operation=move`
+      // drops the source fields afterwards.
+      val fields = t.option("fields").split(",").map(_.trim).toIndexedSeq
+      val names = t.option("headers").split(",").map(_.trim).toIndexedSeq
+      require(fields.size == names.size,
+        s"header_from: ${fields.size} fields vs ${names.size} headers")
+      val added = appendHeaders(df, t.optionOr("headers.column", "__headers"),
+        names.zip(fields).map { case (h, f) => (lit(h), df(f).cast("string")) })
+      t.optionOr("operation", "copy") match {
+        case "copy" => added
+        case "move" => added.drop(fields: _*)
+        case other => throw new IllegalArgumentException(
+          s"header_from: operation must be copy or move, got '$other'")
+      }
+    case "drop_headers" =>
+      // Connect `DropHeaders`: remove EVERY header whose key is listed
+      // (all duplicates of it), keeping the rest in order.
+      val hc = t.optionOr("headers.column", "__headers")
+      val names = t.option("headers").split(",").map(_.trim).toIndexedSeq
+      if (!df.columns.contains(hc)) df
+      else df.withColumn(hc,
+        filter(df(hc), h => !h.getField("key").isInCollection(names)))
     case "envelope_encode" =>
       // encode the whole row into one Connect-JSON value column
       df.select(ConnectJson.encodeEnvelope(df.schema, t.optionOr("name", "record"))

@@ -151,6 +151,52 @@ class SmtCatalogSpec extends SparkTestBase with Matchers {
       .collect() shouldBe Array((1L, "ann"), (2L, "bob"))
   }
 
+  test("insert_header appends ordered duplicate-allowing (key,value) pairs") {
+    val one = apply1(people, t("insert_header",
+      "header" -> "origin", "value.literal" -> "crm"))
+    one.schema("__headers").dataType shouldBe
+      ArrayType(StructType(Seq(StructField("key", StringType),
+        StructField("value", StringType))))
+    // a second insert with the SAME key appends — Connect headers are a
+    // list, not a map, so duplicates survive in insertion order
+    val two = apply1(one, t("insert_header",
+      "header" -> "origin", "value.literal" -> "crm2"))
+    two.select("__headers").as[Seq[(String, String)]].head() shouldBe
+      Seq("origin" -> "crm", "origin" -> "crm2")
+  }
+
+  test("header_from copies or moves record fields into headers positionally") {
+    val copied = apply1(people, t("header_from",
+      "fields" -> "name,score", "headers" -> "h.name,h.score"))
+    copied.columns should contain allOf ("name", "score") // copy keeps sources
+    copied.orderBy("id").select("__headers").as[Seq[(String, String)]]
+      .head() shouldBe Seq("h.name" -> "ann", "h.score" -> "12.5")
+    val moved = apply1(people, t("header_from",
+      "fields" -> "day", "headers" -> "h.day", "operation" -> "move"))
+    moved.columns should not contain "day"
+    moved.orderBy("id").select("__headers").as[Seq[(String, String)]]
+      .head() shouldBe Seq("h.day" -> "2024-03-05")
+    an[IllegalArgumentException] should be thrownBy
+      apply1(people, t("header_from", "fields" -> "a,b", "headers" -> "x"))
+    an[IllegalArgumentException] should be thrownBy
+      apply1(people, t("header_from",
+        "fields" -> "day", "headers" -> "h", "operation" -> "rename"))
+  }
+
+  test("drop_headers removes every duplicate of the listed keys, keeping order") {
+    val built = Seq("insert_header" -> ("trace" -> "t1"),
+      "insert_header" -> ("origin" -> "crm"),
+      "insert_header" -> ("trace" -> "t2"))
+      .foldLeft(people) { case (df, (ty, (k, v))) =>
+        apply1(df, t(ty, "header" -> k, "value.literal" -> v)) }
+    val dropped = apply1(built, t("drop_headers", "headers" -> "trace"))
+    dropped.select("__headers").as[Seq[(String, String)]].head() shouldBe
+      Seq("origin" -> "crm")
+    // dropping from a frame with no headers column is a no-op, not an error
+    apply1(people, t("drop_headers", "headers" -> "trace"))
+      .columns shouldBe people.columns
+  }
+
   test("'when' gates any value transform; unmatched rows pass through unchanged") {
     // mask only short names — the generic-framework twin of mask_when
     val masked = apply1(people, t("mask",
