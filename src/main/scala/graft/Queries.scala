@@ -1455,6 +1455,23 @@ object Queries {
       .limit(2000)
   }
 
+  /** Q81 sequence packing (north star: the concat-then-chunk layout a
+    * pretraining loader reads): the corpus as one seeded deterministic
+    * token stream, cut into 2048-char training sequences; every doc is
+    * stamped with the (sequence, offset) where it begins. Runs on
+    * `Sampling.packSequences`' two-phase exact prefix sum — the oracle
+    * is the naive global `SUM() OVER (ORDER BY ...)` the two-phase form
+    * must reproduce exactly. Packing-efficiency report per language. */
+  val q81: Q = (s, dir) =>
+    Sampling.packSequences(Tables.documents(s, dir), "doc_id", "n_chars",
+        seqLen = 2048L, seed = 7L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("seq_id")).as("n_seqs"),
+        sum(col("seq_off")).as("sum_off"),
+        max(col("seq_id")).as("max_seq"))
+      .orderBy("lang")
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1538,6 +1555,7 @@ object Queries {
     "q78_ivf_knn_join" -> q78,
     "q79_bloom_semi_join" -> q79,
     "q80_seeded_shuffle" -> q80,
+    "q81_seq_packing" -> q81,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2163,5 +2181,16 @@ object Queries {
       // the portable permutation key replays exactly in any engine
       ("SELECT doc_id, (((doc_id + 7) % 1000000007) * 2654435761) % 1000000007 " +
         "AS shuffle_key FROM documents ORDER BY shuffle_key, doc_id LIMIT 2000"),
+    "q81_seq_packing" ->
+      // naive global prefix sum in seeded-shuffle order; `start` is the
+      // exclusive prefix, so seq_id/seq_off are pure integer arithmetic
+      ("WITH sel AS (SELECT *, (((doc_id + 7) % 1000000007) * 2654435761) % 1000000007 AS s " +
+        "FROM documents), " +
+        "c AS (SELECT *, SUM(n_chars) OVER (ORDER BY s, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS start FROM sel) " +
+        "SELECT lang, COUNT(*) AS n, COUNT(DISTINCT start // 2048) AS n_seqs, " +
+        "CAST(SUM(start % 2048) AS BIGINT) AS sum_off, " +
+        "CAST(MAX(start // 2048) AS BIGINT) AS max_seq " +
+        "FROM c GROUP BY lang ORDER BY lang"),
   )
 }

@@ -107,8 +107,21 @@ object Sampling {
   def tokenBudget(df: DataFrame, idCol: String, weightCol: String,
                   budget: Long, buckets: Int = 256): DataFrame = {
     require(budget >= 0, "budget must be >= 0")
+    globalRunningSum(df, selector(col(idCol)), idCol, weightCol, buckets)
+      .filter(col("__cum") <= budget)
+  }
+
+  /** Exact global running sum of `weightCol` in (`sel`, id) order,
+    * two-phase: bucket the selector range (selectors are uniform, so
+    * buckets are balanced), aggregate one weight total per bucket,
+    * prefix-sum the ~`buckets` totals in a tiny single-partition window
+    * (bucket-count rows, not data rows), and broadcast-join each
+    * bucket's exclusive offset back so the per-bucket running sums —
+    * computed in parallel — compose into the exact global prefix.
+    * Adds `__cum` (inclusive global total at this row). */
+  private def globalRunningSum(df: DataFrame, sel: Column, idCol: String,
+                               weightCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    val sel = selector(col(idCol))
     val bkt = (sel * buckets) / lit(Dedup.PortableHashP) // order-preserving
     val withB = df.withColumn("__sel", sel).withColumn("__bkt", bkt)
     val perBucket = withB.groupBy("__bkt")
@@ -125,8 +138,34 @@ object Sampling {
     withB
       .join(broadcast(offsets), "__bkt")
       .withColumn("__cum", col("__off") + sum(col(weightCol)).over(wIn))
-      .filter(col("__cum") <= budget)
       .drop("__sel", "__bkt", "__off")
+  }
+
+  /**
+   * Sequence packing (concat-then-chunk): lay the corpus out as one
+   * deterministic token stream — documents in seeded-shuffle order —
+   * and cut it into fixed training sequences of `seqLen` tokens. Each
+   * document is stamped with where it BEGINS in that stream:
+   * `seq_id = start div seqLen`, `seq_off = start mod seqLen`, where
+   * `start` is the exclusive global prefix of `weightCol`. Documents
+   * straddle sequence boundaries (GPT-style packing: zero padding
+   * waste); a loader groups by `seq_id` and reads sequences
+   * sequentially. A new seed is a new epoch layout — repacking is
+   * seed+1, nothing else changes.
+   *
+   * Scale shape: identical to `tokenBudget` — the two-phase exact
+   * prefix sum (bucketed partials, bucket-count-sized offsets window,
+   * broadcast join back). No global-order window ever sees data rows.
+   */
+  def packSequences(df: DataFrame, idCol: String, weightCol: String,
+                    seqLen: Long, seed: Long = 0L, buckets: Int = 256): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    globalRunningSum(df, shuffleKey(col(idCol), seed), idCol, weightCol, buckets)
+      // `div`: exact integer division on longs (the `/` Column op is
+      // double division, off by an ulp near bucket boundaries)
+      .withColumn("seq_id", expr(s"(__cum - $weightCol) div ${seqLen}L"))
+      .withColumn("seq_off", pmod(col("__cum") - col(weightCol), lit(seqLen)))
+      .drop("__cum")
   }
 
   /**

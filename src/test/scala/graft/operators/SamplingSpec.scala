@@ -81,6 +81,35 @@ class SamplingSpec extends SparkTestBase with Matchers {
     Sampling.tokenBudget(d, "doc_id", "n_chars", Long.MaxValue / 4).count() shouldBe d.count()
   }
 
+  test("packSequences tiles the seeded token stream exactly, no gaps or overlap") {
+    val d = Tables.documents(spark, sf0001)
+    val seqLen = 512L
+    val packed = Sampling.packSequences(d, "doc_id", "n_chars", seqLen, seed = 7L)
+    packed.count() shouldBe d.count() // every doc placed exactly once
+    val rows = packed.select("doc_id", "n_chars", "seq_id", "seq_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // replay the stream in seeded order: each doc must start exactly
+    // where the previous one ended (start = seq_id * seqLen + seq_off)
+    val bySeededOrder = rows.sortBy { case (id, _, sid, off) => (sid, off, id) }
+    var expectStart = 0L
+    for ((_, w, sid, off) <- bySeededOrder) {
+      sid * seqLen + off shouldBe expectStart
+      expectStart += w
+    }
+    // the last doc starts at total - w_last: the layout is exactly dense
+    val total = rows.map(_._2).sum
+    rows.map(_._3).max shouldBe (total - bySeededOrder.last._2) / seqLen
+    // reproducible; a new seed is a different layout of the same multiset
+    val again = Sampling.packSequences(d, "doc_id", "n_chars", seqLen, seed = 7L)
+      .select("doc_id", "seq_id", "seq_off").collect()
+    again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted shouldBe
+      rows.map(t => (t._1, t._3, t._4)).sorted
+    val reseeded = Sampling.packSequences(d, "doc_id", "n_chars", seqLen, seed = 8L)
+      .select("doc_id", "seq_id", "seq_off").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    reseeded should not be rows.map(t => (t._1, t._3, t._4)).sorted
+  }
+
   test("hashSample pushes the selector filter below the scan (no shuffle)") {
     val d = Tables.documents(spark, sf0001)
     val sp = Sampling.hashSample(d, "doc_id", 300).queryExecution.sparkPlan
