@@ -1472,6 +1472,23 @@ object Queries {
         max(col("seq_id")).as("max_seq"))
       .orderBy("lang")
 
+  /** Q82 epoch-weighted mixture (north star: the multi-epoch data
+    * recipe): src0 at 2.5 epochs, src1 at 0.7, src2 at 1.2, src3 at
+    * exactly 1, everything else dropped — whole copies plus a
+    * deterministic fractional copy from the same portable selector
+    * family as q66/q67, so the recipe is exactly reproducible and
+    * nested. Narrow explode, no shuffle; per-source replication
+    * report. */
+  val q82: Q = (s, dir) =>
+    Sampling.mixtureUpsample(Tables.documents(s, dir), "source", "doc_id",
+        Map("src0" -> 2500, "src1" -> 700, "src2" -> 1200, "src3" -> 1000))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("copy")).as("sum_copy"),
+        max(col("copy")).as("max_copy"))
+      .orderBy("source")
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1556,6 +1573,7 @@ object Queries {
     "q79_bloom_semi_join" -> q79,
     "q80_seeded_shuffle" -> q80,
     "q81_seq_packing" -> q81,
+    "q82_epoch_mixture" -> q82,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2192,5 +2210,19 @@ object Queries {
         "CAST(SUM(start % 2048) AS BIGINT) AS sum_off, " +
         "CAST(MAX(start // 2048) AS BIGINT) AS max_seq " +
         "FROM c GROUP BY lang ORDER BY lang"),
+    "q82_epoch_mixture" ->
+      // whole epochs + the selector-chosen fractional copy, replayed in
+      // integer arithmetic; generate_series(0, -1) is empty = dropped
+      ("WITH r AS (SELECT source, doc_id, " +
+        "CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 700 " +
+        "WHEN 'src2' THEN 1200 WHEN 'src3' THEN 1000 ELSE 0 END AS rate, " +
+        "(doc_id * 2654435761) % 1000000007 AS s FROM documents), " +
+        "n AS (SELECT *, rate // 1000 + " +
+        "CASE WHEN s * 1000 < CAST(rate % 1000 AS BIGINT) * 1000000007 THEN 1 ELSE 0 END AS nc FROM r), " +
+        "u AS (SELECT source, doc_id, " +
+        "unnest(generate_series(0, CAST(nc AS BIGINT) - 1)) AS copy FROM n) " +
+        "SELECT source, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs, " +
+        "CAST(SUM(copy) AS BIGINT) AS sum_copy, CAST(MAX(copy) AS BIGINT) AS max_copy " +
+        "FROM u GROUP BY source ORDER BY source"),
   )
 }

@@ -142,6 +142,44 @@ object Sampling {
   }
 
   /**
+   * Epoch-weighted mixture up/down-sampling — `mixtureSample` with the
+   * permille cap removed (the real data-mixing recipe runs sources at
+   * MORE than one epoch: "2500‰ of books, 700‰ of web, drop the rest").
+   * A rate of 2500‰ yields 2 full copies of every document plus a third
+   * copy of the deterministic 50% selected by the same portable
+   * selector `hashSample` uses — so rates ≤ 1000 degenerate to exactly
+   * `mixtureSample`'s subset, and the fractional copy of a stratum is
+   * the SAME nested subset family (raising a rate never reshuffles
+   * copies already chosen). Each output row carries `copyCol`
+   * (0-based copy index): downstream `seededShuffle` on a
+   * (id, copy)-derived key scatters the replicas across the epoch.
+   *
+   * Scale shape: a pure narrow `explode(sequence(...))` — no shuffle,
+   * no state; output size is exactly the mixture's epoch budget.
+   */
+  def mixtureUpsample(df: DataFrame, strataCol: String, idCol: String,
+                      permilleByStratum: Map[String, Int],
+                      defaultPermille: Int = 0,
+                      copyCol: String = "copy"): DataFrame = {
+    require((defaultPermille +: permilleByStratum.values.toSeq).forall(_ >= 0),
+      "permille values must be >= 0")
+    val rate = permilleByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille.toLong)) { case (acc, (k, v)) =>
+        when(col(strataCol) === k, lit(v.toLong)).otherwise(acc)
+      }
+    val frac = rate % lit(1000L)
+    // (rate - frac) is an exact multiple of 1000, so the double division
+    // is exact — whole epochs without Column `/`'s ulp hazard
+    val full = ((rate - frac) / lit(1000L)).cast("long")
+    val extra = when(selector(col(idCol)) * 1000 < frac * lit(Dedup.PortableHashP), 1L)
+      .otherwise(0L)
+    val copies = (full + extra).as("__n")
+    df.withColumn(copyCol, explode(
+      when(copies >= 1L, sequence(lit(0L), copies - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
+  /**
    * Sequence packing (concat-then-chunk): lay the corpus out as one
    * deterministic token stream — documents in seeded-shuffle order —
    * and cut it into fixed training sequences of `seqLen` tokens. Each

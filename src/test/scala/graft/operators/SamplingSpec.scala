@@ -81,6 +81,33 @@ class SamplingSpec extends SparkTestBase with Matchers {
     Sampling.tokenBudget(d, "doc_id", "n_chars", Long.MaxValue / 4).count() shouldBe d.count()
   }
 
+  test("mixtureUpsample: whole epochs + the nested fractional copy; ≤1000‰ = mixtureSample") {
+    val d = Tables.documents(spark, sf0001)
+    val srcCount = d.filter(col("source") === "src0").count()
+    val up = Sampling.mixtureUpsample(d, "source", "doc_id",
+      Map("src0" -> 2500, "src1" -> 700), defaultPermille = 0)
+    // src0: every doc twice, plus the deterministic ~50% third copy
+    val bySrc = up.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.keySet shouldBe Set("src0", "src1")
+    bySrc("src0") should be >= 2 * srcCount
+    bySrc("src0") should be < 3 * srcCount
+    // the fractional third copy of src0 is EXACTLY the 500‰ hashSample subset
+    val third = up.filter(col("source") === "src0" && col("copy") === 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = Sampling.hashSample(d.filter(col("source") === "src0"), "doc_id", 500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    third shouldBe want
+    // a rate ≤ 1000 degenerates to mixtureSample's subset, copy always 0
+    val sub = Sampling.mixtureUpsample(d, "source", "doc_id", Map("src1" -> 700))
+    sub.select("copy").distinct().collect().map(_.getLong(0)) shouldBe Array(0L)
+    sub.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Sampling.mixtureSample(d, "source", "doc_id", Map("src1" -> 700))
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+    // narrow: the explode adds no shuffle
+    up.queryExecution.sparkPlan.toString should not include "Exchange"
+  }
+
   test("packSequences tiles the seeded token stream exactly, no gaps or overlap") {
     val d = Tables.documents(spark, sf0001)
     val seqLen = 512L
