@@ -32,6 +32,22 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  *   DELETE /connectors/{n}/offsets     → 200 (reset; paused only) |
  *          400 (running — Connect's precondition) | 404
  *   DELETE /connectors/{n}             → 204 | 404
+ *   GET    /                           → 200 `{"version","commit",
+ *          "kafka_cluster_id":null}` (Connect's root; no broker here,
+ *          so the cluster id is null by construction)
+ *   GET    /connectors/{n}/tasks       → 200 (single-task model: one
+ *          `{"id":{"connector",task:0},"config"}` entry) | 404
+ *   GET    /connectors/{n}/tasks/0/status → 200 `{"id":0,"state",
+ *          "worker_id"}` mirroring the connector state | 404
+ *   POST   /connectors/{n}/tasks/0/restart → 204 (restarts the one
+ *          task = the pipeline's StreamingQuery) | 404
+ *   GET    /connectors/{n}/topics      → 200 (KIP-558 shape
+ *          `{"<n>":{"topics":[...]}}`: the endpoints the spec reads and
+ *          writes — path/table/url/topic options, this engine's topic
+ *          equivalents) | 404
+ *   PUT    /connectors/{n}/topics/reset → 200 | 404 (documented
+ *          divergence: the set is derived from the live spec, not
+ *          accumulated history, so reset re-derives rather than clears)
  *   GET    /connector-plugins          → 200 (stage vocabulary:
  *          `{"class","type":"source|transform|sink"}` entries)
  *   PUT    /connector-plugins/pipeline/config/validate (spec) →
@@ -53,6 +69,7 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0)
   server.setExecutor(null) // serialize control-plane requests
   server.createContext("/connectors", (ex: HttpExchange) => handle(ex))
   server.createContext("/connector-plugins", (ex: HttpExchange) => handlePlugins(ex))
+  server.createContext("/", (ex: HttpExchange) => handleRoot(ex))
 
   /** Bound port (useful with port=0 ephemeral binding). */
   def boundPort: Int = server.getAddress.getPort
@@ -119,6 +136,30 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0)
 
   private def lifecycle(ex: HttpExchange, ok: Boolean, code: Int): Unit =
     if (ok) respond(ex, code) else respond(ex, 404)
+
+  /** Connect's root resource. No broker exists in this deployment, so
+    * `kafka_cluster_id` is null by construction (a Connect client that
+    * reads it sees the same shape). */
+  private def handleRoot(ex: HttpExchange): Unit =
+    if (ex.getRequestURI.getPath == "/" && ex.getRequestMethod == "GET")
+      respond(ex, 200, s"""{"version":${jstr(org.apache.spark.SPARK_VERSION)},""" +
+        s""""commit":"graft","kafka_cluster_id":null}""")
+    else respond(ex, 404) // longest-prefix fallthrough: unknown path
+
+  /** KIP-558 twin: the "topics" a pipeline touches are its endpoint
+    * options — path/table/url/topic on the source and sink stages (the
+    * engine's topic equivalents). Derived from the live spec, not
+    * accumulated at runtime — hence topics/reset re-derives. */
+  private def topicsOf(spec: PipelineSpec): Seq[String] =
+    Seq(spec.source, spec.sink).flatMap(st =>
+      Seq("topic", "path", "table", "url").flatMap(st.options.get)).distinct
+
+  private def withSpec(ex: HttpExchange, name: String)(
+      f: PipelineSpec => Unit): Unit =
+    registry.spec(name) match {
+      case Some(spec) => f(spec)
+      case None => respond(ex, 404)
+    }
 
   /** Connect's plugin-discovery + config-validation routes:
     *   GET /connector-plugins → the declared stage vocabulary
@@ -227,6 +268,40 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0)
           s"""{"error":${jstr(String.valueOf(e.getMessage))}}""") }
       case ("DELETE", name :: Nil) =>
         lifecycle(ex, registry.delete(name), 204)
+      case ("GET", name :: "tasks" :: Nil) =>
+        // single-task model: Spark runs the whole pipeline as one
+        // StreamingQuery, so the task list is exactly one entry whose
+        // config is the connector config (Connect's per-task split is
+        // its own scheduler's concern — ST10 n/a-by-design)
+        withSpec(ex, name) { spec =>
+          respond(ex, 200,
+            s"""[{"id":{"connector":${jstr(name)},"task":0},""" +
+              s""""config":${spec.toJson}}]""")
+        }
+      case ("GET", name :: "tasks" :: "0" :: "status" :: Nil) =>
+        registry.status(name) match {
+          case registry.Unknown => respond(ex, 404)
+          case registry.Failed(cause) => respond(ex, 200,
+            s"""{"id":0,"state":"FAILED","worker_id":"graft-local","trace":${jstr(cause)}}""")
+          case s => respond(ex, 200,
+            s"""{"id":0,"state":"${s.toString.toUpperCase}","worker_id":"graft-local"}""")
+        }
+      case ("POST", name :: "tasks" :: "0" :: "restart" :: Nil) =>
+        // the one task IS the pipeline's StreamingQuery: task restart
+        // and connector restart coincide
+        try lifecycle(ex, registry.restart(name), 204)
+        catch { case e: Exception => respond(ex, 500,
+          s"""{"error":${jstr(String.valueOf(e.getMessage))}}""") }
+      case (_, _ :: "tasks" :: id :: _) if id != "0" =>
+        respond(ex, 404) // only task 0 exists
+      case ("GET", name :: "topics" :: Nil) =>
+        withSpec(ex, name) { spec =>
+          respond(ex, 200, s"""{${jstr(name)}:{"topics":${
+            topicsOf(spec).map(jstr).mkString("[", ",", "]")}}}""")
+        }
+      case ("PUT", name :: "topics" :: "reset" :: Nil) =>
+        // derived set: reset re-derives (documented divergence)
+        withSpec(ex, name)(_ => respond(ex, 200))
       case _ => respond(ex, 405)
     } catch {
       case e: Exception => // never leave a connection dangling

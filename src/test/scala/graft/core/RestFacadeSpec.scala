@@ -162,6 +162,60 @@ class RestFacadeSpec extends SparkTestBase with Matchers {
     } finally facade.close()
   }
 
+  test("root, tasks and KIP-558 topics: the remaining Connect read surface") {
+    val ss = spark
+    import ss.implicits._
+    val inDir = tmp("graft-task-in")
+    val out = tmp("graft-task-out")
+    Seq((1L, "s1")).toDF("id", "secret").write.mode("overwrite").parquet(inDir)
+
+    val reg = new PipelineRegistry(spark)
+    val facade = new RestFacade(reg)
+    facade.start()
+    val root = s"http://127.0.0.1:${facade.boundPort}"
+    val base = s"$root/connectors"
+    try {
+      // Connect root: version info, null cluster id (no broker here)
+      val info = req("GET", root + "/")
+      info.statusCode() shouldBe 200
+      info.body() should include(""""kafka_cluster_id":null""")
+      info.body() should include(""""version":""")
+      // the "/" context is the longest-prefix fallthrough: unknown → 404
+      req("GET", s"$root/no-such-route").statusCode() shouldBe 404
+
+      req("POST", base,
+        specJson("t1", inDir, tmp("graft-task-ck"), out)).statusCode() shouldBe 201
+
+      // single-task model: exactly one task whose config is the
+      // connector config
+      val tasks = req("GET", s"$base/t1/tasks")
+      tasks.statusCode() shouldBe 200
+      tasks.body() should startWith("""[{"id":{"connector":"t1","task":0},"config":""")
+      tasks.body() should include(""""name":"t1"""")
+
+      val st = req("GET", s"$base/t1/tasks/0/status")
+      st.statusCode() shouldBe 200
+      st.body() should include(""""id":0""")
+      st.body() should include(""""state":"RUNNING"""")
+      st.body() should include(""""worker_id"""")
+      req("GET", s"$base/t1/tasks/7/status").statusCode() shouldBe 404
+
+      // task restart = pipeline restart (the one task IS the query)
+      req("POST", s"$base/t1/tasks/0/restart").statusCode() shouldBe 204
+      req("GET", s"$base/t1/status").body() should include("RUNNING")
+
+      // KIP-558 topics: the endpoints the spec reads and writes
+      val topics = req("GET", s"$base/t1/topics")
+      topics.statusCode() shouldBe 200
+      topics.body() shouldBe s"""{"t1":{"topics":["$inDir","$out"]}}"""
+      req("PUT", s"$base/t1/topics/reset").statusCode() shouldBe 200
+      req("GET", s"$base/nope/tasks").statusCode() shouldBe 404
+      req("GET", s"$base/nope/topics").statusCode() shouldBe 404
+    } finally {
+      try reg.delete("t1") finally facade.close()
+    }
+  }
+
   test("connector-plugins: GET lists the stage vocabulary, PUT validate dry-runs a config") {
     val ss = spark
     import ss.implicits._
