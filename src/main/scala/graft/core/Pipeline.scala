@@ -384,14 +384,24 @@ object Pipeline {
       else df.withColumn(hc,
         filter(df(hc), h => !h.getField("key").isInCollection(names)))
     case "envelope_encode" =>
-      // encode the whole row into one Connect-JSON value column
-      df.select(ConnectJson.encodeEnvelope(df.schema, t.optionOr("name", "record"))
-        .as(t.optionOr("as", "value")))
+      // encode the row into one Connect-JSON value column; headers are
+      // the record's SIBLING third (they ride beside the serialized
+      // value on a Kafka record, each encoded by the header.converter,
+      // never inside the value envelope) — so the headers column is
+      // excluded from the payload and kept as its own output column
+      val hc = t.optionOr("headers.column", "__headers")
+      val valueSchema = StructType(df.schema.fields.filterNot(_.name == hc))
+      val enc = ConnectJson.encodeEnvelope(valueSchema, t.optionOr("name", "record"))
+        .as(t.optionOr("as", "value"))
+      if (df.columns.contains(hc)) df.select(enc, df(hc)) else df.select(enc)
     case "envelope_decode" =>
       val schema = StructType.fromDDL(t.option("schema"))
       val src = t.optionOr("column", "value")
+      val hc = t.optionOr("headers.column", "__headers")
+      val kept = // headers travel beside the value: restore them too
+        if (df.columns.contains(hc)) Seq(df(hc)) else Nil
       df.withColumn("__payload", ConnectJson.decodeEnvelope(col(src), schema))
-        .select(schema.fields.map(f => col(s"__payload.${f.name}").as(f.name)): _*)
+        .select(schema.fields.map(f => col(s"__payload.${f.name}").as(f.name)) ++ kept: _*)
     case "debezium_unwrap" =>
       Debezium.unwrap(df, t.optionOr("column", "value"),
         StructType.fromDDL(t.option("schema")),

@@ -197,6 +197,27 @@ class SmtCatalogSpec extends SparkTestBase with Matchers {
       .columns shouldBe people.columns
   }
 
+  test("headers ride BESIDE the envelope: encode excludes them, decode restores them") {
+    val withH = apply1(people, t("insert_header",
+      "header" -> "origin", "value.literal" -> "crm"))
+    val encoded = apply1(withH, t("envelope_encode"))
+    encoded.columns shouldBe Array("value", "__headers")
+    // the value envelope must not smuggle the headers in its payload
+    val v = encoded.select("value").as[String].head()
+    v should not include "origin"
+    v should not include "__headers"
+    v should include(""""payload"""")
+    val back = apply1(encoded, t("envelope_decode",
+      "schema" -> "id BIGINT, name STRING, score DOUBLE, day STRING"))
+    back.columns shouldBe Array("id", "name", "score", "day", "__headers")
+    back.orderBy("id").select("id", "name").as[(Long, String)].collect() shouldBe
+      Array((1L, "ann"), (2L, "bob"))
+    back.select("__headers").as[Seq[(String, String)]].head() shouldBe
+      Seq("origin" -> "crm")
+    // headerless frames encode exactly as before
+    apply1(people, t("envelope_encode")).columns shouldBe Array("value")
+  }
+
   test("'when' gates any value transform; unmatched rows pass through unchanged") {
     // mask only short names — the generic-framework twin of mask_when
     val masked = apply1(people, t("mask",
