@@ -1489,6 +1489,22 @@ object Queries {
         max(col("copy")).as("max_copy"))
       .orderBy("source")
 
+  /** Q83 chunk-level (sub-document) dedup — the C4/RefinedWeb
+    * boilerplate-removal step exact doc dedup misses: the corpus cut
+    * into non-overlapping 8-word blocks, each block surviving only in
+    * its minimum-id document, docs rebuilt from surviving blocks. The
+    * shuffled stream is (id, idx, 128-bit hash); the oracle replays
+    * the policy on the block text itself (a divergence would need an
+    * xxhash64 double collision). Per-lang boilerplate report. */
+  val q83: Q = (s, dir) =>
+    Dedup.chunkDedup(Tables.documents(s, dir), "doc_id", "text", chunkWords = 8)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chunks_removed") > 0L, 1L).otherwise(0L)).as("n_docs_touched"),
+        sum(col("n_chunks_removed")).as("n_chunks_removed"),
+        sum(length(col("clean_text"))).as("sum_clean_chars"))
+      .orderBy("lang")
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1574,6 +1590,7 @@ object Queries {
     "q80_seeded_shuffle" -> q80,
     "q81_seq_packing" -> q81,
     "q82_epoch_mixture" -> q82,
+    "q83_chunk_dedup" -> q83,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2224,5 +2241,25 @@ object Queries {
         "SELECT source, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs, " +
         "CAST(SUM(copy) AS BIGINT) AS sum_copy, CAST(MAX(copy) AS BIGINT) AS max_copy " +
         "FROM u GROUP BY source ORDER BY source"),
+    "q83_chunk_dedup" ->
+      // replay the first-occurrence policy on the block text itself;
+      // string_agg skips the removed (NULL) blocks, keeping order
+      ("WITH w AS (SELECT doc_id, lang, str_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "c AS (SELECT doc_id, lang, " +
+        "unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS idx, ws FROM w), " +
+        "b AS (SELECT doc_id, lang, idx, " +
+        "array_to_string(ws[CAST(idx * 8 + 1 AS BIGINT) : CAST(idx * 8 + 8 AS BIGINT)], ' ') AS chunk FROM c), " +
+        "m AS (SELECT chunk, MIN(doc_id) AS keeper FROM b GROUP BY chunk), " +
+        "v AS (SELECT b.doc_id, b.lang, b.idx, b.chunk, b.doc_id = m.keeper AS keep " +
+        "FROM b JOIN m USING (chunk)), " +
+        "d AS (SELECT doc_id, lang, " +
+        "SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS removed, " +
+        "COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY idx), '') AS clean " +
+        "FROM v GROUP BY doc_id, lang) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched, " +
+        "CAST(SUM(removed) AS BIGINT) AS n_chunks_removed, " +
+        "CAST(SUM(length(clean)) AS BIGINT) AS sum_clean_chars " +
+        "FROM d GROUP BY lang ORDER BY lang"),
   )
 }

@@ -44,6 +44,61 @@ object Dedup {
       .select(idCol)
 
   /**
+   * Sub-document (chunk-level) dedup — the C4/RefinedWeb step that
+   * exact doc dedup misses: boilerplate repeated ACROSS different
+   * documents. The corpus is cut into non-overlapping
+   * `chunkWords`-word blocks; a block's text survives only in the
+   * minimum-id document containing it (first-occurrence policy,
+   * deterministic), every other occurrence is deleted, and each
+   * document is rebuilt from its surviving blocks in original order.
+   *
+   * Returns the input columns plus `clean_text` (the rebuilt text),
+   * `n_chunks` and `n_chunks_removed`.
+   *
+   * Scale shape: the chunk stream that shuffles is (id, idx,
+   * 128-bit hash) — 28 B/row, never chunk text (the naive
+   * groupBy-on-chunk shape shuffles the whole corpus). The keeper
+   * resolution is one hash-key aggregation + one thin equi-join; the
+   * verdicts collapse back to one row per doc (a surviving-index
+   * array) before the single id-join that rebuilds text — the same
+   * final-join shape as `exactSurvivors`/q25. Rebuild re-derives
+   * block text from the doc's own words, so chunk strings never
+   * materialize outside the scan projection.
+   */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, "chunkWords must be >= 1")
+    val cw = chunkWords
+    val words = split(normText(col(textCol)), " ")
+    // ceil(|words| / cw) blocks; the tail block may be short
+    val nChunks = ceil(size(words).cast("double") / cw).cast("long")
+    val chunkAt = (w: Column, i: Column) =>
+      array_join(slice(w, (i * cw + 1).cast("int"), lit(cw)), " ")
+    val hashes = docs.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0L), nChunks - 1), i => {
+        val c = chunkAt(words, i)
+        struct(xxhash64(c).as("h1"), xxhash64(lit(0x9e3779b9L), c).as("h2"))
+      })).as(Seq("__idx", "__h")))
+    val keepers = hashes
+      .groupBy(col("__h.h1"), col("__h.h2"))
+      .agg(min(col(idCol)).as("__keeper"))
+    val verdicts = hashes
+      .join(keepers, hashes("__h.h1") === keepers("h1") &&
+        hashes("__h.h2") === keepers("h2"))
+      .select(col(idCol), col("__idx"),
+        (col(idCol) === col("__keeper")).as("__keep"))
+    val perDoc = verdicts.groupBy(idCol).agg(
+      sort_array(collect_list(when(col("__keep"), col("__idx")))).as("__kept"),
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("__keep"), 0L).otherwise(1L)).as("n_chunks_removed"))
+    docs.join(perDoc, idCol)
+      .withColumn("clean_text",
+        array_join(transform(col("__kept"), i => chunkAt(words, i)), " "))
+      .drop("__kept")
+  }
+
+  /**
    * Distinct n-word shingles of a text column: tokenize on single spaces
    * (after lower/trim, mirroring the exact-dedup normalization), then
    * slide an n-token window. Texts with fewer than n tokens yield an

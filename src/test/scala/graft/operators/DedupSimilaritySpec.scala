@@ -21,6 +21,32 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     byHash should contain theSameElementsInOrderAs byText
   }
 
+  test("chunkDedup: shared blocks survive only in the min-id doc; rebuild keeps order") {
+    val ss = spark
+    import ss.implicits._
+    val boiler = "a b c d" // one 4-word block, shared verbatim
+    val docs = Seq(
+      (1L, s"$boiler one two three four"), // keeper of the boilerplate
+      (2L, s"$boiler five six seven eight"), // loses block 0
+      (3L, "nine ten eleven twelve five six seven eight"), // loses block 1 to doc 2
+      (4L, "unique only words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 4)
+      .select("doc_id", "clean_text", "n_chunks", "n_chunks_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    out(1L) shouldBe (s"$boiler one two three four", 2L, 0L)
+    out(2L) shouldBe ("five six seven eight", 2L, 1L)
+    out(3L) shouldBe ("nine ten eleven twelve", 2L, 1L)
+    out(4L) shouldBe ("unique only words here", 1L, 0L)
+    // the short tail block participates too: a 6-word doc is 2 blocks
+    val tail = Dedup.chunkDedup(
+      Seq((1L, "a b c d e f"), (2L, "x y z w e f")).toDF("doc_id", "text"),
+      "doc_id", "text", chunkWords = 4)
+    tail.filter(col("doc_id") === 2L).select("n_chunks_removed")
+      .head().getLong(0) shouldBe 1L // its "e f" tail lost to doc 1's
+  }
+
   test("wordShingles: sliding distinct 3-grams; short texts empty") {
     val ss = spark
     import ss.implicits._
