@@ -1505,6 +1505,21 @@ object Queries {
         sum(length(col("clean_text"))).as("sum_clean_chars"))
       .orderBy("lang")
 
+  /** Q84 hashed linear quality classifier (north star: the
+    * fastText/DSIR-style quality gate): every token feature-hashes
+    * (portable poly-31, the q40 recurrence) into one of 64 buckets
+    * whose integer weights are pure arithmetic — the oracle replays
+    * the exact model. Per-lang score report + keep-rate at score>0. */
+  val q84: Q = (s, dir) =>
+    TextMetrics.hashedLinearScore(Tables.documents(s, dir), "doc_id", "text",
+        dims = 64, keep = Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0L, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("score")).as("sum_score"),
+        sum(col("n_toks")).as("sum_toks"))
+      .orderBy("lang")
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1591,6 +1606,7 @@ object Queries {
     "q81_seq_packing" -> q81,
     "q82_epoch_mixture" -> q82,
     "q83_chunk_dedup" -> q83,
+    "q84_quality_classifier" -> q84,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2260,6 +2276,21 @@ object Queries {
         "CAST(SUM(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched, " +
         "CAST(SUM(removed) AS BIGINT) AS n_chunks_removed, " +
         "CAST(SUM(length(clean)) AS BIGINT) AS sum_clean_chars " +
+        "FROM d GROUP BY lang ORDER BY lang"),
+    "q84_quality_classifier" ->
+      // the weight table is arithmetic on the bucket — no side channel
+      ("WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(tok) + 1), " +
+        "i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), " +
+        "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), " +
+        "d AS (SELECT doc_id, lang, COUNT(*) AS n_toks, SUM(wt) AS score FROM w GROUP BY 1, 2) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(score) AS BIGINT) AS sum_score, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS sum_toks " +
         "FROM d GROUP BY lang ORDER BY lang"),
   )
 }

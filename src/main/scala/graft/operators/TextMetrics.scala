@@ -222,4 +222,63 @@ object TextMetrics {
         array_min(freqs).as("freq_min")): _*)
       .filter(col("n_grams") > 0) // match corpusFreqStats: short docs drop
   }
+
+  /** Portable polynomial token hash (Rabin–Karp shape, h·31 + code mod
+    * 2³¹−1 over the token's chars) — the q40 fingerprint recurrence
+    * applied per token, bit-identical in any engine. */
+  def tokenHash(token: Column): Column =
+    aggregate(
+      transform(filter(split(token, ""), c => c =!= ""),
+        c => ascii(c).cast("long")),
+      lit(0L), (a, c) => (a * 31 + c) % 2147483647L)
+
+  /**
+   * Hashed linear quality scorer — the fastText/DSIR-style shape every
+   * corpus-quality gate at scale reduces to: each token feature-hashes
+   * into one of `dims` buckets, each bucket carries a fixed integer
+   * weight, and a document's score is the sum of its token weights.
+   * The weight table is ARITHMETIC, not data: bucket j weighs
+   * `((j·2654435761) mod 1e9+7) mod 2001 − 1000` (pseudo-random in
+   * [−1000, 1000], the portable-selector mixing constant) — so an
+   * external engine replays the exact model with no side channel, and
+   * swapping in a trained table is one literal-array substitution.
+   *
+   * Returns one row per doc: `keep` cols, `n_toks`, integer `score`.
+   *
+   * Scale shape: scan-local hashing (the token explode collapses via
+   * map-side partial aggregation to one row per doc before the only
+   * shuffle, which carries (id, sum) — never tokens or text).
+   */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        dims: Int = 64, keep: Seq[String] = Nil): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val out = (idCol +: keep).distinct
+    val toks = docs.select((out.map(col) :+
+      explode(filter(split(lower(trim(col(textCol))), " "), t => t =!= ""))
+        .as("__tok")): _*)
+    val bucket = tokenHash(col("__tok")) % dims
+    val weight = (bucket * 2654435761L) % 1000000007L % 2001L - 1000L
+    toks
+      .select((out.map(col) :+ weight.as("__w")): _*)
+      .groupBy(out.map(col): _*)
+      .agg(count(lit(1)).as("n_toks"), sum(col("__w")).as("score"))
+  }
+
+  /** Stateless in-row twin of [[hashedLinearScore]] (the
+    * `repetitionStatsInRow` pattern): the token fold runs as a per-row
+    * HOF — no explode, no shuffle, no aggregation state — so it scores
+    * an unbounded append-mode stream unchanged. Same results, row for
+    * row; docs with zero tokens drop in both paths. */
+  def hashedLinearScoreInRow(docs: DataFrame, idCol: String, textCol: String,
+                             dims: Int = 64, keep: Seq[String] = Nil): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val out = (idCol +: keep).distinct
+    val toks = filter(split(lower(trim(col(textCol))), " "), t => t =!= "")
+    val weights = transform(toks,
+      t => (tokenHash(t) % dims * 2654435761L) % 1000000007L % 2001L - 1000L)
+    docs.select((out.map(col) :+
+      size(toks).cast("long").as("n_toks") :+
+      aggregate(weights, lit(0L), _ + _).as("score")): _*)
+      .filter(col("n_toks") > 0)
+  }
 }

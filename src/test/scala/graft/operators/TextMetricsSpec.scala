@@ -179,4 +179,42 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
       .collect().head
     (novel.getLong(1), novel.getLong(2), novel.getLong(3)) shouldBe ((1L, 0L, 0L))
   }
+
+  test("hashedLinearScore: weight arithmetic checks out; in-row twin agrees on a stream") {
+    val ss = spark
+    import ss.implicits._
+    // hand-check one token: "a" → poly hash 97, bucket 97 % 64 = 33,
+    // weight ((33·2654435761) mod 1e9+7) mod 2001 − 1000
+    val wantA = 33L * 2654435761L % 1000000007L % 2001L - 1000L
+    val one = TextMetrics.hashedLinearScore(
+      Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text").collect().head
+    (one.getLong(1), one.getLong(2)) shouldBe ((1L, wantA))
+    // additivity + empty-doc drop, both paths, row for row
+    val docs = Seq((1L, "a a b"), (2L, "  "), (3L, "c d e f"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val viaAgg = TextMetrics.hashedLinearScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    viaAgg.map(_._1) shouldBe Array(1L, 3L, 4L) // doc 2 has no tokens
+    viaAgg(0)._3 shouldBe 2 * wantA + (TextMetrics.hashedLinearScoreInRow(
+      Seq((9L, "b")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head.getLong(2))
+    val inRow = TextMetrics.hashedLinearScoreInRow(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    inRow shouldBe viaAgg
+    // the in-row path scores an unbounded append stream unchanged
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    scored.isStreaming shouldBe true
+    val q = scored.writeStream.format("memory").queryName("t_hls")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a a b"), (3L, "c d e f"), (4L, "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("t_hls").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe viaAgg
+  }
 }
