@@ -19,15 +19,24 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  *   GET  /schemas/ids/{id}                → 200 `{"schema": "..."}` |
  *        404 `{"error_code":40403,...}` (what HttpResolver consumes)
  *   GET  /subjects                        → 200 `["a","b"]`
- *   GET  /subjects/{s}/versions           → 200 `[1,2]` | 404
+ *   GET  /subjects/{s}/versions           → 200 `[1,3]` (live version
+ *        numbers — deletions leave holes, numbers never reuse) | 404
  *   GET  /subjects/{s}/versions/{v|latest} → 200
  *        `{"subject","version","id","schema"}` | 404 (40401 unknown
  *        subject, 40402 unknown version)
+ *   POST /subjects/{s}  `{"schema":"..."}` → 200 (the serializer's
+ *        lookup: the exact schema's registered version+id under this
+ *        subject) | 404 (40403 schema not registered here) | 422
+ *   DELETE /subjects/{s}                  → 200 `[1,2]` (the versions
+ *        that were live) | 404
+ *   DELETE /subjects/{s}/versions/{v|latest} → 200 `N` | 404
  *   POST /subjects/{s}/versions  `{"schema":"..."}` → 200 `{"id":N}` |
  *        409 (incompatible — the gate) | 422 (unparseable schema)
  *   POST /compatibility/subjects/{s}/versions/latest `{"schema":"..."}`
  *        → 200 `{"is_compatible":bool}` | 422
  *   GET  /config                          → 200 `{"compatibilityLevel"}`
+ *        ; PUT /config `{"compatibility":...}` → 200 (registry-wide
+ *        default; subject overrides win) | 422
  *   GET  /config/{s}                      → 200 (subject override or
  *        the default) ; PUT /config/{s} `{"compatibility":"FULL"}` →
  *        200 | 422 (unknown level)
@@ -80,6 +89,18 @@ final class RegistryFacade(store: SchemaCompat.SubjectStore, port: Int = 0)
       Option(node.get("schema")).filter(_.isTextual).map(_.asText())
     } catch { case _: Exception => None }
 
+  /** The `compatibility` level of a request body, if valid. */
+  private def readLevel(ex: HttpExchange): Option[SchemaCompat.Mode] = {
+    val level = try {
+      val node = mapper.readTree(new String(
+        ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      Option(node.get("compatibility")).filter(_.isTextual).map(_.asText())
+    } catch { case _: Exception => scala.None }
+    level.flatMap(l =>
+      try Some(SchemaCompat.mode(l))
+      catch { case _: IllegalArgumentException => scala.None })
+  }
+
   private def versionJson(subject: String, v: Int, schema: String): String =
     s"""{"subject":${jstr(subject)},"version":$v,""" +
       s""""id":${store.idOf(schema).getOrElse(-1)},"schema":${jstr(schema)}}"""
@@ -104,19 +125,53 @@ final class RegistryFacade(store: SchemaCompat.SubjectStore, port: Int = 0)
         respond(ex, 200, store.subjects.map(jstr).mkString("[", ",", "]"))
 
       case ("GET", "subjects" :: s :: "versions" :: Nil) =>
-        val hist = store.history(s)
-        if (hist.isEmpty) err(ex, 404, 40401, s"Subject '$s' not found")
-        else respond(ex, 200, hist.indices.map(_ + 1).mkString("[", ",", "]"))
+        val live = store.versionNumbers(s)
+        if (live.isEmpty) err(ex, 404, 40401, s"Subject '$s' not found")
+        else respond(ex, 200, live.mkString("[", ",", "]"))
 
       case ("GET", "subjects" :: s :: "versions" :: v :: Nil) =>
-        val hist = store.history(s)
-        if (hist.isEmpty) err(ex, 404, 40401, s"Subject '$s' not found")
+        if (store.versionNumbers(s).isEmpty)
+          err(ex, 404, 40401, s"Subject '$s' not found")
         else {
-          val idx = if (v == "latest") Some(hist.size) else v.toIntOption
-          idx.filter(i => i >= 1 && i <= hist.size) match {
-            case Some(i) => respond(ex, 200, versionJson(s, i, hist(i - 1)))
+          val idx = if (v == "latest") store.latestVersion(s) else v.toIntOption
+          idx.flatMap(i => store.schemaAt(s, i).map(i -> _)) match {
+            case Some((i, schema)) => respond(ex, 200, versionJson(s, i, schema))
             case scala.None => err(ex, 404, 40402, s"Version $v not found")
           }
+        }
+
+      case ("POST", "subjects" :: s :: Nil) =>
+        // SR's lookup: is this exact schema registered under the
+        // subject? (what serializers call before falling back to POST
+        // .../versions)
+        schemaOf(ex) match {
+          case scala.None => err(ex, 422, 42201, "body has no 'schema' field")
+          case Some(schema) =>
+            if (store.versionNumbers(s).isEmpty)
+              err(ex, 404, 40401, s"Subject '$s' not found")
+            else try store.lookup(s, schema) match {
+              case Some((v, id)) => respond(ex, 200,
+                s"""{"subject":${jstr(s)},"version":$v,"id":$id,"schema":${jstr(schema)}}""")
+              case scala.None => err(ex, 404, 40403, "Schema not found")
+            } catch {
+              case e: org.apache.avro.SchemaParseException =>
+                err(ex, 422, 42201, e.getMessage)
+            }
+        }
+
+      case ("DELETE", "subjects" :: s :: Nil) =>
+        val live = store.deleteSubject(s)
+        if (live.isEmpty) err(ex, 404, 40401, s"Subject '$s' not found")
+        else respond(ex, 200, live.mkString("[", ",", "]"))
+
+      case ("DELETE", "subjects" :: s :: "versions" :: v :: Nil) =>
+        val idx = if (v == "latest") store.latestVersion(s) else v.toIntOption
+        idx match {
+          case Some(i) if store.deleteVersion(s, i) => respond(ex, 200, i.toString)
+          case _ =>
+            if (store.versionNumbers(s).isEmpty)
+              err(ex, 404, 40401, s"Subject '$s' not found")
+            else err(ex, 404, 40402, s"Version $v not found")
         }
 
       case ("POST", "subjects" :: s :: "versions" :: Nil) =>
@@ -150,21 +205,22 @@ final class RegistryFacade(store: SchemaCompat.SubjectStore, port: Int = 0)
 
       case ("GET", "config" :: Nil) =>
         respond(ex, 200,
-          s"""{"compatibilityLevel":${jstr(levelName(store.modeOf("")))}}""")
+          s"""{"compatibilityLevel":${jstr(levelName(store.defaultModeNow))}}""")
+
+      case ("PUT", "config" :: Nil) => // registry-wide default
+        readLevel(ex) match {
+          case Some(m) =>
+            store.setDefaultMode(m)
+            respond(ex, 200, s"""{"compatibility":${jstr(levelName(m))}}""")
+          case scala.None => err(ex, 422, 42203, "invalid compatibility level")
+        }
 
       case ("GET", "config" :: s :: Nil) =>
         respond(ex, 200,
           s"""{"compatibilityLevel":${jstr(levelName(store.modeOf(s)))}}""")
 
       case ("PUT", "config" :: s :: Nil) =>
-        val level = try {
-          val node = mapper.readTree(new String(
-            ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
-          Option(node.get("compatibility")).filter(_.isTextual).map(_.asText())
-        } catch { case _: Exception => scala.None }
-        level.flatMap(l =>
-          try Some(SchemaCompat.mode(l)) catch { case _: IllegalArgumentException => scala.None }
-        ) match {
+        readLevel(ex) match {
           case Some(m) =>
             store.setMode(s, m)
             respond(ex, 200, s"""{"compatibility":${jstr(levelName(m))}}""")

@@ -112,8 +112,11 @@ object SchemaCompat {
    * `PUT /config/{subject}`.
    */
   final class SubjectStore(defaultMode: Mode = Backward) {
+    // version slots are SPARSE: SR's version numbers are stable, so a
+    // deleted version leaves a hole (None) rather than renumbering —
+    // compat checks and `history` see only the live schemas
     private val versions =
-      new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+      new java.util.concurrent.ConcurrentHashMap[String, Vector[Option[String]]]()
     private val modes =
       new java.util.concurrent.ConcurrentHashMap[String, Mode]()
     // the registry's GLOBAL id space: a schema registered under any
@@ -123,32 +126,72 @@ object SchemaCompat {
       new java.util.concurrent.ConcurrentHashMap[String, Int]()
     private val byId =
       new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    @volatile private var globalMode: Mode = defaultMode
 
     def setMode(subject: String, m: Mode): Unit = { modes.put(subject, m): Unit }
-    def modeOf(subject: String): Mode = modes.getOrDefault(subject, defaultMode)
-    def history(subject: String): Vector[String] =
+    def modeOf(subject: String): Mode = modes.getOrDefault(subject, globalMode)
+    /** The registry-wide default (`PUT /config`); subject overrides win. */
+    def setDefaultMode(m: Mode): Unit = { globalMode = m }
+    def defaultModeNow: Mode = globalMode
+    private def slots(subject: String): Vector[Option[String]] =
       versions.getOrDefault(subject, Vector.empty)
-    def subjects: Seq[String] = versions.keySet.asScala.toSeq.sorted
+    /** Live schemas in version order (deleted versions excluded). */
+    def history(subject: String): Vector[String] =
+      slots(subject).flatten
+    /** Live 1-based version numbers — sparse after deletions. */
+    def versionNumbers(subject: String): Seq[Int] =
+      slots(subject).zipWithIndex.collect { case (Some(_), i) => i + 1 }
+    def schemaAt(subject: String, version: Int): Option[String] =
+      slots(subject).lift(version - 1).flatten
+    def latestVersion(subject: String): Option[Int] =
+      versionNumbers(subject).lastOption
+    def subjects: Seq[String] =
+      versions.asScala.collect { case (s, v) if v.exists(_.isDefined) => s }
+        .toSeq.sorted
     def schemaById(id: Int): Option[String] = Option(byId.get(id))
     def idOf(schemaJson: String): Option[Int] =
       Option(ids.get(new Schema.Parser().parse(schemaJson).toString))
 
+    /** SR's subject lookup (`POST /subjects/{s}`): is this exact schema
+      * registered under the subject? Returns (version, global id). */
+    def lookup(subject: String, schemaJson: String): Option[(Int, Int)] = {
+      val canonical = new Schema.Parser().parse(schemaJson).toString
+      slots(subject).zipWithIndex.collectFirst {
+        case (Some(s), i) if s == canonical => (i + 1, ids.get(s))
+      }
+    }
+
+    /** Delete one version (the slot stays, the number never reuses).
+      * Returns false when the subject or version is absent. */
+    def deleteVersion(subject: String, version: Int): Boolean = synchronized {
+      val v = slots(subject)
+      if (v.lift(version - 1).flatten.isEmpty) false
+      else { versions.put(subject, v.updated(version - 1, Option.empty[String])); true }
+    }
+
+    /** Delete a whole subject; returns the versions that were live. */
+    def deleteSubject(subject: String): Seq[Int] = synchronized {
+      val live = versionNumbers(subject)
+      if (live.nonEmpty) { versions.remove(subject): Unit; modes.remove(subject): Unit }
+      live
+    }
+
     /** Register under the gate; returns the 1-based version. */
     def register(subject: String, schemaJson: String): Int = synchronized {
       val canonical = new Schema.Parser().parse(schemaJson).toString
-      val hist = history(subject)
-      val existing = hist.indexOf(canonical)
+      val v = slots(subject)
+      val existing = v.indexOf(Some(canonical))
       if (existing >= 0) return existing + 1
-      val violations = check(canonical, hist, modeOf(subject))
+      val violations = check(canonical, history(subject), modeOf(subject))
       if (violations.nonEmpty)
         throw new IncompatibleSchemaException(subject, violations)
-      versions.put(subject, hist :+ canonical)
+      versions.put(subject, v :+ Some(canonical))
       ids.computeIfAbsent(canonical, { _ =>
         val next = byId.size + 1
         byId.put(next, canonical)
         next
       }): Unit
-      hist.size + 1
+      v.size + 1
     }
   }
 }

@@ -83,4 +83,67 @@ class RegistryFacadeSpec extends AnyFunSuite with Matchers {
         .getFields.size() shouldBe 1
     } finally facade.close()
   }
+
+  test("subject lookup, version deletion holes, subject delete, global config") {
+    val store = new SchemaCompat.SubjectStore(SchemaCompat.Backward)
+    val facade = new RegistryFacade(store)
+    facade.start()
+    val base = s"http://127.0.0.1:${facade.boundPort}"
+    try {
+      val v1 = schemaBody("""{"name":"a","type":"int"}""")
+      val v2 = schemaBody("""{"name":"a","type":"int"}""",
+        """{"name":"b","type":"string","default":"x"}""")
+      val v3 = schemaBody("""{"name":"a","type":"int"}""",
+        """{"name":"b","type":"string","default":"x"}""",
+        """{"name":"c","type":"long","default":0}""")
+      req("POST", s"$base/subjects/s-value/versions", v1).statusCode() shouldBe 200
+      req("POST", s"$base/subjects/s-value/versions", v2).statusCode() shouldBe 200
+      req("POST", s"$base/subjects/s-value/versions", v3).statusCode() shouldBe 200
+
+      // POST /subjects/{s}: the serializer's exact-schema lookup
+      val found = req("POST", s"$base/subjects/s-value", v2)
+      found.statusCode() shouldBe 200
+      found.body() should include(""""version":2""")
+      found.body() should include(""""id":2""")
+      val notHere = schemaBody("""{"name":"zzz","type":"int"}""")
+      req("POST", s"$base/subjects/s-value", notHere).statusCode() shouldBe 404
+      req("POST", s"$base/subjects/ghost", v1).statusCode() shouldBe 404
+
+      // deleting v2 leaves a HOLE: numbers are stable, never reused
+      req("DELETE", s"$base/subjects/s-value/versions/2").body() shouldBe "2"
+      req("GET", s"$base/subjects/s-value/versions").body() shouldBe "[1,3]"
+      req("GET", s"$base/subjects/s-value/versions/2").statusCode() shouldBe 404
+      req("GET", s"$base/subjects/s-value/versions/latest").body() should
+        include(""""version":3""")
+      req("DELETE", s"$base/subjects/s-value/versions/2").statusCode() shouldBe 404
+      // the deleted version no longer participates in the lookup,
+      // but its schema keeps its immutable global id
+      req("POST", s"$base/subjects/s-value", v2).statusCode() shouldBe 404
+      req("GET", s"$base/schemas/ids/2").statusCode() shouldBe 200
+      // a new registration takes the NEXT slot (4), not the hole
+      val v4 = schemaBody("""{"name":"a","type":"int"}""",
+        """{"name":"b","type":"string","default":"x"}""",
+        """{"name":"c","type":"long","default":0}""",
+        """{"name":"d","type":"int","default":7}""")
+      req("POST", s"$base/subjects/s-value/versions", v4).statusCode() shouldBe 200
+      req("GET", s"$base/subjects/s-value/versions").body() shouldBe "[1,3,4]"
+
+      // DELETE /subjects/{s} reports what was live and empties the list
+      req("DELETE", s"$base/subjects/s-value").body() shouldBe "[1,3,4]"
+      req("GET", s"$base/subjects").body() shouldBe "[]"
+      req("DELETE", s"$base/subjects/s-value").statusCode() shouldBe 404
+
+      // PUT /config: the registry-wide default; subject overrides win
+      req("PUT", s"$base/config", """{"compatibility":"NONE"}""")
+        .statusCode() shouldBe 200
+      req("GET", s"$base/config").body() shouldBe
+        """{"compatibilityLevel":"NONE"}"""
+      // NONE now admits a previously-breaking evolution
+      req("POST", s"$base/subjects/n-value/versions", v1).statusCode() shouldBe 200
+      req("POST", s"$base/subjects/n-value/versions",
+        schemaBody("""{"name":"q","type":"string"}""")).statusCode() shouldBe 200
+      req("PUT", s"$base/config", """{"compatibility":"UPWARD"}""")
+        .statusCode() shouldBe 422
+    } finally facade.close()
+  }
 }
