@@ -48,6 +48,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  *   PUT    /connectors/{n}/topics/reset → 200 | 404 (documented
  *          divergence: the set is derived from the live spec, not
  *          accumulated history, so reset re-derives rather than clears)
+ *   GET    /admin/loggers              → 200 (root + every logger set
+ *          through this API, with live log4j2 levels — KIP-495 shape)
+ *   GET    /admin/loggers/{name}       → 200 `{"level":...}`
+ *   PUT    /admin/loggers/{name} `{"level":"DEBUG"}` → 200 `["name"]`
+ *          (applied via log4j2 Configurator) | 400 (bad level)
  *   GET    /connector-plugins          → 200 (stage vocabulary:
  *          `{"class","type":"source|transform|sink"}` entries)
  *   PUT    /connector-plugins/pipeline/config/validate (spec) →
@@ -69,6 +74,7 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0)
   server.setExecutor(null) // serialize control-plane requests
   server.createContext("/connectors", (ex: HttpExchange) => handle(ex))
   server.createContext("/connector-plugins", (ex: HttpExchange) => handlePlugins(ex))
+  server.createContext("/admin", (ex: HttpExchange) => handleAdmin(ex))
   server.createContext("/", (ex: HttpExchange) => handleRoot(ex))
 
   /** Bound port (useful with port=0 ephemeral binding). */
@@ -136,6 +142,56 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0)
 
   private def lifecycle(ex: HttpExchange, ok: Boolean, code: Int): Unit =
     if (ok) respond(ex, code) else respond(ex, 404)
+
+  // loggers with an explicitly-set level (what GET /admin/loggers
+  // lists, like Connect); levels also apply live via log4j2
+  private val setLevels =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Connect's `/admin/loggers` surface: read and set log levels at
+    * runtime (KIP-495 shape). GET lists the root logger plus every
+    * logger whose level was set through this API; PUT applies the
+    * level via log4j2's `Configurator` (Spark's logging backend) and
+    * answers with the affected logger names. Invalid level → 400. */
+  private def handleAdmin(ex: HttpExchange): Unit = {
+    val parts = ex.getRequestURI.getPath.stripPrefix("/admin")
+      .split("/").filter(_.nonEmpty).toList
+    def levelOf(name: String): String =
+      org.apache.logging.log4j.LogManager.getLogger(name).getLevel.toString
+    try (ex.getRequestMethod, parts) match {
+      case ("GET", "loggers" :: Nil) =>
+        val names = ("root" +: setLevels.keySet.toArray(Array.empty[String]).toSeq)
+          .distinct.sorted
+        respond(ex, 200, names.map(n =>
+          s"""${jstr(n)}:{"level":${jstr(levelOf(n))}}""").mkString("{", ",", "}"))
+      case ("GET", "loggers" :: name :: Nil) =>
+        respond(ex, 200, s"""{"level":${jstr(levelOf(name))}}""")
+      case ("PUT", "loggers" :: name :: Nil) =>
+        val level = try {
+          val body = readBody(ex)
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+          Option(node.get("level")).filter(_.isTextual).map(_.asText())
+        } catch { case _: Exception => None }
+        level.flatMap(l =>
+          Option(org.apache.logging.log4j.Level.getLevel(l.toUpperCase))) match {
+          case Some(lvl) =>
+            if (name == "root")
+              org.apache.logging.log4j.core.config.Configurator.setRootLevel(lvl)
+            else
+              org.apache.logging.log4j.core.config.Configurator.setLevel(name, lvl)
+            setLevels.put(name, lvl.toString): Unit
+            respond(ex, 200, s"[${jstr(name)}]")
+          case None => respond(ex, 400,
+            s"""{"error":${jstr("invalid or missing level")}}""")
+        }
+      case _ => respond(ex, 405)
+    } catch {
+      case e: Exception =>
+        try respond(ex, 500, s"""{"error":${jstr(
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")}}""")
+        catch { case _: Exception => () }
+    }
+  }
 
   /** Connect's root resource. No broker exists in this deployment, so
     * `kafka_cluster_id` is null by construction (a Connect client that

@@ -216,6 +216,37 @@ class RestFacadeSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("admin/loggers: read and set live log levels, KIP-495 shape") {
+    val reg = new PipelineRegistry(spark)
+    val facade = new RestFacade(reg)
+    facade.start()
+    val root = s"http://127.0.0.1:${facade.boundPort}"
+    try {
+      // the listing starts with just the root logger
+      val before = req("GET", s"$root/admin/loggers")
+      before.statusCode() shouldBe 200
+      before.body() should startWith("""{"root":{"level":""")
+
+      // set a specific logger and see log4j2 agree
+      val put = req("PUT", s"$root/admin/loggers/graft.test.dynamic",
+        """{"level":"DEBUG"}""")
+      put.statusCode() shouldBe 200
+      put.body() shouldBe """["graft.test.dynamic"]"""
+      org.apache.logging.log4j.LogManager.getLogger("graft.test.dynamic")
+        .getLevel.toString shouldBe "DEBUG"
+      req("GET", s"$root/admin/loggers/graft.test.dynamic").body() shouldBe
+        """{"level":"DEBUG"}"""
+      // it now appears in the listing alongside root
+      req("GET", s"$root/admin/loggers").body() should
+        include(""""graft.test.dynamic":{"level":"DEBUG"}""")
+
+      // bad level and bad route
+      req("PUT", s"$root/admin/loggers/graft.test.dynamic",
+        """{"level":"LOUD"}""").statusCode() shouldBe 400
+      req("DELETE", s"$root/admin/loggers").statusCode() shouldBe 405
+    } finally facade.close()
+  }
+
   test("connector-plugins: GET lists the stage vocabulary, PUT validate dry-runs a config") {
     val ss = spark
     import ss.implicits._
