@@ -1520,6 +1520,22 @@ object Queries {
         sum(col("n_toks")).as("sum_toks"))
       .orderBy("lang")
 
+  /** Q85 context-length splitting (north star: chunking docs longer
+    * than the model context): overlapping 32-word windows starting
+    * every 16 words — the sliding-window chunking every tokenizer
+    * pipeline runs before packing. Pure narrow explode in the scan
+    * projection; per-lang piece report. */
+  val q85: Q = (s, dir) =>
+    TextMetrics.splitLongDocs(Tables.documents(s, dir), "doc_id", "text",
+        maxWords = 32, strideWords = 16)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pieces"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("piece_words")).as("sum_piece_words"),
+        max(col("piece_idx")).as("max_piece_idx"),
+        sum(length(col("piece"))).as("sum_piece_chars"))
+      .orderBy("lang")
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1607,6 +1623,7 @@ object Queries {
     "q82_epoch_mixture" -> q82,
     "q83_chunk_dedup" -> q83,
     "q84_quality_classifier" -> q84,
+    "q85_context_split" -> q85,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2292,5 +2309,19 @@ object Queries {
         "CAST(SUM(score) AS BIGINT) AS sum_score, " +
         "CAST(SUM(n_toks) AS BIGINT) AS sum_toks " +
         "FROM d GROUP BY lang ORDER BY lang"),
+    "q85_context_split" ->
+      // starts at 0, 16, 32, … while inside the doc; last window short
+      ("WITH w AS (SELECT doc_id, lang, " +
+        "list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, lang, ws, unnest(generate_series(0, " +
+        "GREATEST(CAST(1 AS BIGINT), CAST(ceil((len(ws) - 32) / 16.0) AS BIGINT) + 1) - 1)) AS idx FROM w), " +
+        "s AS (SELECT doc_id, lang, idx, " +
+        "array_to_string(ws[CAST(idx * 16 + 1 AS BIGINT) : CAST(idx * 16 + 32 AS BIGINT)], ' ') AS piece, " +
+        "LEAST(32, len(ws) - idx * 16) AS pw FROM p) " +
+        "SELECT lang, COUNT(*) AS n_pieces, COUNT(DISTINCT doc_id) AS n_docs, " +
+        "CAST(SUM(pw) AS BIGINT) AS sum_piece_words, " +
+        "CAST(MAX(idx) AS BIGINT) AS max_piece_idx, " +
+        "CAST(SUM(length(piece)) AS BIGINT) AS sum_piece_chars " +
+        "FROM s WHERE pw > 0 GROUP BY lang ORDER BY lang"),
   )
 }

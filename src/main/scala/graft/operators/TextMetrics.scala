@@ -223,6 +223,42 @@ object TextMetrics {
       .filter(col("n_grams") > 0) // match corpusFreqStats: short docs drop
   }
 
+  /**
+   * Context-length splitting — the prep step for documents longer than
+   * the model context: each doc becomes overlapping word-window pieces
+   * of at most `maxWords`, starting every `strideWords` (overlap =
+   * maxWords − stride, the sliding-window chunking every tokenizer
+   * pipeline runs). Piece starts are 0, stride, 2·stride, … while they
+   * fall inside the doc, so every non-empty doc yields at least one
+   * piece and no piece is empty (wordless docs drop, like the other
+   * per-token ops). Output: input columns + `piece_idx`, `piece`
+   * (the piece text), `piece_words`.
+   *
+   * Scale shape: a pure narrow explode in the scan projection — no
+   * shuffle, no state; output size is the stride-amplified corpus.
+   */
+  def splitLongDocs(docs: DataFrame, idCol: String, textCol: String,
+                    maxWords: Int, strideWords: Int): DataFrame = {
+    require(maxWords >= 1, "maxWords must be >= 1")
+    require(strideWords >= 1 && strideWords <= maxWords,
+      "strideWords must be in [1, maxWords]")
+    val words = filter(split(lower(trim(col(textCol))), " "), t => t =!= "")
+    val n = size(words)
+    // number of starts strictly inside the doc, at least 1
+    val pieces = greatest(lit(1L),
+      ceil((n - lit(maxWords)).cast("double") / strideWords).cast("long") + 1)
+    docs
+      .withColumn("__ws", words)
+      .withColumn("piece_idx", explode(sequence(lit(0L), pieces - 1)))
+      .withColumn("piece", array_join(
+        slice(col("__ws"), (col("piece_idx") * strideWords + 1).cast("int"),
+          lit(maxWords)), " "))
+      .withColumn("piece_words",
+        least(lit(maxWords.toLong), size(col("__ws")) - col("piece_idx") * strideWords))
+      .filter(col("piece_words") > 0)
+      .drop("__ws")
+  }
+
   /** Portable polynomial token hash (Rabin–Karp shape, h·31 + code mod
     * 2³¹−1 over the token's chars) — the q40 fingerprint recurrence
     * applied per token, bit-identical in any engine. */

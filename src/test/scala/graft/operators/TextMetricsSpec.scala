@@ -180,6 +180,34 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     (novel.getLong(1), novel.getLong(2), novel.getLong(3)) shouldBe ((1L, 0L, 0L))
   }
 
+  test("splitLongDocs: overlapping windows cover the doc exactly; short docs are one piece") {
+    val ss = spark
+    import ss.implicits._
+    val thirteen = (1 to 13).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, thirteen), (2L, "a b c"), (3L, " ")).toDF("doc_id", "text")
+    val out = TextMetrics.splitLongDocs(docs, "doc_id", "text",
+        maxWords = 8, strideWords = 4)
+      .select("doc_id", "piece_idx", "piece", "piece_words")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // 13 words, window 8, stride 4 → starts 0/4/8, lengths 8/8/5
+    out.filter(_._1 == 1L).map(t => (t._2, t._4)) shouldBe
+      Seq((0L, 8L), (1L, 8L), (2L, 5L))
+    out.filter(_._1 == 1L).map(_._3).head shouldBe
+      (1 to 8).map(i => s"w$i").mkString(" ")
+    out.filter(_._1 == 1L).map(_._3).last shouldBe
+      (9 to 13).map(i => s"w$i").mkString(" ")
+    // consecutive pieces overlap by maxWords − stride = 4 words
+    out.filter(_._1 == 1L).map(_._3).apply(1) shouldBe
+      (5 to 12).map(i => s"w$i").mkString(" ")
+    // short doc: one whole piece; wordless doc drops
+    out.filter(_._1 == 2L) shouldBe Seq((2L, 0L, "a b c", 3L))
+    out.map(_._1).toSet shouldBe Set(1L, 2L)
+    // narrow: no shuffle anywhere in the split
+    TextMetrics.splitLongDocs(docs, "doc_id", "text", 8, 4)
+      .queryExecution.sparkPlan.toString should not include "Exchange"
+  }
+
   test("hashedLinearScore: weight arithmetic checks out; in-row twin agrees on a stream") {
     val ss = spark
     import ss.implicits._
