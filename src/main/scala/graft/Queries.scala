@@ -1536,6 +1536,24 @@ object Queries {
         sum(length(col("piece"))).as("sum_piece_chars"))
       .orderBy("lang")
 
+  /** Q86 SCD Type-2 materialization (A1's warehouse twin): the events
+    * changelog keyed by user_id becomes versioned dimension rows with
+    * half-open validity intervals — valid_from the row's own ts,
+    * valid_to the key's next change, null marking the current version.
+    * One key shuffle + per-key sort, no self-join. Per-event-type
+    * interval report in exact epoch-millis. */
+  val q86: Q = (s, dir) =>
+    Relational.scd2(Tables.events(s, dir), keys = Seq("user_id"),
+        tsCol = "ts", tieBreak = Seq("event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+        // events.ts is NTZ; the UTC session pin makes the cast exact
+        sum(coalesce(unix_millis(col("valid_to").cast("timestamp")) -
+          unix_millis(col("valid_from").cast("timestamp")),
+          lit(0L))).as("sum_dur_ms"))
+      .orderBy("event_type")
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1624,6 +1642,7 @@ object Queries {
     "q83_chunk_dedup" -> q83,
     "q84_quality_classifier" -> q84,
     "q85_context_split" -> q85,
+    "q86_scd2" -> q86,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2323,5 +2342,14 @@ object Queries {
         "CAST(MAX(idx) AS BIGINT) AS max_piece_idx, " +
         "CAST(SUM(length(piece)) AS BIGINT) AS sum_piece_chars " +
         "FROM s WHERE pw > 0 GROUP BY lang ORDER BY lang"),
+    "q86_scd2" ->
+      // LEAD over (key, ts, tiebreak) replays the interval construction
+      ("WITH v AS (SELECT event_type, ts AS valid_from, " +
+        "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to " +
+        "FROM events) " +
+        "SELECT event_type, COUNT(*) AS n_rows, " +
+        "CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current, " +
+        "CAST(SUM(COALESCE(epoch_ms(valid_to) - epoch_ms(valid_from), 0)) AS BIGINT) AS sum_dur_ms " +
+        "FROM v GROUP BY event_type ORDER BY event_type"),
   )
 }

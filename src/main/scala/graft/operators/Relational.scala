@@ -54,6 +54,26 @@ object Relational {
       .drop(rn)
   }
 
+  /** SCD Type-2 materialization of a changelog (the CDC-warehouse twin
+    * of A1's latest-state: keep EVERY version with its validity
+    * interval instead of only the newest). Each change row becomes a
+    * dimension row valid from its own timestamp until the key's next
+    * change (`valid_to` null on the current version — the half-open
+    * [from, to) convention). `tieBreak` orders simultaneous changes
+    * (e.g. the change-log sequence id).
+    *
+    * Scale shape: one hash shuffle on the key + a per-key sort — the
+    * same cost as latest-state; no self-join (the naive form joins the
+    * changelog to itself on key and adjacent ts). */
+  def scd2(df: DataFrame, keys: Seq[String], tsCol: String,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Per-group top-k by `ordering` (direction-bearing columns welcome):
     * ranking window + filter. `rankCol = Some(name)` keeps the 1-based
     * rank in the output under `name`. */

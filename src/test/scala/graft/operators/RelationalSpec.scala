@@ -52,6 +52,30 @@ class RelationalSpec extends SparkTestBase {
     assert(once.select("private_info").distinct().as[String].collect().toSeq == Seq("CENSORED"))
   }
 
+  test("scd2 intervals tile each key's timeline; exactly one current version per key") {
+    val log = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 30L, 102L, "c"),
+      (2L, 15L, 103L, "x"),
+      (3L, 40L, 104L, "p"), (3L, 40L, 105L, "q") // simultaneous: seq breaks the tie
+    ).toDF("k", "ts", "seq", "v")
+    val out = Relational.scd2(log, keys = Seq("k"), tsCol = "ts",
+        tieBreak = Seq("seq"))
+      .select("k", "seq", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 100L, 10L, Some(20L), false),
+      (1L, 101L, 20L, Some(30L), false),
+      (1L, 102L, 30L, None, true),
+      (2L, 103L, 15L, None, true),
+      (3L, 104L, 40L, Some(40L), false), // tie: earlier seq closes at the same instant
+      (3L, 105L, 40L, None, true)))
+    // exactly one current version per key; every row keeps its payload
+    assert(out.count(_._5) == 3)
+    assert(out.length == log.count())
+  }
+
   test("topKPerGroup returns at most k rows per group, rank 1..k") {
     val df = (1 to 100).map(i => (i % 7, i)).toDF("g", "v")
     val top = Relational.topKPerGroup(df, Seq("g"), Seq($"v".desc), 3, Some("rn"))
