@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
  * Streaming execution surface (SURVEY.md §2.8): the reference's delivery
@@ -148,5 +148,46 @@ object StreamingOps {
           }
           state.update(cur)
           cur
+      }
+
+  /**
+   * Streaming SCD Type-2 (the continuous twin of `Relational.scd2`):
+   * each arriving change CLOSES the key's previous open version —
+   * emitting it with its now-known `[validFrom, validTo)` interval —
+   * and becomes the new open version held in state. Only closed
+   * versions are emitted (append semantics); the current version of
+   * every key lives in state until its next change, exactly like the
+   * warehouse table's `valid_to IS NULL` row.
+   *
+   * Ordering contract: changes must arrive per-key in `order`
+   * (changelog order — what a keyed topic partition guarantees in the
+   * reference); within one micro-batch the rows are sorted by `order`
+   * before chaining, and an out-of-order arrival ACROSS batches fails
+   * loudly rather than emitting a negative interval.
+   *
+   * State at scale: exactly one open version per key — the
+   * latest-state footprint.
+   */
+  def scd2Stream[K, T](ds: Dataset[T])(key: T => K)(order: T => Long)(
+      implicit ke: Encoder[K], te: Encoder[T],
+      oe: Encoder[(T, Long)]): Dataset[(T, Long)] =
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[T, (T, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: K, rows: Iterator[T], state: GroupState[T]) =>
+          val sorted = rows.toIndexedSeq.sortBy(order)
+          var open = state.getOption.getOrElse(null.asInstanceOf[T])
+          val closed = IndexedSeq.newBuilder[(T, Long)]
+          sorted.foreach { r =>
+            if (open != null) {
+              require(order(r) >= order(open),
+                s"scd2Stream: out-of-order change for key $k " +
+                  s"(${order(r)} after ${order(open)})")
+              closed += ((open, order(r))) // [from, to): to = successor's order
+            }
+            open = r
+          }
+          if (open != null) state.update(open)
+          closed.result().iterator
       }
 }

@@ -283,6 +283,86 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.length should be > 0
   }
 
+  test("scd2Stream (flatMapGroupsWithState, 3 micro-batches) closed versions equal batch scd2") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventRows // globally (ts, event_id)-sorted ⇒ per-key in order
+    // composite change-order: millis ⧺ event_id (unique, matches the batch
+    // operator's tieBreak = event_id); event_id must fit the low 20 bits
+    all(rows.map(_.event_id)) should be < (1L << 20)
+    def millis(t: LocalDateTime): Long =
+      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    def ordKey(e: Ev): Long = (millis(e.ts) << 20) | e.event_id
+
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.scd2Stream(input.toDS())(_.user_id)(ordKey)
+      .writeStream.format("memory").queryName("t86_scd2")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val third = rows.length / 3
+      input.addData(rows.take(third))
+      query.processAllAvailable()
+      input.addData(rows.slice(third, 2 * third))
+      query.processAllAvailable()
+      input.addData(rows.drop(2 * third))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // stream: (closed version, successor's order) → (event_id, valid_to ms)
+    val got = spark.table("t86_scd2").as[(Ev, Long)].collect()
+      .map { case (e, toOrd) => (e.event_id, toOrd >>> 20) }
+      .sortBy(_._1)
+    // batch twin: every non-current version, valid_to = successor's ts
+    val want = graft.operators.Relational.scd2(
+        Tables.events(spark, sf0001)
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+        keys = Seq("user_id"), tsCol = "ts", tieBreak = Seq("event_id"))
+      .filter(col("valid_to").isNotNull)
+      .select("event_id", "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), millis(r.getAs[LocalDateTime](1))))
+      .sortBy(_._1)
+    got should contain theSameElementsInOrderAs want
+    got.length should be > 0
+    // exactly one open (unemitted, in-state) version per key
+    rows.length - got.length shouldBe rows.map(_.user_id).distinct.length
+  }
+
+  test("scd2Stream fails loudly on an out-of-order change across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val t0 = LocalDateTime.of(2024, 1, 1, 0, 0)
+    def millisOf(t: LocalDateTime): Long =
+      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.scd2Stream(input.toDS())(_.user_id)(
+        e => millisOf(e.ts))
+      .writeStream.format("memory").queryName("t86_ooo")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        input.addData(Ev(1L, t0.plusHours(2), 7L, "signup", 1.0))
+        query.processAllAvailable()
+        // older than the key's open version: negative interval — must fail,
+        // not silently emit
+        input.addData(Ev(2L, t0.plusHours(1), 7L, "purchase", 2.0))
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    chain should include("out-of-order")
+  }
+
   test("stream-stream interval join (watermarked both sides) equals the batch join") {
     val ss = spark
     import ss.implicits._
