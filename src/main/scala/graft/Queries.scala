@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 import graft.codec.Debezium
 import graft.core.{Pipeline, PipelineSpec, Tables}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Relational, Sampling, Similarity, TextMetrics}
+import graft.operators.{Dedup, Profile, Relational, Sampling, Similarity, TextMetrics}
 import graft.sources.PromText
 import graft.streaming.StreamingOps
 
@@ -1554,6 +1554,47 @@ object Queries {
           lit(0L))).as("sum_dur_ms"))
       .orderBy("event_type")
 
+  /** Q87 incremental cross-corpus dedup (the daily-refresh shape): the
+    * corpus splits into "history" (doc_id ≡ 0 mod 31 — a thin slice, so
+    * the split stays non-degenerate even under the sweep's ×10
+    * id-shifted replication) and a "new batch" (the rest); batch docs
+    * survive only as their text's batch-canonical row AND where the
+    * text is absent from history — history consulted only through its
+    * 16 B/doc fingerprint table, never its text. Per-lang survivors. */
+  val q87: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val hist = docs.filter(col("doc_id") % 31 === 0)
+    val batch = docs.filter(col("doc_id") % 31 =!= 0)
+    val surv = Dedup.survivorsAgainstHistory(batch, "doc_id", "text",
+      Dedup.fingerprints(hist, "text"))
+    batch.join(surv, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang")
+  }
+
+  /** Q88 one-pass numeric profiling (the ANALYZE report): count / nulls
+    * / exact ndv / min / max / decimal-exact sum+mean for four lineitem
+    * measures, one scan, one |cols|-key aggregation. */
+  val q88: Q = (s, dir) =>
+    Profile.numeric(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_name")
+
+  /** Q89 quantile-threshold quality filter (the post-classifier gate):
+    * docs scored by the hashed linear classifier (q84's model), then the
+    * bottom half per lang — below the exact per-lang median — dropped.
+    * Broadcast one-row-per-lang thresholds; survivors reported. */
+  val q89: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScore(Tables.documents(s, dir),
+      "doc_id", "text", dims = 64, keep = Seq("lang"))
+    Sampling.quantileThresholdFilter(scored, Seq("lang"), "score", 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("score")).as("sum_kept_score"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1643,6 +1684,9 @@ object Queries {
     "q84_quality_classifier" -> q84,
     "q85_context_split" -> q85,
     "q86_scd2" -> q86,
+    "q87_incremental_dedup" -> q87,
+    "q88_profile" -> q88,
+    "q89_quantile_filter" -> q89,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2351,5 +2395,41 @@ object Queries {
         "CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current, " +
         "CAST(SUM(COALESCE(epoch_ms(valid_to) - epoch_ms(valid_from), 0)) AS BIGINT) AS sum_dur_ms " +
         "FROM v GROUP BY event_type ORDER BY event_type"),
+    "q87_incremental_dedup" ->
+      // hash-key equality in the engine == normalized-text equality here
+      ("WITH hist AS (SELECT DISTINCT LOWER(TRIM(text)) AS k FROM documents " +
+        "WHERE doc_id % 31 = 0), " +
+        "newb AS (SELECT doc_id, lang, LOWER(TRIM(text)) AS k FROM documents " +
+        "WHERE doc_id % 31 <> 0), " +
+        "canon AS (SELECT MIN(doc_id) AS doc_id FROM newb GROUP BY k), " +
+        "surv AS (SELECT n.lang FROM newb n JOIN canon USING(doc_id) " +
+        "WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.k = n.k)) " +
+        "SELECT lang, COUNT(*) AS n FROM surv GROUP BY lang ORDER BY lang"),
+    "q88_profile" ->
+      ("WITH m AS (" +
+        "SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem " +
+        "UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem " +
+        "UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem " +
+        "UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem) " +
+        "SELECT col_name, COUNT(*) AS n_rows, " +
+        "CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+        "COUNT(DISTINCT v) AS n_distinct, MIN(v) AS vmin, MAX(v) AS vmax, " +
+        "ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE), 4) AS vsum, " +
+        "ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v), 6) AS vmean " +
+        "FROM m GROUP BY col_name ORDER BY col_name"),
+    "q89_quantile_filter" ->
+      // q84's arithmetic weight model feeds an exact per-lang median cut
+      ("WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(tok) + 1), " +
+        "i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), " +
+        "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), " +
+        "d AS (SELECT doc_id, lang, SUM(wt) AS score FROM w GROUP BY 1, 2), " +
+        "thr AS (SELECT lang, quantile_cont(CAST(score AS DOUBLE), 0.5) AS thr FROM d GROUP BY lang) " +
+        "SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(score) AS BIGINT) AS sum_kept_score " +
+        "FROM d JOIN thr ON d.lang = thr.lang WHERE CAST(score AS DOUBLE) >= thr " +
+        "GROUP BY d.lang ORDER BY d.lang"),
   )
 }

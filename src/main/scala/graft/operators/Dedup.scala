@@ -43,6 +43,42 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
+  /** Fingerprint table of a corpus: one row per distinct 128-bit
+    * normalized-text key (`fp_h1`, `fp_h2`) — the 16 B/doc artifact an
+    * incremental pipeline persists BETWEEN refreshes instead of
+    * re-reading history text. */
+  def fingerprints(docs: DataFrame, textCol: String): DataFrame = {
+    val Seq(h1, h2) = textHashKey(col(textCol))
+    docs.select(h1.as("fp_h1"), h2.as("fp_h2")).distinct()
+  }
+
+  /**
+   * Incremental (cross-corpus) exact dedup — the daily-refresh shape:
+   * a new batch's row survives only where (a) it is the batch-canonical
+   * row for its text (minimum id, exactly [[exactSurvivors]]' rule) and
+   * (b) the text does not already exist in the historical corpus,
+   * consulted ONLY through its fingerprint table ([[fingerprints]]).
+   * Returns the surviving ids.
+   *
+   * Scale shape: at 100 TB of history the fingerprint table is ~1 TB of
+   * 16 B keys — far too big to broadcast, but the anti join is a plain
+   * equi join on (fp_h1, fp_h2), bucketable/co-partitionable on the
+   * same key the batch aggregation already shuffled on, so the join
+   * adds no new exchange of the batch side and never touches history
+   * text. Batch text likewise never shuffles: the batch side reduces
+   * to (key, min id) before joining.
+   */
+  def survivorsAgainstHistory(newDocs: DataFrame, idCol: String,
+                              textCol: String,
+                              historyFps: DataFrame): DataFrame = {
+    val Seq(h1, h2) = textHashKey(col(textCol))
+    newDocs
+      .groupBy(h1.as("fp_h1"), h2.as("fp_h2"))
+      .agg(min(col(idCol)).as(idCol))
+      .join(historyFps, Seq("fp_h1", "fp_h2"), "left_anti")
+      .select(idCol)
+  }
+
   /**
    * Sub-document (chunk-level) dedup — the C4/RefinedWeb step that
    * exact doc dedup misses: boilerplate repeated ACROSS different

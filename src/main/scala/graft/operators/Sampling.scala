@@ -222,4 +222,28 @@ object Sampling {
       .filter(col(rn) <= quota)
       .drop(rn)
   }
+
+  /**
+   * Quantile-threshold filter — the "drop the bottom q of the corpus by
+   * quality score" gate a scored pipeline runs between the classifier
+   * and mixing: rows survive where `valueCol >=` the per-group exact
+   * q-quantile. Thresholds come from [[Relational.exactQuantiles]]
+   * (bounded-memory, exact, `quantile_cont` interpolation), so the cut
+   * point is replayable to the bit by an external engine — no sampled
+   * sketch drift moving the boundary between runs.
+   *
+   * Scale shape: the threshold table is ONE row per group — broadcast,
+   * so the survivor pass is a pure filter over the scan with no new
+   * shuffle; the only exchanges are exactQuantiles' own bounded stages.
+   */
+  def quantileThresholdFilter(df: DataFrame, groupCols: Seq[String],
+                              valueCol: String, q: Double): DataFrame = {
+    val thrCol = Iterator.from(0).map(i => s"__qtf_thr$i")
+      .find(n => !df.columns.contains(n)).get
+    val thr = Relational.exactQuantiles(df, groupCols, valueCol,
+      Seq(thrCol -> q))
+    df.join(broadcast(thr), groupCols)
+      .filter(col(valueCol).cast("double") >= col(thrCol))
+      .drop(thrCol)
+  }
 }

@@ -379,4 +379,29 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
       .orderBy("vec_id").collect()
     cost(cents) should be <= cost(init)
   }
+
+  test("survivorsAgainstHistory = batch-canonical rows whose text is absent from history") {
+    val ss = spark
+    import ss.implicits._
+    val d = Tables.documents(spark, sf0001)
+    val hist = d.filter(col("doc_id") % 3 === 0)
+    val batch = d.filter(col("doc_id") % 3 =!= 0)
+    val got = Dedup.survivorsAgainstHistory(batch, "doc_id", "text",
+        Dedup.fingerprints(hist, "text"))
+      .as[Long].collect().sorted
+
+    // reference on normalized text, plain Scala
+    def norm(r: org.apache.spark.sql.Row) = r.getString(1).trim.toLowerCase
+    val histKeys = hist.select("doc_id", "text").collect().map(norm).toSet
+    val batchRows = batch.select("doc_id", "text").collect()
+    val want = batchRows.groupBy(norm)
+      .collect { case (k, g) if !histKeys(k) => g.map(_.getLong(0)).min }
+      .toArray.sorted
+    got should contain theSameElementsInOrderAs want
+    got.length should be > 0
+    // dup of a history doc must not survive, batch-only dups collapse to min id
+    val histSet = histKeys
+    batchRows.filter(r => histSet(norm(r))).map(_.getLong(0))
+      .intersect(got) shouldBe empty
+  }
 }

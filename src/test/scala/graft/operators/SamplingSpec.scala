@@ -161,4 +161,33 @@ class SamplingSpec extends SparkTestBase with Matchers {
     other.sorted shouldBe ids
     other should not be run1
   }
+
+  test("quantileThresholdFilter keeps exactly the rows at or above the per-group quantile") {
+    val ss = spark
+    import ss.implicits._
+    val d = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"),
+        org.apache.spark.sql.functions.length(col("text"))
+          .cast("long").as("score"))
+    val kept = Sampling.quantileThresholdFilter(d, Seq("lang"), "score", 0.5)
+      .select("doc_id").as[Long].collect().sorted
+
+    // reference: independent per-group interpolated median, plain Scala
+    val rows = d.select("doc_id", "lang", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val vs = g.map(_._3.toDouble).sorted
+      val pos = 0.5 * (vs.length - 1)
+      val (lo, hi) = (vs(pos.toInt), vs(math.ceil(pos).toInt))
+      val thr = lo + (pos - pos.toInt) * (hi - lo)
+      g.filter(_._3.toDouble >= thr).map(_._1).toSeq
+    }.toArray.sorted
+    kept should contain theSameElementsInOrderAs want
+    kept.length should be > 0
+    kept.length should be < rows.length
+    // reproducible to the bit
+    val again = Sampling.quantileThresholdFilter(d, Seq("lang"), "score", 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    again shouldBe kept
+  }
 }
