@@ -55,6 +55,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  *          (applied via log4j2 Configurator) | 400 (bad level)
  *   GET    /connector-plugins          → 200 (stage vocabulary:
  *          `{"class","type":"source|transform|sink"}` entries)
+ *   GET    /metrics                    → 200 Prometheus text exposition
+ *          of the engine's own gauges (the reference's JMX-exporter
+ *          `:9876/metrics` twin) | 404 without a metrics source
  *   PUT    /connector-plugins/pipeline/config/validate (spec) →
  *          200 `{"name","error_count","errors"}` | 400 (unparseable)
  *
@@ -66,7 +69,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  * Control-plane-only by construction: a single-threaded executor
  * serves requests; all data-plane work stays inside Spark.
  */
-final class RestFacade(registry: PipelineRegistry, port: Int = 0)
+final class RestFacade(registry: PipelineRegistry, port: Int = 0,
+                       metricsText: Option[() => String] = None)
     extends AutoCloseable {
 
   private val server =
@@ -75,6 +79,7 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0)
   server.createContext("/connectors", (ex: HttpExchange) => handle(ex))
   server.createContext("/connector-plugins", (ex: HttpExchange) => handlePlugins(ex))
   server.createContext("/admin", (ex: HttpExchange) => handleAdmin(ex))
+  server.createContext("/metrics", (ex: HttpExchange) => handleMetrics(ex))
   server.createContext("/", (ex: HttpExchange) => handleRoot(ex))
 
   /** Bound port (useful with port=0 ephemeral binding). */
@@ -192,6 +197,32 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0)
         catch { case _: Exception => () }
     }
   }
+
+  /** The worker's scrape endpoint — the reference's JMX→Prometheus
+    * javaagent serves `:9876/metrics` beside the worker
+    * (`docker-compose.yaml:146-148,112`); here the engine's own gauges
+    * (rendered by the caller, typically `PromExpose.render(feed.latest)`)
+    * serve under the control-plane port. Text exposition content type;
+    * 404 when the facade was built without a metrics source. */
+  private def handleMetrics(ex: HttpExchange): Unit =
+    (ex.getRequestMethod, metricsText) match {
+      case ("GET", Some(render)) =>
+        try {
+          val bytes = render().getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type",
+            "text/plain; version=0.0.4; charset=utf-8")
+          ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
+          if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+          ex.close()
+        } catch {
+          case e: Exception =>
+            try respond(ex, 500, s"""{"error":${jstr(
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")}}""")
+            catch { case _: Exception => () }
+        }
+      case ("GET", None) => respond(ex, 404)
+      case _             => respond(ex, 405)
+    }
 
   /** Connect's root resource. No broker exists in this deployment, so
     * `kafka_cluster_id` is null by construction (a Connect client that

@@ -48,6 +48,14 @@ final class MetricsFeed extends StreamingQueryListener {
     }
   }
 
+  /** Latest value per (metric, query) — the "current gauge reading" a
+    * scrape endpoint exposes. Deterministic order for rendering. */
+  def latest: Seq[(String, String, Double)] =
+    samples.asScala.toSeq
+      .groupBy(s => (s.name, s.query))
+      .map { case ((n, q), ss) => (n, q, ss.maxBy(_.batchId).value) }
+      .toSeq.sortBy(t => (t._1, t._2))
+
   /** Drain the collected samples into a queryable metrics table — the
     * engine-side stand-in for the Prometheus TSDB. */
   def toDF(spark: SparkSession): DataFrame = {

@@ -71,4 +71,71 @@ class MetricsFeedSpec extends SparkTestBase with Matchers {
     // every sample row is (name, query, batch_id, value)-shaped
     metrics.columns shouldBe Array("name", "query", "batch_id", "value")
   }
+
+  test("/metrics exposition roundtrips through the engine's own scrape parser") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // land real gauge samples via a streaming query
+    val feed = new MetricsFeed
+    spark.streams.addListener(feed)
+    val input = MemoryStream[Long]
+    val query = input.toDF().writeStream
+      .format("memory").queryName("expose_probe")
+      .option("checkpointLocation", Files.createTempDirectory("graft-obs").toString)
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(1L to 50L)
+      query.processAllAvailable()
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (feed.latest.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally {
+      query.stop()
+      spark.streams.removeListener(feed)
+    }
+    val want = feed.latest.filter(_._2 == "expose_probe")
+    want should not be empty
+
+    // serve them at /metrics (the reference's :9876/metrics twin)...
+    val reg = new graft.core.PipelineRegistry(spark)
+    val facade = new graft.core.RestFacade(reg,
+      metricsText = Some(() => PromExpose.render(feed.latest)))
+    facade.start()
+    val body =
+      try {
+        val http = java.net.http.HttpClient.newHttpClient()
+        val resp = http.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:${facade.boundPort}/metrics")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        resp.statusCode() shouldBe 200
+        resp.headers().firstValue("Content-Type").orElse("") should
+          startWith("text/plain")
+        resp.body()
+      } finally facade.close()
+
+    // ...and close the loop with the engine's OWN exposition parser
+    val parsed = graft.sources.PromText
+      .parse(body.linesIterator.toSeq.toDF("line"), "line")
+      .filter(col("labels").getItem("query") === "expose_probe")
+      .select("name", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted
+    val wanted = want.map { case (n, _, v) => (s"graft_$n", v) }.sorted
+    parsed should contain theSameElementsInOrderAs wanted
+
+    // a facade built without a metrics source answers 404
+    val bare = new graft.core.RestFacade(reg)
+    bare.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val resp = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:${bare.boundPort}/metrics")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() shouldBe 404
+    } finally bare.close()
+  }
 }
