@@ -124,6 +124,31 @@ object StreamingOps {
   }
 
   /**
+   * Streaming incremental cross-corpus dedup — the continuous twin of
+   * `Dedup.survivorsAgainstHistory`: arriving documents are dropped
+   * where their 128-bit normalized-text key already exists in the
+   * PERSISTED history fingerprint table (`Dedup.fingerprints` — a
+   * static side, so the anti join runs per micro-batch with no stream
+   * state), then deduplicated within the stream itself by the same key
+   * via [[dedupStream]] (watermark-bounded 16 B/key state).
+   *
+   * Documented divergence from the batch operator: the in-stream
+   * canonical is FIRST ARRIVAL (a stream cannot wait to learn the
+   * minimum id), where batch picks min id — identical when delivery is
+   * id-ordered, and irrelevant to which TEXTS survive either way.
+   */
+  def dedupAgainstHistoryStream(newDocs: DataFrame, textCol: String,
+                                historyFps: DataFrame, tsCol: String,
+                                watermarkDelay: String): DataFrame = {
+    val Seq(h1, h2) = graft.operators.Dedup.textHashKey(col(textCol))
+    val keyed = newDocs
+      .withColumn("fp_h1", h1).withColumn("fp_h2", h2)
+      .join(historyFps, Seq("fp_h1", "fp_h2"), "left_anti")
+    dedupStream(keyed, tsCol, watermarkDelay, Seq("fp_h1", "fp_h2"))
+      .drop("fp_h1", "fp_h2")
+  }
+
+  /**
    * Streaming per-key latest state (ST8 / A1): `mapGroupsWithState`
    * keeping, per key, the record that ranks highest under `newer`.
    * Emits the updated state for every key touched by a micro-batch

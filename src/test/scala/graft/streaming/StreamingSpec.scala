@@ -9,11 +9,15 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.{Queries, SparkTestBase}
 import graft.core.Tables
+import graft.operators.Dedup
 
 /** The sf0.001 events row as a typed streaming record (ts is NTZ →
   * LocalDateTime). */
 case class Ev(event_id: Long, ts: LocalDateTime, user_id: Long,
               event_type: String, value: Double)
+
+/** A documents row arriving on a stream (arrival time attached). */
+case class Doc(doc_id: Long, text: String, lang: String, ts: Long)
 
 /**
  * The streaming t1 smoke the SURVEY §2.11 footnote demands: MemoryStream
@@ -330,6 +334,59 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.length should be > 0
     // exactly one open (unemitted, in-state) version per key
     rows.length - got.length shouldBe rows.map(_.user_id).distinct.length
+  }
+
+  test("dedupAgainstHistoryStream drops history texts and in-stream replays; matches batch survivors") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val all = Tables.documents(spark, sf0001)
+    val hist = all.filter(col("doc_id") % 31 === 0)
+    val batch = all.filter(col("doc_id") % 31 =!= 0)
+    val fps = Dedup.fingerprints(hist, "text")
+
+    // id-ordered delivery: first arrival == min id == the batch canonical.
+    // sf0.001 texts are all-distinct and disjoint from history, so inject
+    // both drop classes: re-texted arrivals (in-stream dups) and arrivals
+    // whose text already sits in history.
+    val base = batch.select("doc_id", "text", "lang").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), r.getString(2),
+        1700000000000L))
+      .sortBy(_.doc_id)
+    val histTexts = hist.select("text", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = (base ++
+      base.take(5).zipWithIndex.map { case (d, i) =>
+        d.copy(doc_id = 1000000L + i) } ++
+      histTexts.take(5).zipWithIndex.map { case ((t, l), i) =>
+        Doc(2000000L + i, t, l, 1700000000000L) })
+      .sortBy(_.doc_id)
+    val input = MemoryStream[Doc]
+    val query = StreamingOps.dedupAgainstHistoryStream(input.toDF(), "text",
+        fps, "ts", "30 days")
+      .writeStream.format("memory").queryName("t_hist_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val half = rows.length / 2
+      input.addData(rows.take(half))
+      query.processAllAvailable()
+      // batch 2 replays a slice of batch 1 plus the remainder
+      input.addData(rows.slice(half / 2, rows.length))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("t_hist_dedup")
+      .select("doc_id").as[Long].collect().sorted
+    val want = Dedup.survivorsAgainstHistory(
+        rows.toSeq.toDF().select("doc_id", "text", "lang"),
+        "doc_id", "text", fps)
+      .as[Long].collect().sorted
+    got should contain theSameElementsInOrderAs want
+    got.length should be > 0
+    got.length should be < rows.length // history hits + dups really dropped
   }
 
   test("scd2Stream fails loudly on an out-of-order change across micro-batches") {
