@@ -1595,6 +1595,53 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q90 PII scan (the measurement half of the `redact` SMT, same
+    * pattern classes): deterministic contact-shaped text is synthesized
+    * per customer (phone unless ≡0 mod 3, email at ≡0 mod 5, dotted-quad
+    * at ≡0 mod 7 — both engines build the identical string), then
+    * match counts per class and a flagged-docs count roll up per market
+    * segment. Scan-local regexp projections; aggregate after. */
+  val q90: Q = (s, dir) => {
+    val txt = concat(
+      col("c_name"),
+      when(col("c_custkey") % 3 =!= 0, concat(lit(" call +1 ("),
+        lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"),
+        lit(") 555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("c_custkey") % 5 === 0, concat(lit(" mail "),
+        lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+        lit("@example.com"))).otherwise(lit("")),
+      when(col("c_custkey") % 7 === 0, concat(lit(" from 10.0."),
+        (col("c_custkey") % 256).cast("string"), lit(".1")))
+        .otherwise(lit("")))
+    TextMetrics.piiScan(
+        Tables.customer(s, dir).withColumn("__txt", txt), "__txt",
+        keep = Seq("c_mktsegment"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("n_email"),
+        sum(col("n_ipv4")).as("n_ipv4"),
+        sum(col("n_phone")).as("n_phone"),
+        sum(when(col("n_email") + col("n_ipv4") + col("n_phone") > 0, 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Q91 exact equi-width histogram (ANALYZE's other half): 16 equal
+    * spans over lineitem gross price — global (min,max) broadcast into
+    * the bucketing projection, exact per-bucket counts, no data-sized
+    * shuffle. */
+  val q91: Q = (s, dir) =>
+    Profile.histogram(
+        Tables.lineitem(s, dir)
+          .select((col("l_extendedprice") * (lit(1.0) + col("l_tax")))
+            .as("gross")),
+        "gross", buckets = 16)
+      .select(col("bucket"), round(col("lo"), 4).as("lo"),
+        round(col("hi"), 4).as("hi"), col("cnt"))
+      .orderBy("bucket")
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1687,6 +1734,8 @@ object Queries {
     "q87_incremental_dedup" -> q87,
     "q88_profile" -> q88,
     "q89_quantile_filter" -> q89,
+    "q90_pii_scan" -> q90,
+    "q91_histogram" -> q91,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2431,5 +2480,35 @@ object Queries {
         "SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(score) AS BIGINT) AS sum_kept_score " +
         "FROM d JOIN thr ON d.lang = thr.lang WHERE CAST(score AS DOUBLE) >= thr " +
         "GROUP BY d.lang ORDER BY d.lang"),
+    "q90_pii_scan" ->
+      // identical synthetic contact text, then the shared pattern classes
+      ("WITH t AS (SELECT c_mktsegment, c_name || " +
+        "CASE WHEN c_custkey % 3 <> 0 THEN ' call +1 (' || " +
+        "lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || ') 555-' || " +
+        "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+        "CASE WHEN c_custkey % 5 = 0 THEN ' mail ' || " +
+        "lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@example.com' ELSE '' END || " +
+        "CASE WHEN c_custkey % 7 = 0 THEN ' from 10.0.' || " +
+        "CAST(c_custkey % 256 AS VARCHAR) || '.1' ELSE '' END AS txt FROM customer), " +
+        "m AS (SELECT c_mktsegment, " +
+        "len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, " +
+        "len(regexp_extract_all(txt, '(\\d{1,3}\\.){3}\\d{1,3}')) AS n_ipv4, " +
+        "len(regexp_extract_all(txt, '\\+?\\d[\\d\\s().-]{7,}\\d')) AS n_phone FROM t) " +
+        "SELECT c_mktsegment, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_email) AS BIGINT) AS n_email, " +
+        "CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4, " +
+        "CAST(SUM(n_phone) AS BIGINT) AS n_phone, " +
+        "CAST(SUM(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged " +
+        "FROM m GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q91_histogram" ->
+      // identical IEEE bucket arithmetic: ((v-min)/span)*16, top clamped
+      ("WITH v AS (SELECT CAST(l_extendedprice * (1.0 + l_tax) AS DOUBLE) AS g FROM lineitem), " +
+        "s AS (SELECT MIN(g) AS m, MAX(g) AS x, MAX(g) - MIN(g) AS sp FROM v), " +
+        "b AS (SELECT CASE WHEN sp = 0 THEN 0 ELSE " +
+        "LEAST(CAST(floor((g - m) / sp * 16) AS BIGINT), 15) END AS bucket, m, sp " +
+        "FROM v, s) " +
+        "SELECT bucket, ROUND(m + bucket * sp / 16, 4) AS lo, " +
+        "ROUND(m + (bucket + 1) * sp / 16, 4) AS hi, COUNT(*) AS cnt " +
+        "FROM b GROUP BY bucket, m, sp ORDER BY bucket"),
   )
 }

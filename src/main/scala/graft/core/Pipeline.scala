@@ -169,10 +169,14 @@ object Pipeline {
       // (greedy digits-and-separators) phone pattern, which would
       // otherwise eat dotted-quads. Custom orders own that concern.
       val f = t.option("field")
+      // pattern classes shared with the piiScan operator — one source
+      // of truth for what counts as email/ipv4/phone
+      val tags = Map("email" -> "<EMAIL>", "ipv4" -> "<IP>",
+        "phone" -> "<PHONE>")
       val builtin = scala.collection.immutable.ListMap(
-        "email" -> ("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>"),
-        "ipv4" -> ("""(\d{1,3}\.){3}\d{1,3}""" -> "<IP>"),
-        "phone" -> ("""\+?\d[\d\s().-]{7,}\d""" -> "<PHONE>"))
+        graft.operators.TextMetrics.PiiPatterns.map {
+          case (n, re) => n -> (re -> tags(n))
+        }: _*)
       val classes = t.optionOr("classes", "email,ipv4,phone")
         .split(",").map(_.trim).filter(_.nonEmpty)
       val rules = classes.map(c => builtin.getOrElse(c,

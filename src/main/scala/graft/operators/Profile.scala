@@ -16,13 +16,16 @@ import org.apache.spark.sql.functions._
  * decimal-sum determinism trick the aggregate queries use).
  *
  * Scale shape: the melt is a narrow explode in the scan projection —
- * rows × |cols| (name, value) pairs, never whole rows — and the single
- * shuffle is a |cols|-key hash aggregation with map-side partials, so
- * profiling N columns costs one pass over the data regardless of N.
- * Exact ndv keeps the two-phase distinct expansion (value-compressed
- * before the exchange); at 100 TB swap `countDistinct` for
- * `approx_count_distinct` — a one-line trade of exactness for a
- * constant-size HLL sketch per column.
+ * rows × |cols| (name, value) pairs, never whole rows — and the ONE
+ * data-sized exchange carries the value-compressed relation: map-side
+ * partials collapse each partition to its distinct (col, value, count)
+ * triples before the shuffle (the `exactQuantiles` architecture), so
+ * every statistic — count, nulls, exact ndv, min/max, decimal-exact
+ * sum — derives from the compressed relation in a final |cols|-group
+ * aggregate with NO distinct-expand over raw rows. At 100 TB a
+ * near-unique column makes the compressed relation approach row count;
+ * the documented trade there is `approx_count_distinct` over the raw
+ * melt — exactness for a constant-size HLL sketch per column.
  */
 object Profile {
 
@@ -36,16 +39,53 @@ object Profile {
         struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*))
         .as("m"))
       .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
-    melted.groupBy("col_name")
+    // value compression: one row per distinct (col, value) — nulls form
+    // their own group, so null bookkeeping survives the compression
+    val compressed = melted.groupBy("col_name", "v")
+      .agg(count(lit(1)).as("__cnt"))
+    compressed.groupBy("col_name")
       .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col("v")).as("n_distinct"),
+        sum(col("__cnt")).as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("__cnt"))), lit(0L))
+          .as("n_null"),
+        count(col("v")).as("n_distinct"),
         min(col("v")).as("vmin"),
         max(col("v")).as("vmax"),
-        round(sum(col("v").cast("decimal(38,6)")).cast("double"), 4)
-          .as("vsum"),
-        round(sum(col("v").cast("decimal(38,6)")).cast("double") /
-          count(col("v")), 6).as("vmean"))
+        round(sum(col("v").cast("decimal(38,6)") * col("__cnt"))
+          .cast("double"), 4).as("vsum"),
+        round(sum(col("v").cast("decimal(38,6)") * col("__cnt"))
+          .cast("double") /
+          sum(when(col("v").isNotNull, col("__cnt")).otherwise(0L)), 6)
+          .as("vmean"))
+  }
+
+  /**
+   * Exact equi-width histogram — ANALYZE's other half: `buckets` equal
+   * spans over `[min, max]`, exact counts per non-empty bucket. The
+   * global (min, max) is ONE row, broadcast into the bucketing
+   * projection (the `exactQuantiles` stats shape), so the histogram is
+   * a scan + one tiny `buckets`-key aggregation — no sort, no
+   * data-sized shuffle, any scale. Bucket arithmetic is plain IEEE
+   * (`floor((v-min)/span·buckets)`, top edge clamped into the last
+   * bucket), replayable bit-exactly by an external engine.
+   */
+  def histogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, "Profile.histogram: buckets must be >= 1")
+    val v = col(valueCol).cast("double")
+    val stats = df.filter(v.isNotNull)
+      .agg(min(v).as("__vmin"), max(v).as("__vmax"))
+    val span = col("__vmax") - col("__vmin")
+    val bkt = when(span === 0, lit(0L)).otherwise(
+      least(floor((v - col("__vmin")) / span * buckets).cast("long"),
+        lit(buckets - 1L)))
+    df.filter(v.isNotNull)
+      .join(broadcast(stats))
+      .select(bkt.as("bucket"), col("__vmin").as("__m"), span.as("__s"))
+      .groupBy("bucket", "__m", "__s") // __m/__s constant: keys for free
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"),
+        (col("__m") + col("bucket") * col("__s") / buckets).as("lo"),
+        (col("__m") + (col("bucket") + 1) * col("__s") / buckets).as("hi"),
+        col("cnt"))
   }
 }

@@ -259,6 +259,29 @@ object TextMetrics {
       .drop("__ws")
   }
 
+  /** The built-in PII pattern classes, shared with the `redact` SMT
+    * (`core.Pipeline`): one source of truth for what counts as
+    * email/ipv4/phone across scanning and scrubbing. Order matters to
+    * REDACTION (email and ipv4 must run before the greedy phone rule);
+    * scanning counts each class independently. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "ipv4" -> """(\d{1,3}\.){3}\d{1,3}""",
+    "phone" -> """\+?\d[\d\s().-]{7,}\d""")
+
+  /**
+   * PII scan — the measurement half of the redaction story: per
+   * document, non-overlapping match counts for each PII class
+   * (`n_email`, `n_ipv4`, `n_phone`), the report a compliance pass
+   * runs BEFORE deciding to scrub. Scan-local `regexp_count`
+   * projections (codegen'd, no UDF, no shuffle); aggregate after.
+   */
+  def piiScan(docs: DataFrame, textCol: String,
+              keep: Seq[String]): DataFrame =
+    docs.select((keep.map(col) ++ PiiPatterns.map { case (name, re) =>
+      regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$name")
+    }): _*)
+
   /** Portable polynomial token hash (Rabin–Karp shape, h·31 + code mod
     * 2³¹−1 over the token's chars) — the q40 fingerprint recurrence
     * applied per token, bit-identical in any engine. */

@@ -43,4 +43,35 @@ class ProfileSpec extends SparkTestBase with Matchers {
       .orderBy("col_name").collect().map(r => (r.getDouble(6), r.getDouble(7)))
     shuffled shouldBe base
   }
+
+  test("histogram buckets partition [min,max]: counts total, edges meet, top edge closed") {
+    val ss = spark
+    import ss.implicits._
+    val vals = (0 until 100).map(i => i.toDouble) :+ 100.0
+    val h = Profile.histogram(vals.toDF("v"), "v", 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    h.map(_._4).sum shouldBe vals.length
+    h.map(_._1) shouldBe (0L until 10L).toArray
+    // spans are contiguous and cover [0, 100]
+    h.head._2 shouldBe 0.0
+    h.last._3 shouldBe 100.0
+    h.sliding(2).foreach { case Array(a, b) => a._3 shouldBe b._2 }
+    // v == max lands in the last bucket, not an 11th
+    h.last._4 shouldBe 11 // 90..99 plus the clamped 100
+    // nulls are excluded, not a bucket
+    val withNull = (vals.map(Option(_)) :+ None).toDF("v")
+    Profile.histogram(withNull, "v", 10)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0) shouldBe
+      vals.length
+  }
+
+  test("histogram of a constant column is one zero-span bucket") {
+    val ss = spark
+    import ss.implicits._
+    val h = Profile.histogram(Seq.fill(7)(3.5).toDF("v"), "v", 10).collect()
+    h.length shouldBe 1
+    h.head.getLong(0) shouldBe 0L
+    h.head.getLong(3) shouldBe 7L
+  }
 }

@@ -245,4 +245,28 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     spark.table("t_hls").orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe viaAgg
   }
+
+  test("piiScan counts non-overlapping class matches; clean text is all-zero") {
+    val ss = spark
+    import ss.implicits._
+    val d = Seq(
+      (1L, "reach me at bob@example.com or alice@test.org"),
+      (2L, "server 192.168.0.1 fell over; peer 10.0.0.2 took over"),
+      (3L, "call +1 (555) 123-4567 today"),
+      (4L, "a perfectly clean sentence with number 42"),
+      (5L, "mixed: c@d.io via 8.8.8.8 phone 555-123-9876")
+    ).toDF("id", "text")
+    val got = TextMetrics.piiScan(d, "text", keep = Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got(0) shouldBe ((1L, 2L, 0L, 0L))
+    // the 11-char dotted quad also hits the greedy phone rule; the
+    // 8-char one is below its 9-char floor
+    got(1) shouldBe ((2L, 0L, 2L, 1L))
+    got(2) shouldBe ((3L, 0L, 0L, 1L))
+    got(3) shouldBe ((4L, 0L, 0L, 0L))
+    got(4) shouldBe ((5L, 1L, 1L, 1L))
+    // the scan's classes are the redact SMT's classes — one vocabulary
+    TextMetrics.PiiPatterns.map(_._1) shouldBe Seq("email", "ipv4", "phone")
+  }
 }
