@@ -15,7 +15,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  * keep their curl workflow verbatim.
  *
  * Routes (name = URL path segment):
- *   GET    /connectors                 → 200 `["a","b"]`
+ *   GET    /connectors                 → 200 `["a","b"]`;
+ *          `?expand=info,status` → 200 map `{name:{"info","status"}}`
+ *          (Connect's expanded listing; unknown expand keys ignored)
  *   POST   /connectors        (spec)   → 201 `{"name":...}` | 400 |
  *          409 (name exists — POST is create-only, like Connect; use
  *          PUT /connectors/{name}/config to replace)
@@ -136,13 +138,19 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0,
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")}}""")
     }
 
-  private def status(ex: HttpExchange, name: String): Unit =
+  private def statusJson(name: String): Option[String] =
     registry.status(name) match {
-      case registry.Unknown => respond(ex, 404)
-      case registry.Failed(cause) => respond(ex, 200,
+      case registry.Unknown => None
+      case registry.Failed(cause) => Some(
         s"""{"name":${jstr(name)},"state":"FAILED","trace":${jstr(cause)}}""")
-      case s => respond(ex, 200,
+      case s => Some(
         s"""{"name":${jstr(name)},"state":"${s.toString.toUpperCase}"}""")
+    }
+
+  private def status(ex: HttpExchange, name: String): Unit =
+    statusJson(name) match {
+      case Some(j) => respond(ex, 200, j)
+      case None    => respond(ex, 404)
     }
 
   private def lifecycle(ex: HttpExchange, ok: Boolean, code: Int): Unit =
@@ -291,7 +299,27 @@ final class RestFacade(registry: PipelineRegistry, port: Int = 0,
       .split("/").filter(_.nonEmpty).toList
     try (method, parts) match {
       case ("GET", Nil) =>
-        respond(ex, 200, registry.names.map(jstr).mkString("[", ",", "]"))
+        // Connect's `?expand=info,status`: the listing becomes a map
+        // name → {expanded objects}; unsupported expand keys are
+        // ignored (Connect's leniency). Plain GET stays a name array.
+        val expands = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.startsWith("expand="))
+          .flatMap(_.stripPrefix("expand=").split(","))
+          .map(_.trim).filter(_.nonEmpty).distinct.toSeq
+        if (expands.isEmpty)
+          respond(ex, 200, registry.names.map(jstr).mkString("[", ",", "]"))
+        else {
+          val body = registry.names.sorted.map { n =>
+            val fields = expands.flatMap {
+              case "info" => registry.spec(n).map(sp =>
+                s""""info":{"name":${jstr(n)},"config":${sp.toJson}}""")
+              case "status" => statusJson(n).map(sj => s""""status":$sj""")
+              case _ => None
+            }
+            s"${jstr(n)}:{${fields.mkString(",")}}"
+          }.mkString("{", ",", "}")
+          respond(ex, 200, body)
+        }
       case ("POST", Nil) =>
         // Connect returns 409 when the name already exists: POST is
         // create-only; replacement is PUT /connectors/{name}/config.

@@ -79,6 +79,17 @@ class RestFacadeSpec extends SparkTestBase with Matchers {
       req("PUT", s"$base/p1/config", badTransform).statusCode() shouldBe 400
       req("GET", s"$base/p1/status").body() should include("RUNNING")
 
+      // Connect's expanded listing: map name → requested objects
+      val expanded = req("GET", s"$base?expand=info,status")
+      expanded.statusCode() shouldBe 200
+      expanded.body() should startWith("""{"p1":{"info":{"name":"p1","config":{""")
+      expanded.body() should include(""""status":{"name":"p1","state":"RUNNING"}""")
+      val statusOnly = req("GET", s"$base?expand=status").body()
+      statusOnly should include(""""status"""")
+      (statusOnly should not).include(""""info"""")
+      // unknown expand keys are ignored, Connect-style
+      req("GET", s"$base?expand=bogus").body() shouldBe """{"p1":{}}"""
+
       // GET config is PUT-able back verbatim (fromJson∘toJson identity)
       val cfg = req("GET", s"$base/p1/config")
       cfg.statusCode() shouldBe 200
