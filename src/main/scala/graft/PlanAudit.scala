@@ -15,7 +15,9 @@ object PlanAudit {
     "q54_knn_join", "q61_gapfill",
     // q75/q76: the per-round centroid set collapses to ONE broadcast row
     // (collect_list) — the crossJoin against it is a C·d-double constant
-    "q75_kmeans_refine", "q76_ivf_trained", "q78_ivf_knn_join")
+    "q75_kmeans_refine", "q76_ivf_trained", "q78_ivf_knn_join",
+    // q91: the histogram's global (min,max) is ONE broadcast row
+    "q91_histogram")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")
