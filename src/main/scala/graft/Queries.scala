@@ -547,7 +547,16 @@ object Queries {
       .select(col("d1"), col("d2"), round(col("cosine"), 4).as("cosine"))
       .orderBy("d1", "d2")
 
-  private def embNearDupOracle: String = {
+  private def embNearDupOracle: String =
+    embPairOracle("a.vec_id < b.vec_id", "d1", "d2")
+
+  /** q93's oracle: same inlined-hyperplane blocking, cross-split pairs. */
+  private def crossEmbOracle: String =
+    embPairOracle("a.vec_id % 7 = 0 AND b.vec_id % 7 <> 0", "eval_id", "train_id")
+
+  /** Sign-LSH + exact-cosine pair oracle, parameterized by the pair
+    * predicate and output id column names (shared by q37 and q93). */
+  private def embPairOracle(pairPred: String, c1: String, c2: String): String = {
     def codeExpr(vecSql: String): String =
       lshPlanes.zipWithIndex.map { case (p, i) =>
         s"(CASE WHEN list_dot_product(list_transform($vecSql, x -> round(x * 1024)), " +
@@ -555,11 +564,11 @@ object Queries {
       }.mkString(" + ")
     s"WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, " +
       s"${codeExpr("CAST(embedding AS DOUBLE[])")} AS code FROM embeddings), " +
-      "p AS (SELECT a.vec_id AS d1, b.vec_id AS d2, a.e AS ae, b.e AS be FROM c a JOIN c b " +
-      "ON a.vec_id < b.vec_id AND bit_count(xor(a.code, b.code)) <= 2), " +
-      "s AS (SELECT d1, d2, list_dot_product(ae, be) / " +
+      s"p AS (SELECT a.vec_id AS $c1, b.vec_id AS $c2, a.e AS ae, b.e AS be FROM c a JOIN c b " +
+      s"ON $pairPred AND bit_count(xor(a.code, b.code)) <= 2), " +
+      s"s AS (SELECT $c1, $c2, list_dot_product(ae, be) / " +
       "(sqrt(list_dot_product(ae, ae)) * sqrt(list_dot_product(be, be))) AS cs FROM p) " +
-      "SELECT d1, d2, ROUND(cs, 4) AS cosine FROM s WHERE cs >= 0.3 ORDER BY d1, d2"
+      s"SELECT $c1, $c2, ROUND(cs, 4) AS cosine FROM s WHERE cs >= 0.3 ORDER BY $c1, $c2"
   }
 
   /** Q34 as-of join (§2.3): each purchase event enriched with the
@@ -1642,6 +1651,60 @@ object Queries {
         round(col("hi"), 4).as("hi"), col("cnt"))
       .orderBy("bucket")
 
+  /** Q92 fuzzy eval-set decontamination (the near-dup complement of
+    * q70's verbatim n-gram leak check — Gopher/Llama report leakage as
+    * near-duplicate overlap, not just exact 13-gram hits): eval split
+    * `doc_id % 7 = 0`, train = rest; one MinHash/LSH pass over the
+    * whole corpus generates only CROSS-split candidates, the exact
+    * Jaccard residual (≥ 0.8 on 3-word shingles) makes each reported
+    * leak exact. Output is the leak pair list itself — the actionable
+    * artifact (which train docs to drop). Oracle is the brute-force
+    * cross-pairs formulation, same as q30's. */
+  val q92: Q = (s, dir) =>
+    Dedup.crossNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        id => id % 7 === 0, threshold = 0.8, shingleWidth = 3,
+        bands = 16, rowsPerBand = 3)
+      .select(col("d1").as("eval_id"), col("d2").as("train_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("eval_id", "train_id")
+
+  /** Q93 semantic eval-set decontamination (the embedding-space
+    * complement of q92 — catches leaks whose surface form changed but
+    * whose meaning didn't): eval split `vec_id % 7 = 0` vs train, one
+    * sign-LSH coding pass (radius 2 of 8 bits, exact pigeonhole) over
+    * the whole embeddings table, cross-split candidates only, exact
+    * cosine ≥ 0.3 residual. Same deterministic inlined hyperplanes as
+    * q37, so the oracle replays the blocking exactly. */
+  val q93: Q = (s, dir) =>
+    Dedup.crossEmbeddingNearDupPairs(
+        Tables.embeddings(s, dir).withColumn("e", col("embedding").cast("array<double>")),
+        "vec_id", "e", planes = lshPlanes, codeRadius = 2, threshold = 0.3,
+        isLeftId = id => id % 7 === 0)
+      .select(col("d1").as("eval_id"), col("d2").as("train_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy("eval_id", "train_id")
+
+  /** Q94 leakage-free train/holdout split (the step after q55: clusters
+    * exist so splits can RESPECT them): every doc draws its split from
+    * its duplicate-cluster representative via the portable selector
+    * hash — near-dup copies can never straddle the boundary, which is
+    * the whole point of deduplicating before splitting. 900‰ train.
+    * Only (doc_id, lang) travels through the cluster join; the oracle
+    * replays q55's transitive closure + the same draw arithmetic. */
+  val q94: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val clusters = Dedup.dupClusters(
+        Dedup.nearDupPairs(docs, "doc_id", "text",
+          threshold = 0.8, shingleWidth = 3, bands = 16, rowsPerBand = 3),
+        "d1", "d2")
+      .select(col("id").as("__member"), col("cluster_id").as("__label"))
+    Sampling.clusterAwareSplit(docs.select("doc_id", "lang"), "doc_id",
+        clusters, "__member", "__label", trainPermille = 900)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1736,6 +1799,9 @@ object Queries {
     "q89_quantile_filter" -> q89,
     "q90_pii_scan" -> q90,
     "q91_histogram" -> q91,
+    "q92_fuzzy_decontamination" -> q92,
+    "q93_semantic_decontamination" -> q93,
+    "q94_cluster_split" -> q94,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2510,5 +2576,44 @@ object Queries {
         "SELECT bucket, ROUND(m + bucket * sp / 16, 4) AS lo, " +
         "ROUND(m + (bucket + 1) * sp / 16, 4) AS hi, COUNT(*) AS cnt " +
         "FROM b GROUP BY bucket, m, sp ORDER BY bucket"),
+    "q92_fuzzy_decontamination" ->
+      // brute-force cross-split pairs, same formulation as the q30
+      // oracle with the split predicate replacing the id ordering
+      ("WITH toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+        "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), " +
+        "j AS (SELECT a.doc_id AS eval_id, b.doc_id AS train_id, " +
+        "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
+        "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac " +
+        "FROM sh a JOIN sh b ON a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0 " +
+        "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 " +
+        "WHERE len(a.ts) > 0 AND len(b.ts) > 0) " +
+        "SELECT eval_id, train_id, ROUND(jac, 4) AS jaccard FROM j " +
+        "WHERE jac >= 0.8 ORDER BY eval_id, train_id"),
+    "q93_semantic_decontamination" -> crossEmbOracle,
+    "q94_cluster_split" ->
+      // q55's transitive closure, then the portable selector draw on
+      // the cluster representative (singletons draw on their own id)
+      ("WITH RECURSIVE toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+        "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), " +
+        "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
+        "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 " +
+        "WHERE len(a.ts) > 0 AND len(b.ts) > 0), " +
+        "p AS (SELECT d1, d2 FROM j WHERE jac >= 0.8), " +
+        "nodes AS (SELECT d1 AS id FROM p UNION SELECT d2 FROM p), " +
+        "edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p), " +
+        "reach(id, lbl) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
+        "cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id), " +
+        "a AS (SELECT d.lang, CASE WHEN " +
+        "(COALESCE(c.cluster_id, d.doc_id) * 2654435761) % 1000000007 * 1000 " +
+        "< 900 * CAST(1000000007 AS BIGINT) THEN 'train' ELSE 'holdout' END AS split " +
+        "FROM documents d LEFT JOIN cl c USING (doc_id)) " +
+        "SELECT lang, split, COUNT(*) AS n_docs FROM a " +
+        "GROUP BY lang, split ORDER BY lang, split"),
   )
 }

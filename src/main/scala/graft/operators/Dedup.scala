@@ -290,14 +290,53 @@ object Dedup {
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             planes: Array[Array[Int]], codeRadius: Int,
                             threshold: Double): DataFrame = {
+    val buckets = signCodeBuckets(emb, idCol, vecCol, planes, codeRadius)
+    val pairs = buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.__ck") === col("b.__ck") && col("a.__id") < col("b.__id"))
+      .filter(bit_count(col("a.__c").bitwiseXOR(col("b.__c"))) <= codeRadius)
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
+      .distinct()
+    exactCosineResidual(pairs, emb, idCol, vecCol, threshold)
+  }
+
+  /**
+   * Cross-split embedding near-dup pairs — semantic eval-set
+   * decontamination: [[crossNearDupPairs]] catches paraphrase leaks the
+   * lexical way (shared shingles), this catches them in embedding
+   * space (shared meaning under a different surface form). Same
+   * sign-LSH pigeonhole blocking + exact-cosine residual as
+   * [[embeddingNearDupPairs]], codes computed ONCE over the whole
+   * table, candidates restricted to pairs straddling `isLeftId`.
+   * Output: (d1 ∈ left/eval, d2 ∈ right/train, exact cosine ≥
+   * threshold).
+   */
+  def crossEmbeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                                 planes: Array[Array[Int]], codeRadius: Int,
+                                 threshold: Double,
+                                 isLeftId: Column => Column): DataFrame = {
+    val buckets = signCodeBuckets(emb, idCol, vecCol, planes, codeRadius)
+    val pairs = buckets.filter(isLeftId(col("__id"))).alias("a")
+      .join(buckets.filter(!isLeftId(col("__id"))).alias("b"),
+        col("a.__ck") === col("b.__ck"))
+      .filter(bit_count(col("a.__c").bitwiseXOR(col("b.__c"))) <= codeRadius)
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
+      .distinct()
+    exactCosineResidual(pairs, emb, idCol, vecCol, threshold)
+  }
+
+  /**
+   * Shared sign-LSH blocking backbone: per-id code + exploded
+   * pigeonhole chunk keys. Bucket joins over this carry only
+   * (id, code) — 16 bytes/row.
+   */
+  private def signCodeBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                              planes: Array[Array[Int]],
+                              codeRadius: Int): DataFrame = {
     val nChunks = codeRadius + 1
     val nBits = planes.length
     require(nBits >= nChunks, "need at least codeRadius+1 code bits")
     val width = nBits / nChunks
-    // Bucket join carries only (id, code) — 16 bytes/row; the vectors
-    // rejoin AFTER pair dedup so each surviving pair pays exactly one
-    // (interpreted — higher-order fns don't codegen) dot product, with
-    // per-id norms precomputed once.
     val codes = emb.select(col(idCol).as("__id"),
       Similarity.signCode(col(vecCol), planes).as("__c"))
     val chunkCols = (0 until nChunks).map { i =>
@@ -307,14 +346,19 @@ object Dedup {
         else shiftrightunsigned(col("__c"), lo).bitwiseAND((1L << width) - 1)
       struct(lit(i).as("i"), bits.as("bits"))
     }
-    val buckets = codes.select(col("__id"), col("__c"),
+    codes.select(col("__id"), col("__c"),
       explode(array(chunkCols: _*)).as("__ck"))
-    val pairs = buckets.alias("a")
-      .join(buckets.alias("b"),
-        col("a.__ck") === col("b.__ck") && col("a.__id") < col("b.__id"))
-      .filter(bit_count(col("a.__c").bitwiseXOR(col("b.__c"))) <= codeRadius)
-      .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
-      .distinct()
+  }
+
+  /**
+   * Exact-cosine residual over a candidate pair set: the vectors
+   * rejoin AFTER pair dedup so each surviving pair pays exactly one
+   * (interpreted — higher-order fns don't codegen) dot product, with
+   * per-id norms precomputed once.
+   */
+  private def exactCosineResidual(pairs: DataFrame, emb: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  threshold: Double): DataFrame = {
     val vecs = emb.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
       sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("__n"))
     pairs
@@ -484,6 +528,60 @@ object Dedup {
                    threshold: Double, shingleWidth: Int = 3,
                    bands: Int = 16, rowsPerBand: Int = 3,
                    charLevel: Boolean = false): DataFrame = {
+    val (sh, sig, buckets) =
+      lshBackbone(docs, idCol, textCol, shingleWidth, bands, rowsPerBand, charLevel)
+
+    val candidates = buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.__bk") === col("b.__bk") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
+      .distinct()
+
+    exactJaccardResidual(candidates, sh, sig, threshold)
+  }
+
+  /**
+   * Cross-split near-duplicate pairs — the fuzzy half of eval-set
+   * decontamination (q70 catches verbatim n-gram leaks; this catches
+   * paraphrase-level leaks that survive light edits). Same
+   * MinHash/LSH + exact-residual machinery as [[nearDupPairs]], but the
+   * corpus is shingled and minhashed ONCE and only candidates that
+   * CROSS the split are generated: buckets are partitioned by
+   * `isLeftId` (a predicate on the id column, so the side is computed
+   * inline and never joined in) and the band equi-join pairs left
+   * buckets against right buckets only. Within-split duplicates —
+   * the overwhelming majority in a replicated corpus — never become
+   * candidates, so the residual work tracks the cross-split hit count,
+   * not the total duplicate count. Output: (d1 ∈ left, d2 ∈ right,
+   * exact jaccard ≥ threshold).
+   */
+  def crossNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                        isLeftId: Column => Column, threshold: Double,
+                        shingleWidth: Int = 3, bands: Int = 16,
+                        rowsPerBand: Int = 3,
+                        charLevel: Boolean = false): DataFrame = {
+    val (sh, sig, buckets) =
+      lshBackbone(docs, idCol, textCol, shingleWidth, bands, rowsPerBand, charLevel)
+
+    // sides are disjoint by construction, so no id-ordering tie-break
+    // is needed; d1 is always the left (eval) doc
+    val candidates = buckets.filter(isLeftId(col("__id"))).alias("a")
+      .join(buckets.filter(!isLeftId(col("__id"))).alias("b"),
+        col("a.__bk") === col("b.__bk"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
+      .distinct()
+
+    exactJaccardResidual(candidates, sh, sig, threshold)
+  }
+
+  /**
+   * Shared LSH backbone: lazily-checkpointed shingle hash rows, the
+   * per-doc minhash signature (+ distinct-shingle count `__n`), and
+   * the exploded band buckets `(__id, __bk)`.
+   */
+  private def lshBackbone(docs: DataFrame, idCol: String, textCol: String,
+                          shingleWidth: Int, bands: Int, rowsPerBand: Int,
+                          charLevel: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val k = bands * rowsPerBand
     // The shingle rows feed THREE consumers (signature aggregate + both
     // sides of the intersection join); localCheckpoint materializes them
@@ -507,13 +605,16 @@ object Dedup {
           col(s"__m${i * rowsPerBand + r}").as(s"h$r")): _*).as("sig"))
     }
     val buckets = sig.select(col("__id"), explode(array(bandCols: _*)).as("__bk"))
+    (sh, sig, buckets)
+  }
 
-    val candidates = buckets.alias("a")
-      .join(buckets.alias("b"),
-        col("a.__bk") === col("b.__bk") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
-      .distinct()
-
+  /**
+   * Size-ratio prune + exact-Jaccard residual over a candidate pair
+   * set `(d1, d2)`: false positives are impossible downstream of this,
+   * whatever generated the candidates.
+   */
+  private def exactJaccardResidual(candidates: DataFrame, sh: DataFrame,
+                                   sig: DataFrame, threshold: Double): DataFrame = {
     // size-ratio prune BEFORE the expensive intersection: J(A,B) ≤
     // min(|A|,|B|)/max(|A|,|B|), so a qualifying pair must have
     // min ≥ t·max. The 1e-9 slack keeps the bound sound under float

@@ -236,6 +236,40 @@ object Sampling {
    * so the survivor pass is a pure filter over the scan with no new
    * shuffle; the only exchanges are exactQuantiles' own bounded stages.
    */
+  /**
+   * Leakage-free train/holdout split assignment: every document draws
+   * its split from its duplicate-cluster REPRESENTATIVE (the cluster
+   * label for clustered docs, the doc's own id for singletons), so the
+   * members of a near-duplicate cluster can never straddle the split
+   * boundary — the standard guard against a model being "validated" on
+   * near-copies of its training rows. The draw is the portable
+   * [[selector]] hash, so the assignment is deterministic, engine-
+   * replayable, and stable under re-runs.
+   *
+   * `clusters` is a [[graft.operators.Dedup.dupClusters]]-shaped table
+   * (`memberCol`, `labelCol`) — one row per doc that appears in any
+   * duplicate pair; docs absent from it are singletons by construction.
+   *
+   * Scale shape: one equi-join on the id between `df` and the cluster
+   * table (a vanishing fraction of the corpus — only dup members), then
+   * a pure projection. Pass a PRUNED `df` (id + the columns the
+   * downstream aggregation needs): the assignment never needs the text,
+   * so the text should not travel through the join's exchange.
+   */
+  def clusterAwareSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                        memberCol: String, labelCol: String,
+                        trainPermille: Int): DataFrame = {
+    require(trainPermille >= 0 && trainPermille <= 1000,
+      "trainPermille must be in [0, 1000]")
+    val rep = coalesce(col(labelCol), col(idCol))
+    df.join(clusters, df(idCol) === clusters(memberCol), "left")
+      .withColumn("split",
+        when(selector(rep) * 1000 <
+            lit(trainPermille.toLong) * lit(Dedup.PortableHashP), "train")
+          .otherwise("holdout"))
+      .drop(memberCol, labelCol)
+  }
+
   def quantileThresholdFilter(df: DataFrame, groupCols: Seq[String],
                               valueCol: String, q: Double): DataFrame = {
     val thrCol = Iterator.from(0).map(i => s"__qtf_thr$i")

@@ -149,6 +149,98 @@ object StreamingOps {
   }
 
   /**
+   * Streaming fuzzy decontamination — the continuous twin of
+   * `Dedup.crossNearDupPairs`: arriving (train-side) documents are
+   * checked for near-duplicate overlap against a STATIC eval corpus
+   * before they ever land in the training set. Same MinHash/LSH
+   * banding + exact-Jaccard residual, restructured for a stream:
+   *
+   *  - the eval side is precomputed ONCE as a band table carrying each
+   *    eval doc's full signature and distinct shingle-hash array, and
+   *    broadcast (an eval benchmark is small by construction);
+   *  - the arriving doc's shingle hashes, minhash signature and band
+   *    keys are computed IN-ROW with higher-order array expressions —
+   *    the same typed-seam exemption as the multimodal decode edge;
+   *    this is the per-row stream path, not the batch hot path. The
+   *    hash basis is IDENTICAL to `Dedup.shingleHashRows` (xxhash64
+   *    over the window's token columns, then xxhash64(j, h) minima),
+   *    so banding decisions match the batch operator bit-for-bit;
+   *  - candidate dedup needs NO stream state: a (train, eval) pair is
+   *    emitted only from its MINIMUM matching band — recomputable from
+   *    the two carried signatures at join time — so the band explosion
+   *    yields each pair exactly once without `distinct`;
+   *  - the exact-Jaccard residual is a projection over the two carried
+   *    hash arrays (`array_intersect` on distinct sets == the batch
+   *    intersection-join counts).
+   *
+   * Entirely stateless (append mode, no watermark): the static side is
+   * the only memory. Output: (train id, eval_id, exact jaccard ≥
+   * threshold), one row per leak — stream == batch row-for-row
+   * (StreamingSpec pins it on a replayed MemoryStream).
+   */
+  def crossNearDupStream(stream: DataFrame, idCol: String, textCol: String,
+                         evalDocs: DataFrame, evalIdCol: String,
+                         evalTextCol: String, threshold: Double,
+                         shingleWidth: Int = 3, bands: Int = 16,
+                         rowsPerBand: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    val k = bands * rowsPerBand
+
+    // static eval side: band key -> (eval_id, full signature, shingle set)
+    val sh = Dedup.shingleHashRows(evalDocs, evalIdCol, evalTextCol, shingleWidth)
+    val sigCols = (0 until k).map(j =>
+      min(xxhash64(lit(j.toLong), col("__sh"))).as(s"__m$j"))
+    val agg = sh.groupBy("__id")
+      .agg(sigCols.head, sigCols.tail :+ collect_list(col("__sh")).as("__esh"): _*)
+    val eBandCols = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        struct((0 until rowsPerBand).map(r =>
+          col(s"__m${i * rowsPerBand + r}").as(s"h$r")): _*).as("sig"))
+    }
+    val evalBands = agg.select(col("__id").as("eval_id"),
+      array((0 until k).map(j => col(s"__m$j")): _*).as("__esig"),
+      col("__esh"),
+      explode(array(eBandCols: _*)).as("__ebk"))
+
+    // stream side: shingle hashes, signature and band keys in-row
+    val toksC = split(Dedup.normText(col(textCol)), " ")
+    val shArr = array_distinct(transform(
+      when(size(toksC) >= shingleWidth,
+        sequence(lit(0), size(toksC) - shingleWidth))
+        .otherwise(array().cast("array<int>")),
+      i => xxhash64((0 until shingleWidth).map(w =>
+        element_at(toksC, i + w + 1)): _*)))
+    val sigExprs = (0 until k).map(j =>
+      array_min(transform(col("__ssh"), h => xxhash64(lit(j.toLong), h))))
+    val sBandCols = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        struct((0 until rowsPerBand).map(r =>
+          element_at(col("__ssig"), i * rowsPerBand + r + 1).as(s"h$r")): _*).as("sig"))
+    }
+    val sBands = stream
+      .select(col(idCol).as("__sid"), shArr.as("__ssh"))
+      .filter(size(col("__ssh")) > 0)
+      .withColumn("__ssig", array(sigExprs: _*))
+      .select(col("__sid"), col("__ssh"), col("__ssig"),
+        explode(array(sBandCols: _*)).as("__bk"))
+
+    // min-matching-band filter makes the pair unique without distinct
+    val matching = filter(sequence(lit(0), lit(bands - 1)), i =>
+      (0 until rowsPerBand).map(r =>
+        element_at(col("__ssig"), i * rowsPerBand + (r + 1)) ===
+          element_at(col("__esig"), i * rowsPerBand + (r + 1)))
+        .reduce(_ && _))
+    val inter = size(array_intersect(col("__ssh"), col("__esh")))
+    val union = size(col("__ssh")) + size(col("__esh")) - inter
+    sBands
+      .join(broadcast(evalBands), col("__bk") === col("__ebk"))
+      .filter(element_at(matching, 1) === col("__bk.band"))
+      .select(col("__sid").as(idCol), col("eval_id"),
+        (inter.cast("double") / union).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
    * Streaming per-key latest state (ST8 / A1): `mapGroupsWithState`
    * keeping, per key, the record that ranks highest under `newer`.
    * Emits the updated state for every key touched by a micro-batch

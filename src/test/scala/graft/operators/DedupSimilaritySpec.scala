@@ -86,6 +86,24 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
       .orderBy("d1", "d2")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
 
+  test("crossNearDupPairs equals nearDupPairs restricted to cross-split pairs") {
+    val d = Tables.documents(spark, sf0001)
+    val all = runLsh(d) // normalized d1 < d2, exact jaccard >= 0.8
+    // pick an eval side guaranteed to produce cross hits: the first few
+    // left ids of real pairs (their partners stay on the train side
+    // unless they are themselves picked — then the pair is within-split
+    // and must NOT be reported)
+    val evalIds = all.map(_._1).distinct.take(3).toSet
+    val expected = (all.collect { case (a, b, j) if evalIds(a) && !evalIds(b) => (a, b, j) } ++
+      all.collect { case (a, b, j) if evalIds(b) && !evalIds(a) => (b, a, j) }).sorted
+    val got = Dedup.crossNearDupPairs(d, "doc_id", "text",
+        id => id.isInCollection(evalIds), threshold = 0.8)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got should contain theSameElementsInOrderAs expected
+    got.length should be > 0
+  }
+
   test("dupClusters: transitive chains collapse, disjoint groups stay apart") {
     val ss = spark
     import ss.implicits._

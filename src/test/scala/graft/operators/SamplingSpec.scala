@@ -190,4 +190,29 @@ class SamplingSpec extends SparkTestBase with Matchers {
       .select("doc_id").as[Long].collect().sorted
     again shouldBe kept
   }
+
+  test("clusterAwareSplit: cluster members land together; singletons draw on their own id") {
+    val ss = spark
+    import ss.implicits._
+    val docs = (1L to 200L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
+    // clusters: {1..10} labeled 1, {50,51} labeled 50; rest singletons
+    val clusters = ((1L to 10L).map(i => (i, 1L)) ++ Seq((50L, 50L), (51L, 50L)))
+      .toDF("__member", "__label")
+    val out = Sampling.clusterAwareSplit(docs, "doc_id", clusters,
+        "__member", "__label", trainPermille = 700)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.size shouldBe 200
+    // every member of a cluster shares its representative's split
+    (1L to 10L).map(out).distinct.length shouldBe 1
+    Seq(50L, 51L).map(out).distinct.length shouldBe 1
+    // singleton draws replay the portable selector on the own id
+    val p = Dedup.PortableHashP
+    (100L to 110L).foreach { id =>
+      val want = if (Math.floorMod(id * 2654435761L, p) * 1000 < 700L * p)
+        "train" else "holdout"
+      out(id) shouldBe want
+    }
+    // both splits are populated at this rate
+    out.values.toSet shouldBe Set("train", "holdout")
+  }
 }

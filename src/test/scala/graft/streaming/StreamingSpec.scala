@@ -389,6 +389,47 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.length should be < rows.length // history hits + dups really dropped
   }
 
+  test("crossNearDupStream equals batch crossNearDupPairs across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val all = Tables.documents(spark, sf0001)
+    // eval side guaranteed to have near-dup partners on the train side
+    val evalIds = Dedup.nearDupPairs(all, "doc_id", "text", threshold = 0.8)
+      .select("d1").distinct().as[Long].collect().sorted.take(3).toSet
+    val evalDocs = all.filter(col("doc_id").isInCollection(evalIds))
+    val trainRows = all.filter(!col("doc_id").isInCollection(evalIds))
+      .select("doc_id", "text", "lang").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), r.getString(2),
+        1700000000000L))
+      .sortBy(_.doc_id)
+
+    val input = MemoryStream[Doc]
+    val query = StreamingOps.crossNearDupStream(input.toDF(), "doc_id", "text",
+        evalDocs, "doc_id", "text", threshold = 0.8)
+      .writeStream.format("memory").queryName("t_cross_neardup")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val half = trainRows.length / 2
+      input.addData(trainRows.take(half))
+      query.processAllAvailable()
+      input.addData(trainRows.drop(half))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // stream emits (train, eval, jaccard); batch emits (eval, train, j)
+    val got = spark.table("t_cross_neardup")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).sorted
+    val want = Dedup.crossNearDupPairs(all, "doc_id", "text",
+        id => id.isInCollection(evalIds), threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    got should contain theSameElementsInOrderAs want
+    got.length should be > 0
+  }
+
   test("scd2Stream fails loudly on an out-of-order change across micro-batches") {
     val ss = spark
     import ss.implicits._

@@ -64,6 +64,29 @@ def main(v01, v10, sf01, copies=10):
         """
         all_ok &= check(con, q, expected, f"{v10}/{q}/*.parquet")
 
+    # q92 cross-split near-dup: the split predicate (doc_id % 7 = 0) is
+    # NOT replica-invariant (OFF % 7 = 2, so each copy lands in a
+    # different residue class) — derive from q30's FULL sf0.1 pair list
+    # (same threshold/shingles/banding), emitting (eval, train) in both
+    # directions, plus identity replica pairs that straddle the split.
+    base30 = f"read_parquet('{v01}/q30_neardup_minhash/*.parquet')"
+    expected92 = f"""
+      SELECT d1 + ci.i * {OFF} AS eval_id, d2 + cj.i * {OFF} AS train_id, jaccard
+      FROM {base30}, copies ci, copies cj
+      WHERE (d1 + ci.i * {OFF}) % 7 = 0 AND (d2 + cj.i * {OFF}) % 7 <> 0
+      UNION ALL
+      SELECT d2 + ci.i * {OFF}, d1 + cj.i * {OFF}, jaccard
+      FROM {base30}, copies ci, copies cj
+      WHERE (d2 + ci.i * {OFF}) % 7 = 0 AND (d1 + cj.i * {OFF}) % 7 <> 0
+      UNION ALL
+      SELECT doc_id + ci.i * {OFF}, doc_id + cj.i * {OFF}, 1.0
+      FROM docs, copies ci, copies cj
+      WHERE ci.i <> cj.i AND (doc_id + ci.i * {OFF}) % 7 = 0
+        AND (doc_id + cj.i * {OFF}) % 7 <> 0
+    """
+    all_ok &= check(con, "q92_fuzzy_decontamination", expected92,
+                    f"{v10}/q92_fuzzy_decontamination/*.parquet")
+
     base55 = f"read_parquet('{v01}/q55_dup_clusters/*.parquet')"
     expected55 = f"""
       SELECT d.doc_id + c.i * {OFF} AS doc_id,
@@ -72,6 +95,26 @@ def main(v01, v10, sf01, copies=10):
     """
     all_ok &= check(con, "q55_dup_clusters", expected55,
                     f"{v10}/q55_dup_clusters/*.parquet")
+
+    # q94 cluster-aware split: at sf1.0 EVERY doc is clustered (its 9
+    # replicas are mutual exact dups), and the cluster representative is
+    # always coalesce(base cluster label, base doc id) — the min member
+    # id lands on copy 0. The draw (portable selector on the rep) is
+    # therefore identical to the base doc's sf0.1 draw, replayed here
+    # structurally from the base cluster table rather than assumed.
+    expected94 = f"""
+      SELECT dl.lang,
+             CASE WHEN (coalesce(b.cluster_id, dl.doc_id) * 2654435761)
+                  % 1000000007 * 1000 < 900 * CAST(1000000007 AS BIGINT)
+                  THEN 'train' ELSE 'holdout' END AS split,
+             count(*) AS n_docs
+      FROM (SELECT doc_id, lang
+            FROM read_parquet('{sf01}/documents.parquet')) dl
+      LEFT JOIN {base55} b USING (doc_id), copies c
+      GROUP BY 1, 2
+    """
+    all_ok &= check(con, "q94_cluster_split", expected94,
+                    f"{v10}/q94_cluster_split/*.parquet")
     return 0 if all_ok else 1
 
 
