@@ -1705,6 +1705,42 @@ object Queries {
       .orderBy("lang", "split")
   }
 
+  /** Q95 end-to-end corpus preparation (the composition gate for the
+    * whole training-data family, as q60 is for dedup alone): exact
+    * dedup → ONE near-dup pair computation feeding BOTH the eval-leak
+    * filter (q92's cross-split restriction, applied as a plain filter
+    * on the pair list) and duplicate clustering → drop the eval split
+    * and leaked train docs → cluster-aware leakage-free split (q94) →
+    * per (lang, split) corpus stats. Dedup-first composition makes the
+    * result replica-invariant: at sf1.0 only copy-0 survives exact
+    * dedup, so the output EQUALS the sf0.1 output (the derivation the
+    * sweep uses). */
+  val q95: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val surv = d.join(Dedup.exactSurvivors(d, "doc_id", "text"), "doc_id")
+    // two consumers (leak filter + clustering): materialize once
+    val pairs = Dedup.nearDupPairs(surv, "doc_id", "text",
+        threshold = 0.8, shingleWidth = 3, bands = 16, rowsPerBand = 3)
+      .localCheckpoint(eager = false)
+    val leaked = pairs
+      .filter(col("d1") % 7 === 0 && col("d2") % 7 =!= 0)
+      .select(col("d2").as("doc_id"))
+      .union(pairs
+        .filter(col("d2") % 7 === 0 && col("d1") % 7 =!= 0)
+        .select(col("d1").as("doc_id")))
+      .distinct()
+    val clusters = Dedup.dupClusters(pairs, "d1", "d2")
+      .select(col("id").as("__member"), col("cluster_id").as("__label"))
+    val clean = surv.filter(col("doc_id") % 7 =!= 0)
+      .join(leaked, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+    Sampling.clusterAwareSplit(clean, "doc_id", clusters,
+        "__member", "__label", trainPermille = 900)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "split")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1802,6 +1838,7 @@ object Queries {
     "q92_fuzzy_decontamination" -> q92,
     "q93_semantic_decontamination" -> q93,
     "q94_cluster_split" -> q94,
+    "q95_corpus_prep" -> q95,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2615,5 +2652,36 @@ object Queries {
         "FROM documents d LEFT JOIN cl c USING (doc_id)) " +
         "SELECT lang, split, COUNT(*) AS n_docs FROM a " +
         "GROUP BY lang, split ORDER BY lang, split"),
+    "q95_corpus_prep" ->
+      // q60's survivors + pair graph, q92's cross-split leak filter,
+      // q55's closure, q94's draw — composed in one statement
+      ("WITH RECURSIVE surv AS (SELECT MIN(doc_id) AS doc_id FROM documents " +
+        "GROUP BY lower(trim(text))), " +
+        "docs2 AS (SELECT d.* FROM documents d JOIN surv USING (doc_id)), " +
+        "toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM docs2), " +
+        "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+        "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), " +
+        "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
+        "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 " +
+        "WHERE len(a.ts) > 0 AND len(b.ts) > 0), " +
+        "p AS (SELECT d1, d2 FROM j WHERE jac >= 0.8), " +
+        "leaked AS (SELECT d2 AS doc_id FROM p WHERE d1 % 7 = 0 AND d2 % 7 <> 0 " +
+        "UNION SELECT d1 FROM p WHERE d2 % 7 = 0 AND d1 % 7 <> 0), " +
+        "nodes AS (SELECT d1 AS id FROM p UNION SELECT d2 FROM p), " +
+        "edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p), " +
+        "reach(id, lbl) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
+        "cc AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id), " +
+        "clean AS (SELECT d.doc_id, d.lang, d.n_chars FROM docs2 d " +
+        "WHERE d.doc_id % 7 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM leaked)), " +
+        "a AS (SELECT c.lang, c.n_chars, CASE WHEN " +
+        "(COALESCE(cc.cluster_id, c.doc_id) * 2654435761) % 1000000007 * 1000 " +
+        "< 900 * CAST(1000000007 AS BIGINT) THEN 'train' ELSE 'holdout' END AS split " +
+        "FROM clean c LEFT JOIN cc ON c.doc_id = cc.id) " +
+        "SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM a GROUP BY lang, split ORDER BY lang, split"),
   )
 }

@@ -115,6 +115,16 @@ def main(v01, v10, sf01, copies=10):
     """
     all_ok &= check(con, "q94_cluster_split", expected94,
                     f"{v10}/q94_cluster_split/*.parquet")
+
+    # q95 end-to-end corpus prep is replica-INVARIANT: replicas share
+    # text verbatim and copy-0 ids sort below every shifted id, so
+    # exact dedup keeps exactly the base survivors — the entire
+    # downstream (pair graph, leak filter, closure, split draw) then
+    # runs on identical rows and the sf1.0 result EQUALS the sf0.1
+    # result verbatim.
+    expected95 = f"SELECT * FROM read_parquet('{v01}/q95_corpus_prep/*.parquet')"
+    all_ok &= check(con, "q95_corpus_prep", expected95,
+                    f"{v10}/q95_corpus_prep/*.parquet")
     return 0 if all_ok else 1
 
 
