@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -238,6 +238,63 @@ object StreamingOps {
       .select(col("__sid").as(idCol), col("eval_id"),
         (inter.cast("double") / union).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Streaming semantic decontamination — the continuous twin of
+   * `Dedup.crossEmbeddingNearDupPairs`, completing the streaming leak
+   * checks (verbatim n-grams: `contaminatedAgainst` stream-static;
+   * lexical near-dup: [[crossNearDupStream]]; this: embedding space).
+   * The arriving vector's sign-LSH code is one in-row codegen'd
+   * expression (`Similarity.signCode`); the static eval side is a
+   * broadcast table of pigeonhole chunk keys carrying full codes,
+   * vectors and precomputed norms. Pair dedup again needs NO stream
+   * state: a matching chunk is a chunk where the XOR of the two codes
+   * is all-zero, so the FIRST matching chunk is recomputable at join
+   * time (`array_position` over the per-chunk zero tests — no dynamic
+   * shifts) and each pair is emitted exactly once. Exact-cosine
+   * residual as a projection. Stateless, append mode.
+   */
+  def crossEmbeddingNearDupStream(stream: DataFrame, idCol: String,
+                                  vecCol: String, evalEmb: DataFrame,
+                                  evalIdCol: String, evalVecCol: String,
+                                  planes: Array[Array[Int]], codeRadius: Int,
+                                  threshold: Double): DataFrame = {
+    import graft.operators.Similarity
+    val nChunks = codeRadius + 1
+    val nBits = planes.length
+    require(nBits >= nChunks, "need at least codeRadius+1 code bits")
+    val width = nBits / nChunks
+    def chunkBits(code: Column, i: Int): Column =
+      if (i == nChunks - 1) shiftrightunsigned(code, i * width)
+      else shiftrightunsigned(code, i * width).bitwiseAND((1L << width) - 1)
+    def chunkKeys(code: Column) = array((0 until nChunks).map(i =>
+      struct(lit(i).as("i"), chunkBits(code, i).as("bits"))): _*)
+
+    val eval = evalEmb.select(col(evalIdCol).as("eval_id"),
+        col(evalVecCol).as("__ev"),
+        Similarity.signCode(col(evalVecCol), planes).as("__ec"),
+        sqrt(Similarity.dot(col(evalVecCol), col(evalVecCol))).as("__en"))
+      .select(col("eval_id"), col("__ev"), col("__ec"), col("__en"),
+        explode(chunkKeys(col("__ec"))).as("__eck"))
+
+    val s = stream.select(col(idCol).as("__sid"), col(vecCol).as("__sv"),
+        Similarity.signCode(col(vecCol), planes).as("__sc"),
+        sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("__sn"))
+      .select(col("__sid"), col("__sv"), col("__sc"), col("__sn"),
+        explode(chunkKeys(col("__sc"))).as("__ck"))
+
+    val xorc = col("__sc").bitwiseXOR(col("__ec"))
+    val firstMatch = array_position(
+      array((0 until nChunks).map(i => chunkBits(xorc, i) === lit(0L)): _*),
+      true)
+    s.join(broadcast(eval), col("__ck") === col("__eck"))
+      .filter(bit_count(xorc) <= codeRadius &&
+        firstMatch === col("__ck.i").cast("long") + 1L)
+      .select(col("__sid").as(idCol), col("eval_id"),
+        (Similarity.dot(col("__sv"), col("__ev")) /
+          (col("__sn") * col("__en"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /**

@@ -9,7 +9,7 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.{Queries, SparkTestBase}
 import graft.core.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** The sf0.001 events row as a typed streaming record (ts is NTZ →
   * LocalDateTime). */
@@ -18,6 +18,9 @@ case class Ev(event_id: Long, ts: LocalDateTime, user_id: Long,
 
 /** A documents row arriving on a stream (arrival time attached). */
 case class Doc(doc_id: Long, text: String, lang: String, ts: Long)
+
+/** An embeddings row arriving on a stream. */
+case class EmbRow(vec_id: Long, e: Seq[Double])
 
 /**
  * The streaming t1 smoke the SURVEY §2.11 footnote demands: MemoryStream
@@ -425,6 +428,50 @@ class StreamingSpec extends SparkTestBase with Matchers {
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).sorted
     val want = Dedup.crossNearDupPairs(all, "doc_id", "text",
         id => id.isInCollection(evalIds), threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    got should contain theSameElementsInOrderAs want
+    got.length should be > 0
+  }
+
+  test("crossEmbeddingNearDupStream equals batch crossEmbeddingNearDupPairs") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val planes = Similarity.hyperplanes(planes = 8, dim = 64, seed = 42L)
+    val all = Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .select("vec_id", "e")
+    val evalIds = Dedup.embeddingNearDupPairs(all, "vec_id", "e",
+        planes, codeRadius = 2, threshold = 0.3)
+      .select("d1").distinct().as[Long].collect().sorted.take(3).toSet
+    val evalEmb = all.filter(col("vec_id").isInCollection(evalIds))
+    val trainRows = all.filter(!col("vec_id").isInCollection(evalIds))
+      .collect().map(r => EmbRow(r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_.vec_id)
+
+    val input = MemoryStream[EmbRow]
+    val query = StreamingOps.crossEmbeddingNearDupStream(input.toDF(),
+        "vec_id", "e", evalEmb, "vec_id", "e",
+        planes, codeRadius = 2, threshold = 0.3)
+      .writeStream.format("memory").queryName("t_cross_emb")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val half = trainRows.length / 2
+      input.addData(trainRows.take(half))
+      query.processAllAvailable()
+      input.addData(trainRows.drop(half))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // stream emits (train, eval, cosine); batch emits (eval, train, c)
+    val got = spark.table("t_cross_emb")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).sorted
+    val want = Dedup.crossEmbeddingNearDupPairs(all, "vec_id", "e",
+        planes, codeRadius = 2, threshold = 0.3,
+        isLeftId = id => id.isInCollection(evalIds))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
     got should contain theSameElementsInOrderAs want
     got.length should be > 0
