@@ -1741,6 +1741,61 @@ object Queries {
       .orderBy("lang", "split")
   }
 
+  /** Q96 corpus catalog (the string third of ANALYZE, beside q88's
+    * numeric profile and q91's histogram): per string column of the
+    * documents table — row/null counts, exact distinct count, exact
+    * length stats — in one scan over a hash-compressed value relation
+    * (~28 B/cell on the wire regardless of text size). The oracle
+    * counts distinct VALUES; the engine counts distinct 128-bit
+    * hashes — equal under the exact-dedup collision contract. */
+  val q96: Q = (s, dir) =>
+    Profile.strings(Tables.documents(s, dir), Seq("text", "lang", "source"))
+      .orderBy("col_name")
+
+  /** Q97 tokenizer vocabulary coverage (the report a tokenizer-prep
+    * step runs before committing to a vocab): top-1000 corpus tokens
+    * by count (deterministic tie-break on the token) form the
+    * vocabulary; per language, exact in/out-of-vocabulary token counts
+    * and the OOV rate. The vocab is vocabulary-bounded and broadcast;
+    * the token stream joins it scan-side, so nothing corpus-sized
+    * shuffles beyond the (lang) rollup. */
+  val q97: Q = (s, dir) => {
+    val tok = Tables.documents(s, dir)
+      .select(col("lang"), explode(toks(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(1000)
+      .select(col("token"), lit(1).as("__v"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille",
+        round(col("n_oov") * lit(1000.0) / col("n_tokens"), 6))
+      .orderBy("lang")
+  }
+
+  /** Q98 duplicate-provenance matrix (which sources copy which): every
+    * near-dup pair mapped to its (source, source) cell, direction
+    * normalized lexicographically so the matrix is upper-triangular.
+    * The crawl-ops view of the q30 pair graph — a high off-diagonal
+    * cell means two feeds mirror each other and one can be dropped at
+    * ingest. Pairs travel as bare ids; sources join on the id after
+    * pair dedup. */
+  val q98: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val pairs = Dedup.nearDupPairs(d, "doc_id", "text",
+      threshold = 0.8, shingleWidth = 3, bands = 16, rowsPerBand = 3)
+    val src = d.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.alias("s1"), col("d1") === col("s1.doc_id"))
+      .join(src.alias("s2"), col("d2") === col("s2.doc_id"))
+      .select(least(col("s1.source"), col("s2.source")).as("src_a"),
+        greatest(col("s1.source"), col("s2.source")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1839,6 +1894,9 @@ object Queries {
     "q93_semantic_decontamination" -> q93,
     "q94_cluster_split" -> q94,
     "q95_corpus_prep" -> q95,
+    "q96_corpus_catalog" -> q96,
+    "q97_vocab_coverage" -> q97,
+    "q98_dup_provenance" -> q98,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2683,5 +2741,46 @@ object Queries {
         "FROM clean c LEFT JOIN cc ON c.doc_id = cc.id) " +
         "SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
         "FROM a GROUP BY lang, split ORDER BY lang, split"),
+    "q96_corpus_catalog" ->
+      // distinct on VALUES where the engine uses 128-bit hashes — equal
+      // under the documented collision contract
+      ("WITH m AS (SELECT 'lang' AS col_name, lang AS v FROM documents " +
+        "UNION ALL SELECT 'source', source FROM documents " +
+        "UNION ALL SELECT 'text', text FROM documents) " +
+        "SELECT col_name, COUNT(*) AS n_rows, " +
+        "CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+        "COUNT(DISTINCT v) AS n_distinct, " +
+        "CAST(MIN(length(v)) AS BIGINT) AS min_len, " +
+        "CAST(MAX(length(v)) AS BIGINT) AS max_len, " +
+        "CAST(SUM(length(v)) AS BIGINT) AS sum_len " +
+        "FROM m GROUP BY col_name ORDER BY col_name"),
+    "q97_vocab_coverage" ->
+      ("WITH tok AS (SELECT lang, unnest(list_filter(str_split(lower(trim(text)), ' '), " +
+        "t -> t <> '')) AS token FROM documents), " +
+        "vocab AS (SELECT token FROM (SELECT token, COUNT(*) AS n FROM tok " +
+        "GROUP BY token ORDER BY n DESC, token LIMIT 1000)), " +
+        "a AS (SELECT lang, CASE WHEN token IN (SELECT token FROM vocab) " +
+        "THEN 0 ELSE 1 END AS oov FROM tok) " +
+        "SELECT lang, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov, " +
+        "ROUND(CAST(SUM(oov) AS BIGINT) * 1000.0 / COUNT(*), 6) AS oov_permille " +
+        "FROM a GROUP BY lang ORDER BY lang"),
+    "q98_dup_provenance" ->
+      // q30's brute-force pair graph joined to sources, direction
+      // normalized lexicographically
+      ("WITH toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+        "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), " +
+        "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
+        "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 " +
+        "WHERE len(a.ts) > 0 AND len(b.ts) > 0), " +
+        "p AS (SELECT d1, d2 FROM j WHERE jac >= 0.8) " +
+        "SELECT least(da.source, db.source) AS src_a, " +
+        "greatest(da.source, db.source) AS src_b, COUNT(*) AS n_pairs " +
+        "FROM p JOIN documents da ON p.d1 = da.doc_id " +
+        "JOIN documents db ON p.d2 = db.doc_id " +
+        "GROUP BY src_a, src_b ORDER BY src_a, src_b"),
   )
 }

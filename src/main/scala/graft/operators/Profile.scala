@@ -60,6 +60,46 @@ object Profile {
   }
 
   /**
+   * String-column catalog — the string third of ANALYZE beside
+   * [[numeric]] and [[histogram]]: per column the row/null counts,
+   * EXACT distinct count, and length statistics (min/max/total, all
+   * integer-exact). The melt carries (column, 128-bit value hash,
+   * length) — never the value itself — so the one data-sized exchange
+   * shuffles ~28 B per cell REGARDLESS of string size (the exact-dedup
+   * posture: a distinct count on two independent 64-bit hashes is
+   * exact unless they collide within one column, ~2⁻¹²⁸ per pair —
+   * the same documented contract `exactSurvivors` runs dedup on);
+   * duplicate values collapse into map-side partials exactly like
+   * [[numeric]]'s value compression, so a boilerplate-heavy corpus
+   * compresses BEFORE the wire.
+   */
+  def strings(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "Profile.strings: need at least one column")
+    val melted = df
+      .select(explode(array(cols.map { c =>
+        val v = col(c).cast("string")
+        struct(lit(c).as("col_name"),
+          when(v.isNotNull, xxhash64(lit(0L), v)).as("h1"),
+          when(v.isNotNull, xxhash64(lit(1L), v)).as("h2"),
+          length(v).cast("long").as("len"))
+      }: _*)).as("m"))
+      .select(col("m.col_name").as("col_name"), col("m.h1").as("h1"),
+        col("m.h2").as("h2"), col("m.len").as("len"))
+    // one row per distinct (col, value-hash); nulls form their own group
+    val compressed = melted.groupBy("col_name", "h1", "h2")
+      .agg(count(lit(1)).as("__cnt"), min(col("len")).as("len"))
+    compressed.groupBy("col_name")
+      .agg(
+        sum(col("__cnt")).as("n_rows"),
+        coalesce(sum(when(col("h1").isNull, col("__cnt"))), lit(0L))
+          .as("n_null"),
+        count(col("h1")).as("n_distinct"),
+        min(col("len")).as("min_len"),
+        max(col("len")).as("max_len"),
+        coalesce(sum(col("len") * col("__cnt")), lit(0L)).as("sum_len"))
+  }
+
+  /**
    * Exact equi-width histogram — ANALYZE's other half: `buckets` equal
    * spans over `[min, max]`, exact counts per non-empty bucket. The
    * global (min, max) is ONE row, broadcast into the bucketing

@@ -74,4 +74,34 @@ class ProfileSpec extends SparkTestBase with Matchers {
     h.head.getLong(0) shouldBe 0L
     h.head.getLong(3) shouldBe 7L
   }
+
+  test("strings counts rows, nulls, exact distincts and length stats per column") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (Some("aa"), Some("x")),
+      (Some("aa"), Some("yyy")),
+      (Some("bbbb"), None),
+      (None, Some("x")),
+      (Some(""), Some("zz"))).toDF("a", "b")
+    val out = Profile.strings(df, Seq("a", "b"))
+      .orderBy("col_name").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // a: 5 rows, 1 null, distinct {aa, bbbb, ""}; lens 2,2,4,0 -> sum 8
+    out("a") shouldBe ((5L, 1L, 3L, 0L, 4L, 8L))
+    // b: 5 rows, 1 null, distinct {x, yyy, zz}; lens 1,3,1,2 -> sum 7
+    out("b") shouldBe ((5L, 1L, 3L, 1L, 3L, 7L))
+  }
+
+  test("strings profile is partition-order independent") {
+    val ss = spark
+    import ss.implicits._
+    val base = (1 to 400).map(i => (s"v${i % 13}", s"w${i % 7}"))
+    val one = Profile.strings(base.toDF("a", "b").repartition(1), Seq("a", "b"))
+      .orderBy("col_name").collect().map(_.toSeq)
+    val many = Profile.strings(base.toDF("a", "b").repartition(17), Seq("a", "b"))
+      .orderBy("col_name").collect().map(_.toSeq)
+    many shouldBe one
+  }
 }

@@ -125,6 +125,26 @@ def main(v01, v10, sf01, copies=10):
     expected95 = f"SELECT * FROM read_parquet('{v01}/q95_corpus_prep/*.parquet')"
     all_ok &= check(con, "q95_corpus_prep", expected95,
                     f"{v10}/q95_corpus_prep/*.parquet")
+
+    # q98 provenance matrix: every base pair appears copies^2 times
+    # (any copy of d1 x any copy of d2), plus C(copies,2) identity
+    # pairs per doc; replicas keep the base source, so the matrix is a
+    # pure multiplicity rescale of the base pair graph.
+    dsrc = f"read_parquet('{sf01}/documents.parquet')"
+    expected98 = f"""
+      SELECT src_a, src_b, CAST(SUM(cnt) AS BIGINT) AS n_pairs FROM (
+        SELECT least(da.source, db.source) AS src_a,
+               greatest(da.source, db.source) AS src_b,
+               {copies * copies} AS cnt
+        FROM {base30} p
+        JOIN {dsrc} da ON p.d1 = da.doc_id
+        JOIN {dsrc} db ON p.d2 = db.doc_id
+        UNION ALL
+        SELECT source, source, {copies * (copies - 1) // 2} FROM {dsrc})
+      GROUP BY src_a, src_b
+    """
+    all_ok &= check(con, "q98_dup_provenance", expected98,
+                    f"{v10}/q98_dup_provenance/*.parquet")
     return 0 if all_ok else 1
 
 
