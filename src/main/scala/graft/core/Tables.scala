@@ -83,12 +83,21 @@ object Tables {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      // timestampadd over an NTZ literal is pure calendar arithmetic —
-      // no session-timezone dependence (timestamp_micros(..).cast(ntz)
-      // would silently shift under a non-UTC session zone).
-      read(spark, dir, "events")
-        .withColumn("ts", expr(
-          "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      // The fixture's physical ts type has varied across driver rounds:
+      // timestamp[ns] (read as long under nanosAsLong, truncated to µs
+      // here) vs native timestamp[us] NTZ (read directly). Branch on the
+      // type actually read so both generations load identically.
+      val raw = read(spark, dir, "events")
+      val tsNorm = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // timestampadd over an NTZ literal is pure calendar arithmetic —
+          // no session-timezone dependence (timestamp_micros(..).cast(ntz)
+          // would silently shift under a non-UTC session zone).
+          expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+        case org.apache.spark.sql.types.TimestampNTZType => col("ts")
+        case _ => col("ts").cast(org.apache.spark.sql.types.TimestampNTZType)
+      }
+      raw.withColumn("ts", tsNorm)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } finally {
       prev match {
