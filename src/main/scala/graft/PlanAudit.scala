@@ -17,7 +17,10 @@ object PlanAudit {
     // (collect_list) — the crossJoin against it is a C·d-double constant
     "q75_kmeans_refine", "q76_ivf_trained", "q78_ivf_knn_join",
     // q91: the histogram's global (min,max) is ONE broadcast row
-    "q91_histogram")
+    "q91_histogram",
+    // q99/q100/q101: the LM vocabulary size / bucket-histogram totals /
+    // corpus token total are each ONE broadcast row
+    "q99_lm_perplexity", "q100_dsir_weights", "q101_source_divergence")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 import graft.codec.Debezium
 import graft.core.{Pipeline, PipelineSpec, Tables}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Profile, Relational, Sampling, Similarity, TextMetrics}
+import graft.operators.{CorpusLM, Dedup, Profile, Relational, Sampling, Similarity, TextMetrics}
 import graft.sources.PromText
 import graft.streaming.StreamingOps
 
@@ -1796,6 +1796,50 @@ object Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Q99 CCNet-style LM quality scoring (north star: perplexity
+    * filtering, Wenzek et al. 2020): an add-one-smoothed bigram LM
+    * trained on the corpus scores every document's negative
+    * log-likelihood; high cross-entropy = unusual word sequences =
+    * filter candidate. Per-lang report: corpus cross-entropy and how
+    * many docs exceed the flag threshold (compared in exact decimal,
+    * nll > thr · n, not via a float division). */
+  val q99: Q = (s, dir) =>
+    CorpusLM.bigramNll(Tables.documents(s, dir), "doc_id", "text",
+        keep = Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / sum(col("n_bigrams")), 4)
+          .as("cross_entropy"),
+        sum(when(col("nll") > lit(BigDecimal("3.45")) * col("n_bigrams"), 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .orderBy("lang")
+
+  /** Q100 DSIR importance weighting (north star: Data Selection via
+    * Importance Resampling, Xie et al. 2023): hashed-unigram bucket
+    * distributions for the target slice (lang='en') vs the raw corpus
+    * give every document a log importance weight; resampling by weight
+    * shifts the corpus toward the target. Per-lang report — the 'en'
+    * rows should dominate n_targetlike (logw > 0 in exact decimal). */
+  val q100: Q = (s, dir) =>
+    CorpusLM.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", dims = 64, keep = Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_toks"),
+        round(sum(col("logw")).cast("double") / count(lit(1)), 4).as("avg_logw"),
+        sum(when(col("logw") > lit(BigDecimal(0)), 1L).otherwise(0L))
+          .as("n_targetlike"))
+      .orderBy("lang")
+
+  /** Q101 per-source distribution drift (north star: crawl-ops corpus
+    * monitoring): unigram KL divergence of each source's token mix
+    * from the corpus marginal — the alarm that fires when one feed
+    * starts emitting boilerplate. Vocab-bounded aggregations only. */
+  val q101: Q = (s, dir) =>
+    CorpusLM.sliceDivergence(Tables.documents(s, dir), "source", "text")
+      .orderBy("source")
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1897,6 +1941,9 @@ object Queries {
     "q96_corpus_catalog" -> q96,
     "q97_vocab_coverage" -> q97,
     "q98_dup_provenance" -> q98,
+    "q99_lm_perplexity" -> q99,
+    "q100_dsir_weights" -> q100,
+    "q101_source_divergence" -> q101,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2782,5 +2829,62 @@ object Queries {
         "FROM p JOIN documents da ON p.d1 = da.doc_id " +
         "JOIN documents db ON p.d2 = db.doc_id " +
         "GROUP BY src_a, src_b ORDER BY src_a, src_b"),
+    "q99_lm_perplexity" ->
+      // add-one bigram LM replayed exactly: per-bigram term
+      // ln((c1+V)/(c2+1)) rounded to 6 dp then summed in DECIMAL (exact,
+      // associative); the flag compare runs in decimal, never floats
+      ("WITH w AS (SELECT doc_id, lang, list_filter(str_split(lower(trim(text)), ' '), " +
+        "t -> t <> '') AS ws FROM documents), " +
+        "b AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)), " +
+        "i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM w), " +
+        "c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY bg), " +
+        "c1 AS (SELECT str_split(bg, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1 " +
+        "FROM c2 GROUP BY 1), " +
+        "v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(ws) AS t FROM w)), " +
+        "t AS (SELECT b.doc_id, b.lang, CAST(ROUND(ln((c1.c1 + v.v) / (c2.c2 + 1.0)), 6) " +
+        "AS DECIMAL(20,6)) AS term FROM b JOIN c2 USING (bg) " +
+        "JOIN c1 ON str_split(b.bg, ' ')[1] = c1.w1 CROSS JOIN v), " +
+        "d AS (SELECT doc_id, lang, COUNT(*) AS n, SUM(term) AS nll FROM t GROUP BY 1, 2) " +
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_bigrams, " +
+        "ROUND(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 4) AS cross_entropy, " +
+        "CAST(SUM(CASE WHEN nll > 3.45 * n THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged " +
+        "FROM d GROUP BY lang ORDER BY lang"),
+    "q100_dsir_weights" ->
+      // the q84 portable poly-31 token hash feeds 64-bucket target/raw
+      // histograms; per-token term ln(p_t/p_r) has only 64 distinct
+      // values, each rounded to 6 dp before the exact decimal sum
+      ("WITH t AS (SELECT doc_id, lang, unnest(list_filter(str_split(lower(trim(text)), ' '), " +
+        "x -> x <> '')) AS tok FROM documents), " +
+        "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(tok) + 1), " +
+        "i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 2147483647) % 64 AS b FROM t), " +
+        "hist AS (SELECT b, CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct, " +
+        "COUNT(*) AS cr FROM h GROUP BY b), " +
+        "tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM hist), " +
+        "lam AS (SELECT b, CAST(ROUND(ln(((ct + 1.0) * (nr + 64)) / ((cr + 1.0) * (nt + 64))), 6) " +
+        "AS DECIMAL(20,6)) AS lw FROM hist CROSS JOIN tot), " +
+        "d AS (SELECT doc_id, lang, COUNT(*) AS n_toks, SUM(lw) AS logw " +
+        "FROM h JOIN lam USING (b) GROUP BY 1, 2) " +
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_toks, " +
+        "ROUND(CAST(SUM(logw) AS DOUBLE) / COUNT(*), 4) AS avg_logw, " +
+        "CAST(SUM(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_targetlike " +
+        "FROM d GROUP BY lang ORDER BY lang"),
+    "q101_source_divergence" ->
+      // KL(p_source || p_corpus) over unigrams; no smoothing needed —
+      // every source token occurs in the corpus marginal by construction
+      ("WITH t AS (SELECT source, unnest(list_filter(str_split(lower(trim(text)), ' '), " +
+        "x -> x <> '')) AS tok FROM documents), " +
+        "ns AS (SELECT source, tok, COUNT(*) AS ns FROM t GROUP BY 1, 2), " +
+        "nc AS (SELECT tok, COUNT(*) AS nc FROM t GROUP BY 1), " +
+        "nt AS (SELECT source, CAST(SUM(ns) AS BIGINT) AS nss FROM ns GROUP BY 1), " +
+        "ct AS (SELECT CAST(SUM(nc) AS BIGINT) AS ncc FROM nc), " +
+        "tm AS (SELECT ns.source, ns.ns, CAST(ROUND((CAST(ns.ns AS DOUBLE) / nss) * " +
+        "ln(CAST(ns.ns * ncc AS DOUBLE) / CAST(nc.nc * nss AS DOUBLE)), 6) " +
+        "AS DECIMAL(20,6)) AS term " +
+        "FROM ns JOIN nc USING (tok) JOIN nt USING (source) CROSS JOIN ct) " +
+        "SELECT source, CAST(SUM(ns) AS BIGINT) AS n_toks, COUNT(*) AS n_vocab, " +
+        "ROUND(CAST(SUM(term) AS DOUBLE), 4) AS kl " +
+        "FROM tm GROUP BY source ORDER BY source"),
   )
 }

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-distribution operators for pretraining-data curation: the
+ * statistical quality gates that sit between the rule-based filters
+ * (TextMetrics) and the dedup family (Dedup) in a production pipeline —
+ * CCNet-style language-model perplexity scoring, DSIR-style hashed
+ * importance weighting, and per-slice distribution-divergence
+ * monitoring. The reference (a streaming-ETL deployment,
+ * `fastapi/main.py` + connector configs) has no counterpart; these are
+ * first-party extensions in the same oracle-gated regime as the rest of
+ * the LLM-pipeline family.
+ *
+ * All three share one shape: TRAIN a corpus statistic (bigram counts /
+ * bucket histogram / token marginals) with a map-side-combining
+ * aggregation whose output is VOCABULARY-bounded, not corpus-bounded,
+ * then SCORE each document by joining that statistic back over the
+ * token scan. At 100 TB the statistic tables are the only state — the
+ * bucket histogram is `dims` rows (broadcast), the token marginals are
+ * vocab-sized (broadcast), and the bigram table is vocab²-bounded and
+ * zipfian (AQE broadcasts it when it fits, shuffle-joins otherwise).
+ * Document text never enters a shuffle; only (id, gram/bucket) pairs
+ * and pre-aggregated decimal partial sums move.
+ *
+ * Determinism contract (the repo-wide oracle pattern): every
+ * floating-point term is an `ln` of exact-integer ratios, rounded to
+ * 6 dp and cast to DECIMAL before any aggregation — the sums are exact
+ * and associative, so results are bit-identical across engines and
+ * partition orders; the only cross-engine risk is a sub-ulp libm
+ * difference straddling a 0.5e-6 rounding boundary.
+ */
+object CorpusLM {
+
+  /** Non-empty word tokens of a normalized text column (the corpus
+    * normalization every operator in the family shares). */
+  private def toks(text: Column): Column =
+    filter(split(lower(trim(text)), " "), t => t =!= "")
+
+  /** Adjacent-token bigrams as single "w1 w2" strings (tokens cannot
+    * contain spaces, so the join key is injective). Docs with fewer
+    * than two tokens yield an empty array — `sequence` is guarded
+    * because Spark's sequence(1, 0) counts DOWN instead of emptying. */
+  private def bigrams(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * CCNet-style add-one-smoothed bigram language-model scoring: train
+   * token-bigram counts over the whole corpus, then score every
+   * document by its per-bigram negative log-likelihood
+   * `ln((c1 + V) / (c2 + 1))`, where `c2` is the bigram's corpus
+   * count, `c1` the corpus count of bigrams sharing its first token
+   * (the context count), and `V` the corpus vocabulary size. CCNet
+   * trains its KenLM on Wikipedia and scores CommonCrawl; training and
+   * scoring corpora coincide here so the gate is self-referential —
+   * swapping the training side for a reference DataFrame is the same
+   * plan with a different aggregation input.
+   *
+   * Returns one row per document with >= 1 bigram: `idCol`, `keep`
+   * cols, `n_bigrams`, and `nll` — the exact DECIMAL(20,6) sum of the
+   * 6-dp-rounded per-bigram terms. Cross-entropy = nll / n_bigrams;
+   * callers compare `nll > thr * n_bigrams` in exact decimal
+   * arithmetic rather than dividing.
+   *
+   * Scale shape: the bigram-count table is distinct-bigram-bounded
+   * (zipfian, far smaller than the corpus) and built with map-side
+   * partial aggregation; the context-count table folds out of it
+   * (vocab-sized, broadcast); V is a one-row broadcast. The score side
+   * shuffles only (doc, bigram) pairs — never text — and collapses to
+   * one row per doc before returning.
+   */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+                keep: Seq[String] = Nil): DataFrame = {
+    val out = (idCol +: keep).distinct
+    val ws = toks(col(textCol))
+    val base = docs.select(out.map(col) :+ ws.as("__ws"): _*)
+
+    val big = base.select(out.map(col) :+
+      explode(bigrams(col("__ws"))).as("__bg"): _*)
+
+    val c2 = big.groupBy("__bg").agg(count(lit(1)).as("__c2"))
+    // context counts fold out of the bigram table (vocab-sized)
+    val c1 = c2.groupBy(element_at(split(col("__bg"), " "), 1).as("__w1"))
+      .agg(sum(col("__c2")).as("__c1"))
+    val v = base.select(explode(col("__ws")).as("__t"))
+      .agg(countDistinct(col("__t")).as("__v"))
+
+    val term = round(
+      log((col("__c1") + col("__v")) / (col("__c2") + lit(1.0d))), 6)
+      .cast("decimal(20,6)")
+
+    big
+      .join(c2, "__bg")
+      .join(broadcast(c1), element_at(split(col("__bg"), " "), 1) === col("__w1"))
+      .crossJoin(broadcast(v))
+      .select(out.map(col) :+ term.as("__term"): _*)
+      .groupBy(out.map(col): _*)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("nll"))
+  }
+
+  /**
+   * DSIR-style hashed importance weights (Data Selection via Importance
+   * Resampling, Xie et al. 2023): tokens feature-hash into `dims`
+   * buckets (the portable poly-31 recurrence the q40/q84 family uses),
+   * the target and raw bucket histograms are estimated with add-one
+   * smoothing, and a document's log importance weight is the sum over
+   * its tokens of `ln(p_target(bucket) / p_raw(bucket))`. Documents
+   * resembling the target slice score high; resampling by weight
+   * shifts the corpus toward the target distribution.
+   *
+   * `isTarget` is a row-level predicate over `docs` marking the target
+   * slice (e.g. `col("lang") === "en"`); the raw distribution is the
+   * whole corpus, so the two histograms come out of ONE conditional
+   * aggregation pass.
+   *
+   * Returns one row per document with >= 1 token: `idCol`, `keep`,
+   * `n_toks`, and `logw` — the exact DECIMAL(20,6) sum of
+   * 6-dp-rounded per-token terms (only `dims` distinct term values
+   * exist, so cross-engine agreement is checked `dims` times, not
+   * per-token). Positive `logw` = target-like.
+   *
+   * Scale shape: the histogram is `dims` rows built by map-side
+   * combine (the shuffle carries at most `dims` × partitions partial
+   * rows); totals are a one-row broadcast; scoring joins the
+   * `dims`-row weight table broadcast into the token scan and
+   * collapses per doc before the only doc-keyed shuffle.
+   */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, dims: Int = 64,
+                  keep: Seq[String] = Nil): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val out = (idCol +: keep).distinct
+    val t = docs.select(out.map(col) :+ isTarget.as("__tgt") :+
+      explode(toks(col(textCol))).as("__tok"): _*)
+    val bucketed = t.select(out.map(col) :+ col("__tgt") :+
+      (TextMetrics.tokenHash(col("__tok")) % dims).as("__b"): _*)
+
+    val hist = bucketed.groupBy("__b")
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+        count(lit(1)).as("__cr"))
+    val totals = hist.agg(sum(col("__ct")).as("__nt"), sum(col("__cr")).as("__nr"))
+
+    val lambda = hist.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round(log(((col("__ct") + lit(1.0d)) * (col("__nr") + lit(dims.toLong))) /
+          ((col("__cr") + lit(1.0d)) * (col("__nt") + lit(dims.toLong)))), 6)
+          .cast("decimal(20,6)").as("__lw"))
+
+    bucketed
+      .join(broadcast(lambda), "__b")
+      .groupBy(out.map(col): _*)
+      .agg(count(lit(1)).as("n_toks"), sum(col("__lw")).as("logw"))
+  }
+
+  /**
+   * Per-slice unigram KL divergence from the corpus distribution —
+   * the drift monitor a crawl operation runs per source/snapshot:
+   * `KL(p_slice || p_corpus) = Σ_t p_s(t) · ln(p_s(t) / p_c(t))`.
+   * Every slice token occurs in the corpus (the slice IS part of the
+   * corpus), so `p_c > 0` wherever `p_s > 0` and no smoothing is
+   * needed; KL = 0 iff the slice's token mix matches the corpus.
+   *
+   * Returns one row per slice: `sliceCol`, `n_toks` (slice token
+   * count), `n_vocab` (slice distinct tokens), `kl` (6-dp-rounded
+   * per-token terms, exact decimal sum, cast to double and rounded to
+   * `roundTo`). The per-term double program is fixed-shape —
+   * `(ns/Ns) · ln((ns·Nc) / (nc·Ns))` with exact int64 products
+   * (exact in double up to 2^53) — so engines agree to sub-ulp before
+   * the 6-dp round.
+   *
+   * Scale shape: one (slice, token) aggregation — vocab × slices
+   * bounded — plus a vocab-sized corpus-marginal broadcast and a
+   * one-row totals broadcast. Nothing corpus-sized moves.
+   */
+  def sliceDivergence(docs: DataFrame, sliceCol: String, textCol: String,
+                      roundTo: Int = 4): DataFrame = {
+    val t = docs.select(col(sliceCol), explode(toks(col(textCol))).as("__tok"))
+    val ns = t.groupBy(col(sliceCol), col("__tok"))
+      .agg(count(lit(1)).as("__ns"))
+    val nc = t.groupBy("__tok").agg(count(lit(1)).as("__nc"))
+    val nTot = ns.groupBy(col(sliceCol)).agg(sum(col("__ns")).as("__nss"))
+    val cTot = nc.agg(sum(col("__nc")).as("__ncc"))
+
+    val term = round(
+      (col("__ns").cast("double") / col("__nss")) *
+        log((col("__ns") * col("__ncc")).cast("double") /
+          (col("__nc") * col("__nss")).cast("double")), 6)
+      .cast("decimal(20,6)")
+
+    ns
+      .join(broadcast(nc), "__tok")
+      .join(broadcast(nTot), sliceCol)
+      .crossJoin(broadcast(cTot))
+      .select(col(sliceCol), col("__ns"), term.as("__term"))
+      .groupBy(sliceCol)
+      .agg(sum(col("__ns")).as("n_toks"),
+        count(lit(1)).as("n_vocab"),
+        round(sum(col("__term")).cast("double"), roundTo).as("kl"))
+  }
+}

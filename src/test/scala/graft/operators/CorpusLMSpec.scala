@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** Corpus-distribution operators: bigram LM scoring, DSIR importance
+  * weights, per-slice KL divergence — hand-computed expectations plus
+  * partition-order independence (the decimal-sum contract). */
+class CorpusLMSpec extends SparkTestBase with Matchers {
+
+  test("bigramNll matches the hand-computed add-one model") {
+    val ss = spark
+    import ss.implicits._
+    // corpus: doc1 [a b a] -> bigrams "a b","b a"; doc2 [b a] -> "b a";
+    // doc3 [solo] -> none, but its token still counts toward V
+    // c2("a b")=1, c2("b a")=2; c1(a)=1, c1(b)=2; V=3 (a, b, solo)
+    // term("a b") = ln((1+3)/(1+1)) = ln(2)   = 0.693147 (6 dp)
+    // term("b a") = ln((2+3)/(2+1)) = ln(5/3) = 0.510826 (6 dp)
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "solo")).toDF("doc_id", "text")
+    val got = CorpusLM.bigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    got.length shouldBe 2 // the 1-token doc has no bigrams and drops
+    got(0)._1 shouldBe 1L
+    got(0)._2 shouldBe 2L
+    got(0)._3 shouldBe (0.693147 + 0.510826) +- 1e-9
+    got(1)._3 shouldBe 0.510826 +- 1e-9
+  }
+
+  test("dsirWeights separates target-like from raw-like documents") {
+    val ss = spark
+    import ss.implicits._
+    // target slice speaks "alpha", the rest speaks "omega": a doc made
+    // of target-heavy tokens must score positive, the opposite negative
+    val docs = Seq(
+      (1L, true, "alpha alpha alpha alpha"),
+      (2L, true, "alpha alpha alpha omega"),
+      (3L, false, "omega omega omega omega"),
+      (4L, false, "omega omega alpha omega")
+    ).toDF("doc_id", "tgt", "text")
+    val w = CorpusLM.dsirWeights(docs, "doc_id", "text", isTarget = col("tgt"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    w.map(_._2) shouldBe Array(4L, 4L, 4L, 4L)
+    // With add-one smoothing over 64 buckets on an 8-token corpus the
+    // smoothing mass shifts every weight slightly negative; the
+    // guaranteed property is the ORDERING by target-vocabulary share:
+    // doc1 (4 alpha) > doc2 (3) > doc4 (1) > doc3 (0).
+    w(0)._3 should be > w(1)._3
+    w(1)._3 should be > w(3)._3
+    w(3)._3 should be > w(2)._3
+  }
+
+  test("sliceDivergence is zero for identical slices, positive for skewed ones") {
+    val ss = spark
+    import ss.implicits._
+    val same = Seq(("s1", "a b c"), ("s2", "a b c")).toDF("source", "text")
+    CorpusLM.sliceDivergence(same, "source", "text")
+      .collect().map(_.getDouble(3)) shouldBe Array(0.0, 0.0)
+
+    val skew = Seq(("s1", "a a a b"), ("s2", "b b b a")).toDF("source", "text")
+    val kl = CorpusLM.sliceDivergence(skew, "source", "text")
+      .orderBy("source").collect().map(_.getDouble(3))
+    all(kl) should be > 0.0
+  }
+
+  test("bigramNll is partition-order independent (exact decimal sums)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = CorpusLM.bigramNll(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val b = CorpusLM.bigramNll(docs.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    a shouldBe b
+  }
+}
