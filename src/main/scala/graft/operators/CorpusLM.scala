@@ -103,6 +103,71 @@ object CorpusLM {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("nll"))
   }
 
+  /** The trained LM as static tables for [[bigramNllAgainst]]:
+    * corpus bigram counts `(__bg, __c2)`. Context counts and the
+    * vocabulary travel separately (vocab membership is not derivable
+    * from bigrams — a one-token document contributes to V only). */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(bigrams(toks(col(textCol)))).as("__bg"))
+      .groupBy("__bg").agg(count(lit(1)).as("__c2"))
+
+  /** Distinct corpus tokens `(__t)` — the V side of the LM. */
+  def vocabTokens(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("__t")).distinct()
+
+  /**
+   * Stream-static twin of [[bigramNll]] (the production split: train
+   * the LM offline on yesterday's corpus, score arriving documents
+   * online): `counts`/`vocab` are PRECOMPUTED static tables
+   * ([[bigramCounts]] / [[vocabTokens]]); each arriving document's
+   * nll is a per-row fold over its own bigrams against three
+   * broadcast values — the bigram-count map, the context-count map
+   * folded out of it, and the vocabulary size. No explode, no
+   * shuffle, no streaming aggregation state, so it runs unchanged in
+   * append mode on an unbounded stream (the `repetitionStatsInRow`
+   * pattern). Bigrams absent from the LM score their true add-one
+   * term `ln((c1 + V) / 1)`; wholly unseen contexts degrade to
+   * `ln(V)` — the smoothing handles out-of-corpus text by design.
+   * Same results as [[bigramNll]] row-for-row on the training corpus
+   * itself (every term is the identical 6-dp-rounded double, and the
+   * decimal fold re-rounds at the same scale each step — a no-op).
+   * The broadcast maps bound this to vocabularies that fit an
+   * executor; past that, use the batch join form.
+   */
+  def bigramNllAgainst(docs: DataFrame, idCol: String, textCol: String,
+                       counts: DataFrame, vocab: DataFrame,
+                       keep: Seq[String] = Nil): DataFrame = {
+    val out = (idCol +: keep).distinct
+    val c2m = counts
+      .agg(map_from_entries(collect_list(struct(col("__bg"), col("__c2"))))
+        .as("__c2m"))
+    val c1m = counts
+      .groupBy(element_at(split(col("__bg"), " "), 1).as("__w1"))
+      .agg(sum(col("__c2")).as("__c1"))
+      .agg(map_from_entries(collect_list(struct(col("__w1"), col("__c1"))))
+        .as("__c1m"))
+    val vRow = vocab.agg(count(lit(1)).as("__v"))
+
+    val bg = bigrams(toks(col(textCol)))
+    val zero = lit(BigDecimal(0)).cast("decimal(20,6)")
+    val terms = transform(bg, b => {
+      val c2v = coalesce(element_at(col("__c2m"), b), lit(0L))
+      val c1v = coalesce(
+        element_at(col("__c1m"), element_at(split(b, " "), 1)), lit(0L))
+      round(log((c1v + col("__v")) / (c2v + lit(1.0d))), 6)
+        .cast("decimal(20,6)")
+    })
+    docs
+      .crossJoin(broadcast(c2m))
+      .crossJoin(broadcast(c1m))
+      .crossJoin(broadcast(vRow))
+      .select(out.map(col) :+
+        size(bg).cast("long").as("n_bigrams") :+
+        aggregate(terms, zero, (a, x) => (a + x).cast("decimal(20,6)"))
+          .as("nll"): _*)
+      .filter(col("n_bigrams") > 0) // match bigramNll: bigram-less docs drop
+  }
+
   /**
    * DSIR-style hashed importance weights (Data Selection via Importance
    * Resampling, Xie et al. 2023): tokens feature-hash into `dims`
@@ -135,26 +200,67 @@ object CorpusLM {
                   keep: Seq[String] = Nil): DataFrame = {
     require(dims >= 1, "dims must be >= 1")
     val out = (idCol +: keep).distinct
-    val t = docs.select(out.map(col) :+ isTarget.as("__tgt") :+
+    val bucketed = docs.select(out.map(col) :+
       explode(toks(col(textCol))).as("__tok"): _*)
-    val bucketed = t.select(out.map(col) :+ col("__tgt") :+
-      (TextMetrics.tokenHash(col("__tok")) % dims).as("__b"): _*)
+      .select(out.map(col) :+
+        (TextMetrics.tokenHash(col("__tok")) % dims).as("__b"): _*)
+    bucketed
+      .join(broadcast(dsirLambda(docs, textCol, isTarget, dims)), "__b")
+      .groupBy(out.map(col): _*)
+      .agg(count(lit(1)).as("n_toks"), sum(col("__lw")).as("logw"))
+  }
 
-    val hist = bucketed.groupBy("__b")
+  /** The trained DSIR model as a static table: one row per occupied
+    * bucket with its 6-dp log importance weight `(__b, __lw)` — built
+    * from ONE conditional aggregation pass over the corpus, at most
+    * `dims` rows. Feed to [[dsirWeights]]' join (done internally) or
+    * persist and score a stream with [[dsirScoreAgainst]]. */
+  def dsirLambda(docs: DataFrame, textCol: String, isTarget: Column,
+                 dims: Int = 64): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val hist = docs.select(isTarget.as("__tgt"),
+        explode(toks(col(textCol))).as("__tok"))
+      .select(col("__tgt"), (TextMetrics.tokenHash(col("__tok")) % dims).as("__b"))
+      .groupBy("__b")
       .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
         count(lit(1)).as("__cr"))
     val totals = hist.agg(sum(col("__ct")).as("__nt"), sum(col("__cr")).as("__nr"))
-
-    val lambda = hist.crossJoin(broadcast(totals))
+    hist.crossJoin(broadcast(totals))
       .select(col("__b"),
         round(log(((col("__ct") + lit(1.0d)) * (col("__nr") + lit(dims.toLong))) /
           ((col("__cr") + lit(1.0d)) * (col("__nt") + lit(dims.toLong)))), 6)
           .cast("decimal(20,6)").as("__lw"))
+  }
 
-    bucketed
-      .join(broadcast(lambda), "__b")
-      .groupBy(out.map(col): _*)
-      .agg(count(lit(1)).as("n_toks"), sum(col("__lw")).as("logw"))
+  /**
+   * Stream-static twin of [[dsirWeights]]: score arriving documents
+   * against a PRECOMPUTED lambda table ([[dsirLambda]] — e.g. trained
+   * offline on the reference corpus). The table collapses to one
+   * broadcast map row (at most `dims` entries) and each document's
+   * log-weight is a per-row fold over its own tokens — no explode, no
+   * shuffle, no streaming state; append-mode safe on an unbounded
+   * stream. Buckets absent from the table (no training token hashed
+   * there) score 0 — no evidence either way. Same results as
+   * [[dsirWeights]] row-for-row when scoring the training corpus.
+   */
+  def dsirScoreAgainst(docs: DataFrame, idCol: String, textCol: String,
+                       lambda: DataFrame, dims: Int = 64,
+                       keep: Seq[String] = Nil): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val out = (idCol +: keep).distinct
+    val lm = lambda
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__lw"))))
+        .as("__lm"))
+    val ts = toks(col(textCol))
+    val zero = lit(BigDecimal(0)).cast("decimal(20,6)")
+    val lws = transform(ts, t => coalesce(
+      element_at(col("__lm"), TextMetrics.tokenHash(t) % dims), zero))
+    docs.crossJoin(broadcast(lm))
+      .select(out.map(col) :+
+        size(ts).cast("long").as("n_toks") :+
+        aggregate(lws, zero, (a, x) => (a + x).cast("decimal(20,6)"))
+          .as("logw"): _*)
+      .filter(col("n_toks") > 0) // match dsirWeights: token-less docs drop
   }
 
   /**

@@ -66,6 +66,66 @@ class CorpusLMSpec extends SparkTestBase with Matchers {
     all(kl) should be > 0.0
   }
 
+  test("bigramNllAgainst on a stream equals batch bigramNll on the training corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq((1L, "a b a"), (2L, "b a"), (3L, "a c b a"), (4L, "solo"))
+    val corpus = rows.toDF("doc_id", "text")
+    val batch = CorpusLM.bigramNll(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+
+    val counts = CorpusLM.bigramCounts(corpus, "text")
+    val vocab = CorpusLM.vocabTokens(corpus, "text")
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusLM.bigramNllAgainst(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", counts, vocab)
+      .writeStream.format("memory").queryName("t_lm").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_lm").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    streamed shouldBe batch
+
+    // out-of-corpus text still scores: unseen context degrades to ln(V)
+    val novel = CorpusLM.bigramNllAgainst(
+        Seq((9L, "zz qq")).toDF("doc_id", "text"), "doc_id", "text", counts, vocab)
+      .collect()
+    novel.length shouldBe 1
+    novel(0).getDecimal(2).doubleValue shouldBe math.log(4.0) +- 1e-6
+  }
+
+  test("dsirScoreAgainst on a stream equals batch dsirWeights on the training corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, true, "alpha alpha beta"), (2L, true, "alpha gamma"),
+      (3L, false, "omega omega beta"), (4L, false, "omega gamma alpha"))
+    val corpus = rows.toDF("doc_id", "tgt", "text")
+    val batch = CorpusLM.dsirWeights(corpus, "doc_id", "text", isTarget = col("tgt"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+
+    val lambda = CorpusLM.dsirLambda(corpus, "text", isTarget = col("tgt"))
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusLM.dsirScoreAgainst(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", lambda)
+      .writeStream.format("memory").queryName("t_dsir").outputMode("append").start()
+    try {
+      input.addData(rows.map(r => (r._1, r._3)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_dsir").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    streamed shouldBe batch
+  }
+
   test("bigramNll is partition-order independent (exact decimal sums)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = CorpusLM.bigramNll(docs, "doc_id", "text").orderBy("doc_id").collect()
