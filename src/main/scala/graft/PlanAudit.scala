@@ -20,7 +20,8 @@ object PlanAudit {
     "q91_histogram",
     // q99/q100/q101: the LM vocabulary size / bucket-histogram totals /
     // corpus token total are each ONE broadcast row
-    "q99_lm_perplexity", "q100_dsir_weights", "q101_source_divergence")
+    "q99_lm_perplexity", "q100_dsir_weights", "q101_source_divergence",
+    "q102_ccnet_buckets")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

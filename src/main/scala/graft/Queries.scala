@@ -1840,6 +1840,35 @@ object Queries {
     CorpusLM.sliceDivergence(Tables.documents(s, dir), "source", "text")
       .orderBy("source")
 
+  /** Q102 CCNet perplexity bucketing (the composition gate for the
+    * statistical-quality family, as q60 is for dedup): LM-score every
+    * doc (q99's model), cut each language's score distribution at
+    * exact terciles (q89's quantile machinery), and report per
+    * (lang, head/middle/tail) bucket with a deterministic-hash
+    * subsample count — CCNet's head/middle/tail split ahead of
+    * selective sampling. Scores stay INTEGER (floor'd micro-nats per
+    * bigram) so every comparison is exact; the only doubles are the
+    * tercile cuts, interpolated identically by both engines over
+    * exact integers. */
+  val q102: Q = (s, dir) => {
+    val scored = CorpusLM.bigramNll(Tables.documents(s, dir), "doc_id", "text",
+        keep = Seq("lang"))
+      .withColumn("__ceu", expr("CAST(nll * 1000000 AS BIGINT) div n_bigrams"))
+    val cuts = Relational.exactQuantiles(scored, Seq("lang"), "__ceu",
+      Seq("__c33" -> 1.0 / 3, "__c67" -> 2.0 / 3))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("__ceu") <= col("__c33"), "head")
+          .when(col("__ceu") <= col("__c67"), "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(when((col("doc_id") * 2654435761L) % 1000000007L < 500000003L, 1L)
+          .otherwise(0L)).as("n_sampled"))
+      .orderBy("lang", "bucket")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1944,6 +1973,7 @@ object Queries {
     "q99_lm_perplexity" -> q99,
     "q100_dsir_weights" -> q100,
     "q101_source_divergence" -> q101,
+    "q102_ccnet_buckets" -> q102,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2886,5 +2916,31 @@ object Queries {
         "SELECT source, CAST(SUM(ns) AS BIGINT) AS n_toks, COUNT(*) AS n_vocab, " +
         "ROUND(CAST(SUM(term) AS DOUBLE), 4) AS kl " +
         "FROM tm GROUP BY source ORDER BY source"),
+    "q102_ccnet_buckets" ->
+      // q99's LM replayed to integer micro-nat scores; per-lang tercile
+      // cuts via quantile_cont over exact integers; the double literals
+      // are the exact printed values of Scala's 1.0/3 and 2.0/3
+      ("WITH w AS (SELECT doc_id, lang, list_filter(str_split(lower(trim(text)), ' '), " +
+        "t -> t <> '') AS ws FROM documents), " +
+        "b AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)), " +
+        "i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM w), " +
+        "c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY bg), " +
+        "c1 AS (SELECT str_split(bg, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1 " +
+        "FROM c2 GROUP BY 1), " +
+        "v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(ws) AS t FROM w)), " +
+        "t AS (SELECT b.doc_id, b.lang, CAST(ROUND(ln((c1.c1 + v.v) / (c2.c2 + 1.0)), 6) " +
+        "AS DECIMAL(20,6)) AS term FROM b JOIN c2 USING (bg) " +
+        "JOIN c1 ON str_split(b.bg, ' ')[1] = c1.w1 CROSS JOIN v), " +
+        "d AS (SELECT doc_id, lang, COUNT(*) AS n, SUM(term) AS nll FROM t GROUP BY 1, 2), " +
+        "s AS (SELECT doc_id, lang, n, CAST(nll * 1000000 AS BIGINT) // n AS ceu FROM d), " +
+        "thr AS (SELECT lang, quantile_cont(CAST(ceu AS DOUBLE), 0.3333333333333333) AS c33, " +
+        "quantile_cont(CAST(ceu AS DOUBLE), 0.6666666666666666) AS c67 FROM s GROUP BY lang), " +
+        "k AS (SELECT s.lang, CASE WHEN ceu <= c33 THEN 'head' " +
+        "WHEN ceu <= c67 THEN 'middle' ELSE 'tail' END AS bucket, n, doc_id " +
+        "FROM s JOIN thr ON s.lang = thr.lang) " +
+        "SELECT lang, bucket, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_bigrams, " +
+        "CAST(SUM(CASE WHEN (doc_id * 2654435761) % 1000000007 < 500000003 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled " +
+        "FROM k GROUP BY lang, bucket ORDER BY lang, bucket"),
   )
 }
