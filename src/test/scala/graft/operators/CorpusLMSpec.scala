@@ -126,6 +126,15 @@ class CorpusLMSpec extends SparkTestBase with Matchers {
     streamed shouldBe batch
   }
 
+  test("dsirWeights with target == corpus is exactly zero for every doc") {
+    // ct = cr and nt = nr make every bucket term ln(1) = 0 exactly —
+    // the algebraic identity that pins the histogram pairing
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val w = CorpusLM.dsirWeights(docs, "doc_id", "text", isTarget = lit(true))
+    w.filter(col("logw") =!= lit(BigDecimal(0))).count() shouldBe 0L
+    w.count() should be > 0L
+  }
+
   test("bigramNll is partition-order independent (exact decimal sums)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = CorpusLM.bigramNll(docs, "doc_id", "text").orderBy("doc_id").collect()
