@@ -37,7 +37,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional arg: comma-separated query names to bench (dev loop —
+    // timing one operator's change without the full 100-query sweep).
+    val queries = {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      if (args.isEmpty) all
+      else {
+        val only = args(0).split(",").toSet
+        all.filter { case (n, _) => only(n) }
+      }
+    }
 
     // Drop state a query leaves behind: the dedup/CC family localCheckpoints
     // shingle/edge RDDs that linger in the block manager until GC. Inside a

@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  * Iceberg extension lists on a real cluster.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.tokenHashFunction)
+  }
 }
 
 object GraftExtensions {
@@ -30,9 +32,19 @@ object GraftExtensions {
       DotProduct(args.head, args(1)): Expression
     })
 
+  private val tokenHashFunction = (
+    FunctionIdentifier("graft_token_hash"),
+    new ExpressionInfo(classOf[TokenHash].getName, "graft_token_hash"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_token_hash(s) takes exactly 1 argument")
+      TokenHash(args.head): Expression
+    })
+
   /** Same registration for an already-running session (extensions are
     * builder-time only — notebooks/tests attach post-hoc through here). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(dotFunction._1, dotFunction._2, dotFunction._3)
+    Seq(dotFunction, tokenHashFunction).foreach { f =>
+      spark.sessionState.functionRegistry
+        .registerFunction(f._1, f._2, f._3)
+    }
 }

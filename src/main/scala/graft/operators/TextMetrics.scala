@@ -282,14 +282,14 @@ object TextMetrics {
       regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$name")
     }): _*)
 
-  /** Portable polynomial token hash (Rabin–Karp shape, h·31 + code mod
-    * 2³¹−1 over the token's chars) — the q40 fingerprint recurrence
-    * applied per token, bit-identical in any engine. */
+  /** Portable polynomial token hash (Rabin–Karp shape, h·31 + codepoint
+    * mod 2³¹−1 over the token's chars) — the q40 fingerprint recurrence
+    * applied per token, bit-identical in any engine. Computed by the
+    * codegen'd [[graft.functions.TokenHash]] expression; the
+    * higher-order-function formulation it replaced survives as the
+    * reference implementation in TokenHashSpec. */
   def tokenHash(token: Column): Column =
-    aggregate(
-      transform(filter(split(token, ""), c => c =!= ""),
-        c => ascii(c).cast("long")),
-      lit(0L), (a, c) => (a * 31 + c) % 2147483647L)
+    graft.functions.TokenHash(token)
 
   /**
    * Hashed linear quality scorer — the fastText/DSIR-style shape every
