@@ -646,13 +646,9 @@ object Queries {
     * any engine. Per-language fingerprint stats. */
   val q40: Q = (s, dir) => {
     val norm = lower(trim(col("text")))
-    // split-to-chars (O(n)) rather than per-index substr (O(n²) — Spark's
-    // substringSQL rescans codepoints from the string start each call);
-    // Spark's split keeps a trailing "" that DuckDB's str_split omits,
-    // so empties are filtered before hashing
-    val codes = transform(filter(split(norm, ""), c => c =!= ""),
-      c => ascii(c).cast("long"))
-    val fp = aggregate(codes, lit(0L), (a, c) => (a * 31 + c) % 2147483647L)
+    // one codegen'd fold over the whole normalized text (TokenHash is
+    // the same recurrence whether the string is a token or a document)
+    val fp = TextMetrics.tokenHash(norm)
     Tables.documents(s, dir)
       .select(col("lang"), fp.as("fp"))
       .groupBy("lang")

@@ -37,7 +37,7 @@ object GraftExtensions {
     new ExpressionInfo(classOf[TokenHash].getName, "graft_token_hash"),
     (args: Seq[Expression]) => {
       require(args.length == 1, "graft_token_hash(s) takes exactly 1 argument")
-      TokenHash(args.head): Expression
+      TokenHash(args.head, 0L, 31L, 2147483647L): Expression
     })
 
   /** Same registration for an already-running session (extensions are

@@ -7,27 +7,34 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * Codegen'd portable polynomial token hash — `h·31 + codepoint mod
- * 2³¹−1` over the string's code points (the q40 fingerprint recurrence;
- * bit-identical to DuckDB's
+ * Codegen'd portable polynomial string hash — `h·mult + codepoint mod
+ * modulus` folded over the string's code points from `seed`. The
+ * default parameters (0, 31, 2³¹−1) are the q40 fingerprint / q84
+ * token-hash recurrence; (5381, 33, 10⁹+7) is the djb2-shaped
+ * `Dedup.portableSimhashCodes` basis — both bit-identical to DuckDB's
  * `list_reduce(list_transform(range(...), i -> unicode(substr(s,i,1))), ...)`
- * replay the oracle map uses).
+ * replays the oracle map uses.
  *
  * Replaces the `aggregate(transform(filter(split(s, "")...)))` Column
- * formulation on the hot paths (hashedLinearScore, dsirWeights — every
- * token of every document): Spark's higher-order functions are
- * CodegenFallback, so the lambda chain pays interpreted dispatch plus a
- * per-character single-char-string array allocation per token, and its
- * deep expression tree taxes Catalyst on every plan. This is one fused
- * per-token loop inside whole-stage codegen.
+ * formulation on the hot paths (hashedLinearScore, dsirWeights, doc
+ * fingerprints, simhash token bases — every token of every document):
+ * Spark's higher-order functions are CodegenFallback, so the lambda
+ * chain pays interpreted dispatch plus a per-character single-char-
+ * string array allocation per token, and its deep expression tree
+ * taxes Catalyst on every plan. This is one fused per-token loop
+ * inside whole-stage codegen.
  *
  * The `toString` is the one remaining allocation (UTF-8 → UTF-16); the
  * loop itself is branch-light and allocation-free. Code-point iteration
  * (not code units) keeps supplementary characters one term, matching
  * DuckDB's `unicode()`; the gated corpus is ASCII where every
  * formulation agrees.
+ *
+ * Overflow contract: `mult · (modulus − 1) + maxCodepoint` must fit a
+ * long — true for both parameterizations by orders of magnitude.
  */
-case class TokenHash(child: Expression) extends UnaryExpression {
+case class TokenHash(child: Expression, seed: Long, mult: Long, modulus: Long)
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_token_hash"
@@ -39,11 +46,11 @@ case class TokenHash(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    var h = 0L
+    var h = seed
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      h = (h * 31L + cp) % 2147483647L
+      h = (h * mult + cp) % modulus
       i += Character.charCount(cp)
     }
     h
@@ -57,11 +64,11 @@ case class TokenHash(child: Expression) extends UnaryExpression {
       val cp = ctx.freshName("cp")
       s"""
          |java.lang.String $s = $c.toString();
-         |long $h = 0L;
+         |long $h = ${seed}L;
          |int $i = 0;
          |while ($i < $s.length()) {
          |  int $cp = $s.codePointAt($i);
-         |  $h = ($h * 31L + $cp) % 2147483647L;
+         |  $h = ($h * ${mult}L + $cp) % ${modulus}L;
          |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = $h;
@@ -73,7 +80,12 @@ case class TokenHash(child: Expression) extends UnaryExpression {
 }
 
 object TokenHash {
-  /** Column-level entry point: the portable token hash of a string column. */
-  def apply(s: Column): Column =
-    GraftBridge.column(TokenHash(GraftBridge.expression(s)))
+  /** Column-level entry point: the default poly-31 mod 2³¹−1 hash
+    * (the q40 fingerprint / q84 token recurrence). */
+  def apply(s: Column): Column = apply(s, 0L, 31L, 2147483647L)
+
+  /** Parameterized entry point for the other portable bases
+    * (e.g. Dedup's djb2-shaped 5381/33/10⁹+7). */
+  def apply(s: Column, seed: Long, mult: Long, modulus: Long): Column =
+    GraftBridge.column(TokenHash(GraftBridge.expression(s), seed, mult, modulus))
 }

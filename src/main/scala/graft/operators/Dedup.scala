@@ -202,24 +202,21 @@ object Dedup {
     // fan under-split inputs out: the 60-column vote partial-aggregate
     // below otherwise runs on the scan's single core (test fixtures are
     // single-row-group parquet; no-op on real multi-split layouts)
+    // the char fold is the codegen'd TokenHash expression (one fused
+    // loop per token occurrence) — this used to be an interpreted HOF
+    // lambda, amortized through a distinct()+join memo; hashing per
+    // occurrence is now cheaper than the extra shuffle and join were
     val toks = graft.core.Tables.fanOut(docs).select(col(idCol),
       explode(filter(split(normText(col(textCol)), " "), t => t =!= "")).as("__t"))
-    val chars = transform(filter(split(col("__t"), ""), c => c =!= ""),
-      c => ascii(c).cast("long"))
-    val h = aggregate(chars, lit(PortableHashSeed),
-      (a, c) => (a * 33 + c) % PortableHashP)
-    // the char fold is an interpreted lambda (CodegenFallback): pay it
-    // once per DISTINCT token (vocabulary-sized), not once per token
-    // occurrence (corpus-sized) — the equi-join back is AQE's case for
-    // a runtime broadcast when the vocabulary is small
-    val hashed = toks.select("__t").distinct()
-      .select(col("__t"), h.as("__h"))
+    val hashed = toks.select(col(idCol),
+      graft.functions.TokenHash(col("__t"), PortableHashSeed, 33L, PortableHashP)
+        .as("__h"))
     val votes = (0 until bits).map { b =>
       val s = (col("__h") + lit(b * 2654435761L)) % PortableHashP
       val bit = (s * s) % PortableHashP % 2
       sum(when(bit === 1, 1L).otherwise(-1L)).as(s"__v$b")
     }
-    toks.join(hashed, "__t")
+    hashed
       .groupBy(idCol)
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol),

@@ -29,6 +29,22 @@ class TokenHashSpec extends SparkTestBase with Matchers {
     out.foreach { r => r.getLong(0) shouldBe r.getLong(1) }
   }
 
+  test("parameterized basis equals the Dedup HOF formulation (djb2 5381/33/1e9+7)") {
+    val ss = spark
+    import ss.implicits._
+    def lambda33(token: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(filter(split(token, ""), c => c =!= ""),
+          c => ascii(c).cast("long")),
+        lit(5381L), (a, c) => (a * 33 + c) % 1000000007L)
+    val tokens = (Seq("", "spark", "café", "中文") ++
+      (1 to 300).map(i => s"w$i")).toDF("t")
+    val out = tokens.select(
+      TokenHash(col("t"), 5381L, 33L, 1000000007L).as("native"),
+      lambda33(col("t")).as("ref")).collect()
+    out.foreach { r => r.getLong(0) shouldBe r.getLong(1) }
+  }
+
   test("TokenHash nulls propagate; hand values pin the recurrence") {
     val ss = spark
     import ss.implicits._
