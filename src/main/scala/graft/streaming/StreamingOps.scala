@@ -364,4 +364,89 @@ object StreamingOps {
           if (open != null) state.update(open)
           closed.result().iterator
       }
+
+  /** One closed window of [[driftMonitorStream]]: window start (epoch
+    * ms), token/vocab/out-of-vocabulary counts, and the window's KL
+    * divergence from the reference marginal. */
+  case class DriftWindow(window_start: Long, n_toks: Long, n_vocab: Long,
+                         n_oov: Long, kl: Double)
+
+  /**
+   * Windowed corpus-drift monitor — the streaming twin of q101's
+   * `CorpusLM.sliceDivergence`, with the slice = an event-time tumbling
+   * window and the corpus marginal a SUPPLIED static table (e.g.
+   * yesterday's corpus token counts — the crawl-ops alarm that fires
+   * when a feed's token mix shifts mid-day).
+   *
+   * Token counts accumulate per open window in `flatMapGroupsWithState`
+   * state (vocabulary-bounded — the same fits-an-executor contract as
+   * the broadcast `*Against` twins); when the watermark passes the
+   * window end, the event-time timeout fires exactly once, the KL
+   * computes against the marginal, and the state drops. Tokens absent
+   * from the marginal are counted in `n_oov` and excluded from the KL
+   * (sliceDivergence's no-smoothing contract assumes slice ⊂ corpus;
+   * the stream can't). The arithmetic replays sliceDivergence's exactly
+   * — per-term doubles in the same op shape, HALF_UP rounding to 6 dp,
+   * exact decimal summation, final HALF_UP round to 4 — so scoring the
+   * reference corpus itself through the stream reproduces the batch
+   * report row for row.
+   *
+   * @param marginal token → corpus count (the static reference)
+   * @param windowMs tumbling window width in event-time milliseconds
+   */
+  def driftMonitorStream(docs: DataFrame, tsCol: String, textCol: String,
+                         marginal: Map[String, Long], windowMs: Long,
+                         watermarkDelay: String): Dataset[DriftWindow] = {
+    require(windowMs > 0, "windowMs must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nc = marginal
+    val ncTotal = marginal.values.sum
+    // watermark AFTER the projection: declaring it on tsCol and then
+    // projecting would drop the watermarked attribute and fail the
+    // event-time-timeout analysis check
+    val toks = docs
+      .select(col(tsCol).cast("timestamp").as("__ts"),
+        filter(split(lower(trim(col(textCol))), " "), t => t =!= "").as("__w"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(java.sql.Timestamp, Seq[String])]
+
+    def round6(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+
+    toks
+      .groupByKey { case (ts, _) => ts.getTime / windowMs * windowMs }
+      .flatMapGroupsWithState[Map[String, Long], DriftWindow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (windowStart: Long, rows: Iterator[(java.sql.Timestamp, Seq[String])],
+         state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            val ns = counts.filter { case (t, _) => nc.contains(t) }
+            val nsTotal = ns.values.sum
+            val oov = counts.collect { case (t, n) if !nc.contains(t) => n }.sum
+            val sum = ns.foldLeft(java.math.BigDecimal.ZERO) {
+              case (acc, (t, n)) =>
+                // the exact sliceDivergence term shape: (ns/Ns)·ln(ns·Nc/(nc·Ns))
+                val term = (n.toDouble / nsTotal) *
+                  math.log((n * ncTotal).toDouble / (nc(t) * nsTotal).toDouble)
+                acc.add(round6(term))
+            }
+            val kl = java.math.BigDecimal.valueOf(sum.doubleValue)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+            Iterator.single(DriftWindow(windowStart,
+              counts.values.sum, counts.size.toLong, oov, kl))
+          } else {
+            var counts = state.getOption.getOrElse(Map.empty[String, Long])
+            rows.foreach { case (_, ws) =>
+              ws.foreach { t => counts = counts.updated(t, counts.getOrElse(t, 0L) + 1L) }
+            }
+            state.update(counts)
+            // fire when the watermark passes the window end
+            state.setTimeoutTimestamp(windowStart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -508,6 +508,104 @@ class StreamingSpec extends SparkTestBase with Matchers {
     chain should include("out-of-order")
   }
 
+  test("driftMonitorStream closed windows equal batch sliceDivergence row for row") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val W = 60000L
+    val base = java.time.Instant.parse("2024-01-01T10:00:00Z").toEpochMilli
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text", "lang").orderBy("doc_id").limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // two full windows of 20 docs each + one far-future flush doc that
+    // advances the watermark past both window ends (its own window
+    // stays open and must NOT emit)
+    val docs = texts.zipWithIndex.map { case ((id, tx, lg), i) =>
+      Doc(id, tx, lg, base + (i / 20) * W + (i % 20) * 1000L)
+    }
+    val flush = Doc(9999L, "flush doc", "en", base + 30 * W)
+
+    // the static marginal: token counts over EVERYTHING the stream will
+    // carry (so sliceDivergence over the same rows sees the identical
+    // corpus marginal and the batch report must match row for row)
+    val all = (docs :+ flush).toSeq.toDF()
+    val marginal = all
+      .select(explode(filter(split(lower(trim(col("text"))), " "), t => t =!= ""))
+        .as("t"))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val input = MemoryStream[Doc]
+    val query = StreamingOps.driftMonitorStream(
+        input.toDF().withColumn("tsx", timestamp_millis(col("ts"))),
+        "tsx", "text", marginal, W, "0 seconds")
+      .writeStream.format("memory").queryName("t_drift")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (w1, w2) = docs.splitAt(20)
+      input.addData(w1.toSeq: _*)
+      query.processAllAvailable()
+      input.addData(w2.toSeq: _*)
+      query.processAllAvailable()
+      input.addData(flush)
+      query.processAllAvailable()
+      // timeouts fire on the batch AFTER the watermark advances
+      input.addData(Doc(10000L, "flush again", "en", base + 31 * W))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("t_drift")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1)
+
+    val want = graft.operators.CorpusLM.sliceDivergence(
+        all.withColumn("w", (col("ts") / W).cast("long") * W), "w", "text")
+      .filter(col("w") < base + 2 * W)
+      .orderBy("w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    got.length shouldBe 2
+    got.map(g => (g._1, g._2, g._3, g._5)) shouldBe want
+    got.map(_._4) shouldBe Array(0L, 0L) // every stream token is in the marginal
+  }
+
+  test("driftMonitorStream counts out-of-marginal tokens as oov and excludes them from KL") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val W = 60000L
+    val input = MemoryStream[Doc]
+    val query = StreamingOps.driftMonitorStream(
+        input.toDF().withColumn("tsx", timestamp_millis(col("ts"))),
+        "tsx", "text", Map("a" -> 2L, "b" -> 2L), W, "0 seconds")
+      .writeStream.format("memory").queryName("t_drift_oov")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      // ts strictly above 0: the initial watermark is 0 and a stateful
+      // op drops rows at or below it as late
+      input.addData(Doc(1L, "a b", "en", 1000L), Doc(2L, "a zz", "en", 2000L))
+      query.processAllAvailable()
+      input.addData(Doc(3L, "flush", "en", 30 * W))
+      query.processAllAvailable()
+      input.addData(Doc(4L, "flush again", "en", 31 * W))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("t_drift_oov")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    got.length shouldBe 1
+    // counts a:2 b:1 zz:1 -> 4 tokens, 3 distinct, 1 oov; KL over {a,b}:
+    // (2/3)·ln(2·4/(2·3)) + (1/3)·ln(1·4/(2·3)) = 0.191788 − 0.135155 → 0.0566
+    got.head shouldBe ((0L, 4L, 3L, 1L, 0.0566))
+  }
+
   test("stream-stream interval join (watermarked both sides) equals the batch join") {
     val ss = spark
     import ss.implicits._
