@@ -21,7 +21,9 @@ object PlanAudit {
     // q99/q100/q101: the LM vocabulary size / bucket-histogram totals /
     // corpus token total are each ONE broadcast row
     "q99_lm_perplexity", "q100_dsir_weights", "q101_source_divergence",
-    "q102_ccnet_buckets")
+    "q102_ccnet_buckets",
+    // q103: cosineTopK's one-row target-vector broadcast (the q27 shape)
+    "q103_profile_similarity")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

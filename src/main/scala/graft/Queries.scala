@@ -1865,6 +1865,21 @@ object Queries {
       .orderBy("lang", "bucket")
   }
 
+  /** Q103 behavioral time-series similarity (the papers-list EDBT'19
+    * shape): every user's events reduce to a dense 24-dim hour-of-day
+    * activity vector (decimal-exact per-cell sums, gap-filled), and the
+    * similarity family searches that space unchanged — top-10 users
+    * whose daily rhythm matches user 1, by exact cosine through the
+    * codegen'd DotProduct. Zero-activity profiles are excluded (cosine
+    * undefined at norm 0). One (user, hour) aggregation, a per-user
+    * collapse, and a 1-row broadcast — no history explode, no window. */
+  val q103: Q = (s, dir) => {
+    val prof = Similarity.activityProfiles(
+        Tables.events(s, dir), "user_id", "ts", "value")
+      .filter(graft.functions.DotProduct(col("__vec"), col("__vec")) > 0.0d)
+    Similarity.cosineTopK(prof, "user_id", "__vec", targetId = 1L, k = 10)
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1970,6 +1985,7 @@ object Queries {
     "q100_dsir_weights" -> q100,
     "q101_source_divergence" -> q101,
     "q102_ccnet_buckets" -> q102,
+    "q103_profile_similarity" -> q103,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2938,5 +2954,25 @@ object Queries {
         "CAST(SUM(CASE WHEN (doc_id * 2654435761) % 1000000007 < 500000003 " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled " +
         "FROM k GROUP BY lang, bucket ORDER BY lang, bucket"),
+    "q103_profile_similarity" ->
+      // dense 24-dim hour-of-day profile via a user x hour grid (map
+      // extraction differs across DuckDB versions; the LEFT JOIN grid
+      // is version-stable), then q27's exact-cosine shape
+      ("WITH cell AS (SELECT user_id, CAST(EXTRACT(hour FROM ts) AS INT) AS h, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "grid AS (SELECT u.user_id, CAST(r.range AS INT) AS h " +
+        "FROM (SELECT DISTINCT user_id FROM cell) u CROSS JOIN range(0, 24) r), " +
+        "dense AS (SELECT g.user_id, g.h, COALESCE(c.v, 0.0) AS v FROM grid g " +
+        "LEFT JOIN cell c ON g.user_id = c.user_id AND g.h = c.h), " +
+        "prof AS (SELECT user_id, list(v ORDER BY h) AS vec FROM dense GROUP BY user_id), " +
+        "nz AS (SELECT * FROM prof WHERE list_dot_product(vec, vec) > 0), " +
+        "tgt AS (SELECT MIN(vec) AS t_v FROM nz WHERE user_id = 1), " +
+        "scored AS (SELECT user_id, list_dot_product(vec, (SELECT t_v FROM tgt)) / " +
+        "(sqrt(list_dot_product(vec, vec)) * " +
+        "sqrt(list_dot_product((SELECT t_v FROM tgt), (SELECT t_v FROM tgt)))) AS raw " +
+        "FROM nz WHERE user_id <> 1) " +
+        "SELECT user_id, ROUND(raw, 4) AS score FROM scored " +
+        "ORDER BY score DESC, user_id LIMIT 10"),
   )
 }

@@ -457,4 +457,39 @@ object Similarity {
         .localCheckpoint()
     }
   }
+
+  /**
+   * Time-series activity profiles — each key's event history reduced to
+   * a dense `buckets`-dim vector of per-bucket value sums (default:
+   * hour-of-day, the daily-rhythm profile). The profile embeds a
+   * behavioral time series into the SAME vector space the similarity
+   * family searches, so top-k similar users / ANN / kNN joins apply
+   * unchanged (the EDBT'19 streaming time-series-similarity shape:
+   * reduce, then search vectors).
+   *
+   * Determinism: per-cell sums run in DECIMAL (exact, associative) and
+   * cast to double once — each vector element is the identical double
+   * in any engine and any partition order. Missing buckets gap-fill
+   * with 0.0.
+   *
+   * Scale shape: one (key, bucket) hash aggregation with map-side
+   * combine — at most `buckets` rows per key shuffle — then a per-key
+   * collapse to the vector; no windows, no explode of history.
+   *
+   * Output: (keyCol, `__vec` array<double>).
+   */
+  def activityProfiles(events: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, buckets: Int = 24,
+                       bucketOf: Column => Column = hour(_)): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val cell = events
+      .groupBy(col(keyCol), bucketOf(col(tsCol)).cast("int").as("__h"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("__v"))
+    cell.groupBy(col(keyCol))
+      .agg(map_from_entries(collect_list(struct(col("__h"), col("__v"))))
+        .as("__m"))
+      .select(col(keyCol),
+        transform(sequence(lit(0), lit(buckets - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0.0d))).as("__vec"))
+  }
 }
