@@ -422,4 +422,23 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     batchRows.filter(r => histSet(norm(r))).map(_.getLong(0))
       .intersect(got) shouldBe empty
   }
+
+  test("activityProfiles builds gap-filled decimal-exact bucket vectors") {
+    val ss = spark
+    import ss.implicits._
+    val ev = Seq(
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 03:15:00"), 1.5),
+      (7L, java.sql.Timestamp.valueOf("2024-01-02 03:45:00"), 2.25), // same hour, other day
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 23:00:00"), 4.0),
+      (8L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.5)
+    ).toDF("user_id", "ts", "value")
+    val got = Similarity.activityProfiles(ev, "user_id", "ts", "value")
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    got.length shouldBe 2
+    val v7 = Array.fill(24)(0.0); v7(3) = 3.75; v7(23) = 4.0
+    val v8 = Array.fill(24)(0.0); v8(0) = 0.5
+    got(0) shouldBe ((7L, v7.toSeq))
+    got(1) shouldBe ((8L, v8.toSeq))
+  }
 }
