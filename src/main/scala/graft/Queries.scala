@@ -1847,6 +1847,9 @@ object Queries {
     * tercile cuts, interpolated identically by both engines over
     * exact integers. */
   val q102: Q = (s, dir) => {
+    // (measured: localCheckpoint-ing this frame does NOT help — AQE's
+    // exchange reuse already deduplicates the scored subtree between
+    // the quantile program and the bucket join)
     val scored = CorpusLM.bigramNll(Tables.documents(s, dir), "doc_id", "text",
         keep = Seq("lang"))
       .withColumn("__ceu", expr("CAST(nll * 1000000 AS BIGINT) div n_bigrams"))
