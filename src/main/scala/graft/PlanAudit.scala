@@ -23,7 +23,9 @@ object PlanAudit {
     "q99_lm_perplexity", "q100_dsir_weights", "q101_source_divergence",
     "q102_ccnet_buckets",
     // q103: cosineTopK's one-row target-vector broadcast (the q27 shape)
-    "q103_profile_similarity")
+    "q103_profile_similarity",
+    // q104: kmeansCentroids' one-row centroid-array broadcast (q75 shape)
+    "q104_profile_segments")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -1883,6 +1883,25 @@ object Queries {
     Similarity.cosineTopK(prof, "user_id", "__vec", targetId = 1L, k = 10)
   }
 
+  /** Q104 behavioral segmentation (q103's profiles through q75's
+    * trainer): distributed integer-exact k-means over the 24-dim
+    * hour-of-day activity vectors — the user-segmentation step every
+    * personalization pipeline runs on behavioral embeddings. Profile
+    * values quantize losslessly (×1024 is an exponent shift; the cell
+    * sums are decimal-exact), so both Lloyd rounds replay bit-for-bit
+    * in the oracle exactly as q75's do. Per-cluster size + integer
+    * centroid invariants reported. */
+  val q104: Q = (s, dir) => {
+    val prof = Similarity.activityProfiles(
+      Tables.events(s, dir), "user_id", "ts", "value")
+    val cents = Similarity.kmeansCentroids(prof, "user_id", "__vec",
+      centroidStride = 37L, iters = 2, dim = 24)
+    cents.select(col("__cid").as("cid"), col("__n").as("n"),
+        Similarity.dot(col("__cv"), col("__cv")).cast("long").as("mu_dot"),
+        aggregate(col("__cv"), lit(0.0d), (a, x) => a + x).cast("long").as("mu_sum"))
+      .orderBy("cid")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -1989,6 +2008,7 @@ object Queries {
     "q101_source_divergence" -> q101,
     "q102_ccnet_buckets" -> q102,
     "q103_profile_similarity" -> q103,
+    "q104_profile_segments" -> q104,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2977,5 +2997,34 @@ object Queries {
         "FROM nz WHERE user_id <> 1) " +
         "SELECT user_id, ROUND(raw, 4) AS score FROM scored " +
         "ORDER BY score DESC, user_id LIMIT 10"),
+    "q104_profile_segments" ->
+      // q103's dense-profile CTEs feeding q75's two Lloyd rounds
+      // verbatim (dim 24, stride 37 on user_id); quantization is a
+      // lossless exponent shift on the decimal-exact cell sums
+      ("WITH cell AS (SELECT user_id, CAST(EXTRACT(hour FROM ts) AS INT) AS h, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "grid AS (SELECT u.user_id, CAST(r.range AS INT) AS h " +
+        "FROM (SELECT DISTINCT user_id FROM cell) u CROSS JOIN range(0, 24) r), " +
+        "dense AS (SELECT g.user_id, g.h, COALESCE(c.v, 0.0) AS v FROM grid g " +
+        "LEFT JOIN cell c ON g.user_id = c.user_id AND g.h = c.h), " +
+        "prof AS (SELECT user_id, list(v ORDER BY h) AS vec FROM dense GROUP BY user_id), " +
+        "e AS (SELECT user_id AS vec_id, list_transform(vec, x -> round(x * 1024)) AS q FROM prof), " +
+        "c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), " +
+        "p AS (SELECT unnest(range(1, 25)) AS i), " +
+        "a1 AS (SELECT e.vec_id, e.q, c0.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn FROM e, c0), " +
+        "m1 AS (SELECT vec_id, q, cid FROM a1 WHERE rn = 1), " +
+        "s1 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu, COUNT(*) AS n FROM m1, p GROUP BY cid, i), " +
+        "n1 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s1 GROUP BY cid), " +
+        "c1 AS (SELECT c0.cid, COALESCE(n1.cv, c0.cv) AS cv FROM c0 LEFT JOIN n1 USING (cid)), " +
+        "a2 AS (SELECT e.vec_id, e.q, c1.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c1.cv) + list_dot_product(c1.cv, c1.cv), c1.cid) AS rn FROM e, c1), " +
+        "m2 AS (SELECT vec_id, q, cid FROM a2 WHERE rn = 1), " +
+        "s2 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu, COUNT(*) AS n FROM m2, p GROUP BY cid, i), " +
+        "n2 AS (SELECT cid, list(mu ORDER BY i) AS cv, MAX(n) AS n FROM s2 GROUP BY cid), " +
+        "c2 AS (SELECT c1.cid, COALESCE(n2.cv, c1.cv) AS cv, COALESCE(n2.n, 0) AS n FROM c1 LEFT JOIN n2 USING (cid)) " +
+        "SELECT cid, CAST(n AS BIGINT) AS n, CAST(list_dot_product(cv, cv) AS BIGINT) AS mu_dot, " +
+        "CAST(list_aggregate(cv, 'sum') AS BIGINT) AS mu_sum FROM c2 ORDER BY cid"),
   )
 }
