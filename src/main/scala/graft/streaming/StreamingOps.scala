@@ -365,6 +365,57 @@ object StreamingOps {
           closed.result().iterator
       }
 
+  /** One emission of [[profileStream]]: the key, its running dense
+    * bucket vector, and the cumulative event count (monotone — the
+    * row with the key's max `n_events` is its latest profile). */
+  case class ProfileUpdate(key: Long, vec: Seq[Double], n_events: Long)
+
+  /**
+   * Running activity profiles — the streaming twin of
+   * `Similarity.activityProfiles`: each key's dense `buckets`-dim
+   * vector of per-bucket value sums, updated as events arrive
+   * (`mapGroupsWithState`, one emission per key per micro-batch).
+   *
+   * Exactness contract: state holds the per-bucket sums as DECIMALS
+   * (exact, order-independent — the same arithmetic the batch
+   * operator's DECIMAL aggregation performs), and the emitted vector
+   * converts to double once per emission. Replaying a corpus through
+   * the stream therefore lands on bit-identical vectors to the batch
+   * operator, regardless of batch boundaries.
+   *
+   * State at scale: `buckets` decimals + one long per key — bounded by
+   * the keyspace, RocksDB-backed past executor heap like any ST8 op.
+   */
+  def profileStream(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, buckets: Int = 24,
+                    bucketOf: Column => Column = hour(_)): Dataset[ProfileUpdate] = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared = events
+      .select(col(keyCol).cast("long").as("__k"),
+        bucketOf(col(tsCol)).cast("int").as("__h"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+      .as[(Long, Int, java.math.BigDecimal)]
+    prepared
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Seq[scala.math.BigDecimal], Long), ProfileUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Int, java.math.BigDecimal)],
+         state: GroupState[(Seq[scala.math.BigDecimal], Long)]) =>
+          val (sums0, n0) = state.getOption.getOrElse(
+            (Seq.fill(buckets)(scala.math.BigDecimal(0)), 0L))
+          val sums = sums0.toArray
+          var n = n0
+          rows.foreach { case (_, h, v) =>
+            sums(h) = sums(h) + scala.math.BigDecimal(v)
+            n += 1
+          }
+          state.update((sums.toSeq, n))
+          ProfileUpdate(key, sums.map(_.toDouble).toSeq, n)
+      }
+  }
+
   /** One closed window of [[driftMonitorStream]]: window start (epoch
     * ms), token/vocab/out-of-vocabulary counts, and the window's KL
     * divergence from the reference marginal. */

@@ -606,6 +606,47 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.head shouldBe ((0L, 4L, 3L, 1L, 0.0566))
   }
 
+  test("profileStream's final emissions equal batch activityProfiles across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventRows
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.profileStream(
+        input.toDF().withColumn("tsx", col("ts").cast("timestamp")),
+        "user_id", "tsx", "value")
+      .writeStream.format("memory").queryName("t_prof")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    // latest emission per user = the row with its max cumulative count
+    val got = spark.table("t_prof")
+      .groupByKey(_.getLong(0))
+      .reduceGroups((a, b) => if (a.getLong(2) >= b.getLong(2)) a else b)
+      .map(_._2)(org.apache.spark.sql.Encoders.row(spark.table("t_prof").schema))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+    val want = graft.operators.Similarity.activityProfiles(
+        rows.toSeq.toDF().withColumn("tsx", col("ts").cast("timestamp")),
+        "user_id", "tsx", "value")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+    got shouldBe want
+    got.length should be > 0
+  }
+
   test("stream-stream interval join (watermarked both sides) equals the batch join") {
     val ss = spark
     import ss.implicits._
