@@ -25,7 +25,9 @@ object PlanAudit {
     // q103: cosineTopK's one-row target-vector broadcast (the q27 shape)
     "q103_profile_similarity",
     // q104: kmeansCentroids' one-row centroid-array broadcast (q75 shape)
-    "q104_profile_segments")
+    "q104_profile_segments",
+    // q105: six 1-row trained-merge broadcasts chain the BPE rounds
+    "q105_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -1902,6 +1902,52 @@ object Queries {
       .orderBy("cid")
   }
 
+  /** Q105 BPE merge training (north star: the tokenizer itself): the
+    * corpus' word-frequency table (vocabulary-bounded — the corpus is
+    * scanned ONCE) trains 6 byte-pair-encoding merges. Each round
+    * counts frequency-weighted adjacent symbol pairs, picks the argmax
+    * (count desc, pair asc — deterministic), and applies the merge to
+    * every word's symbol string via input-forward non-overlapping
+    * `replace` (both engines share that semantic; an immediately
+    * repeated pair merges its odd occurrences per pass — documented
+    * deviation from canonical BPE's same-pass re-scan). The q75
+    * pattern: fixed data-dependent rounds, each replayed bit-for-bit
+    * by the oracle; rounds chain through 1-row merge broadcasts.
+    * Output: (merge_round, pair, cnt) — the trained merge table. */
+  val q105: Q = (s, dir) => {
+    val words = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val init = words.withColumn("s",
+      concat(lit(" "),
+        array_join(filter(split(col("word"), ""), c => c =!= ""), " "),
+        lit(" ")))
+    val (_, bests) = (1 to 6).foldLeft((init, List.empty[DataFrame])) {
+      case ((cur, acc), k) =>
+        val sy = filter(split(trim(col("s")), " "), x => x =!= "")
+        val withSy = cur.select(col("n"), sy.as("__sy"))
+        val pairCol = when(size(col("__sy")) >= 2,
+          transform(sequence(lit(1), size(col("__sy")) - 1),
+            i => concat(element_at(col("__sy"), i), lit(" "),
+              element_at(col("__sy"), i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val best = withSy.select(col("n"), explode(pairCol).as("pair"))
+          .groupBy("pair").agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .select(lit(k.toLong).as("merge_round"), col("pair"), col("cnt"))
+        // localCheckpoint keeps the 6-round lineage flat (the kmeans
+        // pattern); the frame is vocabulary-sized
+        val next = cur
+          .crossJoin(broadcast(best.select(col("pair").as("__bp"))))
+          .withColumn("s",
+            expr("replace(s, ' ' || __bp || ' ', ' ' || replace(__bp, ' ', '') || ' ')"))
+          .drop("__bp")
+          .localCheckpoint()
+        (next, best :: acc)
+    }
+    bests.reverse.reduce(_ unionByName _).orderBy("merge_round")
+  }
+
   // ------------------------------------------------------------------ maps
 
   val all: Map[String, Q] = Map(
@@ -2009,6 +2055,7 @@ object Queries {
     "q102_ccnet_buckets" -> q102,
     "q103_profile_similarity" -> q103,
     "q104_profile_segments" -> q104,
+    "q105_bpe_train" -> q105,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2026,6 +2073,34 @@ object Queries {
       "CAST(SUM(top_micro) AS BIGINT) AS sum_top_micro, " +
       "CAST(SUM(dup_micro) AS BIGINT) AS sum_dup_micro " +
       "FROM m GROUP BY lang ORDER BY lang"
+
+  /** The q105 oracle, generated per round count: DuckDB replays every
+    * BPE training round — frequency-weighted pair counts, the argmax
+    * pick (count desc, pair asc), and the input-forward non-overlapping
+    * `replace` merge — exactly as the engine runs them. Generated
+    * because the rounds are mechanically identical (the hand-written
+    * q75 two-round pattern, parameterized). */
+  private def bpeOracleSql(rounds: Int): String = {
+    val base =
+      "WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM " +
+        "(SELECT unnest(list_filter(str_split(lower(trim(text)), ' '), x -> x <> '')) AS word " +
+        "FROM documents) GROUP BY word), " +
+      "s0 AS (SELECT word, n, ' ' || array_to_string(" +
+        "[substr(word, CAST(i AS INT), 1) for i in range(1, length(word) + 1)], ' ') || ' ' AS s FROM w0)"
+    val roundCtes = (1 to rounds).map { k =>
+      s"sy$k AS (SELECT n, list_filter(str_split(trim(s), ' '), x -> x <> '') AS sy FROM s${k - 1}), " +
+      s"p$k AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM " +
+        s"(SELECT n, unnest([sy[i] || ' ' || sy[i + 1] for i in range(1, len(sy))]) AS pair FROM sy$k) " +
+        s"GROUP BY pair), " +
+      s"b$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1), " +
+      s"s$k AS (SELECT word, n, replace(s, ' ' || b$k.pair || ' ', " +
+        s"' ' || replace(b$k.pair, ' ', '') || ' ') AS s FROM s${k - 1} CROSS JOIN b$k)"
+    }.mkString(", ", ", ", " ")
+    val out = (1 to rounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS merge_round, pair, cnt FROM b$k")
+      .mkString(" UNION ALL ")
+    base + roundCtes + out + " ORDER BY merge_round"
+  }
 
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -2997,6 +3072,7 @@ object Queries {
         "FROM nz WHERE user_id <> 1) " +
         "SELECT user_id, ROUND(raw, 4) AS score FROM scored " +
         "ORDER BY score DESC, user_id LIMIT 10"),
+    "q105_bpe_train" -> bpeOracleSql(6),
     "q104_profile_segments" ->
       // q103's dense-profile CTEs feeding q75's two Lloyd rounds
       // verbatim (dim 24, stride 37 on user_id); quantization is a
