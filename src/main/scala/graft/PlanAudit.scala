@@ -26,8 +26,8 @@ object PlanAudit {
     "q103_profile_similarity",
     // q104: kmeansCentroids' one-row centroid-array broadcast (q75 shape)
     "q104_profile_segments",
-    // q105: six 1-row trained-merge broadcasts chain the BPE rounds
-    "q105_bpe_train")
+    // q105/q106: six 1-row trained-merge broadcasts chain the BPE rounds
+    "q105_bpe_train", "q106_bpe_tokenize")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

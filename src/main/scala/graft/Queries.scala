@@ -1914,15 +1914,17 @@ object Queries {
     * pattern: fixed data-dependent rounds, each replayed bit-for-bit
     * by the oracle; rounds chain through 1-row merge broadcasts.
     * Output: (merge_round, pair, cnt) — the trained merge table. */
-  val q105: Q = (s, dir) => {
-    val words = Tables.documents(s, dir)
+  /** The shared BPE training fold: returns (merge table, final merged
+    * word frame (word, n, s)) after `rounds` rounds. */
+  private def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    val words = docs
       .select(explode(toks(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
     val init = words.withColumn("s",
       concat(lit(" "),
         array_join(filter(split(col("word"), ""), c => c =!= ""), " "),
         lit(" ")))
-    val (_, bests) = (1 to 6).foldLeft((init, List.empty[DataFrame])) {
+    val (fin, bests) = (1 to rounds).foldLeft((init, List.empty[DataFrame])) {
       case ((cur, acc), k) =>
         val sy = filter(split(trim(col("s")), " "), x => x =!= "")
         val withSy = cur.select(col("n"), sy.as("__sy"))
@@ -1935,7 +1937,7 @@ object Queries {
           .groupBy("pair").agg(sum(col("n")).as("cnt"))
           .orderBy(col("cnt").desc, col("pair")).limit(1)
           .select(lit(k.toLong).as("merge_round"), col("pair"), col("cnt"))
-        // localCheckpoint keeps the 6-round lineage flat (the kmeans
+        // localCheckpoint keeps the round lineage flat (the kmeans
         // pattern); the frame is vocabulary-sized
         val next = cur
           .crossJoin(broadcast(best.select(col("pair").as("__bp"))))
@@ -1945,7 +1947,36 @@ object Queries {
           .localCheckpoint()
         (next, best :: acc)
     }
-    bests.reverse.reduce(_ unionByName _).orderBy("merge_round")
+    (bests.reverse.reduce(_ unionByName _), fin)
+  }
+
+  val q105: Q = (s, dir) =>
+    bpeTrain(Tables.documents(s, dir), 6)._1.orderBy("merge_round")
+
+  /** Q106 BPE tokenization report (q105 applied back to its corpus):
+    * the final merged symbol strings ARE the tokenization of every
+    * word type, so application is a broadcast join of the vocabulary-
+    * sized merged-word table into the per-(lang, word) count table —
+    * the corpus text itself is never re-scanned per round. Per-lang
+    * word/BPE-token/char counts and the chars-per-token compression
+    * ratio every tokenizer evaluation reports. */
+  val q106: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val fin = bpeTrain(docs, 6)._2
+      .select(col("word"),
+        size(filter(split(trim(col("s")), " "), x => x =!= "")).cast("long")
+          .as("__ntok"))
+    val wl = docs
+      .select(col("lang"), explode(toks(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("__m"))
+    wl.join(broadcast(fin), "word")
+      .groupBy("lang")
+      .agg(sum(col("__m")).as("n_words"),
+        sum(col("__m") * col("__ntok")).as("n_bpe_tokens"),
+        sum(col("__m") * length(col("word"))).as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"), 4))
+      .orderBy("lang")
   }
 
   // ------------------------------------------------------------------ maps
@@ -2056,6 +2087,7 @@ object Queries {
     "q103_profile_similarity" -> q103,
     "q104_profile_segments" -> q104,
     "q105_bpe_train" -> q105,
+    "q106_bpe_tokenize" -> q106,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2100,6 +2132,38 @@ object Queries {
       .map(k => s"SELECT CAST($k AS BIGINT) AS merge_round, pair, cnt FROM b$k")
       .mkString(" UNION ALL ")
     base + roundCtes + out + " ORDER BY merge_round"
+  }
+
+  /** The q106 oracle: the same generated training rounds, then the
+    * final merged strings applied as the tokenization of every word
+    * type, rolled up per (lang, word) counts. */
+  private def bpeApplyOracleSql(rounds: Int): String = {
+    val base =
+      "WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM " +
+        "(SELECT unnest(list_filter(str_split(lower(trim(text)), ' '), x -> x <> '')) AS word " +
+        "FROM documents) GROUP BY word), " +
+      "s0 AS (SELECT word, n, ' ' || array_to_string(" +
+        "[substr(word, CAST(i AS INT), 1) for i in range(1, length(word) + 1)], ' ') || ' ' AS s FROM w0)"
+    val roundCtes = (1 to rounds).map { k =>
+      s"sy$k AS (SELECT n, list_filter(str_split(trim(s), ' '), x -> x <> '') AS sy FROM s${k - 1}), " +
+      s"p$k AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM " +
+        s"(SELECT n, unnest([sy[i] || ' ' || sy[i + 1] for i in range(1, len(sy))]) AS pair FROM sy$k) " +
+        s"GROUP BY pair), " +
+      s"b$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1), " +
+      s"s$k AS (SELECT word, n, replace(s, ' ' || b$k.pair || ' ', " +
+        s"' ' || replace(b$k.pair, ' ', '') || ' ') AS s FROM s${k - 1} CROSS JOIN b$k)"
+    }.mkString(", ", ", ", " ")
+    base + roundCtes +
+      s", fin AS (SELECT word, CAST(len(list_filter(str_split(trim(s), ' '), x -> x <> '')) AS BIGINT) AS ntok FROM s$rounds), " +
+      "wl AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS m FROM " +
+        "(SELECT lang, unnest(list_filter(str_split(lower(trim(text)), ' '), x -> x <> '')) AS word " +
+        "FROM documents) GROUP BY 1, 2) " +
+      "SELECT lang, CAST(SUM(m) AS BIGINT) AS n_words, " +
+      "CAST(SUM(m * ntok) AS BIGINT) AS n_bpe_tokens, " +
+      "CAST(SUM(m * length(word)) AS BIGINT) AS n_chars, " +
+      "ROUND(CAST(CAST(SUM(m * length(word)) AS BIGINT) AS DOUBLE) / " +
+      "CAST(CAST(SUM(m * ntok) AS BIGINT) AS DOUBLE), 4) AS chars_per_token " +
+      "FROM wl JOIN fin USING (word) GROUP BY lang ORDER BY lang"
   }
 
   val oracle: Map[String, String] = Map(
@@ -3073,6 +3137,7 @@ object Queries {
         "SELECT user_id, ROUND(raw, 4) AS score FROM scored " +
         "ORDER BY score DESC, user_id LIMIT 10"),
     "q105_bpe_train" -> bpeOracleSql(6),
+    "q106_bpe_tokenize" -> bpeApplyOracleSql(6),
     "q104_profile_segments" ->
       // q103's dense-profile CTEs feeding q75's two Lloyd rounds
       // verbatim (dim 24, stride 37 on user_id); quantization is a
