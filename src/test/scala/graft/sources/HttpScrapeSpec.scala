@@ -85,8 +85,14 @@ class HttpScrapeSpec extends SparkTestBase with Matchers {
       try {
         loop.start()
         loop.start() // idempotent
-        val deadline = System.nanoTime() + 10e9.toLong
-        while (hits.get() < 3 && System.nanoTime() < deadline) Thread.sleep(20)
+        // Wait on LANDED FILES, not server hits: close() may interrupt a
+        // scrape after the server counted the request but before its
+        // file lands (atomic landing means it simply doesn't land), so
+        // a hits-based wait can close with only 2 files on a loaded box.
+        def appFiles(): Long = Files.list(java.nio.file.Paths.get(spool))
+          .filter(p => p.getFileName.toString.startsWith("app-")).count()
+        val deadline = System.nanoTime() + 20e9.toLong
+        while (appFiles() < 3 && System.nanoTime() < deadline) Thread.sleep(20)
         hits.get() should be >= 3
         loop.close()
         val afterClose = hits.get()
