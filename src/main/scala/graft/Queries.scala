@@ -1915,8 +1915,9 @@ object Queries {
     * by the oracle; rounds chain through 1-row merge broadcasts.
     * Output: (merge_round, pair, cnt) — the trained merge table. */
   /** The shared BPE training fold: returns (merge table, final merged
-    * word frame (word, n, s)) after `rounds` rounds. */
-  private def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    * word frame (word, n, s)) after `rounds` rounds. `private[graft]`
+    * so the streaming twin's spec can train its reference merges. */
+  private[graft] def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val words = docs
       .select(explode(toks(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))

@@ -365,6 +365,44 @@ object StreamingOps {
           closed.result().iterator
       }
 
+  /**
+   * Stream-static BPE tokenizer — serving the trained tokenizer online
+   * (the third leg of train q105 → apply q106 → serve): `merges` is
+   * the TRAINED merge table (`merge_round`, `pair`); it collapses to
+   * one broadcast ordered array, and each arriving document tokenizes
+   * in-row — every word folds through the merges in training order via
+   * the same input-forward non-overlapping `replace` the trainer used.
+   * No explode, no shuffle, no state; append-mode safe. Scoring the
+   * training corpus reproduces q106's counts exactly (per-word-type
+   * application times multiplicity = per-occurrence application).
+   *
+   * Output: `idCol`, `keep`, `n_words`, `n_bpe_tokens`.
+   */
+  def bpeTokenizeStream(docs: DataFrame, idCol: String, textCol: String,
+                        merges: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val out = (idCol +: keep).distinct
+    val m = merges.agg(
+      array_sort(collect_list(struct(col("merge_round"), col("pair"))))
+        .as("__ms"))
+    val ws = filter(split(lower(trim(col(textCol))), " "), t => t =!= "")
+    def bpeCount(w: Column): Column = {
+      val init = concat(lit(" "),
+        array_join(filter(split(w, ""), c => c =!= ""), " "), lit(" "))
+      val merged = aggregate(col("__ms"), init, (acc, mm) =>
+        replace(acc,
+          concat(lit(" "), mm.getField("pair"), lit(" ")),
+          concat(lit(" "), replace(mm.getField("pair"), lit(" "), lit("")),
+            lit(" "))))
+      size(filter(split(trim(merged), " "), x => x =!= "")).cast("long")
+    }
+    docs.crossJoin(broadcast(m))
+      .select(out.map(col) :+
+        size(ws).cast("long").as("n_words") :+
+        aggregate(transform(ws, w => bpeCount(w)), lit(0L), _ + _)
+          .as("n_bpe_tokens"): _*)
+      .filter(col("n_words") > 0)
+  }
+
   /** One emission of [[profileStream]]: the key, its running dense
     * bucket vector, and the cumulative event count (monotone — the
     * row with the key's max `n_events` is its latest profile). */

@@ -647,6 +647,46 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.length should be > 0
   }
 
+  test("bpeTokenizeStream on the training corpus reproduces q106's per-lang counts") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
+    val merges = graft.Queries.bpeTrain(docsDf, 6)._1
+    val rows = docsDf.select("doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    val input = MemoryStream[(Long, String, String)]
+    val query = StreamingOps.bpeTokenizeStream(
+        input.toDF().toDF("doc_id", "text", "lang"),
+        "doc_id", "text", merges, keep = Seq("lang"))
+      .writeStream.format("memory").queryName("t_bpe")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq: _*); query.processAllAvailable()
+      input.addData(b2.toSeq: _*); query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("t_bpe")
+      .groupBy("lang")
+      .agg(sum("n_words").as("n_words"), sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+
+    // q106's batch report: per-word-type application × multiplicity
+    val want = graft.Queries.q106(spark, sf0001)
+      .select("lang", "n_words", "n_bpe_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+
+    got shouldBe want
+    got.length should be > 0
+  }
+
   test("stream-stream interval join (watermarked both sides) equals the batch join") {
     val ss = spark
     import ss.implicits._
