@@ -44,6 +44,11 @@ object Bench {
       if (args.isEmpty) all
       else {
         val only = args(0).split(",").toSet
+        val known = all.map(_._1).toSet
+        val unknown = only.diff(known)
+        require(unknown.isEmpty,
+          s"unknown query name(s): ${unknown.toSeq.sorted.mkString(",")} — " +
+            "a typo here would silently bench a partial set")
         all.filter { case (n, _) => only(n) }
       }
     }

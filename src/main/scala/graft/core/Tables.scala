@@ -95,7 +95,13 @@ object Tables {
           // would silently shift under a non-UTC session zone).
           expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')")
         case org.apache.spark.sql.types.TimestampNTZType => col("ts")
-        case _ => col("ts").cast(org.apache.spark.sql.types.TimestampNTZType)
+        case other =>
+          // A bare NTZ cast of a tz-bearing TimestampType would shift
+          // under a non-UTC session zone — fail loudly instead so a new
+          // fixture generation gets an explicit branch, not silent skew.
+          throw new IllegalStateException(
+            s"events.ts has unexpected parquet type $other; " +
+              "add an explicit timezone-safe branch in Tables.events")
       }
       raw.withColumn("ts", tsNorm)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -434,6 +434,9 @@ object StreamingOps {
       .select(col(keyCol).cast("long").as("__k"),
         bucketOf(col(tsCol)).cast("int").as("__h"),
         col(valueCol).cast("decimal(18,6)").as("__v"))
+      // Null ts/value rows would NPE in the primitive-Int encoder /
+      // BigDecimal ctor; the batch twin never sees them either.
+      .where(col("__k").isNotNull && col("__h").isNotNull && col("__v").isNotNull)
       .as[(Long, Int, java.math.BigDecimal)]
     prepared
       .groupByKey(_._1)
@@ -446,8 +449,13 @@ object StreamingOps {
           val sums = sums0.toArray
           var n = n0
           rows.foreach { case (_, h, v) =>
-            sums(h) = sums(h) + scala.math.BigDecimal(v)
-            n += 1
+            // Drop out-of-range buckets exactly like the batch twin
+            // (Similarity.activityProfiles), keeping the twins replay-
+            // identical for any bucketOf; counts only in-range rows.
+            if (h >= 0 && h < buckets) {
+              sums(h) = sums(h) + scala.math.BigDecimal(v)
+              n += 1
+            }
           }
           state.update((sums.toSeq, n))
           ProfileUpdate(key, sums.map(_.toDouble).toSeq, n)
@@ -455,10 +463,14 @@ object StreamingOps {
   }
 
   /** One closed window of [[driftMonitorStream]]: window start (epoch
-    * ms), token/vocab/out-of-vocabulary counts, and the window's KL
-    * divergence from the reference marginal. */
+    * ms), total token count, IN-MARGINAL distinct token types
+    * (`n_vocab` — the exact analogue of batch `sliceDivergence`'s
+    * n_vocab, which joins on the marginal before counting),
+    * out-of-marginal token occurrences (`n_oov`) and distinct types
+    * (`n_oov_vocab`), and the window's KL divergence from the
+    * reference marginal. */
   case class DriftWindow(window_start: Long, n_toks: Long, n_vocab: Long,
-                         n_oov: Long, kl: Double)
+                         n_oov: Long, kl: Double, n_oov_vocab: Long)
 
   /**
    * Windowed corpus-drift monitor — the streaming twin of q101's
@@ -525,7 +537,8 @@ object StreamingOps {
             val kl = java.math.BigDecimal.valueOf(sum.doubleValue)
               .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
             Iterator.single(DriftWindow(windowStart,
-              counts.values.sum, counts.size.toLong, oov, kl))
+              counts.values.sum, ns.size.toLong, oov, kl,
+              (counts.size - ns.size).toLong))
           } else {
             var counts = state.getOption.getOrElse(Map.empty[String, Long])
             rows.foreach { case (_, ws) =>

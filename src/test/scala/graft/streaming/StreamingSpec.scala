@@ -599,11 +599,12 @@ class StreamingSpec extends SparkTestBase with Matchers {
 
     val got = spark.table("t_drift_oov")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4)))
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
     got.length shouldBe 1
-    // counts a:2 b:1 zz:1 -> 4 tokens, 3 distinct, 1 oov; KL over {a,b}:
+    // counts a:2 b:1 zz:1 -> 4 tokens, 2 in-marginal types, 1 oov
+    // occurrence (1 distinct oov type); KL over {a,b}:
     // (2/3)·ln(2·4/(2·3)) + (1/3)·ln(1·4/(2·3)) = 0.191788 − 0.135155 → 0.0566
-    got.head shouldBe ((0L, 4L, 3L, 1L, 0.0566))
+    got.head shouldBe ((0L, 4L, 2L, 1L, 0.0566, 1L))
   }
 
   test("profileStream's final emissions equal batch activityProfiles across micro-batches") {
