@@ -849,11 +849,18 @@ object Queries {
       .when(sEs >= sFr, "es")
       .otherwise("fr")
     val d = Tables.documents(s, dir)
-    d.join(Dedup.exactSurvivors(d, "doc_id", "text"), "doc_id")
+    // All text-derived values are computed SCAN-SIDE, before the
+    // survivor join: the join's doc side then shuffles only thin
+    // derived columns, never `text` (at 100x scale the survivor join
+    // degrades BHJ→SMJ, and a post-join tokenization would drag the
+    // corpus through that exchange — pinned by PlanQualitySpec's
+    // no-broadcast wide-payload pass).
+    val scored = d
       .withColumn("__n_tok", size(t))
       .withColumn("__n_stop", size(filter(t, x => x.isInCollection(stop))))
       .filter(col("__n_tok") >= 10 && lit(2) * col("__n_stop") < col("__n_tok"))
-      .select(col("lang"), predicted.as("predicted"), col("n_chars"))
+      .select(col("doc_id"), col("lang"), predicted.as("predicted"), col("n_chars"))
+    scored.join(Dedup.exactSurvivors(d, "doc_id", "text"), "doc_id")
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang", "predicted")
@@ -1500,9 +1507,16 @@ object Queries {
     * its minimum-id document, docs rebuilt from surviving blocks. The
     * shuffled stream is (id, idx, 128-bit hash); the oracle replays
     * the policy on the block text itself (a divergence would need an
-    * xxhash64 double collision). Per-lang boilerplate report. */
+    * xxhash64 double collision). Per-lang boilerplate report.
+    *
+    * Runs the COLOCATED variant: the corpus stages once as a table
+    * bucketed on doc_id, so the rebuild join's text side never enters
+    * an exchange even when the thin side outgrows the broadcast
+    * threshold (PlanQualitySpec's no-broadcast audit pins this). */
   val q83: Q = (s, dir) =>
-    Dedup.chunkDedup(Tables.documents(s, dir), "doc_id", "text", chunkWords = 8)
+    Dedup.chunkDedupColocated(Tables.documents(s, dir), "doc_id", "text",
+        chunkWords = 8, stagingTable = "graft_q83_docs_staged",
+        buckets = s.conf.get("spark.sql.shuffle.partitions").toInt)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("n_chunks_removed") > 0L, 1L).otherwise(0L)).as("n_docs_touched"),

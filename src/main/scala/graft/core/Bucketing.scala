@@ -20,6 +20,14 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     buckets: Int): Unit = {
     require(bucketCols.nonEmpty && buckets > 0, "need bucket columns and a positive count")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // A previous JVM's managed-table directory is invisible to this
+    // fresh in-memory catalog but still blocks CREATE — clear it.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .format("parquet")
       .mode("overwrite")

@@ -135,6 +135,34 @@ object Dedup {
   }
 
   /**
+   * [[chunkDedup]] over a bucketed staging of the corpus — the
+   * 100 TB-safe rebuild. Plain `chunkDedup`'s final verdict join plans
+   * BHJ at test scale but degrades to a sort-merge join at real scale,
+   * shuffling `text` as non-key payload (the one plan family the r8
+   * audit flagged). Staging the corpus as a catalog table bucketed on
+   * `idCol` fixes the join's text side in place: a bucketed WRITE
+   * inserts only a task-local sort (never an exchange), the bucketed
+   * SCAN reports `HashPartitioning(idCol, buckets)`, so the rebuild
+   * join moves ONLY the thin per-doc verdict rows (~28 B/doc) to the
+   * text's partitioning — corpus text crosses the network zero times.
+   * Pinned by ChunkDedupSpec (no text-side exchange, output identical
+   * to plain chunkDedup) and PlanQualitySpec's no-broadcast audit.
+   *
+   * The staged table is also the layout every OTHER per-doc join in a
+   * training pipeline wants (quality scores, dedup verdicts, split
+   * labels all key on `idCol`): stage once, join many times
+   * exchange-free.
+   */
+  def chunkDedupColocated(docs: DataFrame, idCol: String, textCol: String,
+                          chunkWords: Int, stagingTable: String,
+                          buckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    graft.core.Bucketing.writeBucketed(docs, stagingTable, Seq(idCol), buckets)
+    chunkDedup(graft.core.Bucketing.readTable(spark, stagingTable),
+      idCol, textCol, chunkWords)
+  }
+
+  /**
    * Distinct n-word shingles of a text column: tokenize on single spaces
    * (after lower/trim, mirroring the exact-dedup normalization), then
    * slide an n-token window. Texts with fewer than n tokens yield an

@@ -47,6 +47,37 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
       .head().getLong(0) shouldBe 1L // its "e f" tail lost to doc 1's
   }
 
+  test("chunkDedupColocated equals plain chunkDedup; text never enters a hash exchange") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val d = Tables.documents(spark, sf0001)
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val out = Dedup.chunkDedupColocated(d, "doc_id", "text", chunkWords = 8,
+        stagingTable = "graft_test_docs_staged", buckets = 4)
+      // even with size-based broadcast OFF (the 100x-scale join shape),
+      // the bucketed layout keeps the rebuild's text side out of every
+      // exchange: only thin verdict rows move
+      val shuffledTextCols = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+          e.child.output.filter(_.name == "text").map(_.name)
+      }.flatten
+      shuffledTextCols shouldBe empty
+      val plain = Dedup.chunkDedup(d, "doc_id", "text", chunkWords = 8)
+        .select("doc_id", "clean_text", "n_chunks", "n_chunks_removed")
+        .orderBy("doc_id").collect()
+      out.select("doc_id", "clean_text", "n_chunks", "n_chunks_removed")
+        .orderBy("doc_id").collect() should contain theSameElementsInOrderAs plain
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("wordShingles: sliding distinct 3-grams; short texts empty") {
     val ss = spark
     import ss.implicits._
