@@ -1968,6 +1968,91 @@ object Queries {
   val q105: Q = (s, dir) =>
     bpeTrain(Tables.documents(s, dir), 6)._1.orderBy("merge_round")
 
+  /** Batched BPE training — [[bpeTrain]] generalized so merge count
+    * scales past toy sizes without one driver-side job per merge: each
+    * round takes the top-`batchK` candidate pairs and keeps every
+    * candidate that conflicts with NO higher-ranked candidate (an
+    * order-free dominance rule, so both engines derive the identical
+    * set with no sequential scan). A conflict is anything that would
+    * make simultaneous application ambiguous: chaining (one pair's
+    * right symbol is another's left), a pair consuming another's
+    * merged output symbol, or two pairs producing the same merged
+    * symbol. The survivors are pairwise non-interacting, so folding
+    * their `replace`s over the round-start string IS simultaneous
+    * application — one Spark job merges the whole batch, and rounds
+    * stay ≪ merges (16 rounds train ~80 merges at sf0.01; a 30k-merge
+    * vocabulary needs ~thousands of rounds, not 30k driver round
+    * trips). Per-round chaining still goes through the q75-style
+    * 1-row/array broadcast — never a driver collect. */
+  private[graft] def bpeTrainBatched(docs: DataFrame, rounds: Int,
+                                     batchK: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val init = words.withColumn("s",
+      concat(lit(" "),
+        array_join(filter(split(col("word"), ""), c => c =!= ""), " "),
+        lit(" ")))
+    val (fin, batches) = (1 to rounds).foldLeft((init, List.empty[DataFrame])) {
+      case ((cur, acc), k) =>
+        val sy = filter(split(trim(col("s")), " "), x => x =!= "")
+        val withSy = cur.select(col("n"), sy.as("__sy"))
+        val pairCol = when(size(col("__sy")) >= 2,
+          transform(sequence(lit(1), size(col("__sy")) - 1),
+            i => concat(element_at(col("__sy"), i), lit(" "),
+              element_at(col("__sy"), i + 1))))
+          .otherwise(array().cast("array<string>"))
+        // candidate pool: top-batchK pairs in the same total order the
+        // single-merge trainer uses (count desc, pair asc)
+        val cand = withSy.select(col("n"), explode(pairCol).as("pair"))
+          .groupBy("pair").agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(batchK)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
+          .withColumn("__l", substring_index(col("pair"), " ", 1))
+          .withColumn("__r", substring_index(col("pair"), " ", -1))
+          .withColumn("__m", expr("replace(pair, ' ', '')"))
+        val hi = cand.select(col("rank").as("__hrank"), col("__l").as("__hl"),
+          col("__r").as("__hr"), col("__m").as("__hm"))
+        val selected = cand.join(broadcast(hi),
+            col("__hrank") < col("rank") && (
+              col("__hr") === col("__l") || col("__hl") === col("__r") ||
+              col("__hm") === col("__l") || col("__hm") === col("__r") ||
+              col("__m") === col("__hl") || col("__m") === col("__hr") ||
+              col("__m") === col("__hm")),
+            "left_anti")
+          .localCheckpoint() // two consumers: the merge table + the fold
+        // the whole batch ships as ONE rank-ordered array in a 1-row
+        // broadcast; the fold applies each replace to the round-start
+        // string — order irrelevant by construction, kept for replay
+        val selRow = selected
+          .agg(array_sort(collect_list(struct(col("rank"), col("pair"))))
+            .as("__s1"))
+          .select(transform(col("__s1"), p => p.getField("pair")).as("__sel"))
+        val next = cur.crossJoin(broadcast(selRow))
+          .withColumn("s",
+            expr("aggregate(__sel, s, (acc, x) -> " +
+              "replace(acc, ' ' || x || ' ', ' ' || replace(x, ' ', '') || ' '))"))
+          .drop("__sel")
+          .localCheckpoint()
+        val batch = selected.select(lit(k.toLong).as("merge_round"),
+          col("rank").cast("long").as("rank"), col("pair"), col("cnt"))
+        (next, batch :: acc)
+    }
+    (batches.reverse.reduce(_ unionByName _), fin)
+  }
+
+  /** Q107 batched BPE training (q105 at vocabulary scale): 16 rounds
+    * train ~80 merges — each round merges every top-24 candidate that
+    * no higher-ranked candidate interacts with, applied simultaneously
+    * in one pass. The oracle replays all 16 rounds including the
+    * dominance filter, so the merge table (round, candidate rank,
+    * pair, count) must match row for row. */
+  val q107: Q = (s, dir) =>
+    bpeTrainBatched(Tables.documents(s, dir), rounds = 16, batchK = 24)._1
+      .orderBy("merge_round", "rank")
+
   /** Q106 BPE tokenization report (q105 applied back to its corpus):
     * the final merged symbol strings ARE the tokenization of every
     * word type, so application is a broadcast join of the vocabulary-
@@ -2103,6 +2188,7 @@ object Queries {
     "q104_profile_segments" -> q104,
     "q105_bpe_train" -> q105,
     "q106_bpe_tokenize" -> q106,
+    "q107_bpe_batch_train" -> q107,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -2147,6 +2233,51 @@ object Queries {
       .map(k => s"SELECT CAST($k AS BIGINT) AS merge_round, pair, cnt FROM b$k")
       .mkString(" UNION ALL ")
     base + roundCtes + out + " ORDER BY merge_round"
+  }
+
+  /** The q107 oracle: replays the BATCHED trainer — per round the
+    * top-K candidate ranking, the order-free dominance filter (keep a
+    * candidate iff NO higher-ranked candidate chains with it, consumes
+    * its merged symbol, or produces the same merged symbol), and the
+    * whole surviving batch applied to the round-start strings via a
+    * `list_reduce` fold of the same space-delimited `replace` both
+    * engines share. CTEs are MATERIALIZED: each round is referenced
+    * twice (next round + the output union), and DuckDB's default
+    * inlining would re-derive the whole chain per reference —
+    * exponential in round count. */
+  private def bpeBatchOracleSql(rounds: Int, batchK: Int): String = {
+    val base =
+      "WITH w0 AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM " +
+        "(SELECT unnest(list_filter(str_split(lower(trim(text)), ' '), x -> x <> '')) AS word " +
+        "FROM documents) GROUP BY word), " +
+      "s0 AS MATERIALIZED (SELECT word, n, ' ' || array_to_string(" +
+        "[substr(word, CAST(i AS INT), 1) for i in range(1, length(word) + 1)], ' ') || ' ' AS s FROM w0)"
+    val roundCtes = (1 to rounds).map { k =>
+      s"sy$k AS (SELECT n, list_filter(str_split(trim(s), ' '), x -> x <> '') AS sy FROM s${k - 1}), " +
+      s"p$k AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM " +
+        s"(SELECT n, unnest([sy[i] || ' ' || sy[i + 1] for i in range(1, len(sy))]) AS pair FROM sy$k) " +
+        s"GROUP BY pair), " +
+      s"c$k AS MATERIALIZED (SELECT pair, cnt, rnk FROM " +
+        s"(SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk FROM p$k) " +
+        s"WHERE rnk <= $batchK), " +
+      s"b$k AS MATERIALIZED (SELECT c.pair, c.cnt, c.rnk FROM c$k c " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM c$k h WHERE h.rnk < c.rnk AND (" +
+        "split_part(h.pair,' ',2)=split_part(c.pair,' ',1) OR " +
+        "split_part(h.pair,' ',1)=split_part(c.pair,' ',2) OR " +
+        "replace(h.pair,' ','')=split_part(c.pair,' ',1) OR " +
+        "replace(h.pair,' ','')=split_part(c.pair,' ',2) OR " +
+        "replace(c.pair,' ','')=split_part(h.pair,' ',1) OR " +
+        "replace(c.pair,' ','')=split_part(h.pair,' ',2) OR " +
+        "replace(c.pair,' ','')=replace(h.pair,' ','')))), " +
+      s"s$k AS MATERIALIZED (SELECT word, n, list_reduce(" +
+        s"list_prepend(s, (SELECT COALESCE(list(pair ORDER BY rnk), []) FROM b$k)), " +
+        "(acc, x) -> replace(acc, ' ' || x || ' ', ' ' || replace(x, ' ', '') || ' ')) AS s " +
+        s"FROM s${k - 1})"
+    }.mkString(", ", ", ", " ")
+    val out = (1 to rounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS merge_round, CAST(rnk AS BIGINT) AS rank, pair, cnt FROM b$k")
+      .mkString(" UNION ALL ")
+    base + roundCtes + out + " ORDER BY merge_round, rank"
   }
 
   /** The q106 oracle: the same generated training rounds, then the
@@ -3153,6 +3284,7 @@ object Queries {
         "ORDER BY score DESC, user_id LIMIT 10"),
     "q105_bpe_train" -> bpeOracleSql(6),
     "q106_bpe_tokenize" -> bpeApplyOracleSql(6),
+    "q107_bpe_batch_train" -> bpeBatchOracleSql(16, 24),
     "q104_profile_segments" ->
       // q103's dense-profile CTEs feeding q75's two Lloyd rounds
       // verbatim (dim 24, stride 37 on user_id); quantization is a
