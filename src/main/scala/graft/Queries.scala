@@ -2053,6 +2053,54 @@ object Queries {
     bpeTrainBatched(Tables.documents(s, dir), rounds = 16, batchK = 24)._1
       .orderBy("merge_round", "rank")
 
+  /** Q108 REAL image decode (north star, closing the r8 stub): each
+    * document's text bytes become the gray pixels of an actual 24-bit
+    * BMP FILE (`Bmp.encodeGray` — magic, little-endian headers,
+    * bottom-up rows, stride padding; dimensions vary per doc so the
+    * row-padding layout varies), and `Multimodal.decodeBmpFeatures`
+    * decodes the files back through the partition-batched seam:
+    * dimensions from the PARSED HEADER, histogram/mean from decoded
+    * pixel luma. The oracle replays the stats from the raw text via
+    * codepoint arithmetic — it can only match if header parse, row
+    * re-flip, padding strip, and the BT.601 luma identity (gray
+    * round-trips bit-exact) are all correct. Decode is
+    * partition-preserving (no shuffle); only thin per-asset feature
+    * rows enter the lang join. */
+  val q108: Q = (s, dir) => {
+    import graft.multimodal.{Asset, Bmp, Multimodal}
+    val d = Tables.documents(s, dir)
+    val enc = org.apache.spark.sql.Encoders.product[Asset]
+    val raw = d.select(col("doc_id").as("asset_id"),
+        lit("image/bmp").as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("width"),
+        (lit(5) + pmod(col("doc_id"), lit(7))).cast("int").as("height"))
+      .as[Asset](enc)
+    val bmps = raw.mapPartitions { it =>
+      it.map { a =>
+        val n = a.width * a.height
+        // first w*h text bytes as gray pixels, space-padded (ASCII
+        // corpus: byte == codepoint, pinned by the corpus invariant)
+        val gray = Array.tabulate(n)(i =>
+          if (i < a.bytes.length) a.bytes(i) else 32.toByte)
+        a.copy(bytes = Bmp.encodeGray(a.width, a.height, gray))
+      }
+    }(enc)
+    Multimodal.decodeBmpFeatures(bmps).toDF()
+      .join(d.select(col("doc_id"), col("lang")), col("asset_id") === col("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("width")).as("sum_w"),
+        sum(col("height")).as("sum_h"),
+        sum(col("n_pixels")).as("total_pixels"),
+        // exact per-image fixed-point mean from the integer luma sum
+        sum(expr("sum_luma * 1000000 div n_pixels")).as("sum_mean_micro"),
+        sum(element_at(col("histogram"), 3)).as("h2"),
+        sum(element_at(col("histogram"), 7)).as("h6"),
+        sum(element_at(col("histogram"), 8)).as("h7"))
+      .orderBy("lang")
+  }
+
   /** Q106 BPE tokenization report (q105 applied back to its corpus):
     * the final merged symbol strings ARE the tokenization of every
     * word type, so application is a broadcast join of the vocabulary-
@@ -2189,6 +2237,7 @@ object Queries {
     "q105_bpe_train" -> q105,
     "q106_bpe_tokenize" -> q106,
     "q107_bpe_batch_train" -> q107,
+    "q108_bmp_decode" -> q108,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -3285,6 +3334,28 @@ object Queries {
     "q105_bpe_train" -> bpeOracleSql(6),
     "q106_bpe_tokenize" -> bpeApplyOracleSql(6),
     "q107_bpe_batch_train" -> bpeBatchOracleSql(16, 24),
+    "q108_bmp_decode" ->
+      // replay the DECODED-pixel stats from the raw text: gray pixel i
+      // = codepoint of char i (space-padded to w*h), luma(gray) = gray,
+      // bin = luma // 16 — matches only if the BMP header/row/padding
+      // round-trip is bit-exact
+      ("WITH dm AS (SELECT doc_id, lang, text, " +
+        "8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h FROM documents), " +
+        "c AS (SELECT doc_id, lang, w, h, w*h AS np, " +
+        "unnest(str_split(substr(text, 1, CAST(w*h AS INT)), '')) AS ch FROM dm), " +
+        "per AS (SELECT doc_id, lang, w, h, np, " +
+        "CAST(SUM(ord(ch)) AS BIGINT) AS s, COUNT(*) AS m, " +
+        "SUM(CASE WHEN ord(ch) // 16 = 2 THEN 1 ELSE 0 END) AS h2, " +
+        "SUM(CASE WHEN ord(ch) // 16 = 6 THEN 1 ELSE 0 END) AS h6, " +
+        "SUM(CASE WHEN ord(ch) // 16 = 7 THEN 1 ELSE 0 END) AS h7 " +
+        "FROM c GROUP BY doc_id, lang, w, h, np) " +
+        "SELECT lang, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS sum_w, " +
+        "CAST(SUM(h) AS BIGINT) AS sum_h, " +
+        "CAST(SUM(np) AS BIGINT) AS total_pixels, " +
+        "CAST(SUM((s + 32*(np - m)) * 1000000 // np) AS BIGINT) AS sum_mean_micro, " +
+        "CAST(SUM(h2 + (np - m)) AS BIGINT) AS h2, " +
+        "CAST(SUM(h6) AS BIGINT) AS h6, CAST(SUM(h7) AS BIGINT) AS h7 " +
+        "FROM per GROUP BY lang ORDER BY lang"),
     "q104_profile_segments" ->
       // q103's dense-profile CTEs feeding q75's two Lloyd rounds
       // verbatim (dim 24, stride 37 on user_id); quantization is a

@@ -15,6 +15,14 @@ final case class AssetFeatures(asset_id: Long, media_type: String,
                                n_bytes: Long, mean_byte: Double,
                                histogram: Array[Long], embedding: Array[Float])
 
+/** Features from a REAL raster decode (`Bmp.decode`): dimensions come
+  * from the parsed file header, the histogram/mean from decoded pixel
+  * luma. `sum_luma` stays an exact integer so downstream aggregates are
+  * oracle-replayable without float drift. */
+final case class ImageFeatures(asset_id: Long, width: Int, height: Int,
+                               n_pixels: Long, sum_luma: Long,
+                               histogram: Array[Long])
+
 /**
  * Multimodal column operators (north star): media as opaque `binary`
  * columns with typed metadata, processed in partition-batched iterators.
@@ -23,12 +31,14 @@ final case class AssetFeatures(asset_id: Long, media_type: String,
  * pipeline: `Dataset.mapPartitions` hands each executor core an
  * iterator over its partition's assets, the decoder processes them
  * one batch at a time, and the output is a typed Dataset again. The
- * ACTUAL decode (JPEG/PNG pixel decode, audio PCM, video frames) is
- * STUBBED — this container has no media libraries — behind
- * `stubDecode`, a deterministic fake with the same signature a real
- * decoder has (bytes → fixed-width feature batch). Everything around
- * it — schema, encoders, partition batching, 1-row-in/1-row-out
- * shape — is the real plumbing and is what the tests pin.
+ * decode goes REAL for BMP via `decodeBmpFeatures` (`Bmp.decode`, a
+ * zero-dependency 24-bit BMP parser); formats that need entropy
+ * coding (JPEG/PNG, audio PCM, video frames) remain STUBBED — this
+ * container has no media libraries — behind `stubDecode`, a
+ * deterministic fake with the same signature a real decoder has
+ * (bytes → fixed-width feature batch). Everything around it — schema,
+ * encoders, partition batching, 1-row-in/1-row-out shape — is the
+ * real plumbing and is what the tests pin.
  *
  * Scale notes: decode is embarrassingly parallel and CPU-bound; the
  * operator preserves the input partitioning (no shuffle), so
@@ -68,6 +78,28 @@ object Multimodal {
           if (a.bytes.isEmpty) 0.0
           else a.bytes.iterator.map(_ & 0xff).sum.toDouble / a.bytes.length
         AssetFeatures(a.asset_id, a.media_type, a.bytes.length.toLong, mean, hist, emb)
+      }
+    }
+  }
+
+  /**
+   * REAL image decode through the same partition-batched seam: each
+   * asset's bytes are parsed as an actual BMP file (`Bmp.decode` —
+   * header magic, little-endian fields, bottom-up row flip, stride
+   * padding), and the features come from decoded PIXELS, not payload
+   * bytes: dimensions from the parsed header, 16-bin histogram and
+   * exact integer sum over per-pixel BT.601 luma. Same scale shape as
+   * `decodeFeatures`: embarrassingly parallel, partition-preserving,
+   * no shuffle.
+   */
+  def decodeBmpFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val raster = Bmp.decode(a.bytes)
+        val (hist, sumLuma) = Bmp.lumaStats(raster, HistogramBins)
+        ImageFeatures(a.asset_id, raster.width, raster.height,
+          raster.width.toLong * raster.height, sumLuma, hist)
       }
     }
   }

@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** The REAL decode path: `Bmp` is an actual 24-bit BMP codec, not a
+  * stand-in. These tests pin the file format itself — magic,
+  * little-endian headers, bottom-up row order, stride padding,
+  * top-down (negative-height) files, and loud rejection of anything
+  * the decoder cannot faithfully decode. */
+class BmpSpec extends SparkTestBase with Matchers {
+
+  test("encode/decode round-trips arbitrary BGR pixels across padded strides") {
+    // widths 1..6 cover every stride-padding residue (w*3 mod 4)
+    for (w <- 1 to 6; h <- Seq(1, 3, 5)) {
+      val rng = new scala.util.Random(42 + w * 10 + h)
+      val bgr = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+      val raster = Bmp.decode(Bmp.encode(w, h, bgr))
+      raster.width shouldBe w
+      raster.height shouldBe h
+      raster.pixels shouldBe bgr
+    }
+  }
+
+  test("decode handles a hand-authored top-down (negative height) file") {
+    // 2x2 top-down BMP built byte by byte — the layout an external
+    // tool could hand us, never produced by our own encoder
+    val stride = 8 // 2*3 rounded up to 4
+    val bytes = new Array[Byte](14 + 40 + stride * 2)
+    bytes(0) = 'B'; bytes(1) = 'M'
+    def i32(off: Int, v: Int): Unit = {
+      bytes(off) = (v & 0xff).toByte
+      bytes(off + 1) = ((v >> 8) & 0xff).toByte
+      bytes(off + 2) = ((v >> 16) & 0xff).toByte
+      bytes(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    i32(2, bytes.length); i32(10, 54); i32(14, 40)
+    i32(18, 2); i32(22, -2) // width 2, height -2 => top-down
+    bytes(26) = 1; bytes(28) = 24
+    // row 0 (image top, first in file because top-down)
+    val px = Array[Byte](10, 20, 30, 40, 50, 60)
+    px.copyToArray(bytes, 54)
+    val px2 = Array[Byte](70, 80, 90, 100, 110, 120)
+    px2.copyToArray(bytes, 54 + stride)
+    val raster = Bmp.decode(bytes)
+    raster.width shouldBe 2
+    raster.height shouldBe 2
+    raster.pixels shouldBe (px ++ px2)
+  }
+
+  test("decode rejects non-BMP and unsupported variants loudly") {
+    val good = Bmp.encode(3, 2, Array.fill(18)(7.toByte))
+    an[IllegalArgumentException] should be thrownBy
+      Bmp.decode("not a bitmap at all".getBytes)
+    an[IllegalArgumentException] should be thrownBy
+      Bmp.decode(good.take(30)) // truncated mid-header
+    val badBpp = good.clone(); badBpp(28) = 32
+    an[IllegalArgumentException] should be thrownBy Bmp.decode(badBpp)
+    val badComp = good.clone(); badComp(30) = 1 // BI_RLE8
+    an[IllegalArgumentException] should be thrownBy Bmp.decode(badComp)
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    an[IllegalArgumentException] should be thrownBy Bmp.decode(badMagic)
+  }
+
+  test("gray pixels round-trip bit-exact through BT.601 luma") {
+    for (g <- 0 until 256) Bmp.luma(g, g, g) shouldBe g
+    // and a non-gray sanity point: pure red
+    Bmp.luma(0, 0, 255) shouldBe (255 * 299) / 1000
+  }
+
+  test("lumaStats: histogram covers every pixel, sum is exact") {
+    val gray = Array.tabulate(256)(_.toByte) // one pixel per gray level
+    val raster = Bmp.decode(Bmp.encodeGray(16, 16, gray))
+    val (hist, sum) = Bmp.lumaStats(raster, 16)
+    hist.sum shouldBe 256L
+    hist.toSeq shouldBe Seq.fill(16)(16L) // 16 levels per bin
+    sum shouldBe (0 until 256).sum.toLong
+  }
+
+  test("decodeBmpFeatures: dimensions come from the parsed header, no shuffle") {
+    val ss = spark
+    import ss.implicits._
+    val assets = (1 to 12).map { i =>
+      val w = 3 + i % 5; val h = 2 + i % 3
+      val gray = Array.tabulate(w * h)(j => ((i * 31 + j * 7) % 256).toByte)
+      // metadata width/height deliberately wrong: the decoder must
+      // report what the FILE says, not what the row claims
+      Asset(i.toLong, "image/bmp", Bmp.encodeGray(w, h, gray), 0, 0)
+    }.toDS().repartition(3)
+    val feats = Multimodal.decodeBmpFeatures(assets)
+    feats.rdd.getNumPartitions shouldBe 3
+    val rows = feats.collect().sortBy(_.asset_id)
+    rows.length shouldBe 12
+    rows.foreach { f =>
+      val i = f.asset_id.toInt
+      f.width shouldBe 3 + i % 5
+      f.height shouldBe 2 + i % 3
+      f.n_pixels shouldBe f.width.toLong * f.height
+      f.histogram.sum shouldBe f.n_pixels
+      // gray image: luma == gray, so the exact sum replays from the source
+      f.sum_luma shouldBe (0 until f.n_pixels.toInt)
+        .map(j => (i * 31 + j * 7) % 256).sum.toLong
+    }
+  }
+}
