@@ -101,6 +101,19 @@ object Dedup {
    * block text from the doc's own words, so chunk strings never
    * materialize outside the scan projection.
    */
+  /** The i-th non-overlapping `cw`-word block of token array `w`, as a
+    * single space-joined string (the chunk-dedup unit). */
+  private[graft] def chunkAt(w: Column, i: Column, cw: Int): Column =
+    array_join(slice(w, (i * cw + 1).cast("int"), lit(cw)), " ")
+
+  /** 128-bit chunk hash pair — the exact-dedup key shape applied to one
+    * chunk. Shared verbatim by the batch operator and the streaming
+    * twin so their banding decisions match bit-for-bit. */
+  private[graft] def chunkHashStruct(w: Column, i: Column, cw: Int): Column = {
+    val c = chunkAt(w, i, cw)
+    struct(xxhash64(c).as("h1"), xxhash64(lit(0x9e3779b9L), c).as("h2"))
+  }
+
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  chunkWords: Int): DataFrame = {
     require(chunkWords >= 1, "chunkWords must be >= 1")
@@ -108,14 +121,10 @@ object Dedup {
     val words = split(normText(col(textCol)), " ")
     // ceil(|words| / cw) blocks; the tail block may be short
     val nChunks = ceil(size(words).cast("double") / cw).cast("long")
-    val chunkAt = (w: Column, i: Column) =>
-      array_join(slice(w, (i * cw + 1).cast("int"), lit(cw)), " ")
     val hashes = docs.select(
       col(idCol),
-      posexplode(transform(sequence(lit(0L), nChunks - 1), i => {
-        val c = chunkAt(words, i)
-        struct(xxhash64(c).as("h1"), xxhash64(lit(0x9e3779b9L), c).as("h2"))
-      })).as(Seq("__idx", "__h")))
+      posexplode(transform(sequence(lit(0L), nChunks - 1),
+        i => chunkHashStruct(words, i, cw))).as(Seq("__idx", "__h")))
     val keepers = hashes
       .groupBy(col("__h.h1"), col("__h.h2"))
       .agg(min(col(idCol)).as("__keeper"))
@@ -124,14 +133,51 @@ object Dedup {
         hashes("__h.h2") === keepers("h2"))
       .select(col(idCol), col("__idx"),
         (col(idCol) === col("__keeper")).as("__keep"))
+    rebuildFromChunkVerdicts(docs, idCol, textCol, cw,
+      verdicts.select(col(idCol), col("__idx").as("chunk_idx"),
+        col("__keep").as("kept")))
+  }
+
+  /**
+   * Rebuild documents from per-chunk-occurrence verdicts — the shared
+   * final stage of [[chunkDedup]] and the streaming twin
+   * (`StreamingOps.chunkVerdictStream`): `verdicts` carries one row per
+   * chunk occurrence (`idCol`, `chunk_idx`, `kept`); each document is
+   * rebuilt from its kept blocks in original order, re-deriving block
+   * text from the doc's own words (chunk strings never materialize
+   * outside the scan projection). Output matches [[chunkDedup]]'s
+   * contract: input columns + `clean_text`, `n_chunks`,
+   * `n_chunks_removed`.
+   */
+  def rebuildFromChunkVerdicts(docs: DataFrame, idCol: String,
+                               textCol: String, chunkWords: Int,
+                               verdicts: DataFrame): DataFrame = {
+    val cw = chunkWords
+    val words = split(normText(col(textCol)), " ")
     val perDoc = verdicts.groupBy(idCol).agg(
-      sort_array(collect_list(when(col("__keep"), col("__idx")))).as("__kept"),
+      sort_array(collect_list(when(col("kept"), col("chunk_idx")))).as("__kept"),
       count(lit(1)).as("n_chunks"),
-      sum(when(col("__keep"), 0L).otherwise(1L)).as("n_chunks_removed"))
+      sum(when(col("kept"), 0L).otherwise(1L)).as("n_chunks_removed"))
     docs.join(perDoc, idCol)
       .withColumn("clean_text",
-        array_join(transform(col("__kept"), i => chunkAt(words, i)), " "))
+        array_join(transform(col("__kept"), i => chunkAt(words, i, cw)), " "))
       .drop("__kept")
+  }
+
+  /** Chunk-fingerprint table of a corpus: one 16 B row per distinct
+    * chunk hash — the persisted history artifact the incremental /
+    * streaming chunk dedup consults instead of re-reading history text
+    * (the chunk-level analogue of [[fingerprints]]). */
+  def chunkFingerprints(docs: DataFrame, textCol: String,
+                        chunkWords: Int): DataFrame = {
+    require(chunkWords >= 1, "chunkWords must be >= 1")
+    val cw = chunkWords
+    val words = split(normText(col(textCol)), " ")
+    val nChunks = ceil(size(words).cast("double") / cw).cast("long")
+    docs.select(explode(transform(sequence(lit(0L), nChunks - 1),
+        i => chunkHashStruct(words, i, cw))).as("__h"))
+      .select(col("__h.h1").as("fp_h1"), col("__h.h2").as("fp_h2"))
+      .distinct()
   }
 
   /**

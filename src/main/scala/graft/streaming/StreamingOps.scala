@@ -148,6 +148,92 @@ object StreamingOps {
       .drop("fp_h1", "fp_h2")
   }
 
+  /** One per-chunk-occurrence verdict from [[chunkVerdictStream]]:
+    * chunk `chunk_idx` of document `doc_id` survives iff `kept`. */
+  case class ChunkVerdict(doc_id: Long, chunk_idx: Long, kept: Boolean)
+
+  /** Internal wire row of [[chunkVerdictStream]] (public only because
+    * Catalyst's generated deserializer must construct it). */
+  case class ChunkRow(doc: Long, idx: Long, h1: Long, h2: Long,
+                      hist: Boolean, evt: java.sql.Timestamp)
+
+  /**
+   * Streaming chunk-level dedup — the continuous twin of
+   * `Dedup.chunkDedup`, completing the incremental family
+   * (doc-level already has [[dedupAgainstHistoryStream]]): arriving
+   * documents are cut in-row into `chunkWords`-word blocks (the SAME
+   * hash basis as the batch operator, `Dedup.chunkHashStruct`, so
+   * keying matches bit-for-bit), a block occurrence is dropped where
+   * its 128-bit hash exists in the PERSISTED chunk-fingerprint history
+   * (`Dedup.chunkFingerprints` — static side, no stream state), and
+   * cross-document ownership within the stream resolves through
+   * `flatMapGroupsWithState` keyed by the chunk hash: the first
+   * micro-batch to present a chunk fixes its owner as that batch's
+   * MINIMUM doc id (= the batch canonical when a corpus replays in one
+   * batch; first-batch-min-id across batches — the same documented
+   * divergence as [[dedupAgainstHistoryStream]]). Within the owner
+   * document every occurrence survives, exactly like batch.
+   *
+   * Emits one verdict per chunk occurrence (doc_id, chunk_idx, kept) —
+   * thin rows; document text never enters the shuffle or the state
+   * store. Rebuilding `clean_text` from verdicts is the stateless
+   * batch step `Dedup.rebuildFromChunkVerdicts` (sink-side /
+   * foreachBatch), shared verbatim with the batch operator.
+   *
+   * State at scale: 24 B per distinct chunk (16 B key + owner id),
+   * expired at the watermark horizon via event-time timeout —
+   * RocksDB-backed past executor heap like any ST8 op.
+   */
+  def chunkVerdictStream(stream: DataFrame, idCol: String, textCol: String,
+                         chunkWords: Int, historyFps: DataFrame,
+                         tsCol: String,
+                         watermarkDelay: String): Dataset[ChunkVerdict] = {
+    require(chunkWords >= 1, "chunkWords must be >= 1")
+    import graft.operators.Dedup
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val cw = chunkWords
+    val words = split(Dedup.normText(col(textCol)), " ")
+    val nChunks = ceil(size(words).cast("double") / cw).cast("long")
+    val rows = stream
+      .withColumn("__evt", col(tsCol).cast("timestamp"))
+      .withWatermark("__evt", watermarkDelay)
+      .select(col(idCol).cast("long").as("doc"), col("__evt").as("evt"),
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => Dedup.chunkHashStruct(words, i, cw))).as(Seq("idx", "__h")))
+      .join(historyFps.select(col("fp_h1"), col("fp_h2"),
+          lit(true).as("__hist")),
+        col("__h.h1") === col("fp_h1") && col("__h.h2") === col("fp_h2"),
+        "left")
+      .select(col("doc"), col("idx"), col("__h.h1").as("h1"),
+        col("__h.h2").as("h2"), coalesce(col("__hist"), lit(false)).as("hist"),
+        col("evt"))
+      .as[ChunkRow]
+    rows
+      .groupByKey(r => (r.h1, r.h2))
+      .flatMapGroupsWithState[Long, ChunkVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Long, Long), it: Iterator[ChunkRow], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = it.toIndexedSeq
+            val fresh = rs.filter(!_.hist)
+            // history owns its chunks outright; otherwise the first
+            // batch to present the chunk fixes owner = its min doc id
+            val owner: Option[Long] = state.getOption.orElse(
+              if (fresh.nonEmpty) Some(fresh.map(_.doc).min) else None)
+            if (fresh.nonEmpty && owner.isDefined) {
+              if (!state.exists) state.update(owner.get)
+              // keep the owner alive to the watermark horizon
+              state.setTimeoutTimestamp(rs.map(_.evt.getTime).max,
+                watermarkDelay)
+            }
+            rs.iterator.map(r =>
+              ChunkVerdict(r.doc, r.idx, !r.hist && owner.contains(r.doc)))
+          }
+      }
+  }
+
   /**
    * Streaming fuzzy decontamination — the continuous twin of
    * `Dedup.crossNearDupPairs`: arriving (train-side) documents are

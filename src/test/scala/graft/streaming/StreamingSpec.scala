@@ -734,4 +734,95 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got should contain theSameElementsInOrderAs want
     got.length should be > 0
   }
+
+  /** Synthetic corpus with engineered chunk overlap: texts are built
+    * from a 12-block pool of 3-word blocks, so cross-document chunk
+    * duplicates actually occur (real sf0.001 texts share none). */
+  private def chunkCorpus: IndexedSeq[Doc] = {
+    val pool = IndexedSeq("aa bb cc", "dd ee ff", "gg hh ii", "jj kk ll",
+      "mm nn oo", "pp qq rr", "ss tt uu", "vv ww xx", "yy zz ab",
+      "cd ef gh", "ij kl mn", "op qr st")
+    val rng = new scala.util.Random(7)
+    (1 to 60).map { i =>
+      val blocks = IndexedSeq.fill(2 + rng.nextInt(4))(pool(rng.nextInt(pool.size)))
+      Doc(i.toLong, blocks.mkString(" "), "en", 1700000000000L + i)
+    }
+  }
+
+  test("chunkVerdictStream + rebuild equals batch chunkDedup across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = chunkCorpus
+    val emptyFps = Seq.empty[(Long, Long)].toDF("fp_h1", "fp_h2")
+    val input = MemoryStream[Doc]
+    val query = StreamingOps.chunkVerdictStream(input.toDF(), "doc_id", "text",
+        chunkWords = 3, historyFps = emptyFps, tsCol = "ts",
+        watermarkDelay = "30 days")
+      .toDF()
+      .writeStream.format("memory").queryName("t_chunk_verdicts")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      // id-ordered batches: every chunk's first-batch min id IS its
+      // global min id, so stream ownership == batch ownership exactly
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1)
+      query.processAllAvailable()
+      input.addData(b2)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val docsDF = docs.toDF()
+    val rebuilt = Dedup.rebuildFromChunkVerdicts(docsDF, "doc_id", "text", 3,
+        spark.table("t_chunk_verdicts"))
+      .select("doc_id", "clean_text", "n_chunks", "n_chunks_removed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = Dedup.chunkDedup(docsDF, "doc_id", "text", 3)
+      .select("doc_id", "clean_text", "n_chunks", "n_chunks_removed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    rebuilt should contain theSameElementsInOrderAs want
+    // the corpus genuinely exercised cross-doc removal
+    want.map(_._4).sum should be > 0L
+  }
+
+  test("chunkVerdictStream drops chunks already in the fingerprint history") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // history holds the block "aa bb cc"; every stream occurrence of it
+    // must be kept=false even for the minimum-id document
+    val histDocs = Seq((0L, "aa bb cc")).toDF("doc_id", "text")
+    val fps = Dedup.chunkFingerprints(histDocs, "text", 3)
+    val docs = Seq(
+      Doc(1, "aa bb cc dd ee ff", "en", 1700000000001L),
+      Doc(2, "dd ee ff gg hh ii", "en", 1700000000002L))
+    val input = MemoryStream[Doc]
+    val query = StreamingOps.chunkVerdictStream(input.toDF(), "doc_id", "text",
+        chunkWords = 3, historyFps = fps, tsCol = "ts",
+        watermarkDelay = "30 days")
+      .toDF()
+      .writeStream.format("memory").queryName("t_chunk_hist")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      input.addData(docs)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("t_chunk_hist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(v => (v._1, v._2))
+    got should contain theSameElementsInOrderAs Seq(
+      (1L, 0L, false), // "aa bb cc": history-owned, dropped
+      (1L, 1L, true),  // "dd ee ff": doc 1 is its min-id owner
+      (2L, 0L, false), // "dd ee ff" again: owned by doc 1
+      (2L, 1L, true))  // "gg hh ii": unique
+  }
 }
