@@ -133,7 +133,17 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fj,"throughput_rps":${f3(throughput)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fj,"throughput_rps":${f3(throughput)},"sf":"$sfDir"}"""
+    println(line)
+    // Truncation-proof artifact: the driver's stdout capture has clipped
+    // the tail of longer lines (BENCH_r08 kept per-query times for only
+    // 73/106 queries), so the full line also lands in a file the repo
+    // commits. Overridable for per-round snapshots (bench_full_rN.json).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

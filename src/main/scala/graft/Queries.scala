@@ -2066,27 +2066,35 @@ object Queries {
     * round-trips bit-exact) are all correct. Decode is
     * partition-preserving (no shuffle); only thin per-asset feature
     * rows enter the lang join. */
-  val q108: Q = (s, dir) => {
-    import graft.multimodal.{Asset, Bmp, Multimodal}
-    val d = Tables.documents(s, dir)
+  /** Shared by q108/q109: each document rendered as an actual BMP file
+    * — first w×h text bytes as gray pixels, space-padded (ASCII corpus:
+    * byte == codepoint, pinned by the corpus invariant); dimensions
+    * vary per doc so the row-padding layout varies. */
+  private def textBmpAssets(d: DataFrame):
+      org.apache.spark.sql.Dataset[graft.multimodal.Asset] = {
+    import graft.multimodal.{Asset, Bmp}
     val enc = org.apache.spark.sql.Encoders.product[Asset]
-    val raw = d.select(col("doc_id").as("asset_id"),
+    d.select(col("doc_id").as("asset_id"),
         lit("image/bmp").as("media_type"),
         col("text").cast("binary").as("bytes"),
         (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("width"),
         (lit(5) + pmod(col("doc_id"), lit(7))).cast("int").as("height"))
       .as[Asset](enc)
-    val bmps = raw.mapPartitions { it =>
-      it.map { a =>
-        val n = a.width * a.height
-        // first w*h text bytes as gray pixels, space-padded (ASCII
-        // corpus: byte == codepoint, pinned by the corpus invariant)
-        val gray = Array.tabulate(n)(i =>
-          if (i < a.bytes.length) a.bytes(i) else 32.toByte)
-        a.copy(bytes = Bmp.encodeGray(a.width, a.height, gray))
-      }
-    }(enc)
-    Multimodal.decodeBmpFeatures(bmps).toDF()
+      .mapPartitions { it =>
+        it.map { a =>
+          val n = a.width * a.height
+          val gray = Array.tabulate(n)(i =>
+            if (i < a.bytes.length) a.bytes(i) else 32.toByte)
+          a.copy(bytes = Bmp.encodeGray(a.width, a.height, gray))
+        }
+      }(enc)
+  }
+
+  /** Shared q108/q109 reporting tail: decoded features → per-lang
+    * stats over header dims + exact integer luma aggregates. */
+  private def bmpFeatureReport(d: DataFrame,
+      feats: org.apache.spark.sql.Dataset[graft.multimodal.ImageFeatures]): DataFrame =
+    feats.toDF()
       .join(d.select(col("doc_id"), col("lang")), col("asset_id") === col("doc_id"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),
@@ -2095,6 +2103,71 @@ object Queries {
         sum(col("n_pixels")).as("total_pixels"),
         // exact per-image fixed-point mean from the integer luma sum
         sum(expr("sum_luma * 1000000 div n_pixels")).as("sum_mean_micro"),
+        sum(element_at(col("histogram"), 3)).as("h2"),
+        sum(element_at(col("histogram"), 7)).as("h6"),
+        sum(element_at(col("histogram"), 8)).as("h7"))
+      .orderBy("lang")
+
+  val q108: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val d = Tables.documents(s, dir)
+    bmpFeatureReport(d, Multimodal.decodeBmpFeatures(textBmpAssets(d)))
+  }
+
+  /** Q109 REAL pixel resize (north star): the q108 BMP corpus run
+    * through `Multimodal.resizeBmp` — decode, nearest-neighbor
+    * downscale to a 6-px bound, re-encode — then decoded AGAIN and
+    * reported like q108. The oracle replays the resampling arithmetic
+    * (out pixel (x,y) = src pixel (x*w/ow, y*h/oh), integer floor)
+    * from the raw text, so it only matches if decode → resize →
+    * re-encode → decode is bit-exact end to end. */
+  val q109: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val d = Tables.documents(s, dir)
+    bmpFeatureReport(d, Multimodal.decodeBmpFeatures(
+      Multimodal.resizeBmp(textBmpAssets(d), maxDim = 6)))
+  }
+
+  /** Q110 REAL audio decode (north star, second modality): each
+    * document's text renders as an actual RIFF/WAVE file — 120 mono
+    * 16-bit PCM samples (sample i = codepoint×257 − 32768, spanning
+    * the full signed range so LE sign handling is exercised), sample
+    * rate varying per doc so the fmt-chunk parse is proven — and
+    * `Multimodal.decodeWavFeatures` decodes the files back: rate from
+    * the PARSED HEADER, exact integer sums and amplitude bins from
+    * decoded samples. The oracle replays the stats from the raw text
+    * via codepoint arithmetic — matching only if the chunk walk and
+    * the signed little-endian sample decode are bit-exact. */
+  val q110: Q = (s, dir) => {
+    import graft.multimodal.{Asset, Multimodal, Wav}
+    val d = Tables.documents(s, dir)
+    val enc = org.apache.spark.sql.Encoders.product[Asset]
+    val assets = d.select(col("doc_id").as("asset_id"),
+        lit("audio/wav").as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        (lit(8000) + pmod(col("doc_id"), lit(5)) * 1000).cast("int").as("width"),
+        lit(1).as("height"))
+      .as[Asset](enc)
+      .mapPartitions { it =>
+        it.map { a =>
+          // first 120 text bytes as samples, space-padded; width
+          // carries the target rate into the encoder (the decoder must
+          // recover it from the file, not the metadata)
+          val samples = Array.tabulate(120) { i =>
+            val b = if (i < a.bytes.length) a.bytes(i) & 0xff else 32
+            (b * 257 - 32768).toShort
+          }
+          a.copy(bytes = Wav.encode(a.width, 1, samples))
+        }
+      }(enc)
+    Multimodal.decodeWavFeatures(assets).toDF()
+      .join(d.select(col("doc_id"), col("lang")), col("asset_id") === col("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("sample_rate")).as("sum_rate"),
+        sum(col("n_samples")).as("total_samples"),
+        sum(col("sum_sample")).as("sum_sample_total"),
+        sum(col("sum_abs")).as("sum_abs_total"),
         sum(element_at(col("histogram"), 3)).as("h2"),
         sum(element_at(col("histogram"), 7)).as("h6"),
         sum(element_at(col("histogram"), 8)).as("h7"))
@@ -2238,6 +2311,8 @@ object Queries {
     "q106_bpe_tokenize" -> q106,
     "q107_bpe_batch_train" -> q107,
     "q108_bmp_decode" -> q108,
+    "q109_bmp_resize" -> q109,
+    "q110_wav_decode" -> q110,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -3354,6 +3429,59 @@ object Queries {
         "CAST(SUM(np) AS BIGINT) AS total_pixels, " +
         "CAST(SUM((s + 32*(np - m)) * 1000000 // np) AS BIGINT) AS sum_mean_micro, " +
         "CAST(SUM(h2 + (np - m)) AS BIGINT) AS h2, " +
+        "CAST(SUM(h6) AS BIGINT) AS h6, CAST(SUM(h7) AS BIGINT) AS h7 " +
+        "FROM per GROUP BY lang ORDER BY lang"),
+    "q109_bmp_resize" ->
+      // replay decode -> nearest-neighbor resize -> re-encode -> decode
+      // from the raw text: gray(x,y) = codepoint of padded text at
+      // y*w+x; resized pixel p samples src (p%ow * w // ow,
+      // p//ow * h // oh) — integer floor, same arithmetic as
+      // Bmp.resizeNearest
+      ("WITH dm AS (SELECT doc_id, lang, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h, " +
+        "rpad(substr(text, 1, CAST((8 + doc_id % 9)*(5 + doc_id % 7) AS INT)), " +
+        "CAST((8 + doc_id % 9)*(5 + doc_id % 7) AS INT), ' ') AS px FROM documents), " +
+        "rd AS (SELECT doc_id, lang, w, h, px, " +
+        "CASE WHEN greatest(w, h) <= 6 THEN w ELSE greatest(1, w*6 // greatest(w, h)) END AS ow, " +
+        "CASE WHEN greatest(w, h) <= 6 THEN h ELSE greatest(1, h*6 // greatest(w, h)) END AS oh " +
+        "FROM dm), " +
+        "c AS (SELECT doc_id, lang, w, h, ow, oh, px, " +
+        "unnest(range(ow*oh)) AS p FROM rd), " +
+        "c2 AS (SELECT doc_id, lang, ow, oh, " +
+        "ord(substr(px, CAST((p // ow * h // oh) * w + (p % ow * w // ow) + 1 AS INT), 1)) AS g " +
+        "FROM c), " +
+        "per AS (SELECT doc_id, lang, ow, oh, ow*oh AS np, " +
+        "CAST(SUM(g) AS BIGINT) AS s, " +
+        "SUM(CASE WHEN g // 16 = 2 THEN 1 ELSE 0 END) AS h2, " +
+        "SUM(CASE WHEN g // 16 = 6 THEN 1 ELSE 0 END) AS h6, " +
+        "SUM(CASE WHEN g // 16 = 7 THEN 1 ELSE 0 END) AS h7 " +
+        "FROM c2 GROUP BY doc_id, lang, ow, oh) " +
+        "SELECT lang, COUNT(*) AS n, CAST(SUM(ow) AS BIGINT) AS sum_w, " +
+        "CAST(SUM(oh) AS BIGINT) AS sum_h, " +
+        "CAST(SUM(np) AS BIGINT) AS total_pixels, " +
+        "CAST(SUM(s * 1000000 // np) AS BIGINT) AS sum_mean_micro, " +
+        "CAST(SUM(h2) AS BIGINT) AS h2, " +
+        "CAST(SUM(h6) AS BIGINT) AS h6, CAST(SUM(h7) AS BIGINT) AS h7 " +
+        "FROM per GROUP BY lang ORDER BY lang"),
+    "q110_wav_decode" ->
+      // replay the DECODED-sample stats from the raw text: sample i =
+      // codepoint(char i of the 120-char space-padded text) * 257 -
+      // 32768; amplitude bin = (s + 32768) * 16 / 65536 = ord*257//4096
+      ("WITH dm AS (SELECT doc_id, lang, " +
+        "8000 + (doc_id % 5) * 1000 AS rate, " +
+        "rpad(substr(text, 1, 120), 120, ' ') AS px FROM documents), " +
+        "c AS (SELECT doc_id, lang, rate, unnest(str_split(px, '')) AS ch FROM dm), " +
+        "per AS (SELECT doc_id, lang, rate, COUNT(*) AS ns, " +
+        "CAST(SUM(ord(ch) * 257 - 32768) AS BIGINT) AS s, " +
+        "CAST(SUM(ABS(ord(ch) * 257 - 32768)) AS BIGINT) AS sa, " +
+        "SUM(CASE WHEN ord(ch) * 257 // 4096 = 2 THEN 1 ELSE 0 END) AS h2, " +
+        "SUM(CASE WHEN ord(ch) * 257 // 4096 = 6 THEN 1 ELSE 0 END) AS h6, " +
+        "SUM(CASE WHEN ord(ch) * 257 // 4096 = 7 THEN 1 ELSE 0 END) AS h7 " +
+        "FROM c GROUP BY doc_id, lang, rate) " +
+        "SELECT lang, COUNT(*) AS n, CAST(SUM(rate) AS BIGINT) AS sum_rate, " +
+        "CAST(SUM(ns) AS BIGINT) AS total_samples, " +
+        "CAST(SUM(s) AS BIGINT) AS sum_sample_total, " +
+        "CAST(SUM(sa) AS BIGINT) AS sum_abs_total, " +
+        "CAST(SUM(h2) AS BIGINT) AS h2, " +
         "CAST(SUM(h6) AS BIGINT) AS h6, CAST(SUM(h7) AS BIGINT) AS h7 " +
         "FROM per GROUP BY lang ORDER BY lang"),
     "q104_profile_segments" ->

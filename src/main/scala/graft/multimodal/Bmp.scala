@@ -130,6 +130,30 @@ object Bmp {
     Raster(width, height, out)
   }
 
+  /** Nearest-neighbor resample: output pixel (x, y) copies source pixel
+    * (x*srcW/outW, y*srcH/outH) — integer floor sampling, the exact
+    * arithmetic an oracle can replay. */
+  def resizeNearest(r: Raster, outW: Int, outH: Int): Raster = {
+    require(outW > 0 && outH > 0, s"bad output dimensions ${outW}x$outH")
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = y * r.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * r.width / outW
+        val si = (sy * r.width + sx) * 3
+        val di = (y * outW + x) * 3
+        out(di) = r.pixels(si)
+        out(di + 1) = r.pixels(si + 1)
+        out(di + 2) = r.pixels(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Raster(outW, outH, out)
+  }
+
   /** Integer ITU-R BT.601 luma of a BGR pixel, in [0, 255]. Weights sum
     * to exactly 1000, so a gray pixel (b=g=r) round-trips bit-exact. */
   def luma(b: Int, g: Int, r: Int): Int = (r * 299 + g * 587 + b * 114) / 1000

@@ -23,6 +23,14 @@ final case class ImageFeatures(asset_id: Long, width: Int, height: Int,
                                n_pixels: Long, sum_luma: Long,
                                histogram: Array[Long])
 
+/** Features from a REAL audio decode (`Wav.decode`): rate/channels
+  * from the parsed RIFF fmt chunk, exact integer sample sums and a
+  * 16-bin amplitude histogram from decoded PCM. */
+final case class AudioFeatures(asset_id: Long, sample_rate: Int,
+                               n_channels: Int, n_samples: Long,
+                               sum_sample: Long, sum_abs: Long,
+                               histogram: Array[Long])
+
 /**
  * Multimodal column operators (north star): media as opaque `binary`
  * columns with typed metadata, processed in partition-batched iterators.
@@ -100,6 +108,57 @@ object Multimodal {
         val (hist, sumLuma) = Bmp.lumaStats(raster, HistogramBins)
         ImageFeatures(a.asset_id, raster.width, raster.height,
           raster.width.toLong * raster.height, sumLuma, hist)
+      }
+    }
+  }
+
+  /**
+   * REAL audio decode through the same partition-batched seam: each
+   * asset's bytes are parsed as an actual RIFF/WAVE file
+   * (`Wav.decode` — chunk-list walk, little-endian fmt fields,
+   * signed 16-bit LE samples), and the features come from decoded
+   * PCM: rate/channels from the parsed header, exact integer
+   * sum/abs-sum and a 16-bin amplitude histogram over the samples.
+   * Same scale shape as the image decode: embarrassingly parallel,
+   * partition-preserving, no shuffle.
+   */
+  def decodeWavFeatures(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val pcm = Wav.decode(a.bytes)
+        val (hist, sum, sumAbs) = Wav.sampleStats(pcm, HistogramBins)
+        AudioFeatures(a.asset_id, pcm.sampleRate, pcm.channels,
+          pcm.samples.length.toLong, sum, sumAbs, hist)
+      }
+    }
+  }
+
+  /**
+   * REAL pixel resize (the operation [[resizeMeta]] only models):
+   * decode each BMP, nearest-neighbor downscale so the longest side is
+   * at most `maxDim` (integer-floor arithmetic — `w*maxDim/max(w,h)`,
+   * clamped to ≥1 — so an oracle replays it exactly; never upscales),
+   * re-encode, and return the asset with its metadata dims updated to
+   * match the re-encoded file. Partition-preserving like every decode
+   * op; the downstream win is the point — decode cost and payload
+   * bytes drop quadratically for everything after the resize.
+   */
+  def resizeBmp(assets: Dataset[Asset], maxDim: Int): Dataset[Asset] = {
+    require(maxDim >= 1, "maxDim must be >= 1")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val r = Bmp.decode(a.bytes)
+        val m = math.max(r.width, r.height)
+        if (m <= maxDim) a.copy(width = r.width, height = r.height)
+        else {
+          val ow = math.max(1, r.width * maxDim / m)
+          val oh = math.max(1, r.height * maxDim / m)
+          val out = Bmp.resizeNearest(r, ow, oh)
+          a.copy(bytes = Bmp.encode(ow, oh, out.pixels),
+            width = ow, height = oh)
+        }
       }
     }
   }

@@ -78,6 +78,38 @@ class BmpSpec extends SparkTestBase with Matchers {
     sum shouldBe (0 until 256).sum.toLong
   }
 
+  test("resizeNearest floor-samples the source grid") {
+    // 4x2 gray ramp: row0 = 0,10,20,30; row1 = 100,110,120,130
+    val src = Bmp.decode(Bmp.encodeGray(4, 2,
+      Array[Byte](0, 10, 20, 30, 100, 110, 120, 130.toByte)))
+    val out = Bmp.resizeNearest(src, 2, 1)
+    out.pixels.grouped(3).map(_.head).toSeq shouldBe Seq(0.toByte, 20.toByte)
+    // identity resize is a no-op
+    Bmp.resizeNearest(src, 4, 2).pixels shouldBe src.pixels
+  }
+
+  test("resizeBmp bounds the longest side, never upscales, file matches metadata") {
+    val ss = spark
+    import ss.implicits._
+    val assets = Seq(
+      Asset(1L, "image/bmp", Bmp.encodeGray(8, 4,
+        Array.tabulate(32)(_.toByte)), 0, 0), // downscaled to 4x2
+      Asset(2L, "image/bmp", Bmp.encodeGray(3, 2,
+        Array.tabulate(6)(_.toByte)), 0, 0)   // already within bound
+    ).toDS()
+    val out = Multimodal.resizeBmp(assets, maxDim = 4)
+      .collect().sortBy(_.asset_id)
+    out(0).width shouldBe 4
+    out(0).height shouldBe 2
+    val r1 = Bmp.decode(out(0).bytes) // re-encoded file agrees with metadata
+    (r1.width, r1.height) shouldBe ((4, 2))
+    // floor sampling: out(x,y) = src(2x, 2y) -> gray = 2x + 16y
+    r1.pixels.grouped(3).map(_.head & 0xff).toSeq shouldBe
+      Seq(0, 2, 4, 6, 16, 18, 20, 22)
+    out(1).width shouldBe 3 // untouched, but metadata now reflects the file
+    out(1).bytes shouldBe assets.collect().sortBy(_.asset_id).apply(1).bytes
+  }
+
   test("decodeBmpFeatures: dimensions come from the parsed header, no shuffle") {
     val ss = spark
     import ss.implicits._
