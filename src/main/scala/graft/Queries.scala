@@ -2174,6 +2174,30 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q111 overlapping-window exact-substring dedup (Lee et al. 2022's
+    * ExactSubstr, the dedup step that catches duplicated passages at
+    * ANY alignment — non-overlapping q83 misses a copied passage
+    * shifted by one word): every 8-word span survives only at its
+    * first occurrence (min doc_id, then min start); later occurrences
+    * mark their covered word positions for deletion; docs rebuilt from
+    * surviving words. The shuffled span stream is (id, start, 128-bit
+    * hash) — span text never leaves the scan projection — and the
+    * occurrence join's build side is pre-filtered to multiplicity > 1
+    * spans only. Runs the COLOCATED variant (corpus staged bucketed on
+    * doc_id) so the rebuild join's text side is exchange-free at any
+    * scale, exactly like q83. Per-lang removal report; the oracle
+    * replays the policy on the span text itself. */
+  val q111: Q = (s, dir) =>
+    Dedup.substringDedupColocated(Tables.documents(s, dir), "doc_id", "text",
+        windowWords = 8, stagingTable = "graft_q111_docs_staged",
+        buckets = s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_words_removed") > 0L, 1L).otherwise(0L)).as("n_docs_touched"),
+        sum(col("n_words_removed")).as("n_words_removed"),
+        sum(length(col("clean_text"))).as("sum_clean_chars"))
+      .orderBy("lang")
+
   /** Q106 BPE tokenization report (q105 applied back to its corpus):
     * the final merged symbol strings ARE the tokenization of every
     * word type, so application is a broadcast join of the vocabulary-
@@ -2313,6 +2337,7 @@ object Queries {
     "q108_bmp_decode" -> q108,
     "q109_bmp_resize" -> q109,
     "q110_wav_decode" -> q110,
+    "q111_substring_dedup" -> q111,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -3484,6 +3509,29 @@ object Queries {
         "CAST(SUM(h2) AS BIGINT) AS h2, " +
         "CAST(SUM(h6) AS BIGINT) AS h6, CAST(SUM(h7) AS BIGINT) AS h7 " +
         "FROM per GROUP BY lang ORDER BY lang"),
+    "q111_substring_dedup" ->
+      // replay first-occurrence (doc_id, start) policy on the span
+      // text itself; a removed occurrence covers its 8 positions, the
+      // doc keeps words at uncovered positions
+      ("WITH w AS (SELECT doc_id, lang, str_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "sp AS (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS st FROM w WHERE len(ws) >= 8), " +
+        "s AS (SELECT doc_id, st, " +
+        "array_to_string(ws[CAST(st + 1 AS BIGINT) : CAST(st + 8 AS BIGINT)], ' ') AS span FROM sp), " +
+        "v AS (SELECT doc_id, st, " +
+        "row_number() OVER (PARTITION BY span ORDER BY doc_id, st) AS rn FROM s), " +
+        "rp AS (SELECT DISTINCT doc_id, pos FROM " +
+        "(SELECT doc_id, unnest(range(st, st + 8)) AS pos FROM v WHERE rn > 1)), " +
+        "rl AS (SELECT doc_id, list(pos) AS rem FROM rp GROUP BY doc_id), " +
+        "d AS (SELECT w.doc_id, w.lang, COALESCE(len(rem), 0) AS removed, " +
+        "array_to_string(list_transform(" +
+        "list_filter(range(0, len(ws)), p -> NOT list_contains(COALESCE(rem, []), p)), " +
+        "p -> ws[CAST(p + 1 AS BIGINT)]), ' ') AS clean " +
+        "FROM w LEFT JOIN rl USING (doc_id)) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched, " +
+        "CAST(SUM(removed) AS BIGINT) AS n_words_removed, " +
+        "CAST(SUM(length(clean)) AS BIGINT) AS sum_clean_chars " +
+        "FROM d GROUP BY lang ORDER BY lang"),
     "q104_profile_segments" ->
       // q103's dense-profile CTEs feeding q75's two Lloyd rounds
       // verbatim (dim 24, stride 37 on user_id); quantization is a

@@ -208,6 +208,101 @@ object Dedup {
       idCol, textCol, chunkWords)
   }
 
+  /** The span of `sw` words of token array `w` starting at 0-based
+    * position `i`, space-joined — the overlapping-window analogue of
+    * [[chunkAt]] (which strides by the block width; this strides by 1). */
+  private[graft] def spanAt(w: Column, i: Column, sw: Int): Column =
+    array_join(slice(w, (i + 1).cast("int"), lit(sw)), " ")
+
+  /**
+   * Overlapping-window exact-substring dedup — the ExactSubstr step of
+   * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+   * Better"): any `windowWords`-word span that appears anywhere else in
+   * the corpus (a different document, or an earlier position of the
+   * SAME document) survives only at its lexicographically-first
+   * occurrence (min `idCol`, then min start); every other occurrence
+   * marks its `windowWords` covered word positions for deletion, and
+   * each document is rebuilt from its surviving words in original
+   * order. Non-overlapping [[chunkDedup]] misses duplicated passages
+   * that straddle a block boundary or sit at a different offset; the
+   * stride-1 window catches them at any alignment — the paper's reason
+   * for preferring suffix-structure dedup over block hashing. Their
+   * single-node suffix array becomes a distributed hash-keyed
+   * aggregation here: identical span ⇒ identical 128-bit key.
+   *
+   * Documents shorter than `windowWords` have no windows and pass
+   * through untouched. Returns the input columns plus `clean_text`,
+   * `n_words` and `n_words_removed`.
+   *
+   * Scale shape: the exploded span stream shuffles (id, start, 128-bit
+   * hash) ≈ 28 B/occurrence — never span text (span strings exist only
+   * inside the scan projection). Duplicated spans are resolved by one
+   * hash-key aggregation whose output is FILTERED to multiplicity > 1
+   * before the occurrence join, so the join's build side is only the
+   * duplicated fraction of the span table (broadcastable at typical
+   * dup rates, plain equi-join co-partitioned with the aggregation
+   * otherwise). Position coverage explodes ints only, collapses to one
+   * row per AFFECTED doc, and the final rebuild join is the
+   * exactSurvivors/q25 thin-side shape ([[substringDedupColocated]]
+   * stages the corpus bucketed on `idCol` to keep the text side
+   * exchange-free at real scale, exactly like [[chunkDedupColocated]]).
+   */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     windowWords: Int): DataFrame = {
+    require(windowWords >= 2, "windowWords must be >= 2")
+    val sw = windowWords
+    val words = split(normText(col(textCol)), " ")
+    val starts = when(size(words) >= sw, sequence(lit(0), size(words) - sw))
+      .otherwise(array().cast("array<int>"))
+    val occ = docs
+      .select(col(idCol).as("__id"), words.as("__ws"),
+        explode(starts).as("__start"))
+      .select(col("__id"), col("__start"),
+        xxhash64(spanAt(col("__ws"), col("__start"), sw)).as("__h1"),
+        xxhash64(lit(0x9e3779b9L),
+          spanAt(col("__ws"), col("__start"), sw)).as("__h2"))
+    // Only spans seen more than once matter downstream: filtering the
+    // aggregate here keeps the occurrence join's build side at the
+    // duplicated fraction of the corpus, not all of it.
+    val dupKeepers = occ
+      .groupBy("__h1", "__h2")
+      .agg(min(struct(col("__id"), col("__start"))).as("__k"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__h1"), col("__h2"), col("__k"))
+    val removedPos = occ
+      .join(dupKeepers, Seq("__h1", "__h2"))
+      .filter(col("__id") =!= col("__k.__id") ||
+        col("__start") =!= col("__k.__start"))
+      .select(col("__id"),
+        explode(sequence(col("__start"), col("__start") + sw - 1)).as("__pos"))
+      .distinct()
+    val perDoc = removedPos.groupBy("__id")
+      .agg(sort_array(collect_list(col("__pos"))).as("__removed"))
+    docs.join(perDoc, col(idCol) === col("__id"), "left")
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_words_removed",
+        coalesce(size(col("__removed")), lit(0)).cast("long"))
+      .withColumn("clean_text", array_join(
+        filter(words, (_, i) => !array_contains(
+          coalesce(col("__removed"), array().cast("array<int>")), i)), " "))
+      .drop("__id", "__removed")
+  }
+
+  /** [[substringDedup]] over a bucketed staging of the corpus — the
+    * same 100 TB rebuild posture as [[chunkDedupColocated]]: the final
+    * verdict join moves only the thin per-doc removal arrays to the
+    * text's bucketed partitioning; corpus text never crosses the
+    * network. */
+  def substringDedupColocated(docs: DataFrame, idCol: String,
+                              textCol: String, windowWords: Int,
+                              stagingTable: String, buckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    graft.core.Bucketing.writeBucketed(docs, stagingTable, Seq(idCol), buckets)
+    substringDedup(graft.core.Bucketing.readTable(spark, stagingTable),
+      idCol, textCol, windowWords)
+  }
+
   /**
    * Distinct n-word shingles of a text column: tokenize on single spaces
    * (after lower/trim, mirroring the exact-dedup normalization), then

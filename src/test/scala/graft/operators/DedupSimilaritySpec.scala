@@ -78,6 +78,59 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("substringDedup: spans dedup at any alignment; within-doc repeats too; short docs untouched") {
+    val ss = spark
+    import ss.implicits._
+    // doc 2 repeats doc 1's passage shifted by one word — a block
+    // dedup (chunkDedup) at width 3 would miss it; the overlapping
+    // window must not
+    val docs = Seq(
+      (1L, "p q r s t u"),        // keeper of every span it contains
+      (2L, "z p q r s t"),        // spans "p q r"/"q r s"/"r s t" dup'd -> positions 1..5 removed
+      (3L, "m n o m n o m n o"),  // within-doc repeat: "m n o m n o" at 0 keeps, span at 3 dup'd
+      (4L, "a b")                 // shorter than the window: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", windowWords = 3)
+      .select("doc_id", "clean_text", "n_words", "n_words_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    out(1L) shouldBe (("p q r s t u", 6L, 0L))
+    out(2L) shouldBe (("z", 6L, 5L))
+    // spans of doc 3: starts 0..6; dup'd non-keeper occurrences are
+    // starts 3 ("m n o" again) and 6, plus 4/5 repeating 1/2's spans —
+    // covered positions 3..8, so only the first "m n o" survives
+    out(3L) shouldBe (("m n o", 9L, 6L))
+    out(4L) shouldBe (("a b", 2L, 0L))
+  }
+
+  test("substringDedupColocated equals plain; text never enters a hash exchange") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val d = Tables.documents(spark, sf0001)
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val out = Dedup.substringDedupColocated(d, "doc_id", "text",
+        windowWords = 8, stagingTable = "graft_test_docs_staged_ss", buckets = 4)
+      val shuffledTextCols = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+          e.child.output.filter(_.name == "text").map(_.name)
+      }.flatten
+      shuffledTextCols shouldBe empty
+      val plain = Dedup.substringDedup(d, "doc_id", "text", windowWords = 8)
+        .select("doc_id", "clean_text", "n_words", "n_words_removed")
+        .orderBy("doc_id").collect()
+      out.select("doc_id", "clean_text", "n_words", "n_words_removed")
+        .orderBy("doc_id").collect() should contain theSameElementsInOrderAs plain
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("wordShingles: sliding distinct 3-grams; short texts empty") {
     val ss = spark
     import ss.implicits._
