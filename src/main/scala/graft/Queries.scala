@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 import graft.codec.Debezium
 import graft.core.{Pipeline, PipelineSpec, Tables}
 import graft.multimodal.Multimodal
-import graft.operators.{CorpusLM, Dedup, Profile, Relational, Sampling, Similarity, TextMetrics}
+import graft.operators.{CorpusLM, Dedup, Eval, Profile, Relational, Sampling, Similarity, TextMetrics}
 import graft.sources.PromText
 import graft.streaming.StreamingOps
 
@@ -2198,6 +2198,23 @@ object Queries {
         sum(length(col("clean_text"))).as("sum_clean_chars"))
       .orderBy("lang")
 
+  /** Q112 exact ROC-AUC of the hashed quality classifier (the
+    * model-eval step every learned corpus gate needs before it filters
+    * 100 TB): q84's integer scorer evaluated per language against a
+    * deterministic length label (n_toks ≥ 50) via the rank-sum
+    * identity with average-rank tie handling. Integer scores make tie
+    * groups real, so the ½-credit path is exercised, and u2 = 2U stays
+    * a BIGINT the oracle replays exactly. The only data-sized exchange
+    * collapses rows to per-(lang, score) counts; the cumulative window
+    * runs over that histogram, not the corpus. */
+  val q112: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+        Tables.documents(s, dir), "doc_id", "text", dims = 64,
+        keep = Seq("lang"))
+      .withColumn("__label", col("n_toks") >= 50L)
+    Eval.rocAuc(scored, "score", "__label", by = Seq("lang")).orderBy("lang")
+  }
+
   /** Q106 BPE tokenization report (q105 applied back to its corpus):
     * the final merged symbol strings ARE the tokenization of every
     * word type, so application is a broadcast join of the vocabulary-
@@ -2338,6 +2355,7 @@ object Queries {
     "q109_bmp_resize" -> q109,
     "q110_wav_decode" -> q110,
     "q111_substring_dedup" -> q111,
+    "q112_roc_auc" -> q112,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -3532,6 +3550,29 @@ object Queries {
         "CAST(SUM(removed) AS BIGINT) AS n_words_removed, " +
         "CAST(SUM(length(clean)) AS BIGINT) AS sum_clean_chars " +
         "FROM d GROUP BY lang ORDER BY lang"),
+    "q112_roc_auc" ->
+      // q84's arithmetic weight table feeding the rank-sum AUC: u2 =
+      // 2U is integer-exact (each tie contributes a whole number)
+      ("WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(tok) + 1), " +
+        "i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), " +
+        "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), " +
+        "d AS (SELECT doc_id, lang, COUNT(*) AS n_toks, SUM(wt) AS score FROM w GROUP BY 1, 2), " +
+        "g AS (SELECT lang, score AS s, " +
+        "SUM(CASE WHEN n_toks >= 50 THEN 1 ELSE 0 END) AS np, " +
+        "SUM(CASE WHEN n_toks >= 50 THEN 0 ELSE 1 END) AS nn FROM d GROUP BY 1, 2), " +
+        "c AS (SELECT lang, np, nn, COALESCE(SUM(nn) OVER (PARTITION BY lang ORDER BY s " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM g), " +
+        "a AS (SELECT lang, CAST(SUM(np) AS BIGINT) AS n_pos, " +
+        "CAST(SUM(nn) AS BIGINT) AS n_neg, " +
+        "CAST(SUM(np * (2 * below + nn)) AS BIGINT) AS u2 FROM c GROUP BY lang) " +
+        "SELECT lang, n_pos, n_neg, u2, " +
+        "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL " +
+        "ELSE round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) END AS auc " +
+        "FROM a ORDER BY lang"),
     "q104_profile_segments" ->
       // q103's dense-profile CTEs feeding q75's two Lloyd rounds
       // verbatim (dim 24, stride 37 on user_id); quantization is a

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** Exactness of the rank-sum ROC-AUC: hand-computed tie handling,
+  * closed-form extremes, and grouped evaluation. */
+class EvalSpec extends SparkTestBase with Matchers {
+
+  test("rocAuc: average-rank tie handling matches the hand computation") {
+    val ss = spark
+    import ss.implicits._
+    // scores: neg {1, 2, 2, 4}, pos {2, 3, 5}
+    //   pos@2: 1 below + 2 tied/2 = 2.0
+    //   pos@3: 3 below            = 3.0
+    //   pos@5: 4 below            = 4.0
+    // U = 9.0 -> u2 = 18; AUC = 9 / (3*4) = 0.75
+    val df = Seq(
+      (1, false), (2, false), (2, false), (4, false),
+      (2, true), (3, true), (5, true)).toDF("s", "y")
+    val r = Eval.rocAuc(df, "s", "y").head()
+    r.getAs[Long]("n_pos") shouldBe 3L
+    r.getAs[Long]("n_neg") shouldBe 4L
+    r.getAs[Long]("u2") shouldBe 18L
+    r.getAs[Double]("auc") shouldBe 0.75
+  }
+
+  test("rocAuc: perfect separation is 1, inverted is 0, single-class NULL") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      ("sep", 1, false), ("sep", 2, false), ("sep", 3, true), ("sep", 4, true),
+      ("inv", 3, false), ("inv", 4, false), ("inv", 1, true), ("inv", 2, true),
+      ("one", 1, true), ("one", 2, true)).toDF("g", "s", "y")
+    val out = Eval.rocAuc(df, "s", "y", by = Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("auc"))) None
+         else Some(r.getAs[Double]("auc")))).toMap
+    out("sep") shouldBe Some(1.0)
+    out("inv") shouldBe Some(0.0)
+    out("one") shouldBe None
+  }
+
+  test("rocAuc: all-tied scores give 0.5 exactly") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((7, true), (7, true), (7, false), (7, false), (7, false))
+      .toDF("s", "y")
+    val r = Eval.rocAuc(df, "s", "y").head()
+    // u2 = sum over the one tie group: np*(2*0 + nn) = 2*3 = 6 = n_pos*n_neg
+    r.getAs[Long]("u2") shouldBe 6L
+    r.getAs[Double]("auc") shouldBe 0.5
+  }
+}
