@@ -2215,6 +2215,25 @@ object Queries {
     Eval.rocAuc(scored, "score", "__label", by = Seq("lang")).orderBy("lang")
   }
 
+  /** Q113 n-gram novelty profile (the stale-feed scan dedup rules
+    * don't catch): per doc, the ppm of its distinct 3-grams NOT
+    * already emitted by an earlier doc (corpus order = doc_id, the
+    * dedup family's first-occurrence policy), aggregated per lang with
+    * a "stale" count (novelty < 50%). Gram text never leaves the scan
+    * projection — the explode carries 128-bit hashes, the
+    * first-occurrence agg and verdict join share one hash key, and
+    * novelty is integer ppm (q69's micro convention), never a float. */
+  val q113: Q = (s, dir) =>
+    TextMetrics.ngramNovelty(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, keep = Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("sum_grams"),
+        sum(col("n_repeated")).as("sum_repeated"),
+        sum(col("novelty_micro")).as("sum_novelty_micro"),
+        sum(when(col("novelty_micro") < 500000L, 1L).otherwise(0L)).as("n_stale"))
+      .orderBy("lang")
+
   /** Q106 BPE tokenization report (q105 applied back to its corpus):
     * the final merged symbol strings ARE the tokenization of every
     * word type, so application is a broadcast join of the vocabulary-
@@ -2356,6 +2375,7 @@ object Queries {
     "q110_wav_decode" -> q110,
     "q111_substring_dedup" -> q111,
     "q112_roc_auc" -> q112,
+    "q113_ngram_novelty" -> q113,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -3573,6 +3593,23 @@ object Queries {
         "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL " +
         "ELSE round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) END AS auc " +
         "FROM a ORDER BY lang"),
+    "q113_ngram_novelty" ->
+      // hash-key first occurrence in the engine == gram-text first
+      // occurrence here; novelty is integer ppm
+      ("WITH w AS (SELECT doc_id, lang, str_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "sp AS (SELECT doc_id, lang, ws, unnest(range(0, len(ws) - 2)) AS st FROM w WHERE len(ws) >= 3), " +
+        "gr AS (SELECT DISTINCT doc_id, lang, " +
+        "array_to_string(ws[CAST(st + 1 AS BIGINT) : CAST(st + 3 AS BIGINT)], ' ') AS gram FROM sp), " +
+        "f AS (SELECT gram, MIN(doc_id) AS first_id FROM gr GROUP BY gram), " +
+        "d AS (SELECT gr.doc_id, gr.lang, COUNT(*) AS n_grams, " +
+        "SUM(CASE WHEN f.first_id < gr.doc_id THEN 1 ELSE 0 END) AS n_rep " +
+        "FROM gr JOIN f USING (gram) GROUP BY 1, 2) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_grams) AS BIGINT) AS sum_grams, " +
+        "CAST(SUM(n_rep) AS BIGINT) AS sum_repeated, " +
+        "CAST(SUM((n_grams - n_rep) * 1000000 // n_grams) AS BIGINT) AS sum_novelty_micro, " +
+        "CAST(SUM(CASE WHEN (n_grams - n_rep) * 1000000 // n_grams < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_stale " +
+        "FROM d GROUP BY lang ORDER BY lang"),
     "q104_profile_segments" ->
       // q103's dense-profile CTEs feeding q75's two Lloyd rounds
       // verbatim (dim 24, stride 37 on user_id); quantization is a

@@ -288,6 +288,49 @@ object TextMetrics {
     * codegen'd [[graft.functions.TokenHash]] expression; the
     * higher-order-function formulation it replaced survives as the
     * reference implementation in TokenHashSpec. */
+  /**
+   * Per-document n-gram novelty against the corpus's own past — the
+   * memorization-pressure scan run before mixing a new crawl in: for
+   * each document (corpus order = ascending `idCol`), how many of its
+   * DISTINCT n-grams were already emitted by an earlier document?
+   * A doc whose grams are mostly old adds little new signal even when
+   * no dedup rule fires on it; novelty profiles are the standard way
+   * to spot that tail (and the per-source aggregate shows which feeds
+   * have gone stale). "First occurrence" is exact: the corpus-wide
+   * minimum `idCol` containing the gram, the same deterministic policy
+   * as the dedup family.
+   *
+   * Returns one row per doc with ≥ 1 n-gram: `idCol`, `keep` columns,
+   * `n_grams` (distinct), `n_repeated` (first seen in an EARLIER doc)
+   * and `novelty_micro` = (n_grams − n_repeated)·10⁶ div n_grams
+   * (integer-exact parts-per-million, the q69 micro convention —
+   * never a float).
+   *
+   * Scale shape: grams explode to (id, 128-bit hash) rows — gram text
+   * never leaves the scan projection; the first-occurrence aggregation
+   * and the verdict join are co-partitioned on the same hash key, and
+   * verdicts collapse map-side back to one row per doc. Identical
+   * span ⇒ identical key, same collision budget as exact dedup.
+   */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, keep: Seq[String] = Nil): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val out = (idCol +: keep).distinct
+    val grams = Dedup.wordShingles(col(textCol), n)
+    val occ = docs.select((out.map(col) :+ explode(grams).as("__g")): _*)
+      .select((out.map(col) :+
+        xxhash64(col("__g")).as("__h1") :+
+        xxhash64(lit(0x9e3779b9L), col("__g")).as("__h2")): _*)
+    val firstDoc = occ.groupBy("__h1", "__h2")
+      .agg(min(col(idCol)).as("__first"))
+    occ.join(firstDoc, Seq("__h1", "__h2"))
+      .groupBy(out.map(col): _*)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") < col(idCol), 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("novelty_micro",
+        expr("(n_grams - n_repeated) * 1000000 div n_grams"))
+  }
+
   def tokenHash(token: Column): Column =
     graft.functions.TokenHash(token)
 

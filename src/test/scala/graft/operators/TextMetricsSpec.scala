@@ -269,4 +269,29 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     // the scan's classes are the redact SMT's classes — one vocabulary
     TextMetrics.PiiPatterns.map(_._1) shouldBe Seq("email", "ipv4", "phone")
   }
+
+  test("ngramNovelty: first occurrence is by min doc_id; repeats count once per doc") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),       // grams {a b c, b c d} — all first here
+      (2L, "a b c d"),       // exact repeat: both grams old -> novelty 0
+      (3L, "x y a b c"),     // {x y a, y a b, a b c}: one old -> 666666 ppm
+      (4L, "a b")            // < 3 words: no grams, no row
+    ).toDF("doc_id", "text")
+    val out = TextMetrics.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_repeated"),
+          r.getAs[Long]("novelty_micro")))).toMap
+    out(1L) shouldBe ((2L, 0L, 1000000L))
+    out(2L) shouldBe ((2L, 2L, 0L))
+    out(3L) shouldBe ((3L, 1L, 666666L))
+    out.contains(4L) shouldBe false
+    // a within-doc duplicated gram is one DISTINCT gram, counted once
+    val rep = TextMetrics.ngramNovelty(
+      Seq((1L, "k l m k l m k l m")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3).head()
+    rep.getAs[Long]("n_grams") shouldBe 3L // k l m, l m k, m k l
+    rep.getAs[Long]("n_repeated") shouldBe 0L
+  }
 }
