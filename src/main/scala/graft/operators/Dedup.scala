@@ -270,12 +270,39 @@ object Dedup {
         count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
       .select(col("__h1"), col("__h2"), col("__k"))
-    val removedPos = occ
+    val verdicts = occ
       .join(dupKeepers, Seq("__h1", "__h2"))
       .filter(col("__id") =!= col("__k.__id") ||
         col("__start") =!= col("__k.__start"))
-      .select(col("__id"),
-        explode(sequence(col("__start"), col("__start") + sw - 1)).as("__pos"))
+      .select(col("__id").as(idCol), col("__start").as("start"),
+        lit(false).as("kept"))
+    rebuildFromSpanVerdicts(docs, idCol, textCol, sw, verdicts)
+  }
+
+  /**
+   * Rebuild documents from per-span-occurrence verdicts — the shared
+   * final stage of [[substringDedup]] and the streaming twin
+   * (`StreamingOps.spanVerdictStream`), mirroring
+   * [[rebuildFromChunkVerdicts]]: `verdicts` carries (`idCol`, `start`,
+   * `kept`) per span occurrence; each `kept = false` occurrence covers
+   * word positions [start, start + windowWords); documents keep their
+   * uncovered words in original order. Occurrences of non-duplicated
+   * spans may be present (`kept = true`) or absent — only removals
+   * matter. Output matches [[substringDedup]]'s contract: input
+   * columns + `clean_text`, `n_words`, `n_words_removed`.
+   */
+  def rebuildFromSpanVerdicts(docs: DataFrame, idCol: String,
+                              textCol: String, windowWords: Int,
+                              verdicts: DataFrame): DataFrame = {
+    val sw = windowWords
+    val words = split(normText(col(textCol)), " ")
+    // start may arrive int (batch) or long (stream wire rows); word
+    // positions always fit an int
+    val removedPos = verdicts.filter(!col("kept"))
+      .select(col(idCol).as("__id"),
+        explode(sequence(col("start").cast("long"),
+          col("start").cast("long") + sw - 1)).as("__pos0"))
+      .select(col("__id"), col("__pos0").cast("int").as("__pos"))
       .distinct()
     val perDoc = removedPos.groupBy("__id")
       .agg(sort_array(collect_list(col("__pos"))).as("__removed"))
@@ -287,6 +314,25 @@ object Dedup {
         filter(words, (_, i) => !array_contains(
           coalesce(col("__removed"), array().cast("array<int>")), i)), " "))
       .drop("__id", "__removed")
+  }
+
+  /** Span-fingerprint table of a corpus: one 16 B row per distinct
+    * overlapping-window span hash — the persisted history artifact the
+    * incremental / streaming substring dedup consults instead of
+    * re-reading history text (the span-level analogue of
+    * [[chunkFingerprints]]). */
+  def spanFingerprints(docs: DataFrame, textCol: String,
+                       windowWords: Int): DataFrame = {
+    require(windowWords >= 2, "windowWords must be >= 2")
+    val sw = windowWords
+    val words = split(normText(col(textCol)), " ")
+    val starts = when(size(words) >= sw, sequence(lit(0), size(words) - sw))
+      .otherwise(array().cast("array<int>"))
+    docs.select(words.as("__ws"), explode(starts).as("__start"))
+      .select(xxhash64(spanAt(col("__ws"), col("__start"), sw)).as("fp_h1"),
+        xxhash64(lit(0x9e3779b9L),
+          spanAt(col("__ws"), col("__start"), sw)).as("fp_h2"))
+      .distinct()
   }
 
   /** [[substringDedup]] over a bucketed staging of the corpus — the

@@ -234,6 +234,102 @@ object StreamingOps {
       }
   }
 
+  /** One per-span-occurrence verdict from [[spanVerdictStream]]: the
+    * span starting at word `start` of document `doc_id` survives iff
+    * `kept`; a false verdict covers positions [start, start + w). */
+  case class SpanVerdict(doc_id: Long, start: Long, kept: Boolean)
+
+  /** Internal wire row of [[spanVerdictStream]] (public only because
+    * Catalyst's generated deserializer must construct it). */
+  case class SpanRow(doc: Long, start: Long, h1: Long, h2: Long,
+                     hist: Boolean, evt: java.sql.Timestamp)
+
+  /**
+   * Streaming overlapping-window exact-substring dedup — the
+   * continuous twin of `Dedup.substringDedup`, completing the
+   * incremental family at the sub-document level (blocks have
+   * [[chunkVerdictStream]]; this is the stride-1 span analogue):
+   * arriving documents expand in-row into their overlapping
+   * `windowWords`-word span hashes (the SAME basis as the batch
+   * operator — `Dedup.spanAt` + double xxhash64 — so keying matches
+   * bit-for-bit), a span occurrence is dropped where its 128-bit hash
+   * exists in the PERSISTED span-fingerprint history
+   * (`Dedup.spanFingerprints`, static side, no stream state), and
+   * first-occurrence ownership within the stream resolves through
+   * `flatMapGroupsWithState` keyed by the span hash. Ownership is the
+   * batch policy at the occurrence grain: the first micro-batch to
+   * present a span fixes its owner as that batch's lexicographically
+   * MINIMUM (doc, start) — note the difference from the chunk twin,
+   * where every occurrence inside the owner DOC survives; here only
+   * the single owner occurrence does, exactly like batch (= the batch
+   * keeper when a corpus replays in one batch; first-batch-min across
+   * batches, the family's documented divergence).
+   *
+   * Emits one verdict per span occurrence — thin rows; document text
+   * never enters the shuffle or the state store. Rebuilding
+   * `clean_text` is the stateless batch step
+   * `Dedup.rebuildFromSpanVerdicts` (sink-side / foreachBatch), shared
+   * verbatim with the batch operator.
+   *
+   * State at scale: 32 B per distinct span (16 B key + owner doc +
+   * start), expired at the watermark horizon via event-time timeout —
+   * RocksDB-backed past executor heap like any ST8 op.
+   */
+  def spanVerdictStream(stream: DataFrame, idCol: String, textCol: String,
+                        windowWords: Int, historyFps: DataFrame,
+                        tsCol: String,
+                        watermarkDelay: String): Dataset[SpanVerdict] = {
+    require(windowWords >= 2, "windowWords must be >= 2")
+    import graft.operators.Dedup
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val sw = windowWords
+    val words = split(Dedup.normText(col(textCol)), " ")
+    val starts = when(size(words) >= sw, sequence(lit(0), size(words) - sw))
+      .otherwise(array().cast("array<int>"))
+    val rows = stream
+      .withColumn("__evt", col(tsCol).cast("timestamp"))
+      .withWatermark("__evt", watermarkDelay)
+      .select(col(idCol).cast("long").as("doc"), col("__evt").as("evt"),
+        words.as("__ws"), explode(starts).as("__start"))
+      .select(col("doc"), col("evt"), col("__start").cast("long").as("start"),
+        xxhash64(Dedup.spanAt(col("__ws"), col("__start"), sw)).as("h1"),
+        xxhash64(lit(0x9e3779b9L),
+          Dedup.spanAt(col("__ws"), col("__start"), sw)).as("h2"))
+      .join(historyFps.select(col("fp_h1"), col("fp_h2"),
+          lit(true).as("__hist")),
+        col("h1") === col("fp_h1") && col("h2") === col("fp_h2"),
+        "left")
+      .select(col("doc"), col("start"), col("h1"), col("h2"),
+        coalesce(col("__hist"), lit(false)).as("hist"), col("evt"))
+      .as[SpanRow]
+    rows
+      .groupByKey(r => (r.h1, r.h2))
+      .flatMapGroupsWithState[(Long, Long), SpanVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Long, Long), it: Iterator[SpanRow],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = it.toIndexedSeq
+            val fresh = rs.filter(!_.hist)
+            // history owns its spans outright; otherwise the first
+            // batch to present the span fixes owner = its minimum
+            // (doc, start) occurrence
+            val owner: Option[(Long, Long)] = state.getOption.orElse(
+              if (fresh.nonEmpty) Some(fresh.map(r => (r.doc, r.start)).min)
+              else None)
+            if (fresh.nonEmpty && owner.isDefined) {
+              if (!state.exists) state.update(owner.get)
+              state.setTimeoutTimestamp(rs.map(_.evt.getTime).max,
+                watermarkDelay)
+            }
+            rs.iterator.map(r => SpanVerdict(r.doc, r.start,
+              !r.hist && owner.contains((r.doc, r.start))))
+          }
+      }
+  }
+
   /**
    * Streaming fuzzy decontamination — the continuous twin of
    * `Dedup.crossNearDupPairs`: arriving (train-side) documents are

@@ -825,4 +825,80 @@ class StreamingSpec extends SparkTestBase with Matchers {
       (2L, 0L, false), // "dd ee ff" again: owned by doc 1
       (2L, 1L, true))  // "gg hh ii": unique
   }
+
+  test("spanVerdictStream + rebuild equals batch substringDedup across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = chunkCorpus // block-built corpus: spans straddle block joints
+    val emptyFps = Seq.empty[(Long, Long)].toDF("fp_h1", "fp_h2")
+    val input = MemoryStream[Doc]
+    val query = StreamingOps.spanVerdictStream(input.toDF(), "doc_id", "text",
+        windowWords = 3, historyFps = emptyFps, tsCol = "ts",
+        watermarkDelay = "30 days")
+      .toDF()
+      .writeStream.format("memory").queryName("t_span_verdicts")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      // id-ordered batches: every span's first-batch min (doc, start)
+      // IS its global min, so stream ownership == batch ownership
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1)
+      query.processAllAvailable()
+      input.addData(b2)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val docsDF = docs.toDF()
+    val rebuilt = Dedup.rebuildFromSpanVerdicts(docsDF, "doc_id", "text", 3,
+        spark.table("t_span_verdicts"))
+      .select("doc_id", "clean_text", "n_words", "n_words_removed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = Dedup.substringDedup(docsDF, "doc_id", "text", 3)
+      .select("doc_id", "clean_text", "n_words", "n_words_removed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    rebuilt should contain theSameElementsInOrderAs want
+    // the corpus genuinely exercised cross-doc removal
+    want.map(_._4).sum should be > 0L
+  }
+
+  test("spanVerdictStream: history drops spans; ONLY the owner occurrence keeps") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val histDocs = Seq((0L, "aa bb cc")).toDF("doc_id", "text")
+    val fps = Dedup.spanFingerprints(histDocs, "text", 3)
+    val docs = Seq(
+      Doc(1, "aa bb cc dd", "en", 1700000000001L),
+      Doc(2, "x bb cc dd z", "en", 1700000000002L))
+    val input = MemoryStream[Doc]
+    val query = StreamingOps.spanVerdictStream(input.toDF(), "doc_id", "text",
+        windowWords = 3, historyFps = fps, tsCol = "ts",
+        watermarkDelay = "30 days")
+      .toDF()
+      .writeStream.format("memory").queryName("t_span_hist")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      input.addData(docs)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("t_span_hist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(v => (v._1, v._2))
+    got should contain theSameElementsInOrderAs Seq(
+      (1L, 0L, false), // "aa bb cc": history-owned, dropped
+      (1L, 1L, true),  // "bb cc dd": (1,1) is its min occurrence
+      (2L, 0L, true),  // "x bb cc": unique
+      (2L, 1L, false), // "bb cc dd" again: owned by (1,1)
+      (2L, 2L, true))  // "cc dd z": unique
+  }
 }
