@@ -2215,6 +2215,24 @@ object Queries {
     Eval.rocAuc(scored, "score", "__label", by = Seq("lang")).orderBy("lang")
   }
 
+  /** Q114 calibration table for the hashed quality gate (q112's
+    * companion: AUC says the scorer ranks, this says whether a cut at
+    * score s admits the positive rate its magnitude claims): scores
+    * bin by floored division (width 2000 — negative bins stay
+    * consistent; DuckDB's `//` truncates, so the oracle replays
+    * floor() explicitly), per (lang, bin) counts and observed positive
+    * rate in integer ppm. One map-side-combined aggregation; the
+    * exchange carries occupied bins only. */
+  val q114: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+        Tables.documents(s, dir), "doc_id", "text", dims = 64,
+        keep = Seq("lang"))
+      .withColumn("__label", col("n_toks") >= 50L)
+    Eval.calibrationTable(scored, "score", "__label", binWidth = 2000L,
+        by = Seq("lang"))
+      .orderBy("lang", "bin")
+  }
+
   /** Q113 n-gram novelty profile (the stale-feed scan dedup rules
     * don't catch): per doc, the ppm of its distinct 3-grams NOT
     * already emitted by an earlier doc (corpus order = doc_id, the
@@ -2376,6 +2394,7 @@ object Queries {
     "q111_substring_dedup" -> q111,
     "q112_roc_auc" -> q112,
     "q113_ngram_novelty" -> q113,
+    "q114_calibration" -> q114,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -3610,6 +3629,23 @@ object Queries {
         "CAST(SUM((n_grams - n_rep) * 1000000 // n_grams) AS BIGINT) AS sum_novelty_micro, " +
         "CAST(SUM(CASE WHEN (n_grams - n_rep) * 1000000 // n_grams < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_stale " +
         "FROM d GROUP BY lang ORDER BY lang"),
+    "q114_calibration" ->
+      // q84's score arithmetic; bin by FLOOR division (DuckDB //
+      // truncates toward zero, Spark's floor() floors — replay floor)
+      ("WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(tok) + 1), " +
+        "i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), " +
+        "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), " +
+        "d AS (SELECT doc_id, lang, COUNT(*) AS n_toks, SUM(wt) AS score FROM w GROUP BY 1, 2), " +
+        "b AS (SELECT lang, CAST(floor(score / 2000.0) AS BIGINT) AS bin, " +
+        "COUNT(*) AS n, SUM(CASE WHEN n_toks >= 50 THEN 1 ELSE 0 END) AS n_pos " +
+        "FROM d GROUP BY 1, 2) " +
+        "SELECT lang, bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos, " +
+        "CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_micro " +
+        "FROM b ORDER BY lang, bin"),
     "q104_profile_segments" ->
       // q103's dense-profile CTEs feeding q75's two Lloyd rounds
       // verbatim (dim 24, stride 37 on user_id); quantization is a

@@ -36,6 +36,31 @@ object Eval {
    * classic sort-all-predictions AUC shuffles and totally orders the
    * full corpus instead). No collect, no UDF, fully codegen'd.
    */
+  /**
+   * Calibration (reliability-diagram) table — AUC's companion: AUC
+   * says the gate RANKS well, the calibration table says whether a
+   * score cut means what its magnitude claims. Scores bucket into
+   * fixed-width bins (`bin` = floor(score / binWidth), floored
+   * division so negative scores bin consistently); each (group, bin)
+   * row reports `n`, `n_pos`, and the observed positive rate as
+   * integer ppm (`pos_rate_micro` — the q69 micro convention, never a
+   * float).
+   *
+   * Scale shape: one map-side-combined aggregation; the exchange
+   * carries ~24 B per OCCUPIED bin, not per row.
+   */
+  def calibrationTable(scored: DataFrame, scoreCol: String, labelCol: String,
+                       binWidth: Long, by: Seq[String] = Nil): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    val bin = floor(col(scoreCol).cast("long").cast("double") / binWidth)
+      .cast("long")
+    scored
+      .groupBy((by.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate_micro", expr("n_pos * 1000000 div n"))
+  }
+
   def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String,
              by: Seq[String] = Nil): DataFrame = {
     val g = scored

@@ -43,6 +43,25 @@ class EvalSpec extends SparkTestBase with Matchers {
     out("one") shouldBe None
   }
 
+  test("calibrationTable: floored bins (negatives too); ppm positive rate") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      (-3, true), (-1, false),  // both in bin floor(-3/2) = -2 / floor(-1/2) = -1
+      (0, true), (1, false),    // bin 0
+      (4, true), (5, true)      // bin 2
+    ).toDF("s", "y")
+    val out = Eval.calibrationTable(df, "s", "y", binWidth = 2L)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("pos_rate_micro")))).toMap
+    out(-2L) shouldBe ((1L, 1L, 1000000L))
+    out(-1L) shouldBe ((1L, 0L, 0L))
+    out(0L) shouldBe ((2L, 1L, 500000L))
+    out(2L) shouldBe ((2L, 2L, 1000000L))
+    out.size shouldBe 4
+  }
+
   test("rocAuc: all-tied scores give 0.5 exactly") {
     val ss = spark
     import ss.implicits._
