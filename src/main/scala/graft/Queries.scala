@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 import graft.codec.Debezium
 import graft.core.{Pipeline, PipelineSpec, Tables}
 import graft.multimodal.Multimodal
-import graft.operators.{CorpusLM, Dedup, Eval, Profile, Relational, Sampling, Similarity, TextMetrics}
+import graft.operators.{CorpusLM, Dedup, Eval, Profile, Relational, Sampling, Similarity, TextMetrics, Web}
 import graft.sources.PromText
 import graft.streaming.StreamingOps
 
@@ -2233,6 +2233,85 @@ object Queries {
       .orderBy("lang", "bin")
   }
 
+  /** Q115 markup → text extraction (step zero of a web corpus — C4/
+    * CCNet/RefinedWeb all start by stripping crawl HTML): documents
+    * are deterministically wrapped in HTML (script + style + comment
+    * noise, `<b>` inline tags, `&#97;` entity encoding) and
+    * `Web.stripMarkup` must recover `source ⧺ ' ' ⧺ text` exactly —
+    * the per-lang roundtrip count pins every strip stage (element-
+    * content removal, tag strip, entity decode order, whitespace
+    * collapse) against the oracle's replay of the same regex chain.
+    * Scan-local, codegen'd, RE2-safe. */
+  val q115: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val enc = regexp_replace(
+      regexp_replace(col("text"), "a", "&#97;"), " the ", " <b>the</b> ")
+    val html = concat(
+      lit("<html><head><script type=\"text/javascript\">var t = 1 < 2;" +
+        "</script><style>p { color: red; }</style></head><body><h1>"),
+      col("source"), lit("</h1><p>"), enc,
+      lit("</p><!-- crawler footer --></body></html>"))
+    val stripped = Web.stripMarkup(html)
+    val want = concat(col("source"), lit(" "), col("text"))
+    d.select(col("lang"), length(html).as("hl"), length(stripped).as("sl"),
+        (stripped === want).cast("long").as("rt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("hl")).as("sum_html_chars"),
+        sum(col("sl")).as("sum_text_chars"),
+        sum(col("rt")).as("n_roundtrip"))
+      .orderBy("lang")
+  }
+
+  /** Deterministic crawl URL used by q116/q117: mixed-case scheme and
+    * host, sometimes an explicit default port, tracking params
+    * interleaved with real ones, a fragment — every hazard
+    * normalization must handle. */
+  private def crawlUrl: Column = concat(
+    lit("HTTPS://CDN."), upper(col("source")),
+    when(pmod(col("doc_id"), lit(2L)) === 0L, lit(".COM")).otherwise(lit(".Org")),
+    when(pmod(col("doc_id"), lit(3L)) === 0L, lit(":443")).otherwise(lit("")),
+    lit("/Docs/"), col("doc_id"),
+    lit("?utm_source=feed&b=2&id="), pmod(col("doc_id"), lit(7L)),
+    lit("&utm_campaign=x&a=1#sec"))
+
+  /** Q116 URL canonicalization (the key under which URL dedup and
+    * per-domain caps work): lowercase scheme/host, default port
+    * stripped, fragment dropped, tracking params removed, surviving
+    * params sorted. Per-domain report; `n_port_left` pins the port
+    * strip at a constant 0. Path case is PRESERVED (paths are
+    * case-sensitive by contract). */
+  val q116: Q = (s, dir) => {
+    val u = crawlUrl
+    Tables.documents(s, dir)
+      .select(Web.domain(u).as("domain"),
+        Web.normalizeUrl(u).as("norm"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("norm")).as("n_distinct"),
+        sum(length(col("norm"))).as("sum_len"),
+        sum(when(col("norm").contains(":443"), 1L).otherwise(0L)).as("n_port_left"),
+        min(col("norm")).as("first_norm"))
+      .orderBy("domain")
+  }
+
+  /** Q117 per-domain crawl cap (RefinedWeb's anti-spam stage: no
+    * domain may flood the mix): `Sampling.stratifiedQuota` keyed on
+    * the canonical domain keeps 3 docs per domain, chosen by the
+    * portable selector hash — deterministic, engine-replayable, and
+    * one ranking shuffle bounded by quota × |domains|. */
+  val q117: Q = (s, dir) => {
+    val withDom = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        Web.domain(crawlUrl).as("domain"))
+    Sampling.stratifiedQuota(withDom, Seq("domain"), "doc_id", quota = 3)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("domain")
+  }
+
   /** Q113 n-gram novelty profile (the stale-feed scan dedup rules
     * don't catch): per doc, the ppm of its distinct 3-grams NOT
     * already emitted by an earlier doc (corpus order = doc_id, the
@@ -2395,6 +2474,9 @@ object Queries {
     "q112_roc_auc" -> q112,
     "q113_ngram_novelty" -> q113,
     "q114_calibration" -> q114,
+    "q115_html_extract" -> q115,
+    "q116_url_normalize" -> q116,
+    "q117_domain_cap" -> q117,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -3646,6 +3728,62 @@ object Queries {
         "SELECT lang, bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos, " +
         "CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_micro " +
         "FROM b ORDER BY lang, bin"),
+    "q115_html_extract" ->
+      // replay build + strip with the same RE2-safe chain; only the
+      // stages that can fire on this construction are replayed (the
+      // other entity decodes cannot match [a-z ] input)
+      ("WITH e AS (SELECT lang, source, text, " +
+        "regexp_replace(regexp_replace(text, 'a', '&#97;', 'g'), " +
+        "' the ', ' <b>the</b> ', 'g') AS enc FROM documents), " +
+        "h AS (SELECT lang, source, text, " +
+        "'<html><head><script type=\"text/javascript\">var t = 1 < 2;" +
+        "</script><style>p { color: red; }</style></head><body><h1>' || source || " +
+        "'</h1><p>' || enc || '</p><!-- crawler footer --></body></html>' AS html FROM e), " +
+        "s AS (SELECT lang, source, text, html, trim(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, " +
+        "'<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g'), " +
+        "'<!--.*?-->', ' ', 'g'), " +
+        "'<[^>]*>', ' ', 'g'), " +
+        "'&#97;', 'a', 'g'), " +
+        "' +', ' ', 'g')) AS stripped FROM h) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(length(html)) AS BIGINT) AS sum_html_chars, " +
+        "CAST(SUM(length(stripped)) AS BIGINT) AS sum_text_chars, " +
+        "CAST(SUM(CASE WHEN stripped = source || ' ' || text THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip " +
+        "FROM s GROUP BY lang ORDER BY lang"),
+    "q116_url_normalize" ->
+      ("WITH u AS (SELECT 'HTTPS://CDN.' || upper(source) || " +
+        "CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.Org' END || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END || " +
+        "'/Docs/' || doc_id || '?utm_source=feed&b=2&id=' || (doc_id % 7) || " +
+        "'&utm_campaign=x&a=1#sec' AS url FROM documents), " +
+        "p AS (SELECT lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme, " +
+        "regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':(443|80)$', '') AS host, " +
+        "regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS pth, " +
+        "regexp_extract(url, '\\?([^#]*)', 1) AS q FROM u), " +
+        "n AS (SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain, " +
+        "scheme || '://' || host || pth || " +
+        "CASE WHEN length(kept) > 0 THEN '?' || kept ELSE '' END AS norm " +
+        "FROM (SELECT *, array_to_string(list_sort(list_filter(str_split(q, '&'), " +
+        "x -> length(x) > 0 AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid)='))), '&') AS kept FROM p)) " +
+        "SELECT domain, COUNT(*) AS n, COUNT(DISTINCT norm) AS n_distinct, " +
+        "CAST(SUM(length(norm)) AS BIGINT) AS sum_len, " +
+        "CAST(SUM(CASE WHEN norm LIKE '%:443%' THEN 1 ELSE 0 END) AS BIGINT) AS n_port_left, " +
+        "MIN(norm) AS first_norm " +
+        "FROM n GROUP BY domain ORDER BY domain"),
+    "q117_domain_cap" ->
+      // selector = (id*2654435761) mod P ranks inside each canonical
+      // domain; quota 3
+      ("WITH d AS (SELECT doc_id, n_chars, " +
+        "lower(regexp_extract('CDN.' || upper(source) || " +
+        "CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.Org' END, " +
+        "'([^.]+\\.[^.]+)$', 1)) AS domain FROM documents), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain " +
+        "ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn FROM d) " +
+        "SELECT domain, COUNT(*) AS n_kept, " +
+        "CAST(SUM(doc_id) AS BIGINT) AS sum_ids, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM r WHERE rn <= 3 GROUP BY domain ORDER BY domain"),
     "q104_profile_segments" ->
       // q103's dense-profile CTEs feeding q75's two Lloyd rounds
       // verbatim (dim 24, stride 37 on user_id); quantization is a

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** Hand-pinned contracts of the web-preprocessing columns. */
+class WebSpec extends SparkTestBase with Matchers {
+
+  private def strip1(s: String): String = {
+    val ss = spark
+    import ss.implicits._
+    Seq(s).toDF("h").select(Web.stripMarkup(col("h"))).head().getString(0)
+  }
+
+  test("stripMarkup: element content, tags, comments, entities, whitespace") {
+    strip1("<html><body><p>hello <b>world</b></p></body></html>") shouldBe "hello world"
+    // script/style CONTENT goes, even with a '<' inside
+    strip1("<script>if (1 < 2) alert('x');</script>text") shouldBe "text"
+    strip1("<style>p > a { }</style>text") shouldBe "text"
+    strip1("before<!-- hidden -->after") shouldBe "before after"
+    // entity decode AFTER tag strip: an encoded tag stays literal text
+    strip1("&lt;b&gt;not a tag&lt;/b&gt;") shouldBe "<b>not a tag</b>"
+    // &amp; decodes last: &amp;lt; is the literal '&lt;', not '<'
+    strip1("x &amp;lt; y") shouldBe "x &lt; y"
+    strip1("a  b   c") shouldBe "a b c"
+    strip1("&#97;&#101;&#111;") shouldBe "aeo"
+  }
+
+  test("url parts: host lowercases and drops default ports; domain is last two labels") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq(
+      "HTTPS://WWW.Example.COM:443/A/B?x=1#f",
+      "http://sub.host.example.org:80/",
+      "https://example.com:8443/keep-port").toDF("u")
+      .select(Web.host(col("u")).as("h"), Web.domain(col("u")).as("d"),
+        Web.path(col("u")).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    rows(0) shouldBe (("www.example.com", "example.com", "/A/B"))
+    rows(1) shouldBe (("sub.host.example.org", "example.org", "/"))
+    // non-default port stays in the authority but never in the domain key
+    rows(2) shouldBe (("example.com:8443", "example.com", "/keep-port"))
+  }
+
+  test("normalizeUrl: tracking params out, survivors sorted, fragment dropped") {
+    val ss = spark
+    import ss.implicits._
+    def norm(u: String): String =
+      Seq(u).toDF("u").select(Web.normalizeUrl(col("u"))).head().getString(0)
+    norm("HTTPS://A.Example.COM:443/p?utm_source=x&b=2&a=1&gclid=g#frag") shouldBe
+      "https://a.example.com/p?a=1&b=2"
+    // no query, no '?'; param order canonicalizes permutations together
+    norm("http://h.example.org/x?z=1&a=2") shouldBe norm("http://h.example.org/x?a=2&z=1")
+    norm("http://h.example.org/x#only-frag") shouldBe "http://h.example.org/x"
+  }
+}
