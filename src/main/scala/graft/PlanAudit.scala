@@ -27,7 +27,10 @@ object PlanAudit {
     // q104: kmeansCentroids' one-row centroid-array broadcast (q75 shape)
     "q104_profile_segments",
     // q105/q106: six 1-row trained-merge broadcasts chain the BPE rounds
-    "q105_bpe_train", "q106_bpe_tokenize")
+    "q105_bpe_train", "q106_bpe_tokenize",
+    // q120: youdenThreshold's ONE-row chosen-threshold broadcast (and
+    // the 1-row class-totals broadcast feeding its argmax)
+    "q120_youden_gate")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

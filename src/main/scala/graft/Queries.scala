@@ -2138,11 +2138,18 @@ object Queries {
     * decoded samples. The oracle replays the stats from the raw text
     * via codepoint arithmetic — matching only if the chunk walk and
     * the signed little-endian sample decode are bit-exact. */
-  val q110: Q = (s, dir) => {
-    import graft.multimodal.{Asset, Multimodal, Wav}
-    val d = Tables.documents(s, dir)
+  /** Shared by q110/q119: each document rendered as an actual
+    * RIFF/WAVE file — 120 mono 16-bit PCM samples (sample i =
+    * codepoint×257 − 32768, spanning the full signed range so LE sign
+    * handling is exercised), sample rate varying per doc so the
+    * fmt-chunk parse is proven. The width metadata field carries the
+    * target rate into the encoder (the decoder must recover it from
+    * the file, not the metadata). */
+  private def textWavAssets(d: DataFrame):
+      org.apache.spark.sql.Dataset[graft.multimodal.Asset] = {
+    import graft.multimodal.{Asset, Wav}
     val enc = org.apache.spark.sql.Encoders.product[Asset]
-    val assets = d.select(col("doc_id").as("asset_id"),
+    d.select(col("doc_id").as("asset_id"),
         lit("audio/wav").as("media_type"),
         col("text").cast("binary").as("bytes"),
         (lit(8000) + pmod(col("doc_id"), lit(5)) * 1000).cast("int").as("width"),
@@ -2150,9 +2157,7 @@ object Queries {
       .as[Asset](enc)
       .mapPartitions { it =>
         it.map { a =>
-          // first 120 text bytes as samples, space-padded; width
-          // carries the target rate into the encoder (the decoder must
-          // recover it from the file, not the metadata)
+          // first 120 text bytes as samples, space-padded
           val samples = Array.tabulate(120) { i =>
             val b = if (i < a.bytes.length) a.bytes(i) & 0xff else 32
             (b * 257 - 32768).toShort
@@ -2160,7 +2165,12 @@ object Queries {
           a.copy(bytes = Wav.encode(a.width, 1, samples))
         }
       }(enc)
-    Multimodal.decodeWavFeatures(assets).toDF()
+  }
+
+  val q110: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val d = Tables.documents(s, dir)
+    Multimodal.decodeWavFeatures(textWavAssets(d)).toDF()
       .join(d.select(col("doc_id"), col("lang")), col("asset_id") === col("doc_id"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),
@@ -2310,6 +2320,112 @@ object Queries {
         sum(col("doc_id")).as("sum_ids"),
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("domain")
+  }
+
+  /** Q118's corpus: the q108 BMP rendering of each doc PLUS a
+    * perturbed twin under asset_id + 1,000,000 — a uniform +8
+    * brightness lift (dHash-invariant: every gradient comparison is
+    * unchanged) with fixed "sensor noise" (gray 120) at every 17th
+    * raster index (flips a few gradient bits). The twins model
+    * re-exposed / lightly-edited copies of the same image — the
+    * near-dup class a byte-level hash can never catch. */
+  private def textBmpAssetsWithTwins(d: DataFrame):
+      org.apache.spark.sql.Dataset[graft.multimodal.Asset] = {
+    import graft.multimodal.{Asset, Bmp}
+    val enc = org.apache.spark.sql.Encoders.product[Asset]
+    d.select(col("doc_id").as("asset_id"),
+        lit("image/bmp").as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("width"),
+        (lit(5) + pmod(col("doc_id"), lit(7))).cast("int").as("height"))
+      .as[Asset](enc)
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val n = a.width * a.height
+          val gray = Array.tabulate(n)(i =>
+            if (i < a.bytes.length) a.bytes(i) else 32.toByte)
+          val twin = Array.tabulate(n)(i =>
+            if (i % 17 == 0) 120.toByte else ((gray(i) & 0xff) + 8).toByte)
+          Seq(a.copy(bytes = Bmp.encodeGray(a.width, a.height, gray)),
+            a.copy(asset_id = a.asset_id + 1000000L,
+              bytes = Bmp.encodeGray(a.width, a.height, twin)))
+        }
+      }(enc)
+  }
+
+  /** Q118 image near-duplicate pairs by perceptual hash (the
+    * multimodal member of the dedup family): every asset decodes
+    * through the REAL BMP seam to a 64-bit dHash (9×8 luma thumbnail,
+    * gradient signs — `Bmp.dhash64`), and the codes feed the SAME
+    * exact pigeonhole banding as SimHash text dedup
+    * (`Dedup.simhashPairsFromCodes`: 4 16-bit chunks, Hamming ≤ 3).
+    * The corpus plants a brightness-shifted, sensor-noised twin per
+    * image (see [[textBmpAssetsWithTwins]]); the gate counts which
+    * twins survive within the radius — at sf0.01, every emitted pair
+    * is a true twin (no accidental collisions) and ~20% of twins
+    * drift past Hamming 3, so both precision and the radius cut are
+    * exercised. Pixels never shuffle: the banding exchange carries
+    * 16 B code rows. The oracle replays thumbnail, luma, code, and
+    * brute-force all-pairs Hamming (banding is lossless by
+    * pigeonhole). */
+  val q118: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val codes = Multimodal.dhashCodes(
+      textBmpAssetsWithTwins(Tables.documents(s, dir)))
+    Dedup.simhashPairsFromCodes(codes, "asset_id", maxHamming = 3, bits = 64)
+      .orderBy("d1", "d2")
+  }
+
+  /** Q119 audio signal-quality features (the gate trio an audio corpus
+    * filters on before training): the q110 WAV corpus decoded through
+    * the REAL RIFF seam to zero crossings / exact integer energy /
+    * peak amplitude per asset (`Wav.signalStats` — silence, loudness,
+    * clipping), aggregated per lang. The oracle replays the stats from
+    * raw text codepoints (sample i = cp×257 − 32768) with a lag
+    * window for the sign transitions — matching only if the chunk
+    * walk and signed LE sample decode are bit-exact. Decode is
+    * partition-preserving; only thin feature rows enter the join. */
+  val q119: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val d = Tables.documents(s, dir)
+    Multimodal.decodeWavSignal(textWavAssets(d)).toDF()
+      .join(d.select(col("doc_id"), col("lang")), col("asset_id") === col("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("sample_rate")).as("sum_rate"),
+        sum(col("zero_crossings")).as("sum_zc"),
+        sum(col("energy")).as("total_energy"),
+        max(col("peak")).as("max_peak"),
+        sum(col("peak").cast("long")).as("sum_peak"))
+      .orderBy("lang")
+  }
+
+  /** Q120 operating-point selection + gate application (closing the
+    * measure→choose→apply loop q112/q114 open): Youden's J picks the
+    * exact threshold for q84's hashed quality scorer against the
+    * deterministic length label — maximized via integer
+    * cross-multiplication (tp·N − fp·P, BIGINT; no float compare
+    * decides), ties toward the stricter cut — and the corpus is gated
+    * at `score ≥ threshold`, reported per lang with the chosen
+    * threshold and J (ppm) on every row. The argmax runs over the
+    * distinct-score histogram (TakeOrdered, not a corpus sort) and
+    * the 1-row threshold broadcasts — the no-collect scalar
+    * pattern. */
+  val q120: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+        Tables.documents(s, dir), "doc_id", "text", dims = 64,
+        keep = Seq("lang"))
+      .withColumn("__label", col("n_toks") >= 50L)
+    val thr = Eval.youdenThreshold(scored, "score", "__label")
+      .select(col("threshold"), col("j_micro"))
+    scored.crossJoin(broadcast(thr))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"),
+        min(col("threshold")).as("threshold"),
+        min(col("j_micro")).as("j_micro"))
+      .withColumn("kept_micro", expr("n_kept * 1000000 div n_docs"))
+      .orderBy("lang")
   }
 
   /** Q113 n-gram novelty profile (the stale-feed scan dedup rules
@@ -2477,6 +2593,9 @@ object Queries {
     "q115_html_extract" -> q115,
     "q116_url_normalize" -> q116,
     "q117_domain_cap" -> q117,
+    "q118_image_neardup" -> q118,
+    "q119_audio_signal" -> q119,
+    "q120_youden_gate" -> q120,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -3784,6 +3903,82 @@ object Queries {
         "CAST(SUM(doc_id) AS BIGINT) AS sum_ids, " +
         "CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
         "FROM r WHERE rn <= 3 GROUP BY domain ORDER BY domain"),
+    "q118_image_neardup" ->
+      // replay decode → 9×8 thumbnail (floor resample; luma == gray
+      // for gray pixels) → dHash (bit y*8+x = right neighbor brighter)
+      // for original + twin (+8 brightness, gray 120 at idx%17==0),
+      // then brute-force all-pairs Hamming ≤ 3 (the engine's
+      // pigeonhole banding is lossless, so the sets agree exactly);
+      // the 64-bit code wraps HUGEINT → BIGINT two's-complement
+      ("WITH dm AS (SELECT doc_id, text, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h FROM documents), " +
+        "px0 AS (SELECT doc_id, y, x, idx, CASE WHEN idx < length(text) " +
+        "THEN unicode(substr(text, CAST(idx + 1 AS INT), 1)) ELSE 32 END AS g " +
+        "FROM (SELECT doc_id, text, y, x, (y * h // 8) * w + (x * w // 9) AS idx " +
+        "FROM dm CROSS JOIN (SELECT unnest(range(0, 8)) AS y) yy " +
+        "CROSS JOIN (SELECT unnest(range(0, 9)) AS x) xx)), " +
+        "px AS (SELECT doc_id AS aid, y, x, g FROM px0 " +
+        "UNION ALL SELECT doc_id + 1000000 AS aid, y, x, " +
+        "CASE WHEN idx % 17 = 0 THEN 120 ELSE g + 8 END AS g FROM px0), " +
+        "bits AS (SELECT a.aid, a.y * 8 + a.x AS k, " +
+        "CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit " +
+        "FROM px a JOIN px b ON a.aid = b.aid AND a.y = b.y AND b.x = a.x + 1 " +
+        "WHERE a.x < 8), " +
+        "codes AS (SELECT aid, CAST(s - CASE WHEN s >= (CAST(1 AS HUGEINT) << 63) " +
+        "THEN (CAST(1 AS HUGEINT) << 64) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS code " +
+        "FROM (SELECT aid, SUM(CASE WHEN bit = 1 THEN (CAST(1 AS HUGEINT) << CAST(k AS INT)) " +
+        "ELSE CAST(0 AS HUGEINT) END) AS s FROM bits GROUP BY aid)) " +
+        "SELECT a.aid AS d1, b.aid AS d2, " +
+        "CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming " +
+        "FROM codes a JOIN codes b ON a.aid < b.aid " +
+        "WHERE bit_count(xor(a.code, b.code)) <= 3 ORDER BY d1, d2"),
+    "q119_audio_signal" ->
+      // replay zero crossings (lag window sign transitions), exact
+      // energy and peak from raw text codepoints (sample = cp×257 −
+      // 32768, 120 samples space-padded); rate replays the q110
+      // derivation the fmt-chunk parse must recover
+      ("WITH dm AS (SELECT doc_id, lang, text FROM documents), " +
+        "sam AS (SELECT doc_id, lang, CAST(i AS INT) AS i, " +
+        "(CASE WHEN i < length(text) THEN unicode(substr(text, CAST(i + 1 AS INT), 1)) " +
+        "ELSE 32 END) * 257 - 32768 AS s " +
+        "FROM dm CROSS JOIN (SELECT unnest(range(0, 120)) AS i) ii), " +
+        "lg AS (SELECT doc_id, lang, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS p FROM sam), " +
+        "per AS (SELECT doc_id, lang, " +
+        "SUM(CASE WHEN p IS NOT NULL AND ((s < 0) <> (p < 0)) THEN 1 ELSE 0 END) AS zc, " +
+        "SUM(CAST(s AS BIGINT) * s) AS energy, MAX(abs(s)) AS peak " +
+        "FROM lg GROUP BY 1, 2) " +
+        "SELECT lang, COUNT(*) AS n, " +
+        "CAST(SUM(8000 + (doc_id % 5) * 1000) AS BIGINT) AS sum_rate, " +
+        "CAST(SUM(zc) AS BIGINT) AS sum_zc, " +
+        "CAST(SUM(energy) AS BIGINT) AS total_energy, " +
+        "MAX(peak) AS max_peak, CAST(SUM(peak) AS BIGINT) AS sum_peak " +
+        "FROM per GROUP BY lang ORDER BY lang"),
+    "q120_youden_gate" ->
+      // q112's score CTEs → descending-cumulative (tp, fp) over the
+      // distinct-score histogram → integer-exact Youden argmax
+      // (tp·neg − fp·pos, ties to the higher threshold) → gate applied
+      // per lang; // floors == Spark div truncation (all non-negative)
+      ("WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(tok) + 1), " +
+        "i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), " +
+        "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), " +
+        "d AS (SELECT doc_id, lang, COUNT(*) AS n_toks, CAST(SUM(wt) AS BIGINT) AS score " +
+        "FROM w GROUP BY 1, 2), " +
+        "g AS (SELECT score AS s, SUM(CASE WHEN n_toks >= 50 THEN 1 ELSE 0 END) AS np, " +
+        "SUM(CASE WHEN n_toks >= 50 THEN 0 ELSE 1 END) AS nn FROM d GROUP BY 1), " +
+        "c AS (SELECT s, SUM(np) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp, " +
+        "SUM(nn) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp FROM g), " +
+        "tot AS (SELECT CAST(SUM(np) AS BIGINT) AS pos, CAST(SUM(nn) AS BIGINT) AS neg FROM g), " +
+        "best AS (SELECT CAST(s AS BIGINT) AS threshold, " +
+        "CAST((tp * neg - fp * pos) * 1000000 // (pos * neg) AS BIGINT) AS j_micro " +
+        "FROM c, tot ORDER BY tp * neg - fp * pos DESC, s DESC LIMIT 1) " +
+        "SELECT d.lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN d.score >= b.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "b.threshold AS threshold, b.j_micro AS j_micro, " +
+        "CAST(SUM(CASE WHEN d.score >= b.threshold THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS kept_micro " +
+        "FROM d, best b GROUP BY d.lang, b.threshold, b.j_micro ORDER BY d.lang"),
     "q104_profile_segments" ->
       // q103's dense-profile CTEs feeding q75's two Lloyd rounds
       // verbatim (dim 24, stride 37 on user_id); quantization is a

@@ -158,6 +158,34 @@ object Bmp {
     * to exactly 1000, so a gray pixel (b=g=r) round-trips bit-exact. */
   def luma(b: Int, g: Int, r: Int): Int = (r * 299 + g * 587 + b * 114) / 1000
 
+  /** 64-bit difference hash (dHash) of a raster: nearest-neighbor
+    * downscale to a 9×8 luma thumbnail, then bit `y*8 + x` is set iff
+    * the pixel right of (x, y) is strictly brighter — 8 comparisons
+    * per row × 8 rows. Comparisons are invariant under any uniform
+    * monotone brightness change (the property that makes dHash a
+    * NEAR-duplicate key where a byte hash is an exact one), and every
+    * step is integer arithmetic (floor resample + integer luma), so an
+    * external oracle replays codes bit-for-bit. */
+  def dhash64(r: Raster): Long = {
+    val t = resizeNearest(r, 9, 8)
+    val p = t.pixels
+    var code = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val a = (y * 9 + x) * 3
+        val b = a + 3
+        val la = luma(p(a) & 0xff, p(a + 1) & 0xff, p(a + 2) & 0xff)
+        val lb = luma(p(b) & 0xff, p(b + 1) & 0xff, p(b + 2) & 0xff)
+        if (lb > la) code |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    code
+  }
+
   /** Per-image luma statistics over a decoded raster: 16-bin histogram
     * plus the exact integer luma sum (callers derive exact fixed-point
     * means from it — never a lossy double). */

@@ -31,6 +31,13 @@ final case class AudioFeatures(asset_id: Long, sample_rate: Int,
                                sum_sample: Long, sum_abs: Long,
                                histogram: Array[Long])
 
+/** Signal-quality features from a REAL audio decode (`Wav.signalStats`):
+  * zero crossings, exact integer energy, peak amplitude — the trio an
+  * audio corpus gate filters on (silence, loudness, clipping). */
+final case class AudioSignal(asset_id: Long, sample_rate: Int,
+                             n_samples: Long, zero_crossings: Long,
+                             energy: Long, peak: Int)
+
 /**
  * Multimodal column operators (north star): media as opaque `binary`
  * columns with typed metadata, processed in partition-batched iterators.
@@ -130,6 +137,46 @@ object Multimodal {
         val (hist, sum, sumAbs) = Wav.sampleStats(pcm, HistogramBins)
         AudioFeatures(a.asset_id, pcm.sampleRate, pcm.channels,
           pcm.samples.length.toLong, sum, sumAbs, hist)
+      }
+    }
+  }
+
+  /**
+   * 64-bit perceptual hash (dHash) per image asset through the real
+   * decode seam: decode each BMP, downscale to a 9×8 luma thumbnail,
+   * emit the gradient-sign code (`Bmp.dhash64`). The output is the
+   * image analogue of `Dedup.simhashCodes` — one (id, `__code`) row
+   * per asset, 16 B — and feeds the SAME exact pigeonhole banding
+   * (`Dedup.simhashPairsFromCodes`) for near-duplicate pairs: rescaled,
+   * brightness-shifted, or lightly-edited copies of an image land
+   * within a few Hamming bits of the original, where any byte-level
+   * hash sees unrelated blobs. Decode is partition-preserving; only
+   * 16 B code rows enter the dedup shuffle — pixels never do.
+   */
+  def dhashCodes(assets: Dataset[Asset]): DataFrame = {
+    val s = assets.sparkSession
+    import s.implicits._
+    assets.mapPartitions { it =>
+      it.map(a => (a.asset_id, Bmp.dhash64(Bmp.decode(a.bytes))))
+    }.toDF("asset_id", "__code")
+  }
+
+  /**
+   * REAL audio signal statistics through the decode seam: decode each
+   * WAV, compute zero crossings / exact integer energy / peak
+   * amplitude over the decoded PCM (`Wav.signalStats`) — the features
+   * an audio corpus gate filters on (silence detection, loudness
+   * normalization, clipping rejection). Partition-preserving like
+   * every decode op; emits thin typed rows, never samples.
+   */
+  def decodeWavSignal(assets: Dataset[Asset]): Dataset[AudioSignal] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val pcm = Wav.decode(a.bytes)
+        val (zc, energy, peak) = Wav.signalStats(pcm)
+        AudioSignal(a.asset_id, pcm.sampleRate, pcm.samples.length.toLong,
+          zc, energy, peak)
       }
     }
   }

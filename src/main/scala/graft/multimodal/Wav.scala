@@ -112,6 +112,33 @@ object Wav {
     Pcm(rate, channels, samples)
   }
 
+  /** Exact integer SIGNAL statistics over decoded samples — the
+    * audio-quality trio a corpus gate filters on: zero crossings
+    * (strict sign transitions, `s < 0` flipping — silence-vs-tone and
+    * noisiness proxy), energy (sum of squared samples — loudness; a
+    * BIGINT holds >2^31 full-scale samples, far past any single
+    * asset), and peak absolute amplitude (clipping detection). Runs
+    * over the interleaved stream; for multichannel audio, split
+    * channels upstream if per-channel stats are needed. */
+  def signalStats(pcm: Pcm): (Long, Long, Int) = {
+    var zc = 0L
+    var energy = 0L
+    var peak = 0
+    var prevNeg = false
+    var i = 0
+    while (i < pcm.samples.length) {
+      val s = pcm.samples(i).toInt
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      energy += s.toLong * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      i += 1
+    }
+    (zc, energy, peak)
+  }
+
   /** Exact integer stats over decoded samples: `bins`-bin histogram of
     * the 16-bit range plus exact sums (callers derive fixed-point
     * means — never a lossy double). */

@@ -61,6 +61,48 @@ object Eval {
       .withColumn("pos_rate_micro", expr("n_pos * 1000000 div n"))
   }
 
+  /**
+   * Operating-point selection by Youden's J: over candidate thresholds
+   * t (the distinct scores), the gate `score >= t` has true-positive
+   * count tp(t) and false-positive count fp(t); J(t) = TPR − FPR is
+   * maximized exactly via the integer cross-multiplication
+   * `j2n = tp·n_neg − fp·n_pos` (BIGINT — no float compare decides
+   * the winner), ties broken toward the HIGHER threshold (the
+   * stricter gate admits fewer rows for the same J). One output row:
+   * `threshold`, `tp`, `fp`, `n_pos`, `n_neg`, `j2n`, and
+   * `j_micro` = J in integer ppm.
+   *
+   * Scale shape: like [[rocAuc]], rows collapse to the (score → np,
+   * nn) histogram in one map-side-combined aggregation; the
+   * descending cumulative window and the argmax run over DISTINCT
+   * scores only (integer scores ⇒ bounded cardinality), and the
+   * argmax plans as a TakeOrdered, not a total sort.
+   */
+  def youdenThreshold(scored: DataFrame, scoreCol: String,
+                      labelCol: String): DataFrame = {
+    val g = scored
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__nn"))
+    // tp(t) = positives scored >= t: inclusive cumulative over the
+    // histogram in descending score order
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.select(col("__s"), sum(col("__np")).over(w).as("__tp"),
+      sum(col("__nn")).over(w).as("__fp"))
+    val tot = scored.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"),
+      sum(when(col(labelCol), 0L).otherwise(1L)).as("__neg"))
+    cum.crossJoin(broadcast(tot)) // 1-row totals: the no-collect scalar pattern
+      .withColumn("__j2n", col("__tp") * col("__neg") - col("__fp") * col("__pos"))
+      .orderBy(col("__j2n").desc, col("__s").desc)
+      .limit(1)
+      .select(col("__s").as("threshold"), col("__tp").as("tp"),
+        col("__fp").as("fp"), col("__pos").as("n_pos"),
+        col("__neg").as("n_neg"), col("__j2n").as("j2n"))
+      .withColumn("j_micro", expr("j2n * 1000000 div (n_pos * n_neg)"))
+  }
+
   def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String,
              by: Seq[String] = Nil): DataFrame = {
     val g = scored

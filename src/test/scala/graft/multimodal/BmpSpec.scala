@@ -135,4 +135,38 @@ class BmpSpec extends SparkTestBase with Matchers {
         .map(j => (i * 31 + j * 7) % 256).sum.toLong
     }
   }
+
+  test("dhash64: hand computation on an already-9x8 gray raster") {
+    // gray(x, y) = x * 10 + y: strictly increasing rightward, so EVERY
+    // right neighbor is brighter and all 64 bits set
+    val up = Array.tabulate(72)(i => ((i % 9) * 10 + i / 9).toByte)
+    Bmp.dhash64(Bmp.decode(Bmp.encodeGray(9, 8, up))) shouldBe -1L
+    // strictly decreasing rightward: no bit set
+    val down = Array.tabulate(72)(i => (200 - (i % 9) * 10).toByte)
+    Bmp.dhash64(Bmp.decode(Bmp.encodeGray(9, 8, down))) shouldBe 0L
+    // one brighter pixel at thumbnail (x=3, y=2): bit 2*8+3 set from
+    // the rise into it, bit 2*8+2... rise is at comparison x=2 (p[3]>p[2])
+    // and fall at x=3 (p[4]<p[3]) => only bit k=2*8+2 is set
+    val flat = Array.fill(72)(50.toByte)
+    flat(2 * 9 + 3) = 90.toByte
+    Bmp.dhash64(Bmp.decode(Bmp.encodeGray(9, 8, flat))) shouldBe (1L << 18)
+  }
+
+  test("dhash64: invariant under uniform brightness shift, flips few bits on local edits") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val w = 10 + rng.nextInt(20); val h = 8 + rng.nextInt(12)
+      val gray = Array.fill(w * h)((32 + rng.nextInt(90)).toByte)
+      val code = Bmp.dhash64(Bmp.decode(Bmp.encodeGray(w, h, gray)))
+      // +20 everywhere: every gradient comparison unchanged
+      val lifted = gray.map(g => ((g & 0xff) + 20).toByte)
+      Bmp.dhash64(Bmp.decode(Bmp.encodeGray(w, h, lifted))) shouldBe code
+      // one edited source pixel flips at most 2 of the 64 bits (it can
+      // reach at most one thumbnail cell => 2 adjacent comparisons)
+      val edited = gray.clone(); edited(rng.nextInt(w * h)) = 255.toByte
+      val hd = java.lang.Long.bitCount(
+        code ^ Bmp.dhash64(Bmp.decode(Bmp.encodeGray(w, h, edited))))
+      hd should be <= 2
+    }
+  }
 }

@@ -92,4 +92,22 @@ class WavSpec extends SparkTestBase with Matchers {
       f.sum_sample shouldBe (0 until 30 + i).map(j => i * 1000 + j * 3 - 16000).sum.toLong
     }
   }
+
+  test("signalStats: hand-computed zero crossings, energy, peak") {
+    // samples: 3, -2, -1, 0, 5, -5 — transitions at i=1 (+→−),
+    // i=3 (−→0 counts: 0 is non-negative), i=5 (+→−) => zc = 3
+    val pcm = Wav.Pcm(8000, 1, Array[Short](3, -2, -1, 0, 5, -5))
+    val (zc, energy, peak) = Wav.signalStats(pcm)
+    zc shouldBe 3L
+    energy shouldBe (9 + 4 + 1 + 0 + 25 + 25).toLong
+    peak shouldBe 5
+  }
+
+  test("signalStats: full-scale samples do not overflow the energy sum") {
+    val pcm = Wav.Pcm(8000, 1, Array.fill(1000)(Short.MinValue))
+    val (zc, energy, peak) = Wav.signalStats(pcm)
+    zc shouldBe 0L
+    energy shouldBe 1000L * 32768L * 32768L
+    peak shouldBe 32768
+  }
 }

@@ -72,4 +72,30 @@ class EvalSpec extends SparkTestBase with Matchers {
     r.getAs[Long]("u2") shouldBe 6L
     r.getAs[Double]("auc") shouldBe 0.5
   }
+
+  test("youdenThreshold: hand-computed argmax with tie toward the stricter cut") {
+    val ss = spark
+    import ss.implicits._
+    // neg {1, 3}, pos {2, 4}; candidates (desc): t=4: tp=1 fp=0 j2n=2
+    //   t=3: tp=1 fp=1 j2n=0; t=2: tp=2 fp=1 j2n=2; t=1: tp=2 fp=2 j2n=0
+    // max j2n=2 at t=4 and t=2 — tie resolves to the HIGHER threshold
+    val df = Seq((1, false), (3, false), (2, true), (4, true)).toDF("s", "y")
+    val r = Eval.youdenThreshold(df, "s", "y").head()
+    r.getAs[Int]("threshold") shouldBe 4
+    r.getAs[Long]("tp") shouldBe 1L
+    r.getAs[Long]("fp") shouldBe 0L
+    r.getAs[Long]("j2n") shouldBe 2L
+    r.getAs[Long]("j_micro") shouldBe 500000L
+  }
+
+  test("youdenThreshold: perfect separation picks the lowest positive score") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1, false), (2, false), (10, true), (11, true)).toDF("s", "y")
+    val r = Eval.youdenThreshold(df, "s", "y").head()
+    // j2n maxes at 2*2 = 4 anywhere in (2, 10]; candidates are distinct
+    // scores, so t=10 (J = 1 exactly)
+    r.getAs[Int]("threshold") shouldBe 10
+    r.getAs[Long]("j_micro") shouldBe 1000000L
+  }
 }
