@@ -733,4 +733,52 @@ object StreamingOps {
           }
       }
   }
+
+  /** One admission verdict from [[domainCapStream]]: the row with
+    * ordinal `ordinal` under key `key` is admitted iff `kept`. */
+  case class CapVerdict(key: String, ordinal: Long, kept: Boolean)
+
+  /**
+   * Streaming per-key crawl cap — the continuous twin of q117's
+   * per-domain quota (RefinedWeb's anti-spam stage as an ingest-time
+   * gate instead of a batch pass): at most `quota` rows are admitted
+   * per key over the stream's lifetime, first-come in ordinal order.
+   * Within a micro-batch the group's rows sort by `ordinalCol`, so a
+   * replayed corpus produces identical verdicts regardless of shuffle
+   * order; across batches admission is arrival-ordered — the
+   * documented batch-vs-stream divergence (the batch operator ranks
+   * by the portable selector hash over the WHOLE corpus, which a
+   * stream cannot know; feed the stream in selector order and the
+   * two match row for row, which is exactly how the spec pins it).
+   *
+   * State is ONE long (admitted count) per key — bytes per domain,
+   * bounded by |domains|, the cheapest state shape there is. Emits a
+   * verdict per row (thin: key + ordinal, never the payload);
+   * admitted rows are a sink-side semi-join on (key, ordinal), the
+   * same thin-verdict posture as [[chunkVerdictStream]].
+   */
+  def domainCapStream(df: DataFrame, keyCol: String, ordinalCol: String,
+                      quota: Int): Dataset[CapVerdict] = {
+    require(quota >= 1, "quota must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(ordinalCol).cast("long").as("__o"))
+      .where(col("__k").isNotNull && col("__o").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, CapVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val verdicts = rows.map(_._2).toArray.sorted.map { o =>
+            val keep = admitted < quota
+            if (keep) admitted += 1
+            CapVerdict(key, o, keep)
+          }
+          state.update(admitted)
+          verdicts.iterator
+      }
+  }
 }

@@ -648,6 +648,47 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.length should be > 0
   }
 
+  test("domainCapStream equals the batch ordinal-order cap when fed in order") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // 4 domains × uneven multiplicities; ordinal = doc_id
+    val rows = (0L until 40L).map(i => (s"dom${i % 4}.com", i))
+    val input = MemoryStream[(String, Long)]
+    val query = StreamingOps.domainCapStream(
+        input.toDF().toDF("domain", "doc_id"), "domain", "doc_id", quota = 3)
+      .writeStream.format("memory").queryName("t_cap")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      // ordinal-ordered delivery split across 3 micro-batches, one
+      // split mid-domain-run so cap state must carry across batches
+      val (b1, rest) = rows.splitAt(7)
+      val (b2, b3) = rest.splitAt(13)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_cap")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(v => (v._1, v._2))
+
+    // batch twin: first `quota` rows per key in ordinal order
+    import org.apache.spark.sql.expressions.Window
+    val want = rows.toDF("domain", "doc_id")
+      .withColumn("kept", row_number().over(
+        Window.partitionBy("domain").orderBy("doc_id")) <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(v => (v._1, v._2))
+
+    got shouldBe want
+    got.count(_._3) shouldBe 12 // 4 domains × quota 3
+    got.length shouldBe 40 // a verdict per row, thin but total
+  }
+
   test("bpeTokenizeStream on the training corpus reproduces q106's per-lang counts") {
     val ss = spark
     import ss.implicits._
