@@ -2145,7 +2145,8 @@ object Queries {
     * fmt-chunk parse is proven. The width metadata field carries the
     * target rate into the encoder (the decoder must recover it from
     * the file, not the metadata). */
-  private def textWavAssets(d: DataFrame):
+  private def textWavAssets(d: DataFrame,
+      sampleOf: Int => Int = b => b * 257 - 32768):
       org.apache.spark.sql.Dataset[graft.multimodal.Asset] = {
     import graft.multimodal.{Asset, Wav}
     val enc = org.apache.spark.sql.Encoders.product[Asset]
@@ -2160,7 +2161,7 @@ object Queries {
           // first 120 text bytes as samples, space-padded
           val samples = Array.tabulate(120) { i =>
             val b = if (i < a.bytes.length) a.bytes(i) & 0xff else 32
-            (b * 257 - 32768).toShort
+            sampleOf(b).toShort
           }
           a.copy(bytes = Wav.encode(a.width, 1, samples))
         }
@@ -2428,6 +2429,67 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q121 domain-level boilerplate line removal (the web-pipeline
+    * stage between markup strip and dedup: every page of a site
+    * repeats its header/nav/footer — per-line document frequency
+    * WITHIN the domain separates template from content): documents
+    * render as crawl pages (domain-branded header + body + an
+    * occasional unique ref line + footer), and
+    * `Web.dropBoilerplateLines` must remove exactly the lines seen in
+    * ≥ 3 distinct docs of the domain — headers/footers go, every
+    * body and ref line stays — rebuilding each page in-row from thin
+    * removed-position arrays (line text never enters an exchange).
+    * Per-lang removal report; the oracle replays DF counting on the
+    * line text itself (hash equality == text equality, the q113
+    * convention). */
+  val q121: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val dom = Web.domain(crawlUrl)
+    val page = concat(
+      lit("Home | About | "), dom, lit("\n"), col("text"),
+      when(pmod(col("doc_id"), lit(5L)) === 0L,
+        concat(lit("\nref "), col("doc_id"))).otherwise(lit("")),
+      lit("\nCopyright "), dom)
+    val pages = d.select(col("doc_id"), col("lang"), dom.as("domain"),
+      page.as("page"))
+    Web.dropBoilerplateLines(pages, "doc_id", "domain", "page", minDf = 3)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_lines")).as("sum_lines"),
+        sum(col("n_lines_removed")).as("sum_removed"),
+        sum(length(col("clean_text"))).as("sum_clean_chars"))
+      .orderBy("lang")
+  }
+
+  /** Q122 audio endpoint-silence trim (the normalization step before
+    * audio dedup/training — padding must not count as content): the
+    * WAV corpus rendered under a zero-at-space sample map (s =
+    * (cp − 32)·300, so the trailing space pad is TRUE digital
+    * silence), trimmed through decode → endpoint strip → re-encode
+    * (`Multimodal.trimWavSilence`, threshold 0), then decoded AGAIN
+    * and reported per lang. The oracle replays the trim bounds from
+    * raw text (first/last non-space among the 120 padded codepoints)
+    * and the signal stats over the kept range — matching only if
+    * decode → trim → re-encode → decode is bit-exact end to end,
+    * including interior spaces surviving (endpoint trim, not a
+    * gate). */
+  val q122: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val d = Tables.documents(s, dir)
+    val trimmed = Multimodal.trimWavSilence(
+      textWavAssets(d, b => (b - 32) * 300), threshold = 0)
+    Multimodal.decodeWavSignal(trimmed).toDF()
+      .join(d.select(col("doc_id"), col("lang")), col("asset_id") === col("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_samples")).as("total_samples"),
+        sum(lit(120L) - col("n_samples")).as("n_trimmed"),
+        sum(col("zero_crossings")).as("sum_zc"),
+        sum(col("energy")).as("total_energy"),
+        max(col("peak")).as("max_peak"))
+      .orderBy("lang")
+  }
+
   /** Q113 n-gram novelty profile (the stale-feed scan dedup rules
     * don't catch): per doc, the ppm of its distinct 3-grams NOT
     * already emitted by an earlier doc (corpus order = doc_id, the
@@ -2596,6 +2658,8 @@ object Queries {
     "q118_image_neardup" -> q118,
     "q119_audio_signal" -> q119,
     "q120_youden_gate" -> q120,
+    "q121_boilerplate" -> q121,
+    "q122_silence_trim" -> q122,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -3979,6 +4043,61 @@ object Queries {
         "b.threshold AS threshold, b.j_micro AS j_micro, " +
         "CAST(SUM(CASE WHEN d.score >= b.threshold THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS kept_micro " +
         "FROM d, best b GROUP BY d.lang, b.threshold, b.j_micro ORDER BY d.lang"),
+    "q121_boilerplate" ->
+      // replay page construction, per-(domain, line) distinct-doc DF,
+      // and the removal arithmetic on line TEXT (hash equality ==
+      // text equality); clean chars = kept line lengths + (n_kept−1)
+      // joiner newlines per doc
+      ("WITH d AS (SELECT doc_id, lang, text, " +
+        "lower(regexp_extract('CDN.' || upper(source) || " +
+        "CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.Org' END, " +
+        "'([^.]+\\.[^.]+)$', 1)) AS dom FROM documents), " +
+        "pg AS (SELECT doc_id, lang, dom, 'Home | About | ' || dom || chr(10) || text || " +
+        "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ref ' || doc_id ELSE '' END || " +
+        "chr(10) || 'Copyright ' || dom AS page FROM d), " +
+        "ln AS (SELECT doc_id, lang, dom, unnest(str_split(page, chr(10))) AS l FROM pg), " +
+        "df AS (SELECT dom, l, COUNT(DISTINCT doc_id) AS df FROM ln GROUP BY 1, 2), " +
+        "per AS (SELECT doc_id, lang, COUNT(*) AS n_lines, " +
+        "SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS n_rm, " +
+        "SUM(CASE WHEN df.df < 3 THEN length(ln.l) ELSE 0 END) AS kept_chars, " +
+        "SUM(CASE WHEN df.df < 3 THEN 1 ELSE 0 END) AS n_kept " +
+        "FROM ln JOIN df ON ln.dom = df.dom AND ln.l = df.l GROUP BY 1, 2) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_lines) AS BIGINT) AS sum_lines, " +
+        "CAST(SUM(n_rm) AS BIGINT) AS sum_removed, " +
+        "CAST(SUM(kept_chars + CASE WHEN n_kept > 0 THEN n_kept - 1 ELSE 0 END) AS BIGINT) AS sum_clean_chars " +
+        "FROM per GROUP BY lang ORDER BY lang"),
+    "q122_silence_trim" ->
+      // replay trim bounds from raw text: sample i = (cp_i − 32)·300
+      // over the 120 space-padded codepoints, silent iff cp = 32;
+      // kept range = [first, last] non-space index (empty if none),
+      // then q119's signal stats over the kept range only
+      ("WITH dm AS (SELECT doc_id, lang, text FROM documents), " +
+        "sam AS (SELECT doc_id, lang, CAST(i AS INT) AS i, " +
+        "((CASE WHEN i < length(text) THEN unicode(substr(text, CAST(i + 1 AS INT), 1)) " +
+        "ELSE 32 END) - 32) * 300 AS s " +
+        "FROM dm CROSS JOIN (SELECT unnest(range(0, 120)) AS i) ii), " +
+        "bound AS (SELECT doc_id, MIN(i) FILTER (WHERE s <> 0) AS a, " +
+        "MAX(i) FILTER (WHERE s <> 0) AS b FROM sam GROUP BY doc_id), " +
+        "kept AS (SELECT sam.doc_id, sam.lang, sam.i, sam.s " +
+        "FROM sam JOIN bound ON sam.doc_id = bound.doc_id " +
+        "WHERE bound.a IS NOT NULL AND sam.i BETWEEN bound.a AND bound.b), " +
+        "lg AS (SELECT doc_id, lang, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS p FROM kept), " +
+        "per0 AS (SELECT doc_id, lang, COUNT(*) AS ns, " +
+        "SUM(CASE WHEN p IS NOT NULL AND ((s < 0) <> (p < 0)) THEN 1 ELSE 0 END) AS zc, " +
+        "SUM(CAST(s AS BIGINT) * s) AS energy, MAX(abs(s)) AS peak " +
+        "FROM lg GROUP BY 1, 2), " +
+        // all-silent docs trim to zero samples but still report a row
+        "per AS (SELECT d.doc_id, d.lang, COALESCE(p.ns, 0) AS ns, " +
+        "COALESCE(p.zc, 0) AS zc, COALESCE(p.energy, 0) AS energy, " +
+        "COALESCE(p.peak, 0) AS peak FROM dm d LEFT JOIN per0 p ON d.doc_id = p.doc_id) " +
+        "SELECT lang, COUNT(*) AS n, " +
+        "CAST(SUM(ns) AS BIGINT) AS total_samples, " +
+        "CAST(SUM(120 - ns) AS BIGINT) AS n_trimmed, " +
+        "CAST(SUM(zc) AS BIGINT) AS sum_zc, " +
+        "CAST(SUM(energy) AS BIGINT) AS total_energy, " +
+        "CAST(MAX(peak) AS INT) AS max_peak " +
+        "FROM per GROUP BY lang ORDER BY lang"),
     "q104_profile_segments" ->
       // q103's dense-profile CTEs feeding q75's two Lloyd rounds
       // verbatim (dim 24, stride 37 on user_id); quantization is a

@@ -182,6 +182,27 @@ object Multimodal {
   }
 
   /**
+   * REAL audio endpoint-silence trim through the decode seam — the
+   * audio analogue of [[resizeBmp]]'s decode→transform→re-encode:
+   * each WAV decodes, leading/trailing silent frames (every channel
+   * |s| <= `threshold`) drop, and the remainder re-encodes at the
+   * same rate/channels. The downstream win mirrors resize: storage
+   * and every later decode shrink by the trimmed fraction, and
+   * silence-padded duplicates collapse onto the same byte payload.
+   * Partition-preserving; an all-silent asset becomes a valid
+   * zero-frame file.
+   */
+  def trimWavSilence(assets: Dataset[Asset], threshold: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val pcm = Wav.trimSilence(Wav.decode(a.bytes), threshold)
+        a.copy(bytes = Wav.encode(pcm.sampleRate, pcm.channels, pcm.samples))
+      }
+    }
+  }
+
+  /**
    * REAL pixel resize (the operation [[resizeMeta]] only models):
    * decode each BMP, nearest-neighbor downscale so the longest side is
    * at most `maxDim` (integer-floor arithmetic — `w*maxDim/max(w,h)`,

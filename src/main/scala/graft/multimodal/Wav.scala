@@ -112,6 +112,32 @@ object Wav {
     Pcm(rate, channels, samples)
   }
 
+  /** Strip leading and trailing silence: drop frames from both ends
+    * while EVERY channel sample in the frame has |s| <= `threshold`
+    * (threshold 0 = digital silence). Interior quiet passages are
+    * untouched — this is an endpoint trim, not a gate. Returns the
+    * same rate/channels; an all-silent input trims to zero frames
+    * (a valid, encodable empty PCM). */
+  def trimSilence(pcm: Pcm, threshold: Int): Pcm = {
+    require(threshold >= 0, "threshold must be >= 0")
+    val ch = pcm.channels
+    val frames = pcm.samples.length / ch
+    def loud(f: Int): Boolean = {
+      var c = 0
+      while (c < ch) {
+        if (math.abs(pcm.samples(f * ch + c).toInt) > threshold) return true
+        c += 1
+      }
+      false
+    }
+    var a = 0
+    while (a < frames && !loud(a)) a += 1
+    var b = frames - 1
+    while (b >= a && !loud(b)) b -= 1
+    Pcm(pcm.sampleRate, ch,
+      java.util.Arrays.copyOfRange(pcm.samples, a * ch, (b + 1) * ch))
+  }
+
   /** Exact integer SIGNAL statistics over decoded samples — the
     * audio-quality trio a corpus gate filters on: zero crossings
     * (strict sign transitions, `s < 0` flipping — silence-vs-tone and

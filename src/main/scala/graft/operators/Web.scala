@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -84,5 +84,55 @@ object Web {
       "&")
     concat(scheme, lit("://"), host(url), path(url),
       when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
+  /**
+   * Domain-level boilerplate line removal (the CCNet/RefinedWeb stage
+   * after markup strip: every page of a site repeats its header, nav,
+   * and footer lines — per-line document frequency within the domain
+   * separates template from content where per-document rules cannot):
+   * a line is boilerplate iff it appears in at least `minDf` DISTINCT
+   * documents of the same domain; such lines are removed from every
+   * document, content lines keep their original order.
+   *
+   * Output: input columns + `clean_text` (surviving lines joined by
+   * `\n`), `n_lines`, `n_lines_removed`.
+   *
+   * Scale shape (the [[graft.operators.Dedup.rebuildFromSpanVerdicts]]
+   * posture): the DF count and the verdict join move only
+   * (domain, 64-bit line hash, id, pos) rows — line TEXT never enters
+   * any exchange — and the rebuild is in-row: removed positions come
+   * back as a thin per-doc int array and `clean_text` filters the
+   * original split in place. State is bounded by distinct
+   * (domain, line) pairs, which template repetition makes tiny
+   * relative to the corpus.
+   */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String,
+                           domainCol: String, textCol: String,
+                           minDf: Int): DataFrame = {
+    require(minDf >= 2, "minDf must be >= 2 (1 would remove every line)")
+    val lines = split(col(textCol), "\n")
+    val exploded = docs
+      .select(col(idCol).as("__id"), col(domainCol).as("__dom"), lines.as("__ls"))
+      .select(col("__id"), col("__dom"),
+        posexplode(col("__ls")).as(Seq("__pos", "__l")))
+      .select(col("__id"), col("__dom"), col("__pos"),
+        xxhash64(col("__l")).as("__lh"))
+    val boiler = exploded
+      .groupBy("__dom", "__lh")
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__dom"), col("__lh"))
+    val removedPos = exploded.join(boiler, Seq("__dom", "__lh"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("__pos"))).as("__removed"))
+    docs.join(removedPos, col(idCol) === col("__id"), "left")
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_lines_removed",
+        coalesce(size(col("__removed")), lit(0)).cast("long"))
+      .withColumn("clean_text", array_join(
+        filter(lines, (_, i) => !array_contains(
+          coalesce(col("__removed"), array().cast("array<int>")), i)), "\n"))
+      .drop("__id", "__removed")
   }
 }

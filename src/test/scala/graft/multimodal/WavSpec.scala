@@ -103,6 +103,28 @@ class WavSpec extends SparkTestBase with Matchers {
     peak shouldBe 5
   }
 
+  test("trimSilence: endpoint frames drop, interior silence survives, channels stay aligned") {
+    // mono: zeros at both ends go, the interior zero stays
+    val mono = Wav.trimSilence(Wav.Pcm(8000, 1,
+      Array[Short](0, 0, 5, 0, -3, 0)), threshold = 0)
+    mono.samples shouldBe Array[Short](5, 0, -3)
+    // threshold: |s| <= 2 counts as silence
+    val thr = Wav.trimSilence(Wav.Pcm(8000, 1,
+      Array[Short](1, -2, 5, 2)), threshold = 2)
+    thr.samples shouldBe Array[Short](5)
+    // stereo: a frame is silent only if BOTH channels are; trim cuts
+    // whole frames so channel alignment survives the round-trip
+    val st = Wav.trimSilence(Wav.Pcm(8000, 2,
+      Array[Short](0, 0, 0, 7, 1, 2, 0, 0)), threshold = 0)
+    st.samples shouldBe Array[Short](0, 7, 1, 2)
+    Wav.decode(Wav.encode(st.sampleRate, st.channels, st.samples))
+      .samples shouldBe st.samples
+    // all-silent trims to a valid empty file
+    val empty = Wav.trimSilence(Wav.Pcm(8000, 1, Array[Short](0, 0)), 0)
+    empty.samples.length shouldBe 0
+    Wav.decode(Wav.encode(8000, 1, empty.samples)).samples.length shouldBe 0
+  }
+
   test("signalStats: full-scale samples do not overflow the energy sum") {
     val pcm = Wav.Pcm(8000, 1, Array.fill(1000)(Short.MinValue))
     val (zc, energy, peak) = Wav.signalStats(pcm)

@@ -55,4 +55,25 @@ class WebSpec extends SparkTestBase with Matchers {
     norm("http://h.example.org/x?z=1&a=2") shouldBe norm("http://h.example.org/x?a=2&z=1")
     norm("http://h.example.org/x#only-frag") shouldBe "http://h.example.org/x"
   }
+
+  test("dropBoilerplateLines: per-domain DF >= minDf removes template, keeps content in order") {
+    val ss = spark
+    import ss.implicits._
+    // domain a: HEAD/FOOT in all 3 docs (df=3 => boilerplate at
+    // minDf=3); "shared" in only 2 (df=2 => kept). domain b: same
+    // HEAD line but df=1 there => kept (DF is per domain).
+    val docs = Seq(
+      (1L, "a", "HEAD\nbody one\nshared\nFOOT"),
+      (2L, "a", "HEAD\nbody two\nshared\nFOOT"),
+      (3L, "a", "HEAD\nFOOT\nbody three\nFOOT"), // doubled FOOT: both occurrences go
+      (4L, "b", "HEAD\nother body")).toDF("id", "dom", "text")
+    val out = Web.dropBoilerplateLines(docs, "id", "dom", "text", minDf = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_lines_removed")))).toMap
+    out(1L) shouldBe (("body one\nshared", 4L, 2L))
+    out(2L) shouldBe (("body two\nshared", 4L, 2L))
+    out(3L) shouldBe (("body three", 4L, 3L))
+    out(4L) shouldBe (("HEAD\nother body", 2L, 0L))
+  }
 }
