@@ -30,7 +30,10 @@ object PlanAudit {
     "q105_bpe_train", "q106_bpe_tokenize",
     // q120: youdenThreshold's ONE-row chosen-threshold broadcast (and
     // the 1-row class-totals broadcast feeding its argmax)
-    "q120_youden_gate")
+    "q120_youden_gate",
+    // q123: kmeansCentroids + semanticDedup's one-row centroid-array
+    // broadcasts (q75 shape)
+    "q123_semdedup")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -2490,6 +2490,32 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q123 SemDeDup — semantic deduplication with trained k-means
+    * blocking (Abbas et al. 2023; the embedding-space sibling of q37's
+    * sign-LSH near-dup, with the SAME integer-exact trainer as
+    * q75/q76): the corpus plants a jittered twin per vector
+    * (v + (id%10)·0.015 per dimension under id + 100,000 — jitter
+    * scale varies by id class, so some twins stay semantic duplicates
+    * at cosine ≥ 0.9 and others drift below, exercising both sides of
+    * the cut), trains 2 Lloyd rounds over originals + twins, and
+    * `Dedup.semanticDedup` drops every vector that is a ≥ 0.9-cosine
+    * duplicate of a smaller-id cell-mate. Full per-vector verdicts
+    * (id, cell, kept) — the oracle replays training, assignment,
+    * in-cell pairs, and the exact-cosine residual end to end. */
+  val q123: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("e"),
+        x => x + pmod(col("vec_id"), lit(10L)).cast("double") * 0.015).as("e"))
+    val corpus = emb.unionByName(twins)
+    val trained = Similarity.kmeansCentroids(corpus, "vec_id", "e",
+        centroidStride = 37L, iters = 2, dim = 64)
+      .select(col("__cid"), col("__cv"))
+    Dedup.semanticDedup(corpus, "vec_id", "e", trained, threshold = 0.9)
+      .orderBy("vec_id")
+  }
+
   /** Q113 n-gram novelty profile (the stale-feed scan dedup rules
     * don't catch): per doc, the ppm of its distinct 3-grams NOT
     * already emitted by an earlier doc (corpus order = doc_id, the
@@ -2660,6 +2686,7 @@ object Queries {
     "q120_youden_gate" -> q120,
     "q121_boilerplate" -> q121,
     "q122_silence_trim" -> q122,
+    "q123_semdedup" -> q123,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -4098,6 +4125,40 @@ object Queries {
         "CAST(SUM(energy) AS BIGINT) AS total_energy, " +
         "CAST(MAX(peak) AS INT) AS max_peak " +
         "FROM per GROUP BY lang ORDER BY lang"),
+    "q123_semdedup" ->
+      // q76's two training rounds over originals + jittered twins,
+      // then in-cell pairs and the exact-cosine residual; kept iff no
+      // >= 0.9 duplicate with a smaller id shares the cell
+      ("WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "eu AS (SELECT vec_id, v FROM e0 " +
+        "UNION ALL SELECT vec_id + 100000, list_transform(v, x -> x + (vec_id % 10) * 0.015) FROM e0), " +
+        "e AS (SELECT vec_id, v, list_transform(v, x -> round(x * 1024)) AS q FROM eu), " +
+        "c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), " +
+        "p AS (SELECT unnest(range(1, 65)) AS i), " +
+        "a1 AS (SELECT e.vec_id, e.q, c0.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn FROM e, c0), " +
+        "m1 AS (SELECT vec_id, q, cid FROM a1 WHERE rn = 1), " +
+        "s1 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu FROM m1, p GROUP BY cid, i), " +
+        "n1 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s1 GROUP BY cid), " +
+        "c1 AS (SELECT c0.cid, COALESCE(n1.cv, c0.cv) AS cv FROM c0 LEFT JOIN n1 USING (cid)), " +
+        "a2 AS (SELECT e.vec_id, e.q, c1.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c1.cv) + list_dot_product(c1.cv, c1.cv), c1.cid) AS rn FROM e, c1), " +
+        "m2 AS (SELECT vec_id, q, cid FROM a2 WHERE rn = 1), " +
+        "s2 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu FROM m2, p GROUP BY cid, i), " +
+        "n2 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s2 GROUP BY cid), " +
+        "c2 AS (SELECT c1.cid, COALESCE(n2.cv, c1.cv) AS cv FROM c1 LEFT JOIN n2 USING (cid)), " +
+        "dist AS (SELECT e.vec_id, c2.cid, " +
+        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c2.cv) + list_dot_product(c2.cv, c2.cv) AS d2 FROM e, c2), " +
+        "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist) t WHERE rn = 1), " +
+        "pr AS (SELECT a.vec_id AS d1, b.vec_id AS d2 FROM asg a JOIN asg b " +
+        "ON a.cid = b.cid AND a.vec_id < b.vec_id), " +
+        "dropped AS (SELECT DISTINCT pr.d2 FROM pr " +
+        "JOIN e ea ON ea.vec_id = pr.d1 JOIN e eb ON eb.vec_id = pr.d2 " +
+        "WHERE list_dot_product(ea.v, eb.v) / " +
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.9) " +
+        "SELECT asg.vec_id, asg.cid AS cell, (d.d2 IS NULL) AS kept " +
+        "FROM asg LEFT JOIN dropped d ON asg.vec_id = d.d2 ORDER BY vec_id"),
     "q104_profile_segments" ->
       // q103's dense-profile CTEs feeding q75's two Lloyd rounds
       // verbatim (dim 24, stride 37 on user_id); quantization is a

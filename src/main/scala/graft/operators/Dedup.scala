@@ -563,6 +563,59 @@ object Dedup {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+   * deduplication with trained k-means cells as the blocking stage —
+   * each vector assigns to its nearest centroid (the same in-scan
+   * argmin fold as `Similarity.ivfTopKWith`: one broadcast centroid
+   * row, the corpus never shuffles for assignment), candidate pairs
+   * form ONLY within a cell, and the exact-cosine residual keeps
+   * pairs at `threshold` or above. A vector is dropped when it is
+   * semantically duplicate of ANY smaller-id cell-mate — the dedup
+   * family's first-occurrence policy (the paper keeps the member
+   * farthest from the centroid; min-id is deterministic and
+   * replayable, which is what the gates need). Cross-cell near-dups
+   * are missed BY CONSTRUCTION — that is SemDeDup's documented
+   * approximation, traded for never forming all-pairs.
+   *
+   * Output: one verdict row per input vector — (`idCol`, `cell`,
+   * `kept`).
+   *
+   * Scale shape: assignment is scan-local against the broadcast
+   * centroids; the pair join shuffles (cell, id) rows — 16 B each —
+   * and only surviving candidate pairs rejoin the vectors (once per
+   * pair, norms precomputed per id). Cell sizes bound the quadratic
+   * term: pairs ≈ Σ|cell|², controlled by the centroid count exactly
+   * as in the paper.
+   */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double): DataFrame = {
+    import Similarity.{dot, quantize}
+    val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+    val centArr = centroids
+      .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
+    val far = struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cid"))
+    val best = aggregate(col("__cents"), far, (acc, c) => {
+      val cv = c.getField("__cv")
+      val d2 = dot(col("__q"), col("__q")) -
+        lit(2.0) * dot(col("__q"), cv) + dot(cv, cv)
+      val cand = struct(d2.as("d2"), c.getField("__cid").as("cid"))
+      when(cand < acc, cand).otherwise(acc)
+    })
+    val asg = q.crossJoin(broadcast(centArr))
+      .select(col("__id"), best.getField("cid").as("__cell"))
+    val pairs = asg.alias("a")
+      .join(asg.alias("b"),
+        col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
+    val dropped = exactCosineResidual(pairs, emb, idCol, vecCol, threshold)
+      .select(col("d2").as("__id")).distinct()
+      .withColumn("__dup", lit(true))
+    asg.join(dropped, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__cell").as("cell"),
+        coalesce(col("__dup").unary_!, lit(true)).as("kept"))
+  }
+
+  /**
    * Exact-cosine residual over a candidate pair set: the vectors
    * rejoin AFTER pair dedup so each surviving pair pays exactly one
    * (interpreted — higher-order fns don't codegen) dot product, with

@@ -525,4 +525,26 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     got(0) shouldBe ((7L, v7.toSeq))
     got(1) shouldBe ((8L, v8.toSeq))
   }
+
+  test("semanticDedup: in-cell duplicates drop to the min id; cross-cell twins survive") {
+    val ss = spark
+    import ss.implicits._
+    // two well-separated directions => two cells under centroids at
+    // ids 0 and 10; ids 0,1 duplicate each other (cos = 1), id 2 is
+    // orthogonal-ish in the same cell, ids 10,11 duplicate in cell 2
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(2.0, 0.0, 0.0, 0.0)),   // same direction as 0 => dropped
+      (2L, Seq(1.0, 1.2, 0.0, 0.0)),   // same cell as 0/1, cos ~0.64 => kept
+      (10L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (11L, Seq(0.0, 0.0, 3.0, 0.0))   // same direction as 10 => dropped
+    ).toDF("vec_id", "e")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "e",
+        centroidStride = 10L, iters = 1, dim = 4)
+      .select(col("__cid"), col("__cv"))
+    val out = Dedup.semanticDedup(emb, "vec_id", "e", cents, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    out shouldBe Map(0L -> true, 1L -> false, 2L -> true,
+      10L -> true, 11L -> false)
+  }
 }
