@@ -2516,6 +2516,66 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Q124's corpus: a MIXED media lake — even doc_ids render as BMP
+    * (q108's rasterization), odd as WAV (q110's samples), every 13th
+    * ships RAW TEXT BYTES under a media claim (the corrupt-blob
+    * class), and every 7th doc's `media_type` CLAIM is swapped to the
+    * wrong container (crawl label noise). */
+  private def mixedMediaAssets(d: DataFrame):
+      org.apache.spark.sql.Dataset[graft.multimodal.Asset] = {
+    import graft.multimodal.{Asset, Bmp, Wav}
+    val enc = org.apache.spark.sql.Encoders.product[Asset]
+    val parityType = when(pmod(col("doc_id"), lit(2L)) === 0L,
+      lit("image/bmp")).otherwise(lit("audio/wav"))
+    val swapped = when(pmod(col("doc_id"), lit(2L)) === 0L,
+      lit("audio/wav")).otherwise(lit("image/bmp"))
+    d.select(col("doc_id").as("asset_id"),
+        when(pmod(col("doc_id"), lit(7L)) === 0L, swapped)
+          .otherwise(parityType).as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("width"),
+        (lit(5) + pmod(col("doc_id"), lit(7))).cast("int").as("height"))
+      .as[Asset](enc)
+      .mapPartitions { it =>
+        it.map { a =>
+          if (a.asset_id % 13 == 0) a // raw text bytes: the corrupt blob
+          else if (a.asset_id % 2 == 0) {
+            val n = a.width * a.height
+            val gray = Array.tabulate(n)(i =>
+              if (i < a.bytes.length) a.bytes(i) else 32.toByte)
+            a.copy(bytes = Bmp.encodeGray(a.width, a.height, gray))
+          } else {
+            val samples = Array.tabulate(120) { i =>
+              val b = if (i < a.bytes.length) a.bytes(i) & 0xff else 32
+              (b * 257 - 32768).toShort
+            }
+            a.copy(bytes =
+              Wav.encode(8000 + (a.asset_id % 5).toInt * 1000, 1, samples))
+          }
+        }
+      }(enc)
+  }
+
+  /** Q124 mixed-corpus decode dispatch (the hygiene pass before any
+    * decode fan-out on a real media lake): container type comes from
+    * MAGIC BYTES (`Multimodal.sniffMediaType` — scan-local, no UDF),
+    * assets route to the matching REAL decoder, corrupt blobs
+    * classify as octet-stream instead of throwing, and the
+    * claimed×sniffed matrix with per-class decoded checksums (exact
+    * luma sum / exact energy) is the report. The oracle replays the
+    * routing arithmetic and BOTH decoders' stats from raw text —
+    * matching only if sniffing, routing, and each decode are all
+    * bit-exact. */
+  val q124: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    Multimodal.dispatchDecode(mixedMediaAssets(Tables.documents(s, dir)))
+      .groupBy("claimed", "sniffed")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_units")).as("sum_units"),
+        sum(col("checksum")).as("sum_checksum"))
+      .orderBy("claimed", "sniffed")
+  }
+
   /** Q113 n-gram novelty profile (the stale-feed scan dedup rules
     * don't catch): per doc, the ppm of its distinct 3-grams NOT
     * already emitted by an earlier doc (corpus order = doc_id, the
@@ -2687,6 +2747,7 @@ object Queries {
     "q121_boilerplate" -> q121,
     "q122_silence_trim" -> q122,
     "q123_semdedup" -> q123,
+    "q124_media_dispatch" -> q124,
   )
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
@@ -4159,6 +4220,34 @@ object Queries {
         "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.9) " +
         "SELECT asg.vec_id, asg.cid AS cell, (d.d2 IS NULL) AS kept " +
         "FROM asg LEFT JOIN dropped d ON asg.vec_id = d.d2 ORDER BY vec_id"),
+    "q124_media_dispatch" ->
+      // replay the routing (magic == construction parity, %13 raw,
+      // %7 claim swap) and both decoders' stats: BMP checksum = the
+      // q108 luma-sum arithmetic, WAV checksum = the q119 energy
+      ("WITH dm AS (SELECT doc_id, text, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h FROM documents), " +
+        "cls AS (SELECT doc_id, text, w, h, " +
+        "CASE WHEN doc_id % 13 = 0 THEN 'application/octet-stream' " +
+        "WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS sniffed, " +
+        "CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 7 = 0 THEN 'audio/wav' ELSE 'image/bmp' END) " +
+        "ELSE (CASE WHEN doc_id % 7 = 0 THEN 'image/bmp' ELSE 'audio/wav' END) END AS claimed FROM dm), " +
+        "ch AS (SELECT doc_id, unnest(str_split(substr(text, 1, CAST(w * h AS INT)), '')) AS c " +
+        "FROM cls WHERE sniffed = 'image/bmp'), " +
+        "bmp AS (SELECT doc_id, CAST(SUM(ord(c)) AS BIGINT) AS sgray, COUNT(*) AS m FROM ch GROUP BY doc_id), " +
+        "bmpu AS (SELECT cls.doc_id, CAST(cls.w * cls.h AS BIGINT) AS units, " +
+        "COALESCE(b.sgray, 0) + 32 * (cls.w * cls.h - COALESCE(b.m, 0)) AS checksum " +
+        "FROM cls LEFT JOIN bmp b USING (doc_id) WHERE cls.sniffed = 'image/bmp'), " +
+        "sam AS (SELECT doc_id, (CASE WHEN i < length(text) " +
+        "THEN unicode(substr(text, CAST(i + 1 AS INT), 1)) ELSE 32 END) * 257 - 32768 AS s " +
+        "FROM cls CROSS JOIN (SELECT unnest(range(0, 120)) AS i) ii WHERE sniffed = 'audio/wav'), " +
+        "wav AS (SELECT doc_id, CAST(120 AS BIGINT) AS units, " +
+        "CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS checksum FROM sam GROUP BY doc_id), " +
+        "oth AS (SELECT doc_id, CAST(0 AS BIGINT) AS units, CAST(0 AS BIGINT) AS checksum " +
+        "FROM cls WHERE sniffed = 'application/octet-stream'), " +
+        "u AS (SELECT * FROM bmpu UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM oth) " +
+        "SELECT cls.claimed, cls.sniffed, COUNT(*) AS n, " +
+        "CAST(SUM(u.units) AS BIGINT) AS sum_units, " +
+        "CAST(SUM(u.checksum) AS BIGINT) AS sum_checksum " +
+        "FROM cls JOIN u USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2"),
     "q104_profile_segments" ->
       // q103's dense-profile CTEs feeding q75's two Lloyd rounds
       // verbatim (dim 24, stride 37 on user_id); quantization is a

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** An opaque media asset: binary payload + typed metadata. The schema a
@@ -229,6 +229,56 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /**
+   * Media-type sniffing as a pure Catalyst program (no UDF): the
+   * container format comes from the FILE'S MAGIC BYTES, never from
+   * the metadata column — crawled corpora routinely mislabel
+   * content-types, and routing a WAV into a BMP decoder must be a
+   * classified mismatch, not an executor exception. Recognizes the
+   * two container formats the decode seam implements (`BM`;
+   * `RIFF..WAVE`) and classifies everything else as octet-stream.
+   * Scan-local and codegen'd: sniffing 100 TB costs one projection.
+   */
+  def sniffMediaType(bytes: Column): Column =
+    when(substring(bytes, 1, 2) === lit("BM".getBytes), lit("image/bmp"))
+      .when(substring(bytes, 1, 4) === lit("RIFF".getBytes) &&
+        substring(bytes, 9, 4) === lit("WAVE".getBytes), lit("audio/wav"))
+      .otherwise(lit("application/octet-stream"))
+
+  /**
+   * Mixed-corpus decode dispatch: sniff every asset's container from
+   * its magic bytes, route image assets through the BMP decoder and
+   * audio assets through the WAV signal decoder, and return one thin
+   * summary row per asset — (`asset_id`, `claimed` media_type,
+   * `sniffed`, `n_units` = pixels or samples, `checksum` = exact
+   * integer luma-sum or energy). Assets whose bytes match neither
+   * container pass through as sniffed octet-stream with zero units —
+   * classified, never thrown. The claimed-vs-sniffed pair is the
+   * corpus-hygiene report (mislabel rate per source) every multimodal
+   * lake needs before decode jobs fan out.
+   */
+  def dispatchDecode(assets: Dataset[Asset]): DataFrame = {
+    val s = assets.sparkSession
+    import s.implicits._
+    val sniffed = assets.toDF()
+      .withColumn("__sniffed", sniffMediaType(col("bytes")))
+    val enc = org.apache.spark.sql.Encoders.product[Asset]
+    def typed(df: DataFrame) = df
+      .select(col("asset_id"), col("media_type"), col("bytes"),
+        col("width"), col("height")).as[Asset](enc)
+    val img = decodeBmpFeatures(typed(sniffed.filter(col("__sniffed") === "image/bmp")))
+      .select(col("asset_id"), col("n_pixels").as("n_units"),
+        col("sum_luma").as("checksum"))
+    val aud = decodeWavSignal(typed(sniffed.filter(col("__sniffed") === "audio/wav")))
+      .select(col("asset_id"), col("n_samples").as("n_units"),
+        col("energy").as("checksum"))
+    val other = sniffed.filter(col("__sniffed") === "application/octet-stream")
+      .select(col("asset_id"), lit(0L).as("n_units"), lit(0L).as("checksum"))
+    sniffed.select(col("asset_id"), col("media_type").as("claimed"),
+        col("__sniffed").as("sniffed"))
+      .join(img.unionByName(aud).unionByName(other), "asset_id")
   }
 
   /**

@@ -90,4 +90,28 @@ class MultimodalSpec extends SparkTestBase with Matchers {
     joined.count() shouldBe 10
     joined.filter(col("n_bytes") <= 0).count() shouldBe 0
   }
+
+  test("dispatchDecode: magic bytes route decoders; claims are reported, corrupt blobs classify") {
+    val ss = spark
+    import ss.implicits._
+    val bmp = Bmp.encodeGray(4, 3, Array.tabulate(12)(i => (i * 10).toByte))
+    val wav = Wav.encode(8000, 1, Array[Short](5, -5, 7))
+    val junk = "not a media file at all".getBytes
+    val assets = Seq(
+      Asset(1L, "image/bmp", bmp, 0, 0),     // claim right
+      Asset(2L, "image/bmp", wav, 0, 0),     // claim WRONG: actually WAV
+      Asset(3L, "audio/wav", junk, 0, 0)     // corrupt blob under a claim
+    ).toDS()
+    val out = Multimodal.dispatchDecode(assets)
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[String]("claimed"), r.getAs[String]("sniffed"),
+          r.getAs[Long]("n_units"), r.getAs[Long]("checksum")))).toMap
+    // id 1: decoded as image, 12 pixels, luma sum = sum of grays
+    out(1L) shouldBe (("image/bmp", "image/bmp", 12L,
+      (0 until 12).map(_ * 10).sum.toLong))
+    // id 2: routed by MAGIC to the wav decoder despite the claim
+    out(2L) shouldBe (("image/bmp", "audio/wav", 3L, (25 + 25 + 49).toLong))
+    // id 3: classified, not thrown
+    out(3L) shouldBe (("audio/wav", "application/octet-stream", 0L, 0L))
+  }
 }
