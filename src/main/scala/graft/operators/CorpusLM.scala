@@ -108,7 +108,8 @@ object CorpusLM {
     * vocabulary travel separately (vocab membership is not derivable
     * from bigrams — a one-token document contributes to V only). */
   def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(bigrams(toks(col(textCol)))).as("__bg"))
+    docs.select(toks(col(textCol)).as("__ws")) // materialized: perf contract
+      .select(explode(bigrams(col("__ws"))).as("__bg"))
       .groupBy("__bg").agg(count(lit(1)).as("__c2"))
 
   /** Distinct corpus tokens `(__t)` — the V side of the LM. */
@@ -148,9 +149,10 @@ object CorpusLM {
         .as("__c1m"))
     val vRow = vocab.agg(count(lit(1)).as("__v"))
 
-    val bg = bigrams(toks(col(textCol)))
     val zero = lit(BigDecimal(0)).cast("decimal(20,6)")
-    val terms = transform(bg, b => {
+    // token and bigram arrays materialize before the lambdas read them
+    // (the wordShinglesOf perf contract)
+    val terms = transform(col("__bg"), b => {
       val c2v = coalesce(element_at(col("__c2m"), b), lit(0L))
       val c1v = coalesce(
         element_at(col("__c1m"), element_at(split(b, " "), 1)), lit(0L))
@@ -161,8 +163,10 @@ object CorpusLM {
       .crossJoin(broadcast(c2m))
       .crossJoin(broadcast(c1m))
       .crossJoin(broadcast(vRow))
+      .withColumn("__ws", toks(col(textCol)))
+      .withColumn("__bg", bigrams(col("__ws")))
       .select(out.map(col) :+
-        size(bg).cast("long").as("n_bigrams") :+
+        size(col("__bg")).cast("long").as("n_bigrams") :+
         aggregate(terms, zero, (a, x) => (a + x).cast("decimal(20,6)"))
           .as("nll"): _*)
       .filter(col("n_bigrams") > 0) // match bigramNll: bigram-less docs drop

@@ -33,9 +33,16 @@ object TextMetrics {
     * distinct-per-doc); same normalization (lower/trim, single-space
     * split) so the two compose. Texts with fewer than n tokens yield
     * an empty array. */
-  def allWordShingles(text: Column, n: Int): Column = {
+  def allWordShingles(text: Column, n: Int): Column =
+    allWordShinglesOf(split(lower(trim(text)), " "), n)
+
+  /** [[allWordShingles]] over an ALREADY-SPLIT token array column.
+    * PERFORMANCE CONTRACT (the `Dedup.wordShinglesOf` one): pass a
+    * projected attribute, not an expression — HOF lambdas re-evaluate
+    * non-attribute operands per element, turning shingling into
+    * O(words²) re-splits (measured 16× per-core on q113). */
+  def allWordShinglesOf(w: Column, n: Int): Column = {
     require(n >= 1, "shingle width must be >= 1")
-    val w = split(lower(trim(text)), " ")
     val windows = transform(
       sequence(lit(0), size(w) - n),
       i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
@@ -65,10 +72,13 @@ object TextMetrics {
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, keep: Seq[String] = Nil): DataFrame = {
     val out = (idCol +: keep).distinct
-    // fan out single-split inputs: shingling cost dwarfs one exchange
+    // fan out single-split inputs: shingling cost dwarfs one exchange;
+    // materialize the split first (the wordShinglesOf perf contract)
     graft.core.Tables.fanOut(docs)
       .select((out.map(col) :+
-        explode(allWordShingles(col(textCol), n)).as("__gram")): _*)
+        split(lower(trim(col(textCol))), " ").as("__ws")): _*)
+      .select((out.map(col) :+
+        explode(allWordShinglesOf(col("__ws"), n)).as("__gram")): _*)
       .groupBy((out.map(col) :+ col("__gram")): _*)
       .agg(count(lit(1)).as("__cnt"))
       .groupBy(out.map(col): _*)
@@ -99,12 +109,15 @@ object TextMetrics {
   def repetitionStatsInRow(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, keep: Seq[String] = Nil): DataFrame = {
     val out = (idCol +: keep).distinct
-    val stats = graft.functions.GramRunStats(allWordShingles(col(textCol), n))
+    val stats = graft.functions.GramRunStats(allWordShinglesOf(col("__ws"), n))
     // the short-doc filter tests token count directly (cheap split)
-    // instead of the computed gram_total, so FilterExec never evaluates
-    // the stats expression — one evaluation per row, in the project
+    // instead of the computed stats, so FilterExec never evaluates
+    // the stats expression — one evaluation per row, in the project;
+    // the split materializes first (the wordShinglesOf perf contract)
     graft.core.Tables.fanOut(docs) // shingling cost dwarfs one exchange
-      .filter(size(split(lower(trim(col(textCol))), " ")) >= n)
+      .select((out.map(col) :+
+        split(lower(trim(col(textCol))), " ").as("__ws")): _*)
+      .filter(size(col("__ws")) >= n)
       .select((out.map(col) :+ stats.as("__stats")): _*)
       .select((out.map(col) :+
         col("__stats.gram_total").as("gram_total") :+
@@ -151,13 +164,17 @@ object TextMetrics {
                           keep: Seq[String] = Nil): DataFrame = {
     val out = (idCol +: keep).distinct
     val gram = "__gram"
-    // fan out single-split inputs: shingling cost dwarfs one exchange
+    // fan out single-split inputs: shingling cost dwarfs one exchange;
+    // splits materialize first (the wordShinglesOf perf contract)
     val evalGrams = graft.core.Tables.fanOut(evalDocs)
-      .select(explode(Dedup.wordShingles(col(evalTextCol), n)).as(gram))
+      .select(split(Dedup.normText(col(evalTextCol)), " ").as("__ws"))
+      .select(explode(Dedup.wordShinglesOf(col("__ws"), n)).as(gram))
       .distinct()
     graft.core.Tables.fanOut(train)
       .select((out.map(col) :+
-        explode(Dedup.wordShingles(col(textCol), n)).as(gram)): _*)
+        split(Dedup.normText(col(textCol)), " ").as("__ws")): _*)
+      .select((out.map(col) :+
+        explode(Dedup.wordShinglesOf(col("__ws"), n)).as(gram)): _*)
       .join(broadcast(evalGrams), gram)
       .select(out.map(col): _*)
       .distinct()
@@ -185,7 +202,9 @@ object TextMetrics {
     val out = (idCol +: keep).distinct
     val grams = graft.core.Tables.fanOut(docs)
       .select((out.map(col) :+
-        explode(allWordShingles(col(textCol), n)).as("__gram")): _*)
+        split(lower(trim(col(textCol))), " ").as("__ws")): _*)
+      .select((out.map(col) :+
+        explode(allWordShinglesOf(col("__ws"), n)).as("__gram")): _*)
     val counts = grams.groupBy(col("__gram"))
       .agg(count(lit(1)).as("__cf"))
     grams.join(counts, "__gram")
@@ -212,12 +231,16 @@ object TextMetrics {
     val cmap = counts
       .agg(map_from_entries(collect_list(struct(col("__gram"), col("__cf"))))
         .as("__cfm"))
-    val grams = allWordShingles(col(textCol), n)
-    val freqs = transform(grams,
+    // two materialization steps (the wordShinglesOf perf contract):
+    // the split feeds the shingle lambda, the gram array feeds the
+    // freq lambda — each must be an attribute where a lambda reads it
+    val freqs = transform(col("__gs"),
       g => coalesce(element_at(col("__cfm"), g), lit(0L)))
     docs.crossJoin(broadcast(cmap))
+      .withColumn("__ws", split(lower(trim(col(textCol))), " "))
+      .withColumn("__gs", allWordShinglesOf(col("__ws"), n))
       .select((out.map(col) :+
-        size(grams).cast("long").as("n_grams") :+
+        size(col("__gs")).cast("long").as("n_grams") :+
         aggregate(freqs, lit(0L), _ + _).as("freq_sum") :+
         array_min(freqs).as("freq_min")): _*)
       .filter(col("n_grams") > 0) // match corpusFreqStats: short docs drop
@@ -316,14 +339,23 @@ object TextMetrics {
                    n: Int, keep: Seq[String] = Nil): DataFrame = {
     require(n >= 1, "n must be >= 1")
     val out = (idCol +: keep).distinct
-    val grams = Dedup.wordShingles(col(textCol), n)
-    val occ = docs.select((out.map(col) :+ explode(grams).as("__g")): _*)
+    // materialize the split before the shingle lambda reads it (the
+    // wordShinglesOf perf contract — this exact query measured the
+    // 16× per-core cost of the inline form)
+    val occ = docs
+      .select((out.map(col) :+
+        split(Dedup.normText(col(textCol)), " ").as("__ws")): _*)
+      .select((out.map(col) :+
+        explode(Dedup.wordShinglesOf(col("__ws"), n)).as("__g")): _*)
       .select((out.map(col) :+
         xxhash64(col("__g")).as("__h1") :+
         xxhash64(lit(0x9e3779b9L), col("__g")).as("__h2")): _*)
-    val firstDoc = occ.groupBy("__h1", "__h2")
-      .agg(min(col(idCol)).as("__first"))
-    occ.join(firstDoc, Seq("__h1", "__h2"))
+    // first-occurrence as a window min over the gram-hash partition:
+    // one shuffle of the thin (id, 128-bit hash) stream and ONE scan
+    // of the corpus — the agg-then-self-join form paid the explode
+    // twice plus a second join shuffle for the same answer
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__h1", "__h2")
+    occ.withColumn("__first", min(col(idCol)).over(w))
       .groupBy(out.map(col): _*)
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__first") < col(idCol), 1L).otherwise(0L)).as("n_repeated"))

@@ -193,14 +193,17 @@ object StreamingOps {
     val spark = stream.sparkSession
     import spark.implicits._
     val cw = chunkWords
-    val words = split(Dedup.normText(col(textCol)), " ")
-    val nChunks = ceil(size(words).cast("double") / cw).cast("long")
+    // split materialized before the chunk lambda reads it (the
+    // wordShinglesOf perf contract)
+    val nChunks = ceil(size(col("__ws")).cast("double") / cw).cast("long")
     val rows = stream
       .withColumn("__evt", col(tsCol).cast("timestamp"))
       .withWatermark("__evt", watermarkDelay)
       .select(col(idCol).cast("long").as("doc"), col("__evt").as("evt"),
+        split(Dedup.normText(col(textCol)), " ").as("__ws"))
+      .select(col("doc"), col("evt"),
         posexplode(transform(sequence(lit(0L), nChunks - 1),
-          i => Dedup.chunkHashStruct(words, i, cw))).as(Seq("idx", "__h")))
+          i => Dedup.chunkHashStruct(col("__ws"), i, cw))).as(Seq("idx", "__h")))
       .join(historyFps.select(col("fp_h1"), col("fp_h2"),
           lit(true).as("__hist")),
         col("__h.h1") === col("fp_h1") && col("__h.h2") === col("fp_h2"),
@@ -384,14 +387,16 @@ object StreamingOps {
       col("__esh"),
       explode(array(eBandCols: _*)).as("__ebk"))
 
-    // stream side: shingle hashes, signature and band keys in-row
-    val toksC = split(Dedup.normText(col(textCol)), " ")
+    // stream side: shingle hashes, signature and band keys in-row;
+    // the split materializes before the shingle lambda reads it (the
+    // wordShinglesOf perf contract)
+    val toksM = col("__toks")
     val shArr = array_distinct(transform(
-      when(size(toksC) >= shingleWidth,
-        sequence(lit(0), size(toksC) - shingleWidth))
+      when(size(toksM) >= shingleWidth,
+        sequence(lit(0), size(toksM) - shingleWidth))
         .otherwise(array().cast("array<int>")),
       i => xxhash64((0 until shingleWidth).map(w =>
-        element_at(toksC, i + w + 1)): _*)))
+        element_at(toksM, i + w + 1)): _*)))
     val sigExprs = (0 until k).map(j =>
       array_min(transform(col("__ssh"), h => xxhash64(lit(j.toLong), h))))
     val sBandCols = (0 until bands).map { i =>
@@ -400,7 +405,9 @@ object StreamingOps {
           element_at(col("__ssig"), i * rowsPerBand + r + 1).as(s"h$r")): _*).as("sig"))
     }
     val sBands = stream
-      .select(col(idCol).as("__sid"), shArr.as("__ssh"))
+      .select(col(idCol).as("__sid"),
+        split(Dedup.normText(col(textCol)), " ").as("__toks"))
+      .select(col("__sid"), shArr.as("__ssh"))
       .filter(size(col("__ssh")) > 0)
       .withColumn("__ssig", array(sigExprs: _*))
       .select(col("__sid"), col("__ssh"), col("__ssig"),
