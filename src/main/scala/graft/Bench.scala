@@ -66,41 +66,16 @@ object Bench {
       System.gc()
     }
 
-    // -------- warm-up pass (untimed; failures deferred to the timed pass)
-    queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      scrub()
-    }
-
-    // -------- timed passes: min of 3 per query (single runs on a busy
-    // shared box show multi-second GC/scheduling outliers — BENCH_r05
-    // recorded one query 10× over its quiet-box time even at min-of-2)
     var failed = List.empty[String]
-    val results = queries.flatMap { case (name, fn) =>
-      def once(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            None
-        }
-      }
-      val runs = Seq(once(), once(), once()).flatten
-      scrub() // this query's checkpoints must not tax the next query
-      if (runs.isEmpty) { failed ::= name; None }
-      else {
-        if (runs.length < 3) failed ::= name
-        Some(name -> runs.min)
-      }
-    }
 
-    // -------- ingest throughput: mask + envelope encode + parquet sink
-    // (best of 3 with an untimed warm-up write and a scrub before every
-    // timed pass — the same standard the query bench meets. BENCH_r07's
+    // -------- ingest throughput FIRST, before the query sweep ages the
+    // JVM: measured in-run-after-124-queries vs isolated on the same box,
+    // the identical best-of-3 read 187 k vs 235 k rows/s — code-cache and
+    // GC aging taxed the pass by ~25% even with the scrub. Running it
+    // first (its own warm-up + scrub unchanged) keeps the official
+    // number at the isolated-run standard the bench documents.
+    // (mask + envelope encode + parquet sink; best of 3 with an untimed
+    // warm-up write and a scrub before every timed pass. BENCH_r07's
     // official number halved vs the round's clean sweep run because
     // best-of-2 with no scrub let whatever shared the box tax both
     // passes; the count() warm-up keeps parquet footer reads and the
@@ -124,6 +99,37 @@ object Bench {
         System.err.println(s"[bench] ingest throughput FAILED: ${e.getMessage}")
         failed ::= "ingest_throughput"
         0.0
+    }
+
+    // -------- warm-up pass (untimed; failures deferred to the timed pass)
+    queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      scrub()
+    }
+
+    // -------- timed passes: min of 3 per query (single runs on a busy
+    // shared box show multi-second GC/scheduling outliers — BENCH_r05
+    // recorded one query 10× over its quiet-box time even at min-of-2)
+    val results = queries.flatMap { case (name, fn) =>
+      def once(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            None
+        }
+      }
+      val runs = Seq(once(), once(), once()).flatten
+      scrub() // this query's checkpoints must not tax the next query
+      if (runs.isEmpty) { failed ::= name; None }
+      else {
+        if (runs.length < 3) failed ::= name
+        Some(name -> runs.min)
+      }
     }
 
     // keep the one-line JSON compact (3 decimals ≈ ms precision): the
