@@ -110,19 +110,9 @@ object Web {
   def dropBoilerplateLines(docs: DataFrame, idCol: String,
                            domainCol: String, textCol: String,
                            minDf: Int): DataFrame = {
-    require(minDf >= 2, "minDf must be >= 2 (1 would remove every line)")
     val lines = split(col(textCol), "\n")
-    val exploded = docs
-      .select(col(idCol).as("__id"), col(domainCol).as("__dom"), lines.as("__ls"))
-      .select(col("__id"), col("__dom"),
-        posexplode(col("__ls")).as(Seq("__pos", "__l")))
-      .select(col("__id"), col("__dom"), col("__pos"),
-        xxhash64(col("__l")).as("__lh"))
-    val boiler = exploded
-      .groupBy("__dom", "__lh")
-      .agg(countDistinct(col("__id")).as("__df"))
-      .filter(col("__df") >= minDf)
-      .select(col("__dom"), col("__lh"))
+    val exploded = lineHashRows(docs, idCol, domainCol, textCol)
+    val boiler = templateFilter(exploded, minDf)
     val removedPos = exploded.join(boiler, Seq("__dom", "__lh"))
       .groupBy("__id")
       .agg(sort_array(collect_list(col("__pos"))).as("__removed"))
@@ -134,5 +124,75 @@ object Web {
         filter(lines, (_, i) => !array_contains(
           coalesce(col("__removed"), array().cast("array<int>")), i)), "\n"))
       .drop("__id", "__removed")
+  }
+
+  /** One row per line occurrence: (`__id`, `__dom`, `__pos`, `__lh` =
+    * 64-bit line hash). Line text never leaves the scan projection. */
+  private def lineHashRows(docs: DataFrame, idCol: String,
+                           domainCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("__id"), col(domainCol).as("__dom"),
+        split(col(textCol), "\n").as("__ls"))
+      .select(col("__id"), col("__dom"),
+        posexplode(col("__ls")).as(Seq("__pos", "__l")))
+      .select(col("__id"), col("__dom"), col("__pos"),
+        xxhash64(col("__l")).as("__lh"))
+
+  private def templateFilter(exploded: DataFrame, minDf: Int): DataFrame = {
+    require(minDf >= 2, "minDf must be >= 2 (1 would remove every line)")
+    exploded
+      .groupBy("__dom", "__lh")
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__dom"), col("__lh"))
+  }
+
+  /**
+   * Per-domain template table: the (domain, 64-bit line hash) pairs
+   * whose per-line distinct-document frequency within the domain
+   * reaches `minDf` — the persisted artifact incremental boilerplate
+   * removal consults (the `Dedup.fingerprints` analogue for the Web
+   * family). 16 B per template line; re-learn on yesterday's corpus,
+   * apply to today's crawl with [[dropKnownBoilerplate]].
+   * Output columns: (`domain`, `line_h`).
+   */
+  def boilerplateTemplates(docs: DataFrame, idCol: String,
+                           domainCol: String, textCol: String,
+                           minDf: Int): DataFrame =
+    templateFilter(lineHashRows(docs, idCol, domainCol, textCol), minDf)
+      .select(col("__dom").as("domain"), col("__lh").as("line_h"))
+
+  /**
+   * Remove KNOWN template lines — a precomputed [[boilerplateTemplates]]
+   * table — from documents. Stateless per row once the domain's
+   * template list joins in, so it runs UNCHANGED on an unbounded
+   * stream (stream-static broadcast join on the domain + in-row line
+   * filter — the `corpusFreqStatsAgainst` pattern): where
+   * [[dropBoilerplateLines]] must see the whole corpus to COUNT,
+   * this applies yesterday's learned templates to today's pages as
+   * they arrive. Applied to the SAME corpus the templates were
+   * learned from, the two produce identical output (the spec pins
+   * it, batch and streaming).
+   *
+   * Output contract matches [[dropBoilerplateLines]]: input columns +
+   * `clean_text`, `n_lines`, `n_lines_removed`.
+   */
+  def dropKnownBoilerplate(docs: DataFrame, domainCol: String,
+                           textCol: String, templates: DataFrame): DataFrame = {
+    val tmap = templates.groupBy(col("domain").as("__tdom"))
+      .agg(sort_array(collect_list(col("line_h"))).as("__tl"))
+    val tl = coalesce(col("__tl"), array().cast("array<bigint>"))
+    docs.join(broadcast(tmap), col(domainCol) === col("__tdom"), "left")
+      // the split materializes before the lambdas read it (the
+      // wordShinglesOf perf contract)
+      .withColumn("__lsr", split(col(textCol), "\n"))
+      .withColumn("n_lines", size(col("__lsr")).cast("long"))
+      .withColumn("clean_text", array_join(
+        filter(col("__lsr"), l => !array_contains(tl, xxhash64(l))), "\n"))
+      .withColumn("n_lines_removed",
+        (col("n_lines") -
+          size(filter(col("__lsr"), l => !array_contains(tl, xxhash64(l))))
+            .cast("long")).cast("long"))
+      .drop("__tdom", "__tl", "__lsr")
   }
 }

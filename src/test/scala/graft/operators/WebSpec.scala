@@ -76,4 +76,25 @@ class WebSpec extends SparkTestBase with Matchers {
     out(3L) shouldBe (("body three", 4L, 3L))
     out(4L) shouldBe (("HEAD\nother body", 2L, 0L))
   }
+
+  test("learn templates then apply == the one-pass counting operator") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "a", "HEAD\nbody one\nFOOT"),
+      (2L, "a", "HEAD\nbody two\nFOOT"),
+      (3L, "a", "HEAD\nbody three\nFOOT"),
+      (4L, "b", "HEAD\nother body")).toDF("id", "dom", "text")
+    val templates = Web.boilerplateTemplates(docs, "id", "dom", "text", minDf = 3)
+    templates.count() shouldBe 2 // domain a's HEAD + FOOT only
+    val applied = Web.dropKnownBoilerplate(docs, "dom", "text", templates)
+      .select("id", "clean_text", "n_lines", "n_lines_removed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val counted = Web.dropBoilerplateLines(docs, "id", "dom", "text", minDf = 3)
+      .select("id", "clean_text", "n_lines", "n_lines_removed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    applied shouldBe counted
+  }
 }

@@ -648,6 +648,46 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.length should be > 0
   }
 
+  test("dropKnownBoilerplate on a stream equals the batch one-pass operator") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Web
+
+    val docs = Seq(
+      (1L, "a", "HEAD\nbody one\nFOOT"),
+      (2L, "a", "HEAD\nbody two\nFOOT"),
+      (3L, "a", "HEAD\nbody three\nFOOT"),
+      (4L, "b", "HEAD\nother body"))
+    val batchDf = docs.toDF("id", "dom", "text")
+    // templates learned OFFLINE on the batch corpus; the stream applies
+    // them statelessly as pages arrive (stream-static broadcast join)
+    val templates = Web.boilerplateTemplates(batchDf, "id", "dom", "text", 3)
+
+    val input = MemoryStream[(Long, String, String)]
+    val query = Web.dropKnownBoilerplate(
+        input.toDF().toDF("id", "dom", "text"), "dom", "text", templates)
+      .select("id", "clean_text", "n_lines", "n_lines_removed")
+      .writeStream.format("memory").queryName("t_boiler")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = docs.splitAt(2)
+      Seq(b1, b2).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+
+    val got = spark.table("t_boiler")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = Web.dropBoilerplateLines(batchDf, "id", "dom", "text", 3)
+      .select("id", "clean_text", "n_lines", "n_lines_removed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    got shouldBe want
+    got.length shouldBe 4
+  }
+
   test("domainCapStream equals the batch ordinal-order cap when fed in order") {
     val ss = spark
     import ss.implicits._
