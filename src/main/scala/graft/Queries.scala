@@ -2576,6 +2576,47 @@ object Queries {
       .orderBy("claimed", "sniffed")
   }
 
+  /** Q125 product-quantization train + encode (Jégou et al. 2011 —
+    * the memory-scale ANN representation beside q75's coarse
+    * quantizer): 4 subspace quantizers train in one pass per round
+    * over the exploded (id, sub, subvector) view, then every
+    * embedding compresses to 4 centroid ids. The report is the full
+    * codebook (centroid checksum) plus the encode histogram — how
+    * many docs each (subspace, centroid) code serves — so the oracle
+    * replays training AND encoding. Integer-exact throughout: grid
+    * quantization, re-quantized means, (d2, cid) tie-break. */
+  val q125: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val book = Similarity.pqTrain(emb, "vec_id", "e", m = 4, dim = 64,
+      centroidStride = 37L, iters = 1)
+    val codes = Similarity.pqEncode(emb, "vec_id", "e", book, m = 4, dim = 64)
+    val used = codes.select(posexplode(col("__code")).as(Seq("sub", "cid")))
+      .groupBy("sub", "cid").agg(count(lit(1)).as("n_docs"))
+    book.select(col("__sub").as("sub"), col("__cid").as("cid"),
+        Similarity.dot(col("__cv"), col("__cv")).cast("long").as("mu_dot"))
+      .join(used, Seq("sub", "cid"), "left")
+      .select(col("sub"), col("cid"), col("mu_dot"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("sub", "cid")
+  }
+
+  /** Q126 PQ asymmetric-distance search (q125's codes actually
+    * searched): the query stays a full grid-quantized vector, the
+    * corpus is read as 4 small ints/doc, and each doc's approximate
+    * d2 is a fold over the one broadcast m·C-entry lookup table —
+    * the float corpus is touched zero times at search, which is the
+    * whole point of PQ at 100 TB. Every LUT entry is integer-valued,
+    * so the BIGINT sum and (adc_d2, id) ranking replay exactly. */
+  val q126: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val book = Similarity.pqTrain(emb, "vec_id", "e", m = 4, dim = 64,
+      centroidStride = 37L, iters = 1)
+    Similarity.pqAdcTopK(emb, "vec_id", "e", book,
+      targetId = 3L, k = 10, m = 4, dim = 64)
+  }
+
   /** Q113 n-gram novelty profile (the stale-feed scan dedup rules
     * don't catch): per doc, the ppm of its distinct 3-grams NOT
     * already emitted by an earlier doc (corpus order = doc_id, the
@@ -2748,7 +2789,31 @@ object Queries {
     "q122_silence_trim" -> q122,
     "q123_semdedup" -> q123,
     "q124_media_dispatch" -> q124,
+    "q125_pq_encode" -> q125,
+    "q126_pq_adc" -> q126,
   )
+
+  /** Shared by q125 (train + encode report) and q126 (ADC search):
+    * one PQ training round — the (id, sub, subvector) explode of the
+    * grid-quantized embeddings, a stride-37 init per subspace, the
+    * (d2, cid) argmin assignment, re-quantized means — and the encode
+    * assignment `enc` against the refreshed codebook `c1`. */
+  private val pqOracleCtes: String =
+    "WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
+      "ss AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS s), " +
+      "sub AS (SELECT e.vec_id, ss.s, list_slice(e.q, ss.s * 16 + 1, ss.s * 16 + 16) AS sv FROM e, ss), " +
+      "c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id % 37 = 0), " +
+      "p AS (SELECT unnest(range(1, 17)) AS i), " +
+      "a1 AS (SELECT sub.vec_id, sub.s, sub.sv, c0.cid, row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY " +
+      "list_dot_product(sub.sv, sub.sv) - 2 * list_dot_product(sub.sv, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn " +
+      "FROM sub JOIN c0 USING (s)), " +
+      "m1 AS (SELECT vec_id, s, sv, cid FROM a1 WHERE rn = 1), " +
+      "s1 AS (SELECT s, cid, i, round(SUM(sv[i]) / COUNT(*)) AS mu FROM m1, p GROUP BY s, cid, i), " +
+      "n1 AS (SELECT s, cid, list(mu ORDER BY i) AS cv FROM s1 GROUP BY s, cid), " +
+      "c1 AS (SELECT c0.s, c0.cid, COALESCE(n1.cv, c0.cv) AS cv FROM c0 LEFT JOIN n1 USING (s, cid)), " +
+      "enc AS (SELECT vec_id, s, cid FROM (SELECT sub.vec_id, sub.s, c1.cid, row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY " +
+      "list_dot_product(sub.sv, sub.sv) - 2 * list_dot_product(sub.sv, c1.cv) + list_dot_product(c1.cv, c1.cv), c1.cid) AS rn " +
+      "FROM sub JOIN c1 USING (s)) t WHERE rn = 1)"
 
   /** Shared by q69 (explode+agg path) and q71 (stateless in-row path):
     * two engine paths, one report, one oracle. */
@@ -4277,5 +4342,26 @@ object Queries {
         "c2 AS (SELECT c1.cid, COALESCE(n2.cv, c1.cv) AS cv, COALESCE(n2.n, 0) AS n FROM c1 LEFT JOIN n2 USING (cid)) " +
         "SELECT cid, CAST(n AS BIGINT) AS n, CAST(list_dot_product(cv, cv) AS BIGINT) AS mu_dot, " +
         "CAST(list_aggregate(cv, 'sum') AS BIGINT) AS mu_sum FROM c2 ORDER BY cid"),
+    "q125_pq_encode" ->
+      // one PQ training round over the 4×16 subspace view, then the
+      // encode assignment vs the refreshed codebook — shared CTEs
+      // with q126, which searches what this query trains
+      (pqOracleCtes +
+        ", us AS (SELECT s, cid, COUNT(*) AS n_docs FROM enc GROUP BY s, cid) " +
+        "SELECT c1.s AS sub, c1.cid, " +
+        "CAST(list_dot_product(c1.cv, c1.cv) AS BIGINT) AS mu_dot, " +
+        "CAST(COALESCE(us.n_docs, 0) AS BIGINT) AS n_docs " +
+        "FROM c1 LEFT JOIN us USING (s, cid) ORDER BY sub, cid"),
+    "q126_pq_adc" ->
+      // q125's training + encode verbatim, then the ADC tail: per-doc
+      // approximate d2 = sum of the 4 LUT entries its codes select
+      (pqOracleCtes +
+        ", tq AS (SELECT s, sv FROM sub WHERE vec_id = 3), " +
+        "lut AS (SELECT c1.s, c1.cid, " +
+        "list_dot_product(tq.sv, tq.sv) - 2 * list_dot_product(tq.sv, c1.cv) + list_dot_product(c1.cv, c1.cv) AS d2 " +
+        "FROM c1 JOIN tq USING (s)), " +
+        "sc AS (SELECT enc.vec_id, CAST(SUM(lut.d2) AS BIGINT) AS adc_d2 " +
+        "FROM enc JOIN lut USING (s, cid) WHERE enc.vec_id <> 3 GROUP BY enc.vec_id) " +
+        "SELECT vec_id, adc_d2 FROM sc ORDER BY adc_d2, vec_id LIMIT 10"),
   )
 }

@@ -492,4 +492,172 @@ object Similarity {
         transform(sequence(lit(0), lit(buckets - 1)),
           i => coalesce(element_at(col("__m"), i), lit(0.0d))).as("__vec"))
   }
+
+  /** The (d2, cid) lexicographic argmin over a broadcast centroid
+    * array, restricted to subspace `sub` — the shared assignment step
+    * of the PQ family. Runs inside the scan as an `aggregate` fold, so
+    * its result is independent of `collect_list`'s order. */
+  private def pqBest(sv: Column, sub: Column): Column = {
+    val far = struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cid"))
+    aggregate(
+      filter(col("__cents"), c => c.getField("__sub") === sub), far,
+      (acc, c) => {
+        val cv = c.getField("__cv")
+        val d2 = dot(sv, sv) - lit(2.0) * dot(sv, cv) + dot(cv, cv)
+        val cand = struct(d2.as("d2"), c.getField("__cid").as("cid"))
+        when(cand < acc, cand).otherwise(acc)
+      })
+  }
+
+  /**
+   * Product-quantization codebook training (Jégou et al., "Product
+   * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+   * `dim`-dim vector splits into `m` equal-width subspaces and each
+   * subspace trains its OWN k-means quantizer, so an embedding
+   * compresses to `m` small codes (one centroid id per subspace) —
+   * the memory-scale path for ANN over 100 TB of embeddings, where the
+   * float vectors cannot all stay resident but `m` bytes/vector can.
+   *
+   * Same integer-exactness contract as `kmeansCentroids`: vectors are
+   * grid-quantized, refined centroids re-quantize to the grid, argmin
+   * ties break (d2, cid) — every round replays bit-for-bit in an
+   * external oracle.
+   *
+   * Scale shape: all `m` subspace quantizers train in ONE pass per
+   * round — the corpus explodes to (id, sub, subvector) rows (same
+   * total floats, never wider), assignment is an in-scan fold over the
+   * one broadcast codebook row, and the only exchange carries
+   * (sub, cell, count, dim/m partial sums): m·C·(dim/m + 2) values
+   * after map-side combine, independent of N.
+   *
+   * Output: (`__sub` int, `__cid` long, `__cv` array<double> of width
+   * dim/m, `__n` long = final-round member count; empty cells keep
+   * their previous centroid with `__n` = 0).
+   */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String, m: Int,
+              dim: Int, centroidStride: Long, iters: Int): DataFrame = {
+    require(m >= 1 && dim >= m && dim % m == 0,
+      "dim must split into m equal-width subspaces")
+    require(centroidStride >= 1, "centroidStride must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    val width = dim / m
+    val sub = pqSubvectors(emb, idCol, vecCol, m, width)
+    val init = sub.filter(pmod(col("__id"), lit(centroidStride)) === 0)
+      .select(col("__sub"), col("__id").as("__cid"), col("__sv").as("__cv"),
+        lit(0L).as("__n"))
+    (1 to iters).foldLeft(init) { (cent, _) =>
+      val centArr = cent
+        .agg(collect_list(struct(col("__sub"), col("__cid"), col("__cv")))
+          .as("__cents"))
+      val assigned = sub.crossJoin(broadcast(centArr))
+        .select(col("__sub"), col("__sv"),
+          pqBest(col("__sv"), col("__sub")).getField("cid").as("__cell"))
+      val sums = assigned.groupBy(col("__sub"), col("__cell"))
+        .agg(count(lit(1)).as("__nn"),
+          (0 until width).map(i =>
+            sum(element_at(col("__sv"), i + 1)).as(s"__s$i")): _*)
+      val refreshed = sums.select(col("__sub").as("__rs"), col("__cell"),
+        array((0 until width).map(i =>
+          round(col(s"__s$i") / col("__nn"))): _*).as("__nv"),
+        col("__nn"))
+      cent.join(refreshed,
+          cent("__sub") === refreshed("__rs") &&
+            cent("__cid") === refreshed("__cell"), "left")
+        .select(cent("__sub"), cent("__cid"),
+          coalesce(col("__nv"), cent("__cv")).as("__cv"),
+          coalesce(col("__nn"), lit(0L)).as("__n"))
+        .localCheckpoint()
+    }
+  }
+
+  /** (id, sub, subvector) rows: the corpus split into its m quantized
+    * subspace views — same total floats as the input, never wider. */
+  private def pqSubvectors(emb: DataFrame, idCol: String, vecCol: String,
+                           m: Int, width: Int): DataFrame =
+    emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+      .select(col("__id"), explode(array((0 until m).map(s =>
+          struct(lit(s).as("__sub"),
+            slice(col("__q"), s * width + 1, width).as("__sv"))): _*))
+        .as("__e"))
+      .select(col("__id"), col("__e.__sub").as("__sub"),
+        col("__e.__sv").as("__sv"))
+
+  /**
+   * PQ encoding: each vector compresses to its `m` per-subspace
+   * nearest-centroid ids. One in-scan fold per subspace over the one
+   * broadcast codebook row — the corpus is read once and never
+   * shuffles; the output code table is ~m small ints per doc, the
+   * representation the ADC search and any downstream dedup blocker
+   * actually ship at 100 TB.
+   *
+   * Output: (`__id`, `__code` array<long> of length m, position s
+   * holding subspace s's centroid id).
+   */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim >= m && dim % m == 0,
+      "dim must split into m equal-width subspaces")
+    val width = dim / m
+    val centArr = codebook
+      .agg(collect_list(struct(col("__sub"), col("__cid"), col("__cv")))
+        .as("__cents"))
+    emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+      .crossJoin(broadcast(centArr))
+      .select(col("__id"), array((0 until m).map { s =>
+        pqBest(slice(col("__q"), s * width + 1, width), lit(s))
+          .getField("cid")
+      }: _*).as("__code"))
+  }
+
+  /**
+   * Asymmetric-distance (ADC) top-k: the query stays a full-precision
+   * (quantized-grid) vector, the corpus is its PQ codes, and each
+   * doc's approximate squared distance is the SUM over subspaces of
+   * d2(query subvector, centroid[code]) — read from a per-query
+   * lookup table of m·C entries. Every LUT entry is an integer-valued
+   * double (grid arithmetic), so the sum is exact in BIGINT and the
+   * (adc_d2, id) ranking is engine-independent.
+   *
+   * Scale shape: the LUT is ONE broadcast row (m·C doubles, built
+   * from the codebook and the 1-row query — no corpus access); the
+   * scan reads only the code table (~m ints/doc, not dim floats),
+   * folds the LUT once per doc, and `TakeOrdered` keeps k rows. The
+   * float corpus is touched zero times at search.
+   *
+   * Approximation contract: with `centroidStride = 1` and one round,
+   * every vector is its own centroid, codes reproduce the exact
+   * vectors, and ADC equals the exact quantized distance — the
+   * recall-1 pin the spec asserts (the `nprobe = all` analogue).
+   *
+   * Output: (idCol, adc_d2 bigint), the k nearest by (adc_d2, id).
+   */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+                codebook: DataFrame, targetId: Long, k: Int, m: Int,
+                dim: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val width = dim / m
+    val codes = pqEncode(emb, idCol, vecCol, codebook, m, dim)
+    val tgt = emb.filter(col(idCol) === targetId)
+      .agg(min(quantize(col(vecCol))).as("__t"))
+    val lutArr = codebook.crossJoin(broadcast(tgt))
+      .select(col("__sub"), col("__cid"), {
+        val sv = slice(col("__t"), col("__sub") * lit(width) + lit(1),
+          lit(width))
+        (dot(sv, sv) - lit(2.0) * dot(sv, col("__cv")) +
+          dot(col("__cv"), col("__cv"))).as("__d2")
+      })
+      .agg(collect_list(struct(col("__sub"), col("__cid"), col("__d2")))
+        .as("__lut"))
+    codes.filter(col("__id") =!= targetId)
+      .crossJoin(broadcast(lutArr))
+      .select(col("__id").as(idCol),
+        aggregate(col("__lut"), lit(0.0d), (acc, l) =>
+          acc + when(
+            element_at(col("__code"), l.getField("__sub") + 1) ===
+              l.getField("__cid"),
+            l.getField("__d2")).otherwise(lit(0.0d)))
+          .cast("long").as("adc_d2"))
+      .orderBy(col("adc_d2").asc, col(idCol).asc)
+      .limit(k)
+  }
 }
