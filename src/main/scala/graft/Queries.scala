@@ -2617,6 +2617,21 @@ object Queries {
       targetId = 3L, k = 10, m = 4, dim = 64)
   }
 
+  /** Q127 average precision (step-wise PR-AUC) of the hashed quality
+    * gate, per language — q112's companion on the imbalanced axis:
+    * ROC-AUC is blind to class skew, AP weights exactly the admit
+    * region the gate operates in. Same scored frame as q112/q114/q120;
+    * per-threshold terms are 9-dp-rounded exact integer divisions
+    * summed in DECIMAL (the q99 convention), so the metric replays
+    * bit-for-bit. */
+  val q127: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+        Tables.documents(s, dir), "doc_id", "text", dims = 64,
+        keep = Seq("lang"))
+      .withColumn("__label", col("n_toks") >= 50L)
+    Eval.prAuc(scored, "score", "__label", by = Seq("lang")).orderBy("lang")
+  }
+
   /** Q113 n-gram novelty profile (the stale-feed scan dedup rules
     * don't catch): per doc, the ppm of its distinct 3-grams NOT
     * already emitted by an earlier doc (corpus order = doc_id, the
@@ -2791,6 +2806,7 @@ object Queries {
     "q124_media_dispatch" -> q124,
     "q125_pq_encode" -> q125,
     "q126_pq_adc" -> q126,
+    "q127_pr_auc" -> q127,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -4363,5 +4379,31 @@ object Queries {
         "sc AS (SELECT enc.vec_id, CAST(SUM(lut.d2) AS BIGINT) AS adc_d2 " +
         "FROM enc JOIN lut USING (s, cid) WHERE enc.vec_id <> 3 GROUP BY enc.vec_id) " +
         "SELECT vec_id, adc_d2 FROM sc ORDER BY adc_d2, vec_id LIMIT 10"),
+    "q127_pr_auc" ->
+      // q112's scored-doc CTEs, then step-wise AP: per-threshold term
+      // = one IEEE-exact integer division rounded to 9 dp, summed in
+      // DECIMAL; ap = 6-dp round of the sum, NULL for single-class
+      ("WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok " +
+        "FROM documents), " +
+        "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(tok) + 1), " +
+        "i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), " +
+        "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), " +
+        "d AS (SELECT doc_id, lang, COUNT(*) AS n_toks, SUM(wt) AS score FROM w GROUP BY 1, 2), " +
+        "g AS (SELECT lang, score AS s, " +
+        "SUM(CASE WHEN n_toks >= 50 THEN 1 ELSE 0 END) AS np, " +
+        "SUM(CASE WHEN n_toks >= 50 THEN 0 ELSE 1 END) AS nn FROM d GROUP BY 1, 2), " +
+        "c AS (SELECT lang, np, " +
+        "SUM(np) OVER (PARTITION BY lang ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp, " +
+        "SUM(nn) OVER (PARTITION BY lang ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp FROM g), " +
+        "tt AS (SELECT lang, CAST(SUM(np) AS BIGINT) AS pos, CAST(SUM(nn) AS BIGINT) AS neg FROM g GROUP BY lang), " +
+        "tm AS (SELECT c.lang, CAST(round(CAST(c.np * c.tp AS DOUBLE) / " +
+        "CAST((c.tp + c.fp) * tt.pos AS DOUBLE), 9) AS DECIMAL(28,9)) AS term " +
+        "FROM c JOIN tt USING (lang) WHERE tt.pos > 0) " +
+        "SELECT tt.lang, tt.pos AS n_pos, tt.neg AS n_neg, " +
+        "CASE WHEN tt.pos = 0 OR tt.neg = 0 THEN NULL " +
+        "ELSE round(CAST(SUM(tm.term) AS DOUBLE), 6) END AS ap " +
+        "FROM tt LEFT JOIN tm USING (lang) GROUP BY tt.lang, tt.pos, tt.neg ORDER BY lang"),
   )
 }

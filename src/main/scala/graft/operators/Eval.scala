@@ -103,6 +103,61 @@ object Eval {
       .withColumn("j_micro", expr("j2n * 1000000 div (n_pos * n_neg)"))
   }
 
+  /**
+   * Exact average precision (step-wise PR-AUC, the
+   * `average_precision_score` definition): with thresholds at the
+   * distinct scores in descending order,
+   * AP = Σ_t Δrecall(t) · precision(t) = Σ_t (np_t / P) · tp_t / (tp_t + fp_t).
+   * ROC-AUC's blind spot is class imbalance — a corpus gate that
+   * admits 1 doc in 10⁴ can post AUC 0.99 while its precision is
+   * noise; AP weights exactly the region the gate operates in.
+   *
+   * Determinism: each threshold's term is one IEEE-exact integer
+   * division rounded to 9 dp, and the terms sum in DECIMAL — engine-
+   * and partition-order-exact (the q99 convention); `ap` is the sum
+   * rounded to 6 dp, NULL for single-class groups.
+   *
+   * Scale shape: identical to [[rocAuc]] — rows collapse to the
+   * (group, score) histogram in one map-side-combined aggregation
+   * (~24 B per distinct score crosses the wire, never per-row), the
+   * cumulative window runs over the histogram, and the per-group
+   * totals join back as a broadcast.
+   *
+   * One output row per `by` group: `by` columns, `n_pos`, `n_neg`, `ap`.
+   */
+  def prAuc(scored: DataFrame, scoreCol: String, labelCol: String,
+            by: Seq[String] = Nil): DataFrame = {
+    val g = scored
+      .groupBy((by.map(col) :+ col(scoreCol).as("__s")): _*)
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__nn"))
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.select((by.map(col) :+ col("__np") :+
+      sum(col("__np")).over(w).as("__tp") :+
+      sum(col("__nn")).over(w).as("__fp")): _*)
+    val tot = scored.groupBy(by.map(col): _*)
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__neg"))
+    val joined =
+      if (by.isEmpty) cum.crossJoin(broadcast(tot))
+      else cum.join(broadcast(tot), by)
+    val term = when(col("__pos") > 0L,
+      round((col("__np") * col("__tp")).cast("double") /
+        ((col("__tp") + col("__fp")) * col("__pos")).cast("double"), 9))
+      .otherwise(lit(0.0d))
+    joined
+      .withColumn("__t", term.cast("decimal(28,9)"))
+      .groupBy(by.map(col): _*)
+      .agg(max(col("__pos")).as("n_pos"), max(col("__neg")).as("n_neg"),
+        sum(col("__t")).as("__ap"))
+      .withColumn("ap",
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(col("__ap").cast("double"), 6)))
+      .drop("__ap")
+  }
+
   def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String,
              by: Seq[String] = Nil): DataFrame = {
     val g = scored

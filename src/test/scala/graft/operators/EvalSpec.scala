@@ -88,6 +88,41 @@ class EvalSpec extends SparkTestBase with Matchers {
     r.getAs[Long]("j_micro") shouldBe 500000L
   }
 
+  test("prAuc: hand-computed step-wise average precision with ties") {
+    val ss = spark
+    import ss.implicits._
+    // neg {1, 2, 2, 4}, pos {2, 3, 5}; thresholds desc:
+    //   s=5: np=1 tp=1 fp=0 -> (1*1)/(1*3)  = 0.333333333
+    //   s=4: np=0                           = 0
+    //   s=3: np=1 tp=2 fp=1 -> (1*2)/(3*3)  = 0.222222222
+    //   s=2: np=1 tp=3 fp=3 -> (1*3)/(6*3)  = 0.166666667
+    //   s=1: np=0                           = 0
+    // AP = 0.722222222 -> round 6 = 0.722222
+    val df = Seq(
+      (1, false), (2, false), (2, false), (4, false),
+      (2, true), (3, true), (5, true)).toDF("s", "y")
+    val r = Eval.prAuc(df, "s", "y").head()
+    r.getAs[Long]("n_pos") shouldBe 3L
+    r.getAs[Long]("n_neg") shouldBe 4L
+    r.getAs[Double]("ap") shouldBe 0.722222
+  }
+
+  test("prAuc: perfect separation is 1, single-class groups are NULL") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      ("sep", 1, false), ("sep", 2, false), ("sep", 3, true), ("sep", 4, true),
+      ("pos", 1, true), ("pos", 2, true),
+      ("neg", 1, false), ("neg", 2, false)).toDF("g", "s", "y")
+    val out = Eval.prAuc(df, "s", "y", by = Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("ap"))) None
+         else Some(r.getAs[Double]("ap")))).toMap
+    out("sep") shouldBe Some(1.0)
+    out("pos") shouldBe None
+    out("neg") shouldBe None
+  }
+
   test("youdenThreshold: perfect separation picks the lowest positive score") {
     val ss = spark
     import ss.implicits._
