@@ -2632,6 +2632,35 @@ object Queries {
     Eval.prAuc(scored, "score", "__label", by = Seq("lang")).orderBy("lang")
   }
 
+  /** Q128 encoding-hygiene QA (the decode-damage gate an ingest runs
+    * before any text op trusts the bytes): the corpus is clean ASCII,
+    * so — like q124's media noise — deterministic corruption derives
+    * from doc_id: every 3rd doc gains a U+FFFD replacement char, every
+    * 5th a C0 control char, every 7th a "Ã©"-style UTF-8-as-Latin-1
+    * mojibake pair. The gate counts all three signatures scan-locally
+    * (codegen'd regexp_count, no shuffle) and the per-lang report
+    * aggregates counts, flags, and integer-ppm badness. */
+  val q128: Q = (s, dir) => {
+    val noisy = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L, lit(" \uFFFD"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5L)) === 0L, lit("\u0007"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          lit(" \u00C3\u00A9t\u00C3\u00A9")).otherwise(lit("")))
+        .as("text"))
+    TextMetrics.encodingQa(noisy, "doc_id", "text", keep = Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_clean"), 0L).otherwise(1L)).as("n_flagged"),
+        sum(col("n_repl")).as("sum_repl"),
+        sum(col("n_ctrl")).as("sum_ctrl"),
+        sum(col("n_moji")).as("sum_moji"),
+        sum(col("badness_micro")).as("sum_badness_micro"))
+      .orderBy("lang")
+  }
+
   /** Q113 n-gram novelty profile (the stale-feed scan dedup rules
     * don't catch): per doc, the ppm of its distinct 3-grams NOT
     * already emitted by an earlier doc (corpus order = doc_id, the
@@ -2807,6 +2836,7 @@ object Queries {
     "q125_pq_encode" -> q125,
     "q126_pq_adc" -> q126,
     "q127_pr_auc" -> q127,
+    "q128_encoding_qa" -> q128,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -4405,5 +4435,26 @@ object Queries {
         "CASE WHEN tt.pos = 0 OR tt.neg = 0 THEN NULL " +
         "ELSE round(CAST(SUM(tm.term) AS DOUBLE), 6) END AS ap " +
         "FROM tt LEFT JOIN tm USING (lang) GROUP BY tt.lang, tt.pos, tt.neg ORDER BY lang"),
+    "q128_encoding_qa" ->
+      // replay the doc_id-derived corruption (chr() builds the exact
+      // chars the Spark side injects as \\u escapes), then the three
+      // signature counts; badness is integer ppm
+      ("WITH d AS (SELECT doc_id, lang, text || "
+        + "CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(65533) ELSE '' END || "
+        + "CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END || "
+        + "CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(195) || chr(169) || 't' || chr(195) || chr(169) ELSE '' END AS t FROM documents), "
+        + "q AS (SELECT doc_id, lang, length(t) AS n_chars, "
+        + "len(regexp_extract_all(t, chr(65533))) AS n_repl, "
+        + "len(regexp_extract_all(t, '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12) || chr(14) || '-' || chr(31) || ']')) AS n_ctrl, "
+        + "len(regexp_extract_all(t, '[' || chr(194) || chr(195) || '][' || chr(128) || '-' || chr(191) || ']')) AS n_moji FROM d), "
+        + "b AS (SELECT doc_id, lang, n_chars, n_repl, n_ctrl, n_moji, "
+        + "n_repl + n_ctrl + 2 * n_moji AS bad FROM q) "
+        + "SELECT lang, COUNT(*) AS n_docs, "
+        + "CAST(SUM(CASE WHEN bad = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_flagged, "
+        + "CAST(SUM(n_repl) AS BIGINT) AS sum_repl, "
+        + "CAST(SUM(n_ctrl) AS BIGINT) AS sum_ctrl, "
+        + "CAST(SUM(n_moji) AS BIGINT) AS sum_moji, "
+        + "CAST(SUM(CASE WHEN n_chars > 0 THEN bad * 1000000 // n_chars ELSE 0 END) AS BIGINT) AS sum_badness_micro "
+        + "FROM b GROUP BY lang ORDER BY lang"),
   )
 }

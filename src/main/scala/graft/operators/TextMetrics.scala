@@ -305,6 +305,45 @@ object TextMetrics {
       regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$name")
     }): _*)
 
+  /**
+   * Encoding-hygiene QA — the ingest gate that catches decode damage
+   * BEFORE it trains: per document, counts of the three classic
+   * corruption signatures in already-decoded text:
+   *  - `n_repl`: U+FFFD replacement characters (a decoder already
+   *    gave up on those bytes);
+   *  - `n_ctrl`: C0 control characters other than tab/newline/CR
+   *    (binary junk or transfer corruption; U+0001–U+0008, U+000B,
+   *    U+000C, U+000E–U+001F — NUL excluded so the class is identical
+   *    in engines that can't carry NUL in literals);
+   *  - `n_moji`: Â/Ã followed by a Latin-1-supplement continuation
+   *    (U+0080–U+00BF) — the signature of UTF-8 bytes re-decoded as
+   *    Latin-1 ("Ã©" where "é" was meant), each match 2 chars wide.
+   *
+   * `bad_chars` = n_repl + n_ctrl + 2·n_moji, `badness_micro` =
+   * bad_chars·10⁶ div n_chars (integer ppm, the q69 convention), and
+   * docs with ANY signature flag `is_clean = false`.
+   *
+   * Scan-local codegen'd `regexp_count` projections — no shuffle, no
+   * UDF; at 100 TB this is a pure map over the scan like `piiScan`.
+   */
+  def encodingQa(docs: DataFrame, idCol: String, textCol: String,
+                 keep: Seq[String] = Nil): DataFrame = {
+    val repl = regexp_count(col(textCol), lit("\uFFFD")).cast("long")
+    val ctrl = regexp_count(col(textCol),
+      lit("[\u0001-\u0008\u000B\u000C\u000E-\u001F]")).cast("long")
+    val moji = regexp_count(col(textCol),
+      lit("[\u00C2\u00C3][\u0080-\u00BF]")).cast("long")
+    docs.select((col(idCol) +: keep.map(col)) ++ Seq(
+        length(col(textCol)).cast("long").as("n_chars"),
+        repl.as("n_repl"), ctrl.as("n_ctrl"), moji.as("n_moji")): _*)
+      .withColumn("bad_chars",
+        col("n_repl") + col("n_ctrl") + lit(2L) * col("n_moji"))
+      .withColumn("badness_micro",
+        when(col("n_chars") > 0L,
+          expr("bad_chars * 1000000 div n_chars")).otherwise(lit(0L)))
+      .withColumn("is_clean", col("bad_chars") === 0L)
+  }
+
   /** Portable polynomial token hash (Rabin–Karp shape, h·31 + codepoint
     * mod 2³¹−1 over the token's chars) — the q40 fingerprint recurrence
     * applied per token, bit-identical in any engine. Computed by the

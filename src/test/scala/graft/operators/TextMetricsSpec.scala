@@ -294,4 +294,30 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     rep.getAs[Long]("n_grams") shouldBe 3L // k l m, l m k, m k l
     rep.getAs[Long]("n_repeated") shouldBe 0L
   }
+
+  test("encodingQa: each corruption signature counts; tab/newline stay clean") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "plain ascii with\ttab and\nnewline"), // clean: \t \n excluded
+      (2L, "lost � bytes � here"), // 2 replacement chars
+      (3L, "bell and esc"), // 2 control chars
+      (4L, "caf\u00C3\u00A9 and \u00C2\u00A0nbsp"), // 2 mojibake pairs
+      (5L, "élève") // real accents: NOT mojibake (no Â/Ã lead)
+    ).toDF("doc_id", "text")
+    val out = TextMetrics.encodingQa(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_repl"), r.getAs[Long]("n_ctrl"),
+          r.getAs[Long]("n_moji"), r.getAs[Boolean]("is_clean")))).toMap
+    out(1L) shouldBe ((0L, 0L, 0L, true))
+    out(2L) shouldBe ((2L, 0L, 0L, false))
+    out(3L) shouldBe ((0L, 2L, 0L, false))
+    out(4L) shouldBe ((0L, 0L, 2L, false))
+    out(5L) shouldBe ((0L, 0L, 0L, true))
+    // badness ppm: doc 2 has 2 bad chars over its length
+    val d2 = TextMetrics.encodingQa(docs, "doc_id", "text")
+      .filter(col("doc_id") === 2L).head()
+    d2.getAs[Long]("badness_micro") shouldBe
+      2L * 1000000L / d2.getAs[Long]("n_chars")
+  }
 }
