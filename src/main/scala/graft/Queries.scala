@@ -2661,6 +2661,18 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q129 TF-IDF keyword extraction (the salience report beside q77's
+    * corpus-frequency scoring): each doc's top-3 terms by tf·idf.
+    * idf is the 6-dp-rounded ln of an exact integer ratio carried in
+    * DECIMAL, so the (score, term) ranking replays bit-for-bit; the
+    * df table joins term-keyed (vocab-bounded), the doc count is a
+    * 1-row broadcast, and the per-doc window sees only candidate
+    * rows. */
+  val q129: Q = (s, dir) =>
+    TextMetrics.tfidfKeywords(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, keep = Seq("lang"))
+      .orderBy("doc_id", "rank")
+
   /** Q113 n-gram novelty profile (the stale-feed scan dedup rules
     * don't catch): per doc, the ppm of its distinct 3-grams NOT
     * already emitted by an earlier doc (corpus order = doc_id, the
@@ -2837,6 +2849,7 @@ object Queries {
     "q126_pq_adc" -> q126,
     "q127_pr_auc" -> q127,
     "q128_encoding_qa" -> q128,
+    "q129_tfidf_keywords" -> q129,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -4456,5 +4469,18 @@ object Queries {
         + "CAST(SUM(n_moji) AS BIGINT) AS sum_moji, "
         + "CAST(SUM(CASE WHEN n_chars > 0 THEN bad * 1000000 // n_chars ELSE 0 END) AS BIGINT) AS sum_badness_micro "
         + "FROM b GROUP BY lang ORDER BY lang"),
+    "q129_tfidf_keywords" ->
+      // idf = 6-dp-rounded ln of an exact integer ratio in DECIMAL;
+      // score = tf * idf is exact decimal; (score desc, term) ranking
+      ("WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS term FROM documents), "
+        + "f AS (SELECT doc_id, lang, term, COUNT(*) AS tf FROM t WHERE term <> '' GROUP BY ALL), "
+        + "dfx AS (SELECT term, COUNT(*) AS dfc FROM f GROUP BY term), "
+        + "nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM f), "
+        + "s AS (SELECT f.doc_id, f.lang, f.term, f.tf, "
+        + "f.tf * CAST(round(ln(CAST((SELECT n FROM nn) AS DOUBLE) / dfc), 6) AS DECIMAL(18,6)) AS score "
+        + "FROM f JOIN dfx USING (term)), "
+        + "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s) "
+        + "SELECT doc_id, lang, term, tf, CAST(score AS DOUBLE) AS score, CAST(rank AS INT) AS rank "
+        + "FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
   )
 }

@@ -214,6 +214,52 @@ object TextMetrics {
         min(col("__cf")).as("freq_min"))
   }
 
+  /**
+   * TF-IDF keyword extraction — the per-document salience report a
+   * corpus browser / topic labeler / retrieval index builds: each
+   * doc's top-k terms by tf·idf with idf = ln(N/df) over the corpus
+   * itself.
+   *
+   * Determinism: idf is the 6-dp-rounded ln of an IEEE-exact integer
+   * ratio (the q99 convention) carried as DECIMAL(18,6), so
+   * `score = tf · idf` is exact decimal arithmetic and the
+   * (score desc, term asc) ranking replays in any engine.
+   *
+   * Scale shape: one map-side-combined (doc, term) count aggregation
+   * (the exchange carries tokens, not documents), a term-keyed join
+   * against the vocab-bounded df table (AQE broadcasts it when it
+   * fits; at web-scale vocab it stays a thin co-partitioned shuffle —
+   * both sides are already term-keyed rows of ~3 values), the 1-row
+   * doc-count broadcast (no collect), and a per-doc top-k window over
+   * k·docs candidate rows.
+   *
+   * Output: (idCol, keep, term, tf, score double, rank), rank 1..k.
+   */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, keep: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val out = (idCol +: keep).distinct
+    val tf = graft.core.Tables.fanOut(docs)
+      .select((out.map(col) :+
+        explode(split(lower(trim(col(textCol))), " ")).as("__term")): _*)
+      .filter(col("__term") =!= "")
+      .groupBy((out.map(col) :+ col("__term")): _*)
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val nDocs = tf.select(col(idCol)).distinct().agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfTab, "__term")
+      .crossJoin(broadcast(nDocs)) // 1-row total: the no-collect pattern
+      .withColumn("__idf",
+        round(log(col("__n").cast("double") / col("__df").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("__score", col("tf") * col("__idf"))
+    Relational.topKPerGroup(scored, Seq(idCol),
+        Seq(col("__score").desc, col("__term").asc), k,
+        rankCol = Some("rank"))
+      .select((out.map(col) :+ col("__term").as("term") :+ col("tf") :+
+        col("__score").cast("double").as("score") :+ col("rank")): _*)
+  }
+
   /** Stream-static form of [[corpusFreqStats]]: score arriving
     * documents against a PRECOMPUTED frequency table (`(__gram, __cf)`
     * — e.g. yesterday's corpus statistics). Fully stateless per row:

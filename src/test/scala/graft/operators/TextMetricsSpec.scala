@@ -295,6 +295,27 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     rep.getAs[Long]("n_repeated") shouldBe 0L
   }
 
+  test("tfidfKeywords: hand-computed idf ranking; rare term beats frequent common one") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian cherry")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 2, durian 1
+    // idf: ln(3)=1.098612, ln(1.5)=0.405465
+    val out = TextMetrics.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(r.fieldIndex("rank"))) ->
+        ((r.getAs[String]("term"), r.getAs[Long]("tf"),
+          r.getAs[Double]("score")))).toMap
+    out((1L, 1)) shouldBe (("apple", 2L, 2.197224))
+    out((1L, 2)) shouldBe (("banana", 1L, 0.405465))
+    // doc 3: durian (tf 1, idf ln3) outranks cherry (tf 2, idf ln1.5)
+    out((3L, 1)) shouldBe (("durian", 1L, 1.098612))
+    out((3L, 2)) shouldBe (("cherry", 2L, 0.81093))
+  }
+
   test("encodingQa: each corruption signature counts; tab/newline stay clean") {
     val ss = spark
     import ss.implicits._
