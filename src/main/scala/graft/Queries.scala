@@ -2673,6 +2673,31 @@ object Queries {
         k = 3, keep = Seq("lang"))
       .orderBy("doc_id", "rank")
 
+  /** Q130 length-bucketed batch assembly (the dynamic-batching step an
+    * inference/eval fleet runs — q81 packs concatenated streams, this
+    * accounts PADDED batches): docs bucket to the next power of two of
+    * their token count (waste < 50% by construction), batches of 8
+    * form deterministically inside (bucket, selector-shard) cells, and
+    * the per-bucket report totals batches, tokens, padding, and
+    * integer-ppm efficiency. The exponent is integer-exact via the
+    * binary-representation length — no float log2 at boundaries. */
+  val q130: Q = (s, dir) => {
+    val lens = Tables.documents(s, dir).select(col("doc_id"),
+      size(filter(split(lower(trim(col("text"))), " "), t => t =!= ""))
+        .cast("long").as("n_toks"))
+    Sampling.lengthBucketBatches(lens, "doc_id", "n_toks",
+        batchSize = 8, shards = 4)
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_len")).as("sum_tokens"),
+        sum(col("waste")).as("sum_padding"),
+        sum(col("n_docs") * col("batch_len")).as("padded_tokens"))
+      .withColumn("efficiency_micro",
+        expr("sum_tokens * 1000000 div padded_tokens"))
+      .orderBy("bucket_cap")
+  }
+
   /** Q113 n-gram novelty profile (the stale-feed scan dedup rules
     * don't catch): per doc, the ppm of its distinct 3-grams NOT
     * already emitted by an earlier doc (corpus order = doc_id, the
@@ -2850,6 +2875,7 @@ object Queries {
     "q127_pr_auc" -> q127,
     "q128_encoding_qa" -> q128,
     "q129_tfidf_keywords" -> q129,
+    "q130_length_batches" -> q130,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -4482,5 +4508,19 @@ object Queries {
         + "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s) "
         + "SELECT doc_id, lang, term, tf, CAST(score AS DOUBLE) AS score, CAST(rank AS INT) AS rank "
         + "FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
+    "q130_length_batches" ->
+      // replay: integer-exact next-pow2 via bin-length, the portable
+      // selector shard, per-cell (len desc, id) ranking, batches of 8
+      ("WITH d AS (SELECT doc_id, CAST(len(list_filter(str_split(lower(trim(text)), ' '), x -> x <> '')) AS BIGINT) AS n_toks FROM documents), "
+        + "c AS (SELECT doc_id, n_toks, CASE WHEN n_toks <= 1 THEN CAST(1 AS BIGINT) ELSE (CAST(1 AS BIGINT) << length(bin(n_toks - 1))) END AS bucket_cap, "
+        + "CAST(((doc_id * 2654435761) % 1000000007) * 4 // 1000000007 AS INT) AS shard FROM d), "
+        + "r AS (SELECT *, row_number() OVER (PARTITION BY bucket_cap, shard ORDER BY n_toks DESC, doc_id) - 1 AS rn0 FROM c), "
+        + "b AS (SELECT bucket_cap, shard, rn0 // 8 AS batch_id, COUNT(*) AS n_docs, MAX(n_toks) AS batch_len, SUM(n_toks) AS sum_len FROM r GROUP BY 1, 2, 3) "
+        + "SELECT bucket_cap, COUNT(*) AS n_batches, CAST(SUM(n_docs) AS BIGINT) AS n_docs, "
+        + "CAST(SUM(sum_len) AS BIGINT) AS sum_tokens, "
+        + "CAST(SUM(n_docs * batch_len - sum_len) AS BIGINT) AS sum_padding, "
+        + "CAST(SUM(n_docs * batch_len) AS BIGINT) AS padded_tokens, "
+        + "CAST(SUM(sum_len) * 1000000 // SUM(n_docs * batch_len) AS BIGINT) AS efficiency_micro "
+        + "FROM b GROUP BY bucket_cap ORDER BY bucket_cap"),
   )
 }

@@ -270,6 +270,57 @@ object Sampling {
       .drop(memberCol, labelCol)
   }
 
+  /**
+   * Length-bucketed batch assembly — the dynamic-batching step an
+   * inference/eval fleet (or a padded-training loader) runs so that a
+   * batch never pads a 30-token doc out to a 4096-token neighbor:
+   * every row buckets to the next power of two ≥ its length, so
+   * co-batched rows are within 2× of each other and padding waste is
+   * < 50% BY CONSTRUCTION, whatever order batches fill in.
+   *
+   * Batches form deterministically inside (bucket, shard) cells:
+   * `shards` range-shards of the portable id selector split each
+   * bucket, rows rank by (length desc, id) within their cell (longest
+   * first packs tightest), and consecutive `batchSize` rows share a
+   * batch. Output: one row per batch — (`bucket_cap`, `shard`,
+   * `batch_id`, `n_docs`, `batch_len` = the batch's max length,
+   * `sum_len`, `waste` = n_docs·batch_len − sum_len).
+   *
+   * Scale shape: only (id, len) rows move; the ranking window
+   * partitions by (bucket, shard) — ~log₂(maxLen)·shards independent
+   * cells, so parallelism is a dial (set `shards` ≈ cluster cores),
+   * no single-reducer bucket, and batch decisions never cross shards
+   * (each cell is an independent deterministic sub-problem — the
+   * replay contract survives any cluster size). The exponent is
+   * integer-exact via the binary-representation length — no float
+   * log2 at power-of-two boundaries.
+   */
+  def lengthBucketBatches(df: DataFrame, idCol: String, lenCol: String,
+                          batchSize: Int, shards: Int = 32): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    require(shards >= 1, "shards must be >= 1")
+    val len = col(lenCol).cast("long")
+    val e = when(len <= 1L, 0)
+      .otherwise(length(conv(len - 1, 10, 2)))
+    val shard = (selector(col(idCol)) * shards) / lit(Dedup.PortableHashP)
+    val cells = df.select(col(idCol).as("__id"), len.as("__len"),
+        e.as("__e"), shard.cast("int").as("shard"))
+      // shiftleft's Scala binding takes a literal bit count; the SQL
+      // form accepts a column exponent
+      .withColumn("bucket_cap", expr("shiftleft(CAST(1 AS BIGINT), __e)"))
+      .drop("__e")
+    val w = Window.partitionBy(col("bucket_cap"), col("shard"))
+      .orderBy(col("__len").desc, col("__id").asc)
+    cells.withColumn("__rn0", (row_number().over(w) - lit(1)).cast("long"))
+      // `div`: exact integer division (the `/` Column op is double)
+      .withColumn("batch_id", expr(s"__rn0 div ${batchSize}L"))
+      .groupBy("bucket_cap", "shard", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max(col("__len")).as("batch_len"),
+        sum(col("__len")).as("sum_len"))
+      .withColumn("waste",
+        col("n_docs") * col("batch_len") - col("sum_len"))
+  }
+
   def quantileThresholdFilter(df: DataFrame, groupCols: Seq[String],
                               valueCol: String, q: Double): DataFrame = {
     val thrCol = Iterator.from(0).map(i => s"__qtf_thr$i")

@@ -215,4 +215,46 @@ class SamplingSpec extends SparkTestBase with Matchers {
     // both splits are populated at this rate
     out.values.toSet shouldBe Set("train", "holdout")
   }
+
+  test("lengthBucketBatches: hand-checked buckets, longest-first batching, waste") {
+    val ss = spark
+    import ss.implicits._
+    val lens = Seq((1L, 5L), (2L, 6L), (3L, 8L), (4L, 3L),
+      (5L, 9L), (6L, 16L), (7L, 1L), (8L, 2L)).toDF("doc_id", "n_toks")
+    val out = Sampling.lengthBucketBatches(lens, "doc_id", "n_toks",
+        batchSize = 2, shards = 1)
+      .collect().map(r => (r.getAs[Long]("bucket_cap"), r.getAs[Long]("batch_id")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("batch_len"),
+          r.getAs[Long]("sum_len"), r.getAs[Long]("waste")))).toMap
+    // cap 8 holds lens {8, 6, 5}: longest-first -> batch 0 = {8, 6}, 1 = {5}
+    out((8L, 0L)) shouldBe ((2L, 8L, 14L, 2L))
+    out((8L, 1L)) shouldBe ((1L, 5L, 5L, 0L))
+    // cap 16 holds {16, 9}: one batch, waste 7
+    out((16L, 0L)) shouldBe ((2L, 16L, 25L, 7L))
+    // exact power of two stays in its own cap (16 -> 16, not 32)
+    out((4L, 0L)) shouldBe ((1L, 3L, 3L, 0L))
+    out((1L, 0L)) shouldBe ((1L, 1L, 1L, 0L))
+    out((2L, 0L)) shouldBe ((1L, 2L, 2L, 0L))
+    out.size shouldBe 6
+  }
+
+  test("lengthBucketBatches: padding waste stays under 50% on a real corpus") {
+    import org.apache.spark.sql.functions.{filter => sqlFilter, size => sqlSize}
+    val lens = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        sqlSize(sqlFilter(split(lower(trim(col("text"))), " "),
+          (t: org.apache.spark.sql.Column) => t =!= ""))
+          .cast("long").as("n_toks"))
+    val batches = Sampling.lengthBucketBatches(lens, "doc_id", "n_toks",
+      batchSize = 8, shards = 4).collect()
+    assert(batches.nonEmpty)
+    // every doc lands in exactly one batch
+    assert(batches.map(_.getAs[Long]("n_docs")).sum == lens.count())
+    // the construction bound: co-batched lens are within 2x, so padded
+    // volume is less than twice the real token volume
+    batches.foreach { b =>
+      val padded = b.getAs[Long]("n_docs") * b.getAs[Long]("batch_len")
+      assert(b.getAs[Long]("sum_len") * 2 > padded)
+    }
+  }
 }
