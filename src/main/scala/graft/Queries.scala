@@ -2114,6 +2114,51 @@ object Queries {
     bmpFeatureReport(d, Multimodal.decodeBmpFeatures(textBmpAssets(d)))
   }
 
+  /** Q131 REAL PNG decode (the second raster container behind the
+    * seam): each document renders as an actual truecolor PNG —
+    * consecutive text byte triplets as (r, g, b) pixels, space-padded,
+    * dimensions varying per doc — with the encoder CYCLING all five
+    * scanline filter types per row, and `Multimodal.decodePngFeatures`
+    * decodes the files back: chunk walk with CRC verification, zlib
+    * inflate, every unfilter path, RGB→BGR to the shared raster. The
+    * oracle replays per-pixel BT.601 luma from the raw text by
+    * codepoint arithmetic — matching only if the whole container
+    * round-trip is bit-exact. */
+  val q131: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val d = Tables.documents(s, dir)
+    bmpFeatureReport(d, Multimodal.decodePngFeatures(textPngAssets(d)))
+  }
+
+  /** Shared by q131: text byte triplets → truecolor PNG pixels. */
+  private def textPngAssets(d: DataFrame):
+      org.apache.spark.sql.Dataset[graft.multimodal.Asset] = {
+    import graft.multimodal.{Asset, Png}
+    val enc = org.apache.spark.sql.Encoders.product[Asset]
+    d.select(col("doc_id").as("asset_id"),
+        lit("image/png").as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        (lit(7) + pmod(col("doc_id"), lit(8))).cast("int").as("width"),
+        (lit(4) + pmod(col("doc_id"), lit(6))).cast("int").as("height"))
+      .as[Asset](enc)
+      .mapPartitions { it =>
+        it.map { a =>
+          val n = a.width * a.height
+          def t(j: Int): Byte =
+            if (j < a.bytes.length) a.bytes(j) else 32.toByte
+          val bgr = new Array[Byte](n * 3)
+          var i = 0
+          while (i < n) {
+            bgr(i * 3) = t(i * 3 + 2)     // B
+            bgr(i * 3 + 1) = t(i * 3 + 1) // G
+            bgr(i * 3 + 2) = t(i * 3)     // R
+            i += 1
+          }
+          a.copy(bytes = Png.encode(a.width, a.height, bgr))
+        }
+      }(enc)
+  }
+
   /** Q109 REAL pixel resize (north star): the q108 BMP corpus run
     * through `Multimodal.resizeBmp` — decode, nearest-neighbor
     * downscale to a 6-px bound, re-encode — then decoded AGAIN and
@@ -2876,6 +2921,7 @@ object Queries {
     "q128_encoding_qa" -> q128,
     "q129_tfidf_keywords" -> q129,
     "q130_length_batches" -> q130,
+    "q131_png_decode" -> q131,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -4522,5 +4568,30 @@ object Queries {
         + "CAST(SUM(n_docs * batch_len) AS BIGINT) AS padded_tokens, "
         + "CAST(SUM(sum_len) * 1000000 // SUM(n_docs * batch_len) AS BIGINT) AS efficiency_micro "
         + "FROM b GROUP BY bucket_cap ORDER BY bucket_cap"),
+    "q131_png_decode" ->
+      // replay the DECODED-pixel stats from the raw text: pixel p has
+      // (r, g, b) = codepoints of chars 3p..3p+2 (space-padded),
+      // luma = (299r + 587g + 114b) // 1000 — matches only if the PNG
+      // chunk/CRC/inflate/unfilter round-trip is bit-exact
+      ("WITH dm AS (SELECT doc_id, lang, 7 + doc_id % 8 AS w, 4 + doc_id % 6 AS h, "
+        + "rpad(substr(text, 1, CAST(3*(7 + doc_id % 8)*(4 + doc_id % 6) AS INT)), "
+        + "CAST(3*(7 + doc_id % 8)*(4 + doc_id % 6) AS INT), ' ') AS px FROM documents), "
+        + "c AS (SELECT doc_id, lang, w, h, w*h AS np, px, unnest(range(w*h)) AS p FROM dm), "
+        + "c2 AS (SELECT doc_id, lang, w, h, np, "
+        + "(ord(substr(px, CAST(3*p + 1 AS INT), 1)) * 299 + "
+        + "ord(substr(px, CAST(3*p + 2 AS INT), 1)) * 587 + "
+        + "ord(substr(px, CAST(3*p + 3 AS INT), 1)) * 114) // 1000 AS g FROM c), "
+        + "per AS (SELECT doc_id, lang, w, h, np, CAST(SUM(g) AS BIGINT) AS s, "
+        + "SUM(CASE WHEN g // 16 = 2 THEN 1 ELSE 0 END) AS h2, "
+        + "SUM(CASE WHEN g // 16 = 6 THEN 1 ELSE 0 END) AS h6, "
+        + "SUM(CASE WHEN g // 16 = 7 THEN 1 ELSE 0 END) AS h7 "
+        + "FROM c2 GROUP BY doc_id, lang, w, h, np) "
+        + "SELECT lang, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS sum_w, "
+        + "CAST(SUM(h) AS BIGINT) AS sum_h, "
+        + "CAST(SUM(np) AS BIGINT) AS total_pixels, "
+        + "CAST(SUM(s * 1000000 // np) AS BIGINT) AS sum_mean_micro, "
+        + "CAST(SUM(h2) AS BIGINT) AS h2, "
+        + "CAST(SUM(h6) AS BIGINT) AS h6, CAST(SUM(h7) AS BIGINT) AS h7 "
+        + "FROM per GROUP BY lang ORDER BY lang"),
   )
 }

@@ -120,6 +120,27 @@ object Multimodal {
   }
 
   /**
+   * REAL PNG decode through the same partition-batched seam: each
+   * asset's bytes are parsed as an actual PNG file (`Png.decode` —
+   * signature, chunk walk with CRC verification, zlib inflate via the
+   * JDK Inflater, all five scanline unfilters, gray/truecolor to the
+   * shared BGR raster), and the features come from decoded PIXELS
+   * exactly like [[decodeBmpFeatures]] — two container formats, one
+   * feature contract, one seam. Embarrassingly parallel, no shuffle.
+   */
+  def decodePngFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val raster = Png.decode(a.bytes)
+        val (hist, sumLuma) = Bmp.lumaStats(raster, HistogramBins)
+        ImageFeatures(a.asset_id, raster.width, raster.height,
+          raster.width.toLong * raster.height, sumLuma, hist)
+      }
+    }
+  }
+
+  /**
    * REAL audio decode through the same partition-batched seam: each
    * asset's bytes are parsed as an actual RIFF/WAVE file
    * (`Wav.decode` — chunk-list walk, little-endian fmt fields,
@@ -243,6 +264,9 @@ object Multimodal {
    */
   def sniffMediaType(bytes: Column): Column =
     when(substring(bytes, 1, 2) === lit("BM".getBytes), lit("image/bmp"))
+      .when(substring(bytes, 1, 4) ===
+        lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)),
+        lit("image/png"))
       .when(substring(bytes, 1, 4) === lit("RIFF".getBytes) &&
         substring(bytes, 9, 4) === lit("WAVE".getBytes), lit("audio/wav"))
       .otherwise(lit("application/octet-stream"))
@@ -271,6 +295,9 @@ object Multimodal {
     val img = decodeBmpFeatures(typed(sniffed.filter(col("__sniffed") === "image/bmp")))
       .select(col("asset_id"), col("n_pixels").as("n_units"),
         col("sum_luma").as("checksum"))
+    val png = decodePngFeatures(typed(sniffed.filter(col("__sniffed") === "image/png")))
+      .select(col("asset_id"), col("n_pixels").as("n_units"),
+        col("sum_luma").as("checksum"))
     val aud = decodeWavSignal(typed(sniffed.filter(col("__sniffed") === "audio/wav")))
       .select(col("asset_id"), col("n_samples").as("n_units"),
         col("energy").as("checksum"))
@@ -278,7 +305,7 @@ object Multimodal {
       .select(col("asset_id"), lit(0L).as("n_units"), lit(0L).as("checksum"))
     sniffed.select(col("asset_id"), col("media_type").as("claimed"),
         col("__sniffed").as("sniffed"))
-      .join(img.unionByName(aud).unionByName(other), "asset_id")
+      .join(img.unionByName(png).unionByName(aud).unionByName(other), "asset_id")
   }
 
   /**
