@@ -550,6 +550,39 @@ object Queries {
   private def embNearDupOracle: String =
     embPairOracle("a.vec_id < b.vec_id", "d1", "d2")
 
+  /** q132's oracle: the q123 twin corpus, sign-LSH pairs at ≥ 0.9,
+    * transitive min-label clusters (recursive CTE), then per-probe
+    * top-5 cosine with the cluster-mate exclusion. */
+  private def hardNegOracle: String = {
+    def codeExpr(vecSql: String): String =
+      lshPlanes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(list_transform($vecSql, x -> round(x * 1024)), " +
+          s"[${p.map(c => s"$c.0").mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    "WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "eu AS (SELECT vec_id, v FROM e0 " +
+      "UNION ALL SELECT vec_id + 100000, list_transform(v, x -> x + (vec_id % 10) * CAST(0.015 AS DOUBLE)) FROM e0), " +
+      s"c AS (SELECT vec_id, v, ${codeExpr("v")} AS code FROM eu), " +
+      "pr AS (SELECT a.vec_id AS d1, b.vec_id AS d2 FROM c a JOIN c b " +
+      "ON a.vec_id < b.vec_id AND bit_count(xor(a.code, b.code)) <= 2 " +
+      "AND list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9), " +
+      "nodes AS (SELECT d1 AS id FROM pr UNION SELECT d2 FROM pr), " +
+      "edges AS (SELECT d1 AS src, d2 AS dst FROM pr UNION SELECT d2, d1 FROM pr), " +
+      "reach(id, lbl) AS (SELECT id, id FROM nodes " +
+      "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
+      "cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id), " +
+      "rr AS (SELECT c.vec_id, c.v, COALESCE(cl.cluster_id, c.vec_id) AS rep " +
+      "FROM c LEFT JOIN cl ON c.vec_id = cl.id), " +
+      "pb AS (SELECT vec_id AS probe_id, v AS pv, rep AS prep FROM rr WHERE vec_id < 5), " +
+      "sc AS (SELECT pb.probe_id, rr.vec_id AS neighbor_id, " +
+      "list_dot_product(rr.v, pb.pv) / (sqrt(list_dot_product(rr.v, rr.v)) * sqrt(list_dot_product(pb.pv, pb.pv))) AS raw " +
+      "FROM rr CROSS JOIN pb WHERE rr.vec_id <> pb.probe_id AND rr.rep <> pb.prep), " +
+      "rk AS (SELECT probe_id, neighbor_id, raw, ROW_NUMBER() OVER " +
+      "(PARTITION BY probe_id ORDER BY raw DESC, neighbor_id) AS rank FROM sc) " +
+      "SELECT probe_id, neighbor_id, ROUND(raw, 4) AS score, CAST(rank AS INT) AS rank " +
+      "FROM rk WHERE rank <= 5 ORDER BY probe_id, rank"
+  }
+
   /** q93's oracle: same inlined-hyperplane blocking, cross-split pairs. */
   private def crossEmbOracle: String =
     embPairOracle("a.vec_id % 7 = 0 AND b.vec_id % 7 <> 0", "eval_id", "train_id")
@@ -2114,6 +2147,29 @@ object Queries {
     bmpFeatureReport(d, Multimodal.decodeBmpFeatures(textBmpAssets(d)))
   }
 
+  /** Q132 hard-negative mining (the contrastive-training composition:
+    * q37's near-dup pairs → q55's clustering → q54's batch kNN with a
+    * cluster exclusion): the corpus is the q123 original+jittered-twin
+    * set, duplicate clusters come from sign-LSH pairs at cosine ≥ 0.9,
+    * and each probe's top-5 most-similar NON-cluster-mates are its
+    * hard negatives — mined without the exclusion they would be false
+    * negatives that poison embedding training. The oracle replays
+    * blocking, pairs, transitive clustering, exclusion, and ranking. */
+  val q132: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("e"),
+        x => x + pmod(col("vec_id"), lit(10L)).cast("double") * 0.015).as("e"))
+    val corpus = emb.unionByName(twins)
+    val pairs = Dedup.embeddingNearDupPairs(corpus, "vec_id", "e",
+      planes = lshPlanes, codeRadius = 2, threshold = 0.9)
+    val clusters = Dedup.dupClusters(pairs, "d1", "d2")
+    Similarity.hardNegatives(corpus, corpus.filter(col("vec_id") < 5),
+        "vec_id", "e", clusters, k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Q131 REAL PNG decode (the second raster container behind the
     * seam): each document renders as an actual truecolor PNG —
     * consecutive text byte triplets as (r, g, b) pixels, space-padded,
@@ -2922,6 +2978,7 @@ object Queries {
     "q129_tfidf_keywords" -> q129,
     "q130_length_batches" -> q130,
     "q131_png_decode" -> q131,
+    "q132_hard_negatives" -> q132,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -4593,5 +4650,6 @@ object Queries {
         + "CAST(SUM(h2) AS BIGINT) AS h2, "
         + "CAST(SUM(h6) AS BIGINT) AS h6, CAST(SUM(h7) AS BIGINT) AS h7 "
         + "FROM per GROUP BY lang ORDER BY lang"),
+    "q132_hard_negatives" -> hardNegOracle,
   )
 }

@@ -493,6 +493,53 @@ object Similarity {
           i => coalesce(element_at(col("__m"), i), lit(0.0d))).as("__vec"))
   }
 
+  /**
+   * Hard-negative mining for contrastive / embedding training: for
+   * each probe, the top-k most-similar corpus vectors that are NOT in
+   * the probe's duplicate cluster. The highest-cosine non-duplicates
+   * are exactly the "hard negatives" an embedding trainer wants — and
+   * mining them WITHOUT the cluster exclusion poisons training with
+   * false negatives (near-duplicates of the anchor labeled negative),
+   * which is why this composes the dedup family's verdict into the
+   * search instead of leaving it to a downstream filter.
+   *
+   * `clusters` is the [[Dedup.dupClusters]] output (`id`,
+   * `cluster_id`) — duplicate members only; non-members represent
+   * themselves (`coalesce`), the `clusterAwareSplit` convention.
+   *
+   * Scale shape: the cluster table joins the corpus id-keyed (dup
+   * members are a vanishing fraction; thin rows), probes broadcast
+   * like [[knnJoin]], exclusion is a per-row predicate (no extra
+   * exchange), and the per-probe top-k window sees candidate rows
+   * only. For corpus-scale probe sets, swap the broadcast for
+   * [[ivfKnnJoin]]'s cell pruning — the exclusion predicate is
+   * unchanged.
+   *
+   * Output: (probe_id, neighbor_id, score, rank), cosine rounded 4.
+   */
+  def hardNegatives(emb: DataFrame, probes: DataFrame, idCol: String,
+                    vecCol: String, clusters: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val rep = clusters.select(col("id").as("__m"), col("cluster_id").as("__lbl"))
+    val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .join(rep, col("__id") === col("__m"), "left")
+      .select(col("__id"), col("__v"),
+        coalesce(col("__lbl"), col("__id")).as("__r"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .join(rep, col("probe_id") === col("__m"), "left")
+      .select(col("probe_id"), col("__pv"),
+        coalesce(col("__lbl"), col("probe_id")).as("__pr"))
+    val scored = e.crossJoin(broadcast(p))
+      .filter(col("__id") =!= col("probe_id") && col("__r") =!= col("__pr"))
+      .select(col("probe_id"), col("__id").as("neighbor_id"),
+        cosine(col("__v"), col("__pv")).as("__raw"))
+    Relational.topKPerGroup(scored, Seq("probe_id"),
+        Seq(col("__raw").desc, col("neighbor_id").asc), k,
+        rankCol = Some("rank"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("__raw"), 4).as("score"), col("rank"))
+  }
+
   /** The (d2, cid) lexicographic argmin over a broadcast centroid
     * array, restricted to subspace `sub` — the shared assignment step
     * of the PQ family. Runs inside the scan as an `aggregate` fold, so

@@ -547,4 +547,30 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     out shouldBe Map(0L -> true, 1L -> false, 2L -> true,
       10L -> true, 11L -> false)
   }
+
+  test("hardNegatives: cluster mates are excluded, nearest non-mates rank first") {
+    val ss = spark
+    import ss.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),   // probe
+      (1L, Seq(2.0, 0.0, 0.0, 0.0)),   // exact-direction dup of 0 (cos 1)
+      (2L, Seq(1.0, 0.3, 0.0, 0.0)),   // near (cos ~0.96) but NOT clustered
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),   // orthogonal
+      (4L, Seq(1.0, 0.1, 0.0, 0.0))    // clustered with 0 via the pair list
+    ).toDF("vec_id", "e")
+    val clusters = Seq((0L, 0L), (1L, 0L), (4L, 0L)).toDF("id", "cluster_id")
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 0L),
+        "vec_id", "e", clusters, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score")))
+    // 1 and 4 are cluster mates of the probe: never negatives
+    out.map(_._1) shouldBe Array(2L, 3L)
+    out(0)._2 shouldBe 0.9578 // 1 / sqrt(1.09) rounded 4
+    out(1)._2 shouldBe 0.0
+    // sanity: without the exclusion, the dup would top the list (the
+    // false negative the operator exists to prevent)
+    val naive = Similarity.knnJoin(emb, emb.filter(col("vec_id") === 0L),
+      "vec_id", "e", k = 1).head()
+    naive.getAs[Long]("neighbor_id") shouldBe 1L
+  }
 }
