@@ -2147,6 +2147,24 @@ object Queries {
     bmpFeatureReport(d, Multimodal.decodeBmpFeatures(textBmpAssets(d)))
   }
 
+  /** Q133 temperature-based mixture resampling (q82's mechanism with
+    * DERIVED rates — the XLM/mT5 p ∝ n^α rebalance): α = 0.5 over the
+    * per-language counts, target 1000 rows; weights are micro-scaled
+    * after one rounding of the pow, shares and per-row rates are exact
+    * integer divisions, and the fractional epoch is the deterministic
+    * selector slice — so the oracle replays every emitted copy. */
+  val q133: Q = (s, dir) =>
+    Sampling.temperatureMixture(Tables.documents(s, dir), "lang", "doc_id",
+        alpha = 0.5, totalTarget = 1000L)
+      .groupBy("lang")
+      .agg(max(col("stratum_docs")).as("n_docs"),
+        max(col("stratum_target")).as("target"),
+        max(col("rate_micro")).as("rate_micro"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_sampled"),
+        max(col("copy")).as("max_copy"))
+      .orderBy("lang")
+
   /** Q132 hard-negative mining (the contrastive-training composition:
     * q37's near-dup pairs → q55's clustering → q54's batch kNN with a
     * cluster exclusion): the corpus is the q123 original+jittered-twin
@@ -2979,6 +2997,7 @@ object Queries {
     "q130_length_batches" -> q130,
     "q131_png_decode" -> q131,
     "q132_hard_negatives" -> q132,
+    "q133_temperature_mix" -> q133,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -4651,5 +4670,20 @@ object Queries {
         + "CAST(SUM(h6) AS BIGINT) AS h6, CAST(SUM(h7) AS BIGINT) AS h7 "
         + "FROM per GROUP BY lang ORDER BY lang"),
     "q132_hard_negatives" -> hardNegOracle,
+    "q133_temperature_mix" ->
+      // replay: n^0.5 weights micro-scaled after one rounding, integer
+      // shares of the 1000-row target, per-row selector-sliced copies
+      ("WITH n AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY lang), "
+        + "w AS (SELECT lang, nd, CAST(round(power(nd, 0.5) * 1000000) AS BIGINT) AS wmicro FROM n), "
+        + "t AS (SELECT lang, nd, wmicro, 1000 * wmicro // (SELECT SUM(wmicro) FROM w) AS target FROM w), "
+        + "r AS (SELECT lang, nd, target, target * 1000000 // nd AS rate_micro FROM t), "
+        + "c AS (SELECT d.doc_id, d.lang, r.nd, r.target, r.rate_micro, "
+        + "r.rate_micro // 1000000 + CASE WHEN ((d.doc_id * 2654435761) % 1000000007) * 1000000 < (r.rate_micro % 1000000) * 1000000007 THEN 1 ELSE 0 END AS copies "
+        + "FROM documents d JOIN r USING (lang)) "
+        + "SELECT lang, CAST(MAX(nd) AS BIGINT) AS n_docs, CAST(MAX(target) AS BIGINT) AS target, "
+        + "CAST(MAX(rate_micro) AS BIGINT) AS rate_micro, CAST(SUM(copies) AS BIGINT) AS n_rows, "
+        + "CAST(SUM(CASE WHEN copies >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled, "
+        + "CAST(MAX(copies) - 1 AS BIGINT) AS max_copy "
+        + "FROM c GROUP BY lang ORDER BY lang"),
   )
 }

@@ -271,6 +271,57 @@ object Sampling {
   }
 
   /**
+   * Temperature-based mixture resampling — the p_i ∝ n_i^α stratum
+   * rebalancing of multilingual/multi-source training mixes (XLM,
+   * mT5): α = 1 keeps natural proportions, α → 0 flattens toward
+   * uniform, in between low-resource strata upsample smoothly. Where
+   * [[mixtureUpsample]] takes rates as INPUT, this operator derives
+   * them from the corpus itself: per-stratum counts → weights
+   * n^α (micro-scaled integers after one 6-dp-safe rounding of the
+   * pow) → exact integer-division share of `totalTarget` → per-row
+   * copy counts via the portable selector (whole epochs for the
+   * integer part, a deterministic id-hash slice for the fraction —
+   * the mixtureUpsample mechanism, so a replay emits identical rows).
+   *
+   * Scale shape: the plan table is one row per stratum (a broadcast);
+   * everything else is a scan-local projection + explode. No windows,
+   * no per-stratum reducer, no rand().
+   *
+   * Output: input columns + `stratum_docs`, `stratum_target`,
+   * `rate_micro` (rows per input row in ppm) and `copyCol` (0-based
+   * epoch index per emitted copy).
+   */
+  def temperatureMixture(df: DataFrame, strataCol: String, idCol: String,
+                         alpha: Double, totalTarget: Long,
+                         copyCol: String = "copy"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    require(totalTarget >= 0, "totalTarget must be >= 0")
+    val n = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__nd"))
+    val w = n.withColumn("__wmicro",
+      round(pow(col("__nd").cast("double"), lit(alpha)) * lit(1000000.0d))
+        .cast("long"))
+    val tot = w.agg(sum(col("__wmicro")).as("__wsum"))
+    val plan = w.crossJoin(broadcast(tot)) // 1-row total: no collect
+      .withColumn("__target", expr(s"${totalTarget}L * __wmicro div __wsum"))
+      .withColumn("__rate_micro", expr("__target * 1000000 div __nd"))
+      .select(col(strataCol).as("__k"), col("__nd"), col("__target"),
+        col("__rate_micro"))
+    val full = expr("__rate_micro div 1000000")
+    val frac = col("__rate_micro") % lit(1000000L)
+    val extra = when(
+      selector(col(idCol)) * lit(1000000L) <
+        frac * lit(Dedup.PortableHashP), 1L).otherwise(0L)
+    val copies = full + extra
+    df.join(broadcast(plan), col(strataCol) === col("__k")).drop("__k")
+      .withColumn(copyCol, explode(
+        when(copies >= 1L, sequence(lit(0L), copies - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .withColumnRenamed("__nd", "stratum_docs")
+      .withColumnRenamed("__target", "stratum_target")
+      .withColumnRenamed("__rate_micro", "rate_micro")
+  }
+
+  /**
    * Length-bucketed batch assembly — the dynamic-batching step an
    * inference/eval fleet (or a padded-training loader) runs so that a
    * batch never pads a 30-token doc out to a 4096-token neighbor:

@@ -216,6 +216,29 @@ class SamplingSpec extends SparkTestBase with Matchers {
     out.values.toSet shouldBe Set("train", "holdout")
   }
 
+  test("temperatureMixture: alpha sweeps from natural to uniform; exact integer plan") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"))
+      .toDF("doc_id", "src")
+    def plan(alpha: Double) =
+      Sampling.temperatureMixture(docs, "src", "doc_id", alpha, totalTarget = 10L)
+        .groupBy("src")
+        .agg(max(col("stratum_target")).as("t"), max(col("rate_micro")).as("r"))
+        .collect().map(x => x.getString(0) ->
+          ((x.getAs[Long]("t"), x.getAs[Long]("r")))).toMap
+    // alpha = 1: natural proportions — targets 8/2, both rates exactly 2x
+    plan(1.0) shouldBe Map("a" -> ((8L, 2000000L)), "b" -> ((2L, 2000000L)))
+    // alpha = 0: uniform weights — equal targets, the 1-doc stratum 5x's
+    plan(0.0) shouldBe Map("a" -> ((5L, 1250000L)), "b" -> ((5L, 5000000L)))
+    // alpha = 0.5: sqrt weights 2e6 / 1e6 -> targets 6 / 3
+    plan(0.5) shouldBe Map("a" -> ((6L, 1500000L)), "b" -> ((3L, 3000000L)))
+    // emitted rows replay: stratum b at rate 3.0 => doc 5 appears 3x
+    val rows = Sampling.temperatureMixture(docs, "src", "doc_id", 0.5, 10L)
+      .filter(col("src") === "b").collect()
+    rows.map(_.getAs[Long]("copy")).sorted shouldBe Array(0L, 1L, 2L)
+  }
+
   test("lengthBucketBatches: hand-checked buckets, longest-first batching, waste") {
     val ss = spark
     import ss.implicits._
