@@ -33,7 +33,16 @@ object PlanAudit {
     "q120_youden_gate",
     // q123: kmeansCentroids + semanticDedup's one-row centroid-array
     // broadcasts (q75 shape)
-    "q123_semdedup")
+    "q123_semdedup",
+    // q125/q126: pqTrain/pqEncode's one-row codebook broadcast and
+    // pqAdcTopK's one-row LUT broadcast (q75 shape: m·C constants)
+    "q125_pq_encode", "q126_pq_adc",
+    // q129: tfidfKeywords' ONE-row doc-count broadcast
+    "q129_tfidf_keywords",
+    // q132: hardNegatives' tiny probe-set broadcast (the q54 shape)
+    "q132_hard_negatives",
+    // q133: temperatureMixture's ONE-row weight-total broadcast
+    "q133_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

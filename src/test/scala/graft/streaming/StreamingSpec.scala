@@ -982,4 +982,38 @@ class StreamingSpec extends SparkTestBase with Matchers {
       (2L, 1L, false), // "bb cc dd" again: owned by (1,1)
       (2L, 2L, true))  // "cc dd z": unique
   }
+
+  test("pqEncode runs unchanged on a stream (stream-static broadcast codebook)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .select("vec_id", "e")
+    val book = Similarity.pqTrain(emb, "vec_id", "e", m = 4, dim = 64,
+      centroidStride = 37L, iters = 1).localCheckpoint()
+    val batchCodes = Similarity.pqEncode(emb, "vec_id", "e", book, m = 4, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the same operator, input swapped for an unbounded source: the
+    // codebook is a static 1-row broadcast, encoding is in-row
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val codes = Similarity.pqEncode(
+      input.toDF().toDF("vec_id", "e"), "vec_id", "e", book, m = 4, dim = 64)
+    codes.isStreaming shouldBe true
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pq-ckpt").toString
+    val query = codes.writeStream.format("memory").queryName("t_pqcodes")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("t_pqcodes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    streamed shouldBe batchCodes
+  }
 }
