@@ -2165,6 +2165,70 @@ object Queries {
         max(col("copy")).as("max_copy"))
       .orderBy("lang")
 
+  /** Q136 winsorized aggregation (q42/q89's exact-quantile program
+    * applied as a CLAMP, not a filter): l_extendedprice tamed into its
+    * per-returnflag exact [p05, p95] interval, then the outlier-robust
+    * revenue report — row counts preserved, tails clipped, clip counts
+    * on both sides. Sums run in DECIMAL after one 4-dp rounding, so
+    * the report replays exactly. */
+  val q136: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    Relational.winsorize(l, Seq("l_returnflag"), "l_extendedprice",
+        qLow = 0.05, qHigh = 0.95)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice").cast("double") < col("q_lo"), 1L)
+          .otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("l_extendedprice").cast("double") > col("q_hi"), 1L)
+          .otherwise(0L)).as("n_clipped_high"),
+        sum(round(col("winsorized"), 4).cast("decimal(28,4)"))
+          .cast("double").as("sum_winsorized"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
+    * scorer and a length prior): two rankers on incomparable scales —
+    * the hashed quality score and raw character count — fuse per
+    * language as Σ 10⁶ div (60 + rank), all-BIGINT, and the fused
+    * top-5 per language is the report. No float ever decides an
+    * ordering, so the oracle replays ranks, sums, and the fused list
+    * exactly. */
+  val q135: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("lang", "n_chars"))
+    Eval.rrfFuse(scored, "doc_id", by = Seq("lang"),
+        rankers = Seq(
+          "quality" -> Seq(col("score").desc),
+          "length" -> Seq(col("n_chars").desc)),
+        k = 60, topK = 5)
+      .orderBy("lang", "rank")
+  }
+
+  /** Q134 corpus snapshot diff (the crawl-refresh report beside q87's
+    * incremental dedup): the "new" snapshot derives deterministically
+    * from the corpus — every 17th doc removed, every 5th's text
+    * revised, every 13th re-added under a shifted id — and
+    * `Dedup.corpusDiff` classifies every id added/removed/changed/
+    * unchanged through 16 B fingerprints (text never crosses the
+    * full-outer join). Per-(source, status) counts are the report a
+    * feed owner reads before re-training. */
+  val q134: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val kept = d.filter(pmod(col("doc_id"), lit(17L)) =!= 0L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5L)) === 0L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val added = d.filter(pmod(col("doc_id"), lit(13L)) === 0L)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+    Dedup.corpusDiff(d, kept.unionByName(added), "doc_id", "text",
+        keep = Seq("source"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "status")
+  }
+
   /** Q132 hard-negative mining (the contrastive-training composition:
     * q37's near-dup pairs → q55's clustering → q54's batch kNN with a
     * cluster exclusion): the corpus is the q123 original+jittered-twin
@@ -2998,6 +3062,9 @@ object Queries {
     "q131_png_decode" -> q131,
     "q132_hard_negatives" -> q132,
     "q133_temperature_mix" -> q133,
+    "q134_corpus_diff" -> q134,
+    "q135_rank_fusion" -> q135,
+    "q136_winsorize" -> q136,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -4685,5 +4752,52 @@ object Queries {
         + "CAST(SUM(CASE WHEN copies >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled, "
         + "CAST(MAX(copies) - 1 AS BIGINT) AS max_copy "
         + "FROM c GROUP BY lang ORDER BY lang"),
+    "q134_corpus_diff" ->
+      // replay the snapshot derivation and classify by NORMALIZED text
+      // equality — the engine compares 128-bit fingerprints, so a
+      // mismatch would need a hash collision
+      ("WITH oldd AS (SELECT doc_id, source, text FROM documents), "
+        + "newd AS (SELECT doc_id, source, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text "
+        + "FROM documents WHERE doc_id % 17 <> 0 "
+        + "UNION ALL SELECT doc_id + 10000, source, text FROM documents WHERE doc_id % 13 = 0), "
+        + "j AS (SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id, COALESCE(n.source, o.source) AS source, "
+        + "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' "
+        + "WHEN lower(trim(o.text)) = lower(trim(n.text)) THEN 'unchanged' ELSE 'changed' END AS status "
+        + "FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id) "
+        + "SELECT source, status, COUNT(*) AS n FROM j GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q135_rank_fusion" ->
+      // q112's scored-doc CTEs, then all-BIGINT RRF: per-ranker
+      // row_number ranks (id tie-break), 10^6 // (60 + rank) summed,
+      // fused top-5 per language
+      ("WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok "
+        + "FROM documents), "
+        + "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(tok) + 1), "
+        + "i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), "
+        + "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), "
+        + "d AS (SELECT doc_id, lang, COUNT(*) AS n_toks, SUM(wt) AS score FROM w GROUP BY 1, 2), "
+        + "d2 AS (SELECT d.doc_id, d.lang, d.score, doc.n_chars FROM d JOIN documents doc USING (doc_id)), "
+        + "r AS (SELECT doc_id, lang, "
+        + "row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rank_quality, "
+        + "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank_length FROM d2), "
+        + "f AS (SELECT doc_id, lang, rank_quality, rank_length, "
+        + "1000000 // (60 + rank_quality) + 1000000 // (60 + rank_length) AS rrf_micro FROM r), "
+        + "rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rrf_micro DESC, doc_id) AS rank FROM f) "
+        + "SELECT lang, doc_id, rrf_micro, rank_quality, rank_length, CAST(rank AS INT) AS rank "
+        + "FROM rk WHERE rank <= 5 ORDER BY lang, rank"),
+    "q136_winsorize" ->
+      // exact interpolated quantile cuts (quantile_cont == the engine's
+      // 5-stage exact program), scan-local clamp, 4-dp-rounded DECIMAL
+      // sums
+      ("WITH v AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem), "
+        + "c AS (SELECT l_returnflag, quantile_cont(p, 0.05) AS lo, quantile_cont(p, 0.95) AS hi FROM v GROUP BY 1), "
+        + "w AS (SELECT v.l_returnflag, v.p, c.lo, c.hi, least(greatest(v.p, c.lo), c.hi) AS wv "
+        + "FROM v JOIN c USING (l_returnflag)) "
+        + "SELECT l_returnflag, COUNT(*) AS n, "
+        + "CAST(SUM(CASE WHEN p < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low, "
+        + "CAST(SUM(CASE WHEN p > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high, "
+        + "CAST(SUM(CAST(round(wv, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_winsorized "
+        + "FROM w GROUP BY l_returnflag ORDER BY l_returnflag"),
   )
 }

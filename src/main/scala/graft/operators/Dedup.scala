@@ -53,6 +53,41 @@ object Dedup {
   }
 
   /**
+   * Corpus snapshot diff — the crawl-refresh report run before any
+   * re-train decision: given the previous and current snapshot of a
+   * feed, classify every document id as `added` (new only), `removed`
+   * (old only), `changed` (both, content differs) or `unchanged`.
+   * Content compare goes through the 128-bit normalized-text key
+   * ([[textHashKey]]), so the full-outer id join carries (id, keep,
+   * 16 B fingerprint) rows — document text never crosses the wire, on
+   * either side, at any history size. `keep` columns come from
+   * whichever side has the row (new wins for changed docs).
+   *
+   * Output: (idCol, keep..., `status` string).
+   */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                 textCol: String, keep: Seq[String] = Nil): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val Seq(h1, h2) = textHashKey(col(textCol))
+      df.select((col(idCol).as(s"__id_$tag") +:
+        keep.map(k => col(k).as(s"__${k}_$tag"))) :+
+        h1.as(s"__h1_$tag") :+ h2.as(s"__h2_$tag"): _*)
+    }
+    val o = side(oldDocs, "o")
+    val n = side(newDocs, "n")
+    val joined = o.join(n, o("__id_o") === n("__id_n"), "full_outer")
+    val status = when(col("__id_o").isNull, "added")
+      .when(col("__id_n").isNull, "removed")
+      .when(col("__h1_o") === col("__h1_n") &&
+        col("__h2_o") === col("__h2_n"), "unchanged")
+      .otherwise("changed")
+    joined.select((coalesce(col("__id_n"), col("__id_o")).as(idCol) +:
+      keep.map(k =>
+        coalesce(col(s"__${k}_n"), col(s"__${k}_o")).as(k))) :+
+      status.as("status"): _*)
+  }
+
+  /**
    * Incremental (cross-corpus) exact dedup — the daily-refresh shape:
    * a new batch's row survives only where (a) it is the batch-canonical
    * row for its text (minimum id, exactly [[exactSurvivors]]' rule) and

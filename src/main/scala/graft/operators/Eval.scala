@@ -158,6 +158,48 @@ object Eval {
       .drop("__ap")
   }
 
+  /**
+   * Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the
+   * score-free ensemble every retrieval / quality-gate stack reaches
+   * for when its rankers live on incomparable scales: each ranker
+   * contributes 1/(k + rank) and the sums re-rank. Here fully
+   * integer: contribution = 10⁶ div (k + rank) (BIGINT division — no
+   * float ever decides an ordering), ranks are row_numbers with the
+   * id tie-break, so the fused list replays bit-for-bit.
+   *
+   * `rankers` maps a name to the ordering that ranker sorts by
+   * (best first); ties always break on ascending id. Output per `by`
+   * group: the fused top-`topK` with `rrf_micro`, each ranker's
+   * `rank_<name>`, and the fused `rank`.
+   *
+   * Scale shape: one window per ranker plus the fused top-k window,
+   * all partitioned by the `by` columns — rank fusion is per-group by
+   * construction (queries, languages, shards), so parallelism follows
+   * the group count and no global total order is ever materialized.
+   * Only (id, group, rank) integers flow between stages.
+   */
+  def rrfFuse(scored: DataFrame, idCol: String, by: Seq[String],
+              rankers: Seq[(String, Seq[Column])], k: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankers.nonEmpty, "need at least one ranker")
+    require(k >= 1, "k must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val ranked = rankers.foldLeft(scored) { case (df, (name, ord)) =>
+      val w = Window.partitionBy(by.map(col): _*)
+        .orderBy(ord :+ col(idCol).asc: _*)
+      df.withColumn(s"rank_$name", row_number().over(w).cast("long"))
+    }
+    val rrf = rankers.map { case (name, _) =>
+      expr(s"1000000 div (${k}L + rank_$name)")
+    }.reduce(_ + _)
+    val withScore = ranked.withColumn("rrf_micro", rrf)
+    Relational.topKPerGroup(withScore, by,
+        Seq(col("rrf_micro").desc, col(idCol).asc), topK,
+        rankCol = Some("rank"))
+      .select((by.map(col) :+ col(idCol) :+ col("rrf_micro")) ++
+        rankers.map { case (n, _) => col(s"rank_$n") } :+ col("rank"): _*)
+  }
+
   def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String,
              by: Seq[String] = Nil): DataFrame = {
     val g = scored

@@ -444,4 +444,30 @@ object Relational {
       .join(keyRows.select(col(keyCol).as(kk)),
         col(bigKey) === col(kk), "left_semi")
   }
+
+  /**
+   * Winsorization — the robust-statistics companion to
+   * [[exactQuantiles]]: per group, values CLAMP into the exact
+   * [qLow, qHigh] quantile interval instead of filtering
+   * (`Sampling.quantileThresholdFilter` drops rows; this keeps every
+   * row and tames the tails — what a feature-normalization or
+   * outlier-robust aggregation pass wants). Cuts come from the same
+   * 5-stage distributed exact-quantile program and join back as a
+   * broadcast (one row per group); the clamp is a scan-local
+   * `least/greatest` projection.
+   *
+   * Output: input columns + `loCol`/`hiCol` (the group's cuts) +
+   * `outCol` (the clamped double).
+   */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                qLow: Double, qHigh: Double, outCol: String = "winsorized",
+                loCol: String = "q_lo", hiCol: String = "q_hi"): DataFrame = {
+    require(qLow >= 0.0 && qLow <= qHigh && qHigh <= 1.0,
+      "need 0 <= qLow <= qHigh <= 1")
+    val cuts = exactQuantiles(df, groupCols, valueCol,
+      Seq(loCol -> qLow, hiCol -> qHigh))
+    df.join(broadcast(cuts), groupCols)
+      .withColumn(outCol,
+        least(greatest(col(valueCol).cast("double"), col(loCol)), col(hiCol)))
+  }
 }

@@ -548,6 +548,24 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
       10L -> true, 11L -> false)
   }
 
+  test("corpusDiff: added/removed/changed/unchanged; compare is normalized") {
+    val ss = spark
+    import ss.implicits._
+    val oldSnap = Seq((1L, "alpha", "s0"), (2L, "beta", "s0"), (3L, "gamma", "s1"))
+      .toDF("doc_id", "text", "source")
+    val newSnap = Seq((2L, "beta revised", "s0"), (3L, "  GAMMA ", "s1"),
+      (4L, "delta", "s1")).toDF("doc_id", "text", "source")
+    val out = Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text",
+        keep = Seq("source"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("source"), r.getAs[String]("status")))).toMap
+    out(1L) shouldBe (("s0", "removed"))
+    out(2L) shouldBe (("s0", "changed"))
+    out(3L) shouldBe (("s1", "unchanged")) // case/whitespace normalize
+    out(4L) shouldBe (("s1", "added"))
+    out.size shouldBe 4
+  }
+
   test("hardNegatives: cluster mates are excluded, nearest non-mates rank first") {
     val ss = spark
     import ss.implicits._

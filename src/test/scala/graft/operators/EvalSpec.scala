@@ -123,6 +123,27 @@ class EvalSpec extends SparkTestBase with Matchers {
     out("neg") shouldBe None
   }
 
+  test("rrfFuse: integer contributions, tie to lower id, opposed rankers balance") {
+    val ss = spark
+    import ss.implicits._
+    // ranker A (score desc): 1, 2, 3 — ranker B (len desc): 3, 2, 1
+    val df = Seq((1L, 30, 10L), (2L, 20, 20L), (3L, 10, 30L))
+      .toDF("id", "score", "len")
+    val out = Eval.rrfFuse(df, "id", by = Nil,
+        rankers = Seq("a" -> Seq(col("score").desc), "b" -> Seq(col("len").desc)),
+        k = 60, topK = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rrf_micro"),
+        r.getAs[Long]("rank_a"), r.getAs[Long]("rank_b")))
+    // 10^6 // 61 = 16393, // 62 = 16129, // 63 = 15873
+    // id1: 16393+15873 = 32266; id2: 16129*2 = 32258; id3: 15873+16393
+    // ids 1 and 3 tie at 32266 -> ascending id wins
+    out shouldBe Array(
+      (1L, 32266L, 1L, 3L),
+      (3L, 32266L, 3L, 1L),
+      (2L, 32258L, 2L, 2L))
+  }
+
   test("youdenThreshold: perfect separation picks the lowest positive score") {
     val ss = spark
     import ss.implicits._

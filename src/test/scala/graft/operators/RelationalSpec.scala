@@ -278,4 +278,21 @@ class RelationalSpec extends SparkTestBase {
     assert(latest.columns.contains("__rn"))
     assert(latest.select("__rn").as[String].head() == "x")
   }
+
+  test("winsorize: clamps into the exact quantile interval, keeps every row") {
+    val ss = spark
+    import ss.implicits._
+    // values 1..10: p25 = 3.25, p75 = 7.75 (linear interpolation)
+    val df = (1 to 10).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val out = Relational.winsorize(df, Seq("g"), "v", qLow = 0.25, qHigh = 0.75)
+      .collect().map(r => r.getAs[Double]("v") ->
+        ((r.getAs[Double]("q_lo"), r.getAs[Double]("q_hi"),
+          r.getAs[Double]("winsorized")))).toMap
+    assert(out.size == 10) // every row survives
+    assert(out(1.0) == ((3.25, 7.75, 3.25)))  // clipped up
+    assert(out(3.0)._3 == 3.25)               // still below p25
+    assert(out(5.0)._3 == 5.0)                // interior untouched
+    assert(out(8.0)._3 == 7.75)               // clipped down
+    assert(out(10.0)._3 == 7.75)
+  }
 }
