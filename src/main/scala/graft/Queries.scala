@@ -2187,6 +2187,54 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** Q137 character-entropy gate (the gibberish/blob detector beside
+    * q128's byte-level signatures): per-doc Shannon entropy in exact
+    * integer micro-nats — each ln rounded once to an integer micro
+    * value, weighted sums and the final division pure BIGINT — then
+    * the per-lang report with a low-entropy count (< 2.5 nats:
+    * repeated-char spam / degenerate docs). */
+  val q137: Q = (s, dir) =>
+    TextMetrics.charEntropy(Tables.documents(s, dir), "doc_id", "text",
+        keep = Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_distinct")).as("sum_distinct"),
+        sum(col("entropy_micro")).as("sum_entropy_micro"),
+        min(col("entropy_micro")).as("min_entropy_micro"),
+        sum(when(col("entropy_micro") < 2500000L, 1L).otherwise(0L))
+          .as("n_low"))
+      .orderBy("lang")
+
+  /** Q138 embedding-hygiene QA (the vector-side q128, run before any
+    * ANN/dedup index trusts the column): like q124/q128 the corruption
+    * derives from the id — every 11th vector zeroed (the encoder's
+    * empty-input default), every 13th gets a NaN component (a crashed
+    * shard) — and the gate counts non-finite components, zero norms,
+    * and dimension mismatches scan-locally; norms are the same
+    * left-to-right IEEE dot both engines compute. */
+  val q138: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val noisy = emb.select(col("vec_id"), col("label"),
+      when(pmod(col("vec_id"), lit(11L)) === 0L,
+          transform(col("e"), _ => lit(0.0d)))
+        .when(pmod(col("vec_id"), lit(13L)) === 0L,
+          concat(array(lit(Double.NaN)), slice(col("e"), 2, 63)))
+        .otherwise(col("e")).as("e"))
+    Similarity.embeddingQa(noisy, "vec_id", "e", expectDims = 64,
+        keep = Seq("label"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_zero"), 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("n_bad") > 0L, 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(col("is_clean"), 0L).otherwise(1L)).as("n_flagged"),
+        sum(when(col("is_clean"), col("norm2")).otherwise(lit(0.0d))
+          .cast("decimal(18,4)")).cast("double").as("sum_norm2_clean"))
+      .orderBy("label")
+  }
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3065,6 +3113,8 @@ object Queries {
     "q134_corpus_diff" -> q134,
     "q135_rank_fusion" -> q135,
     "q136_winsorize" -> q136,
+    "q137_char_entropy" -> q137,
+    "q138_embedding_qa" -> q138,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -4799,5 +4849,34 @@ object Queries {
         + "CAST(SUM(CASE WHEN p > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high, "
         + "CAST(SUM(CAST(round(wv, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_winsorized "
         + "FROM w GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q137_char_entropy" ->
+      // per-doc Shannon entropy in integer micro-nats: each ln rounded
+      // once to micro, weighted sums and the final division BIGINT
+      ("WITH ch AS (SELECT doc_id, lang, unnest(str_split(text, '')) AS c FROM documents), "
+        + "cc AS (SELECT doc_id, lang, c, COUNT(*) AS cnt FROM ch WHERE c <> '' GROUP BY ALL), "
+        + "wn AS (SELECT doc_id, lang, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS n FROM cc), "
+        + "t AS (SELECT doc_id, lang, CAST(round(ln(CAST(n AS DOUBLE) / cnt) * 1000000) AS BIGINT) * cnt AS term, n FROM wn), "
+        + "d AS (SELECT doc_id, lang, MAX(n) AS n_chars, COUNT(*) AS n_distinct, SUM(term) // MAX(n) AS em FROM t GROUP BY doc_id, lang) "
+        + "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+        + "CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct, CAST(SUM(em) AS BIGINT) AS sum_entropy_micro, "
+        + "CAST(MIN(em) AS BIGINT) AS min_entropy_micro, "
+        + "CAST(SUM(CASE WHEN em < 2500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low "
+        + "FROM d GROUP BY lang ORDER BY lang"),
+    "q138_embedding_qa" ->
+      // replay the id-derived corruption (%11 zeroed, %13 NaN-poisoned)
+      // and the scan-local gate; norms are the same left-to-right IEEE
+      // dot in both engines
+      ("WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        + "no AS (SELECT vec_id, label, CASE WHEN vec_id % 11 = 0 THEN list_transform(e, x -> CAST(0.0 AS DOUBLE)) "
+        + "WHEN vec_id % 13 = 0 THEN list_prepend(CAST('nan' AS DOUBLE), e[2:64]) ELSE e END AS e FROM e0), "
+        + "q AS (SELECT vec_id, label, len(e) AS n_dims, len(list_filter(e, x -> isnan(x) OR isinf(x))) AS n_bad, "
+        + "list_dot_product(e, e) AS n2 FROM no), "
+        + "f AS (SELECT *, (n2 = 0.0) AS is_zero, round(n2, 4) AS norm2, "
+        + "(n_bad = 0 AND n2 <> 0.0 AND n_dims = 64) AS is_clean FROM q) "
+        + "SELECT label, COUNT(*) AS n, CAST(SUM(CASE WHEN is_zero THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, "
+        + "CAST(SUM(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite, "
+        + "CAST(SUM(CASE WHEN is_clean THEN 0 ELSE 1 END) AS BIGINT) AS n_flagged, "
+        + "CAST(SUM(CAST(CASE WHEN is_clean THEN norm2 ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS sum_norm2_clean "
+        + "FROM f GROUP BY label ORDER BY label"),
   )
 }

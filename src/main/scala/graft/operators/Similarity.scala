@@ -494,6 +494,37 @@ object Similarity {
   }
 
   /**
+   * Embedding-hygiene QA — the vector-side [[TextMetrics.encodingQa]]:
+   * the gate an ANN/dedup index runs before trusting an embedding
+   * column, catching the three classic upstream failures: NaN/Inf
+   * components (a crashed encoder shard), all-zero vectors (a default
+   * the encoder emitted on empty input — cosine against them is
+   * undefined), and wrong dimensionality (mixed encoder versions).
+   *
+   * Scan-local projections: `n_dims`, `n_bad` (non-finite components),
+   * `is_zero` (squared norm exactly 0), `norm2` (squared L2, the same
+   * left-to-right IEEE sum as [[dot]], rounded to 4 dp), and
+   * `is_clean`. No shuffle — aggregation is the caller's.
+   */
+  def embeddingQa(emb: DataFrame, idCol: String, vecCol: String,
+                  expectDims: Int, keep: Seq[String] = Nil): DataFrame = {
+    val v = col(vecCol)
+    val bad = size(filter(v, x => isnan(x) || x === Double.PositiveInfinity ||
+      x === Double.NegativeInfinity)).cast("long")
+    val n2 = dot(v, v)
+    emb.select((col(idCol) +: keep.map(col)) ++ Seq(
+        size(v).cast("long").as("n_dims"),
+        bad.as("n_bad"),
+        n2.as("__n2")): _*)
+      .withColumn("is_zero", col("__n2") === 0.0d)
+      .withColumn("norm2", round(col("__n2"), 4))
+      .withColumn("is_clean",
+        col("n_bad") === 0L && !col("is_zero") &&
+          col("n_dims") === expectDims.toLong)
+      .drop("__n2")
+  }
+
+  /**
    * Hard-negative mining for contrastive / embedding training: for
    * each probe, the top-k most-similar corpus vectors that are NOT in
    * the probe's duplicate cluster. The highest-cosine non-duplicates

@@ -390,6 +390,49 @@ object TextMetrics {
       .withColumn("is_clean", col("bad_chars") === 0L)
   }
 
+  /**
+   * Character-level Shannon entropy — the gibberish/blob gate beside
+   * [[encodingQa]]: natural text sits around 2.5–3.2 nats/char, while
+   * base64 blobs, minified code, and key-mash spam land far outside
+   * that band in either direction (uniform-random high, repeated-char
+   * low). Entropy is computed in integer micro-nats, exactly:
+   * H = Σ_c (count_c · round_micro(ln(n/count_c))) div n — each ln is
+   * one IEEE-exact integer-ratio division rounded ONCE to an integer
+   * micro value (the q99 convention), the weighted sum is pure BIGINT,
+   * and the div is exact integer division, so any engine replays the
+   * gate bit-for-bit.
+   *
+   * Scale shape: one (doc, char) map-side-combined count aggregation —
+   * the exchange carries ≤ alphabet-size rows per doc (~100 for text),
+   * never the text — then one per-doc collapse.
+   *
+   * Output: one row per doc with ≥ 1 char: idCol, keep...,
+   * `n_chars`, `n_distinct`, `entropy_micro` (micro-nats/char).
+   */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String,
+                  keep: Seq[String] = Nil): DataFrame = {
+    val out = (idCol +: keep).distinct
+    val counts = graft.core.Tables.fanOut(docs)
+      .select((out.map(col) :+
+        explode(split(col(textCol), "")).as("__ch")): _*)
+      .filter(col("__ch") =!= "")
+      .groupBy((out.map(col) :+ col("__ch")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val withN = counts.withColumn("__n",
+      sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(out.map(col): _*)))
+    withN
+      .withColumn("__lnmicro",
+        round(log(col("__n").cast("double") / col("__c").cast("double"))
+          * lit(1000000.0d)).cast("long"))
+      .groupBy(out.map(col): _*)
+      .agg(max(col("__n")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__c") * col("__lnmicro")).as("__t"))
+      .withColumn("entropy_micro", expr("__t div n_chars"))
+      .drop("__t")
+  }
+
   /** Portable polynomial token hash (Rabin–Karp shape, h·31 + codepoint
     * mod 2³¹−1 over the token's chars) — the q40 fingerprint recurrence
     * applied per token, bit-identical in any engine. Computed by the

@@ -548,6 +548,25 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
       10L -> true, 11L -> false)
   }
 
+  test("embeddingQa: zero / NaN / wrong-dim vectors flag; clean ones pass") {
+    val ss = spark
+    import ss.implicits._
+    val emb = Seq(
+      (1L, Seq(0.6, 0.8)),          // clean, norm2 = 1.0
+      (2L, Seq(0.0, 0.0)),          // zero vector
+      (3L, Seq(Double.NaN, 1.0)),   // NaN component
+      (4L, Seq(1.0, 2.0, 2.0))      // wrong dimensionality
+    ).toDF("vec_id", "e")
+    val out = Similarity.embeddingQa(emb, "vec_id", "e", expectDims = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_dims"), r.getAs[Long]("n_bad"),
+          r.getAs[Boolean]("is_zero"), r.getAs[Boolean]("is_clean")))).toMap
+    out(1L) shouldBe ((2L, 0L, false, true))
+    out(2L) shouldBe ((2L, 0L, true, false))
+    out(3L) shouldBe ((2L, 1L, false, false))
+    out(4L) shouldBe ((3L, 0L, false, false))
+  }
+
   test("corpusDiff: added/removed/changed/unchanged; compare is normalized") {
     val ss = spark
     import ss.implicits._

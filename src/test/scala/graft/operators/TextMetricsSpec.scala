@@ -316,6 +316,23 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     out((3L, 2)) shouldBe (("cherry", 2L, 0.81093))
   }
 
+  test("charEntropy: hand-computed micro-nats; degenerate text scores zero") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "aabb"), // ln 2 per char -> 693147 micro-nats
+      (2L, "aaaa"), // single symbol -> exactly 0
+      (3L, "abcd")  // uniform over 4 -> ln 4 = 1386294
+    ).toDF("doc_id", "text")
+    val out = TextMetrics.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("entropy_micro")))).toMap
+    out(1L) shouldBe ((4L, 2L, 693147L))
+    out(2L) shouldBe ((4L, 1L, 0L))
+    out(3L) shouldBe ((4L, 4L, 1386294L))
+  }
+
   test("encodingQa: each corruption signature counts; tab/newline stay clean") {
     val ss = spark
     import ss.implicits._
