@@ -2235,6 +2235,25 @@ object Queries {
       .orderBy("label")
   }
 
+  /** Q139 group-wise z-score standardization (the normalization step
+    * before any cross-stratum threshold or score fusion): the hashed
+    * quality score standardized per language — exact DECIMAL moments,
+    * then a fixed-order IEEE double program for mean/var/z so both
+    * engines land on identical bits; per-lang outlier counts and the
+    * near-zero z sums are the report. */
+  val q139: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("lang"))
+    Relational.zscore(scored, Seq("lang"), "score")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("z")) > 2.0d, 1L).otherwise(0L)).as("n_outliers"),
+        sum(col("z").cast("decimal(18,4)")).cast("double").as("sum_z"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy("lang")
+  }
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3115,6 +3134,7 @@ object Queries {
     "q136_winsorize" -> q136,
     "q137_char_entropy" -> q137,
     "q138_embedding_qa" -> q138,
+    "q139_zscore" -> q139,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -4878,5 +4898,22 @@ object Queries {
         + "CAST(SUM(CASE WHEN is_clean THEN 0 ELSE 1 END) AS BIGINT) AS n_flagged, "
         + "CAST(SUM(CAST(CASE WHEN is_clean THEN norm2 ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS sum_norm2_clean "
         + "FROM f GROUP BY label ORDER BY label"),
+    "q139_zscore" ->
+      // q112's scored-doc CTEs, exact DECIMAL moments, then the same
+      // fixed-order double program for mean/var/z
+      ("WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), "
+        + "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), "
+        + "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), "
+        + "d AS (SELECT doc_id, lang, SUM(wt) AS score FROM w GROUP BY 1, 2), "
+        + "x AS (SELECT doc_id, lang, CAST(round(CAST(score AS DOUBLE), 6) AS DECIMAL(28,6)) AS xd, CAST(score AS DOUBLE) AS xv FROM d), "
+        + "m AS (SELECT lang, COUNT(*) AS n, CAST(SUM(xd) AS DOUBLE) AS s, "
+        + "CAST(SUM(CAST(xd * xd AS DECIMAL(38,12))) AS DOUBLE) AS ss FROM x GROUP BY lang), "
+        + "z AS (SELECT x.lang, CASE WHEN (ss / n - (s / n) * (s / n)) > 0 "
+        + "THEN round((xv - s / n) / sqrt(ss / n - (s / n) * (s / n)), 4) ELSE NULL END AS z FROM x JOIN m USING (lang)) "
+        + "SELECT lang, COUNT(*) AS n, CAST(SUM(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, "
+        + "CAST(SUM(CAST(z AS DECIMAL(18,4))) AS DOUBLE) AS sum_z, MIN(z) AS min_z, MAX(z) AS max_z "
+        + "FROM z GROUP BY lang ORDER BY lang"),
   )
 }

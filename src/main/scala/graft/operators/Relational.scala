@@ -446,6 +446,44 @@ object Relational {
   }
 
   /**
+   * Group-wise z-score standardization — the feature-normalization
+   * step before any scale-sensitive downstream (quality-score fusion,
+   * k-means over mixed features, threshold transfer across strata):
+   * z = (x − mean) / stddev per group, population variance.
+   *
+   * Exactness: the sums Σx and Σx² accumulate in DECIMAL over
+   * 6-dp-rounded inputs (order-exact, engine-exact); every DERIVED
+   * step — mean = double(Σx)/n, E[x²] = double(Σx²)/n, var =
+   * E[x²] − mean², z = (x − mean)/sqrt(var) — is a fixed-order IEEE
+   * double program (each op correctly rounded, so any engine
+   * replaying the same operand order lands on identical bits), with
+   * `z` rounded once to 4 dp. Groups with non-positive computed
+   * variance emit z = NULL (constant groups; no sign-flip noise).
+   *
+   * Scale shape: one map-side-combined moments aggregation (3 values
+   * per group), broadcast back, scan-local projection.
+   */
+  def zscore(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             outCol: String = "z"): DataFrame = {
+    val x = round(col(valueCol).cast("double"), 6).cast("decimal(28,6)")
+    val m = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__zn"),
+        sum(x).cast("double").as("__zs"),
+        sum((x * x).cast("decimal(38,12)")).cast("double").as("__zss"))
+      .withColumn("__zmean", col("__zs") / col("__zn"))
+      .withColumn("__zvar",
+        col("__zss") / col("__zn") - col("__zmean") * col("__zmean"))
+      .select((groupCols.map(col) :+ col("__zmean") :+ col("__zvar")): _*)
+    df.join(broadcast(m), groupCols)
+      .withColumn(outCol,
+        when(col("__zvar") > 0,
+          round((col(valueCol).cast("double") - col("__zmean")) /
+            sqrt(col("__zvar")), 4))
+          .otherwise(lit(null).cast("double")))
+      .drop("__zmean", "__zvar")
+  }
+
+  /**
    * Winsorization — the robust-statistics companion to
    * [[exactQuantiles]]: per group, values CLAMP into the exact
    * [qLow, qHigh] quantile interval instead of filtering

@@ -295,4 +295,20 @@ class RelationalSpec extends SparkTestBase {
     assert(out(8.0)._3 == 7.75)               // clipped down
     assert(out(10.0)._3 == 7.75)
   }
+
+  test("zscore: population moments, hand values; constant group is NULL") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("c", 7.0), ("c", 7.0)).toDF("g", "v")
+    val out = Relational.zscore(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (if (r.isNullAt(r.fieldIndex("z"))) None
+         else Some(r.getAs[Double]("z")))).toMap
+    // var = 2/3, std = 0.816497 -> z(1) = -1.2247
+    assert(out(("a", 1.0)) == Some(-1.2247))
+    assert(out(("a", 2.0)) == Some(0.0))
+    assert(out(("a", 3.0)) == Some(1.2247))
+    assert(out(("c", 7.0)) == None) // zero variance
+  }
 }
