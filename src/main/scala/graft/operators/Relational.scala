@@ -467,7 +467,7 @@ object Relational {
              outCol: String = "z"): DataFrame = {
     val x = round(col(valueCol).cast("double"), 6).cast("decimal(28,6)")
     val m = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__zn"),
+      .agg(count(col(valueCol)).as("__zn"), // non-null rows only
         sum(x).cast("double").as("__zs"),
         sum((x * x).cast("decimal(38,12)")).cast("double").as("__zss"))
       .withColumn("__zmean", col("__zs") / col("__zn"))

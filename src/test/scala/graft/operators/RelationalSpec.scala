@@ -311,4 +311,19 @@ class RelationalSpec extends SparkTestBase {
     assert(out(("a", 3.0)) == Some(1.2247))
     assert(out(("c", 7.0)) == None) // zero variance
   }
+
+  test("zscore: null values are excluded from the moments, not counted") {
+    val ss = spark
+    import ss.implicits._
+    // With the null counted, mean(a) would be 6/4 = 1.5 and every z shifts;
+    // excluded, the moments match the 3-row group above exactly.
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None)).toDF("g", "v")
+    val out = Relational.zscore(df, Seq("g"), "v")
+      .where(col("v").isNotNull)
+      .collect().map(r => r.getDouble(1) -> r.getAs[Double]("z")).toMap
+    assert(out(1.0) == -1.2247)
+    assert(out(2.0) == 0.0)
+    assert(out(3.0) == 1.2247)
+  }
 }
