@@ -42,7 +42,9 @@ object PlanAudit {
     // q132: hardNegatives' tiny probe-set broadcast (the q54 shape)
     "q132_hard_negatives",
     // q133: temperatureMixture's ONE-row weight-total broadcast
-    "q133_temperature_mix")
+    "q133_temperature_mix",
+    // q143: pairAffinity's ONE-row basket-total broadcast
+    "q143_basket_affinity")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 import graft.codec.Debezium
 import graft.core.{Pipeline, PipelineSpec, Tables}
 import graft.multimodal.Multimodal
-import graft.operators.{CorpusLM, Dedup, Eval, Profile, Relational, Sampling, Similarity, TextMetrics, Web}
+import graft.operators.{Affinity, Behavior, CorpusLM, Dedup, Eval, Profile, Relational, Sampling, Similarity, TextMetrics, Web}
 import graft.sources.PromText
 import graft.streaming.StreamingOps
 
@@ -2254,6 +2254,44 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q140 ordered funnel over the event stream (view → click →
+    * purchase): step i counts a user only when it happens strictly
+    * after their step-(i−1) completion — per-step reach, conversion
+    * from the previous step, and the mean inter-step gap (exact
+    * BIGINT millisecond sums; one fixed-order double division at
+    * the end). */
+  val q140: Q = (s, dir) =>
+    Behavior.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+
+  /** Q141 weekly cohort retention: users cohorted by the ISO week of
+    * their first event; the (cohort × week-offset) matrix of active
+    * users with retention against the cohort's size. */
+  val q141: Q = (s, dir) =>
+    Behavior.cohortRetention(Tables.events(s, dir), "user_id", "ts")
+
+  /** Q142 blocked fuzzy entity matching over the product-name
+    * vocabulary: pigeonhole chunk blocking (3 positional chunks,
+    * candidates share one) + the exact levenshtein ≤ 2 residual —
+    * never all-pairs. The near-duplicate name pairs a catalog-dedup
+    * (or typo'd-vocab merge) pass would reconcile. */
+  val q142: Q = (s, dir) =>
+    Relational.editBlockedPairs(Tables.part(s, dir), "p_partkey", "p_name",
+        maxDist = 2, chunks = 3)
+      .orderBy("dist", "str_a", "str_b")
+
+  /** Q143 market-basket brand affinity: baskets = orders, items = the
+    * part brands they contain (broadcast dim join, then one
+    * co-located self-join keyed by order) — support, confidence and
+    * lift per brand pair from exact BIGINT counts. */
+  val q143: Q = (s, dir) => {
+    val baskets = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    Affinity.pairAffinity(baskets, "l_orderkey", "p_brand", minSupport = 2L)
+  }
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3135,6 +3173,10 @@ object Queries {
     "q137_char_entropy" -> q137,
     "q138_embedding_qa" -> q138,
     "q139_zscore" -> q139,
+    "q140_funnel" -> q140,
+    "q141_cohort_retention" -> q141,
+    "q142_fuzzy_match" -> q142,
+    "q143_basket_affinity" -> q143,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -4915,5 +4957,60 @@ object Queries {
         + "SELECT lang, COUNT(*) AS n, CAST(SUM(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, "
         + "CAST(SUM(CAST(z AS DECIMAL(18,4))) AS DOUBLE) AS sum_z, MIN(z) AS min_z, MAX(z) AS max_z "
         + "FROM z GROUP BY lang ORDER BY lang"),
+    "q140_funnel" ->
+      // per-step earliest-qualifying-occurrence chain (min ts strictly
+      // after the previous step), exact BIGINT ms gap sums, one
+      // fixed-order double division per ratio
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events), "
+        + "s0 AS (SELECT user_id, MIN(ms) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1), "
+        + "s1 AS (SELECT e.user_id, MIN(t0) AS t0, MIN(ms) AS t1 FROM e JOIN s0 USING (user_id) "
+        + "WHERE event_type = 'click' AND ms > t0 GROUP BY 1), "
+        + "s2 AS (SELECT e.user_id, MIN(t1) AS t1, MIN(ms) AS t2 FROM e JOIN s1 USING (user_id) "
+        + "WHERE event_type = 'purchase' AND ms > t1 GROUP BY 1), "
+        + "r AS (SELECT 0 AS step_idx, 'view' AS step, COUNT(*) AS n_users, CAST(NULL AS BIGINT) AS gap FROM s0 "
+        + "UNION ALL SELECT 1, 'click', COUNT(*), CAST(SUM(t1 - t0) AS BIGINT) FROM s1 "
+        + "UNION ALL SELECT 2, 'purchase', COUNT(*), CAST(SUM(t2 - t1) AS BIGINT) FROM s2) "
+        + "SELECT step_idx, step, n_users, "
+        + "round(CAST(n_users AS DOUBLE) / lag(n_users) OVER (ORDER BY step_idx), 6) AS conv_from_prev, "
+        + "round(CAST(gap AS DOUBLE) / n_users / 1000.0, 4) AS avg_gap_s "
+        + "FROM r ORDER BY step_idx"),
+    "q141_cohort_retention" ->
+      // cohort = ISO week of first event; retention vs the cohort's
+      // offset-0 size via a window over the calendar-bounded matrix
+      ("WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS p FROM events), "
+        + "c AS (SELECT user_id, MIN(p) AS cw FROM a GROUP BY 1), "
+        + "m AS (SELECT cw AS cohort, CAST(date_diff('day', cw, p) // 7 AS INT) AS week_offset, "
+        + "COUNT(*) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2) "
+        + "SELECT cohort, week_offset, n_users, "
+        + "round(CAST(n_users AS DOUBLE) / MAX(CASE WHEN week_offset = 0 THEN n_users END) "
+        + "OVER (PARTITION BY cohort), 6) AS retention "
+        + "FROM m ORDER BY cohort, week_offset"),
+    "q142_fuzzy_match" ->
+      // the same pigeonhole blocking (3 positional chunks over each
+      // distinct name, candidates share one) and levenshtein residual
+      ("WITH reps AS (SELECT p_name AS s, MIN(p_partkey) AS id FROM part GROUP BY 1), "
+        + "g AS (SELECT id, s, CAST(ceil(length(s) / 3.0) AS INT) AS w, "
+        + "CAST(unnest(range(0, 3)) AS INT) AS i FROM reps), "
+        + "ch AS (SELECT id, s, i, substr(s, 1 + i * w, w) AS cv FROM g "
+        + "WHERE substr(s, 1 + i * w, w) <> ''), "
+        + "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS str_a, b.s AS str_b "
+        + "FROM ch a JOIN ch b ON a.i = b.i AND a.cv = b.cv AND a.id < b.id), "
+        + "d AS (SELECT id_a, id_b, str_a, str_b, CAST(levenshtein(str_a, str_b) AS INT) AS dist FROM cand) "
+        + "SELECT * FROM d WHERE dist <= 2 ORDER BY dist, str_a, str_b"),
+    "q143_basket_affinity" ->
+      // baskets = orders, items = distinct brands per order; exact
+      // BIGINT counts; lift/support/confidence replay operand order
+      ("WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i FROM lineitem "
+        + "JOIN part ON l_partkey = p_partkey), "
+        + "marg AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY 1), "
+        + "tot AS (SELECT COUNT(DISTINCT b) AS nb FROM bi), "
+        + "pairs AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_pair "
+        + "FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+        + "SELECT item_a, item_b, n_pair, ma.n AS n_a, mb.n AS n_b, "
+        + "round(CAST(n_pair AS DOUBLE) / nb, 6) AS support, "
+        + "round(CAST(n_pair AS DOUBLE) / ma.n, 6) AS confidence, "
+        + "round(CAST(n_pair AS DOUBLE) * nb / (ma.n * mb.n), 6) AS lift "
+        + "FROM pairs JOIN marg ma ON item_a = ma.i JOIN marg mb ON item_b = mb.i "
+        + "CROSS JOIN tot ORDER BY n_pair DESC, item_a, item_b"),
   )
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-sequence analytics over the `events` stream: ordered funnel
+ * conversion and cohort retention — the two reports every
+ * product-analytics consumer of an event pipeline asks for first.
+ * The reference's event plane stops at transport (connectors move the
+ * rows; Grafana reads connector gauges, `fastapi/main.py:18-63`), so
+ * these extend the engine along the analytics axis the builder's
+ * brief adds. Pure column programs: no UDFs, no collects.
+ */
+object Behavior {
+
+  /**
+   * Ordered funnel: for each user, step i counts only if it happened
+   * STRICTLY AFTER the user's step-(i-1) completion time — the
+   * standard "view → click → purchase" conversion semantics, not mere
+   * set membership. Completion time of step i is the user's EARLIEST
+   * qualifying occurrence (min ts > t_{i-1}), which makes the whole
+   * funnel deterministic and replayable.
+   *
+   * Output: one row per step — `step_idx`, `step`, `n_users`,
+   * `conv_from_prev` (round 6, NULL for step 0), `avg_gap_s`
+   * (mean seconds from the previous step's completion, computed as
+   * round(double(sum_ms)/n/1000, 4) over an EXACT BIGINT millisecond
+   * sum so both engines replay identical doubles; NULL for step 0).
+   *
+   * Scale shape: each step is one filtered slice of the event stream
+   * shuffled by user (a fraction of the input), joined to the
+   * previous step's per-user frame (one row per surviving user, k
+   * timestamps wide) on the SAME user key — hash partitioning is
+   * established once and reused down the chain. The final report
+   * window (`lag` over step_idx) runs over exactly `steps.length`
+   * rows. No per-user event lists are ever materialized.
+   */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val base = events
+      .select(col(userCol).as("__u"),
+        // UTC session pin makes the NTZ cast exact (see q17's note).
+        unix_millis(col(tsCol).cast("timestamp")).as("__ms"),
+        col(typeCol).as("__t"))
+      .where(col("__u").isNotNull && col("__ms").isNotNull)
+
+    // Per-user completion frames: frame i has (__u, __ms0..__msi).
+    val frames = steps.indices.foldLeft(Vector.empty[DataFrame]) { (acc, i) =>
+      val slice = base.where(col("__t") === steps(i)).drop("__t")
+      val next =
+        if (i == 0) slice.groupBy("__u").agg(min(col("__ms")).as("__ms0"))
+        else {
+          val prev = acc.last
+          val carried = (0 until i).map(j => min(col(s"__ms$j")).as(s"__ms$j"))
+          slice.join(prev, "__u")
+            .where(col("__ms") > col(s"__ms${i - 1}"))
+            .groupBy("__u")
+            .agg(carried.head, carried.tail :+ min(col("__ms")).as(s"__ms$i"): _*)
+        }
+      acc :+ next
+    }
+
+    val perStep = frames.zipWithIndex.map { case (f, i) =>
+      val gapSum =
+        if (i == 0) lit(null).cast("long")
+        else sum(col(s"__ms$i") - col(s"__ms${i - 1}"))
+      f.agg(count(lit(1)).as("n_users"), gapSum.as("__gap_ms"))
+        .select(lit(i).as("step_idx"), lit(steps(i)).as("step"),
+          col("n_users"), col("__gap_ms"))
+    }.reduce(_ unionByName _)
+
+    // steps.length rows total: the unpartitioned lag window is bounded
+    // by the funnel's arity, never by data.
+    val w = Window.orderBy("step_idx")
+    perStep
+      .withColumn("__prev_n", lag(col("n_users"), 1).over(w))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        round(col("n_users").cast("double") / col("__prev_n"), 6)
+          .as("conv_from_prev"),
+        round(col("__gap_ms").cast("double") / col("n_users") / lit(1000.0d), 4)
+          .as("avg_gap_s"))
+      .orderBy("step_idx")
+  }
+
+  /**
+   * Cohort retention matrix: users are cohorted by the calendar
+   * period (`unit` ∈ date_trunc's units; default ISO week) of their
+   * FIRST event; `n_users` counts cohort members active in the period
+   * `offset` units later; `retention` divides by the cohort's size
+   * (its offset-0 row — every member is active in its own first
+   * period by construction, so the denominator is total cohort size).
+   *
+   * Output: `cohort` (date), `week_offset` (int ≥ 0 — named to dodge
+   * the reserved word OFFSET in oracle SQL), `n_users`, `retention`
+   * (round 6), ordered (cohort, week_offset).
+   *
+   * Scale shape: two aggregations and one join, all keyed by user —
+   * one hash partitioning reused throughout; the widest thing
+   * shuffled is (user, period). The retention denominator comes from
+   * a window over the (cohort × offset) matrix, whose cardinality is
+   * calendar-bounded, not data-bounded.
+   */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      unit: String = "week", unitDays: Int = 7): DataFrame = {
+    val acts = events
+      .select(col(userCol).as("__u"),
+        date_trunc(unit, col(tsCol)).cast("date").as("__p"))
+      .where(col("__u").isNotNull && col("__p").isNotNull)
+      .distinct()
+    val cohorts = acts.groupBy("__u").agg(min(col("__p")).as("__c"))
+    val matrix = acts.join(cohorts, "__u")
+      .select(col("__c"),
+        (datediff(col("__p"), col("__c")) / unitDays).cast("int")
+          .as("week_offset"))
+      .groupBy(col("__c").as("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy("cohort")
+    matrix
+      .withColumn("__size",
+        max(when(col("week_offset") === 0, col("n_users"))).over(w))
+      .select(col("cohort"), col("week_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("__size"), 6).as("retention"))
+      .orderBy("cohort", "week_offset")
+  }
+}

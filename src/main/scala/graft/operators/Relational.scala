@@ -508,4 +508,60 @@ object Relational {
       .withColumn(outCol,
         least(greatest(col(valueCol).cast("double"), col(loCol)), col(hiCol)))
   }
+
+  /**
+   * Blocked fuzzy entity matching: all DISTINCT-string pairs within
+   * Levenshtein distance `maxDist`, found by pigeonhole blocking —
+   * each string splits into `chunks` positional character chunks, and
+   * a pair becomes a candidate iff SOME (chunk_index, chunk_value)
+   * matches exactly; the exact `levenshtein` residual then decides.
+   * For same-length strings and substitution edits the pigeonhole is
+   * a complete recall guarantee when `chunks > maxDist` (k
+   * substitutions can touch at most k chunks); insert/delete edits
+   * shift positions and can escape the blocks — for indel-heavy
+   * near-dup text use the n-gram MinHash family (q52) instead. This
+   * operator targets FIXED-FORMAT keys (product names, codes, typo'd
+   * vocab) where substitutions dominate.
+   *
+   * Strings dedup first (one representative row per distinct string,
+   * MIN id), so blocking cardinality is vocabulary-bounded, not
+   * corpus-bounded. Output: (id_a, id_b, str_a, str_b, dist) with
+   * id_a < id_b, one row per pair (candidates found via several
+   * chunks collapse by the pair key before the residual runs once).
+   *
+   * Scale shape: explode-by-chunks is a ×`chunks` map; the only
+   * exchange keys on (chunk_index, chunk_value) — never all-pairs;
+   * per-block fan-out is block-size², the standard blocking trade
+   * (pick `chunks` so blocks stay selective on the key format). The
+   * levenshtein residual runs post-dedup, once per candidate pair,
+   * inside codegen.
+   */
+  def editBlockedPairs(df: DataFrame, idCol: String, strCol: String,
+                       maxDist: Int, chunks: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(chunks > maxDist, "need chunks > maxDist for the pigeonhole")
+    val reps = df
+      .select(col(strCol).as("__s"), col(idCol).as("__id"))
+      .where(col("__s").isNotNull)
+      .groupBy("__s").agg(min(col("__id")).as("__id"))
+    // Positional chunks over the string's own length: chunk i covers
+    // [i*ceil(len/chunks), (i+1)*ceil(len/chunks)) — empty tail chunks
+    // (short strings) drop out of the explode.
+    val width = ceil(length(col("__s")).cast("double") / chunks).cast("int")
+    val keyed = reps.select(col("__id"), col("__s"),
+        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+          i => substring(col("__s"), lit(1) + i * width, width))))
+      .where(col("col") =!= "")
+      .select(col("__id"), col("__s"), col("pos").as("__ci"),
+        col("col").as("__cv"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.__ci") === col("b.__ci") && col("a.__cv") === col("b.__cv")
+          && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__s").as("str_a"), col("b.__s").as("str_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .where(col("dist") <= maxDist)
+  }
 }

@@ -312,6 +312,58 @@ class RelationalSpec extends SparkTestBase {
     assert(out(("c", 7.0)) == None) // zero variance
   }
 
+  test("editBlockedPairs: finds every same-length Hamming<=k pair, " +
+    "reports exact levenshtein, dedups by string") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcde"
+    // Base words + substitution variants (the operator's guarantee
+    // class) + a duplicate string under a different id.
+    val bases = Vector.fill(12)(Vector.fill(9)(alpha(rnd.nextInt(5))).mkString)
+    val variants = bases.flatMap { w =>
+      Vector.fill(2) {
+        val i = rnd.nextInt(w.length)
+        w.updated(i, alpha(rnd.nextInt(5)))
+      }
+    }
+    val words = (bases ++ variants).distinct
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .appended((999L, words.head)) // duplicate string, higher id
+      .toDF("id", "s")
+    val out = Relational.editBlockedPairs(df, "id", "s", maxDist = 2, chunks = 3)
+      .collect().map(r => (r.getAs[String]("str_a"), r.getAs[String]("str_b"))
+        -> r.getAs[Int]("dist")).toMap
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // Every reported pair: correct exact distance, within threshold.
+    out.foreach { case ((a, b), dist) =>
+      assert(dist == lev(a, b) && dist <= 2, s"($a,$b)")
+    }
+    // The guarantee class is fully recalled (hamming >= levenshtein,
+    // so these pairs also pass the residual).
+    val guaranteed = for {
+      i <- words.indices; j <- words.indices if i < j
+      if words(i).length == words(j).length
+      h = words(i).zip(words(j)).count { case (x, y) => x != y }
+      if h <= 2
+    } yield (words(i), words(j))
+    guaranteed.foreach { case (a, b) =>
+      assert(out.contains((a, b)) || out.contains((b, a)), s"missed ($a,$b)")
+    }
+    assert(guaranteed.nonEmpty)
+    // The duplicate string collapsed to one representative: no
+    // dist-0 self pair.
+    assert(!out.keys.exists { case (a, b) => a == b })
+  }
+
   test("zscore: null values are excluded from the moments, not counted") {
     val ss = spark
     import ss.implicits._
