@@ -44,7 +44,9 @@ object PlanAudit {
     // q133: temperatureMixture's ONE-row weight-total broadcast
     "q133_temperature_mix",
     // q143: pairAffinity's ONE-row basket-total broadcast
-    "q143_basket_affinity")
+    "q143_basket_affinity",
+    // q148: pageRank's ONE-row node-count broadcast per iteration
+    "q148_pagerank")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

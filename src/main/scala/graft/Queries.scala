@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 import graft.codec.Debezium
 import graft.core.{Pipeline, PipelineSpec, Tables}
 import graft.multimodal.Multimodal
-import graft.operators.{Affinity, Behavior, CorpusLM, Dedup, Eval, Profile, Relational, Sampling, Similarity, TextMetrics, Web}
+import graft.operators.{Affinity, Behavior, CorpusLM, Dedup, Eval, Graph, Profile, Relational, Sampling, Similarity, TextMetrics, Web}
 import graft.sources.PromText
 import graft.streaming.StreamingOps
 
@@ -2292,6 +2292,88 @@ object Queries {
     Affinity.pairAffinity(baskets, "l_orderkey", "p_brand", minSupport = 2L)
   }
 
+  /** Q144 gap-based sessionization (the row-level companion to q23's
+    * session windows): per-event session labels via lag + prefix sum,
+    * then the session-length distribution — how many sessions have k
+    * events, and their mean duration (exact BIGINT ms sums). */
+  val q144: Q = (s, dir) => {
+    val ms = unix_millis(col("ts").cast("timestamp"))
+    Behavior.sessionize(Tables.events(s, dir), "user_id", "ts",
+        gapSeconds = 1800L)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"), (max(ms) - min(ms)).as("__dur_ms"))
+      .groupBy("n_events")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum(col("__dur_ms")).cast("double") / count(lit(1))
+          / lit(1000.0d), 4).as("avg_duration_s"))
+      .orderBy("n_events")
+  }
+
+  /** Q145 rolling-baseline anomaly flags over the daily event-volume
+    * matrix: each (type, day) count scored against its strictly-prior
+    * 7-day window — the crawl-ops alarm for volume drops/spikes. */
+  val q145: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    Behavior.rollingZ(daily, Seq("event_type"), "day", "n", lookback = 7)
+      .withColumn("is_anomaly",
+        when(abs(col("z")) > 2.0d, lit(true)).otherwise(lit(false)))
+      .orderBy("event_type", "day")
+  }
+
+  /** Q146 A/B experiment readout: users split by id parity, success =
+    * ever purchased; the two-proportion z statistic over exact BIGINT
+    * arm counts — the readout that decides a data-mix experiment. */
+  val q146: Q = (s, dir) => {
+    val units = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(col("event_type") === "purchase").as("converted"))
+      .withColumn("variant", col("user_id") % 2 === 1)
+    Eval.twoProportionZ(units, "variant", "converted").orderBy("n_a")
+  }
+
+  /** Q147 entity resolution end-to-end: q142's blocked fuzzy pairs
+    * become entity CLUSTERS through the same min-label propagation
+    * that powers duplicate clustering (q55) — one canonical id per
+    * near-duplicate name group, with the member list. */
+  val q147: Q = (s, dir) => {
+    val part = Tables.part(s, dir)
+    val pairs = Relational.editBlockedPairs(part, "p_partkey", "p_name",
+      maxDist = 2, chunks = 3)
+    val reps = part.groupBy(col("p_name").as("name"))
+      .agg(min(col("p_partkey")).as("id"))
+    Dedup.dupClusters(pairs, "id_a", "id_b")
+      .join(reps, "id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(col("name"))), "|").as("members"))
+      .orderBy("cluster_id")
+  }
+
+  /** Q148 PageRank over the brand co-occurrence graph (edges = brand
+    * pairs sharing an order, both directions): three fixed iterations
+    * of quantized-share propagation with exact DECIMAL share sums —
+    * the link-authority weighting a crawl pipeline applies to
+    * domains. */
+  val q148: Q = (s, dir) => {
+    val bi = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("b"), col("p_brand").as("i"))
+      .distinct()
+    val pairs = bi.join(bi.select(col("b"), col("i").as("j")), "b")
+      .where(col("i") < col("j"))
+      .select(col("i").as("x"), col("j").as("y"))
+      .distinct()
+    val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(pairs.select(col("y").as("src"), col("x").as("dst")))
+    Graph.pageRank(edges, "src", "dst", iters = 3)
+      .select(col("id").as("brand"), col("degree"),
+        round(col("rank"), 6).as("pr"))
+      .orderBy(col("pr").desc, col("brand"))
+  }
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3177,6 +3259,11 @@ object Queries {
     "q141_cohort_retention" -> q141,
     "q142_fuzzy_match" -> q142,
     "q143_basket_affinity" -> q143,
+    "q144_sessionize" -> q144,
+    "q145_rolling_anomaly" -> q145,
+    "q146_ab_test" -> q146,
+    "q147_entity_resolution" -> q147,
+    "q148_pagerank" -> q148,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -5012,5 +5099,97 @@ object Queries {
         + "round(CAST(n_pair AS DOUBLE) * nb / (ma.n * mb.n), 6) AS lift "
         + "FROM pairs JOIN marg ma ON item_a = ma.i JOIN marg mb ON item_b = mb.i "
         + "CROSS JOIN tot ORDER BY n_pair DESC, item_a, item_b"),
+    "q144_sessionize" ->
+      // the same lag + prefix-sum labeling; tie orders can differ but
+      // a zero gap never opens a session, so labels agree
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events), "
+        + "t AS (SELECT user_id, ms, CASE WHEN lag(ms) OVER w IS NULL "
+        + "OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS nw "
+        + "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)), "
+        + "s AS (SELECT user_id, ms, SUM(nw) OVER (PARTITION BY user_id ORDER BY ms "
+        + "ROWS UNBOUNDED PRECEDING) AS si FROM t), "
+        + "g AS (SELECT user_id, si, COUNT(*) AS n_events, MAX(ms) - MIN(ms) AS dur "
+        + "FROM s GROUP BY 1, 2) "
+        + "SELECT n_events, COUNT(*) AS n_sessions, "
+        + "round(CAST(SUM(dur) AS DOUBLE) / COUNT(*) / 1000.0, 4) AS avg_duration_s "
+        + "FROM g GROUP BY 1 ORDER BY 1"),
+    "q145_rolling_anomaly" ->
+      // strictly-prior 7-row baseline, exact integer/decimal window
+      // sums, the same fixed-order double program for mean/var/z
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n "
+        + "FROM events GROUP BY 1, 2), "
+        + "r AS (SELECT event_type, day, n, COUNT(n) OVER w AS roll_n, "
+        + "CAST(SUM(n) OVER w AS DOUBLE) AS s, "
+        + "CAST(SUM(CAST(n AS DECIMAL(19,0)) * n) OVER w AS DOUBLE) AS ss "
+        + "FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day "
+        + "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)), "
+        + "z AS (SELECT event_type, day, n, roll_n, "
+        + "CASE WHEN roll_n >= 3 THEN round(s / roll_n, 4) END AS roll_mean, "
+        + "CASE WHEN roll_n >= 3 AND ss / roll_n - (s / roll_n) * (s / roll_n) > 0 "
+        + "THEN round((CAST(n AS DOUBLE) - s / roll_n) / "
+        + "sqrt(ss / roll_n - (s / roll_n) * (s / roll_n)), 4) END AS z FROM r) "
+        + "SELECT event_type, day, n, roll_n, roll_mean, z, "
+        + "CASE WHEN abs(z) > 2.0 THEN TRUE ELSE FALSE END AS is_anomaly "
+        + "FROM z ORDER BY event_type, day"),
+    "q146_ab_test" ->
+      // unit collapse, exact BIGINT arm counts, the pooled-rate z in
+      // the operator's exact operand order
+      ("WITH u AS (SELECT user_id, MAX(event_type = 'purchase') AS conv FROM events GROUP BY 1), "
+        + "v AS (SELECT user_id % 2 = 1 AS variant, conv FROM u), "
+        + "a AS (SELECT CAST(SUM(CASE WHEN NOT variant THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
+        + "CAST(SUM(CASE WHEN variant THEN 1 ELSE 0 END) AS BIGINT) AS n_b, "
+        + "CAST(SUM(CASE WHEN NOT variant AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c_a, "
+        + "CAST(SUM(CASE WHEN variant AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c_b FROM v), "
+        + "p AS (SELECT *, CAST(c_a AS DOUBLE) / n_a AS pa, CAST(c_b AS DOUBLE) / n_b AS pb, "
+        + "CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS pp FROM a), "
+        + "q AS (SELECT *, sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) AS se FROM p) "
+        + "SELECT n_a, n_b, c_a, c_b, round(pa, 6) AS p_a, round(pb, 6) AS p_b, "
+        + "CASE WHEN n_a > 0 AND n_b > 0 AND se > 0 THEN round((pb - pa) / se, 4) END AS z "
+        + "FROM q ORDER BY n_a"),
+    "q147_entity_resolution" ->
+      // q142's blocked pairs -> recursive-CTE transitive closure (the
+      // q55 shape) -> per-cluster member list
+      ("WITH RECURSIVE reps AS (SELECT p_name AS s, MIN(p_partkey) AS id FROM part GROUP BY 1), "
+        + "g AS (SELECT id, s, CAST(ceil(length(s) / 3.0) AS INT) AS w, "
+        + "CAST(unnest(range(0, 3)) AS INT) AS i FROM reps), "
+        + "ch AS (SELECT id, s, i, substr(s, 1 + i * w, w) AS cv FROM g "
+        + "WHERE substr(s, 1 + i * w, w) <> ''), "
+        + "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b "
+        + "FROM ch a JOIN ch b ON a.i = b.i AND a.cv = b.cv AND a.id < b.id), "
+        + "p AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, "
+        + "levenshtein(r1.s, r2.s) AS dist FROM cand "
+        + "JOIN reps r1 ON id_a = r1.id JOIN reps r2 ON id_b = r2.id) t WHERE dist <= 2), "
+        + "nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p), "
+        + "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), "
+        + "reach(id, lbl) AS (SELECT id, id FROM nodes "
+        + "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), "
+        + "cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id) "
+        + "SELECT cluster_id, COUNT(*) AS n_members, "
+        + "string_agg(s, '|' ORDER BY s) AS members "
+        + "FROM cl JOIN reps USING (id) GROUP BY 1 ORDER BY 1"),
+    "q148_pagerank" ->
+      // three unrolled iterations: quantized shares (round 12), exact
+      // DECIMAL(28,12) share sums, the same fixed-order double update
+      ("WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i FROM lineitem "
+        + "JOIN part ON l_partkey = p_partkey), "
+        + "pr AS (SELECT DISTINCT a.i AS x, b.i AS y FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i), "
+        + "e AS (SELECT x AS src, y AS dst FROM pr UNION SELECT y, x FROM pr), "
+        + "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1), "
+        + "n AS (SELECT COUNT(*) AS nn FROM deg), "
+        + "r0 AS (SELECT src AS id, round(1.0 / nn, 12) AS r FROM deg CROSS JOIN n), "
+        + "c1 AS (SELECT e.dst AS id, SUM(CAST(round(r0.r / deg.d, 12) AS DECIMAL(28,12))) AS sc "
+        + "FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY 1), "
+        + "r1 AS (SELECT deg.src AS id, round(0.15 / nn + 0.85 * CAST(COALESCE(c1.sc, 0) AS DOUBLE), 12) AS r "
+        + "FROM deg LEFT JOIN c1 ON deg.src = c1.id CROSS JOIN n), "
+        + "c2 AS (SELECT e.dst AS id, SUM(CAST(round(r1.r / deg.d, 12) AS DECIMAL(28,12))) AS sc "
+        + "FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY 1), "
+        + "r2 AS (SELECT deg.src AS id, round(0.15 / nn + 0.85 * CAST(COALESCE(c2.sc, 0) AS DOUBLE), 12) AS r "
+        + "FROM deg LEFT JOIN c2 ON deg.src = c2.id CROSS JOIN n), "
+        + "c3 AS (SELECT e.dst AS id, SUM(CAST(round(r2.r / deg.d, 12) AS DECIMAL(28,12))) AS sc "
+        + "FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1), "
+        + "r3 AS (SELECT deg.src AS id, round(0.15 / nn + 0.85 * CAST(COALESCE(c3.sc, 0) AS DOUBLE), 12) AS r "
+        + "FROM deg LEFT JOIN c3 ON deg.src = c3.id CROSS JOIN n) "
+        + "SELECT r3.id AS brand, deg.d AS degree, round(r3.r, 6) AS pr "
+        + "FROM r3 JOIN deg ON r3.id = deg.src ORDER BY pr DESC, brand"),
   )
 }

@@ -126,4 +126,71 @@ object Behavior {
         round(col("n_users").cast("double") / col("__size"), 6).as("retention"))
       .orderBy("cohort", "week_offset")
   }
+
+  /**
+   * Gap-based sessionization with PER-EVENT session assignment — the
+   * row-level companion to `StreamingOps.sessionAgg` (which aggregates
+   * into session windows; this LABELS each event so downstream logic
+   * can reason about position inside a session). Same boundary
+   * semantics as session_window's half-open [start, last+gap): a gap
+   * of exactly `gapSeconds` starts a new session.
+   *
+   * Appends `session_idx` (1-based per key, in time order): classic
+   * lag-then-prefix-sum — the new-session indicator from `lag`, then
+   * a running sum over the same key-partitioned, time-ordered window.
+   * Ties at equal timestamps are safe: a zero gap never opens a
+   * session, so every tie order yields the same labels.
+   *
+   * Scale shape: ONE shuffle by key; both window passes and any
+   * downstream per-(key, session) aggregation reuse that partitioning.
+   */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long): DataFrame = {
+    require(gapSeconds >= 1, "gapSeconds must be >= 1")
+    val ms = unix_millis(col(tsCol).cast("timestamp"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(ms)
+    val prev = lag(ms, 1).over(w)
+    val isNew = when(prev.isNull || (ms - prev >= gapSeconds * 1000L), 1L)
+      .otherwise(0L)
+    events.withColumn("session_idx",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+  }
+
+  /**
+   * Rolling z-score anomaly flags over an ordered per-group series —
+   * the alerting primitive for "today's count is off its trailing
+   * baseline" (crawl-volume drops, error-rate spikes). The baseline is
+   * the STRICTLY PRIOR `lookback` rows (never the current one, so a
+   * spike can't mask itself), with population moments from exact
+   * integer/decimal window sums and the same fixed-order double
+   * program as [[Relational.zscore]]; rows with fewer than `minN`
+   * baseline points or zero baseline variance get z = NULL.
+   *
+   * Appends: `roll_n` (baseline rows), `roll_mean` (round 4), `z`
+   * (round 4, NULL when undefined).
+   *
+   * Intended input is an already-aggregated series (e.g. daily counts
+   * per type): the window runs over a calendar-bounded matrix, not the
+   * raw corpus. Σx² accumulates in DECIMAL(38,0) so 10-digit daily
+   * counts can't overflow a BIGINT square.
+   */
+  def rollingZ(df: DataFrame, by: Seq[String], orderCol: String,
+               valueCol: String, lookback: Int, minN: Int = 3): DataFrame = {
+    require(lookback >= minN && minN >= 2, "need lookback >= minN >= 2")
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(-lookback, -1)
+    val x = col(valueCol).cast("long")
+    val xd = x.cast("decimal(19,0)")
+    val n = count(x).over(w)
+    val mean = sum(x).over(w).cast("double") / n
+    val vr = sum(xd * xd).over(w).cast("double") / n - mean * mean
+    df.withColumn("roll_n", n)
+      .withColumn("roll_mean",
+        when(n >= minN, round(mean, 4)).otherwise(lit(null).cast("double")))
+      .withColumn("z",
+        when(n >= minN && vr > 0,
+          round((x.cast("double") - mean) / sqrt(vr), 4))
+          .otherwise(lit(null).cast("double")))
+  }
 }

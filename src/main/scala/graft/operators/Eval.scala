@@ -221,4 +221,50 @@ object Eval {
           .otherwise(round(col("u2").cast("double") /
             (col("n_pos").cast("double") * col("n_neg").cast("double") * 2d), 6)))
   }
+
+  /**
+   * Two-proportion z-test — the A/B experiment readout over unit-level
+   * assignments: input ONE ROW PER UNIT with a binary `variantCol`
+   * (false = control A, true = treatment B) and boolean `successCol`.
+   * Per `by` group: counts, conversion rates, and
+   * z = (p_b − p_a) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with the pooled
+   * rate p̂ — the standard normal statistic whose |z| ≥ 1.96 is the
+   * 95% two-sided significance line.
+   *
+   * Exactness: the four counts are BIGINT from one map-side-combined
+   * aggregation; every derived value is a fixed-order double program
+   * (`p_a`/`p_b`/`p_pool` = double(c)/n, se =
+   * sqrt(p̂·(1−p̂)·(1/n_a + 1/n_b)) in exactly that operand order),
+   * rates rounded to 6, z to 4; z is NULL when either arm is empty or
+   * the pooled rate is degenerate (0 or 1 ⇒ se = 0).
+   *
+   * Scale shape: one aggregation, group-cardinality output. The unit
+   * collapse (events → one row per user) belongs to the caller, where
+   * it reuses the query's own partitioning.
+   */
+  def twoProportionZ(units: DataFrame, variantCol: String,
+                     successCol: String, by: Seq[String] = Nil): DataFrame = {
+    val z = units.groupBy(by.map(col): _*)
+      .agg(
+        sum(when(!col(variantCol), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(variantCol), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col(variantCol) && col(successCol), 1L).otherwise(0L))
+          .as("c_a"),
+        sum(when(col(variantCol) && col(successCol), 1L).otherwise(0L))
+          .as("c_b"))
+      .withColumn("__pa", col("c_a").cast("double") / col("n_a"))
+      .withColumn("__pb", col("c_b").cast("double") / col("n_b"))
+      .withColumn("__pp",
+        (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b")))
+      .withColumn("__se",
+        sqrt(col("__pp") * (lit(1.0d) - col("__pp")) *
+          (lit(1.0d) / col("n_a") + lit(1.0d) / col("n_b"))))
+    z.select((by.map(col) :+ col("n_a") :+ col("n_b") :+ col("c_a") :+
+        col("c_b") :+
+        round(col("__pa"), 6).as("p_a") :+
+        round(col("__pb"), 6).as("p_b") :+
+        when(col("n_a") > 0L && col("n_b") > 0L && col("__se") > 0d,
+          round((col("__pb") - col("__pa")) / col("__se"), 4))
+          .otherwise(lit(null).cast("double")).as("z")): _*)
+  }
 }

@@ -69,4 +69,41 @@ class BehaviorSpec extends SparkTestBase {
     assert(out(("2024-01-08", 0)) == ((1L, 1.0)))
     assert(out.size == 3)
   }
+
+  test("sessionize: a gap of exactly gapSeconds opens a session " +
+    "(session_window's half-open semantics); ties never do") {
+    val ss = spark
+    import ss.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:29:59")), // 29:59 < 30 min: same session
+      (1L, ts("2024-01-01 00:59:59")), // exactly 30 min later: NEW
+      (1L, ts("2024-01-01 00:59:59")), // tie: same session as its twin
+      (2L, ts("2024-01-01 05:00:00"))
+    ).toDF("u", "t")
+    val out = Behavior.sessionize(ev, "u", "t", gapSeconds = 1800L)
+      .groupBy("u", "session_idx").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 1L) -> 2L, (1L, 2L) -> 2L, (2L, 1L) -> 1L))
+  }
+
+  test("rollingZ: strictly-prior baseline, hand moments, null below minN") {
+    val ss = spark
+    import ss.implicits._
+    // Series 10, 10, 10, 40: the 4th row's baseline is {10,10,10}
+    // (mean 10, var 0 -> z NULL even for the spike); make the
+    // baseline {8,10,12} instead to get a defined z.
+    val df = Seq(("a", 1, 8L), ("a", 2, 10L), ("a", 3, 12L), ("a", 4, 20L))
+      .toDF("g", "t", "v")
+    val out = Behavior.rollingZ(df, Seq("g"), "t", "v", lookback = 7, minN = 3)
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(3), Option(r.getAs[java.lang.Double]("z")))).toMap
+    assert(out(1) == ((0L, None)))   // no baseline
+    assert(out(2) == ((1L, None)))   // below minN
+    assert(out(3) == ((2L, None)))
+    // baseline {8,10,12}: mean 10, pop var 8/3, z = 10/sqrt(8/3)
+    val z = BigDecimal(10.0 / math.sqrt(8.0 / 3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(4) == ((3L, Some(z))))
+  }
 }

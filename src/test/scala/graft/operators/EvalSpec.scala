@@ -154,4 +154,31 @@ class EvalSpec extends SparkTestBase with Matchers {
     r.getAs[Int]("threshold") shouldBe 10
     r.getAs[Long]("j_micro") shouldBe 1000000L
   }
+
+  test("twoProportionZ: hand counts and the textbook statistic") {
+    val ss = spark
+    import ss.implicits._
+    // A: 4 units, 1 success; B: 4 units, 3 successes.
+    val units = Seq(
+      (false, true), (false, false), (false, false), (false, false),
+      (true, true), (true, true), (true, true), (true, false)
+    ).toDF("variant", "ok")
+    val r = Eval.twoProportionZ(units, "variant", "ok").head()
+    r.getAs[Long]("n_a") shouldBe 4L
+    r.getAs[Long]("c_b") shouldBe 3L
+    r.getAs[Double]("p_a") shouldBe 0.25
+    r.getAs[Double]("p_b") shouldBe 0.75
+    // pooled 0.5: se = sqrt(.5*.5*(1/4+1/4)) = sqrt(0.125)
+    val z = BigDecimal(0.5 / math.sqrt(0.5 * 0.5 * (1.0 / 4 + 1.0 / 4)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r.getAs[Double]("z") shouldBe z
+  }
+
+  test("twoProportionZ: degenerate pooled rate yields NULL z") {
+    val ss = spark
+    import ss.implicits._
+    val units = Seq((false, false), (true, false)).toDF("variant", "ok")
+    val r = Eval.twoProportionZ(units, "variant", "ok").head()
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
 }
