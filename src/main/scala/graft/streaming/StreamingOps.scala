@@ -788,4 +788,63 @@ object StreamingOps {
           verdicts.iterator
       }
   }
+
+  /** One emission of [[funnelStream]]: the key, how many funnel steps
+    * it has completed so far (`reached`, monotone — the row with the
+    * key's max `reached` is its latest), and the completion epoch-ms
+    * of each completed step in order. */
+  case class FunnelUpdate(key: Long, reached: Int, step_ms: Seq[Long])
+
+  /**
+   * Running ordered-funnel state — the streaming twin of
+   * `Behavior.funnel`: each key's chain of step-completion times,
+   * advanced as events arrive (`mapGroupsWithState`, one emission per
+   * key per micro-batch).
+   *
+   * Exactness contract: completion times are monotone and set-once —
+   * step i completes at the FIRST event of type `steps(i)` strictly
+   * after step i−1's completion. Within a micro-batch, a key's rows
+   * are sorted by (ts, step index) before applying, so intra-batch
+   * disorder is harmless; ACROSS batches the contract is ordered
+   * replay (per-key event-time order, a replayed log) — the same
+   * replay framing the other twins' stream==batch gates use. Under
+   * it, the final state reproduces `Behavior.funnel`'s per-user
+   * frames exactly: in time order, the first qualifying occurrence
+   * IS the minimum qualifying occurrence.
+   *
+   * State at scale: at most `steps.length` longs per key — bounded by
+   * the keyspace, RocksDB-backed past executor heap like any ST8 op.
+   */
+  def funnelStream(events: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String]): Dataset[FunnelUpdate] = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val prepared = events
+      .select(col(keyCol).cast("long").as("__k"),
+        unix_millis(col(tsCol).cast("timestamp")).as("__ms"),
+        col(typeCol).as("__t"))
+      .where(col("__k").isNotNull && col("__ms").isNotNull &&
+        col("__t").isin(steps.map(lit): _*))
+      .as[(Long, Long, String)]
+    prepared
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], FunnelUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[Seq[Long]]) =>
+          val done = state.getOption.getOrElse(Seq.empty[Long]).toBuffer
+          rows.toIndexedSeq
+            .sortBy { case (_, ms, t) => (ms, stepIdx(t)) }
+            .foreach { case (_, ms, t) =>
+              val i = stepIdx(t)
+              if (i == done.length && (i == 0 || ms > done(i - 1)))
+                done += ms
+            }
+          state.update(done.toSeq)
+          FunnelUpdate(key, done.length, done.toSeq)
+      }
+  }
 }

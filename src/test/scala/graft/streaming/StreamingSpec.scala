@@ -1016,4 +1016,57 @@ class StreamingSpec extends SparkTestBase with Matchers {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     streamed shouldBe batchCodes
   }
+
+  test("funnelStream's final state reproduces batch Behavior.funnel " +
+    "on an ordered replay across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val steps = Seq("view", "click", "purchase")
+    val rows = eventRows // sorted by (ts, event_id): the ordered replay
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.funnelStream(
+        input.toDF().withColumn("tsx", col("ts").cast("timestamp")),
+        "user_id", "tsx", "event_type", steps)
+      .writeStream.format("memory").queryName("t_funnel")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    // latest emission per user = the row with max (monotone) reached
+    val finals = spark.table("t_funnel")
+      .groupByKey(_.getLong(0))
+      .reduceGroups((a, b) => if (a.getInt(1) >= b.getInt(1)) a else b)
+      .map(_._2)(org.apache.spark.sql.Encoders.row(
+        spark.table("t_funnel").schema))
+      .collect()
+      .map(r => (r.getInt(1), r.getSeq[Long](2)))
+
+    // roll the per-user chains up into the batch report's numbers
+    val got = steps.indices.map { i =>
+      val reached = finals.filter(_._1 > i)
+      val gap = if (i == 0) None
+        else Some(reached.map(f => f._2(i) - f._2(i - 1)).sum)
+      (i, reached.length.toLong,
+        gap.map(g => BigDecimal(g.toDouble / reached.length / 1000.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+
+    val want = graft.operators.Behavior.funnel(
+        rows.toSeq.toDF().withColumn("tsx", col("ts").cast("timestamp")),
+        "user_id", "tsx", "event_type", steps)
+      .collect().map(r => (r.getInt(0), r.getLong(2),
+        Option(r.getAs[java.lang.Double]("avg_gap_s")).map(_.toDouble)))
+
+    got should contain theSameElementsInOrderAs want
+    assert(finals.nonEmpty && got.head._2 > 0)
+  }
 }
