@@ -46,7 +46,10 @@ object PlanAudit {
     // q143: pairAffinity's ONE-row basket-total broadcast
     "q143_basket_affinity",
     // q148: pageRank's ONE-row node-count broadcast per iteration
-    "q148_pagerank")
+    "q148_pagerank",
+    // q151: the margin grid (q61's dimension-grid shape) + ONE-row
+    // total broadcast
+    "q151_chi_square")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

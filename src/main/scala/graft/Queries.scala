@@ -2374,6 +2374,43 @@ object Queries {
       .orderBy(col("pr").desc, col("brand"))
   }
 
+  /** Q149 subset-document dedup: documents whose whole shingle set
+    * lives inside another document's — the quoted-paragraph /
+    * wrapped-article containment case Jaccard banding structurally
+    * misses; exact by construction (min-shingle candidate anchor +
+    * full-intersection residual). */
+  val q149: Q = (s, dir) =>
+    Dedup.subsetDocPairs(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("contained_id", "container_id")
+
+  /** Q150 triangle counts + local clustering over the q148 brand
+    * graph: compact-forward enumeration, each triangle once, per-node
+    * corners — the cohesion statistic behind community/spam-farm
+    * analysis. */
+  val q150: Q = (s, dir) => {
+    val bi = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("b"), col("p_brand").as("i"))
+      .distinct()
+    val pairs = bi.join(bi.select(col("b"), col("i").as("j")), "b")
+      .where(col("i") < col("j"))
+      .select(col("i").as("x"), col("j").as("y"))
+      .distinct()
+    Graph.triangles(pairs, "x", "y")
+      .select(col("id").as("brand"), col("degree"), col("n_triangles"),
+        col("clustering"))
+      .orderBy("brand")
+  }
+
+  /** Q151 chi-square independence of language × source — the
+    * no-reference mixture-drift gate: expected mass over the FULL
+    * margin grid (zero cells included), exact integer margins, 6-dp
+    * terms summed in DECIMAL. */
+  val q151: Q = (s, dir) =>
+    Eval.chiSquareIndependence(Tables.documents(s, dir), "lang", "source")
+      .orderBy("n")
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3264,6 +3301,9 @@ object Queries {
     "q146_ab_test" -> q146,
     "q147_entity_resolution" -> q147,
     "q148_pagerank" -> q148,
+    "q149_subset_docs" -> q149,
+    "q150_triangles" -> q150,
+    "q151_chi_square" -> q151,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -5191,5 +5231,51 @@ object Queries {
         + "FROM deg LEFT JOIN c3 ON deg.src = c3.id CROSS JOIN n) "
         + "SELECT r3.id AS brand, deg.d AS degree, round(r3.r, 6) AS pr "
         + "FROM r3 JOIN deg ON r3.id = deg.src ORDER BY pr DESC, brand"),
+    "q149_subset_docs" ->
+      // exact containment: min-shingle anchored candidates (the same
+      // guaranteed generator), full-intersection residual
+      ("WITH toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM documents), "
+        + "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+        + "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), "
+        + "s AS (SELECT doc_id, ts, len(ts) AS n FROM sh WHERE len(ts) > 0), "
+        + "mins AS (SELECT doc_id, n, ts, list_aggregate(ts, 'min') AS m FROM s), "
+        + "ex AS (SELECT doc_id, unnest(ts) AS t FROM s), "
+        + "cand AS (SELECT a.doc_id AS ca, a.n AS na, a.ts AS ats, e.doc_id AS cb "
+        + "FROM mins a JOIN ex e ON a.m = e.t AND a.doc_id <> e.doc_id) "
+        + "SELECT ca AS contained_id, cb AS container_id, na AS n_contained, b.n AS n_container "
+        + "FROM cand JOIN s b ON cb = b.doc_id "
+        + "WHERE (na < b.n OR (na = b.n AND ca < cb)) "
+        + "AND len(list_intersect(ats, b.ts)) = na "
+        + "ORDER BY contained_id, container_id"),
+    "q150_triangles" ->
+      // canonical a<b edges, compact-forward 3-join, corner explode
+      ("WITH bi AS (SELECT DISTINCT l_orderkey AS bb, p_brand AS i FROM lineitem "
+        + "JOIN part ON l_partkey = p_partkey), "
+        + "e AS (SELECT DISTINCT a.i AS a, b.i AS b FROM bi a JOIN bi b ON a.bb = b.bb AND a.i < b.i), "
+        + "deg AS (SELECT id, COUNT(*) AS d FROM "
+        + "(SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1), "
+        + "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+        + "JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        + "pn AS (SELECT id, COUNT(*) AS t FROM (SELECT x AS id FROM tri "
+        + "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1) "
+        + "SELECT deg.id AS brand, deg.d AS degree, COALESCE(pn.t, 0) AS n_triangles, "
+        + "CASE WHEN deg.d >= 2 THEN round(2.0 * COALESCE(pn.t, 0) / (deg.d * (deg.d - 1)), 6) END AS clustering "
+        + "FROM deg LEFT JOIN pn USING (id) ORDER BY brand"),
+    "q151_chi_square" ->
+      // full margin grid (zero cells carry expected mass), 6-dp terms
+      // summed in DECIMAL, the operator's exact operand order
+      ("WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS o FROM documents GROUP BY 1, 2), "
+        + "rm AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1), "
+        + "cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1), "
+        + "tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells), "
+        + "grid AS (SELECT rm.a, cm.b, rm.r, cm.c FROM rm CROSS JOIN cm), "
+        + "t AS (SELECT g.a, g.b, n, round((CAST(COALESCE(cells.o, 0) AS DOUBLE) "
+        + "- CAST(g.r AS DOUBLE) * g.c / n) * (CAST(COALESCE(cells.o, 0) AS DOUBLE) "
+        + "- CAST(g.r AS DOUBLE) * g.c / n) / (CAST(g.r AS DOUBLE) * g.c / n), 6) AS term "
+        + "FROM grid g LEFT JOIN cells ON g.a = cells.a AND g.b = cells.b CROSS JOIN tot) "
+        + "SELECT COUNT(DISTINCT a) AS n_rows, COUNT(DISTINCT b) AS n_cols, "
+        + "(COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof, MAX(n) AS n, "
+        + "round(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 4) AS chi2 "
+        + "FROM t ORDER BY n"),
   )
 }

@@ -957,4 +957,52 @@ object Dedup {
           (col("__n1") + col("__n2") - col("__i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /**
+   * Subset-document pairs: documents whose ENTIRE shingle set occurs
+   * inside another document's — the true-containment case Jaccard
+   * banding structurally misses (a paragraph quoted inside a long doc
+   * has |A∩B|/|A| = 1 but tiny Jaccard, so [[nearDupPairs]]' S-curve
+   * never surfaces it; eval-side verbatim leaks are q70's broadcast
+   * dictionary — this is the corpus-internal variant).
+   *
+   * EXACT, with a guaranteed candidate generator: if A ⊆ B then A's
+   * MINIMUM shingle hash is in B, so pairing each doc's min-shingle
+   * row against the corpus shingle table recalls every subset pair by
+   * construction; the residual then checks |A∩B| = |A| exactly.
+   * Output: (contained_id, container_id, n_contained, n_container),
+   * strict-or-tie direction (smaller set contained; equal sets — the
+   * exact-duplicate case — ordered by id).
+   *
+   * Scale shape: the candidate join keys on ONE 8-byte shingle hash
+   * per doc against the distinct (doc, shingle) relation — block size
+   * is that shingle's document frequency, so a boilerplate-heavy
+   * min-shingle is the skew case (AQE skew-join; or raise
+   * shingleWidth so windows individuate). Residual intersections run
+   * on hash rows only; text never crosses the wire.
+   */
+  def subsetDocPairs(docs: DataFrame, idCol: String, textCol: String,
+                     shingleWidth: Int = 3): DataFrame = {
+    val sh = shingleHashRows(docs, idCol, textCol, shingleWidth)
+    val counts = sh.groupBy("__id")
+      .agg(count(lit(1)).as("__n"), min(col("__sh")).as("__min"))
+    val cand = counts
+      .select(col("__id").as("__a"), col("__n").as("__na"), col("__min"))
+      .join(sh.select(col("__id").as("__b"), col("__sh")),
+        col("__min") === col("__sh"))
+      .filter(col("__a") =!= col("__b"))
+      .select(col("__a"), col("__na"), col("__b"))
+    cand
+      .join(counts.select(col("__id").as("__b"), col("__n").as("__nb")), "__b")
+      .filter(col("__na") < col("__nb") ||
+        (col("__na") === col("__nb") && col("__a") < col("__b")))
+      .join(sh.alias("s1"), col("__a") === col("s1.__id"))
+      .join(sh.alias("s2"),
+        col("__b") === col("s2.__id") && col("s1.__sh") === col("s2.__sh"))
+      .groupBy("__a", "__na", "__b", "__nb")
+      .agg(count(lit(1)).as("__i"))
+      .filter(col("__i") === col("__na"))
+      .select(col("__a").as("contained_id"), col("__b").as("container_id"),
+        col("__na").as("n_contained"), col("__nb").as("n_container"))
+  }
 }

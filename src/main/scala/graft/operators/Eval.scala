@@ -267,4 +267,52 @@ object Eval {
           round((col("__pb") - col("__pa")) / col("__se"), 4))
           .otherwise(lit(null).cast("double")).as("z")): _*)
   }
+
+  /**
+   * Chi-square test of independence over a two-way contingency — the
+   * mixture-drift gate that needs no reference distribution: "is
+   * `colB` independent of `colA`?" (source × language, variant ×
+   * outcome). Zero-observed cells still carry their EXPECTED mass, so
+   * the grid is the full cross of observed margins (missing cells
+   * count as o = 0 — dropping them understates χ²).
+   *
+   * Exactness: observed counts and margins are BIGINT; each cell term
+   * (o − e)²/e — with e = r·c/N in exactly that double operand order —
+   * rounds once to 6 dp and the terms sum in DECIMAL (order-exact), so
+   * both engines land on identical bits. Output one row: `n_rows`
+   * (distinct A), `n_cols` (distinct B), `dof`, `n`, `chi2` (round 4).
+   *
+   * Scale shape: one map-side-combined (A, B) count aggregation is the
+   * only pass over data; margins and the N total derive from it
+   * (margin-cardinality frames, broadcast back over the margin grid —
+   * the q61 dimension-grid shape). The grid is |A|·|B| cells:
+   * categorical-cardinality-bounded, never data-bounded.
+   */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+                            colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowM = cells.groupBy("__a").agg(sum(col("__o")).as("__r"))
+    val colM = cells.groupBy("__b").agg(sum(col("__o")).as("__c"))
+    val grid = rowM.crossJoin(broadcast(colM))
+    val tot = cells.agg(sum(col("__o")).as("__n"))
+    val terms = grid
+      .join(cells, Seq("__a", "__b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__e",
+        col("__r").cast("double") * col("__c") / col("__n"))
+      .withColumn("__term",
+        round((coalesce(col("__o"), lit(0L)).cast("double") - col("__e")) *
+          (coalesce(col("__o"), lit(0L)).cast("double") - col("__e")) /
+          col("__e"), 6))
+    terms.agg(
+        countDistinct(col("__a")).as("n_rows"),
+        countDistinct(col("__b")).as("n_cols"),
+        max(col("__n")).as("n"),
+        sum(col("__term").cast("decimal(28,6)")).as("__chi"))
+      .select(col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        col("n"),
+        round(col("__chi").cast("double"), 4).as("chi2"))
+  }
 }

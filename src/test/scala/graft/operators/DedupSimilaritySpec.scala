@@ -610,4 +610,25 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
       "vec_id", "e", k = 1).head()
     naive.getAs[Long]("neighbor_id") shouldBe 1L
   }
+
+  test("subsetDocPairs: finds true containment at tiny Jaccard, " +
+    "orients exact-dup ties by id, ignores partial overlap") {
+    val ss = spark
+    import ss.implicits._
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),            // 2 shingles
+      (2L, s"$filler alpha beta gamma delta"),   // contains doc 1; J tiny
+      (3L, "alpha beta gamma epsilon"),          // shares 1 of doc 1's 2
+      (4L, "alpha beta gamma delta"),            // exact dup of doc 1
+      (5L, "zeta eta theta iota kappa")          // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.subsetDocPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // containment pairs: 1⊆2, 4⊆2, and the 1==4 tie oriented 1<4
+    assert(out.keySet == Set((1L, 2L), (4L, 2L), (1L, 4L)))
+    assert(out((1L, 2L)) == ((2L, 42L))) // 44 words -> 42 shingles
+    assert(out((1L, 4L)) == ((2L, 2L)))
+  }
 }

@@ -181,4 +181,23 @@ class EvalSpec extends SparkTestBase with Matchers {
     val r = Eval.twoProportionZ(units, "variant", "ok").head()
     assert(r.isNullAt(r.fieldIndex("z")))
   }
+
+  test("chiSquareIndependence: zero on independence, hand 2x2, " +
+    "zero cells carry expected mass") {
+    val ss = spark
+    import ss.implicits._
+    val indep = (Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(10)(("y", "v"))).toDF("a", "b")
+    val r0 = Eval.chiSquareIndependence(indep, "a", "b").head()
+    r0.getAs[Double]("chi2") shouldBe 0.0
+    r0.getAs[Long]("dof") shouldBe 1L
+
+    // perfect association with two EMPTY cells: each of the 4 grid
+    // cells contributes (o-10)^2/10 = 10 -> chi2 = 40
+    val dep = (Seq.fill(20)(("x", "u")) ++ Seq.fill(20)(("y", "v")))
+      .toDF("a", "b")
+    val r1 = Eval.chiSquareIndependence(dep, "a", "b").head()
+    r1.getAs[Long]("n") shouldBe 40L
+    r1.getAs[Double]("chi2") shouldBe 40.0
+  }
 }

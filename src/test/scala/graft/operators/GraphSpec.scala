@@ -49,4 +49,25 @@ class GraphSpec extends SparkTestBase with Matchers {
     assert(out.values.toSet.size == 1)
     assert(math.abs(out.values.sum - 1.0) < 1e-6)
   }
+
+  test("triangles: K4 counts, pendant node, clustering values") {
+    val ss = spark
+    import ss.implicits._
+    // K4 on {a,b,c,d} (4 triangles, 3 per node, clustering 1) plus a
+    // pendant e attached to a (degree 1: clustering NULL). Edges given
+    // in mixed orientations + one duplicate to exercise canonicalize.
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+      ("c", "b"), ("b", "d"), ("d", "c"), ("e", "a")).toDF("s", "d")
+    val out = Graph.triangles(e, "s", "d")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          Option(r.getAs[java.lang.Double]("clustering")))).toMap
+    assert(out("b") == ((3L, 3L, Some(1.0))))
+    assert(out("c") == ((3L, 3L, Some(1.0))))
+    assert(out("d") == ((3L, 3L, Some(1.0))))
+    // a has degree 5's worth? no: a-b, a-c, a-d, a-e = 4; 3 triangles
+    // among {b,c,d}: clustering = 2*3/(4*3) = 0.5
+    assert(out("a") == ((4L, 3L, Some(0.5))))
+    assert(out("e") == ((1L, 0L, None)))
+  }
 }
