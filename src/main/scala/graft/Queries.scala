@@ -2411,6 +2411,48 @@ object Queries {
     Eval.chiSquareIndependence(Tables.documents(s, dir), "lang", "source")
       .orderBy("n")
 
+  /** Q152 concurrent-session detection through the interval-overlap
+    * join: each user's sessions (q144's labels), expanded by half a
+    * gap on each side, overlap-joined against every OTHER user's —
+    * "who is active within 30 minutes of whom" — per user: sessions,
+    * sessions with a concurrent partner, distinct partners. The
+    * bucketed overlap join pairs intervals by covered time bucket and
+    * emits each pair exactly once in its canonical bucket — no
+    * all-pairs, no nested loop. */
+  val q152: Q = (s, dir) => {
+    val ms = unix_millis(col("ts").cast("timestamp"))
+    val sess = Behavior.sessionize(Tables.events(s, dir), "user_id", "ts",
+        gapSeconds = 1800L)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg((min(ms) - 900000L).as("s_ms"), (max(ms) + 900000L).as("e_ms"))
+    val l = sess.select(col("user_id").as("u1"), col("session_idx").as("x1"),
+      col("s_ms").as("s1"), col("e_ms").as("e1"))
+    val r = sess.select(col("user_id").as("u2"), col("s_ms").as("s2"),
+      col("e_ms").as("e2"))
+    val overlaps = Relational.intervalOverlapJoin(l, col("s1"), col("e1"),
+        r, col("s2"), col("e2"), bucketWidth = 1800000.0)
+      .where(col("u1") =!= col("u2"))
+      .groupBy("u1")
+      .agg(countDistinct(col("x1")).as("__no"),
+        countDistinct(col("u2")).as("__np"))
+    sess.groupBy(col("user_id").as("u1"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .join(overlaps, Seq("u1"), "left")
+      .select(col("u1").as("user_id"), col("n_sessions"),
+        coalesce(col("__no"), lit(0L)).as("n_overlap_sessions"),
+        coalesce(col("__np"), lit(0L)).as("n_partners"))
+      .orderBy("user_id")
+  }
+
+  /** Q153 key-skew diagnostics over lineitem's join keys — the report
+    * that decides salting factors and partition sizing before any big
+    * join ships: per key column the hottest key, its share, and the
+    * Gini of the key-frequency distribution. */
+  val q153: Q = (s, dir) =>
+    Profile.keySkew(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))
+      .orderBy("col_name")
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3304,6 +3346,8 @@ object Queries {
     "q149_subset_docs" -> q149,
     "q150_triangles" -> q150,
     "q151_chi_square" -> q151,
+    "q152_session_overlap" -> q152,
+    "q153_key_skew" -> q153,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -5277,5 +5321,52 @@ object Queries {
         + "(COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof, MAX(n) AS n, "
         + "round(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 4) AS chi2 "
         + "FROM t ORDER BY n"),
+    "q152_session_overlap" ->
+      // q144's session CTEs -> expanded intervals -> the SAME bucketed
+      // overlap program (covered-bucket explode, canonical-bucket
+      // single emission) -> per-user concurrency roll-up
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events), "
+        + "t AS (SELECT user_id, ms, CASE WHEN lag(ms) OVER w IS NULL "
+        + "OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS nw "
+        + "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)), "
+        + "sx AS (SELECT user_id, ms, SUM(nw) OVER (PARTITION BY user_id ORDER BY ms "
+        + "ROWS UNBOUNDED PRECEDING) AS si FROM t), "
+        + "sess AS (SELECT user_id, si, MIN(ms) - 900000 AS s_ms, MAX(ms) + 900000 AS e_ms "
+        + "FROM sx GROUP BY 1, 2), "
+        + "lb AS (SELECT user_id AS u1, si AS x1, s_ms AS s1, e_ms AS e1, "
+        + "unnest(range(CAST(floor(s_ms / 1800000.0) AS BIGINT), "
+        + "CAST(floor(e_ms / 1800000.0) AS BIGINT) + 1)) AS bk FROM sess), "
+        + "rb AS (SELECT user_id AS u2, s_ms AS s2, e_ms AS e2, "
+        + "unnest(range(CAST(floor(s_ms / 1800000.0) AS BIGINT), "
+        + "CAST(floor(e_ms / 1800000.0) AS BIGINT) + 1)) AS bk FROM sess), "
+        + "ov AS (SELECT u1, x1, u2 FROM lb JOIN rb USING (bk) "
+        + "WHERE s1 <= e2 AND s2 <= e1 "
+        + "AND bk = CAST(floor(greatest(s1, s2) / 1800000.0) AS BIGINT) "
+        + "AND u1 <> u2), "
+        + "agg AS (SELECT u1, COUNT(DISTINCT x1) AS no, COUNT(DISTINCT u2) AS np "
+        + "FROM ov GROUP BY 1), "
+        + "base AS (SELECT user_id AS u1, COUNT(*) AS n_sessions FROM sess GROUP BY 1) "
+        + "SELECT base.u1 AS user_id, n_sessions, COALESCE(no, 0) AS n_overlap_sessions, "
+        + "COALESCE(np, 0) AS n_partners FROM base LEFT JOIN agg USING (u1) ORDER BY user_id"),
+    "q153_key_skew" ->
+      // the same compressed (col, key, count) relation, ascending-rank
+      // Gini with an exact DECIMAL numerator, desc-rank top key
+      ("WITH m AS (SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem "
+        + "UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem "
+        + "UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem "
+        + "UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem), "
+        + "c AS (SELECT col_name, v, COUNT(*) AS cnt FROM m WHERE v IS NOT NULL GROUP BY 1, 2), "
+        + "s AS (SELECT col_name, COUNT(*) AS k, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1), "
+        + "r AS (SELECT c.col_name, c.v, c.cnt, s.k, s.n, "
+        + "row_number() OVER (PARTITION BY c.col_name ORDER BY c.cnt, c.v) AS i, "
+        + "row_number() OVER (PARTITION BY c.col_name ORDER BY c.cnt DESC, c.v DESC) AS j "
+        + "FROM c JOIN s USING (col_name)), "
+        + "g AS (SELECT col_name, MAX(n) AS n_rows, MAX(k) AS n_keys, MAX(cnt) AS max_key_rows, "
+        + "SUM(CAST(2 * i - k - 1 AS DECIMAL(19,0)) * cnt) AS gn FROM r GROUP BY 1), "
+        + "tk AS (SELECT col_name, v AS top_key FROM r WHERE j = 1) "
+        + "SELECT g.col_name, n_rows, n_keys, max_key_rows, top_key, "
+        + "round(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS top_share, "
+        + "round(CAST(gn AS DOUBLE) / (CAST(n_keys AS DOUBLE) * n_rows), 6) AS gini "
+        + "FROM g JOIN tk USING (col_name) ORDER BY col_name"),
   )
 }

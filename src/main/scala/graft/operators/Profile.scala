@@ -128,4 +128,59 @@ object Profile {
         (col("__m") + (col("bucket") + 1) * col("__s") / buckets).as("hi"),
         col("cnt"))
   }
+
+  /**
+   * Key-skew diagnostics — the report that DECIDES the engine's own
+   * skew machinery (salting factors in `Relational.saltedJoin`, AQE
+   * skew thresholds, partition-count sizing): per candidate key
+   * column, the row/key counts, the hottest key and its share, and
+   * the Gini coefficient of the key-frequency distribution
+   * (0 = uniform, →1 = one hot key owns everything), from
+   * G = Σᵢ (2i − k − 1)·cᵢ / (k·n) over ascending-sorted counts —
+   * the numerator stays EXACT in DECIMAL(38,0), the one division is a
+   * fixed-order double rounded to 6.
+   *
+   * Output per column: `col_name, n_rows, n_keys, max_key_rows,
+   * top_key` (ties → greatest key string), `top_share`, `gini`.
+   * Nulls are excluded (they are a null-RATE question — `numeric`/
+   * `strings` report those).
+   *
+   * Scale shape: one melted scan collapses to the (col, key, count)
+   * relation via a map-side-combined aggregate — the only data-sized
+   * exchange, ~24 B per distinct key. The rank window then sorts
+   * key-cardinality rows per column (ndv-bounded, the same contract
+   * as [[strings]]; a near-unique key column makes this ndv ≈ rows —
+   * exactly the column whose skew report you don't need).
+   */
+  def keySkew(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "Profile.keySkew: need at least one column")
+    val melted = df
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("k"))
+      }: _*)).as("m"))
+      .select(col("m.col_name").as("col_name"), col("m.k").as("__v"))
+      .where(col("__v").isNotNull)
+    val counts = melted.groupBy("col_name", "__v")
+      .agg(count(lit(1)).as("__c"))
+    val sizes = counts.groupBy("col_name")
+      .agg(count(lit(1)).as("__k"), sum(col("__c")).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name").orderBy(col("__c"), col("__v"))
+    counts.join(broadcast(sizes), "col_name")
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__g",
+        (lit(2L) * col("__i") - col("__k") - lit(1L)).cast("decimal(19,0)")
+          * col("__c"))
+      .groupBy("col_name")
+      .agg(max(col("__n")).as("n_rows"), max(col("__k")).as("n_keys"),
+        max(col("__c")).as("max_key_rows"),
+        max(struct(col("__c"), col("__v"))).getField("__v").as("top_key"),
+        sum(col("__g")).as("__gn"))
+      .select(col("col_name"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"), col("top_key"),
+        round(col("max_key_rows").cast("double") / col("n_rows"), 6)
+          .as("top_share"),
+        round(col("__gn").cast("double") /
+          (col("n_keys").cast("double") * col("n_rows")), 6).as("gini"))
+  }
 }

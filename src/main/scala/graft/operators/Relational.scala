@@ -399,6 +399,50 @@ object Relational {
   }
 
   /**
+   * Interval-overlap theta join without a nested loop — the
+   * interval×interval companion to [[intervalPointJoin]] (temporal
+   * "concurrent validity" joins: overlapping sessions, colliding
+   * reservations, co-active experiment windows). Both sides explode to
+   * the fixed-width buckets their interval covers and pair up by
+   * bucket equi-join; each overlapping pair is emitted EXACTLY once —
+   * in the canonical bucket floor(max(lo_l, lo_r)/w), which both sides
+   * cover whenever the intervals overlap — so no distinct pass is
+   * needed. Overlap is closed-interval: lo_l ≤ hi_r ∧ lo_r ≤ hi_l.
+   *
+   * Scale shape: one bucket-keyed shuffle of each side at ×(span/w)
+   * fan-out; the per-bucket join is the dense-time skew case (AQE
+   * skew-join), and `bucketWidth` trades fan-out against bucket
+   * density exactly as in [[intervalPointJoin]]. Same loud failure on
+   * an interval spanning more than `maxBucketsPerInterval` buckets.
+   */
+  def intervalOverlapJoin(left: DataFrame, lLo: Column, lHi: Column,
+                          right: DataFrame, rLo: Column, rHi: Column,
+                          bucketWidth: Double,
+                          maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val taken = left.columns ++ right.columns
+    val bkt = fresh("__bucket", taken)
+    def exploded(df: DataFrame, lo: Column, hi: Column): DataFrame = {
+      val blo = floor(lo / bucketWidth).cast("long")
+      val bhi = floor(hi / bucketWidth).cast("long")
+      val span = bhi - blo
+      df.filter(hi >= lo)
+        .withColumn(bkt, explode(
+          when(span > maxBucketsPerInterval.toLong,
+            raise_error(concat(
+              lit("intervalOverlapJoin: interval spans "), span,
+              lit(s" buckets > max $maxBucketsPerInterval; increase bucketWidth"))))
+            .otherwise(sequence(blo, bhi))))
+    }
+    exploded(left, lLo, lHi)
+      .join(exploded(right, rLo, rHi).withColumnRenamed(bkt, bkt + "_r"),
+        col(bkt) === col(bkt + "_r"))
+      .where(lLo <= rHi && rLo <= lHi &&
+        col(bkt) === floor(greatest(lLo, rLo) / bucketWidth).cast("long"))
+      .drop(bkt, bkt + "_r")
+  }
+
+  /**
    * Bloom-pruned semi-join (an explicit runtime filter): keep `big` rows
    * whose `bigKey` appears in `keys.keyCol`, pruning the big side with a
    * compact Bloom filter BEFORE the join's exchange ever sees it.

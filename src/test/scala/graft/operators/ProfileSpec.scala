@@ -104,4 +104,34 @@ class ProfileSpec extends SparkTestBase with Matchers {
       .orderBy("col_name").collect().map(_.toSeq)
     many shouldBe one
   }
+
+  test("keySkew: uniform key is ~0 Gini, hot key dominates, hand values") {
+    val ss = spark
+    import ss.implicits._
+    // u: 4 keys x 5 rows (uniform -> Gini 0)
+    // h: counts {a:17, b:1, c:1, d:1}: sorted asc (1,1,1,17), k=4, n=20
+    //    gn = (2-5)*1 + (4-5)*1 + (6-5)*1 + (8-5)*17 = 48 -> 48/80 = 0.6
+    val rows = (0 until 20).map { i =>
+      (s"k${i % 4}", if (i < 17) "a" else Seq("b", "c", "d")(i - 17))
+    }
+    val out = Profile.keySkew(rows.toDF("u", "h"), Seq("u", "h"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getAs[Double]("top_share"), r.getAs[Double]("gini"))).toMap
+    assert(out("u") == ((20L, 4L, 5L, "k3", 0.25, 0.0)))
+    assert(out("h") == ((20L, 4L, 17L, "a", 0.85, 0.6)))
+  }
+
+  test("keySkew: nulls are excluded, report is partition-order independent") {
+    val ss = spark
+    import ss.implicits._
+    val rows = (1 to 100).map(i =>
+      (if (i % 10 == 0) None else Some(s"k${i % 3}")))
+    val one = Profile.keySkew(rows.toDF("a").repartition(1), Seq("a"))
+      .collect().map(_.toSeq)
+    val many = Profile.keySkew(rows.toDF("a").repartition(13), Seq("a"))
+      .collect().map(_.toSeq)
+    many shouldBe one
+    assert(one.head(1) == 90L) // 10 nulls dropped
+  }
 }

@@ -312,6 +312,31 @@ class RelationalSpec extends SparkTestBase {
     assert(out(("c", 7.0)) == None) // zero variance
   }
 
+  test("intervalOverlapJoin matches the naive theta join on random " +
+    "intervals, exactly once per pair") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(11)
+    val li = (1 to 120).map { i =>
+      val lo = rnd.nextInt(1000).toDouble; (i.toLong, lo, lo + rnd.nextInt(80))
+    }
+    val ri = (1 to 120).map { i =>
+      val lo = rnd.nextInt(1000).toDouble; (i.toLong, lo, lo + rnd.nextInt(80))
+    }
+    val l = li.toDF("lid", "lo1", "hi1")
+    val r = ri.toDF("rid", "lo2", "hi2")
+    val got = Relational.intervalOverlapJoin(l, col("lo1"), col("hi1"),
+        r, col("lo2"), col("hi2"), bucketWidth = 25.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val want = for {
+      (a, l1, h1) <- li; (b, l2, h2) <- ri
+      if l1 <= h2 && l2 <= h1
+    } yield (a, b)
+    assert(got.length == got.distinct.length) // exactly-once emission
+    assert(got.toSet == want.toSet)
+    assert(want.nonEmpty)
+  }
+
   test("editBlockedPairs: finds every same-length Hamming<=k pair, " +
     "reports exact levenshtein, dedups by string") {
     val ss = spark
