@@ -2453,6 +2453,33 @@ object Queries {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))
       .orderBy("col_name")
 
+  /** Q154 MAD outlier gate (q139's robust twin): per-returnflag median
+    * and median-absolute-deviation of extended price through two
+    * passes of the exact quantile program; rows beyond 3·MAD flagged —
+    * the heavy-tail-safe outlier report a mean/stddev z can't give. */
+  val q154: Q = (s, dir) =>
+    Relational.madOutliers(Tables.lineitem(s, dir), Seq("l_returnflag"),
+        "l_extendedprice", k = 3.0)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 4).as("med"),
+        round(max(col("mad")), 4).as("mad"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("l_returnflag")
+
+  /** Q155 first-order event-type transition matrix: the empirical
+    * Markov chain over each user's (ts, event_id)-ordered sequence —
+    * counts and row-normalized probabilities, type²-bounded. */
+  val q155: Q = (s, dir) =>
+    Behavior.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
+      "event_type", "event_id")
+
+  /** Q156 engagement pulse: per active day, exact DAU, trailing 7-day
+    * WAU via a ×7 covered-day fan-out (no range join, no window over
+    * users), and the DAU/WAU stickiness ratio. */
+  val q156: Q = (s, dir) =>
+    Behavior.engagement(Tables.events(s, dir), "user_id", "ts")
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3348,6 +3375,9 @@ object Queries {
     "q151_chi_square" -> q151,
     "q152_session_overlap" -> q152,
     "q153_key_skew" -> q153,
+    "q154_mad_outliers" -> q154,
+    "q155_transition_matrix" -> q155,
+    "q156_engagement" -> q156,
   )
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
@@ -5368,5 +5398,39 @@ object Queries {
         + "round(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS top_share, "
         + "round(CAST(gn AS DOUBLE) / (CAST(n_keys AS DOUBLE) * n_rows), 6) AS gini "
         + "FROM g JOIN tk USING (col_name) ORDER BY col_name"),
+    "q154_mad_outliers" ->
+      // two quantile_cont passes (the q42 exactQuantiles pairing),
+      // 6-dp-quantized deviations and MAD before the 3*MAD compare
+      ("WITH med AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med "
+        + "FROM lineitem GROUP BY 1), "
+        + "d AS (SELECT l.l_returnflag, med.med, "
+        + "round(abs(CAST(l_extendedprice AS DOUBLE) - med.med), 6) AS dev "
+        + "FROM lineitem l JOIN med USING (l_returnflag)), "
+        + "mad AS (SELECT l_returnflag, round(quantile_cont(dev, 0.5), 6) AS mad "
+        + "FROM d GROUP BY 1) "
+        + "SELECT d.l_returnflag, COUNT(*) AS n, round(MAX(d.med), 4) AS med, "
+        + "round(MAX(mad.mad), 4) AS mad, "
+        + "CAST(SUM(CASE WHEN dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+        + "FROM d JOIN mad USING (l_returnflag) GROUP BY 1 ORDER BY 1"),
+    "q155_transition_matrix" ->
+      // the same (ts, event_id)-total-ordered lag chain and
+      // row-normalized matrix
+      ("WITH t AS (SELECT user_id, event_type, lag(event_type) OVER "
+        + "(PARTITION BY user_id ORDER BY ts, event_id) AS f FROM events), "
+        + "m AS (SELECT f AS from_type, event_type AS to_type, COUNT(*) AS n "
+        + "FROM t WHERE f IS NOT NULL GROUP BY 1, 2) "
+        + "SELECT from_type, to_type, n, "
+        + "round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p "
+        + "FROM m ORDER BY from_type, to_type"),
+    "q156_engagement" ->
+      // exact DAU/WAU via the same covered-day fan-out
+      ("WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), "
+        + "dau AS (SELECT d AS day, COUNT(*) AS dau FROM a GROUP BY 1), "
+        + "cov AS (SELECT user_id, CAST(unnest(range(CAST(d AS TIMESTAMP), "
+        + "CAST(d AS TIMESTAMP) + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE) AS day FROM a), "
+        + "wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM cov GROUP BY 1) "
+        + "SELECT dau.day, dau.dau, wau.wau, "
+        + "round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness "
+        + "FROM dau JOIN wau USING (day) ORDER BY day"),
   )
 }

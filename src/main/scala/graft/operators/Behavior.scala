@@ -193,4 +193,64 @@ object Behavior {
           round((x.cast("double") - mean) / sqrt(vr), 4))
           .otherwise(lit(null).cast("double")))
   }
+
+  /**
+   * First-order event-type transition matrix (the empirical Markov
+   * chain over each key's event sequence): consecutive-event (from,
+   * to) counts and row-normalized transition probabilities — the
+   * "what happens after an error" readout, and the generative model a
+   * session-simulation harness samples from.
+   *
+   * Sequence order is (ts, tie-break column) per key — pass a unique
+   * `tieCol` (an event id) so the lag chain is total-ordered and the
+   * matrix replays exactly. Output: (`from_type`, `to_type`, `n`,
+   * `p` = round(n / row_total, 6)), ordered.
+   *
+   * Scale shape: one shuffle by key for the lag window, then a
+   * type²-bounded count matrix; the row-total window runs over that
+   * matrix, not the data.
+   */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val m = events
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .where(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rw = Window.partitionBy("from_type")
+    m.withColumn("__rt", sum(col("n")).over(rw))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__rt"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /**
+   * Engagement / stickiness report: per active day, DAU, trailing
+   * 7-day WAU, and DAU/WAU — the product-analytics pulse metric.
+   * Exact distinct users, no approximation: each (user, day) activity
+   * row fans out to the ≤ 7 future days it keeps the user
+   * "weekly-active" for (a ×7 map, never a range join), and WAU is a
+   * distinct count per covered day — state is calendar × users
+   * bounded. Days with zero activity don't appear (the spine is the
+   * observed-activity days).
+   *
+   * Output: (`day`, `dau`, `wau`, `stickiness` = round(dau/wau, 6)).
+   */
+  def engagement(events: DataFrame, userCol: String,
+                 tsCol: String): DataFrame = {
+    val act = events
+      .select(col(userCol).as("__u"), col(tsCol).cast("date").as("__d"))
+      .where(col("__u").isNotNull && col("__d").isNotNull)
+      .distinct()
+    val dau = act.groupBy(col("__d").as("day")).agg(count(lit(1)).as("dau"))
+    val wau = act
+      .select(col("__u"),
+        explode(sequence(col("__d"), date_add(col("__d"), 6))).as("day"))
+      .groupBy("day").agg(countDistinct(col("__u")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
 }

@@ -554,6 +554,36 @@ object Relational {
   }
 
   /**
+   * Median-absolute-deviation outlier flags — the robust companion to
+   * [[zscore]] (a mean/stddev z is itself dragged by the outliers it
+   * hunts; median and MAD have a 50% breakdown point, the standard
+   * robust gate for heavy-tailed quality scores). Two passes of the
+   * exact distributed quantile program: the per-group median, then the
+   * median of |x − med|; a row is an outlier when |x − med| > k·MAD
+   * (raw MAD — apply the 1.4826 normal-consistency factor in `k` if
+   * normal-equivalent sigmas are wanted). Groups with MAD = 0 (over
+   * half the mass on one value) flag every deviating row.
+   *
+   * Appends `med`, `mad`, `deviation` (|x − med|, round 6) and
+   * `is_outlier`; both quantile passes broadcast one row per group.
+   */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val med = exactQuantiles(df, groupCols, valueCol, Seq("med" -> 0.5))
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("deviation",
+        round(abs(col(valueCol).cast("double") - col("med")), 6))
+    val mad = exactQuantiles(dev, groupCols, "deviation", Seq("mad" -> 0.5))
+      // quantize before the threshold compare: both engines' quantile
+      // interpolations agree to well under 1e-6, so the 6-dp grid makes
+      // the outlier boundary replay-stable
+      .withColumn("mad", round(col("mad"), 6))
+    dev.join(broadcast(mad), groupCols)
+      .withColumn("is_outlier", col("deviation") > lit(k) * col("mad"))
+  }
+
+  /**
    * Blocked fuzzy entity matching: all DISTINCT-string pairs within
    * Levenshtein distance `maxDist`, found by pigeonhole blocking —
    * each string splits into `chunks` positional character chunks, and

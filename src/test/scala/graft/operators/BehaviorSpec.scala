@@ -106,4 +106,45 @@ class BehaviorSpec extends SparkTestBase {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out(4) == ((3L, Some(z))))
   }
+
+  test("transitionMatrix: per-key chains, tie-broken order, row-normalized") {
+    val ss = spark
+    import ss.implicits._
+    // u1: A->B->A->B ; u2: A->C. Ties: u1's 2nd/3rd events share a ts,
+    // the id tie-break fixes B before A.
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), "A"),
+      (1L, 11L, ts("2024-01-01 00:01:00"), "B"),
+      (1L, 12L, ts("2024-01-01 00:01:00"), "A"), // same ts, higher id
+      (1L, 13L, ts("2024-01-01 00:02:00"), "B"),
+      (2L, 20L, ts("2024-01-01 00:00:00"), "A"),
+      (2L, 21L, ts("2024-01-01 00:05:00"), "C")
+    ).toDF("u", "id", "t", "typ")
+    val out = Behavior.transitionMatrix(ev, "u", "t", "typ", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("p"))).toMap
+    assert(out(("A", "B")) == ((2L, 0.666667))) // A->B twice, A->C once
+    assert(out(("A", "C")) == ((1L, 0.333333)))
+    assert(out(("B", "A")) == ((1L, 1.0)))
+    assert(out.size == 3)
+  }
+
+  test("engagement: hand DAU/WAU over a 9-day toy calendar") {
+    val ss = spark
+    import ss.implicits._
+    // u1 active day1 and day8; u2 active day1 only.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 12:00:00")),
+      (1L, ts("2024-01-08 09:00:00"))
+    ).toDF("u", "t")
+    val out = Behavior.engagement(ev, "u", "t")
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("stickiness"))).toMap
+    // day1: DAU 2, WAU(d1-6..d1 -> only d1 activity) 2
+    assert(out("2024-01-01") == ((2L, 2L, 1.0)))
+    // day8: DAU 1 (u1); trailing week d2..d8 contains only d8 -> WAU 1
+    assert(out("2024-01-08") == ((1L, 1L, 1.0)))
+    assert(out.size == 2) // inactive days don't appear
+  }
 }

@@ -389,6 +389,23 @@ class RelationalSpec extends SparkTestBase {
     assert(!out.keys.exists { case (a, b) => a == b })
   }
 
+  test("madOutliers: hand medians, robust to the outlier it flags") {
+    val ss = spark
+    import ss.implicits._
+    // {1..9, 1000}: median 5.5, devs {0.5..4.5, 994.5} -> MAD 2.5;
+    // threshold 3*2.5 = 7.5: only the 1000 row flags. A mean/std z
+    // would put mean ~105 and flag nothing but the outlier too — the
+    // point is the MEDIAN stays put (5.5, not dragged to 105).
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("g", _)).toDF("g", "v")
+    val out = Relational.madOutliers(df, Seq("g"), "v")
+      .collect().map(r => r.getDouble(1) ->
+        (r.getDouble(r.fieldIndex("med")), r.getDouble(r.fieldIndex("mad")),
+          r.getBoolean(r.fieldIndex("is_outlier")))).toMap
+    assert(out(1000.0) == ((5.5, 2.5, true)))
+    assert(out(1.0) == ((5.5, 2.5, false)))  // dev 4.5 < 7.5
+    assert(out.count(_._2._3) == 1)
+  }
+
   test("zscore: null values are excluded from the moments, not counted") {
     val ss = spark
     import ss.implicits._
