@@ -789,6 +789,67 @@ object StreamingOps {
       }
   }
 
+  /** One emission of [[rollingZStream]] — the batch `Behavior.rollingZ`
+    * row for one arriving series point. */
+  case class RollingZUpdate(key: String, period_ms: Long, value: Long,
+                            roll_n: Long, roll_mean: Option[Double],
+                            z: Option[Double])
+
+  /**
+   * Streaming rolling-baseline anomaly flags — the continuous twin of
+   * `Behavior.rollingZ`, scoring each arriving series point (an
+   * already-aggregated (key, period, value) row, e.g. a closed
+   * tumbling window's count) against its key's strictly-prior
+   * `lookback` points. State per key is a ring buffer of ≤ `lookback`
+   * (period, value) pairs — bounded, RocksDB-backed like any ST8 op.
+   *
+   * Exactness contract: the ring sums are exact integers (BigInt for
+   * Σx², matching the batch DECIMAL(38,0) path) and the mean/var/z
+   * program replays the batch operator's fixed-order double ops and
+   * HALF_UP 4-dp rounds, so under ordered replay (per-key period
+   * order — the same framing as [[funnelStream]]; intra-batch rows
+   * are sorted) the emissions equal `Behavior.rollingZ` row for row.
+   */
+  def rollingZStream(points: DataFrame, keyCol: String, periodCol: String,
+                     valueCol: String, lookback: Int,
+                     minN: Int = 3): Dataset[RollingZUpdate] = {
+    require(lookback >= minN && minN >= 2, "need lookback >= minN >= 2")
+    val spark = points.sparkSession
+    import spark.implicits._
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    points
+      .select(col(keyCol).cast("string").as("__k"),
+        unix_millis(col(periodCol).cast("timestamp")).as("__p"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__k").isNotNull && col("__p").isNotNull &&
+        col("__v").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long)], RollingZUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Seq[(Long, Long)]]) =>
+          var ring = state.getOption.getOrElse(Seq.empty[(Long, Long)])
+          val out = rows.toIndexedSeq.sortBy(_._2).map { case (_, p, v) =>
+            val n = ring.length
+            val upd = if (n >= minN) {
+              val sum = ring.iterator.map(_._2).sum
+              val ss = ring.iterator.map(x => BigInt(x._2) * x._2).sum
+              val mean = sum.toDouble / n
+              val vr = ss.toDouble / n - mean * mean
+              RollingZUpdate(key, p, v, n, Some(round4(mean)),
+                if (vr > 0) Some(round4((v.toDouble - mean) / math.sqrt(vr)))
+                else None)
+            } else RollingZUpdate(key, p, v, n, None, None)
+            ring = (ring :+ (p, v)).takeRight(lookback)
+            upd
+          }
+          state.update(ring)
+          out.iterator
+      }
+  }
+
   /** One emission of [[funnelStream]]: the key, how many funnel steps
     * it has completed so far (`reached`, monotone — the row with the
     * key's max `reached` is its latest), and the completion epoch-ms

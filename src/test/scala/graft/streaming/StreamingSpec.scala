@@ -1069,4 +1069,52 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got should contain theSameElementsInOrderAs want
     assert(finals.nonEmpty && got.head._2 > 0)
   }
+
+  test("rollingZStream equals batch rollingZ on the daily matrix " +
+    "across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Behavior
+
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val rows = daily
+      .select(col("event_type"), col("day").cast("timestamp_ntz").as("p"),
+        col("n"))
+      .as[(String, LocalDateTime, Long)]
+      .collect().sortBy(r => (tsKey(r._2), r._1)) // ordered replay
+
+    val input = MemoryStream[(String, LocalDateTime, Long)]
+    val query = StreamingOps.rollingZStream(
+        input.toDF().toDF("event_type", "p", "n"),
+        "event_type", "p", "n", lookback = 7)
+      .writeStream.format("memory").queryName("t_rollz")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    def opt(r: org.apache.spark.sql.Row, f: String): Option[Double] =
+      Option(r.getAs[java.lang.Double](f)).map(_.toDouble)
+    val got = spark.table("t_rollz")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), opt(r, "roll_mean"), opt(r, "z"))).toMap
+    val want = Behavior.rollingZ(daily, Seq("event_type"), "day", "n",
+        lookback = 7)
+      .select(col("event_type"),
+        unix_millis(col("day").cast("timestamp")).as("pms"),
+        col("roll_n"), col("roll_mean"), col("z"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), opt(r, "roll_mean"), opt(r, "z"))).toMap
+    got shouldBe want
+    assert(got.nonEmpty && got.values.exists(_._3.isDefined))
+  }
 }
