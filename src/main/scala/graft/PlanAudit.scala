@@ -49,7 +49,9 @@ object PlanAudit {
     "q148_pagerank",
     // q151: the margin grid (q61's dimension-grid shape) + ONE-row
     // total broadcast
-    "q151_chi_square")
+    "q151_chi_square",
+    // q157: decileLift's ONE-row cuts + ONE-row totals broadcasts
+    "q157_decile_lift")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -2480,6 +2480,33 @@ object Queries {
   val q156: Q = (s, dir) =>
     Behavior.engagement(Tables.events(s, dir), "user_id", "ts")
 
+  /** Q157 decile lift of the hashed quality score against the
+    * long-document outcome: nine exact global quantile cuts (boundary
+    * ties to the lower decile), per-decile exact positive counts,
+    * rate, and lift vs the overall rate — the ranking-model
+    * acceptance table before a learned gate orders a corpus. */
+  val q157: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+        Tables.documents(s, dir), "doc_id", "text", dims = 64,
+        keep = Seq("n_chars"))
+      .withColumn("long_doc", col("n_chars") >= 400L)
+    Eval.decileLift(scored, "score", "long_doc")
+  }
+
+  /** Q158 exact two-sample KS between the train and holdout splits'
+    * quality-score distributions (split = the q102 deterministic
+    * hash, ~10% holdout): cumulative counts cross-multiplied in
+    * DECIMAL so the statistic and its argmax are pure-integer
+    * decisions — the distribution-shape drift gate chi-square
+    * can't give. */
+  val q158: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+        Tables.documents(s, dir), "doc_id", "text", dims = 64)
+      .withColumn("holdout",
+        (col("doc_id") * 2654435761L) % 1000000007L < 100000001L)
+    Eval.ksTest(scored, "holdout", "score").orderBy("n_a")
+  }
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3378,7 +3405,20 @@ object Queries {
     "q154_mad_outliers" -> q154,
     "q155_transition_matrix" -> q155,
     "q156_engagement" -> q156,
+    "q157_decile_lift" -> q157,
+    "q158_ks_test" -> q158,
   )
+
+  /** The q112/q139 scored-documents CTE block (tokenize → portable
+    * token hash → 64-bucket hashed weight → per-doc BIGINT score),
+    * shared by every oracle that consumes the hashed quality score. */
+  private val scoredDocCtes: String =
+    "WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), " +
+      "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), " +
+      "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), " +
+      "d AS (SELECT doc_id, lang, SUM(wt) AS score FROM w GROUP BY 1, 2)"
 
   /** Shared by q125 (train + encode report) and q126 (ADC search):
     * one PQ training round — the (id, sub, subvector) explode of the
@@ -5432,5 +5472,42 @@ object Queries {
         + "SELECT dau.day, dau.dau, wau.wau, "
         + "round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness "
         + "FROM dau JOIN wau USING (day) ORDER BY day"),
+    "q157_decile_lift" ->
+      // the q112 scored-doc CTEs + nine quantile_cont cuts
+      // (ties to the lower decile) + per-decile exact counts
+      (scoredDocCtes
+        + ", v AS (SELECT d.doc_id, d.score, doc.n_chars >= 400 AS pos "
+        + "FROM d JOIN documents doc USING (doc_id)), "
+        + "cuts AS (SELECT " + (1 to 9).map(i =>
+          s"quantile_cont(CAST(score AS DOUBLE), 0.$i) AS c$i").mkString(", ")
+        + " FROM v), "
+        + "tot AS (SELECT COUNT(*) AS nn, CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np FROM v), "
+        + "b AS (SELECT " + (1 to 9).map(i =>
+          s"CASE WHEN CAST(score AS DOUBLE) > c$i THEN 1 ELSE 0 END").mkString(" + ")
+        + " + 1 AS decile, pos FROM v CROSS JOIN cuts) "
+        + "SELECT decile, COUNT(*) AS n, "
+        + "CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, "
+        + "round(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS rate, "
+        + "round(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) "
+        + "/ (CAST(np AS DOUBLE) / nn), 6) AS lift "
+        + "FROM b CROSS JOIN tot GROUP BY decile, np, nn ORDER BY decile"),
+    "q158_ks_test" ->
+      // the same scored docs, the q102 split hash, integer-exact
+      // cross-multiplied cumulative gaps
+      (scoredDocCtes
+        + ", v AS (SELECT doc_id, score, (doc_id * 2654435761) % 1000000007 < 100000001 AS ho FROM d), "
+        + "g AS (SELECT CAST(score AS DOUBLE) AS s, "
+        + "CAST(SUM(CASE WHEN ho THEN 1 ELSE 0 END) AS BIGINT) AS ca, "
+        + "CAST(SUM(CASE WHEN ho THEN 0 ELSE 1 END) AS BIGINT) AS cb FROM v GROUP BY 1), "
+        + "c AS (SELECT s, SUM(ca) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cuma, "
+        + "SUM(cb) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cumb, "
+        + "SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM g), "
+        + "c2 AS (SELECT s, na, nb, abs(CAST(cuma AS DECIMAL(19,0)) * nb "
+        + "- CAST(cumb AS DECIMAL(19,0)) * na) AS gap FROM c), "
+        + "pick AS (SELECT s AS d_at FROM (SELECT s, row_number() OVER "
+        + "(ORDER BY gap DESC, s DESC) AS rn FROM c2) WHERE rn = 1) "
+        + "SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b, "
+        + "round(CAST(MAX(gap) AS DOUBLE) / (CAST(MAX(na) AS DOUBLE) * MAX(nb)), 6) AS d, "
+        + "MAX(pick.d_at) AS d_at FROM c2 CROSS JOIN pick ORDER BY n_a"),
   )
 }

@@ -288,6 +288,90 @@ object Eval {
    * the q61 dimension-grid shape). The grid is |A|·|B| cells:
    * categorical-cardinality-bounded, never data-bounded.
    */
+  /**
+   * Exact two-sample Kolmogorov–Smirnov statistic — the
+   * distribution-shape drift gate (chi-square sees category mixes;
+   * this sees a SCORE distribution shifting between, say, train and
+   * holdout splits, or yesterday's corpus and today's). D =
+   * max over scores of |F̂_A − F̂_B| computed ENTIRELY in integers:
+   * the cumulative counts cross-multiply (cA·n_B − cB·n_A in
+   * DECIMAL(38,0), immune to the 10¹⁰-row overflow) and divide once
+   * at the end — the argmax and the statistic replay bit-for-bit on
+   * any engine. Ties at the max go to the GREATEST attaining score.
+   *
+   * Output per `by` group: `n_a`, `n_b`, `d` (round 6), `d_at` (the
+   * score where the gap peaks, as double).
+   *
+   * Scale shape: rows collapse to per-(group, score) side counts in
+   * one map-side-combined aggregation; the cumulative window runs
+   * over the distinct-score histogram (the rocAuc architecture), and
+   * side totals ride along via a group window — nothing data-sized
+   * past the first aggregate.
+   */
+  def ksTest(df: DataFrame, sideACol: String, valueCol: String,
+             by: Seq[String] = Nil): DataFrame = {
+    val g = df
+      .where(col(valueCol).isNotNull && col(sideACol).isNotNull)
+      .groupBy((by.map(col) :+ col(valueCol).cast("double").as("__s")): _*)
+      .agg(sum(when(col(sideACol), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(sideACol), 0L).otherwise(1L)).as("__cb"))
+    val wc = Window.partitionBy(by.map(col): _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(by.map(col): _*)
+    val cum = g
+      .withColumn("__cuma", sum(col("__ca")).over(wc))
+      .withColumn("__cumb", sum(col("__cb")).over(wc))
+      .withColumn("__na", sum(col("__ca")).over(wg))
+      .withColumn("__nb", sum(col("__cb")).over(wg))
+      .withColumn("__gap",
+        abs(col("__cuma").cast("decimal(19,0)") * col("__nb") -
+          col("__cumb").cast("decimal(19,0)") * col("__na")))
+    cum.groupBy(by.map(col): _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(col("__gap")).as("__d"),
+        max(struct(col("__gap"), col("__s"))).getField("__s").as("d_at"))
+      .select((by.map(col) :+ col("n_a") :+ col("n_b") :+
+        round(col("__d").cast("double") /
+          (col("n_a").cast("double") * col("n_b")), 6).as("d") :+
+        col("d_at")): _*)
+  }
+
+  /**
+   * Decile lift table — the ranking-model acceptance report: score
+   * deciles from nine exact global quantile cuts (value-based
+   * deciles; boundary ties fall to the LOWER decile, so bucketing is
+   * deterministic), then per decile the exact positive count, rate,
+   * and lift against the overall rate (fixed-order doubles, round 6).
+   * "Does the top score decile actually concentrate the outcome" —
+   * the go/no-go before a learned gate orders a corpus.
+   *
+   * Output: (`decile` 1..10 low→high, `n`, `n_pos`, `rate`, `lift`),
+   * only non-empty deciles. The cuts and the overall totals are
+   * 1-row broadcasts (the documented no-collect scalar pattern).
+   */
+  def decileLift(scored: DataFrame, scoreCol: String,
+                 labelCol: String): DataFrame = {
+    import graft.operators.Relational
+    val cuts = Relational.exactQuantiles(scored, Nil, scoreCol,
+      (1 to 9).map(i => s"__c$i" -> i / 10.0))
+    val tot = scored.agg(count(lit(1)).as("__n"),
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"))
+    val bucketed = scored.crossJoin(broadcast(cuts))
+      .withColumn("decile",
+        (1 to 9).map(i =>
+          when(col(scoreCol).cast("double") > col(s"__c$i"), 1)
+            .otherwise(0)).reduce(_ + _) + 1)
+    bucketed.groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("rate"),
+        round(col("n_pos").cast("double") / col("n") /
+          (col("__np").cast("double") / col("__n")), 6).as("lift"))
+      .orderBy("decile")
+  }
+
   def chiSquareIndependence(df: DataFrame, colA: String,
                             colB: String): DataFrame = {
     val cells = df.groupBy(col(colA).as("__a"), col(colB).as("__b"))

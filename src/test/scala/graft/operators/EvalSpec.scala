@@ -182,6 +182,46 @@ class EvalSpec extends SparkTestBase with Matchers {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("ksTest: hand gaps, tie at the max goes to the greatest score") {
+    val ss = spark
+    import ss.implicits._
+    // A = {1,2}, B = {2,3}: gaps (x2n) at s=1: 2, s=2: 2, s=3: 0
+    // -> D = 2/4 = 0.5, attained at both s=1 and s=2 -> d_at = 2
+    val df = Seq((true, 1.0), (true, 2.0), (false, 2.0), (false, 3.0))
+      .toDF("a", "v")
+    val r = Eval.ksTest(df, "a", "v").head()
+    r.getAs[Long]("n_a") shouldBe 2L
+    r.getAs[Long]("n_b") shouldBe 2L
+    r.getAs[Double]("d") shouldBe 0.5
+    r.getAs[Double]("d_at") shouldBe 2.0
+  }
+
+  test("ksTest: identical samples give D = 0; disjoint give D = 1") {
+    val ss = spark
+    import ss.implicits._
+    val same = Seq((true, 1.0), (false, 1.0), (true, 5.0), (false, 5.0))
+      .toDF("a", "v")
+    Eval.ksTest(same, "a", "v").head().getAs[Double]("d") shouldBe 0.0
+    val disj = Seq((true, 1.0), (true, 2.0), (false, 8.0), (false, 9.0))
+      .toDF("a", "v")
+    Eval.ksTest(disj, "a", "v").head().getAs[Double]("d") shouldBe 1.0
+  }
+
+  test("decileLift: hand deciles over 1..20, lift concentrates the label") {
+    val ss = spark
+    import ss.implicits._
+    val df = (1 to 20).map(i => (i.toDouble, i > 15)).toDF("s", "y")
+    val out = Eval.decileLift(df, "s", "y")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("lift"))).toMap
+    assert(out.size == 10)
+    assert(out.values.map(_._1).sum == 20L)
+    assert(out(1) == ((2L, 0L, 0.0)))
+    assert(out(8) == ((2L, 1L, 2.0)))   // {15,16}: one positive
+    assert(out(9) == ((2L, 2L, 4.0)))   // {17,18}
+    assert(out(10) == ((2L, 2L, 4.0)))  // {19,20}
+  }
+
   test("chiSquareIndependence: zero on independence, hand 2x2, " +
     "zero cells carry expected mass") {
     val ss = spark
