@@ -850,6 +850,93 @@ object StreamingOps {
       }
   }
 
+  /** One emission of [[sessionizeStream]]: the event's key, epoch-ms
+    * timestamp, and its assigned 1-based session index. */
+  case class SessionLabel(key: Long, ts_ms: Long, session_idx: Long)
+
+  /**
+   * Streaming gap-based session labeling — the continuous twin of
+   * `Behavior.sessionize`: each arriving event gets its key's current
+   * session index, a new session opening when the gap since the key's
+   * last event reaches `gapSeconds` (the same half-open boundary).
+   * State per key is TWO longs (last event ms, current index); rows
+   * sort by ts inside a batch, and under ordered replay (the
+   * [[funnelStream]] framing) labels equal the batch operator's —
+   * zero gaps never open sessions, so ties are safe on both paths.
+   */
+  def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
+                       gapSeconds: Long): Dataset[SessionLabel] = {
+    require(gapSeconds >= 1, "gapSeconds must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long").as("__k"),
+        unix_millis(col(tsCol).cast("timestamp")).as("__ms"))
+      .where(col("__k").isNotNull && col("__ms").isNotNull)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), SessionLabel](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (last, idx) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = rows.map(_._2).toIndexedSeq.sorted.map { ms =>
+            if (idx == 0L || ms - last >= gapSeconds * 1000L) idx += 1
+            last = ms
+            SessionLabel(key, ms, idx)
+          }
+          state.update((last, idx))
+          out.iterator
+      }
+  }
+
+  /** One emission of [[transitionStream]]: one observed consecutive
+    * (from → to) step in a key's event sequence, stamped with the
+    * arriving event's epoch-ms. */
+  case class Transition(key: Long, from_type: String, to_type: String,
+                        ts_ms: Long)
+
+  /**
+   * Streaming event-sequence transitions — the continuous twin of
+   * `Behavior.transitionMatrix`'s lag chain: each arriving event
+   * (after a key's first) emits its (previous type → this type) step;
+   * the downstream matrix is a plain aggregation of the emissions.
+   * State per key is its last (ms, tie, type); intra-batch rows sort
+   * by (ts, tie) — pass the same unique tie column as the batch
+   * operator so the chain is total-ordered — and under ordered replay
+   * the emitted multiset equals the batch lag chain exactly.
+   */
+  def transitionStream(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long").as("__k"),
+        unix_millis(col(tsCol).cast("timestamp")).as("__ms"),
+        col(tieCol).cast("long").as("__tie"),
+        col(typeCol).cast("string").as("__t"))
+      .where(col("__k").isNotNull && col("__ms").isNotNull &&
+        col("__t").isNotNull)
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          var prev = state.getOption.orNull
+          val out = rows.toIndexedSeq.sortBy(r => (r._2, r._3)).flatMap {
+            case (_, ms, tie, t) =>
+              val emitted =
+                if (prev == null) Nil
+                else List(Transition(key, prev._3, t, ms))
+              prev = (ms, tie, t)
+              emitted
+          }
+          state.update(prev)
+          out.iterator
+      }
+  }
+
   /** One emission of [[funnelStream]]: the key, how many funnel steps
     * it has completed so far (`reached`, monotone — the row with the
     * key's max `reached` is its latest), and the completion epoch-ms

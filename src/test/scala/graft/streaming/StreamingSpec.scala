@@ -1117,4 +1117,75 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got shouldBe want
     assert(got.nonEmpty && got.values.exists(_._3.isDefined))
   }
+
+  test("sessionizeStream labels equal batch sessionize across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Behavior
+
+    val rows = eventRows
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.sessionizeStream(
+        input.toDF().withColumn("tsx", col("ts").cast("timestamp")),
+        "user_id", "tsx", gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("t_sess")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_sess")
+      .groupBy("key", "session_idx").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = Behavior.sessionize(
+        rows.toSeq.toDF().withColumn("tsx", col("ts").cast("timestamp")),
+        "user_id", "tsx", gapSeconds = 1800L)
+      .groupBy(col("user_id"), col("session_idx")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got shouldBe want
+    assert(got.size > rows.map(_.user_id).distinct.size) // multi-session keys exist
+  }
+
+  test("transitionStream emissions roll up to batch transitionMatrix") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Behavior
+
+    val rows = eventRows
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.transitionStream(
+        input.toDF().withColumn("tsx", col("ts").cast("timestamp")),
+        "user_id", "tsx", "event_type", "event_id")
+      .writeStream.format("memory").queryName("t_trans")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_trans")
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val want = Behavior.transitionMatrix(
+        rows.toSeq.toDF().withColumn("tsx", col("ts").cast("timestamp")),
+        "user_id", "tsx", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    got shouldBe want
+    assert(got.values.sum == rows.length - rows.map(_.user_id).distinct.size)
+  }
 }
