@@ -51,7 +51,9 @@ object PlanAudit {
     // total broadcast
     "q151_chi_square",
     // q157: decileLift's ONE-row cuts + ONE-row totals broadcasts
-    "q157_decile_lift")
+    "q157_decile_lift",
+    // q159: weighted pageRank's ONE-row node-count broadcast
+    "q159_pagerank_weighted")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -2507,6 +2507,49 @@ object Queries {
     Eval.ksTest(scored, "holdout", "score").orderBy("n_a")
   }
 
+  /** Q159 weighted PageRank over the brand graph (q148 with edge
+    * weights = co-occurrence counts): shares split ∝ weight over the
+    * source's exact BIGINT out-weight — a 1000-order tie carries more
+    * authority than a 2-order one. */
+  val q159: Q = (s, dir) => {
+    val bi = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("b"), col("p_brand").as("i"))
+      .distinct()
+    val pairs = bi.join(bi.select(col("b"), col("i").as("j")), "b")
+      .where(col("i") < col("j"))
+      .groupBy(col("i").as("x"), col("j").as("y"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("x").as("src"), col("y").as("dst"), col("w"))
+      .unionByName(pairs.select(col("y").as("src"), col("x").as("dst"),
+        col("w")))
+    Graph.pageRankWeighted(edges, "src", "dst", "w", iters = 3)
+      .select(col("id").as("brand"), col("degree").as("out_weight"),
+        round(col("rank"), 6).as("pr"))
+      .orderBy(col("pr").desc, col("brand"))
+  }
+
+  /** Q160 cross-stratum score comparability through the percentile-
+    * rank transform: the hashed quality score rank-normalized PER
+    * LANGUAGE (all-integer average-rank numerator, ties share one
+    * value), then the long-document cohort's mean percentile per
+    * language — flat ≈ the gate is calibrated across strata. */
+  val q160: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("lang", "n_chars"))
+    val isLong = col("n_chars") >= 400L
+    Relational.percentileRank(scored, Seq("lang"), "score")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(isLong, 1L).otherwise(0L)).as("n_long"),
+        round(sum(when(isLong, col("pct")).otherwise(lit(0.0d))
+            .cast("decimal(16,6)")).cast("double") /
+          sum(when(isLong, 1L).otherwise(0L)), 6).as("avg_pct_long"))
+      .orderBy("lang")
+  }
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3407,6 +3450,8 @@ object Queries {
     "q156_engagement" -> q156,
     "q157_decile_lift" -> q157,
     "q158_ks_test" -> q158,
+    "q159_pagerank_weighted" -> q159,
+    "q160_percentile_rank" -> q160,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5509,5 +5554,47 @@ object Queries {
         + "SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b, "
         + "round(CAST(MAX(gap) AS DOUBLE) / (CAST(MAX(na) AS DOUBLE) * MAX(nb)), 6) AS d, "
         + "MAX(pick.d_at) AS d_at FROM c2 CROSS JOIN pick ORDER BY n_a"),
+    "q159_pagerank_weighted" ->
+      // q148's unrolled iterations with weighted shares r*w/W_src
+      ("WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i FROM lineitem "
+        + "JOIN part ON l_partkey = p_partkey), "
+        + "pr AS (SELECT a.i AS x, b.i AS y, COUNT(*) AS w FROM bi a JOIN bi b "
+        + "ON a.b = b.b AND a.i < b.i GROUP BY 1, 2), "
+        + "e AS (SELECT x AS src, y AS dst, w FROM pr UNION ALL SELECT y, x, w FROM pr), "
+        + "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS d FROM e GROUP BY 1), "
+        + "n AS (SELECT COUNT(*) AS nn FROM deg), "
+        + "r0 AS (SELECT src AS id, round(1.0 / nn, 12) AS r FROM deg CROSS JOIN n), "
+        + "c1 AS (SELECT e.dst AS id, SUM(CAST(round(r0.r * e.w / deg.d, 12) AS DECIMAL(28,12))) AS sc "
+        + "FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY 1), "
+        + "r1 AS (SELECT deg.src AS id, round(0.15 / nn + 0.85 * CAST(COALESCE(c1.sc, 0) AS DOUBLE), 12) AS r "
+        + "FROM deg LEFT JOIN c1 ON deg.src = c1.id CROSS JOIN n), "
+        + "c2 AS (SELECT e.dst AS id, SUM(CAST(round(r1.r * e.w / deg.d, 12) AS DECIMAL(28,12))) AS sc "
+        + "FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY 1), "
+        + "r2 AS (SELECT deg.src AS id, round(0.15 / nn + 0.85 * CAST(COALESCE(c2.sc, 0) AS DOUBLE), 12) AS r "
+        + "FROM deg LEFT JOIN c2 ON deg.src = c2.id CROSS JOIN n), "
+        + "c3 AS (SELECT e.dst AS id, SUM(CAST(round(r2.r * e.w / deg.d, 12) AS DECIMAL(28,12))) AS sc "
+        + "FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1), "
+        + "r3 AS (SELECT deg.src AS id, round(0.15 / nn + 0.85 * CAST(COALESCE(c3.sc, 0) AS DOUBLE), 12) AS r "
+        + "FROM deg LEFT JOIN c3 ON deg.src = c3.id CROSS JOIN n) "
+        + "SELECT r3.id AS brand, deg.d AS out_weight, round(r3.r, 6) AS pr "
+        + "FROM r3 JOIN deg ON r3.id = deg.src ORDER BY pr DESC, brand"),
+    "q160_percentile_rank" ->
+      // the same all-integer average-rank percentile per (lang, score)
+      // histogram cell, joined back and rolled up per language
+      (scoredDocCtes
+        + ", v AS (SELECT d.doc_id, d.lang, d.score, doc.n_chars FROM d "
+        + "JOIN documents doc USING (doc_id)), "
+        + "hist AS (SELECT lang, score, COUNT(*) AS c FROM v GROUP BY 1, 2), "
+        + "cum AS (SELECT lang, score, c, "
+        + "COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY score "
+        + "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below, "
+        + "SUM(c) OVER (PARTITION BY lang) AS ntot FROM hist), "
+        + "pct AS (SELECT lang, score, "
+        + "round(CAST(below * 2 + c + 1 AS DOUBLE) / (ntot * 2), 6) AS pct FROM cum) "
+        + "SELECT v.lang, COUNT(*) AS n, "
+        + "CAST(SUM(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_long, "
+        + "round(CAST(SUM(CAST(CASE WHEN n_chars >= 400 THEN pct ELSE 0.0 END AS DECIMAL(16,6))) AS DOUBLE) "
+        + "/ SUM(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END), 6) AS avg_pct_long "
+        + "FROM v JOIN pct USING (lang, score) GROUP BY 1 ORDER BY 1"),
   )
 }

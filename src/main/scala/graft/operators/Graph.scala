@@ -41,15 +41,51 @@ object Graph {
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
-               teleport: Double = 0.15): DataFrame = {
+               teleport: Double = 0.15): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, None, iters, damping, teleport)
+
+  /**
+   * Weighted PageRank: shares split ∝ edge weight instead of evenly —
+   * the variant a co-occurrence or link-count graph actually wants
+   * (a 1000-order brand tie should carry more authority than a
+   * 2-order one). Per edge, share = round(rank·w / W_src, 12) with
+   * W_src the source's exact BIGINT out-weight; everything else —
+   * DECIMAL share sums, the fixed-order update, the contracts —
+   * matches [[pageRank]] (which is this with w ≡ 1, per-node shares).
+   * Weights must be positive integers (exact out-weight sums).
+   */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int,
+                       damping: Double = 0.85,
+                       teleport: Double = 0.15): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, Some(weightCol), iters, damping,
+      teleport)
+
+  private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                           weightCol: Option[String], iters: Int,
+                           damping: Double, teleport: Double): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && teleport > 0, "damping and teleport must be > 0")
-    val e = edges
-      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .where(col("__src").isNotNull && col("__dst").isNotNull)
-      .distinct()
+    // Unweighted: distinct edges, per-node even split (w ≡ 1).
+    // Weighted: per-edge BIGINT weights summed over duplicates; the
+    // per-edge share divides by the source's exact out-weight.
+    val e = weightCol match {
+      case None =>
+        edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+          .where(col("__src").isNotNull && col("__dst").isNotNull)
+          .distinct()
+          .withColumn("__w", lit(1L))
+          .localCheckpoint()
+      case Some(wc) =>
+        edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+            col(wc).cast("long").as("__w"))
+          .where(col("__src").isNotNull && col("__dst").isNotNull &&
+            col("__w") > 0L)
+          .groupBy("__src", "__dst").agg(sum(col("__w")).as("__w"))
+          .localCheckpoint()
+    }
+    val deg = e.groupBy("__src").agg(sum(col("__w")).as("__d"))
       .localCheckpoint()
-    val deg = e.groupBy("__src").agg(count(lit(1)).as("__d")).localCheckpoint()
     val nn = deg.agg(count(lit(1)).as("__nn"))
     var ranks = deg.select(col("__src").as("__id"))
       .crossJoin(broadcast(nn))
@@ -59,7 +95,8 @@ object Graph {
       val contrib = e.join(ranks, e("__src") === ranks("__id"))
         .join(deg, "__src")
         .select(e("__dst").as("__id"),
-          round(col("__r") / col("__d"), 12).cast("decimal(28,12)").as("__c"))
+          round(col("__r") * col("__w") / col("__d"), 12)
+            .cast("decimal(28,12)").as("__c"))
         .groupBy("__id").agg(sum(col("__c")).as("__s"))
       ranks = deg.select(col("__src").as("__id"))
         .join(contrib, Seq("__id"), "left")

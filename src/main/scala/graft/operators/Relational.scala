@@ -584,6 +584,40 @@ object Relational {
   }
 
   /**
+   * Percentile-rank transform (rank-based quantile normalization) —
+   * the scale-free alternative to [[zscore]]: each value maps to its
+   * group's average-rank percentile, pct = (2·below + ties + 1) /
+   * (2·n) — an ALL-INTEGER numerator and one double division rounded
+   * to 6, so ties share one deterministic value and engines agree
+   * bit-for-bit. The feature-prep step that makes scores comparable
+   * across strata with different score scales.
+   *
+   * Scale shape: rows collapse to the per-(group, value) histogram in
+   * one map-side-combined aggregation; the cumulative window runs
+   * over that histogram (the rocAuc architecture) and the result
+   * joins back by (group, value) — distinct-value cardinality on the
+   * wire, never a data-sized sort.
+   */
+  def percentileRank(df: DataFrame, groupCols: Seq[String],
+                     valueCol: String, outCol: String = "pct"): DataFrame = {
+    val gcols = groupCols.map(col)
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy((gcols :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(gcols: _*)
+    val pct = hist
+      .withColumn("__below", coalesce(sum(col("__c")).over(wc), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wg))
+      .select((gcols :+ col(valueCol) :+
+        round((col("__below") * 2 + col("__c") + 1).cast("double") /
+          (col("__n") * 2), 6).as(outCol)): _*)
+    df.join(pct, groupCols :+ valueCol)
+  }
+
+  /**
    * Blocked fuzzy entity matching: all DISTINCT-string pairs within
    * Levenshtein distance `maxDist`, found by pigeonhole blocking —
    * each string splits into `chunks` positional character chunks, and

@@ -50,6 +50,29 @@ class GraphSpec extends SparkTestBase with Matchers {
     assert(math.abs(out.values.sum - 1.0) < 1e-6)
   }
 
+  test("pageRankWeighted: w=1 equals the unweighted rank; heavy edges " +
+    "pull rank") {
+    val ss = spark
+    import ss.implicits._
+    val base = sym(Seq(("a", "b"), ("b", "c"), ("a", "c")))
+    val unw = Graph.pageRank(base, "src", "dst", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rank")).toMap
+    val w1 = Graph.pageRankWeighted(base.withColumn("w", lit(1L)),
+        "src", "dst", "w", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rank")).toMap
+    w1 shouldBe unw
+
+    // path a-b-c, but a-b carries weight 9 vs b-c weight 1: b sends
+    // 90% of its mass to a, so a outranks c (unweighted they'd tie)
+    val we = Seq(("a", "b", 9L), ("b", "a", 9L), ("b", "c", 1L),
+      ("c", "b", 1L)).toDF("src", "dst", "w")
+    val out = Graph.pageRankWeighted(we, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("rank"))).toMap
+    assert(out("b")._1 == 10L) // out-weight, not degree
+    assert(out("a")._2 > out("c")._2)
+  }
+
   test("triangles: K4 counts, pendant node, clustering values") {
     val ss = spark
     import ss.implicits._

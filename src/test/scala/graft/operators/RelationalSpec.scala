@@ -389,6 +389,26 @@ class RelationalSpec extends SparkTestBase {
     assert(!out.keys.exists { case (a, b) => a == b })
   }
 
+  test("percentileRank: average-rank ties, hand values, per-group scale") {
+    val ss = spark
+    import ss.implicits._
+    // group g: values 10, 20, 20, 30 -> pct(10) = 1/8... formula
+    // (2*below + ties + 1) / (2n): 10 -> (0+1+1)/8 = 0.25;
+    // 20 -> (2+2+1)/8 = 0.625 (both ties share it); 30 -> (6+1+1)/8 = 1.0
+    // group h: single value -> (0+1+1)/2 = 1.0
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 20.0), ("g", 30.0),
+      ("h", 999.0)).toDF("grp", "v")
+    val out = Relational.percentileRank(df, Seq("grp"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Double]("pct")).toMap
+    assert(out(("g", 10.0)) == 0.25)
+    assert(out(("g", 20.0)) == 0.625)
+    assert(out(("g", 30.0)) == 1.0)
+    assert(out(("h", 999.0)) == 1.0)
+    // every row survives the join-back
+    assert(Relational.percentileRank(df, Seq("grp"), "v").count() == 5)
+  }
+
   test("madOutliers: hand medians, robust to the outlier it flags") {
     val ss = spark
     import ss.implicits._
