@@ -53,7 +53,9 @@ object PlanAudit {
     // q157: decileLift's ONE-row cuts + ONE-row totals broadcasts
     "q157_decile_lift",
     // q159: weighted pageRank's ONE-row node-count broadcast
-    "q159_pagerank_weighted")
+    "q159_pagerank_weighted",
+    // q162: the graph profile's ONE-row edge/component-stat broadcasts
+    "q162_graph_profile")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -2550,6 +2550,45 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q161 Pearson correlation matrix over lineitem's numeric columns
+    * in one scan — ANALYZE's multivariate half: DECIMAL-exact moments,
+    * fixed-order double correlations, listwise-complete rows. */
+  val q161: Q = (s, dir) =>
+    Profile.corrMatrix(Tables.lineitem(s, dir),
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+
+  /** Q162 whole-graph profile of the brand co-occurrence graph: node/
+    * edge counts, connected components (min-label propagation),
+    * largest component, global triangle count, mean degree — the
+    * one-row health readout before any per-node graph analytics. */
+  val q162: Q = (s, dir) => {
+    val bi = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("b"), col("p_brand").as("i"))
+      .distinct()
+    val pairs = bi.join(bi.select(col("b"), col("i").as("j")), "b")
+      .where(col("i") < col("j"))
+      .select(col("i").as("x"), col("j").as("y"))
+      .distinct()
+    val tri = Graph.triangles(pairs, "x", "y")
+    val nodeStats = tri.agg(count(lit(1)).as("n_nodes"),
+      sum(col("degree")).as("__sumdeg"),
+      sum(col("n_triangles")).as("__tri3"))
+    val edgeCount = pairs.agg(count(lit(1)).as("n_edges"))
+    val comp = Dedup.dupClusters(pairs, "x", "y")
+      .groupBy("cluster_id").agg(count(lit(1)).as("__sz"))
+      .agg(count(lit(1)).as("n_components"),
+        max(col("__sz")).as("largest_component"))
+    nodeStats.crossJoin(broadcast(edgeCount)).crossJoin(broadcast(comp))
+      .select(col("n_nodes"), col("n_edges"), col("n_components"),
+        col("largest_component"),
+        (col("__tri3") / 3).cast("long").as("n_triangles"),
+        round(col("__sumdeg").cast("double") / col("n_nodes"), 4)
+          .as("avg_degree"))
+      .orderBy("n_nodes")
+  }
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3452,6 +3491,8 @@ object Queries {
     "q158_ks_test" -> q158,
     "q159_pagerank_weighted" -> q159,
     "q160_percentile_rank" -> q160,
+    "q161_corr_matrix" -> q161,
+    "q162_graph_profile" -> q162,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5596,5 +5637,56 @@ object Queries {
         + "round(CAST(SUM(CAST(CASE WHEN n_chars >= 400 THEN pct ELSE 0.0 END AS DECIMAL(16,6))) AS DOUBLE) "
         + "/ SUM(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END), 6) AS avg_pct_long "
         + "FROM v JOIN pct USING (lang, score) GROUP BY 1 ORDER BY 1"),
+    "q161_corr_matrix" -> corrMatrixOracle,
+    "q162_graph_profile" ->
+      // canonical edges, recursive-CTE components (the q55 shape),
+      // compact-forward triangles, one-row roll-up
+      ("WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS bb, p_brand AS i FROM lineitem "
+        + "JOIN part ON l_partkey = p_partkey), "
+        + "e AS (SELECT DISTINCT a.i AS a, b.i AS b FROM bi a JOIN bi b ON a.bb = b.bb AND a.i < b.i), "
+        + "deg AS (SELECT id, COUNT(*) AS d FROM "
+        + "(SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1), "
+        + "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
+        + "JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        + "ed AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e), "
+        + "reach(id, lbl) AS (SELECT id, id FROM deg "
+        + "UNION SELECT ed.src, r.lbl FROM ed JOIN reach r ON ed.dst = r.id), "
+        + "cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id), "
+        + "cs AS (SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY 1), "
+        + "agg AS (SELECT (SELECT COUNT(*) FROM deg) AS n_nodes, "
+        + "(SELECT COUNT(*) FROM e) AS n_edges, "
+        + "(SELECT COUNT(*) FROM cs) AS n_components, "
+        + "(SELECT MAX(sz) FROM cs) AS largest_component, "
+        + "(SELECT COUNT(*) FROM tri) AS n_triangles, "
+        + "(SELECT round(CAST(SUM(d) AS DOUBLE) / COUNT(*), 4) FROM deg) AS avg_degree) "
+        + "SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges, "
+        + "CAST(n_components AS BIGINT) AS n_components, CAST(largest_component AS BIGINT) AS largest_component, "
+        + "CAST(n_triangles AS BIGINT) AS n_triangles, avg_degree FROM agg ORDER BY n_nodes"),
   )
+
+  /** q161's oracle: the same quantized DECIMAL moments and fixed-order
+    * correlation program, generated per column pair. */
+  private lazy val corrMatrixOracle: String = {
+    val cs = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    val quant = cs.map(c =>
+      s"CAST(round(CAST($c AS DOUBLE), 6) AS DECIMAL(28,6)) AS $c").mkString(", ")
+    val sums = "COUNT(*) AS n, " +
+      cs.map(c => s"CAST(SUM($c) AS DOUBLE) AS s_$c").mkString(", ") + ", " +
+      cs.map(c => s"CAST(SUM(CAST($c * $c AS DECIMAL(38,12))) AS DOUBLE) AS ss_$c")
+        .mkString(", ") + ", " +
+      cs.combinations(2).map { case Seq(a, b) =>
+        s"CAST(SUM(CAST($a * $b AS DECIMAL(38,12))) AS DOUBLE) AS sp_${a}_$b"
+      }.mkString(", ")
+    val pairs = cs.combinations(2).map { case Seq(a, b) =>
+      val (va, vb) = (s"CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a",
+        s"CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b")
+      s"SELECT '$a' AS col_a, '$b' AS col_b, n, " +
+        s"CASE WHEN $va > 0 AND $vb > 0 THEN " +
+        s"round((CAST(n AS DOUBLE) * sp_${a}_$b - s_$a * s_$b) / " +
+        s"sqrt(($va) * ($vb)), 6) END AS corr FROM s"
+    }.mkString(" UNION ALL ")
+    s"WITH c AS (SELECT $quant FROM lineitem WHERE " +
+      cs.map(c => s"$c IS NOT NULL").mkString(" AND ") +
+      s"), s AS (SELECT $sums FROM c) SELECT * FROM ($pairs) ORDER BY col_a, col_b"
+  }
 }

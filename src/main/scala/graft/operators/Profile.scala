@@ -152,6 +152,51 @@ object Profile {
    * as [[strings]]; a near-unique key column makes this ndv ≈ rows —
    * exactly the column whose skew report you don't need).
    */
+  /**
+   * Pairwise Pearson correlation matrix in ONE scan — ANALYZE's
+   * multivariate half (which features move together decides what a
+   * mixture rebalance or a quality-gate ensemble can treat as
+   * independent). Inputs quantize to 6 dp and every moment — Σx, Σx²,
+   * Σxy — accumulates in DECIMAL (order-exact); each pair's
+   * r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ᵗ)·(n·Σy² − Σy²ᵗ)) is then
+   * a fixed-order double program rounded to 6, NULL for zero-variance
+   * columns. Rows with a null in ANY profiled column are dropped
+   * first (listwise deletion — every pair sees the same n).
+   *
+   * Output: (`col_a`, `col_b`, `n`, `corr`), one row per unordered
+   * pair, ordered. Scale shape: one map-side-combined aggregation to
+   * a single row of C + C(C+1)/2 + C(C−1)/2 sums; the pair explosion
+   * is a literal projection of that row.
+   */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "Profile.corrMatrix: need at least two columns")
+    val complete = df.where(cols.map(c => col(c).isNotNull).reduce(_ && _))
+    def q(c: String) = round(col(c).cast("double"), 6).cast("decimal(28,6)")
+    val sums =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.map(c => sum(q(c)).cast("double").as(s"__s_$c")) ++
+        cols.map(c => sum((q(c) * q(c)).cast("decimal(38,12)"))
+          .cast("double").as(s"__ss_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum((q(a) * q(b)).cast("decimal(38,12)"))
+            .cast("double").as(s"__sp_${a}_$b")
+        }.toSeq
+    // ONE row; checkpoint so the C(C-1)/2 pair projections replay it
+    // instead of re-running the scan per pair
+    val one = complete.agg(sums.head, sums.tail: _*).localCheckpoint()
+    val pairRows = cols.combinations(2).map { case Seq(a, b) =>
+      val n = col("__n").cast("double")
+      val cov = n * col(s"__sp_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
+      val va = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val vb = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
+      one.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").as("n"),
+        when(va > 0d && vb > 0d, round(cov / sqrt(va * vb), 6))
+          .otherwise(lit(null).cast("double")).as("corr"))
+    }.toSeq
+    pairRows.reduce(_ unionByName _).orderBy("col_a", "col_b")
+  }
+
   def keySkew(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "Profile.keySkew: need at least one column")
     val melted = df

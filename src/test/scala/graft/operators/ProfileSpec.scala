@@ -105,6 +105,29 @@ class ProfileSpec extends SparkTestBase with Matchers {
     many shouldBe one
   }
 
+  test("corrMatrix: perfect/anti/zero correlation, constant is NULL, " +
+    "null rows drop listwise") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq(
+      (1.0, 2.0, -1.0, 7.0, Some(1.0)),
+      (2.0, 4.0, -2.0, 7.0, Some(2.0)),
+      (3.0, 6.0, -3.0, 7.0, Some(9.0)),
+      (4.0, 8.0, -4.0, 7.0, None) // null in e: row dropped everywhere
+    ).toDF("a", "b", "c", "d", "e")
+    val out = Profile.corrMatrix(rows, Seq("a", "b", "c", "d", "e"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.getAs[java.lang.Double]("corr")))).toMap
+    assert(out.size == 10)
+    out.values.foreach { case (n, _) => assert(n == 3L) } // listwise
+    assert(out(("a", "b")) == ((3L, Some(1.0))))   // b = 2a
+    assert(out(("a", "c")) == ((3L, Some(-1.0))))  // c = -a
+    assert(out(("a", "d"))._2.isEmpty)             // d constant
+    // a vs e = {1,2,9} on {1,2,3}: positive but below 1
+    val rae = out(("a", "e"))._2.get
+    assert(rae > 0.8 && rae < 1.0)
+  }
+
   test("keySkew: uniform key is ~0 Gini, hot key dominates, hand values") {
     val ss = spark
     import ss.implicits._
