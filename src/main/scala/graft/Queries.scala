@@ -2589,6 +2589,19 @@ object Queries {
       .orderBy("n_nodes")
   }
 
+  /** Q163 volume trend fit: per event type, the OLS slope / intercept
+    * / R² of daily counts over the day index — the "is this feed
+    * declining" readout that turns q145's point alarms into a
+    * direction. */
+  val q163: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")))
+    Behavior.trendFit(daily, Seq("event_type"), "x", "n_events")
+      .orderBy("event_type")
+  }
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3493,6 +3506,7 @@ object Queries {
     "q160_percentile_rank" -> q160,
     "q161_corr_matrix" -> q161,
     "q162_graph_profile" -> q162,
+    "q163_trend_fit" -> q163,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5638,6 +5652,27 @@ object Queries {
         + "/ SUM(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END), 6) AS avg_pct_long "
         + "FROM v JOIN pct USING (lang, score) GROUP BY 1 ORDER BY 1"),
     "q161_corr_matrix" -> corrMatrixOracle,
+    "q163_trend_fit" ->
+      // the same quantized DECIMAL moments and fixed-order OLS program
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events "
+        + "FROM events GROUP BY 1, 2), "
+        + "v AS (SELECT event_type, "
+        + "CAST(round(CAST(date_diff('day', DATE '2024-01-01', day) AS DOUBLE), 6) AS DECIMAL(28,6)) AS x, "
+        + "CAST(round(CAST(n_events AS DOUBLE), 6) AS DECIMAL(28,6)) AS y FROM d), "
+        + "m AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS sx, "
+        + "CAST(SUM(y) AS DOUBLE) AS sy, "
+        + "CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx, "
+        + "CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy, "
+        + "CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy FROM v GROUP BY 1) "
+        + "SELECT event_type, n, "
+        + "CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN "
+        + "round((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) END AS slope, "
+        + "CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN "
+        + "round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / CAST(n AS DOUBLE), 6) END AS intercept, "
+        + "CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN "
+        + "round((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy) / "
+        + "((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS r2 "
+        + "FROM m ORDER BY event_type"),
     "q162_graph_profile" ->
       // canonical edges, recursive-CTE components (the q55 shape),
       // compact-forward triangles, one-row roll-up

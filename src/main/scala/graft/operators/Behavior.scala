@@ -195,6 +195,47 @@ object Behavior {
   }
 
   /**
+   * Per-group ordinary-least-squares trend fit — "is this feed's
+   * volume declining": slope/intercept/R² of y over x per group, from
+   * one aggregation of DECIMAL-exact moments (6-dp-quantized inputs,
+   * the corrMatrix arithmetic). Every derived value is a fixed-order
+   * double program — slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx),
+   * intercept = (Σy − slope·Σx) / n, R² = cov² / (varx·vary) — each
+   * rounded to 6; groups with zero x-variance (or zero y-variance for
+   * R²) emit NULL. Output: `by` cols + (n, slope, intercept, r2).
+   *
+   * Scale shape: one map-side-combined aggregation, 5 sums per group.
+   */
+  def trendFit(df: DataFrame, by: Seq[String], xCol: String,
+               yCol: String): DataFrame = {
+    def q(c: String) = round(col(c).cast("double"), 6).cast("decimal(28,6)")
+    val m = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(q(xCol)).cast("double").as("__sx"),
+        sum(q(yCol)).cast("double").as("__sy"),
+        sum((q(xCol) * q(xCol)).cast("decimal(38,12)")).cast("double")
+          .as("__sxx"),
+        sum((q(yCol) * q(yCol)).cast("decimal(38,12)")).cast("double")
+          .as("__syy"),
+        sum((q(xCol) * q(yCol)).cast("decimal(38,12)")).cast("double")
+          .as("__sxy"))
+    val nd = col("n").cast("double")
+    val cov = nd * col("__sxy") - col("__sx") * col("__sy")
+    val vx = nd * col("__sxx") - col("__sx") * col("__sx")
+    val vy = nd * col("__syy") - col("__sy") * col("__sy")
+    val slope = cov / vx
+    m.select((by.map(col) :+ col("n") :+
+      when(vx > 0d, round(slope, 6)).otherwise(lit(null).cast("double"))
+        .as("slope") :+
+      when(vx > 0d,
+        round((col("__sy") - slope * col("__sx")) / nd, 6))
+        .otherwise(lit(null).cast("double")).as("intercept") :+
+      when(vx > 0d && vy > 0d, round(cov * cov / (vx * vy), 6))
+        .otherwise(lit(null).cast("double")).as("r2")): _*)
+  }
+
+  /**
    * First-order event-type transition matrix (the empirical Markov
    * chain over each key's event sequence): consecutive-event (from,
    * to) counts and row-normalized transition probabilities — the

@@ -107,6 +107,25 @@ class BehaviorSpec extends SparkTestBase {
     assert(out(4) == ((3L, Some(z))))
   }
 
+  test("trendFit: exact line recovered, R2 = 1; flat series slope 0; " +
+    "single point NULL") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      ("up", 0.0, 3.0), ("up", 1.0, 5.0), ("up", 2.0, 7.0),   // y = 2x+3
+      ("flat", 0.0, 4.0), ("flat", 1.0, 4.0), ("flat", 2.0, 4.0),
+      ("one", 5.0, 9.0)
+    ).toDF("g", "x", "y")
+    val out = Behavior.trendFit(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getAs[java.lang.Double]("slope")),
+          Option(r.getAs[java.lang.Double]("intercept")),
+          Option(r.getAs[java.lang.Double]("r2")))).toMap
+    assert(out("up") == ((3L, Some(2.0), Some(3.0), Some(1.0))))
+    assert(out("flat") == ((3L, Some(0.0), Some(4.0), None))) // vy = 0
+    assert(out("one") == ((1L, None, None, None)))            // vx = 0
+  }
+
   test("transitionMatrix: per-key chains, tie-broken order, row-normalized") {
     val ss = spark
     import ss.implicits._
