@@ -182,6 +182,26 @@ class EvalSpec extends SparkTestBase with Matchers {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("twoProportionZ: by-group arms stay independent") {
+    val ss = spark
+    import ss.implicits._
+    val units = Seq(
+      // group g1: identical arms -> z = 0
+      ("g1", false, true), ("g1", false, false),
+      ("g1", true, true), ("g1", true, false),
+      // group g2: all-A-fail vs all-B-convert -> large positive z
+      ("g2", false, false), ("g2", false, false),
+      ("g2", true, true), ("g2", true, true)
+    ).toDF("g", "variant", "ok")
+    val out = Eval.twoProportionZ(units, "variant", "ok", by = Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          Option(r.getAs[java.lang.Double]("z")))).toMap
+    assert(out("g1") == ((2L, 2L, Some(0.0))))
+    // g2: p=0 vs 1, pooled .5: se = sqrt(.25*1) = .5 -> z = 1/.5 = 2
+    assert(out("g2") == ((2L, 2L, Some(2.0))))
+  }
+
   test("ksTest: hand gaps, tie at the max goes to the greatest score") {
     val ss = spark
     import ss.implicits._
