@@ -55,7 +55,9 @@ object PlanAudit {
     // q159: weighted pageRank's ONE-row node-count broadcast
     "q159_pagerank_weighted",
     // q162: the graph profile's ONE-row edge/component-stat broadcasts
-    "q162_graph_profile")
+    "q162_graph_profile",
+    // q165: vocabGrowth's ONE-row quantile-cuts broadcast
+    "q165_vocab_growth")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -2602,6 +2602,18 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Q164 user growth curve: new users per first-seen day and the
+    * running total — the acquisition readout beside q156's activity
+    * pulse. */
+  val q164: Q = (s, dir) =>
+    Behavior.growthCurve(Tables.events(s, dir), "user_id", "ts")
+
+  /** Q165 vocabulary-growth (Heaps-law) curve: distinct token types
+    * vs corpus size over ten id-quantile slices — the statistic that
+    * sizes a tokenizer vocabulary before q105/q107 train one. */
+  val q165: Q = (s, dir) =>
+    CorpusLM.vocabGrowth(Tables.documents(s, dir), "doc_id", "text")
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3507,6 +3519,8 @@ object Queries {
     "q161_corr_matrix" -> q161,
     "q162_graph_profile" -> q162,
     "q163_trend_fit" -> q163,
+    "q164_growth_curve" -> q164,
+    "q165_vocab_growth" -> q165,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5651,6 +5665,24 @@ object Queries {
         + "round(CAST(SUM(CAST(CASE WHEN n_chars >= 400 THEN pct ELSE 0.0 END AS DECIMAL(16,6))) AS DOUBLE) "
         + "/ SUM(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END), 6) AS avg_pct_long "
         + "FROM v JOIN pct USING (lang, score) GROUP BY 1 ORDER BY 1"),
+    "q164_growth_curve" ->
+      ("WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1), "
+        + "d AS (SELECT day, COUNT(*) AS n_new FROM f GROUP BY 1) "
+        + "SELECT day, n_new, CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_total "
+        + "FROM d ORDER BY day"),
+    "q165_vocab_growth" ->
+      // id-quantile slices (ties to the lower slice), first-occurrence
+      // new-type counts, exact cumulative windows
+      ("WITH tk AS (SELECT doc_id, unnest(list_filter(str_split(lower(trim(text)), ' '), t -> t <> '')) AS t FROM documents), "
+        + "cuts AS (SELECT quantile_cont(CAST(doc_id AS DOUBLE), 0.1) AS c1, quantile_cont(CAST(doc_id AS DOUBLE), 0.2) AS c2, quantile_cont(CAST(doc_id AS DOUBLE), 0.3) AS c3, quantile_cont(CAST(doc_id AS DOUBLE), 0.4) AS c4, quantile_cont(CAST(doc_id AS DOUBLE), 0.5) AS c5, quantile_cont(CAST(doc_id AS DOUBLE), 0.6) AS c6, quantile_cont(CAST(doc_id AS DOUBLE), 0.7) AS c7, quantile_cont(CAST(doc_id AS DOUBLE), 0.8) AS c8, quantile_cont(CAST(doc_id AS DOUBLE), 0.9) AS c9 FROM documents), "
+        + "fo AS (SELECT t, MIN(doc_id) AS fd FROM tk GROUP BY 1), "
+        + "fb AS (SELECT CASE WHEN CAST(fd AS DOUBLE) > c1 THEN 1 ELSE 0 END + CASE WHEN CAST(fd AS DOUBLE) > c2 THEN 1 ELSE 0 END + CASE WHEN CAST(fd AS DOUBLE) > c3 THEN 1 ELSE 0 END + CASE WHEN CAST(fd AS DOUBLE) > c4 THEN 1 ELSE 0 END + CASE WHEN CAST(fd AS DOUBLE) > c5 THEN 1 ELSE 0 END + CASE WHEN CAST(fd AS DOUBLE) > c6 THEN 1 ELSE 0 END + CASE WHEN CAST(fd AS DOUBLE) > c7 THEN 1 ELSE 0 END + CASE WHEN CAST(fd AS DOUBLE) > c8 THEN 1 ELSE 0 END + CASE WHEN CAST(fd AS DOUBLE) > c9 THEN 1 ELSE 0 END + 1 AS bucket, COUNT(*) AS new_types FROM fo CROSS JOIN cuts GROUP BY 1), "
+        + "dt AS (SELECT doc_id, len(list_filter(str_split(lower(trim(text)), ' '), x -> x <> '')) AS ntok FROM documents), "
+        + "pb AS (SELECT CASE WHEN CAST(doc_id AS DOUBLE) > c1 THEN 1 ELSE 0 END + CASE WHEN CAST(doc_id AS DOUBLE) > c2 THEN 1 ELSE 0 END + CASE WHEN CAST(doc_id AS DOUBLE) > c3 THEN 1 ELSE 0 END + CASE WHEN CAST(doc_id AS DOUBLE) > c4 THEN 1 ELSE 0 END + CASE WHEN CAST(doc_id AS DOUBLE) > c5 THEN 1 ELSE 0 END + CASE WHEN CAST(doc_id AS DOUBLE) > c6 THEN 1 ELSE 0 END + CASE WHEN CAST(doc_id AS DOUBLE) > c7 THEN 1 ELSE 0 END + CASE WHEN CAST(doc_id AS DOUBLE) > c8 THEN 1 ELSE 0 END + CASE WHEN CAST(doc_id AS DOUBLE) > c9 THEN 1 ELSE 0 END + 1 AS bucket, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM dt CROSS JOIN cuts GROUP BY 1) "
+        + "SELECT pb.bucket, n_docs, n_tokens, CAST(COALESCE(new_types, 0) AS BIGINT) AS new_types, "
+        + "CAST(SUM(n_tokens) OVER (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens, "
+        + "CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types "
+        + "FROM pb LEFT JOIN fb USING (bucket) ORDER BY bucket"),
     "q161_corr_matrix" -> corrMatrixOracle,
     "q163_trend_fit" ->
       // the same quantized DECIMAL moments and fixed-order OLS program

@@ -195,6 +195,27 @@ object Behavior {
   }
 
   /**
+   * User growth curve: per first-seen period, how many NEW keys
+   * appeared and the running total — the acquisition readout next to
+   * [[engagement]]'s activity pulse. One aggregation to first-seen
+   * periods, one period-keyed count, and a cumulative window over the
+   * calendar-bounded day spine. Output: (`day`, `n_new`, `cum_total`),
+   * ordered.
+   */
+  def growthCurve(events: DataFrame, keyCol: String,
+                  tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("__k"), col(tsCol).cast("date").as("__d"))
+      .where(col("__k").isNotNull && col("__d").isNotNull)
+      .groupBy("__k").agg(min(col("__d")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_total", sum(col("n_new")).over(w))
+      .orderBy("day")
+  }
+
+  /**
    * Per-group ordinary-least-squares trend fit — "is this feed's
    * volume declining": slope/intercept/R² of y over x per group, from
    * one aggregation of DECIMAL-exact moments (6-dp-quantized inputs,

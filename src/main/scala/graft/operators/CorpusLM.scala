@@ -312,4 +312,55 @@ object CorpusLM {
         count(lit(1)).as("n_vocab"),
         round(sum(col("__term")).cast("double"), roundTo).as("kl"))
   }
+
+  /**
+   * Vocabulary-growth (Heaps-law) curve: how the distinct-type count
+   * grows as the corpus grows — the statistic that sizes a tokenizer
+   * vocabulary BEFORE training it (a flattening curve says the vocab
+   * budget is enough; a steep one says the corpus will keep minting
+   * types). The corpus orders by `idCol` and cuts into `buckets`
+   * id-quantile slices; per slice: documents, token occurrences, NEW
+   * types (tokens whose FIRST-occurrence doc falls in the slice), and
+   * the running totals — all exact integers.
+   *
+   * Output: (`bucket` 1..buckets, `n_docs`, `n_tokens`, `new_types`,
+   * `cum_tokens`, `cum_types`), ordered.
+   *
+   * Scale shape: one token explode feeds (a) a vocabulary-bounded
+   * first-occurrence aggregate and (b) a per-doc token count; both
+   * bucket against a 1-row broadcast of quantile cuts and collapse to
+   * `buckets` rows, where the cumulative window is bucket-bounded.
+   */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val cuts = Relational.exactQuantiles(docs, Nil, idCol,
+      (1 until buckets).map(i => s"__vc$i" -> i.toDouble / buckets))
+    def bucketOf(c: Column): Column =
+      (1 until buckets).map(i =>
+        when(c.cast("double") > col(s"__vc$i"), 1).otherwise(0))
+        .reduce(_ + _) + 1
+    val tok = docs.select(col(idCol).as("__id"),
+      explode(toks(col(textCol))).as("__t"))
+    val firstOcc = tok.groupBy("__t").agg(min(col("__id")).as("__fd"))
+      .crossJoin(broadcast(cuts))
+      .groupBy(bucketOf(col("__fd")).as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val perBucket = docs
+      .select(col(idCol).as("__id"),
+        size(toks(col(textCol))).as("__ntok"))
+      .crossJoin(broadcast(cuts))
+      .groupBy(bucketOf(col("__id")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perBucket.join(firstOcc, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("new_types"), col("cum_tokens"), col("cum_types"))
+      .orderBy("bucket")
+  }
 }

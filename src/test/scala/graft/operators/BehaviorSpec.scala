@@ -107,6 +107,20 @@ class BehaviorSpec extends SparkTestBase {
     assert(out(4) == ((3L, Some(z))))
   }
 
+  test("growthCurve: first-seen days only, running total") {
+    val ss = spark
+    import ss.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-05 10:00:00")),
+      (2L, ts("2024-01-01 12:00:00")),
+      (3L, ts("2024-01-03 09:00:00"))
+    ).toDF("u", "t")
+    val out = Behavior.growthCurve(ev, "u", "t")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // u1's Jan 5 return must NOT create a new-user day
+    assert(out.toSeq == Seq(("2024-01-01", 2L, 2L), ("2024-01-03", 1L, 3L)))
+  }
+
   test("trendFit: exact line recovered, R2 = 1; flat series slope 0; " +
     "single point NULL") {
     val ss = spark

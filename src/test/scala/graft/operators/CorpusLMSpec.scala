@@ -142,4 +142,21 @@ class CorpusLMSpec extends SparkTestBase with Matchers {
       .orderBy("doc_id").collect()
     a shouldBe b
   }
+
+  test("vocabGrowth: new types land in their first-occurrence slice, " +
+    "cumulative totals are exact") {
+    val ss = spark
+    import ss.implicits._
+    // 4 docs, 2 buckets: docs {1,2} then {3,4}. Types: a,b appear
+    // first in bucket 1; c first in doc 3; nothing new in doc 4.
+    val docs = Seq(
+      (1L, "a b a"), (2L, "b a"), (3L, "c a"), (4L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = CorpusLM.vocabGrowth(docs, "doc_id", "text", buckets = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out(1) == ((2L, 5L, 2L, 5L, 2L)))  // docs 1-2: 5 toks, types {a,b}
+    assert(out(2) == ((2L, 5L, 1L, 10L, 3L))) // docs 3-4: +c only
+  }
 }
