@@ -57,7 +57,9 @@ object PlanAudit {
     // q162: the graph profile's ONE-row edge/component-stat broadcasts
     "q162_graph_profile",
     // q165: vocabGrowth's ONE-row quantile-cuts broadcast
-    "q165_vocab_growth")
+    "q165_vocab_growth",
+    // q166: pairAffinity's ONE-row basket-total broadcast (q143 shape)
+    "q166_also_bought")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -2614,6 +2614,52 @@ object Queries {
   val q165: Q = (s, dir) =>
     CorpusLM.vocabGrowth(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Q166 "also-bought" recommendations: q143's pair affinity made
+    * directional (each pair serves both endpoints), then the top-3
+    * partners per brand by (lift, n_pair) through the window top-k —
+    * the co-occurrence recommender read straight off the basket
+    * statistics. */
+  val q166: Q = (s, dir) => {
+    val baskets = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    val aff = Affinity.pairAffinity(baskets, "l_orderkey", "p_brand",
+      minSupport = 2L)
+    val directional = aff
+      .select(col("item_a").as("brand"), col("item_b").as("partner"),
+        col("n_pair"), col("lift"))
+      .unionByName(aff.select(col("item_b").as("brand"),
+        col("item_a").as("partner"), col("n_pair"), col("lift")))
+    Relational.topKPerGroup(directional, Seq("brand"),
+        Seq(col("lift").desc, col("n_pair").desc, col("partner")), k = 3,
+        rankCol = Some("rank"))
+      .orderBy("brand", "rank")
+  }
+
+  /** Q167 Theil–Sen robust trend: the median of all pairwise slopes
+    * of daily volume per event type — a single wild day drags OLS
+    * (q163) but moves a median-of-slopes by one rank. Pairwise slopes
+    * over the calendar-bounded day matrix, 6-dp-quantized, median via
+    * the exact quantile program. */
+  val q167: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")))
+    val pairs = daily.alias("a")
+      .join(daily.alias("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.x") < col("b.x"))
+      .select(col("a.event_type").as("event_type"),
+        round((col("b.n") - col("a.n")).cast("double") /
+          (col("b.x") - col("a.x")), 6).as("slope"))
+    Relational.exactQuantiles(pairs, Seq("event_type"), "slope",
+        Seq("ts_slope" -> 0.5))
+      .withColumn("ts_slope", round(col("ts_slope"), 6))
+      .orderBy("event_type")
+  }
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3521,6 +3567,8 @@ object Queries {
     "q163_trend_fit" -> q163,
     "q164_growth_curve" -> q164,
     "q165_vocab_growth" -> q165,
+    "q166_also_bought" -> q166,
+    "q167_theil_sen" -> q167,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5683,6 +5731,33 @@ object Queries {
         + "CAST(SUM(n_tokens) OVER (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens, "
         + "CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types "
         + "FROM pb LEFT JOIN fb USING (bucket) ORDER BY bucket"),
+    "q166_also_bought" ->
+      // q143's affinity CTEs made directional, desc-(lift, n_pair)
+      // row_number top-3 with the partner tie-break
+      ("WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i FROM lineitem "
+        + "JOIN part ON l_partkey = p_partkey), "
+        + "marg AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY 1), "
+        + "tot AS (SELECT COUNT(DISTINCT b) AS nb FROM bi), "
+        + "pairs AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_pair "
+        + "FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+        + "aff AS (SELECT item_a, item_b, n_pair, "
+        + "round(CAST(n_pair AS DOUBLE) * nb / (ma.n * mb.n), 6) AS lift "
+        + "FROM pairs JOIN marg ma ON item_a = ma.i JOIN marg mb ON item_b = mb.i CROSS JOIN tot), "
+        + "dir AS (SELECT item_a AS brand, item_b AS partner, n_pair, lift FROM aff "
+        + "UNION ALL SELECT item_b, item_a, n_pair, lift FROM aff), "
+        + "rk AS (SELECT *, row_number() OVER (PARTITION BY brand "
+        + "ORDER BY lift DESC, n_pair DESC, partner) AS rank FROM dir) "
+        + "SELECT brand, partner, n_pair, lift, CAST(rank AS INT) AS rank FROM rk "
+        + "WHERE rank <= 3 ORDER BY brand, rank"),
+    "q167_theil_sen" ->
+      // pairwise 6-dp slopes over the daily matrix, quantile_cont
+      // median (the exactQuantiles pairing), re-rounded to 6
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+        + "v AS (SELECT event_type, date_diff('day', DATE '2024-01-01', day) AS x, n FROM d), "
+        + "p AS (SELECT a.event_type, round(CAST(b.n - a.n AS DOUBLE) / (b.x - a.x), 6) AS slope "
+        + "FROM v a JOIN v b ON a.event_type = b.event_type AND a.x < b.x) "
+        + "SELECT event_type, round(round(quantile_cont(slope, 0.5), 6), 6) AS ts_slope "
+        + "FROM p GROUP BY 1 ORDER BY 1"),
     "q161_corr_matrix" -> corrMatrixOracle,
     "q163_trend_fit" ->
       // the same quantized DECIMAL moments and fixed-order OLS program
