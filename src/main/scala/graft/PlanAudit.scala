@@ -39,7 +39,9 @@ object PlanAudit {
     "q125_pq_encode", "q126_pq_adc",
     // q129: tfidfKeywords' ONE-row doc-count broadcast
     "q129_tfidf_keywords",
-    // q132: hardNegatives' tiny probe-set broadcast (the q54 shape)
+    // q132: hardNegatives' IVF gear — the one-row centroid-array
+    // broadcasts of ivfCandidates (q78 shape) + the tiny probe-set
+    // broadcast joined onto cell-pruned candidates (the q54 shape)
     "q132_hard_negatives",
     // q133: temperatureMixture's ONE-row weight-total broadcast
     "q133_temperature_mix",

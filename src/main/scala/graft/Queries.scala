@@ -551,8 +551,10 @@ object Queries {
     embPairOracle("a.vec_id < b.vec_id", "d1", "d2")
 
   /** q132's oracle: the q123 twin corpus, sign-LSH pairs at ≥ 0.9,
-    * transitive min-label clusters (recursive CTE), then per-probe
-    * top-5 cosine with the cluster-mate exclusion. */
+    * transitive min-label clusters (recursive CTE), then IVF
+    * cell-pruned candidates (stride-37 centroids, q78's assignment
+    * CTEs — the pruning is part of the operator contract) and
+    * per-probe top-5 cosine with the cluster-mate exclusion. */
   private def hardNegOracle: String = {
     def codeExpr(vecSql: String): String =
       lshPlanes.zipWithIndex.map { case (p, i) =>
@@ -562,7 +564,8 @@ object Queries {
     "WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "eu AS (SELECT vec_id, v FROM e0 " +
       "UNION ALL SELECT vec_id + 100000, list_transform(v, x -> x + (vec_id % 10) * CAST(0.015 AS DOUBLE)) FROM e0), " +
-      s"c AS (SELECT vec_id, v, ${codeExpr("v")} AS code FROM eu), " +
+      s"c AS (SELECT vec_id, v, ${codeExpr("v")} AS code, " +
+      "list_transform(v, x -> round(x * 1024)) AS q FROM eu), " +
       "pr AS (SELECT a.vec_id AS d1, b.vec_id AS d2 FROM c a JOIN c b " +
       "ON a.vec_id < b.vec_id AND bit_count(xor(a.code, b.code)) <= 2 " +
       "AND list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9), " +
@@ -573,10 +576,20 @@ object Queries {
       "cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id), " +
       "rr AS (SELECT c.vec_id, c.v, COALESCE(cl.cluster_id, c.vec_id) AS rep " +
       "FROM c LEFT JOIN cl ON c.vec_id = cl.id), " +
+      "cent AS (SELECT vec_id AS cid, q AS cv FROM c WHERE vec_id % 37 = 0), " +
+      "dist AS (SELECT c.vec_id, cent.cid, " +
+      "list_dot_product(c.q, c.q) - 2 * list_dot_product(c.q, cent.cv) + list_dot_product(cent.cv, cent.cv) AS d2 " +
+      "FROM c, cent), " +
+      "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist) t WHERE rn = 1), " +
+      "pc AS (SELECT vec_id AS probe_id, cid FROM (SELECT vec_id, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist WHERE vec_id < 5) t WHERE rn <= 8), " +
+      "cand AS (SELECT pc.probe_id, a.vec_id FROM asg a JOIN pc USING (cid) WHERE a.vec_id <> pc.probe_id), " +
       "pb AS (SELECT vec_id AS probe_id, v AS pv, rep AS prep FROM rr WHERE vec_id < 5), " +
       "sc AS (SELECT pb.probe_id, rr.vec_id AS neighbor_id, " +
       "list_dot_product(rr.v, pb.pv) / (sqrt(list_dot_product(rr.v, rr.v)) * sqrt(list_dot_product(pb.pv, pb.pv))) AS raw " +
-      "FROM rr CROSS JOIN pb WHERE rr.vec_id <> pb.probe_id AND rr.rep <> pb.prep), " +
+      "FROM cand JOIN rr ON cand.vec_id = rr.vec_id JOIN pb ON cand.probe_id = pb.probe_id " +
+      "WHERE rr.rep <> pb.prep), " +
       "rk AS (SELECT probe_id, neighbor_id, raw, ROW_NUMBER() OVER " +
       "(PARTITION BY probe_id ORDER BY raw DESC, neighbor_id) AS rank FROM sc) " +
       "SELECT probe_id, neighbor_id, ROUND(raw, 4) AS score, CAST(rank AS INT) AS rank " +
@@ -2647,16 +2660,7 @@ object Queries {
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n"))
       .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")))
-    val pairs = daily.alias("a")
-      .join(daily.alias("b"),
-        col("a.event_type") === col("b.event_type") &&
-          col("a.x") < col("b.x"))
-      .select(col("a.event_type").as("event_type"),
-        round((col("b.n") - col("a.n")).cast("double") /
-          (col("b.x") - col("a.x")), 6).as("slope"))
-    Relational.exactQuantiles(pairs, Seq("event_type"), "slope",
-        Seq("ts_slope" -> 0.5))
-      .withColumn("ts_slope", round(col("ts_slope"), 6))
+    Behavior.theilSen(daily, Seq("event_type"), "x", "n")
       .orderBy("event_type")
   }
 
@@ -2721,7 +2725,7 @@ object Queries {
       planes = lshPlanes, codeRadius = 2, threshold = 0.9)
     val clusters = Dedup.dupClusters(pairs, "d1", "d2")
     Similarity.hardNegatives(corpus, corpus.filter(col("vec_id") < 5),
-        "vec_id", "e", clusters, k = 5)
+        "vec_id", "e", clusters, k = 5, centroidStride = 37L, nprobe = 8)
       .orderBy("probe_id", "rank")
   }
 

@@ -27,6 +27,11 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
       f.delete(): Unit
     }
+    // A crashed query must never yield a clean-looking round: record
+    // every failure, leave an explicit `_FAILED` marker file where the
+    // parquet dir would be (so downstream tooling sees "err", not a
+    // silently absent row), and exit non-zero at the end.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -35,6 +40,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        rmrf(new java.io.File(s"$outDir/$name"))
+        Files.writeString(Paths.get(s"$outDir/${name}_FAILED"),
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -53,5 +62,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

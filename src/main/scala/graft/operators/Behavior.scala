@@ -257,6 +257,50 @@ object Behavior {
   }
 
   /**
+   * Theil–Sen robust trend estimator: per group, the median of all
+   * pairwise slopes (y_j − y_i)/(x_j − x_i) over x_i < x_j — the
+   * rank-based sibling of [[trendFit]]'s OLS: one wild day drags an
+   * OLS slope arbitrarily, but moves a median-of-slopes by one rank
+   * (breakdown point ≈ 29%). Slopes are 6-dp-quantized, the median is
+   * the exact bucketed-quantile program ([[Relational.exactQuantiles]]),
+   * and the output is re-rounded to 6 — both engines replay the same
+   * IEEE program. Output: `by` cols + `ts_slope`.
+   *
+   * ANSI safety: the pairwise division is self-guarded with
+   * `when(x2 > x1, ...)` even though the join condition already
+   * enforces x1 < x2 — Catalyst folds downstream isNotNull filters
+   * into the join condition AHEAD of the range conjunct, so an
+   * unguarded division would run on the x1 == x2 diagonal and throw
+   * DIVIDE_BY_ZERO under ANSI mode. The guard is a no-op on results.
+   *
+   * Scale shape: the pairwise frame is per-group O(d²) over DISTINCT
+   * x values (days, not events) — d is calendar-bounded, so the join
+   * input is the compact daily matrix and the only data-sized shuffle
+   * is the initial aggregation to it. The join itself is an equi-join
+   * on the group key (broadcastable daily matrix); the quantile
+   * program adds vocab-bounded exchanges.
+   */
+  def theilSen(df: DataFrame, by: Seq[String], xCol: String,
+               yCol: String): DataFrame = {
+    val keep = by.map(col) :+ col(xCol) :+ col(yCol)
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(keep: _*)
+    val right = base.select(
+      (by.map(c => col(c).as(s"__r_$c")) :+
+        col(xCol).as("__x2") :+ col(yCol).as("__y2")): _*)
+    val cond = by.map(c => col(c) === col(s"__r_$c"))
+      .reduce(_ && _) && col(xCol) < col("__x2")
+    val pairs = base.join(right, cond)
+      .select((by.map(col) :+
+        round(when(col("__x2") > col(xCol),
+          (col("__y2") - col(yCol)).cast("double") /
+            (col("__x2") - col(xCol)).cast("double")),
+          6).as("__slope")): _*)
+    Relational.exactQuantiles(pairs, by, "__slope", Seq("ts_slope" -> 0.5))
+      .withColumn("ts_slope", round(col("ts_slope"), 6))
+  }
+
+  /**
    * First-order event-type transition matrix (the empirical Markov
    * chain over each key's event sequence): consecutive-event (from,
    * to) counts and row-normalized transition probabilities — the

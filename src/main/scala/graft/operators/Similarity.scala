@@ -351,6 +351,37 @@ object Similarity {
                  nprobe: Int): DataFrame = {
     require(centroidStride >= 1, "centroidStride must be >= 1")
     require(nprobe >= 1, "nprobe must be >= 1")
+    val cand = ivfCandidates(emb, probes, idCol, vecCol,
+      centroidStride, nprobe)
+    val scored = cand
+      .join(emb.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__id")
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(vecCol).as("__pv"))), "probe_id")
+      .select(col("probe_id"), col("__id").as("neighbor_id"),
+        cosine(col("__v"), col("__pv")).as("__raw"))
+    Relational.topKPerGroup(scored, Seq("probe_id"),
+        Seq(col("__raw").desc, col("neighbor_id").asc), k, rankCol = Some("rank"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("__raw"), 4).as("score"), col("rank"))
+  }
+
+  /**
+   * IVF cell-pruned candidate generation — the shared front half of
+   * [[ivfKnnJoin]] and [[hardNegatives]]'s scale path: stride-sampled
+   * centroids, in-scan (d2, cid) argmin corpus assignment, per-probe
+   * `nprobe` nearest cells, and the (probe_id, __id) pairs whose cell
+   * matches. Self-pairs are excluded. Deterministic end to end
+   * (quantized grid, lexicographic tie-break), so an external oracle
+   * replays the exact candidate set.
+   *
+   * Scale shape: one broadcast centroid row; the corpus never shuffles
+   * for assignment; the cell join output is candidate-bounded —
+   * |probes| · (corpus-fraction covered by nprobe cells), never
+   * |probes| · N.
+   */
+  private[operators] def ivfCandidates(emb: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, centroidStride: Long,
+      nprobe: Int): DataFrame = {
     val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
     val cent = q.filter(pmod(col("__id"), lit(centroidStride)) === 0)
       .select(col("__id").as("__cid"), col("__q").as("__cv"))
@@ -375,19 +406,9 @@ object Similarity {
           struct(d2(col("__c.__cv")).as("d2"), col("__c.__cid").as("cid")).as("__dc")),
       Seq("probe_id"), Seq(col("__dc").asc), nprobe)
       .select(col("probe_id"), col("__dc.cid").as("__cell"))
-    val cand = asg.join(pcells, "__cell")
+    asg.join(pcells, "__cell")
       .filter(col("__id") =!= col("probe_id"))
       .select(col("probe_id"), col("__id"))
-    val scored = cand
-      .join(emb.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__id")
-      .join(broadcast(probes.select(col(idCol).as("probe_id"),
-        col(vecCol).as("__pv"))), "probe_id")
-      .select(col("probe_id"), col("__id").as("neighbor_id"),
-        cosine(col("__v"), col("__pv")).as("__raw"))
-    Relational.topKPerGroup(scored, Seq("probe_id"),
-        Seq(col("__raw").desc, col("neighbor_id").asc), k, rankCol = Some("rank"))
-      .select(col("probe_id"), col("neighbor_id"),
-        round(col("__raw"), 4).as("score"), col("rank"))
   }
 
   /**
@@ -538,18 +559,29 @@ object Similarity {
    * `cluster_id`) — duplicate members only; non-members represent
    * themselves (`coalesce`), the `clusterAwareSplit` convention.
    *
-   * Scale shape: the cluster table joins the corpus id-keyed (dup
-   * members are a vanishing fraction; thin rows), probes broadcast
-   * like [[knnJoin]], exclusion is a per-row predicate (no extra
-   * exchange), and the per-probe top-k window sees candidate rows
-   * only. For corpus-scale probe sets, swap the broadcast for
-   * [[ivfKnnJoin]]'s cell pruning — the exclusion predicate is
-   * unchanged.
+   * Candidate generation has two gears. With `centroidStride` ≥ 1
+   * (the default posture for anything corpus-scale), candidates route
+   * through [[ivfCandidates]]'s deterministic cell pruning BEFORE the
+   * exclusion — the crossJoin only ever sees cell-pruned pairs, so
+   * work tracks output (|probes| · nprobe-cell fraction), never
+   * |probes| · N. The pruning is part of the operator's contract
+   * (same as [[ivfKnnJoin]]): an oracle replays the cells exactly.
+   * With `centroidStride` = 0 the exhaustive broadcast path scores
+   * the full corpus per probe — exact top-k, affordable only for
+   * small corpora or one-off probe batches; it is NOT the plan to
+   * run at 100 TB.
+   *
+   * Scale shape (pruned gear): the cluster table joins the corpus
+   * id-keyed (dup members are a vanishing fraction; thin rows),
+   * cell-candidate pairs shuffle id-keyed to fetch vectors, exclusion
+   * is a per-row predicate (no extra exchange), and the per-probe
+   * top-k window sees candidate rows only.
    *
    * Output: (probe_id, neighbor_id, score, rank), cosine rounded 4.
    */
   def hardNegatives(emb: DataFrame, probes: DataFrame, idCol: String,
-                    vecCol: String, clusters: DataFrame, k: Int): DataFrame = {
+                    vecCol: String, clusters: DataFrame, k: Int,
+                    centroidStride: Long = 0L, nprobe: Int = 8): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val rep = clusters.select(col("id").as("__m"), col("cluster_id").as("__lbl"))
     val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
@@ -560,8 +592,15 @@ object Similarity {
       .join(rep, col("probe_id") === col("__m"), "left")
       .select(col("probe_id"), col("__pv"),
         coalesce(col("__lbl"), col("probe_id")).as("__pr"))
-    val scored = e.crossJoin(broadcast(p))
-      .filter(col("__id") =!= col("probe_id") && col("__r") =!= col("__pr"))
+    val paired =
+      if (centroidStride >= 1L)
+        ivfCandidates(emb, probes, idCol, vecCol, centroidStride, nprobe)
+          .join(e, "__id")
+          .join(broadcast(p), "probe_id")
+      else e.crossJoin(broadcast(p))
+        .filter(col("__id") =!= col("probe_id"))
+    val scored = paired
+      .filter(col("__r") =!= col("__pr"))
       .select(col("probe_id"), col("__id").as("neighbor_id"),
         cosine(col("__v"), col("__pv")).as("__raw"))
     Relational.topKPerGroup(scored, Seq("probe_id"),

@@ -30,6 +30,43 @@ class AffinitySpec extends SparkTestBase {
     assert(out.size == 2)
   }
 
+  test("also-bought shape (q166): directional union + top-3 by lift with " +
+    "tie-break on n_pair then partner") {
+    val ss = spark
+    import ss.implicits._
+    // N=5 baskets: 1={a,b,c}, 2={a,b}, 3={a,c}, 4={a,d}, 5={b,c}.
+    // n_a=4, n_b=3, n_c=3, n_d=1; pairs: (a,b)=2, (a,c)=2, (a,d)=1,
+    // (b,c)=2. Lifts: (a,d)=5/4=1.25, (b,c)=10/9=1.111111,
+    // (a,b)=(a,c)=10/12=0.833333 — a genuine lift tie for brand `a`,
+    // broken by partner name (same n_pair).
+    val bi = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"),
+      (4L, "a"), (4L, "d"),
+      (5L, "b"), (5L, "c")
+    ).toDF("b", "i")
+    val aff = Affinity.pairAffinity(bi, "b", "i", minSupport = 1L)
+    val directional = aff
+      .select(col("item_a").as("brand"), col("item_b").as("partner"),
+        col("n_pair"), col("lift"))
+      .unionByName(aff.select(col("item_b").as("brand"),
+        col("item_a").as("partner"), col("n_pair"), col("lift")))
+    val out = Relational.topKPerGroup(directional, Seq("brand"),
+        Seq(col("lift").desc, col("n_pair").desc, col("partner")), k = 3,
+        rankCol = Some("rank"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(4)) ->
+        (r.getString(1), r.getAs[Double]("lift"))).toMap
+    assert(out(("a", 1)) == (("d", 1.25)))
+    assert(out(("a", 2)) == (("b", 0.833333))) // lift tie: partner asc
+    assert(out(("a", 3)) == (("c", 0.833333)))
+    assert(out(("b", 1)) == (("c", 1.111111)))
+    assert(out(("b", 2)) == (("a", 0.833333)))
+    assert(out(("d", 1)) == (("a", 1.25)))
+    assert(out.size == 8) // a:3, b:2, c:2, d:1
+  }
+
   test("pairAffinity: pairs are unordered and distinct per basket") {
     val ss = spark
     import ss.implicits._

@@ -162,6 +162,44 @@ class BehaviorSpec extends SparkTestBase {
     assert(out.size == 3)
   }
 
+  test("theilSen: outlier-day rejection, tie slope, interpolated median, " +
+    "single-point group dropped") {
+    val ss = spark
+    import ss.implicits._
+    // g1: perfect unit line for 4 days + one wild outlier day. 10
+    // pairwise slopes = six 1.0s + {250, 333, 499, 997}; the median
+    // (h = 4.5 lands between two 1.0s) is exactly 1.0 — the outlier
+    // is fully rejected where OLS would report slope ≈ 172.
+    // g2: y plateaus (0, 5, 5): slopes {5, 2.5, 0} -> median 2.5,
+    // covering a tied y (slope 0) and odd-count exact selection.
+    // g3: a single day -> no pairs -> no output row.
+    val pts = Seq(
+      ("g1", 0, 0L), ("g1", 1, 1L), ("g1", 2, 2L), ("g1", 3, 3L),
+      ("g1", 4, 1000L),
+      ("g2", 0, 0L), ("g2", 1, 5L), ("g2", 2, 5L),
+      ("g3", 7, 42L)
+    ).toDF("g", "x", "y")
+    val out = Behavior.theilSen(pts, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ts_slope"))
+      .toMap
+    assert(out("g1") == 1.0)
+    assert(out("g2") == 2.5)
+    assert(out.size == 2)
+  }
+
+  test("theilSen: even pair count interpolates between straddling slopes") {
+    val ss = spark
+    import ss.implicits._
+    // (0,0),(1,1),(2,2),(3,100): slopes {1, 1, 1, 33.333333, 49.5, 98};
+    // h = 0.5 * 5 = 2.5 -> 1 + 0.5 * (33.333333 - 1) = 17.1666665,
+    // rounds (HALF_UP) to 17.166667.
+    val pts = Seq(("g", 0, 0L), ("g", 1, 1L), ("g", 2, 2L), ("g", 3, 100L))
+      .toDF("g", "x", "y")
+    val out = Behavior.theilSen(pts, Seq("g"), "x", "y").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("ts_slope") == 17.166667)
+  }
+
   test("engagement: hand DAU/WAU over a 9-day toy calendar") {
     val ss = spark
     import ss.implicits._

@@ -611,6 +611,36 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     naive.getAs[Long]("neighbor_id") shouldBe 1L
   }
 
+  test("hardNegatives: IVF gear with nprobe = all cells equals the " +
+    "exhaustive path; tight nprobe prunes candidates") {
+    val ss = spark
+    import ss.implicits._
+    // 12 vectors in two well-separated directions; stride-3 centroids
+    // (ids 0, 3, 6, 9) give 2+ populated cells on each axis.
+    val emb = (0L to 11L).map { i =>
+      val axis = if (i % 2 == 0) Seq(1.0, 0.0, 0.0, 0.0) else Seq(0.0, 1.0, 0.0, 0.0)
+      (i, axis.map(_ * (1.0 + 0.05 * i)))
+    }.toDF("vec_id", "e")
+    val clusters = Seq((0L, 0L), (2L, 0L)).toDF("id", "cluster_id")
+    val probes = emb.filter(col("vec_id") === 0L)
+    val brute = Similarity.hardNegatives(emb, probes, "vec_id", "e",
+      clusters, k = 4)
+    // nprobe = 4 covers every stride-3 centroid -> recall 1: identical
+    // rows to the exhaustive gear, pruning is invisible.
+    val full = Similarity.hardNegatives(emb, probes, "vec_id", "e",
+      clusters, k = 4, centroidStride = 3L, nprobe = 4)
+    full.collect().toSeq shouldBe brute.collect().toSeq
+    // nprobe = 1 keeps only the probe's own cell: candidates shrink to
+    // cell mates, cluster mates still excluded, nothing cross-axis.
+    val pruned = Similarity.hardNegatives(emb, probes, "vec_id", "e",
+        clusters, k = 10, centroidStride = 3L, nprobe = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(!pruned.contains(2L)) // cluster mate: excluded in any gear
+    val all = Similarity.hardNegatives(emb, probes, "vec_id", "e",
+        clusters, k = 10).collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(pruned.subsetOf(all) && pruned.size < all.size)
+  }
+
   test("subsetDocPairs: finds true containment at tiny Jaccard, " +
     "orients exact-dup ties by id, ignores partial overlap") {
     val ss = spark
