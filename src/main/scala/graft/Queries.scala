@@ -2664,6 +2664,33 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Q168 Mann–Kendall trend test (q167's significance gate): the
+    * pairwise-sign S statistic, tie-corrected 18·Var(S), and the
+    * continuity-corrected z — S/n/var18 pure BIGINT, z one fixed-order
+    * double program. Same daily matrix as q167. */
+  val q168: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")))
+    Behavior.mannKendall(daily, Seq("event_type"), "x", "n")
+      .orderBy("event_type")
+  }
+
+  /** Q169 weekly seasonal index (classical additive decomposition
+    * readout over q145's daily matrix): per event type and day-of-week
+    * phase, the centered mean deviation from a centered 7-day
+    * moving-average trend — full windows only, exact-rational
+    * detrending (7y − Σ7), one double division per phase. */
+  val q169: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")))
+    Behavior.seasonalIndex(daily, Seq("event_type"), "x", "n", period = 7)
+      .orderBy("event_type", "phase")
+  }
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3573,6 +3600,8 @@ object Queries {
     "q165_vocab_growth" -> q165,
     "q166_also_bought" -> q166,
     "q167_theil_sen" -> q167,
+    "q168_mann_kendall" -> q168,
+    "q169_seasonal_dow" -> q169,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5762,6 +5791,41 @@ object Queries {
         + "FROM v a JOIN v b ON a.event_type = b.event_type AND a.x < b.x) "
         + "SELECT event_type, round(round(quantile_cont(slope, 0.5), 6), 6) AS ts_slope "
         + "FROM p GROUP BY 1 ORDER BY 1"),
+    "q168_mann_kendall" ->
+      // integer S + tie-corrected 18*Var(S); z replays the engine's
+      // fixed-order double program operand-for-operand
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+        + "v AS (SELECT event_type, date_diff('day', DATE '2024-01-01', day) AS x, n AS y FROM d), "
+        + "s AS (SELECT a.event_type, CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat "
+        + "FROM v a JOIN v b ON a.event_type = b.event_type AND a.x < b.x GROUP BY 1), "
+        + "nn AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1), "
+        + "tt AS (SELECT event_type, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum "
+        + "FROM (SELECT event_type, y, COUNT(*) AS t FROM v GROUP BY 1, 2) GROUP BY 1), "
+        + "j AS (SELECT nn.event_type, nn.n, s.s_stat, "
+        + "nn.n * (nn.n - 1) * (2 * nn.n + 5) - tt.tsum AS var18 "
+        + "FROM nn JOIN s USING (event_type) JOIN tt USING (event_type)) "
+        + "SELECT event_type, CAST(n AS BIGINT) AS n, s_stat, CAST(var18 AS BIGINT) AS var18, "
+        + "CASE WHEN var18 > 0 THEN round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0) "
+        + "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0) ELSE 0.0 END, 6) END AS z "
+        + "FROM j ORDER BY event_type"),
+    "q169_seasonal_dow" ->
+      // full centered 7-windows only; exact BIGINT detrend numerators
+      // (7y - sum7); per-phase mean and centering replay the engine's
+      // fixed-order double programs
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+        + "v AS (SELECT event_type, date_diff('day', DATE '2024-01-01', day) AS x, n AS y FROM d), "
+        + "wnd AS (SELECT event_type, x, y, SUM(y) OVER w AS sump, COUNT(*) OVER w AS cnt, "
+        + "MAX(x) OVER w - MIN(x) OVER w AS span FROM v "
+        + "WINDOW w AS (PARTITION BY event_type ORDER BY x ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), "
+        + "f AS (SELECT event_type, x % 7 AS phase, 7 * y - sump AS num FROM wnd WHERE cnt = 7 AND span = 6), "
+        + "pp AS (SELECT event_type, phase, CAST(SUM(num) AS BIGINT) AS numsum, COUNT(*) AS n_win FROM f GROUP BY 1, 2), "
+        + "sr AS (SELECT event_type, phase, n_win, "
+        + "CAST(round(CAST(numsum AS DOUBLE) / (7.0 * n_win), 6) AS DECIMAL(28,6)) AS sraw FROM pp), "
+        + "c AS (SELECT *, CAST(SUM(sraw) OVER (PARTITION BY event_type) AS DOUBLE) / "
+        + "CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS center FROM sr) "
+        + "SELECT event_type, CAST(phase AS INT) AS phase, CAST(n_win AS BIGINT) AS n_win, "
+        + "round(CAST(sraw AS DOUBLE) - center, 6) AS seasonal_idx "
+        + "FROM c ORDER BY event_type, phase"),
     "q161_corr_matrix" -> corrMatrixOracle,
     "q163_trend_fit" ->
       // the same quantized DECIMAL moments and fixed-order OLS program

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -298,6 +298,113 @@ object Behavior {
           6).as("__slope")): _*)
     Relational.exactQuantiles(pairs, by, "__slope", Seq("ts_slope" -> 0.5))
       .withColumn("ts_slope", round(col("ts_slope"), 6))
+  }
+
+  /**
+   * Mann–Kendall trend test — the significance gate for [[theilSen]]'s
+   * slope (same pairwise-sign statistic family): per group,
+   * S = Σ_{i<j} sign(y_j − y_i) over x-ordered pairs, the
+   * tie-corrected variance numerator
+   * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (t = tied-y group
+   * sizes), and the continuity-corrected z = (S ∓ 1)/√(Var S). S, n,
+   * and the variance numerator are pure BIGINT decisions; z is ONE
+   * fixed-order double program (sqrt of an exact-integer/18 ratio,
+   * round 6) replicated operand-for-operand in an oracle. Groups need
+   * ≥ 2 distinct x; zero-variance groups (all y tied) emit NULL z.
+   *
+   * Output: `by` cols + (n, s_stat, var18, z).
+   *
+   * Scale shape: same as [[theilSen]] — the pairwise frame is
+   * per-group O(d²) over the compact per-x matrix (calendar-bounded
+   * days, not events); the tie histogram is a vocab-bounded second
+   * aggregation of the same matrix; both join back group-keyed.
+   */
+  def mannKendall(df: DataFrame, by: Seq[String], xCol: String,
+                  yCol: String): DataFrame = {
+    val keep = by.map(col) :+ col(xCol) :+ col(yCol)
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(keep: _*)
+    val right = base.select(
+      (by.map(c => col(c).as(s"__r_$c")) :+
+        col(xCol).as("__x2") :+ col(yCol).as("__y2")): _*)
+    val cond = by.map(c => col(c) === col(s"__r_$c"))
+      .reduce(_ && _) && col(xCol) < col("__x2")
+    val s = base.join(right, cond)
+      .groupBy(by.map(col): _*)
+      .agg(sum(signum(col("__y2") - col(yCol)).cast("long")).as("s_stat"))
+    val nRows = base.groupBy(by.map(col): _*).agg(count(lit(1)).as("n"))
+    def mk(c: Column): Column = c * (c - 1L) * (lit(2L) * c + 5L)
+    val ties = base.groupBy((by.map(col) :+ col(yCol)): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(by.map(col): _*)
+      .agg(sum(mk(col("__t"))).as("__tsum"))
+    val var18 = mk(col("n")) - col("__tsum")
+    val sd = sqrt(col("var18").cast("double") / 18d)
+    val z = when(col("s_stat") > 0L, (col("s_stat") - 1L).cast("double") / sd)
+      .when(col("s_stat") < 0L, (col("s_stat") + 1L).cast("double") / sd)
+      .otherwise(lit(0d))
+    nRows.join(s, by).join(ties, by)
+      .withColumn("var18", var18)
+      .select((by.map(col) :+ col("n") :+ col("s_stat") :+ col("var18") :+
+        when(col("var18") > 0L, round(z, 6))
+          .otherwise(lit(null).cast("double")).as("z")): _*)
+  }
+
+  /**
+   * Classical additive seasonal decomposition readout (the
+   * weekly-shape sibling of [[theilSen]]/[[mannKendall]] over the
+   * same daily matrix): per group and phase (x mod `period`), the
+   * centered seasonal index of y after removing a centered
+   * `period`-point moving-average trend — "Mondays run +340 events
+   * over trend". Only FULL windows contribute (all `period` points
+   * present AND x-contiguous), so missing days can't smear the trend.
+   *
+   * Exactness: the detrended value is held as the exact BIGINT
+   * numerator p·y − Σ_window y (denominator p), so per-phase means
+   * are exact-integer sums with ONE double division
+   * (Σnum / (p·count), rounded 6, then DECIMAL(28,6)); the centering
+   * mean is a DECIMAL-exact sum with one cast-and-divide. Every
+   * double is a fixed-order program an oracle replays
+   * operand-for-operand. Output: `by` cols + (`phase`, `n_win`,
+   * `seasonal_idx`).
+   *
+   * Scale shape: one shuffle by group for the x-ordered window over
+   * the compact per-x matrix (calendar-bounded rows, not events);
+   * the phase aggregation and the per-group centering window run
+   * over group×period rows.
+   */
+  def seasonalIndex(df: DataFrame, by: Seq[String], xCol: String,
+                    yCol: String, period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      "seasonalIndex: period must be odd and >= 3")
+    val half = period / 2
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col(xCol))
+      .rowsBetween(-half, half)
+    val windowed = base
+      .withColumn("__sump", sum(col(yCol)).over(w))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__span", max(col(xCol)).over(w) - min(col(xCol)).over(w))
+      .filter(col("__cnt") === period.toLong &&
+        col("__span") === lit(period - 1))
+      .select((by.map(col) :+
+        pmod(col(xCol), lit(period)).as("phase") :+
+        (lit(period.toLong) * col(yCol) - col("__sump")).as("__num")): _*)
+    val perPhase = windowed
+      .groupBy((by.map(col) :+ col("phase")): _*)
+      .agg(sum(col("__num")).as("__numsum"), count(lit(1)).as("n_win"))
+      .withColumn("__sraw",
+        round(col("__numsum").cast("double") /
+          (lit(period.toDouble) * col("n_win").cast("double")), 6)
+          .cast("decimal(28,6)"))
+    val wg = Window.partitionBy(by.map(col): _*)
+    perPhase
+      .withColumn("__center",
+        sum(col("__sraw")).over(wg).cast("double") /
+          count(lit(1)).over(wg).cast("double"))
+      .select((by.map(col) :+ col("phase") :+ col("n_win") :+
+        round(col("__sraw").cast("double") - col("__center"), 6)
+          .as("seasonal_idx")): _*)
   }
 
   /**

@@ -200,6 +200,58 @@ class BehaviorSpec extends SparkTestBase {
     assert(out.head.getAs[Double]("ts_slope") == 17.166667)
   }
 
+  test("mannKendall: hand S/var18/z — monotone rise, all-tied NULL z, " +
+    "tie-corrected decline, single-point group dropped") {
+    val ss = spark
+    import ss.implicits._
+    // g1 strictly rising (1,2,3,4): S=6, var18 = 4*3*13 = 156,
+    //   z = (6-1)/sqrt(156/18) = 1.698416.
+    // g2 all tied (5,5,5): S=0, var18 = 66 - 66 = 0 -> z NULL.
+    // g3 declining with one tie (3,3,1): S=-2, var18 = 66 - 18 = 48,
+    //   z = (-2+1)/sqrt(48/18) = -0.612372.
+    // g4 one point: no pairs -> dropped.
+    val pts = Seq(
+      ("g1", 0, 1L), ("g1", 1, 2L), ("g1", 2, 3L), ("g1", 3, 4L),
+      ("g2", 0, 5L), ("g2", 1, 5L), ("g2", 2, 5L),
+      ("g3", 0, 3L), ("g3", 1, 3L), ("g3", 2, 1L),
+      ("g4", 9, 7L)
+    ).toDF("g", "x", "y")
+    val out = Behavior.mannKendall(pts, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getAs[java.lang.Double]("z"))))).toMap
+    assert(out("g1") == ((4L, 6L, 156L, Some(1.698416))))
+    assert(out("g2") == ((3L, 0L, 0L, None)))
+    assert(out("g3") == ((3L, -2L, 48L, Some(-0.612372))))
+    assert(out.size == 3)
+  }
+
+  test("seasonalIndex: hand pattern recovered under a linear trend, " +
+    "gapped series contributes no partial windows") {
+    val ss = spark
+    import ss.implicits._
+    // g1: y = 10x + pattern(x%3) with pattern (1, 4, 7) over x = 0..8,
+    // period 3. Full windows are x = 1..7; every window's 3y - sum3
+    // isolates the pattern exactly: phase means (-3, 0, +3) after the
+    // linear trend cancels (centered MA of a line is the line).
+    //   x%3=0 rows in x=1..7: x=3,6 -> num = 3*(10x+1) - (30x+12) = -9
+    //   x%3=1: x=1,4,7 -> num = 0 ; x%3=2: x=2,5 -> num = +9
+    //   sraw = (-3, 0, 3), center 0 -> idx (-3, 0, 3).
+    // g2: x = 0..2 then a gap then 10..12 — no 3-contiguous full
+    // window exists (x=1 spans 0..2: OK actually) — use x = 0,1,3,4:
+    // no window of 3 CONSECUTIVE x -> group absent.
+    val g1 = (0 to 8).map(x => ("g1", x, 10L * x + Seq(1L, 4L, 7L)(x % 3)))
+    val g2 = Seq(0, 1, 3, 4).map(x => ("g2", x, 100L))
+    val pts = (g1 ++ g2).toDF("g", "x", "y")
+    val out = Behavior.seasonalIndex(pts, Seq("g"), "x", "y", period = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getAs[Double]("seasonal_idx")))).toMap
+    assert(out(("g1", 0)) == ((2L, -3.0)))
+    assert(out(("g1", 1)) == ((3L, 0.0)))
+    assert(out(("g1", 2)) == ((2L, 3.0)))
+    assert(out.size == 3) // g2 has no full window anywhere
+  }
+
   test("engagement: hand DAU/WAU over a 9-day toy calendar") {
     val ss = spark
     import ss.implicits._
