@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 import graft.codec.Debezium
 import graft.core.{Pipeline, PipelineSpec, Tables}
 import graft.multimodal.Multimodal
-import graft.operators.{Affinity, Behavior, CorpusLM, Dedup, Eval, Graph, Profile, Relational, Sampling, Similarity, TextMetrics, Web}
+import graft.operators.{Affinity, Behavior, CorpusLM, Dedup, Eval, Graph, Profile, Relational, Sampling, Similarity, Sketch, TextMetrics, Web}
 import graft.sources.PromText
 import graft.streaming.StreamingOps
 
@@ -2691,6 +2691,47 @@ object Queries {
       .orderBy("event_type", "phase")
   }
 
+  /** Q170 incremental approx-distinct via mergeable HLL register
+    * tables (the q87-style history split): per-event-type user
+    * cardinality from history-sketch ⊕ batch-sketch — the full stream
+    * is never rescanned. Merge == rescan is exact BY CONSTRUCTION
+    * (SketchSpec pins table equality), so the oracle sketches the
+    * union; the exact distinct count rides along as the report's
+    * error reference. */
+  val q170: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        col("ts").cast("date").as("day"))
+    val cutoff = lit("2024-02-01").cast("date")
+    val hist = Sketch.hllSketch(ev.filter(col("day") < cutoff),
+      Seq("event_type"), "user_id")
+    val batch = Sketch.hllSketch(ev.filter(col("day") >= cutoff),
+      Seq("event_type"), "user_id")
+    val est = Sketch.hllEstimate(
+      Sketch.hllMerge(Seq(hist, batch), Seq("event_type")),
+      Seq("event_type"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    est.join(exact, "event_type").orderBy("event_type")
+  }
+
+  /** Q171 mergeable log-histogram rank queries (the DDSketch-shaped
+    * incremental quantile path): per-lang p50/p90/p99 lower bounds of
+    * n_chars from history ⊕ batch sketches (q87's doc_id % 31 split).
+    * Bucket keys are pure integer bit-length programs; the answer is
+    * within one ≤ 12.5%-wide bucket of the exact quantile. */
+  val q171: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val hist = Sketch.logHistSketch(docs.filter(col("doc_id") % 31 === 0),
+      Seq("lang"), "n_chars")
+    val batch = Sketch.logHistSketch(docs.filter(col("doc_id") % 31 =!= 0),
+      Seq("lang"), "n_chars")
+    Sketch.logHistQuantiles(
+        Sketch.logHistMerge(Seq(hist, batch), Seq("lang")), Seq("lang"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy("lang")
+  }
+
   /** Q135 reciprocal-rank fusion (the score-free ensemble over q112's
     * scorer and a length prior): two rankers on incomparable scales —
     * the hashed quality score and raw character count — fuse per
@@ -3602,6 +3643,8 @@ object Queries {
     "q167_theil_sen" -> q167,
     "q168_mann_kendall" -> q168,
     "q169_seasonal_dow" -> q169,
+    "q170_hll_incremental" -> q170,
+    "q171_loghist_quantiles" -> q171,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5826,6 +5869,44 @@ object Queries {
         + "SELECT event_type, CAST(phase AS INT) AS phase, CAST(n_win AS BIGINT) AS n_win, "
         + "round(CAST(sraw AS DOUBLE) - center, 6) AS seasonal_idx "
         + "FROM c ORDER BY event_type, phase"),
+    "q170_hll_incremental" ->
+      // merge == rescan by construction (SketchSpec pins it), so the
+      // oracle sketches the union: portable modular hashes, bin()
+      // bit-length rho, exact BIGINT harmonic sum, the engine's
+      // fixed-order estimator programs
+      ("WITH e AS (SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL), "
+        + "h AS (SELECT event_type, "
+        + "((((user_id + 1) * 2654435761) % 1000000007) * (((user_id + 1) * 2654435761) % 1000000007) >> 12) % 512 AS reg, "
+        + "((((user_id + 13) * 1540483477) % 1000000007) * (((user_id + 13) * 1540483477) % 1000000007) >> 6) % 1073741824 AS h2 FROM e), "
+        + "r AS (SELECT event_type, reg, "
+        + "MAX(CASE WHEN h2 = 0 THEN 31 ELSE 31 - length(bin(h2)) END) AS rho "
+        + "FROM h GROUP BY 1, 2), "
+        + "g AS (SELECT event_type, COUNT(*) AS nz, "
+        + "CAST(SUM(CAST((1::BIGINT << 32) / power(2.0, rho) AS BIGINT)) AS BIGINT) AS spart "
+        + "FROM r GROUP BY 1), "
+        + "s AS (SELECT event_type, nz, spart + (512 - nz) * (1::BIGINT << 32) AS hs FROM g), "
+        + "est AS (SELECT event_type, "
+        + "CASE WHEN (512 - nz) > 0 AND 0.7213 / (1.0 + 1.079 / 512.0) * 1125899906842624.0 / CAST(hs AS DOUBLE) <= 1280.0 "
+        + "THEN 512.0 * round(ln(512.0 / (512 - nz)), 6) "
+        + "ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 1125899906842624.0 / CAST(hs AS DOUBLE) END AS raw FROM s), "
+        + "x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM e GROUP BY 1) "
+        + "SELECT est.event_type, round(raw, 1) AS est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct "
+        + "FROM est JOIN x USING (event_type) ORDER BY event_type"),
+    "q171_loghist_quantiles" ->
+      // union-sketch replay: integer bit-length buckets, cumulative
+      // rank walk, first bucket reaching ceil(phi*N)
+      ("WITH d AS (SELECT lang, n_chars AS v FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0), "
+        + "k AS (SELECT lang, CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS b, "
+        + "CASE WHEN v = 0 THEN 0 ELSE (v * 8) // CAST(power(2, length(bin(v))) AS BIGINT) END AS q FROM d), "
+        + "s AS (SELECT lang, b, q, COUNT(*) AS n FROM k GROUP BY 1, 2, 3), "
+        + "c AS (SELECT lang, b, q, n, "
+        + "SUM(n) OVER (PARTITION BY lang ORDER BY b, q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        + "SUM(n) OVER (PARTITION BY lang) AS tot, "
+        + "CASE WHEN b = 0 THEN 0 ELSE CAST(q * power(2, b) / 8 AS BIGINT) END AS lb FROM s) "
+        + "SELECT lang, MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN lb END) AS p50, "
+        + "MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN lb END) AS p90, "
+        + "MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN lb END) AS p99 "
+        + "FROM c GROUP BY lang ORDER BY lang"),
     "q161_corr_matrix" -> corrMatrixOracle,
     "q163_trend_fit" ->
       // the same quantized DECIMAL moments and fixed-order OLS program

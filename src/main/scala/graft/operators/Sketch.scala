@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable profiling sketches — the incremental path for corpus
+ * statistics at 100 TB, where "rescan everything nightly" stops being
+ * a plan. Each sketch is a small per-group TABLE (not an opaque
+ * binary) persisted like `Dedup.fingerprints`' history: tomorrow's
+ * batch sketches alone, a `*Merge` folds it into the stored state,
+ * and the estimate reads the merged state — the full corpus is never
+ * rescanned. Everything is integer-deterministic (portable modular
+ * hashes, bit-length register extraction, exact BIGINT register
+ * sums), so an external SQL oracle replays sketch, merge, AND
+ * estimate bit-for-bit — merge(sketch(A), sketch(B)) EQUALS
+ * sketch(A ∪ B) as data, not approximately (the mergeability
+ * contract the specs pin).
+ *
+ * Two sketches:
+ *  - [[hllSketch]]: HyperLogLog registers (Flajolet et al. 2007) at
+ *    m = 512; ≤ 512 rows per group, ~20 B each.
+ *  - [[logHistSketch]]: a DDSketch-shaped (Masson et al., VLDB 2019)
+ *    log-scaled histogram for rank queries over non-negative integer
+ *    measures — 8 sub-buckets per octave (≤ 12.5% relative bucket
+ *    width), bucket keys by pure integer bit-length extraction, so
+ *    no float log ever decides a boundary.
+ *
+ * Scale shape: sketching is one map-side-combined aggregation of the
+ * scan (the only data-sized stage); merge and estimate run over
+ * group × registers rows. State per group is bounded (512 registers /
+ * ~64·8 buckets) regardless of data size.
+ */
+object Sketch {
+
+  /** Register count (2^9). Fixed so persisted sketches stay mergeable
+    * across rounds; 512 registers ⇒ ~4.6% HLL standard error. */
+  val HllM = 512
+
+  /** Portable mid-square mixes of a BIGINT key: an affine-mod-prime
+    * pre-mix (the repo's 2654435761 / 1540483477 multipliers), then
+    * the SQUARE's middle bits — squaring is the nonlinearity an
+    * affine map alone lacks (an affine h2 measured −59% on sf1.0's
+    * key-shifted ids; mid-square tracks a SHA reference within 2σ of
+    * HLL's 4.6% standard error across n = 150..100k). h1's bits
+    * [12..] pick the register; h2 is drawn from EXACTLY [0, 2³⁰) —
+    * an h2 uniform mod a non-power-of-two prime skews P(ρ = 1) and
+    * biased even a SHA-hashed estimate by +20%. BIGINT-exact in any
+    * engine (a² < 10¹⁸; shifts are floor-divisions by binary powers). */
+  private def h1(v: Column): Column = {
+    val a = pmod((v + 1L) * 2654435761L, lit(1000000007L))
+    pmod(shiftright(a * a, 12), lit(HllM.toLong))
+  }
+  private def h2(v: Column): Column = {
+    val b = pmod((v + 13L) * 1540483477L, lit(1000000007L))
+    pmod(shiftright(b * b, 6), lit(1073741824L))
+  }
+
+  /** ρ = leading zeros of h2 as a 30-bit string, + 1 — computed as
+    * 31 − bitlength(h2) via `bin()` string length (both Spark and
+    * DuckDB print minimal binary), h2 = 0 ⇒ 31. Pure integers. */
+  private def rho(h: Column): Column =
+    when(h === 0L, lit(31)).otherwise(lit(31) - length(bin(h)).cast("int"))
+
+  /**
+   * HLL register table of `valueCol` (a BIGINT key) per group:
+   * (`by`*, `reg` int, `rho` int) — rho = max rank seen in that
+   * register; absent registers mean zero. ≤ m rows per group.
+   */
+  def hllSketch(df: DataFrame, by: Seq[String], valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    df.where(v.isNotNull)
+      .select((by.map(col) :+ h1(v).cast("int").as("reg")
+        :+ rho(h2(v)).as("__rho")): _*)
+      .groupBy((by.map(col) :+ col("reg")): _*)
+      .agg(max(col("__rho")).as("rho"))
+  }
+
+  /** Fold any number of register tables into one: per (group, reg),
+    * the max rho. merge(sketch(A), sketch(B)) == sketch(A ∪ B) as a
+    * table — associative, commutative, idempotent. */
+  def hllMerge(sketches: Seq[DataFrame], by: Seq[String]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy((by.map(col) :+ col("reg")): _*)
+      .agg(max(col("rho")).as("rho"))
+
+  /**
+   * Cardinality estimate from a register table: the standard HLL
+   * estimator with linear-counting small-range correction. The
+   * harmonic sum is held EXACT — Σ 2^(32−ρ_j) (+ 2^32 per empty
+   * register) is a BIGINT ≤ m·2^32 — so the only doubles are the
+   * final fixed-order programs: E = α·m²·2³² / S, and for the
+   * small range m·round(ln(m/V), 6) (ln 6-dp-rounded once, the
+   * repo's idf/entropy convention). Output: `by`* + (`est_distinct`
+   * double, rounded 1).
+   */
+  def hllEstimate(sketch: DataFrame, by: Seq[String]): DataFrame = {
+    val g = sketch.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("__nz"),
+        sum(shiftleft(lit(1L), 32) / pow(lit(2.0), col("rho").cast("double"))
+          .cast("long")).as("__spart"))
+    // Σ over present registers of 2^(32-ρ) is exact: 2^32 / 2^ρ with
+    // ρ ∈ [1, 31] divides evenly; empty registers add 2^32 each.
+    val vzero = lit(HllM.toLong) - col("__nz")
+    val s = col("__spart") + vzero * shiftleft(lit(1L), 32)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0))
+    val rawE = alpha * lit(1125899906842624.0) / s.cast("double") // m²·2³² = 2⁵⁰
+    val linear = lit(HllM.toDouble) *
+      round(log(lit(HllM.toDouble) / vzero.cast("double")), 6)
+    val est = when(vzero > 0L && rawE <= lit(2.5 * HllM), linear)
+      .otherwise(rawE)
+    g.select((by.map(col) :+ round(est, 1).as("est_distinct")): _*)
+  }
+
+  /**
+   * Log-scaled histogram sketch of a non-negative BIGINT measure:
+   * (`by`*, `b` int = bitlength, `q` long = 3-bit sub-bucket,
+   * `n` long). Bucket of v ≥ 1 is (b, ⌊v·8 / 2^b⌋) with q ∈ [4, 8)
+   * — ≤ 12.5% relative width, exact for v < 8; v = 0 gets (0, 0).
+   * Bucket lower bound is q·2^b/8, always an exact integer. Keys are
+   * pure integer programs (bit length + floor division by a binary
+   * power, both exact in doubles far below 2^53).
+   */
+  def logHistSketch(df: DataFrame, by: Seq[String],
+                    valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val b = length(bin(v)).cast("int")
+    val p2 = pow(lit(2.0), b.cast("double"))
+    val q = ((v * 8L).cast("double") / p2).cast("long")
+    df.where(v.isNotNull && v >= 0L)
+      .select((by.map(col) :+
+        when(v === 0L, lit(0)).otherwise(b).as("b") :+
+        when(v === 0L, lit(0L)).otherwise(q).as("q")): _*)
+      .groupBy((by.map(col) :+ col("b") :+ col("q")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Fold histogram sketches: per (group, b, q) summed counts. Exact
+    * mergeability: merge(sketch(A), sketch(B)) == sketch(A ∪ B). */
+  def logHistMerge(sketches: Seq[DataFrame], by: Seq[String]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy((by.map(col) :+ col("b") :+ col("q")): _*)
+      .agg(sum(col("n")).as("n"))
+
+  /**
+   * Rank queries over a merged histogram: for each requested φ, the
+   * LOWER BOUND of the first bucket whose cumulative count reaches
+   * ⌈φ·N⌉ (ties and boundaries all integer decisions; the answer is
+   * within one bucket width — ≤ 12.5% — of the exact quantile).
+   * Output: `by`* + one BIGINT column per (name, φ).
+   */
+  def logHistQuantiles(sketch: DataFrame, by: Seq[String],
+                       quantiles: Seq[(String, Double)]): DataFrame = {
+    require(quantiles.nonEmpty, "logHistQuantiles: need quantiles")
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col("b"), col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(by.map(col): _*)
+    val lb = (col("q").cast("double") *
+      pow(lit(2.0), col("b").cast("double")) / lit(8.0)).cast("long")
+    val cum = sketch
+      .withColumn("__cum", sum(col("n")).over(w))
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .withColumn("__lb", when(col("b") === 0, lit(0L)).otherwise(lb))
+    val aggs = quantiles.map { case (name, phi) =>
+      min(when(col("__cum") >= ceil(lit(phi) * col("__tot")), col("__lb")))
+        .as(name)
+    }
+    cum.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

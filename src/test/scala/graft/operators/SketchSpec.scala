@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SketchSpec extends SparkTestBase {
+
+  test("hllSketch: merge(sketch(A), sketch(B)) == sketch(A ∪ B) as a " +
+    "table — the mergeability contract, exact, with overlap") {
+    val ss = spark
+    import ss.implicits._
+    // Overlapping halves: ids 0..599 and 400..999 (200 shared keys) —
+    // merge must be idempotent on the overlap, not double-count.
+    val a = (0L to 599L).map(i => (s"g${i % 2}", i)).toDF("g", "v")
+    val b = (400L to 999L).map(i => (s"g${i % 2}", i)).toDF("g", "v")
+    val union = (0L to 999L).map(i => (s"g${i % 2}", i)).toDF("g", "v")
+    val merged = Sketch.hllMerge(
+      Seq(Sketch.hllSketch(a, Seq("g"), "v"),
+        Sketch.hllSketch(b, Seq("g"), "v")), Seq("g"))
+    val rescan = Sketch.hllSketch(union, Seq("g"), "v")
+    val m = merged.collect().map(r => (r.getString(0), r.getInt(1)) ->
+      r.getInt(2)).toMap
+    val s = rescan.collect().map(r => (r.getString(0), r.getInt(1)) ->
+      r.getInt(2)).toMap
+    assert(m == s)
+  }
+
+  test("hllEstimate: within 15% of true cardinality on both estimator " +
+    "branches (linear counting at n=80, raw HLL at n=20000)") {
+    val ss = spark
+    import ss.implicits._
+    val small = (0L until 80L).map(i => ("s", i * 7L + 3L)).toDF("g", "v")
+    val big = (0L until 20000L).map(i => ("b", i * 31L + 11L)).toDF("g", "v")
+    val est = Sketch.hllEstimate(
+      Sketch.hllSketch(small.unionByName(big), Seq("g"), "v"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(est("s") - 80.0) / 80.0 < 0.15, s"small: ${est("s")}")
+    assert(math.abs(est("b") - 20000.0) / 20000.0 < 0.15, s"big: ${est("b")}")
+  }
+
+  test("logHistSketch: merge == rescan; values < 8 land in exact " +
+    "singleton buckets; zero gets its own bucket") {
+    val ss = spark
+    import ss.implicits._
+    val a = Seq(("g", 0L), ("g", 1L), ("g", 5L), ("g", 100L)).toDF("g", "v")
+    val b = Seq(("g", 5L), ("g", 103L), ("g", 5000L)).toDF("g", "v")
+    val union = a.unionByName(b)
+    val merged = Sketch.logHistMerge(
+      Seq(Sketch.logHistSketch(a, Seq("g"), "v"),
+        Sketch.logHistSketch(b, Seq("g"), "v")), Seq("g"))
+    val rescan = Sketch.logHistSketch(union, Seq("g"), "v")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(toMap(merged) == toMap(rescan))
+    val keys = toMap(rescan)
+    assert(keys((0, 0L)) == 1L)      // the zero bucket
+    assert(keys((1, 4L)) == 1L)      // v=1 exact: b=1, q=4, lb=1
+    assert(keys((3, 5L)) == 2L)      // v=5 twice: b=3, q=5, lb=5
+    // 100 and 103 share bucket b=7, q = 800/128 = 6 -> lb = 96
+    assert(keys((7, 6L)) == 2L)
+  }
+
+  test("logHistQuantiles: bucket lower bound sandwiches the exact " +
+    "quantile within 12.5% relative width") {
+    val ss = spark
+    import ss.implicits._
+    // 1..1000: exact p50 = 500, p90 = 900, p99 = 990.
+    val df = (1L to 1000L).map(v => ("g", v)).toDF("g", "v")
+    val q = Sketch.logHistQuantiles(
+        Sketch.logHistSketch(df, Seq("g"), "v"), Seq("g"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .head()
+    for ((name, exact) <- Seq("p50" -> 500.0, "p90" -> 900.0, "p99" -> 990.0)) {
+      val lb = q.getAs[Long](name).toDouble
+      assert(lb <= exact && exact < lb * 1.125 + 1,
+        s"$name: lb=$lb exact=$exact")
+    }
+  }
+}
