@@ -2715,6 +2715,35 @@ object Queries {
     est.join(exact, "event_type").orderBy("event_type")
   }
 
+  /** Q172 incremental ANALYZE profile (the sketch-backed
+    * Profile.numeric): lineitem's four measures profiled from
+    * history ⊕ batch moments sketches (q87's % 31 split) — counts,
+    * min/max, DECIMAL-exact sums and the 6-dp mean all merge
+    * exactly; the one non-mergeable statistic, distinct values,
+    * rides along as an HLL estimate over the 1024-grid quantized
+    * value key (the LSH quantize convention). The corpus is never
+    * rescanned. */
+  val q172: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val hist = li.filter(col("l_orderkey") % 31 === 0)
+    val batch = li.filter(col("l_orderkey") % 31 =!= 0)
+    val moments = Sketch.momentsReport(Sketch.momentsMerge(Seq(
+      Sketch.momentsSketch(hist, cols), Sketch.momentsSketch(batch, cols))))
+    def keys(df: DataFrame): DataFrame = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          round(col(c).cast("double") * 1024d).cast("long").as("u"))): _*))
+        .as("m"))
+      .select(col("m.col_name").as("col_name"), col("m.u").as("u"))
+      .where(col("u").isNotNull)
+    val est = Sketch.hllEstimate(Sketch.hllMerge(Seq(
+        Sketch.hllSketch(keys(hist), Seq("col_name"), "u"),
+        Sketch.hllSketch(keys(batch), Seq("col_name"), "u")),
+      Seq("col_name")), Seq("col_name"))
+    moments.join(est, "col_name").orderBy("col_name")
+  }
+
   /** Q171 mergeable log-histogram rank queries (the DDSketch-shaped
     * incremental quantile path): per-lang p50/p90/p99 lower bounds of
     * n_chars from history ⊕ batch sketches (q87's doc_id % 31 split).
@@ -3645,6 +3674,7 @@ object Queries {
     "q169_seasonal_dow" -> q169,
     "q170_hll_incremental" -> q170,
     "q171_loghist_quantiles" -> q171,
+    "q172_incr_profile" -> q172,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5892,6 +5922,36 @@ object Queries {
         + "x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM e GROUP BY 1) "
         + "SELECT est.event_type, round(raw, 1) AS est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct "
         + "FROM est JOIN x USING (event_type) ORDER BY event_type"),
+    "q172_incr_profile" ->
+      // merge == rescan (MomentsSpec/SketchSpec pin it), so the oracle
+      // profiles the union: DECIMAL-exact moments + the HLL program
+      // over the 1024-grid quantized value key
+      ("WITH m AS (SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem "
+        + "UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem "
+        + "UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem "
+        + "UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem), "
+        + "b AS (SELECT col_name, COUNT(*) AS n_rows, "
+        + "CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        + "MIN(v) AS vmin, MAX(v) AS vmax, "
+        + "round(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE), 4) AS vsum, "
+        + "CASE WHEN COUNT(*) > SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) THEN "
+        + "round(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / "
+        + "(COUNT(*) - SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)), 6) END AS vmean FROM m GROUP BY 1), "
+        + "k AS (SELECT col_name, CAST(round(v * 1024) AS BIGINT) AS u FROM m WHERE v IS NOT NULL), "
+        + "h AS (SELECT col_name, "
+        + "((((u + 1) * 2654435761) % 1000000007) * (((u + 1) * 2654435761) % 1000000007) >> 12) % 512 AS reg, "
+        + "((((u + 13) * 1540483477) % 1000000007) * (((u + 13) * 1540483477) % 1000000007) >> 6) % 1073741824 AS h2 FROM k), "
+        + "r AS (SELECT col_name, reg, "
+        + "MAX(CASE WHEN h2 = 0 THEN 31 ELSE 31 - length(bin(h2)) END) AS rho FROM h GROUP BY 1, 2), "
+        + "g AS (SELECT col_name, COUNT(*) AS nz, "
+        + "CAST(SUM(CAST((1::BIGINT << 32) / power(2.0, rho) AS BIGINT)) AS BIGINT) AS spart FROM r GROUP BY 1), "
+        + "s AS (SELECT col_name, nz, spart + (512 - nz) * (1::BIGINT << 32) AS hs FROM g), "
+        + "est AS (SELECT col_name, "
+        + "CASE WHEN (512 - nz) > 0 AND 0.7213 / (1.0 + 1.079 / 512.0) * 1125899906842624.0 / CAST(hs AS DOUBLE) <= 1280.0 "
+        + "THEN 512.0 * round(ln(512.0 / (512 - nz)), 6) "
+        + "ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 1125899906842624.0 / CAST(hs AS DOUBLE) END AS raw FROM s) "
+        + "SELECT b.col_name, n_rows, n_null, vmin, vmax, vsum, vmean, round(raw, 1) AS est_distinct "
+        + "FROM b JOIN est USING (col_name) ORDER BY col_name"),
     "q171_loghist_quantiles" ->
       // union-sketch replay: integer bit-length buckets, cumulative
       // rank walk, first bucket reaching ceil(phi*N)

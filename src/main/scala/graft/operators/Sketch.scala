@@ -63,6 +63,38 @@ object Sketch {
   private def rho(h: Column): Column =
     when(h === 0L, lit(31)).otherwise(lit(31) - length(bin(h)).cast("int"))
 
+  /** The same register/rank programs as pure Long functions — shared
+    * with the streaming twin (`StreamingOps.hllStream`), replicating
+    * the column programs operation for operation so stream state and
+    * batch registers are bit-identical. */
+  private[graft] def regOf(u: Long): Int = {
+    val a = math.floorMod((u + 1L) * 2654435761L, 1000000007L)
+    (math.floorMod((a * a) >> 12, HllM.toLong)).toInt
+  }
+  private[graft] def rhoOf(u: Long): Int = {
+    val b = math.floorMod((u + 13L) * 1540483477L, 1000000007L)
+    val h = math.floorMod((b * b) >> 6, 1073741824L)
+    if (h == 0L) 31 else 31 - (64 - java.lang.Long.numberOfLeadingZeros(h))
+  }
+  /** The estimator's exact double program on a register map —
+    * Spark-round semantics (BigDecimal.valueOf, HALF_UP) so the
+    * result equals [[hllEstimate]] to the last bit. */
+  private[graft] def estimateFrom(regs: scala.collection.Map[Int, Int]): Double = {
+    val nz = regs.size.toLong
+    val spart = regs.valuesIterator.map(r => 1L << (32 - r)).sum
+    val s = spart + (HllM.toLong - nz) * (1L << 32)
+    val alpha = 0.7213 / (1.0 + 1.079 / 512.0)
+    val rawE = alpha * 1125899906842624.0 / s.toDouble
+    val vz = HllM.toLong - nz
+    def rnd(x: Double, sc: Int): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue()
+    val est =
+      if (vz > 0L && rawE <= 2.5 * HllM) HllM.toDouble * rnd(math.log(HllM.toDouble / vz.toDouble), 6)
+      else rawE
+    rnd(est, 1)
+  }
+
   /**
    * HLL register table of `valueCol` (a BIGINT key) per group:
    * (`by`*, `reg` int, `rho` int) — rho = max rank seen in that
@@ -112,6 +144,58 @@ object Sketch {
       .otherwise(rawE)
     g.select((by.map(col) :+ round(est, 1).as("est_distinct")): _*)
   }
+
+  /**
+   * Mergeable moments sketch — [[Profile.numeric]]'s report split
+   * into its associative parts so the ANALYZE profile can run
+   * INCREMENTALLY over a growing corpus: per (column): row/null
+   * counts, min/max, and the UNROUNDED DECIMAL(38,6)-exact value sum
+   * (rounding happens at report time, so merge order can't leak into
+   * the report). One row per column per batch; merge is
+   * sum/sum/min/max/sum. The one non-mergeable-exactly statistic —
+   * distinct values — pairs with [[hllSketch]] over a quantized
+   * value key (see q172). [[momentsReport]] over a merged sketch
+   * equals `Profile.numeric` minus `n_distinct`, operand for operand
+   * (MomentsSpec pins the equality).
+   */
+  def momentsSketch(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "momentsSketch: need at least one column")
+    val melted = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*))
+        .as("m"))
+      .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
+    melted.groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("v").isNull, 1L)), lit(0L)).as("n_null"),
+        min(col("v")).as("vmin"),
+        max(col("v")).as("vmax"),
+        coalesce(sum(col("v").cast("decimal(38,6)")),
+          lit(0L).cast("decimal(38,6)")).as("vsum_dec"))
+  }
+
+  /** Fold moments sketches: counts and sums add, min/max fold —
+    * associative and commutative, so batch boundaries are invisible. */
+  def momentsMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("col_name")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_null")).as("n_null"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"),
+        sum(col("vsum_dec")).as("vsum_dec"))
+
+  /** The [[Profile.numeric]] report from a (merged) moments sketch:
+    * identical fixed-order programs (4-dp sum, 6-dp mean over the
+    * non-null count), minus the exact `n_distinct`. */
+  def momentsReport(sketch: DataFrame): DataFrame =
+    sketch.select(col("col_name"), col("n_rows"), col("n_null"),
+      col("vmin"), col("vmax"),
+      round(col("vsum_dec").cast("double"), 4).as("vsum"),
+      when(col("n_rows") > col("n_null"),
+        round(col("vsum_dec").cast("double") /
+          (col("n_rows") - col("n_null")), 6))
+        .otherwise(lit(null).cast("double")).as("vmean"))
 
   /**
    * Log-scaled histogram sketch of a non-negative BIGINT measure:

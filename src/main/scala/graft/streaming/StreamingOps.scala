@@ -745,6 +745,48 @@ object StreamingOps {
     * ordinal `ordinal` under key `key` is admitted iff `kept`. */
   case class CapVerdict(key: String, ordinal: Long, kept: Boolean)
 
+  /** One emission of [[hllStream]]: the group's register count and
+    * current cardinality estimate after a micro-batch. */
+  case class HllUpdate(key: String, n_regs: Int, est_distinct: Double)
+
+  /**
+   * Streaming approximate-distinct — the continuous twin of
+   * `Sketch.hllSketch`/`hllEstimate`: per key, HLL registers held as
+   * `mapGroupsWithState` state (≤ 512 (reg → ρ) ints — bounded
+   * regardless of stream length, RocksDB-backed like any ST8 op),
+   * re-estimated after every micro-batch. Register updates use the
+   * SAME pure mid-square programs as the batch column expressions
+   * (`Sketch.regOf`/`rhoOf`) and the estimate replays `hllEstimate`'s
+   * fixed-order double program with Spark-round semantics, so after
+   * any replay (order-independent — max-fold registers commute) the
+   * last emission per key EQUALS the batch estimate bit for bit
+   * (StreamingSpec pins it).
+   */
+  def hllStream(df: DataFrame, keyCol: String,
+                valueCol: String): Dataset[HllUpdate] = {
+    import graft.operators.Sketch
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__k").isNotNull && col("__v").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[Int, Int], HllUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[Map[Int, Int]]) =>
+          var regs = state.getOption.getOrElse(Map.empty[Int, Int])
+          rows.foreach { case (_, v) =>
+            val r = Sketch.regOf(v)
+            val rho = Sketch.rhoOf(v)
+            if (regs.getOrElse(r, 0) < rho) regs = regs.updated(r, rho)
+          }
+          state.update(regs)
+          HllUpdate(key, regs.size, Sketch.estimateFrom(regs))
+      }
+  }
+
   /**
    * Streaming per-key crawl cap — the continuous twin of q117's
    * per-domain quota (RefinedWeb's anti-spam stage as an ingest-time

@@ -61,6 +61,26 @@ class SketchSpec extends SparkTestBase {
     assert(keys((7, 6L)) == 2L)
   }
 
+  test("momentsSketch: report over merged halves equals Profile.numeric " +
+    "on the union (minus n_distinct), nulls bookkept") {
+    val ss = spark
+    import ss.implicits._
+    val a = Seq((1.5, Some(10.0)), (2.25, None), (3.0, Some(30.0)))
+      .toDF("x", "y")
+    val b = Seq((4.5, Some(20.0)), (0.75, None)).toDF("x", "y")
+    val merged = Sketch.momentsReport(Sketch.momentsMerge(Seq(
+      Sketch.momentsSketch(a, Seq("x", "y")),
+      Sketch.momentsSketch(b, Seq("x", "y")))))
+    val direct = Profile.numeric(a.unionByName(b), Seq("x", "y"))
+      .drop("n_distinct")
+    val m = merged.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val d = direct.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(m == d)
+    // hand check: x has no nulls, sum 12.0, mean 2.4; y has 2 nulls
+    assert(m("x") == Seq(5L, 0L, 0.75, 4.5, 12.0, 2.4))
+    assert(m("y") == Seq(5L, 2L, 10.0, 30.0, 60.0, 20.0))
+  }
+
   test("logHistQuantiles: bucket lower bound sandwiches the exact " +
     "quantile within 12.5% relative width") {
     val ss = spark

@@ -688,6 +688,52 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.length shouldBe 4
   }
 
+  test("hllStream: last emission per key equals the batch " +
+    "hllSketch -> hllEstimate bit for bit, state carries across batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // 2 keys × overlapping ids (dups must not bump the estimate);
+    // split mid-key so register state must carry across micro-batches.
+    val rows = (0L until 600L).map(i => (s"k${i % 2}", i % 450)) // dups past 450
+    val input = MemoryStream[(String, Long)]
+    val query = StreamingOps.hllStream(
+        input.toDF().toDF("k", "v"), "k", "v")
+      .writeStream.format("memory").queryName("t_hll")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(250)
+      Seq(b1, b2).foreach { b =>
+        input.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    // last emission per key (second micro-batch overwrote the first)
+    val got = spark.table("t_hll")
+      .groupBy("key").agg(last("est_distinct").as("est"),
+        last("n_regs").as("nr"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("est"), r.getAs[Int]("nr")))).toMap
+
+    val want = graft.operators.Sketch.hllEstimate(
+        graft.operators.Sketch.hllSketch(rows.toDF("k", "v"), Seq("k"), "v"),
+        Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wantRegs = graft.operators.Sketch.hllSketch(
+        rows.toDF("k", "v"), Seq("k"), "v")
+      .groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    got.keySet shouldBe want.keySet
+    for (k <- want.keys) {
+      got(k)._1 shouldBe want(k)
+      got(k)._2.toLong shouldBe wantRegs(k)
+    }
+  }
+
   test("domainCapStream equals the batch ordinal-order cap when fed in order") {
     val ss = spark
     import ss.implicits._
