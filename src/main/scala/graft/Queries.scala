@@ -2744,6 +2744,19 @@ object Queries {
     moments.join(est, "col_name").orderBy("col_name")
   }
 
+  /** Q173 Spearman rank correlation (the monotone-association gate):
+    * does raw document length rank documents the way token count
+    * does, per language — average-tie integer double-ranks from
+    * vocab-bounded histograms, DECIMAL-exact moments, one fixed-order
+    * correlation program. */
+  val q173: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars"),
+        size(filter(split(lower(trim(col("text"))), " "), t => t =!= ""))
+          .cast("long").as("n_toks"))
+    Eval.spearman(d, Seq("lang"), "n_chars", "n_toks").orderBy("lang")
+  }
+
   /** Q171 mergeable log-histogram rank queries (the DDSketch-shaped
     * incremental quantile path): per-lang p50/p90/p99 lower bounds of
     * n_chars from history ⊕ batch sketches (q87's doc_id % 31 split).
@@ -3675,6 +3688,7 @@ object Queries {
     "q170_hll_incremental" -> q170,
     "q171_loghist_quantiles" -> q171,
     "q172_incr_profile" -> q172,
+    "q173_spearman" -> q173,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5922,6 +5936,32 @@ object Queries {
         + "x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM e GROUP BY 1) "
         + "SELECT est.event_type, round(raw, 1) AS est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct "
         + "FROM est JOIN x USING (event_type) ORDER BY event_type"),
+    "q173_spearman" ->
+      // integer double-ranks (2*below + count + 1) from per-value
+      // histograms; exact moment sums; the engine's fixed-order
+      // correlation program operand-for-operand
+      ("WITH d AS (SELECT lang, n_chars, "
+        + "CAST(length(list_filter(str_split(lower(trim(text)), ' '), t -> t <> '')) AS BIGINT) AS n_toks "
+        + "FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL), "
+        + "hx AS (SELECT lang, n_chars AS v, COUNT(*) AS c FROM d GROUP BY 1, 2), "
+        + "rx AS (SELECT lang, v, 2 * COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY v "
+        + "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2 FROM hx), "
+        + "hy AS (SELECT lang, n_toks AS v, COUNT(*) AS c FROM d GROUP BY 1, 2), "
+        + "ry AS (SELECT lang, v, 2 * COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY v "
+        + "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2 FROM hy), "
+        + "j AS (SELECT d.lang, rx.r2 AS a, ry.r2 AS b FROM d "
+        + "JOIN rx ON d.lang = rx.lang AND d.n_chars = rx.v "
+        + "JOIN ry ON d.lang = ry.lang AND d.n_toks = ry.v), "
+        + "m AS (SELECT lang, COUNT(*) AS n, CAST(SUM(a) AS DECIMAL(38,0)) AS sx, "
+        + "CAST(SUM(b) AS DECIMAL(38,0)) AS sy, CAST(SUM(a * a) AS DECIMAL(38,0)) AS sxx, "
+        + "CAST(SUM(b * b) AS DECIMAL(38,0)) AS syy, CAST(SUM(a * b) AS DECIMAL(38,0)) AS sxy FROM j GROUP BY 1) "
+        + "SELECT lang, CAST(n AS BIGINT) AS n, "
+        + "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 "
+        + "AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN "
+        + "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        + "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+        + "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS rho "
+        + "FROM m ORDER BY lang"),
     "q172_incr_profile" ->
       // merge == rescan (MomentsSpec/SketchSpec pin it), so the oracle
       // profiles the union: DECIMAL-exact moments + the HLL program

@@ -399,4 +399,56 @@ object Eval {
         col("n"),
         round(col("__chi").cast("double"), 4).as("chi2"))
   }
+
+  /**
+   * Spearman rank correlation per group — the monotone-association
+   * gate between two scorers (does the cheap heuristic rank documents
+   * the way the expensive model does?): Pearson's r computed on
+   * average-tie ranks. Ranks are held as exact integer DOUBLE-ranks
+   * (2·rank: 2·below + count + 1, the [[Relational.percentileRank]]
+   * numerator — halves never appear), each built from a vocab-bounded
+   * per-value histogram and joined back value-keyed. The five moment
+   * sums accumulate exactly in DECIMAL(38,0); the correlation is ONE
+   * fixed-order double program (num / (√vx·√vy), rounded 6) over
+   * their casts — deterministic in any IEEE engine regardless of
+   * partition order. Groups with zero variance on either side emit
+   * NULL rho. Output: `by`* + (n, rho).
+   *
+   * Scale shape: two vocab-bounded rank histograms (distinct values,
+   * not rows), two value-keyed joins back to the data on the group
+   * partitioning, one map-side-combined moment aggregation. No
+   * all-pairs anything — Kendall's τ costs O(n²) where this is
+   * O(n + V log V).
+   */
+  def spearman(df: DataFrame, by: Seq[String], xCol: String,
+               yCol: String): DataFrame = {
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    def rankMap(c: String, out: String): DataFrame = {
+      val hist = base.groupBy((by.map(col) :+ col(c)): _*)
+        .agg(count(lit(1)).as("__c"))
+      val wc = Window.partitionBy(by.map(col): _*).orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("__below", coalesce(sum(col("__c")).over(wc), lit(0L)))
+        .select((by.map(col) :+ col(c) :+
+          (col("__below") * 2 + col("__c") + 1).as(out)): _*)
+    }
+    val ranked = base
+      .join(rankMap(xCol, "__rx"), by :+ xCol)
+      .join(rankMap(yCol, "__ry"), by :+ yCol)
+    val m = ranked.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__ry").cast("decimal(38,0)")).as("__sy"),
+        sum((col("__rx") * col("__rx")).cast("decimal(38,0)")).as("__sxx"),
+        sum((col("__ry") * col("__ry")).cast("decimal(38,0)")).as("__syy"),
+        sum((col("__rx") * col("__ry")).cast("decimal(38,0)")).as("__sxy"))
+    val nd = col("n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val num = nd * d("__sxy") - d("__sx") * d("__sy")
+    val vx = nd * d("__sxx") - d("__sx") * d("__sx")
+    val vy = nd * d("__syy") - d("__sy") * d("__sy")
+    m.select((by.map(col) :+ col("n") :+
+      when(vx > 0d && vy > 0d, round(num / (sqrt(vx) * sqrt(vy)), 6))
+        .otherwise(lit(null).cast("double")).as("rho")): _*)
+  }
 }

@@ -260,4 +260,27 @@ class EvalSpec extends SparkTestBase with Matchers {
     r1.getAs[Long]("n") shouldBe 40L
     r1.getAs[Double]("chi2") shouldBe 40.0
   }
+
+  test("spearman: hand ranks — perfect monotone ±1, ties average, " +
+    "zero-variance NULL") {
+    val ss = spark
+    import ss.implicits._
+    // g1 perfectly rising, g2 perfectly falling, g3 with ties on both
+    // sides (double-ranks x (3,3,6,8), y (2,5,5,8): rho = 60/72),
+    // g4 constant x -> NULL.
+    val rows = Seq(
+      ("g1", 1L, 10L), ("g1", 2L, 20L), ("g1", 3L, 30L),
+      ("g2", 1L, 30L), ("g2", 2L, 20L), ("g2", 3L, 10L),
+      ("g3", 1L, 5L), ("g3", 1L, 7L), ("g3", 2L, 7L), ("g3", 3L, 9L),
+      ("g4", 5L, 1L), ("g4", 5L, 2L)
+    ).toDF("g", "x", "y")
+    val out = Eval.spearman(rows, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Double]("rho"))))).toMap
+    out("g1") shouldBe ((3L, Some(1.0)))
+    out("g2") shouldBe ((3L, Some(-1.0)))
+    out("g3") shouldBe ((4L, Some(0.833333)))
+    out("g4") shouldBe ((2L, None))
+    out.size shouldBe 4
+  }
 }
