@@ -2744,6 +2744,53 @@ object Queries {
     moments.join(est, "col_name").orderBy("col_name")
   }
 
+  /** Q174 REAL GIF decode (the third raster container behind the
+    * seam): each document renders as an actual GIF89a file — text
+    * bytes as palette indices (GIF's native form), a formulaic
+    * 256-entry color table, REAL variable-width LZW — and
+    * `Multimodal.decodeGifFeatures` decodes the files back: signature
+    * + logical-screen walk, global color table, genuine LZW with
+    * clear/EOI and width growth, indices mapped through the file's
+    * OWN palette. The oracle replays per-pixel BT.601 luma from the
+    * raw text through the same palette formula by codepoint
+    * arithmetic — matching only if the whole container round-trip is
+    * bit-exact. */
+  val q174: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val d = Tables.documents(s, dir)
+    bmpFeatureReport(d, Multimodal.decodeGifFeatures(textGifAssets(d)))
+  }
+
+  /** Shared by q174: text bytes → GIF palette indices, formulaic
+    * palette (r, g, b) = (i, 7i mod 256, 255 − i). */
+  private def textGifAssets(d: DataFrame):
+      org.apache.spark.sql.Dataset[graft.multimodal.Asset] = {
+    import graft.multimodal.{Asset, Gif}
+    val enc = org.apache.spark.sql.Encoders.product[Asset]
+    d.select(col("doc_id").as("asset_id"),
+        lit("image/gif").as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        (lit(6) + pmod(col("doc_id"), lit(9))).cast("int").as("width"),
+        (lit(4) + pmod(col("doc_id"), lit(5))).cast("int").as("height"))
+      .as[Asset](enc)
+      .mapPartitions { it =>
+        val pal = Array.tabulate(768) { j =>
+          val i = j / 3
+          (j % 3 match {
+            case 0 => i
+            case 1 => (i * 7) % 256
+            case _ => 255 - i
+          }).toByte
+        }
+        it.map { a =>
+          val n = a.width * a.height
+          val idx = Array.tabulate(n)(i =>
+            if (i < a.bytes.length) a.bytes(i) else 32.toByte)
+          a.copy(bytes = Gif.encode(a.width, a.height, idx, pal))
+        }
+      }(enc)
+  }
+
   /** Q173 Spearman rank correlation (the monotone-association gate):
     * does raw document length rank documents the way token count
     * does, per language — average-tie integer double-ranks from
@@ -3689,6 +3736,7 @@ object Queries {
     "q171_loghist_quantiles" -> q171,
     "q172_incr_profile" -> q172,
     "q173_spearman" -> q173,
+    "q174_gif_decode" -> q174,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5359,6 +5407,32 @@ object Queries {
         + "(ord(substr(px, CAST(3*p + 1 AS INT), 1)) * 299 + "
         + "ord(substr(px, CAST(3*p + 2 AS INT), 1)) * 587 + "
         + "ord(substr(px, CAST(3*p + 3 AS INT), 1)) * 114) // 1000 AS g FROM c), "
+        + "per AS (SELECT doc_id, lang, w, h, np, CAST(SUM(g) AS BIGINT) AS s, "
+        + "SUM(CASE WHEN g // 16 = 2 THEN 1 ELSE 0 END) AS h2, "
+        + "SUM(CASE WHEN g // 16 = 6 THEN 1 ELSE 0 END) AS h6, "
+        + "SUM(CASE WHEN g // 16 = 7 THEN 1 ELSE 0 END) AS h7 "
+        + "FROM c2 GROUP BY doc_id, lang, w, h, np) "
+        + "SELECT lang, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS sum_w, "
+        + "CAST(SUM(h) AS BIGINT) AS sum_h, "
+        + "CAST(SUM(np) AS BIGINT) AS total_pixels, "
+        + "CAST(SUM(s * 1000000 // np) AS BIGINT) AS sum_mean_micro, "
+        + "CAST(SUM(h2) AS BIGINT) AS h2, "
+        + "CAST(SUM(h6) AS BIGINT) AS h6, CAST(SUM(h7) AS BIGINT) AS h7 "
+        + "FROM per GROUP BY lang ORDER BY lang"),
+    "q174_gif_decode" ->
+      // replay the DECODED-pixel stats from the raw text through the
+      // palette formula: index i = codepoint of char p (space-padded),
+      // (r, g, b) = (i, 7i mod 256, 255 - i),
+      // luma = (299r + 587g + 114b) // 1000 — matches only if the GIF
+      // LZW/palette round-trip is bit-exact
+      ("WITH dm AS (SELECT doc_id, lang, 6 + doc_id % 9 AS w, 4 + doc_id % 5 AS h, "
+        + "rpad(substr(text, 1, CAST((6 + doc_id % 9)*(4 + doc_id % 5) AS INT)), "
+        + "CAST((6 + doc_id % 9)*(4 + doc_id % 5) AS INT), ' ') AS px FROM documents), "
+        + "c AS (SELECT doc_id, lang, w, h, w*h AS np, px, unnest(range(w*h)) AS p FROM dm), "
+        + "c2 AS (SELECT doc_id, lang, w, h, np, "
+        + "(ord(substr(px, CAST(p + 1 AS INT), 1)) * 299 + "
+        + "((ord(substr(px, CAST(p + 1 AS INT), 1)) * 7) % 256) * 587 + "
+        + "(255 - ord(substr(px, CAST(p + 1 AS INT), 1))) * 114) // 1000 AS g FROM c), "
         + "per AS (SELECT doc_id, lang, w, h, np, CAST(SUM(g) AS BIGINT) AS s, "
         + "SUM(CASE WHEN g // 16 = 2 THEN 1 ELSE 0 END) AS h2, "
         + "SUM(CASE WHEN g // 16 = 6 THEN 1 ELSE 0 END) AS h6, "

@@ -141,6 +141,28 @@ object Multimodal {
   }
 
   /**
+   * REAL GIF decode through the same partition-batched seam: each
+   * asset's bytes are parsed as an actual GIF file (`Gif.decode` —
+   * signature, logical screen + global color table, extension walk,
+   * genuine variable-width LZW with clear/EOI and the cScSc corner,
+   * indices mapped through the file's OWN palette to the shared BGR
+   * raster), and the features come from decoded PIXELS exactly like
+   * [[decodeBmpFeatures]] — three container formats, one feature
+   * contract, one seam. Embarrassingly parallel, no shuffle.
+   */
+  def decodeGifFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val raster = Gif.decode(a.bytes)
+        val (hist, sumLuma) = Bmp.lumaStats(raster, HistogramBins)
+        ImageFeatures(a.asset_id, raster.width, raster.height,
+          raster.width.toLong * raster.height, sumLuma, hist)
+      }
+    }
+  }
+
+  /**
    * REAL audio decode through the same partition-batched seam: each
    * asset's bytes are parsed as an actual RIFF/WAVE file
    * (`Wav.decode` — chunk-list walk, little-endian fmt fields,
@@ -267,6 +289,7 @@ object Multimodal {
       .when(substring(bytes, 1, 4) ===
         lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)),
         lit("image/png"))
+      .when(substring(bytes, 1, 4) === lit("GIF8".getBytes), lit("image/gif"))
       .when(substring(bytes, 1, 4) === lit("RIFF".getBytes) &&
         substring(bytes, 9, 4) === lit("WAVE".getBytes), lit("audio/wav"))
       .otherwise(lit("application/octet-stream"))
@@ -298,6 +321,9 @@ object Multimodal {
     val png = decodePngFeatures(typed(sniffed.filter(col("__sniffed") === "image/png")))
       .select(col("asset_id"), col("n_pixels").as("n_units"),
         col("sum_luma").as("checksum"))
+    val gif = decodeGifFeatures(typed(sniffed.filter(col("__sniffed") === "image/gif")))
+      .select(col("asset_id"), col("n_pixels").as("n_units"),
+        col("sum_luma").as("checksum"))
     val aud = decodeWavSignal(typed(sniffed.filter(col("__sniffed") === "audio/wav")))
       .select(col("asset_id"), col("n_samples").as("n_units"),
         col("energy").as("checksum"))
@@ -305,7 +331,8 @@ object Multimodal {
       .select(col("asset_id"), lit(0L).as("n_units"), lit(0L).as("checksum"))
     sniffed.select(col("asset_id"), col("media_type").as("claimed"),
         col("__sniffed").as("sniffed"))
-      .join(img.unionByName(png).unionByName(aud).unionByName(other), "asset_id")
+      .join(img.unionByName(png).unionByName(gif).unionByName(aud)
+        .unionByName(other), "asset_id")
   }
 
   /**
