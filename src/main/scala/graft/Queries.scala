@@ -2791,6 +2791,19 @@ object Queries {
       }(enc)
   }
 
+  /** Q175 per-source PSI drift gate over log-histogram sketches: each
+    * source's n_chars distribution scored against the corpus marginal
+    * ENTIRELY from the small sketch tables (the data could be long
+    * gone) — add-one-smoothed exact rationals, 6-dp-rounded lns,
+    * 9-dp terms summed in DECIMAL. */
+  val q175: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val perSource = Sketch.logHistSketch(docs, Seq("source"), "n_chars")
+    val corpus = Sketch.logHistSketch(docs, Seq.empty, "n_chars")
+    Sketch.logHistPsi(perSource, Seq("source"), corpus)
+      .orderBy("source")
+  }
+
   /** Q173 Spearman rank correlation (the monotone-association gate):
     * does raw document length rank documents the way token count
     * does, per language — average-tie integer double-ranks from
@@ -3737,6 +3750,7 @@ object Queries {
     "q172_incr_profile" -> q172,
     "q173_spearman" -> q173,
     "q174_gif_decode" -> q174,
+    "q175_psi_drift" -> q175,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -6010,6 +6024,26 @@ object Queries {
         + "x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM e GROUP BY 1) "
         + "SELECT est.event_type, round(raw, 1) AS est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct "
         + "FROM est JOIN x USING (event_type) ORDER BY event_type"),
+    "q175_psi_drift" ->
+      // union-sketch replay: per-source and corpus log-hist buckets,
+      // add-one-smoothed rationals, the engine's 6-dp ln / 9-dp term
+      // programs operand-for-operand
+      ("WITH d AS (SELECT source, n_chars AS v FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0), "
+        + "k AS (SELECT source, CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS b, "
+        + "CASE WHEN v = 0 THEN 0 ELSE (v * 8) // CAST(power(2, length(bin(v))) AS BIGINT) END AS q FROM d), "
+        + "sa AS (SELECT source, b, q, COUNT(*) AS na FROM k GROUP BY 1, 2, 3), "
+        + "sr AS (SELECT b, q, COUNT(*) AS nr FROM k GROUP BY 1, 2), "
+        + "grid AS (SELECT g.source, r.b, r.q, r.nr FROM (SELECT DISTINCT source FROM sa) g CROSS JOIN sr r), "
+        + "j AS (SELECT COALESCE(grid.source, sa.source) AS source, "
+        + "COALESCE(sa.na, 0) AS na, COALESCE(grid.nr, 0) AS nr "
+        + "FROM grid FULL OUTER JOIN sa ON grid.source = sa.source AND grid.b = sa.b AND grid.q = sa.q), "
+        + "t AS (SELECT source, na, nr, SUM(na) OVER (PARTITION BY source) AS ta, "
+        + "SUM(nr) OVER (PARTITION BY source) AS tr, COUNT(*) OVER (PARTITION BY source) AS bk FROM j), "
+        + "terms AS (SELECT source, bk, "
+        + "CAST(round((CAST(na + 1 AS DOUBLE) / (ta + bk) - CAST(nr + 1 AS DOUBLE) / (tr + bk)) * "
+        + "round(ln((CAST(na + 1 AS DOUBLE) / (ta + bk)) / (CAST(nr + 1 AS DOUBLE) / (tr + bk))), 6), 9) AS DECIMAL(28,9)) AS term FROM t) "
+        + "SELECT source, CAST(MAX(bk) AS BIGINT) AS n_buckets, "
+        + "round(CAST(SUM(term) AS DOUBLE), 6) AS psi FROM terms GROUP BY 1 ORDER BY 1"),
     "q173_spearman" ->
       // integer double-ranks (2*below + count + 1) from per-value
       // histograms; exact moment sums; the engine's fixed-order

@@ -228,6 +228,50 @@ object Sketch {
       .agg(sum(col("n")).as("n"))
 
   /**
+   * Population-stability-index drift gate over log-histogram
+   * sketches: for each group, PSI = Σ_buckets (p − p_ref)·ln(p/p_ref)
+   * of its sketch against a reference marginal (the corpus overall, a
+   * frozen training snapshot, last week's sketch) — the standard
+   * "which feed drifted" score, computed ENTIRELY from the two small
+   * sketch tables: the data is long gone. Add-one smoothing over the
+   * per-group union bucket set keeps every term finite and EXACT as a
+   * rational; each ln is 6-dp-rounded once (the idf/entropy
+   * convention), terms quantize to 9 dp and sum in DECIMAL, so both
+   * engines replay the same program. Conventional read: < 0.1 stable,
+   * 0.1–0.25 drifting, > 0.25 action. Output: `by`* +
+   * (`n_buckets`, `psi`).
+   *
+   * Scale shape: groups × ref-buckets rows (the ref is a 1-sketch
+   * broadcast); no data-sized anything.
+   */
+  def logHistPsi(sketch: DataFrame, by: Seq[String],
+                 ref: DataFrame): DataFrame = {
+    val groups = sketch.select(by.map(col): _*).distinct()
+    val grid = groups.crossJoin(
+      broadcast(ref.select(col("b"), col("q"), col("n").as("__nr"))))
+    val joined = grid.join(sketch.withColumnRenamed("n", "__na"),
+      by ++ Seq("b", "q"), "full_outer")
+      .select((by.map(col) :+ col("b") :+ col("q") :+
+        coalesce(col("__na"), lit(0L)).as("__na") :+
+        coalesce(col("__nr"), lit(0L)).as("__nr")): _*)
+    val wg = Window.partitionBy(by.map(col): _*)
+    val withTot = joined
+      .withColumn("__ta", sum(col("__na")).over(wg))
+      .withColumn("__tr", sum(col("__nr")).over(wg))
+      .withColumn("__bk", count(lit(1)).over(wg))
+    val pa = (col("__na") + 1L).cast("double") /
+      (col("__ta") + col("__bk")).cast("double")
+    val pr = (col("__nr") + 1L).cast("double") /
+      (col("__tr") + col("__bk")).cast("double")
+    val term = round((pa - pr) * round(log(pa / pr), 6), 9)
+    withTot
+      .withColumn("__term", term.cast("decimal(28,9)"))
+      .groupBy(by.map(col): _*)
+      .agg(max(col("__bk")).as("n_buckets"),
+        round(sum(col("__term")).cast("double"), 6).as("psi"))
+  }
+
+  /**
    * Rank queries over a merged histogram: for each requested φ, the
    * LOWER BOUND of the first bucket whose cumulative count reaches
    * ⌈φ·N⌉ (ties and boundaries all integer decisions; the answer is

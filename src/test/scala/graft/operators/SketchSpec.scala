@@ -81,6 +81,32 @@ class SketchSpec extends SparkTestBase {
     assert(m("y") == Seq(5L, 2L, 10.0, 30.0, 60.0, 20.0))
   }
 
+  test("logHistPsi: identical distributions score exactly 0; hand PSI " +
+    "for a missing-bucket shift") {
+    val ss = spark
+    import ss.implicits._
+    // group a: 8 values of 1 -> bucket (1,4) only.
+    // ref: 8 of 1 + 8 of 2 -> buckets (1,4) and (2,4).
+    // B = 2; pa = (9/10, 1/10); pr = (9/18, 9/18).
+    // terms = 0.4*ln6(1.8) + (-0.4)*ln6(0.2)
+    //       = 0.4*0.587787 + 0.4*1.609438 = 0.2351148 + 0.6437752
+    // psi = 0.87889.
+    val a = Seq.fill(8)(("a", 1L)).toDF("g", "v")
+    val refData = (Seq.fill(8)(1L) ++ Seq.fill(8)(2L)).map(Tuple1(_)).toDF("v")
+    val ref = Sketch.logHistSketch(refData, Seq.empty, "v")
+    val psi = Sketch.logHistPsi(
+        Sketch.logHistSketch(a, Seq("g"), "v"), Seq("g"), ref)
+      .head()
+    assert(psi.getAs[Long]("n_buckets") == 2L)
+    assert(psi.getAs[Double]("psi") == 0.87889)
+    // self-comparison: every bucket has pa == pr -> ln(1) = 0 -> psi 0
+    val self = Sketch.logHistPsi(
+        Sketch.logHistSketch(refData.withColumn("g", lit("r")), Seq("g"), "v"),
+        Seq("g"), ref)
+      .head()
+    assert(self.getAs[Double]("psi") == 0.0)
+  }
+
   test("logHistQuantiles: bucket lower bound sandwiches the exact " +
     "quantile within 12.5% relative width") {
     val ss = spark
