@@ -2791,6 +2791,21 @@ object Queries {
       }(enc)
   }
 
+  /** Q176 Zipf rank-frequency fit (the tokenizer-sizing diagnostic
+    * beside q165's Heaps law): per language, OLS of ln(freq) on
+    * ln(rank) over the top-200 tokens — natural text slopes ≈ −1;
+    * a flat or broken slope flags synthetic/garbled feeds. Ranks are
+    * deterministic (freq desc, token asc), both lns 6-dp-rounded
+    * before the DECIMAL-exact trendFit moments. */
+  val q176: Q = (s, dir) => {
+    val freqs = Tables.documents(s, dir)
+      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("f"))
+    TextMetrics.zipfFit(freqs, Seq("lang"), "tok", "f", k = 200)
+      .orderBy("lang")
+  }
+
   /** Q175 per-source PSI drift gate over log-histogram sketches: each
     * source's n_chars distribution scored against the corpus marginal
     * ENTIRELY from the small sketch tables (the data could be long
@@ -3751,6 +3766,7 @@ object Queries {
     "q173_spearman" -> q173,
     "q174_gif_decode" -> q174,
     "q175_psi_drift" -> q175,
+    "q176_zipf_fit" -> q176,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -6024,6 +6040,26 @@ object Queries {
         + "x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM e GROUP BY 1) "
         + "SELECT est.event_type, round(raw, 1) AS est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct "
         + "FROM est JOIN x USING (event_type) ORDER BY event_type"),
+    "q176_zipf_fit" ->
+      // deterministic (freq desc, token) ranks, 6-dp lns, then q163's
+      // quantized DECIMAL moments and fixed-order OLS program
+      ("WITH t AS (SELECT lang, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), "
+        + "fr AS (SELECT lang, tok, COUNT(*) AS f FROM t WHERE tok <> '' GROUP BY 1, 2), "
+        + "rk AS (SELECT lang, tok, f, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS r FROM fr), "
+        + "v AS (SELECT lang, CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(15,6)) AS x, "
+        + "CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(15,6)) AS y FROM rk WHERE r <= 200), "
+        + "m AS (SELECT lang, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS sx, "
+        + "CAST(SUM(y) AS DOUBLE) AS sy, "
+        + "CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx, "
+        + "CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy, "
+        + "CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy FROM v GROUP BY 1) "
+        + "SELECT lang, n, "
+        + "CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN "
+        + "CAST(floor((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END AS slope, "
+        + "CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN "
+        + "CAST(floor((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy) / "
+        + "((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END AS r2 "
+        + "FROM m ORDER BY lang"),
     "q175_psi_drift" ->
       // union-sketch replay: per-source and corpus log-hist buckets,
       // add-one-smoothed rationals, the engine's 6-dp ln / 9-dp term

@@ -543,4 +543,59 @@ object TextMetrics {
       aggregate(weights, lit(0L), _ + _).as("score")): _*)
       .filter(col("n_toks") > 0)
   }
+
+  /**
+   * Zipf rank-frequency fit — the tokenizer-sizing diagnostic beside
+   * Heaps-law vocab growth: per group, OLS of ln(freq) on ln(rank)
+   * over the top-k terms of a (group, term, freq) table. Natural text
+   * slopes ≈ −1; a flat or broken slope flags synthetic or garbled
+   * feeds. Ranks are deterministic (freq desc, term asc); both lns
+   * are 6-dp-rounded ONCE, then the DECIMAL-exact moment program.
+   *
+   * Determinism contract (two lessons this operator exists to encode):
+   *  - inputs quantize to DECIMAL(15,6), NOT the house (28,6): a
+   *    (28,6)×(28,6) product needs precision 56, which DuckDB
+   *    silently routes through DOUBLE (measured 5e-6 moment drift)
+   *    while Spark multiplies exactly; (15,6)×(15,6) → (31,12) stays
+   *    an exact decimal in both engines.
+   *  - the final slope/r2 round via the PORTABLE program
+   *    floor(x·10⁶ + 0.5)/10⁶ — every op IEEE-identical anywhere —
+   *    because Spark's string-based HALF_UP and a C engine's scaled
+   *    rounding legitimately disagree within an ulp of a .5e-6
+   *    boundary, and OLS over clustered ln values is a boundary
+   *    magnet (hit twice on one corpus at different SFs).
+   *
+   * Output: `by`* + (n, slope, r2); zero-variance groups emit NULLs.
+   * Scale shape: the fit runs over `by` × k rows — the corpus-sized
+   * work is whatever produced the frequency table.
+   */
+  def zipfFit(freqs: DataFrame, by: Seq[String], termCol: String,
+              freqCol: String, k: Int = 200): DataFrame = {
+    require(k >= 2, "zipfFit: need k >= 2")
+    val ranked = Relational.topKPerGroup(freqs, by,
+        Seq(col(freqCol).desc, col(termCol).asc), k, rankCol = Some("__r"))
+      .select((by.map(col) :+
+        round(log(col("__r").cast("double")), 6).as("__lnr") :+
+        round(log(col(freqCol).cast("double")), 6).as("__lnf")): _*)
+    def qz(c: String) = round(col(c).cast("double"), 6).cast("decimal(15,6)")
+    val m = ranked.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(qz("__lnr")).cast("double").as("__sx"),
+        sum(qz("__lnf")).cast("double").as("__sy"),
+        sum((qz("__lnr") * qz("__lnr")).cast("decimal(38,12)")).cast("double").as("__sxx"),
+        sum((qz("__lnf") * qz("__lnf")).cast("decimal(38,12)")).cast("double").as("__syy"),
+        sum((qz("__lnr") * qz("__lnf")).cast("decimal(38,12)")).cast("double").as("__sxy"))
+    val nd = col("n").cast("double")
+    val cov = nd * col("__sxy") - col("__sx") * col("__sy")
+    val vx = nd * col("__sxx") - col("__sx") * col("__sx")
+    val vy = nd * col("__syy") - col("__sy") * col("__sy")
+    def pr6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").cast("double") /
+        lit(1000000.0)
+    m.select((by.map(col) :+ col("n") :+
+      when(vx > 0d, pr6(cov / vx)).otherwise(lit(null).cast("double"))
+        .as("slope") :+
+      when(vx > 0d && vy > 0d, pr6(cov * cov / (vx * vy)))
+        .otherwise(lit(null).cast("double")).as("r2")): _*)
+  }
 }

@@ -358,4 +358,24 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     d2.getAs[Long]("badness_micro") shouldBe
       2L * 1000000L / d2.getAs[Long]("n_chars")
   }
+
+  test("zipfFit: an exact power law f = 840/r fits slope -1, r2 = 1; " +
+    "constant frequencies give NULL (zero x-variance never hits, " +
+    "zero y-variance r2 only)") {
+    val ss = spark
+    import ss.implicits._
+    // g1: f_r = 840/r for r = 1..8 (exact integers) -> slope -1, r2 1
+    // after the portable 6-dp rounding (raw -1.0000001346/0.99999999).
+    // g2: all terms tied at f = 5 -> ln f constant -> vy = 0 -> r2
+    // NULL but slope 0 (cov = 0, vx > 0).
+    val g1 = (1 to 8).map(r => ("g1", s"t$r", 840L / r))
+    val g2 = (1 to 6).map(i => ("g2", s"t$i", 5L))
+    val out = TextMetrics.zipfFit((g1 ++ g2).toDF("g", "term", "f"),
+        Seq("g"), "term", "f")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Double]("slope")),
+          Option(r.getAs[java.lang.Double]("r2"))))).toMap
+    out("g1") shouldBe ((8L, Some(-1.0), Some(1.0)))
+    out("g2") shouldBe ((6L, Some(0.0), None))
+  }
 }
