@@ -2806,6 +2806,16 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q177 first/last-touch purchase attribution: every purchase
+    * credits the user's first and last preceding non-purchase touch
+    * on the (ts, event_id) total order; the two models' per-type
+    * conversion counts sit side by side — their disagreement measures
+    * journey length. */
+  val q177: Q = (s, dir) =>
+    Behavior.touchAttribution(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id", convType = "purchase")
+      .orderBy("touch_type")
+
   /** Q175 per-source PSI drift gate over log-histogram sketches: each
     * source's n_chars distribution scored against the corpus marginal
     * ENTIRELY from the small sketch tables (the data could be long
@@ -3767,6 +3777,7 @@ object Queries {
     "q174_gif_decode" -> q174,
     "q175_psi_drift" -> q175,
     "q176_zipf_fit" -> q176,
+    "q177_attribution" -> q177,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -6040,6 +6051,22 @@ object Queries {
         + "x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM e GROUP BY 1) "
         + "SELECT est.event_type, round(raw, 1) AS est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct "
         + "FROM est JOIN x USING (event_type) ORDER BY event_type"),
+    "q177_attribution" ->
+      // the same (ts, event_id)-ordered IGNORE NULLS windows and
+      // side-by-side model counts
+      ("WITH a AS (SELECT event_type, "
+        + "first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) "
+        + "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft, "
+        + "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) "
+        + "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt "
+        + "FROM events), "
+        + "p AS (SELECT COALESCE(ft, '(none)') AS ft, COALESCE(lt, '(none)') AS lt FROM a WHERE event_type = 'purchase'), "
+        + "f AS (SELECT ft AS touch_type, COUNT(*) AS first_touch_convs FROM p GROUP BY 1), "
+        + "l AS (SELECT lt AS touch_type, COUNT(*) AS last_touch_convs FROM p GROUP BY 1) "
+        + "SELECT COALESCE(f.touch_type, l.touch_type) AS touch_type, "
+        + "COALESCE(first_touch_convs, 0) AS first_touch_convs, "
+        + "COALESCE(last_touch_convs, 0) AS last_touch_convs "
+        + "FROM f FULL OUTER JOIN l ON f.touch_type = l.touch_type ORDER BY 1"),
     "q176_zipf_fit" ->
       // deterministic (freq desc, token) ranks, 6-dp lns, then q163's
       // quantized DECIMAL moments and fixed-order OLS program

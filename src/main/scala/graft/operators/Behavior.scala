@@ -408,6 +408,48 @@ object Behavior {
   }
 
   /**
+   * First-touch / last-touch conversion attribution — the marketing
+   * analytics staple over the event stream: every conversion event
+   * credits (a) the user's FIRST preceding non-conversion touch and
+   * (b) the LAST preceding non-conversion touch, and the report
+   * counts conversions per touch type under both models side by side
+   * (they disagree exactly when journeys are long — the gap IS the
+   * insight). "Preceding" is at-or-before on the (ts, tie) total
+   * order; conversions with no prior touch report as `(none)`.
+   *
+   * Determinism: the per-user sequence is total-ordered by
+   * (ts, tieCol); touches resolve via first/last IGNORE NULLS windows
+   * over that order; all outputs are exact BIGINT counts.
+   *
+   * Scale shape: ONE shuffle by user for the two windows (running
+   * first/last per row — no per-user event lists), then a
+   * type-bounded count aggregation; the two models share the same
+   * windowed pass.
+   */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String,
+                       convType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col(typeCol) =!= convType, col(typeCol))
+    val attributed = events
+      .withColumn("__first", first(touch, ignoreNulls = true).over(w))
+      .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+    val firstC = attributed
+      .groupBy(coalesce(col("__first"), lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("first_touch_convs"))
+    val lastC = attributed
+      .groupBy(coalesce(col("__last"), lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("last_touch_convs"))
+    firstC.join(lastC, Seq("touch_type"), "full_outer")
+      .select(col("touch_type"),
+        coalesce(col("first_touch_convs"), lit(0L)).as("first_touch_convs"),
+        coalesce(col("last_touch_convs"), lit(0L)).as("last_touch_convs"))
+  }
+
+  /**
    * First-order event-type transition matrix (the empirical Markov
    * chain over each key's event sequence): consecutive-event (from,
    * to) counts and row-normalized transition probabilities — the

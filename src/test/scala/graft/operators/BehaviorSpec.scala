@@ -252,6 +252,36 @@ class BehaviorSpec extends SparkTestBase {
     assert(out.size == 3) // g2 has no full window anywhere
   }
 
+  test("touchAttribution: first vs last models disagree on long " +
+    "journeys; no-touch conversions land in (none); consecutive " +
+    "purchases share the same touches") {
+    val ss = spark
+    import ss.implicits._
+    // u1: view -> click -> purchase: first=view, last=click.
+    // u2: purchase with no prior touch -> (none)/(none); then a later
+    //     view -> purchase: first=view, last=view.
+    // u3: click -> purchase -> purchase (consecutive): both purchases
+    //     attribute first=click, last=click.
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 11L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, 12L, ts("2024-01-01 10:02:00"), "purchase"),
+      (2L, 20L, ts("2024-01-01 09:00:00"), "purchase"),
+      (2L, 21L, ts("2024-01-01 09:30:00"), "view"),
+      (2L, 22L, ts("2024-01-01 09:45:00"), "purchase"),
+      (3L, 30L, ts("2024-01-01 08:00:00"), "click"),
+      (3L, 31L, ts("2024-01-01 08:10:00"), "purchase"),
+      (3L, 32L, ts("2024-01-01 08:20:00"), "purchase")
+    ).toDF("u", "id", "t", "typ")
+    val out = Behavior.touchAttribution(ev, "u", "t", "typ", "id", "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("view") == ((2L, 1L)))   // first: u1+u2p2; last: u2p2 only
+    assert(out("click") == ((2L, 3L)))  // u3's two convs first+last; u1 last
+    assert(out("(none)") == ((1L, 1L))) // u2's touchless first purchase
+    assert(out.size == 3)
+  }
+
   test("engagement: hand DAU/WAU over a 9-day toy calendar") {
     val ss = spark
     import ss.implicits._
