@@ -2816,6 +2816,26 @@ object Queries {
         "event_type", "event_id", convType = "purchase")
       .orderBy("touch_type")
 
+  /** Q178 Kaplan–Meier time-to-first-purchase: per user, days from
+    * first activity to first purchase (right-censored at last
+    * activity for never-purchasers), then the KM curve — exact BIGINT
+    * risk sets, 6-dp ln factors summed in DECIMAL, portable-rounded
+    * survival. */
+  val q178: Q = (s, dir) => {
+    val peru = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+        max(col("ts")).as("tmax"))
+    val dur = peru.select(
+      when(col("tp").isNotNull,
+        datediff(col("tp").cast("date"), col("t0").cast("date")))
+        .otherwise(datediff(col("tmax").cast("date"), col("t0").cast("date")))
+        .as("dur"),
+      when(col("tp").isNotNull, 1).otherwise(0).as("ev"))
+    Behavior.kaplanMeier(dur, Seq.empty, "dur", "ev").orderBy("t")
+  }
+
   /** Q175 per-source PSI drift gate over log-histogram sketches: each
     * source's n_chars distribution scored against the corpus marginal
     * ENTIRELY from the small sketch tables (the data could be long
@@ -3778,6 +3798,7 @@ object Queries {
     "q175_psi_drift" -> q175,
     "q176_zipf_fit" -> q176,
     "q177_attribution" -> q177,
+    "q178_kaplan_meier" -> q178,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -6051,6 +6072,30 @@ object Queries {
         + "x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM e GROUP BY 1) "
         + "SELECT est.event_type, round(raw, 1) AS est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct "
         + "FROM est JOIN x USING (event_type) ORDER BY event_type"),
+    "q178_kaplan_meier" ->
+      // per-user durations, duration histogram, exact risk sets, the
+      // engine's 6-dp ln factors / DECIMAL running sum / portable
+      // exp rounding, zero-survival masking
+      ("WITH u AS (SELECT user_id, MIN(ts) AS t0, "
+        + "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp, MAX(ts) AS tmax "
+        + "FROM events GROUP BY 1), "
+        + "d AS (SELECT CASE WHEN tp IS NOT NULL THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE)) "
+        + "ELSE date_diff('day', CAST(t0 AS DATE), CAST(tmax AS DATE)) END AS t, "
+        + "CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
+        + "h AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d_events, CAST(SUM(1 - ev) AS BIGINT) AS n_censored FROM d GROUP BY 1), "
+        + "r AS (SELECT *, SUM(d_events + n_censored) OVER () AS total, "
+        + "COALESCE(SUM(d_events + n_censored) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM h), "
+        + "r2 AS (SELECT t, d_events, n_censored, CAST(total - bef AS BIGINT) AS n_risk FROM r), "
+        + "l AS (SELECT *, "
+        + "CAST(CASE WHEN d_events > 0 AND n_risk > d_events THEN "
+        + "round(ln(CAST(n_risk - d_events AS DOUBLE) / n_risk), 6) ELSE 0 END AS DECIMAL(28,6)) AS lnt, "
+        + "MAX(CASE WHEN d_events > 0 AND n_risk = d_events THEN 1 ELSE 0 END) "
+        + "OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z FROM r2), "
+        + "l2 AS (SELECT *, SUM(lnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum FROM l) "
+        + "SELECT t, n_risk, d_events, n_censored, "
+        + "CASE WHEN z = 0 THEN CAST(lnsum AS DOUBLE) END AS ln_surv, "
+        + "CASE WHEN z = 0 THEN CAST(floor(exp(CAST(lnsum AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 ELSE 0.0 END AS surv "
+        + "FROM l2 WHERE d_events > 0 ORDER BY t"),
     "q177_attribution" ->
       // the same (ts, event_id)-ordered IGNORE NULLS windows and
       // side-by-side model counts

@@ -450,6 +450,74 @@ object Behavior {
   }
 
   /**
+   * Kaplan–Meier survival estimator — the time-to-event readout
+   * (time to first purchase, time to churn, time to first crash)
+   * over right-censored durations: rows are (duration, event) pairs
+   * where event = 1 means the event was observed at `duration` and
+   * 0 means observation merely ENDED there (censored). Output: one
+   * row per distinct observed-event time per group —
+   * (`t`, `n_risk`, `d_events`, `n_censored`, `ln_surv`, `surv`) —
+   * where S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over event times.
+   *
+   * Determinism: risk sets and event counts are exact BIGINT
+   * (nᵢ = total − all-durations-before-tᵢ, a cumulative window over
+   * the duration histogram); each factor's ln((n−d)/n) is
+   * 6-dp-rounded once and the running ln-survival is an EXACT
+   * DECIMAL(28,6) sum (reported as `ln_surv` — the exactly-replayable
+   * column); `surv` = exp(ln_surv) through the portable
+   * floor(x·10⁶ + 0.5)/10⁶ rounding.
+   *
+   * Scale shape: one aggregation to the (group, duration, event)
+   * histogram (vocab-bounded: distinct durations), two windows over
+   * that histogram, nothing data-sized past the first groupBy.
+   */
+  def kaplanMeier(durations: DataFrame, by: Seq[String],
+                  durationCol: String, eventCol: String): DataFrame = {
+    val hist = durations
+      .where(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy((by.map(col) :+ col(durationCol).cast("long").as("t")): _*)
+      .agg(sum(when(col(eventCol) =!= 0, 1L).otherwise(0L)).as("d_events"),
+        sum(when(col(eventCol) === 0, 1L).otherwise(0L)).as("n_censored"))
+    val wPrior = Window.partitionBy(by.map(col): _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(by.map(col): _*)
+    val wRun = Window.partitionBy(by.map(col): _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risky = hist
+      .withColumn("__total",
+        sum(col("d_events") + col("n_censored")).over(wAll))
+      .withColumn("__before",
+        coalesce(sum(col("d_events") + col("n_censored")).over(wPrior),
+          lit(0L)))
+      .withColumn("n_risk", col("__total") - col("__before"))
+    // n == d (the whole risk set events out) drives S to exactly 0 —
+    // ln is undefined there and DIVERGENTLY so across engines
+    // (Spark log(0) = NULL, C engines -inf), so a running zero flag
+    // masks that row and everything after: ln_surv NULL, surv 0.0.
+    val lnTerm = when(
+      col("d_events") > 0L && col("n_risk") > col("d_events"),
+      round(log((col("n_risk") - col("d_events")).cast("double") /
+        col("n_risk").cast("double")), 6))
+      .otherwise(lit(0d))
+    def pr6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").cast("double") /
+        lit(1000000.0)
+    risky
+      .withColumn("__ln", lnTerm.cast("decimal(28,6)"))
+      .withColumn("__zero",
+        max(when(col("d_events") > 0L &&
+          col("n_risk") === col("d_events"), 1).otherwise(0)).over(wRun))
+      .withColumn("__lnsum", sum(col("__ln")).over(wRun))
+      .filter(col("d_events") > 0L) // curve rows at event times only
+      .select((by.map(col) :+ col("t") :+ col("n_risk") :+
+        col("d_events") :+ col("n_censored") :+
+        when(col("__zero") === 0, col("__lnsum").cast("double"))
+          .otherwise(lit(null).cast("double")).as("ln_surv") :+
+        when(col("__zero") === 0, pr6(exp(col("__lnsum").cast("double"))))
+          .otherwise(lit(0d)).as("surv")): _*)
+  }
+
+  /**
    * First-order event-type transition matrix (the empirical Markov
    * chain over each key's event sequence): consecutive-event (from,
    * to) counts and row-normalized transition probabilities — the

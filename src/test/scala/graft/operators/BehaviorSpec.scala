@@ -282,6 +282,32 @@ class BehaviorSpec extends SparkTestBase {
     assert(out.size == 3)
   }
 
+  test("kaplanMeier: textbook curve with censoring; exhausted risk set " +
+    "drives survival to exactly 0 with NULL ln") {
+    val ss = spark
+    import ss.implicits._
+    // g1: durations (1,ev) (2,ev) (2,cens) (3,ev) (4,cens):
+    //   t=1: n=5 d=1 -> S=0.8; t=2: n=4 d=1 (+1 censored) -> S=0.6;
+    //   t=3: n=2 d=1 -> S=0.3; t=4 censored-only: no curve row.
+    // g2: (1,ev) (2,ev): at t=2 the whole risk set events out ->
+    //   surv 0.0, ln_surv NULL.
+    val rows = Seq(
+      ("g1", 1L, 1), ("g1", 2L, 1), ("g1", 2L, 0), ("g1", 3L, 1),
+      ("g1", 4L, 0),
+      ("g2", 1L, 1), ("g2", 2L, 1)
+    ).toDF("g", "dur", "ev")
+    val out = Behavior.kaplanMeier(rows, Seq("g"), "dur", "ev")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getAs[Double]("surv")))).toMap
+    assert(out(("g1", 1L)) == ((5L, 1L, 0L, 0.8)))
+    assert(out(("g1", 2L)) == ((4L, 1L, 1L, 0.6)))
+    assert(out(("g1", 3L)) == ((2L, 1L, 0L, 0.3)))
+    assert(out(("g2", 1L)) == ((2L, 1L, 0L, 0.5)))
+    assert(out(("g2", 2L)) == ((1L, 1L, 0L, 0.0)))
+    assert(out.size == 5) // no row for the censored-only t=4
+  }
+
   test("engagement: hand DAU/WAU over a 9-day toy calendar") {
     val ss = spark
     import ss.implicits._
