@@ -2487,6 +2487,17 @@ object Queries {
     Behavior.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
       "event_type", "event_id")
 
+  /** Q179 Markov stationary distribution (where sessions settle): 5
+    * power-iteration rounds over q155's empirical transition matrix —
+    * exact rational transition probabilities, round-12 quantized
+    * shares summed in DECIMAL, every round oracle-replayed. */
+  val q179: Q = (s, dir) => {
+    val trans = Behavior.transitionMatrix(Tables.events(s, dir), "user_id",
+      "ts", "event_type", "event_id")
+    Graph.markovStationary(trans, "from_type", "to_type", "n", iters = 5)
+      .orderBy("state")
+  }
+
   /** Q156 engagement pulse: per active day, exact DAU, trailing 7-day
     * WAU via a ×7 covered-day fan-out (no range join, no window over
     * users), and the DAU/WAU stickiness ratio. */
@@ -3799,6 +3810,7 @@ object Queries {
     "q176_zipf_fit" -> q176,
     "q177_attribution" -> q177,
     "q178_kaplan_meier" -> q178,
+    "q179_markov_stationary" -> q179,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5870,6 +5882,30 @@ object Queries {
         + "round(MAX(mad.mad), 4) AS mad, "
         + "CAST(SUM(CASE WHEN dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
         + "FROM d JOIN mad USING (l_returnflag) GROUP BY 1 ORDER BY 1"),
+    "q179_markov_stationary" ->
+      // q155's lag-chain counts, explicit self-loops for absorbing
+      // states, then five unrolled power-iteration rounds with the
+      // engine's round-12 share / DECIMAL-sum programs
+      ("WITH t0 AS (SELECT user_id, event_type, lag(event_type) OVER "
+        + "(PARTITION BY user_id ORDER BY ts, event_id) AS f FROM events), "
+        + "m AS (SELECT f AS ff, event_type AS tt, CAST(COUNT(*) AS BIGINT) AS n FROM t0 WHERE f IS NOT NULL GROUP BY 1, 2), "
+        + "st AS (SELECT DISTINCT ff AS id FROM m UNION SELECT DISTINCT tt FROM m), "
+        + "ab AS (SELECT id FROM st WHERE id NOT IN (SELECT ff FROM m)), "
+        + "tr AS (SELECT ff, tt, n FROM m UNION ALL SELECT id, id, 1 FROM ab), "
+        + "ow AS (SELECT ff, CAST(SUM(n) AS BIGINT) AS outw FROM tr GROUP BY 1), "
+        + "nn AS (SELECT COUNT(*) AS c FROM st), "
+        + "p0 AS (SELECT id, round(1.0 / c, 12) AS p FROM st CROSS JOIN nn), "
+        + "c1 AS (SELECT tr.tt AS id, SUM(CAST(round(p0.p * tr.n / ow.outw, 12) AS DECIMAL(28,12))) AS s FROM tr JOIN p0 ON tr.ff = p0.id JOIN ow ON tr.ff = ow.ff GROUP BY 1), "
+        + "p1 AS (SELECT st.id, round(COALESCE(CAST(c1.s AS DOUBLE), 0.0), 12) AS p FROM st LEFT JOIN c1 ON st.id = c1.id), "
+        + "c2 AS (SELECT tr.tt AS id, SUM(CAST(round(p1.p * tr.n / ow.outw, 12) AS DECIMAL(28,12))) AS s FROM tr JOIN p1 ON tr.ff = p1.id JOIN ow ON tr.ff = ow.ff GROUP BY 1), "
+        + "p2 AS (SELECT st.id, round(COALESCE(CAST(c2.s AS DOUBLE), 0.0), 12) AS p FROM st LEFT JOIN c2 ON st.id = c2.id), "
+        + "c3 AS (SELECT tr.tt AS id, SUM(CAST(round(p2.p * tr.n / ow.outw, 12) AS DECIMAL(28,12))) AS s FROM tr JOIN p2 ON tr.ff = p2.id JOIN ow ON tr.ff = ow.ff GROUP BY 1), "
+        + "p3 AS (SELECT st.id, round(COALESCE(CAST(c3.s AS DOUBLE), 0.0), 12) AS p FROM st LEFT JOIN c3 ON st.id = c3.id), "
+        + "c4 AS (SELECT tr.tt AS id, SUM(CAST(round(p3.p * tr.n / ow.outw, 12) AS DECIMAL(28,12))) AS s FROM tr JOIN p3 ON tr.ff = p3.id JOIN ow ON tr.ff = ow.ff GROUP BY 1), "
+        + "p4 AS (SELECT st.id, round(COALESCE(CAST(c4.s AS DOUBLE), 0.0), 12) AS p FROM st LEFT JOIN c4 ON st.id = c4.id), "
+        + "c5 AS (SELECT tr.tt AS id, SUM(CAST(round(p4.p * tr.n / ow.outw, 12) AS DECIMAL(28,12))) AS s FROM tr JOIN p4 ON tr.ff = p4.id JOIN ow ON tr.ff = ow.ff GROUP BY 1), "
+        + "p5 AS (SELECT st.id, round(COALESCE(CAST(c5.s AS DOUBLE), 0.0), 12) AS p FROM st LEFT JOIN c5 ON st.id = c5.id) "
+        + "SELECT p5.id AS state, round(p5.p, 6) AS stationary FROM p5 ORDER BY state"),
     "q155_transition_matrix" ->
       // the same (ts, event_id)-total-ordered lag chain and
       // row-normalized matrix

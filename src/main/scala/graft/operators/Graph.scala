@@ -163,4 +163,61 @@ object Graph {
             (col("__d") * (col("__d") - 1)), 6))
           .otherwise(lit(null).cast("double")).as("clustering"))
   }
+
+  /**
+   * Stationary distribution of an empirical Markov chain by fixed
+   * power iteration — where does a session SETTLE: feed
+   * `Behavior.transitionMatrix`'s (from, to, n) counts and read the
+   * long-run occupancy of each state. States with no outgoing
+   * transitions (absorbing in the empirical data) get an explicit
+   * unit self-loop so their mass persists instead of silently
+   * vanishing from the distribution.
+   *
+   * Exactness (the [[pageRank]] contract): transition probabilities
+   * stay exact rationals n_ij / out_i (BIGINT counts); each
+   * per-edge share is round(π·n/out, 12), shares sum in
+   * DECIMAL(28,12), and each round's π re-rounds to 12 — every
+   * iteration replays bit-for-bit in an external oracle (unrolled
+   * CTEs). Output: (`state`, `stationary` round 6), one row per
+   * state.
+   *
+   * Scale shape: state²-bounded edge table, one broadcast state
+   * count; per round, one vocab-bounded join + aggregation; each
+   * round's π is a localCheckpoint so round r+1 does not recompute
+   * rounds 1..r.
+   */
+  def markovStationary(trans: DataFrame, fromCol: String, toCol: String,
+                       nCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val t0 = trans.select(col(fromCol).as("__f"), col(toCol).as("__t"),
+        col(nCol).cast("long").as("__n"))
+      .where(col("__f").isNotNull && col("__t").isNotNull && col("__n") > 0L)
+    val states = t0.select(col("__f").as("__id"))
+      .unionByName(t0.select(col("__t").as("__id"))).distinct()
+      .localCheckpoint()
+    val absorbing = states.join(t0.select(col("__f").as("__id")).distinct(),
+      Seq("__id"), "left_anti")
+    val t = t0.unionByName(absorbing.select(col("__id").as("__f"),
+      col("__id").as("__t"), lit(1L).as("__n"))).localCheckpoint()
+    val outW = t.groupBy(col("__f")).agg(sum(col("__n")).as("__out"))
+    val nn = states.agg(count(lit(1)).as("__nn"))
+    var pi = states
+      .crossJoin(broadcast(nn))
+      .select(col("__id"), round(lit(1.0d) / col("__nn"), 12).as("__p"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = t.join(pi, t("__f") === pi("__id"))
+        .join(outW, "__f")
+        .select(t("__t").as("__id"),
+          round(col("__p") * col("__n") / col("__out"), 12)
+            .cast("decimal(28,12)").as("__c"))
+        .groupBy("__id").agg(sum(col("__c")).as("__s"))
+      pi = states.join(contrib, Seq("__id"), "left")
+        .select(col("__id"),
+          round(coalesce(col("__s").cast("double"), lit(0.0d)), 12)
+            .as("__p"))
+        .localCheckpoint()
+    }
+    pi.select(col("__id").as("state"), round(col("__p"), 6).as("stationary"))
+  }
 }

@@ -93,4 +93,27 @@ class GraphSpec extends SparkTestBase with Matchers {
     assert(out("a") == ((4L, 3L, Some(0.5))))
     assert(out("e") == ((1L, 0L, None)))
   }
+
+  test("markovStationary: 5 exact power-iteration rounds on a hand " +
+    "2-state chain; absorbing state gets a self-loop and keeps mass") {
+    val ss = spark
+    import ss.implicits._
+    // a->b always; b->a and b->b equally. True stationary (1/3, 2/3);
+    // five rounds from uniform land exactly at (0.328125, 0.671875)
+    // (all values are exact binary fractions, so round-12 is a no-op
+    // and the trajectory is exact).
+    val t = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "b", 1L))
+      .toDF("f", "t", "n")
+    val out = Graph.markovStationary(t, "f", "t", "n", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 0.328125)
+    assert(out("b") == 0.671875)
+    // absorbing: a->b only; b self-loops and absorbs everything
+    val t2 = Seq(("a", "b", 1L)).toDF("f", "t", "n")
+    val out2 = Graph.markovStationary(t2, "f", "t", "n", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out2("a") == 0.0)
+    assert(out2("b") == 1.0)
+    assert(out2.size == 2)
+  }
 }
