@@ -61,7 +61,12 @@ object PlanAudit {
     // q165: vocabGrowth's ONE-row quantile-cuts broadcast
     "q165_vocab_growth",
     // q166: pairAffinity's ONE-row basket-total broadcast (q143 shape)
-    "q166_also_bought")
+    "q166_also_bought",
+    // q175: the reference sketch is a ≤ ~70-row bucket table broadcast
+    // onto the group list (the PSI grid); data-sized nothing
+    "q175_psi_drift",
+    // q180: the 9-digit grid's ONE-row total broadcast (q61 shape)
+    "q180_benford")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

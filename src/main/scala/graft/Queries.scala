@@ -2498,6 +2498,26 @@ object Queries {
       .orderBy("state")
   }
 
+  /** Q180 Benford first-digit conformance on extended prices: the
+    * fabricated-feed detector — pure-integer digit extraction
+    * (×100 scale, decimal-length division), integer-ppm shares vs
+    * the log₁₀(1 + 1/d) law. */
+  val q180: Q = (s, dir) =>
+    Profile.benford(Tables.lineitem(s, dir), "l_extendedprice", scale = 100L)
+      .orderBy("digit")
+
+  /** Q181 autocorrelation of the daily event matrix at lags 1–7: the
+    * weekly-seasonality confirmation beside q169 — z = n·y − Σy keeps
+    * everything integer until one portable-rounded division. */
+  val q181: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")))
+    Behavior.autocorrelation(daily, Seq("event_type"), "x", "n", maxLag = 7)
+      .orderBy("event_type", "lag_k")
+  }
+
   /** Q156 engagement pulse: per active day, exact DAU, trailing 7-day
     * WAU via a ×7 covered-day fan-out (no range join, no window over
     * users), and the DAU/WAU stickiness ratio. */
@@ -3811,6 +3831,8 @@ object Queries {
     "q177_attribution" -> q177,
     "q178_kaplan_meier" -> q178,
     "q179_markov_stationary" -> q179,
+    "q180_benford" -> q180,
+    "q181_autocorrelation" -> q181,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5882,6 +5904,37 @@ object Queries {
         + "round(MAX(mad.mad), 4) AS mad, "
         + "CAST(SUM(CASE WHEN dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
         + "FROM d JOIN mad USING (l_returnflag) GROUP BY 1 ORDER BY 1"),
+    "q180_benford" ->
+      // pure-integer digit extraction (x100 scale, decimal-length
+      // division), integer ppm, the same rounded log10 constants
+      ("WITH m AS (SELECT CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS m FROM lineitem), "
+        + "d AS (SELECT CAST(floor(m / power(10, length(CAST(m AS VARCHAR)) - 1)) AS INT) AS digit FROM m WHERE m > 0), "
+        + "c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1), "
+        + "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c), "
+        + "g AS (SELECT unnest(range(1, 10)) AS digit) "
+        + "SELECT CAST(g.digit AS INT) AS digit, COALESCE(c.n, 0) AS n, "
+        + "CAST(floor(CAST(COALESCE(c.n, 0) * 1000000 AS DOUBLE) / tot) AS BIGINT) AS obs_ppm, "
+        + "CAST(round(log10(1.0 + 1.0 / g.digit) * 1000000.0) AS BIGINT) AS exp_ppm, "
+        + "abs(CAST(floor(CAST(COALESCE(c.n, 0) * 1000000 AS DOUBLE) / tot) AS BIGINT) - "
+        + "CAST(round(log10(1.0 + 1.0 / g.digit) * 1000000.0) AS BIGINT)) AS dev_ppm "
+        + "FROM g LEFT JOIN c ON g.digit = c.digit CROSS JOIN t ORDER BY digit"),
+    "q181_autocorrelation" ->
+      // z = n*y - S keeps numerator/denominator pure integers; one
+      // portable-rounded division per lag
+      ("WITH dd AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y FROM events GROUP BY 1, 2), "
+        + "v AS (SELECT event_type, date_diff('day', DATE '2024-01-01', day) AS x, y FROM dd), "
+        + "st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS s FROM v GROUP BY 1), "
+        + "z AS (SELECT v.event_type, v.x, CAST(st.n * v.y - st.s AS BIGINT) AS z FROM v JOIN st USING (event_type)), "
+        + "den AS (SELECT event_type, CAST(SUM(CAST(z * z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS d FROM z GROUP BY 1), "
+        + "k AS (SELECT unnest(range(1, 8)) AS lag_k), "
+        + "pr AS (SELECT a.event_type, k.lag_k, a.z AS za, b.z AS zb FROM z a CROSS JOIN k "
+        + "JOIN z b ON a.event_type = b.event_type AND b.x = a.x + k.lag_k), "
+        + "nm AS (SELECT event_type, CAST(lag_k AS INT) AS lag_k, COUNT(*) AS n_pairs, "
+        + "CAST(SUM(CAST(za * zb AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS num FROM pr GROUP BY 1, 2) "
+        + "SELECT nm.event_type, lag_k, n_pairs, "
+        + "CASE WHEN CAST(den.d AS DOUBLE) > 0 THEN "
+        + "CAST(floor(CAST(num AS DOUBLE) / CAST(den.d AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END AS acf "
+        + "FROM nm JOIN den USING (event_type) ORDER BY event_type, lag_k"),
     "q179_markov_stationary" ->
       // q155's lag-chain counts, explicit self-loops for absorbing
       // states, then five unrolled power-iteration rounds with the

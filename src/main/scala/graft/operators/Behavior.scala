@@ -518,6 +518,59 @@ object Behavior {
   }
 
   /**
+   * Autocorrelation function of a per-group series — the seasonality
+   * CONFIRMATION beside [[seasonalIndex]]: ACF peaking at lag 7 is
+   * the evidence the weekly decomposition is the right model, and a
+   * slow-decaying ACF flags trend the [[rollingZ]] alarms must
+   * detrend first. r_k = Σ (y_t − ȳ)(y_{t+k} − ȳ) / Σ (y_t − ȳ)²
+   * over exact x-aligned pairs (t, t+k).
+   *
+   * Exactness: the mean never materializes — with S = Σy and n,
+   * substitute z_t = n·y_t − S (exact BIGINT) and the n² factors
+   * cancel: r_k = Σ z_t·z_{t+k} / Σ z_t², a PURE INTEGER ratio with
+   * one portable-rounded double division. Output: `by`* +
+   * (`lag_k`, `n_pairs`, `acf`).
+   *
+   * Scale shape: one aggregation to the per-x matrix (the only
+   * data-sized stage), a 2-row broadcast of (n, S) per group, and a
+   * maxLag-fan-out equi-join on (group, x + k) — matrix-sized × k,
+   * never event-sized.
+   */
+  def autocorrelation(df: DataFrame, by: Seq[String], xCol: String,
+                      yCol: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "autocorrelation: maxLag must be >= 1")
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((by.map(col) :+ col(xCol).cast("long").as("__x") :+
+        col(yCol).cast("long").as("__y")): _*)
+    val stats = base.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s"))
+    val z = base.join(broadcast(stats), by)
+      .select((by.map(col) :+ col("__x") :+
+        (col("__n") * col("__y") - col("__s")).as("__z")): _*)
+    val denom = z.groupBy(by.map(col): _*)
+      .agg(sum((col("__z") * col("__z")).cast("decimal(38,0)")).as("__den"))
+    val lagged = z.select(
+      (by.map(c => col(c).as(s"__r_$c")) :+ col("__x").as("__x2") :+
+        col("__z").as("__z2")): _*)
+    val fan = z.withColumn("lag_k",
+      explode(sequence(lit(1), lit(maxLag))))
+    val cond = by.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
+      col("__x2") === col("__x") + col("lag_k")
+    val numer = fan.join(lagged, cond)
+      .groupBy((by.map(col) :+ col("lag_k")): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("__z") * col("__z2")).cast("decimal(38,0)")).as("__num"))
+    def pr6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").cast("double") /
+        lit(1000000.0)
+    numer.join(denom, by)
+      .select((by.map(col) :+ col("lag_k") :+ col("n_pairs") :+
+        when(col("__den") > 0,
+          pr6(col("__num").cast("double") / col("__den").cast("double")))
+          .otherwise(lit(null).cast("double")).as("acf")): _*)
+  }
+
+  /**
    * First-order event-type transition matrix (the empirical Markov
    * chain over each key's event sequence): consecutive-event (from,
    * to) counts and row-normalized transition probabilities — the

@@ -228,4 +228,51 @@ object Profile {
         round(col("__gn").cast("double") /
           (col("n_keys").cast("double") * col("n_rows")), 6).as("gini"))
   }
+
+  /**
+   * Benford first-digit conformance — the fabricated-feed detector
+   * for naturally-occurring numeric columns (prices, populations,
+   * file sizes): observed first-significant-digit shares vs Benford's
+   * log₁₀(1 + 1/d) law. A synthetic or tampered feed's digits go flat
+   * or spike; a natural multiplicative process follows the law.
+   *
+   * Digit extraction is PURE INTEGER (no float log10 whose boundary
+   * could flip a digit): the value scales to an exact integer by
+   * `scale` (e.g. 100 for 2-dp money), and the first digit is
+   * m ÷ 10^(decimal-length − 1) — both engines print the same
+   * decimal representation of a BIGINT. Shares and deviations are
+   * integer ppm; the expected ppm rounds log₁₀(1+1/d) once (all nine
+   * constants sit ≥ 4e-3·ppm from a rounding boundary — checked).
+   * Output: one row per digit 1–9 — (`digit`, `n`, `obs_ppm`,
+   * `exp_ppm`, `dev_ppm` = |obs − exp|).
+   *
+   * Scale shape: one map-side-combined 9-bucket aggregation of the
+   * scan; the grid join is a 9-row broadcast.
+   */
+  def benford(df: DataFrame, valueCol: String, scale: Long = 1L): DataFrame = {
+    require(scale >= 1L, "benford: scale must be >= 1")
+    val m = round(col(valueCol).cast("double") * scale).cast("long")
+    val digit = (col("__m") /
+      pow(lit(10.0), (length(col("__m").cast("string")) - 1).cast("double")))
+      .cast("int")
+    val counts = df
+      .select(m.as("__m"))
+      .where(col("__m").isNotNull && col("__m") > 0L)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = spark.createDataset((1 to 9).map(_.toLong)).toDF("digit")
+      .select(col("digit").cast("int").as("digit"))
+    val tot = counts.agg(sum(col("n")).as("__tot"))
+    grid.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        floor((coalesce(col("n"), lit(0L)) * 1000000L).cast("double") /
+          col("__tot").cast("double")).cast("long").as("obs_ppm"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")) *
+          lit(1000000.0)).cast("long").as("exp_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+  }
 }

@@ -572,8 +572,17 @@ object TextMetrics {
   def zipfFit(freqs: DataFrame, by: Seq[String], termCol: String,
               freqCol: String, k: Int = 200): DataFrame = {
     require(k >= 2, "zipfFit: need k >= 2")
-    val ranked = Relational.topKPerGroup(freqs, by,
-        Seq(col(freqCol).desc, col(termCol).asc), k, rankCol = Some("__r"))
+    // Rank ties break on xxhash64(term), NOT the term itself: the fit
+    // only consumes (rank, freq) pairs and tied frequencies contribute
+    // the SAME pair multiset under any tie order (including across the
+    // k cutoff), so the output is tie-order-invariant — and the rank
+    // exchange then carries an 8-byte hash instead of the term string
+    // (the wide-payload audit's point). An oracle may use any
+    // deterministic tie-break of its own.
+    val thin = freqs.select((by.map(col) :+ col(freqCol) :+
+      xxhash64(col(termCol)).as("__tb")): _*)
+    val ranked = Relational.topKPerGroup(thin, by,
+        Seq(col(freqCol).desc, col("__tb").asc), k, rankCol = Some("__r"))
       .select((by.map(col) :+
         round(log(col("__r").cast("double")), 6).as("__lnr") :+
         round(log(col(freqCol).cast("double")), 6).as("__lnf")): _*)

@@ -745,6 +745,57 @@ object StreamingOps {
     * ordinal `ordinal` under key `key` is admitted iff `kept`. */
   case class CapVerdict(key: String, ordinal: Long, kept: Boolean)
 
+  /** One emission of [[touchAttributionStream]]: a conversion's
+    * attribution verdict under both models. */
+  case class TouchVerdict(key: String, ordinal: Long, first_touch: String,
+                          last_touch: String)
+
+  /**
+   * Streaming first/last-touch attribution — the continuous twin of
+   * `Behavior.touchAttribution`: each arriving conversion is credited
+   * immediately from TWO strings of per-user state (the user's first
+   * and most recent non-conversion touch so far) instead of a
+   * windowed replay. Under the house ordered-replay contract (per-key
+   * (ts, ordinal) order; intra-batch rows are sorted), the verdict
+   * stream aggregates to exactly the batch report — StreamingSpec
+   * pins it. Touchless conversions report `(none)`, matching batch.
+   *
+   * State per user: two strings, forever — the cheapest ST8 state in
+   * the repo; RocksDB-backed like any other.
+   */
+  def touchAttributionStream(df: DataFrame, keyCol: String,
+                             ordinalCol: String, typeCol: String,
+                             convType: String): Dataset[TouchVerdict] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(ordinalCol).cast("long").as("__o"),
+        col(typeCol).cast("string").as("__t"))
+      .where(col("__k").isNotNull && col("__o").isNotNull &&
+        col("__t").isNotNull)
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Option[String], Option[String]), TouchVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[(Option[String], Option[String])]) =>
+          var (first, last) = state.getOption.getOrElse(
+            (Option.empty[String], Option.empty[String]))
+          val out = rows.toArray.sortBy(_._2).flatMap { case (_, o, t) =>
+            if (t == convType)
+              Some(TouchVerdict(key, o, first.getOrElse("(none)"),
+                last.getOrElse("(none)")))
+            else {
+              if (first.isEmpty) first = Some(t)
+              last = Some(t)
+              None
+            }
+          }
+          state.update((first, last))
+          out.iterator
+      }
+  }
+
   /** One emission of [[hllStream]]: the group's register count and
     * current cardinality estimate after a micro-batch. */
   case class HllUpdate(key: String, n_regs: Int, est_distinct: Double)

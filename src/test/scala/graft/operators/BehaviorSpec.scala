@@ -308,6 +308,33 @@ class BehaviorSpec extends SparkTestBase {
     assert(out.size == 5) // no row for the censored-only t=4
   }
 
+  test("autocorrelation: alternating series gives exact rational ACF; " +
+    "x gaps break pairs; constant series NULL") {
+    val ss = spark
+    import ss.implicits._
+    // g1: y = 2,0,2,0,2,0 at x = 0..5: z = 6y-6 = ±6, den = 216.
+    //   lag1: 5 pairs of -36 -> -180/216 = -0.833333
+    //   lag2: 4 pairs of +36 -> 144/216 = 0.666667
+    //   lag3: 3 pairs of -36 -> -108/216 = -0.5
+    // g2: x = 0,1,5 (gap): lag1 has only the (0,1) pair.
+    // g3: constant y -> z = 0 -> den = 0 -> acf NULL.
+    val g1 = (0 to 5).map(x => ("g1", x.toLong, if (x % 2 == 0) 2L else 0L))
+    val g2 = Seq(("g2", 0L, 1L), ("g2", 1L, 3L), ("g2", 5L, 1L))
+    val g3 = Seq(("g3", 0L, 4L), ("g3", 1L, 4L), ("g3", 2L, 4L))
+    val out = Behavior.autocorrelation((g1 ++ g2 ++ g3).toDF("g", "x", "y"),
+        Seq("g"), "x", "y", maxLag = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), Option(r.getAs[java.lang.Double]("acf"))))).toMap
+    assert(out(("g1", 1)) == ((5L, Some(-0.833333))))
+    assert(out(("g1", 2)) == ((4L, Some(0.666667))))
+    assert(out(("g1", 3)) == ((3L, Some(-0.5))))
+    // g2: z = 3y-5 = (-2, 4, -2), den = 24; lag1 = the (0,1) pair only:
+    // -8/24 = -0.333333
+    assert(out(("g2", 1)) == ((1L, Some(-0.333333))))
+    assert(!out.contains(("g2", 2))) // no x,x+2 pair exists
+    assert(out(("g3", 1)) == ((2L, None)))
+  }
+
   test("engagement: hand DAU/WAU over a 9-day toy calendar") {
     val ss = spark
     import ss.implicits._

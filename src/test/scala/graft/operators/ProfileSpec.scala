@@ -157,4 +157,21 @@ class ProfileSpec extends SparkTestBase with Matchers {
     many shouldBe one
     assert(one.head(1) == 90L) // 10 nulls dropped
   }
+
+  test("benford: integer digit extraction across magnitudes, full 1-9 " +
+    "grid, ppm arithmetic, zero/negative dropped") {
+    val ss = spark
+    import ss.implicits._
+    // x100 scale: 1.23->123, 19.9->1990, 100.0->10000, 2.5->250,
+    // 95.0->9500; 0 and -3.2 drop. Digits: 1,1,1,2,9 of total 5.
+    val df = Seq(1.23, 19.9, 100.0, 2.5, 0.0, -3.2, 95.0).toDF("v")
+    val out = Profile.benford(df, "v", scale = 100L)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 9) // every digit present even with n = 0
+    assert(out(1) == ((3L, 600000L, 301030L, 298970L)))
+    assert(out(2) == ((1L, 200000L, 176091L, 23909L)))
+    assert(out(9) == ((1L, 200000L, 45757L, 154243L)))
+    assert(out(5) == ((0L, 0L, 79181L, 79181L)))
+  }
 }

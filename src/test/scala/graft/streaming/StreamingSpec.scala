@@ -734,6 +734,62 @@ class StreamingSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("touchAttributionStream: verdicts aggregate to the batch report, " +
+    "state carries across a mid-journey batch split") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the BehaviorSpec scenario: u1 view->click->purchase; u2 purchase
+    // (touchless), view, purchase; u3 click, purchase, purchase
+    val rows = Seq(
+      ("u1", 10L, "view"), ("u1", 11L, "click"), ("u1", 12L, "purchase"),
+      ("u2", 20L, "purchase"), ("u2", 21L, "view"), ("u2", 22L, "purchase"),
+      ("u3", 30L, "click"), ("u3", 31L, "purchase"), ("u3", 32L, "purchase")
+    )
+    val input = MemoryStream[(String, Long, String)]
+    val query = StreamingOps.touchAttributionStream(
+        input.toDF().toDF("u", "o", "typ"), "u", "o", "typ", "purchase")
+      .writeStream.format("memory").queryName("t_attr")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      // split mid-journey: u1's purchase and u3's second purchase land
+      // in batch 2, their touches in batch 1
+      val (b1, b2) = rows.splitAt(4)
+      Seq(b1, b2).foreach { b =>
+        input.addData(b: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_attr")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3)))).toMap
+    got(("u1", 12L)) shouldBe (("view", "click"))
+    got(("u2", 20L)) shouldBe (("(none)", "(none)"))
+    got(("u2", 22L)) shouldBe (("view", "view"))
+    got(("u3", 31L)) shouldBe (("click", "click"))
+    got(("u3", 32L)) shouldBe (("click", "click"))
+    got.size shouldBe 5
+
+    // aggregated, the verdicts equal the batch operator's report
+    val fromStream = spark.table("t_attr")
+      .groupBy(col("first_touch").as("touch_type"))
+      .agg(count(lit(1)).as("first_touch_convs"))
+      .join(spark.table("t_attr").groupBy(col("last_touch").as("touch_type"))
+        .agg(count(lit(1)).as("last_touch_convs")), Seq("touch_type"), "full_outer")
+      .select(col("touch_type"),
+        coalesce(col("first_touch_convs"), lit(0L)),
+        coalesce(col("last_touch_convs"), lit(0L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Behavior.touchAttribution(
+        rows.toDF("u", "t", "typ").withColumn("o", col("t")),
+        "u", "t", "typ", "o", "purchase")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    fromStream shouldBe batch
+  }
+
   test("domainCapStream equals the batch ordinal-order cap when fed in order") {
     val ss = spark
     import ss.implicits._
