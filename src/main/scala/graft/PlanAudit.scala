@@ -66,7 +66,10 @@ object PlanAudit {
     // onto the group list (the PSI grid); data-sized nothing
     "q175_psi_drift",
     // q180: the 9-digit grid's ONE-row total broadcast (q61 shape)
-    "q180_benford")
+    "q180_benford",
+    // q183: the ONE-row quantile-cuts broadcast (q89/q165 shape) and
+    // the ONE-row corpus-max-day broadcast onto the per-user frame
+    "q183_rfm")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -2518,6 +2518,21 @@ object Queries {
       .orderBy("event_type", "lag_k")
   }
 
+  /** Q182 top-10 common journeys: the most frequent length-3
+    * event-type sequences over (ts, event_id)-total-ordered user
+    * streams — transitionMatrix one level up. */
+  val q182: Q = (s, dir) =>
+    Behavior.commonPaths(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id", len = 3, k = 10)
+      .orderBy("rank")
+
+  /** Q183 RFM segmentation: per-user recency/frequency/monetary
+    * quintile buckets (recency inverted, marketing convention) from
+    * ONE exactQuantilesMulti pass, users counted per (r, f, m) cell. */
+  val q183: Q = (s, dir) =>
+    Behavior.rfmSegments(Tables.events(s, dir), "user_id", "ts", "value")
+      .orderBy("r_bucket", "f_bucket", "m_bucket")
+
   /** Q156 engagement pulse: per active day, exact DAU, trailing 7-day
     * WAU via a ×7 covered-day fan-out (no range join, no window over
     * users), and the DAU/WAU stickiness ratio. */
@@ -3833,6 +3848,8 @@ object Queries {
     "q179_markov_stationary" -> q179,
     "q180_benford" -> q180,
     "q181_autocorrelation" -> q181,
+    "q182_common_paths" -> q182,
+    "q183_rfm" -> q183,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5904,6 +5921,45 @@ object Queries {
         + "round(MAX(mad.mad), 4) AS mad, "
         + "CAST(SUM(CASE WHEN dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
         + "FROM d JOIN mad USING (l_returnflag) GROUP BY 1 ORDER BY 1"),
+    "q182_common_paths" ->
+      // the same consecutive lead windows and deterministic top-10
+      ("WITH s AS (SELECT user_id, event_type, lead(event_type, 1) OVER w AS t1, "
+        + "lead(event_type, 2) OVER w AS t2 FROM events "
+        + "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        + "p AS (SELECT event_type || '>' || t1 || '>' || t2 AS path FROM s "
+        + "WHERE t1 IS NOT NULL AND t2 IS NOT NULL), "
+        + "c AS (SELECT path, COUNT(*) AS n FROM p GROUP BY 1), "
+        + "rk AS (SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rank FROM c) "
+        + "SELECT path, n, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 10 ORDER BY rank"),
+    "q183_rfm" ->
+      // per-user RFM, quantile_cont cuts (the exactQuantiles pairing),
+      // 6-dp-quantized strict > compares, inverted recency
+      ("WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events), "
+        + "u AS (SELECT user_id, date_diff('day', MAX(CAST(ts AS DATE)), (SELECT maxd FROM mx)) AS r, "
+        + "COUNT(*) AS f, round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS m "
+        + "FROM events GROUP BY user_id), "
+        + "c AS (SELECT quantile_cont(CAST(r AS DOUBLE), 0.2) AS r0, quantile_cont(CAST(r AS DOUBLE), 0.4) AS r1, "
+        + "quantile_cont(CAST(r AS DOUBLE), 0.6) AS r2, quantile_cont(CAST(r AS DOUBLE), 0.8) AS r3, "
+        + "quantile_cont(CAST(f AS DOUBLE), 0.2) AS f0, quantile_cont(CAST(f AS DOUBLE), 0.4) AS f1, "
+        + "quantile_cont(CAST(f AS DOUBLE), 0.6) AS f2, quantile_cont(CAST(f AS DOUBLE), 0.8) AS f3, "
+        + "quantile_cont(m, 0.2) AS m0, quantile_cont(m, 0.4) AS m1, "
+        + "quantile_cont(m, 0.6) AS m2, quantile_cont(m, 0.8) AS m3 FROM u), "
+        + "b AS (SELECT CAST(6 - (1 "
+        + "+ (CASE WHEN round(CAST(r AS DOUBLE), 6) > round(r0, 6) THEN 1 ELSE 0 END) "
+        + "+ (CASE WHEN round(CAST(r AS DOUBLE), 6) > round(r1, 6) THEN 1 ELSE 0 END) "
+        + "+ (CASE WHEN round(CAST(r AS DOUBLE), 6) > round(r2, 6) THEN 1 ELSE 0 END) "
+        + "+ (CASE WHEN round(CAST(r AS DOUBLE), 6) > round(r3, 6) THEN 1 ELSE 0 END)) AS INT) AS r_bucket, "
+        + "CAST(1 + (CASE WHEN round(CAST(f AS DOUBLE), 6) > round(f0, 6) THEN 1 ELSE 0 END) "
+        + "+ (CASE WHEN round(CAST(f AS DOUBLE), 6) > round(f1, 6) THEN 1 ELSE 0 END) "
+        + "+ (CASE WHEN round(CAST(f AS DOUBLE), 6) > round(f2, 6) THEN 1 ELSE 0 END) "
+        + "+ (CASE WHEN round(CAST(f AS DOUBLE), 6) > round(f3, 6) THEN 1 ELSE 0 END) AS INT) AS f_bucket, "
+        + "CAST(1 + (CASE WHEN round(m, 6) > round(m0, 6) THEN 1 ELSE 0 END) "
+        + "+ (CASE WHEN round(m, 6) > round(m1, 6) THEN 1 ELSE 0 END) "
+        + "+ (CASE WHEN round(m, 6) > round(m2, 6) THEN 1 ELSE 0 END) "
+        + "+ (CASE WHEN round(m, 6) > round(m3, 6) THEN 1 ELSE 0 END) AS INT) AS m_bucket "
+        + "FROM u CROSS JOIN c) "
+        + "SELECT r_bucket, f_bucket, m_bucket, COUNT(*) AS n_users "
+        + "FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "q180_benford" ->
       // pure-integer digit extraction (x100 scale, decimal-length
       // division), integer ppm, the same rounded log10 constants

@@ -571,6 +571,93 @@ object Behavior {
   }
 
   /**
+   * Top-k common journeys: the most frequent length-`len` event-type
+   * sequences over each key's (ts, tie)-total-ordered stream — the
+   * "what do sessions actually do" report one level above
+   * [[transitionMatrix]]'s single steps. Windows are strictly
+   * consecutive per key (lead(1), lead(2), …); a path only counts
+   * where all `len` positions exist. Deterministic top-k:
+   * (n desc, path asc).
+   *
+   * Output: (`path` — types joined with '>', `n`, `rank`).
+   *
+   * Scale shape: ONE shuffle by key for the lead windows; the count
+   * table is type^len-bounded and the top-k is a TakeOrdered over it.
+   */
+  def commonPaths(events: DataFrame, keyCol: String, tsCol: String,
+                  typeCol: String, tieCol: String, len: Int = 3,
+                  k: Int = 10): DataFrame = {
+    require(len >= 2, "commonPaths: len must be >= 2")
+    require(k >= 1, "commonPaths: k must be >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val steps = (0 until len).map { i =>
+      if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w)
+    }
+    val path = concat_ws(">", steps: _*)
+    val complete = steps.map(_.isNotNull).reduce(_ && _)
+    val counts = events
+      .select(path.as("path"), complete.as("__ok"))
+      .filter(col("__ok"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    counts.orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(
+          Window.orderBy(col("n").desc, col("path").asc)))
+  }
+
+  /**
+   * RFM segmentation — the classic customer-value grid: per user,
+   * Recency (days since last activity, vs the corpus max day),
+   * Frequency (event count), Monetary (DECIMAL-exact value sum),
+   * each bucketed 1–5 by its own exact quintile cuts, and the report
+   * counts users per (r, f, m) cell (≤ 125 rows). Recency buckets
+   * INVERT (most-recent = 5) so "555" reads as best in every
+   * dimension, the marketing convention.
+   *
+   * Determinism: the three cut sets come from ONE
+   * [[Relational.exactQuantilesMulti]] pass (the quantile_cont-exact
+   * program), every cut and measure is 6-dp-quantized before the
+   * strict `>` threshold compares (the q89 convention), and counts
+   * are exact BIGINT.
+   *
+   * Scale shape: one user-keyed aggregation (the only data-sized
+   * stage), the quantile program over the per-user frame, then a
+   * 1-row cut broadcast onto it; the report is cell-bounded.
+   */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val maxDay = events.agg(max(col(tsCol).cast("date")).as("__maxd"))
+    val peru = events.groupBy(col(userCol))
+      .agg(max(col(tsCol).cast("date")).as("__last"),
+        count(lit(1)).as("__f"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("__msum"))
+      .crossJoin(broadcast(maxDay))
+      .select(col(userCol),
+        datediff(col("__maxd"), col("__last")).cast("double").as("__r"),
+        col("__f").cast("double").as("__fv"),
+        round(col("__msum").cast("double"), 6).as("__mv"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    def spec(c: String) = c -> qs.zipWithIndex.map { case (q, i) =>
+      s"${c}_c$i" -> q
+    }
+    val cuts = Relational.exactQuantilesMulti(peru, Seq.empty,
+      Seq(spec("__r"), spec("__fv"), spec("__mv")))
+    def bucket(vc: String, cc: String): Column =
+      lit(1) + qs.indices.map(i =>
+        when(round(col(vc), 6) > round(col(s"${cc}_c$i"), 6), 1)
+          .otherwise(0)).reduce(_ + _)
+    peru.crossJoin(broadcast(cuts))
+      .select(
+        // recency inverts: fewer days since last activity = better
+        (lit(6) - bucket("__r", "__r")).as("r_bucket"),
+        bucket("__fv", "__fv").as("f_bucket"),
+        bucket("__mv", "__mv").as("m_bucket"))
+      .groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /**
    * First-order event-type transition matrix (the empirical Markov
    * chain over each key's event sequence): consecutive-event (from,
    * to) counts and row-normalized transition probabilities — the

@@ -335,6 +335,48 @@ class BehaviorSpec extends SparkTestBase {
     assert(out(("g3", 1)) == ((2L, None)))
   }
 
+  test("commonPaths: consecutive windows only, counts across users, " +
+    "deterministic (n desc, path) top-k") {
+    val ss = spark
+    import ss.implicits._
+    // u1: A,B,C,D -> A>B>C and B>C>D; u2: A,B,C -> A>B>C.
+    // Counts: A>B>C = 2, B>C>D = 1.
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "A"),
+      (1L, 11L, ts("2024-01-01 10:01:00"), "B"),
+      (1L, 12L, ts("2024-01-01 10:02:00"), "C"),
+      (1L, 13L, ts("2024-01-01 10:03:00"), "D"),
+      (2L, 20L, ts("2024-01-01 11:00:00"), "A"),
+      (2L, 21L, ts("2024-01-01 11:01:00"), "B"),
+      (2L, 22L, ts("2024-01-01 11:02:00"), "C")
+    ).toDF("u", "id", "t", "typ")
+    val out = Behavior.commonPaths(ev, "u", "t", "typ", "id", len = 3, k = 5)
+      .collect().map(r => (r.getInt(2), r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1, "A>B>C", 2L), (2, "B>C>D", 1L)))
+    // k = 1 keeps only the top path
+    assert(Behavior.commonPaths(ev, "u", "t", "typ", "id", 3, 1).count() == 1)
+  }
+
+  test("rfmSegments: five cleanly separated users land in five distinct " +
+    "cells with recency inverted") {
+    val ss = spark
+    import ss.implicits._
+    // user i (1..5): last activity day 2024-01-(10-(i-1)) -> r = i-1;
+    // i events -> f = i; each event value 10*i -> m = 10*i*i.
+    // Quintile cuts over 5 distinct values split one user per bucket:
+    // user i -> (r_bucket 6-i, f_bucket i, m_bucket i).
+    val ev = (1 to 5).flatMap { i =>
+      (1 to i).map { j =>
+        (i.toLong, ts(f"2024-01-${10 - (i - 1)}%02d 12:00:00"), 10.0 * i)
+      }
+    }.toDF("u", "t", "v")
+    val out = Behavior.rfmSegments(ev, "u", "t", "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    for (i <- 1 to 5) assert(out((6 - i, i, i)) == 1L, s"user $i cell")
+    assert(out.size == 5)
+  }
+
   test("engagement: hand DAU/WAU over a 9-day toy calendar") {
     val ss = spark
     import ss.implicits._
