@@ -2533,6 +2533,32 @@ object Queries {
     Behavior.rfmSegments(Tables.events(s, dir), "user_id", "ts", "value")
       .orderBy("r_bucket", "f_bucket", "m_bucket")
 
+  /** Q184 count-min token frequencies (the order-independent
+    * mergeable heavy-hitter sketch): history ⊕ batch CMS over hashed
+    * tokens, then the top-20 exact tokens with their always-≥ CMS
+    * estimates and overshoot — the bounded-memory path to "roughly
+    * how often does this token occur" at 100 TB. */
+  val q184: Q = (s, dir) => {
+    import graft.operators.TextMetrics.tokenHash
+    def vocab(d: DataFrame): DataFrame = d
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .withColumn("k", tokenHash(col("tok")))
+    val docs = Tables.documents(s, dir)
+    val hist = vocab(docs.filter(col("doc_id") % 31 === 0))
+    val batch = vocab(docs.filter(col("doc_id") % 31 =!= 0))
+    val cms = Sketch.cmsMerge(Seq(
+      Sketch.cmsSketch(hist, "k", Some("n")),
+      Sketch.cmsSketch(batch, "k", Some("n"))))
+    val top = vocab(docs)
+      .orderBy(col("n").desc, col("tok").asc).limit(20)
+      .select(col("tok"), col("n").as("exact_n"), col("k"))
+    Sketch.cmsLookup(cms, top, "k")
+      .select(col("tok"), col("exact_n"), col("cms_n"),
+        (col("cms_n") - col("exact_n")).as("over_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc)
+  }
+
   /** Q156 engagement pulse: per active day, exact DAU, trailing 7-day
     * WAU via a ×7 covered-day fan-out (no range join, no window over
     * users), and the DAU/WAU stickiness ratio. */
@@ -3850,6 +3876,7 @@ object Queries {
     "q181_autocorrelation" -> q181,
     "q182_common_paths" -> q182,
     "q183_rfm" -> q183,
+    "q184_cms_tokens" -> q184,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5921,6 +5948,31 @@ object Queries {
         + "round(MAX(mad.mad), 4) AS mad, "
         + "CAST(SUM(CASE WHEN dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
         + "FROM d JOIN mad USING (l_returnflag) GROUP BY 1 ORDER BY 1"),
+    "q184_cms_tokens" ->
+      // merge == rescan (weights add), so the oracle sketches the
+      // union: the portable token-hash program, the four mid-square
+      // grid positions, cell sums, min-over-rows estimates
+      ("WITH t AS (SELECT unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), "
+        + "v AS (SELECT tok, COUNT(*) AS n FROM t WHERE tok <> '' GROUP BY 1), "
+        + "h AS (SELECT tok, n, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS k FROM v), "
+        + "ps AS (SELECT tok, n, "
+        + "((((k + 1) * 2654435761) % 1000000007) * (((k + 1) * 2654435761) % 1000000007) >> 8) % 1024 AS p0, "
+        + "((((k + 13) * 1540483477) % 1000000007) * (((k + 13) * 1540483477) % 1000000007) >> 8) % 1024 AS p1, "
+        + "((((k + 29) * 2246822519) % 1000000007) * (((k + 29) * 2246822519) % 1000000007) >> 8) % 1024 AS p2, "
+        + "((((k + 47) * 3266489917) % 1000000007) * (((k + 47) * 3266489917) % 1000000007) >> 8) % 1024 AS p3 FROM h), "
+        + "g0 AS (SELECT p0 AS pos, CAST(SUM(n) AS BIGINT) AS c FROM ps GROUP BY 1), "
+        + "g1 AS (SELECT p1 AS pos, CAST(SUM(n) AS BIGINT) AS c FROM ps GROUP BY 1), "
+        + "g2 AS (SELECT p2 AS pos, CAST(SUM(n) AS BIGINT) AS c FROM ps GROUP BY 1), "
+        + "g3 AS (SELECT p3 AS pos, CAST(SUM(n) AS BIGINT) AS c FROM ps GROUP BY 1), "
+        + "top AS (SELECT tok, n, p0, p1, p2, p3, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk FROM ps) "
+        + "SELECT top.tok, top.n AS exact_n, "
+        + "least(g0.c, g1.c, g2.c, g3.c) AS cms_n, "
+        + "least(g0.c, g1.c, g2.c, g3.c) - top.n AS over_n "
+        + "FROM top JOIN g0 ON top.p0 = g0.pos JOIN g1 ON top.p1 = g1.pos "
+        + "JOIN g2 ON top.p2 = g2.pos JOIN g3 ON top.p3 = g3.pos "
+        + "WHERE rk <= 20 ORDER BY exact_n DESC, tok"),
     "q182_common_paths" ->
       // the same consecutive lead windows and deterministic top-10
       ("WITH s AS (SELECT user_id, event_type, lead(event_type, 1) OVER w AS t1, "

@@ -227,6 +227,74 @@ object Sketch {
       .groupBy((by.map(col) :+ col("b") :+ col("q")): _*)
       .agg(sum(col("n")).as("n"))
 
+  /** Count-min grid width (2^10 counters per row) and the four rows'
+    * (offset, multiplier) mix parameters — the same affine-then-
+    * mid-square family as the HLL hashes, public Knuth/Murmur/xxHash
+    * odd constants. (k + off)·mult stays under 2⁶³ for any
+    * k < 2³¹ (TokenHash's range) by two orders of magnitude. */
+  private val CmsW = 1024
+  private val CmsParams: Seq[(Long, Long)] = Seq(
+    (1L, 2654435761L), (13L, 1540483477L),
+    (29L, 2246822519L), (47L, 3266489917L))
+  private def cmsPos(k: Column, off: Long, mult: Long): Column = {
+    val a = pmod((k + off) * mult, lit(1000000007L))
+    pmod(shiftright(a * a, 8), lit(CmsW.toLong)).cast("int")
+  }
+
+  /**
+   * Count-min sketch (Cormode & Muthukrishnan 2005) of a BIGINT-keyed
+   * frequency stream — the ORDER-INDEPENDENT mergeable heavy-hitter
+   * sketch (Misra–Gries would depend on arrival order and could never
+   * pass a replay gate): 4 rows × 1024 counters as a table, each key
+   * incrementing one counter per row at its portable mid-square
+   * position. Estimates are upper bounds: est ≥ true, with overshoot
+   * ≤ N/1024 per row w.h.p. and the MIN over 4 rows taken. Merge is
+   * cell-wise sum — merge(sketch(A), sketch(B)) == sketch(A ⊎ B)
+   * exactly as a table (weights add; SketchSpec pins it).
+   *
+   * `weightCol` folds pre-aggregated (key, count) tables in one pass;
+   * absent, each row counts 1.
+   *
+   * Scale shape: one map-side-combined aggregation to ≤ 4096 cells;
+   * the sketch is a broadcast-sized table forever after.
+   */
+  def cmsSketch(df: DataFrame, keyCol: String,
+                weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val rows = CmsParams.zipWithIndex.map { case ((off, mult), j) =>
+      struct(lit(j).as("r"), cmsPos(col(keyCol), off, mult).as("pos"))
+    }
+    df.where(col(keyCol).isNotNull)
+      .select(explode(array(rows: _*)).as("__rp"), w.as("__w"))
+      .groupBy(col("__rp.r").as("r"), col("__rp.pos").as("pos"))
+      .agg(sum(col("__w")).as("n"))
+  }
+
+  /** Fold count-min sketches: cell-wise sums. */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("r", "pos").agg(sum(col("n")).as("n"))
+
+  /**
+   * Point estimates from a (merged) count-min sketch: for each row of
+   * `keys` (distinct keys expected), `cms_n` = min over the 4 cells
+   * the key hashes to (a key never inserted reads the cells' ambient
+   * collision mass — still an upper bound of its true count 0).
+   * The ≤ 4096-cell sketch broadcasts; the probe is scan-local.
+   */
+  def cmsLookup(sketch: DataFrame, keys: DataFrame,
+                keyCol: String): DataFrame = {
+    val rows = CmsParams.zipWithIndex.map { case ((off, mult), j) =>
+      struct(lit(j).as("r"), cmsPos(col(keyCol), off, mult).as("pos"))
+    }
+    val keyCols = keys.columns.map(col).toSeq
+    keys.withColumn("__rp", explode(array(rows: _*)))
+      .join(broadcast(sketch),
+        col("__rp.r") === col("r") && col("__rp.pos") === col("pos"), "left")
+      .groupBy(keyCols: _*)
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_n"))
+  }
+
   /**
    * Population-stability-index drift gate over log-histogram
    * sketches: for each group, PSI = Σ_buckets (p − p_ref)·ln(p/p_ref)

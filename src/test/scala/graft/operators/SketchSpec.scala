@@ -107,6 +107,31 @@ class SketchSpec extends SparkTestBase {
     assert(self.getAs[Double]("psi") == 0.0)
   }
 
+  test("cmsSketch: merge == rescan as a table; estimates are upper " +
+    "bounds and exact in a sparse sketch; uninserted key reads 0") {
+    val ss = spark
+    import ss.implicits._
+    val a = Seq((100L, 5L), (200L, 3L)).toDF("k", "w")
+    val b = Seq((100L, 2L), (300L, 7L)).toDF("k", "w")
+    val union = Seq((100L, 7L), (200L, 3L), (300L, 7L)).toDF("k", "w")
+    val merged = Sketch.cmsMerge(Seq(
+      Sketch.cmsSketch(a, "k", Some("w")),
+      Sketch.cmsSketch(b, "k", Some("w"))))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(toMap(merged) == toMap(Sketch.cmsSketch(union, "k", Some("w"))))
+    // sparse sketch (3 keys, 4096 cells): no collisions -> exact
+    val keys = Seq((100L, 7L), (200L, 3L), (300L, 7L), (999L, 0L))
+      .toDF("k", "true_n")
+    val est = Sketch.cmsLookup(merged, keys, "k")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((k, (t, e)) <- est) assert(e >= t, s"key $k: est $e < true $t")
+    assert(est(100L) == ((7L, 7L)))
+    assert(est(200L) == ((3L, 3L)))
+    assert(est(300L) == ((7L, 7L)))
+    assert(est(999L)._2 == 0L) // never inserted, empty cells
+  }
+
   test("logHistQuantiles: bucket lower bound sandwiches the exact " +
     "quantile within 12.5% relative width") {
     val ss = spark
