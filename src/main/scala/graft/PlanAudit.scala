@@ -69,7 +69,10 @@ object PlanAudit {
     "q180_benford",
     // q183: the ONE-row quantile-cuts broadcast (q89/q165 shape) and
     // the ONE-row corpus-max-day broadcast onto the per-user frame
-    "q183_rfm")
+    "q183_rfm",
+    // q185: the ONE-row Nt / Nb total broadcasts onto the
+    // vocab-bounded collocation table (q129 doc-count shape)
+    "q185_pmi_collocations")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

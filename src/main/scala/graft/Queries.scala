@@ -2559,6 +2559,13 @@ object Queries {
       .orderBy(col("exact_n").desc, col("tok").asc)
   }
 
+  /** Q185 PMI collocations: the top-20 statistically-bound adjacent
+    * token pairs — one exact integer ratio per pair, one 6-dp ln,
+    * min-count 5. */
+  val q185: Q = (s, dir) =>
+    TextMetrics.pmiCollocations(Tables.documents(s, dir), "text",
+      k = 20, minCount = 5L)
+
   /** Q156 engagement pulse: per active day, exact DAU, trailing 7-day
     * WAU via a ×7 covered-day fan-out (no range join, no window over
     * users), and the DAU/WAU stickiness ratio. */
@@ -3877,6 +3884,7 @@ object Queries {
     "q182_common_paths" -> q182,
     "q183_rfm" -> q183,
     "q184_cms_tokens" -> q184,
+    "q185_pmi_collocations" -> q185,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5948,6 +5956,23 @@ object Queries {
         + "round(MAX(mad.mad), 4) AS mad, "
         + "CAST(SUM(CASE WHEN dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
         + "FROM d JOIN mad USING (l_returnflag) GROUP BY 1 ORDER BY 1"),
+    "q185_pmi_collocations" ->
+      // in-row bigram assembly via list comprehension, vocab counts,
+      // the exact integer ratio and 6-dp ln, (pmi desc, bigram) top-20
+      ("WITH tk AS (SELECT list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS w FROM documents), "
+        + "u AS (SELECT unnest(w) AS tok FROM tk), "
+        + "uc AS (SELECT tok, COUNT(*) AS cu FROM u GROUP BY 1), "
+        + "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u), "
+        + "bl AS (SELECT unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS bigram FROM tk WHERE len(w) >= 2), "
+        + "bc AS (SELECT bigram, COUNT(*) AS np FROM bl GROUP BY 1 HAVING COUNT(*) >= 5), "
+        + "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bl), "
+        + "sc AS (SELECT bigram, np, "
+        + "round(ln(CAST(CAST(np AS DECIMAL(38,0)) * nt.n * nt.n AS DOUBLE) / "
+        + "CAST(CAST(nb.n AS DECIMAL(38,0)) * cx.cu * cy.cu AS DOUBLE)), 6) AS pmi "
+        + "FROM bc JOIN uc cx ON str_split(bc.bigram, ' ')[1] = cx.tok "
+        + "JOIN uc cy ON str_split(bc.bigram, ' ')[2] = cy.tok "
+        + "CROSS JOIN nt CROSS JOIN nb) "
+        + "SELECT bigram, np AS n_pair, pmi FROM sc ORDER BY pmi DESC, bigram LIMIT 20"),
     "q184_cms_tokens" ->
       // merge == rescan (weights add), so the oracle sketches the
       // union: the portable token-hash program, the four mid-square

@@ -545,6 +545,58 @@ object TextMetrics {
   }
 
   /**
+   * Top-k PMI collocations — the statistically-bound word pairs
+   * ("new york", "et al") a tokenizer's merge list and a phrase-aware
+   * dedup both want: pointwise mutual information of adjacent token
+   * pairs, PMI(x,y) = ln( c_xy·N_t² / (N_b·c_x·c_y) ) — ONE exact
+   * integer ratio (DECIMAL(38,0) products), one 6-dp-rounded ln.
+   * Pairs below `minCount` are noise and drop before ranking
+   * (rare-pair PMI explodes — the standard cutoff). Deterministic
+   * top-k by (pmi desc, bigram asc). Tokens cannot contain the
+   * space separator (they come from splitting on it), so the bigram
+   * string is unambiguous.
+   *
+   * Output: (`bigram`, `n_pair`, `pmi`).
+   *
+   * Scale shape: bigrams assemble IN-ROW (a transform over the token
+   * array — no self-join, no positional shuffle); unigram and bigram
+   * counts are vocab-bounded aggregations; two vocab-keyed joins and
+   * two 1-row total broadcasts; TakeOrdered top-k.
+   */
+  def pmiCollocations(docs: DataFrame, textCol: String, k: Int = 20,
+                      minCount: Long = 5L): DataFrame = {
+    require(k >= 1, "pmiCollocations: k must be >= 1")
+    val w = filter(split(lower(trim(col(textCol))), " "), t => t =!= "")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val uni = docs.select(explode(w).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__cu"))
+    val bi = docs.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val nt = uni.agg(sum(col("__cu")).as("__nt"))
+    val nb = docs.select(explode(bigrams).as("b")).agg(count(lit(1)).as("__nb"))
+    val parts = split(col("bigram"), " ")
+    val scored = bi
+      .withColumn("__x", element_at(parts, 1))
+      .withColumn("__y", element_at(parts, 2))
+      .join(uni.select(col("tok").as("__x"), col("__cu").as("__cx")), "__x")
+      .join(uni.select(col("tok").as("__y"), col("__cu").as("__cy")), "__y")
+      .crossJoin(broadcast(nt))
+      .crossJoin(broadcast(nb))
+      .select(col("bigram"), col("n_pair"),
+        round(log(
+          (col("n_pair").cast("decimal(38,0)") *
+            col("__nt").cast("decimal(38,0)") * col("__nt")).cast("double") /
+          (col("__nb").cast("decimal(38,0)") *
+            col("__cx").cast("decimal(38,0)") * col("__cy")).cast("double")),
+          6).as("pmi"))
+    scored.orderBy(col("pmi").desc, col("bigram").asc).limit(k)
+  }
+
+  /**
    * Zipf rank-frequency fit — the tokenizer-sizing diagnostic beside
    * Heaps-law vocab growth: per group, OLS of ln(freq) on ln(rank)
    * over the top-k terms of a (group, term, freq) table. Natural text

@@ -359,6 +359,29 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
       2L * 1000000L / d2.getAs[Long]("n_chars")
   }
 
+  test("pmiCollocations: hand counts, exact tie broken by bigram, " +
+    "minCount drops rare pairs") {
+    val ss = spark
+    import ss.implicits._
+    // d1 'a b a b', d2 'a b c': unigrams a:3 b:3 c:1 (Nt=7);
+    // bigrams 'a b':3 'b a':1 'b c':1 (Nb=5).
+    // PMI('a b') = ln(3*49/45) = ln(147/45); PMI('b c') = ln(49/15) —
+    // the SAME ratio: a genuine tie, broken by bigram asc.
+    // PMI('b a') = ln(49/45), lowest.
+    val docs = Seq("a b a b", "a b c").map(Tuple1(_)).toDF("text")
+    val out = TextMetrics.pmiCollocations(docs, "text", k = 5, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val hi = r6(math.log(147.0 / 45.0))
+    assert(out.toSeq == Seq(
+      ("a b", 3L, hi), ("b c", 1L, hi),
+      ("b a", 1L, r6(math.log(49.0 / 45.0)))))
+    // minCount = 2 keeps only the triple pair
+    val only = TextMetrics.pmiCollocations(docs, "text", 5, 2L).collect()
+    assert(only.length == 1 && only.head.getString(0) == "a b")
+  }
+
   test("zipfFit: an exact power law f = 840/r fits slope -1, r2 = 1; " +
     "constant frequencies give NULL (zero x-variance never hits, " +
     "zero y-variance r2 only)") {
