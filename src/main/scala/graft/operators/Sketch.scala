@@ -197,6 +197,36 @@ object Sketch {
           (col("n_rows") - col("n_null")), 6))
         .otherwise(lit(null).cast("double")).as("vmean"))
 
+  /** The bucket program as a pure Long function — shared with the
+    * streaming twin (`StreamingOps.logHistStream`) so stream state and
+    * batch buckets are bit-identical. Returns (b, q). */
+  private[graft] def logBucketOf(v: Long): (Int, Long) = {
+    require(v >= 0L, s"logBucketOf: negative value $v")
+    if (v == 0L) (0, 0L)
+    else {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      val q = (v * 8L) / (1L << b)
+      (b, q)
+    }
+  }
+
+  /** The rank-query walk as a pure function over a bucket-count map —
+    * the same integer decisions as [[logHistQuantiles]] (cumulative
+    * counts in (b, q) order, first bucket reaching ⌈φ·N⌉, lower
+    * bound q·2^b/8). */
+  private[graft] def logQuantileOf(buckets: scala.collection.Map[(Int, Long), Long],
+                                   phi: Double): Long = {
+    val n = buckets.valuesIterator.sum
+    val target = math.ceil(phi * n).toLong
+    var cum = 0L
+    for (((b, q), c) <- buckets.toSeq.sortBy { case ((b, q), _) => (b, q) }) {
+      cum += c
+      if (cum >= target)
+        return if (b == 0) 0L else (q * (1L << b)) / 8L
+    }
+    0L
+  }
+
   /**
    * Log-scaled histogram sketch of a non-negative BIGINT measure:
    * (`by`*, `b` int = bitlength, `q` long = 3-bit sub-bucket,

@@ -796,6 +796,51 @@ object StreamingOps {
       }
   }
 
+  /** One emission of [[logHistStream]]: the group's count and current
+    * rank-query lower bounds after a micro-batch. */
+  case class QuantileUpdate(key: String, n: Long, p50: Long, p90: Long,
+                            p99: Long)
+
+  /**
+   * Streaming quantile serving — the continuous twin of
+   * `Sketch.logHistSketch`/`logHistQuantiles`: per key, the
+   * DDSketch-shaped log-histogram lives as `mapGroupsWithState` state
+   * (≤ ~64·8 (b, q) → count entries — bounded for any stream length)
+   * and p50/p90/p99 lower bounds re-emit after every micro-batch.
+   * Bucket updates use the SAME pure integer programs as the batch
+   * column expressions (`Sketch.logBucketOf`/`logQuantileOf` — bit
+   * length, floor divisions, ⌈φ·N⌉ rank walk), so after any replay
+   * the last emission per key EQUALS the batch rank query exactly
+   * (StreamingSpec pins it). Order-independent: histogram adds
+   * commute.
+   */
+  def logHistStream(df: DataFrame, keyCol: String,
+                    valueCol: String): Dataset[QuantileUpdate] = {
+    import graft.operators.Sketch
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__k").isNotNull && col("__v").isNotNull && col("__v") >= 0L)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[(Int, Long), Long], QuantileUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[Map[(Int, Long), Long]]) =>
+          var h = state.getOption.getOrElse(Map.empty[(Int, Long), Long])
+          rows.foreach { case (_, v) =>
+            val bq = Sketch.logBucketOf(v)
+            h = h.updated(bq, h.getOrElse(bq, 0L) + 1L)
+          }
+          state.update(h)
+          QuantileUpdate(key, h.valuesIterator.sum,
+            Sketch.logQuantileOf(h, 0.5),
+            Sketch.logQuantileOf(h, 0.9),
+            Sketch.logQuantileOf(h, 0.99))
+      }
+  }
+
   /** One emission of [[hllStream]]: the group's register count and
     * current cardinality estimate after a micro-batch. */
   case class HllUpdate(key: String, n_regs: Int, est_distinct: Double)

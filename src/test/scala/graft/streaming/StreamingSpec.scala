@@ -790,6 +790,48 @@ class StreamingSpec extends SparkTestBase with Matchers {
     fromStream shouldBe batch
   }
 
+  test("logHistStream: last emission per key equals the batch rank " +
+    "query exactly, histogram state carries across batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // 2 keys × values 1..300 (shuffled deterministically by reversal)
+    val rows = (1L to 300L).map(v => (s"k${v % 2}", v)).reverse
+    val input = MemoryStream[(String, Long)]
+    val query = StreamingOps.logHistStream(
+        input.toDF().toDF("k", "v"), "k", "v")
+      .writeStream.format("memory").queryName("t_lh")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(137)
+      Seq(b1, b2).foreach { b =>
+        input.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_lh")
+      .groupBy("key").agg(last("n").as("n"), last("p50").as("p50"),
+        last("p90").as("p90"), last("p99").as("p99"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    val want = graft.operators.Sketch.logHistQuantiles(
+        graft.operators.Sketch.logHistSketch(rows.toDF("k", "v"),
+          Seq("k"), "v"),
+        Seq("k"), Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    got.keySet shouldBe want.keySet
+    for (k <- want.keys) {
+      got(k)._1 shouldBe 150L
+      (got(k)._2, got(k)._3, got(k)._4) shouldBe want(k)
+    }
+  }
+
   test("domainCapStream equals the batch ordinal-order cap when fed in order") {
     val ss = spark
     import ss.implicits._
