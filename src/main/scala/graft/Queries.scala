@@ -2566,6 +2566,19 @@ object Queries {
     TextMetrics.pmiCollocations(Tables.documents(s, dir), "text",
       k = 20, minCount = 5L)
 
+  /** Q186 robust trend anomalies: q167's Theil–Sen line completed
+    * into "which days broke trend" — robust intercept (median
+    * residual), residual MAD (q154's two-pass program), strict
+    * 3·MAD flags on 6-dp-quantized operands. */
+  val q186: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date")))
+    Behavior.theilSenAnomalies(daily, Seq("event_type"), "x", "n", k = 3.0)
+      .orderBy("event_type")
+  }
+
   /** Q156 engagement pulse: per active day, exact DAU, trailing 7-day
     * WAU via a ×7 covered-day fan-out (no range join, no window over
     * users), and the DAU/WAU stickiness ratio. */
@@ -3885,6 +3898,7 @@ object Queries {
     "q183_rfm" -> q183,
     "q184_cms_tokens" -> q184,
     "q185_pmi_collocations" -> q185,
+    "q186_trend_anomalies" -> q186,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5956,6 +5970,23 @@ object Queries {
         + "round(MAX(mad.mad), 4) AS mad, "
         + "CAST(SUM(CASE WHEN dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
         + "FROM d JOIN mad USING (l_returnflag) GROUP BY 1 ORDER BY 1"),
+    "q186_trend_anomalies" ->
+      // q167's pairwise-slope median, then residual median + MAD via
+      // the quantile_cont pairing, strict 3*MAD flags on 6-dp operands
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+        + "v AS (SELECT event_type, date_diff('day', DATE '2024-01-01', day) AS x, n FROM d), "
+        + "p AS (SELECT a.event_type, round(CAST(b.n - a.n AS DOUBLE) / (b.x - a.x), 6) AS slope "
+        + "FROM v a JOIN v b ON a.event_type = b.event_type AND a.x < b.x), "
+        + "sl AS (SELECT event_type, round(round(quantile_cont(slope, 0.5), 6), 6) AS ts_slope FROM p GROUP BY 1), "
+        + "r AS (SELECT v.event_type, round(CAST(v.n AS DOUBLE) - sl.ts_slope * v.x, 6) AS rr FROM v JOIN sl USING (event_type)), "
+        + "md AS (SELECT event_type, round(round(quantile_cont(rr, 0.5), 6), 6) AS intercept FROM r GROUP BY 1), "
+        + "dv AS (SELECT r.event_type, round(abs(rr - intercept), 6) AS dd, intercept FROM r JOIN md USING (event_type)), "
+        + "md2 AS (SELECT event_type, round(round(quantile_cont(dd, 0.5), 6), 6) AS mad FROM dv GROUP BY 1) "
+        + "SELECT dv.event_type, COUNT(*) AS n_days, sl.ts_slope, "
+        + "MIN(dv.intercept) AS intercept, MIN(md2.mad) AS mad, "
+        + "CAST(SUM(CASE WHEN dd > round(3.0 * md2.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies "
+        + "FROM dv JOIN md2 USING (event_type) JOIN sl USING (event_type) "
+        + "GROUP BY 1, 3 ORDER BY 1"),
     "q185_pmi_collocations" ->
       // in-row bigram assembly via list comprehension, vocab counts,
       // the exact integer ratio and 6-dp ln, (pmi desc, bigram) top-20

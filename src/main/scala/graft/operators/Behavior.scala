@@ -658,6 +658,53 @@ object Behavior {
   }
 
   /**
+   * Robust trend anomalies — the [[theilSen]] line completed into an
+   * outlier report: per group, the Theil–Sen slope, the robust
+   * intercept (median residual of y − slope·x), the residual MAD,
+   * and the count of days beyond `k`·MAD — "which days genuinely
+   * broke trend" with BOTH the line and the scale estimated robustly,
+   * so the outliers being hunted can't poison the ruler measuring
+   * them (the flaw of [[rollingZ]]'s mean/σ under heavy
+   * contamination).
+   *
+   * Determinism: slope is [[theilSen]]'s 6-dp median-of-slopes;
+   * residuals quantize to 6 dp before BOTH exact-quantile medians
+   * (the q154 two-pass MAD program); the flag compare is strict `>`
+   * on 6-dp-quantized operands. Output: `by`* +
+   * (n_days, ts_slope, intercept, mad, n_anomalies).
+   *
+   * Scale shape: [[theilSen]]'s day²-bounded pairs, then two
+   * sequential exact-quantile programs over the compact daily matrix
+   * (inherently two passes — the second's input depends on the
+   * first), each vocab-bounded.
+   */
+  def theilSenAnomalies(df: DataFrame, by: Seq[String], xCol: String,
+                        yCol: String, k: Double = 3.0): DataFrame = {
+    val slopes = theilSen(df, by, xCol, yCol)
+    val resid = df.join(slopes, by)
+      .select((by.map(col) :+ col(xCol) :+
+        round(col(yCol).cast("double") -
+          col("ts_slope") * col(xCol).cast("double"), 6).as("__r")): _*)
+    val med = Relational.exactQuantiles(resid, by, "__r",
+        Seq("intercept" -> 0.5))
+      .withColumn("intercept", round(col("intercept"), 6))
+    val dev = resid.join(med, by)
+      .withColumn("__d", round(abs(col("__r") - col("intercept")), 6))
+    val mad = Relational.exactQuantiles(dev, by, "__d", Seq("mad" -> 0.5))
+      .withColumn("mad", round(col("mad"), 6))
+    dev.join(mad, by)
+      .groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n_days"),
+        min(col("intercept")).as("intercept"),
+        min(col("mad")).as("mad"),
+        sum(when(col("__d") > round(lit(k) * col("mad"), 6), 1L)
+          .otherwise(0L)).as("n_anomalies"))
+      .join(slopes, by)
+      .select((by.map(col) :+ col("n_days") :+ col("ts_slope") :+
+        col("intercept") :+ col("mad") :+ col("n_anomalies")): _*)
+  }
+
+  /**
    * First-order event-type transition matrix (the empirical Markov
    * chain over each key's event sequence): consecutive-event (from,
    * to) counts and row-normalized transition probabilities — the

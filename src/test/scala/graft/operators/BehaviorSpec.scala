@@ -377,6 +377,28 @@ class BehaviorSpec extends SparkTestBase {
     assert(out.size == 5)
   }
 
+  test("theilSenAnomalies: the outlier day is flagged without poisoning " +
+    "slope, intercept, or MAD; a perfect line flags nothing") {
+    val ss = spark
+    import ss.implicits._
+    // g1: unit line with one wild day (the theilSen spec corpus):
+    //   slope 1.0 (outlier-rejected), residuals (0,0,0,0,996) ->
+    //   intercept 0, MAD 0, exactly the wild day beyond 3*MAD.
+    // g2: y = 2x + 5 exactly: slope 2, intercept 5, MAD 0, none.
+    val pts = Seq(
+      ("g1", 0, 0L), ("g1", 1, 1L), ("g1", 2, 2L), ("g1", 3, 3L),
+      ("g1", 4, 1000L),
+      ("g2", 0, 5L), ("g2", 1, 7L), ("g2", 2, 9L), ("g2", 3, 11L)
+    ).toDF("g", "x", "y")
+    val out = Behavior.theilSenAnomalies(pts, Seq("g"), "x", "y", k = 3.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Double]("ts_slope"),
+          r.getAs[Double]("intercept"), r.getAs[Double]("mad"),
+          r.getAs[Long]("n_anomalies")))).toMap
+    assert(out("g1") == ((5L, 1.0, 0.0, 0.0, 1L)))
+    assert(out("g2") == ((4L, 2.0, 5.0, 0.0, 0L)))
+  }
+
   test("engagement: hand DAU/WAU over a 9-day toy calendar") {
     val ss = spark
     import ss.implicits._
