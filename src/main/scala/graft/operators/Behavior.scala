@@ -680,7 +680,13 @@ object Behavior {
    */
   def theilSenAnomalies(df: DataFrame, by: Seq[String], xCol: String,
                         yCol: String, k: Double = 3.0): DataFrame = {
-    val slopes = theilSen(df, by, xCol, yCol)
+    // Each stage's output is group-bounded (one row per group) or
+    // matrix-bounded, and every one is consumed TWICE downstream —
+    // localCheckpoints stop Spark from recomputing the full upstream
+    // (three sequential quantile programs deep) per consumer; the
+    // first cut of this operator benched 11.4 s where ~2 s is the
+    // honest cost.
+    val slopes = theilSen(df, by, xCol, yCol).localCheckpoint()
     val resid = df.join(slopes, by)
       .select((by.map(col) :+ col(xCol) :+
         round(col(yCol).cast("double") -
@@ -688,10 +694,13 @@ object Behavior {
     val med = Relational.exactQuantiles(resid, by, "__r",
         Seq("intercept" -> 0.5))
       .withColumn("intercept", round(col("intercept"), 6))
+      .localCheckpoint()
     val dev = resid.join(med, by)
       .withColumn("__d", round(abs(col("__r") - col("intercept")), 6))
+      .localCheckpoint()
     val mad = Relational.exactQuantiles(dev, by, "__d", Seq("mad" -> 0.5))
       .withColumn("mad", round(col("mad"), 6))
+      .localCheckpoint()
     dev.join(mad, by)
       .groupBy(by.map(col): _*)
       .agg(count(lit(1)).as("n_days"),

@@ -571,13 +571,18 @@ object TextMetrics {
       transform(sequence(lit(1), size(w) - 1),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
+    // ONE corpus pass each for unigrams and bigrams: the vocab tables
+    // localCheckpoint and both the totals and the scored table derive
+    // from them (the first cut re-exploded the corpus per consumer).
     val uni = docs.select(explode(w).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("__cu"))
-    val bi = docs.select(explode(bigrams).as("bigram"))
+      .localCheckpoint()
+    val biAll = docs.select(explode(bigrams).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= minCount)
+      .localCheckpoint()
+    val bi = biAll.filter(col("n_pair") >= minCount)
     val nt = uni.agg(sum(col("__cu")).as("__nt"))
-    val nb = docs.select(explode(bigrams).as("b")).agg(count(lit(1)).as("__nb"))
+    val nb = biAll.agg(sum(col("n_pair")).as("__nb"))
     val parts = split(col("bigram"), " ")
     val scored = bi
       .withColumn("__x", element_at(parts, 1))
