@@ -2579,6 +2579,83 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Q187 Mann–Whitney U per source: did English docs' lengths shift
+    * relative to the rest of that source's feed? Integer double-ranks
+    * over the per-value histogram, tie-corrected variance as one
+    * exact DECIMAL ratio, continuity-corrected z — the
+    * distribution-shift gate between two samples. */
+  val q187: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).withColumn("grp",
+      when(col("lang") === "en", lit("en")).otherwise(lit("other")))
+    Eval.mannWhitney(d, Seq("source"), "grp", "n_chars", "en", "other")
+      .orderBy("source")
+  }
+
+  /** Q188 Kendall τ-b per event type between daily volume and daily
+    * summed value over the compact 30-day matrix: pure-BIGINT
+    * concordant/discordant/tie counts from sign comparisons on exact
+    * decimals, one fixed-order τ-b program. */
+  val q188: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("nv"),
+        sum(col("value").cast("decimal(18,6)")).as("sv"))
+    Eval.kendallTau(daily, Seq("event_type"), "nv", "sv")
+      .orderBy("event_type")
+  }
+
+  /** Q189 CUSUM control chart over daily event counts per type:
+    * Page's statistic via the exact window identity (prefix sum minus
+    * running min on the integer n-scale), breach flags decided on
+    * exact decimals against h·n — the sustained-small-shift detector
+    * q145's rolling z can't see. */
+  val q189: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    Behavior.cusum(daily, Seq("event_type"), "day", "n", h = 25.0)
+      .orderBy("event_type", "day")
+  }
+
+  /** Q190 two-regressor OLS per order priority: daily revenue
+    * explained by order volume plus a time-drift term — Cramer's
+    * rule on the centered Gram matrix from ONE moment pass over the
+    * compact daily matrix. The regressor pair is deliberately
+    * well-conditioned (volume and time are near-orthogonal) —
+    * closed-form OLS amplifies input noise by the Gram condition
+    * number, so collinear pairs are the caller's bug, not the
+    * operator's. */
+  val q190: Q = (s, dir) => {
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).as("rev"))
+      .withColumn("t_day",
+        datediff(col("day"), lit("1992-01-01").cast("date")))
+    Behavior.olsFit2(daily, Seq("priority"), "n_orders", "t_day", "rev")
+      .orderBy("priority")
+  }
+
+  /** Q191 Flesch reading-ease roll-up per lang: integer
+    * word/sentence/vowel-group counts per doc, the portable-rounded
+    * score, exact DECIMAL mean, and easy/hard band counts decided on
+    * the identical rounded doubles. */
+  val q191: Q = (s, dir) => {
+    val per = TextMetrics.readability(Tables.documents(s, dir), "text",
+      Seq("lang"))
+    per.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("flesch").cast("decimal(18,6)")).as("__sf"),
+        sum(when(col("flesch") >= 60.0d, 1L).otherwise(0L)).as("n_easy"),
+        sum(when(col("flesch") < 30.0d, 1L).otherwise(0L)).as("n_hard"))
+      .select(col("lang"), col("n_docs"),
+        (floor(col("__sf").cast("double") / col("n_docs").cast("double") *
+          1e6d + 0.5d) / 1e6d).as("mean_flesch"),
+        col("n_easy"), col("n_hard"))
+      .orderBy("lang")
+  }
+
   /** Q156 engagement pulse: per active day, exact DAU, trailing 7-day
     * WAU via a ×7 covered-day fan-out (no range join, no window over
     * users), and the DAU/WAU stickiness ratio. */
@@ -3899,6 +3976,11 @@ object Queries {
     "q184_cms_tokens" -> q184,
     "q185_pmi_collocations" -> q185,
     "q186_trend_anomalies" -> q186,
+    "q187_mann_whitney" -> q187,
+    "q188_kendall_tau" -> q188,
+    "q189_cusum_shift" -> q189,
+    "q190_ols2" -> q190,
+    "q191_readability" -> q191,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5987,6 +6069,113 @@ object Queries {
         + "CAST(SUM(CASE WHEN dd > round(3.0 * md2.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies "
         + "FROM dv JOIN md2 USING (event_type) JOIN sl USING (event_type) "
         + "GROUP BY 1, 3 ORDER BY 1"),
+    "q187_mann_whitney" ->
+      // integer double-ranks over the per-value histogram, BIGINT
+      // 2U, the tie-corrected variance as ONE DECIMAL(38,0) ratio,
+      // continuity-corrected z on the doubled scale
+      ("WITH d AS (SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia, n_chars AS v "
+        + "FROM documents WHERE n_chars IS NOT NULL), "
+        + "h AS (SELECT source, v, COUNT(*) AS t, CAST(SUM(ia) AS BIGINT) AS ca FROM d GROUP BY 1, 2), "
+        + "r AS (SELECT source, t, ca, 2 * COALESCE(SUM(t) OVER (PARTITION BY source ORDER BY v "
+        + "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2 FROM h), "
+        + "m AS (SELECT source, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(t - ca) AS BIGINT) AS n_b, "
+        + "CAST(SUM(ca * r2) AS BIGINT) AS ra2, CAST(SUM(t * t * t - t) AS BIGINT) AS ties FROM r GROUP BY 1), "
+        + "x AS (SELECT source, n_a, n_b, ra2 - n_a * (n_a + 1) AS u2, "
+        + "ra2 - n_a * (n_a + 1) - n_a * n_b AS num2, "
+        + "CASE WHEN n_a + n_b > 1 THEN CAST(CAST(n_a * n_b AS DECIMAL(18,0)) * "
+        + "CAST(CAST((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) AS DECIMAL(19,0)) - CAST(ties AS DECIMAL(19,0)) AS DECIMAL(19,0)) AS DOUBLE) / "
+        + "CAST(12 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE) END AS vard FROM m) "
+        + "SELECT source, n_a, n_b, CAST(u2 AS DOUBLE) / 2.0 AS u_a, "
+        + "CASE WHEN n_a > 0 AND n_b > 0 AND vard > 0 THEN "
+        + "round(CAST(num2 - (CASE WHEN num2 > 0 THEN 1 WHEN num2 < 0 THEN -1 ELSE 0 END) AS DOUBLE) / "
+        + "(2.0 * sqrt(vard)), 6) END AS z FROM x ORDER BY source"),
+    "q188_kendall_tau" ->
+      // deterministic row indices over (x, y), each unordered pair
+      // classified once by exact-decimal sign comparisons, pure-BIGINT
+      // C/D/tie counts, one fixed-order tau-b program
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS nv, "
+        + "SUM(CAST(value AS DECIMAL(18,6))) AS sv FROM events GROUP BY 1, 2), "
+        + "i AS (SELECT event_type, nv, sv, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY nv, sv) AS ii FROM daily), "
+        + "p AS (SELECT l.event_type, sign(r.nv - l.nv) AS sx, sign(r.sv - l.sv) AS sy "
+        + "FROM i l JOIN i r ON l.event_type = r.event_type AND l.ii < r.ii), "
+        + "m AS (SELECT event_type, CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c, "
+        + "CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_d, "
+        + "CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx, "
+        + "CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty, COUNT(*) AS n0 FROM p GROUP BY 1), "
+        + "c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM i GROUP BY 1) "
+        + "SELECT c.event_type, n, n_c, n_d, CASE WHEN n0 - tx > 0 AND n0 - ty > 0 THEN "
+        + "round(CAST(n_c - n_d AS DOUBLE) / (sqrt(CAST(n0 - tx AS DOUBLE)) * sqrt(CAST(n0 - ty AS DOUBLE))), 6) END AS tau_b "
+        + "FROM c JOIN m USING (event_type) ORDER BY 1"),
+    "q189_cusum_shift" ->
+      // Page's statistic via the window identity: integer-n-scale
+      // deviations, exact prefix sum / running extrema, breach flags
+      // on exact decimals, portable-rounded reported statistics
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+        + "t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nn, "
+        + "SUM(CAST(round(CAST(n AS DOUBLE), 6) AS DECIMAL(15,6))) AS sv FROM daily GROUP BY 1), "
+        + "d AS (SELECT daily.event_type, day, nn, CAST(CAST(nn AS DECIMAL(12,0)) * "
+        + "CAST(round(CAST(n AS DOUBLE), 6) AS DECIMAL(15,6)) - sv AS DECIMAL(28,6)) AS dev "
+        + "FROM daily JOIN t USING (event_type)), "
+        + "w AS (SELECT event_type, day, nn, SUM(dev) OVER (PARTITION BY event_type ORDER BY day "
+        + "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM d), "
+        + "w2 AS (SELECT event_type, day, nn, cc, "
+        + "MIN(cc) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmin, "
+        + "MAX(cc) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmax FROM w) "
+        + "SELECT event_type, day, "
+        + "CAST(floor(CAST(cc - cmin AS DOUBLE) / CAST(nn AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS s_plus, "
+        + "CAST(floor(CAST(cmax - cc AS DOUBLE) / CAST(nn AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS s_minus, "
+        + "(cc - cmin) > CAST(25.0 AS DECIMAL(15,6)) * CAST(nn AS DECIMAL(12,0)) AS shift_up, "
+        + "(cmax - cc) > CAST(25.0 AS DECIMAL(15,6)) * CAST(nn AS DECIMAL(12,0)) AS shift_down "
+        + "FROM w2 ORDER BY event_type, day"),
+    "q190_ols2" ->
+      // DECIMAL(15,6)-quantized daily matrix, nine exact moment sums,
+      // Cramer's rule on the centered Gram matrix as the engine's
+      // fixed-order double program operand-for-operand
+      ("WITH daily AS (SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day, "
+        + "COUNT(*) AS n_orders, date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS t_day, "
+        + "SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev FROM orders GROUP BY 1, 2, 4), "
+        + "q AS (SELECT priority, CAST(round(CAST(n_orders AS DOUBLE), 6) AS DECIMAL(15,6)) AS x1, "
+        + "CAST(round(CAST(t_day AS DOUBLE), 6) AS DECIMAL(15,6)) AS x2, "
+        + "CAST(round(CAST(rev AS DOUBLE), 6) AS DECIMAL(15,6)) AS y FROM daily), "
+        + "m AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x1) AS DOUBLE) AS s1, "
+        + "CAST(SUM(x2) AS DOUBLE) AS s2, CAST(SUM(y) AS DOUBLE) AS sy, "
+        + "CAST(SUM(CAST(CAST(x1 AS DECIMAL(19,6)) * CAST(x1 AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS s11, "
+        + "CAST(SUM(CAST(CAST(x2 AS DECIMAL(19,6)) * CAST(x2 AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS s22, "
+        + "CAST(SUM(CAST(CAST(x1 AS DECIMAL(19,6)) * CAST(x2 AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS s12, "
+        + "CAST(SUM(CAST(CAST(x1 AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS s1y, "
+        + "CAST(SUM(CAST(CAST(x2 AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS s2y, "
+        + "CAST(SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS syy FROM q GROUP BY 1), "
+        + "f AS (SELECT priority, n, s1, s2, sy, "
+        + "CAST(n AS DOUBLE) * s11 - s1 * s1 AS m11, CAST(n AS DOUBLE) * s22 - s2 * s2 AS m22, "
+        + "CAST(n AS DOUBLE) * s12 - s1 * s2 AS m12, CAST(n AS DOUBLE) * s1y - s1 * sy AS m1y, "
+        + "CAST(n AS DOUBLE) * s2y - s2 * sy AS m2y, CAST(n AS DOUBLE) * syy - sy * sy AS myy FROM m), "
+        + "g AS (SELECT priority, n, s1, s2, sy, m11, m22, m12, m1y, m2y, myy, "
+        + "m11 * m22 - m12 * m12 AS det FROM f) "
+        + "SELECT priority, n, "
+        + "CASE WHEN det > 0 THEN CAST(floor(((sy - ((m22 * m1y - m12 * m2y) / det) * s1) - "
+        + "((m11 * m2y - m12 * m1y) / det) * s2) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END AS b0, "
+        + "CASE WHEN det > 0 THEN CAST(floor((m22 * m1y - m12 * m2y) / det * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END AS b1, "
+        + "CASE WHEN det > 0 THEN CAST(floor((m11 * m2y - m12 * m1y) / det * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END AS b2, "
+        + "CASE WHEN det > 0 AND myy > 0 THEN CAST(floor((((m22 * m1y - m12 * m2y) / det) * m1y + "
+        + "((m11 * m2y - m12 * m1y) / det) * m2y) / myy * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END AS r2 "
+        + "FROM g ORDER BY priority"),
+    "q191_readability" ->
+      // integer word/sentence/vowel-group counts, the portable-rounded
+      // Flesch program, exact DECIMAL score sums, band counts decided
+      // on the identical rounded doubles
+      ("WITH d AS (SELECT lang, text, list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS w "
+        + "FROM documents WHERE text IS NOT NULL), "
+        + "p AS (SELECT lang, CAST(len(w) AS BIGINT) AS nw, "
+        + "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS ns, "
+        + "CAST(list_sum(list_transform(w, x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))) AS BIGINT) AS syl "
+        + "FROM d WHERE len(w) > 0), "
+        + "f AS (SELECT lang, CAST(floor((206.835 - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE)) - "
+        + "84.6 * (CAST(syl AS DOUBLE) / CAST(nw AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS fl FROM p) "
+        + "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        + "CAST(floor(CAST(SUM(CAST(fl AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_flesch, "
+        + "CAST(SUM(CASE WHEN fl >= 60.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy, "
+        + "CAST(SUM(CASE WHEN fl < 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard "
+        + "FROM f GROUP BY 1 ORDER BY 1"),
     "q185_pmi_collocations" ->
       // in-row bigram assembly via list comprehension, vocab counts,
       // the exact integer ratio and 6-dp ln, (pmi desc, bigram) top-20

@@ -772,4 +772,123 @@ object Behavior {
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
       .orderBy("day")
   }
+
+  /**
+   * CUSUM level-shift control chart per series — the changepoint
+   * detector the rolling-z ([[rollingZ]]) and the trend tests
+   * ([[theilSen]], [[mannKendall]]) don't give: a SUSTAINED small
+   * shift accumulates in the cumulative sum long before any single
+   * day breaches a z threshold. Page's statistic with zero slack
+   * against the series' own mean: S⁺_t = max(0, S⁺_{t−1} + (x_t−μ)),
+   * S⁻ symmetric — computed EXACTLY via the window identity
+   * S⁺_t = C_t − min_{j≤t} C_j (C = prefix sum of deviations), so
+   * the sequential recurrence costs two window passes, not a loop.
+   *
+   * Exactness: deviations are held on the integer n-scale
+   * (n·x_t − Σx in DECIMAL — inputs 6-dp-quantized to DECIMAL(15,6)
+   * so the n·x product stays an exact decimal in any engine), the
+   * prefix sum / running extrema are exact decimal programs, and the
+   * breach flags compare exact decimals (S⁺ against h·n — no rounded
+   * operand in the decision). The reported s_plus/s_minus divide by
+   * n ONCE and round via the portable floor(x·10⁶+0.5)/10⁶ program
+   * (rationals with denominator n are .5e-6 boundary magnets).
+   * Output: `by`* + (`orderCol`, s_plus, s_minus, shift_up,
+   * shift_down) — one row per input row.
+   *
+   * Scale shape: feed it compact per-group frames (daily matrices) —
+   * windows run per group on one partitioning; the raw-event
+   * aggregation that builds the frame is the caller's map-side
+   * combine. No self-join, no loop, two window passes.
+   */
+  def cusum(df: DataFrame, by: Seq[String], orderCol: String,
+            valueCol: String, h: Double): DataFrame = {
+    val q = round(col(valueCol).cast("double"), 6).cast("decimal(15,6)")
+    val tot = df.where(col(valueCol).isNotNull)
+      .groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(q).as("__sv"))
+    val dev = df.where(col(valueCol).isNotNull).join(tot, by)
+      .withColumn("__dev",
+        (col("__n").cast("decimal(12,0)") * q - col("__sv"))
+          .cast("decimal(28,6)"))
+    val wr = Window.partitionBy(by.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = dev.withColumn("__c", sum(col("__dev")).over(wr))
+      .withColumn("__cmin", min(col("__c")).over(wr))
+      .withColumn("__cmax", max(col("__c")).over(wr))
+    val spn = col("__c") - col("__cmin")
+    val smn = col("__cmax") - col("__c")
+    val hn = lit(h).cast("decimal(15,6)") * col("__n").cast("decimal(12,0)")
+    def port(x: Column): Column =
+      floor(x.cast("double") / col("__n").cast("double") * 1e6d + 0.5d) /
+        1e6d
+    c.select((by.map(col) :+ col(orderCol) :+
+      port(spn).as("s_plus") :+ port(smn).as("s_minus") :+
+      (spn > hn).as("shift_up") :+ (smn > hn).as("shift_down")): _*)
+  }
+
+  /**
+   * Two-regressor OLS per group — [[trendFit]] widened to the
+   * smallest genuinely multivariate readout (daily revenue explained
+   * by order volume AND buyer reach, attribution beyond "it went
+   * up"): normal equations solved in closed form via Cramer's rule
+   * on the centered Gram matrix, from ONE aggregation pass.
+   *
+   * Exactness: inputs 6-dp-quantize to DECIMAL(15,6) — products stay
+   * exact (31,12) decimals in any engine ((28,6)² would need
+   * precision 56 and silently route through DOUBLE in some) — the
+   * nine moment sums accumulate exactly, and everything after is a
+   * fixed-order double program over their casts: centered moments
+   * M_ij = n·S_ij − S_i·S_j, det = M11·M22 − M12², coefficients,
+   * R² = (b1·M1y + b2·M2y)/Myy, each rounded 6. Collinear or
+   * degenerate groups (det ≤ 0) emit NULL coefficients; zero
+   * y-variance emits NULL r2. Output: `by`* + (n, b0, b1, b2, r2).
+   *
+   * Scale shape: one map-side-combined aggregation (9 sums), a
+   * per-group closed-form solve — no iteration, no matrix library,
+   * no second pass. The 100 TB posture is the same as [[trendFit]]:
+   * the data is read once, the solve is free.
+   */
+  def olsFit2(df: DataFrame, by: Seq[String], x1Col: String,
+              x2Col: String, yCol: String): DataFrame = {
+    def q(c: String) = round(col(c).cast("double"), 6).cast("decimal(15,6)")
+    def p(a: String, bc: String) =
+      sum((q(a) * q(bc)).cast("decimal(38,12)")).cast("double")
+    val m = df.where(col(x1Col).isNotNull && col(x2Col).isNotNull &&
+        col(yCol).isNotNull)
+      .groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(q(x1Col)).cast("double").as("__s1"),
+        sum(q(x2Col)).cast("double").as("__s2"),
+        sum(q(yCol)).cast("double").as("__sy"),
+        p(x1Col, x1Col).as("__s11"), p(x2Col, x2Col).as("__s22"),
+        p(x1Col, x2Col).as("__s12"), p(x1Col, yCol).as("__s1y"),
+        p(x2Col, yCol).as("__s2y"), p(yCol, yCol).as("__syy"))
+    val nd = col("n").cast("double")
+    def c(s: String) = col(s)
+    val m11 = nd * c("__s11") - c("__s1") * c("__s1")
+    val m22 = nd * c("__s22") - c("__s2") * c("__s2")
+    val m12 = nd * c("__s12") - c("__s1") * c("__s2")
+    val m1y = nd * c("__s1y") - c("__s1") * c("__sy")
+    val m2y = nd * c("__s2y") - c("__s2") * c("__sy")
+    val myy = nd * c("__syy") - c("__sy") * c("__sy")
+    val det = m11 * m22 - m12 * m12
+    val b1 = (m22 * m1y - m12 * m2y) / det
+    val b2 = (m11 * m2y - m12 * m1y) / det
+    val b0 = (c("__sy") - b1 * c("__s1") - b2 * c("__s2")) / nd
+    // Portable rounding, not round(): near-collinear regressors make
+    // the coefficients quotients of near-cancelling doubles, which
+    // land within an ulp of .5e-6 boundaries in practice (q190's b2
+    // did) — string-HALF_UP and scaled-libm rounding then disagree.
+    def pr6(x: Column): Column = floor(x * 1e6d + 0.5d) / 1e6d
+    m.select((by.map(col) :+ col("n") :+
+      when(det > 0d, pr6(b0)).otherwise(lit(null).cast("double"))
+        .as("b0") :+
+      when(det > 0d, pr6(b1)).otherwise(lit(null).cast("double"))
+        .as("b1") :+
+      when(det > 0d, pr6(b2)).otherwise(lit(null).cast("double"))
+        .as("b2") :+
+      when(det > 0d && myy > 0d,
+        pr6((b1 * m1y + b2 * m2y) / myy))
+        .otherwise(lit(null).cast("double")).as("r2")): _*)
+  }
 }

@@ -451,4 +451,119 @@ object Eval {
       when(vx > 0d && vy > 0d, round(num / (sqrt(vx) * sqrt(vy)), 6))
         .otherwise(lit(null).cast("double")).as("rho")): _*)
   }
+
+  /**
+   * Mann–Whitney U rank-sum test per group — the distribution-shift
+   * gate between two samples that [[twoProportionZ]] (rates) and
+   * [[ksTest]] (max-gap) don't give: did sample `a`'s values move
+   * up or down relative to sample `b`, with a normal-approximation
+   * z? Rows whose `groupCol` is neither `a` nor `b` are dropped.
+   *
+   * Exactness: average-tie ranks are held as integer DOUBLE-ranks
+   * (2·below + t + 1 over the per-value histogram — halves never
+   * appear), so 2·U_a = Σ_a r₂ − n_a(n_a+1) is pure BIGINT. The
+   * tie-corrected variance stays an exact integer ratio: with
+   * T = Σ(t³−t) over tie groups, 12·n·(n−1)·Var(U) =
+   * n_a·n_b·((n+1)·n·(n−1) − T) accumulates in DECIMAL(38,0) and
+   * divides ONCE into a double. z applies the ±0.5 continuity
+   * correction on the doubled scale (±1) and rounds 6dp; degenerate
+   * groups (either sample empty, or all values tied) emit NULL z.
+   * Output: `by`* + (n_a, n_b, u_a, z).
+   *
+   * Scale shape: one vocab-bounded per-value histogram (distinct
+   * values, not rows) carrying both samples' counts, one window
+   * prefix-sum on the group partitioning, one map-side-combined
+   * moment aggregation. No row-level rank join — the data is
+   * touched once.
+   */
+  def mannWhitney(df: DataFrame, by: Seq[String], groupCol: String,
+                  valueCol: String, a: String, b: String): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull &&
+      (col(groupCol) === a || col(groupCol) === b))
+    val hist = base.groupBy((by.map(col) :+ col(valueCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"))
+    val wc = Window.partitionBy(by.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("__below", coalesce(sum(col("__t")).over(wc), lit(0L)))
+      .withColumn("__r2", col("__below") * 2 + col("__t") + 1)
+    val m = ranked.groupBy(by.map(col): _*)
+      .agg(sum(col("__ca")).as("n_a"),
+        sum(col("__t") - col("__ca")).as("n_b"),
+        sum(col("__ca") * col("__r2")).as("__ra2"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+    val n = col("n_a") + col("n_b")
+    val u2 = col("__ra2") - col("n_a") * (col("n_a") + 1L)
+    val num2 = u2 - col("n_a") * col("n_b")
+    val num2c = num2 - when(num2 > 0L, 1L).when(num2 < 0L, -1L).otherwise(0L)
+    val v12nn = (col("n_a") * col("n_b")).cast("decimal(38,0)") *
+      (((n + 1L) * n * (n - 1L)).cast("decimal(38,0)") -
+        col("__ties").cast("decimal(38,0)"))
+    // n == 1 would divide by zero — ANSI throws even for DOUBLE
+    // division, so the variance self-guards (NULL propagates to z).
+    val vard = when(n > 1L, v12nn.cast("double") /
+      (lit(12L) * n * (n - 1L)).cast("double"))
+      .otherwise(lit(null).cast("double"))
+    m.select((by.map(col) :+ col("n_a") :+ col("n_b") :+
+      (u2.cast("double") / 2.0d).as("u_a") :+
+      when(col("n_a") > 0L && col("n_b") > 0L && vard > 0d,
+        round(num2c.cast("double") / (lit(2.0d) * sqrt(vard)), 6))
+        .otherwise(lit(null).cast("double")).as("z")): _*)
+  }
+
+  /**
+   * Kendall τ-b per group — the concordance companion to
+   * [[spearman]]: of all observation pairs, how many order the two
+   * measures the same way? More robust to a few wild ranks than ρ
+   * and the standard readout for small ordered frames.
+   *
+   * Exactness: rows index deterministically (row_number over
+   * (x, y) — identical tuples are interchangeable, any tie order
+   * yields the same pair classification), every unordered pair
+   * classifies once by the two sign() comparisons, and C, D, and
+   * the tie counts are pure BIGINT. τ-b = (C−D)/(√(n₀−Tx)·√(n₀−Ty))
+   * is ONE fixed-order double program rounded 6dp; groups where
+   * either factor is zero (all x tied or all y tied) emit NULL.
+   * Output: `by`* + (n, n_c, n_d, tau_b).
+   *
+   * Scale shape: O(rows²) per group BY DESIGN — feed it compact
+   * per-group frames (daily matrices, decile tables), never raw
+   * events; [[spearman]] is the O(n) rank path for row-scale data.
+   * The self-join runs on the group partitioning with both sides
+   * reduced to (index, x, y).
+   */
+  def kendallTau(df: DataFrame, by: Seq[String], xCol: String,
+                 yCol: String): DataFrame = {
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val wi = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__x"), col("__y"))
+    val idx = base.select((by.map(col) :+ col(xCol).as("__x") :+
+        col(yCol).as("__y")): _*)
+      .withColumn("__i", row_number().over(wi))
+    val l = idx.select((by.map(col) :+ col("__x").as("__xl") :+
+      col("__y").as("__yl") :+ col("__i").as("__il")): _*)
+    val r = idx.select((by.map(col) :+ col("__x").as("__xr") :+
+      col("__y").as("__yr") :+ col("__i").as("__ir")): _*)
+    val pairs = l.join(r, by).where(col("__il") < col("__ir"))
+      .withColumn("__sx", signum(col("__xr") - col("__xl")))
+      .withColumn("__sy", signum(col("__yr") - col("__yl")))
+    val m = pairs.groupBy(by.map(col): _*)
+      .agg(sum(when(col("__sx") * col("__sy") > 0d, 1L).otherwise(0L))
+          .as("n_c"),
+        sum(when(col("__sx") * col("__sy") < 0d, 1L).otherwise(0L))
+          .as("n_d"),
+        sum(when(col("__sx") === 0d, 1L).otherwise(0L)).as("__tx"),
+        sum(when(col("__sy") === 0d, 1L).otherwise(0L)).as("__ty"),
+        count(lit(1)).as("__n0"))
+    val counts = idx.groupBy(by.map(col): _*).agg(count(lit(1)).as("n"))
+    val dx = (col("__n0") - col("__tx")).cast("double")
+    val dy = (col("__n0") - col("__ty")).cast("double")
+    counts.join(m, by)
+      .select((by.map(col) :+ col("n") :+ col("n_c") :+ col("n_d") :+
+        when(dx > 0d && dy > 0d,
+          round((col("n_c") - col("n_d")).cast("double") /
+            (sqrt(dx) * sqrt(dy)), 6))
+          .otherwise(lit(null).cast("double")).as("tau_b")): _*)
+  }
 }

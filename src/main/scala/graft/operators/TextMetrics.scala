@@ -664,4 +664,44 @@ object TextMetrics {
       when(vx > 0d && vy > 0d, pr6(cov * cov / (vx * vy)))
         .otherwise(lit(null).cast("double")).as("r2")): _*)
   }
+
+  /**
+   * Flesch reading-ease per document — the classic sentence-length ×
+   * syllable-density readability score the length/punct heuristics
+   * ([[qualitySignals]]) don't capture: 206.835 − 1.015·(W/S) −
+   * 84.6·(Syl/W). Words are the house whitespace tokens; sentences
+   * count [.!?]+ runs (min 1); syllables approximate as [aeiouy]+
+   * vowel groups per word (min 1 per word — non-Latin words degrade
+   * to the floor, scoring them "dense", which is the honest failure
+   * mode for a Latin-alphabet formula). W, S, Syl are pure integers;
+   * the score is ONE fixed-order double program rounded via the
+   * portable floor(x·10⁶+0.5)/10⁶ (small-denominator rationals ARE
+   * .5e-6 boundary magnets). Empty docs drop. Output: `out`* +
+   * (n_words, n_sents, n_syll, flesch).
+   *
+   * Scale shape: entirely scan-local codegen'd string work — no
+   * shuffle, no join; the caller's roll-up is the only exchange.
+   */
+  def readability(docs: DataFrame, textCol: String,
+                  out: Seq[String]): DataFrame = {
+    val w = filter(split(lower(trim(col(textCol))), " "), t => t =!= "")
+    val nw = size(w).cast("long")
+    val ns = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"), lit(1L))
+    val syl = aggregate(w, lit(0L), (acc, t) => acc +
+      greatest(size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))
+        .cast("long"), lit(1L)))
+    val score = lit(206.835d) -
+      lit(1.015d) * (col("n_words").cast("double") /
+        col("n_sents").cast("double")) -
+      lit(84.6d) * (col("n_syll").cast("double") /
+        col("n_words").cast("double"))
+    docs.where(col(textCol).isNotNull)
+      .select((out.map(col) :+ nw.as("n_words") :+ ns.as("n_sents") :+
+        syl.as("n_syll")): _*)
+      .where(col("n_words") > 0L)
+      .withColumn("flesch",
+        floor(score * 1e6d + 0.5d) / 1e6d)
+  }
 }

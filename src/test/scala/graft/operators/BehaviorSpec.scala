@@ -417,4 +417,46 @@ class BehaviorSpec extends SparkTestBase {
     assert(out("2024-01-08") == ((1L, 1L, 1.0)))
     assert(out.size == 2) // inactive days don't appear
   }
+
+  test("cusum: level shift accumulates; flags breach h; flat is zero") {
+    val ss = spark
+    import ss.implicits._
+    // g1 steps 10 -> 20 at day 4 (mean 15): S+ = 0,0,0,5,10,15 and
+    // S- = 0,5,10,5,0,0; with h = 8 the up-shift flags days 5-6 and
+    // the down-leg flags day 3. g2 constant -> all zeros, no flags.
+    val rows = (1 to 6).map(d => ("g1", d, if (d <= 3) 10L else 20L)) ++
+      (1 to 4).map(d => ("g2", d, 7L))
+    val out = Behavior.cusum(rows.toDF("g", "d", "v"), Seq("g"), "d", "v",
+        h = 8.0)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getAs[Double]("s_plus"), r.getAs[Double]("s_minus"),
+          r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out(("g1", 3)) == ((0.0, 10.0, false, true)))
+    assert(out(("g1", 4)) == ((5.0, 5.0, false, false)))
+    assert(out(("g1", 5)) == ((10.0, 0.0, true, false)))
+    assert(out(("g1", 6)) == ((15.0, 0.0, true, false)))
+    (1 to 4).foreach { d =>
+      assert(out(("g2", d)) == ((0.0, 0.0, false, false)))
+    }
+    assert(out.size == 10)
+  }
+
+  test("olsFit2: recovers an exact plane; collinear group is NULL") {
+    val ss = spark
+    import ss.implicits._
+    // g1: y = 2 + 3*x1 - x2 exactly -> coefficients recovered, r2 = 1.
+    // g2: x2 = 2*x1 (collinear) -> det = 0 -> NULL coefficients.
+    val g1 = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 1L),
+      (1L, 2L)).map { case (a, b) => ("g1", a, b, 2L + 3L * a - b) }
+    val g2 = Seq(("g2", 1L, 2L, 5L), ("g2", 2L, 4L, 7L), ("g2", 3L, 6L, 9L))
+    val out = Behavior.olsFit2((g1 ++ g2).toDF("g", "x1", "x2", "y"),
+        Seq("g"), "x1", "x2", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Double]("b0")),
+          Option(r.getAs[java.lang.Double]("b1")),
+          Option(r.getAs[java.lang.Double]("b2")),
+          Option(r.getAs[java.lang.Double]("r2"))))).toMap
+    assert(out("g1") == ((6L, Some(2.0), Some(3.0), Some(-1.0), Some(1.0))))
+    assert(out("g2") == ((3L, None, None, None, None)))
+  }
 }

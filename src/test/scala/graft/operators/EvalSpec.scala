@@ -283,4 +283,50 @@ class EvalSpec extends SparkTestBase with Matchers {
     out("g4") shouldBe ((2L, None))
     out.size shouldBe 4
   }
+
+  test("mannWhitney: tie-corrected U and continuity-corrected z") {
+    val ss = spark
+    import ss.implicits._
+    // g1: A = (1,2,3), B = (2,4,5,6). Combined ranks with the tie at
+    // 2 averaged: R_A = 1 + 2.5 + 4 = 7.5 -> U_A = 1.5. Tie term
+    // T = 2^3 - 2 = 6; Var = 12*(8*7*6 - 6)/(12*7*6) = 3960/504.
+    // z = (2U - n_a*n_b + 1) / (2*sqrt(Var)) = -8/(2*sqrt(3960/504)).
+    // g2: A empty -> NULL z, u_a = 0 - 0 = 0.
+    val rows = Seq(
+      ("g1", "a", 1L), ("g1", "a", 2L), ("g1", "a", 3L),
+      ("g1", "b", 2L), ("g1", "b", 4L), ("g1", "b", 5L), ("g1", "b", 6L),
+      ("g2", "b", 1L), ("g2", "b", 2L), ("g2", "c", 9L)
+    ).toDF("g", "s", "v")
+    val out = Eval.mannWhitney(rows, Seq("g"), "s", "v", "a", "b")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("u_a"),
+          Option(r.getAs[java.lang.Double]("z"))))).toMap
+    out("g1") shouldBe ((3L, 4L, 1.5, Some(-1.427012)))
+    out("g2") shouldBe ((0L, 2L, 0.0, None))
+    out.size shouldBe 2
+  }
+
+  test("kendallTau: concordance counts and tie-corrected tau-b") {
+    val ss = spark
+    import ss.implicits._
+    // g1 monotone rising -> tau 1; g2 one inversion among (1,1),(2,3),
+    // (3,2),(4,4): C=5, D=1, tau = 4/6; g3 ties both sides:
+    // (1,1),(1,2),(2,2),(3,1) -> C=1, D=2, Tx=1, Ty=2,
+    // tau_b = -1/sqrt(5*4) = -0.223607; g4 all x tied -> NULL.
+    val rows = Seq(
+      ("g1", 1L, 1L), ("g1", 2L, 2L), ("g1", 3L, 3L),
+      ("g2", 1L, 1L), ("g2", 2L, 3L), ("g2", 3L, 2L), ("g2", 4L, 4L),
+      ("g3", 1L, 1L), ("g3", 1L, 2L), ("g3", 2L, 2L), ("g3", 3L, 1L),
+      ("g4", 7L, 1L), ("g4", 7L, 2L)
+    ).toDF("g", "x", "y")
+    val out = Eval.kendallTau(rows, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getAs[java.lang.Double]("tau_b"))))).toMap
+    out("g1") shouldBe ((3L, 3L, 0L, Some(1.0)))
+    out("g2") shouldBe ((4L, 5L, 1L, Some(0.666667)))
+    out("g3") shouldBe ((4L, 1L, 2L, Some(-0.223607)))
+    out("g4") shouldBe ((2L, 0L, 0L, None))
+    out.size shouldBe 4
+  }
 }

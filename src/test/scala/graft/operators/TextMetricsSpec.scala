@@ -401,4 +401,25 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     out("g1") shouldBe ((8L, Some(-1.0), Some(1.0)))
     out("g2") shouldBe ((6L, Some(0.0), None))
   }
+
+  test("readability: integer counts and the portable Flesch program") {
+    val ss = spark
+    import ss.implicits._
+    // 6 words, 2 sentences, vowel groups 2+1+1+1+1+1 = 7:
+    // 206.835 - 1.015*(6/2) - 84.6*(7/6) = 105.09. The vowel-less
+    // word and the empty doc exercise the floors.
+    val docs = Seq(
+      (1L, "Hello world. This is a test."),
+      (2L, "zzz"),          // no vowels -> syllable floor 1; one sentence floor
+      (3L, "")               // no words -> dropped
+    ).toDF("doc_id", "text")
+    val out = TextMetrics.readability(docs, "text", Seq("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Double]("flesch")))).toMap
+    out(1L) shouldBe ((6L, 2L, 7L, 105.09))
+    // 1 word, 1 sentence, 1 syllable: 206.835 - 1.015 - 84.6 = 121.22
+    out(2L) shouldBe ((1L, 1L, 1L, 121.22))
+    out.size shouldBe 2
+  }
 }
