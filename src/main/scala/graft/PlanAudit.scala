@@ -11,6 +11,9 @@ object PlanAudit {
   // a constant factor, not a scale risk. Flag only the rest.
   // Shared with PlanQualitySpec — ONE list, edited in one place.
   val intentionalBnl: Set[String] = Set("q04_incremental_hwm", "q27_cosine_topk",
+    // q192: mutualInformation's 1-row total/term-sum broadcasts (the
+    // documented no-collect scalar pattern)
+    "q192_mutual_info",
     "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
     "q54_knn_join", "q61_gapfill",
     // q75/q76: the per-round centroid set collapses to ONE broadcast row

@@ -2656,6 +2656,25 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q192 mutual information between lang and source: the effect-size
+    * companion to q151's chi-square — integer micro-nat ln terms over
+    * the exact cell/margin ratios, pure-BIGINT weighted sums, both
+    * marginal entropies alongside for normalization. */
+  val q192: Q = (s, dir) =>
+    Eval.mutualInformation(Tables.documents(s, dir), "lang", "source")
+
+  /** Q193 degree assortativity of the customer–supplier purchase
+    * graph: do high-volume customers buy from high-volume suppliers?
+    * Exact BIGINT degrees over the lineitem⋈orders edge list, the
+    * spearman moment program, one fixed-order correlation. */
+  val q193: Q = (s, dir) => {
+    val edges = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+    Graph.degreeAssortativity(edges, "o_custkey", "l_suppkey")
+  }
+
   /** Q156 engagement pulse: per active day, exact DAU, trailing 7-day
     * WAU via a ×7 covered-day fan-out (no range join, no window over
     * users), and the DAU/WAU stickiness ratio. */
@@ -3981,6 +4000,8 @@ object Queries {
     "q189_cusum_shift" -> q189,
     "q190_ols2" -> q190,
     "q191_readability" -> q191,
+    "q192_mutual_info" -> q192,
+    "q193_assortativity" -> q193,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -6069,6 +6090,45 @@ object Queries {
         + "CAST(SUM(CASE WHEN dd > round(3.0 * md2.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies "
         + "FROM dv JOIN md2 USING (event_type) JOIN sl USING (event_type) "
         + "GROUP BY 1, 3 ORDER BY 1"),
+    "q192_mutual_info" ->
+      // one cell-grid pass, margins/total derived from the grid,
+      // integer micro-nat lns (portable floor), BIGINT weighted sums,
+      // one portable-rounded division per output
+      ("WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS c FROM documents "
+        + "WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2), "
+        + "ma AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM cells GROUP BY 1), "
+        + "mb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY 1), "
+        + "nr AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells), "
+        + "mi AS (SELECT CAST(SUM(c * CAST(floor(ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) / "
+        + "(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS smi "
+        + "FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nr), "
+        + "ha AS (SELECT CAST(SUM(ca * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(ca AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sha "
+        + "FROM ma CROSS JOIN nr), "
+        + "hb AS (SELECT CAST(SUM(cb * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(cb AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS shb "
+        + "FROM mb CROSS JOIN nr) "
+        + "SELECT n, "
+        + "CAST(CAST(floor(CAST(smi AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS mi, "
+        + "CAST(CAST(floor(CAST(sha AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS h_a, "
+        + "CAST(CAST(floor(CAST(shb AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS h_b "
+        + "FROM nr CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"),
+    "q193_assortativity" ->
+      // exact BIGINT degrees over the purchase edge list, DECIMAL
+      // moment sums, the spearman fixed-order correlation program
+      ("WITH e AS (SELECT o_custkey AS s, l_suppkey AS d FROM lineitem "
+        + "JOIN orders ON l_orderkey = o_orderkey), "
+        + "ds AS (SELECT s, COUNT(*) AS ks FROM e GROUP BY 1), "
+        + "dd AS (SELECT d, COUNT(*) AS kd FROM e GROUP BY 1), "
+        + "m AS (SELECT COUNT(*) AS n_edges, CAST(SUM(ks) AS DECIMAL(38,0)) AS sx, "
+        + "CAST(SUM(kd) AS DECIMAL(38,0)) AS sy, CAST(SUM(ks * ks) AS DECIMAL(38,0)) AS sxx, "
+        + "CAST(SUM(kd * kd) AS DECIMAL(38,0)) AS syy, CAST(SUM(ks * kd) AS DECIMAL(38,0)) AS sxy "
+        + "FROM e JOIN ds USING (s) JOIN dd USING (d)) "
+        + "SELECT CAST(n_edges AS BIGINT) AS n_edges, "
+        + "CASE WHEN CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 "
+        + "AND CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN "
+        + "round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        + "(sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+        + "sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS assortativity "
+        + "FROM m"),
     "q187_mann_whitney" ->
       // integer double-ranks over the per-value histogram, BIGINT
       // 2U, the tie-corrected variance as ONE DECIMAL(38,0) ratio,
@@ -6122,10 +6182,10 @@ object Queries {
         + "MIN(cc) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmin, "
         + "MAX(cc) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmax FROM w) "
         + "SELECT event_type, day, "
-        + "CAST(floor(CAST(cc - cmin AS DOUBLE) / CAST(nn AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS s_plus, "
-        + "CAST(floor(CAST(cmax - cc AS DOUBLE) / CAST(nn AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS s_minus, "
-        + "(cc - cmin) > CAST(25.0 AS DECIMAL(15,6)) * CAST(nn AS DECIMAL(12,0)) AS shift_up, "
-        + "(cmax - cc) > CAST(25.0 AS DECIMAL(15,6)) * CAST(nn AS DECIMAL(12,0)) AS shift_down "
+        + "CAST(floor(CAST(cc - least(cmin, 0) AS DOUBLE) / CAST(nn AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS s_plus, "
+        + "CAST(floor(CAST(greatest(cmax, 0) - cc AS DOUBLE) / CAST(nn AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS s_minus, "
+        + "(cc - least(cmin, 0)) > CAST(25.0 AS DECIMAL(15,6)) * CAST(nn AS DECIMAL(12,0)) AS shift_up, "
+        + "(greatest(cmax, 0) - cc) > CAST(25.0 AS DECIMAL(15,6)) * CAST(nn AS DECIMAL(12,0)) AS shift_down "
         + "FROM w2 ORDER BY event_type, day"),
     "q190_ols2" ->
       // DECIMAL(15,6)-quantized daily matrix, nine exact moment sums,

@@ -781,8 +781,9 @@ object Behavior {
    * day breaches a z threshold. Page's statistic with zero slack
    * against the series' own mean: S⁺_t = max(0, S⁺_{t−1} + (x_t−μ)),
    * S⁻ symmetric — computed EXACTLY via the window identity
-   * S⁺_t = C_t − min_{j≤t} C_j (C = prefix sum of deviations), so
-   * the sequential recurrence costs two window passes, not a loop.
+   * S⁺_t = C_t − min_{0≤j≤t} C_j (C = prefix sum of deviations,
+   * C_0 = 0 because Page's S starts at zero), so the sequential
+   * recurrence costs two window passes, not a loop.
    *
    * Exactness: deviations are held on the integer n-scale
    * (n·x_t − Σx in DECIMAL — inputs 6-dp-quantized to DECIMAL(15,6)
@@ -815,8 +816,12 @@ object Behavior {
     val c = dev.withColumn("__c", sum(col("__dev")).over(wr))
       .withColumn("__cmin", min(col("__c")).over(wr))
       .withColumn("__cmax", max(col("__c")).over(wr))
-    val spn = col("__c") - col("__cmin")
-    val smn = col("__cmax") - col("__c")
+    // Page's prefix extrema include the empty prefix C_0 = 0 (S starts
+    // at zero): a first observation already off the baseline IS a
+    // shift, so the extrema clamp to zero.
+    val zero = lit(0L).cast("decimal(28,6)")
+    val spn = col("__c") - least(col("__cmin"), zero)
+    val smn = greatest(col("__cmax"), zero) - col("__c")
     val hn = lit(h).cast("decimal(15,6)") * col("__n").cast("decimal(12,0)")
     def port(x: Column): Column =
       floor(x.cast("double") / col("__n").cast("double") * 1e6d + 0.5d) /

@@ -566,4 +566,57 @@ object Eval {
             (sqrt(dx) * sqrt(dy)), 6))
           .otherwise(lit(null).cast("double")).as("tau_b")): _*)
   }
+
+  /**
+   * Mutual information between two categorical columns — the
+   * effect-SIZE companion to [[chiSquareIndependence]]'s test
+   * statistic: how many nats does knowing one column save about the
+   * other? Reported beside both marginal entropies, so the caller
+   * can normalize however they like (MI ≤ min(H_a, H_b)).
+   *
+   * Exactness: the [[TextMetrics charEntropy]] micro-nat program —
+   * every probability stays an exact integer ratio, each ln is ONE
+   * fixed-order double over integer casts and portable-floors to
+   * integer micro-nats, the weighted sums are pure BIGINT, and each
+   * output is one double division portable-rounded. Cells where
+   * c·n == ca·cb hit ln(1) = 0 exactly in any engine.
+   * Output: one row (n, mi, h_a, h_b).
+   *
+   * Scale shape: ONE data pass builds the (a, b) cell grid; margins
+   * and the total derive from the grid (vocab² rows, not data rows);
+   * everything after is grid-keyed joins plus 1-row broadcasts.
+   */
+  def mutualInformation(df: DataFrame, colA: String,
+                        colB: String): DataFrame = {
+    val cells = df.where(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("__a"), col(colB).as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ma = cells.groupBy("__a").agg(sum(col("__c")).as("__ca"))
+    val mb = cells.groupBy("__b").agg(sum(col("__c")).as("__cb"))
+    val nr = cells.agg(sum(col("__c")).as("__n"))
+    def lnMicro(x: Column): Column =
+      floor(log(x) * 1e6d + 0.5d).cast("long")
+    def d(c: Column): Column = c.cast("double")
+    val miSum = cells.join(ma, "__a").join(mb, "__b")
+      .crossJoin(broadcast(nr))
+      .select((col("__c") *
+        lnMicro((d(col("__c")) * d(col("__n"))) /
+          (d(col("__ca")) * d(col("__cb"))))).as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("__smi"))
+    def margEntropy(m: DataFrame, cnt: String, out: String): DataFrame =
+      m.crossJoin(broadcast(nr))
+        .select((col(cnt) * lnMicro(d(col("__n")) / d(col(cnt)))).as("__t"))
+        .agg(coalesce(sum(col("__t")), lit(0L)).as(out))
+    def port(s: Column, n: Column): Column =
+      floor(s.cast("double") / n.cast("double") + 0.5d).cast("long")
+        .cast("double") / 1e6d
+    nr.crossJoin(broadcast(miSum))
+      .crossJoin(broadcast(margEntropy(ma, "__ca", "__sha")))
+      .crossJoin(broadcast(margEntropy(mb, "__cb", "__shb")))
+      .select(col("__n").as("n"),
+        port(col("__smi"), col("__n")).as("mi"),
+        port(col("__sha"), col("__n")).as("h_a"),
+        port(col("__shb"), col("__n")).as("h_b"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -219,5 +219,48 @@ object Graph {
         .localCheckpoint()
     }
     pi.select(col("__id").as("state"), round(col("__p"), 6).as("stationary"))
+  }
+
+  /**
+   * Degree assortativity over a (directed or bipartite) edge list —
+   * the one-number graph-health readout beside [[pageRank]]'s
+   * per-node scores: the Pearson correlation, across edges, between
+   * the source's out-degree and the destination's in-degree.
+   * Positive = hubs link to hubs (dense-core risk for sampling);
+   * negative = hub-and-spoke.
+   *
+   * Exactness: degrees are exact BIGINT counts, the five moment sums
+   * accumulate in DECIMAL(38,0) (the [[Eval.spearman]] program), and
+   * the correlation is ONE fixed-order double program rounded 6dp;
+   * degenerate graphs (all equal degrees on either side) emit NULL.
+   * Output: one row (n_edges, assortativity).
+   *
+   * Scale shape: two vocab-bounded degree aggregations from one edge
+   * pass, two degree-keyed joins back to the edges (broadcastable
+   * while the node sets are small, plan-switching to shuffle joins
+   * when they aren't), one map-side-combined moment aggregation. No
+   * pairwise anything.
+   */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e = edges.where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    val ds = e.groupBy("__s").agg(count(lit(1)).as("__ks"))
+    val dd = e.groupBy("__d").agg(count(lit(1)).as("__kd"))
+    val m = e.join(ds, "__s").join(dd, "__d")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("__ks").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__kd").cast("decimal(38,0)")).as("__sy"),
+        sum((col("__ks") * col("__ks")).cast("decimal(38,0)")).as("__sxx"),
+        sum((col("__kd") * col("__kd")).cast("decimal(38,0)")).as("__syy"),
+        sum((col("__ks") * col("__kd")).cast("decimal(38,0)")).as("__sxy"))
+    val nd = col("n_edges").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val num = nd * d("__sxy") - d("__sx") * d("__sy")
+    val vx = nd * d("__sxx") - d("__sx") * d("__sx")
+    val vy = nd * d("__syy") - d("__sy") * d("__sy")
+    m.select(col("n_edges"),
+      when(vx > 0d && vy > 0d, round(num / (sqrt(vx) * sqrt(vy)), 6))
+        .otherwise(lit(null).cast("double")).as("assortativity"))
   }
 }

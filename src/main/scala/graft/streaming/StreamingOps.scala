@@ -1133,4 +1133,65 @@ object StreamingOps {
           FunnelUpdate(key, done.length, done.toSeq)
       }
   }
+
+  /** One emission of [[cusumStream]]: the series' control-chart
+    * position after a micro-batch, plus the cumulative breach counts. */
+  case class CusumUpdate(key: String, n_seen: Long, s_plus: Double,
+                         s_minus: Double, n_up: Long, n_down: Long)
+
+  /**
+   * Streaming CUSUM control chart — the continuous twin of
+   * `Behavior.cusum` in its online posture: the baseline `mu` is a
+   * KNOWN reference (yesterday's fitted mean, an SLO), not re-fit
+   * from the stream, which is exactly how a live control chart runs.
+   * Per key the state is six longs (count, cumulative deviation,
+   * running min/max of the prefix sum, breach counters) in exact
+   * 1e-6 micro-units — bounded regardless of stream length,
+   * RocksDB-backed like any ST8 op.
+   *
+   * Ordered-replay contract (the house twin rule): rows carry a
+   * sequence column and sort within each micro-batch; feed batches in
+   * order. Under that replay the last emission per key equals the
+   * batch operator's final row computed with the same baseline —
+   * every compare happens on exact integers, every reported statistic
+   * is one long-to-double division (StreamingSpec pins it, using data
+   * whose exact mean IS `mu` so the batch side fits the same
+   * baseline). Values and `mu`/`h` quantize to 6 dp (micro-longs);
+   * finer input precision is the caller's rounding decision.
+   */
+  def cusumStream(df: DataFrame, keyCol: String, seqCol: String,
+                  valueCol: String, mu: Double,
+                  h: Double): Dataset[CusumUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val muMicro = math.round(mu * 1e6d)
+    val hMicro = math.round(h * 1e6d)
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(seqCol).cast("long").as("__s"),
+        (col(valueCol).cast("double") * 1e6d).as("__vm"))
+      .where(col("__k").isNotNull && col("__s").isNotNull &&
+        col("__vm").isNotNull)
+      .select(col("__k"), col("__s"),
+        round(col("__vm")).cast("long").as("__v"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long, Long, Long), CusumUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
+          var (n, cum, rmin, rmax, nUp, nDown) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, 0L))
+          rows.toIndexedSeq.sortBy(_._2).foreach { case (_, _, vm) =>
+            n += 1
+            cum += vm - muMicro
+            rmin = math.min(rmin, cum)
+            rmax = math.max(rmax, cum)
+            if (cum - rmin > hMicro) nUp += 1
+            if (rmax - cum > hMicro) nDown += 1
+          }
+          state.update((n, cum, rmin, rmax, nUp, nDown))
+          CusumUpdate(key, n, (cum - rmin).toDouble / 1e6d,
+            (rmax - cum).toDouble / 1e6d, nUp, nDown)
+      }
+  }
 }

@@ -421,9 +421,10 @@ class BehaviorSpec extends SparkTestBase {
   test("cusum: level shift accumulates; flags breach h; flat is zero") {
     val ss = spark
     import ss.implicits._
-    // g1 steps 10 -> 20 at day 4 (mean 15): S+ = 0,0,0,5,10,15 and
-    // S- = 0,5,10,5,0,0; with h = 8 the up-shift flags days 5-6 and
-    // the down-leg flags day 3. g2 constant -> all zeros, no flags.
+    // g1 steps 10 -> 20 at day 4 (mean 15): prefix extrema include
+    // C_0 = 0 (Page's S starts at zero), so S+ = 0,0,0,5,10,15 and
+    // S- = 5,10,15,10,5,0; with h = 8 the up-shift flags days 5-6 and
+    // the down-leg flags days 2-4. g2 constant -> all zeros, no flags.
     val rows = (1 to 6).map(d => ("g1", d, if (d <= 3) 10L else 20L)) ++
       (1 to 4).map(d => ("g2", d, 7L))
     val out = Behavior.cusum(rows.toDF("g", "d", "v"), Seq("g"), "d", "v",
@@ -431,9 +432,11 @@ class BehaviorSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getInt(1)) ->
         ((r.getAs[Double]("s_plus"), r.getAs[Double]("s_minus"),
           r.getBoolean(4), r.getBoolean(5)))).toMap
-    assert(out(("g1", 3)) == ((0.0, 10.0, false, true)))
-    assert(out(("g1", 4)) == ((5.0, 5.0, false, false)))
-    assert(out(("g1", 5)) == ((10.0, 0.0, true, false)))
+    assert(out(("g1", 1)) == ((0.0, 5.0, false, false)))
+    assert(out(("g1", 2)) == ((0.0, 10.0, false, true)))
+    assert(out(("g1", 3)) == ((0.0, 15.0, false, true)))
+    assert(out(("g1", 4)) == ((5.0, 10.0, false, true)))
+    assert(out(("g1", 5)) == ((10.0, 5.0, true, false)))
     assert(out(("g1", 6)) == ((15.0, 0.0, true, false)))
     (1 to 4).foreach { d =>
       assert(out(("g2", d)) == ((0.0, 0.0, false, false)))

@@ -329,4 +329,34 @@ class EvalSpec extends SparkTestBase with Matchers {
     out("g4") shouldBe ((2L, 0L, 0L, None))
     out.size shouldBe 4
   }
+
+  test("mutualInformation: micro-nat programs on a hand grid") {
+    val ss = spark
+    import ss.implicits._
+    // cells (x,p)=2, (x,q)=1, (y,q)=1; n=4; margins x=3,y=1 / p=2,q=2.
+    // micro-nat terms: 2*ln(8/6)=2*287682, 1*ln(4/6)=-405465,
+    // 1*ln(2)=693147 -> smi=863046 -> mi = round(215761.5)/1e6.
+    // H(a): 3*287682 + 1*1386294 -> 0.562335; H(b): ln2 -> 0.693147.
+    val rows = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val out = Eval.mutualInformation(rows, "a", "b").collect()
+    out.length shouldBe 1
+    out(0).getLong(0) shouldBe 4L
+    out(0).getDouble(1) shouldBe 0.215762
+    out(0).getDouble(2) shouldBe 0.562335
+    out(0).getDouble(3) shouldBe 0.693147
+  }
+
+  test("mutualInformation: independent columns score zero") {
+    val ss = spark
+    import ss.implicits._
+    // perfectly independent 2x2 grid: every cell ratio is exactly 1,
+    // ln(1) = 0 in any engine -> mi = 0; H = ln 2 both sides.
+    val rows = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val out = Eval.mutualInformation(rows, "a", "b").collect()(0)
+    out.getDouble(1) shouldBe 0.0
+    out.getDouble(2) shouldBe 0.693147
+    out.getDouble(3) shouldBe 0.693147
+  }
 }

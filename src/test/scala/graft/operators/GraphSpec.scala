@@ -116,4 +116,20 @@ class GraphSpec extends SparkTestBase with Matchers {
     assert(out2("b") == 1.0)
     assert(out2.size == 2)
   }
+
+  test("degreeAssortativity: hand moments; degenerate side is NULL") {
+    val ss = spark
+    import ss.implicits._
+    // edges (a,p),(a,q),(b,p): ks a=2,b=1; kd p=2,q=1 -> pairs
+    // (2,2),(2,1),(1,2): n=3, num=3*8-25=-1, vx=vy=2 -> r=-0.5.
+    val e = Seq(("a", "p"), ("a", "q"), ("b", "p")).toDF("s", "d")
+    val out = Graph.degreeAssortativity(e, "s", "d").collect()(0)
+    assert(out.getLong(0) == 3L)
+    assert(out.getDouble(1) == -0.5)
+    // all source degrees equal -> vx = 0 -> NULL
+    val e2 = Seq(("a", "p"), ("b", "p"), ("c", "q")).toDF("s", "d")
+    val out2 = Graph.degreeAssortativity(e2, "s", "d").collect()(0)
+    assert(out2.getLong(0) == 3L)
+    assert(out2.isNullAt(1))
+  }
 }

@@ -1332,4 +1332,59 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got shouldBe want
     assert(got.values.sum == rows.length - rows.map(_.user_id).distinct.size)
   }
+
+  test("cusumStream: last emission equals the batch control chart " +
+    "under ordered replay, state carries across batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Two series with exact mean 15, so the batch operator (which
+    // fits mu from the data) and the stream (which takes mu as the
+    // known baseline) run the same chart. k1 = the BehaviorSpec step
+    // series; k2 = flat. Rows are REVERSED inside each batch - the
+    // intra-batch seq sort must restore replay order.
+    val rows = (1 to 6).map(d => ("k1", d.toLong,
+        if (d <= 3) 10.0 else 20.0)) ++
+      (1 to 4).map(d => ("k2", d.toLong, 15.0))
+    val input = MemoryStream[(String, Long, Double)]
+    val query = StreamingOps.cusumStream(
+        input.toDF().toDF("k", "d", "v"), "k", "d", "v",
+        mu = 15.0, h = 8.0)
+      .writeStream.format("memory").queryName("t_cusum")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = rows.partition(_._2 <= 3)
+      Seq(b1, b2).foreach { b =>
+        input.addData(b.reverse: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_cusum")
+      .groupBy("key").agg(last("n_seen").as("n"),
+        last("s_plus").as("sp"), last("s_minus").as("sm"),
+        last("n_up").as("nu"), last("n_down").as("nd"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5)))).toMap
+
+    // Batch twin on the same frame: final-day chart position + the
+    // number of flagged days per series (grouped in Scala so "final"
+    // is by day, not by row order).
+    val batchRows = graft.operators.Behavior.cusum(
+        rows.toDF("k", "d", "v"), Seq("k"), "d", "v", h = 8.0)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getBoolean(4), r.getBoolean(5)))
+    val want = batchRows.groupBy(_._1).map { case (k, rs) =>
+      val fin = rs.maxBy(_._2)
+      k -> ((rs.length.toLong, fin._3, fin._4,
+        rs.count(_._5).toLong, rs.count(_._6).toLong))
+    }
+
+    got shouldBe want
+    got("k1") shouldBe ((6L, 15.0, 0.0, 2L, 3L))
+    got("k2") shouldBe ((4L, 0.0, 0.0, 0L, 0L))
+  }
 }
