@@ -14,6 +14,9 @@ object PlanAudit {
     // q192: mutualInformation's 1-row total/term-sum broadcasts (the
     // documented no-collect scalar pattern)
     "q192_mutual_info",
+    // q194: each chi-square pair's margin-grid crossJoin (vocab×vocab,
+    // the q151 shape) + 1-row total broadcast
+    "q194_cramers_v",
     "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
     "q54_knn_join", "q61_gapfill",
     // q75/q76: the per-round centroid set collapses to ONE broadcast row

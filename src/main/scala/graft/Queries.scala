@@ -2675,6 +2675,42 @@ object Queries {
     Graph.degreeAssortativity(edges, "o_custkey", "l_suppkey")
   }
 
+  /** Q194 Cramér's V association matrix over three categorical pairs
+    * of orders (status/priority/order-year): each pair runs the q151
+    * exact chi-square program, normalized into the comparable [0,1]
+    * effect size — the which-columns-are-dependent profiling table. */
+  val q194: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+    Eval.cramersV(o, Seq(
+        ("o_orderstatus", "o_orderpriority"),
+        ("o_orderstatus", "o_year"),
+        ("o_orderpriority", "o_year")))
+      .orderBy("col_a", "col_b")
+  }
+
+  /** Q195 lead–lag cross-correlation over the daily event matrix:
+    * does view volume lead purchase volume (and errors likewise)?
+    * r(x_t, y_{t+lag}) for lag ∈ [−3, 3] per series pair — one
+    * compact self-join, the spearman moment program per lag. */
+  val q195: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("views"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errors"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+      .withColumn("t", datediff(col("day"), lit("2024-01-01").cast("date")))
+    val frame = daily.select(lit("view->purchase").as("pair"), col("t"),
+        col("views").as("x"), col("purchases").as("y"))
+      .unionAll(daily.select(lit("error->purchase").as("pair"), col("t"),
+        col("errors").as("x"), col("purchases").as("y")))
+    Behavior.leadLagCorr(frame, Seq("pair"), "t", "x", "y", maxLag = 3)
+      .orderBy("pair", "lag")
+  }
+
   /** Q156 engagement pulse: per active day, exact DAU, trailing 7-day
     * WAU via a ×7 covered-day fan-out (no range join, no window over
     * users), and the DAU/WAU stickiness ratio. */
@@ -4002,6 +4038,8 @@ object Queries {
     "q191_readability" -> q191,
     "q192_mutual_info" -> q192,
     "q193_assortativity" -> q193,
+    "q194_cramers_v" -> q194,
+    "q195_lead_lag" -> q195,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -6090,6 +6128,54 @@ object Queries {
         + "CAST(SUM(CASE WHEN dd > round(3.0 * md2.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies "
         + "FROM dv JOIN md2 USING (event_type) JOIN sl USING (event_type) "
         + "GROUP BY 1, 3 ORDER BY 1"),
+    "q194_cramers_v" -> (
+      // the q151 exact chi-square program per pair, V as one
+      // fixed-order sqrt over (chi2, n, min-1), portable-rounded
+      Seq(("o_orderstatus", "o_orderpriority"),
+          ("o_orderstatus", "o_year"),
+          ("o_orderpriority", "o_year")).map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, n, chi2, " +
+          "CASE WHEN LEAST(n_rows, n_cols) > 1 AND n > 0 THEN " +
+          "CAST(floor(sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(LEAST(n_rows, n_cols) - 1 AS DOUBLE))) " +
+          "* 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END AS v FROM (" +
+          s"WITH cells AS (SELECT $a AS a, $b AS b, COUNT(*) AS o FROM " +
+          "(SELECT o_orderstatus, o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year FROM orders) GROUP BY 1, 2), " +
+          "rm AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1), " +
+          "cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1), " +
+          "tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells), " +
+          "grid AS (SELECT rm.a, cm.b, rm.r, cm.c FROM rm CROSS JOIN cm), " +
+          "t AS (SELECT g.a, g.b, n, round((CAST(COALESCE(cells.o, 0) AS DOUBLE) " +
+          "- CAST(g.r AS DOUBLE) * g.c / n) * (CAST(COALESCE(cells.o, 0) AS DOUBLE) " +
+          "- CAST(g.r AS DOUBLE) * g.c / n) / (CAST(g.r AS DOUBLE) * g.c / n), 6) AS term " +
+          "FROM grid g LEFT JOIN cells ON g.a = cells.a AND g.b = cells.b CROSS JOIN tot) " +
+          "SELECT COUNT(DISTINCT a) AS n_rows, COUNT(DISTINCT b) AS n_cols, MAX(n) AS n, " +
+          "round(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 4) AS chi2 FROM t)"
+      }.mkString("", " UNION ALL ", " ORDER BY col_a, col_b")),
+    "q195_lead_lag" ->
+      // compact self-join on |dt| <= 3, each aligned pair in exactly
+      // one lag bucket, the spearman moment program per (pair, lag)
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+        + "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views, "
+        + "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors, "
+        + "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases "
+        + "FROM events GROUP BY 1), "
+        + "d2 AS (SELECT date_diff('day', DATE '2024-01-01', day) AS t, views, errors, purchases FROM daily), "
+        + "f AS (SELECT 'view->purchase' AS pair, t, CAST(round(CAST(views AS DOUBLE), 6) AS DECIMAL(15,6)) AS x, "
+        + "CAST(round(CAST(purchases AS DOUBLE), 6) AS DECIMAL(15,6)) AS y FROM d2 "
+        + "UNION ALL SELECT 'error->purchase', t, CAST(round(CAST(errors AS DOUBLE), 6) AS DECIMAL(15,6)), "
+        + "CAST(round(CAST(purchases AS DOUBLE), 6) AS DECIMAL(15,6)) FROM d2), "
+        + "p AS (SELECT l.pair, r.t - l.t AS lag, l.x, r.y FROM f l JOIN f r "
+        + "ON l.pair = r.pair AND r.t - l.t BETWEEN -3 AND 3), "
+        + "m AS (SELECT pair, lag, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, "
+        + "CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx, "
+        + "CAST(SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS syy, "
+        + "CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy "
+        + "FROM p GROUP BY 1, 2) "
+        + "SELECT pair, lag, CAST(n AS BIGINT) AS n, "
+        + "CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN "
+        + "round((CAST(n AS DOUBLE) * sxy - sx * sy) / "
+        + "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS r "
+        + "FROM m ORDER BY pair, lag"),
     "q192_mutual_info" ->
       // one cell-grid pass, margins/total derived from the grid,
       // integer micro-nat lns (portable floor), BIGINT weighted sums,

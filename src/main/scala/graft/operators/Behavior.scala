@@ -832,6 +832,58 @@ object Behavior {
   }
 
   /**
+   * Lead–lag cross-correlation — [[autocorrelation]] widened to TWO
+   * series: Pearson r between x_t and y_{t+lag} for every lag in
+   * [−maxLag, maxLag], the does-X-precede-Y readout (do error spikes
+   * lead purchase dips, does crawl volume lead dedup load?). The
+   * peak lag is the causal-direction hint a same-day correlation
+   * matrix can't give.
+   *
+   * Exactness: one self-join of the compact frame on the group keys
+   * filtered to |Δt| ≤ maxLag (each aligned pair lands in exactly one
+   * lag bucket), the spearman DECIMAL(38,0) moment program over the
+   * 6-dp-quantized values per (group, lag), ONE fixed-order double
+   * correlation rounded 6. Lags with zero variance on either side
+   * emit NULL. Output: `by`* + (lag, n, r).
+   *
+   * Scale shape: the frame must be compact (daily matrices) — the
+   * join fans each row out ≤ 2·maxLag+1 times on the group
+   * partitioning; moments map-side combine. Never feed raw events.
+   */
+  def leadLagCorr(df: DataFrame, by: Seq[String], tCol: String,
+                  xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, "leadLagCorr: maxLag must be >= 0")
+    def q(c: String) = round(col(c).cast("double"), 6).cast("decimal(15,6)")
+    val base = df.where(col(tCol).isNotNull && col(xCol).isNotNull &&
+      col(yCol).isNotNull)
+    val l = base.select((by.map(col) :+ col(tCol).cast("long").as("__tl") :+
+      q(xCol).as("__x")): _*)
+    val r = base.select((by.map(col) :+ col(tCol).cast("long").as("__tr") :+
+      q(yCol).as("__y")): _*)
+    val pairs = l.join(r, by)
+      .where(col("__tr") - col("__tl") >= -maxLag.toLong &&
+        col("__tr") - col("__tl") <= maxLag.toLong)
+      .withColumn("lag", col("__tr") - col("__tl"))
+    val m = pairs.groupBy((by.map(col) :+ col("lag")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).cast("double").as("__sx"),
+        sum(col("__y")).cast("double").as("__sy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,12)")).cast("double")
+          .as("__sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,12)")).cast("double")
+          .as("__syy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,12)")).cast("double")
+          .as("__sxy"))
+    val nd = col("n").cast("double")
+    val num = nd * col("__sxy") - col("__sx") * col("__sy")
+    val vx = nd * col("__sxx") - col("__sx") * col("__sx")
+    val vy = nd * col("__syy") - col("__sy") * col("__sy")
+    m.select((by.map(col) :+ col("lag") :+ col("n") :+
+      when(vx > 0d && vy > 0d, round(num / (sqrt(vx) * sqrt(vy)), 6))
+        .otherwise(lit(null).cast("double")).as("r")): _*)
+  }
+
+  /**
    * Two-regressor OLS per group — [[trendFit]] widened to the
    * smallest genuinely multivariate readout (daily revenue explained
    * by order volume AND buyer reach, attribution beyond "it went

@@ -401,6 +401,37 @@ object Eval {
   }
 
   /**
+   * Cramér's V association matrix — [[chiSquareIndependence]] run
+   * over a list of column pairs and normalized into the comparable
+   * [0, 1] effect size V = √(χ² / (n·(min(r,c)−1))): the
+   * which-columns-are-dependent profiling readout a χ² value alone
+   * (unbounded, dof-dependent) can't rank.
+   *
+   * Exactness: each pair reuses the q151 exact program (full margin
+   * grid, 6-dp terms summed in DECIMAL, 4-dp χ²); V is one fixed-order
+   * double program over the already-deterministic χ² and exact BIGINT
+   * (n, min−1), portable-rounded 6dp. Pairs where either column is
+   * constant (min(r,c) = 1) emit NULL V. Output: one row per pair
+   * (col_a, col_b, n, chi2, v).
+   *
+   * Scale shape: per pair, ONE data pass builds the cell grid and
+   * everything else is grid-bounded (the q151 shape); pairs union.
+   */
+  def cramersV(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "cramersV: need at least one column pair")
+    pairs.map { case (a, b) =>
+      val mind = (least(col("n_rows"), col("n_cols")) - 1).cast("double")
+      chiSquareIndependence(df, a, b)
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+          col("chi2"),
+          when(least(col("n_rows"), col("n_cols")) > 1L && col("n") > 0L,
+            floor(sqrt(col("chi2") /
+              (col("n").cast("double") * mind)) * 1e6d + 0.5d) / 1e6d)
+            .otherwise(lit(null).cast("double")).as("v"))
+    }.reduce(_ unionAll _)
+  }
+
+  /**
    * Spearman rank correlation per group — the monotone-association
    * gate between two scorers (does the cheap heuristic rank documents
    * the way the expensive model does?): Pearson's r computed on

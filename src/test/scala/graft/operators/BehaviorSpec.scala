@@ -462,4 +462,25 @@ class BehaviorSpec extends SparkTestBase {
     assert(out("g1") == ((6L, Some(2.0), Some(3.0), Some(-1.0), Some(1.0))))
     assert(out("g2") == ((3L, None, None, None, None)))
   }
+
+  test("leadLagCorr: shifted series peaks at its lag; tiny lags NULL") {
+    val ss = spark
+    import ss.implicits._
+    // y is x delayed by one step (y_t = x_{t-1}): r = 1 exactly at
+    // lag +1. Hand moments: lag -1 -> 0.5, lag 0 -> -0.821224,
+    // lag +/-2 -> -1 (two points), lag +/-3 -> one point -> NULL.
+    val f = Seq(("g", 1L, 1L, 9L), ("g", 2L, 5L, 1L),
+      ("g", 3L, 2L, 5L), ("g", 4L, 8L, 2L)).toDF("g", "t", "x", "y")
+    val out = Behavior.leadLagCorr(f, Seq("g"), "t", "x", "y", maxLag = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), Option(r.getAs[java.lang.Double]("r"))))).toMap
+    assert(out(1L) == ((3L, Some(1.0))))
+    assert(out(-1L) == ((3L, Some(0.5))))
+    assert(out(0L) == ((4L, Some(-0.821224))))
+    assert(out(2L) == ((2L, Some(-1.0))))
+    assert(out(-2L) == ((2L, Some(-1.0))))
+    assert(out(3L) == ((1L, None)))
+    assert(out(-3L) == ((1L, None)))
+    assert(out.size == 7)
+  }
 }

@@ -359,4 +359,23 @@ class EvalSpec extends SparkTestBase with Matchers {
     out.getDouble(2) shouldBe 0.693147
     out.getDouble(3) shouldBe 0.693147
   }
+
+  test("cramersV: perfect association is 1, independence 0, constant NULL") {
+    val ss = spark
+    import ss.implicits._
+    // a<->b perfectly associated (V = 1); a<->c independent (V = 0);
+    // a<->k constant column (min(r,c) = 1 -> NULL).
+    val rows = Seq(
+      ("x", "p", "u", "k"), ("x", "p", "v", "k"),
+      ("y", "q", "u", "k"), ("y", "q", "v", "k")
+    ).toDF("a", "b", "c", "k")
+    val out = Eval.cramersV(rows, Seq(("a", "b"), ("a", "c"), ("a", "k")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3),
+          Option(r.getAs[java.lang.Double]("v"))))).toMap
+    out(("a", "b")) shouldBe ((4L, 4.0, Some(1.0)))
+    out(("a", "c")) shouldBe ((4L, 0.0, Some(0.0)))
+    out(("a", "k"))._3 shouldBe None
+    out.size shouldBe 3
+  }
 }
