@@ -17,6 +17,9 @@ object PlanAudit {
     // q194: each chi-square pair's margin-grid crossJoin (vocab×vocab,
     // the q151 shape) + 1-row total broadcast
     "q194_cramers_v",
+    // q196: coreset rounds fold a <= k-row selected-set broadcast plus
+    // 1-row seed/argmax broadcasts (the q75 centroid pattern)
+    "q196_coreset",
     "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
     "q54_knn_join", "q61_gapfill",
     // q75/q76: the per-round centroid set collapses to ONE broadcast row

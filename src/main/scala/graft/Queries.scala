@@ -2711,6 +2711,37 @@ object Queries {
       .orderBy("pair", "lag")
   }
 
+  /** Q196 k-center greedy coreset (farthest-point traversal) over the
+    * embeddings table: 8 diversity-sample picks on the exact ×1024
+    * integer grid, each pick's distance = the coverage radius. Every
+    * round is one corpus scan folding the ≤ k-row selected set in-row
+    * (the q75 broadcast pattern) — the oracle replays all 8 rounds as
+    * unrolled CTEs. */
+  val q196: Q = (s, dir) =>
+    Similarity.coresetSelect(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 8)
+      .orderBy("sel_round")
+
+  /** The q196 oracle: Gonzalez's traversal unrolled — per round, the
+    * exact min-distance-to-selected (integer-grid d², MIN over the
+    * selected union) and the (d desc, id asc) argmax. */
+  private def coresetOracle(k: Int): String = {
+    val head = "WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
+      "sel1 AS (SELECT vec_id, q FROM e WHERE vec_id = (SELECT MIN(vec_id) FROM e)), "
+    val rounds = (2 to k).map { r =>
+      s"d$r AS (SELECT e.vec_id, e.q, MIN(list_dot_product(e.q, e.q) - 2.0 * list_dot_product(e.q, s.q) + list_dot_product(s.q, s.q)) AS d " +
+        s"FROM e CROSS JOIN sel${r - 1} s GROUP BY e.vec_id, e.q), " +
+        s"c$r AS (SELECT vec_id, q, d FROM d$r ORDER BY d DESC, vec_id ASC LIMIT 1), " +
+        s"sel$r AS (SELECT vec_id, q FROM sel${r - 1} UNION ALL SELECT vec_id, q FROM c$r), "
+    }.mkString
+    head + rounds.stripSuffix(", ") +
+      " SELECT 1 AS sel_round, vec_id, CAST(NULL AS DOUBLE) AS radius FROM sel1" +
+      (2 to k).map(r =>
+        s" UNION ALL SELECT $r AS sel_round, vec_id, d AS radius FROM c$r")
+        .mkString +
+      " ORDER BY sel_round"
+  }
+
   /** Q156 engagement pulse: per active day, exact DAU, trailing 7-day
     * WAU via a ×7 covered-day fan-out (no range join, no window over
     * users), and the DAU/WAU stickiness ratio. */
@@ -4040,6 +4071,7 @@ object Queries {
     "q193_assortativity" -> q193,
     "q194_cramers_v" -> q194,
     "q195_lead_lag" -> q195,
+    "q196_coreset" -> q196,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -6128,6 +6160,7 @@ object Queries {
         + "CAST(SUM(CASE WHEN dd > round(3.0 * md2.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies "
         + "FROM dv JOIN md2 USING (event_type) JOIN sl USING (event_type) "
         + "GROUP BY 1, 3 ORDER BY 1"),
+    "q196_coreset" -> coresetOracle(8),
     "q194_cramers_v" -> (
       // the q151 exact chi-square program per pair, V as one
       // fixed-order sqrt over (chi2, n, min-1), portable-rounded

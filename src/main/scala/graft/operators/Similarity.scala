@@ -777,4 +777,62 @@ object Similarity {
       .orderBy(col("adc_d2").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /**
+   * k-center greedy coreset selection (Gonzalez 1985 farthest-point
+   * traversal) — the diversity-sampling step a training-data mixer
+   * wants where random sampling oversamples dense clusters: pick the
+   * point farthest from everything picked so far, k times. The
+   * selection sequence doubles as a 2-approximation of the k-center
+   * cover, and each pick's distance is the current coverage radius —
+   * a corpus-diversity curve for free.
+   *
+   * Exactness: vectors ride the ×1024 integer grid ([[quantize]]) so
+   * every d² is an integer-valued double (exact for any summation
+   * order), the min-over-selected fold and the (d², −id) argmax are
+   * exact comparisons (ties to the smaller id), and the seed is the
+   * minimum id. No rounding anywhere — radii replay bit-for-bit.
+   * Output: (sel_round, vec_id, radius) — radius NULL for the seed,
+   * strictly non-increasing after.
+   *
+   * Scale shape: k passes over the corpus, each ONE scan folding a
+   * ≤ k-row broadcast selected-set array in-row (the q75 centroid
+   * pattern) + a 1-row argmax — no pairwise join, no k·n shuffle.
+   * The corpus quantizes once (localCheckpoint) and never reshuffles.
+   */
+  def coresetSelect(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "coresetSelect: k must be >= 1")
+    val q = emb.select(col(idCol).cast("long").as("__id"),
+        quantize(col(vecCol)).as("__q"))
+      .where(col("__id").isNotNull && col("__q").isNotNull)
+      .localCheckpoint()
+    val seed = q.agg(min(col("__id")).as("__sid"))
+    var selected = q.join(broadcast(seed), col("__id") === col("__sid"))
+      .select(lit(1).as("sel_round"), col("__id"), col("__q"),
+        lit(null).cast("double").as("radius"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val selArr = selected
+        .agg(collect_list(col("__q")).as("__sel"))
+      val minD = aggregate(col("__sel"), lit(Double.MaxValue),
+        (acc, sv) => {
+          val d2 = dot(col("__q"), col("__q")) -
+            lit(2.0) * dot(col("__q"), sv) + dot(sv, sv)
+          when(d2 < acc, d2).otherwise(acc)
+        })
+      val scored = q.crossJoin(broadcast(selArr))
+        .select(col("__id"), col("__q"), minD.as("__d"))
+      val best = scored
+        .agg(max(struct(col("__d").as("d"), (-col("__id")).as("nid")))
+          .as("__m"))
+        .select(col("__m.d").as("__bd"), (-col("__m.nid")).as("__bid"))
+      val next = q.join(broadcast(best), col("__id") === col("__bid"))
+        .select(lit(r).as("sel_round"), col("__id"), col("__q"),
+          col("__bd").as("radius"))
+      selected = selected.unionAll(next).localCheckpoint()
+    }
+    selected.select(col("sel_round"), col("__id").as("vec_id"),
+      col("radius"))
+  }
 }

@@ -661,4 +661,24 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     assert(out((1L, 2L)) == ((2L, 42L))) // 44 words -> 42 shingles
     assert(out((1L, 4L)) == ((2L, 2L)))
   }
+
+  test("coresetSelect: farthest-point order, radii, min-id tie-break") {
+    val ss = spark
+    import ss.implicits._
+    // 1-D grid points v/1024 quantize exactly to v: ids 1..4 at
+    // v = 0, 10, 3, 7. Seed = min id (v=0); round 2 picks v=10
+    // (d2=100); round 3 ties v=3 (min(9,49)=9) with v=7 (min(49,9)=9)
+    // -> the smaller id (3) wins; round 4 takes v=7 at radius 9.
+    val e = Seq((1L, 0L), (2L, 10L), (3L, 3L), (4L, 7L))
+      .map { case (id, v) => (id, Array(v.toDouble / 1024.0)) }
+      .toDF("vec_id", "embedding")
+    val out = Similarity.coresetSelect(e, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Double]("radius")))))
+      .toMap
+    assert(out(1) == ((1L, None)))
+    assert(out(2) == ((2L, Some(100.0))))
+    assert(out(3) == ((3L, Some(9.0))))
+    assert(out(4) == ((4L, Some(9.0))))
+  }
 }
