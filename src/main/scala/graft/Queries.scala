@@ -2722,6 +2722,31 @@ object Queries {
         "embedding", k = 8)
       .orderBy("sel_round")
 
+  /** Q197 EWMA one-step-ahead forecast chart over daily event counts:
+    * α = 1/4 dyadic weights over the 8 strictly-prior days — exact
+    * integer-coefficient DECIMAL numerator, portable-rounded
+    * forecast, spike decided on exact decimals. */
+  val q197: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    Behavior.ewmaChart(daily, Seq("event_type"), "day", "n",
+        window = 8, h = 20.0)
+      .orderBy("event_type", "day")
+  }
+
+  /** Q198 token-mass-weighted doc-length quantiles per lang: the
+    * budget-weighted median/p90 an unweighted quantile misreports —
+    * pure-integer cumulative-weight cuts, no float in the walk. */
+  val q198: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("lang"), col("n_chars"),
+      size(filter(split(lower(trim(col("text"))), " "), t => t =!= ""))
+        .cast("long").as("n_toks"))
+    Relational.weightedQuantiles(d, Seq("lang"), "n_chars", "n_toks",
+        Seq("wp50" -> 50, "wp90" -> 90))
+      .orderBy("lang")
+  }
+
   /** The q196 oracle: Gonzalez's traversal unrolled — per round, the
     * exact min-distance-to-selected (integer-grid d², MIN over the
     * selected union) and the (d desc, id asc) argmax. */
@@ -4072,6 +4097,8 @@ object Queries {
     "q194_cramers_v" -> q194,
     "q195_lead_lag" -> q195,
     "q196_coreset" -> q196,
+    "q197_ewma_chart" -> q197,
+    "q198_weighted_quantiles" -> q198,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -6160,6 +6187,32 @@ object Queries {
         + "CAST(SUM(CASE WHEN dd > round(3.0 * md2.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies "
         + "FROM dv JOIN md2 USING (event_type) JOIN sl USING (event_type) "
         + "GROUP BY 1, 3 ORDER BY 1"),
+    "q197_ewma_chart" ->
+      // 8 strictly-prior lags, exact dyadic integer coefficients
+      // (denominator 4^7), portable-rounded forecast, spike decided
+      // on exact decimals
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+        + "q AS (SELECT event_type, day, CAST(round(CAST(n AS DOUBLE), 6) AS DECIMAL(15,6)) AS x FROM daily), "
+        + "l AS (SELECT event_type, day, x, lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1, lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS x2, lag(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS x3, lag(x, 4) OVER (PARTITION BY event_type ORDER BY day) AS x4, lag(x, 5) OVER (PARTITION BY event_type ORDER BY day) AS x5, lag(x, 6) OVER (PARTITION BY event_type ORDER BY day) AS x6, lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7, lag(x, 8) OVER (PARTITION BY event_type ORDER BY day) AS x8 FROM q), "
+        + "s AS (SELECT event_type, day, x, CAST(CAST(x1 AS DECIMAL(19,6)) * 4096 + CAST(x2 AS DECIMAL(19,6)) * 3072 + CAST(x3 AS DECIMAL(19,6)) * 2304 + CAST(x4 AS DECIMAL(19,6)) * 1728 + CAST(x5 AS DECIMAL(19,6)) * 1296 + CAST(x6 AS DECIMAL(19,6)) * 972 + CAST(x7 AS DECIMAL(19,6)) * 729 + CAST(x8 AS DECIMAL(19,6)) * 2187 AS DECIMAL(32,6)) AS sn FROM l WHERE x8 IS NOT NULL) "
+        + "SELECT event_type, day, CAST(x AS DOUBLE) AS value, "
+        + "CAST(floor(CAST(sn AS DOUBLE) / 16384.0 * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS forecast, "
+        + "abs(CAST(CAST(x AS DECIMAL(19,6)) * 16384 AS DECIMAL(32,6)) - sn) > "
+        + "CAST(CAST(20.0 AS DECIMAL(15,6)) * 16384 AS DECIMAL(32,6)) AS spike "
+        + "FROM s ORDER BY event_type, day"),
+    "q198_weighted_quantiles" ->
+      // per-(lang, value) weight histogram, prefix-sum walk, the
+      // pure-integer 100*cum >= p*W cut
+      ("WITH d AS (SELECT lang, n_chars AS v, "
+        + "CAST(length(list_filter(str_split(lower(trim(text)), ' '), t -> t <> '')) AS BIGINT) AS w "
+        + "FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), "
+        + "h AS (SELECT lang, v, CAST(SUM(w) AS BIGINT) AS w FROM d WHERE w > 0 GROUP BY 1, 2), "
+        + "c AS (SELECT lang, v, SUM(w) OVER (PARTITION BY lang ORDER BY v "
+        + "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), "
+        + "t AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS tw FROM h GROUP BY 1) "
+        + "SELECT c.lang, CAST(MIN(CASE WHEN cum * 100 >= tw * 50 THEN v END) AS DOUBLE) AS wp50, "
+        + "CAST(MIN(CASE WHEN cum * 100 >= tw * 90 THEN v END) AS DOUBLE) AS wp90 "
+        + "FROM c JOIN t USING (lang) GROUP BY 1 ORDER BY 1"),
     "q196_coreset" -> coresetOracle(8),
     "q194_cramers_v" -> (
       // the q151 exact chi-square program per pair, V as one

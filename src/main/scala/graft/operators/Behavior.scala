@@ -884,6 +884,59 @@ object Behavior {
   }
 
   /**
+   * EWMA one-step-ahead forecast chart — the exponentially-weighted
+   * sibling of [[rollingZ]]'s flat window and [[cusum]]'s cumulative
+   * shift: yesterday matters more than last week. With α = 1/4 over
+   * a bounded window W, the weights are EXACT dyadic rationals —
+   * w_k = 3^(k−1)/4^k for the k-th most recent prior value, last
+   * weight 3^(W−1)/4^(W−1), summing to exactly 1 over the common
+   * denominator 4^(W−1) — so the forecast numerator Σ c_k·x_{t−k}
+   * is an exact integer-coefficient DECIMAL program and the spike
+   * decision |x_t·4^(W−1) − S| > h·4^(W−1) compares exact decimals
+   * (no rounded operand in the alarm). The forecast is reported via
+   * ONE double division portable-rounded 6. Strictly-prior window:
+   * the current value never smooths itself. Rows without a full W
+   * prior values emit nothing.
+   * Output: `by`* + (`orderCol`, value-as-double, forecast, spike).
+   *
+   * Scale shape: one window pass (W lags) per group on the compact
+   * frame partitioning — no join, no loop; W ≤ 16 keeps the
+   * coefficients in BIGINT range.
+   */
+  def ewmaChart(df: DataFrame, by: Seq[String], orderCol: String,
+                valueCol: String, window: Int = 8,
+                h: Double = 3.0): DataFrame = {
+    require(window >= 2 && window <= 16,
+      "ewmaChart: window must be in [2, 16]")
+    val q = round(col(valueCol).cast("double"), 6).cast("decimal(15,6)")
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col(orderCol))
+    // c_k for the k-th most recent PRIOR value (k = 1..W):
+    // 3^(k-1)·4^(W-1-k) for k < W, 3^(W-1) for k = W; Σ = 4^(W-1).
+    val denom = math.pow(4d, window - 1).toLong
+    val coef = (1 to window).map { k =>
+      if (k < window)
+        math.pow(3d, k - 1).toLong * math.pow(4d, window - 1 - k).toLong
+      else math.pow(3d, window - 1).toLong
+    }
+    val s = (1 to window).map(k =>
+        lag(q, k).over(w) * lit(coef(k - 1)).cast("decimal(12,0)"))
+      .reduce(_ + _).cast("decimal(32,6)")
+    val full = lag(q, window).over(w).isNotNull
+    val hn = (lit(h).cast("decimal(15,6)") *
+      lit(denom).cast("decimal(12,0)")).cast("decimal(32,6)")
+    val dev = (q * lit(denom).cast("decimal(12,0)")).cast("decimal(32,6)") -
+      col("__s")
+    df.where(col(valueCol).isNotNull)
+      .withColumn("__s", s).withColumn("__full", full)
+      .where(col("__full"))
+      .select((by.map(col) :+ col(orderCol) :+
+        q.cast("double").as("value") :+
+        (floor(col("__s").cast("double") / lit(denom.toDouble) * 1e6d +
+          0.5d) / 1e6d).as("forecast") :+
+        (abs(dev) > hn).as("spike")): _*)
+  }
+
+  /**
    * Two-regressor OLS per group — [[trendFit]] widened to the
    * smallest genuinely multivariate readout (daily revenue explained
    * by order volume AND buyer reach, attribution beyond "it went

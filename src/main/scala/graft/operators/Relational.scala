@@ -672,4 +672,47 @@ object Relational {
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
       .where(col("dist") <= maxDist)
   }
+
+  /**
+   * Weighted exact quantiles — [[exactQuantiles]] where each row
+   * counts `weightCol` times: "the median doc length BY TOKEN MASS",
+   * the budget-weighted readout an unweighted median misreports
+   * whenever size and count disagree (they always do in a corpus).
+   * Type-1 (lower) weighted quantile: the smallest value whose
+   * cumulative weight covers the cut.
+   *
+   * Exactness: the decision is PURE INTEGER — value v is the p-th
+   * percentile iff 100·cumWeight(v) ≥ p·W with exact BIGINT weights,
+   * so quantiles are integer percents by contract and no float ever
+   * enters the walk. Zero/negative weights drop.
+   * Output: `by`* + one double column per requested percentile.
+   *
+   * Scale shape: one per-(group, value) weight histogram (distinct
+   * values, not rows, cross the exchange), one prefix-sum window on
+   * the group partitioning, one min-aggregation — the
+   * [[exactQuantiles]] shape minus the bucket stage (the histogram
+   * IS the bounded frame).
+   */
+  def weightedQuantiles(df: DataFrame, by: Seq[String], valueCol: String,
+                        weightCol: String,
+                        quantiles: Seq[(String, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "weightedQuantiles: need >= 1 quantile")
+    require(quantiles.forall { case (_, p) => p >= 1 && p <= 100 },
+      "weightedQuantiles: percents must be in [1, 100]")
+    val v = col(valueCol)
+    val hist = df.where(v.isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0L)
+      .groupBy((by.map(col) :+ v.as("__v")): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val wc = Window.partitionBy(by.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy(by.map(col): _*).agg(sum(col("__w")).as("__tw"))
+    val cum = hist.withColumn("__cum", sum(col("__w")).over(wc))
+      .join(tot, by)
+    val aggs = quantiles.map { case (name, p) =>
+      min(when(col("__cum") * 100L >= col("__tw") * p.toLong, col("__v")))
+        .cast("double").as(name)
+    }
+    cum.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

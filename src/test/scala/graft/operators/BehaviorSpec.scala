@@ -483,4 +483,23 @@ class BehaviorSpec extends SparkTestBase {
     assert(out(-3L) == ((1L, None)))
     assert(out.size == 7)
   }
+
+  test("ewmaChart: exact dyadic weights, strictly-prior window, spike") {
+    val ss = spark
+    import ss.implicits._
+    // W = 2: forecast_t = (x_{t-1} + 3*x_{t-2})/4. g1 = (4,8,4,16):
+    // t3 -> (8+12)/4 = 5 (|4-5| = 1 <= 2, quiet); t4 -> (4+24)/4 = 7
+    // (|16-7| = 9 > 2, spike). g2 constant -> forecast = value, quiet.
+    val rows = Seq(("g1", 1, 4L), ("g1", 2, 8L), ("g1", 3, 4L),
+      ("g1", 4, 16L)) ++ (1 to 4).map(d => ("g2", d, 5L))
+    val out = Behavior.ewmaChart(rows.toDF("g", "d", "v"), Seq("g"),
+        "d", "v", window = 2, h = 2.0)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(("g1", 3)) == ((4.0, 5.0, false)))
+    assert(out(("g1", 4)) == ((16.0, 7.0, true)))
+    assert(out(("g2", 3)) == ((5.0, 5.0, false)))
+    assert(out(("g2", 4)) == ((5.0, 5.0, false)))
+    assert(out.size == 4) // rows without a full prior window drop
+  }
 }

@@ -440,4 +440,23 @@ class RelationalSpec extends SparkTestBase {
     assert(out(2.0) == 0.0)
     assert(out(3.0) == 1.2247)
   }
+
+  test("weightedQuantiles: weight mass moves the cut; zero weights drop") {
+    val ss = spark
+    import ss.implicits._
+    // g1: (1,w1),(2,w3),(10,w6) -> W=10: p50 lands on 10 (the heavy
+    // value) where the unweighted median is 2; p10 -> 1. g2 equal
+    // weights reduce to the unweighted type-1 quantile. The w=0 row
+    // must not shift g1's total.
+    val rows = Seq(("g1", 1L, 1L), ("g1", 2L, 3L), ("g1", 10L, 6L),
+      ("g1", 99L, 0L),
+      ("g2", 5L, 2L), ("g2", 6L, 2L), ("g2", 7L, 2L))
+      .toDF("g", "v", "w")
+    val out = Relational.weightedQuantiles(rows, Seq("g"), "v", "w",
+        Seq("p10" -> 10, "p50" -> 50))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out("g1") == ((1.0, 10.0)))
+    assert(out("g2") == ((5.0, 6.0)))
+  }
 }
