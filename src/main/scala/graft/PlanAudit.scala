@@ -20,6 +20,10 @@ object PlanAudit {
     // q196: coreset rounds fold a <= k-row selected-set broadcast plus
     // 1-row seed/argmax broadcasts (the q75 centroid pattern)
     "q196_coreset",
+    // q199: CUPED's 1-row pooled-moment broadcast
+    "q199_cuped",
+    // q200: the 1-row corpus-doc-count broadcast feeding idf
+    "q200_sparse_cosine",
     "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
     "q54_knn_join", "q61_gapfill",
     // q75/q76: the per-round centroid set collapses to ONE broadcast row

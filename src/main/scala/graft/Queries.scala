@@ -2747,6 +2747,31 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q199 CUPED variance-reduced A/B readout: post-period purchases
+    * adjusted by the pre-period activity covariate — pooled θ from
+    * one global moment row, adjusted means entirely from group sums
+    * (Deng et al. 2013). The continuous-metric companion to q146. */
+  val q199: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .withColumn("d", datediff(col("ts").cast("date"),
+        lit("2024-01-01").cast("date")))
+    val units = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("d") < 15, 1L).otherwise(0L)).as("pre_events"),
+        sum(when(col("d") >= 15 && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("post_purchases"))
+      .withColumn("variant", col("user_id") % 2 === 1)
+    Eval.cuped(units, "variant", "pre_events", "post_purchases")
+      .orderBy("variant")
+  }
+
+  /** Q200 sparse TF-IDF cosine pairs over documents: the
+    * inverted-index lexical similarity join — candidates ONLY through
+    * shared rare terms (df ≤ 50), integer micro-nat idf, BIGINT
+    * weights, DECIMAL dots/norms, top-20 deterministic. */
+  val q200: Q = (s, dir) =>
+    TextMetrics.sparseCosinePairs(Tables.documents(s, dir), "doc_id",
+      "text", maxDfPpm = 60000L, k = 20)
+
   /** The q196 oracle: Gonzalez's traversal unrolled — per round, the
     * exact min-distance-to-selected (integer-grid d², MIN over the
     * selected union) and the (d desc, id asc) argmax. */
@@ -4099,6 +4124,8 @@ object Queries {
     "q196_coreset" -> q196,
     "q197_ewma_chart" -> q197,
     "q198_weighted_quantiles" -> q198,
+    "q199_cuped" -> q199,
+    "q200_sparse_cosine" -> q200,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -6187,6 +6214,47 @@ object Queries {
         + "CAST(SUM(CASE WHEN dd > round(3.0 * md2.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies "
         + "FROM dv JOIN md2 USING (event_type) JOIN sl USING (event_type) "
         + "GROUP BY 1, 3 ORDER BY 1"),
+    "q199_cuped" ->
+      // per-user pre/post sums, one pooled moment row, theta and
+      // the adjusted means as the engine's fixed-order double
+      // program from group sums, portable-rounded
+      ("WITH u AS (SELECT user_id, "
+        + "CAST(SUM(CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15 THEN 1 ELSE 0 END) AS BIGINT) AS x, "
+        + "CAST(SUM(CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 15 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y, "
+        + "user_id % 2 = 1 AS variant FROM events GROUP BY 1), "
+        + "q AS (SELECT variant, CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(15,6)) AS x, "
+        + "CAST(round(CAST(y AS DOUBLE), 6) AS DECIMAL(15,6)) AS y FROM u), "
+        + "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS gn, CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, "
+        + "CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx, "
+        + "CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy FROM q), "
+        + "v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS DOUBLE) AS vx, CAST(SUM(y) AS DOUBLE) AS vy FROM q GROUP BY 1), "
+        + "f AS (SELECT variant, n, vx, vy, gn, sx, sy, sxx, sxy, "
+        + "CAST(gn AS DOUBLE) * sxx - sx * sx AS vx0, "
+        + "(CAST(gn AS DOUBLE) * sxy - sx * sy) / (CAST(gn AS DOUBLE) * sxx - sx * sx) AS theta FROM v CROSS JOIN g) "
+        + "SELECT variant, n, "
+        + "CAST(floor(vy / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_y, "
+        + "CASE WHEN vx0 > 0 THEN CAST(floor((vy / CAST(n AS DOUBLE) - theta * (vx / CAST(n AS DOUBLE) - sx / CAST(gn AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END AS mean_y_adj, "
+        + "CASE WHEN vx0 > 0 THEN CAST(floor(theta * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END AS theta "
+        + "FROM f ORDER BY variant"),
+    "q200_sparse_cosine" ->
+      // inverted-index join through df<=50 terms only, integer
+      // micro-nat idf, BIGINT weights, DECIMAL(38,0) dots/norms,
+      // one fixed-order cosine, (cosine desc, ids) top-20
+      ("WITH tk AS (SELECT doc_id, unnest(list_filter(str_split(lower(trim(text)), ' '), t -> t <> '')) AS tok "
+        + "FROM documents WHERE text IS NOT NULL), "
+        + "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2), "
+        + "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL), "
+        + "dfr AS (SELECT tok, COUNT(*) AS df FROM tf CROSS JOIN nd GROUP BY 1, nd.n HAVING COUNT(*) <= greatest(2, nd.n * 60000 // 1000000)), "
+        + "w AS (SELECT tok, doc_id, tf * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w "
+        + "FROM tf JOIN dfr USING (tok) CROSS JOIN nd), "
+        + "nrm AS (SELECT doc_id, CAST(SUM(CAST(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS nrm FROM w GROUP BY 1), "
+        + "d AS (SELECT a.doc_id AS ia, b.doc_id AS ib, "
+        + "CAST(SUM(CAST(CAST(a.w AS DECIMAL(19,0)) * CAST(b.w AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dot "
+        + "FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        + "SELECT ia AS id_a, ib AS id_b, "
+        + "round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))), 6) AS cosine "
+        + "FROM d JOIN nrm na ON d.ia = na.doc_id JOIN nrm nb ON d.ib = nb.doc_id "
+        + "ORDER BY cosine DESC, id_a, id_b LIMIT 20"),
     "q197_ewma_chart" ->
       // 8 strictly-prior lags, exact dyadic integer coefficients
       // (denominator 4^7), portable-rounded forecast, spike decided

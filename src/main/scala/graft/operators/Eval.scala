@@ -401,6 +401,59 @@ object Eval {
   }
 
   /**
+   * CUPED variance-reduced experiment readout — [[twoProportionZ]]'s
+   * continuous-metric sibling with the industry-standard adjustment
+   * (Deng et al. 2013): remove the part of the outcome a pre-period
+   * covariate already explains, so the variant comparison needs far
+   * fewer units for the same power. θ = cov(x, y)/var(x) is fitted
+   * POOLED (the standard choice — per-variant θ biases the contrast);
+   * the adjusted mean per variant is ȳ_v − θ·(x̄_v − x̄), computed
+   * entirely from group sums — no per-row adjustment pass.
+   *
+   * Exactness: inputs 6-dp-quantize to DECIMAL(15,6), the four global
+   * moments and per-variant sums accumulate exactly, and θ plus both
+   * means are fixed-order double programs portable-rounded 6 (integer
+   * ratios ARE .5e-6 boundary magnets). Zero covariate variance emits
+   * NULL θ and NULL adjusted means (the unadjusted mean still
+   * reports). Output: one row per variant
+   * (`variantCol`, n, mean_y, mean_y_adj, theta).
+   *
+   * Scale shape: two map-side-combined aggregations over one scan
+   * shape (global moments + per-variant sums) and a 1-row broadcast —
+   * nothing row-scale after the sums.
+   */
+  def cuped(units: DataFrame, variantCol: String, xCol: String,
+            yCol: String): DataFrame = {
+    def q(c: String) = round(col(c).cast("double"), 6).cast("decimal(15,6)")
+    def pr6(x: Column): Column = floor(x * 1e6d + 0.5d) / 1e6d
+    val base = units.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val g = base.agg(count(lit(1)).as("__gn"),
+      sum(q(xCol)).cast("double").as("__sx"),
+      sum(q(yCol)).cast("double").as("__sy"),
+      sum((q(xCol) * q(xCol)).cast("decimal(38,12)")).cast("double")
+        .as("__sxx"),
+      sum((q(xCol) * q(yCol)).cast("decimal(38,12)")).cast("double")
+        .as("__sxy"))
+    val v = base.groupBy(col(variantCol))
+      .agg(count(lit(1)).as("n"),
+        sum(q(xCol)).cast("double").as("__vx"),
+        sum(q(yCol)).cast("double").as("__vy"))
+    val gn = col("__gn").cast("double")
+    val vx0 = gn * col("__sxx") - col("__sx") * col("__sx")
+    val theta = (gn * col("__sxy") - col("__sx") * col("__sy")) / vx0
+    val nd = col("n").cast("double")
+    val my = col("__vy") / nd
+    val madj = my - theta * (col("__vx") / nd - col("__sx") / gn)
+    v.crossJoin(broadcast(g))
+      .select(col(variantCol), col("n"),
+        pr6(my).as("mean_y"),
+        when(vx0 > 0d, pr6(madj)).otherwise(lit(null).cast("double"))
+          .as("mean_y_adj"),
+        when(vx0 > 0d, pr6(theta)).otherwise(lit(null).cast("double"))
+          .as("theta"))
+  }
+
+  /**
    * Cramér's V association matrix — [[chiSquareIndependence]] run
    * over a list of column pairs and normalized into the comparable
    * [0, 1] effect size V = √(χ² / (n·(min(r,c)−1))): the

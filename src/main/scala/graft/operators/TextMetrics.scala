@@ -666,6 +666,81 @@ object TextMetrics {
   }
 
   /**
+   * Sparse TF-IDF cosine pairs — the inverted-index similarity join
+   * the dense-embedding family can't replace: exact lexical cosine
+   * over tf·idf weights, with candidate pairs generated ONLY through
+   * shared rare terms (document frequency ≤ max(2, N·`maxDfPpm`/10⁶) — a RELATIVE cap: an absolute one silently empties as the corpus grows). The df cap is
+   * the classic IR prune doing double duty: it drops stop-terms from
+   * the geometry AND bounds the join fan-out to Σ df² over rare terms
+   * — scale-safe by construction where an all-pairs cosine is not.
+   * Cosine is computed in the pruned term space on BOTH sides (norms
+   * too), so the score is exactly the model it claims.
+   *
+   * Exactness: tf counts are BIGINT, idf portable-floors to integer
+   * micro-nats ONCE per term, weights w = tf·idf_µ stay BIGINT, and
+   * dots/norms accumulate as DECIMAL(38,0) products of (19,0) casts
+   * (never a long×long overflow, never a double route). The cosine
+   * is ONE fixed-order double program rounded 6; top-k orders by
+   * (cosine desc, id_a, id_b). Output: (id_a, id_b, cosine), k rows.
+   *
+   * Scale shape: one tokenize pass → (doc, term) tf aggregation;
+   * vocab-bounded df; the pair join runs term-keyed over the PRUNED
+   * postings (each term fans out df ≤ maxDf rows); norms join back
+   * doc-keyed. No corpus×corpus anything.
+   */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDfPpm: Long = 60000L, k: Int = 20): DataFrame = {
+    require(maxDfPpm >= 1 && maxDfPpm <= 1000000L,
+      "sparseCosinePairs: maxDfPpm must be in [1, 1e6]")
+    require(k >= 1, "sparseCosinePairs: k must be >= 1")
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(filter(split(lower(trim(col(textCol))), " "),
+          t => t =!= "")).as("tok"))
+    val tf = toks.groupBy("__id", "tok").agg(count(lit(1)).as("__tf"))
+    val nd = docs.where(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("__nd"))
+    // Relative cap: df <= max(2, floor(N·ppm/1e6)) — an absolute cap
+    // silently empties as the corpus grows (every term's df scales
+    // with N); the ppm cap keeps the SAME tail of the df distribution
+    // at every scale. Pure integer arithmetic, plan-side (no collect).
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nd))
+      .where(col("__df") <=
+        greatest(lit(2L), (col("__nd") * maxDfPpm) / lit(1000000L)))
+      .select(col("tok"), col("__df"))
+    val w = tf.join(dfreq, "tok").crossJoin(broadcast(nd))
+      .select(col("tok"), col("__id"),
+        (col("__tf") * floor(log(col("__nd").cast("double") /
+          col("__df").cast("double")) * 1e6d + 0.5d).cast("long"))
+          .as("__w"))
+      .localCheckpoint()
+    def p(a: Column, b: Column): Column =
+      (a.cast("decimal(19,0)") * b.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+    val norms = w.groupBy("__id")
+      .agg(sum(p(col("__w"), col("__w"))).as("__nrm"))
+    val l = w.select(col("tok"), col("__id").as("__ia"),
+      col("__w").as("__wa"))
+    val r = w.select(col("tok"), col("__id").as("__ib"),
+      col("__w").as("__wb"))
+    val dots = l.join(r, "tok").where(col("__ia") < col("__ib"))
+      .groupBy("__ia", "__ib")
+      .agg(sum(p(col("__wa"), col("__wb"))).as("__dot"))
+    dots
+      .join(norms.select(col("__id").as("__ia"), col("__nrm").as("__na")),
+        "__ia")
+      .join(norms.select(col("__id").as("__ib"), col("__nrm").as("__nb")),
+        "__ib")
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) *
+            sqrt(col("__nb").cast("double"))), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+      .limit(k)
+  }
+
+  /**
    * Flesch reading-ease per document — the classic sentence-length ×
    * syllable-density readability score the length/punct heuristics
    * ([[qualitySignals]]) don't capture: 206.835 − 1.015·(W/S) −

@@ -378,4 +378,33 @@ class EvalSpec extends SparkTestBase with Matchers {
     out(("a", "k"))._3 shouldBe None
     out.size shouldBe 3
   }
+
+  test("cuped: pooled theta, adjusted means from group sums") {
+    val ss = spark
+    import ss.implicits._
+    // A: (0,0),(2,2); B: (1,2),(3,4). Pooled: vx0=20, theta=1.2,
+    // global x-mean 1.5. A: mean 1.0 -> adj 1.0-1.2*(1.0-1.5)=1.6;
+    // B: mean 3.0 -> adj 3.0-1.2*(2.0-1.5)=2.4. The raw 2.0 gap
+    // shrinks to 0.8 once the covariate explains its share.
+    val rows = Seq((false, 0L, 0L), (false, 2L, 2L),
+      (true, 1L, 2L), (true, 3L, 4L)).toDF("variant", "x", "y")
+    val out = Eval.cuped(rows, "variant", "x", "y")
+      .collect().map(r => r.getBoolean(0) ->
+        ((r.getLong(1), r.getDouble(2),
+          Option(r.getAs[java.lang.Double]("mean_y_adj")),
+          Option(r.getAs[java.lang.Double]("theta"))))).toMap
+    out(false) shouldBe ((2L, 1.0, Some(1.6), Some(1.2)))
+    out(true) shouldBe ((2L, 3.0, Some(2.4), Some(1.2)))
+  }
+
+  test("cuped: zero covariate variance leaves means unadjusted-NULL") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq((false, 5L, 1L), (true, 5L, 3L)).toDF("v", "x", "y")
+    val out = Eval.cuped(rows, "v", "x", "y").collect()
+    out.foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+    out.map(_.getDouble(2)).sorted shouldBe Array(1.0, 3.0)
+  }
 }

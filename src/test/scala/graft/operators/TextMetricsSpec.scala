@@ -422,4 +422,26 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     out(2L) shouldBe ((1L, 1L, 1L, 121.22))
     out.size shouldBe 2
   }
+
+  test("sparseCosinePairs: df cap prunes stop-terms, tf scales weights") {
+    val ss = spark
+    import ss.implicits._
+    // At maxDf=3 apple and banana survive (df=3), cherry is rare.
+    // d1/d2 identical -> cosine 1; d4 is banana with tf=2 -> cosine
+    // 1/sqrt(2) against d1/d2's mixed vectors; d3's cherry mass pulls
+    // its cosine to d1/d2 down to 0.143677; (3,4) share nothing.
+    // At maxDf=2 EVERY shared term is pruned -> no pairs at all.
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "apple banana"),
+      (3L, "apple cherry"), (4L, "banana banana")
+    ).toDF("doc_id", "text")
+    // N = 4: ppm 750000 -> cap max(2, 3) = 3; ppm 500000 -> cap 2.
+    val out = TextMetrics.sparseCosinePairs(docs, "doc_id", "text",
+        maxDfPpm = 750000L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0), (1L, 4L, 0.707107),
+      (2L, 4L, 0.707107), (1L, 3L, 0.143677), (2L, 3L, 0.143677)))
+    assert(TextMetrics.sparseCosinePairs(docs, "doc_id", "text",
+      maxDfPpm = 500000L, k = 10).count() == 0L)
+  }
 }
