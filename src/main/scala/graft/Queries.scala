@@ -2772,6 +2772,14 @@ object Queries {
     TextMetrics.sparseCosinePairs(Tables.documents(s, dir), "doc_id",
       "text", maxDfPpm = 60000L, k = 20)
 
+  /** Q201 source-concentration report per lang: pure-integer HHI ppm
+    * (Σc²·10⁶ div n²) + the inverse-Simpson effective source count —
+    * "is this lang's corpus really diverse, or one crawl wearing
+    * twenty source tags?" */
+  val q201: Q = (s, dir) =>
+    Profile.concentration(Tables.documents(s, dir), Seq("lang"), "source")
+      .orderBy("lang")
+
   /** The q196 oracle: Gonzalez's traversal unrolled — per round, the
     * exact min-distance-to-selected (integer-grid d², MIN over the
     * selected union) and the (d desc, id asc) argmax. */
@@ -4126,6 +4134,7 @@ object Queries {
     "q198_weighted_quantiles" -> q198,
     "q199_cuped" -> q199,
     "q200_sparse_cosine" -> q200,
+    "q201_source_hhi" -> q201,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -6214,6 +6223,16 @@ object Queries {
         + "CAST(SUM(CASE WHEN dd > round(3.0 * md2.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies "
         + "FROM dv JOIN md2 USING (event_type) JOIN sl USING (event_type) "
         + "GROUP BY 1, 3 ORDER BY 1"),
+    "q201_source_hhi" ->
+      // vocab-bounded cell counts, the pure-integer ppm floor
+      // division, one portable-rounded inverse-Simpson division
+      ("WITH cells AS (SELECT lang, source, COUNT(*) AS c FROM documents "
+        + "WHERE source IS NOT NULL GROUP BY 1, 2) "
+        + "SELECT lang, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_cats, "
+        + "CAST(SUM(c * c) AS BIGINT) * 1000000 // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS hhi_ppm, "
+        + "CAST(floor(CAST(CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) AS DOUBLE) / "
+        + "CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS eff_cats "
+        + "FROM cells GROUP BY 1 ORDER BY 1"),
     "q199_cuped" ->
       // per-user pre/post sums, one pooled moment row, theta and
       // the adjusted means as the engine's fixed-order double

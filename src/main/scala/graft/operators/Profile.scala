@@ -275,4 +275,38 @@ object Profile {
           lit(1000000.0)).cast("long").as("exp_ppm"))
       .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
   }
+
+  /**
+   * Categorical concentration report — the Herfindahl–Hirschman index
+   * and its inverse (the "effective number of sources") per group:
+   * the one-line answer to "is this lang's corpus really diverse, or
+   * is it one crawl wearing twenty source tags?". HHI = Σ(cᵢ/n)²;
+   * 1/HHI is the count of equal-weight sources that would concentrate
+   * the same (inverse Simpson) — comparable across groups of any size
+   * where a raw source count is not.
+   *
+   * Exactness: HHI reports as a PURE-INTEGER ppm (Σcᵢ²·10⁶ div n² —
+   * floor division, both operands exact BIGINT; no float touches the
+   * index); the effective count is ONE double division
+   * portable-rounded 6. Output: `by`* +
+   * (n, n_cats, hhi_ppm, eff_cats).
+   *
+   * Scale shape: one (group, category) count aggregation
+   * (vocab-bounded rows cross the exchange), one group roll-up.
+   */
+  def concentration(df: DataFrame, by: Seq[String],
+                    catCol: String): DataFrame = {
+    val cells = df.where(col(catCol).isNotNull)
+      .groupBy((by.map(col) :+ col(catCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    cells.groupBy(by.map(col): _*)
+      .agg(sum(col("__c")).as("n"),
+        count(lit(1)).as("n_cats"),
+        sum(col("__c") * col("__c")).as("__s2"))
+      .select((by.map(col) :+ col("n") :+ col("n_cats") :+
+        expr("(__s2 * 1000000) div (n * n)").as("hhi_ppm") :+
+        (floor((col("n") * col("n")).cast("double") /
+          col("__s2").cast("double") * 1e6d + 0.5d) / 1e6d)
+          .as("eff_cats")): _*)
+  }
 }

@@ -174,4 +174,21 @@ class ProfileSpec extends SparkTestBase with Matchers {
     assert(out(9) == ((1L, 200000L, 45757L, 154243L)))
     assert(out(5) == ((0L, 0L, 79181L, 79181L)))
   }
+
+  test("concentration: integer HHI ppm and inverse-Simpson effective count") {
+    val ss = spark
+    import ss.implicits._
+    // g: a,a,a,b -> HHI = 10/16 = 625000 ppm, eff = 1.6;
+    // h: two equal sources -> 500000 ppm, eff 2.0;
+    // k: one source -> the 1e6 ppm / eff 1.0 pole.
+    val rows = Seq(("g", "a"), ("g", "a"), ("g", "a"), ("g", "b"),
+      ("h", "a"), ("h", "b"), ("k", "z")).toDF("grp", "src")
+    val out = Profile.concentration(rows, Seq("grp"), "src")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Double]("eff_cats")))).toMap
+    assert(out("g") == ((4L, 2L, 625000L, 1.6)))
+    assert(out("h") == ((2L, 2L, 500000L, 2.0)))
+    assert(out("k") == ((1L, 1L, 1000000L, 1.0)))
+  }
 }
