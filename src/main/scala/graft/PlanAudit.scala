@@ -24,6 +24,9 @@ object PlanAudit {
     "q199_cuped",
     // q200: the 1-row corpus-doc-count broadcast feeding idf
     "q200_sparse_cosine",
+    // q202: the 1-row replicate-count / global-moment / rank-cut
+    // broadcasts (no-collect scalar pattern)
+    "q202_bootstrap_ci",
     "q31_knn_pruned", "q35_ann_lsh", "q46_ann_ivf", "q48_incremental_id",
     "q54_knn_join", "q61_gapfill",
     // q75/q76: the per-round centroid set collapses to ONE broadcast row

@@ -2780,6 +2780,18 @@ object Queries {
     Profile.concentration(Tables.documents(s, dir), Seq("lang"), "source")
       .orderBy("lang")
 
+  /** Q202 Poisson-bootstrap CI of mean purchases per user: the
+    * distributed bootstrap — deterministic portable-hash Poisson(1)
+    * replicate counts, DECIMAL replicate means, type-1 per-mille
+    * rank cuts over the 200 sorted means. */
+  val q202: Q = (s, dir) => {
+    val units = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("purchases"))
+    Eval.bootstrapMeanCi(units, "user_id", "purchases", b = 200,
+      confPermille = 950)
+  }
+
   /** The q196 oracle: Gonzalez's traversal unrolled — per round, the
     * exact min-distance-to-selected (integer-grid d², MIN over the
     * selected union) and the (d desc, id asc) argmax. */
@@ -4135,6 +4147,7 @@ object Queries {
     "q199_cuped" -> q199,
     "q200_sparse_cosine" -> q200,
     "q201_source_hhi" -> q201,
+    "q202_bootstrap_ci" -> q202,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -6223,6 +6236,25 @@ object Queries {
         + "CAST(SUM(CASE WHEN dd > round(3.0 * md2.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies "
         + "FROM dv JOIN md2 USING (event_type) JOIN sl USING (event_type) "
         + "GROUP BY 1, 3 ORDER BY 1"),
+    "q202_bootstrap_ci" ->
+      // the portable mid-square hash mod 1e6 against fixed Poisson
+      // ppm thresholds, DECIMAL replicate means, per-mille rank cuts
+      ("WITH u AS (SELECT user_id AS k, CAST(round(CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE), 6) AS DECIMAL(15,6)) AS y "
+        + "FROM events GROUP BY 1), "
+        + "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS DOUBLE) AS sy FROM u), "
+        + "r AS (SELECT k, y, unnest(range(1, 201)) AS b FROM u), "
+        + "h AS (SELECT b, y, ((((k * 131 + b + 1) % 1000000007) * 2654435761) % 1000000007) AS a FROM r), "
+        + "uu AS (SELECT b, y, ((a * a) >> 12) % 1000000 AS uval FROM h), "
+        + "c AS (SELECT b, y, CASE WHEN uval < 367879 THEN 0 WHEN uval < 735759 THEN 1 "
+        + "WHEN uval < 919699 THEN 2 WHEN uval < 981012 THEN 3 WHEN uval < 996340 THEN 4 "
+        + "WHEN uval < 999406 THEN 5 WHEN uval < 999917 THEN 6 ELSE 7 END AS c FROM uu), "
+        + "m AS (SELECT b, CAST(SUM(c) AS BIGINT) AS sc, SUM(CAST(CAST(c AS DECIMAL(12,0)) * y AS DECIMAL(38,6))) AS scy FROM c GROUP BY 1), "
+        + "mm AS (SELECT b, CAST(floor(CAST(scy AS DOUBLE) / CAST(sc AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS m FROM m WHERE sc > 0), "
+        + "rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS r, (SELECT COUNT(*) FROM mm) AS nb FROM mm) "
+        + "SELECT n, CAST(floor(sy / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_y, "
+        + "MIN(CASE WHEN r * 1000 >= 25 * nb THEN m END) AS ci_lo, "
+        + "MIN(CASE WHEN r * 1000 >= 975 * nb THEN m END) AS ci_hi, "
+        + "CAST(MAX(nb) AS BIGINT) AS n_reps FROM rk CROSS JOIN g GROUP BY n, sy"),
     "q201_source_hhi" ->
       // vocab-bounded cell counts, the pure-integer ppm floor
       // division, one portable-rounded inverse-Simpson division

@@ -401,6 +401,82 @@ object Eval {
   }
 
   /**
+   * Poisson-bootstrap confidence interval for a mean — THE
+   * distributed bootstrap (each unit enters replicate b a
+   * Poisson(1)-distributed number of times, so replicates need no
+   * global resample pass and merge map-side): the uncertainty
+   * quantification every corpus metric should ship with before
+   * anyone compares two of them.
+   *
+   * Determinism: replicate counts come from the house portable
+   * mid-square hash of (unit·131 + b) reduced mod 10⁶ and cut
+   * against FIXED integer ppm thresholds of the Poisson(1) CDF —
+   * every engine replays the identical counts; replicate means are
+   * Σc·y/Σc with DECIMAL-exact numerators, portable-rounded 6; the
+   * interval is the type-1 per-mille rank cut over the B sorted
+   * means (rank·1000 ≥ p·B — pure integers). Output: one row
+   * (n, mean_y, ci_lo, ci_hi, n_reps).
+   *
+   * Scale shape: the corpus explodes ×B into (unit, replicate)
+   * rows — the bootstrap's intrinsic cost — then ONE map-side-
+   * combined aggregation to B rows; everything after is B-bounded.
+   */
+  def bootstrapMeanCi(units: DataFrame, keyCol: String, yCol: String,
+                      b: Int = 200, confPermille: Int = 950): DataFrame = {
+    require(b >= 10, "bootstrapMeanCi: need >= 10 replicates")
+    require(confPermille >= 500 && confPermille <= 998,
+      "bootstrapMeanCi: confPermille in [500, 998]")
+    val loP = (1000 - confPermille) / 2
+    val hiP = 1000 - loP
+    def q(c: String) = round(col(c).cast("double"), 6).cast("decimal(15,6)")
+    def pr6(x: Column): Column = floor(x * 1e6d + 0.5d) / 1e6d
+    // Poisson(1) CDF in ppm: P(X <= k) for k = 0..6; 7+ is the tail.
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L,
+      999917L)
+    val base = units.where(col(keyCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).cast("long").as("__k"), q(yCol).as("__y"))
+    val g = base.agg(count(lit(1)).as("n"),
+      sum(col("__y")).cast("double").as("__sy"))
+    val rep = base
+      .select(col("__k"), col("__y"),
+        explode(sequence(lit(1), lit(b))).as("__b"))
+      .withColumn("__a",
+        // inner pmod keeps the multiplicand under 1e9+7 so the
+        // 2654435761 product stays inside BIGINT (ANSI throws on
+        // overflow; key-shifted large ids would cross 2^63 otherwise)
+        pmod(pmod(col("__k") * 131L + col("__b") + 1L,
+          lit(1000000007L)) * 2654435761L, lit(1000000007L)))
+      .withColumn("__u",
+        pmod(shiftright(col("__a") * col("__a"), 12), lit(1000000L)))
+      .withColumn("__c",
+        cdf.zipWithIndex.foldRight(lit(cdf.length.toLong)) {
+          case ((t, i), rest) => when(col("__u") < t, i.toLong)
+            .otherwise(rest)
+        })
+    val means = rep.groupBy("__b")
+      .agg(sum(col("__c")).as("__sc"),
+        sum((col("__c").cast("decimal(12,0)") * col("__y"))
+          .cast("decimal(38,6)")).as("__scy"))
+      .where(col("__sc") > 0L)
+      .select(col("__b"),
+        pr6(col("__scy").cast("double") / col("__sc").cast("double"))
+          .as("__m"))
+    val wr = Window.orderBy(col("__m"), col("__b"))
+    val ranked = means.withColumn("__r", row_number().over(wr))
+      .crossJoin(broadcast(means.agg(count(lit(1)).as("__nb"))))
+    val cut = ranked.agg(
+      min(when(col("__r") * 1000L >= lit(loP.toLong) * col("__nb"),
+        col("__m"))).as("ci_lo"),
+      min(when(col("__r") * 1000L >= lit(hiP.toLong) * col("__nb"),
+        col("__m"))).as("ci_hi"),
+      max(col("__nb")).as("n_reps"))
+    g.crossJoin(broadcast(cut))
+      .select(col("n"),
+        pr6(col("__sy") / col("n").cast("double")).as("mean_y"),
+        col("ci_lo"), col("ci_hi"), col("n_reps"))
+  }
+
+  /**
    * CUPED variance-reduced experiment readout — [[twoProportionZ]]'s
    * continuous-metric sibling with the industry-standard adjustment
    * (Deng et al. 2013): remove the part of the outcome a pre-period

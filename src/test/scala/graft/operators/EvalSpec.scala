@@ -407,4 +407,24 @@ class EvalSpec extends SparkTestBase with Matchers {
     }
     out.map(_.getDouble(2)).sorted shouldBe Array(1.0, 3.0)
   }
+
+  test("bootstrapMeanCi: constant metric pins the interval; replicates " +
+    "are deterministic") {
+    val ss = spark
+    import ss.implicits._
+    // Every replicate of a constant-y corpus has mean exactly y, so
+    // the interval collapses to a point — an exact pin that needs no
+    // hash bookkeeping.
+    val const = (1L to 50L).map(k => (k, 7L)).toDF("k", "y")
+    val c = Eval.bootstrapMeanCi(const, "k", "y", b = 50).collect()(0)
+    assert((c.getLong(0), c.getDouble(1), c.getDouble(2), c.getDouble(3),
+      c.getLong(4)) == ((50L, 7.0, 7.0, 7.0, 50L)))
+    // Varied metric: interval brackets sanely and replays bit-for-bit.
+    val varied = (1L to 80L).map(k => (k, k % 7L)).toDF("k", "y")
+    val r1 = Eval.bootstrapMeanCi(varied, "k", "y", b = 50).collect()(0)
+    val r2 = Eval.bootstrapMeanCi(varied, "k", "y", b = 50).collect()(0)
+    assert(r1 == r2)
+    assert(r1.getDouble(2) <= r1.getDouble(1) &&
+      r1.getDouble(1) <= r1.getDouble(3))
+  }
 }
