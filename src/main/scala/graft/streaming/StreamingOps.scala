@@ -1134,6 +1134,83 @@ object StreamingOps {
       }
   }
 
+  /** One emission of [[trendFitStream]]: the group's running OLS fit
+    * after a micro-batch. */
+  case class TrendUpdate(key: String, n: Long, slope: Option[Double],
+                         intercept: Option[Double], r2: Option[Double])
+
+  /**
+   * Streaming OLS trend — the continuous twin of `Behavior.trendFit`:
+   * per key, the five moment sums live as exact integer micro-scale
+   * state (values 6-dp-quantize to micro-longs; second moments are
+   * BigInt-as-string — unbounded-magnitude-safe, still a fixed FIELD
+   * count per key). Sums COMMUTE, so unlike the chart twins this one
+   * needs no ordered replay and no intra-batch sort: any arrival
+   * order lands on the identical state.
+   *
+   * Each emission replays trendFit's exact program: the micro-sums
+   * convert to scale-6/scale-12 BigDecimals (the same values the
+   * batch DECIMAL sums hold), cast to double the same correctly-
+   * rounded way, and run the identical fixed-order
+   * cov/vx/intercept/r² arithmetic with Spark-round(6) semantics —
+   * the last emission per key equals the batch fit bit for bit
+   * (StreamingSpec pins it). Inputs finer than 6 dp are the caller's
+   * rounding decision (the cusumStream contract).
+   */
+  def trendFitStream(df: DataFrame, keyCol: String, xCol: String,
+                     yCol: String): Dataset[TrendUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        round(col(xCol).cast("double"), 6).as("__x"),
+        round(col(yCol).cast("double"), 6).as("__y"))
+      .where(col("__k").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+      .select(col("__k"),
+        round(col("__x") * 1e6d).cast("long").as("__xm"),
+        round(col("__y") * 1e6d).cast("long").as("__ym"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, String, String, String, String, String),
+        TrendUpdate](GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, String, String, String, String, String)]) =>
+          val prev = state.getOption.getOrElse(
+            (0L, "0", "0", "0", "0", "0"))
+          var n = prev._1
+          var sx = BigInt(prev._2); var sy = BigInt(prev._3)
+          var sxx = BigInt(prev._4); var syy = BigInt(prev._5)
+          var sxy = BigInt(prev._6)
+          rows.foreach { case (_, xm, ym) =>
+            n += 1
+            sx += xm; sy += ym
+            sxx += BigInt(xm) * xm; syy += BigInt(ym) * ym
+            sxy += BigInt(xm) * ym
+          }
+          state.update((n, sx.toString, sy.toString, sxx.toString,
+            syy.toString, sxy.toString))
+          def d6(v: BigInt): Double =
+            new java.math.BigDecimal(v.bigInteger, 6).doubleValue
+          def d12(v: BigInt): Double =
+            new java.math.BigDecimal(v.bigInteger, 12).doubleValue
+          def rnd6(x: Double): Double =
+            java.math.BigDecimal.valueOf(x)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+          val nd = n.toDouble
+          val (sxD, syD) = (d6(sx), d6(sy))
+          val (sxxD, syyD, sxyD) = (d12(sxx), d12(syy), d12(sxy))
+          val cov = nd * sxyD - sxD * syD
+          val vx = nd * sxxD - sxD * sxD
+          val vy = nd * syyD - syD * syD
+          val s = cov / vx
+          TrendUpdate(key, n,
+            if (vx > 0d) Some(rnd6(s)) else None,
+            if (vx > 0d) Some(rnd6((syD - s * sxD) / nd)) else None,
+            if (vx > 0d && vy > 0d) Some(rnd6(cov * cov / (vx * vy)))
+            else None)
+      }
+  }
+
   /** One emission of [[cusumStream]]: the series' control-chart
     * position after a micro-batch, plus the cumulative breach counts. */
   case class CusumUpdate(key: String, n_seen: Long, s_plus: Double,

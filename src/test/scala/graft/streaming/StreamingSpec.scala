@@ -1387,4 +1387,51 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got("k1") shouldBe ((6L, 15.0, 0.0, 2L, 3L))
     got("k2") shouldBe ((4L, 0.0, 0.0, 0L, 0L))
   }
+
+  test("trendFitStream: last emission equals the batch OLS fit, " +
+    "order-independent across shuffled batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // k1: a near-line with one off point (vx, vy > 0); k2: constant y
+    // (slope 0, r2 NULL); k3: constant x (all NULL). Batches arrive
+    // SHUFFLED - moment sums commute, no ordered-replay needed.
+    val rows = Seq(
+      ("k1", 1L, 2L), ("k1", 2L, 4L), ("k1", 3L, 6L), ("k1", 4L, 9L),
+      ("k2", 1L, 5L), ("k2", 2L, 5L), ("k2", 3L, 5L),
+      ("k3", 7L, 1L), ("k3", 7L, 9L))
+    val input = MemoryStream[(String, Long, Long)]
+    val query = StreamingOps.trendFitStream(
+        input.toDF().toDF("k", "x", "y"), "k", "x", "y")
+      .writeStream.format("memory").queryName("t_tf")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(4)
+      Seq(b1.reverse, b2.reverse).foreach { b =>
+        input.addData(b: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_tf")
+      .groupBy("key").agg(last("n").as("n"), last("slope").as("s"),
+        last("intercept").as("i"), last("r2").as("r"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Double]("s")),
+          Option(r.getAs[java.lang.Double]("i")),
+          Option(r.getAs[java.lang.Double]("r"))))).toMap
+
+    val want = graft.operators.Behavior.trendFit(
+        rows.toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Double]("slope")),
+          Option(r.getAs[java.lang.Double]("intercept")),
+          Option(r.getAs[java.lang.Double]("r2"))))).toMap
+
+    got shouldBe want
+    assert(got("k1")._2.isDefined && got("k2")._2 == Some(0.0) &&
+      got("k3")._2.isEmpty)
+  }
 }
