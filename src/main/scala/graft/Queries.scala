@@ -2792,6 +2792,21 @@ object Queries {
       confPermille = 950)
   }
 
+  /** Q203 isotonic calibration of the hashed quality score per lang:
+    * PAV computed loop-free via the minimax identity over the compact
+    * bin table — exact integer interval rationals ordered by the
+    * pure-integer 10^12 key, the non-decreasing remedy to q114's raw
+    * reliability diagram. */
+  val q203: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+        Tables.documents(s, dir), "doc_id", "text", dims = 64,
+        keep = Seq("lang"))
+      .withColumn("__label", col("n_toks") >= 50L)
+    Eval.isotonicCalibration(scored, "score", "__label", binWidth = 2000L,
+        by = Seq("lang"))
+      .orderBy("lang", "bin")
+  }
+
   /** The q196 oracle: Gonzalez's traversal unrolled — per round, the
     * exact min-distance-to-selected (integer-grid d², MIN over the
     * selected union) and the (d desc, id asc) argmax. */
@@ -4148,6 +4163,7 @@ object Queries {
     "q200_sparse_cosine" -> q200,
     "q201_source_hhi" -> q201,
     "q202_bootstrap_ci" -> q202,
+    "q203_isotonic" -> q203,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -6236,6 +6252,34 @@ object Queries {
         + "CAST(SUM(CASE WHEN dd > round(3.0 * md2.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies "
         + "FROM dv JOIN md2 USING (event_type) JOIN sl USING (event_type) "
         + "GROUP BY 1, 3 ORDER BY 1"),
+    "q203_isotonic" ->
+      // q114's score/bin CTEs, then the minimax identity: interval
+      // rationals from prefix sums, ordered by the integer 1e12 key
+      // (12dp ties have equal 6dp outputs), arg_min/arg_max selection
+      ("WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok "
+        + "FROM documents), "
+        + "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(tok) + 1), "
+        + "i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), "
+        + "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), "
+        + "d AS (SELECT doc_id, lang, COUNT(*) AS n_toks, SUM(wt) AS score FROM w GROUP BY 1, 2), "
+        + "b AS (SELECT lang, CAST(floor(score / 2000.0) AS BIGINT) AS bin, "
+        + "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CASE WHEN n_toks >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos "
+        + "FROM d GROUP BY 1, 2), "
+        + "pre AS (SELECT lang, bin, n, n_pos, "
+        + "CAST(SUM(n) OVER (PARTITION BY lang ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw, "
+        + "CAST(SUM(n_pos) OVER (PARTITION BY lang ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs FROM b), "
+        + "pj AS (SELECT lang, bin AS j, cw - n AS wj0, cs - n_pos AS sj0 FROM pre), "
+        + "pk AS (SELECT lang, bin AS k, cw AS wk, cs AS sk FROM pre), "
+        + "pr AS (SELECT pj.lang, j, k, (sk - sj0) * 1000000000000 // (wk - wj0) AS q12, "
+        + "CAST(floor(CAST(sk - sj0 AS DOUBLE) / CAST(wk - wj0 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS v6 "
+        + "FROM pj JOIN pk ON pj.lang = pk.lang AND j <= k), "
+        + "s1 AS (SELECT pre.lang, pre.bin, pre.n, pre.n_pos, pr.j, MIN(q12) AS mq, arg_min(v6, q12) AS mv "
+        + "FROM pre JOIN pr ON pre.lang = pr.lang AND pr.j <= pre.bin AND pr.k >= pre.bin "
+        + "GROUP BY 1, 2, 3, 4, 5) "
+        + "SELECT lang, bin, n, n_pos, arg_max(mv, mq) AS iso_rate "
+        + "FROM s1 GROUP BY 1, 2, 3, 4 ORDER BY lang, bin"),
     "q202_bootstrap_ci" ->
       // the portable mid-square hash mod 1e6 against fixed Poisson
       // ppm thresholds, DECIMAL replicate means, per-mille rank cuts

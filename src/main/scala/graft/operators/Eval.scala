@@ -401,6 +401,74 @@ object Eval {
   }
 
   /**
+   * Isotonic calibration — [[calibrationTable]]'s standard remedy:
+   * the best NON-DECREASING fit of the positive rate over score bins
+   * (pool-adjacent-violators), computed distributed via the minimax
+   * identity ŷ_i = max_{j≤i} min_{k≥i} mean(y[j..k]) instead of the
+   * sequential pooling loop — over the COMPACT bin table the
+   * pairwise form is O(bins³) and bins are ≤ ~64 by construction,
+   * so the loop-free shape wins outright.
+   *
+   * Exactness: interval means are exact integer rationals
+   * (num = Σ positives, den = Σ count from prefix sums); the min/max
+   * selections order by the pure-integer key num·10¹² div den —
+   * rationals equal to 12 dp can tie, but their reported 6-dp values
+   * are then equal too, so any tie pick yields the same output.
+   * The reported fit is one portable-rounded division per interval.
+   * Contract: per-group positive count < 9.2·10⁶ (the ·10¹² key must
+   * stay in BIGINT); wider groups need a smaller key scale.
+   * Output: `by`* + (bin, n, n_pos, iso_rate) — iso_rate
+   * non-decreasing in bin within each group.
+   *
+   * Scale shape: ONE data pass builds the (group, bin) histogram;
+   * everything after is bins-bounded (prefix window, pairwise join,
+   * two argmin/argmax aggregations). The data never re-enters.
+   */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+                          labelCol: String, binWidth: Long,
+                          by: Seq[String] = Nil): DataFrame = {
+    require(binWidth >= 1, "isotonicCalibration: binWidth must be >= 1")
+    val bin = floor(col(scoreCol).cast("long").cast("double") / binWidth)
+      .cast("long")
+    val bins = scored
+      .groupBy((by.map(col) :+ bin.as("__i")): _*)
+      .agg(count(lit(1)).as("__w"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__s"))
+    val wc = Window.partitionBy(by.map(col): _*).orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins
+      .withColumn("__cw", sum(col("__w")).over(wc))
+      .withColumn("__cs", sum(col("__s")).over(wc))
+      .localCheckpoint()
+    val j = pre.select((by.map(col) :+ col("__i").as("__j") :+
+      (col("__cw") - col("__w")).as("__wj0") :+
+      (col("__cs") - col("__s")).as("__sj0")): _*)
+    val k = pre.select((by.map(col) :+ col("__i").as("__kk") :+
+      col("__cw").as("__wk") :+ col("__cs").as("__sk")): _*)
+    val pairs = j.join(k, by).where(col("__j") <= col("__kk"))
+      .withColumn("__num", col("__sk") - col("__sj0"))
+      .withColumn("__den", col("__wk") - col("__wj0"))
+      .withColumn("__q12", expr("__num * 1000000000000 div __den"))
+      .withColumn("__v6",
+        floor(col("__num").cast("double") / col("__den").cast("double") *
+          1e6d + 0.5d) / 1e6d)
+    val idx = pre.select((by.map(col) :+ col("__i") :+ col("__w") :+
+      col("__s")): _*)
+    val stage1 = idx.join(pairs, by)
+      .where(col("__j") <= col("__i") && col("__kk") >= col("__i"))
+      .groupBy((by.map(col) :+ col("__i") :+ col("__w") :+ col("__s") :+
+        col("__j")): _*)
+      .agg(min(col("__q12")).as("__mq"),
+        min_by(col("__v6"), col("__q12")).as("__mv"))
+    stage1
+      .groupBy((by.map(col) :+ col("__i") :+ col("__w") :+
+        col("__s")): _*)
+      .agg(max_by(col("__mv"), col("__mq")).as("iso_rate"))
+      .select((by.map(col) :+ col("__i").as("bin") :+ col("__w").as("n") :+
+        col("__s").as("n_pos") :+ col("iso_rate")): _*)
+  }
+
+  /**
    * Poisson-bootstrap confidence interval for a mean — THE
    * distributed bootstrap (each unit enters replicate b a
    * Poisson(1)-distributed number of times, so replicates need no

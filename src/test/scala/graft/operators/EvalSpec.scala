@@ -427,4 +427,33 @@ class EvalSpec extends SparkTestBase with Matchers {
     assert(r1.getDouble(2) <= r1.getDouble(1) &&
       r1.getDouble(1) <= r1.getDouble(3))
   }
+
+  test("isotonicCalibration: PAV pooling via the minimax identity") {
+    val ss = spark
+    import ss.implicits._
+    // g: bin rates (0.4, 0.2, 0.6), equal weights -> PAV pools the
+    // violator pair to (0.3, 0.3, 0.6). h: already monotone
+    // (0.2, 0.8) -> unchanged. All rates exact rationals.
+    def mk(g: String, score: Long, pos: Int, neg: Int) =
+      (0 until pos).map(_ => (g, score, true)) ++
+        (0 until neg).map(_ => (g, score, false))
+    val rows = (mk("g", 0L, 2, 3) ++ mk("g", 1L, 1, 4) ++
+      mk("g", 2L, 3, 2) ++ mk("h", 0L, 1, 4) ++ mk("h", 1L, 4, 1))
+      .toDF("grp", "score", "label")
+    val out = Eval.isotonicCalibration(rows, "score", "label",
+        binWidth = 1L, by = Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("g", 0L)) == ((5L, 2L, 0.3)))
+    assert(out(("g", 1L)) == ((5L, 1L, 0.3)))
+    assert(out(("g", 2L)) == ((5L, 3L, 0.6)))
+    assert(out(("h", 0L)) == ((5L, 1L, 0.2)))
+    assert(out(("h", 1L)) == ((5L, 4L, 0.8)))
+    // the defining property: non-decreasing within each group
+    Seq("g", "h").foreach { g =>
+      val fits = out.toSeq.filter(_._1._1 == g).sortBy(_._1._2)
+        .map(_._2._3)
+      assert(fits == fits.sorted)
+    }
+  }
 }
