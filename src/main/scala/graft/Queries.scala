@@ -2807,6 +2807,15 @@ object Queries {
       .orderBy("lang", "bin")
   }
 
+  /** Q204 Hill tail-index of the doc-length distribution per lang:
+    * alpha over the top-50 order statistics — the unbounded-variance
+    * warning a mean/p99 pair hides; integer micro-nat excesses,
+    * pure-BIGINT sum, one portable-rounded division. */
+  val q204: Q = (s, dir) =>
+    TextMetrics.hillTailIndex(Tables.documents(s, dir), Seq("lang"),
+        "n_chars", k = 50)
+      .orderBy("lang")
+
   /** The q196 oracle: Gonzalez's traversal unrolled — per round, the
     * exact min-distance-to-selected (integer-grid d², MIN over the
     * selected union) and the (d desc, id asc) argmax. */
@@ -4164,6 +4173,7 @@ object Queries {
     "q201_source_hhi" -> q201,
     "q202_bootstrap_ci" -> q202,
     "q203_isotonic" -> q203,
+    "q204_hill_tail" -> q204,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -6252,6 +6262,22 @@ object Queries {
         + "CAST(SUM(CASE WHEN dd > round(3.0 * md2.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies "
         + "FROM dv JOIN md2 USING (event_type) JOIN sl USING (event_type) "
         + "GROUP BY 1, 3 ORDER BY 1"),
+    "q204_hill_tail" ->
+      // top-(k+1) order statistics (tie order irrelevant to the ln
+      // multiset), portable micro-nat lns, BIGINT excess sum, one
+      // portable-rounded division
+      ("WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents "
+        + "WHERE n_chars IS NOT NULL AND n_chars > 0), "
+        + "r AS (SELECT lang, v, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v DESC) AS rk FROM v), "
+        + "t AS (SELECT lang, rk, CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lnv "
+        + "FROM r WHERE rk <= 51), "
+        + "kth AS (SELECT lang, lnv AS lnk FROM t WHERE rk = 51), "
+        + "n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1), "
+        + "s AS (SELECT t.lang, CAST(SUM(lnv - lnk) AS BIGINT) AS excess "
+        + "FROM t JOIN kth USING (lang) WHERE rk <= 50 GROUP BY 1) "
+        + "SELECT n.lang, n.n, CASE WHEN excess IS NOT NULL AND excess > 0 THEN "
+        + "CAST(floor(50.0 / (CAST(excess AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 END AS alpha "
+        + "FROM n LEFT JOIN s ON n.lang = s.lang ORDER BY n.lang"),
     "q203_isotonic" ->
       // q114's score/bin CTEs, then the minimax identity: interval
       // rationals from prefix sums, ordered by the integer 1e12 key

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -738,6 +739,53 @@ object TextMetrics {
             sqrt(col("__nb").cast("double"))), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
       .limit(k)
+  }
+
+  /**
+   * Hill tail-index estimator per group — the heavy-tail diagnostic
+   * beside [[zipfFit]]'s rank-frequency slope: over the k largest
+   * values, α̂ = k / Σᵢ(ln x₍ᵢ₎ − ln x₍ₖ₊₁₎). α̂ ≤ ~2 means the
+   * length distribution has effectively unbounded variance — the
+   * batch-assembly and shuffle-sizing warning a mean/p99 pair hides.
+   *
+   * Exactness: the top-(k+1) order statistics select by exact
+   * (value desc, then a deterministic tie order that the SUM renders
+   * irrelevant — any k duplicates of a value contribute the same ln
+   * multiset); each ln portable-floors to integer micro-nats ONCE,
+   * the excess sum is pure BIGINT, and α̂ is one portable-rounded
+   * division. Groups with fewer than k+1 positive values emit NULL.
+   * Output: `by`* + (n, alpha).
+   *
+   * Scale shape: one TakeOrdered-shaped per-group top-(k+1) window
+   * over the value histogram... rows with rank > k+1 drop at the
+   * scan-side filter; everything after is k-bounded per group.
+   */
+  def hillTailIndex(df: DataFrame, by: Seq[String], valueCol: String,
+                    k: Int = 50): DataFrame = {
+    require(k >= 2, "hillTailIndex: k must be >= 2")
+    // ties order arbitrarily under row_number — duplicates of a value
+    // are interchangeable, so the top-k ln MULTISET (and the k+1-th
+    // value) is deterministic regardless of which duplicate ranks where
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col("__v").desc)
+    val base = df.where(col(valueCol).isNotNull && col(valueCol) > 0L)
+      .select((by.map(col) :+ col(valueCol).cast("long").as("__v")): _*)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k + 1)
+      .withColumn("__ln",
+        floor(log(col("__v").cast("double")) * 1e6d + 0.5d).cast("long"))
+    val kth = base.where(col("__rk") === k + 1)
+      .select((by.map(col) :+ col("__ln").as("__lnk")): _*)
+    val n = df.where(col(valueCol).isNotNull && col(valueCol) > 0L)
+      .groupBy(by.map(col): _*).agg(count(lit(1)).as("n"))
+    val s = base.where(col("__rk") <= k).join(kth, by)
+      .groupBy(by.map(col): _*)
+      .agg(sum(col("__ln") - col("__lnk")).as("__excess"))
+    n.join(s, by, "left")
+      .select((by.map(col) :+ col("n") :+
+        when(col("__excess").isNotNull && col("__excess") > 0L,
+          floor(lit(k.toDouble) /
+            (col("__excess").cast("double") / 1e6d) * 1e6d + 0.5d) / 1e6d)
+          .otherwise(lit(null).cast("double")).as("alpha")): _*)
   }
 
   /**

@@ -444,4 +444,24 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     assert(TextMetrics.sparseCosinePairs(docs, "doc_id", "text",
       maxDfPpm = 500000L, k = 10).count() == 0L)
   }
+
+  test("hillTailIndex: hand excesses, boundary ties, short group NULL") {
+    val ss = spark
+    import ss.implicits._
+    // g (k=2): top-2 = 1000, 100 over the 3rd value 10 -> excess
+    // micro-nats (ln1000 - ln10) + (ln100 - ln10) = 6907755 ->
+    // alpha = 2/6.907755 = 0.28953. h: duplicates straddle the k+1
+    // boundary — the ln multiset is tie-order-invariant: top-2 of
+    // (8,8,8) over 8 -> excess 0 -> NULL (degenerate, not crash).
+    // s: only 2 positive values < k+1 -> NULL.
+    val rows = Seq(("g", 1000L), ("g", 100L), ("g", 10L), ("g", 1L),
+      ("h", 8L), ("h", 8L), ("h", 8L), ("h", 8L),
+      ("s", 5L), ("s", 9L)).toDF("grp", "v")
+    val out = TextMetrics.hillTailIndex(rows, Seq("grp"), "v", k = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Double]("alpha"))))).toMap
+    assert(out("g") == ((4L, Some(0.28953))))
+    assert(out("h") == ((4L, None)))
+    assert(out("s") == ((2L, None)))
+  }
 }
