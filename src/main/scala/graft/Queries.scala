@@ -2816,6 +2816,16 @@ object Queries {
         "n_chars", k = 50)
       .orderBy("lang")
 
+  /** Q205 EXACT 3-shingle-set similarity join at Jaccard ≥ 3/5 via
+    * prefix filtering (PPJoin family) — the zero-false-negative
+    * complement to q30's probabilistic MinHash banding: every
+    * qualifying pair is guaranteed out, candidates bounded by
+    * rarest-first prefixes. */
+  val q205: Q = (s, dir) =>
+    Dedup.prefixFilterJaccardJoin(Tables.documents(s, dir), "doc_id",
+        "text", tNum = 3, tDen = 5, shingleWidth = 3)
+      .orderBy("d1", "d2")
+
   /** The q196 oracle: Gonzalez's traversal unrolled — per round, the
     * exact min-distance-to-selected (integer-grid d², MIN over the
     * selected union) and the (d desc, id asc) argmax. */
@@ -4174,6 +4184,7 @@ object Queries {
     "q202_bootstrap_ci" -> q202,
     "q203_isotonic" -> q203,
     "q204_hill_tail" -> q204,
+    "q205_setsim_join" -> q205,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7132,6 +7143,21 @@ object Queries {
         + "SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges, "
         + "CAST(n_components AS BIGINT) AS n_components, CAST(largest_component AS BIGINT) AS largest_component, "
         + "CAST(n_triangles AS BIGINT) AS n_triangles, avg_degree FROM agg ORDER BY n_nodes"),
+    "q205_setsim_join" ->
+      // exact all-qualifying-pairs reference: any pair at J ≥ 3/5
+      // shares ≥1 shingle, so the shared-shingle join is a complete
+      // candidate set; same IEEE double division + 0.6 literal (space
+      // join of tokens is injective — tokens cannot contain spaces —
+      // so string-shingle set counts equal the engine's hash counts)
+      ("WITH w AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS ws FROM documents), "
+        + "t AS (SELECT DISTINCT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])) AS sh "
+        + "FROM w WHERE len(ws) >= 3), "
+        + "n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1), "
+        + "i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS i "
+        + "FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        + "SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 6) AS jaccard "
+        + "FROM i JOIN n n1 ON i.d1 = n1.doc_id JOIN n n2 ON i.d2 = n2.doc_id "
+        + "WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= 0.6 ORDER BY d1, d2"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

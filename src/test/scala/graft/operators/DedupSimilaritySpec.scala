@@ -681,4 +681,50 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     assert(out(3) == ((3L, Some(9.0))))
     assert(out(4) == ((4L, Some(9.0))))
   }
+
+  test("prefixFilterJaccardJoin: hand Jaccards incl. the borderline J = 3/5 boundary") {
+    val ss = spark
+    import ss.implicits._
+    // 6-word docs -> 4 distinct 3-shingles each; docs 1/2 share 3 of 5
+    // distinct shingles (J = 3/5, exactly AT the threshold — the
+    // no-false-negative property the MinHash S-curve can't promise);
+    // doc 3 duplicates doc 1 (J = 1); doc 4 is disjoint.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"),
+      (3L, "a b c d e f"),
+      (4L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val out = Dedup.prefixFilterJaccardJoin(docs, "doc_id", "text", 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out((1L, 3L)) == 1.0)
+    assert(out((1L, 2L)) == 0.6)
+    assert(out((2L, 3L)) == 0.6)
+  }
+
+  test("prefixFilterJaccardJoin equals the brute-force exact Jaccard join on sf0.001") {
+    val d = Tables.documents(spark, sf0001)
+    val pp = Dedup.prefixFilterJaccardJoin(d, "doc_id", "text", 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: every pair sharing >= 1 shingle, exact Jaccard
+    val sh = Dedup.shingleHashRows(d, "doc_id", "text", 3)
+    val n = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val brute = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("d1"), col("b.__id").as("d2"))
+      .agg(count(lit(1)).as("__i"))
+      .join(n.select(col("__id").as("d1"), col("__n").as("__n1")), "d1")
+      .join(n.select(col("__id").as("d2"), col("__n").as("__n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("__i").cast("double") /
+          (col("__n1") + col("__n2") - col("__i"))).as("j"))
+      .filter(col("j") >= 3.0 / 5)
+      .select(col("d1"), col("d2"), round(col("j"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pp == brute)
+    assert(pp.nonEmpty)
+  }
 }
