@@ -2826,6 +2826,44 @@ object Queries {
         "text", tNum = 3, tDen = 5, shingleWidth = 3)
       .orderBy("d1", "d2")
 
+  /** Q206 Cohen's kappa per lang between two corpus gates — the
+    * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
+    * chance-corrected label agreement, exact integer 2×2 counts,
+    * one double division. "Do my two quality gates measure the same
+    * thing, or does skew fake their raw agreement?" */
+  val q206: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("lang"))
+    Eval.cohensKappa(
+      scored.withColumn("__r1", col("n_toks") >= 50L)
+        .withColumn("__r2", col("score") >= 0L),
+      "__r1", "__r2", by = Seq("lang"))
+      .orderBy("lang")
+  }
+
+  /** Q207 Fleiss' kappa per lang over R = 5 deterministic synthetic
+    * raters (each votes the length label, hash-flipped with p = 0.2)
+    * — the multi-annotator agreement readout for redundant labeling
+    * passes; per-item positive-vote counts are all the statistic
+    * needs. */
+  val q207: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("lang"))
+    val votes = scored
+      .select(col("doc_id"), col("lang"), (col("n_toks") >= 50L).as("__y"),
+        explode(sequence(lit(0L), lit(4L))).as("__r"))
+      .withColumn("__flip",
+        pmod(pmod(col("doc_id") * 31L + col("__r"), lit(1000000007L)) *
+          2654435761L, lit(1000000007L)) % 10L < 2L)
+      .withColumn("__vote", col("__y") =!= col("__flip"))
+    val perItem = votes.groupBy("doc_id", "lang")
+      .agg(sum(when(col("__vote"), 1L).otherwise(0L)).as("n_pos"))
+    Eval.fleissKappa(perItem, "n_pos", r = 5, by = Seq("lang"))
+      .orderBy("lang")
+  }
+
   /** The q196 oracle: Gonzalez's traversal unrolled — per round, the
     * exact min-distance-to-selected (integer-grid d², MIN over the
     * selected union) and the (d desc, id asc) argmax. */
@@ -4185,6 +4223,8 @@ object Queries {
     "q203_isotonic" -> q203,
     "q204_hill_tail" -> q204,
     "q205_setsim_join" -> q205,
+    "q206_cohens_kappa" -> q206,
+    "q207_fleiss_kappa" -> q207,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7158,6 +7198,45 @@ object Queries {
         + "SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 6) AS jaccard "
         + "FROM i JOIN n n1 ON i.d1 = n1.doc_id JOIN n n2 ON i.d2 = n2.doc_id "
         + "WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= 0.6 ORDER BY d1, d2"),
+    "q206_cohens_kappa" ->
+      // q203's scored-doc CTEs; κ as ONE exact integer numerator and
+      // denominator, one double division — identical op order to the
+      // engine's decimal program
+      ("WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), "
+        + "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), "
+        + "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), "
+        + "d AS (SELECT doc_id, lang, COUNT(*) AS n_toks, SUM(wt) AS score FROM w GROUP BY 1, 2), "
+        + "k AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+        + "CAST(SUM(CASE WHEN n_toks >= 50 AND score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS a, "
+        + "CAST(SUM(CASE WHEN n_toks >= 50 AND score < 0 THEN 1 ELSE 0 END) AS BIGINT) AS b, "
+        + "CAST(SUM(CASE WHEN n_toks < 50 AND score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS c, "
+        + "CAST(SUM(CASE WHEN n_toks < 50 AND score < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM d GROUP BY 1) "
+        + "SELECT lang, n, a, b, c, d, (a + d) * 1000000 // n AS po_micro, "
+        + "CASE WHEN (a + b) * (b + d) + (a + c) * (c + d) <> 0 THEN "
+        + "round(CAST(2 * (a * d - b * c) AS DOUBLE) / "
+        + "CAST((a + b) * (b + d) + (a + c) * (c + d) AS DOUBLE), 6) END AS kappa "
+        + "FROM k ORDER BY lang"),
+    "q207_fleiss_kappa" ->
+      // deterministic hash-flipped synthetic raters; P̄/P̄e from exact
+      // BIGINT sums, the same fixed-order double program as the engine
+      ("WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), "
+        + "d AS (SELECT doc_id, lang, COUNT(*) AS n_toks FROM t WHERE tok <> '' GROUP BY 1, 2), "
+        + "v AS (SELECT doc_id, lang, (n_toks >= 50) AS y, unnest(range(0, 5)) AS r FROM d), "
+        + "f AS (SELECT doc_id, lang, CASE WHEN ((doc_id * 31 + r) % 1000000007 * 2654435761) % 1000000007 % 10 < 2 "
+        + "THEN NOT y ELSE y END AS vote FROM v), "
+        + "p AS (SELECT doc_id, lang, CAST(SUM(CASE WHEN vote THEN 1 ELSE 0 END) AS BIGINT) AS np FROM f GROUP BY 1, 2), "
+        + "g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_items, CAST(SUM(np) AS BIGINT) AS sp, "
+        + "CAST(SUM(5 - np) AS BIGINT) AS sn, CAST(SUM(np * np + (5 - np) * (5 - np) - 5) AS BIGINT) AS spi FROM p GROUP BY 1) "
+        + "SELECT lang, n_items, "
+        + "round(CAST(spi AS DOUBLE) / CAST(n_items * 5 * 4 AS DOUBLE), 6) AS pbar, "
+        + "round(CAST(sp * sp + sn * sn AS DOUBLE) / CAST((n_items * 5) * (n_items * 5) AS DOUBLE), 6) AS pbar_e, "
+        + "CASE WHEN CAST(sp * sp + sn * sn AS DOUBLE) / CAST((n_items * 5) * (n_items * 5) AS DOUBLE) < 1.0 THEN "
+        + "round((CAST(spi AS DOUBLE) / CAST(n_items * 5 * 4 AS DOUBLE) - "
+        + "CAST(sp * sp + sn * sn AS DOUBLE) / CAST((n_items * 5) * (n_items * 5) AS DOUBLE)) / "
+        + "(1.0 - CAST(sp * sp + sn * sn AS DOUBLE) / CAST((n_items * 5) * (n_items * 5) AS DOUBLE)), 6) END AS kappa "
+        + "FROM g ORDER BY lang"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

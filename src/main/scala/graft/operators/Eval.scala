@@ -847,4 +847,90 @@ object Eval {
         port(col("__sha"), col("__n")).as("h_a"),
         port(col("__shb"), col("__n")).as("h_b"))
   }
+
+  /**
+   * Cohen's kappa — chance-corrected agreement between TWO binary
+   * raters (two label sources for the same corpus: a heuristic gate
+   * vs a learned gate, two annotation vendors, model vs human): the
+   * "are these labels the same signal?" readout raw percent-agreement
+   * overstates whenever the base rate is skewed. From the 2×2
+   * contingency counts (a=both-pos, b=1-only, c=2-only, d=both-neg),
+   * κ = 2(ad − bc) / ((a+b)(b+d) + (a+c)(c+d)) — the algebraic
+   * collapse of (p_o − p_e)/(1 − p_e), so one exact integer numerator
+   * and denominator (DECIMAL(38,0) products: BIGINT squares overflow
+   * at ~3·10⁹ rows per group) and ONE double division, 6 dp. Groups
+   * where either rater is constant have denominator 0 → NULL (κ is
+   * undefined there, not 0).
+   *
+   * Output per `by` group: `n`, `a`, `b`, `c`, `d`, `po_micro`
+   * (integer ppm raw agreement), `kappa`.
+   *
+   * Scale shape: ONE map-side-combined aggregation; the exchange
+   * carries four counters per group. Nothing else touches the data.
+   */
+  def cohensKappa(labeled: DataFrame, rater1Col: String, rater2Col: String,
+                  by: Seq[String] = Nil): DataFrame = {
+    val (r1, r2) = (col(rater1Col), col(rater2Col))
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val agg0 = labeled.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        cnt(r1 && r2).as("a"), cnt(r1 && !r2).as("b"),
+        cnt(!r1 && r2).as("c"), cnt(!r1 && !r2).as("d"))
+    val num = dec(lit(2L)) * (dec(col("a")) * dec(col("d")) -
+      dec(col("b")) * dec(col("c")))
+    val den = (dec(col("a") + col("b")) * dec(col("b") + col("d"))) +
+      (dec(col("a") + col("c")) * dec(col("c") + col("d")))
+    agg0.select((by.map(col) :+ col("n") :+ col("a") :+ col("b") :+
+      col("c") :+ col("d") :+
+      expr("(a + d) * 1000000 div n").as("po_micro") :+
+      when(den =!= 0,
+        round(num.cast("double") / den.cast("double"), 6)).as("kappa")): _*)
+  }
+
+  /**
+   * Fleiss' kappa — chance-corrected agreement for R raters per item,
+   * binary categories (R annotation passes, an ensemble of quality
+   * gates, R redundant crowd labels): the multi-rater generalization
+   * of [[cohensKappa]]. Input is the PER-ITEM positive-vote count
+   * `nPosCol` out of exactly `r` raters; the statistic needs nothing
+   * finer. With N items, S_p = Σ n_pos, S_n = Σ (R − n_pos) and
+   * sumPi = Σ (n_pos² + (R−n_pos)² − R):
+   *
+   *   P̄  = sumPi / (N·R·(R−1))       (observed agreement)
+   *   P̄e = (S_p² + S_n²) / (N·R)²    (chance agreement)
+   *   κ  = (P̄ − P̄e) / (1 − P̄e)      (NULL when P̄e = 1: all votes
+   *                                    one category — undefined)
+   *
+   * All sums are exact integers (DECIMAL(38,0) squares); the three
+   * divisions and the final κ are one fixed-order double program
+   * rounded to 6 dp, so engines replay it bit-for-bit.
+   *
+   * Output per `by` group: `n_items`, `pbar`, `pbar_e`, `kappa`.
+   *
+   * Scale shape: ONE map-side-combined aggregation over per-item
+   * counts; the exchange carries three counters per group.
+   */
+  def fleissKappa(votes: DataFrame, nPosCol: String, r: Int,
+                  by: Seq[String] = Nil): DataFrame = {
+    require(r >= 2, "Fleiss' kappa needs >= 2 raters")
+    val np = col(nPosCol)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val agg0 = votes.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n_items"),
+        sum(np).as("__sp"), sum(lit(r.toLong) - np).as("__sn"),
+        sum(dec(np) * dec(np) + dec(lit(r.toLong) - np) *
+          dec(lit(r.toLong) - np) - lit(r.toLong)).as("__spi"))
+    val pbar = col("__spi").cast("double") /
+      (col("n_items") * lit(r.toLong) * lit((r - 1).toLong)).cast("double")
+    val nr2 = dec(col("n_items") * lit(r.toLong)) *
+      dec(col("n_items") * lit(r.toLong))
+    val pbarE = (dec(col("__sp")) * dec(col("__sp")) +
+      dec(col("__sn")) * dec(col("__sn"))).cast("double") /
+      nr2.cast("double")
+    agg0.select((by.map(col) :+ col("n_items") :+
+      round(pbar, 6).as("pbar") :+ round(pbarE, 6).as("pbar_e") :+
+      when(pbarE < 1.0d,
+        round((pbar - pbarE) / (lit(1.0d) - pbarE), 6)).as("kappa")): _*)
+  }
 }

@@ -456,4 +456,50 @@ class EvalSpec extends SparkTestBase with Matchers {
       assert(fits == fits.sorted)
     }
   }
+
+  test("cohensKappa: hand 2x2 counts, symmetric case, undefined-denominator NULL") {
+    val ss = spark
+    import ss.implicits._
+    // a=4, b=1, c=1, d=4: po = 0.8, kappa = 2(16-1)/(5*5+5*5) = 0.6
+    val rows = Seq.fill(4)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(4)((false, false))
+    val out = Eval.cohensKappa(rows.toDF("r1", "r2"), "r1", "r2")
+      .select("n", "a", "b", "c", "d", "po_micro", "kappa").head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4)) == ((10L, 4L, 1L, 1L, 4L)))
+    assert(out.getLong(5) == 800000L)
+    assert(out.getDouble(6) == 0.6)
+    // both raters constant-false: denominator 0 -> kappa NULL, po = 1
+    val deg = Eval.cohensKappa(
+      Seq.fill(3)((false, false)).toDF("r1", "r2"), "r1", "r2")
+      .select("po_micro", "kappa").head()
+    assert(deg.getLong(0) == 1000000L)
+    assert(deg.isNullAt(1))
+  }
+
+  test("fleissKappa: perfect agreement +1, perfect disagreement -1, all-one-category NULL") {
+    val ss = spark
+    import ss.implicits._
+    def k(nps: Seq[Long], r: Int): org.apache.spark.sql.Row =
+      Eval.fleissKappa(nps.toDF("n_pos"), "n_pos", r)
+        .select("n_items", "pbar", "pbar_e", "kappa").head()
+    // R=2: one all-pos item, one all-neg item: pbar=1, pe=0.5, kappa=1
+    val a = k(Seq(2L, 0L), 2)
+    assert(a.getLong(0) == 2L && a.getDouble(1) == 1.0 &&
+      a.getDouble(2) == 0.5 && a.getDouble(3) == 1.0)
+    // R=2: both items split 1/1: pbar=0, pe=0.5, kappa=-1
+    val b = k(Seq(1L, 1L), 2)
+    assert(b.getDouble(1) == 0.0 && b.getDouble(3) == -1.0)
+    // all votes positive: pe=1 -> kappa undefined NULL
+    val c = k(Seq(2L, 2L), 2)
+    assert(c.getDouble(2) == 1.0 && c.isNullAt(3))
+    // R=5 mixed hand case: items np = {5,4,0}: spi=(25+0-5)+(16+1-5)+(0+25-5)=52
+    // pbar=52/60; sp=9, sn=6: pe=(81+36)/225=0.52; kappa=(52/60-0.52)/0.48
+    val d = k(Seq(5L, 4L, 0L), 5)
+    assert(d.getDouble(1) == BigDecimal(52.0 / 60.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(d.getDouble(2) == 0.52)
+    assert(d.getDouble(3) == BigDecimal((52.0 / 60.0 - 0.52) / 0.48)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
