@@ -2864,6 +2864,62 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q208 Bradley–Terry strengths over event types from per-user
+    * engagement comparisons (user prefers A over B when they did A
+    * more): the pairwise-preference model behind RLHF comparison
+    * data, solved by 5 oracle-replayed MM rounds over the 5×5 game
+    * table — corpus cardinality never reaches the solver. */
+  val q208: Q = (s, dir) => {
+    val pu = Tables.events(s, dir).groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("__c"))
+    val pairs = pu.alias("a").join(pu.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("__x"), col("b.event_type").as("__y"),
+        col("a.__c").as("__cx"), col("b.__c").as("__cy"))
+      .filter(col("__cx") =!= col("__cy"))
+    val xy = pairs.groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__cx") > col("__cy"), 1L).otherwise(0L)).as("wx"))
+    val games = xy.select(col("__x").as("i"), col("__y").as("j"),
+        col("n"), col("wx").as("w"))
+      .unionByName(xy.select(col("__y").as("i"), col("__x").as("j"),
+        col("n"), (col("n") - col("wx")).as("w")))
+    Eval.bradleyTerry(games, "i", "j", "n", "w", iters = 5)
+      .orderBy("item")
+  }
+
+  /** The q208 oracle: Hunter's MM rounds unrolled — per round, the
+    * round-12 quantized denominator terms summed in DECIMAL(28,12),
+    * the W/D update, and the sum-1 renormalization, exactly the
+    * engine's program. */
+  private def bradleyTerryOracle(iters: Int): String = {
+    val head = "WITH pu AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2), " +
+      "pp AS (SELECT a.event_type AS x, b.event_type AS y, a.c AS cx, b.c AS cy " +
+      "FROM pu a JOIN pu b ON a.user_id = b.user_id AND a.event_type < b.event_type WHERE a.c <> b.c), " +
+      "xy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN cx > cy THEN 1 ELSE 0 END) AS BIGINT) AS wx FROM pp GROUP BY 1, 2), " +
+      // MATERIALIZED hints: each round references w(r−1) TWICE — the
+      // default inlining re-evaluates the whole upstream chain per
+      // reference, going exponential in rounds (measured: >2 min
+      // inlined, 0.04 s materialized at sf0.01)
+      "g AS MATERIALIZED (SELECT x AS i, y AS j, n, wx AS w FROM xy UNION ALL SELECT y, x, n, n - wx FROM xy), " +
+      "it AS MATERIALIZED (SELECT i AS id, CAST(SUM(w) AS BIGINT) AS n_wins, CAST(SUM(n) AS BIGINT) AS n_games FROM g GROUP BY 1), " +
+      "w0 AS (SELECT id, CAST(1 AS DOUBLE) AS p FROM it), "
+    val rounds = (1 to iters).map { r =>
+      s"d$r AS (SELECT g.i AS id, CAST(SUM(CAST(CASE WHEN wi.p + wj.p > 0.0 " +
+        s"THEN round(CAST(g.n AS DOUBLE) / (wi.p + wj.p), 12) ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE) AS d " +
+        s"FROM g JOIN w${r - 1} wi ON g.i = wi.id JOIN w${r - 1} wj ON g.j = wj.id GROUP BY 1), " +
+        s"r$r AS (SELECT it.id, CASE WHEN d > 0.0 THEN round(CAST(n_wins AS DOUBLE) / d, 12) ELSE CAST(0 AS DOUBLE) END AS rr " +
+        s"FROM it JOIN d$r USING (id)), " +
+        s"s$r AS (SELECT CAST(SUM(CAST(rr AS DECIMAL(28,12))) AS DOUBLE) AS s FROM r$r), " +
+        s"w$r AS MATERIALIZED (SELECT id, CASE WHEN s > 0.0 THEN round(rr / s, 12) ELSE CAST(0 AS DOUBLE) END AS p FROM r$r, s$r), "
+    }.mkString
+    head + rounds.dropRight(2) + " " +
+      s"SELECT it.id AS item, n_wins, n_games, round(p, 6) AS strength " +
+      s"FROM it JOIN w$iters USING (id) ORDER BY item"
+  }
+
   /** The q196 oracle: Gonzalez's traversal unrolled — per round, the
     * exact min-distance-to-selected (integer-grid d², MIN over the
     * selected union) and the (d desc, id asc) argmax. */
@@ -4225,6 +4281,7 @@ object Queries {
     "q205_setsim_join" -> q205,
     "q206_cohens_kappa" -> q206,
     "q207_fleiss_kappa" -> q207,
+    "q208_bradley_terry" -> q208,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7237,6 +7294,7 @@ object Queries {
         + "CAST(sp * sp + sn * sn AS DOUBLE) / CAST((n_items * 5) * (n_items * 5) AS DOUBLE)) / "
         + "(1.0 - CAST(sp * sp + sn * sn AS DOUBLE) / CAST((n_items * 5) * (n_items * 5) AS DOUBLE)), 6) END AS kappa "
         + "FROM g ORDER BY lang"),
+    "q208_bradley_terry" -> bradleyTerryOracle(5),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

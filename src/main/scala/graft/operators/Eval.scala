@@ -911,6 +911,76 @@ object Eval {
    * Scale shape: ONE map-side-combined aggregation over per-item
    * counts; the exchange carries three counters per group.
    */
+  /**
+   * Bradley–Terry preference strengths via Hunter's MM iterations
+   * (Hunter 2004, "MM algorithms for generalized Bradley-Terry
+   * models" — implemented from the published update): the standard
+   * model behind pairwise human-preference data (RLHF comparison
+   * labels, A/B taste tests, model-vs-model win rates). Input is the
+   * DIRECTED game table — one row per ordered pair (item, opponent)
+   * with `n` games played and `w` wins for `item` — which is itself
+   * the output of one aggregation over raw comparisons, so corpus
+   * cardinality never reaches the solver.
+   *
+   * Each MM round replays exactly in any engine (the q179 stationary-
+   * distribution discipline): every intermediate is quantized
+   * round-12, per-item sums accumulate in DECIMAL(28,12) so partition
+   * order cannot perturb a double fold, and the round ends with a
+   * sum-1 normalization. Items that never play stay out (no games, no
+   * row); zero-strength pairs guard the division so an item that
+   * never wins converges to 0 instead of throwing under ANSI.
+   *
+   *   w_i ← W_i / Σ_j n_ij/(w_i + w_j),  then w ← w / Σ w
+   *
+   * Output: (`item`, `n_wins`, `n_games`, `strength`) — strength 6 dp,
+   * summing to ~1.
+   *
+   * Scale shape: the solver state is items-bounded (one row per item,
+   * pairs ≤ items²); each round is two broadcast-sized joins over the
+   * game table. Data-sized work happened upstream in the caller's
+   * aggregation.
+   */
+  def bradleyTerry(games: DataFrame, itemCol: String, oppCol: String,
+                   nCol: String, winsCol: String,
+                   iters: Int = 5): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val g = games.select(col(itemCol).as("__i"), col(oppCol).as("__j"),
+        col(nCol).cast("long").as("__n"),
+        col(winsCol).cast("long").as("__w"))
+      .where(col("__n") > 0L)
+      .localCheckpoint(eager = false)
+    val items = g.groupBy(col("__i").as("__id"))
+      .agg(sum(col("__w")).as("n_wins"), sum(col("__n")).as("n_games"))
+      .localCheckpoint(eager = false)
+    var w = items.select(col("__id"), lit(1.0d).as("__p"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val d = g
+        .join(w.select(col("__id").as("__i"), col("__p").as("__pi")), "__i")
+        .join(w.select(col("__id").as("__j"), col("__p").as("__pj")), "__j")
+        .select(col("__i").as("__id"),
+          when(col("__pi") + col("__pj") > 0.0d,
+            round(col("__n").cast("double") / (col("__pi") + col("__pj")),
+              12)).otherwise(0.0d).cast("decimal(28,12)").as("__t"))
+        .groupBy("__id").agg(sum(col("__t")).cast("double").as("__d"))
+      val raw = items.join(d, "__id")
+        .select(col("__id"),
+          when(col("__d") > 0.0d,
+            round(col("n_wins").cast("double") / col("__d"), 12))
+            .otherwise(0.0d).as("__r"))
+      val s = raw.agg(
+        sum(col("__r").cast("decimal(28,12)")).cast("double").as("__s"))
+      w = raw.crossJoin(broadcast(s))
+        .select(col("__id"),
+          when(col("__s") > 0.0d, round(col("__r") / col("__s"), 12))
+            .otherwise(0.0d).as("__p"))
+        .localCheckpoint()
+    }
+    items.join(w, "__id")
+      .select(col("__id").as("item"), col("n_wins"), col("n_games"),
+        round(col("__p"), 6).as("strength"))
+  }
+
   def fleissKappa(votes: DataFrame, nPosCol: String, r: Int,
                   by: Seq[String] = Nil): DataFrame = {
     require(r >= 2, "Fleiss' kappa needs >= 2 raters")

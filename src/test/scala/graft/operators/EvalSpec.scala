@@ -502,4 +502,27 @@ class EvalSpec extends SparkTestBase with Matchers {
     assert(d.getDouble(3) == BigDecimal((52.0 / 60.0 - 0.52) / 0.48)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("bradleyTerry: 2-item closed form, never-wins item -> 0, strengths sum to 1") {
+    val ss = spark
+    import ss.implicits._
+    // two items: MM converges in one round to W_i / total = 0.8 / 0.2
+    val two = Seq(("A", "B", 10L, 8L), ("B", "A", 10L, 2L))
+      .toDF("i", "j", "n", "w")
+    val out2 = Eval.bradleyTerry(two, "i", "j", "n", "w", iters = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out2("A") == ((8L, 10L, 0.8)))
+    assert(out2("B") == ((2L, 10L, 0.2)))
+    // B never wins a game: its strength pins to 0, others still rank
+    val three = Seq(
+      ("A", "B", 2L, 2L), ("B", "A", 2L, 0L),
+      ("B", "C", 2L, 0L), ("C", "B", 2L, 2L)
+    ).toDF("i", "j", "n", "w")
+    val out3 = Eval.bradleyTerry(three, "i", "j", "n", "w", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out3("B") == 0.0)
+    assert(out3("A") > 0.0 && out3("C") > 0.0)
+    assert(math.abs(out3.values.sum - 1.0) < 1e-6)
+  }
 }
