@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 import graft.codec.Debezium
 import graft.core.{Pipeline, PipelineSpec, Tables}
 import graft.multimodal.Multimodal
-import graft.operators.{Affinity, Behavior, CorpusLM, Dedup, Eval, Graph, Profile, Relational, Sampling, Similarity, Sketch, TextMetrics, Web}
+import graft.operators.{Affinity, Behavior, CorpusLM, Dedup, Eval, Graph, Layout, Profile, Relational, Sampling, Similarity, Sketch, TextMetrics, Web}
 import graft.sources.PromText
 import graft.streaming.StreamingOps
 
@@ -2864,6 +2864,19 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q209 z-order vs lexicographic layout audit over events
+    * (user_id × event day): per-file min/max spans as ppm of the
+    * global span — the write-time file-skipping readout. Z-order
+    * keeps BOTH dimensions prunable; the lex sort smears the
+    * trailing dimension across every file. */
+  val q209: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .withColumn("__day", datediff(col("ts").cast("date"),
+        lit("2024-01-01").cast("date")).cast("long"))
+    Layout.layoutAudit(e, "user_id", "__day", bits = 16, files = 16)
+      .orderBy("layout", "file")
+  }
+
   /** Q208 Bradley–Terry strengths over event types from per-user
     * engagement comparisons (user prefers A over B when they did A
     * more): the pairwise-preference model behind RLHF comparison
@@ -2887,6 +2900,38 @@ object Queries {
         col("n"), (col("n") - col("wx")).as("w")))
     Eval.bradleyTerry(games, "i", "j", "n", "w", iters = 5)
       .orderBy("item")
+  }
+
+  /** The q209 oracle: the same BIGINT grid ranks and Morton
+    * interleave as column arithmetic, quantile_cont file cuts (the
+    * q157 idiom), per-file span ppm via integer div. */
+  private def zorderOracle(bits: Int, files: Int): String = {
+    val two = 1L << bits
+    val inter = (0 until bits).map(i =>
+      s"((bx >> $i) & 1) * ${1L << (2 * i)} + ((by >> $i) & 1) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+    def cuts(key: String) = (1 until files).map(i =>
+      s"quantile_cont(CAST($key AS DOUBLE), CAST($i AS DOUBLE) / $files) AS c$i")
+      .mkString(", ")
+    def fileOf(key: String) = (1 until files).map(i =>
+      s"CASE WHEN CAST($key AS DOUBLE) > c$i THEN 1 ELSE 0 END")
+      .mkString(" + ") + " + 1"
+    def side(l: String, key: String) =
+      s"c_$l AS (SELECT ${cuts(key)} FROM k), " +
+        s"a_$l AS (SELECT ${fileOf(key)} AS file, x, y FROM k CROSS JOIN c_$l), " +
+        s"g_$l AS (SELECT file, CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS fxmin, MAX(x) AS fxmax, " +
+        s"MIN(y) AS fymin, MAX(y) AS fymax FROM a_$l GROUP BY 1), " +
+        s"r_$l AS (SELECT '$l' AS layout, file, n, " +
+        s"CASE WHEN xmax > xmin THEN (fxmax - fxmin) * 1000000 // (xmax - xmin) ELSE 0 END AS x_span_ppm, " +
+        s"CASE WHEN ymax > ymin THEN (fymax - fymin) * 1000000 // (ymax - ymin) ELSE 0 END AS y_span_ppm " +
+        s"FROM g_$l, st)"
+    "WITH b AS (SELECT user_id AS x, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS y FROM events), " +
+      "st AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax FROM b), " +
+      s"k0 AS (SELECT x, y, (x - xmin) * $two // (xmax - xmin + 1) AS bx, " +
+      s"(y - ymin) * $two // (ymax - ymin + 1) AS by FROM b, st), " +
+      s"k AS MATERIALIZED (SELECT x, y, $inter AS zkey, bx * $two + by AS lkey FROM k0), " +
+      side("zorder", "zkey") + ", " + side("lex", "lkey") + " " +
+      "SELECT * FROM (SELECT * FROM r_zorder UNION ALL SELECT * FROM r_lex) ORDER BY layout, file"
   }
 
   /** The q208 oracle: Hunter's MM rounds unrolled — per round, the
@@ -4282,6 +4327,7 @@ object Queries {
     "q206_cohens_kappa" -> q206,
     "q207_fleiss_kappa" -> q207,
     "q208_bradley_terry" -> q208,
+    "q209_zorder_audit" -> q209,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7295,6 +7341,7 @@ object Queries {
         + "(1.0 - CAST(sp * sp + sn * sn AS DOUBLE) / CAST((n_items * 5) * (n_items * 5) AS DOUBLE)), 6) END AS kappa "
         + "FROM g ORDER BY lang"),
     "q208_bradley_terry" -> bradleyTerryOracle(5),
+    "q209_zorder_audit" -> zorderOracle(16, 16),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order
