@@ -2877,6 +2877,29 @@ object Queries {
       .orderBy("layout", "file")
   }
 
+  /** Q210 lognormal fit of doc length per lang: MLE μ/σ in portable
+    * micro-nats plus model-vs-empirical p90 — the capacity-planning
+    * readout (batch assembly, truncation budgets) beside q204's
+    * tail index. */
+  val q210: Q = (s, dir) =>
+    TextMetrics.lognormalFit(Tables.documents(s, dir), Seq("lang"),
+        "n_chars")
+      .orderBy("lang")
+
+  /** Q211 Fano factor of daily event counts per type: var/mean over
+    * the calendar-honest day span (gap days are exact zeros) — ≈1
+    * Poisson-organic, ≫1 bursty replays/backfills, <1 metronome
+    * automation. */
+  val q211: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"))
+      .agg(count(lit(1)).as("n"))
+    Behavior.fanoFactor(daily, Seq("event_type"), "x", "n")
+      .orderBy("event_type")
+  }
+
   /** Q208 Bradley–Terry strengths over event types from per-user
     * engagement comparisons (user prefers A over B when they did A
     * more): the pairwise-preference model behind RLHF comparison
@@ -4328,6 +4351,8 @@ object Queries {
     "q207_fleiss_kappa" -> q207,
     "q208_bradley_terry" -> q208,
     "q209_zorder_audit" -> q209,
+    "q210_lognormal_fit" -> q210,
+    "q211_fano_factor" -> q211,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7342,6 +7367,31 @@ object Queries {
         + "FROM g ORDER BY lang"),
     "q208_bradley_terry" -> bradleyTerryOracle(5),
     "q209_zorder_audit" -> zorderOracle(16, 16),
+    "q210_lognormal_fit" ->
+      // portable micro-nat lns (q204 idiom), decimal moments, the
+      // quantized-mu/sigma exp predictions, quantile_cont p90
+      ("WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents "
+        + "WHERE n_chars IS NOT NULL AND n_chars > 0), "
+        + "l AS (SELECT lang, v, CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lnv FROM v), "
+        + "m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(lnv) AS BIGINT) AS s, "
+        + "CAST(SUM(CAST(lnv AS DECIMAL(38,0)) * lnv) AS DECIMAL(38,0)) AS s2 FROM l GROUP BY 1), "
+        + "q AS (SELECT lang, quantile_cont(CAST(v AS DOUBLE), 0.9) AS p90a FROM v GROUP BY 1), "
+        + "f AS (SELECT lang, n, CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) / 1000000.0 AS mu, "
+        + "round(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)) / n / 1000000.0, 6) AS sigma FROM m) "
+        + "SELECT f.lang, n, mu, sigma, round(exp(mu), 4) AS median_pred, "
+        + "round(exp(mu + 1.281552 * sigma), 4) AS p90_pred, round(p90a, 4) AS p90_actual "
+        + "FROM f JOIN q ON f.lang = q.lang ORDER BY f.lang"),
+    "q211_fano_factor" ->
+      // calendar-honest span: zeros contribute nothing to the sums,
+      // only N needs the span; F = (N*S2 - S^2)/(N*S) exact-integer
+      ("WITH d AS (SELECT event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x, "
+        + "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        + "m AS (SELECT event_type, MAX(x) - MIN(x) + 1 AS n_days, CAST(COUNT(*) AS BIGINT) AS n_active_days, "
+        + "CAST(SUM(n) AS BIGINT) AS total, CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS s2 FROM d GROUP BY 1) "
+        + "SELECT event_type, n_days, n_active_days, total, total * 1000000 // n_days AS mean_micro, "
+        + "CASE WHEN total > 0 THEN round(CAST(CAST(n_days AS DECIMAL(38,0)) * s2 - CAST(total AS DECIMAL(38,0)) * total AS DOUBLE) / "
+        + "CAST(CAST(n_days AS DECIMAL(38,0)) * total AS DOUBLE), 6) END AS fano "
+        + "FROM m ORDER BY event_type"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

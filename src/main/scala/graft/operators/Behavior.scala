@@ -1001,4 +1001,47 @@ object Behavior {
         pr6((b1 * m1y + b2 * m2y) / myy))
         .otherwise(lit(null).cast("double")).as("r2")): _*)
   }
+
+  /**
+   * Fano factor (index of dispersion) of a daily count series per
+   * group — the burstiness gate: F = var/mean over the per-day counts
+   * is 1 for a Poisson arrival process, ≫1 for bursty traffic (bot
+   * storms, replayed feeds, batch backfills wearing organic tags) and
+   * <1 for metronome-regular automation. Input is the (group, day
+   * index, count) daily matrix; days inside the group's [min, max]
+   * span with NO row count as exact zeros (the calendar-honest
+   * denominator — dropping gap days biases F toward 1) WITHOUT
+   * materializing them: zeros contribute nothing to ΣX or ΣX², so
+   * only N needs the span.
+   *
+   * Exact: with N = span days, S = Σn, S2 = Σn² (DECIMAL(38,0)),
+   * F = (N·S2 − S²) / (N·S) — ONE double division over exact integer
+   * operands, 6 dp. Groups with S = 0 emit NULL.
+   *
+   * Output per group: `n_days` (span), `n_active_days`, `total`,
+   * `mean_micro` (integer ppm events/day), `fano`.
+   *
+   * Scale shape: one map-side-combined aggregation over the daily
+   * matrix; four counters per group cross the wire.
+   */
+  def fanoFactor(daily: DataFrame, by: Seq[String], dayCol: String,
+                 nCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = daily
+      .where(col(dayCol).isNotNull && col(nCol).isNotNull)
+      .groupBy(by.map(col): _*)
+      .agg((max(col(dayCol)) - min(col(dayCol)) + 1L).as("n_days"),
+        count(lit(1)).as("n_active_days"),
+        sum(col(nCol)).as("total"),
+        sum(dec(col(nCol)) * dec(col(nCol))).cast("decimal(38,0)")
+          .as("__s2"))
+    val num = dec(col("n_days")) * col("__s2") -
+      dec(col("total")) * dec(col("total"))
+    val den = dec(col("n_days")) * dec(col("total"))
+    m.select((by.map(col) :+ col("n_days") :+ col("n_active_days") :+
+      col("total") :+
+      expr("total * 1000000 div n_days").as("mean_micro") :+
+      when(col("total") > 0L,
+        round(num.cast("double") / den.cast("double"), 6)).as("fano")): _*)
+  }
 }

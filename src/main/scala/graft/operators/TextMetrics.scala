@@ -827,4 +827,56 @@ object TextMetrics {
       .withColumn("flesch",
         floor(score * 1e6d + 0.5d) / 1e6d)
   }
+
+  /**
+   * Lognormal fit of a positive size column per group — the standard
+   * model for document/sequence length distributions, and the
+   * capacity-planning readout (batch assembly, shuffle sizing,
+   * truncation budgets) a mean/p99 pair can't extrapolate from:
+   * μ̂, σ̂ are the MLE moments of ln v, and the fit is judged by
+   * comparing the model's predicted median e^μ and p90 e^(μ+z₀.₉σ)
+   * against the EXACT empirical p90.
+   *
+   * Determinism: each ln v is portable-floored to integer micro-nats
+   * ONCE (the q204 convention — 6-dp rounding absorbs libm last-ulp
+   * drift); moment sums are BIGINT/DECIMAL(38,0); μ is one portable
+   * division, σ one fixed-order sqrt program over exact operands; the
+   * e^x predictions take the ALREADY-QUANTIZED μ/σ as input and round
+   * to 4 dp, so both engines exponentiate identical operands.
+   * z₀.₉ = 1.281552 (the 6-dp quantized normal quantile).
+   *
+   * Output per group: `n`, `mu` (nats, 6 dp), `sigma` (6 dp),
+   * `median_pred`, `p90_pred`, `p90_actual` (4 dp).
+   *
+   * Scale shape: one map-side-combined moment aggregation (three
+   * counters per group) + the shared exact-quantile program for the
+   * empirical p90. Non-positive values drop (ln undefined).
+   */
+  def lognormalFit(df: DataFrame, by: Seq[String],
+                   valueCol: String): DataFrame = {
+    require(by.nonEmpty, "lognormalFit: need at least one group column")
+    val pos = df.where(col(valueCol).isNotNull && col(valueCol) > 0L)
+      .withColumn("__ln",
+        floor(log(col(valueCol).cast("double")) * 1e6d + 0.5d).cast("long"))
+    val m = pos.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__ln")).as("__s"),
+        sum(col("__ln").cast("decimal(38,0)") * col("__ln"))
+          .cast("decimal(38,0)").as("__s2"))
+    val q = Relational.exactQuantiles(pos, by, valueCol,
+      Seq("__p90a" -> 0.9))
+    val mu = floor(col("__s").cast("double") / col("n") + 0.5d)
+      .cast("long") / 1e6d
+    val sigma = round(
+      sqrt((col("n").cast("decimal(38,0)") * col("__s2") -
+        col("__s").cast("decimal(38,0)") * col("__s")).cast("double")) /
+        col("n") / 1e6d, 6)
+    m.join(q, by)
+      .withColumn("mu", mu).withColumn("sigma", sigma)
+      .select((by.map(col) :+ col("n") :+ col("mu") :+ col("sigma") :+
+        round(exp(col("mu")), 4).as("median_pred") :+
+        round(exp(col("mu") + lit(1.281552d) * col("sigma")), 4)
+          .as("p90_pred") :+
+        round(col("__p90a"), 4).as("p90_actual")): _*)
+  }
 }

@@ -502,4 +502,22 @@ class BehaviorSpec extends SparkTestBase {
     assert(out(("g2", 4)) == ((5.0, 5.0, false)))
     assert(out.size == 4) // rows without a full prior window drop
   }
+
+  test("fanoFactor: gap days count as zeros, constant series = 0, zero-total NULL") {
+    val ss = spark
+    import ss.implicits._
+    val daily = Seq(
+      ("bursty", 0L, 3L), ("bursty", 2L, 1L), // span 3, day 1 is a zero
+      ("flat", 0L, 2L), ("flat", 1L, 2L), ("flat", 2L, 2L),
+      ("dead", 5L, 0L)
+    ).toDF("g", "x", "n")
+    val out = Behavior.fanoFactor(daily, Seq("g"), "x", "n")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        Option(r.getAs[java.lang.Double]("fano"))))).toMap
+    // N=3, S=4, S2=10: F = (30-16)/12 = 7/6
+    assert(out("bursty") == ((3L, 2L, 4L, 1333333L, Some(1.166667))))
+    assert(out("flat") == ((3L, 3L, 6L, 2000000L, Some(0.0))))
+    assert(out("dead") == ((1L, 1L, 0L, 0L, None)))
+  }
 }

@@ -464,4 +464,27 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     assert(out("h") == ((4L, None)))
     assert(out("s") == ((2L, None)))
   }
+
+  test("lognormalFit: constant group degenerates exactly; hand two-point moments") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(("c", 2L), ("c", 2L), ("c", 2L), ("m", 1L), ("m", 8L),
+      ("z", 0L)) // non-positive drops; group z vanishes
+      .toDF("g", "v")
+    val out = TextMetrics.lognormalFit(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(out.keySet == Set("c", "m"))
+    // constant 2s: mu = ln 2 (6dp micro-nats), sigma 0, all preds = 2
+    val c = out("c")
+    assert(c == ((3L, 0.693147, 0.0, 2.0, 2.0, 2.0)))
+    // {1, 8}: lnv = {0, 2079442}; mu = floor(2079442/2 + .5)/1e6;
+    // n*s2 - s^2 = 2079442^2 so sigma = mu; p90 = 1 + 0.9*(8-1)
+    val m = out("m")
+    assert(m._1 == 2L && m._2 == 1.039721 && m._3 == 1.039721)
+    assert(m._4 == BigDecimal(math.exp(1.039721))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(m._6 == 7.3)
+  }
 }
