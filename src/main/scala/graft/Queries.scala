@@ -2900,6 +2900,17 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Q212 top principal component of the embedding covariance via
+    * matrix-free power iteration: per-dim mean/variance + unit top
+    * eigenvector + Rayleigh eigenvalue — the anisotropy readout
+    * (is cosine measuring content, or one rogue common direction?).
+    * C is never materialized; each round is one codegen'd dot scan
+    * + one map-combined per-dim aggregation. */
+  val q212: Q = (s, dir) =>
+    Similarity.topComponent(Tables.embeddings(s, dir), "embedding",
+        dims = 64, iters = 5)
+      .orderBy("dim")
+
   /** Q208 Bradley–Terry strengths over event types from per-user
     * engagement comparisons (user prefers A over B when they did A
     * more): the pairwise-preference model behind RLHF comparison
@@ -2955,6 +2966,42 @@ object Queries {
       s"k AS MATERIALIZED (SELECT x, y, $inter AS zkey, bx * $two + by AS lkey FROM k0), " +
       side("zorder", "zkey") + ", " + side("lex", "lkey") + " " +
       "SELECT * FROM (SELECT * FROM r_zorder UNION ALL SELECT * FROM r_lex) ORDER BY layout, file"
+  }
+
+  /** The q212 oracle: the matrix-free power iteration unrolled —
+    * per round one list_dot_product scan (same left-fold contract as
+    * the engine's codegen'd dot), round-12 DECIMAL(38,12) per-dim
+    * sums, the μ·Σs centering identity, list-fold norm, round-12
+    * renormalization; Rayleigh λ from the final (v, w) pair. */
+  private def embedPcaOracle(dims: Int, iters: Int): String = {
+    val d1 = dims + 1
+    val head =
+      s"WITH e AS MATERIALIZED (SELECT list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q " +
+        s"FROM embeddings WHERE len(embedding) = $dims), " +
+        s"st AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS dim, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(CAST(q[i] AS BIGINT)) AS BIGINT) AS sq, " +
+        s"CAST(SUM(CAST(q[i] AS DECIMAL(38,0)) * CAST(q[i] AS BIGINT)) AS DECIMAL(38,0)) AS sq2 " +
+        s"FROM e, unnest(range(1, $d1)) u(i) GROUP BY 1), " +
+        s"mu AS MATERIALIZED (SELECT dim, round(CAST(sq AS DOUBLE) / n, 6) AS mu FROM st), " +
+        s"v0 AS (SELECT dim, CAST(0.125 AS DOUBLE) AS vv FROM mu), "
+    val rounds = (1 to iters).map { r =>
+      s"vl${r - 1} AS (SELECT list(vv ORDER BY dim) AS vl FROM v${r - 1}), " +
+        s"sr$r AS MATERIALIZED (SELECT q, list_dot_product(q, vl) AS s FROM e, vl${r - 1}), " +
+        s"ss$r AS (SELECT CAST(SUM(CAST(round(s, 12) AS DECIMAL(38,12))) AS DOUBLE) AS ss FROM sr$r), " +
+        s"wq$r AS (SELECT CAST(i AS INTEGER) AS dim, CAST(SUM(CAST(round(q[i] * s, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sqs " +
+        s"FROM sr$r, unnest(range(1, $d1)) u(i) GROUP BY 1), " +
+        s"wc$r AS MATERIALIZED (SELECT w.dim, sqs - mu.mu * ss AS w FROM wq$r w JOIN mu USING (dim), ss$r), " +
+        s"nm$r AS (SELECT sqrt(list_dot_product(list(w ORDER BY dim), list(w ORDER BY dim))) AS nm FROM wc$r), " +
+        s"v$r AS MATERIALIZED (SELECT dim, round(w / nm, 12) AS vv FROM wc$r, nm$r), "
+    }.mkString
+    head + rounds +
+      s"lam AS (SELECT round(list_dot_product((SELECT list(vv ORDER BY dim) FROM v${iters - 1}), " +
+      s"(SELECT list(w ORDER BY dim) FROM wc$iters)) / (SELECT MAX(n) FROM st), 6) AS eigval) " +
+      s"SELECT st.dim, st.n, mu.mu, " +
+      s"round(CAST(CAST(st.n AS DECIMAL(38,0)) * sq2 - CAST(sq AS DECIMAL(38,0)) * sq AS DOUBLE) / " +
+      s"CAST(CAST(st.n AS DECIMAL(38,0)) * st.n AS DOUBLE), 6) AS variance, " +
+      s"v$iters.vv AS loading, lam.eigval " +
+      s"FROM st JOIN mu USING (dim) JOIN v$iters USING (dim), lam ORDER BY st.dim"
   }
 
   /** The q208 oracle: Hunter's MM rounds unrolled — per round, the
@@ -4353,6 +4400,7 @@ object Queries {
     "q209_zorder_audit" -> q209,
     "q210_lognormal_fit" -> q210,
     "q211_fano_factor" -> q211,
+    "q212_embed_pca" -> q212,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7367,6 +7415,7 @@ object Queries {
         + "FROM g ORDER BY lang"),
     "q208_bradley_terry" -> bradleyTerryOracle(5),
     "q209_zorder_audit" -> zorderOracle(16, 16),
+    "q212_embed_pca" -> embedPcaOracle(64, 5),
     "q210_lognormal_fit" ->
       // portable micro-nat lns (q204 idiom), decimal moments, the
       // quantized-mu/sigma exp predictions, quantile_cont p90

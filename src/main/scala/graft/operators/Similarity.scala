@@ -835,4 +835,93 @@ object Similarity {
     selected.select(col("sel_round"), col("__id").as("vec_id"),
       col("radius"))
   }
+
+  /**
+   * Top principal component of the embedding covariance by
+   * MATRIX-FREE power iteration — the anisotropy diagnostic for an
+   * embedding corpus (Mu & Viswanath 2018's "all-but-the-top"
+   * observation: sentence/doc embeddings concentrate in a few rogue
+   * directions; a dominant λ₁/Σvar share means cosine similarity is
+   * measuring the common direction, not content). The d×d covariance
+   * is never materialized: each round computes C·v as
+   * Σ_rows q·(qᵀv) − μ·Σ_rows(qᵀv) (exact identity for centered C
+   * since Σq = n·μ), which is one codegen'd [[dot]] scan plus one
+   * map-side-combined per-dim aggregation — data-sized work is two
+   * passes per round regardless of d.
+   *
+   * Cross-engine replay (the q75 kmeansCentroids discipline — the
+   * d-double iterate is MODEL state held on the driver, like the
+   * centroid table): embeddings quantize to the house integer grid;
+   * v₀ = 0.125 per dim (exact); per-round contributions round-12 into
+   * DECIMAL(38,12) sums so partition order cannot perturb a double
+   * fold; μ is round-6; the norm and Rayleigh folds run left-to-right
+   * from +0.0 in dim order ([[dot]]'s contract == DuckDB's
+   * `list_dot_product`); the normalized iterate re-quantizes round-12
+   * each round. λ is the Rayleigh quotient v_{T−1}ᵀ(C·v_{T−1})/n at
+   * the last round, 6 dp.
+   *
+   * Output: one row per dimension (`dim` 1-based, `n`, `mu`,
+   * `variance`, `loading`, `eigval` repeated) — loading is the unit
+   * top eigenvector, variance the per-dim diagonal, so
+   * eigval / Σ variance is the top-direction share.
+   */
+  def topComponent(emb: DataFrame, vecCol: String, dims: Int,
+                   iters: Int = 5): DataFrame = {
+    require(dims >= 1 && iters >= 1, "dims and iters must be >= 1")
+    val spark = emb.sparkSession
+    val base = emb
+      .select(quantize(col(vecCol).cast("array<double>")).as("__q"))
+      .where(size(col("__q")) === dims)
+      .localCheckpoint(eager = false)
+    val st = base
+      .select(posexplode(col("__q")).as(Seq("__p", "__qi")))
+      .groupBy("__p")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__qi").cast("long")).as("__sq"),
+        sum(col("__qi").cast("decimal(38,0)") * col("__qi").cast("long"))
+          .cast("decimal(38,0)").as("__sq2"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+    require(st.nonEmpty, "topComponent: no valid vectors")
+    val n = st.head._2._1
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mu = (0 until dims).map(p => r6(st(p)._2.toDouble / n)).toArray
+
+    var v = Array.fill(dims)(0.125d)
+    var vPrev = v
+    var w = Array.fill(dims)(0.0d)
+    for (_ <- 1 to iters) {
+      val withS = base.withColumn("__s",
+        dot(col("__q"), typedLit(v.toSeq)))
+      val agg0 = withS
+        .select(col("__s"), posexplode(col("__q")).as(Seq("__p", "__qi")))
+        .groupBy("__p")
+        .agg(sum(round(col("__qi") * col("__s"), 12)
+          .cast("decimal(38,12)")).cast("double").as("__sqs"))
+      val sS = withS
+        .agg(sum(round(col("__s"), 12).cast("decimal(38,12)"))
+          .cast("double")).head().getDouble(0)
+      val sqs = agg0.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      w = (0 until dims).map(p => sqs(p) - mu(p) * sS).toArray
+      // left-to-right folds from +0.0 in dim order — the dot contract
+      val norm = math.sqrt(w.foldLeft(0.0d)((a, x) => a + x * x))
+      vPrev = v
+      v = w.map(x => r12(x / norm))
+    }
+    val eigval = r6(
+      vPrev.zip(w).foldLeft(0.0d)((a, p) => a + p._1 * p._2) / n)
+
+    val ss = spark
+    import ss.implicits._
+    (0 until dims).map { p =>
+      val (_, sq, sq2) = st(p)
+      val variance = r6((BigDecimal(n) * BigDecimal(sq2) -
+        BigDecimal(sq) * BigDecimal(sq)).toDouble /
+        (BigDecimal(n) * BigDecimal(n)).toDouble)
+      (p + 1, n, mu(p), variance, v(p), eigval)
+    }.toDF("dim", "n", "mu", "variance", "loading", "eigval")
+  }
 }

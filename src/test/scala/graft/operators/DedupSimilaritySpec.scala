@@ -682,6 +682,24 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     assert(out(4) == ((4L, Some(9.0))))
   }
 
+  test("topComponent: exact 2-D eigenpair on a centered rank-1 cloud") {
+    val ss = spark
+    import ss.implicits._
+    // raw (1,2) and (-1,-2) quantize to (±1024, ±2048): mean 0, all
+    // variance along u = (1,2)/sqrt(5); eigval = (5120/sqrt(5))^2
+    val emb = Seq(Array(1.0, 2.0), Array(-1.0, -2.0)).toDF("embedding")
+    val out = Similarity.topComponent(emb, "embedding", dims = 2, iters = 5)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val d1 = out(1); val d2 = out(2)
+    assert(d1._1 == 2L && d1._2 == 0.0 && d1._3 == 1048576.0)
+    assert(d2._2 == 0.0 && d2._3 == 4194304.0)
+    assert(math.abs(d1._4 - 1.0 / math.sqrt(5)) < 1e-9)
+    assert(math.abs(d2._4 - 2.0 / math.sqrt(5)) < 1e-9)
+    assert(math.abs(d1._5 - 5242880.0) < 0.01)
+    assert(d1._5 == d2._5)
+  }
+
   test("prefixFilterJaccardJoin: hand Jaccards incl. the borderline J = 3/5 boundary") {
     val ss = spark
     import ss.implicits._
