@@ -2911,6 +2911,24 @@ object Queries {
         dims = 64, iters = 5)
       .orderBy("dim")
 
+  /** Q213 "fightin' words" per lang: top-10 over-represented tokens
+    * by Dirichlet-smoothed z-scored log-odds vs the rest of the
+    * corpus — the corpus-comparison triage raw frequency ratios get
+    * wrong (they overweight rare flukes; the variance term fixes
+    * that). */
+  val q213: Q = (s, dir) =>
+    TextMetrics.logOddsWords(Tables.documents(s, dir), "text", "lang",
+        k = 10)
+      .orderBy(col("lang"), col("zscore").desc, col("token"))
+
+  /** Q214 pairwise Jensen–Shannon source-similarity matrix: which
+    * source tags are the same feed in disguise (js → 0) and which are
+    * genuinely distinct (js → ln 2) — dedup triage + mixture design
+    * input; vocab-bounded via the one-sided-tail ln 2 identity. */
+  val q214: Q = (s, dir) =>
+    CorpusLM.jsSourceMatrix(Tables.documents(s, dir), "text", "source")
+      .orderBy("s1", "s2")
+
   /** Q208 Bradley–Terry strengths over event types from per-user
     * engagement comparisons (user prefers A over B when they did A
     * more): the pairwise-preference model behind RLHF comparison
@@ -4401,6 +4419,8 @@ object Queries {
     "q210_lognormal_fit" -> q210,
     "q211_fano_factor" -> q211,
     "q212_embed_pca" -> q212,
+    "q213_logodds_words" -> q213,
+    "q214_js_source_matrix" -> q214,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7416,6 +7436,45 @@ object Queries {
     "q208_bradley_terry" -> bradleyTerryOracle(5),
     "q209_zorder_audit" -> zorderOracle(16, 16),
     "q212_embed_pca" -> embedPcaOracle(64, 5),
+    "q213_logodds_words" ->
+      // add-one Dirichlet log-odds: one double division of exact
+      // BIGINTs per ln, portable micro-nat floor, BIGINT delta, one
+      // fixed-order z program, (z desc, token asc) rank
+      ("WITH tt AS (SELECT lang, tok FROM (SELECT lang, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "c AS MATERIALIZED (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tt GROUP BY 1, 2), "
+        + "ng AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS ng FROM c GROUP BY 1), "
+        + "yw AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS y FROM c GROUP BY 1), "
+        + "gl AS (SELECT CAST(SUM(c) AS BIGINT) AS nn, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM c), "
+        + "z0 AS (SELECT c.lang, c.tok, c.c, yw.y - c.c AS yr, ng.ng, gl.nn - ng.ng AS nr, gl.v "
+        + "FROM c JOIN ng USING (lang) JOIN yw USING (tok), gl), "
+        + "z AS (SELECT lang, tok, c AS y_in, yr AS y_rest, "
+        + "round(CAST(CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(ng + v - c - 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+        + "- CAST(floor(ln(CAST(yr + 1 AS DOUBLE) / CAST(nr + v - yr - 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 "
+        + "/ sqrt(CAST(1 AS DOUBLE) / (c + 1) + CAST(1 AS DOUBLE) / (yr + 1)), 6) AS zscore "
+        + "FROM z0 WHERE ng + v - c - 1 > 0 AND nr + v - yr - 1 > 0), "
+        + "r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY zscore DESC, tok ASC) AS rk FROM z) "
+        + "SELECT lang, tok AS token, y_in, y_rest, zscore FROM r WHERE rk <= 10 "
+        + "ORDER BY lang, zscore DESC, token"),
+    "q214_js_source_matrix" ->
+      // shared-token join + the one-sided-tail ln2 identity; per-token
+      // ratios as one double division of exact DECIMAL products,
+      // BIGINT-weighted micro-nat sums in DECIMAL(38,0)
+      ("WITH tt AS (SELECT s, tok FROM (SELECT source AS s, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "c AS MATERIALIZED (SELECT s, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tt GROUP BY 1, 2), "
+        + "tot AS MATERIALIZED (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1), "
+        + "sh AS (SELECT a.s AS s1, b.s AS s2, a.c AS c1, b.c AS c2, t1.n AS n1, t2.n AS n2 "
+        + "FROM c a JOIN c b ON a.tok = b.tok AND a.s < b.s JOIN tot t1 ON a.s = t1.s JOIN tot t2 ON b.s = t2.s), "
+        + "g AS (SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_shared, "
+        + "CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * CAST(floor(ln(CAST(2 * CAST(c1 AS DECIMAL(38,0)) * n2 AS DOUBLE) / "
+        + "CAST(CAST(c1 AS DECIMAL(38,0)) * n2 + CAST(c2 AS DECIMAL(38,0)) * n1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS t1, "
+        + "CAST(SUM(CAST(c2 AS DECIMAL(38,0)) * CAST(floor(ln(CAST(2 * CAST(c2 AS DECIMAL(38,0)) * n1 AS DOUBLE) / "
+        + "CAST(CAST(c1 AS DECIMAL(38,0)) * n2 + CAST(c2 AS DECIMAL(38,0)) * n1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS t2, "
+        + "CAST(SUM(c1) AS BIGINT) AS c1s, CAST(SUM(c2) AS BIGINT) AS c2s FROM sh GROUP BY 1, 2), "
+        + "p AS (SELECT ta.s AS s1, tb.s AS s2, ta.n AS n1, tb.n AS n2 FROM tot ta, tot tb WHERE ta.s < tb.s) "
+        + "SELECT p.s1, p.s2, COALESCE(n_shared, 0) AS n_shared, "
+        + "round((CAST(COALESCE(t1, 0) + CAST(n1 - COALESCE(c1s, 0) AS DECIMAL(38,0)) * 693147 AS DOUBLE) / n1 + "
+        + "CAST(COALESCE(t2, 0) + CAST(n2 - COALESCE(c2s, 0) AS DECIMAL(38,0)) * 693147 AS DOUBLE) / n2) / 2 / 1000000.0, 6) AS js "
+        + "FROM p LEFT JOIN g USING (s1, s2) ORDER BY s1, s2"),
     "q210_lognormal_fit" ->
       // portable micro-nat lns (q204 idiom), decimal moments, the
       // quantized-mu/sigma exp predictions, quantile_cont p90

@@ -363,4 +363,84 @@ object CorpusLM {
         col("new_types"), col("cum_tokens"), col("cum_types"))
       .orderBy("bucket")
   }
+
+  /**
+   * Pairwise Jensen–Shannon divergence between per-source unigram
+   * distributions — the symmetric, bounded (≤ ln 2) source-similarity
+   * matrix the one-vs-reference KL drift (q101) can't give: "which
+   * crawls are the same feed wearing different tags, and which are
+   * genuinely distinct?" feeds dedup triage and mixture design.
+   *
+   * JS(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2. Key identity
+   * that keeps this vocab-bounded AND exact: for a token only in P,
+   * p·ln(p/m) = p·ln 2 — so the pair needs ONLY the shared-token join
+   * plus per-source totals: each one-sided tail contributes
+   * (N₁ − C₁shared)·ln2 in integer micro-nats. Per shared token the
+   * ratio p₁/m = 2c₁N₂/(c₁N₂ + c₂N₁) is one double division of exact
+   * DECIMAL products, lnMicro'd once, weighted by the exact count —
+   * the [[Eval.mutualInformation]] summation discipline (BIGINT·micro
+   * terms in DECIMAL(38,0), one fixed-order double program at the
+   * end, 6 dp).
+   *
+   * Output per source pair (s1 < s2): `n_shared` (tokens), `js`
+   * (nats, 0 = identical, 0.693147 = disjoint).
+   *
+   * Scale shape: token counting is one map-side-combined aggregation;
+   * the pair join is vocab-keyed (each token contributes its source
+   * pairs — Σ over tokens of df(token)², bounded by sources²·vocab);
+   * totals are a sources-sized broadcast. Corpus text never shuffles.
+   */
+  def jsSourceMatrix(docs: DataFrame, textCol: String,
+                     sourceCol: String): DataFrame = {
+    def lnMicro(x: Column): Column =
+      floor(log(x) * 1e6d + 0.5d).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ln2Micro = math.floor(math.log(2.0) * 1e6 + 0.5).toLong // 693147
+    val tt = docs.select(col(sourceCol).as("__s"),
+      explode(filter(split(lower(trim(col(textCol))), " "),
+        t => t =!= "")).as("__t"))
+    val c = tt.groupBy("__s", "__t").agg(count(lit(1)).as("__c"))
+    val tot = c.groupBy("__s").agg(sum(col("__c")).as("__n"))
+    val shared = c.alias("a")
+      .join(c.alias("b"),
+        col("a.__t") === col("b.__t") && col("a.__s") < col("b.__s"))
+      .select(col("a.__s").as("s1"), col("b.__s").as("s2"),
+        col("a.__c").as("__c1"), col("b.__c").as("__c2"))
+      .join(broadcast(tot.select(col("__s").as("s1"),
+        col("__n").as("__n1"))), "s1")
+      .join(broadcast(tot.select(col("__s").as("s2"),
+        col("__n").as("__n2"))), "s2")
+      .withColumn("__r1",
+        (dec(lit(2L)) * dec(col("__c1")) * dec(col("__n2"))).cast("double") /
+          (dec(col("__c1")) * dec(col("__n2")) +
+            dec(col("__c2")) * dec(col("__n1"))).cast("double"))
+      .withColumn("__r2",
+        (dec(lit(2L)) * dec(col("__c2")) * dec(col("__n1"))).cast("double") /
+          (dec(col("__c1")) * dec(col("__n2")) +
+            dec(col("__c2")) * dec(col("__n1"))).cast("double"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(dec(col("__c1")) * lnMicro(col("__r1")))
+          .cast("decimal(38,0)").as("__t1"),
+        sum(dec(col("__c2")) * lnMicro(col("__r2")))
+          .cast("decimal(38,0)").as("__t2"),
+        sum(col("__c1")).as("__c1s"), sum(col("__c2")).as("__c2s"))
+    val pairs = tot.select(col("__s").as("s1"), col("__n").as("__n1"))
+      .crossJoin(broadcast(tot.select(col("__s").as("s2"),
+        col("__n").as("__n2"))))
+      .where(col("s1") < col("s2"))
+      .join(shared, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("__t1"), lit(0L).cast("decimal(38,0)")) +
+          dec(col("__n1") - coalesce(col("__c1s"), lit(0L))) * ln2Micro)
+          .as("__s1t"),
+        (coalesce(col("__t2"), lit(0L).cast("decimal(38,0)")) +
+          dec(col("__n2") - coalesce(col("__c2s"), lit(0L))) * ln2Micro)
+          .as("__s2t"),
+        col("__n1"), col("__n2"))
+    pairs.select(col("s1"), col("s2"), col("n_shared"),
+      round((col("__s1t").cast("double") / col("__n1") +
+        col("__s2t").cast("double") / col("__n2")) / 2 / 1e6d, 6).as("js"))
+  }
 }

@@ -852,6 +852,70 @@ object TextMetrics {
    * counters per group) + the shared exact-quantile program for the
    * empirical p90. Non-positive values drop (ln undefined).
    */
+  /**
+   * Group-discriminative tokens by log-odds with an add-one Dirichlet
+   * prior (Monroe et al. 2008, "Fightin' Words" — implemented from
+   * the published z-scored log-odds-ratio): for each group, which
+   * tokens are OVER-represented vs the rest of the corpus, scaled by
+   * sampling variance so rare flukes don't outrank solid signals —
+   * the corpus-comparison readout behind contamination triage ("what
+   * vocabulary makes this source different?") and lang-ID feature
+   * audits. Raw frequency ratios overweight rare tokens; the variance
+   * term 1/(y_g+1) + 1/(y_rest+1) is what fixes that.
+   *
+   * δ = ln((y_g+1)/(n_g + V − y_g − 1)) − ln((y_r+1)/(n_r + V − y_r − 1)),
+   * z = δ / √(1/(y_g+1) + 1/(y_r+1)), top-k per group by
+   * (z desc, token asc).
+   *
+   * Determinism: counts are exact BIGINT; each ln takes ONE double
+   * division of exact integers and portable-floors to integer
+   * micro-nats (the house lnMicro), so δ is a BIGINT difference; z is
+   * one fixed-order double program rounded 6 dp; the rank window runs
+   * over the (z, token) pair so ties are total.
+   *
+   * Output: `group`, `token`, `y_in`, `y_rest`, `zscore` (top-k rows
+   * per group).
+   *
+   * Scale shape: token counting is one map-side-combined aggregation;
+   * everything after is vocab-bounded (the per-group rank window runs
+   * over ≤ vocab rows per group, never the corpus).
+   */
+  def logOddsWords(docs: DataFrame, textCol: String, groupCol: String,
+                   k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def lnMicro(x: Column): Column =
+      floor(log(x) * 1e6d + 0.5d).cast("long")
+    val g = col(groupCol)
+    val tt = docs.select(g.as("__g"),
+        explode(filter(split(lower(trim(col(textCol))), " "),
+          t => t =!= "")).as("__t"))
+    val c = tt.groupBy("__g", "__t").agg(count(lit(1)).as("__c"))
+    val ng = c.groupBy("__g").agg(sum(col("__c")).as("__ng"))
+    val yw = c.groupBy("__t").agg(sum(col("__c")).as("__y"))
+    val gl = c.agg(sum(col("__c")).as("__nn"),
+      countDistinct(col("__t")).as("__v"))
+    val z = c.join(ng, "__g").join(yw, "__t").crossJoin(broadcast(gl))
+      .withColumn("__yr", col("__y") - col("__c"))
+      .withColumn("__nr", col("__nn") - col("__ng"))
+      .where(col("__ng") + col("__v") - col("__c") - 1 > 0 &&
+        col("__nr") + col("__v") - col("__yr") - 1 > 0)
+      .withColumn("__d",
+        lnMicro((col("__c") + 1).cast("double") /
+          (col("__ng") + col("__v") - col("__c") - 1).cast("double")) -
+        lnMicro((col("__yr") + 1).cast("double") /
+          (col("__nr") + col("__v") - col("__yr") - 1).cast("double")))
+      .withColumn("zscore",
+        round(col("__d").cast("double") / 1e6d /
+          sqrt(lit(1.0d) / (col("__c") + 1) +
+            lit(1.0d) / (col("__yr") + 1)), 6))
+    val w = Window.partitionBy("__g")
+      .orderBy(col("zscore").desc, col("__t").asc)
+    z.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col("__g").as(groupCol), col("__t").as("token"),
+        col("__c").as("y_in"), col("__yr").as("y_rest"), col("zscore"))
+  }
+
   def lognormalFit(df: DataFrame, by: Seq[String],
                    valueCol: String): DataFrame = {
     require(by.nonEmpty, "lognormalFit: need at least one group column")

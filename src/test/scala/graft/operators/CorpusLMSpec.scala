@@ -159,4 +159,25 @@ class CorpusLMSpec extends SparkTestBase with Matchers {
     assert(out(1) == ((2L, 5L, 2L, 5L, 2L)))  // docs 1-2: 5 toks, types {a,b}
     assert(out(2) == ((2L, 5L, 1L, 10L, 3L))) // docs 3-4: +c only
   }
+
+  test("jsSourceMatrix: identical sources 0, disjoint ln2, half-overlap hand value") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      ("a", "x x"), ("b", "x x"), // identical distributions
+      ("c", "y y"),               // disjoint from a/b
+      ("d", "x z")                // half-overlaps a/b
+    ).toDF("source", "text")
+    val out = CorpusLM.jsSourceMatrix(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 6) // all pairs, including zero-overlap ones
+    assert(out(("a", "b")) == ((1L, 0.0)))
+    assert(out(("a", "c")) == ((0L, 0.693147)))   // ln 2
+    assert(out(("c", "d")) == ((0L, 0.693147)))
+    // JS({x:1}, {x:.5,z:.5}) = (1*ln(4/3) + .5*ln(2/3) + .5*ln2)/2
+    assert(out(("a", "d")) == ((1L, 0.215762)))
+    assert(out(("b", "d")) == ((1L, 0.215762)))
+    assert(out(("b", "c")) == ((0L, 0.693147)))
+  }
 }

@@ -465,6 +465,27 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     assert(out("s") == ((2L, None)))
   }
 
+  test("logOddsWords: hand z-scores on a two-group corpus; exclusive frequent token ranks first") {
+    val ss = spark
+    import ss.implicits._
+    // group a: {x:2, y:1}; group b: {y:2, z:1}; V=3, N=6
+    val docs = Seq(("a", "x x y"), ("b", "y y z")).toDF("lang", "text")
+    val out = TextMetrics.logOddsWords(docs, "text", "lang", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // (a, x): delta = ln(3/3) - ln(1/5) = 1.609438 (micro-quantized),
+    // z = delta / sqrt(1/3 + 1/1)
+    val zax = BigDecimal(1609438.0 / 1e6 / math.sqrt(1.0 / 3 + 1.0 / 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("a", "x")) == ((2L, 0L, zax)))
+    // exclusive tokens outrank shared ones; shared y scores negative
+    // in the group where it is UNDER-represented
+    assert(out(("a", "y"))._3 < 0.0)
+    assert(out(("b", "z"))._3 > 0.0 && out(("b", "y"))._3 > 0.0)
+    assert(out(("b", "z"))._3 > out(("b", "y"))._3 ||
+      out(("b", "y"))._1 == 2L)
+  }
+
   test("lognormalFit: constant group degenerates exactly; hand two-point moments") {
     val ss = spark
     import ss.implicits._
