@@ -2911,6 +2911,59 @@ object Queries {
         dims = 64, iters = 5)
       .orderBy("dim")
 
+  /** Shared q215 fixture: each doc rendered as a REAL AVI video —
+    * frame f holds the next w×h text bytes as gray pixels
+    * (space-padded; ASCII corpus: byte == codepoint, pinned by the
+    * corpus invariant), so the whole container pipeline — RIFF
+    * framing, headers, bottom-up DIB rows, stride padding — must be
+    * right for the luma sums to match the oracle's text arithmetic. */
+  private def textAviAssets(d: DataFrame):
+      org.apache.spark.sql.Dataset[graft.multimodal.Asset] = {
+    import graft.multimodal.{Asset, Avi}
+    val enc = org.apache.spark.sql.Encoders.product[Asset]
+    d.select(col("doc_id").as("asset_id"),
+        lit("video/avi").as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("width"),
+        (lit(5) + pmod(col("doc_id"), lit(7))).cast("int").as("height"))
+      .as[Asset](enc)
+      .mapPartitions { it =>
+        it.map { a =>
+          val nf = (3 + (a.asset_id % 4)).toInt
+          val wh = a.width * a.height
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(wh) { i =>
+              val p = f * wh + i
+              if (p < a.bytes.length) a.bytes(p) else 32.toByte
+            }
+          }
+          a.copy(bytes = Avi.encodeGray(a.width, a.height, 40000, frames))
+        }
+      }(enc)
+  }
+
+  /** Q215 REAL video decode + frame sampling (north star): the docs
+    * corpus rendered as actual AVI containers, decoded through the
+    * typed seam with every-2nd-frame sampling, per-lang exact luma
+    * report — gray BT.601 round-trips bit-exact, so the oracle
+    * replays the sampled-frame sums straight from the text. */
+  val q215: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val d = Tables.documents(s, dir)
+    Multimodal.decodeAviFrames(textAviAssets(d), sampleEvery = 2).toDF()
+      .join(d.select(col("doc_id"), col("lang")),
+        col("asset_id") === col("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_videos"),
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        sum(col("n_sampled").cast("long")).as("sampled_frames"),
+        sum(col("sampled_pixels")).as("sampled_pixels"),
+        sum(col("sampled_luma_sum")).as("sum_luma"),
+        sum(expr("sampled_luma_sum * 1000000 div sampled_pixels"))
+          .as("sum_mean_micro"))
+      .orderBy("lang")
+  }
+
   /** Q213 "fightin' words" per lang: top-10 over-represented tokens
     * by Dirichlet-smoothed z-scored log-odds vs the rest of the
     * corpus — the corpus-comparison triage raw frequency ratios get
@@ -4421,6 +4474,7 @@ object Queries {
     "q212_embed_pca" -> q212,
     "q213_logodds_words" -> q213,
     "q214_js_source_matrix" -> q214,
+    "q215_video_frames" -> q215,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7475,6 +7529,24 @@ object Queries {
         + "round((CAST(COALESCE(t1, 0) + CAST(n1 - COALESCE(c1s, 0) AS DECIMAL(38,0)) * 693147 AS DOUBLE) / n1 + "
         + "CAST(COALESCE(t2, 0) + CAST(n2 - COALESCE(c2s, 0) AS DECIMAL(38,0)) * 693147 AS DOUBLE) / n2) / 2 / 1000000.0, 6) AS js "
         + "FROM p LEFT JOIN g USING (s1, s2) ORDER BY s1, s2"),
+    "q215_video_frames" ->
+      // ASCII corpus: gray-pixel luma == text byte (BT.601 weights sum
+      // to 1000), so the sampled-frame sums replay from the text with
+      // positions f*w*h + i, space-padded past the end
+      ("WITH d AS (SELECT doc_id, lang, text, length(text) AS tl, 8 + doc_id % 9 AS w, "
+        + "5 + doc_id % 7 AS h, 3 + doc_id % 4 AS nf FROM documents), "
+        + "sf AS (SELECT doc_id, lang, text, tl, w, h, nf, unnest(range(0, nf)) AS f FROM d), "
+        + "s2 AS (SELECT * FROM sf WHERE f % 2 = 0), "
+        + "px AS (SELECT doc_id, lang, w, h, nf, CASE WHEN f * w * h + i < tl "
+        + "THEN unicode(substr(text, CAST(f * w * h + i + 1 AS BIGINT), 1)) ELSE 32 END AS g "
+        + "FROM s2, unnest(range(0, w * h)) u(i)), "
+        + "pv AS (SELECT doc_id, lang, MAX(nf) AS nf, (MAX(nf) + 1) // 2 AS nsamp, "
+        + "CAST(COUNT(*) AS BIGINT) AS px_n, CAST(SUM(g) AS BIGINT) AS luma FROM px GROUP BY 1, 2) "
+        + "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_videos, CAST(SUM(nf) AS BIGINT) AS total_frames, "
+        + "CAST(SUM(nsamp) AS BIGINT) AS sampled_frames, CAST(SUM(px_n) AS BIGINT) AS sampled_pixels, "
+        + "CAST(SUM(luma) AS BIGINT) AS sum_luma, "
+        + "CAST(SUM(luma * 1000000 // px_n) AS BIGINT) AS sum_mean_micro "
+        + "FROM pv GROUP BY 1 ORDER BY lang"),
     "q210_lognormal_fit" ->
       // portable micro-nat lns (q204 idiom), decimal moments, the
       // quantized-mu/sigma exp predictions, quantile_cont p90

@@ -38,6 +38,16 @@ final case class AudioSignal(asset_id: Long, sample_rate: Int,
                              n_samples: Long, zero_crossings: Long,
                              energy: Long, peak: Int)
 
+/** Features from a REAL video container decode (`Avi.decode`) with
+  * every-kth frame sampling: container metadata from the parsed
+  * headers, exact integer luma sums over the SAMPLED frames only —
+  * the decode-cost dial (sample_every) that makes video feature
+  * extraction affordable at corpus scale. */
+final case class VideoFeatures(asset_id: Long, width: Int, height: Int,
+                               n_frames: Int, usec_per_frame: Int,
+                               n_sampled: Int, sampled_pixels: Long,
+                               sampled_luma_sum: Long)
+
 /**
  * Multimodal column operators (north star): media as opaque `binary`
  * columns with typed metadata, processed in partition-batched iterators.
@@ -292,7 +302,49 @@ object Multimodal {
       .when(substring(bytes, 1, 4) === lit("GIF8".getBytes), lit("image/gif"))
       .when(substring(bytes, 1, 4) === lit("RIFF".getBytes) &&
         substring(bytes, 9, 4) === lit("WAVE".getBytes), lit("audio/wav"))
+      .when(substring(bytes, 1, 4) === lit("RIFF".getBytes) &&
+        substring(bytes, 9, 4) === lit("AVI ".getBytes), lit("video/avi"))
       .otherwise(lit("application/octet-stream"))
+
+  /**
+   * REAL video decode through the same partition-batched seam: each
+   * asset's bytes are parsed as an actual AVI file (`Avi.decode` —
+   * RIFF tree walk, header parse, per-frame bottom-up DIB flip), and
+   * only every `sampleEvery`-th frame is feature-extracted (frame 0,
+   * k, 2k, …) — the standard frame-sampling posture that keeps video
+   * decode cost proportional to 1/k while the container metadata
+   * stays exact. Luma sums are exact integers over sampled frames
+   * (the [[decodeBmpFeatures]] contract), so downstream aggregates
+   * replay without float drift. Embarrassingly parallel, no shuffle;
+   * pixels never leave the partition.
+   */
+  def decodeAviFrames(assets: Dataset[Asset],
+                      sampleEvery: Int): Dataset[VideoFeatures] = {
+    require(sampleEvery >= 1, "sampleEvery must be >= 1")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val v = Avi.decode(a.bytes)
+        var i = 0
+        var nS = 0
+        var lumaSum = 0L
+        while (i < v.frames.length) {
+          if (i % sampleEvery == 0) {
+            nS += 1
+            val p = v.frames(i)
+            var j = 0
+            while (j < p.length) {
+              lumaSum += Bmp.luma(p(j) & 0xff, p(j + 1) & 0xff, p(j + 2) & 0xff)
+              j += 3
+            }
+          }
+          i += 1
+        }
+        VideoFeatures(a.asset_id, v.width, v.height, v.frames.length,
+          v.usecPerFrame, nS, nS.toLong * v.width * v.height, lumaSum)
+      }
+    }
+  }
 
   /**
    * Mixed-corpus decode dispatch: sniff every asset's container from
