@@ -2964,6 +2964,26 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q216 overlapping passage chunking (window 32, stride 24 — 8-token
+    * overlap): the RAG/retrieval prep artifact with deterministic
+    * chunk ids; entirely scan-local, no shuffle until a consumer
+    * aggregates. */
+  val q216: Q = (s, dir) =>
+    TextMetrics.passageChunks(Tables.documents(s, dir), "doc_id", "text",
+        window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Q217 weighted sampling without replacement (Efraimidis–Spirakis
+    * keys): top-20 per lang with inclusion probability ∝ n_chars —
+    * the length-proportional corpus draw rate-quotas can't express;
+    * portable-hash u, round-12 ln(u)/w keys, id tie-break. */
+  val q217: Q = (s, dir) =>
+    Sampling.weightedSample(
+        Tables.documents(s, dir).select(col("lang"), col("doc_id"),
+          col("n_chars")),
+        "doc_id", "n_chars", k = 20, by = Seq("lang"))
+      .orderBy(col("lang"), col("es_key").desc, col("doc_id"))
+
   /** Q213 "fightin' words" per lang: top-10 over-represented tokens
     * by Dirichlet-smoothed z-scored log-odds vs the rest of the
     * corpus — the corpus-comparison triage raw frequency ratios get
@@ -4475,6 +4495,8 @@ object Queries {
     "q213_logodds_words" -> q213,
     "q214_js_source_matrix" -> q214,
     "q215_video_frames" -> q215,
+    "q216_passage_chunks" -> q216,
+    "q217_weighted_sample" -> q217,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7547,6 +7569,25 @@ object Queries {
         + "CAST(SUM(luma) AS BIGINT) AS sum_luma, "
         + "CAST(SUM(luma * 1000000 // px_n) AS BIGINT) AS sum_mean_micro "
         + "FROM pv GROUP BY 1 ORDER BY lang"),
+    "q216_passage_chunks" ->
+      // chunk count 1 + ceil((n-32)/24) by integer div; inclusive list
+      // slices replay the engine's slice(toks, k*24+1, 32)
+      ("WITH w AS (SELECT doc_id, list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS ws FROM documents), "
+        + "n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM w WHERE len(ws) > 0), "
+        + "k AS (SELECT doc_id, ws, n, unnest(range(0, 1 + CASE WHEN n > 32 THEN (n - 32 + 23) // 24 ELSE 0 END)) AS k FROM n) "
+        + "SELECT doc_id, k AS chunk_id, k * 24 AS start_tok, "
+        + "CAST(len(ws[CAST(k * 24 + 1 AS BIGINT):CAST(k * 24 + 32 AS BIGINT)]) AS BIGINT) AS n_toks, "
+        + "array_to_string(ws[CAST(k * 24 + 1 AS BIGINT):CAST(k * 24 + 32 AS BIGINT)], ' ') AS chunk_text "
+        + "FROM k ORDER BY doc_id, chunk_id"),
+    "q217_weighted_sample" ->
+      // Efraimidis-Spirakis keys: u = (selector+1)/(P+1) strictly in
+      // (0,1), one double division of exact integers, round-12 ln(u)/w
+      ("WITH w AS (SELECT lang, doc_id, n_chars, "
+        + "round(ln(CAST((doc_id * 2654435761) % 1000000007 + 1 AS DOUBLE) / CAST(1000000008 AS DOUBLE)) "
+        + "/ CAST(n_chars AS DOUBLE), 12) AS es_key FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), "
+        + "r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id ASC) AS rk FROM w) "
+        + "SELECT lang, doc_id, n_chars, es_key FROM r WHERE rk <= 20 "
+        + "ORDER BY lang, es_key DESC, doc_id"),
     "q210_lognormal_fit" ->
       // portable micro-nat lns (q204 idiom), decimal moments, the
       // quantized-mu/sigma exp predictions, quantile_cont p90

@@ -382,4 +382,44 @@ object Sampling {
       .filter(col(valueCol).cast("double") >= col(thrCol))
       .drop(thrCol)
   }
+
+  /**
+   * Weighted sampling WITHOUT replacement by the Efraimidis–Spirakis
+   * one-pass key method (Efraimidis & Spirakis 2006 — implemented
+   * from the published algorithm): each row draws u ∈ (0,1) and the
+   * sample is the top-k by key u^(1/w) — equivalently by
+   * ln(u)/w, which is what this computes. Inclusion probability is
+   * proportional to weight at every prefix, the property
+   * rate-per-stratum quotas can't give when weights vary row-by-row
+   * (length-proportional corpus sampling, importance-weighted
+   * selection).
+   *
+   * Deterministic: u = (selector(id) + 1)/(P + 1) from the portable
+   * multiplicative hash — strictly inside (0, 1), so ln is finite —
+   * one double division of exact integers; the key is round-12 of
+   * ln(u)/w; rank ties break by id so the order is TOTAL and any
+   * engine replays the same sample. Non-positive weights drop
+   * (undefined under the method).
+   *
+   * Output: the sampled rows with `es_key` attached, top-k per `by`
+   * group (the whole frame if `by` is empty).
+   *
+   * Scale shape: one scan to key + one per-group top-k ranking
+   * shuffle — the stratifiedQuota shape; no global sort of survivors.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, by: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (selector(col(idCol)) + 1).cast("double") /
+      lit((Dedup.PortableHashP + 1).toDouble)
+    val keyed = df
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key",
+        round(log(u) / col(weightCol).cast("double"), 12))
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("es_key").desc, col(idCol).asc)
+    keyed.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

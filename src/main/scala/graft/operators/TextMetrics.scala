@@ -916,6 +916,47 @@ object TextMetrics {
         col("__c").as("y_in"), col("__yr").as("y_rest"), col("zscore"))
   }
 
+  /**
+   * Overlapping passage chunking — the RAG/retrieval prep step: split
+   * each document into `window`-token passages advancing by `stride`
+   * tokens (overlap = window − stride keeps sentences that straddle a
+   * boundary retrievable from at least one side). Chunk k covers
+   * tokens [k·stride, k·stride + window); the chunk count is
+   * 1 + ⌈(n − window)/stride⌉ (pure integer ceil), which covers every
+   * token and never emits a degenerate tail that is a strict suffix
+   * of the previous chunk — the failure mode of the naive
+   * while-start<n loop.
+   *
+   * Output: (`doc_id`, `chunk_id`, `start_tok`, `n_toks`,
+   * `chunk_text`) — one row per passage, deterministic ids so
+   * re-chunking a grown corpus is incremental.
+   *
+   * Scale shape: entirely scan-local (tokenize, slice, join — no
+   * shuffle at all until the caller aggregates); output size is
+   * input·(window/stride) by construction.
+   */
+  def passageChunks(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && window >= stride,
+      "need window >= stride >= 1")
+    val toks = filter(split(lower(trim(col(textCol))), " "), t => t =!= "")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      .where(col("__n") > 0)
+    val nChunks = when(col("__n") > window,
+      expr(s"(__n - $window + ${stride - 1}) div $stride")).otherwise(0L)
+    base
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), nChunks.cast("long"))))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        slice(col("__ws"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(window)).as("__c"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("__c")).cast("long").as("n_toks"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   def lognormalFit(df: DataFrame, by: Seq[String],
                    valueCol: String): DataFrame = {
     require(by.nonEmpty, "lognormalFit: need at least one group column")

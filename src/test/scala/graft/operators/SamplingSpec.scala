@@ -280,4 +280,28 @@ class SamplingSpec extends SparkTestBase with Matchers {
       assert(b.getAs[Long]("sum_len") * 2 > padded)
     }
   }
+
+  test("weightedSample: hand ES key, weight dominance, exclusions, determinism") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, "g", 2L), (2L, "g", 1L), (3L, "g", 1000000L),
+      (4L, "g", 1L), (5L, "g", 0L), (6L, "g", -3L)).toDF("id", "grp", "w")
+    // hand key for id=1, w=2: selector = 2654435761 mod 1e9+7
+    val sel = 2654435761L % 1000000007L
+    val expected = BigDecimal(
+        math.log((sel + 1).toDouble / 1000000008.0) / 2.0)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val all = Sampling.weightedSample(df, "id", "w", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(all.keySet == Set(1L, 2L, 3L, 4L)) // w <= 0 rows drop
+    assert(all(1L) == expected)
+    // ln(u)/w -> 0- as w grows: the heavy row ranks first
+    val top1 = Sampling.weightedSample(df, "id", "w", k = 1,
+      by = Seq("grp")).collect()
+    assert(top1.length == 1 && top1(0).getLong(0) == 3L)
+    // exactly reproducible
+    val again = Sampling.weightedSample(df, "id", "w", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again == all)
+  }
 }

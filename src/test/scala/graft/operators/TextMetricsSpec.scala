@@ -486,6 +486,32 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
       out(("b", "y"))._1 == 2L)
   }
 
+  test("passageChunks: exact cover, overlap, short-doc and boundary cases") {
+    val ss = spark
+    import ss.implicits._
+    def doc(n: Int) = (0 until n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, doc(80)), (2L, doc(10)), (3L, doc(32)),
+      (4L, doc(33)), (5L, "  ")).toDF("doc_id", "text")
+    val out = TextMetrics.passageChunks(docs, "doc_id", "text", 32, 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // 80 toks: chunks at 0/24/48, all full width, tail covered exactly
+    assert(out.keySet.count(_._1 == 1L) == 3)
+    assert(out((1L, 0L)) == ((0L, 32L, (0 until 32).map(i => s"t$i").mkString(" "))))
+    assert(out((1L, 1L))._1 == 24L && out((1L, 1L))._2 == 32L)
+    assert(out((1L, 2L))._1 == 48L && out((1L, 2L))._2 == 32L)
+    assert(out((1L, 2L))._3.endsWith("t79"))
+    // short doc: one chunk of its own length; exact window: one chunk
+    assert(out.keySet.count(_._1 == 2L) == 1 && out((2L, 0L))._2 == 10L)
+    assert(out.keySet.count(_._1 == 3L) == 1 && out((3L, 0L))._2 == 32L)
+    // 33 toks: second chunk starts at 24 and carries the last token
+    assert(out.keySet.count(_._1 == 4L) == 2)
+    assert(out((4L, 1L)) == ((24L, 9L,
+      (24 until 33).map(i => s"t$i").mkString(" "))))
+    // whitespace-only doc emits nothing
+    assert(!out.keySet.exists(_._1 == 5L))
+  }
+
   test("lognormalFit: constant group degenerates exactly; hand two-point moments") {
     val ss = spark
     import ss.implicits._
