@@ -2984,6 +2984,21 @@ object Queries {
         "doc_id", "n_chars", k = 20, by = Seq("lang"))
       .orderBy(col("lang"), col("es_key").desc, col("doc_id"))
 
+  /** Q218 NDCG@10 + MRR per lang: does the hashed quality scorer put
+    * the long (relevant) documents on top? Graded relevance from
+    * length bands, all-integer micro discount table, one division
+    * for NDCG — the ranking-gate metric AUC can't give because it
+    * weights the top of the list. */
+  val q218: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+        Tables.documents(s, dir), "doc_id", "text", dims = 64,
+        keep = Seq("lang"))
+      .withColumn("rel", when(col("n_toks") >= 80L, 2L)
+        .when(col("n_toks") >= 40L, 1L).otherwise(0L))
+    Eval.rankingMetrics(scored, "lang", "doc_id", "score", "rel", k = 10)
+      .orderBy("lang")
+  }
+
   /** Q213 "fightin' words" per lang: top-10 over-represented tokens
     * by Dirichlet-smoothed z-scored log-odds vs the rest of the
     * corpus — the corpus-comparison triage raw frequency ratios get
@@ -3057,6 +3072,31 @@ object Queries {
       s"k AS MATERIALIZED (SELECT x, y, $inter AS zkey, bx * $two + by AS lkey FROM k0), " +
       side("zorder", "zkey") + ", " + side("lex", "lkey") + " " +
       "SELECT * FROM (SELECT * FROM r_zorder UNION ALL SELECT * FROM r_lex) ORDER BY layout, file"
+  }
+
+  /** The q218 oracle: the q206 scored-doc CTEs + the SAME micro
+    * discount literals (`Eval.rankWeightsMicro`) in a CASE table,
+    * pure-BIGINT DCG/IDCG sums, one division for NDCG. */
+  private def ndcgOracle(k: Int): String = {
+    val ws = graft.operators.Eval.rankWeightsMicro(k)
+    def wCase(r: String) = "CASE " + (1 to k).map(i =>
+      s"WHEN $r = $i THEN ${ws(i - 1)}").mkString(" ") + " ELSE 0 END"
+    "WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), " +
+      "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), " +
+      "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), " +
+      "d AS (SELECT doc_id, lang, COUNT(*) AS n_toks, SUM(wt) AS score FROM w GROUP BY 1, 2), " +
+      "v AS (SELECT doc_id, lang, score, CASE WHEN n_toks >= 80 THEN 2 WHEN n_toks >= 40 THEN 1 ELSE 0 END AS rel FROM d), " +
+      "r AS (SELECT lang, rel, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS r, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY rel DESC, doc_id ASC) AS ri FROM v), " +
+      s"g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, " +
+      s"CAST(SUM(CASE WHEN r <= $k THEN rel * (${wCase("r")}) ELSE 0 END) AS BIGINT) AS dcg_micro, " +
+      s"CAST(SUM(CASE WHEN ri <= $k THEN rel * (${wCase("ri")}) ELSE 0 END) AS BIGINT) AS idcg_micro, " +
+      "MIN(CASE WHEN rel >= 1 THEN r END) AS fr FROM r GROUP BY 1) " +
+      "SELECT lang, n, dcg_micro, idcg_micro, " +
+      "CASE WHEN idcg_micro > 0 THEN round(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6) END AS ndcg, " +
+      "COALESCE(1000000 // fr, 0) AS mrr_micro FROM g ORDER BY lang"
   }
 
   /** The q212 oracle: the matrix-free power iteration unrolled —
@@ -4497,6 +4537,7 @@ object Queries {
     "q215_video_frames" -> q215,
     "q216_passage_chunks" -> q216,
     "q217_weighted_sample" -> q217,
+    "q218_ndcg_mrr" -> q218,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7512,6 +7553,7 @@ object Queries {
     "q208_bradley_terry" -> bradleyTerryOracle(5),
     "q209_zorder_audit" -> zorderOracle(16, 16),
     "q212_embed_pca" -> embedPcaOracle(64, 5),
+    "q218_ndcg_mrr" -> ndcgOracle(10),
     "q213_logodds_words" ->
       // add-one Dirichlet log-odds: one double division of exact
       // BIGINTs per ln, portable micro-nat floor, BIGINT delta, one

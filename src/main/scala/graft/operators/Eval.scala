@@ -981,6 +981,67 @@ object Eval {
         round(col("__p"), 6).as("strength"))
   }
 
+  /**
+   * Ranking quality per query group: NDCG@k and MRR — the retrieval
+   * metrics for a ranker/reranker gate (is the quality scorer putting
+   * the relevant documents on top?) that AUC can't give because they
+   * weight the TOP of the list.
+   *
+   * All-integer discipline: the per-position discount 1/log₂(i+1) is
+   * a FIXED table of micro-scaled integer literals (computed once,
+   * identical text in engine and oracle), so DCG@k = Σ rel·w_micro is
+   * pure BIGINT; IDCG ranks the same group by (rel desc, id) — the
+   * ideal permutation — through the same weights; NDCG is ONE double
+   * division rounded 6 dp; MRR is 10⁶ div first-relevant-rank, exact.
+   * Rankings order by (score desc, id asc), so ties are total and any
+   * engine replays the same list.
+   *
+   * Output per group: `n`, `dcg_micro`, `idcg_micro`, `ndcg`,
+   * `mrr_micro` (0 when no relevant item).
+   *
+   * Scale shape: two rank windows per group over the candidate lists
+   * (ranking state is list-sized, not corpus-sized) + one
+   * map-side-combined aggregation.
+   */
+  def rankingMetrics(scored: DataFrame, groupCol: String, idCol: String,
+                     scoreCol: String, relCol: String,
+                     k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val wMicro: Seq[Long] = rankWeightsMicro(k)
+    val rankW = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val idealW = Window.partitionBy(groupCol)
+      .orderBy(col(relCol).desc, col(idCol).asc)
+    def w(r: Column): Column =
+      (1 to k).map(i => when(r === i, lit(wMicro(i - 1))).otherwise(0L))
+        .reduce(_ + _)
+    val ranked = scored
+      .withColumn("__r", row_number().over(rankW))
+      .withColumn("__ri", row_number().over(idealW))
+      .withColumn("__g", when(col("__r") <= k,
+        col(relCol).cast("long") * w(col("__r"))).otherwise(0L))
+      .withColumn("__gi", when(col("__ri") <= k,
+        col(relCol).cast("long") * w(col("__ri"))).otherwise(0L))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__g")).as("dcg_micro"),
+        sum(col("__gi")).as("idcg_micro"),
+        min(when(col(relCol) >= 1, col("__r"))).as("__fr"))
+      .select(col(groupCol), col("n"), col("dcg_micro"),
+        col("idcg_micro"),
+        when(col("idcg_micro") > 0L,
+          round(col("dcg_micro").cast("double") /
+            col("idcg_micro").cast("double"), 6)).as("ndcg"),
+        coalesce(expr("1000000 div __fr"), lit(0L)).as("mrr_micro"))
+  }
+
+  /** The shared NDCG discount table: w_i = round(10⁶/log₂(i+1)) —
+    * micro-scaled integers so DCG sums stay pure BIGINT; the oracle
+    * embeds the SAME values as literals. */
+  private[graft] def rankWeightsMicro(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
   def fleissKappa(votes: DataFrame, nPosCol: String, r: Int,
                   by: Seq[String] = Nil): DataFrame = {
     require(r >= 2, "Fleiss' kappa needs >= 2 raters")

@@ -503,6 +503,31 @@ class EvalSpec extends SparkTestBase with Matchers {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("rankingMetrics: hand DCG/IDCG, perfect ranking = 1, no-relevant NULL/0") {
+    val ss = spark
+    import ss.implicits._
+    // weights: w1=1000000, w2=round(1e6/log2(3))=630930, w3=500000
+    val df = Seq(
+      // group g: ranked rel order (0, 2, 1) — imperfect
+      ("g", 1L, 30L, 0L), ("g", 2L, 20L, 2L), ("g", 3L, 10L, 1L),
+      // group p: perfect ranking (2, 1, 0)
+      ("p", 1L, 30L, 2L), ("p", 2L, 20L, 1L), ("p", 3L, 10L, 0L),
+      // group z: nothing relevant
+      ("z", 1L, 30L, 0L), ("z", 2L, 20L, 0L)
+    ).toDF("grp", "id", "score", "rel")
+    val out = Eval.rankingMetrics(df, "grp", "id", "score", "rel", k = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        Option(r.getAs[java.lang.Double]("ndcg")), r.getLong(5)))).toMap
+    val g = out("g")
+    assert(g._1 == 2L * 630930 + 500000) // 1761860
+    assert(g._2 == 2L * 1000000 + 630930) // 2630930
+    assert(g._3.get == BigDecimal(1761860.0 / 2630930.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(g._4 == 500000L) // first relevant at rank 2
+    assert(out("p")._3.get == 1.0 && out("p")._4 == 1000000L)
+    assert(out("z")._3.isEmpty && out("z")._4 == 0L)
+  }
+
   test("bradleyTerry: 2-item closed form, never-wins item -> 0, strengths sum to 1") {
     val ss = spark
     import ss.implicits._
