@@ -2999,6 +2999,41 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q219 REAL G.711 μ-law stream decode: text-derived linear samples
+    * companded to the telephony wire format, decoded back through the
+    * typed seam, per-lang exact integer signal report — engine and
+    * oracle implement the companding law independently, so agreement
+    * validates both directions. */
+  val q219: Q = (s, dir) => {
+    import graft.multimodal.{Asset, Multimodal, Mulaw}
+    val d = Tables.documents(s, dir)
+    val enc = org.apache.spark.sql.Encoders.product[Asset]
+    val assets = d.select(col("doc_id").as("asset_id"),
+        lit("audio/basic").as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        lit(8000).as("width"), lit(1).as("height"))
+      .as[Asset](enc)
+      .mapPartitions { it =>
+        it.map { a =>
+          val samples = Array.tabulate(120) { i =>
+            val b = if (i < a.bytes.length) a.bytes(i) & 0xff else 32
+            (b * 257 - 32768).toShort
+          }
+          a.copy(bytes = Mulaw.encode(samples))
+        }
+      }(enc)
+    Multimodal.decodeMulawSignal(assets).toDF()
+      .join(d.select(col("doc_id"), col("lang")),
+        col("asset_id") === col("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_streams"),
+        sum(col("n_samples")).as("n_samples"),
+        sum(col("sum_dec")).as("sum_dec"),
+        sum(col("sum_abs")).as("sum_abs"),
+        max(col("peak")).as("peak"))
+      .orderBy("lang")
+  }
+
   /** Q213 "fightin' words" per lang: top-10 over-represented tokens
     * by Dirichlet-smoothed z-scored log-odds vs the rest of the
     * corpus — the corpus-comparison triage raw frequency ratios get
@@ -4538,6 +4573,7 @@ object Queries {
     "q216_passage_chunks" -> q216,
     "q217_weighted_sample" -> q217,
     "q218_ndcg_mrr" -> q218,
+    "q219_mulaw_audio" -> q219,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7621,6 +7657,23 @@ object Queries {
         + "CAST(len(ws[CAST(k * 24 + 1 AS BIGINT):CAST(k * 24 + 32 AS BIGINT)]) AS BIGINT) AS n_toks, "
         + "array_to_string(ws[CAST(k * 24 + 1 AS BIGINT):CAST(k * 24 + 32 AS BIGINT)], ' ') AS chunk_text "
         + "FROM k ORDER BY doc_id, chunk_id"),
+    "q219_mulaw_audio" ->
+      // the G.711 companding law replayed in pure integer SQL: bias,
+      // segment ladder, 4-bit mantissa, exact inverse — composition
+      // enc∘dec from the same text-derived samples as the engine
+      ("WITH d AS (SELECT doc_id, lang, text, length(text) AS tl FROM documents), "
+        + "p AS (SELECT doc_id, lang, CASE WHEN i < tl THEN unicode(substr(text, CAST(i + 1 AS BIGINT), 1)) ELSE 32 END * 257 - 32768 AS x "
+        + "FROM d, unnest(range(0, 120)) u(i)), "
+        + "e AS (SELECT doc_id, lang, x, x < 0 AS sgn, LEAST(abs(x), 32635) + 132 AS v FROM p), "
+        + "s AS (SELECT doc_id, lang, sgn, v, CASE WHEN v >= 16384 THEN 7 WHEN v >= 8192 THEN 6 "
+        + "WHEN v >= 4096 THEN 5 WHEN v >= 2048 THEN 4 WHEN v >= 1024 THEN 3 "
+        + "WHEN v >= 512 THEN 2 WHEN v >= 256 THEN 1 ELSE 0 END AS exp FROM e), "
+        + "m AS (SELECT doc_id, lang, sgn, ((((v >> (exp + 3)) & 15) * 8 + 132) << exp) - 132 AS mag FROM s), "
+        + "y AS (SELECT doc_id, lang, CASE WHEN sgn THEN -mag ELSE mag END AS y FROM m) "
+        + "SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_streams, "
+        + "CAST(COUNT(*) AS BIGINT) AS n_samples, CAST(SUM(y) AS BIGINT) AS sum_dec, "
+        + "CAST(SUM(abs(y)) AS BIGINT) AS sum_abs, CAST(MAX(abs(y)) AS INTEGER) AS peak "
+        + "FROM y GROUP BY 1 ORDER BY lang"),
     "q217_weighted_sample" ->
       // Efraimidis-Spirakis keys: u = (selector+1)/(P+1) strictly in
       // (0,1), one double division of exact integers, round-12 ln(u)/w

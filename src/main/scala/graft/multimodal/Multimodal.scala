@@ -38,6 +38,12 @@ final case class AudioSignal(asset_id: Long, sample_rate: Int,
                              n_samples: Long, zero_crossings: Long,
                              energy: Long, peak: Int)
 
+/** Exact integer signal readout from a REAL μ-law decode
+  * (`Mulaw.decode`): the telephony-stream triage columns, all pure
+  * BIGINT so per-lang aggregates replay without drift. */
+final case class MulawSignal(asset_id: Long, n_samples: Long,
+                             sum_dec: Long, sum_abs: Long, peak: Int)
+
 /** Features from a REAL video container decode (`Avi.decode`) with
   * every-kth frame sampling: container metadata from the parsed
   * headers, exact integer luma sums over the SAMPLED frames only —
@@ -318,6 +324,32 @@ object Multimodal {
    * replay without float drift. Embarrassingly parallel, no shuffle;
    * pixels never leave the partition.
    */
+  /**
+   * REAL μ-law stream decode through the typed seam: each asset's
+   * bytes are a headerless G.711 μ-law sample stream (the telephony
+   * wire format); decode is pure integer companding inversion
+   * (`Mulaw.decodeSample`), features are exact BIGINT sums over the
+   * decoded linear samples. Embarrassingly parallel, no shuffle.
+   */
+  def decodeMulawSignal(assets: Dataset[Asset]): Dataset[MulawSignal] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        var i = 0
+        var s = 0L; var sa = 0L; var pk = 0
+        while (i < a.bytes.length) {
+          val x = Mulaw.decodeSample(a.bytes(i) & 0xff)
+          s += x
+          val ax = math.abs(x)
+          sa += ax
+          if (ax > pk) pk = ax
+          i += 1
+        }
+        MulawSignal(a.asset_id, a.bytes.length.toLong, s, sa, pk)
+      }
+    }
+  }
+
   def decodeAviFrames(assets: Dataset[Asset],
                       sampleEvery: Int): Dataset[VideoFeatures] = {
     require(sampleEvery >= 1, "sampleEvery must be >= 1")
