@@ -1139,6 +1139,62 @@ object StreamingOps {
   case class TrendUpdate(key: String, n: Long, slope: Option[Double],
                          intercept: Option[Double], r2: Option[Double])
 
+  /** One emission of [[kappaStream]]: the group's 2×2 agreement state
+    * after a micro-batch, scored by the batch kappa program. */
+  case class KappaUpdate(key: String, n: Long, a: Long, b: Long,
+                         c: Long, d: Long, po_micro: Long,
+                         kappa: Option[Double])
+
+  /**
+   * Streaming Cohen's kappa — the continuous twin of
+   * `Eval.cohensKappa`: per key, the state is the four 2×2 agreement
+   * counters (a = both-pos, b, c, d), which COMMUTE — any arrival
+   * order lands on identical state, no ordered replay, no intra-batch
+   * sort. The live "are my two label sources still agreeing?" monitor
+   * for a scoring pipeline whose gates can drift apart silently.
+   *
+   * Each emission replays the batch program exactly: κ =
+   * 2(ad − bc)/((a+b)(b+d)+(a+c)(c+d)) with exact BigInt products
+   * converted to double the same correctly-rounded way the batch
+   * DECIMAL(38,0) casts are, one division, Spark-round(6); zero
+   * denominator → None. Last emission == the batch row bit for bit
+   * (StreamingSpec pins it under shuffled batches).
+   */
+  def kappaStream(df: DataFrame, keyCol: String, rater1Col: String,
+                  rater2Col: String): Dataset[KappaUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(rater1Col).cast("boolean").as("__r1"),
+        col(rater2Col).cast("boolean").as("__r2"))
+      .where(col("__k").isNotNull && col("__r1").isNotNull &&
+        col("__r2").isNotNull)
+      .as[(String, Boolean, Boolean)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long), KappaUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Boolean, Boolean)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (a, b, c, d) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          rows.foreach { case (_, r1, r2) =>
+            if (r1 && r2) a += 1
+            else if (r1) b += 1
+            else if (r2) c += 1
+            else d += 1
+          }
+          state.update((a, b, c, d))
+          val num = BigInt(2) * (BigInt(a) * d - BigInt(b) * c)
+          val den = (BigInt(a + b) * (b + d)) + (BigInt(a + c) * (c + d))
+          val n = a + b + c + d
+          val kappa =
+            if (den == 0) None
+            else Some(java.math.BigDecimal
+              .valueOf(num.toDouble / den.toDouble)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+          KappaUpdate(key, n, a, b, c, d, (a + d) * 1000000L / n, kappa)
+      }
+  }
+
   /**
    * Streaming OLS trend — the continuous twin of `Behavior.trendFit`:
    * per key, the five moment sums live as exact integer micro-scale

@@ -1434,4 +1434,49 @@ class StreamingSpec extends SparkTestBase with Matchers {
     assert(got("k1")._2.isDefined && got("k2")._2 == Some(0.0) &&
       got("k3")._2.isEmpty)
   }
+
+  test("kappaStream: last emission equals batch cohensKappa, " +
+    "order-independent across shuffled batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // g: the hand 2x2 (a=4,b=1,c=1,d=4, kappa=0.6); z: both raters
+    // constant-false (denominator 0 -> None)
+    val rows = Seq.fill(4)(("g", true, true)) ++ Seq(("g", true, false)) ++
+      Seq(("g", false, true)) ++ Seq.fill(4)(("g", false, false)) ++
+      Seq.fill(3)(("z", false, false))
+    val input = MemoryStream[(String, Boolean, Boolean)]
+    val query = StreamingOps.kappaStream(
+        input.toDF().toDF("k", "r1", "r2"), "k", "r1", "r2")
+      .writeStream.format("memory").queryName("t_ks")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(5)
+      Seq(b2.reverse, b1).foreach { b => // shuffled: counts commute
+        input.addData(b: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_ks")
+      .groupBy("key").agg(last("n").as("n"), last("a").as("a"),
+        last("b").as("b"), last("c").as("c"), last("d").as("d"),
+        last("po_micro").as("po"), last("kappa").as("kp"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6),
+          Option(r.getAs[java.lang.Double]("kp"))))).toMap
+
+    val want = graft.operators.Eval.cohensKappa(
+        rows.toDF("k", "r1", "r2"), "r1", "r2", by = Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6),
+          Option(r.getAs[java.lang.Double]("kappa"))))).toMap
+
+    got shouldBe want
+    assert(got("g")._7 == Some(0.6) && got("z")._7.isEmpty)
+  }
 }
