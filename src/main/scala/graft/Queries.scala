@@ -3034,6 +3034,19 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q220 rank-biased overlap @10 per lang between the hashed quality
+    * scorer and the raw length heuristic: the top-weighted do-my-two-
+    * rankers-agree gate (τ weighs position 9000 like position 9; RBO
+    * doesn't) — all-integer suffix-sum weights, one BIGINT sum. */
+  val q220: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("lang", "n_chars"))
+    Eval.rankBiasedOverlap(scored, "lang", "doc_id", "score", "n_chars",
+        k = 10)
+      .orderBy("lang")
+  }
+
   /** Q213 "fightin' words" per lang: top-10 over-represented tokens
     * by Dirichlet-smoothed z-scored log-odds vs the rest of the
     * corpus — the corpus-comparison triage raw frequency ratios get
@@ -3132,6 +3145,28 @@ object Queries {
       "SELECT lang, n, dcg_micro, idcg_micro, " +
       "CASE WHEN idcg_micro > 0 THEN round(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6) END AS ndcg, " +
       "COALESCE(1000000 // fr, 0) AS mrr_micro FROM g ORDER BY lang"
+  }
+
+  /** The q220 oracle: the q206 scored-doc CTEs + n_chars as scorer B,
+    * two rank windows, and the SAME suffix-sum micro literals
+    * (`Eval.rboSuffixMicro`). */
+  private def rboOracle(k: Int, pMicro: Long): String = {
+    val sx = graft.operators.Eval.rboSuffixMicro(k, pMicro)
+    val wCase = "CASE " + (1 to k).map(i =>
+      s"WHEN m = $i THEN ${sx(i - 1)}").mkString(" ") + " ELSE 0 END"
+    "WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), " +
+      "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), " +
+      "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), " +
+      "d AS (SELECT doc_id, lang, SUM(wt) AS score FROM w GROUP BY 1, 2), " +
+      "v AS (SELECT d.doc_id, d.lang, d.score, doc.n_chars FROM d JOIN documents doc USING (doc_id)), " +
+      "r AS (SELECT lang, GREATEST(" +
+      "row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC), " +
+      "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)) AS m FROM v) " +
+      s"SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, " +
+      s"CAST(SUM(CASE WHEN m <= $k THEN 1 ELSE 0 END) AS BIGINT) AS overlap_k, " +
+      s"CAST(SUM($wCase) AS BIGINT) AS rbo_micro FROM r GROUP BY 1 ORDER BY lang"
   }
 
   /** The q212 oracle: the matrix-free power iteration unrolled —
@@ -4574,6 +4609,7 @@ object Queries {
     "q217_weighted_sample" -> q217,
     "q218_ndcg_mrr" -> q218,
     "q219_mulaw_audio" -> q219,
+    "q220_rbo" -> q220,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7590,6 +7626,7 @@ object Queries {
     "q209_zorder_audit" -> zorderOracle(16, 16),
     "q212_embed_pca" -> embedPcaOracle(64, 5),
     "q218_ndcg_mrr" -> ndcgOracle(10),
+    "q220_rbo" -> rboOracle(10, 900000L),
     "q213_logodds_words" ->
       // add-one Dirichlet log-odds: one double division of exact
       // BIGINTs per ln, portable micro-nat floor, BIGINT delta, one

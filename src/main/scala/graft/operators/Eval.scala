@@ -1042,6 +1042,60 @@ object Eval {
     (1 to k).map(i =>
       math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
 
+  /**
+   * Rank-biased overlap at depth k (Webber et al. 2010, the RBO_min
+   * truncation — implemented from the published series): how much do
+   * TWO scorers' rankings agree, weighted toward the top — the
+   * ranker-regression gate a rank correlation over the full list
+   * can't give (τ weighs position 9,000 like position 9). With
+   * persistence p, RBO@k = (1−p)·Σ_{d≤k} p^(d−1)·|A_d ∩ B_d|/d.
+   *
+   * All-integer trick: an item with ranks (rA, rB) both ≤ k joins the
+   * intersection at every depth d ≥ max(rA, rB), so its total
+   * contribution is the SUFFIX SUM Σ_{d≥max} (1−p)p^(d−1)/d — a fixed
+   * k-entry micro-scaled integer table ([[rboSuffixMicro]], same
+   * literals in engine and oracle). RBO_micro = Σ_items suffix[max]
+   * stays pure BIGINT; `overlap_k`/Jaccard@k ride along for the
+   * unweighted view.
+   *
+   * Output per group: `n`, `overlap_k` (|A_k ∩ B_k|), `rbo_micro`.
+   *
+   * Scale shape: two rank windows over the per-group candidate lists
+   * + one map-side-combined aggregation; list-sized state, never
+   * corpus-sized.
+   */
+  def rankBiasedOverlap(scored: DataFrame, groupCol: String, idCol: String,
+                        scoreACol: String, scoreBCol: String, k: Int = 10,
+                        pMicro: Long = 900000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val suffix = rboSuffixMicro(k, pMicro)
+    val wA = Window.partitionBy(groupCol)
+      .orderBy(col(scoreACol).desc, col(idCol).asc)
+    val wB = Window.partitionBy(groupCol)
+      .orderBy(col(scoreBCol).desc, col(idCol).asc)
+    val ranked = scored
+      .withColumn("__ra", row_number().over(wA))
+      .withColumn("__rb", row_number().over(wB))
+      .withColumn("__m", greatest(col("__ra"), col("__rb")))
+      .withColumn("__w", (1 to k).map(d =>
+        when(col("__m") === d, lit(suffix(d - 1))).otherwise(0L))
+        .reduce(_ + _))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__m") <= k, 1L).otherwise(0L)).as("overlap_k"),
+        sum(col("__w")).as("rbo_micro"))
+  }
+
+  /** The shared RBO suffix table: suffix[m] = round(10⁶·Σ_{d=m..k}
+    * (1−p)·p^(d−1)/d) — one micro integer per first-overlap depth,
+    * embedded verbatim in the oracle. */
+  private[graft] def rboSuffixMicro(k: Int, pMicro: Long): Seq[Long] = {
+    val p = pMicro.toDouble / 1e6
+    val terms = (1 to k).map(d => (1 - p) * math.pow(p, d - 1) / d)
+    (1 to k).map(m =>
+      math.floor(terms.drop(m - 1).sum * 1e6 + 0.5).toLong)
+  }
+
   def fleissKappa(votes: DataFrame, nPosCol: String, r: Int,
                   by: Seq[String] = Nil): DataFrame = {
     require(r >= 2, "Fleiss' kappa needs >= 2 raters")

@@ -528,6 +528,26 @@ class EvalSpec extends SparkTestBase with Matchers {
     assert(out("z")._3.isEmpty && out("z")._4 == 0L)
   }
 
+  test("rankBiasedOverlap: identical lists sum the suffix table, disjoint top-k is 0, adjacent swap") {
+    val ss = spark
+    import ss.implicits._
+    val sfx = Eval.rboSuffixMicro(10, 900000L)
+    val rows =
+      (1 to 20).map(i => ("same", i.toLong, 100L - i, 100L - i)) ++
+      (1 to 20).map(i => ("rev", i.toLong, 100L - i, i.toLong)) ++
+      // swap: B ranks item 1 second and item 2 first, rest identical
+      (1 to 20).map(i => ("swap", i.toLong, 100L - i,
+        if (i == 1) 98L else if (i == 2) 99L else 100L - i))
+    val out = Eval.rankBiasedOverlap(rows.toDF("g", "id", "sa", "sb"),
+        "g", "id", "sa", "sb", k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out("same") == ((10L, sfx.sum)))
+    assert(out("rev") == ((0L, 0L)))
+    // swapped pair both first-overlap at depth 2
+    assert(out("swap") == ((10L, sfx.sum - sfx(0) + sfx(1))))
+  }
+
   test("bradleyTerry: 2-item closed form, never-wins item -> 0, strengths sum to 1") {
     val ss = spark
     import ss.implicits._
