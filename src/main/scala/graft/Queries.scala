@@ -3618,6 +3618,19 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Q221 Wasserstein-1 drift of each source's length distribution vs
+    * the corpus, computed purely from the persisted log-histogram
+    * sketches: PSI (q175) says THAT a feed moved; W₁ says HOW FAR in
+    * relative-scale bucket units — exact integer CDF cross-products,
+    * one 6-dp division. */
+  val q221: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val perSource = Sketch.logHistSketch(docs, Seq("source"), "n_chars")
+    val corpus = Sketch.logHistSketch(docs, Seq.empty, "n_chars")
+    Sketch.logHistEmd(perSource, Seq("source"), corpus)
+      .orderBy("source")
+  }
+
   /** Q173 Spearman rank correlation (the monotone-association gate):
     * does raw document length rank documents the way token count
     * does, per language — average-tie integer double-ranks from
@@ -4610,6 +4623,7 @@ object Queries {
     "q218_ndcg_mrr" -> q218,
     "q219_mulaw_audio" -> q219,
     "q220_rbo" -> q220,
+    "q221_sketch_emd" -> q221,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7627,6 +7641,29 @@ object Queries {
     "q212_embed_pca" -> embedPcaOracle(64, 5),
     "q218_ndcg_mrr" -> ndcgOracle(10),
     "q220_rbo" -> rboOracle(10, 900000L),
+    "q221_sketch_emd" ->
+      // the q175 union-sketch replay with an ORDERED cum window:
+      // W1 = sum |cumA*Nr - cumR*Na| / (Na*Nr), exact decimal
+      // cross-products, one 6-dp division
+      ("WITH d AS (SELECT source, n_chars AS v FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0), "
+        + "k AS (SELECT source, CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS b, "
+        + "CASE WHEN v = 0 THEN 0 ELSE (v * 8) // CAST(power(2, length(bin(v))) AS BIGINT) END AS q FROM d), "
+        + "sa AS (SELECT source, b, q, COUNT(*) AS na FROM k GROUP BY 1, 2, 3), "
+        + "sr AS (SELECT b, q, COUNT(*) AS nr FROM k GROUP BY 1, 2), "
+        + "grid AS (SELECT g.source, r.b, r.q, r.nr FROM (SELECT DISTINCT source FROM sa) g CROSS JOIN sr r), "
+        + "j AS (SELECT COALESCE(grid.source, sa.source) AS source, COALESCE(grid.b, sa.b) AS b, "
+        + "COALESCE(grid.q, sa.q) AS q, COALESCE(sa.na, 0) AS na, COALESCE(grid.nr, 0) AS nr "
+        + "FROM grid FULL OUTER JOIN sa ON grid.source = sa.source AND grid.b = sa.b AND grid.q = sa.q), "
+        + "t AS (SELECT source, na, nr, "
+        + "SUM(na) OVER (PARTITION BY source ORDER BY b, q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca, "
+        + "SUM(nr) OVER (PARTITION BY source ORDER BY b, q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr, "
+        + "SUM(na) OVER (PARTITION BY source) AS ta, SUM(nr) OVER (PARTITION BY source) AS tr, "
+        + "COUNT(*) OVER (PARTITION BY source) AS bk FROM j), "
+        + "s AS (SELECT source, bk, ta, tr, "
+        + "abs(CAST(ca AS DECIMAL(38,0)) * tr - CAST(cr AS DECIMAL(38,0)) * ta) AS dd FROM t) "
+        + "SELECT source, CAST(MAX(bk) AS BIGINT) AS n_buckets, "
+        + "round(CAST(SUM(dd) AS DOUBLE) / (CAST(MAX(ta) AS DOUBLE) * MAX(tr)), 6) AS emd "
+        + "FROM s GROUP BY 1 ORDER BY 1"),
     "q213_logodds_words" ->
       // add-one Dirichlet log-odds: one double division of exact
       // BIGINTs per ln, portable micro-nat floor, BIGINT delta, one

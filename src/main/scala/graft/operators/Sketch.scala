@@ -370,6 +370,58 @@ object Sketch {
   }
 
   /**
+   * Wasserstein-1 (earth-mover) drift between a group's log-histogram
+   * sketch and a reference sketch, in BUCKET-INDEX space — the
+   * magnitude-of-shift companion to [[logHistPsi]] (PSI says THAT the
+   * distribution moved; W₁ says HOW FAR, in ±12.5%-wide log buckets,
+   * i.e. relative-scale units — one unit ≈ one 12.5% multiplicative
+   * step). Computed ENTIRELY from the two small sketch tables after
+   * the data is gone, like every sketch consumer here.
+   *
+   * Exactness: over the (b, q)-ordered union bucket set,
+   * W₁ = Σ |CDF_a − CDF_r| = Σ |cumA·N_r − cumR·N_a| / (N_a·N_r) —
+   * the numerator terms are exact DECIMAL(38,0) products summed in
+   * DECIMAL, and ONE double division rounds to 6 dp. Identical
+   * sketches give exactly 0; a one-bucket shift of the whole mass
+   * gives exactly 1.
+   *
+   * Output: `by`* + (`n_buckets`, `emd`).
+   *
+   * Scale shape: groups × ref-buckets rows, ref is a broadcast; no
+   * data-sized anything.
+   */
+  def logHistEmd(sketch: DataFrame, by: Seq[String],
+                 ref: DataFrame): DataFrame = {
+    val groups = sketch.select(by.map(col): _*).distinct()
+    val grid = groups.crossJoin(
+      broadcast(ref.select(col("b"), col("q"), col("n").as("__nr"))))
+    val joined = grid.join(sketch.withColumnRenamed("n", "__na"),
+      by ++ Seq("b", "q"), "full_outer")
+      .select((by.map(col) :+ col("b") :+ col("q") :+
+        coalesce(col("__na"), lit(0L)).as("__na") :+
+        coalesce(col("__nr"), lit(0L)).as("__nr")): _*)
+    val wg = Window.partitionBy(by.map(col): _*)
+    val wOrd = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("b"), col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val withCum = joined
+      .withColumn("__ca", sum(col("__na")).over(wOrd))
+      .withColumn("__cr", sum(col("__nr")).over(wOrd))
+      .withColumn("__ta", sum(col("__na")).over(wg))
+      .withColumn("__tr", sum(col("__nr")).over(wg))
+      .withColumn("__bk", count(lit(1)).over(wg))
+      .withColumn("__d",
+        abs(dec(col("__ca")) * dec(col("__tr")) -
+          dec(col("__cr")) * dec(col("__ta"))).cast("decimal(38,0)"))
+    withCum.groupBy(by.map(col): _*)
+      .agg(max(col("__bk")).as("n_buckets"),
+        round(sum(col("__d")).cast("double") /
+          (max(col("__ta")).cast("double") * max(col("__tr"))), 6)
+          .as("emd"))
+  }
+
+  /**
    * Rank queries over a merged histogram: for each requested φ, the
    * LOWER BOUND of the first bucket whose cumulative count reaches
    * ⌈φ·N⌉ (ties and boundaries all integer decisions; the answer is

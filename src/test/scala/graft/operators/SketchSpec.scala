@@ -148,4 +148,24 @@ class SketchSpec extends SparkTestBase {
         s"$name: lb=$lb exact=$exact")
     }
   }
+
+  test("logHistEmd: identical sketches 0, whole-mass one-bucket shift exactly 1") {
+    val ss = spark
+    import ss.implicits._
+    // v=8 -> bucket (b=4, q=4); v=10 -> (4, 5): adjacent buckets
+    val eights = Seq.fill(5)(("s", 8L)).toDF("g", "v")
+    val tens = Seq.fill(5)(("s", 10L)).toDF("g", "v")
+    val skA = Sketch.logHistSketch(eights, Seq("g"), "v")
+    val refSame = Sketch.logHistSketch(eights, Seq.empty, "v")
+    val refShift = Sketch.logHistSketch(tens, Seq.empty, "v")
+    val same = Sketch.logHistEmd(skA, Seq("g"), refSame).head()
+    assert(same.getLong(1) == 1L && same.getDouble(2) == 0.0)
+    val shift = Sketch.logHistEmd(skA, Seq("g"), refShift).head()
+    assert(shift.getLong(1) == 2L && shift.getDouble(2) == 1.0)
+    // unequal masses still compare as distributions: 5x8 vs 10x10
+    val refBig = Sketch.logHistSketch(
+      Seq.fill(10)(("s", 10L)).toDF("g", "v"), Seq.empty, "v")
+    assert(Sketch.logHistEmd(skA, Seq("g"), refBig).head()
+      .getDouble(2) == 1.0)
+  }
 }
