@@ -88,7 +88,19 @@ object PlanAudit {
     "q183_rfm",
     // q185: the ONE-row Nt / Nb total broadcasts onto the
     // vocab-bounded collocation table (q129 doc-count shape)
-    "q185_pmi_collocations")
+    "q185_pmi_collocations",
+    // q209: layoutAudit's ONE-row global min/max stats broadcast and
+    // the ONE-row quantile-cuts broadcast per layout (q157 shape)
+    "q209_zorder_audit",
+    // q213: logOddsWords' ONE-row (corpus total, vocab size) broadcast
+    // onto the vocab-bounded count table (q129 shape)
+    "q213_logodds_words",
+    // q214: jsSourceMatrix's sources-sized (~20-row) totals broadcast
+    // building the pair grid and joining the shared-token aggregates
+    "q214_js_source_matrix",
+    // q221: logHistEmd's reference sketch is a ≤ ~70-row bucket table
+    // broadcast onto the group list (the q175 PSI-grid shape)
+    "q221_sketch_emd")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")
