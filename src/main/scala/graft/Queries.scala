@@ -3631,6 +3631,16 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Q222 quantile-normalization mapping of doc length across
+    * sources: each (source, n_chars) → the global value at the same
+    * percentile position, all-integer rank/ceil-div/type-1 decisions
+    * — the broadcastable table that makes one corpus-wide threshold
+    * mean the same thing in every feed. */
+  val q222: Q = (s, dir) =>
+    Eval.quantileNormalizeMap(Tables.documents(s, dir), "source",
+        "n_chars")
+      .orderBy("source", "n_chars")
+
   /** Q173 Spearman rank correlation (the monotone-association gate):
     * does raw document length rank documents the way token count
     * does, per language — average-tie integer double-ranks from
@@ -4624,6 +4634,7 @@ object Queries {
     "q219_mulaw_audio" -> q219,
     "q220_rbo" -> q220,
     "q221_sketch_emd" -> q221,
+    "q222_quantile_norm" -> q222,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7641,6 +7652,21 @@ object Queries {
     "q212_embed_pca" -> embedPcaOracle(64, 5),
     "q218_ndcg_mrr" -> ndcgOracle(10),
     "q220_rbo" -> rboOracle(10, 900000L),
+    "q222_quantile_norm" ->
+      // the engine's integer rank/ceil-div program plus a correlated
+      // MIN lookup for the type-1 global position
+      ("WITH d AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents WHERE n_chars IS NOT NULL), "
+        + "h AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2), "
+        + "s AS (SELECT g, v, c, SUM(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        + "SUM(c) OVER (PARTITION BY g) AS ns FROM h), "
+        + "r AS (SELECT g, v, c, (cum - c) * 2 + c + 1 AS r2, ns FROM s), "
+        + "gh AS (SELECT v AS gv, CAST(COUNT(*) AS BIGINT) AS gc FROM d GROUP BY 1), "
+        + "gc AS (SELECT gv, SUM(gc) OVER (ORDER BY gv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum FROM gh), "
+        + "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d), "
+        + "m AS (SELECT g, v, c, CAST((r2 * nn + 2 * ns - 1) // (2 * ns) AS BIGINT) AS gpos FROM r, n) "
+        + "SELECT m.g AS source, m.v AS n_chars, m.c AS n, m.gpos AS global_pos, "
+        + "(SELECT MIN(gv) FROM gc WHERE gcum >= m.gpos) AS norm_v "
+        + "FROM m ORDER BY source, n_chars"),
     "q221_sketch_emd" ->
       // the q175 union-sketch replay with an ORDERED cum window:
       // W1 = sum |cumA*Nr - cumR*Na| / (Na*Nr), exact decimal

@@ -1096,6 +1096,65 @@ object Eval {
       math.floor(terms.drop(m - 1).sum * 1e6 + 0.5).toLong)
   }
 
+  /**
+   * Quantile-normalization mapping table — cross-source score
+   * comparability: each (source, value) maps to the GLOBAL value at
+   * the same percentile position, so one corpus-wide threshold means
+   * the same thing in every feed (the fix for "source A's scorer
+   * runs hot"). The output is the small mapping TABLE (one row per
+   * distinct value per group), which callers broadcast-join to apply
+   * — the data itself is touched only by the two histogram passes.
+   *
+   * All-integer mapping: within a group, a value block's average
+   * double-rank r2 = 2·below + c + 1 (the q160 tie convention) maps
+   * to global position ⌈r2·N / (2·n_g)⌉ by pure integer ceil-div, and
+   * norm_v is the smallest global value whose cumulative count
+   * reaches that position (type-1, all integer decisions). A
+   * one-group corpus maps every value to itself (spec-pinned).
+   * Bound: r2·N stays in BIGINT for N up to ~2·10⁹ rows per
+   * normalization domain; shard the domain beyond that.
+   *
+   * Output: (group, value, `n`, `global_pos`, `norm_v`).
+   *
+   * Scale shape: two map-side-combined histograms; the ordered
+   * windows and the position-lookup join run over DISTINCT-VALUE
+   * tables (value-bounded, never row-bounded) — the lookup is a
+   * broadcast inequality join of mapping rows × global values,
+   * Σ bounded by |values|²/2, and the global cum window is the same
+   * value-bounded global window the score-histogram family uses.
+   */
+  def quantileNormalizeMap(df: DataFrame, groupCol: String,
+                           valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val hist = df.where(v.isNotNull)
+      .groupBy(col(groupCol).as("__g"), v.cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy("__g")
+    val src = hist
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__ns", sum(col("__c")).over(wg))
+      .withColumn("__r2",
+        (col("__cum") - col("__c")) * 2 + col("__c") + 1)
+    val ghist = df.where(v.isNotNull)
+      .groupBy(v.cast("long").as("__gv")).agg(count(lit(1)).as("__gc"))
+    val wgo = Window.orderBy("__gv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = ghist.withColumn("__gcum", sum(col("__gc")).over(wgo))
+      .select(col("__gv"), col("__gcum"))
+    val tot = df.where(v.isNotNull).agg(count(lit(1)).as("__n"))
+    val mapped = src.crossJoin(broadcast(tot))
+      .withColumn("__gpos",
+        expr("(__r2 * __n + 2 * __ns - 1) div (2 * __ns)"))
+    mapped.join(broadcast(gcum), col("__gcum") >= col("__gpos"))
+      .groupBy(col("__g"), col("__v"), col("__c"), col("__gpos"))
+      .agg(min(struct(col("__gcum"), col("__gv"))).as("__pick"))
+      .select(col("__g").as(groupCol), col("__v").as(valueCol),
+        col("__c").as("n"), col("__gpos").as("global_pos"),
+        col("__pick.__gv").as("norm_v"))
+  }
+
   def fleissKappa(votes: DataFrame, nPosCol: String, r: Int,
                   by: Seq[String] = Nil): DataFrame = {
     require(r >= 2, "Fleiss' kappa needs >= 2 raters")

@@ -548,6 +548,28 @@ class EvalSpec extends SparkTestBase with Matchers {
     assert(out("swap") == ((10L, sfx.sum - sfx(0) + sfx(1))))
   }
 
+  test("quantileNormalizeMap: one-group identity; shifted sources align to the same global values") {
+    val ss = spark
+    import ss.implicits._
+    // a single source maps every value to itself (the identity pin)
+    val solo = Seq(("s", 5L), ("s", 5L), ("s", 7L), ("s", 9L))
+      .toDF("g", "v")
+    val idm = Eval.quantileNormalizeMap(solo, "g", "v")
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(idm == Map(5L -> 5L, 7L -> 7L, 9L -> 9L))
+    // two shifted sources: A {1, 2}, B {11, 12} — each source's low
+    // value lands on the same global position (2) and its high on 12
+    val two = Seq(("a", 1L), ("a", 2L), ("b", 11L), ("b", 12L))
+      .toDF("g", "v")
+    val out = Eval.quantileNormalizeMap(two, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("a", 1L)) == ((2L, 2L)))
+    assert(out(("b", 11L)) == ((2L, 2L)))
+    assert(out(("a", 2L)) == ((4L, 12L)))
+    assert(out(("b", 12L)) == ((4L, 12L)))
+  }
+
   test("bradleyTerry: 2-item closed form, never-wins item -> 0, strengths sum to 1") {
     val ss = spark
     import ss.implicits._
