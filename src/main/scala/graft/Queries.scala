@@ -3641,6 +3641,32 @@ object Queries {
         "n_chars")
       .orderBy("source", "n_chars")
 
+  /** Q223 data-contract audit: referential integrity (anti-join
+    * posture), duplicate PKs, column-rule and cross-table-date checks
+    * as one exact ppm report — the expectation suite an ingest runs
+    * before joins silently drop rows; discount-policy rule exercises the
+    * nonzero path. */
+  val q223: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val shipJoined = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    Profile.refIntegrity(li, "l_orderkey", o, "o_orderkey",
+        "li_orphan_order")
+      .unionByName(Profile.refIntegrity(o, "o_custkey", c, "c_custkey",
+        "ord_orphan_cust"))
+      .unionByName(Profile.checkRow(li, "li_nonpositive_qty",
+        col("l_quantity") <= 0))
+      .unionByName(Profile.checkRow(shipJoined, "li_ship_before_order",
+        col("l_shipdate") < col("o_orderdate")))
+      .unionByName(Profile.checkRow(li, "li_discount_over_5pct",
+        col("l_discount") > 0.05))
+      .unionByName(Profile.dupPk(o, "o_orderkey", "ord_dup_pk"))
+      .orderBy("check")
+  }
+
   /** Q173 Spearman rank correlation (the monotone-association gate):
     * does raw document length rank documents the way token count
     * does, per language — average-tie integer double-ranks from
@@ -4635,6 +4661,7 @@ object Queries {
     "q220_rbo" -> q220,
     "q221_sketch_emd" -> q221,
     "q222_quantile_norm" -> q222,
+    "q223_contract_audit" -> q223,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7652,6 +7679,27 @@ object Queries {
     "q212_embed_pca" -> embedPcaOracle(64, 5),
     "q218_ndcg_mrr" -> ndcgOracle(10),
     "q220_rbo" -> rboOracle(10, 900000L),
+    "q223_contract_audit" ->
+      // six scalar-subquery check rows; NULL FKs count as orphans
+      // (NOT EXISTS against NULL is true, matching left_anti)
+      ("WITH rows0 AS ("
+        + "SELECT 'li_orphan_order' AS \"check\", (SELECT COUNT(*) FROM lineitem) AS n, "
+        + "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_bad "
+        + "UNION ALL SELECT 'ord_orphan_cust', (SELECT COUNT(*) FROM orders), "
+        + "(SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) "
+        + "UNION ALL SELECT 'li_nonpositive_qty', (SELECT COUNT(*) FROM lineitem), "
+        + "(SELECT COUNT(*) FROM lineitem WHERE COALESCE(l_quantity <= 0, TRUE)) "
+        + "UNION ALL SELECT 'li_ship_before_order', "
+        + "(SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), "
+        + "(SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        + "WHERE COALESCE(l.l_shipdate < o.o_orderdate, TRUE)) "
+        + "UNION ALL SELECT 'li_discount_over_5pct', (SELECT COUNT(*) FROM lineitem), "
+        + "(SELECT COUNT(*) FROM lineitem WHERE COALESCE(l_discount > 0.05, TRUE)) "
+        + "UNION ALL SELECT 'ord_dup_pk', (SELECT COUNT(*) FROM orders), "
+        + "(SELECT COALESCE(SUM(c), 0) FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))) "
+        + "SELECT \"check\", CAST(n AS BIGINT) AS n, CAST(n_bad AS BIGINT) AS n_bad, "
+        + "CAST(CASE WHEN n > 0 THEN n_bad * 1000000 // n ELSE 0 END AS BIGINT) AS bad_ppm "
+        + "FROM rows0 ORDER BY \"check\""),
     "q222_quantile_norm" ->
       // the engine's integer rank/ceil-div program plus a correlated
       // MIN lookup for the type-1 global position

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -308,5 +308,54 @@ object Profile {
         (floor((col("n") * col("n")).cast("double") /
           col("__s2").cast("double") * 1e6d + 0.5d) / 1e6d)
           .as("eff_cats")): _*)
+  }
+
+  /**
+   * One data-contract check row: (`check`, `n`, `n_bad`, `bad_ppm`) —
+   * the shape a contract suite unions into its report. `bad` is a
+   * predicate over `df`'s rows; nulls in the predicate count as
+   * violations (a check that can't evaluate has failed).
+   */
+  def checkRow(df: DataFrame, name: String, bad: Column): DataFrame =
+    df.agg(count(lit(1)).as("n"),
+        sum(when(coalesce(bad, lit(true)), 1L).otherwise(0L)).as("n_bad"))
+      .select(lit(name).as("check"), col("n"), col("n_bad"),
+        when(col("n") > 0L, expr("n_bad * 1000000 div n"))
+          .otherwise(0L).as("bad_ppm"))
+
+  /**
+   * Referential-integrity check row: child rows whose foreign key has
+   * no parent — the contract every star-schema ingest must hold
+   * before joins silently drop rows. NULL foreign keys count as
+   * orphans (they'd vanish in an inner join too).
+   *
+   * Scale shape: ONE left-anti join on the key (shuffle- or
+   * broadcast-hash by statistics; never row-pairing) + two counts.
+   */
+  def refIntegrity(child: DataFrame, fkCol: String, parent: DataFrame,
+                   pkCol: String, name: String): DataFrame = {
+    val orphans = child.select(col(fkCol).as("__fk"))
+      .join(parent.select(col(pkCol).as("__fk")).distinct(),
+        Seq("__fk"), "left_anti")
+      .agg(count(lit(1)).as("__o"))
+    child.agg(count(lit(1)).as("n")).crossJoin(broadcast(orphans))
+      .select(lit(name).as("check"), col("n"), col("__o").as("n_bad"),
+        when(col("n") > 0L, expr("__o * 1000000 div n"))
+          .otherwise(0L).as("bad_ppm"))
+  }
+
+  /**
+   * Duplicate-primary-key check row: rows carrying a key that occurs
+   * more than once (ALL rows of a duplicated key count — the number
+   * of rows an idempotent upsert would have to reconcile).
+   */
+  def dupPk(df: DataFrame, pkCol: String, name: String): DataFrame = {
+    val dups = df.groupBy(col(pkCol)).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1L)
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__d"))
+    df.agg(count(lit(1)).as("n")).crossJoin(broadcast(dups))
+      .select(lit(name).as("check"), col("n"), col("__d").as("n_bad"),
+        when(col("n") > 0L, expr("__d * 1000000 div n"))
+          .otherwise(0L).as("bad_ppm"))
   }
 }

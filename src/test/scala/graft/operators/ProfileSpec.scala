@@ -191,4 +191,26 @@ class ProfileSpec extends SparkTestBase with Matchers {
     assert(out("h") == ((2L, 2L, 500000L, 2.0)))
     assert(out("k") == ((1L, 1L, 1000000L, 1.0)))
   }
+
+  test("contract checks: orphans incl. NULL FK, dup-PK row counting, NULL predicate = violation") {
+    val ss = spark
+    import ss.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val ri = Profile.refIntegrity(child, "fk", parent, "pk", "ri").head()
+    // 9 has no parent; a NULL FK would vanish in an inner join: 2 bad
+    assert((ri.getString(0), ri.getLong(1), ri.getLong(2),
+      ri.getLong(3)) == (("ri", 4L, 2L, 500000L)))
+    val dup = Profile.dupPk(
+      Seq(1L, 1L, 1L, 2L, 3L).toDF("pk"), "pk", "dp").head()
+    assert((dup.getLong(1), dup.getLong(2), dup.getLong(3)) ==
+      ((5L, 3L, 600000L))) // ALL rows of the duplicated key count
+    val clean = Profile.dupPk(Seq(1L, 2L).toDF("pk"), "pk", "dp").head()
+    assert(clean.getLong(2) == 0L && clean.getLong(3) == 0L)
+    // a predicate that cannot evaluate (NULL) is a failed check
+    val cr = Profile.checkRow(
+      Seq(Some(5L), Some(-1L), None).toDF("v"), "c",
+      col("v") <= 0L).head()
+    assert((cr.getLong(1), cr.getLong(2)) == ((3L, 2L)))
+  }
 }
