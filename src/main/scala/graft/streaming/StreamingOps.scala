@@ -1139,6 +1139,70 @@ object StreamingOps {
   case class TrendUpdate(key: String, n: Long, slope: Option[Double],
                          intercept: Option[Double], r2: Option[Double])
 
+  /** One emission of [[fanoStream]]: the group's dispersion state
+    * after a micro-batch, scored by the batch Fano program. */
+  case class FanoUpdate(key: String, n_days: Long, n_active_days: Long,
+                        total: Long, mean_micro: Long,
+                        fano: Option[Double])
+
+  /**
+   * Streaming Fano factor — the continuous twin of
+   * `Behavior.fanoFactor`: per key, the state is (min day, max day,
+   * active-day count, Σn, Σn² as BigInt-string), ALL of which commute
+   * — any arrival order of daily-count rows lands on identical state;
+   * no ordered replay, no intra-batch sort. The live burstiness
+   * monitor: a feed whose F jumps ≫1 mid-stream is replaying a
+   * backfill through an organic tag.
+   *
+   * Contract: rows are (key, day index, count) DAILY-MATRIX rows,
+   * each (key, day) arriving at most once (the batch operator's input
+   * shape; re-sends would double-count, the cusumStream-style caller
+   * contract). Gap days inside [min, max] count as exact zeros
+   * through the span, exactly like the batch. Each emission replays
+   * the batch double program; the last emission equals the batch row
+   * bit for bit (StreamingSpec pins it under shuffled batches).
+   */
+  def fanoStream(df: DataFrame, keyCol: String, dayCol: String,
+                 nCol: String): Dataset[FanoUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(dayCol).cast("long").as("__d"), col(nCol).cast("long").as("__n"))
+      .where(col("__k").isNotNull && col("__d").isNotNull &&
+        col("__n").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long, String), FanoUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long, String)]) =>
+          val prev = state.getOption.getOrElse(
+            (Long.MaxValue, Long.MinValue, 0L, 0L, "0"))
+          var (dMin, dMax, active, total) = (prev._1, prev._2, prev._3, prev._4)
+          var s2 = BigInt(prev._5)
+          rows.foreach { case (_, d, n) =>
+            if (d < dMin) dMin = d
+            if (d > dMax) dMax = d
+            active += 1
+            total += n
+            s2 += BigInt(n) * n
+          }
+          state.update((dMin, dMax, active, total, s2.toString))
+          val nDays = dMax - dMin + 1
+          val fano =
+            if (total <= 0L) None
+            else {
+              val num = BigInt(nDays) * s2 - BigInt(total) * total
+              val den = BigInt(nDays) * total
+              Some(java.math.BigDecimal
+                .valueOf(num.toDouble / den.toDouble)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+            }
+          FanoUpdate(key, nDays, active, total,
+            total * 1000000L / nDays, fano)
+      }
+  }
+
   /** One emission of [[kappaStream]]: the group's 2×2 agreement state
     * after a micro-batch, scored by the batch kappa program. */
   case class KappaUpdate(key: String, n: Long, a: Long, b: Long,

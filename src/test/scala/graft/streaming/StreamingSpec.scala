@@ -1479,4 +1479,46 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got shouldBe want
     assert(got("g")._7 == Some(0.6) && got("z")._7.isEmpty)
   }
+
+  test("fanoStream: last emission equals batch fanoFactor, " +
+    "order-independent across shuffled daily batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = Seq(
+      ("bursty", 0L, 3L), ("bursty", 2L, 1L), // gap day 1 is a zero
+      ("flat", 0L, 2L), ("flat", 1L, 2L), ("flat", 2L, 2L),
+      ("dead", 5L, 0L))
+    val input = MemoryStream[(String, Long, Long)]
+    val query = StreamingOps.fanoStream(
+        input.toDF().toDF("k", "x", "n"), "k", "x", "n")
+      .writeStream.format("memory").queryName("t_fano")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(3)
+      Seq(b2.reverse, b1.reverse).foreach { b =>
+        input.addData(b: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_fano")
+      .groupBy("key").agg(last("n_days").as("nd"),
+        last("n_active_days").as("na"), last("total").as("t"),
+        last("mean_micro").as("m"), last("fano").as("f"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.getAs[java.lang.Double]("f"))))).toMap
+
+    val want = graft.operators.Behavior.fanoFactor(
+        rows.toDF("k", "x", "n"), Seq("k"), "x", "n")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.getAs[java.lang.Double]("fano"))))).toMap
+
+    got shouldBe want
+    assert(got("bursty")._5 == Some(1.166667) && got("dead")._5.isEmpty)
+  }
 }
