@@ -2826,6 +2826,21 @@ object Queries {
         "text", tNum = 3, tDen = 5, shingleWidth = 3)
       .orderBy("d1", "d2")
 
+  /** Q224 incremental set-similarity against the persisted shingle
+    * index: the incoming batch (doc_id % 10 = 0) joins its frozen-
+    * order prefixes against the corpus index and emits every
+    * qualifying (new, history) pair — the corpus is never
+    * re-shingled, zero false negatives by the prefix theorem. */
+  val q224: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val index = Dedup.shingleHashRows(hist, "doc_id", "text", 3)
+    Dedup.prefixJaccardAgainstIndex(incoming, "doc_id", "text", index,
+        tNum = 3, tDen = 5)
+      .orderBy("d1", "d2")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -4662,6 +4677,7 @@ object Queries {
     "q221_sketch_emd" -> q221,
     "q222_quantile_norm" -> q222,
     "q223_contract_audit" -> q223,
+    "q224_setsim_incremental" -> q224,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7632,6 +7648,18 @@ object Queries {
         + "n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1), "
         + "i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS i "
         + "FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        + "SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 6) AS jaccard "
+        + "FROM i JOIN n n1 ON i.d1 = n1.doc_id JOIN n n2 ON i.d2 = n2.doc_id "
+        + "WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= 0.6 ORDER BY d1, d2"),
+    "q224_setsim_incremental" ->
+      // complete reference: every qualifying cross-split pair shares
+      // >= 1 shingle, so the split shared-shingle join is exhaustive
+      ("WITH w AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS ws FROM documents), "
+        + "t AS (SELECT DISTINCT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])) AS sh "
+        + "FROM w WHERE len(ws) >= 3), "
+        + "n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1), "
+        + "i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS i "
+        + "FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2) "
         + "SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 6) AS jaccard "
         + "FROM i JOIN n n1 ON i.d1 = n1.doc_id JOIN n n2 ON i.d2 = n2.doc_id "
         + "WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= 0.6 ORDER BY d1, d2"),

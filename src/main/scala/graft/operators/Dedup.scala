@@ -1073,4 +1073,61 @@ object Dedup {
     exactJaccardResidual(candidates, sh, sig, tNum.toDouble / tDen)
       .withColumn("jaccard", round(col("jaccard"), 6))
   }
+
+  /**
+   * Incremental EXACT set-similarity against a PERSISTED shingle
+   * index — the q87 incremental posture for [[prefixFilterJaccardJoin]]:
+   * the corpus's distinct shingle-hash rows (`shingleHashRows` output,
+   * 16 B/shingle — the same asset class as `fingerprints`) are stored
+   * once; each incoming batch joins its prefixes against the index's
+   * prefixes and emits every (new, history) pair at Jaccard ≥ t,
+   * with no false negatives — the corpus is never re-shingled.
+   *
+   * The canonical order FREEZES at the index: elements rank by
+   * (history df ASC, hash ASC), and shingles the history has never
+   * seen take df 0 (rarest — they index first, which only ADDS
+   * candidates; the prefix theorem needs one shared TOTAL order, not
+   * a current one). Caller contract: new ids are disjoint from
+   * history ids (the survivorsAgainstHistory contract).
+   *
+   * Output: (d1 = new id, d2 = history id, jaccard ≥ t, 6 dp).
+   *
+   * Scale shape: the history prefix rows are computed from the index
+   * once per batch (index-bounded, hash-only); the batch side is
+   * batch-sized; the residual intersection joins hash rows only.
+   */
+  def prefixJaccardAgainstIndex(newDocs: DataFrame, idCol: String,
+                                textCol: String, index: DataFrame,
+                                tNum: Int, tDen: Int,
+                                shingleWidth: Int = 3): DataFrame = {
+    require(tNum >= 1 && tDen >= tNum, "threshold must be in (0, 1]")
+    val histSh = index.select(col("__id"), col("__sh"))
+      .localCheckpoint(eager = false)
+    val dfH = histSh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    val newSh = shingleHashRows(newDocs, idCol, textCol, shingleWidth)
+      .localCheckpoint(eager = false)
+
+    def prefixOf(sh: DataFrame): DataFrame = {
+      val ordered = sh.join(dfH, Seq("__sh"), "left")
+        .withColumn("__df", coalesce(col("__df"), lit(0L)))
+        .groupBy("__id")
+        .agg(sort_array(collect_list(struct(col("__df"), col("__sh"))))
+          .as("__ord"))
+        .select(col("__id"), col("__ord"), size(col("__ord")).as("__n"))
+      val p = (col("__n") -
+        expr(s"(__n * $tNum + ${tDen - 1}) div $tDen") + 1).cast("int")
+      ordered.select(col("__id"), col("__n"),
+        explode(slice(col("__ord"), lit(1), p)).as("__s"))
+        .select(col("__id"), col("__n"), col("__s.__sh").as("__sh"))
+    }
+
+    val candidates = prefixOf(newSh).alias("a")
+      .join(prefixOf(histSh).alias("b"), col("a.__sh") === col("b.__sh"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
+      .distinct()
+    val sh = newSh.unionByName(histSh)
+    val sig = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    exactJaccardResidual(candidates, sh, sig, tNum.toDouble / tDen)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+  }
 }

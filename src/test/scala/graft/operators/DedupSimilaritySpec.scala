@@ -682,6 +682,37 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     assert(out(4) == ((4L, Some(9.0))))
   }
 
+  test("prefixJaccardAgainstIndex: borderline pair under the frozen order; novel doc matches nothing; == full join cross-split") {
+    val ss = spark
+    import ss.implicits._
+    val hist = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a b c d e f"),  // exact duplicate of history
+      (20L, "a b c d e g"),  // borderline J = 3/5 vs history
+      (30L, "p q r s t u")   // all shingles unseen: df-0 prefixes
+    ).toDF("doc_id", "text")
+    val index = Dedup.shingleHashRows(hist, "doc_id", "text", 3)
+    val out = Dedup.prefixJaccardAgainstIndex(incoming, "doc_id", "text",
+        index, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out == Map((10L, 1L) -> 1.0, (20L, 1L) -> 0.6))
+
+    // equals the full pairwise join restricted to cross-split pairs
+    val d = Tables.documents(spark, sf0001)
+    val idx = Dedup.shingleHashRows(
+      d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3)
+    val inc = Dedup.prefixJaccardAgainstIndex(
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text", idx, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val full = Dedup.prefixFilterJaccardJoin(d, "doc_id", "text", 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => (p._1 % 10 == 0) != (p._2 % 10 == 0))
+      .map(p => if (p._1 % 10 == 0) p else (p._2, p._1, p._3)).toSet
+    assert(inc == full)
+  }
+
   test("topComponent: exact 2-D eigenpair on a centered rank-1 cloud") {
     val ss = spark
     import ss.implicits._
