@@ -100,7 +100,15 @@ object PlanAudit {
     "q214_js_source_matrix",
     // q221: logHistEmd's reference sketch is a ≤ ~70-row bucket table
     // broadcast onto the group list (the q175 PSI-grid shape)
-    "q221_sketch_emd")
+    "q221_sketch_emd",
+    // q222: the ONE-row corpus-total broadcast and the value-bounded
+    // global-cum inequality lookup (mapping rows × distinct values —
+    // both histogram-sized, never row-sized; documented bound in
+    // Eval.quantileNormalizeMap)
+    "q222_quantile_norm",
+    // q223: each check row folds a ONE-row violation count into a
+    // ONE-row total (six 1×1 crossJoins)
+    "q223_contract_audit")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")
