@@ -2841,6 +2841,23 @@ object Queries {
       .orderBy("d1", "d2")
   }
 
+  /** Q225 quality-keeper selection over the q55 duplicate clusters:
+    * instead of min-id survivorship, each cluster keeps its highest
+    * hashed-quality-score member (score desc, id asc) — the canonical
+    * final step of a real dedup pipeline. */
+  val q225: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val clusters = Dedup.dupClusters(
+      Dedup.nearDupPairs(docs, "doc_id", "text",
+        threshold = 0.8, shingleWidth = 3, bands = 16, rowsPerBand = 3),
+      "d1", "d2")
+    val scored = TextMetrics.hashedLinearScoreInRow(docs, "doc_id",
+      "text", dims = 64)
+    Dedup.qualityCanonical(clusters, "id", "cluster_id", scored,
+        "doc_id", "score")
+      .orderBy("cluster_id")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -4678,6 +4695,7 @@ object Queries {
     "q222_quantile_norm" -> q222,
     "q223_contract_audit" -> q223,
     "q224_setsim_incremental" -> q224,
+    "q225_quality_keeper" -> q225,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7651,6 +7669,36 @@ object Queries {
         + "SELECT d1, d2, round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 6) AS jaccard "
         + "FROM i JOIN n n1 ON i.d1 = n1.doc_id JOIN n n2 ON i.d2 = n2.doc_id "
         + "WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= 0.6 ORDER BY d1, d2"),
+    "q225_quality_keeper" ->
+      // the q55 transitive-closure clusters + the q112 hashed score,
+      // per-cluster (score desc, id asc) argmax
+      ("WITH RECURSIVE toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM documents), "
+        + "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+        + "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), "
+        + "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
+        + "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / "
+        + "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac "
+        + "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        + "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 "
+        + "WHERE len(a.ts) > 0 AND len(b.ts) > 0), "
+        + "p AS (SELECT d1, d2 FROM j WHERE jac >= 0.8), "
+        + "nodes AS (SELECT d1 AS id FROM p UNION SELECT d2 FROM p), "
+        + "edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p), "
+        + "reach(id, lbl) AS (SELECT id, id FROM nodes "
+        + "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), "
+        + "cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id), "
+        + "t2 AS (SELECT doc_id, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), "
+        + "h2 AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t2 WHERE tok <> ''), "
+        + "w2 AS (SELECT doc_id, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h2), "
+        + "d2 AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score FROM w2 GROUP BY 1), "
+        + "m AS (SELECT cl.cluster_id, cl.doc_id, d2.score FROM cl JOIN d2 USING (doc_id)), "
+        + "r AS (SELECT cluster_id, doc_id, score, "
+        + "row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rn, "
+        + "COUNT(*) OVER (PARTITION BY cluster_id) AS nm FROM m) "
+        + "SELECT cluster_id, CAST(nm AS BIGINT) AS n_members, doc_id AS keeper_id, score AS keeper_score "
+        + "FROM r WHERE rn = 1 ORDER BY cluster_id"),
     "q224_setsim_incremental" ->
       // complete reference: every qualifying cross-split pair shares
       // >= 1 shingle, so the split shared-shingle join is exhaustive

@@ -713,6 +713,21 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     assert(inc == full)
   }
 
+  test("qualityCanonical: highest score wins, score ties to the min id") {
+    val ss = spark
+    import ss.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster_id")
+    val scored = Seq((1L, 10L), (2L, 50L), (3L, 50L), (4L, -5L),
+      (5L, -9L)).toDF("doc_id", "score")
+    val out = Dedup.qualityCanonical(clusters, "id", "cluster_id",
+        scored, "doc_id", "score")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((3L, 2L, 50L))) // 2 and 3 tie at 50 -> min id
+    assert(out(4L) == ((2L, 4L, -5L))) // negatives order correctly
+  }
+
   test("topComponent: exact 2-D eigenpair on a centered rank-1 cloud") {
     val ss = spark
     import ss.implicits._
