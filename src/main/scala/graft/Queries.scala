@@ -7793,8 +7793,9 @@ object Queries {
         + "FROM m ORDER BY source, n_chars"),
     "q221_sketch_emd" ->
       // the q175 union-sketch replay with an ORDERED cum window:
-      // W1 = sum |cumA*Nr - cumR*Na| / (Na*Nr), exact decimal
-      // cross-products, one 6-dp division
+      // W1 = sum gap*|cumA*Nr - cumR*Na| / (Na*Nr) with gap = the
+      // linearized-index (4b+q) distance to the next union bucket,
+      // exact decimal cross-products, one 6-dp division
       ("WITH d AS (SELECT source, n_chars AS v FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0), "
         + "k AS (SELECT source, CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS b, "
         + "CASE WHEN v = 0 THEN 0 ELSE (v * 8) // CAST(power(2, length(bin(v))) AS BIGINT) END AS q FROM d), "
@@ -7808,9 +7809,10 @@ object Queries {
         + "SUM(na) OVER (PARTITION BY source ORDER BY b, q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca, "
         + "SUM(nr) OVER (PARTITION BY source ORDER BY b, q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr, "
         + "SUM(na) OVER (PARTITION BY source) AS ta, SUM(nr) OVER (PARTITION BY source) AS tr, "
-        + "COUNT(*) OVER (PARTITION BY source) AS bk FROM j), "
+        + "COUNT(*) OVER (PARTITION BY source) AS bk, "
+        + "COALESCE(LEAD(4 * b + q) OVER (PARTITION BY source ORDER BY b, q), 4 * b + q) - (4 * b + q) AS w FROM j), "
         + "s AS (SELECT source, bk, ta, tr, "
-        + "abs(CAST(ca AS DECIMAL(38,0)) * tr - CAST(cr AS DECIMAL(38,0)) * ta) AS dd FROM t) "
+        + "abs(CAST(ca AS DECIMAL(38,0)) * tr - CAST(cr AS DECIMAL(38,0)) * ta) * w AS dd FROM t) "
         + "SELECT source, CAST(MAX(bk) AS BIGINT) AS n_buckets, "
         + "round(CAST(SUM(dd) AS DOUBLE) / (CAST(MAX(ta) AS DOUBLE) * MAX(tr)), 6) AS emd "
         + "FROM s GROUP BY 1 ORDER BY 1"),

@@ -81,7 +81,11 @@ object Avi {
     // ---- LIST hdrl ----
     putFcc("LIST"); putI32(hdrlSize); putFcc("hdrl")
     putFcc("avih"); putI32(56)
-    putI32(usecPerFrame); putI32(dibSize * 1000000 / usecPerFrame max 0)
+    putI32(usecPerFrame)
+    // dwMaxBytesPerSec in Long: dibSize * 1e6 overflows Int for any
+    // frame over ~2 KB
+    putI32((dibSize.toLong * 1000000L / usecPerFrame)
+      .min(Int.MaxValue.toLong).max(0L).toInt)
     putI32(0) // padding granularity
     putI32(0x10) // AVIF_HASINDEX
     putI32(nf); putI32(0) // total frames, initial frames

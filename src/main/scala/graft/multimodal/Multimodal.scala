@@ -313,18 +313,6 @@ object Multimodal {
       .otherwise(lit("application/octet-stream"))
 
   /**
-   * REAL video decode through the same partition-batched seam: each
-   * asset's bytes are parsed as an actual AVI file (`Avi.decode` —
-   * RIFF tree walk, header parse, per-frame bottom-up DIB flip), and
-   * only every `sampleEvery`-th frame is feature-extracted (frame 0,
-   * k, 2k, …) — the standard frame-sampling posture that keeps video
-   * decode cost proportional to 1/k while the container metadata
-   * stays exact. Luma sums are exact integers over sampled frames
-   * (the [[decodeBmpFeatures]] contract), so downstream aggregates
-   * replay without float drift. Embarrassingly parallel, no shuffle;
-   * pixels never leave the partition.
-   */
-  /**
    * REAL μ-law stream decode through the typed seam: each asset's
    * bytes are a headerless G.711 μ-law sample stream (the telephony
    * wire format); decode is pure integer companding inversion
@@ -350,6 +338,18 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL video decode through the same partition-batched seam: each
+   * asset's bytes are parsed as an actual AVI file (`Avi.decode` —
+   * RIFF tree walk, header parse, per-frame bottom-up DIB flip), and
+   * only every `sampleEvery`-th frame is feature-extracted (frame 0,
+   * k, 2k, …) — the standard frame-sampling posture that keeps video
+   * decode cost proportional to 1/k while the container metadata
+   * stays exact. Luma sums are exact integers over sampled frames
+   * (the [[decodeBmpFeatures]] contract), so downstream aggregates
+   * replay without float drift. Embarrassingly parallel, no shuffle;
+   * pixels never leave the partition.
+   */
   def decodeAviFrames(assets: Dataset[Asset],
                       sampleEvery: Int): Dataset[VideoFeatures] = {
     require(sampleEvery >= 1, "sampleEvery must be >= 1")

@@ -1075,6 +1075,45 @@ object Dedup {
   }
 
   /**
+   * Quality-based canonical selection over duplicate clusters — the
+   * KEEPER step after clustering: min-id survivorship
+   * ([[exactSurvivors]], [[dupClusters]]' convention) is arbitrary;
+   * real pipelines keep the highest-QUALITY copy per cluster (the
+   * cleanest crawl of a page, the longest of the mirrored docs).
+   * Picks per cluster by (score desc, id asc) — one exact argmin via
+   * min(struct(−score, id)) over the score's NATIVE numeric type (no
+   * cast, so fractional score distinctions survive) and the id's
+   * native orderable type (string ids work; no id negation), so ties
+   * are total and any engine replays the same keeper. The score must
+   * be numeric (checked); a score at its integral type's MinValue is
+   * the one unrepresentable negation.
+   *
+   * Output per cluster: `cluster_id`, `n_members`, `keeper_id`,
+   * `keeper_score` — members minus the keeper are the drop list.
+   *
+   * Scale shape: one id-keyed join of the cluster table (16 B/doc)
+   * against the score table, one map-side-combined argmax per
+   * cluster. Text never appears.
+   */
+  def qualityCanonical(clusters: DataFrame, idCol: String,
+                       clusterCol: String, scored: DataFrame,
+                       scoreIdCol: String, scoreCol: String): DataFrame = {
+    require(scored.schema(scoreCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"qualityCanonical: score column '$scoreCol' must be numeric")
+    val sc = scored.select(col(scoreIdCol).as("__sid"),
+      col(scoreCol).as("__q"))
+    clusters.select(col(idCol).as("__sid"), col(clusterCol).as("cluster_id"))
+      .join(sc, "__sid")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("__q")).as("__negq"), col("__sid"))).as("__pick"))
+      .select(col("cluster_id"), col("n_members"),
+        col("__pick.__sid").as("keeper_id"),
+        (-col("__pick.__negq")).as("keeper_score"))
+  }
+
+  /**
    * Incremental EXACT set-similarity against a PERSISTED shingle
    * index — the q87 incremental posture for [[prefixFilterJaccardJoin]]:
    * the corpus's distinct shingle-hash rows (`shingleHashRows` output,
@@ -1096,38 +1135,6 @@ object Dedup {
    * once per batch (index-bounded, hash-only); the batch side is
    * batch-sized; the residual intersection joins hash rows only.
    */
-  /**
-   * Quality-based canonical selection over duplicate clusters — the
-   * KEEPER step after clustering: min-id survivorship
-   * ([[exactSurvivors]], [[dupClusters]]' convention) is arbitrary;
-   * real pipelines keep the highest-QUALITY copy per cluster (the
-   * cleanest crawl of a page, the longest of the mirrored docs).
-   * Picks per cluster by (score desc, id asc) — one exact argmax via
-   * max(struct(score, −id)), so ties are total and any engine replays
-   * the same keeper.
-   *
-   * Output per cluster: `cluster_id`, `n_members`, `keeper_id`,
-   * `keeper_score` — members minus the keeper are the drop list.
-   *
-   * Scale shape: one id-keyed join of the cluster table (16 B/doc)
-   * against the score table, one map-side-combined argmax per
-   * cluster. Text never appears.
-   */
-  def qualityCanonical(clusters: DataFrame, idCol: String,
-                       clusterCol: String, scored: DataFrame,
-                       scoreIdCol: String, scoreCol: String): DataFrame = {
-    val sc = scored.select(col(scoreIdCol).as("__sid"),
-      col(scoreCol).cast("long").as("__q"))
-    clusters.select(col(idCol).as("__sid"), col(clusterCol).as("cluster_id"))
-      .join(sc, "__sid")
-      .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_members"),
-        max(struct(col("__q"), (-col("__sid")).as("__nid"))).as("__pick"))
-      .select(col("cluster_id"), col("n_members"),
-        (-col("__pick.__nid")).as("keeper_id"),
-        col("__pick.__q").as("keeper_score"))
-  }
-
   def prefixJaccardAgainstIndex(newDocs: DataFrame, idCol: String,
                                 textCol: String, index: DataFrame,
                                 tNum: Int, tDen: Int,

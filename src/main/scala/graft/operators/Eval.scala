@@ -889,29 +889,6 @@ object Eval {
   }
 
   /**
-   * Fleiss' kappa — chance-corrected agreement for R raters per item,
-   * binary categories (R annotation passes, an ensemble of quality
-   * gates, R redundant crowd labels): the multi-rater generalization
-   * of [[cohensKappa]]. Input is the PER-ITEM positive-vote count
-   * `nPosCol` out of exactly `r` raters; the statistic needs nothing
-   * finer. With N items, S_p = Σ n_pos, S_n = Σ (R − n_pos) and
-   * sumPi = Σ (n_pos² + (R−n_pos)² − R):
-   *
-   *   P̄  = sumPi / (N·R·(R−1))       (observed agreement)
-   *   P̄e = (S_p² + S_n²) / (N·R)²    (chance agreement)
-   *   κ  = (P̄ − P̄e) / (1 − P̄e)      (NULL when P̄e = 1: all votes
-   *                                    one category — undefined)
-   *
-   * All sums are exact integers (DECIMAL(38,0) squares); the three
-   * divisions and the final κ are one fixed-order double program
-   * rounded to 6 dp, so engines replay it bit-for-bit.
-   *
-   * Output per `by` group: `n_items`, `pbar`, `pbar_e`, `kappa`.
-   *
-   * Scale shape: ONE map-side-combined aggregation over per-item
-   * counts; the exchange carries three counters per group.
-   */
-  /**
    * Bradley–Terry preference strengths via Hunter's MM iterations
    * (Hunter 2004, "MM algorithms for generalized Bradley-Terry
    * models" — implemented from the published update): the standard
@@ -1155,6 +1132,29 @@ object Eval {
         col("__pick.__gv").as("norm_v"))
   }
 
+  /**
+   * Fleiss' kappa — chance-corrected agreement for R raters per item,
+   * binary categories (R annotation passes, an ensemble of quality
+   * gates, R redundant crowd labels): the multi-rater generalization
+   * of [[cohensKappa]]. Input is the PER-ITEM positive-vote count
+   * `nPosCol` out of exactly `r` raters; the statistic needs nothing
+   * finer. With N items, S_p = Σ n_pos, S_n = Σ (R − n_pos) and
+   * sumPi = Σ (n_pos² + (R−n_pos)² − R):
+   *
+   *   P̄  = sumPi / (N·R·(R−1))       (observed agreement)
+   *   P̄e = (S_p² + S_n²) / (N·R)²    (chance agreement)
+   *   κ  = (P̄ − P̄e) / (1 − P̄e)      (NULL when P̄e = 1: all votes
+   *                                    one category — undefined)
+   *
+   * All sums are exact integers (DECIMAL(38,0) squares); the three
+   * divisions and the final κ are one fixed-order double program
+   * rounded to 6 dp, so engines replay it bit-for-bit.
+   *
+   * Output per `by` group: `n_items`, `pbar`, `pbar_e`, `kappa`.
+   *
+   * Scale shape: ONE map-side-combined aggregation over per-item
+   * counts; the exchange carries three counters per group.
+   */
   def fleissKappa(votes: DataFrame, nPosCol: String, r: Int,
                   by: Seq[String] = Nil): DataFrame = {
     require(r >= 2, "Fleiss' kappa needs >= 2 raters")

@@ -378,12 +378,20 @@ object Sketch {
    * step). Computed ENTIRELY from the two small sketch tables after
    * the data is gone, like every sketch consumer here.
    *
-   * Exactness: over the (b, q)-ordered union bucket set,
-   * W₁ = Σ |CDF_a − CDF_r| = Σ |cumA·N_r − cumR·N_a| / (N_a·N_r) —
-   * the numerator terms are exact DECIMAL(38,0) products summed in
-   * DECIMAL, and ONE double division rounds to 6 dp. Identical
-   * sketches give exactly 0; a one-bucket shift of the whole mass
-   * gives exactly 1.
+   * Exactness: over the (b, q)-ordered union bucket set, each row's
+   * |CDF_a − CDF_r| is WEIGHTED by the linearized-bucket-index gap to
+   * the next union bucket (idx = 4·b + q — q ∈ [4, 8) for nonzero
+   * values, so idx is dense across octave boundaries), i.e.
+   * W₁ = Σ gap·|cumA·N_r − cumR·N_a| / (N_a·N_r) — without the gap a
+   * whole-mass shift of K buckets would read as 1, not K, whenever
+   * neither sketch has mass in the interior. Numerator terms are
+   * exact DECIMAL(38,0) products summed in DECIMAL; ONE double
+   * division rounds to 6 dp. Identical sketches give exactly 0; a
+   * whole-mass shift of K index units gives exactly K. (The last
+   * union bucket takes weight 0 — both CDFs are 1 there, a zero term
+   * regardless.) Low-end caveat: octaves b ≤ 2 have unreachable
+   * sub-indices (b=1 only q=4; b=2 only q∈{4,6}), so shifts among
+   * values < 8 weigh by index distance, not reachable-bucket count.
    *
    * Output: `by`* + (`n_buckets`, `emd`).
    *
@@ -404,16 +412,22 @@ object Sketch {
     val wOrd = Window.partitionBy(by.map(col): _*)
       .orderBy(col("b"), col("q"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("b"), col("q"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    val idx = col("b") * 4L + col("q")
     val withCum = joined
       .withColumn("__ca", sum(col("__na")).over(wOrd))
       .withColumn("__cr", sum(col("__nr")).over(wOrd))
       .withColumn("__ta", sum(col("__na")).over(wg))
       .withColumn("__tr", sum(col("__nr")).over(wg))
       .withColumn("__bk", count(lit(1)).over(wg))
+      .withColumn("__w",
+        coalesce(lead(idx, 1).over(wLead) - idx, lit(0L)))
       .withColumn("__d",
-        abs(dec(col("__ca")) * dec(col("__tr")) -
-          dec(col("__cr")) * dec(col("__ta"))).cast("decimal(38,0)"))
+        (abs(dec(col("__ca")) * dec(col("__tr")) -
+          dec(col("__cr")) * dec(col("__ta"))) * dec(col("__w")))
+          .cast("decimal(38,0)"))
     withCum.groupBy(by.map(col): _*)
       .agg(max(col("__bk")).as("n_buckets"),
         round(sum(col("__d")).cast("double") /

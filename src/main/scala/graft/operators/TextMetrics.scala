@@ -829,30 +829,6 @@ object TextMetrics {
   }
 
   /**
-   * Lognormal fit of a positive size column per group — the standard
-   * model for document/sequence length distributions, and the
-   * capacity-planning readout (batch assembly, shuffle sizing,
-   * truncation budgets) a mean/p99 pair can't extrapolate from:
-   * μ̂, σ̂ are the MLE moments of ln v, and the fit is judged by
-   * comparing the model's predicted median e^μ and p90 e^(μ+z₀.₉σ)
-   * against the EXACT empirical p90.
-   *
-   * Determinism: each ln v is portable-floored to integer micro-nats
-   * ONCE (the q204 convention — 6-dp rounding absorbs libm last-ulp
-   * drift); moment sums are BIGINT/DECIMAL(38,0); μ is one portable
-   * division, σ one fixed-order sqrt program over exact operands; the
-   * e^x predictions take the ALREADY-QUANTIZED μ/σ as input and round
-   * to 4 dp, so both engines exponentiate identical operands.
-   * z₀.₉ = 1.281552 (the 6-dp quantized normal quantile).
-   *
-   * Output per group: `n`, `mu` (nats, 6 dp), `sigma` (6 dp),
-   * `median_pred`, `p90_pred`, `p90_actual` (4 dp).
-   *
-   * Scale shape: one map-side-combined moment aggregation (three
-   * counters per group) + the shared exact-quantile program for the
-   * empirical p90. Non-positive values drop (ln undefined).
-   */
-  /**
    * Group-discriminative tokens by log-odds with an add-one Dirichlet
    * prior (Monroe et al. 2008, "Fightin' Words" — implemented from
    * the published z-scored log-odds-ratio): for each group, which
@@ -957,6 +933,30 @@ object TextMetrics {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  /**
+   * Lognormal fit of a positive size column per group — the standard
+   * model for document/sequence length distributions, and the
+   * capacity-planning readout (batch assembly, shuffle sizing,
+   * truncation budgets) a mean/p99 pair can't extrapolate from:
+   * μ̂, σ̂ are the MLE moments of ln v, and the fit is judged by
+   * comparing the model's predicted median e^μ and p90 e^(μ+z₀.₉σ)
+   * against the EXACT empirical p90.
+   *
+   * Determinism: each ln v is portable-floored to integer micro-nats
+   * ONCE (the q204 convention — 6-dp rounding absorbs libm last-ulp
+   * drift); moment sums are BIGINT/DECIMAL(38,0); μ is one portable
+   * division, σ one fixed-order sqrt program over exact operands; the
+   * e^x predictions take the ALREADY-QUANTIZED μ/σ as input and round
+   * to 4 dp, so both engines exponentiate identical operands.
+   * z₀.₉ = 1.281552 (the 6-dp quantized normal quantile).
+   *
+   * Output per group: `n`, `mu` (nats, 6 dp), `sigma` (6 dp),
+   * `median_pred`, `p90_pred`, `p90_actual` (4 dp).
+   *
+   * Scale shape: one map-side-combined moment aggregation (three
+   * counters per group) + the shared exact-quantile program for the
+   * empirical p90. Non-positive values drop (ln undefined).
+   */
   def lognormalFit(df: DataFrame, by: Seq[String],
                    valueCol: String): DataFrame = {
     require(by.nonEmpty, "lognormalFit: need at least one group column")

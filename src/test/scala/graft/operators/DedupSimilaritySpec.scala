@@ -728,6 +728,24 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     assert(out(4L) == ((2L, 4L, -5L))) // negatives order correctly
   }
 
+  test("qualityCanonical: fractional scores distinguish, string ids " +
+    "work, non-numeric score rejected") {
+    val ss = spark
+    import ss.implicits._
+    val clusters = Seq(("a", "a"), ("b", "a")).toDF("id", "cluster_id")
+    // a long cast would truncate both to 1 and tie-break to "a"
+    val scored = Seq(("a", 1.2), ("b", 1.7)).toDF("doc_id", "score")
+    val out = Dedup.qualityCanonical(clusters, "id", "cluster_id",
+        scored, "doc_id", "score").head()
+    assert(out.getString(0) == "a" && out.getLong(1) == 2L &&
+      out.getString(2) == "b" && out.getDouble(3) == 1.7)
+    val bad = Seq(("a", "hi"), ("b", "lo")).toDF("doc_id", "score")
+    intercept[IllegalArgumentException] {
+      Dedup.qualityCanonical(clusters, "id", "cluster_id",
+        bad, "doc_id", "score")
+    }
+  }
+
   test("topComponent: exact 2-D eigenpair on a centered rank-1 cloud") {
     val ss = spark
     import ss.implicits._

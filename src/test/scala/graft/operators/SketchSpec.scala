@@ -167,5 +167,12 @@ class SketchSpec extends SparkTestBase {
       Seq.fill(10)(("s", 10L)).toDF("g", "v"), Seq.empty, "v")
     assert(Sketch.logHistEmd(skA, Seq("g"), refBig).head()
       .getDouble(2) == 1.0)
+    // a K-index-unit whole-mass shift reads as K, not 1: v=8 is
+    // bucket (4,4) idx 20, v=32 is (6,4) idx 28 -> gap 8, even though
+    // neither sketch has mass in the interior buckets
+    val refFar = Sketch.logHistSketch(
+      Seq.fill(5)(("s", 32L)).toDF("g", "v"), Seq.empty, "v")
+    assert(Sketch.logHistEmd(skA, Seq("g"), refFar).head()
+      .getDouble(2) == 8.0)
   }
 }
