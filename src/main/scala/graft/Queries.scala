@@ -2858,6 +2858,61 @@ object Queries {
       .orderBy("cluster_id")
   }
 
+  /** Q226 BM25 top-10 lexical retrieval: two fixture queries drawn
+    * from the corpus's own top-6 tokens (ranks 1–3 → q1, 4–6 → q2,
+    * by count desc / token asc — SF-independent), scored with
+    * exact-rational Okapi BM25 (k₁=6/5, b=3/4) and ranked on the
+    * exact micro-nat sum — the sparse-retrieval baseline every
+    * embedding retriever is graded against. */
+  val q226: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val ranked = docs
+      .select(explode(filter(split(lower(trim(col("text"))), " "),
+        t => t =!= "")).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__c").desc, col("__t").asc)))
+      .where(col("__rk") <= 6)
+    val queries = ranked.select(
+      when(col("__rk") <= 3, lit("q1")).otherwise(lit("q2"))
+        .as("query_id"),
+      col("__t").as("term"))
+    TextMetrics.bm25TopK(docs, "doc_id", "text", queries,
+        "query_id", "term", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Q227 k-anonymity / l-diversity privacy audit of `customer`:
+    * quasi-identifiers (nation, market segment), sensitive attribute
+    * acctbal — the smallest hiding crowd, the smallest per-class
+    * sensitive diversity, and the ppm of rows needing suppression at
+    * k < 5. All-integer, the release gate before user-derived data
+    * enters a training corpus. */
+  val q227: Q = (s, dir) =>
+    Profile.kAnonymity(Tables.customer(s, dir),
+      Seq("c_nationkey", "c_mktsegment"), "c_acctbal", kMin = 5)
+
+  /** Q228 interval-union coverage per user: each event opens a 15-min
+    * activity window; the gaps-and-islands merge reports how much of
+    * the user's observed span was actually active — the density
+    * readout naive Σ(end−start) double-counts under overlap. Exact
+    * BIGINT milliseconds throughout. */
+  val q228: Q = (s, dir) => {
+    val iv = Tables.events(s, dir).select(col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("s0"))
+      .withColumn("e0", col("s0") + 900000L)
+    Behavior.intervalCoverage(iv, Seq("user_id"), "s0", "e0")
+      .orderBy("user_id")
+  }
+
+  /** Q229 Gini index + top-decile share of document length per
+    * source: does 10% of the docs carry half the corpus volume? The
+    * numeric-inequality companion to q153's categorical HHI — exact
+    * rank-formula rationals, one 6-dp division. */
+  val q229: Q = (s, dir) =>
+    Profile.gini(Tables.documents(s, dir), Seq("source"), "n_chars")
+      .orderBy("source")
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -4696,6 +4751,10 @@ object Queries {
     "q223_contract_audit" -> q223,
     "q224_setsim_incremental" -> q224,
     "q225_quality_keeper" -> q225,
+    "q226_bm25_topk" -> q226,
+    "q227_k_anonymity" -> q227,
+    "q228_interval_coverage" -> q228,
+    "q229_gini_length" -> q229,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -7934,6 +7993,69 @@ object Queries {
         + "CASE WHEN total > 0 THEN round(CAST(CAST(n_days AS DECIMAL(38,0)) * s2 - CAST(total AS DECIMAL(38,0)) * total AS DOUBLE) / "
         + "CAST(CAST(n_days AS DECIMAL(38,0)) * total AS DOUBLE), 6) END AS fano "
         + "FROM m ORDER BY event_type"),
+    "q226_bm25_topk" ->
+      // Okapi BM25 with k1=6/5, b=3/4: idf = ln((2N+2)/(2df+1)) in
+      // micro-nats, tf term scaled by 20A into the exact rational
+      // 44*A*tf / (20*A*tf + 6*A + 18*N*dl), rank on the exact
+      // DECIMAL micro-sum; fixture queries = corpus top-6 tokens
+      ("WITH tt AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "tf AS MATERIALIZED (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tt GROUP BY 1, 2), "
+        + "dl AS MATERIALIZED (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), "
+        + "gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS a FROM dl), "
+        + "tc AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1), "
+        + "tr AS (SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk FROM tc), "
+        + "qt AS (SELECT CASE WHEN rk <= 3 THEN 'q1' ELSE 'q2' END AS query_id, tok FROM tr WHERE rk <= 6), "
+        + "dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf WHERE tok IN (SELECT tok FROM qt) GROUP BY 1), "
+        + "st AS (SELECT qt.query_id, tf.doc_id, "
+        + "CAST(floor(ln(CAST(2 * nd + 2 AS DOUBLE) / (2 * dfq.df + 1)) * 1000000.0 + 0.5) AS BIGINT) AS idf, "
+        + "CAST(floor(CAST(CAST(tf.tf AS DECIMAL(38,0)) * a * 44 AS DOUBLE) / "
+        + "CAST(CAST(tf.tf AS DECIMAL(38,0)) * a * 20 + CAST(a AS DECIMAL(38,0)) * 6 + CAST(dl.dl AS DECIMAL(38,0)) * nd * 18 AS DOUBLE) "
+        + "* 1000000.0 + 0.5) AS BIGINT) AS tfc "
+        + "FROM tf JOIN qt ON tf.tok = qt.tok JOIN dfq ON tf.tok = dfq.tok JOIN dl ON tf.doc_id = dl.doc_id, gl), "
+        + "pd AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit, "
+        + "CAST(SUM(CAST(idf AS DECIMAL(38,0)) * tfc) AS DECIMAL(38,0)) AS sm FROM st GROUP BY 1, 2), "
+        + "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sm DESC, doc_id ASC) AS rank FROM pd) "
+        + "SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms_hit, "
+        + "round(CAST(sm AS DOUBLE) / 1000000000000.0, 6) AS score "
+        + "FROM r WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q227_k_anonymity" ->
+      // equivalence classes on the quasi pair; k = min class size,
+      // l = min distinct sensitive per class, all exact integers
+      ("WITH cl AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, "
+        + "CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l FROM customer GROUP BY 1, 2) "
+        + "SELECT CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_classes, "
+        + "MIN(n) AS k_anonymity, MIN(l) AS l_diversity, "
+        + "CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) * 1000000 // CAST(SUM(n) AS BIGINT) AS rows_small_ppm, "
+        + "CAST(SUM(n) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) AS avg_class_micro "
+        + "FROM cl"),
+    "q228_interval_coverage" ->
+      // gaps-and-islands: island starts where s exceeds the running
+      // max end of preceding intervals; all-BIGINT milliseconds
+      ("WITH iv AS (SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 900000 AS e FROM events), "
+        + "m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e "
+        + "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv), "
+        + "i AS (SELECT user_id, s, e, SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) "
+        + "OVER (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM m), "
+        + "g AS (SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS ni, MIN(s) AS i_s, MAX(e) AS i_e FROM i GROUP BY 1, 2) "
+        + "SELECT user_id, CAST(SUM(ni) AS BIGINT) AS n_intervals, CAST(COUNT(*) AS BIGINT) AS n_islands, "
+        + "CAST(SUM(i_e - i_s) AS BIGINT) AS covered, MAX(i_e) - MIN(i_s) AS span, "
+        + "CAST(SUM(i_e - i_s) AS BIGINT) * 1000000 // (MAX(i_e) - MIN(i_s)) AS coverage_ppm "
+        + "FROM g GROUP BY 1 ORDER BY 1"),
+    "q229_gini_length" ->
+      // rank-formula Gini G = (2*sum(i*x) - (n+1)*sum(x))/(n*sum(x)),
+      // tie-invariant value-only rank; top decile = ceil(n/10) rows
+      ("WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0), "
+        + "r AS (SELECT source, x, row_number() OVER (PARTITION BY source ORDER BY x) AS i, "
+        + "COUNT(*) OVER (PARTITION BY source) AS n FROM v), "
+        + "g AS (SELECT source, CAST(MAX(n) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS total, "
+        + "CAST(SUM(CAST(i AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS iw, "
+        + "CAST(SUM(CASE WHEN i > n - (n + 9) // 10 THEN x ELSE 0 END) AS BIGINT) AS topv "
+        + "FROM r GROUP BY 1) "
+        + "SELECT source, n, total, "
+        + "CASE WHEN total > 0 THEN round(CAST(2 * iw - CAST(n + 1 AS DECIMAL(38,0)) * total AS DOUBLE) / "
+        + "CAST(CAST(n AS DECIMAL(38,0)) * total AS DOUBLE), 6) END AS gini, "
+        + "CASE WHEN total > 0 THEN topv * 1000000 // total END AS top_decile_ppm "
+        + "FROM g ORDER BY source"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

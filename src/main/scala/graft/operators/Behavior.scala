@@ -1044,4 +1044,58 @@ object Behavior {
       when(col("total") > 0L,
         round(num.cast("double") / den.cast("double"), 6)).as("fano")): _*)
   }
+
+  /**
+   * Interval-union coverage per key — the gaps-and-islands merge: fold
+   * a set of possibly-overlapping half-open intervals [start, end)
+   * into their disjoint union and report how much of the key's span is
+   * actually covered. The activity-density readout behind "how much of
+   * this user's lifetime was active" and the session/observation
+   * overlap audit that Σ(end − start) gets wrong whenever intervals
+   * overlap (double-counts) or nest (overstates).
+   *
+   * Islands by the classic running-max rule over (start, end) order: a
+   * new island begins where start exceeds the max end of ALL preceding
+   * intervals (plain > — back-to-back [a,b)[b,c) chains into one
+   * island, matching half-open adjacency). Every decision is an
+   * integer comparison; output values are exact BIGINTs.
+   *
+   * Output per key: `n_intervals`, `n_islands`, `covered` (Σ island
+   * extents), `span` (max end − min start), `coverage_ppm`
+   * (covered·10⁶ div span). Rows with end ≤ start or NULL bounds drop.
+   *
+   * Scale shape: ONE key-partitioned sort-window pass (running max +
+   * island id), one island aggregation, one key aggregation — all on
+   * the same key partitioning, so a single shuffle of (key, start,
+   * end) triples; per-key state is the sort buffer Spark spills.
+   */
+  def intervalCoverage(df: DataFrame, by: Seq[String], startCol: String,
+                       endCol: String): DataFrame = {
+    require(by.nonEmpty, "intervalCoverage: need at least one key column")
+    val s = col(startCol).cast("long")
+    val e = col(endCol).cast("long")
+    val base = df.where(s.isNotNull && e.isNotNull && e > s)
+      .select((by.map(col) :+ s.as("__s") :+ e.as("__e")): _*)
+    val wPrev = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = base
+      .withColumn("__pmax", max(col("__e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wRun))
+      .groupBy((by.map(col) :+ col("__isl")): _*)
+      .agg(count(lit(1)).as("__ni"), min(col("__s")).as("__is"),
+        max(col("__e")).as("__ie"))
+    islands.groupBy(by.map(col): _*)
+      .agg(sum(col("__ni")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered"),
+        (max(col("__ie")) - min(col("__is"))).as("span"))
+      .withColumn("coverage_ppm", expr("covered * 1000000 div span"))
+  }
 }

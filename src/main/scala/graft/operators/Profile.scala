@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -357,5 +358,101 @@ object Profile {
       .select(lit(name).as("check"), col("n"), col("__d").as("n_bad"),
         when(col("n") > 0L, expr("__d * 1000000 div n"))
           .otherwise(0L).as("bad_ppm"))
+  }
+
+  /**
+   * k-anonymity / l-diversity privacy audit (Sweeney 2002; Machanavajjhala
+   * et al. 2007 — the standard re-identification readouts, implemented
+   * from the definitions): equivalence classes are the distinct
+   * combinations of the quasi-identifier columns; the table is
+   * k-anonymous at k = the SMALLEST class size (every record hides
+   * among at least k−1 others), and l-diverse at l = the smallest
+   * per-class count of DISTINCT sensitive values (a class whose
+   * sensitive column is constant re-identifies the attribute even when
+   * k is large). The audit a pipeline runs before releasing
+   * user-derived training data.
+   *
+   * Output (one row): `n_rows`, `n_classes`, `k_anonymity`,
+   * `l_diversity`, `rows_small_ppm` (share of rows in classes smaller
+   * than `kMin`, ppm — the suppression workload), `avg_class_micro`
+   * (mean class size in micro-units). All values exact integers.
+   *
+   * Scale shape: ONE map-side-combined aggregation on the quasi keys
+   * (count + exact distinct of the sensitive value per class), then a
+   * scalar fold of the class table. No row-level data leaves the
+   * class aggregation.
+   */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, kMin: Int = 5): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: need quasi-identifier columns")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(sensitiveCol)).as("__l"))
+    classes.agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__n")).as("k_anonymity"),
+        min(col("__l")).as("l_diversity"),
+        sum(when(col("__n") < kMin.toLong, col("__n")).otherwise(0L))
+          .as("__small"))
+      .select(col("n_rows"), col("n_classes"), col("k_anonymity"),
+        col("l_diversity"),
+        when(col("n_rows") > 0L, expr("__small * 1000000 div n_rows"))
+          .otherwise(0L).as("rows_small_ppm"),
+        when(col("n_classes") > 0L,
+          expr("n_rows * 1000000 div n_classes"))
+          .otherwise(0L).as("avg_class_micro"))
+  }
+
+  /**
+   * Gini index + top-decile share of a non-negative integer measure
+   * per group — the INEQUALITY readout for numeric magnitudes
+   * ([[concentration]]'s HHI covers categorical mass): how unevenly is
+   * corpus volume spread across documents, spend across customers,
+   * traffic across keys. The capacity question "do 10% of the docs
+   * carry half the tokens?" answered exactly.
+   *
+   * Gini by the rank formula over ascending order:
+   * G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx). Both Σ i·x and the decile
+   * cut are TIE-INVARIANT (equal values contribute the same sum under
+   * any rank permutation, and a cut splitting a tie group takes k
+   * copies of the same value), so ranking by value alone is
+   * deterministic. Numerators are exact DECIMAL(38,0); ONE double
+   * division rounds to 6 dp. Top decile = the ⌈n/10⌉ highest-ranked
+   * rows; its share is integer ppm.
+   *
+   * Output per group: `n`, `total`, `gini` (6 dp; NULL when total 0),
+   * `top_decile_ppm` (NULL when total 0). Negative/NULL values drop
+   * (Gini is defined for non-negative measures).
+   *
+   * Scale shape: one key-partitioned sort-window (rank) + one
+   * aggregation on the same partitioning — a single shuffle of
+   * (key, value) pairs; no payload beyond the 16 B pair.
+   */
+  def gini(df: DataFrame, by: Seq[String], valueCol: String): DataFrame = {
+    require(by.nonEmpty, "gini: need at least one group column")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val v = col(valueCol).cast("long")
+    val base = df.where(v.isNotNull && v >= 0L)
+      .select((by.map(col) :+ v.as("__v")): _*)
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(by.map(col): _*)
+    val ranked = base.withColumn("__i", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val g = ranked.groupBy(by.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        sum(col("__v")).as("total"),
+        sum(dec(col("__i")) * dec(col("__v"))).cast("decimal(38,0)")
+          .as("__iw"),
+        sum(when(col("__i") > col("__n") - expr("(__n + 9) div 10"),
+          col("__v")).otherwise(0L)).as("__top"))
+    val num = dec(lit(2L)) * col("__iw") -
+      dec(col("n") + 1L) * dec(col("total"))
+    val den = dec(col("n")) * dec(col("total"))
+    g.select((by.map(col) :+ col("n") :+ col("total") :+
+      when(col("total") > 0L,
+        round(num.cast("double") / den.cast("double"), 6)).as("gini") :+
+      when(col("total") > 0L, expr("__top * 1000000 div total"))
+        .as("top_decile_ppm")): _*)
   }
 }

@@ -984,4 +984,80 @@ object TextMetrics {
           .as("p90_pred") :+
         round(col("__p90a"), 4).as("p90_actual")): _*)
   }
+
+  /**
+   * BM25 top-k retrieval (Robertson–Spärck Jones; the Okapi BM25
+   * ranking function, implemented from the published formula with
+   * k₁ = 6/5, b = 3/4) — the lexical-retrieval companion to
+   * [[passageChunks]] and the sparse baseline every embedding
+   * retriever is graded against: for each query (a set of terms),
+   * the k highest-scoring documents.
+   *
+   * Exactness — every ranking decision is integer/decimal:
+   *  - idf(t) = ln((N − df + ½)/(df + ½) + 1) = ln((2N+2)/(2df+1)):
+   *    ONE double division of exact BIGINTs, portable-floored to
+   *    micro-nats (the house lnMicro).
+   *  - The tf saturation term tf·(k₁+1)/(tf + k₁(1−b+b·dl/avgdl))
+   *    with avgdl = A/N (A = Σdl, exact) scales by 20A into the exact
+   *    rational 44·A·tf / (20·A·tf + 6·A + 18·N·dl): DECIMAL(38,0)
+   *    operands, ONE double division, floored to micro-units.
+   *  - Per-(query, doc) score = Σ idf_µ·tf_µ summed in DECIMAL(38,0);
+   *    ranking orders by that EXACT micro-sum (desc, doc id asc), so
+   *    ties are total; the reported score is the sum / 10¹² at 6 dp.
+   *
+   * Output: (`query_id`, `rank` 1..k, doc id, `n_terms_hit`, `score`).
+   *
+   * Scale shape: the corpus-sized stages are the tokenize scan and
+   * one (doc, term) count; the query-term table, its df counts, and
+   * the 1-row (N, A) aggregate are BROADCAST, so scoring is a
+   * map-side join of the tf table — no corpus-sized shuffle carries
+   * text, and top-k per query is a TakeOrdered-shaped window over
+   * queries × matched docs.
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: DataFrame, queryIdCol: String, termCol: String,
+               k: Int): DataFrame = {
+    require(k >= 1, "bm25TopK: k must be >= 1")
+    def lnMicro(x: Column): Column =
+      floor(log(x) * 1e6d + 0.5d).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(filter(split(lower(trim(col(textCol))), " "),
+        t => t =!= "")).as("__t"))
+    val tf = toks.groupBy("__id", "__t").agg(count(lit(1)).as("__tf"))
+    val dl = tf.groupBy("__id").agg(sum(col("__tf")).as("__dl"))
+    val glob = dl.agg(count(lit(1)).as("__nd"), sum(col("__dl")).as("__a"))
+    val qt = queryTerms.select(col(queryIdCol).as("__qid"),
+      lower(trim(col(termCol))).as("__t")).distinct()
+    // df over the corpus, for query terms only (tf rows are unique
+    // per (doc, term), so a count is a distinct-doc count)
+    val qdf = tf.join(broadcast(qt.select("__t").distinct()),
+        Seq("__t"), "left_semi")
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+    val terms = tf.join(broadcast(qt), Seq("__t"))
+      .join(broadcast(qdf), Seq("__t"))
+      .join(dl, Seq("__id"))
+      .crossJoin(broadcast(glob))
+      .withColumn("__idf", lnMicro(
+        (lit(2L) * col("__nd") + 2L).cast("double") /
+          (lit(2L) * col("__df") + 1L).cast("double")))
+      .withColumn("__tfc", floor(
+        (dec(col("__tf")) * dec(col("__a")) * 44L).cast("double") /
+          (dec(col("__tf")) * dec(col("__a")) * 20L +
+            dec(col("__a")) * 6L +
+            dec(col("__dl")) * dec(col("__nd")) * 18L).cast("double") *
+          1e6d + 0.5d).cast("long"))
+      .withColumn("__sm", (dec(col("__idf")) * dec(col("__tfc")))
+        .cast("decimal(38,0)"))
+    val perDoc = terms.groupBy("__qid", "__id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("__sm")).cast("decimal(38,0)").as("__score"))
+    Relational.topKPerGroup(perDoc, Seq("__qid"),
+        Seq(col("__score").desc, col("__id").asc), k,
+        rankCol = Some("rank"))
+      .select(col("__qid").as("query_id"),
+        col("rank").cast("long").as("rank"), col("__id").as(idCol),
+        col("n_terms_hit"),
+        round(col("__score").cast("double") / 1e12d, 6).as("score"))
+  }
 }

@@ -520,4 +520,24 @@ class BehaviorSpec extends SparkTestBase {
     assert(out("flat") == ((3L, 3L, 6L, 2000000L, Some(0.0))))
     assert(out("dead") == ((1L, 1L, 0L, 0L, None)))
   }
+
+  test("intervalCoverage: overlap merge, half-open chaining, nesting, " +
+    "degenerate drop") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(
+      // u: [0,10)+[5,15) overlap; [15,20) chains (half-open); [30,40) gap
+      ("u", 0L, 10L), ("u", 5L, 15L), ("u", 15L, 20L), ("u", 30L, 40L),
+      // v: nested interval adds nothing
+      ("v", 0L, 100L), ("v", 10L, 20L),
+      // w: a degenerate row drops entirely
+      ("w", 5L, 5L), ("w", 0L, 2L))
+      .toDF("k", "s", "e")
+    val out = Behavior.intervalCoverage(df, Seq("k"), "s", "e")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("u") == ((4L, 2L, 30L, 40L, 750000L)))
+    assert(out("v") == ((2L, 1L, 100L, 100L, 1000000L)))
+    assert(out("w") == ((1L, 1L, 2L, 2L, 1000000L)))
+  }
 }

@@ -213,4 +213,37 @@ class ProfileSpec extends SparkTestBase with Matchers {
       col("v") <= 0L).head()
     assert((cr.getLong(1), cr.getLong(2)) == ((3L, 2L)))
   }
+
+  test("kAnonymity: min class size, min sensitive diversity, " +
+    "suppression ppm") {
+    val ss = spark
+    import ss.implicits._
+    // class A: 3 rows, 2 distinct sens; B: 1 row (the k=1 leak, l=1);
+    // C: 6 rows, 3 distinct
+    val df = (Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 5L)) ++
+      (0 until 6).map(i => ("C", (i % 3).toLong))).toDF("quasi", "sens")
+    val out = Profile.kAnonymity(df, Seq("quasi"), "sens", kMin = 5).head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4), out.getLong(5)) ==
+      ((10L, 3L, 1L, 1L, 400000L, 3333333L)))
+  }
+
+  test("gini: hand rank-formula values, equal-values zero, " +
+    "top-decile share") {
+    val ss = spark
+    import ss.implicits._
+    val df = (Seq(1L, 2L, 3L, 4L).map(("g", _)) ++
+      Seq(5L, 5L, 5L).map(("e", _)) ++ Seq(0L, 0L).map(("z", _)))
+      .toDF("grp", "v")
+    val out = Profile.gini(df, Seq("grp"), "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // 1,2,3,4: G = (2*30 - 5*10)/(4*10) = 0.25; top ceil(4/10)=1 row = 4
+    assert(out("g") == ((4L, 10L, Some(0.25), Some(400000L))))
+    // equal values: perfectly even, G = 0; top 1 of 3 = 5/15
+    assert(out("e") == ((3L, 15L, Some(0.0), Some(333333L))))
+    // zero total: undefined
+    assert(out("z") == ((2L, 0L, None, None)))
+  }
 }

@@ -534,4 +534,35 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(m._6 == 7.3)
   }
+
+  test("bm25TopK: hand-computed Okapi scores, multi-term sum, k cutoff") {
+    val ss = spark
+    import ss.implicits._
+    // N=3 docs, A=9 tokens, avgdl=3; df(cat)=df(bird)=2 so
+    // idf = ln(8/5) -> 470004 micro-nats for both terms.
+    // tfc(d1,cat): 44*9*2/(20*9*2+6*9+18*3*3) = 792/576 -> 1375000
+    // tfc(d2,*):   396/342 -> 1157895; tfc(d3,bird): 1584/990 -> 1600000
+    val docs = Seq((1L, "cat cat dog"), (2L, "cat bird"),
+      (3L, "bird bird bird bird")).toDF("doc_id", "text")
+    val q = Seq(("q1", "cat"), ("q1", "bird"), ("q1", "absentterm"))
+      .toDF("query_id", "term")
+    val out = TextMetrics.bm25TopK(docs, "doc_id", "text", q,
+        "query_id", "term", k = 10)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.size == 3)
+    // d2 hits both terms: 470004*(1157895+1157895) -> 1.088431
+    assert(out(1L)._1 == 2L && out(1L)._2 == 2L)
+    assert(math.abs(out(1L)._3 - 1.088431) < 2e-6)
+    // d3: 470004*1600000 -> 0.752006; d1: 470004*1375000 -> 0.646256
+    assert(out(2L)._1 == 3L && out(2L)._2 == 1L)
+    assert(math.abs(out(2L)._3 - 0.752006) < 2e-6)
+    assert(out(3L)._1 == 1L && out(3L)._2 == 1L)
+    assert(math.abs(out(3L)._3 - 0.646256) < 2e-6)
+    // k cutoff keeps the TOP of the exact-micro-sum order
+    val top2 = TextMetrics.bm25TopK(docs, "doc_id", "text", q,
+        "query_id", "term", k = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(top2 == Set(2L, 3L))
+  }
 }
