@@ -108,7 +108,14 @@ object PlanAudit {
     "q222_quantile_norm",
     // q223: each check row folds a ONE-row violation count into a
     // ONE-row total (six 1×1 crossJoins)
-    "q223_contract_audit")
+    "q223_contract_audit",
+    // q226: bm25TopK's ONE-row (N, A) corpus-total broadcast onto the
+    // query-term-bounded scoring join (q129 doc-count shape)
+    "q226_bm25_topk",
+    // q230: conformalGate's ONE-row calibration-count broadcast onto
+    // the score-cardinality-bounded histogram, and the ONE-row
+    // (n_cal, rank, q_hat) broadcast onto the test fold
+    "q230_conformal_gate")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

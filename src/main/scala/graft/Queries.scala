@@ -2913,6 +2913,57 @@ object Queries {
     Profile.gini(Tables.documents(s, dir), Seq("source"), "n_chars")
       .orderBy("source")
 
+  /** Q230 split-conformal calibration gate at α = 1/10: a 20%
+    * hash-split calibration fold sets q̂ = the ⌈(n+1)·0.9⌉-th smallest
+    * hashed quality score; the test fold reports whether the promised
+    * 90% coverage actually holds — all-integer rank selection over the
+    * distinct-score histogram. */
+  val q230: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64)
+    val fold = pmod(Sampling.selector(col("doc_id")), lit(5L))
+    Eval.conformalGate(scored.where(fold === 0L),
+      scored.where(fold =!= 0L), "score", alphaNum = 1, alphaDen = 10)
+  }
+
+  /** Q231 EXACT containment join at C(A,B) ≥ 7/10: every directed
+    * pair where ≥ 70% of A's shingles appear in B — quote/excerpt
+    * detection symmetric-Jaccard banding structurally misses.
+    * A-side-only prefixes, zero false negatives, exact-intersection
+    * residual. */
+  val q231: Q = (s, dir) =>
+    Dedup.containmentJoin(Tables.documents(s, dir), "doc_id", "text",
+        tNum = 7, tDen = 10)
+      .orderBy("d1", "d2")
+
+  /** Q232 embedding effective dimensionality: participation ratio
+    * over per-dim variances + top-dimension share — the "are 64 dims
+    * carrying 64 dims of signal, or has the space collapsed into a
+    * cone" audit, one aggregation, no iteration. */
+  val q232: Q = (s, dir) =>
+    Similarity.effectiveDim(Tables.embeddings(s, dir), "embedding",
+      dims = 64)
+
+  /** Q233 Nelson–Aalen cumulative hazard of time-to-first-purchase:
+    * q178's exact risk sets with the additive hazard estimator —
+    * pure-integer micro increments (d·10⁶ div n), Breslow survival
+    * from the quantized hazard, finite everywhere (no KM
+    * zero-masking). */
+  val q233: Q = (s, dir) => {
+    val peru = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+        max(col("ts")).as("tmax"))
+    val dur = peru.select(
+      when(col("tp").isNotNull,
+        datediff(col("tp").cast("date"), col("t0").cast("date")))
+        .otherwise(datediff(col("tmax").cast("date"), col("t0").cast("date")))
+        .as("dur"),
+      when(col("tp").isNotNull, 1).otherwise(0).as("ev"))
+    Behavior.nelsonAalen(dur, Seq.empty, "dur", "ev").orderBy("t")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -4755,6 +4806,10 @@ object Queries {
     "q227_k_anonymity" -> q227,
     "q228_interval_coverage" -> q228,
     "q229_gini_length" -> q229,
+    "q230_conformal_gate" -> q230,
+    "q231_containment_join" -> q231,
+    "q232_effective_dim" -> q232,
+    "q233_nelson_aalen" -> q233,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -8056,6 +8111,81 @@ object Queries {
         + "CAST(CAST(n AS DECIMAL(38,0)) * total AS DOUBLE), 6) END AS gini, "
         + "CASE WHEN total > 0 THEN topv * 1000000 // total END AS top_decile_ppm "
         + "FROM g ORDER BY source"),
+    "q230_conformal_gate" ->
+      // q206's hashed-score CTEs; r = min(n, ceil((n+1)*9/10)) pure
+      // integer, q_hat = first distinct score whose cum count reaches
+      // r, coverage as integer ppm on the disjoint test fold
+      ("WITH t AS (SELECT doc_id, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), "
+        + "h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), "
+        + "w AS (SELECT doc_id, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), "
+        + "d AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score FROM w GROUP BY 1), "
+        + "sel AS (SELECT doc_id, score, (doc_id * 2654435761) % 1000000007 % 5 AS m FROM d), "
+        + "cal AS (SELECT score FROM sel WHERE m = 0), "
+        + "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncal FROM cal), "
+        + "h2 AS (SELECT score AS s, CAST(COUNT(*) AS BIGINT) AS c FROM cal GROUP BY 1), "
+        + "cum AS (SELECT s, SUM(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h2), "
+        + "r AS (SELECT ncal, LEAST(ncal, ((ncal + 1) * 9 + 9) // 10) AS rank FROM n), "
+        + "q AS (SELECT r.ncal AS n_cal, r.rank, MIN(CASE WHEN cum.cum >= r.rank THEN cum.s END) AS q_hat "
+        + "FROM cum, r GROUP BY 1, 2), "
+        + "tst AS (SELECT score FROM sel WHERE m <> 0) "
+        + "SELECT q.n_cal, q.rank, q.q_hat, CAST(COUNT(*) AS BIGINT) AS n_test, "
+        + "CAST(SUM(CASE WHEN tst.score <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS covered, "
+        + "CAST(SUM(CASE WHEN tst.score <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS coverage_ppm, "
+        + "CAST(900000 AS BIGINT) AS target_ppm "
+        + "FROM tst, q GROUP BY 1, 2, 3"),
+    "q231_containment_join" ->
+      // complete reference: brute-force shared-shingle join, directed
+      // containment |A∩B|/|A| with the engine's exact 7/10 gate
+      ("WITH w AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS ws FROM documents), "
+        + "t AS (SELECT DISTINCT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])) AS sh "
+        + "FROM w WHERE len(ws) >= 3), "
+        + "sig AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1), "
+        + "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS ni "
+        + "FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+        + "SELECT d1, d2, s1.n AS n1, ni AS n_inter, "
+        + "round(CAST(ni AS DOUBLE) / s1.n, 6) AS containment "
+        + "FROM j JOIN sig s1 ON j.d1 = s1.doc_id "
+        + "WHERE ni * 10 >= s1.n * 7 ORDER BY d1, d2"),
+    "q232_effective_dim" ->
+      // q212's quantized per-dim moments; variance via one portable
+      // floor-division, PR = trace^2/ssq as one 6-dp division
+      ("WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q "
+        + "FROM embeddings WHERE len(embedding) = 64), "
+        + "st AS (SELECT CAST(i AS INTEGER) AS dim, CAST(COUNT(*) AS BIGINT) AS n, "
+        + "CAST(SUM(CAST(q[i] AS BIGINT)) AS BIGINT) AS s, "
+        + "CAST(SUM(CAST(q[i] AS DECIMAL(38,0)) * CAST(q[i] AS BIGINT)) AS DECIMAL(38,0)) AS s2 "
+        + "FROM e, unnest(range(1, 65)) u(i) GROUP BY 1), "
+        + "v AS (SELECT dim, n, CAST(floor(CAST(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) / "
+        + "(CAST(n AS DOUBLE) * n) + 0.5) AS BIGINT) AS vq FROM st), "
+        + "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dims, CAST(MAX(n) AS BIGINT) AS n_vectors, "
+        + "CAST(SUM(vq) AS BIGINT) AS trace, CAST(MAX(vq) AS BIGINT) AS top_var, "
+        + "CAST(SUM(CAST(vq AS DECIMAL(38,0)) * vq) AS DECIMAL(38,0)) AS ssq FROM v) "
+        + "SELECT n_dims, n_vectors, trace, top_var, "
+        + "CASE WHEN trace > 0 THEN top_var * 1000000 // trace END AS top_dim_share_ppm, "
+        + "CASE WHEN ssq > 0 THEN round(CAST(CAST(trace AS DECIMAL(38,0)) * trace AS DOUBLE) / CAST(ssq AS DOUBLE), 6) END AS participation_ratio "
+        + "FROM g"),
+    "q233_nelson_aalen" ->
+      // q178's duration histogram + exact risk sets; additive hazard
+      // (d*1e6) // n summed as BIGINT, Breslow exp on the quantized
+      // operand with the portable 6-dp floor
+      ("WITH u AS (SELECT user_id, MIN(ts) AS t0, "
+        + "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp, MAX(ts) AS tmax "
+        + "FROM events GROUP BY 1), "
+        + "d AS (SELECT CASE WHEN tp IS NOT NULL THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE)) "
+        + "ELSE date_diff('day', CAST(t0 AS DATE), CAST(tmax AS DATE)) END AS t, "
+        + "CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
+        + "h AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d_events, CAST(SUM(1 - ev) AS BIGINT) AS n_censored FROM d GROUP BY 1), "
+        + "r AS (SELECT *, SUM(d_events + n_censored) OVER () AS total, "
+        + "COALESCE(SUM(d_events + n_censored) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM h), "
+        + "r2 AS (SELECT t, d_events, n_censored, CAST(total - bef AS BIGINT) AS n_risk FROM r), "
+        + "l AS (SELECT *, (d_events * 1000000) // n_risk AS term FROM r2), "
+        + "l2 AS (SELECT *, CAST(SUM(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS na FROM l) "
+        + "SELECT t, n_risk, d_events, n_censored, na AS na_micro, "
+        + "CAST(na AS DOUBLE) / 1000000.0 AS cum_hazard, "
+        + "CAST(CAST(floor(exp(CAST(na AS DOUBLE) / -1000000.0) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS surv_na "
+        + "FROM l2 WHERE d_events > 0 ORDER BY t"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

@@ -1046,6 +1046,64 @@ object Behavior {
   }
 
   /**
+   * Nelson–Aalen cumulative hazard (Nelson 1972 / Aalen 1978,
+   * implemented from the standard estimator) — [[kaplanMeier]]'s
+   * additive sibling: Ĥ(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over event times, with
+   * the SAME exact risk-set program. Preferred when hazards are the
+   * question (is churn risk rising or falling over tenure) and better
+   * behaved than −ln(KM) at small risk sets; Breslow survival
+   * exp(−Ĥ) comes free and never needs KM's zero-masking (Ĥ is
+   * always finite).
+   *
+   * Exactness: risk sets are exact BIGINTs from one histogram +
+   * running-total program; each increment is the PURE-INTEGER
+   * micro-unit (d·10⁶) div n; the cumulative hazard is a BIGINT sum;
+   * the one exp runs on the already-quantized micro value and
+   * portable-rounds to 6 dp — both engines exponentiate identical
+   * operands.
+   *
+   * Output per event time: `by`* + (`t`, `n_risk`, `d_events`,
+   * `n_censored`, `na_micro` — cumulative hazard in micro-units,
+   * `cum_hazard`, `surv_na`).
+   *
+   * Scale shape: identical to [[kaplanMeier]] — one duration
+   * histogram (map-side combined), windows over the per-group event
+   * TIMELINE (duration-cardinality-bounded, not data-bounded).
+   */
+  def nelsonAalen(durations: DataFrame, by: Seq[String],
+                  durationCol: String, eventCol: String): DataFrame = {
+    val hist = durations
+      .where(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy((by.map(col) :+ col(durationCol).cast("long").as("t")): _*)
+      .agg(sum(when(col(eventCol) =!= 0, 1L).otherwise(0L)).as("d_events"),
+        sum(when(col(eventCol) === 0, 1L).otherwise(0L)).as("n_censored"))
+    val wPrior = Window.partitionBy(by.map(col): _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(by.map(col): _*)
+    val wRun = Window.partitionBy(by.map(col): _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pr6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").cast("double") /
+        lit(1000000.0)
+    hist
+      .withColumn("__total",
+        sum(col("d_events") + col("n_censored")).over(wAll))
+      .withColumn("__before",
+        coalesce(sum(col("d_events") + col("n_censored")).over(wPrior),
+          lit(0L)))
+      .withColumn("n_risk", col("__total") - col("__before"))
+      .withColumn("__term", expr("(d_events * 1000000) div n_risk"))
+      .withColumn("na_micro", sum(col("__term")).over(wRun))
+      .filter(col("d_events") > 0L) // curve rows at event times only
+      .select((by.map(col) :+ col("t") :+ col("n_risk") :+
+        col("d_events") :+ col("n_censored") :+ col("na_micro") :+
+        (col("na_micro").cast("double") / lit(1000000.0d))
+          .as("cum_hazard") :+
+        pr6(exp(col("na_micro").cast("double") / lit(-1000000.0d)))
+          .as("surv_na")): _*)
+  }
+
+  /**
    * Interval-union coverage per key — the gaps-and-islands merge: fold
    * a set of possibly-overlapping half-open intervals [start, end)
    * into their disjoint union and report how much of the key's span is

@@ -1169,4 +1169,65 @@ object Dedup {
     exactJaccardResidual(candidates, sh, sig, tNum.toDouble / tDen)
       .withColumn("jaccard", round(col("jaccard"), 6))
   }
+
+  /**
+   * EXACT containment join — every ordered pair (A, B) with
+   * C(A, B) = |A ∩ B| / |A| ≥ t, the ASYMMETRIC threshold Jaccard
+   * ([[prefixFilterJaccardJoin]]) and full-subset detection
+   * ([[subsetDocPairs]], the t = 1 special case) both miss: "is doc A
+   * mostly contained in B" at partial t — quote/excerpt detection,
+   * near-subset dedup where the smaller doc should defer to the
+   * superset. Same zero-false-negative prefix principle, containment
+   * form: if |A ∩ B| ≥ k = ⌈t·n_A⌉ then A's (df asc, hash asc)-first
+   * n_A − k + 1 elements must intersect B (pigeonhole over the shared
+   * total order is not even needed — ANY k-intersection hits a length
+   * n_A − k + 1 prefix of A), so A-side prefixes equi-join against
+   * ALL of B's elements, and the exact-intersection residual divides
+   * by n_A only. The threshold is a pure-integer rational tNum/tDen
+   * (a float ceil that rounds up would break the guarantee).
+   *
+   * Output: (d1, d2, n1, n_inter, containment ≥ t, 6 dp), d1 ≠ d2,
+   * directed (A = d1 contained in B = d2).
+   *
+   * Scale shape: hash-only shuffles throughout (16 B shingle rows);
+   * the probe side ships only prefix elements (the (1−t) fraction);
+   * candidate dedup + the intersection join are both bounded by true
+   * shared-shingle pairs, not the corpus square. Document text never
+   * leaves the initial scan.
+   */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      tNum: Int, tDen: Int,
+                      shingleWidth: Int = 3): DataFrame = {
+    require(tNum >= 1 && tDen >= tNum, "threshold must be in (0, 1]")
+    val sh = shingleHashRows(docs, idCol, textCol, shingleWidth)
+      .localCheckpoint(eager = false)
+    val dfc = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    val ordered = sh.join(dfc, Seq("__sh"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__sh"))))
+        .as("__ord"))
+      .select(col("__id"), col("__ord"), size(col("__ord")).as("__n"))
+    val p = (col("__n") -
+      expr(s"(__n * $tNum + ${tDen - 1}) div $tDen") + 1).cast("int")
+    val prefix = ordered
+      .select(col("__id"), col("__n"),
+        explode(slice(col("__ord"), lit(1), p)).as("__s"))
+      .select(col("__id"), col("__n"), col("__s.__sh").as("__sh"))
+    val candidates = prefix.alias("a")
+      .join(sh.alias("b"),
+        col("a.__sh") === col("b.__sh") && col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("d1"), col("a.__n").cast("long").as("n1"),
+        col("b.__id").as("d2"))
+      .distinct()
+    val inter = candidates
+      .join(sh.select(col("__id").as("d1"), col("__sh")), Seq("d1"))
+      .join(sh.select(col("__id").as("d2"), col("__sh")), Seq("d2", "__sh"))
+      .groupBy("d1", "d2", "n1")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .where(col("n_inter") * tDen >= col("n1") * tNum)
+      .select(col("d1"), col("d2"), col("n1"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("n1"), 6)
+          .as("containment"))
+  }
 }

@@ -1177,4 +1177,59 @@ object Eval {
       when(pbarE < 1.0d,
         round((pbar - pbarE) / (lit(1.0d) - pbarE), 6)).as("kappa")): _*)
   }
+
+  /**
+   * Split-conformal calibration gate (Vovk et al.; the Papadopoulos
+   * split/inductive variant, implemented from the standard recipe):
+   * from a CALIBRATION set of integer nonconformity scores, the
+   * threshold q̂ = the r-th smallest with r = min(n, ⌈(n+1)(1−α)⌉) —
+   * the finite-sample-valid quantile that guarantees P(score ≤ q̂) ≥
+   * 1−α on exchangeable data — then the observed coverage of q̂ on a
+   * disjoint TEST set. The distribution-free "is my scorer's
+   * threshold actually holding its promised rate" audit.
+   *
+   * Exactness: r is pure integer ceil arithmetic; q̂ is an exact
+   * rank selection over the DISTINCT-score histogram (first score
+   * whose cumulative count reaches r — integer decisions only);
+   * coverage and the α target are integer ppm. Scores cast to BIGINT
+   * (the house integer-score convention).
+   *
+   * Output (one row): `n_cal`, `rank`, `q_hat`, `n_test`, `covered`,
+   * `coverage_ppm`, `target_ppm`.
+   *
+   * Scale shape: two map-side-combined aggregations (per-score
+   * histogram; test count), one cumulative window over the
+   * score-CARDINALITY-bounded histogram (the [[Sketch.logHistQuantiles]]
+   * posture), and a 1-row broadcast onto the test fold. Nothing
+   * data-sized is sorted globally.
+   */
+  def conformalGate(cal: DataFrame, test: DataFrame, scoreCol: String,
+                    alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaNum >= 1 && alphaDen > alphaNum,
+      "conformalGate: alpha must be in (0, 1)")
+    val sLong = col(scoreCol).cast("long")
+    val calS = cal.where(sLong.isNotNull).select(sLong.as("__s"))
+    val hist = calS.groupBy("__s").agg(count(lit(1)).as("__c"))
+    val tot = calS.agg(count(lit(1)).as("__ncal"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keepNum = alphaDen - alphaNum
+    val qrow = hist.withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("__r", least(col("__ncal"),
+        expr(s"((__ncal + 1) * $keepNum + ${alphaDen - 1}) div $alphaDen")))
+      .agg(max(col("__ncal")).as("n_cal"), max(col("__r")).as("rank"),
+        min(when(col("__cum") >= col("__r"), col("__s"))).as("q_hat"))
+    val testS = test.where(sLong.isNotNull).select(sLong.as("__s"))
+    testS.crossJoin(broadcast(qrow))
+      .groupBy("n_cal", "rank", "q_hat")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__s") <= col("q_hat"), 1L).otherwise(0L))
+          .as("covered"))
+      .select(col("n_cal"), col("rank"), col("q_hat"), col("n_test"),
+        col("covered"),
+        when(col("n_test") > 0L, expr("covered * 1000000 div n_test"))
+          .otherwise(0L).as("coverage_ppm"),
+        lit(keepNum.toLong * 1000000L / alphaDen).as("target_ppm"))
+  }
 }

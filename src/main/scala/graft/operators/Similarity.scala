@@ -924,4 +924,58 @@ object Similarity {
       (p + 1, n, mu(p), variance, v(p), eigval)
     }.toDF("dim", "n", "mu", "variance", "loading", "eigval")
   }
+
+  /**
+   * Embedding EFFECTIVE dimensionality — the anisotropy audit that
+   * answers "are my d dimensions actually carrying d dimensions of
+   * signal": the participation ratio PR = (Σ_d v_d)² / Σ_d v_d² over
+   * per-dimension variances (PR = d for isotropic spread, → 1 when
+   * one dimension dominates — the "embeddings collapse into a narrow
+   * cone" pathology), plus the top single dimension's share of total
+   * variance. Cheaper and shuffle-lighter than the full [[topComponent]]
+   * eigenpair (no iteration; axis-aligned), and the standard first
+   * check before spending on PCA whitening.
+   *
+   * Exactness: per-dim moments are exact (quantized int embeddings,
+   * BIGINT/DECIMAL sums — the [[topComponent]] convention); each
+   * per-dim variance takes ONE portable-floored double division into
+   * integer micro-like units; trace/top/ssq fold those exact longs;
+   * PR is one double division rounded 6 dp; top share is integer ppm.
+   *
+   * Output (one row): `n_dims`, `n_vectors`, `trace` (Σ quantized
+   * variances), `top_var`, `top_dim_share_ppm`, `participation_ratio`.
+   *
+   * Scale shape: ONE map-side-combined aggregation of the exploded
+   * (dim, value) pairs — d·~40 B crosses the wire per partition —
+   * then a d-row fold. No iteration, no driver state.
+   */
+  def effectiveDim(emb: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val st = emb
+      .select(quantize(col(vecCol).cast("array<double>")).as("__q"))
+      .where(size(col("__q")) === dims)
+      .select(posexplode(col("__q")).as(Seq("__p", "__qi")))
+      .groupBy("__p")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__qi").cast("long")).as("__s"),
+        sum(col("__qi").cast("decimal(38,0)") * col("__qi").cast("long"))
+          .cast("decimal(38,0)").as("__s2"))
+    val num = dec(col("__n")) * col("__s2") -
+      dec(col("__s")) * dec(col("__s"))
+    val varq = st.withColumn("__v",
+      floor(num.cast("double") /
+        (col("__n").cast("double") * col("__n")) + 0.5d).cast("long"))
+    varq.agg(count(lit(1)).as("n_dims"), max(col("__n")).as("n_vectors"),
+        sum(col("__v")).as("trace"), max(col("__v")).as("top_var"),
+        sum(dec(col("__v")) * col("__v")).cast("decimal(38,0)")
+          .as("__ssq"))
+      .select(col("n_dims"), col("n_vectors"), col("trace"),
+        col("top_var"),
+        when(col("trace") > 0L, expr("top_var * 1000000 div trace"))
+          .as("top_dim_share_ppm"),
+        when(col("__ssq") > 0L,
+          round((dec(col("trace")) * col("trace")).cast("double") /
+            col("__ssq").cast("double"), 6)).as("participation_ratio"))
+  }
 }

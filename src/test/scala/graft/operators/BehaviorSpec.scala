@@ -540,4 +540,25 @@ class BehaviorSpec extends SparkTestBase {
     assert(out("v") == ((2L, 1L, 100L, 100L, 1000000L)))
     assert(out("w") == ((1L, 1L, 2L, 2L, 1000000L)))
   }
+
+  test("nelsonAalen: hand risk sets, integer micro increments, " +
+    "Breslow survival") {
+    val ss = spark
+    import ss.implicits._
+    val dur = Seq((1L, 1), (1L, 1), (2L, 0), (3L, 1), (3L, 0), (5L, 1))
+      .toDF("dur", "ev")
+    val out = Behavior.nelsonAalen(dur, Seq.empty, "dur", "ev")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(6)))).toMap
+    def breslow(naMicro: Long): Double =
+      math.floor(math.exp(naMicro / -1000000.0) * 1e6 + 0.5) / 1e6
+    // t=1: risk 6, 2 events -> 2e6 div 6 = 333333
+    assert(out(1L) == ((6L, 2L, 0L, 333333L, breslow(333333L))))
+    // t=2 is censoring-only: no curve row, but it shrank the risk set
+    assert(!out.contains(2L))
+    // t=3: risk 3 (6-2-1), 1 event -> +333333
+    assert(out(3L) == ((3L, 1L, 1L, 666666L, breslow(666666L))))
+    // t=5: last subject events out; hazard finite, no masking needed
+    assert(out(5L) == ((1L, 1L, 0L, 1666666L, breslow(1666666L))))
+  }
 }

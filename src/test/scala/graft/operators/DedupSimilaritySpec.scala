@@ -746,6 +746,46 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("containmentJoin: directed asymmetric gate, exact borderline, " +
+    "unrelated excluded") {
+    val ss = spark
+    import ss.implicits._
+    // A's 3 shingles all inside B (C(A,B)=1); C(B,A)=3/5
+    val docs = Seq(
+      (1L, "a b c d e"),            // shingles {abc, bcd, cde}, n=3
+      (2L, "a b c d e f g"),        // n=5, superset of 1's
+      (3L, "x y z w v u t"))        // disjoint
+      .toDF("doc_id", "text")
+    val at70 = Dedup.containmentJoin(docs, "doc_id", "text", 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(at70.keySet == Set((1L, 2L)))
+    assert(at70((1L, 2L)) == ((3L, 3L, 1.0)))
+    // t = 3/5: the reverse direction sits EXACTLY on the boundary
+    val at60 = Dedup.containmentJoin(docs, "doc_id", "text", 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4))
+      .toMap
+    assert(at60.keySet == Set((1L, 2L), (2L, 1L)))
+    assert(at60((2L, 1L)) == 0.6)
+  }
+
+  test("effectiveDim: collapsed axis PR=1, isotropic pair PR=2") {
+    val ss = spark
+    import ss.implicits._
+    val collapsed = Seq(Array(1.0, 0.0), Array(-1.0, 0.0),
+      Array(2.0, 0.0), Array(-2.0, 0.0)).toDF("embedding")
+    val c = Similarity.effectiveDim(collapsed, "embedding", dims = 2).head()
+    // dim1 var = 10*1024^2/4 = 2621440, dim2 = 0
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3),
+      c.getLong(4), c.getDouble(5)) ==
+      ((2L, 4L, 2621440L, 2621440L, 1000000L, 1.0)))
+    val iso = Seq(Array(1.0, 0.0), Array(0.0, 1.0),
+      Array(-1.0, 0.0), Array(0.0, -1.0)).toDF("embedding")
+    val i = Similarity.effectiveDim(iso, "embedding", dims = 2).head()
+    assert((i.getLong(2), i.getLong(4), i.getDouble(5)) ==
+      ((2L * 524288L, 500000L, 2.0)))
+  }
+
   test("topComponent: exact 2-D eigenpair on a centered rank-1 cloud") {
     val ss = spark
     import ss.implicits._

@@ -592,4 +592,26 @@ class EvalSpec extends SparkTestBase with Matchers {
     assert(out3("A") > 0.0 && out3("C") > 0.0)
     assert(math.abs(out3.values.sum - 1.0) < 1e-6)
   }
+
+  test("conformalGate: exact rank selection, duplicate scores, coverage") {
+    val ss = spark
+    import ss.implicits._
+    val cal = (1L to 10L).toDF("score")
+    val test = Seq(5L, 10L, 11L).toDF("score")
+    // alpha=1/10: r = min(10, ceil(11*9/10)) = 10 -> q_hat = 10
+    val g1 = Eval.conformalGate(cal, test, "score", 1, 10).head()
+    assert((g1.getLong(0), g1.getLong(1), g1.getLong(2), g1.getLong(3),
+      g1.getLong(4), g1.getLong(5), g1.getLong(6)) ==
+      ((10L, 10L, 10L, 3L, 2L, 666666L, 900000L)))
+    // alpha=1/2: r = ceil(11/2) = 6 -> q_hat = 6, only 5 covered
+    val g2 = Eval.conformalGate(cal, test, "score", 1, 2).head()
+    assert((g2.getLong(1), g2.getLong(2), g2.getLong(4),
+      g2.getLong(6)) == ((6L, 6L, 1L, 500000L)))
+    // duplicate scores: cal {1,1,1,2}, alpha=1/4 -> r = ceil(5*3/4)=4,
+    // cum reaches 4 first at score 2
+    val g3 = Eval.conformalGate(Seq(1L, 1L, 1L, 2L).toDF("score"),
+      Seq(1L, 2L, 3L).toDF("score"), "score", 1, 4).head()
+    assert((g3.getLong(1), g3.getLong(2), g3.getLong(4)) ==
+      ((4L, 2L, 2L)))
+  }
 }
