@@ -2964,6 +2964,62 @@ object Queries {
     Behavior.nelsonAalen(dur, Seq.empty, "dur", "ev").orderBy("t")
   }
 
+  /** Q234 log-rank test between even/odd user cohorts'
+    * time-to-first-purchase: the hypothesis-test companion to q178's
+    * KM curves — exact hypergeometric O−E micro sums, fixed-order
+    * variance terms, one χ² division. */
+  val q234: Q = (s, dir) => {
+    val peru = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+        max(col("ts")).as("tmax"))
+    val dur = peru.select(
+      pmod(col("user_id"), lit(2L)).as("grp"),
+      when(col("tp").isNotNull,
+        datediff(col("tp").cast("date"), col("t0").cast("date")))
+        .otherwise(datediff(col("tmax").cast("date"), col("t0").cast("date")))
+        .as("dur"),
+      when(col("tp").isNotNull, 1).otherwise(0).as("ev"))
+    Behavior.logRank(dur, "grp", "dur", "ev")
+  }
+
+  /** Q235 Krippendorff's alpha per lang with VARIABLE rater counts:
+    * each doc gets 2 + doc_id % 3 simulated raters voting
+    * (score + j·1000 ≥ 0) — the agreement readout Fleiss' fixed-R
+    * kappa can't express; pure-integer coincidence micro terms, one
+    * 6-dp division. */
+  val q235: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("lang", "doc_id"))
+    val votes = scored.select(col("lang"),
+        (lit(2L) + pmod(col("doc_id"), lit(3L))).as("n_raters"),
+        col("score"))
+      .withColumn("n_pos",
+        size(filter(sequence(lit(0L), col("n_raters") - 1L),
+          j => col("score") + j * lit(1000L) >= 0L)).cast("long"))
+    Eval.krippendorffAlpha(votes, "n_pos", "n_raters", Seq("lang"))
+      .orderBy("lang")
+  }
+
+  /** Q236 k-hop reach over the brand co-purchase graph (q150's edge
+    * fixture): per brand, distinct brands within 1/2/3 undirected
+    * hops — the blast-radius / small-world profile as exact BFS
+    * frontier joins. */
+  val q236: Q = (s, dir) => {
+    val bi = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("b"), col("p_brand").as("i"))
+      .distinct()
+    val pairs = bi.join(bi.select(col("b"), col("i").as("j")), "b")
+      .where(col("i") < col("j"))
+      .select(col("i").as("x"), col("j").as("y"))
+      .distinct()
+    Graph.kHopReach(pairs, "x", "y", hops = 3).orderBy("id")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -4810,6 +4866,9 @@ object Queries {
     "q231_containment_join" -> q231,
     "q232_effective_dim" -> q232,
     "q233_nelson_aalen" -> q233,
+    "q234_log_rank" -> q234,
+    "q235_krippendorff" -> q235,
+    "q236_khop_reach" -> q236,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -8186,6 +8245,74 @@ object Queries {
         + "CAST(na AS DOUBLE) / 1000000.0 AS cum_hazard, "
         + "CAST(CAST(floor(exp(CAST(na AS DOUBLE) / -1000000.0) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS surv_na "
         + "FROM l2 WHERE d_events > 0 ORDER BY t"),
+    "q234_log_rank" ->
+      // q178's durations split even/odd; per-time hypergeometric
+      // E = (d*n1*1e6)//n as pure integers, V as ONE fixed-order
+      // double division of exact DECIMAL products, chi2 = (sum OE)^2
+      // / (sum V * 1e6)
+      ("WITH u AS (SELECT user_id, MIN(ts) AS t0, "
+        + "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp, MAX(ts) AS tmax "
+        + "FROM events GROUP BY 1), "
+        + "d0 AS (SELECT user_id % 2 AS grp, CASE WHEN tp IS NOT NULL THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE)) "
+        + "ELSE date_diff('day', CAST(t0 AS DATE), CAST(tmax AS DATE)) END AS t, "
+        + "CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
+        + "h AS (SELECT t, CAST(SUM(CASE WHEN grp = 0 AND ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1, "
+        + "CAST(SUM(CASE WHEN grp = 0 AND ev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+        + "CAST(SUM(CASE WHEN grp <> 0 AND ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d2, "
+        + "CAST(SUM(CASE WHEN grp <> 0 AND ev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2 FROM d0 GROUP BY 1), "
+        + "r AS (SELECT *, SUM(d1 + c1) OVER () AS t1, SUM(d2 + c2) OVER () AS t2, "
+        + "SUM(d1) OVER () AS e1t, SUM(d2) OVER () AS e2t, "
+        + "COALESCE(SUM(d1 + c1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b1, "
+        + "COALESCE(SUM(d2 + c2) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b2 FROM h), "
+        + "r2 AS (SELECT t, d1, d2, CAST(t1 - b1 AS BIGINT) AS n1r, CAST(t2 - b2 AS BIGINT) AS n2r, "
+        + "CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2, CAST(e1t AS BIGINT) AS e1t, CAST(e2t AS BIGINT) AS e2t FROM r), "
+        + "r3 AS (SELECT *, n1r + n2r AS nr, d1 + d2 AS dr FROM r2), "
+        + "r4 AS (SELECT *, d1 * 1000000 - (dr * n1r * 1000000) // nr AS om, "
+        + "CASE WHEN nr > 1 THEN CAST(floor(CAST(CAST(dr AS DECIMAL(38,0)) * n1r * n2r * (nr - dr) AS DOUBLE) / "
+        + "CAST(CAST(nr AS DECIMAL(38,0)) * nr * (nr - 1) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS vm "
+        + "FROM r3 WHERE dr > 0) "
+        + "SELECT MAX(t1) AS n1, MAX(t2) AS n2, MAX(e1t) AS events1, MAX(e2t) AS events2, "
+        + "CAST(SUM(om) AS BIGINT) AS o_minus_e_micro, CAST(SUM(vm) AS BIGINT) AS var_micro, "
+        + "CASE WHEN SUM(vm) > 0 THEN round(CAST(CAST(SUM(om) AS DECIMAL(38,0)) * CAST(SUM(om) AS BIGINT) AS DOUBLE) / "
+        + "CAST(CAST(SUM(vm) AS DECIMAL(38,0)) * 1000000 AS DOUBLE), 6) END AS chi2 "
+        + "FROM r4"),
+    "q235_krippendorff" ->
+      // q206's hashed-score CTEs; monotone simulated votes via
+      // list_filter over range(0, n); per-unit coincidence
+      // (2*p*q*1e6)//(n-1), alpha = 1 - o01*(nc-1)/(2*n1*n0*1e6)
+      ("WITH t AS (SELECT doc_id, lang, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), "
+        + "h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), "
+        + "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), "
+        + "d AS (SELECT doc_id, lang, CAST(SUM(wt) AS BIGINT) AS score FROM w GROUP BY 1, 2), "
+        + "v AS (SELECT lang, 2 + doc_id % 3 AS n, score FROM d), "
+        + "pv AS (SELECT lang, CAST(n AS BIGINT) AS n, "
+        + "CAST(len(list_filter(range(0, n), j -> score + j * 1000 >= 0)) AS BIGINT) AS p FROM v), "
+        + "b AS (SELECT lang, p, n - p AS q, n FROM pv WHERE n >= 2), "
+        + "g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_units, CAST(SUM(n) AS BIGINT) AS n_ratings, "
+        + "CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM((2 * p * q * 1000000) // (n - 1)) AS BIGINT) AS o01_micro FROM b GROUP BY 1) "
+        + "SELECT lang, n_units, n_ratings, n_pos, o01_micro, "
+        + "CASE WHEN n_pos > 0 AND n_pos < n_ratings AND n_ratings > 1 THEN "
+        + "round(1 - CAST(CAST(o01_micro AS DECIMAL(38,0)) * (n_ratings - 1) AS DOUBLE) / "
+        + "CAST(CAST(2 AS DECIMAL(38,0)) * n_pos * (n_ratings - n_pos) * 1000000 AS DOUBLE), 6) END AS alpha "
+        + "FROM g ORDER BY lang"),
+    "q236_khop_reach" ->
+      // q150's brand co-purchase edges; exact BFS closure by UNION +
+      // DISTINCT per hop, cumulative reach counts exclude self
+      ("WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i FROM lineitem JOIN part ON l_partkey = p_partkey), "
+        + "pr AS (SELECT DISTINCT a.i AS x, b.i AS y FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i), "
+        + "e AS (SELECT x AS a, y AS b FROM pr UNION SELECT y, x FROM pr), "
+        + "r1 AS (SELECT DISTINCT a, b FROM e), "
+        + "r2 AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM r1 UNION ALL "
+        + "SELECT r1.a, e.b FROM r1 JOIN e ON r1.b = e.a) WHERE a <> b), "
+        + "r3 AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM r2 UNION ALL "
+        + "SELECT r2.a, e.b FROM r2 JOIN e ON r2.b = e.a) WHERE a <> b) "
+        + "SELECT r1c.a AS id, n_hop1, n_hop2, n_hop3 FROM "
+        + "(SELECT a, CAST(COUNT(*) AS BIGINT) AS n_hop1 FROM r1 GROUP BY 1) r1c "
+        + "JOIN (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_hop2 FROM r2 GROUP BY 1) r2c ON r1c.a = r2c.a "
+        + "JOIN (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_hop3 FROM r3 GROUP BY 1) r3c ON r1c.a = r3c.a "
+        + "ORDER BY 1"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

@@ -1046,6 +1046,84 @@ object Behavior {
   }
 
   /**
+   * Log-rank (Mantel–Cox) test between two survival curves — does
+   * cohort A actually convert/churn on a different clock than cohort
+   * B, or do the [[kaplanMeier]] curves differ by eye only. At each
+   * event time the observed group-1 events are compared with the
+   * hypergeometric expectation d·n₁/n; the statistic
+   * χ² = (Σ(O−E))² / ΣV with V = d·n₁·n₂·(n−d) / (n²·(n−1))
+   * is χ²(1) under the null (implemented from the standard
+   * formulation).
+   *
+   * Group encoding: `groupCol` = 0 is group 1, anything else group 2.
+   *
+   * Exactness: risk sets are the same exact BIGINT histogram +
+   * running-total program as [[kaplanMeier]]; each E term is the
+   * PURE-INTEGER (d·n₁·10⁶) div n so Σ(O−E) is a BIGINT micro sum;
+   * each V term is ONE fixed-order double division of exact DECIMAL
+   * products, portable-floored to micro; χ² is one final double
+   * division rounded 6 dp.
+   *
+   * Output (one row): `n1`, `n2`, `events1`, `events2`,
+   * `o_minus_e_micro`, `var_micro`, `chi2`.
+   *
+   * Scale shape: one duration histogram (map-side combined), windows
+   * over the event TIMELINE (duration-cardinality-bounded), a scalar
+   * fold. Subject count never enters a window.
+   */
+  def logRank(durations: DataFrame, groupCol: String,
+              durationCol: String, eventCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g1 = col(groupCol) === 0
+    val ev = col(eventCol) =!= 0
+    val hist = durations
+      .where(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(when(g1 && ev, 1L).otherwise(0L)).as("d1"),
+        sum(when(g1 && !ev, 1L).otherwise(0L)).as("c1"),
+        sum(when(!g1 && ev, 1L).otherwise(0L)).as("d2"),
+        sum(when(!g1 && !ev, 1L).otherwise(0L)).as("c2"))
+    val wAll = Window.partitionBy()
+    val wPrior = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risky = hist
+      .withColumn("__t1", sum(col("d1") + col("c1")).over(wAll))
+      .withColumn("__t2", sum(col("d2") + col("c2")).over(wAll))
+      .withColumn("__e1t", sum(col("d1")).over(wAll))
+      .withColumn("__e2t", sum(col("d2")).over(wAll))
+      .withColumn("__b1",
+        coalesce(sum(col("d1") + col("c1")).over(wPrior), lit(0L)))
+      .withColumn("__b2",
+        coalesce(sum(col("d2") + col("c2")).over(wPrior), lit(0L)))
+      .withColumn("n1r", col("__t1") - col("__b1"))
+      .withColumn("n2r", col("__t2") - col("__b2"))
+      .withColumn("nr", col("n1r") + col("n2r"))
+      .withColumn("dr", col("d1") + col("d2"))
+      .where(col("dr") > 0L)
+    val om = col("d1") * 1000000L -
+      expr("(dr * n1r * 1000000) div nr")
+    val vm = when(col("nr") > 1L, floor(
+      (dec(col("dr")) * col("n1r") * col("n2r") *
+        (col("nr") - col("dr"))).cast("double") /
+        (dec(col("nr")) * col("nr") * (col("nr") - 1L)).cast("double") *
+        1e6d + 0.5d).cast("long")).otherwise(0L)
+    val agg0 = risky
+      .withColumn("__om", om).withColumn("__vm", vm)
+      .agg(max(col("__t1")).as("n1"), max(col("__t2")).as("n2"),
+        max(col("__e1t")).as("events1"), max(col("__e2t")).as("events2"),
+        sum(col("__om")).as("o_minus_e_micro"),
+        sum(col("__vm")).as("var_micro"))
+    agg0.select(col("n1"), col("n2"), col("events1"), col("events2"),
+      col("o_minus_e_micro"), col("var_micro"),
+      when(col("var_micro") > 0L,
+        round((dec(col("o_minus_e_micro")) * col("o_minus_e_micro"))
+          .cast("double") /
+          (dec(col("var_micro")) * lit(1000000L)).cast("double"), 6))
+        .as("chi2"))
+  }
+
+  /**
    * Nelson–Aalen cumulative hazard (Nelson 1972 / Aalen 1978,
    * implemented from the standard estimator) — [[kaplanMeier]]'s
    * additive sibling: Ĥ(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over event times, with

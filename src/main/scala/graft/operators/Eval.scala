@@ -1179,6 +1179,58 @@ object Eval {
   }
 
   /**
+   * Krippendorff's alpha, binary data, VARIABLE raters per unit
+   * (Krippendorff 2004, implemented from the coincidence-matrix
+   * formulation) — the agreement coefficient [[fleissKappa]]'s
+   * fixed-R contract can't express: crowd labels where some items got
+   * 2 judgments and some got 5, ensemble gates where a member
+   * abstains. Input is per-unit (`nPosCol` positive votes out of
+   * `nTotCol` ratings); units with fewer than 2 ratings drop (nothing
+   * pairable).
+   *
+   * Within unit u the pairable disagreement coincidence is
+   * 2·p_u·q_u/(n_u − 1); with margins n₁ = Σp, n₀ = Σq, n_c = n₁+n₀:
+   *
+   *   α = 1 − o₀₁·(n_c − 1) / (2·n₁·n₀)
+   *
+   * Exactness: each unit's coincidence is the PURE-INTEGER
+   * (2·p·q·10⁶) div (n−1) micro term summed as BIGINT; the margin
+   * products are exact DECIMAL(38,0); α is ONE double division
+   * subtracted from 1 and rounded 6 dp. NULL when either margin is
+   * zero (all votes one category — chance disagreement undefined).
+   *
+   * Output per `by` group: `n_units`, `n_ratings`, `n_pos`,
+   * `o01_micro`, `alpha`.
+   *
+   * Scale shape: ONE map-side-combined aggregation over per-unit
+   * counts; four counters per group cross the wire.
+   */
+  def krippendorffAlpha(votes: DataFrame, nPosCol: String,
+                        nTotCol: String, by: Seq[String] = Nil): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val p = col(nPosCol).cast("long")
+    val n = col(nTotCol).cast("long")
+    val base = votes
+      .where(p.isNotNull && n.isNotNull && n >= 2L && p >= 0L && p <= n)
+      .select((by.map(col) :+ p.as("__p") :+ (n - p).as("__q") :+
+        n.as("__n")): _*)
+    val agg0 = base.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n_units"), sum(col("__n")).as("n_ratings"),
+        sum(col("__p")).as("n_pos"),
+        sum(expr("(2 * __p * __q * 1000000) div (__n - 1)"))
+          .as("o01_micro"))
+    agg0.select((by.map(col) :+ col("n_units") :+ col("n_ratings") :+
+      col("n_pos") :+ col("o01_micro") :+
+      when(col("n_pos") > 0L && col("n_pos") < col("n_ratings") &&
+        col("n_ratings") > 1L,
+        round(lit(1.0d) -
+          (dec(col("o01_micro")) * (col("n_ratings") - 1L)).cast("double") /
+            (dec(lit(2L)) * col("n_pos") *
+              (col("n_ratings") - col("n_pos")) * lit(1000000L))
+              .cast("double"), 6)).as("alpha")): _*)
+  }
+
+  /**
    * Split-conformal calibration gate (Vovk et al.; the Papadopoulos
    * split/inductive variant, implemented from the standard recipe):
    * from a CALIBRATION set of integer nonconformity scores, the

@@ -263,4 +263,53 @@ object Graph {
       when(vx > 0d && vy > 0d, round(num / (sqrt(vx) * sqrt(vy)), 6))
         .otherwise(lit(null).cast("double")).as("assortativity"))
   }
+
+  /**
+   * Bounded k-hop reach per node — how many distinct nodes each node
+   * can touch within 1, 2, …, `hops` undirected steps: the
+   * neighborhood-growth profile behind link-graph authority spread,
+   * contamination blast radius ("if this domain is poisoned, how much
+   * of the crawl is ≤ 3 clicks away"), and small-world diagnostics
+   * (reach saturating by hop 2 ⇒ a near-clique). Exact BFS as
+   * frontier JOINS — set semantics, no float, deterministic by
+   * construction.
+   *
+   * Self-pairs are excluded (a node does not reach itself); the edge
+   * list is symmetrized and de-duplicated first.
+   *
+   * Output: (`id`, `n_hop1`, …, `n_hop<hops>`) — cumulative distinct
+   * reach counts; rows only for nodes with ≥ 1 edge.
+   *
+   * Scale shape: hop k materializes the ≤k-neighborhood PAIR set —
+   * bounded by the true reach size, not n², but growing with the
+   * graph's expansion; `hops` is capped at 4 because on a
+   * small-diameter web graph hop 5 IS the transitive closure. Each
+   * round is one hash join + distinct on (node, node) pairs.
+   */
+  def kHopReach(edges: DataFrame, srcCol: String, dstCol: String,
+                hops: Int = 3): DataFrame = {
+    require(hops >= 1 && hops <= 4, "hops must be in [1, 4]")
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    val sym = und
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var reach = sym
+    var result = reach.groupBy("a").agg(count(lit(1)).as("n_hop1"))
+    for (k <- 2 to hops) {
+      reach = reach.alias("r")
+        .join(sym.alias("e"), col("r.b") === col("e.a"))
+        .select(col("r.a").as("a"), col("e.b").as("b"))
+        .union(reach)
+        .where(col("a") =!= col("b"))
+        .distinct()
+      result = result.join(
+        reach.groupBy("a").agg(count(lit(1)).as(s"n_hop$k")), Seq("a"))
+    }
+    result.select((col("a").as("id") +:
+      (1 to hops).map(k => col(s"n_hop$k"))): _*)
+  }
 }

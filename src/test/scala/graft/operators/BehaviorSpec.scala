@@ -561,4 +561,29 @@ class BehaviorSpec extends SparkTestBase {
     // t=5: last subject events out; hazard finite, no masking needed
     assert(out(5L) == ((1L, 1L, 0L, 1666666L, breslow(1666666L))))
   }
+
+  test("logRank: identical curves give chi2 0; hand hypergeometric " +
+    "terms on a shifted pair") {
+    val ss = spark
+    import ss.implicits._
+    val same = Seq((0, 1L, 1), (0, 2L, 1), (1, 1L, 1), (1, 2L, 1))
+      .toDF("grp", "dur", "ev")
+    val s0 = Behavior.logRank(same, "grp", "dur", "ev").head()
+    assert(s0.getLong(4) == 0L && s0.getDouble(6) == 0.0)
+    // g0 events at t=1,2; g1 at t=2,3:
+    // t=1: E1 = (1*2*1e6)div4 = 500000, OM = 500000; V: 12/48 -> 250000
+    // t=2: n1=1,n2=2,d=2: E1 = 666666, OM = 333334; V: 4/18 -> 222222
+    // t=3: n1=0: OM = 0, V = 0 (n=1)
+    val shifted = Seq((0, 1L, 1), (0, 2L, 1), (1, 2L, 1), (1, 3L, 1))
+      .toDF("grp", "dur", "ev")
+    val s1 = Behavior.logRank(shifted, "grp", "dur", "ev").head()
+    assert((s1.getLong(0), s1.getLong(1), s1.getLong(2), s1.getLong(3),
+      s1.getLong(4), s1.getLong(5)) ==
+      ((2L, 2L, 2L, 2L, 833334L, 472222L)))
+    val chi2 = BigDecimal(
+      (BigDecimal(833334L) * BigDecimal(833334L)).toDouble /
+        (BigDecimal(472222L) * BigDecimal(1000000L)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s1.getDouble(6) == chi2)
+  }
 }

@@ -614,4 +614,27 @@ class EvalSpec extends SparkTestBase with Matchers {
     assert((g3.getLong(1), g3.getLong(2), g3.getLong(4)) ==
       ((4L, 2L, 2L)))
   }
+
+  test("krippendorffAlpha: hand coincidences, variable raters, " +
+    "degenerate margins NULL, single-rating units drop") {
+    val ss = spark
+    import ss.implicits._
+    // units (p, n): (2,2) o01=0; (0,2) o01=0; (1,2) o01=2e6
+    // n1=3, n0=3, nc=6: alpha = 1 - 2e6*5/(2*3*3*1e6) = 1 - 10/18
+    val v = Seq(("g", 2L, 2L), ("g", 0L, 2L), ("g", 1L, 2L),
+      ("g", 1L, 1L), // unpairable: drops entirely
+      ("p", 2L, 2L), ("p", 3L, 3L), // perfect + all-positive: NULL
+      ("q", 2L, 2L), ("q", 0L, 3L)) // perfect split agreement
+      .toDF("grp", "n_pos", "n_raters")
+    val out = Eval.krippendorffAlpha(v, "n_pos", "n_raters", Seq("grp"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("g") == ((3L, 6L, 3L, 2000000L,
+      Some(BigDecimal(1.0 - 10.0 / 18.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    assert(out("p")._5.isEmpty) // n0 = 0: chance disagreement undefined
+    // zero observed disagreement across mixed units: alpha = 1
+    assert(out("q") == ((2L, 5L, 2L, 0L, Some(1.0))))
+  }
 }

@@ -132,4 +132,21 @@ class GraphSpec extends SparkTestBase with Matchers {
     assert(out2.getLong(0) == 3L)
     assert(out2.isNullAt(1))
   }
+
+  test("kHopReach: path-graph frontier growth, duplicate/self edges " +
+    "ignored") {
+    val ss = spark
+    import ss.implicits._
+    // path 1-2-3-4-5 with noise: a reversed duplicate and a self-loop
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 1L),
+      (3L, 3L)).toDF("s", "d")
+    val out = Graph.kHopReach(e, "s", "d", hops = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((1L, 2L, 3L)))
+    assert(out(2L) == ((2L, 3L, 4L)))
+    assert(out(3L) == ((2L, 4L, 4L))) // hop2 already reaches everyone
+    assert(out(4L) == ((2L, 3L, 4L)))
+    assert(out(5L) == ((1L, 2L, 3L)))
+  }
 }
