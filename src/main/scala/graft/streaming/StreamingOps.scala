@@ -1203,6 +1203,78 @@ object StreamingOps {
       }
   }
 
+  /** One emission of [[conformalStream]]: the monitor's split-conformal
+    * state after a micro-batch, scored by the batch conformalGate
+    * program. */
+  case class ConformalUpdate(key: String, n_cal: Long, rank: Long,
+                             q_hat: Option[Long], n_test: Long,
+                             covered: Long, coverage_ppm: Long,
+                             target_ppm: Long)
+
+  /**
+   * Streaming split-conformal coverage monitor — the continuous twin
+   * of `Eval.conformalGate`: per key, the state is TWO score
+   * histograms (calibration, test) — score-cardinality-bounded like
+   * the batch operator's exchanges — and histogram increments
+   * COMMUTE, so any arrival order lands on identical state (no
+   * ordered replay, no intra-batch sort). The live "is my conformal
+   * threshold still holding its promised rate" gate: drift shows up
+   * as coverage_ppm sliding under target_ppm while q̂ (re-derived
+   * each emission from the CURRENT calibration histogram) chases the
+   * moving distribution.
+   *
+   * Each emission replays the batch program exactly — integer ceil
+   * rank, first-cum ≥ r over the sorted histogram, integer ppm — so
+   * after the same rows the emission equals the batch row field for
+   * field (StreamingSpec pins it under shuffled batches).
+   */
+  def conformalStream(df: DataFrame, keyCol: String, calCol: String,
+                      scoreCol: String, alphaNum: Int,
+                      alphaDen: Int): Dataset[ConformalUpdate] = {
+    require(alphaNum >= 1 && alphaDen > alphaNum,
+      "conformalStream: alpha must be in (0, 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keepNum = alphaDen - alphaNum
+    val targetPpm = keepNum.toLong * 1000000L / alphaDen
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(calCol).cast("boolean").as("__c"),
+        col(scoreCol).cast("long").as("__s"))
+      .where(col("__k").isNotNull && col("__c").isNotNull &&
+        col("__s").isNotNull)
+      .as[(String, Boolean, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Map[Long, Long], Map[Long, Long]),
+        ConformalUpdate](GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Boolean, Long)],
+         state: GroupState[(Map[Long, Long], Map[Long, Long])]) =>
+          var (cal, test) = state.getOption.getOrElse(
+            (Map.empty[Long, Long], Map.empty[Long, Long]))
+          rows.foreach { case (_, isCal, s) =>
+            if (isCal) cal = cal.updated(s, cal.getOrElse(s, 0L) + 1L)
+            else test = test.updated(s, test.getOrElse(s, 0L) + 1L)
+          }
+          state.update((cal, test))
+          val nCal = cal.valuesIterator.sum
+          val r = math.min(nCal,
+            ((nCal + 1) * keepNum + alphaDen - 1) / alphaDen)
+          var cum = 0L
+          var qHat: Option[Long] = None
+          if (nCal > 0L) {
+            val it = cal.toSeq.sortBy(_._1).iterator
+            while (qHat.isEmpty && it.hasNext) {
+              val (s, c) = it.next(); cum += c
+              if (cum >= r) qHat = Some(s)
+            }
+          }
+          val nTest = test.valuesIterator.sum
+          val covered = qHat.fold(0L)(q =>
+            test.iterator.collect { case (s, c) if s <= q => c }.sum)
+          ConformalUpdate(key, nCal, r, qHat, nTest, covered,
+            if (nTest > 0L) covered * 1000000L / nTest else 0L, targetPpm)
+      }
+  }
+
   /** One emission of [[kappaStream]]: the group's 2×2 agreement state
     * after a micro-batch, scored by the batch kappa program. */
   case class KappaUpdate(key: String, n: Long, a: Long, b: Long,

@@ -1435,6 +1435,44 @@ class StreamingSpec extends SparkTestBase with Matchers {
       got("k3")._2.isEmpty)
   }
 
+  test("conformalStream: last emission equals batch conformalGate, " +
+    "order-independent across shuffled batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // cal 1..10 + test {5,10,11} at alpha=1/10: r=10, q_hat=10,
+    // covered 2/3 (the EvalSpec hand case, streamed out of order)
+    val rows = (1L to 10L).map(s => ("m", true, s)) ++
+      Seq(("m", false, 5L), ("m", false, 10L), ("m", false, 11L))
+    val input = MemoryStream[(String, Boolean, Long)]
+    val query = StreamingOps.conformalStream(
+        input.toDF().toDF("k", "is_cal", "score"), "k", "is_cal",
+        "score", 1, 10)
+      .writeStream.format("memory").queryName("t_cf")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(6)
+      Seq(b2.reverse, b1.reverse).foreach { b => // shuffled: commutes
+        input.addData(b: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_cf").orderBy(col("n_cal").desc).head()
+    val want = graft.operators.Eval.conformalGate(
+      rows.filter(_._2).map(_._3).toDF("score"),
+      rows.filterNot(_._2).map(_._3).toDF("score"),
+      "score", 1, 10).head()
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5), got.getLong(6), got.getLong(7)) ==
+      ((want.getLong(0), want.getLong(1), want.getLong(2),
+        want.getLong(3), want.getLong(4), want.getLong(5),
+        want.getLong(6))))
+    assert(got.getLong(3) == 10L && got.getLong(6) == 666666L)
+  }
+
   test("kappaStream: last emission equals batch cohensKappa, " +
     "order-independent across shuffled batches") {
     val ss = spark
