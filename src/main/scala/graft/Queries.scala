@@ -3020,6 +3020,58 @@ object Queries {
     Graph.kHopReach(pairs, "x", "y", hops = 3).orderBy("id")
   }
 
+  /** Q237 pairwise centroid cosine between embedding labels: the
+    * embedding-space cluster-similarity matrix (cos of SUM vectors —
+    * the 1/n cancels), exact integer sums, decimal pair products,
+    * one fixed-order cosine division. */
+  val q237: Q = (s, dir) =>
+    Similarity.centroidMatrix(Tables.embeddings(s, dir), "label",
+        "embedding", dims = 64)
+      .orderBy("g1", "g2")
+
+  /** Q238 cross-source duplication matrix: q225's exact 0.8-Jaccard
+    * near-dup pairs rolled up to (source, source) counts — which
+    * feeds copy from which, the mirror-detection readout that decides
+    * crawl dedup priorities. */
+  val q238: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.8, shingleWidth = 3, bands = 16, rowsPerBand = 3)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("__s1")),
+        "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("__s2")),
+        "d2")
+      .select(least(col("__s1"), col("__s2")).as("source_a"),
+        greatest(col("__s1"), col("__s2")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Q239 lexical diversity per source: type–token ratio, Shannon
+    * entropy (nats), Simpson repeat probability — the vocabulary-
+    * richness panel separating templated feeds from organic text. */
+  val q239: Q = (s, dir) =>
+    TextMetrics.lexicalDiversity(Tables.documents(s, dir),
+        Seq("source"), "text")
+      .orderBy("source")
+
+  /** Q240 difference-in-differences across the day-15 cutover:
+    * even/odd user cohorts × before/after periods on event value —
+    * the quasi-experimental lift estimate net of shared trend, one
+    * exact four-cell rational. */
+  val q240: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(
+      pmod(col("user_id"), lit(2L)).as("grp"),
+      when(datediff(col("ts").cast("date"),
+        lit("2024-01-01").cast("date")) >= 15, 1).otherwise(0)
+        .as("period"),
+      col("value"))
+    Eval.diffInDiff(e, "grp", "period", "value")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -4869,6 +4921,10 @@ object Queries {
     "q234_log_rank" -> q234,
     "q235_krippendorff" -> q235,
     "q236_khop_reach" -> q236,
+    "q237_centroid_matrix" -> q237,
+    "q238_dup_source_matrix" -> q238,
+    "q239_lexical_diversity" -> q239,
+    "q240_diff_in_diff" -> q240,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -8313,6 +8369,78 @@ object Queries {
         + "JOIN (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_hop2 FROM r2 GROUP BY 1) r2c ON r1c.a = r2c.a "
         + "JOIN (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_hop3 FROM r3 GROUP BY 1) r3c ON r1c.a = r3c.a "
         + "ORDER BY 1"),
+    "q237_centroid_matrix" ->
+      // q212's quantized per-(label, dim) sums; cos(centroids) ==
+      // cos(sum vectors); exact decimal dot/norms, one fixed-order
+      // cosine division
+      ("WITH e AS (SELECT label, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q "
+        + "FROM embeddings WHERE label IS NOT NULL AND len(embedding) = 64), "
+        + "st AS (SELECT label, CAST(i AS INTEGER) AS dim, CAST(COUNT(*) AS BIGINT) AS n, "
+        + "CAST(SUM(CAST(q[i] AS BIGINT)) AS BIGINT) AS s "
+        + "FROM e, unnest(range(1, 65)) u(i) GROUP BY 1, 2), "
+        + "p AS (SELECT a.label AS g1, b.label AS g2, MAX(a.n) AS n1, MAX(b.n) AS n2, "
+        + "CAST(SUM(CAST(a.s AS DECIMAL(38,0)) * b.s) AS DECIMAL(38,0)) AS dt, "
+        + "CAST(SUM(CAST(a.s AS DECIMAL(38,0)) * a.s) AS DECIMAL(38,0)) AS n2a, "
+        + "CAST(SUM(CAST(b.s AS DECIMAL(38,0)) * b.s) AS DECIMAL(38,0)) AS n2b "
+        + "FROM st a JOIN st b ON a.dim = b.dim AND a.label < b.label GROUP BY 1, 2) "
+        + "SELECT g1, g2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, "
+        + "CASE WHEN n2a > 0 AND n2b > 0 THEN "
+        + "round(CAST(dt AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 6) END AS cos_centroid "
+        + "FROM p ORDER BY g1, g2"),
+    "q238_dup_source_matrix" ->
+      // q225's exact-Jaccard 0.8 pairs rolled up to canonical
+      // (source, source) counts
+      ("WITH toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM documents), "
+        + "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+        + "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), "
+        + "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
+        + "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / "
+        + "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac "
+        + "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        + "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 "
+        + "WHERE len(a.ts) > 0 AND len(b.ts) > 0), "
+        + "p AS (SELECT d1, d2 FROM j WHERE jac >= 0.8), "
+        + "m AS (SELECT least(a.source, b.source) AS source_a, greatest(a.source, b.source) AS source_b "
+        + "FROM p JOIN documents a ON p.d1 = a.doc_id JOIN documents b ON p.d2 = b.doc_id) "
+        + "SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        + "FROM m GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q239_lexical_diversity" ->
+      // vocab-bounded token counts; H = (N*lnuN - sum c*lnuc)/N and
+      // Simpson = sum c(c-1)/(N(N-1)) as single fixed-order divisions
+      ("WITH tt AS (SELECT source, tok FROM (SELECT source, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tt GROUP BY 1, 2), "
+        + "g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v, "
+        + "CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DECIMAL(38,0)) AS cln, "
+        + "CAST(SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DECIMAL(38,0)) AS rep FROM c GROUP BY 1) "
+        + "SELECT source, n AS n_tokens, v AS vocab, v * 1000000 // n AS ttr_ppm, "
+        + "round(CAST(CAST(n AS DECIMAL(38,0)) * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) - cln AS DOUBLE) / "
+        + "CAST(n AS DOUBLE) / 1000000.0, 6) AS shannon_nats, "
+        + "CASE WHEN n > 1 THEN round(CAST(rep AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE), 6) END AS simpson "
+        + "FROM g ORDER BY source"),
+    "q240_diff_in_diff" ->
+      // four exact cells over the day-15 cutover; DiD as one rational
+      // over the common denominator, means one double division each
+      ("WITH b AS (SELECT user_id % 2 AS g, CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 15 THEN 1 ELSE 0 END AS p, "
+        + "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v FROM events WHERE value IS NOT NULL), "
+        + "a AS (SELECT "
+        + "CAST(SUM(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00, "
+        + "CAST(SUM(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01, "
+        + "CAST(SUM(CASE WHEN g <> 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10, "
+        + "CAST(SUM(CASE WHEN g <> 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11, "
+        + "CAST(SUM(CASE WHEN g = 0 AND p = 0 THEN v ELSE 0 END) AS BIGINT) AS s00, "
+        + "CAST(SUM(CASE WHEN g = 0 AND p = 1 THEN v ELSE 0 END) AS BIGINT) AS s01, "
+        + "CAST(SUM(CASE WHEN g <> 0 AND p = 0 THEN v ELSE 0 END) AS BIGINT) AS s10, "
+        + "CAST(SUM(CASE WHEN g <> 0 AND p = 1 THEN v ELSE 0 END) AS BIGINT) AS s11 FROM b) "
+        + "SELECT n00, n01, n10, n11, "
+        + "CASE WHEN n00 > 0 THEN round(CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / 1000000.0, 6) END AS m00, "
+        + "CASE WHEN n01 > 0 THEN round(CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / 1000000.0, 6) END AS m01, "
+        + "CASE WHEN n10 > 0 THEN round(CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) / 1000000.0, 6) END AS m10, "
+        + "CASE WHEN n11 > 0 THEN round(CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) / 1000000.0, 6) END AS m11, "
+        + "CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN "
+        + "round(CAST(CAST(s11 AS DECIMAL(38,0)) * n10 * n01 * n00 - CAST(s10 AS DECIMAL(38,0)) * n11 * n01 * n00 "
+        + "- CAST(s01 AS DECIMAL(38,0)) * n11 * n10 * n00 + CAST(s00 AS DECIMAL(38,0)) * n11 * n10 * n01 AS DOUBLE) / "
+        + "CAST(CAST(n11 AS DECIMAL(38,0)) * n10 * n01 * n00 AS DOUBLE) / 1000000.0, 6) END AS did "
+        + "FROM a"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

@@ -1179,6 +1179,63 @@ object Eval {
   }
 
   /**
+   * Difference-in-differences — the workhorse quasi-experimental
+   * estimator (two cohorts × two periods): how much more did the
+   * treated cohort's outcome move across the cutover than the control
+   * cohort's, net of the shared trend.
+   * DiD = (m₁₁ − m₁₀) − (m₀₁ − m₀₀) over cell means, computed as ONE
+   * exact rational: values 6-dp-quantize to micro-longs (the
+   * cusumStream input convention), cell sums/counts are exact, the
+   * four-term numerator over the common denominator n₁₁n₁₀n₀₁n₀₀ is
+   * exact DECIMAL(38,0), and ONE double division (then /10⁶) rounds
+   * to 6 dp — no mean is rounded before differencing. Cell means are
+   * reported via the same fixed-order double program. NULL DiD when
+   * any cell is empty.
+   *
+   * Group/period encoding: 0 = control/before, anything else =
+   * treated/after.
+   *
+   * Output (one row): `n00` `n01` `n10` `n11`, `m00` `m01` `m10`
+   * `m11` (6 dp), `did` (6 dp).
+   *
+   * Scale shape: ONE map-side-combined aggregation; eight counters
+   * cross the wire.
+   */
+  def diffInDiff(df: DataFrame, groupCol: String, periodCol: String,
+                 valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = col("__g")
+    val p = col("__p")
+    val base = df.where(col(groupCol).isNotNull &&
+        col(periodCol).isNotNull && col(valueCol).isNotNull)
+      .select((col(groupCol) =!= 0).as("__g"), (col(periodCol) =!= 0).as("__p"),
+        floor(col(valueCol).cast("double") * 1e6d + 0.5d).cast("long")
+          .as("__v"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def sm(c: Column) = sum(when(c, col("__v")).otherwise(0L))
+    val agg0 = base.agg(
+      cnt(!g && !p).as("n00"), cnt(!g && p).as("n01"),
+      cnt(g && !p).as("n10"), cnt(g && p).as("n11"),
+      sm(!g && !p).as("s00"), sm(!g && p).as("s01"),
+      sm(g && !p).as("s10"), sm(g && p).as("s11"))
+    def mean(s: String, n: String): Column =
+      when(col(n) > 0L, round(col(s).cast("double") /
+        col(n).cast("double") / 1e6d, 6))
+    val num = dec(col("s11")) * col("n10") * col("n01") * col("n00") -
+      dec(col("s10")) * col("n11") * col("n01") * col("n00") -
+      dec(col("s01")) * col("n11") * col("n10") * col("n00") +
+      dec(col("s00")) * col("n11") * col("n10") * col("n01")
+    val den = dec(col("n11")) * col("n10") * col("n01") * col("n00")
+    agg0.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      mean("s00", "n00").as("m00"), mean("s01", "n01").as("m01"),
+      mean("s10", "n10").as("m10"), mean("s11", "n11").as("m11"),
+      when(col("n00") > 0L && col("n01") > 0L && col("n10") > 0L &&
+        col("n11") > 0L,
+        round(num.cast("double") / den.cast("double") / 1e6d, 6))
+        .as("did"))
+  }
+
+  /**
    * Krippendorff's alpha, binary data, VARIABLE raters per unit
    * (Krippendorff 2004, implemented from the coincidence-matrix
    * formulation) — the agreement coefficient [[fleissKappa]]'s

@@ -978,4 +978,54 @@ object Similarity {
           round((dec(col("trace")) * col("trace")).cast("double") /
             col("__ssq").cast("double"), 6)).as("participation_ratio"))
   }
+
+  /**
+   * Pairwise centroid cosine between groups of embeddings — the
+   * embedding-space source/label similarity matrix, the semantic
+   * companion to the token-based `CorpusLM.jsSourceMatrix`: which
+   * feeds/clusters point the same way. Uses the identity
+   * cos(c_g, c_h) = cos(S_g, S_h) for SUM vectors S (the 1/n scalars
+   * cancel), so centroids are never materialized as floats.
+   *
+   * Exactness: per-(group, dim) sums of the quantized int embeddings
+   * are exact BIGINTs; pair dots and norms are exact DECIMAL(38,0)
+   * sums of cross-products; the cosine is ONE fixed-order double
+   * program (dot / (√n2a·√n2b)) rounded 6 dp. Zero-norm groups give
+   * NULL.
+   *
+   * Output: (`g1`, `g2`, `n1`, `n2`, `cos_centroid`), g1 < g2.
+   *
+   * Scale shape: ONE map-side-combined (group, dim) aggregation over
+   * the exploded scan — groups·d rows cross the wire; the pair join
+   * runs over the GROUP-cardinality-bounded sum table (the
+   * jsSourceMatrix posture). Vectors never pair row-against-row.
+   */
+  def centroidMatrix(emb: DataFrame, byCol: String, vecCol: String,
+                     dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val st = emb
+      .select(col(byCol).as("__g"),
+        quantize(col(vecCol).cast("array<double>")).as("__q"))
+      .where(col("__g").isNotNull && size(col("__q")) === dims)
+      .select(col("__g"), posexplode(col("__q")).as(Seq("__p", "__qi")))
+      .groupBy("__g", "__p")
+      .agg(count(lit(1)).as("__n"), sum(col("__qi").cast("long")).as("__s"))
+    val pair = st.alias("a")
+      .join(st.alias("b"),
+        col("a.__p") === col("b.__p") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("g1"), col("b.__g").as("g2"))
+      .agg(max(col("a.__n")).as("n1"), max(col("b.__n")).as("n2"),
+        sum(dec(col("a.__s")) * col("b.__s")).cast("decimal(38,0)")
+          .as("__dot"),
+        sum(dec(col("a.__s")) * col("a.__s")).cast("decimal(38,0)")
+          .as("__n2a"),
+        sum(dec(col("b.__s")) * col("b.__s")).cast("decimal(38,0)")
+          .as("__n2b"))
+    pair.select(col("g1"), col("g2"), col("n1"), col("n2"),
+      when(col("__n2a") > 0L && col("__n2b") > 0L,
+        round(col("__dot").cast("double") /
+          (sqrt(col("__n2a").cast("double")) *
+            sqrt(col("__n2b").cast("double"))), 6)).as("cos_centroid"))
+  }
 }

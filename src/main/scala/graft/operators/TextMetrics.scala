@@ -986,6 +986,57 @@ object TextMetrics {
   }
 
   /**
+   * Lexical diversity per group — the vocabulary-richness panel a
+   * corpus mix is tuned against: type–token ratio (ppm), Shannon
+   * entropy of the token distribution (nats — the effective-vocabulary
+   * readout e^H), and Simpson repeat probability (the chance two
+   * random tokens coincide — high = templated/boilerplate-heavy
+   * feed). Complements [[corpusFreqStats]] (which scores DOCS against
+   * the corpus); this scores the GROUPS themselves.
+   *
+   * Exactness: token counts are exact BIGINTs; Σ c·ln c uses the
+   * house micro-nat ln (ONE double division… none — ln of an exact
+   * integer, portable-floored) weighted by exact DECIMAL products;
+   * H = (N·lnµN − Σ c·lnµc) / N and Simpson = Σc(c−1) / (N(N−1)) are
+   * each ONE fixed-order double division rounded 6 dp; TTR is integer
+   * ppm.
+   *
+   * Output per group: `n_tokens`, `vocab`, `ttr_ppm`, `shannon_nats`,
+   * `simpson`.
+   *
+   * Scale shape: one (group, token) count (map-side combined,
+   * vocab-bounded exchange), one group fold. Text never shuffles.
+   */
+  def lexicalDiversity(docs: DataFrame, by: Seq[String],
+                       textCol: String): DataFrame = {
+    require(by.nonEmpty, "lexicalDiversity: need at least one group column")
+    def lnMicro(x: Column): Column =
+      floor(log(x) * 1e6d + 0.5d).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val toks = docs.select((by.map(col) :+
+      explode(filter(split(lower(trim(col(textCol))), " "),
+        t => t =!= "")).as("__t")): _*)
+    val counts = toks.groupBy((by.map(col) :+ col("__t")): _*)
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(by.map(col): _*)
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(dec(col("__c")) * lnMicro(col("__c").cast("double")))
+          .cast("decimal(38,0)").as("__cln"),
+        sum(dec(col("__c")) * (col("__c") - 1L)).cast("decimal(38,0)")
+          .as("__rep"))
+      .select((by.map(col) :+ col("n_tokens") :+ col("vocab") :+
+        expr("vocab * 1000000 div n_tokens").as("ttr_ppm") :+
+        round((dec(col("n_tokens")) *
+          lnMicro(col("n_tokens").cast("double")) - col("__cln"))
+          .cast("double") / col("n_tokens").cast("double") / 1e6d, 6)
+          .as("shannon_nats") :+
+        when(col("n_tokens") > 1L,
+          round(col("__rep").cast("double") /
+            (dec(col("n_tokens")) * (col("n_tokens") - 1L))
+              .cast("double"), 6)).as("simpson")): _*)
+  }
+
+  /**
    * BM25 top-k retrieval (Robertson–Spärck Jones; the Okapi BM25
    * ranking function, implemented from the published formula with
    * k₁ = 6/5, b = 3/4) — the lexical-retrieval companion to

@@ -786,6 +786,24 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
       ((2L * 524288L, 500000L, 2.0)))
   }
 
+  test("centroidMatrix: orthogonal groups 0, diagonal 1/sqrt(2), " +
+    "n counts") {
+    val ss = spark
+    import ss.implicits._
+    val emb = Seq((1, Array(1.0, 0.0)), (1, Array(1.0, 0.0)),
+      (2, Array(0.0, 1.0)), (3, Array(1.0, 1.0)))
+      .toDF("label", "embedding")
+    val out = Similarity.centroidMatrix(emb, "label", "embedding", dims = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out((1, 2)) == ((2L, 1L, Some(0.0))))
+    val c13 = out((1, 3))
+    assert(c13._1 == 2L && c13._2 == 1L &&
+      math.abs(c13._3.get - 0.707107) < 1e-6)
+    assert(math.abs(out((2, 3))._3.get - 0.707107) < 1e-6)
+  }
+
   test("topComponent: exact 2-D eigenpair on a centered rank-1 cloud") {
     val ss = spark
     import ss.implicits._

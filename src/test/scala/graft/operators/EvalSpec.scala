@@ -615,6 +615,23 @@ class EvalSpec extends SparkTestBase with Matchers {
       ((4L, 2L, 2L)))
   }
 
+  test("diffInDiff: hand four-cell lift, empty cell NULL") {
+    val ss = spark
+    import ss.implicits._
+    // m00=1.5, m01=3, m10=2, m11=5: DiD = (5-2)-(3-1.5) = 1.5
+    val df = Seq((0, 0, 1.0), (0, 0, 2.0), (0, 1, 2.0), (0, 1, 4.0),
+      (1, 0, 2.0), (1, 1, 5.0)).toDF("g", "p", "v")
+    val out = Eval.diffInDiff(df, "g", "p", "v").head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3)) == ((2L, 2L, 1L, 1L)))
+    assert((out.getDouble(4), out.getDouble(5), out.getDouble(6),
+      out.getDouble(7)) == ((1.5, 3.0, 2.0, 5.0)))
+    assert(out.getDouble(8) == 1.5)
+    val missing = Eval.diffInDiff(
+      df.where(col("g") === 0 || col("p") === 0), "g", "p", "v").head()
+    assert(missing.isNullAt(8))
+  }
+
   test("krippendorffAlpha: hand coincidences, variable raters, " +
     "degenerate margins NULL, single-rating units drop") {
     val ss = spark

@@ -535,6 +535,20 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     assert(m._6 == 7.3)
   }
 
+  test("lexicalDiversity: hand entropy/TTR/Simpson on a 3-token group") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(("g", "a a b"), ("u", "x y z")).toDF("grp", "text")
+    val out = TextMetrics.lexicalDiversity(docs, Seq("grp"), "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // N=3, V=2: H = (3*ln_u(3) - 2*ln_u(2))/3e6 = 1909542/3e6
+    assert(out("g") == ((3L, 2L, 666666L, 0.636514, Some(0.333333))))
+    // all-distinct: H = ln(3), Simpson 0
+    assert(out("u") == ((3L, 3L, 1000000L, 1.098612, Some(0.0))))
+  }
+
   test("bm25TopK: hand-computed Okapi scores, multi-term sum, k cutoff") {
     val ss = spark
     import ss.implicits._
