@@ -115,7 +115,14 @@ object PlanAudit {
     // q230: conformalGate's ONE-row calibration-count broadcast onto
     // the score-cardinality-bounded histogram, and the ONE-row
     // (n_cal, rank, q_hat) broadcast onto the test fold
-    "q230_conformal_gate")
+    "q230_conformal_gate",
+    // q241: hllOverlap's inequality join of the register table against
+    // the GROUP list (groups × ≤512 rows — group-bounded, the q214
+    // pair-grid shape)
+    "q241_hll_overlap",
+    // q242: neymanAllocation's ONE-row weight-total and ONE-row
+    // leftover broadcasts onto the stratum-bounded quota table
+    "q242_neyman_allocation")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -3072,6 +3072,30 @@ object Queries {
     Eval.diffInDiff(e, "grp", "period", "value")
   }
 
+  /** Q241 pairwise source-vocabulary overlap from persisted HLL
+    * sketches alone: est(A)+est(B)−est(A∪B) inclusion–exclusion over
+    * per-pair max-merged registers — the shared-vocabulary matrix
+    * when the raw tokens are long gone. */
+  val q241: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(filter(split(lower(trim(col("text"))), " "),
+          t => t =!= "")).as("__t"))
+      .select(col("source"), TextMetrics.tokenHash(col("__t")).as("th"))
+    Sketch.hllOverlap(Sketch.hllSketch(toks, Seq("source"), "th"),
+        "source")
+      .orderBy("g1", "g2")
+  }
+
+  /** Q242 Neyman-optimal stratified allocation of a 10,000-doc sample
+    * budget across sources by n_chars variability: n_h ∝ N_h·σ_h with
+    * EXACT largest-remainder apportionment — allocations sum to
+    * exactly the budget, every decision integer/decimal. */
+  val q242: Q = (s, dir) =>
+    Sampling.neymanAllocation(Tables.documents(s, dir), "source",
+        "n_chars", budget = 10000L)
+      .orderBy("stratum")
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -4925,6 +4949,8 @@ object Queries {
     "q238_dup_source_matrix" -> q238,
     "q239_lexical_diversity" -> q239,
     "q240_diff_in_diff" -> q240,
+    "q241_hll_overlap" -> q241,
+    "q242_neyman_allocation" -> q242,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -8441,6 +8467,51 @@ object Queries {
         + "- CAST(s01 AS DECIMAL(38,0)) * n11 * n10 * n00 + CAST(s00 AS DECIMAL(38,0)) * n11 * n10 * n01 AS DOUBLE) / "
         + "CAST(CAST(n11 AS DECIMAL(38,0)) * n10 * n01 * n00 AS DOUBLE) / 1000000.0, 6) END AS did "
         + "FROM a"),
+    "q241_hll_overlap" ->
+      // q170's register/estimator programs per source and per pair
+      // (max-merged union), then inclusion-exclusion on the
+      // already-1-dp-rounded estimates
+      ("WITH tt AS (SELECT source, tok FROM (SELECT source, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "th AS (SELECT source, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS u FROM tt), "
+        + "h AS (SELECT source, ((((u + 1) * 2654435761) % 1000000007) * (((u + 1) * 2654435761) % 1000000007) >> 12) % 512 AS reg, "
+        + "((((u + 13) * 1540483477) % 1000000007) * (((u + 13) * 1540483477) % 1000000007) >> 6) % 1073741824 AS h2 FROM th), "
+        + "r AS (SELECT source, reg, MAX(CASE WHEN h2 = 0 THEN 31 ELSE 31 - length(bin(h2)) END) AS rho FROM h GROUP BY 1, 2), "
+        + "g AS (SELECT source, COUNT(*) AS nz, CAST(SUM(CAST((1::BIGINT << 32) / power(2.0, rho) AS BIGINT)) AS BIGINT) AS spart FROM r GROUP BY 1), "
+        + "e1 AS (SELECT source, round(CASE WHEN (512 - nz) > 0 AND 0.7213 / (1.0 + 1.079 / 512.0) * 1125899906842624.0 / "
+        + "CAST(spart + (512 - nz) * (1::BIGINT << 32) AS DOUBLE) <= 1280.0 THEN 512.0 * round(ln(512.0 / (512 - nz)), 6) "
+        + "ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 1125899906842624.0 / CAST(spart + (512 - nz) * (1::BIGINT << 32) AS DOUBLE) END, 1) AS est FROM g), "
+        + "pr AS (SELECT least(r.source, o.source) AS g1, greatest(r.source, o.source) AS g2, r.reg, r.rho "
+        + "FROM r, (SELECT DISTINCT source FROM r) o WHERE r.source <> o.source), "
+        + "ur AS (SELECT g1, g2, reg, MAX(rho) AS rho FROM pr GROUP BY 1, 2, 3), "
+        + "ug AS (SELECT g1, g2, COUNT(*) AS nz, CAST(SUM(CAST((1::BIGINT << 32) / power(2.0, rho) AS BIGINT)) AS BIGINT) AS spart FROM ur GROUP BY 1, 2), "
+        + "eu AS (SELECT g1, g2, round(CASE WHEN (512 - nz) > 0 AND 0.7213 / (1.0 + 1.079 / 512.0) * 1125899906842624.0 / "
+        + "CAST(spart + (512 - nz) * (1::BIGINT << 32) AS DOUBLE) <= 1280.0 THEN 512.0 * round(ln(512.0 / (512 - nz)), 6) "
+        + "ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 1125899906842624.0 / CAST(spart + (512 - nz) * (1::BIGINT << 32) AS DOUBLE) END, 1) AS est_union FROM ug) "
+        + "SELECT eu.g1, eu.g2, a.est AS est1, b.est AS est2, est_union, "
+        + "greatest(round(a.est + b.est - est_union, 1), 0.0) AS est_inter, "
+        + "CASE WHEN est_union > 0 THEN round(greatest(round(a.est + b.est - est_union, 1), 0.0) / est_union, 6) END AS jaccard_est "
+        + "FROM eu JOIN e1 a ON eu.g1 = a.source JOIN e1 b ON eu.g2 = b.source ORDER BY 1, 2"),
+    "q242_neyman_allocation" ->
+      // sigma via one fixed-order floor(sqrt(varnum)/n*1e6+0.5);
+      // quotas by DECIMAL integral division; Hamilton largest
+      // remainder with (rem desc, stratum asc) tie-break
+      ("WITH v AS (SELECT source AS stratum, CAST(n_chars AS BIGINT) AS v FROM documents WHERE n_chars IS NOT NULL), "
+        + "st AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s, "
+        + "CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS s2 FROM v GROUP BY 1), "
+        + "w AS (SELECT stratum, n, CAST(floor(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)) / n * 1000000.0 + 0.5) AS BIGINT) AS sigma_micro FROM st), "
+        + "w2 AS (SELECT stratum, n, sigma_micro, n * sigma_micro AS weight FROM w), "
+        + "t AS (SELECT CAST(SUM(CAST(weight AS HUGEINT)) AS HUGEINT) AS tw FROM w2), "
+        + "q AS (SELECT stratum, n, sigma_micro, weight, "
+        + "CASE WHEN tw > 0 THEN CAST(CAST(weight AS HUGEINT) * 1000000 // tw AS BIGINT) END AS share_ppm, "
+        + "CASE WHEN tw > 0 THEN CAST(CAST(weight AS HUGEINT) * 10000 // tw AS BIGINT) END AS base, "
+        + "CASE WHEN tw > 0 THEN CAST(weight AS HUGEINT) * 10000 - CAST(CAST(weight AS HUGEINT) * 10000 // tw AS HUGEINT) * tw END AS rem, tw FROM w2, t), "
+        + "l AS (SELECT 10000 - COALESCE(SUM(base), 0) AS lft FROM q), "
+        + "r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk FROM q) "
+        + "SELECT stratum, n, sigma_micro, weight, share_ppm, "
+        + "CASE WHEN tw > 0 THEN base + CASE WHEN rk <= lft THEN 1 ELSE 0 END END AS n_alloc "
+        + "FROM r, l ORDER BY stratum"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

@@ -422,4 +422,66 @@ object Sampling {
       .where(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /**
+   * Neyman-optimal stratified allocation with EXACT largest-remainder
+   * apportionment (Neyman 1934; Hamilton's method for the integer
+   * step) — how many samples each stratum gets out of a fixed budget
+   * when minimizing the estimator's variance: n_h ∝ N_h·σ_h, so big
+   * AND internally-diverse strata get more; zero-variance strata get
+   * zero (one sample already tells you everything — the refinement
+   * plain proportional quotas miss).
+   *
+   * Exactness — every decision integer/decimal: σ_h portable-floors
+   * ONE fixed-order double program (√ of the exact DECIMAL variance
+   * numerator, / n) into micro units; weights w_h = n_h·σ_µ are exact
+   * BIGINTs; quotas B·w_h/Σw use DECIMAL(38,0) integral division
+   * (never a float), remainders are exact, and the B − Σ⌊quota⌋
+   * leftover goes to the largest remainders with (remainder desc,
+   * stratum asc) total tie-breaks — allocations sum to EXACTLY B.
+   *
+   * Output per stratum: `n`, `sigma_micro`, `weight`, `share_ppm`,
+   * `n_alloc`. All-zero weights (every stratum constant) → NULL
+   * allocations (Neyman undefined; fall back to proportional
+   * yourself).
+   *
+   * Scale shape: one map-side-combined moment aggregation; everything
+   * after runs on the STRATUM-cardinality-bounded table (1-row total
+   * broadcasts, a strata-bounded rank window).
+   */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "neymanAllocation: budget must be >= 0")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val v = col(valueCol).cast("long")
+    val st = df.where(v.isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n"), sum(v).as("__s"),
+        sum(dec(v) * v).cast("decimal(38,0)").as("__s2"))
+      .withColumn("sigma_micro",
+        floor(sqrt((dec(col("n")) * col("__s2") -
+          dec(col("__s")) * col("__s")).cast("double")) /
+          col("n") * 1e6d + 0.5d).cast("long"))
+      .withColumn("weight", col("n") * col("sigma_micro"))
+    val tot = st.agg(sum(dec(col("weight"))).cast("decimal(38,0)")
+      .as("__tw"))
+    val quotas = st.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", when(col("__tw") > 0L,
+        expr("CAST(CAST(weight AS DECIMAL(38,0)) * 1000000 div __tw AS BIGINT)")))
+      .withColumn("__base", when(col("__tw") > 0L,
+        expr(s"CAST(CAST(weight AS DECIMAL(38,0)) * $budget div __tw AS BIGINT)")))
+      .withColumn("__rem", when(col("__tw") > 0L,
+        (dec(col("weight")) * lit(budget) -
+          dec(col("__base")) * col("__tw")).cast("decimal(38,0)")))
+    val left = quotas.agg((lit(budget) -
+      coalesce(sum(col("__base")), lit(0L))).as("__left"))
+    val w = Window.orderBy(col("__rem").desc, col("stratum").asc)
+    quotas.crossJoin(broadcast(left))
+      .withColumn("__rk", row_number().over(w))
+      .select(col("stratum"), col("n"), col("sigma_micro"), col("weight"),
+        col("share_ppm"),
+        when(col("__tw") > 0L, col("__base") +
+          when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .as("n_alloc"))
+  }
 }

@@ -460,4 +460,56 @@ object Sketch {
     }
     cum.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * Pairwise set-algebra overlap between groups, ENTIRELY from their
+   * HLL register tables — |A∩B| ≈ est(A) + est(B) − est(A∪B) by
+   * inclusion–exclusion, where est(A∪B) reads the per-pair MAX
+   * registers (union-merge is exact on sketches, [[hllMerge]]'s
+   * contract). The "how much vocabulary / user base do these two
+   * feeds share" readout when the raw keys are long gone — the
+   * q87/q170 incremental posture extended to PAIRWISE questions the
+   * persisted per-group sketches can already answer.
+   *
+   * Determinism: the union registers and both estimates run the exact
+   * [[hllEstimate]] integer-register program; the intersection and
+   * Jaccard arithmetic runs on the ALREADY-1-dp-ROUNDED estimates
+   * (clamped at 0 — inclusion–exclusion on sketches can go negative
+   * for near-disjoint sets), so both engines fold identical operands.
+   * Accuracy: standard error compounds across three ±4.6% estimates —
+   * this ranks overlaps, it does not certify small ones (that is the
+   * documented HLL-intersection caveat, not a defect).
+   *
+   * Output: (`g1`, `g2`, `est1`, `est2`, `est_union`, `est_inter`,
+   * `jaccard_est`), g1 < g2.
+   *
+   * Scale shape: pair-register rows are groups × (≤512) per group —
+   * group-cardinality-bounded, never data-sized; one max-merge + the
+   * estimate folds.
+   */
+  def hllOverlap(sketch: DataFrame, groupCol: String): DataFrame = {
+    val groups = sketch.select(col(groupCol)).distinct()
+    val pairRows = sketch
+      .join(groups.select(col(groupCol).as("__og")),
+        col(groupCol) =!= col("__og"))
+      .select(least(col(groupCol), col("__og")).as("g1"),
+        greatest(col(groupCol), col("__og")).as("g2"),
+        col("reg"), col("rho"))
+    val unionRegs = pairRows.groupBy("g1", "g2", "reg")
+      .agg(max(col("rho")).as("rho"))
+    val estU = hllEstimate(unionRegs, Seq("g1", "g2"))
+      .withColumnRenamed("est_distinct", "est_union")
+    val estG = hllEstimate(sketch, Seq(groupCol))
+    val inter = greatest(
+      round(col("est1") + col("est2") - col("est_union"), 1), lit(0.0d))
+    estU
+      .join(estG.select(col(groupCol).as("g1"),
+        col("est_distinct").as("est1")), "g1")
+      .join(estG.select(col(groupCol).as("g2"),
+        col("est_distinct").as("est2")), "g2")
+      .select(col("g1"), col("g2"), col("est1"), col("est2"),
+        col("est_union"), inter.as("est_inter"),
+        when(col("est_union") > 0d,
+          round(inter / col("est_union"), 6)).as("jaccard_est"))
+  }
 }

@@ -1203,6 +1203,63 @@ object StreamingOps {
       }
   }
 
+  /** One emission of [[intervalCoverageStream]]: the key's merged
+    * island state after a micro-batch, scored by the batch
+    * intervalCoverage program. */
+  case class CoverageUpdate(key: String, n_intervals: Long,
+                            n_islands: Long, covered: Long, span: Long,
+                            coverage_ppm: Long)
+
+  /**
+   * Streaming interval-union coverage — the continuous twin of
+   * `Behavior.intervalCoverage`: per key, the state is the DISJOINT
+   * island list itself (merged [start, end) runs, sorted) plus the
+   * interval counter. Interval union is ORDER-INDEPENDENT — any
+   * arrival order of the same intervals produces the identical merged
+   * island set — so no ordered replay is needed; state size is the
+   * ISLAND count (bounded by true gaps, not arrivals). Half-open
+   * adjacency chains exactly like the batch running-max rule
+   * ([a,b) + [b,c) is one island); rows with end ≤ start drop.
+   *
+   * Each emission reads the batch outputs straight off the island
+   * list — after the same rows the emission equals the batch row
+   * field for field (StreamingSpec pins it under shuffled batches).
+   */
+  def intervalCoverageStream(df: DataFrame, keyCol: String,
+                             startCol: String,
+                             endCol: String): Dataset[CoverageUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e"))
+      .where(col("__k").isNotNull && col("__s").isNotNull &&
+        col("__e").isNotNull && col("__e") > col("__s"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Seq[(Long, Long)]), CoverageUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          var (nIv, islands) =
+            state.getOption.getOrElse((0L, Seq.empty[(Long, Long)]))
+          rows.foreach { case (_, s, e) =>
+            nIv += 1
+            val (hit, miss) = islands.partition { case (is, ie) =>
+              is <= e && ie >= s // overlap or half-open adjacency
+            }
+            val ns = (s +: hit.map(_._1)).min
+            val ne = (e +: hit.map(_._2)).max
+            islands = ((ns, ne) +: miss).sortBy(_._1)
+          }
+          state.update((nIv, islands))
+          val covered = islands.iterator.map { case (a, b) => b - a }.sum
+          val span = islands.last._2 - islands.head._1
+          CoverageUpdate(key, nIv, islands.length.toLong, covered, span,
+            covered * 1000000L / span)
+      }
+  }
+
   /** One emission of [[conformalStream]]: the monitor's split-conformal
     * state after a micro-batch, scored by the batch conformalGate
     * program. */

@@ -304,4 +304,27 @@ class SamplingSpec extends SparkTestBase with Matchers {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(again == all)
   }
+
+  test("neymanAllocation: hand sigma weights, zero-variance stratum " +
+    "gets zero, largest remainder sums to exactly B") {
+    val ss = spark
+    import ss.implicits._
+    // a: {0,10} sigma 5 -> weight 1e7; b: constant -> weight 0;
+    // c: {0,20} sigma 10 -> weight 2e7. B=10: bases 3/0/6, leftover 1
+    // goes to c (largest remainder 2e7 vs a's 1e7)
+    val df = Seq(("a", 0L), ("a", 10L), ("b", 3L), ("b", 3L), ("b", 3L),
+      ("c", 0L), ("c", 20L)).toDF("src", "v")
+    val out = Sampling.neymanAllocation(df, "src", "v", budget = 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("a") == ((2L, 5000000L, 10000000L, 333333L, 3L)))
+    assert(out("b") == ((3L, 0L, 0L, 0L, 0L)))
+    assert(out("c") == ((2L, 10000000L, 20000000L, 666666L, 7L)))
+    assert(out.values.map(_._5).sum == 10L)
+    // all-constant strata: Neyman undefined -> NULL allocations
+    val flat = Seq(("a", 1L), ("b", 2L)).toDF("src", "v")
+    val nul = Sampling.neymanAllocation(flat, "src", "v", budget = 5L)
+      .collect()
+    assert(nul.forall(_.isNullAt(5)))
+  }
 }

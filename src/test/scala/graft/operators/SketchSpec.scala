@@ -175,4 +175,25 @@ class SketchSpec extends SparkTestBase {
     assert(Sketch.logHistEmd(skA, Seq("g"), refFar).head()
       .getDouble(2) == 8.0)
   }
+
+  test("hllOverlap: identical groups jaccard 1, near-disjoint small, " +
+    "union dominates") {
+    val ss = spark
+    import ss.implicits._
+    val same = ((1L to 300L).map(("a", _)) ++ (1L to 300L).map(("b", _)))
+      .toDF("g", "u")
+    val s1 = Sketch.hllOverlap(Sketch.hllSketch(same, Seq("g"), "u"), "g")
+      .head()
+    // identical key sets: identical registers, union == both
+    assert(s1.getDouble(2) == s1.getDouble(3) &&
+      s1.getDouble(3) == s1.getDouble(4))
+    assert(s1.getDouble(5) == s1.getDouble(4) && s1.getDouble(6) == 1.0)
+    val disj = ((1L to 300L).map(("a", _)) ++
+      (100001L to 100300L).map(("b", _))).toDF("g", "u")
+    val s2 = Sketch.hllOverlap(Sketch.hllSketch(disj, Seq("g"), "u"), "g")
+      .head()
+    assert(s2.getDouble(4) >= s2.getDouble(2) &&
+      s2.getDouble(4) >= s2.getDouble(3)) // union dominates both
+    assert(s2.getDouble(5) >= 0.0 && s2.getDouble(6) < 0.3) // near-disjoint
+  }
 }

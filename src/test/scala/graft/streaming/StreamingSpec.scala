@@ -1435,6 +1435,45 @@ class StreamingSpec extends SparkTestBase with Matchers {
       got("k3")._2.isEmpty)
   }
 
+  test("intervalCoverageStream: last emission equals batch " +
+    "intervalCoverage, order-independent across shuffled batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the BehaviorSpec hand case: overlap, half-open chain, gap, plus
+    // a nested key and a degenerate row (drops)
+    val rows = Seq(("u", 0L, 10L), ("u", 5L, 15L), ("u", 15L, 20L),
+      ("u", 30L, 40L), ("v", 0L, 100L), ("v", 10L, 20L), ("w", 5L, 5L),
+      ("w", 0L, 2L))
+    val input = MemoryStream[(String, Long, Long)]
+    val query = StreamingOps.intervalCoverageStream(
+        input.toDF().toDF("k", "s", "e"), "k", "s", "e")
+      .writeStream.format("memory").queryName("t_ic")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(4)
+      Seq(b2.reverse, b1.reverse).foreach { b => // unions commute
+        input.addData(b: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_ic")
+      .groupBy("key").agg(last("n_intervals").as("ni"),
+        last("n_islands").as("nl"), last("covered").as("cv"),
+        last("span").as("sp"), last("coverage_ppm").as("pp"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val want = graft.operators.Behavior.intervalCoverage(
+        rows.toDF("k", "s", "e"), Seq("k"), "s", "e")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    got shouldBe want
+    assert(got("u") == ((4L, 2L, 30L, 40L, 750000L)))
+  }
+
   test("conformalStream: last emission equals batch conformalGate, " +
     "order-independent across shuffled batches") {
     val ss = spark
