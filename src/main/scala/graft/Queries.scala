@@ -3096,6 +3096,29 @@ object Queries {
         "n_chars", budget = 10000L)
       .orderBy("stratum")
 
+  /** Q243 multiclass precision/recall/F1 of the q39 stopword lang-ID
+    * against the gold lang label: the per-class eval readout for a
+    * label-valued classifier — every metric a pure-integer ppm
+    * rational (F1 = 2tp/(2tp+fp+fn), no float mean of rounded
+    * halves). */
+  val q243: Q = (s, dir) => {
+    val markers = Seq(
+      "de" -> Seq("der", "die", "das", "und"),
+      "en" -> Seq("the", "a", "of", "and"),
+      "es" -> Seq("el", "la", "los", "y"),
+      "fr" -> Seq("le", "la", "les", "et"))
+    val t = filter(split(lower(trim(col("text"))), " "), x => x =!= "")
+    def score(ws: Seq[String]): Column =
+      size(filter(t, x => x.isInCollection(ws)))
+    val Seq(sDe, sEn, sEs, sFr) = markers.map { case (_, ws) => score(ws) }
+    val pred = when(sDe >= sEn && sDe >= sEs && sDe >= sFr, lit("de"))
+      .when(sEn >= sEs && sEn >= sFr, lit("en"))
+      .when(sEs >= sFr, lit("es")).otherwise(lit("fr"))
+    val labeled = Tables.documents(s, dir)
+      .select(col("lang"), pred.as("predicted"))
+    Eval.multiclassMetrics(labeled, "lang", "predicted").orderBy("label")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -4951,6 +4974,7 @@ object Queries {
     "q240_diff_in_diff" -> q240,
     "q241_hll_overlap" -> q241,
     "q242_neyman_allocation" -> q242,
+    "q243_multiclass_f1" -> q243,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -8512,6 +8536,32 @@ object Queries {
         + "SELECT stratum, n, sigma_micro, weight, share_ppm, "
         + "CASE WHEN tw > 0 THEN base + CASE WHEN rk <= lft THEN 1 ELSE 0 END END AS n_alloc "
         + "FROM r, l ORDER BY stratum"),
+    "q243_multiclass_f1" ->
+      // q39's classifier CTEs per doc, then exact-integer confusion
+      // folds: ppm metrics by integral division, F1 as one rational
+      ("WITH d AS (SELECT lang, list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS w FROM documents), "
+        + "sc AS (SELECT lang, "
+        + "len(list_filter(w, t -> list_contains(['der','die','das','und'], t))) AS s_de, "
+        + "len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS s_en, "
+        + "len(list_filter(w, t -> list_contains(['el','la','los','y'], t))) AS s_es, "
+        + "len(list_filter(w, t -> list_contains(['le','la','les','et'], t))) AS s_fr FROM d), "
+        + "pp AS (SELECT lang AS g, CASE "
+        + "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' "
+        + "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
+        + "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS p FROM sc), "
+        + "cm AS (SELECT g, p, CAST(COUNT(*) AS BIGINT) AS n FROM pp GROUP BY 1, 2), "
+        + "gold AS (SELECT g AS label, CAST(SUM(n) AS BIGINT) AS n_gold FROM cm GROUP BY 1), "
+        + "pred AS (SELECT p AS label, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1), "
+        + "tp AS (SELECT g AS label, CAST(SUM(n) AS BIGINT) AS tp FROM cm WHERE g = p GROUP BY 1), "
+        + "j AS (SELECT COALESCE(gold.label, pred.label) AS label, COALESCE(n_gold, 0) AS n_gold, "
+        + "COALESCE(n_pred, 0) AS n_pred FROM gold FULL OUTER JOIN pred ON gold.label = pred.label), "
+        + "j2 AS (SELECT j.label, n_gold, n_pred, COALESCE(tp.tp, 0) AS tp FROM j LEFT JOIN tp ON j.label = tp.label), "
+        + "f AS (SELECT label, n_gold, n_pred, tp, n_pred - tp AS fp, n_gold - tp AS fn FROM j2) "
+        + "SELECT label, n_gold, n_pred, tp, fp, fn, "
+        + "CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred END AS precision_ppm, "
+        + "CASE WHEN n_gold > 0 THEN tp * 1000000 // n_gold END AS recall_ppm, "
+        + "CASE WHEN 2 * tp + fp + fn > 0 THEN (2 * tp * 1000000) // (2 * tp + fp + fn) END AS f1_ppm "
+        + "FROM f ORDER BY label"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

@@ -1179,6 +1179,56 @@ object Eval {
   }
 
   /**
+   * Multiclass precision / recall / F1 per class — the confusion-
+   * matrix readout for label-valued classifiers (lang-ID, topic
+   * routers, quality tiers) that the binary [[rocAuc]]/[[prAuc]]
+   * family can't express. Classes are the UNION of observed gold and
+   * predicted labels, so a class the model never predicts (recall
+   * hole) and a class it hallucinates (precision hole) both get rows.
+   *
+   * Exactness — every metric a pure-integer ppm:
+   * precision = tp·10⁶ div (tp+fp), recall = tp·10⁶ div (tp+fn),
+   * F1 = 2·tp·10⁶ div (2·tp+fp+fn) (the harmonic mean collapses to
+   * one integer rational — no float mean of rounded halves). NULL
+   * precision/recall when the denominator is empty.
+   *
+   * Output per class: `label`, `n_gold`, `n_pred`, `tp`, `fp`, `fn`,
+   * `precision_ppm`, `recall_ppm`, `f1_ppm`.
+   *
+   * Scale shape: ONE (gold, pred) matrix aggregation (map-side
+   * combined, class²-bounded exchange), then class-bounded folds and
+   * joins. Row count never reaches the joins.
+   */
+  def multiclassMetrics(df: DataFrame, goldCol: String,
+                        predCol: String): DataFrame = {
+    val cm = df.where(col(goldCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(goldCol).as("__g"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val gold = cm.groupBy(col("__g").as("label"))
+      .agg(sum(col("__n")).as("n_gold"))
+    val pred = cm.groupBy(col("__p").as("label"))
+      .agg(sum(col("__n")).as("n_pred"))
+    val tp = cm.where(col("__g") === col("__p"))
+      .groupBy(col("__g").as("label"))
+      .agg(sum(col("__n")).as("__tp"))
+    gold.join(pred, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("__tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_gold") - col("tp"))
+      .withColumn("precision_ppm",
+        when(col("n_pred") > 0L, expr("tp * 1000000 div n_pred")))
+      .withColumn("recall_ppm",
+        when(col("n_gold") > 0L, expr("tp * 1000000 div n_gold")))
+      .withColumn("f1_ppm",
+        when(col("tp") + col("fp") + col("fn") > 0L,
+          expr("(2 * tp * 1000000) div (2 * tp + fp + fn)")))
+  }
+
+  /**
    * Difference-in-differences — the workhorse quasi-experimental
    * estimator (two cohorts × two periods): how much more did the
    * treated cohort's outcome move across the cutover than the control

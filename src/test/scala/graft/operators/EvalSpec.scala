@@ -615,6 +615,29 @@ class EvalSpec extends SparkTestBase with Matchers {
       ((4L, 2L, 2L)))
   }
 
+  test("multiclassMetrics: hand confusion incl. gold-only and " +
+    "pred-only classes") {
+    val ss = spark
+    import ss.implicits._
+    val pairs = Seq(("a", "a"), ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "b"), ("b", "d"), ("c", "b")).toDF("g", "p")
+    val out = Eval.multiclassMetrics(pairs, "g", "p")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        Option(r.get(6)).map(_.asInstanceOf[Long]),
+        Option(r.get(7)).map(_.asInstanceOf[Long]),
+        Option(r.get(8)).map(_.asInstanceOf[Long])))).toMap
+    // a: tp3 fp0 fn1 -> f1 = 6e6 div 7
+    assert(out("a") == ((4L, 3L, 3L, 0L, 1L, Some(1000000L),
+      Some(750000L), Some(857142L))))
+    assert(out("b") == ((3L, 4L, 2L, 2L, 1L, Some(500000L),
+      Some(666666L), Some(571428L))))
+    // gold-only class: never predicted -> precision NULL, recall 0
+    assert(out("c") == ((1L, 0L, 0L, 0L, 1L, None, Some(0L), Some(0L))))
+    // pred-only class: hallucinated -> recall NULL
+    assert(out("d") == ((0L, 1L, 0L, 1L, 0L, Some(0L), None, Some(0L))))
+  }
+
   test("diffInDiff: hand four-cell lift, empty cell NULL") {
     val ss = spark
     import ss.implicits._
