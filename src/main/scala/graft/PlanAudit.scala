@@ -122,7 +122,10 @@ object PlanAudit {
     "q241_hll_overlap",
     // q242: neymanAllocation's ONE-row weight-total and ONE-row
     // leftover broadcasts onto the stratum-bounded quota table
-    "q242_neyman_allocation")
+    "q242_neyman_allocation",
+    // q244: logHistKs' reference sketch is a ≤ ~70-row bucket table
+    // broadcast onto the group list (the q175/q221 PSI-grid shape)
+    "q244_sketch_ks")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -3119,6 +3119,46 @@ object Queries {
     Eval.multiclassMetrics(labeled, "lang", "predicted").orderBy("label")
   }
 
+  /** Q244 Kolmogorov–Smirnov drift of each source's length sketch vs
+    * the corpus: the sup companion completing the q175/q221 drift
+    * trio — an exact DECIMAL argmax picks the worst cumulative gap
+    * and reports WHERE it sits (linearized bucket index). */
+  val q244: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val perSource = Sketch.logHistSketch(docs, Seq("source"), "n_chars")
+    val corpus = Sketch.logHistSketch(docs, Seq.empty, "n_chars")
+    Sketch.logHistKs(perSource, Seq("source"), corpus)
+      .orderBy("source")
+  }
+
+  /** Q245 restricted mean survival time at τ = 30 days over q178's
+    * time-to-first-purchase curve: expected purchase-free days within
+    * the first month — pure-integer segment areas under the quantized
+    * KM steps. */
+  val q245: Q = (s, dir) => {
+    val peru = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+        max(col("ts")).as("tmax"))
+    val dur = peru.select(
+      when(col("tp").isNotNull,
+        datediff(col("tp").cast("date"), col("t0").cast("date")))
+        .otherwise(datediff(col("tmax").cast("date"), col("t0").cast("date")))
+        .as("dur"),
+      when(col("tp").isNotNull, 1).otherwise(0).as("ev"))
+    Behavior.rmst(dur, Seq.empty, "dur", "ev", tau = 30L)
+  }
+
+  /** Q246 greedy maximum-coverage selection: 5 docs that together
+    * cover the most distinct vocabulary — the (1−1/e) submodular
+    * greedy, every round an integer argmax over still-uncovered
+    * token hashes (ties → min id). */
+  val q246: Q = (s, dir) =>
+    Sampling.coverageSelect(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, shingleWidth = 3)
+      .orderBy("sel_round")
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -4975,6 +5015,9 @@ object Queries {
     "q241_hll_overlap" -> q241,
     "q242_neyman_allocation" -> q242,
     "q243_multiclass_f1" -> q243,
+    "q244_sketch_ks" -> q244,
+    "q245_rmst" -> q245,
+    "q246_coverage_select" -> q246,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -8562,6 +8605,87 @@ object Queries {
         + "CASE WHEN n_gold > 0 THEN tp * 1000000 // n_gold END AS recall_ppm, "
         + "CASE WHEN 2 * tp + fp + fn > 0 THEN (2 * tp * 1000000) // (2 * tp + fp + fn) END AS f1_ppm "
         + "FROM f ORDER BY label"),
+    "q244_sketch_ks" ->
+      // the q221 union-sketch replay; sup as an exact DECIMAL argmax
+      // (dd desc, idx asc), one 6-dp division for the statistic
+      ("WITH d AS (SELECT source, n_chars AS v FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0), "
+        + "k AS (SELECT source, CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS b, "
+        + "CASE WHEN v = 0 THEN 0 ELSE (v * 8) // CAST(power(2, length(bin(v))) AS BIGINT) END AS q FROM d), "
+        + "sa AS (SELECT source, b, q, COUNT(*) AS na FROM k GROUP BY 1, 2, 3), "
+        + "sr AS (SELECT b, q, COUNT(*) AS nr FROM k GROUP BY 1, 2), "
+        + "grid AS (SELECT g.source, r.b, r.q, r.nr FROM (SELECT DISTINCT source FROM sa) g CROSS JOIN sr r), "
+        + "j AS (SELECT COALESCE(grid.source, sa.source) AS source, COALESCE(grid.b, sa.b) AS b, "
+        + "COALESCE(grid.q, sa.q) AS q, COALESCE(sa.na, 0) AS na, COALESCE(grid.nr, 0) AS nr "
+        + "FROM grid FULL OUTER JOIN sa ON grid.source = sa.source AND grid.b = sa.b AND grid.q = sa.q), "
+        + "t AS (SELECT source, b, q, "
+        + "SUM(na) OVER (PARTITION BY source ORDER BY b, q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca, "
+        + "SUM(nr) OVER (PARTITION BY source ORDER BY b, q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr, "
+        + "SUM(na) OVER (PARTITION BY source) AS ta, SUM(nr) OVER (PARTITION BY source) AS tr, "
+        + "COUNT(*) OVER (PARTITION BY source) AS bk FROM j), "
+        + "s2 AS (SELECT source, bk, ta, tr, "
+        + "abs(CAST(ca AS DECIMAL(38,0)) * tr - CAST(cr AS DECIMAL(38,0)) * ta) AS dd, 4 * b + q AS idx FROM t), "
+        + "m AS (SELECT * FROM s2 QUALIFY row_number() OVER (PARTITION BY source ORDER BY dd DESC, idx ASC) = 1) "
+        + "SELECT source, CAST(bk AS BIGINT) AS n_buckets, "
+        + "round(CAST(dd AS DOUBLE) / (CAST(ta AS DOUBLE) * tr), 6) AS ks, CAST(idx AS BIGINT) AS at_idx "
+        + "FROM m ORDER BY source"),
+    "q245_rmst" ->
+      // q178's KM CTEs; surv micro kept as BIGINT, pure-integer
+      // segment areas (min(t_next, tau) - t) * surv_u summed, leading
+      // min(t1, tau)*1e6 segment at S = 1
+      ("WITH u AS (SELECT user_id, MIN(ts) AS t0, "
+        + "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp, MAX(ts) AS tmax "
+        + "FROM events GROUP BY 1), "
+        + "d AS (SELECT CASE WHEN tp IS NOT NULL THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE)) "
+        + "ELSE date_diff('day', CAST(t0 AS DATE), CAST(tmax AS DATE)) END AS t, "
+        + "CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
+        + "h AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d_events, CAST(SUM(1 - ev) AS BIGINT) AS n_censored FROM d GROUP BY 1), "
+        + "r AS (SELECT *, SUM(d_events + n_censored) OVER () AS total, "
+        + "COALESCE(SUM(d_events + n_censored) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM h), "
+        + "r2 AS (SELECT t, d_events, n_censored, CAST(total - bef AS BIGINT) AS n_risk FROM r), "
+        + "l AS (SELECT *, "
+        + "CAST(CASE WHEN d_events > 0 AND n_risk > d_events THEN "
+        + "round(ln(CAST(n_risk - d_events AS DOUBLE) / n_risk), 6) ELSE 0 END AS DECIMAL(28,6)) AS lnt, "
+        + "MAX(CASE WHEN d_events > 0 AND n_risk = d_events THEN 1 ELSE 0 END) "
+        + "OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z FROM r2), "
+        + "l2 AS (SELECT *, SUM(lnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum FROM l), "
+        + "kmr AS (SELECT t, CASE WHEN z = 0 THEN CAST(floor(exp(CAST(lnsum AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS sm "
+        + "FROM l2 WHERE d_events > 0), "
+        + "sg AS (SELECT t, sm, COALESCE(LEAD(t) OVER (ORDER BY t), 9223372036854775807) AS tn FROM kmr), "
+        + "agg AS (SELECT MIN(t) AS t_first, CAST(COUNT(*) AS BIGINT) AS n_curve_rows, "
+        + "CAST(SUM(CASE WHEN t < 30 THEN (LEAST(tn, 30) - t) * sm ELSE 0 END) AS BIGINT) AS tl FROM sg) "
+        + "SELECT CAST(30 AS BIGINT) AS tau, t_first, n_curve_rows, "
+        + "CAST(LEAST(t_first, 30) * 1000000 + tl AS DOUBLE) / 1000000.0 AS rmst FROM agg"),
+    "q246_coverage_select" ->
+      // the greedy unrolled: five (gains over remaining -> argmax ->
+      // grow covered) stages, ties (c desc, doc_id asc), running total
+      ("WITH w0 AS (SELECT doc_id, list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS ws FROM documents), "
+        + "tt AS (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS tok FROM w0 WHERE len(ws) >= 3), "
+        + "hh AS (SELECT DISTINCT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS h FROM tt), "
+        + "g1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM hh GROUP BY 1), "
+        + "p1 AS (SELECT doc_id, c FROM g1 ORDER BY c DESC, doc_id ASC LIMIT 1), "
+        + "c1 AS (SELECT DISTINCT h FROM hh WHERE doc_id IN (SELECT doc_id FROM p1)), "
+        + "r2 AS (SELECT * FROM hh WHERE h NOT IN (SELECT h FROM c1)), "
+        + "g2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM r2 GROUP BY 1), "
+        + "p2 AS (SELECT doc_id, c FROM g2 ORDER BY c DESC, doc_id ASC LIMIT 1), "
+        + "c2 AS (SELECT DISTINCT h FROM hh WHERE doc_id IN (SELECT doc_id FROM p1 UNION SELECT doc_id FROM p2)), "
+        + "r3 AS (SELECT * FROM hh WHERE h NOT IN (SELECT h FROM c2)), "
+        + "g3 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM r3 GROUP BY 1), "
+        + "p3 AS (SELECT doc_id, c FROM g3 ORDER BY c DESC, doc_id ASC LIMIT 1), "
+        + "c3 AS (SELECT DISTINCT h FROM hh WHERE doc_id IN (SELECT doc_id FROM p1 UNION SELECT doc_id FROM p2 UNION SELECT doc_id FROM p3)), "
+        + "r4 AS (SELECT * FROM hh WHERE h NOT IN (SELECT h FROM c3)), "
+        + "g4 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM r4 GROUP BY 1), "
+        + "p4 AS (SELECT doc_id, c FROM g4 ORDER BY c DESC, doc_id ASC LIMIT 1), "
+        + "c4 AS (SELECT DISTINCT h FROM hh WHERE doc_id IN (SELECT doc_id FROM p1 UNION SELECT doc_id FROM p2 UNION SELECT doc_id FROM p3 UNION SELECT doc_id FROM p4)), "
+        + "r5 AS (SELECT * FROM hh WHERE h NOT IN (SELECT h FROM c4)), "
+        + "g5 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM r5 GROUP BY 1), "
+        + "p5 AS (SELECT doc_id, c FROM g5 ORDER BY c DESC, doc_id ASC LIMIT 1), "
+        + "picks AS (SELECT 1 AS sel_round, doc_id, c FROM p1 UNION ALL SELECT 2, doc_id, c FROM p2 "
+        + "UNION ALL SELECT 3, doc_id, c FROM p3 UNION ALL SELECT 4, doc_id, c FROM p4 UNION ALL SELECT 5, doc_id, c FROM p5) "
+        + "SELECT CAST(sel_round AS BIGINT) AS sel_round, doc_id, c AS gain, "
+        + "CAST(SUM(c) OVER (ORDER BY sel_round ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS covered_total "
+        + "FROM picks ORDER BY sel_round"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

@@ -1182,6 +1182,49 @@ object Behavior {
   }
 
   /**
+   * Restricted mean survival time — the area under the [[kaplanMeier]]
+   * step curve on [0, τ]: "expected event-free days within the first
+   * τ", the single-number summary clinicians and growth teams quote
+   * when median survival is undefined (curve never crosses 0.5) and
+   * the honest alternative to comparing curves at one arbitrary
+   * timepoint. Built ON the KM output rows, so the exactness story is
+   * inherited: the step curve is S = 1 on [0, t₁) and S = surv(tᵢ)
+   * (the 6-dp-quantized KM value; the zero-mask row contributes 0) on
+   * [tᵢ, tᵢ₊₁); each segment's area is the PURE-INTEGER
+   * surv_µ·(min(tᵢ₊₁, τ) − tᵢ) and RMST_µ is their BIGINT sum plus
+   * the leading min(t₁, τ)·10⁶.
+   *
+   * Output per group: `tau`, `t_first`, `n_curve_rows`, `rmst`
+   * (days, 6 dp). Groups with NO event rows are absent (their RMST
+   * is trivially τ — the caller's coalesce).
+   *
+   * Scale shape: the KM program's histogram windows + one lead()
+   * over the event TIMELINE (duration-cardinality-bounded) + one
+   * group fold.
+   */
+  def rmst(durations: DataFrame, by: Seq[String], durationCol: String,
+           eventCol: String, tau: Long): DataFrame = {
+    require(tau >= 1, "rmst: tau must be >= 1")
+    val km = kaplanMeier(durations, by, durationCol, eventCol)
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col("t"))
+    val survMicro = floor(col("surv") * 1e6d + 0.5d).cast("long")
+    val seg = km
+      .withColumn("__tn", coalesce(lead(col("t"), 1).over(w),
+        lit(Long.MaxValue)))
+      .withColumn("__seg",
+        when(col("t") < tau,
+          (least(col("__tn"), lit(tau)) - col("t")) * survMicro)
+          .otherwise(0L))
+    seg.groupBy(by.map(col): _*)
+      .agg(min(col("t")).as("t_first"), count(lit(1)).as("n_curve_rows"),
+        sum(col("__seg")).as("__tail"))
+      .select((by.map(col) :+ lit(tau).as("tau") :+ col("t_first") :+
+        col("n_curve_rows") :+
+        ((least(col("t_first"), lit(tau)) * 1000000L + col("__tail"))
+          .cast("double") / 1e6d).as("rmst")): _*)
+  }
+
+  /**
    * Interval-union coverage per key — the gaps-and-islands merge: fold
    * a set of possibly-overlapping half-open intervals [start, end)
    * into their disjoint union and report how much of the key's span is

@@ -1179,6 +1179,66 @@ object Eval {
   }
 
   /**
+   * Simpson's-paradox direction audit — does the pooled association
+   * between x and y point the same way as the WITHIN-GROUP
+   * associations, or is the aggregate trend an artifact of group
+   * composition (the classic aggregation trap: every cohort improves,
+   * the blended metric declines). The pre-flight check before anyone
+   * quotes a corpus-wide correlation that group mix could have
+   * manufactured.
+   *
+   * Exactness: association direction per group is the SIGN of the
+   * exact covariance numerator n·Σxy − Σx·Σy (DECIMAL(38,0) — no
+   * division, no float ever decides a sign); the pooled numerator
+   * folds the same per-group partial sums. Inputs are integer by
+   * contract (quantize first — the [[Profile.gini]] convention).
+   *
+   * Output (one row): `n_groups`, `pooled_sign` (−1/0/1), `n_agree`,
+   * `n_oppose`, `n_zero`, `paradox` (pooled ≠ 0, at least one group
+   * opposes, none agrees — the full reversal).
+   *
+   * Scale shape: ONE map-side-combined moment aggregation per group
+   * (four counters), a 1-row pooled fold, a group-bounded count.
+   */
+  def simpsonDirection(df: DataFrame, groupCol: String, xCol: String,
+                       yCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val base = df.where(x.isNotNull && y.isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), x.as("__x"), y.as("__y"))
+    def signOf(c: Column): Column =
+      when(c > 0, 1).when(c < 0, -1).otherwise(0)
+    val per = base.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(dec(col("__x")) * col("__y")).cast("decimal(38,0)")
+          .as("__sxy"))
+      .withColumn("__sign", signOf(
+        (dec(col("__n")) * col("__sxy") -
+          dec(col("__sx")) * dec(col("__sy"))).cast("decimal(38,0)")))
+    val pooled = per.agg(sum(col("__n")).as("__np"),
+        sum(col("__sx")).as("__sxp"), sum(col("__sy")).as("__syp"),
+        sum(col("__sxy")).cast("decimal(38,0)").as("__sxyp"))
+      .select(signOf((dec(col("__np")) * col("__sxyp") -
+        dec(col("__sxp")) * dec(col("__syp"))).cast("decimal(38,0)"))
+        .as("pooled_sign"))
+    per.crossJoin(broadcast(pooled))
+      .groupBy("pooled_sign")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__sign") === col("pooled_sign") &&
+          col("__sign") =!= 0, 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("__sign") =!= col("pooled_sign") &&
+          col("__sign") =!= 0, 1L).otherwise(0L)).as("n_oppose"),
+        sum(when(col("__sign") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("n_groups"), col("pooled_sign"), col("n_agree"),
+        col("n_oppose"), col("n_zero"),
+        (col("pooled_sign") =!= 0 && col("n_oppose") > 0L &&
+          col("n_agree") === 0L).as("paradox"))
+  }
+
+  /**
    * Multiclass precision / recall / F1 per class — the confusion-
    * matrix readout for label-valued classifiers (lang-ID, topic
    * routers, quality tiers) that the binary [[rocAuc]]/[[prAuc]]

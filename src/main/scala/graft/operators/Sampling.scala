@@ -424,6 +424,139 @@ object Sampling {
   }
 
   /**
+   * Water-filling budget allocation under supply caps — the fair-share
+   * mixing rule for "give every source an equal token budget, except a
+   * source can't give more than it has; redistribute what the small
+   * feeds can't use": every stratum gets min(supply, λ) with the water
+   * level λ set so allocations sum to EXACTLY min(B, Σsupply). The
+   * equal-share complement to [[neymanAllocation]]'s variance-optimal
+   * rule and [[temperatureMixture]]'s power-law reweighting.
+   *
+   * CLOSED FORM, no iteration: sort strata by (supply asc, stratum
+   * asc); stratum i is fully served iff supply·(n−i+1) ≤ B − P_{i−1}
+   * (a PURE-INTEGER comparison; the served set is always a prefix of
+   * the sorted order — each remaining term is ≥ the current supply).
+   * The leftover R = B − P_{i*} splits over the m uncapped strata as
+   * R div m each, with the first R mod m (in sort order) getting +1 —
+   * exact to the unit, every decision an integer.
+   *
+   * Output per stratum: `supply`, `alloc`, `capped` (true = held at
+   * the water level). Σ alloc = min(B, Σ supply) exactly.
+   *
+   * Scale shape: one stratum-bounded sort window + two 1-row
+   * broadcasts; supplies×(n) products must fit BIGINT (10¹⁵-scale
+   * headroom at any realistic stratum count).
+   */
+  def waterFill(df: DataFrame, stratumCol: String, supplyCol: String,
+                budget: Long): DataFrame = {
+    require(budget >= 0, "waterFill: budget must be >= 0")
+    val base = df.select(col(stratumCol).as("stratum"),
+        col(supplyCol).cast("long").as("supply"))
+      .where(col("supply").isNotNull && col("supply") >= 0L)
+    val w = Window.orderBy(col("supply"), col("stratum"))
+    val wPrev = Window.orderBy(col("supply"), col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = base.agg(count(lit(1)).as("__n"),
+      coalesce(sum(col("supply")), lit(0L)).as("__tot"))
+    val marked = base
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__pprev",
+        coalesce(sum(col("supply")).over(wPrev), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__served",
+        col("supply") * (col("__n") - col("__i") + 1L) <=
+          lit(budget) - col("__pprev"))
+    val lvl = marked.agg(
+      coalesce(sum(when(col("__served"), 1L).otherwise(0L)), lit(0L))
+        .as("__istar"),
+      coalesce(sum(when(col("__served"), col("supply")).otherwise(0L)),
+        lit(0L)).as("__pstar"))
+    marked.crossJoin(broadcast(lvl))
+      .withColumn("__m", col("__n") - col("__istar"))
+      .withColumn("__r", lit(budget) - col("__pstar"))
+      .select(col("stratum"), col("supply"),
+        when(col("__served"), col("supply"))
+          .otherwise(expr("__r div __m") +
+            when(col("__i") - col("__istar") <= expr("__r % __m"), 1L)
+              .otherwise(0L)).as("alloc"),
+        (!col("__served")).as("capped"))
+  }
+
+  /**
+   * Greedy maximum-coverage selection — the classic (1 − 1/e)-
+   * approximate submodular-cover step (Nemhauser–Wolsey–Fisher 1978,
+   * implemented from the standard greedy): pick k documents that
+   * together cover the most DISTINCT vocabulary, the data-selection
+   * move behind "seed the eval set / dedup canon / annotation batch
+   * with maximally diverse docs" that top-k-by-length can't do (long
+   * near-duplicates add nothing). Each round takes the doc with the
+   * largest count of still-uncovered token hashes; ties break to the
+   * min id, so the whole trajectory is deterministic.
+   *
+   * All decisions are integer (distinct-hash counts, BIGINT argmax
+   * via struct ordering). Rounds are DataFrame-only (the
+   * [[Similarity.coresetSelect]] pattern — 1-row argmax broadcasts,
+   * no driver-side data): per round one anti-join against the covered
+   * hash set + one count + one argmax. If coverage saturates before
+   * k rounds, later rounds select nothing (fewer than k output rows).
+   *
+   * Output per pick: (`sel_round`, doc id, `gain` — newly covered
+   * hashes, `covered_total` — running coverage).
+   *
+   * Scale shape: k passes over the 16 B (doc, hash) pair table; the
+   * covered set is hash-only. k is a small constant by contract (the
+   * k-round cost is the algorithm, not an accident).
+   */
+  def coverageSelect(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, shingleWidth: Int = 1): DataFrame = {
+    require(k >= 1 && k <= 64, "coverageSelect: k must be in [1, 64]")
+    require(shingleWidth >= 1, "coverageSelect: shingleWidth must be >= 1")
+    // coverage units: word w-shingles (w = 1 is plain vocabulary; a
+    // wider w makes the universe discriminative enough that greedy
+    // rounds actually compete instead of saturating on one long doc)
+    val toks = filter(split(lower(trim(col(textCol))), " "),
+      t => t =!= "")
+    val units =
+      if (shingleWidth == 1) explode(toks)
+      else explode(transform(
+        when(size(toks) >= shingleWidth,
+          sequence(lit(1), size(toks) - (shingleWidth - 1)))
+          .otherwise(array().cast("array<int>")),
+        i => array_join(slice(toks, i, lit(shingleWidth)), " ")))
+    val rows = docs.select(col(idCol).cast("long").as("__id"),
+        units.as("__t"))
+      .where(col("__t") =!= "")
+      .select(col("__id"), TextMetrics.tokenHash(col("__t")).as("__h"))
+      .distinct()
+      .localCheckpoint()
+    var selected: DataFrame = null
+    var covered: DataFrame = null
+    for (r <- 1 to k) {
+      val remaining =
+        if (r == 1) rows else rows.join(covered, Seq("__h"), "left_anti")
+      val gain = remaining.groupBy("__id").agg(count(lit(1)).as("__g"))
+      val best = gain
+        .agg(max(struct(col("__g").as("g"), (-col("__id")).as("nid")))
+          .as("__m"))
+        .select(col("__m.g").as("__bg"), (-col("__m.nid")).as("__bid"))
+      val next = gain.join(broadcast(best), col("__id") === col("__bid"))
+        .select(lit(r).as("sel_round"), col("__id"),
+          col("__g").as("gain"))
+      selected =
+        if (r == 1) next.localCheckpoint()
+        else selected.unionAll(next).localCheckpoint()
+      covered = rows
+        .join(selected.select(col("__id")), Seq("__id"), "left_semi")
+        .select(col("__h")).distinct().localCheckpoint()
+    }
+    val w = Window.orderBy(col("sel_round"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    selected.withColumn("covered_total", sum(col("gain")).over(w))
+      .select(col("sel_round").cast("long").as("sel_round"),
+        col("__id").as(idCol), col("gain"), col("covered_total"))
+  }
+
+  /**
    * Neyman-optimal stratified allocation with EXACT largest-remainder
    * apportionment (Neyman 1934; Hamilton's method for the integer
    * step) — how many samples each stratum gets out of a fixed budget

@@ -436,6 +436,62 @@ object Sketch {
   }
 
   /**
+   * Kolmogorov–Smirnov drift between a group's log-histogram sketch
+   * and a reference — the SUP companion completing the drift trio:
+   * [[logHistPsi]] (information distance), [[logHistEmd]] (how FAR
+   * the mass moved), and this (the single WORST cumulative gap — the
+   * two-sample gate that fires on a localized shelf PSI's sum can
+   * dilute). Computed entirely from the sketch tables.
+   *
+   * Exactness: over the (b, q)-ordered union bucket set the sup of
+   * |CDF_a − CDF_r| is an EXACT DECIMAL argmax of |cumA·N_r −
+   * cumR·N_a| (no division decides the winner); ONE double division
+   * rounds the reported statistic to 6 dp. `at_idx` reports the
+   * linearized bucket index (4·b + q) where the sup occurs (ties →
+   * smallest index) — the actionable "where did the distributions
+   * diverge" readout.
+   *
+   * Output: `by`* + (`n_buckets`, `ks`, `at_idx`).
+   *
+   * Scale shape: groups × ref-buckets rows, ref broadcast — the
+   * logHistPsi grid; nothing data-sized.
+   */
+  def logHistKs(sketch: DataFrame, by: Seq[String],
+                ref: DataFrame): DataFrame = {
+    val groups = sketch.select(by.map(col): _*).distinct()
+    val grid = groups.crossJoin(
+      broadcast(ref.select(col("b"), col("q"), col("n").as("__nr"))))
+    val joined = grid.join(sketch.withColumnRenamed("n", "__na"),
+      by ++ Seq("b", "q"), "full_outer")
+      .select((by.map(col) :+ col("b") :+ col("q") :+
+        coalesce(col("__na"), lit(0L)).as("__na") :+
+        coalesce(col("__nr"), lit(0L)).as("__nr")): _*)
+    val wg = Window.partitionBy(by.map(col): _*)
+    val wOrd = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("b"), col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val withCum = joined
+      .withColumn("__ca", sum(col("__na")).over(wOrd))
+      .withColumn("__cr", sum(col("__nr")).over(wOrd))
+      .withColumn("__ta", sum(col("__na")).over(wg))
+      .withColumn("__tr", sum(col("__nr")).over(wg))
+      .withColumn("__bk", count(lit(1)).over(wg))
+      .withColumn("__d",
+        abs(dec(col("__ca")) * dec(col("__tr")) -
+          dec(col("__cr")) * dec(col("__ta"))).cast("decimal(38,0)"))
+      .withColumn("__negidx", -(col("b") * 4L + col("q")))
+    withCum.groupBy(by.map(col): _*)
+      .agg(max(col("__bk")).as("n_buckets"),
+        max(col("__ta")).as("__ta2"), max(col("__tr")).as("__tr2"),
+        max(struct(col("__d"), col("__negidx"))).as("__pick"))
+      .select((by.map(col) :+ col("n_buckets") :+
+        round(col("__pick.__d").cast("double") /
+          (col("__ta2").cast("double") * col("__tr2")), 6).as("ks") :+
+        (-col("__pick.__negidx")).as("at_idx")): _*)
+  }
+
+  /**
    * Rank queries over a merged histogram: for each requested φ, the
    * LOWER BOUND of the first bucket whose cumulative count reaches
    * ⌈φ·N⌉ (ties and boundaries all integer decisions; the answer is

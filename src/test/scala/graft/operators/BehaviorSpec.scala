@@ -562,6 +562,29 @@ class BehaviorSpec extends SparkTestBase {
     assert(out(5L) == ((1L, 1L, 0L, 1666666L, breslow(1666666L))))
   }
 
+  test("rmst: pure-integer areas under the quantized KM steps, " +
+    "tau caps the last segment") {
+    val ss = spark
+    import ss.implicits._
+    val dur = Seq((1L, 1), (1L, 1), (2L, 0), (3L, 1), (3L, 0), (5L, 1))
+      .toDF("dur", "ev")
+    def q6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln1 = q6(math.log(4.0 / 6.0)) // t=1: (6-2)/6
+    val ln2 = q6(math.log(2.0 / 3.0)) // t=3: (3-1)/3
+    val s1 = math.floor(math.exp(ln1) * 1e6 + 0.5).toLong
+    val s2 = math.floor(math.exp(
+      (BigDecimal(ln1) + BigDecimal(ln2)).toDouble) * 1e6 + 0.5).toLong
+    // S=1 on [0,1); s1 on [1,3); s2 on [3,5); 0 after t=5 (mask row)
+    val want = (1L * 1000000L + s1 * 2L + s2 * 2L).toDouble / 1e6
+    val out = Behavior.rmst(dur, Seq.empty, "dur", "ev", tau = 10L).head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getDouble(3)) == ((10L, 1L, 3L, want)))
+    // tau inside the first surv segment: 1 + s1*(2-1)
+    val cap = Behavior.rmst(dur, Seq.empty, "dur", "ev", tau = 2L).head()
+    assert(cap.getDouble(3) == (1000000L + s1).toDouble / 1e6)
+  }
+
   test("logRank: identical curves give chi2 0; hand hypergeometric " +
     "terms on a shifted pair") {
     val ss = spark

@@ -305,6 +305,27 @@ class SamplingSpec extends SparkTestBase with Matchers {
     assert(again == all)
   }
 
+  test("coverageSelect: greedy gains, saturation stops early, " +
+    "trigram units") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "c d e"), (3L, "e f"))
+      .toDF("doc_id", "text")
+    val out = Sampling.coverageSelect(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // d1 covers 4; then d3 adds {e,f}=2 (d2 would add only {e});
+    // coverage saturates -> round 3 selects nothing
+    assert(out == Map(1L -> ((1L, 4L, 4L)), 2L -> ((3L, 2L, 6L))))
+    // trigram units: tie at 2 units breaks to min id
+    val tri = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val t3 = Sampling.coverageSelect(tri, "doc_id", "text", k = 2,
+        shingleWidth = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(t3 == Map(1L -> ((1L, 2L, 2L)), 2L -> ((2L, 1L, 3L))))
+  }
+
   test("neymanAllocation: hand sigma weights, zero-variance stratum " +
     "gets zero, largest remainder sums to exactly B") {
     val ss = spark

@@ -176,6 +176,28 @@ class SketchSpec extends SparkTestBase {
       .getDouble(2) == 8.0)
   }
 
+  test("logHistKs: identical 0, disjoint 1, partial overlap exact " +
+    "rational with sup location") {
+    val ss = spark
+    import ss.implicits._
+    val eights = Seq.fill(5)(("s", 8L)).toDF("g", "v")
+    val skA = Sketch.logHistSketch(eights, Seq("g"), "v")
+    val same = Sketch.logHistKs(skA, Seq("g"),
+      Sketch.logHistSketch(eights, Seq.empty, "v")).head()
+    assert(same.getDouble(2) == 0.0)
+    val far = Sketch.logHistKs(skA, Seq("g"),
+      Sketch.logHistSketch(Seq.fill(5)(("s", 32L)).toDF("g", "v"),
+        Seq.empty, "v")).head()
+    // whole mass apart: sup = 1 at A's bucket idx 4*4+4 = 20
+    assert(far.getDouble(2) == 1.0 && far.getLong(3) == 20L)
+    // ref = 2x8 + 3x10: at idx 20 |5*5 - 2*5|/25 = 0.6
+    val mixed = Sketch.logHistKs(skA, Seq("g"),
+      Sketch.logHistSketch(
+        (Seq.fill(2)(("s", 8L)) ++ Seq.fill(3)(("s", 10L))).toDF("g", "v"),
+        Seq.empty, "v")).head()
+    assert(mixed.getDouble(2) == 0.6 && mixed.getLong(3) == 20L)
+  }
+
   test("hllOverlap: identical groups jaccard 1, near-disjoint small, " +
     "union dominates") {
     val ss = spark
