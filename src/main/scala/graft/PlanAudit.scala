@@ -125,7 +125,13 @@ object PlanAudit {
     "q242_neyman_allocation",
     // q244: logHistKs' reference sketch is a ≤ ~70-row bucket table
     // broadcast onto the group list (the q175/q221 PSI-grid shape)
-    "q244_sketch_ks")
+    "q244_sketch_ks",
+    // q247: waterFill's ONE-row (n, total) and ONE-row water-level
+    // broadcasts onto the stratum-bounded table (q242 shape)
+    "q247_water_fill",
+    // q248: simpsonDirection's ONE-row pooled-sign broadcast onto the
+    // group-bounded moment table
+    "q248_simpson_audit")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -3159,6 +3159,33 @@ object Queries {
         k = 5, shingleWidth = 3)
       .orderBy("sel_round")
 
+  /** Q247 water-filling token-budget allocation across sources:
+    * equal shares under supply caps, unused capacity redistributed —
+    * the closed-form sorted-prefix water level, every decision a
+    * pure-integer comparison, allocations sum to exactly
+    * min(B, Σsupply). */
+  val q247: Q = (s, dir) => {
+    val supply = Tables.documents(s, dir)
+      .select(col("source"),
+        size(filter(split(lower(trim(col("text"))), " "),
+          t => t =!= "")).cast("long").as("n_toks"))
+      .groupBy("source").agg(sum(col("n_toks")).as("supply"))
+    Sampling.waterFill(supply, "source", "supply", budget = 100000L)
+      .orderBy("stratum")
+  }
+
+  /** Q248 Simpson's-paradox direction audit: does the pooled
+    * value-vs-day association match the within-event-type
+    * associations, or did group mix manufacture the trend — all signs
+    * decided by exact DECIMAL covariance numerators. */
+  val q248: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long").as("x"),
+      floor(col("value") * 1e6d + 0.5d).cast("long").as("y"))
+    Eval.simpsonDirection(e, "event_type", "x", "y")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -5018,6 +5045,8 @@ object Queries {
     "q244_sketch_ks" -> q244,
     "q245_rmst" -> q245,
     "q246_coverage_select" -> q246,
+    "q247_water_fill" -> q247,
+    "q248_simpson_audit" -> q248,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -8686,6 +8715,42 @@ object Queries {
         + "SELECT CAST(sel_round AS BIGINT) AS sel_round, doc_id, c AS gain, "
         + "CAST(SUM(c) OVER (ORDER BY sel_round ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS covered_total "
         + "FROM picks ORDER BY sel_round"),
+    "q247_water_fill" ->
+      // sorted-prefix water level: served iff supply*(n-i+1) <=
+      // B - P_{i-1} (pure integers); leftover splits R div m with the
+      // first R mod m uncapped getting +1
+      ("WITH s0 AS (SELECT source AS stratum, CAST(SUM(len(list_filter(str_split(lower(trim(text)), ' '), t -> t <> ''))) AS BIGINT) AS supply "
+        + "FROM documents GROUP BY 1), "
+        + "r AS (SELECT *, CAST(row_number() OVER (ORDER BY supply, stratum) AS BIGINT) AS i, "
+        + "CAST(COALESCE(SUM(supply) OVER (ORDER BY supply, stratum ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pprev FROM s0), "
+        + "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s0), "
+        + "m AS (SELECT r.*, n, (supply * (n - i + 1) <= 100000 - pprev) AS served FROM r, t), "
+        + "l AS (SELECT CAST(SUM(CASE WHEN served THEN 1 ELSE 0 END) AS BIGINT) AS istar, "
+        + "CAST(SUM(CASE WHEN served THEN supply ELSE 0 END) AS BIGINT) AS pstar FROM m), "
+        + "f AS (SELECT m.*, istar, n - istar AS mm, 100000 - pstar AS rr FROM m, l) "
+        + "SELECT stratum, supply, "
+        + "CASE WHEN served THEN supply ELSE rr // mm + CASE WHEN i - istar <= rr % mm THEN 1 ELSE 0 END END AS alloc, "
+        + "NOT served AS capped FROM f ORDER BY stratum"),
+    "q248_simpson_audit" ->
+      // per-group and pooled covariance-numerator signs from the same
+      // partial sums; no division, no float decides
+      ("WITH b AS (SELECT event_type AS g, CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x, "
+        + "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS y FROM events WHERE value IS NOT NULL AND ts IS NOT NULL), "
+        + "p AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        + "CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy FROM b GROUP BY 1), "
+        + "ps AS (SELECT g, n, sx, sy, sxy, CASE "
+        + "WHEN CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy > 0 THEN 1 "
+        + "WHEN CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN -1 ELSE 0 END AS sgn FROM p), "
+        + "pl AS (SELECT CASE "
+        + "WHEN CAST(SUM(n) AS DECIMAL(38,0)) * CAST(SUM(sxy) AS DECIMAL(38,0)) - CAST(SUM(sx) AS DECIMAL(38,0)) * CAST(SUM(sy) AS DECIMAL(38,0)) > 0 THEN 1 "
+        + "WHEN CAST(SUM(n) AS DECIMAL(38,0)) * CAST(SUM(sxy) AS DECIMAL(38,0)) - CAST(SUM(sx) AS DECIMAL(38,0)) * CAST(SUM(sy) AS DECIMAL(38,0)) < 0 THEN -1 ELSE 0 END AS pooled_sign FROM ps) "
+        + "SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, pooled_sign, "
+        + "CAST(SUM(CASE WHEN sgn = pooled_sign AND sgn <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree, "
+        + "CAST(SUM(CASE WHEN sgn <> pooled_sign AND sgn <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oppose, "
+        + "CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, "
+        + "(pooled_sign <> 0 AND SUM(CASE WHEN sgn <> pooled_sign AND sgn <> 0 THEN 1 ELSE 0 END) > 0 "
+        + "AND SUM(CASE WHEN sgn = pooled_sign AND sgn <> 0 THEN 1 ELSE 0 END) = 0) AS paradox "
+        + "FROM ps, pl GROUP BY pooled_sign"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

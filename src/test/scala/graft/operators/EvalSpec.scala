@@ -615,6 +615,24 @@ class EvalSpec extends SparkTestBase with Matchers {
       ((4L, 2L, 2L)))
   }
 
+  test("simpsonDirection: textbook reversal flagged, zero-sign group " +
+    "counted separately") {
+    val ss = spark
+    import ss.implicits._
+    // A and B each trend DOWN; stacked they trend UP; C is flat
+    val df = Seq(("A", 0L, 10L), ("A", 1L, 9L), ("B", 10L, 20L),
+      ("B", 11L, 19L), ("C", 5L, 1L), ("C", 6L, 1L)).toDF("g", "x", "y")
+    val out = Eval.simpsonDirection(df, "g", "x", "y").head()
+    assert((out.getLong(0), out.getInt(1), out.getLong(2),
+      out.getLong(3), out.getLong(4), out.getBoolean(5)) ==
+      ((3L, 1, 0L, 2L, 1L, true)))
+    // no paradox when a group agrees with the pooled direction
+    val ok = Eval.simpsonDirection(
+      df.unionAll(Seq(("D", 0L, 0L), ("D", 100L, 100L)).toDF("g", "x", "y")),
+      "g", "x", "y").head()
+    assert(!ok.getBoolean(5) && ok.getLong(2) == 1L)
+  }
+
   test("multiclassMetrics: hand confusion incl. gold-only and " +
     "pred-only classes") {
     val ss = spark

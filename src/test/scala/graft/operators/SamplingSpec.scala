@@ -305,6 +305,32 @@ class SamplingSpec extends SparkTestBase with Matchers {
     assert(again == all)
   }
 
+  test("waterFill: hand water level, redistribution to the unit, " +
+    "surplus budget, zero budget") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(("a", 5L), ("b", 10L), ("c", 100L)).toDF("src", "supply")
+    // B=20: a fully served (5*3 <= 20); R=15 over {b,c}: 7 each, +1
+    // to b (first in sort order) -> 5 + 8 + 7 = 20 exactly
+    val out = Sampling.waterFill(df, "src", "supply", budget = 20L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("a") == ((5L, 5L, false)))
+    assert(out("b") == ((10L, 8L, true)))
+    assert(out("c") == ((100L, 7L, true)))
+    assert(out.values.map(_._2).sum == 20L)
+    // surplus budget: everyone gets their supply, nobody capped
+    val full = Sampling.waterFill(df, "src", "supply", budget = 200L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(full == Map("a" -> ((5L, false)), "b" -> ((10L, false)),
+      "c" -> ((100L, false))))
+    // zero budget: all capped at zero
+    val zero = Sampling.waterFill(df, "src", "supply", budget = 0L)
+      .collect().map(_.getLong(2)).sum
+    assert(zero == 0L)
+  }
+
   test("coverageSelect: greedy gains, saturation stops early, " +
     "trigram units") {
     val ss = spark
