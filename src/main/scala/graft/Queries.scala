@@ -3186,6 +3186,30 @@ object Queries {
     Eval.simpsonDirection(e, "event_type", "x", "y")
   }
 
+  /** Q249 ViT-style patchify through the real BMP codec: the q108
+    * image fixtures split into 4×4 patch grids — exact per-patch
+    * pixel counts and luma sums (edge patches partial, never padded),
+    * rolled up per lang. The oracle replays the grid from text
+    * arithmetic, so header parse, row re-flip, and patch indexing all
+    * have to be right. */
+  val q249: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val d = Tables.documents(s, dir)
+    Multimodal.decodeBmpPatches(textBmpAssets(d), patch = 4).toDF()
+      .join(d.select(col("doc_id"), col("lang")),
+        col("asset_id") === col("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_patches"),
+        sum(col("n_px")).as("total_px"),
+        sum(when(col("n_px") === 16L, 1L).otherwise(0L)).as("n_full"),
+        sum(col("luma_sum")).as("sum_luma"),
+        sum(expr("luma_sum * 1000000 div n_px"))
+          .as("sum_patch_mean_micro"),
+        max(col("patch_row")).as("max_pr"),
+        max(col("patch_col")).as("max_pc"))
+      .orderBy("lang")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -5047,6 +5071,7 @@ object Queries {
     "q246_coverage_select" -> q246,
     "q247_water_fill" -> q247,
     "q248_simpson_audit" -> q248,
+    "q249_image_patches" -> q249,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -8751,6 +8776,21 @@ object Queries {
         + "(pooled_sign <> 0 AND SUM(CASE WHEN sgn <> pooled_sign AND sgn <> 0 THEN 1 ELSE 0 END) > 0 "
         + "AND SUM(CASE WHEN sgn = pooled_sign AND sgn <> 0 THEN 1 ELSE 0 END) = 0) AS paradox "
         + "FROM ps, pl GROUP BY pooled_sign"),
+    "q249_image_patches" ->
+      // gray-pixel luma == text byte (BT.601 weights sum 1000), so the
+      // 4x4 patch grid replays from positions y*w + x, space-padded
+      ("WITH d AS (SELECT doc_id, lang, text, length(text) AS tl, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h FROM documents), "
+        + "px AS (SELECT doc_id, lang, (i // w) // 4 AS pr, (i % w) // 4 AS pcc, "
+        + "CASE WHEN i < tl THEN unicode(substr(text, CAST(i + 1 AS BIGINT), 1)) ELSE 32 END AS g "
+        + "FROM d, unnest(range(0, w * h)) u(i)), "
+        + "pp AS (SELECT doc_id, lang, pr, pcc, CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(g) AS BIGINT) AS luma "
+        + "FROM px GROUP BY 1, 2, 3, 4) "
+        + "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_patches, CAST(SUM(n_px) AS BIGINT) AS total_px, "
+        + "CAST(SUM(CASE WHEN n_px = 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_full, "
+        + "CAST(SUM(luma) AS BIGINT) AS sum_luma, "
+        + "CAST(SUM(luma * 1000000 // n_px) AS BIGINT) AS sum_patch_mean_micro, "
+        + "CAST(MAX(pr) AS INTEGER) AS max_pr, CAST(MAX(pcc) AS INTEGER) AS max_pc "
+        + "FROM pp GROUP BY 1 ORDER BY 1"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

@@ -23,6 +23,14 @@ final case class ImageFeatures(asset_id: Long, width: Int, height: Int,
                                n_pixels: Long, sum_luma: Long,
                                histogram: Array[Long])
 
+/** One grid patch from a REAL image decode — the ViT patchify unit:
+  * exact pixel count and integer luma sum for grid cell
+  * (patch_row, patch_col); edge cells are PARTIAL (their true n_px,
+  * not padded), so downstream means stay exact. */
+final case class PatchFeatures(asset_id: Long, patch_row: Int,
+                               patch_col: Int, n_px: Long,
+                               luma_sum: Long)
+
 /** Features from a REAL audio decode (`Wav.decode`): rate/channels
   * from the parsed RIFF fmt chunk, exact integer sample sums and a
   * 16-bin amplitude histogram from decoded PCM. */
@@ -131,6 +139,50 @@ object Multimodal {
         val (hist, sumLuma) = Bmp.lumaStats(raster, HistogramBins)
         ImageFeatures(a.asset_id, raster.width, raster.height,
           raster.width.toLong * raster.height, sumLuma, hist)
+      }
+    }
+  }
+
+  /**
+   * ViT-style patch extraction through the same partition-batched
+   * seam: each asset's bytes decode as a real BMP (`Bmp.decode`), the
+   * raster splits into a ⌈h/p⌉×⌈w/p⌉ grid of p×p cells, and each cell
+   * emits its exact pixel count and integer luma sum — the patchify
+   * step every vision-transformer pipeline runs before embedding,
+   * with edge cells kept PARTIAL (true n_px) instead of silently
+   * padded so downstream means are exact. Pixels never leave the
+   * partition; only ~32 B patch rows do (h·w/p² of them — the 1/p²
+   * data reduction is the point at 100 TB).
+   */
+  def decodeBmpPatches(assets: Dataset[Asset],
+                       patch: Int): Dataset[PatchFeatures] = {
+    require(patch >= 1, "patch must be >= 1")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        val r = Bmp.decode(a.bytes)
+        val pc = (r.width + patch - 1) / patch
+        val pr = (r.height + patch - 1) / patch
+        val npx = new Array[Long](pr * pc)
+        val sums = new Array[Long](pr * pc)
+        var y = 0
+        while (y < r.height) {
+          val rowOff = y * r.width * 3
+          val prow = (y / patch) * pc
+          var x = 0
+          while (x < r.width) {
+            val i = rowOff + x * 3
+            val l = Bmp.luma(r.pixels(i) & 0xff, r.pixels(i + 1) & 0xff,
+              r.pixels(i + 2) & 0xff)
+            val pi = prow + x / patch
+            npx(pi) += 1
+            sums(pi) += l
+            x += 1
+          }
+          y += 1
+        }
+        (0 until pr * pc).iterator.map(pi =>
+          PatchFeatures(a.asset_id, pi / pc, pi % pc, npx(pi), sums(pi)))
       }
     }
   }

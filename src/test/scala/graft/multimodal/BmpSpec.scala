@@ -169,4 +169,27 @@ class BmpSpec extends SparkTestBase with Matchers {
       hd should be <= 2
     }
   }
+
+  test("decodeBmpPatches: exact grid cells, partial edges, " +
+    "luma sums replay from the source bytes") {
+    val ss = spark
+    import ss.implicits._
+    // 5x3 gray image, gray(x, y) = y*5 + x; patch=2 -> 2x3 grid with
+    // partial right column (w=1) and partial bottom row (h=1)
+    val gray = Array.tabulate(15)(_.toByte)
+    val assets = Seq(
+      Asset(1L, "image/bmp", Bmp.encodeGray(5, 3, gray), 5, 3)).toDS()
+    val out = Multimodal.decodeBmpPatches(assets, patch = 2)
+      .collect().map(p => (p.patch_row, p.patch_col) ->
+        ((p.n_px, p.luma_sum))).toMap
+    assert(out.size == 6)
+    // (0,0): pixels {0,1,5,6} sum 12; (0,2): col 4, rows 0-1: 4+9
+    assert(out((0, 0)) == ((4L, 12L)))
+    assert(out((0, 1)) == ((4L, 2L + 3L + 7L + 8L)))
+    assert(out((0, 2)) == ((2L, 13L)))
+    // bottom row partial: (1,0): {10,11}; (1,1): {12,13}; (1,2): {14}
+    assert(out((1, 0)) == ((2L, 21L)))
+    assert(out((1, 1)) == ((2L, 25L)))
+    assert(out((1, 2)) == ((1L, 14L)))
+  }
 }
