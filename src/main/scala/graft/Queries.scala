@@ -3210,6 +3210,27 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q250 framed audio energy through the real WAV codec: the q110
+    * fixtures split into 30-sample frames — exact |s|/s² sums and an
+    * integer activity gate (Σ|s| > n·8000) per frame, rolled up per
+    * lang. The VAD building block; the oracle replays every frame
+    * from text arithmetic. */
+  val q250: Q = (s, dir) => {
+    import graft.multimodal.Multimodal
+    val d = Tables.documents(s, dir)
+    Multimodal.wavFrameEnergy(textWavAssets(d), frameLen = 30).toDF()
+      .join(d.select(col("doc_id"), col("lang")),
+        col("asset_id") === col("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("sum_abs")).as("total_abs"),
+        sum(col("energy")).as("total_energy"),
+        sum(when(col("sum_abs") > col("n_samples") * 8000L, 1L)
+          .otherwise(0L)).as("n_active"),
+        max(col("peak")).as("max_peak"))
+      .orderBy("lang")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -5072,6 +5093,7 @@ object Queries {
     "q247_water_fill" -> q247,
     "q248_simpson_audit" -> q248,
     "q249_image_patches" -> q249,
+    "q250_audio_frames" -> q250,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -8791,6 +8813,20 @@ object Queries {
         + "CAST(SUM(luma * 1000000 // n_px) AS BIGINT) AS sum_patch_mean_micro, "
         + "CAST(MAX(pr) AS INTEGER) AS max_pr, CAST(MAX(pcc) AS INTEGER) AS max_pc "
         + "FROM pp GROUP BY 1 ORDER BY 1"),
+    "q250_audio_frames" ->
+      // sample = byte*257 - 32768 (the q110 fixture), 30-sample
+      // frames over the 120-sample clips, exact integer sums
+      ("WITH d AS (SELECT doc_id, lang, text, length(text) AS tl FROM documents), "
+        + "sm AS (SELECT doc_id, lang, i // 30 AS f, "
+        + "(CASE WHEN i < tl THEN unicode(substr(text, CAST(i + 1 AS BIGINT), 1)) ELSE 32 END) * 257 - 32768 AS s "
+        + "FROM d, unnest(range(0, 120)) u(i)), "
+        + "fr AS (SELECT doc_id, lang, f, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(abs(s)) AS BIGINT) AS sa, "
+        + "CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS en, CAST(MAX(abs(s)) AS INTEGER) AS pk FROM sm GROUP BY 1, 2, 3) "
+        + "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_frames, CAST(SUM(sa) AS BIGINT) AS total_abs, "
+        + "CAST(SUM(en) AS BIGINT) AS total_energy, "
+        + "CAST(SUM(CASE WHEN sa > n * 8000 THEN 1 ELSE 0 END) AS BIGINT) AS n_active, "
+        + "CAST(MAX(pk) AS INTEGER) AS max_peak "
+        + "FROM fr GROUP BY 1 ORDER BY 1"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

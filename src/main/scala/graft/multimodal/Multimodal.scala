@@ -49,6 +49,14 @@ final case class AudioSignal(asset_id: Long, sample_rate: Int,
 /** Exact integer signal readout from a REAL μ-law decode
   * (`Mulaw.decode`): the telephony-stream triage columns, all pure
   * BIGINT so per-lang aggregates replay without drift. */
+/** One fixed-length analysis frame from a REAL WAV decode — the
+  * voice-activity / energy-contour unit: exact integer |s| and s²
+  * sums over the frame's interleaved samples; the tail frame is
+  * PARTIAL (true n_samples). */
+final case class AudioFrame(asset_id: Long, frame_id: Int,
+                            n_samples: Long, sum_abs: Long,
+                            energy: Long, peak: Int)
+
 final case class MulawSignal(asset_id: Long, n_samples: Long,
                              sum_dec: Long, sum_abs: Long, peak: Int)
 
@@ -371,6 +379,43 @@ object Multimodal {
    * (`Mulaw.decodeSample`), features are exact BIGINT sums over the
    * decoded linear samples. Embarrassingly parallel, no shuffle.
    */
+  /**
+   * Framed audio energy through the decode seam — the
+   * voice-activity-detection building block: each WAV decodes
+   * (`Wav.decode`) and splits into fixed-length frames of `frameLen`
+   * interleaved samples, each emitting exact integer Σ|s|, Σs², and
+   * peak (the tail frame keeps its TRUE sample count, never padded).
+   * Energy contours, silence gating, and speech/music splits all read
+   * off these rows; the 1/frameLen data reduction happens inside the
+   * partition — samples never shuffle.
+   */
+  def wavFrameEnergy(assets: Dataset[Asset],
+                     frameLen: Int): Dataset[AudioFrame] = {
+    require(frameLen >= 1, "frameLen must be >= 1")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        val pcm = Wav.decode(a.bytes)
+        val n = pcm.samples.length
+        val nf = (n + frameLen - 1) / frameLen
+        (0 until nf).iterator.map { f =>
+          var i = f * frameLen
+          val end = math.min(i + frameLen, n)
+          var sa = 0L; var en = 0L; var pk = 0
+          while (i < end) {
+            val s = pcm.samples(i).toInt
+            val as = math.abs(s)
+            sa += as
+            en += s.toLong * s
+            if (as > pk) pk = as
+            i += 1
+          }
+          AudioFrame(a.asset_id, f, (end - f * frameLen).toLong, sa, en, pk)
+        }
+      }
+    }
+  }
+
   def decodeMulawSignal(assets: Dataset[Asset]): Dataset[MulawSignal] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>

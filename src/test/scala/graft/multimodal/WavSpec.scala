@@ -132,4 +132,21 @@ class WavSpec extends SparkTestBase with Matchers {
     energy shouldBe 1000L * 32768L * 32768L
     peak shouldBe 32768
   }
+
+  test("wavFrameEnergy: exact frame sums, partial tail, negatives") {
+    val ss = spark
+    import ss.implicits._
+    import graft.multimodal.{Asset, Multimodal}
+    val samples = Array[Short](0, 1, -2, 3, 4, 5, -6, 7, 8, -9)
+    val assets = Seq(Asset(1L, "audio/wav",
+      Wav.encode(8000, 1, samples), 8000, 1)).toDS()
+    val out = Multimodal.wavFrameEnergy(assets, frameLen = 4)
+      .collect().map(f => f.frame_id ->
+        ((f.n_samples, f.sum_abs, f.energy, f.peak))).toMap
+    assert(out.size == 3)
+    assert(out(0) == ((4L, 6L, 14L, 3)))
+    assert(out(1) == ((4L, 22L, 126L, 7)))
+    // partial tail keeps its true length
+    assert(out(2) == ((2L, 17L, 145L, 9)))
+  }
 }
