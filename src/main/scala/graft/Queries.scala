@@ -3231,6 +3231,26 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q251 first-gate rejection attribution across the corpus gates
+    * (too-short → low-quality → exact-dup, pipeline order): which
+    * gate ACTUALLY kills each doc vs which would — the ablation
+    * bookkeeping that stops "dedup killed 40%" and "quality killed
+    * 40%" double-counting the same docs. */
+  val q251: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val scored = TextMetrics.hashedLinearScoreInRow(docs, "doc_id",
+      "text", dims = 64)
+    val surv = Dedup.exactSurvivors(docs, "doc_id", "text")
+      .withColumnRenamed("doc_id", "__sid")
+    val flagged = scored.join(surv, col("doc_id") === col("__sid"),
+      "left")
+    Profile.rejectionAttribution(flagged, Seq(
+        "too_short" -> (col("n_toks") < 20L),
+        "low_quality" -> (col("score") < 0L),
+        "exact_dup" -> col("__sid").isNull))
+      .orderBy("gate")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -5094,6 +5114,7 @@ object Queries {
     "q248_simpson_audit" -> q248,
     "q249_image_patches" -> q249,
     "q250_audio_frames" -> q250,
+    "q251_rejection_attribution" -> q251,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -8827,6 +8848,37 @@ object Queries {
         + "CAST(SUM(CASE WHEN sa > n * 8000 THEN 1 ELSE 0 END) AS BIGINT) AS n_active, "
         + "CAST(MAX(pk) AS INTEGER) AS max_peak "
         + "FROM fr GROUP BY 1 ORDER BY 1"),
+    "q251_rejection_attribution" ->
+      // q206's hashed-score CTEs + min-id dup rule; first-fail in
+      // pipeline order, unconditional totals beside it
+      ("WITH t AS (SELECT doc_id, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), "
+        + "h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), "
+        + "w AS (SELECT doc_id, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), "
+        + "d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks, CAST(SUM(wt) AS BIGINT) AS score FROM w GROUP BY 1), "
+        + "d2 AS (SELECT documents.doc_id, COALESCE(n_toks, 0) AS n_toks, COALESCE(score, 0) AS score, "
+        + "(documents.doc_id > MIN(documents.doc_id) OVER (PARTITION BY lower(trim(text)))) AS is_dup "
+        + "FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id), "
+        + "g AS (SELECT CASE WHEN n_toks < 20 THEN 'too_short' WHEN score < 0 THEN 'low_quality' "
+        + "WHEN is_dup THEN 'exact_dup' ELSE 'kept' END AS fg, "
+        + "n_toks < 20 AS f1, score < 0 AS f2, is_dup AS f3 FROM d2), "
+        + "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        + "CAST(SUM(CASE WHEN fg = 'too_short' THEN 1 ELSE 0 END) AS BIGINT) AS a1, "
+        + "CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS t1, "
+        + "CAST(SUM(CASE WHEN fg = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS a2, "
+        + "CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS t2, "
+        + "CAST(SUM(CASE WHEN fg = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS a3, "
+        + "CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS t3, "
+        + "CAST(SUM(CASE WHEN fg = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS ak FROM g), "
+        + "u AS (SELECT 'too_short' AS gate, a1 AS n_first, t1 AS n_failing, n FROM a "
+        + "UNION ALL SELECT 'low_quality', a2, t2, n FROM a "
+        + "UNION ALL SELECT 'exact_dup', a3, t3, n FROM a "
+        + "UNION ALL SELECT 'kept', ak, CAST(NULL AS BIGINT), n FROM a) "
+        + "SELECT gate, n_first, n_failing, "
+        + "CASE WHEN n > 0 THEN n_first * 1000000 // n END AS first_ppm, "
+        + "CASE WHEN n > 0 AND n_failing IS NOT NULL THEN n_failing * 1000000 // n END AS failing_ppm "
+        + "FROM u ORDER BY gate"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

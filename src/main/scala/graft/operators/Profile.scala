@@ -405,6 +405,57 @@ object Profile {
   }
 
   /**
+   * First-gate rejection attribution — the ablation bookkeeping every
+   * corpus pipeline owes its operators: documents die at the FIRST
+   * gate that fires (pipeline order), so "dedup killed 40%" and
+   * "quality killed 40%" stop double-counting the same docs, while
+   * `n_failing` still reports each gate's UNCONDITIONAL kill count
+   * (the overlap between the two views is the redundancy signal —
+   * a gate whose n_first ≪ n_failing is mostly shadowed by earlier
+   * gates and may be droppable).
+   *
+   * `gates` are (name, fail-condition) pairs IN PIPELINE ORDER; names
+   * must be identifier-safe (they become column names internally).
+   * Output: one row per gate + a final `kept` row —
+   * (`gate`, `n_first`, `n_failing` — NULL on the kept row,
+   * `first_ppm`, `failing_ppm`). All counts exact integers from ONE
+   * aggregation.
+   *
+   * Scale shape: ONE map-side-combined scan (2·|gates| counters), a
+   * |gates|-row unpivot. Nothing data-sized after the scan.
+   */
+  def rejectionAttribution(df: DataFrame,
+                           gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty, "rejectionAttribution: need gates")
+    require(gates.forall(_._1.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      "gate names must be identifier-safe")
+    val first = gates.foldRight(lit("kept")) { case ((n, c), acc) =>
+      when(c, lit(n)).otherwise(acc)
+    }
+    val flagged = df.select((first.as("__first") +:
+      gates.map { case (n, c) =>
+        when(c, 1L).otherwise(0L).as(s"__f_$n")
+      }): _*)
+    val aggs = (count(lit(1)).as("__n") +:
+      gates.flatMap { case (n, _) => Seq(
+        sum(when(col("__first") === n, 1L).otherwise(0L)).as(s"__a_$n"),
+        sum(col(s"__f_$n")).as(s"__t_$n"))
+      }) :+ sum(when(col("__first") === "kept", 1L).otherwise(0L))
+        .as("__kept")
+    val row = flagged.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${gates.length + 1}, " +
+      (gates.map { case (n, _) => s"'$n', __a_$n, __t_$n" } :+
+        s"'kept', __kept, CAST(NULL AS BIGINT)").mkString(", ") +
+      ") as (gate, n_first, n_failing)"
+    row.select(col("__n"), expr(stackExpr))
+      .select(col("gate"), col("n_first"), col("n_failing"),
+        when(col("__n") > 0L, expr("n_first * 1000000 div __n"))
+          .as("first_ppm"),
+        when(col("__n") > 0L && col("n_failing").isNotNull,
+          expr("n_failing * 1000000 div __n")).as("failing_ppm"))
+  }
+
+  /**
    * Gini index + top-decile share of a non-negative integer measure
    * per group — the INEQUALITY readout for numeric magnitudes
    * ([[concentration]]'s HHI covers categorical mass): how unevenly is

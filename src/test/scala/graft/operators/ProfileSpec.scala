@@ -228,6 +228,24 @@ class ProfileSpec extends SparkTestBase with Matchers {
       ((10L, 3L, 1L, 1L, 400000L, 3333333L)))
   }
 
+  test("rejectionAttribution: first-fail in order, unconditional " +
+    "totals, kept row") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((true, false), (true, true), (false, true),
+      (false, false)).toDF("fa", "fb")
+    val out = Profile.rejectionAttribution(df,
+        Seq("ga" -> col("fa"), "gb" -> col("fb")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // ga shadows gb on the (true, true) row: gb's first count is 1
+    // while its unconditional kill count is 2
+    assert(out("ga") == ((2L, Some(2L), 500000L, Some(500000L))))
+    assert(out("gb") == ((1L, Some(2L), 250000L, Some(500000L))))
+    assert(out("kept") == ((1L, None, 250000L, None)))
+  }
+
   test("gini: hand rank-formula values, equal-values zero, " +
     "top-decile share") {
     val ss = spark
