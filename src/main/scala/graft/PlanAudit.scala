@@ -131,7 +131,13 @@ object PlanAudit {
     "q247_water_fill",
     // q248: simpsonDirection's ONE-row pooled-sign broadcast onto the
     // group-bounded moment table
-    "q248_simpson_audit")
+    "q248_simpson_audit",
+    // q252: looAblation's ONE-row corpus-total broadcast onto the
+    // group-bounded table
+    "q252_loo_ablation",
+    // q253: corpusBleu's ONE-row clip/total pivot broadcast onto the
+    // ONE-row lengths aggregate (1x1 crossJoin)
+    "q253_corpus_bleu")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -3251,6 +3251,30 @@ object Queries {
       .orderBy("gate")
   }
 
+  /** Q252 leave-one-source-out ablation of the corpus mean quality:
+    * which feed props the average up, which drags it — the cheap
+    * exact stand-in for retrain-per-ablation, one rational per
+    * source. */
+  val q252: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("source"))
+    Profile.looAblation(scored, "source", "score").orderBy("grp")
+  }
+
+  /** Q253 corpus BLEU between each doc and its same-lang successor —
+    * the generation-scoring eval: clipped n-gram precisions pooled at
+    * corpus level (never averaged per sentence), brevity penalty on
+    * the quantized ratio, micro-nat exact program end to end. */
+  val q253: Q = (s, dir) => {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("__ref", lead(col("text"), 1).over(w))
+      .where(col("__ref").isNotNull)
+    Eval.corpusBleu(pairs, "doc_id", "text", "__ref")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -5115,6 +5139,8 @@ object Queries {
     "q249_image_patches" -> q249,
     "q250_audio_frames" -> q250,
     "q251_rejection_attribution" -> q251,
+    "q252_loo_ablation" -> q252,
+    "q253_corpus_bleu" -> q253,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -8879,6 +8905,68 @@ object Queries {
         + "CASE WHEN n > 0 THEN n_first * 1000000 // n END AS first_ppm, "
         + "CASE WHEN n > 0 AND n_failing IS NOT NULL THEN n_failing * 1000000 // n END AS failing_ppm "
         + "FROM u ORDER BY gate"),
+    "q252_loo_ablation" ->
+      // q206's hashed-score CTEs kept per source; delta as ONE
+      // DECIMAL rational ((S-Sg)*N - S*(N-Ng)) / (N*(N-Ng))
+      ("WITH t AS (SELECT doc_id, source, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), "
+        + "h AS (SELECT doc_id, source, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t WHERE tok <> ''), "
+        + "w AS (SELECT doc_id, source, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), "
+        + "d AS (SELECT doc_id, source, CAST(SUM(wt) AS BIGINT) AS score FROM w GROUP BY 1, 2), "
+        + "p AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(score) AS BIGINT) AS s FROM d GROUP BY 1), "
+        + "t2 AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st FROM p) "
+        + "SELECT grp, n, round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean, "
+        + "CASE WHEN nt - n > 0 THEN round(CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE), 6) END AS loo_mean, "
+        + "CASE WHEN nt - n > 0 THEN round(CAST(CAST(st - s AS DECIMAL(38,0)) * nt - CAST(st AS DECIMAL(38,0)) * (nt - n) AS DOUBLE) / "
+        + "CAST(CAST(nt AS DECIMAL(38,0)) * (nt - n) AS DOUBLE), 6) END AS delta, "
+        + "n * 1000000 // nt AS share_ppm "
+        + "FROM p, t2 ORDER BY grp"),
+    "q253_corpus_bleu" ->
+      // clipped n-gram precisions pooled corpus-level; micro-nat lns,
+      // BP on one quantized division, pr6 exp on the fixed-order sum
+      ("WITH d AS (SELECT doc_id, lang, list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS ws FROM documents), "
+        + "pr AS (SELECT doc_id, ws AS cw, LEAD(ws) OVER (PARTITION BY lang ORDER BY doc_id) AS rw FROM d), "
+        + "p2 AS (SELECT * FROM pr WHERE rw IS NOT NULL), "
+        + "cg AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cc FROM ("
+        + "SELECT doc_id, 1 AS n, unnest(cw) AS g FROM p2 "
+        + "UNION ALL SELECT doc_id, 2, unnest([array_to_string(cw[i:i+1], ' ') FOR i IN range(1, len(cw))]) FROM p2 WHERE len(cw) >= 2 "
+        + "UNION ALL SELECT doc_id, 3, unnest([array_to_string(cw[i:i+2], ' ') FOR i IN range(1, len(cw) - 1)]) FROM p2 WHERE len(cw) >= 3 "
+        + "UNION ALL SELECT doc_id, 4, unnest([array_to_string(cw[i:i+3], ' ') FOR i IN range(1, len(cw) - 2)]) FROM p2 WHERE len(cw) >= 4"
+        + ") GROUP BY 1, 2, 3), "
+        + "rg AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cr FROM ("
+        + "SELECT doc_id, 1 AS n, unnest(rw) AS g FROM p2 "
+        + "UNION ALL SELECT doc_id, 2, unnest([array_to_string(rw[i:i+1], ' ') FOR i IN range(1, len(rw))]) FROM p2 WHERE len(rw) >= 2 "
+        + "UNION ALL SELECT doc_id, 3, unnest([array_to_string(rw[i:i+2], ' ') FOR i IN range(1, len(rw) - 1)]) FROM p2 WHERE len(rw) >= 3 "
+        + "UNION ALL SELECT doc_id, 4, unnest([array_to_string(rw[i:i+3], ' ') FOR i IN range(1, len(rw) - 2)]) FROM p2 WHERE len(rw) >= 4"
+        + ") GROUP BY 1, 2, 3), "
+        + "j AS (SELECT cg.n, cg.cc, COALESCE(rg.cr, 0) AS cr FROM cg LEFT JOIN rg "
+        + "ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g), "
+        + "pn AS (SELECT n, CAST(SUM(cc) AS BIGINT) AS tot, CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS clip FROM j GROUP BY 1), "
+        + "pv AS (SELECT "
+        + "COALESCE(CAST(SUM(CASE WHEN n = 1 THEN clip END) AS BIGINT), 0) AS c1, COALESCE(CAST(SUM(CASE WHEN n = 1 THEN tot END) AS BIGINT), 0) AS t1, "
+        + "COALESCE(CAST(SUM(CASE WHEN n = 2 THEN clip END) AS BIGINT), 0) AS c2, COALESCE(CAST(SUM(CASE WHEN n = 2 THEN tot END) AS BIGINT), 0) AS t2, "
+        + "COALESCE(CAST(SUM(CASE WHEN n = 3 THEN clip END) AS BIGINT), 0) AS c3, COALESCE(CAST(SUM(CASE WHEN n = 3 THEN tot END) AS BIGINT), 0) AS t3, "
+        + "COALESCE(CAST(SUM(CASE WHEN n = 4 THEN clip END) AS BIGINT), 0) AS c4, COALESCE(CAST(SUM(CASE WHEN n = 4 THEN tot END) AS BIGINT), 0) AS t4 FROM pn), "
+        + "ln2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(len(cw)) AS BIGINT) AS cand_tokens, "
+        + "CAST(SUM(len(rw)) AS BIGINT) AS ref_tokens FROM p2), "
+        + "f AS (SELECT *, CASE WHEN cand_tokens >= ref_tokens THEN 0 "
+        + "ELSE CAST(floor((1.0 - CAST(ref_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) END AS bp_micro "
+        + "FROM ln2, pv) "
+        + "SELECT n_pairs, cand_tokens, ref_tokens, "
+        + "CASE WHEN t1 > 0 THEN round(CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE), 6) END AS p1, "
+        + "CASE WHEN t2 > 0 THEN round(CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE), 6) END AS p2, "
+        + "CASE WHEN t3 > 0 THEN round(CAST(c3 AS DOUBLE) / CAST(t3 AS DOUBLE), 6) END AS p3, "
+        + "CASE WHEN t4 > 0 THEN round(CAST(c4 AS DOUBLE) / CAST(t4 AS DOUBLE), 6) END AS p4, "
+        + "bp_micro, "
+        + "CASE WHEN c1 > 0 AND t1 > 0 AND c2 > 0 AND t2 > 0 AND c3 > 0 AND t3 > 0 AND c4 > 0 AND t4 > 0 THEN "
+        + "CAST(CAST(floor(exp((CAST(bp_micro AS DOUBLE) + "
+        + "CAST(CAST(floor(ln(CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+        + "+ CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+        + "+ CAST(floor(ln(CAST(c3 AS DOUBLE) / CAST(t3 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+        + "+ CAST(floor(ln(CAST(c4 AS DOUBLE) / CAST(t4 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 4.0) "
+        + "/ 1000000.0) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 ELSE 0.0 END AS bleu "
+        + "FROM f"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

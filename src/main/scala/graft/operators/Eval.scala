@@ -1179,6 +1179,92 @@ object Eval {
   }
 
   /**
+   * Corpus BLEU (Papineni et al. 2002, implemented from the published
+   * formula) — the generation-scoring workhorse the eval family was
+   * missing: modified (clipped) n-gram precision for n = 1..4 pooled
+   * at the CORPUS level (clip and total counts sum across pairs
+   * before any division — per-sentence BLEU averaging is the classic
+   * mistake), with the brevity penalty exp(1 − r/c) when the
+   * candidate side is shorter.
+   *
+   * Exactness: clip/total counts are exact BIGINTs (per-(pair, n,
+   * gram) multiset min); each ln pₙ is ONE double division portable-
+   * floored to micro-nats; BP's micro term is one double division
+   * likewise; the final score exponentiates
+   * (bp_µ + Σln pₙ_µ / 4)/10⁶ — a fixed-order double program both
+   * engines replay — and 6-dp floors. Any pₙ with zero clipped mass
+   * ⇒ BLEU 0 (the standard unsmoothed convention; NULL pₙ reported).
+   *
+   * Output (one row): `n_pairs`, `cand_tokens`, `ref_tokens`,
+   * `p1`..`p4` (6 dp), `bp_micro` (≤ 0), `bleu`.
+   *
+   * Scale shape: ONE exploded (pair, n, gram) count per side
+   * (map-side combined), one hash join on the gram key, a 4-row fold.
+   * Gram strings never exceed 4 tokens; pair texts never join
+   * row-against-row beyond their own gram keys.
+   */
+  def corpusBleu(pairs: DataFrame, idCol: String, candCol: String,
+                 refCol: String): DataFrame = {
+    def lnMicro(x: Column): Column =
+      floor(log(x) * 1e6d + 0.5d).cast("long")
+    def pr6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").cast("double") /
+        lit(1000000.0)
+    def toks(c: Column) = filter(split(lower(trim(c)), " "), t => t =!= "")
+    def gramRows(c: Column): Column = {
+      val t = toks(c)
+      explode(flatten(transform(sequence(lit(1), lit(4)), n =>
+        transform(
+          when(size(t) >= n, sequence(lit(1), size(t) - n + 1))
+            .otherwise(array().cast("array<int>")),
+          i => struct(n.as("n"),
+            array_join(slice(t, i, n), " ").as("gram"))))))
+    }
+    def counts(c: Column, out: String): DataFrame =
+      pairs.select(col(idCol).as("__id"), gramRows(c).as("__g"))
+        .groupBy(col("__id"), col("__g.n").as("__n"),
+          col("__g.gram").as("__t"))
+        .agg(count(lit(1)).as(out))
+    val joined = counts(col(candCol), "__cc")
+      .join(counts(col(refCol), "__cr"), Seq("__id", "__n", "__t"),
+        "left")
+      .select(col("__n"), col("__cc"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    val perN = joined.groupBy("__n")
+      .agg(sum(col("__cc")).as("__tot"),
+        sum(least(col("__cc"), col("__cr"))).as("__clip"))
+    val aggCols = (1 to 4).flatMap(n => Seq(
+      coalesce(sum(when(col("__n") === n, col("__clip"))), lit(0L))
+        .as(s"__c$n"),
+      coalesce(sum(when(col("__n") === n, col("__tot"))), lit(0L))
+        .as(s"__t$n")))
+    val pivot = perN.agg(aggCols.head, aggCols.tail: _*)
+    val lens = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(size(toks(col(candCol))).cast("long")).as("cand_tokens"),
+      sum(size(toks(col(refCol))).cast("long")).as("ref_tokens"))
+    val row = lens.crossJoin(broadcast(pivot))
+    def p(n: Int): Column =
+      when(col(s"__t$n") > 0L,
+        round(col(s"__c$n").cast("double") /
+          col(s"__t$n").cast("double"), 6))
+    def lnp(n: Int): Column =
+      lnMicro(col(s"__c$n").cast("double") / col(s"__t$n").cast("double"))
+    val allPos = (1 to 4).map(n =>
+      col(s"__c$n") > 0L && col(s"__t$n") > 0L).reduce(_ && _)
+    val bpMicro = when(col("cand_tokens") >= col("ref_tokens"), 0L)
+      .otherwise(floor((lit(1.0d) -
+        col("ref_tokens").cast("double") /
+          col("cand_tokens").cast("double")) * 1e6d + 0.5d).cast("long"))
+    val bleu = when(allPos, pr6(exp(
+      (bpMicro.cast("double") +
+        (lnp(1) + lnp(2) + lnp(3) + lnp(4)).cast("double") / 4.0d) /
+        1e6d))).otherwise(lit(0.0d))
+    row.select(col("n_pairs"), col("cand_tokens"), col("ref_tokens"),
+      p(1).as("p1"), p(2).as("p2"), p(3).as("p3"), p(4).as("p4"),
+      bpMicro.as("bp_micro"), bleu.as("bleu"))
+  }
+
+  /**
    * Simpson's-paradox direction audit — does the pooled association
    * between x and y point the same way as the WITHIN-GROUP
    * associations, or is the aggregate trend an artifact of group

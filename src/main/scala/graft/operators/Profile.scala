@@ -456,6 +456,51 @@ object Profile {
   }
 
   /**
+   * Leave-one-group-out ablation of a corpus-level mean — data
+   * valuation at the SOURCE grain: for each group g, what happens to
+   * the corpus mean of `valueCol` if g is removed entirely
+   * (Δ_g = mean(all ∖ g) − mean(all)). A negative Δ says the source
+   * was PROPPING the metric UP (removing it hurts); the cheap exact
+   * stand-in for retrain-per-ablation studies when the metric is a
+   * mean (quality score, token count, dedup rate). Values are integer
+   * by contract (quantize first — the [[gini]] convention).
+   *
+   * Exactness: per-group (n, Σv) are exact BIGINTs; both means and
+   * the delta come from ONE rational
+   * ((S−S_g)·N − S·(N−N_g)) / (N·(N−N_g)) in DECIMAL(38,0), one
+   * double division, 6 dp. A group that IS the whole corpus gets a
+   * NULL delta (nothing left to measure).
+   *
+   * Output per group: `n`, `mean` (6 dp), `loo_mean` (6 dp),
+   * `delta` (6 dp), `share_ppm` (of rows).
+   *
+   * Scale shape: ONE map-side-combined aggregation + a 1-row total
+   * broadcast onto the group-bounded table.
+   */
+  def looAblation(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val v = col(valueCol).cast("long")
+    val per = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(v).as("__s"))
+    val tot = per.agg(sum(col("n")).as("__nt"), sum(col("__s")).as("__st"))
+    val joined = per.crossJoin(broadcast(tot))
+    val rest = col("__nt") - col("n")
+    val deltaNum = dec(col("__st") - col("__s")) * col("__nt") -
+      dec(col("__st")) * rest
+    val deltaDen = dec(col("__nt")) * rest
+    joined.select(col("grp"), col("n"),
+      round(col("__s").cast("double") / col("n").cast("double"), 6)
+        .as("mean"),
+      when(rest > 0L, round((col("__st") - col("__s")).cast("double") /
+        rest.cast("double"), 6)).as("loo_mean"),
+      when(rest > 0L, round(deltaNum.cast("double") /
+        deltaDen.cast("double"), 6)).as("delta"),
+      expr("n * 1000000 div __nt").as("share_ppm"))
+  }
+
+  /**
    * Gini index + top-decile share of a non-negative integer measure
    * per group — the INEQUALITY readout for numeric magnitudes
    * ([[concentration]]'s HHI covers categorical mass): how unevenly is

@@ -615,6 +615,31 @@ class EvalSpec extends SparkTestBase with Matchers {
       ((4L, 2L, 2L)))
   }
 
+  test("corpusBleu: identical pair 1.0, brevity penalty exact, " +
+    "clipping, zero n-gram floor") {
+    val ss = spark
+    import ss.implicits._
+    val same = Seq((1L, "a b c d e", "a b c d e")).toDF("id", "c", "r")
+    val s0 = Eval.corpusBleu(same, "id", "c", "r").head()
+    assert(s0.getDouble(8) == 1.0 && s0.getLong(7) == 0L)
+    // candidate shorter but fully contained: all p_n = 1,
+    // bp = floor((1 - 5/4)*1e6 + 0.5) = -250000
+    val short = Seq((1L, "a b c d", "a b c d e")).toDF("id", "c", "r")
+    val s1 = Eval.corpusBleu(short, "id", "c", "r").head()
+    assert(s1.getLong(7) == -250000L)
+    assert(s1.getDouble(8) ==
+      math.floor(math.exp(-250000.0 / 1e6) * 1e6 + 0.5) / 1e6)
+    // clipping: "a a a" vs "a" -> p1 = 1/3; no 4-grams -> bleu 0
+    val clip = Seq((1L, "a a a", "a")).toDF("id", "c", "r")
+    val s2 = Eval.corpusBleu(clip, "id", "c", "r").head()
+    assert(s2.getDouble(3) == 0.333333 && s2.getDouble(8) == 0.0)
+    // a zero trigram precision floors the whole score
+    val miss = Seq((1L, "a b c d", "a b x d")).toDF("id", "c", "r")
+    val s3 = Eval.corpusBleu(miss, "id", "c", "r").head()
+    assert(s3.getDouble(3) == 0.75 && s3.getDouble(5) == 0.0 &&
+      s3.getDouble(8) == 0.0)
+  }
+
   test("simpsonDirection: textbook reversal flagged, zero-sign group " +
     "counted separately") {
     val ss = spark

@@ -228,6 +228,23 @@ class ProfileSpec extends SparkTestBase with Matchers {
       ((10L, 3L, 1L, 1L, 400000L, 3333333L)))
   }
 
+  test("looAblation: hand leave-one-out deltas, whole-corpus group " +
+    "gets NULL") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(("a", 2L), ("a", 4L), ("b", 10L)).toDF("src", "v")
+    val out = Profile.looAblation(df, "src", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getLong(5)))).toMap
+    // removing a: mean jumps 16/3 -> 10 (delta = 14/3)
+    assert(out("a") == ((2L, 3.0, 10.0, 4.666667, 666666L)))
+    assert(out("b") == ((1L, 10.0, 3.0, -2.333333, 333333L)))
+    val solo = Profile.looAblation(
+      Seq(("a", 1L)).toDF("src", "v"), "src", "v").head()
+    assert(solo.isNullAt(3) && solo.isNullAt(4))
+  }
+
   test("rejectionAttribution: first-fail in order, unconditional " +
     "totals, kept row") {
     val ss = spark
