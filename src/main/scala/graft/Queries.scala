@@ -3267,12 +3267,13 @@ object Queries {
     * corpus level (never averaged per sentence), brevity penalty on
     * the quantized ratio, micro-nat exact program end to end. */
   val q253: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
     val w = Window.partitionBy("lang").orderBy("doc_id")
-    val pairs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("text"))
-      .withColumn("__ref", lead(col("text"), 1).over(w))
-      .where(col("__ref").isNotNull)
-    Eval.corpusBleu(pairs, "doc_id", "text", "__ref")
+    val pm = docs.select(col("doc_id"), col("lang"))
+      .withColumn("__rid", lead(col("doc_id"), 1).over(w))
+      .where(col("__rid").isNotNull)
+      .select(col("doc_id"), col("__rid"))
+    Eval.corpusBleu(docs, "doc_id", "text", pm, "doc_id", "__rid")
   }
 
   /** Q206 Cohen's kappa per lang between two corpus gates — the
@@ -8926,30 +8927,29 @@ object Queries {
       // clipped n-gram precisions pooled corpus-level; micro-nat lns,
       // BP on one quantized division, pr6 exp on the fixed-order sum
       ("WITH d AS (SELECT doc_id, lang, list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS ws FROM documents), "
-        + "pr AS (SELECT doc_id, ws AS cw, LEAD(ws) OVER (PARTITION BY lang ORDER BY doc_id) AS rw FROM d), "
-        + "p2 AS (SELECT * FROM pr WHERE rw IS NOT NULL), "
-        + "cg AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cc FROM ("
-        + "SELECT doc_id, 1 AS n, unnest(cw) AS g FROM p2 "
-        + "UNION ALL SELECT doc_id, 2, unnest([array_to_string(cw[i:i+1], ' ') FOR i IN range(1, len(cw))]) FROM p2 WHERE len(cw) >= 2 "
-        + "UNION ALL SELECT doc_id, 3, unnest([array_to_string(cw[i:i+2], ' ') FOR i IN range(1, len(cw) - 1)]) FROM p2 WHERE len(cw) >= 3 "
-        + "UNION ALL SELECT doc_id, 4, unnest([array_to_string(cw[i:i+3], ' ') FOR i IN range(1, len(cw) - 2)]) FROM p2 WHERE len(cw) >= 4"
-        + ") GROUP BY 1, 2, 3), "
-        + "rg AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cr FROM ("
-        + "SELECT doc_id, 1 AS n, unnest(rw) AS g FROM p2 "
-        + "UNION ALL SELECT doc_id, 2, unnest([array_to_string(rw[i:i+1], ' ') FOR i IN range(1, len(rw))]) FROM p2 WHERE len(rw) >= 2 "
-        + "UNION ALL SELECT doc_id, 3, unnest([array_to_string(rw[i:i+2], ' ') FOR i IN range(1, len(rw) - 1)]) FROM p2 WHERE len(rw) >= 3 "
-        + "UNION ALL SELECT doc_id, 4, unnest([array_to_string(rw[i:i+3], ' ') FOR i IN range(1, len(rw) - 2)]) FROM p2 WHERE len(rw) >= 4"
-        + ") GROUP BY 1, 2, 3), "
-        + "j AS (SELECT cg.n, cg.cc, COALESCE(rg.cr, 0) AS cr FROM cg LEFT JOIN rg "
-        + "ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g), "
+        + "pm AS (SELECT doc_id AS cid, rid FROM (SELECT doc_id, lang, "
+        + "LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS rid FROM d) WHERE rid IS NOT NULL), "
+        + "g0 AS (SELECT doc_id, 1 AS n, unnest(ws) AS g FROM d "
+        + "UNION ALL SELECT doc_id, 2, unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]) FROM d WHERE len(ws) >= 2 "
+        + "UNION ALL SELECT doc_id, 3, unnest([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) FROM d WHERE len(ws) >= 3 "
+        + "UNION ALL SELECT doc_id, 4, unnest([array_to_string(ws[i:i+3], ' ') FOR i IN range(1, len(ws) - 2)]) FROM d WHERE len(ws) >= 4), "
+        + "gr AS (SELECT doc_id, n, gh, CAST(COUNT(*) AS BIGINT) AS c FROM ("
+        + "SELECT doc_id, n, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(g) + 1), i -> CAST(unicode(substr(g, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS gh FROM g0) GROUP BY 1, 2, 3), "
+        + "cc2 AS (SELECT pm.cid AS p, n, gh, c AS cc FROM gr JOIN pm ON gr.doc_id = pm.cid), "
+        + "rr2 AS (SELECT pm.cid AS p, n, gh, c AS cr FROM gr JOIN pm ON gr.doc_id = pm.rid), "
+        + "j AS (SELECT cc2.n, cc2.cc, COALESCE(rr2.cr, 0) AS cr FROM cc2 LEFT JOIN rr2 "
+        + "ON cc2.p = rr2.p AND cc2.n = rr2.n AND cc2.gh = rr2.gh), "
         + "pn AS (SELECT n, CAST(SUM(cc) AS BIGINT) AS tot, CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS clip FROM j GROUP BY 1), "
         + "pv AS (SELECT "
         + "COALESCE(CAST(SUM(CASE WHEN n = 1 THEN clip END) AS BIGINT), 0) AS c1, COALESCE(CAST(SUM(CASE WHEN n = 1 THEN tot END) AS BIGINT), 0) AS t1, "
         + "COALESCE(CAST(SUM(CASE WHEN n = 2 THEN clip END) AS BIGINT), 0) AS c2, COALESCE(CAST(SUM(CASE WHEN n = 2 THEN tot END) AS BIGINT), 0) AS t2, "
         + "COALESCE(CAST(SUM(CASE WHEN n = 3 THEN clip END) AS BIGINT), 0) AS c3, COALESCE(CAST(SUM(CASE WHEN n = 3 THEN tot END) AS BIGINT), 0) AS t3, "
         + "COALESCE(CAST(SUM(CASE WHEN n = 4 THEN clip END) AS BIGINT), 0) AS c4, COALESCE(CAST(SUM(CASE WHEN n = 4 THEN tot END) AS BIGINT), 0) AS t4 FROM pn), "
-        + "ln2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(len(cw)) AS BIGINT) AS cand_tokens, "
-        + "CAST(SUM(len(rw)) AS BIGINT) AS ref_tokens FROM p2), "
+        + "dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS l FROM d), "
+        + "ln2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(c.l) AS BIGINT) AS cand_tokens, "
+        + "CAST(SUM(r.l) AS BIGINT) AS ref_tokens FROM pm JOIN dl c ON pm.cid = c.doc_id JOIN dl r ON pm.rid = r.doc_id), "
         + "f AS (SELECT *, CASE WHEN cand_tokens >= ref_tokens THEN 0 "
         + "ELSE CAST(floor((1.0 - CAST(ref_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) END AS bp_micro "
         + "FROM ln2, pv) "

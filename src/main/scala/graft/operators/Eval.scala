@@ -1198,36 +1198,49 @@ object Eval {
    * Output (one row): `n_pairs`, `cand_tokens`, `ref_tokens`,
    * `p1`..`p4` (6 dp), `bp_micro` (≤ 0), `bleu`.
    *
-   * Scale shape: ONE exploded (pair, n, gram) count per side
-   * (map-side combined), one hash join on the gram key, a 4-row fold.
-   * Gram strings never exceed 4 tokens; pair texts never join
-   * row-against-row beyond their own gram keys.
+   * Pairing is an ID-ONLY map (`pairMap`: candidate id → reference
+   * id) against ONE per-doc gram table, so document TEXT never enters
+   * an exchange — the gram identity is the house 31-polynomial token
+   * hash (the `shingleHashRows` collision contract), and every
+   * shuffled row is (id, n, hash, count). A text-pairing window or
+   * join would ship the corpus through the shuffle; this shape ships
+   * ~28 B per distinct gram.
+   *
+   * Scale shape: ONE exploded per-doc (n, gram-hash) count (map-side
+   * combined), two id joins against the gram table, one hash join on
+   * (pair, n, hash), a 4-row fold.
    */
-  def corpusBleu(pairs: DataFrame, idCol: String, candCol: String,
-                 refCol: String): DataFrame = {
+  def corpusBleu(docs: DataFrame, idCol: String, textCol: String,
+                 pairMap: DataFrame, candIdCol: String,
+                 refIdCol: String): DataFrame = {
     def lnMicro(x: Column): Column =
       floor(log(x) * 1e6d + 0.5d).cast("long")
     def pr6(c: Column): Column =
       floor(c * lit(1000000.0) + lit(0.5)).cast("long").cast("double") /
         lit(1000000.0)
-    def toks(c: Column) = filter(split(lower(trim(c)), " "), t => t =!= "")
-    def gramRows(c: Column): Column = {
-      val t = toks(c)
-      explode(flatten(transform(sequence(lit(1), lit(4)), n =>
-        transform(
-          when(size(t) >= n, sequence(lit(1), size(t) - n + 1))
-            .otherwise(array().cast("array<int>")),
-          i => struct(n.as("n"),
-            array_join(slice(t, i, n), " ").as("gram"))))))
-    }
-    def counts(c: Column, out: String): DataFrame =
-      pairs.select(col(idCol).as("__id"), gramRows(c).as("__g"))
-        .groupBy(col("__id"), col("__g.n").as("__n"),
-          col("__g.gram").as("__t"))
-        .agg(count(lit(1)).as(out))
-    val joined = counts(col(candCol), "__cc")
-      .join(counts(col(refCol), "__cr"), Seq("__id", "__n", "__t"),
-        "left")
+    val toks = filter(split(lower(trim(col(textCol))), " "),
+      t => t =!= "")
+    val gramH = explode(flatten(transform(sequence(lit(1), lit(4)), n =>
+      transform(
+        when(size(toks) >= n, sequence(lit(1), size(toks) - n + 1))
+          .otherwise(array().cast("array<int>")),
+        i => struct(n.as("n"),
+          TextMetrics.tokenHash(array_join(slice(toks, i, n), " "))
+            .as("gh"))))))
+    val grams = docs.select(col(idCol).as("__id"), gramH.as("__g"))
+      .groupBy(col("__id"), col("__g.n").as("__n"), col("__g.gh").as("__gh"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
+    val pm = pairMap.select(col(candIdCol).as("__cid"),
+      col(refIdCol).as("__rid"))
+    val cand = grams.join(pm.select(col("__cid")),
+        col("__id") === col("__cid"))
+      .select(col("__cid").as("__p"), col("__n"), col("__gh"),
+        col("__c").as("__cc"))
+    val ref = grams.join(pm, col("__id") === col("__rid"))
+      .select(col("__cid").as("__p"), col("__n"), col("__gh"),
+        col("__c").as("__cr"))
+    val joined = cand.join(ref, Seq("__p", "__n", "__gh"), "left")
       .select(col("__n"), col("__cc"),
         coalesce(col("__cr"), lit(0L)).as("__cr"))
     val perN = joined.groupBy("__n")
@@ -1239,9 +1252,16 @@ object Eval {
       coalesce(sum(when(col("__n") === n, col("__tot"))), lit(0L))
         .as(s"__t$n")))
     val pivot = perN.agg(aggCols.head, aggCols.tail: _*)
-    val lens = pairs.agg(count(lit(1)).as("n_pairs"),
-      sum(size(toks(col(candCol))).cast("long")).as("cand_tokens"),
-      sum(size(toks(col(refCol))).cast("long")).as("ref_tokens"))
+    val dl = docs.select(col(idCol).as("__id"),
+      size(toks).cast("long").as("__len"))
+    val lens = pm
+      .join(dl.select(col("__id").as("__cid"), col("__len").as("__cl")),
+        Seq("__cid"))
+      .join(dl.select(col("__id").as("__rid"), col("__len").as("__rl")),
+        Seq("__rid"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__cl")).as("cand_tokens"),
+        sum(col("__rl")).as("ref_tokens"))
     val row = lens.crossJoin(broadcast(pivot))
     def p(n: Int): Column =
       when(col(s"__t$n") > 0L,

@@ -619,23 +619,24 @@ class EvalSpec extends SparkTestBase with Matchers {
     "clipping, zero n-gram floor") {
     val ss = spark
     import ss.implicits._
-    val same = Seq((1L, "a b c d e", "a b c d e")).toDF("id", "c", "r")
-    val s0 = Eval.corpusBleu(same, "id", "c", "r").head()
+    def bleuOf(cand: String, ref: String) = {
+      val docs = Seq((1L, cand), (2L, ref)).toDF("doc_id", "text")
+      val pm = Seq((1L, 2L)).toDF("cid", "rid")
+      Eval.corpusBleu(docs, "doc_id", "text", pm, "cid", "rid").head()
+    }
+    val s0 = bleuOf("a b c d e", "a b c d e")
     assert(s0.getDouble(8) == 1.0 && s0.getLong(7) == 0L)
     // candidate shorter but fully contained: all p_n = 1,
     // bp = floor((1 - 5/4)*1e6 + 0.5) = -250000
-    val short = Seq((1L, "a b c d", "a b c d e")).toDF("id", "c", "r")
-    val s1 = Eval.corpusBleu(short, "id", "c", "r").head()
+    val s1 = bleuOf("a b c d", "a b c d e")
     assert(s1.getLong(7) == -250000L)
     assert(s1.getDouble(8) ==
       math.floor(math.exp(-250000.0 / 1e6) * 1e6 + 0.5) / 1e6)
     // clipping: "a a a" vs "a" -> p1 = 1/3; no 4-grams -> bleu 0
-    val clip = Seq((1L, "a a a", "a")).toDF("id", "c", "r")
-    val s2 = Eval.corpusBleu(clip, "id", "c", "r").head()
+    val s2 = bleuOf("a a a", "a")
     assert(s2.getDouble(3) == 0.333333 && s2.getDouble(8) == 0.0)
     // a zero trigram precision floors the whole score
-    val miss = Seq((1L, "a b c d", "a b x d")).toDF("id", "c", "r")
-    val s3 = Eval.corpusBleu(miss, "id", "c", "r").head()
+    val s3 = bleuOf("a b c d", "a b x d")
     assert(s3.getDouble(3) == 0.75 && s3.getDouble(5) == 0.0 &&
       s3.getDouble(8) == 0.0)
   }
