@@ -8929,13 +8929,15 @@ object Queries {
       ("WITH d AS (SELECT doc_id, lang, list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS ws FROM documents), "
         + "pm AS (SELECT doc_id AS cid, rid FROM (SELECT doc_id, lang, "
         + "LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS rid FROM d) WHERE rid IS NOT NULL), "
-        + "g0 AS (SELECT doc_id, 1 AS n, unnest(ws) AS g FROM d "
-        + "UNION ALL SELECT doc_id, 2, unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]) FROM d WHERE len(ws) >= 2 "
-        + "UNION ALL SELECT doc_id, 3, unnest([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) FROM d WHERE len(ws) >= 3 "
-        + "UNION ALL SELECT doc_id, 4, unnest([array_to_string(ws[i:i+3], ' ') FOR i IN range(1, len(ws) - 2)]) FROM d WHERE len(ws) >= 4), "
+        + "dh AS (SELECT doc_id, list_transform(ws, t -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(t) + 1), i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647)) AS hs FROM d), "
+        + "g0 AS (SELECT doc_id, 1 AS n, unnest([hs[i:i] FOR i IN range(1, len(hs) + 1)]) AS gl FROM dh WHERE len(hs) >= 1 "
+        + "UNION ALL SELECT doc_id, 2, unnest([hs[i:i+1] FOR i IN range(1, len(hs))]) FROM dh WHERE len(hs) >= 2 "
+        + "UNION ALL SELECT doc_id, 3, unnest([hs[i:i+2] FOR i IN range(1, len(hs) - 1)]) FROM dh WHERE len(hs) >= 3 "
+        + "UNION ALL SELECT doc_id, 4, unnest([hs[i:i+3] FOR i IN range(1, len(hs) - 2)]) FROM dh WHERE len(hs) >= 4), "
         + "gr AS (SELECT doc_id, n, gh, CAST(COUNT(*) AS BIGINT) AS c FROM ("
-        + "SELECT doc_id, n, list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        + "list_transform(range(1, length(g) + 1), i -> CAST(unicode(substr(g, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "SELECT doc_id, n, list_reduce(list_prepend(CAST(0 AS BIGINT), gl), "
         + "(a, b) -> (a * 31 + b) % 2147483647) AS gh FROM g0) GROUP BY 1, 2, 3), "
         + "cc2 AS (SELECT pm.cid AS p, n, gh, c AS cc FROM gr JOIN pm ON gr.doc_id = pm.cid), "
         + "rr2 AS (SELECT pm.cid AS p, n, gh, c AS cr FROM gr JOIN pm ON gr.doc_id = pm.rid), "

@@ -1220,14 +1220,35 @@ object Eval {
         lit(1000000.0)
     val toks = filter(split(lower(trim(col(textCol))), " "),
       t => t =!= "")
+    // gram identity = the 31-polynomial fold of the TOKEN hashes (one
+    // hash per token, composed per gram) — long keys instead of gram
+    // strings, so the count exchange ships 8 B keys; the ≤4-step fold
+    // is UNROLLED into plain codegen'd arithmetic (a generic
+    // `aggregate` lambda is CodegenFallback and measured slower than
+    // the string build it replaced)
+    val P = lit(2147483647L)
+    def stepped(thc: Column, i: Column, n: Column): Column = {
+      def h(k: Int) = element_at(thc, (i + (k - 1)).cast("int"))
+      val g2 = pmod(h(1) * 31L + h(2), P)
+      val g3 = pmod(g2 * 31L + h(3), P)
+      val g4 = pmod(g3 * 31L + h(4), P)
+      when(n === 1, h(1)).when(n === 2, g2).when(n === 3, g3)
+        .otherwise(g4)
+    }
+    // materialize the token-hash array ONCE per row before the
+    // generator: an inline expression would re-evaluate the whole
+    // array per element_at (measured 3x slower than even the string
+    // build)
+    val thc = col("__th")
     val gramH = explode(flatten(transform(sequence(lit(1), lit(4)), n =>
       transform(
-        when(size(toks) >= n, sequence(lit(1), size(toks) - n + 1))
+        when(size(thc) >= n, sequence(lit(1), size(thc) - n + 1))
           .otherwise(array().cast("array<int>")),
-        i => struct(n.as("n"),
-          TextMetrics.tokenHash(array_join(slice(toks, i, n), " "))
-            .as("gh"))))))
-    val grams = docs.select(col(idCol).as("__id"), gramH.as("__g"))
+        i => struct(n.as("n"), stepped(thc, i, n).as("gh"))))))
+    val grams = docs
+      .select(col(idCol).as("__id"),
+        transform(toks, t => TextMetrics.tokenHash(t)).as("__th"))
+      .select(col("__id"), gramH.as("__g"))
       .groupBy(col("__id"), col("__g.n").as("__n"), col("__g.gh").as("__gh"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint(eager = false)
