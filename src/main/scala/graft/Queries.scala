@@ -3276,6 +3276,32 @@ object Queries {
     Eval.corpusBleu(docs, "doc_id", "text", pm, "doc_id", "__rid")
   }
 
+  /** Q254 declarative corpus-prep pipeline: the ENTIRE q49 dataprep
+    * flow (exact dedup → quality gate → language-ID) expressed as a
+    * JSON `PipelineSpec` and run through `Pipeline.build` — the
+    * control-plane twin of the library composition, sharing q49's
+    * oracle semantics verbatim. What a reference user does by PUTting
+    * connector config (README.md:88-109), this engine does for
+    * training-data prep: the stages are config, the operators are the
+    * gated library, and this query pins that the config path computes
+    * EXACTLY what the Scala path computes. */
+  val q254: Q = (s, dir) => {
+    val json =
+      s"""{"name": "dataprep-q254",
+         |"source": {"type": "file", "options": {
+         |  "format": "parquet", "path": "$dir/documents.parquet",
+         |  "schema": "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"}},
+         |"transforms": [
+         |  {"type": "dedup_exact", "options": {"id.field": "doc_id", "text.field": "text"}},
+         |  {"type": "quality_gate", "options": {"text.field": "text"}},
+         |  {"type": "lang_id", "options": {"text.field": "text", "as": "predicted"}}],
+         |"sink": {"type": "noop", "options": {}}}""".stripMargin
+    Pipeline.build(s, PipelineSpec.fromJson(json), streaming = false)
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "predicted")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -5142,6 +5168,7 @@ object Queries {
     "q251_rejection_attribution" -> q251,
     "q252_loo_ablation" -> q252,
     "q253_corpus_bleu" -> q253,
+    "q254_pipeline_dataprep" -> q254,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -8540,7 +8567,7 @@ object Queries {
         + "r2 AS (SELECT t, d1, d2, CAST(t1 - b1 AS BIGINT) AS n1r, CAST(t2 - b2 AS BIGINT) AS n2r, "
         + "CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2, CAST(e1t AS BIGINT) AS e1t, CAST(e2t AS BIGINT) AS e2t FROM r), "
         + "r3 AS (SELECT *, n1r + n2r AS nr, d1 + d2 AS dr FROM r2), "
-        + "r4 AS (SELECT *, d1 * 1000000 - (dr * n1r * 1000000) // nr AS om, "
+        + "r4 AS (SELECT *, d1 * 1000000 - CAST((CAST(dr AS HUGEINT) * n1r * 1000000) // nr AS BIGINT) AS om, "
         + "CASE WHEN nr > 1 THEN CAST(floor(CAST(CAST(dr AS DECIMAL(38,0)) * n1r * n2r * (nr - dr) AS DOUBLE) / "
         + "CAST(CAST(nr AS DECIMAL(38,0)) * nr * (nr - 1) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS vm "
         + "FROM r3 WHERE dr > 0) "
@@ -8969,6 +8996,28 @@ object Queries {
         + "+ CAST(floor(ln(CAST(c4 AS DOUBLE) / CAST(t4 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 4.0) "
         + "/ 1000000.0) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 ELSE 0.0 END AS bleu "
         + "FROM f"),
+    "q254_pipeline_dataprep" ->
+      // q49's oracle verbatim (the declarative pipeline must compute
+      // exactly what the library composition computes), with the
+      // lang_id stage's output column named `predicted`
+      ("WITH survivors AS (SELECT MIN(doc_id) AS doc_id FROM documents " +
+        "GROUP BY LOWER(TRIM(text))), " +
+        "d AS (SELECT doc_id, lang, n_chars, " +
+        "list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS w " +
+        "FROM documents JOIN survivors USING (doc_id)), " +
+        "m AS (SELECT lang, n_chars, len(w) AS n_tok, " +
+        "len(list_filter(w, t -> list_contains(['the','a','of','and','in','to','is'], t))) AS n_stop, " +
+        "len(list_filter(w, t -> list_contains(['der','die','das','und'], t))) AS s_de, " +
+        "len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS s_en, " +
+        "len(list_filter(w, t -> list_contains(['el','la','los','y'], t))) AS s_es, " +
+        "len(list_filter(w, t -> list_contains(['le','la','les','et'], t))) AS s_fr FROM d), " +
+        "f AS (SELECT lang, n_chars, CASE " +
+        "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' " +
+        "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' " +
+        "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted " +
+        "FROM m WHERE n_tok >= 10 AND 2 * n_stop < n_tok) " +
+        "SELECT lang, predicted, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM f GROUP BY lang, predicted ORDER BY lang, predicted"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

@@ -32,6 +32,12 @@ import graft.sources.{FileSource, KafkaRelaySource, PromTextSource, Source}
  * behind a rename/hoist/flatten still push to the scan). Omitted by
  * design: `SetSchemaMetadata` (a DataFrame has no Connect schema
  * name/version; the envelope encoder's `name` option is that seam).
+ * Beyond the Connect catalog, the LLM corpus-prep operators are
+ * stage types too — `dedup_exact`, `quality_gate`, `lang_id`,
+ * `hash_sample` — so a user can drive exact-dedup → quality gate →
+ * language-ID → keyed sink entirely by JSON config through the REST
+ * facade (the reference's submit-a-config workflow, README.md:88-109),
+ * each stage delegating to the oracle-gated operator library.
  * sinks: `file` (FileStreamSink twin), `noop` (bench), `memory`
  * (tests; streaming only).
  *
@@ -52,7 +58,8 @@ object Pipeline {
     "flatten", "replace_field", "regex_router", "timestamp_converter",
     "timestamp_router", "value_to_key",
     "insert_header", "header_from", "drop_headers",
-    "envelope_encode", "envelope_decode", "debezium_unwrap")
+    "envelope_encode", "envelope_decode", "debezium_unwrap",
+    "dedup_exact", "quality_gate", "lang_id", "hash_sample")
   val streamSinkTypes: Seq[String] = Seq("file", "memory", "upsert", "jdbc_upsert")
 
   def source(spec: StageSpec): Source = spec.stageType match {
@@ -411,6 +418,86 @@ object Pipeline {
         StructType.fromDDL(t.option("schema")),
         addMetadata = t.optionOr("add.metadata", "true").toBoolean,
         dropTombstones = t.optionOr("drop.tombstones", "false").toBoolean)
+
+    // ---- LLM corpus-prep stages: the dedup / quality / lang-ID /
+    // sampling operators as declarative config, so the reference's
+    // submit-a-JSON workflow (README.md:88-109) drives training-data
+    // prep without writing Scala. Each delegates to the gated operator
+    // library — the stage is config plumbing, never a reimplementation.
+    case "dedup_exact" =>
+      // graft.operators.Dedup.exactSurvivors as a stage: one row per
+      // distinct normalized text. Batch keeps the MIN-id row (the
+      // exactSurvivors canonical); a stream cannot wait to learn the
+      // minimum id, so streaming keeps FIRST ARRIVAL with
+      // watermark-bounded 16 B/key state (the dedupAgainstHistoryStream
+      // divergence note) and REQUIRES watermark.field/watermark.delay —
+      // unbounded dedup state is not a thing this engine configures.
+      val id = t.option("id.field")
+      val text = t.option("text.field")
+      if (df.isStreaming) {
+        val Seq(h1, h2) = graft.operators.Dedup.textHashKey(col(text))
+        val keyed = df.withColumn("__fp_h1", h1).withColumn("__fp_h2", h2)
+        graft.streaming.StreamingOps.dedupStream(keyed,
+            t.option("watermark.field"), t.option("watermark.delay"),
+            Seq("__fp_h1", "__fp_h2"))
+          .drop("__fp_h1", "__fp_h2")
+      } else
+        df.join(graft.operators.Dedup.exactSurvivors(df, id, text),
+          Seq(id), "left_semi")
+    case "quality_gate" =>
+      // the q49 quality gate as config: keep rows with at least
+      // `min.tokens` tokens and a stopword share strictly under
+      // `max.stop.permille`/1000 — INTEGER threshold arithmetic
+      // (1000·n_stop < permille·n_tok), so every engine replays the
+      // same keep set; default 500 is exactly `2·n_stop < n_tok`.
+      val tks = filter(split(lower(trim(col(t.option("text.field")))), " "),
+        x => x =!= "")
+      val stop = t.optionOr("stopwords", "the,a,of,and,in,to,is")
+        .split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+      val minTok = t.optionOr("min.tokens", "10").toInt
+      val permille = t.optionOr("max.stop.permille", "500").toInt
+      require(permille >= 0 && permille <= 1000,
+        s"quality_gate: max.stop.permille must be in [0, 1000], got $permille")
+      val nTok = size(tks)
+      val nStop = size(filter(tks, x => x.isInCollection(stop)))
+      df.filter(nTok >= minTok &&
+        nStop.cast("long") * 1000L < lit(permille.toLong) * nTok.cast("long"))
+    case "lang_id" =>
+      // the q39 marker-token language-ID as config: `markers` maps each
+      // label to its marker tokens ("de:der|die|das|und,en:the|a|of,...");
+      // the best score wins with ties to the EARLIEST listed label (the
+      // q39 >=-chain convention), all in one codegen'd column program.
+      val tks = filter(split(lower(trim(col(t.option("text.field")))), " "),
+        x => x =!= "")
+      val markers: Seq[(String, Seq[String])] =
+        t.optionOr("markers",
+            "de:der|die|das|und,en:the|a|of|and,es:el|la|los|y,fr:le|la|les|et")
+          .split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq.map { e =>
+            e.split(":").map(_.trim) match {
+              case Array(l, ws) =>
+                l -> ws.split("\\|").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+              case _ => throw new IllegalArgumentException(
+                s"lang_id: bad markers entry '$e' (want label:w1|w2|...)")
+            }
+          }
+      require(markers.size >= 2, "lang_id: need at least two labels")
+      val scores = markers.map { case (l, ws) =>
+        l -> size(filter(tks, x => x.isInCollection(ws)))
+      }
+      val chain = scores.init.zipWithIndex.foldLeft(
+          when(lit(false), lit(null).cast("string"))) {
+        case (c, ((l, s), i)) =>
+          val laterBeats = scores.drop(i + 1).map(_._2)
+            .foldLeft(lit(true))((acc, o) => acc && s >= o)
+          c.when(laterBeats, l)
+      }.otherwise(scores.last._1)
+      df.withColumn(t.optionOr("as", "predicted_lang"), chain)
+    case "hash_sample" =>
+      // graft.operators.Sampling.hashSample as a stage: keep
+      // ≈permille/1000 of rows by the portable id hash — deterministic,
+      // engine-replayable, a pure filter (stream-safe).
+      graft.operators.Sampling.hashSample(df, t.option("id.field"),
+        t.option("permille").toInt)
     case other =>
       throw new IllegalArgumentException(s"unknown transform type '$other'")
   }

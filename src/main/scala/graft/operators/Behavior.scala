@@ -1101,8 +1101,12 @@ object Behavior {
       .withColumn("nr", col("n1r") + col("n2r"))
       .withColumn("dr", col("d1") + col("d2"))
       .where(col("dr") > 0L)
+    // E numerator routed through DECIMAL(38,0) like vm: dr*n1r*1e6 in
+    // pure BIGINT overflows once dr*n1r exceeds ~9.2e12 (few-million-
+    // subject cohorts with heavy duration ties); div on the decimal
+    // product still returns an exact LONG
     val om = col("d1") * 1000000L -
-      expr("(dr * n1r * 1000000) div nr")
+      expr("(cast(dr as decimal(38,0)) * n1r * 1000000) div nr")
     val vm = when(col("nr") > 1L, floor(
       (dec(col("dr")) * col("n1r") * col("n2r") *
         (col("nr") - col("dr"))).cast("double") /

@@ -1086,7 +1086,9 @@ object Dedup {
    * native orderable type (string ids work; no id negation), so ties
    * are total and any engine replays the same keeper. The score must
    * be numeric (checked); a score at its integral type's MinValue is
-   * the one unrepresentable negation.
+   * the one unrepresentable negation. NULL-score members are excluded
+   * before the pick (struct ordering sorts nulls smallest, so a null
+   * score would otherwise win) and do not count toward `n_members`.
    *
    * Output per cluster: `cluster_id`, `n_members`, `keeper_id`,
    * `keeper_score` — members minus the keeper are the drop list.
@@ -1101,8 +1103,14 @@ object Dedup {
     require(scored.schema(scoreCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"qualityCanonical: score column '$scoreCol' must be numeric")
+    // NULL scores are excluded OUTRIGHT: struct ordering sorts a null
+    // field smallest, so min(struct(-score, id)) would otherwise crown
+    // a null-score member the keeper — a member with no score can
+    // never win (nor count toward n_members, which counts SCORED
+    // members by contract)
     val sc = scored.select(col(scoreIdCol).as("__sid"),
       col(scoreCol).as("__q"))
+      .where(col("__q").isNotNull)
     clusters.select(col(idCol).as("__sid"), col(clusterCol).as("cluster_id"))
       .join(sc, "__sid")
       .groupBy("cluster_id")

@@ -1198,6 +1198,10 @@ object Eval {
    * Output (one row): `n_pairs`, `cand_tokens`, `ref_tokens`,
    * `p1`..`p4` (6 dp), `bp_micro` (≤ 0), `bleu`.
    *
+   * SINGLE-reference BLEU: `pairMap` must carry exactly one reference
+   * per candidate id (checked eagerly — multi-reference BLEU takes a
+   * per-gram max over references, which this shape does not compute).
+   *
    * Pairing is an ID-ONLY map (`pairMap`: candidate id → reference
    * id) against ONE per-doc gram table, so document TEXT never enters
    * an exchange — the gram identity is the house 31-polynomial token
@@ -1254,6 +1258,13 @@ object Eval {
       .localCheckpoint(eager = false)
     val pm = pairMap.select(col(candIdCol).as("__cid"),
       col(refIdCol).as("__rid"))
+    // SINGLE-reference contract (checked): multi-reference BLEU takes
+    // a per-gram MAX over references; a duplicated candidate id here
+    // would instead duplicate cand rows and double-count the clip and
+    // total sums, silently inflating precision
+    require(pm.groupBy("__cid").count().where(col("count") > 1L).isEmpty,
+      "corpusBleu: pairMap must carry exactly one reference per " +
+        s"candidate id ('$candIdCol') — multi-reference input detected")
     val cand = grams.join(pm.select(col("__cid")),
         col("__id") === col("__cid"))
       .select(col("__cid").as("__p"), col("__n"), col("__gh"),

@@ -493,8 +493,9 @@ object Sampling {
    * largest count of still-uncovered token hashes; ties break to the
    * min id, so the whole trajectory is deterministic.
    *
-   * All decisions are integer (distinct-hash counts, BIGINT argmax
-   * via struct ordering). Rounds are DataFrame-only (the
+   * All decisions are integer (distinct-hash counts; argmin over
+   * struct(-gain, id) with the id in its NATIVE orderable type —
+   * string ids work). Rounds are DataFrame-only (the
    * [[Similarity.coresetSelect]] pattern — 1-row argmax broadcasts,
    * no driver-side data): per round one anti-join against the covered
    * hash set + one count + one argmax. If coverage saturates before
@@ -523,9 +524,13 @@ object Sampling {
           sequence(lit(1), size(toks) - (shingleWidth - 1)))
           .otherwise(array().cast("array<int>")),
         i => array_join(slice(toks, i, lit(shingleWidth)), " ")))
-    val rows = docs.select(col(idCol).cast("long").as("__id"),
-        units.as("__t"))
-      .where(col("__t") =!= "")
+    // the id stays in its NATIVE orderable type (string ids work; a
+    // cast to long silently nulled them, collapsing every doc into
+    // one __id) — the argmin negates the GAIN (a count, always a
+    // safe negation) instead of the id, and the struct carries the
+    // winning id out directly
+    val rows = docs.select(col(idCol).as("__id"), units.as("__t"))
+      .where(col("__id").isNotNull && col("__t") =!= "")
       .select(col("__id"), TextMetrics.tokenHash(col("__t")).as("__h"))
       .distinct()
       .localCheckpoint()
@@ -535,13 +540,12 @@ object Sampling {
       val remaining =
         if (r == 1) rows else rows.join(covered, Seq("__h"), "left_anti")
       val gain = remaining.groupBy("__id").agg(count(lit(1)).as("__g"))
-      val best = gain
-        .agg(max(struct(col("__g").as("g"), (-col("__id")).as("nid")))
+      val next = gain
+        .agg(min(struct((-col("__g")).as("__ng"), col("__id").as("__id")))
           .as("__m"))
-        .select(col("__m.g").as("__bg"), (-col("__m.nid")).as("__bid"))
-      val next = gain.join(broadcast(best), col("__id") === col("__bid"))
-        .select(lit(r).as("sel_round"), col("__id"),
-          col("__g").as("gain"))
+        .where(col("__m").isNotNull)
+        .select(lit(r).as("sel_round"), col("__m.__id").as("__id"),
+          (-col("__m.__ng")).as("gain"))
       selected =
         if (r == 1) next.localCheckpoint()
         else selected.unionAll(next).localCheckpoint()

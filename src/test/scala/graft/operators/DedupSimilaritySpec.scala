@@ -746,6 +746,27 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("qualityCanonical: NULL-score members never win the keeper " +
+    "pick and do not count toward n_members") {
+    val ss = spark
+    import ss.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("id", "cluster_id")
+    // struct ordering sorts nulls smallest: an unfiltered
+    // min(struct(-score, id)) would crown id=3 (score NULL)
+    val scored = Seq((1L, Some(10L)), (2L, Some(50L)), (3L, None))
+      .toDF("doc_id", "score")
+    val out = Dedup.qualityCanonical(clusters, "id", "cluster_id",
+      scored, "doc_id", "score").head()
+    assert(out.getLong(0) == 1L && out.getLong(1) == 2L &&
+      out.getLong(2) == 2L && out.getLong(3) == 50L)
+    // all-null cluster: no scored member -> cluster absent entirely
+    val allNull = Seq((1L, Option.empty[Long])).toDF("doc_id", "score")
+    assert(Dedup.qualityCanonical(
+      Seq((1L, 1L)).toDF("id", "cluster_id"), "id", "cluster_id",
+      allNull, "doc_id", "score").isEmpty)
+  }
+
   test("containmentJoin: directed asymmetric gate, exact borderline, " +
     "unrelated excluded") {
     val ss = spark

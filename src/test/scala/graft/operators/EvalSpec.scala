@@ -639,6 +639,14 @@ class EvalSpec extends SparkTestBase with Matchers {
     val s3 = bleuOf("a b c d", "a b x d")
     assert(s3.getDouble(3) == 0.75 && s3.getDouble(5) == 0.0 &&
       s3.getDouble(8) == 0.0)
+    // multi-reference pairMap (two refs for one candidate) rejected
+    // loudly — an unchecked duplicate would double-count clip/total
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val multi = Seq((1L, 2L), (1L, 3L)).toDF("cid", "rid")
+    intercept[IllegalArgumentException] {
+      Eval.corpusBleu(docs, "doc_id", "text", multi, "cid", "rid")
+    }
   }
 
   test("simpsonDirection: textbook reversal flagged, zero-sign group " +

@@ -350,6 +350,16 @@ class SamplingSpec extends SparkTestBase with Matchers {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(t3 == Map(1L -> ((1L, 2L, 2L)), 2L -> ((2L, 1L, 3L))))
+    // string doc ids survive in their native type (a silent cast to
+    // long nulled them, collapsing every doc into one __id); ties
+    // still break to the min id by string order
+    val sdocs = Seq(("docB", "a b c d"), ("docA", "a b c e"))
+      .toDF("doc_id", "text")
+    val s = Sampling.coverageSelect(sdocs, "doc_id", "text", k = 2)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(0), r.getLong(2), r.getLong(3)))).toMap
+    // both cover 4 units -> tie to "docA"; docB then adds only {d}
+    assert(s == Map("docA" -> ((1L, 4L, 4L)), "docB" -> ((2L, 1L, 5L))))
   }
 
   test("neymanAllocation: hand sigma weights, zero-variance stratum " +
