@@ -566,6 +566,18 @@ object Pipeline {
       "errors.retry.attempts must be >= 1")
   }
 
+  /** CDC delete flag for the keyed sinks. An EXPLICIT `deleted.column`
+    * must resolve (a typo'd CDC config fails loudly at start); the
+    * DEFAULT `__deleted` only applies when the stream actually carries
+    * it — a non-CDC pipeline (e.g. the corpus-prep stages) upserts
+    * everything without having to synthesize a dummy flag column. */
+  private def deletedPredicate(df: DataFrame, s: StageSpec): Column =
+    s.options.get("deleted.column") match {
+      case Some(c) => col(c) === "true"
+      case None if df.columns.contains("__deleted") => col("__deleted") === "true"
+      case None => lit(false)
+    }
+
   /** Newest-wins merge ordering for keyed sinks: the configured order
     * columns plus a deterministic whole-row tie-breaker (same-key rows
     * with equal order values in one micro-batch must pick the same
@@ -623,7 +635,7 @@ object Pipeline {
         // CDC delete semantics (pk/order/deleted options)
         val table = new graft.sinks.ParquetKeyedTable(
           s.option("path"), s.option("pk").split(",").map(_.trim).toSeq)
-        val deleted = col(s.optionOr("deleted.column", "__deleted")) === "true"
+        val deleted = deletedPredicate(df, s)
         df.writeStream
           .option("checkpointLocation", s.option("checkpoint"))
           .outputMode("append").trigger(trigger)
@@ -642,7 +654,7 @@ object Pipeline {
           s.options.filter(_._1.startsWith("conn.")).map {
             case (k, v) => k.stripPrefix("conn.") -> v
           })
-        val deleted = col(s.optionOr("deleted.column", "__deleted")) === "true"
+        val deleted = deletedPredicate(df, s)
         df.writeStream
           .option("checkpointLocation", s.option("checkpoint"))
           .outputMode("append").trigger(trigger)

@@ -1,0 +1,140 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+import graft.operators.{Dedup, Sampling}
+
+/** The LLM corpus-prep stage types (`dedup_exact`, `quality_gate`,
+  * `lang_id`, `hash_sample`) — declarative config delegating to the
+  * oracle-gated operator library. Each batch stage is pinned EQUAL to
+  * the library call it wraps (the q254 correctness query pins the whole
+  * chain against q49's oracle); the streaming dedup contract (watermark
+  * required, replays dropped) is pinned on a live file-stream. */
+class CorpusPrepStagesSpec extends SparkTestBase with Matchers {
+  import spark.implicits._
+
+  private def t(ty: String, opts: (String, String)*): StageSpec =
+    StageSpec(ty, opts.toMap)
+  private def apply1(df: DataFrame, s: StageSpec): DataFrame =
+    Pipeline.applyTransform(df, s)
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat today", "en"),
+    (2L, "The cat sat on the mat today  ", "en"), // dup after normText
+    (3L, "el gato y la casa y los perros", "es"),
+    (4L, "the a of and in to is", "en"), // all stopwords: gate drops
+    (5L, "short text", "en")) // under min.tokens=3? no — 2 tokens
+    .toDF("doc_id", "text", "lang")
+
+  test("dedup_exact batch == exactSurvivors semi-join (min id per " +
+    "normalized text survives)") {
+    val out = apply1(docs,
+      t("dedup_exact", "id.field" -> "doc_id", "text.field" -> "text"))
+    out.columns shouldBe docs.columns // schema passes through
+    out.select("doc_id").as[Long].collect().sorted shouldBe
+      Seq(1L, 3L, 4L, 5L)
+    // pinned equal to the library call it delegates to
+    val lib = docs.join(
+      Dedup.exactSurvivors(docs, "doc_id", "text"), Seq("doc_id"), "left_semi")
+    out.collect().toSet shouldBe lib.collect().toSet
+  }
+
+  test("quality_gate: integer token/stopword thresholds, custom " +
+    "stopwords, permille boundary is strict") {
+    val kept = apply1(docs,
+      t("quality_gate", "text.field" -> "text", "min.tokens" -> "3"))
+      .select("doc_id").as[Long].collect().sorted
+    // doc4 is 7 tokens all stopwords (drops); doc5 has 2 tokens (drops);
+    // docs 1/2/3 pass (doc3 has zero default-list stopwords)
+    kept shouldBe Seq(1L, 2L, 3L)
+    // strictly-under contract: "b b a a" with stopword a is exactly
+    // 500 permille -> dropped at the default threshold, kept at 501
+    val edge = Seq((1L, "b b a a")).toDF("doc_id", "text")
+    apply1(edge, t("quality_gate", "text.field" -> "text",
+      "min.tokens" -> "1", "stopwords" -> "a")).count() shouldBe 0L
+    apply1(edge, t("quality_gate", "text.field" -> "text",
+      "min.tokens" -> "1", "stopwords" -> "a",
+      "max.stop.permille" -> "501")).count() shouldBe 1L
+    intercept[IllegalArgumentException] {
+      apply1(edge, t("quality_gate", "text.field" -> "text",
+        "max.stop.permille" -> "1001"))
+    }
+  }
+
+  test("lang_id: marker argmax with ties to the earliest label, " +
+    "custom markers, malformed markers reject") {
+    val out = apply1(docs, t("lang_id", "text.field" -> "text"))
+      .select("doc_id", "predicted_lang").as[(Long, String)]
+      .collect().toMap
+    out(1L) shouldBe "en"
+    out(3L) shouldBe "es"
+    // zero marker hits everywhere ties all scores -> earliest label
+    val none = Seq((1L, "xyzzy qwerty")).toDF("doc_id", "text")
+    apply1(none, t("lang_id", "text.field" -> "text"))
+      .select("predicted_lang").as[String].head() shouldBe "de"
+    // custom 2-label markers + custom output column
+    val custom = apply1(Seq((1L, "foo bar baz")).toDF("doc_id", "text"),
+      t("lang_id", "text.field" -> "text",
+        "markers" -> "aa:foo|bar,bb:baz", "as" -> "guess"))
+    custom.columns should contain("guess")
+    custom.select("guess").as[String].head() shouldBe "aa"
+    intercept[IllegalArgumentException] {
+      apply1(docs, t("lang_id", "text.field" -> "text",
+        "markers" -> "only_one:w"))
+    }
+    intercept[IllegalArgumentException] {
+      apply1(docs, t("lang_id", "text.field" -> "text",
+        "markers" -> "no-colon-entry"))
+    }
+  }
+
+  test("hash_sample == Sampling.hashSample; permille 0 and 1000 are " +
+    "empty and identity") {
+    val ids = spark.range(0, 1000).toDF("doc_id")
+    val staged = apply1(ids,
+      t("hash_sample", "id.field" -> "doc_id", "permille" -> "250"))
+    val lib = Sampling.hashSample(ids, "doc_id", 250)
+    staged.as[Long].collect().sorted shouldBe lib.as[Long].collect().sorted
+    apply1(ids, t("hash_sample", "id.field" -> "doc_id",
+      "permille" -> "0")).count() shouldBe 0L
+    apply1(ids, t("hash_sample", "id.field" -> "doc_id",
+      "permille" -> "1000")).count() shouldBe 1000L
+  }
+
+  test("streaming dedup_exact REQUIRES the watermark options (bounded " +
+    "state is not optional) and drops in-stream replays") {
+    val rate = spark.readStream.format("rate").load()
+      .withColumn("text", concat(lit("t"), col("value")))
+    // missing watermark.field rejects at plan time, before start()
+    val err = intercept[IllegalArgumentException] {
+      apply1(rate, t("dedup_exact",
+        "id.field" -> "value", "text.field" -> "text"))
+    }
+    err.getMessage should include("watermark.field")
+
+    // live replay-drop: the same record delivered twice (at-least-once
+    // delivery) reaches the sink once; distinct texts all survive
+    val dir = java.nio.file.Files.createTempDirectory("graft-cps-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cps-ck").toString
+    Seq(
+      (1L, "alpha beta", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, "alpha beta", java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+      (2L, "gamma delta", java.sql.Timestamp.valueOf("2024-01-01 00:00:02")))
+      .toDF("doc_id", "text", "ts").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+      .parquet(dir)
+    val deduped = apply1(src, t("dedup_exact",
+      "id.field" -> "doc_id", "text.field" -> "text",
+      "watermark.field" -> "ts", "watermark.delay" -> "10 seconds"))
+    val q = deduped.writeStream.format("memory").queryName("cps_dedup")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cps_dedup").select("doc_id", "text")
+      .as[(Long, String)].collect().sorted
+    got shouldBe Seq((1L, "alpha beta"), (2L, "gamma delta"))
+  }
+}

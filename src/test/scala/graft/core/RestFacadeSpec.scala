@@ -119,6 +119,66 @@ class RestFacadeSpec extends SparkTestBase with Matchers {
     } finally facade.close()
   }
 
+  test("corpus-prep by config: dedup_exact -> quality_gate -> lang_id " +
+    "-> hash_sample -> upsert sink, submitted as JSON over HTTP") {
+    val ss = spark
+    import ss.implicits._
+    val inDir = tmp("graft-prep-in")
+    val ckpt = tmp("graft-prep-ckpt")
+    val out = tmp("graft-prep-out")
+    Seq(
+      // a replayed record (at-least-once delivery): dedup drops it
+      (1L, "the cat sat on the mat today", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, "the cat sat on the mat today", java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+      (3L, "el gato y la casa y los perros", java.sql.Timestamp.valueOf("2024-01-01 00:00:02")),
+      // all stopwords: the quality gate drops it
+      (4L, "the a of and in to is", java.sql.Timestamp.valueOf("2024-01-01 00:00:03")))
+      .toDF("doc_id", "text", "ts").coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+
+    val prepSpec =
+      s"""{
+         |  "name": "prep1",
+         |  "source": {"type": "file", "options": {
+         |    "format": "parquet", "path": "$inDir",
+         |    "schema": "doc_id BIGINT, text STRING, ts TIMESTAMP"}},
+         |  "transforms": [
+         |    {"type": "dedup_exact", "options": {"id.field": "doc_id", "text.field": "text",
+         |      "watermark.field": "ts", "watermark.delay": "10 seconds"}},
+         |    {"type": "quality_gate", "options": {"text.field": "text", "min.tokens": "3"}},
+         |    {"type": "lang_id", "options": {"text.field": "text", "as": "predicted"}},
+         |    {"type": "hash_sample", "options": {"id.field": "doc_id", "permille": "1000"}}],
+         |  "sink": {"type": "upsert", "options": {
+         |    "path": "$out", "pk": "doc_id", "order": "ts",
+         |    "checkpoint": "$ckpt", "trigger.ms": "50"}}
+         |}""".stripMargin
+
+    val reg = new PipelineRegistry(spark)
+    val facade = new RestFacade(reg)
+    facade.start()
+    val base = s"http://127.0.0.1:${facade.boundPort}/connectors"
+    try {
+      // the plugin catalog advertises the corpus-prep vocabulary
+      val plugins = req("GET",
+        s"http://127.0.0.1:${facade.boundPort}/connector-plugins")
+      Seq("dedup_exact", "quality_gate", "lang_id", "hash_sample")
+        .foreach { s =>
+          plugins.body() should include(s"""{"class":"$s","type":"transform"}""")
+        }
+
+      val created = req("POST", base, prepSpec)
+      created.statusCode() shouldBe 201
+      reg.drain("prep1") shouldBe true
+
+      val table = new graft.sinks.ParquetKeyedTable(out, Seq("doc_id"))
+        .read(spark).get
+      val rows = table.select("doc_id", "predicted")
+        .as[(Long, String)].collect().sorted
+      // replay collapsed, stopword doc gated out, labels attached
+      rows shouldBe Seq((1L, "en"), (3L, "es"))
+    } finally facade.close()
+  }
+
   test("KIP-875 offsets: GET reads the checkpoint, DELETE resets only when paused") {
     val ss = spark
     import ss.implicits._
