@@ -10,7 +10,9 @@ import graft.operators.Relational
 
 /** Per-round benchmark: runs every registered query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query wall
-  * seconds. Results are materialized through the noop sink (full
+  * seconds — the MEDIAN of 3 timed runs each (`n_runs`/`stat` fields;
+  * `wall_sec` carries the honest end-to-end cost of the whole timed
+  * section). Results are materialized through the noop sink (full
   * execution incl. result production — `count()` alone lets Spark skip
   * projections); failed queries are reported in `failed`, never as
   * fake timings.
@@ -108,9 +110,15 @@ object Bench {
       scrub()
     }
 
-    // -------- timed passes: min of 3 per query (single runs on a busy
-    // shared box show multi-second GC/scheduling outliers — BENCH_r05
-    // recorded one query 10× over its quiet-box time even at min-of-2)
+    // -------- timed passes: MEDIAN of 3 per query (single runs on a
+    // busy shared box show multi-second GC/scheduling outliers —
+    // BENCH_r05 recorded one query 10× over its quiet-box time even at
+    // min-of-2, and r12's two same-box full runs disagreed up to 2.2×
+    // per query; the median rejects one outlier in either direction
+    // where min systematically flatters). The honest end-to-end cost
+    // is reported separately as `wall_sec` (the whole timed section,
+    // all runs + scrubs included).
+    val wallT0 = System.nanoTime()
     val results = queries.flatMap { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -123,14 +131,16 @@ object Bench {
             None
         }
       }
-      val runs = Seq(once(), once(), once()).flatten
+      val runs = Seq(once(), once(), once()).flatten.sorted
       scrub() // this query's checkpoints must not tax the next query
       if (runs.isEmpty) { failed ::= name; None }
       else {
         if (runs.length < 3) failed ::= name
-        Some(name -> runs.min)
+        // median of what survived: mid of 3, lower-mid of 2, the 1
+        Some(name -> runs((runs.length - 1) / 2))
       }
     }
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
 
     // keep the one-line JSON compact (3 decimals ≈ ms precision): the
     // driver's capture window truncated the head of BENCH_r06's longer line
@@ -139,7 +149,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fj,"throughput_rps":${f3(throughput)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_runs":3,"stat":"median","wall_sec":${f3(wallSec)},"queries":$qs,"failed":$fj,"throughput_rps":${f3(throughput)},"sf":"$sfDir"}"""
     println(line)
     // Truncation-proof artifact: the driver's stdout capture has clipped
     // the tail of longer lines (BENCH_r08 kept per-query times for only
