@@ -3302,6 +3302,21 @@ object Queries {
       .orderBy("lang", "predicted")
   }
 
+  /** Q255 incremental containment against a persisted shingle index
+    * (q231's operator in q224's posture): history docs are indexed
+    * once; the arriving batch emits every directed cross-split
+    * containment pair ≥ 7/10 in both directions without re-shingling
+    * the corpus. */
+  val q255: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val index = Dedup.shingleHashRows(hist, "doc_id", "text", 3)
+    Dedup.containmentAgainstIndex(incoming, "doc_id", "text", index,
+        tNum = 7, tDen = 10)
+      .orderBy("d1", "d2")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -5169,6 +5184,7 @@ object Queries {
     "q252_loo_ablation" -> q252,
     "q253_corpus_bleu" -> q253,
     "q254_pipeline_dataprep" -> q254,
+    "q255_containment_incremental" -> q255,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9018,6 +9034,20 @@ object Queries {
         "FROM m WHERE n_tok >= 10 AND 2 * n_stop < n_tok) " +
         "SELECT lang, predicted, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
         "FROM f GROUP BY lang, predicted ORDER BY lang, predicted"),
+    "q255_containment_incremental" ->
+      // q231's brute-force reference restricted to cross-split pairs:
+      // directed containment |A∩B|/|A| with the exact 7/10 gate, A and
+      // B on opposite sides of the doc_id % 10 split
+      ("WITH w AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS ws FROM documents), "
+        + "t AS (SELECT DISTINCT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])) AS sh "
+        + "FROM w WHERE len(ws) >= 3), "
+        + "sig AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1), "
+        + "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS ni "
+        + "FROM t a JOIN t b ON a.sh = b.sh AND (a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0) GROUP BY 1, 2) "
+        + "SELECT d1, d2, s1.n AS n1, ni AS n_inter, "
+        + "round(CAST(ni AS DOUBLE) / s1.n, 6) AS containment "
+        + "FROM j JOIN sig s1 ON j.d1 = s1.doc_id "
+        + "WHERE ni * 10 >= s1.n * 7 ORDER BY d1, d2"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

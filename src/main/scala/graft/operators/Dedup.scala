@@ -1238,4 +1238,83 @@ object Dedup {
         round(col("n_inter").cast("double") / col("n1"), 6)
           .as("containment"))
   }
+
+  /**
+   * Incremental EXACT containment against a PERSISTED shingle index —
+   * the [[prefixJaccardAgainstIndex]] posture for [[containmentJoin]]:
+   * the corpus's distinct shingle-hash rows are stored once; each
+   * arriving batch emits every DIRECTED cross-split containment pair
+   * at C(A, B) = |A ∩ B| / |A| ≥ t, in BOTH directions (new doc
+   * contained in history, history doc contained in new), with no
+   * false negatives and without re-shingling the corpus.
+   *
+   * The containment prefix theorem is ORDER-FREE (any k-intersection
+   * hits a length n_A − k + 1 prefix of A under ANY fixed ordering of
+   * A's elements), so correctness never depends on a frozen order;
+   * ranking prefixes by (history df ASC, hash ASC) — batch shingles
+   * the history has never seen take df 0 — just keeps candidate
+   * blocks small, exactly the [[prefixJaccardAgainstIndex]]
+   * discipline. Caller contract: new ids are disjoint from history
+   * ids (the survivorsAgainstHistory contract).
+   *
+   * Output: (d1, d2, n1, n_inter, containment ≥ t, 6 dp), directed
+   * (d1 contained in d2), every pair crossing the split.
+   *
+   * Scale shape: direction new⊂hist joins batch-sized prefixes
+   * against the index; direction hist⊂new joins index-bounded
+   * prefixes against the batch's (small) shingle table — both
+   * hash-only, both bounded by true shared-shingle pairs. History
+   * text is never touched; batch text never leaves its scan.
+   */
+  def containmentAgainstIndex(newDocs: DataFrame, idCol: String,
+                              textCol: String, index: DataFrame,
+                              tNum: Int, tDen: Int,
+                              shingleWidth: Int = 3): DataFrame = {
+    require(tNum >= 1 && tDen >= tNum, "threshold must be in (0, 1]")
+    val histSh = index.select(col("__id"), col("__sh"))
+      .localCheckpoint(eager = false)
+    val dfH = histSh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    val newSh = shingleHashRows(newDocs, idCol, textCol, shingleWidth)
+      .localCheckpoint(eager = false)
+
+    def prefixOf(sh: DataFrame): DataFrame = {
+      val ordered = sh.join(dfH, Seq("__sh"), "left")
+        .withColumn("__df", coalesce(col("__df"), lit(0L)))
+        .groupBy("__id")
+        .agg(sort_array(collect_list(struct(col("__df"), col("__sh"))))
+          .as("__ord"))
+        .select(col("__id"), col("__ord"), size(col("__ord")).as("__n"))
+      // containment prefix: n − ⌈t·n⌉ + 1 elements (longer than the
+      // Jaccard prefix — the divisor is n_A alone)
+      val p = (col("__n") -
+        expr(s"(__n * $tNum + ${tDen - 1}) div $tDen") + 1).cast("int")
+      ordered.select(col("__id"), col("__n"),
+        explode(slice(col("__ord"), lit(1), p)).as("__s"))
+        .select(col("__id"), col("__n"), col("__s.__sh").as("__sh"))
+    }
+
+    // direction 1: new docs contained in history (A = batch, B = index)
+    val newInHist = prefixOf(newSh).alias("a")
+      .join(histSh.alias("b"), col("a.__sh") === col("b.__sh"))
+      .select(col("a.__id").as("d1"), col("a.__n").cast("long").as("n1"),
+        col("b.__id").as("d2"))
+    // direction 2: history docs contained in new (A = index, B = batch)
+    val histInNew = prefixOf(histSh).alias("a")
+      .join(newSh.alias("b"), col("a.__sh") === col("b.__sh"))
+      .select(col("a.__id").as("d1"), col("a.__n").cast("long").as("n1"),
+        col("b.__id").as("d2"))
+    val candidates = newInHist.unionByName(histInNew).distinct()
+
+    val sh = newSh.unionByName(histSh)
+    val inter = candidates
+      .join(sh.select(col("__id").as("d1"), col("__sh")), Seq("d1"))
+      .join(sh.select(col("__id").as("d2"), col("__sh")), Seq("d2", "__sh"))
+      .groupBy("d1", "d2", "n1")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .where(col("n_inter") * tDen >= col("n1") * tNum)
+      .select(col("d1"), col("d2"), col("n1"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("n1"), 6)
+          .as("containment"))
+  }
 }

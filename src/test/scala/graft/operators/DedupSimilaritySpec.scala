@@ -790,6 +790,50 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     assert(at60((2L, 1L)) == 0.6)
   }
 
+  test("containmentAgainstIndex: both directions over the index, " +
+    "novel doc matches nothing, == full join cross-split") {
+    val ss = spark
+    import ss.implicits._
+    // history holds both a container and a containee of the batch
+    val hist = Seq(
+      (1L, "a b c d e f g"),        // superset side, n=5
+      (2L, "a b c d e"))            // n=3, contained in batch doc 10
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a b c d e f g h"),     // n=6: hist 1 (5/5) and 2 (3/3) ⊂ it
+      (20L, "a b c d e"),           // n=3 ⊂ hist 1 and == hist 2
+      (30L, "p q r s t u"))         // all shingles unseen
+      .toDF("doc_id", "text")
+    val index = Dedup.shingleHashRows(hist, "doc_id", "text", 3)
+    val out = Dedup.containmentAgainstIndex(incoming, "doc_id", "text",
+        index, 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // directed, cross-split only: batch⊂hist AND hist⊂batch pairs,
+    // never hist–hist (1,2)/(2,1) or batch–batch (10,20)/(20,10)
+    assert(out == Map(
+      (1L, 10L) -> ((5L, 5L, 1.0)), (2L, 10L) -> ((3L, 3L, 1.0)),
+      (2L, 20L) -> ((3L, 3L, 1.0)), (20L, 1L) -> ((3L, 3L, 1.0)),
+      (20L, 2L) -> ((3L, 3L, 1.0)),
+      (10L, 1L) -> ((6L, 5L, 0.833333))))
+
+    // equals the full containment join restricted to cross-split pairs
+    val d = Tables.documents(spark, sf0001)
+    val idx = Dedup.shingleHashRows(
+      d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3)
+    val inc = Dedup.containmentAgainstIndex(
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text", idx, 7, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val full = Dedup.containmentJoin(d, "doc_id", "text", 7, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .filter(p => (p._1 % 10 == 0) != (p._2 % 10 == 0)).toSet
+    assert(inc == full)
+  }
+
   test("effectiveDim: collapsed axis PR=1, isotropic pair PR=2") {
     val ss = spark
     import ss.implicits._
