@@ -3317,6 +3317,23 @@ object Queries {
       .orderBy("d1", "d2")
   }
 
+  /** Q256 bounded-error sketch intersection: per-source bottom-k
+    * vocabulary signatures composed with the q241 HLL union —
+    * |A∩B| ≈ Ĵ·est(A∪B) with Var(Ĵ) ≤ J(1−J)/k, the certificate
+    * HLL inclusion–exclusion cannot give on small overlaps (its
+    * documented caveat — this is the closing of it). */
+  val q256: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(filter(split(lower(trim(col("text"))), " "),
+          t => t =!= "")).as("__t"))
+      .select(col("source"), TextMetrics.tokenHash(col("__t")).as("th"))
+    Sketch.bottomKIntersect(
+        Sketch.bottomKSketch(toks, Seq("source"), "th"),
+        Sketch.hllSketch(toks, Seq("source"), "th"), "source")
+      .orderBy("g1", "g2")
+  }
+
   /** Q206 Cohen's kappa per lang between two corpus gates — the
     * length rule (n_toks ≥ 50) vs the hashed quality score (≥ 0):
     * chance-corrected label agreement, exact integer 2×2 counts,
@@ -5185,6 +5202,7 @@ object Queries {
     "q253_corpus_bleu" -> q253,
     "q254_pipeline_dataprep" -> q254,
     "q255_containment_incremental" -> q255,
+    "q256_bottomk_intersect" -> q256,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9048,6 +9066,36 @@ object Queries {
         + "round(CAST(ni AS DOUBLE) / s1.n, 6) AS containment "
         + "FROM j JOIN sig s1 ON j.d1 = s1.doc_id "
         + "WHERE ni * 10 >= s1.n * 7 ORDER BY d1, d2"),
+    "q256_bottomk_intersect" ->
+      // bottom-k signature program (mid-square hv, per-source rank
+      // <= 256, pair-merged rank <= 256, flag sums) + q241's HLL
+      // pair-union estimator; final composition on the same rounded
+      // operands as the engine
+      ("WITH tt AS (SELECT source, tok FROM (SELECT source, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "th AS (SELECT source, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS u FROM tt), "
+        + "bk0 AS (SELECT DISTINCT source, ((((u + 7) * 1803349453) % 1000000007) * (((u + 7) * 1803349453) % 1000000007) >> 12) % 1099511627776 AS hv FROM th), "
+        + "sig AS (SELECT source, hv FROM (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM bk0) WHERE rn <= 256), "
+        + "pr0 AS (SELECT least(s.source, o.source) AS g1, greatest(s.source, o.source) AS g2, s.hv, (s.source <= o.source) AS in1 "
+        + "FROM sig s, (SELECT DISTINCT source FROM sig) o WHERE s.source <> o.source), "
+        + "mk AS (SELECT g1, g2, hv, MAX(CASE WHEN in1 THEN 1 ELSE 0 END) AS i1, MAX(CASE WHEN NOT in1 THEN 1 ELSE 0 END) AS i2 FROM pr0 GROUP BY 1, 2, 3), "
+        + "sm AS (SELECT g1, g2, i1 * i2 AS bo, row_number() OVER (PARTITION BY g1, g2 ORDER BY hv) AS rn FROM mk), "
+        + "jj AS (SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS n_sample, CAST(SUM(bo) AS BIGINT) AS n_both, "
+        + "round(CAST(SUM(bo) AS DOUBLE) / COUNT(*), 6) AS jaccard_bk FROM sm WHERE rn <= 256 GROUP BY 1, 2), "
+        + "h AS (SELECT source, ((((u + 1) * 2654435761) % 1000000007) * (((u + 1) * 2654435761) % 1000000007) >> 12) % 512 AS reg, "
+        + "((((u + 13) * 1540483477) % 1000000007) * (((u + 13) * 1540483477) % 1000000007) >> 6) % 1073741824 AS h2 FROM th), "
+        + "r AS (SELECT source, reg, MAX(CASE WHEN h2 = 0 THEN 31 ELSE 31 - length(bin(h2)) END) AS rho FROM h GROUP BY 1, 2), "
+        + "pr AS (SELECT least(r.source, o.source) AS g1, greatest(r.source, o.source) AS g2, r.reg, r.rho "
+        + "FROM r, (SELECT DISTINCT source FROM r) o WHERE r.source <> o.source), "
+        + "ur AS (SELECT g1, g2, reg, MAX(rho) AS rho FROM pr GROUP BY 1, 2, 3), "
+        + "ug AS (SELECT g1, g2, COUNT(*) AS nz, CAST(SUM(CAST((1::BIGINT << 32) / power(2.0, rho) AS BIGINT)) AS BIGINT) AS spart FROM ur GROUP BY 1, 2), "
+        + "eu AS (SELECT g1, g2, round(CASE WHEN (512 - nz) > 0 AND 0.7213 / (1.0 + 1.079 / 512.0) * 1125899906842624.0 / "
+        + "CAST(spart + (512 - nz) * (1::BIGINT << 32) AS DOUBLE) <= 1280.0 THEN 512.0 * round(ln(512.0 / (512 - nz)), 6) "
+        + "ELSE 0.7213 / (1.0 + 1.079 / 512.0) * 1125899906842624.0 / CAST(spart + (512 - nz) * (1::BIGINT << 32) AS DOUBLE) END, 1) AS est_union FROM ug) "
+        + "SELECT jj.g1, jj.g2, n_sample, n_both, jaccard_bk, est_union, "
+        + "round(jaccard_bk * est_union, 1) AS est_inter "
+        + "FROM jj JOIN eu ON jj.g1 = eu.g1 AND jj.g2 = eu.g2 ORDER BY 1, 2"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

@@ -543,7 +543,11 @@ object Sketch {
    * group-cardinality-bounded, never data-sized; one max-merge + the
    * estimate folds.
    */
-  def hllOverlap(sketch: DataFrame, groupCol: String): DataFrame = {
+  /** Per-pair HLL union estimate: pair-register rows via the
+    * group × group self-pairing, max-merged, estimated — shared by
+    * [[hllOverlap]] (inclusion–exclusion) and [[bottomKIntersect]]
+    * (the bounded-error composition). Output: (g1 < g2, est_union). */
+  private def pairUnionEstimate(sketch: DataFrame, groupCol: String): DataFrame = {
     val groups = sketch.select(col(groupCol)).distinct()
     val pairRows = sketch
       .join(groups.select(col(groupCol).as("__og")),
@@ -553,8 +557,12 @@ object Sketch {
         col("reg"), col("rho"))
     val unionRegs = pairRows.groupBy("g1", "g2", "reg")
       .agg(max(col("rho")).as("rho"))
-    val estU = hllEstimate(unionRegs, Seq("g1", "g2"))
+    hllEstimate(unionRegs, Seq("g1", "g2"))
       .withColumnRenamed("est_distinct", "est_union")
+  }
+
+  def hllOverlap(sketch: DataFrame, groupCol: String): DataFrame = {
+    val estU = pairUnionEstimate(sketch, groupCol)
     val estG = hllEstimate(sketch, Seq(groupCol))
     val inter = greatest(
       round(col("est1") + col("est2") - col("est_union"), 1), lit(0.0d))
@@ -567,5 +575,115 @@ object Sketch {
         col("est_union"), inter.as("est_inter"),
         when(col("est_union") > 0d,
           round(inter / col("est_union"), 6)).as("jaccard_est"))
+  }
+
+  /** Fixed bottom-k signature width (2^8). Fixed like [[HllM]] so
+    * persisted signatures stay mergeable across rounds; k = 256 ⇒
+    * Jaccard standard error ≤ 1/(2·√k) ≈ 3.1 points. */
+  val BkK = 256
+
+  /** Portable mid-square mix into [0, 2⁴⁰) — the [[h1]]/[[h2]]
+    * discipline with its own constants, BIGINT-exact in any engine
+    * (a² < 10¹⁸). Collisions conflate two keys with probability
+    * ~n²/2⁴¹ per group — the documented tokenHash-class contract. */
+  private def bkHash(v: Column): Column = {
+    val a = pmod((v + 7L) * 1803349453L, lit(1000000007L))
+    pmod(shiftright(a * a, 12), lit(1099511627776L))
+  }
+  private[graft] def bkHashOf(u: Long): Long = {
+    val a = math.floorMod((u + 7L) * 1803349453L, 1000000007L)
+    math.floorMod((a * a) >> 12, 1099511627776L)
+  }
+
+  /** Keep each group's [[BkK]] smallest distinct hash values. */
+  private def keepBottomK(rows: DataFrame, by: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col("hv"))
+    rows.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= BkK).drop("__rn")
+  }
+
+  /**
+   * Bottom-k signature of `valueCol` (a BIGINT key) per group: the
+   * [[BkK]] smallest distinct portable hash values — (`by`*, `hv`),
+   * ≤ k rows ≈ 8 B each per group. The fixed-width set signature
+   * (Broder's sketches / Cohen's bottom-k) whose pairwise Jaccard
+   * estimate has BOUNDED error — the certificate [[hllOverlap]]'s
+   * inclusion–exclusion cannot give on small overlaps (its documented
+   * caveat), composed with the HLL union in [[bottomKIntersect]].
+   *
+   * Mergeability is EXACT set algebra: the k smallest of A ∪ B are
+   * among the k smallest of A plus the k smallest of B, so
+   * merge(sig(A), sig(B)) == sig(A ∪ B) as data ([[bottomKMerge]],
+   * spec-pinned) — the persisted-signature incremental posture.
+   *
+   * Scale shape: one distinct over (group, 8 B hash) rows, then a
+   * per-group rank — the same cost class as the distinct itself;
+   * built once per corpus scan, every later batch merges k-bounded
+   * tables.
+   */
+  def bottomKSketch(df: DataFrame, by: Seq[String], valueCol: String): DataFrame =
+    keepBottomK(
+      df.where(col(valueCol).isNotNull)
+        .select((by.map(col) :+ bkHash(col(valueCol)).as("hv")): _*)
+        .distinct(),
+      by)
+
+  /** Fold signature tables: distinct union, keep each group's k
+    * smallest — merge(sig(A), sig(B)) == sig(A ∪ B) EXACTLY. */
+  def bottomKMerge(sketches: Seq[DataFrame], by: Seq[String]): DataFrame =
+    keepBottomK(sketches.reduce(_ unionByName _).distinct(), by)
+
+  /**
+   * Pairwise BOUNDED-ERROR intersection from bottom-k signatures +
+   * HLL registers (both per the same `groupCol`): the k smallest of
+   * each pair's merged signature are a uniform without-replacement
+   * sample of A ∪ B, so the fraction present in BOTH signatures
+   * estimates J(A, B) with Var ≤ J(1−J)/k — independent of how small
+   * the overlap is relative to the union (the certificate HLL
+   * inclusion–exclusion structurally lacks: its error compounds from
+   * THREE ±4.6% cardinalities). |A ∩ B| then composes as
+   * J · est_union(HLL), one multiplicative bound instead of a
+   * difference of large numbers. Membership is sound: an hv among the
+   * k smallest of A ∪ B that belongs to A is necessarily among A's k
+   * smallest, hence in sig(A). Pairs whose groups BOTH hold fewer
+   * than k distinct keys are EXACT (the signatures are the sets).
+   *
+   * Determinism: every decision before the two final divisions is
+   * integer (distinct hashes, ranks, flag sums); `jaccard_bk` rounds
+   * 6 dp, `est_inter` composes with the already-1-dp-rounded HLL
+   * union and rounds 1 dp — both engines fold identical operands.
+   *
+   * Output: (`g1` < `g2`, `n_sample` ≤ k, `n_both`, `jaccard_bk`,
+   * `est_union`, `est_inter`).
+   *
+   * Scale shape: pair rows are groups × (≤ k) — signature-bounded,
+   * never data-sized; one max-flag dedup, one per-pair rank, the HLL
+   * pair fold.
+   */
+  def bottomKIntersect(sig: DataFrame, hll: DataFrame,
+                       groupCol: String): DataFrame = {
+    val groups = sig.select(col(groupCol)).distinct()
+    val pairRows = sig
+      .join(groups.select(col(groupCol).as("__og")),
+        col(groupCol) =!= col("__og"))
+      .select(least(col(groupCol), col("__og")).as("g1"),
+        greatest(col(groupCol), col("__og")).as("g2"),
+        col("hv"), (col(groupCol) <= col("__og")).as("__in1"))
+    val marked = pairRows.groupBy("g1", "g2", "hv")
+      .agg(max(when(col("__in1"), 1L).otherwise(0L)).as("__i1"),
+        max(when(!col("__in1"), 1L).otherwise(0L)).as("__i2"))
+    val w = Window.partitionBy("g1", "g2").orderBy(col("hv"))
+    val sample = marked.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= BkK)
+    val j = sample.groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n_sample"),
+        sum(col("__i1") * col("__i2")).as("n_both"))
+      .select(col("g1"), col("g2"), col("n_sample"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_sample"), 6)
+          .as("jaccard_bk"))
+    j.join(pairUnionEstimate(hll, groupCol), Seq("g1", "g2"))
+      .select(col("g1"), col("g2"), col("n_sample"), col("n_both"),
+        col("jaccard_bk"), col("est_union"),
+        round(col("jaccard_bk") * col("est_union"), 1).as("est_inter"))
   }
 }

@@ -218,4 +218,54 @@ class SketchSpec extends SparkTestBase {
       s2.getDouble(4) >= s2.getDouble(3)) // union dominates both
     assert(s2.getDouble(5) >= 0.0 && s2.getDouble(6) < 0.3) // near-disjoint
   }
+
+  test("bottomKSketch: merge(sig(A), sig(B)) == sig(A ∪ B) as a table; " +
+    "k-bounded per group") {
+    val ss = spark
+    import ss.implicits._
+    val a = (1L to 600L).map(("g", _)).toDF("g", "u")
+    val b = (301L to 900L).map(("g", _)).toDF("g", "u")
+    val merged = Sketch.bottomKMerge(Seq(
+      Sketch.bottomKSketch(a, Seq("g"), "u"),
+      Sketch.bottomKSketch(b, Seq("g"), "u")), Seq("g"))
+    val rescan = Sketch.bottomKSketch(a.unionAll(b), Seq("g"), "u")
+    assert(merged.count() == Sketch.BkK)
+    assert(merged.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      rescan.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("bottomKIntersect: small pairs exact, bounded error on a known " +
+    "J = 1/3 overlap where inclusion-exclusion has no guarantee") {
+    val ss = spark
+    import ss.implicits._
+    // |∪| = 250 ≤ k: the merged signature IS the union, membership is
+    // exact, so jaccard_bk is EXACTLY |∩|/|∪| = 50/250 = 0.2
+    val small = ((1L to 150L).map(("a", _)) ++
+      (101L to 250L).map(("b", _))).toDF("g", "u")
+    val ex = Sketch.bottomKIntersect(
+      Sketch.bottomKSketch(small, Seq("g"), "u"),
+      Sketch.hllSketch(small, Seq("g"), "u"), "g").head()
+    assert(ex.getLong(2) == 250L && ex.getLong(3) == 50L &&
+      ex.getDouble(4) == 0.2)
+
+    // large pair, true J = 1/3 (|∩| = 5000, |∪| = 15000): bounded
+    // error |Ĵ − J| ≤ 3·sqrt(J(1−J)/k) ≈ 0.089
+    val big = ((1L to 10000L).map(("a", _)) ++
+      (5001L to 15000L).map(("b", _))).toDF("g", "u")
+    val r = Sketch.bottomKIntersect(
+      Sketch.bottomKSketch(big, Seq("g"), "u"),
+      Sketch.hllSketch(big, Seq("g"), "u"), "g").head()
+    assert(r.getLong(2) == Sketch.BkK)
+    assert(math.abs(r.getDouble(4) - 1.0 / 3) <= 0.089)
+    // composed intersection: J bound x HLL union (±15% spec bound)
+    assert(math.abs(r.getDouble(6) - 5000.0) <= 5000.0 * 0.45)
+    // disjoint pair: exactly zero shared hashes -> jaccard_bk == 0.0
+    val disj = ((1L to 5000L).map(("a", _)) ++
+      (100001L to 105000L).map(("b", _))).toDF("g", "u")
+    val d = Sketch.bottomKIntersect(
+      Sketch.bottomKSketch(disj, Seq("g"), "u"),
+      Sketch.hllSketch(disj, Seq("g"), "u"), "g").head()
+    assert(d.getLong(3) == 0L && d.getDouble(4) == 0.0 &&
+      d.getDouble(6) == 0.0)
+  }
 }
