@@ -3317,6 +3317,16 @@ object Queries {
       .orderBy("d1", "d2")
   }
 
+  /** Q257 unigram-LM (SentencePiece-style) tokenizer training: 3
+    * rounds of deterministic hard-EM over the vocabulary-bounded word
+    * table — seeded with the top-40 substrings plus the single-char
+    * closure, Viterbi E-step, disuse pruning, add-one rescore — every
+    * round replayed by the oracle (the q75/q105 discipline). */
+  val q257: Q = (s, dir) =>
+    CorpusLM.unigramTrain(Tables.documents(s, dir), "text",
+        rounds = 3, seedTopK = 40)
+      .orderBy("piece")
+
   /** Q256 bounded-error sketch intersection: per-source bottom-k
     * vocabulary signatures composed with the q241 HLL union —
     * |A∩B| ≈ Ĵ·est(A∪B) with Var(Ĵ) ≤ J(1−J)/k, the certificate
@@ -5203,6 +5213,7 @@ object Queries {
     "q254_pipeline_dataprep" -> q254,
     "q255_containment_incremental" -> q255,
     "q256_bottomk_intersect" -> q256,
+    "q257_unigram_train" -> q257,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5260,6 +5271,46 @@ object Queries {
     * `replace` merge — exactly as the engine runs them. Generated
     * because the rounds are mechanically identical (the hand-written
     * q75 two-round pattern, parameterized). */
+  /** The q257 oracle: replays the unigram-LM trainer round for round —
+    * seed substring counts + quantized ln scores, then per round a
+    * RECURSIVE-CTE Viterbi DP per word (list-of-structs state, struct
+    * max = the engine's (score, split) lexicographic tie-break), a
+    * recursive backtrack emitting one piece per step, disuse pruning
+    * and the add-one rescore. Vocab CTEs are MATERIALIZED (each is
+    * referenced by the score map, the next round, and the final
+    * select — DuckDB's default inlining would re-derive the chain per
+    * reference). */
+  private def unigramOracleSql(rounds: Int, seedTopK: Int, p: Int): String = {
+    val base =
+      "WITH RECURSIVE w0 AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM " +
+        "(SELECT unnest(list_filter(str_split(lower(trim(text)), ' '), x -> x <> '')) AS word FROM documents) GROUP BY word), " +
+      s"sub AS MATERIALIZED (SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt FROM " +
+        s"(SELECT n, unnest(flatten([[substr(word, CAST(q AS INT), CAST(l AS INT)) FOR q IN range(1, length(word) - l + 2)] " +
+        s"FOR l IN range(1, $p + 1)])) AS piece FROM w0) GROUP BY piece), " +
+      "sing AS MATERIALIZED (SELECT piece FROM sub WHERE length(piece) = 1), " +
+      s"seed AS (SELECT piece, cnt FROM sub WHERE length(piece) = 1 UNION ALL " +
+        s"SELECT piece, cnt FROM (SELECT piece, cnt FROM sub WHERE length(piece) > 1 ORDER BY cnt DESC, piece LIMIT $seedTopK)), " +
+      "v0 AS MATERIALIZED (SELECT piece, cnt, CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(t.tot AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS score_micro " +
+        "FROM seed, (SELECT SUM(cnt) AS tot FROM seed) t)"
+    val roundCtes = (1 to rounds).map { r =>
+      s"m$r AS (SELECT map(list(piece), list(score_micro)) AS sm FROM v${r - 1}), " +
+      s"dp$r AS (SELECT word, n, 0 AS i, [{'v': CAST(0 AS BIGINT), 'j': 0}] AS acc FROM w0 " +
+        s"UNION ALL SELECT word, n, i + 1, list_append(acc, list_aggregate(" +
+        s"[{'v': acc[j + 1].v + COALESCE(map_extract(m$r.sm, substr(word, CAST(j + 1 AS INT), CAST(i + 1 - j AS INT)))[1], -1000000000000), 'j': CAST(j AS INT)} " +
+        s"FOR j IN range(greatest(0, i + 1 - $p), i + 1)], 'max')) FROM dp$r, m$r WHERE i < length(word)), " +
+      s"fin$r AS (SELECT word, n, acc FROM dp$r WHERE i = length(word)), " +
+      s"bt$r AS (SELECT word, n, acc, CAST(length(word) AS INT) AS e, CAST(NULL AS VARCHAR) AS piece FROM fin$r " +
+        s"UNION ALL SELECT word, n, acc, acc[e + 1].j, substr(word, acc[e + 1].j + 1, e - acc[e + 1].j) FROM bt$r WHERE e > 0), " +
+      s"cnt$r AS (SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt FROM bt$r WHERE piece IS NOT NULL GROUP BY 1), " +
+      s"kept$r AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM " +
+        s"(SELECT piece, cnt FROM cnt$r UNION ALL SELECT piece, CAST(0 AS BIGINT) AS cnt FROM sing) GROUP BY 1), " +
+      s"v$r AS MATERIALIZED (SELECT piece, cnt, CAST(floor(ln(CAST(cnt + 1 AS DOUBLE) / CAST(t.tot + t.v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS score_micro " +
+        s"FROM kept$r, (SELECT SUM(cnt) AS tot, COUNT(*) AS v FROM kept$r) t)"
+    }.mkString(", ", ", ", " ")
+    base + roundCtes +
+      s"SELECT piece, cnt, score_micro FROM v$rounds ORDER BY piece"
+  }
+
   private def bpeOracleSql(rounds: Int): String = {
     val base =
       "WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM " +
@@ -9096,6 +9147,7 @@ object Queries {
         + "SELECT jj.g1, jj.g2, n_sample, n_both, jaccard_bk, est_union, "
         + "round(jaccard_bk * est_union, 1) AS est_inter "
         + "FROM jj JOIN eu ON jj.g1 = eu.g1 AND jj.g2 = eu.g2 ORDER BY 1, 2"),
+    "q257_unigram_train" -> unigramOracleSql(3, 40, 4),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

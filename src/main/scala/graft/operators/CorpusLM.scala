@@ -443,4 +443,155 @@ object CorpusLM {
       round((col("__s1t").cast("double") / col("__n1") +
         col("__s2t").cast("double") / col("__n2")) / 2 / 1e6d, 6).as("js"))
   }
+
+  /** Score a missing piece far below any real path: a single
+    * out-of-vocab piece costs < −9.9·10¹¹ micro-nats while a whole
+    * word spelled in single characters (always in vocab) costs a few
+    * 10⁷ — Viterbi can never select OOV. */
+  private val UnigramNeg = -1000000000000L
+
+  /**
+   * Viterbi segmentation of one word under a piece→micro-nat-score
+   * map: the array of vocabulary pieces (reverse order — order-free
+   * consumers count them) maximizing the summed quantized scores.
+   * Standard max-sum DP with candidates of length ≤ `maxPieceLen`;
+   * ties break lexicographically on (score, split point j) — larger j
+   * (the SHORTER final piece) wins, identically in any engine that
+   * orders structs field-first. Runs as higher-order-function folds
+   * (one pass forward, one backtrack) — interpreted, not codegen'd,
+   * which is the right trade on the VOCABULARY-bounded word table the
+   * trainer feeds it (never the corpus).
+   */
+  private[graft] def viterbiPieces(w: Column, scoreMap: Column,
+                                   maxPieceLen: Int): Column = {
+    def s(piece: Column): Column =
+      coalesce(element_at(scoreMap, piece), lit(UnigramNeg))
+    val dp = aggregate(
+      sequence(lit(1), length(w).cast("int")),
+      array(struct(lit(0L).as("v"), lit(0).as("j"))),
+      (acc, i) => concat(acc, array(array_max(transform(
+        sequence(greatest(lit(0), i - maxPieceLen), i - 1,
+          lit(1)),
+        j => struct((element_at(acc, j + 1).getField("v") +
+          s(w.substr(j + lit(1), i - j))).as("v"), j.as("j")))))))
+    aggregate(
+      sequence(lit(1), length(w).cast("int")),
+      struct(length(w).cast("int").as("e"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val e = st.getField("e")
+        val j = element_at(dp, e + 1).getField("j")
+        when(e > 0, struct(j.as("e"),
+          concat(st.getField("ps"),
+            array(w.substr(j + lit(1), e - j))).as("ps")))
+          .otherwise(st)
+      },
+      st => st.getField("ps"))
+  }
+
+  /**
+   * Unigram-LM tokenizer training (SentencePiece-style, Kudo 2018) as
+   * deterministic hard-EM over the VOCABULARY-bounded word table —
+   * the subword trainer beside BPE (q105–q107), trained the other way
+   * around: BPE grows a vocabulary bottom-up by merging, unigram
+   * starts from an overcomplete seed set and prunes.
+   *
+   * The deterministic variant this engine fixes (so an external SQL
+   * oracle replays every round bit-for-bit):
+   *  - SEED: all single characters (never pruned — closure) plus the
+   *    top `seedTopK` multi-char substrings of length ≤ `maxPieceLen`
+   *    by (occurrence-count·word-freq DESC, piece ASC); initial score
+   *    = ⌊ln(cnt/total)·10⁶ + ½⌋ micro-nats (the house quantization).
+   *  - E-step: per word type, the Viterbi segmentation under current
+   *    scores ([[viterbiPieces]] — hard EM: the argmax path's counts
+   *    stand in for posterior expectations, every decision integer).
+   *  - M-step + PRUNE: pieces on no Viterbi path drop out (their
+   *    quantized loss contribution is zero — disuse pruning); the
+   *    kept set (used pieces ∪ single chars) rescores with add-one
+   *    smoothing, score = ⌊ln((cnt+1)/(total+V))·10⁶ + ½⌋.
+   *
+   * Output after `rounds`: (`piece`, `cnt` — last E-step Viterbi
+   * count, `score_micro`).
+   *
+   * Scale shape: ONE corpus scan builds the word table; every round
+   * after is vocabulary-bounded (words × pieces never touches the
+   * corpus), with the score map folded in as a 1-row broadcast — the
+   * kmeans/q75 round discipline, localCheckpointed per round.
+   */
+  def unigramTrain(docs: DataFrame, textCol: String, rounds: Int,
+                   seedTopK: Int, maxPieceLen: Int = 4): DataFrame = {
+    require(rounds >= 1, "unigramTrain: rounds must be >= 1")
+    require(seedTopK >= 1 && maxPieceLen >= 2,
+      "unigramTrain: need seedTopK >= 1 and maxPieceLen >= 2")
+    def lnMicro(x: Column): Column =
+      floor(log(x) * 1e6d + 0.5d).cast("long")
+    val words = docs
+      .select(explode(toks(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val subs = words
+      .select(col("n"), explode(flatten(transform(
+        sequence(lit(1), lit(maxPieceLen)), l => transform(
+          when(length(col("word")) >= l,
+            sequence(lit(1), length(col("word")).cast("int") - l + 1))
+            .otherwise(array().cast("array<int>")),
+          p => col("word").substr(p, l))))).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("cnt"))
+    val singles = subs.where(length(col("piece")) === 1)
+      .select(col("piece")).localCheckpoint()
+    val seed = subs.where(length(col("piece")) === 1)
+      .unionByName(subs.where(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(seedTopK))
+    val t0 = seed.agg(sum(col("cnt")).as("__tot"))
+    val vocab0 = seed.crossJoin(broadcast(t0))
+      .select(col("piece"), col("cnt"),
+        lnMicro(col("cnt").cast("double") / col("__tot").cast("double"))
+          .as("score_micro"))
+      .localCheckpoint()
+    (1 to rounds).foldLeft(vocab0) { case (vocab, _) =>
+      val m = vocab.agg(map_from_entries(
+        collect_list(struct(col("piece"), col("score_micro")))).as("__sm"))
+      val used = words.crossJoin(broadcast(m))
+        .select(col("n"),
+          explode(viterbiPieces(col("word"), col("__sm"), maxPieceLen))
+            .as("piece"))
+        .groupBy("piece").agg(sum(col("n")).as("cnt"))
+      val kept = used
+        .unionByName(singles.select(col("piece"), lit(0L).as("cnt")))
+        .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
+      val tv = kept.agg(sum(col("cnt")).as("__tot"),
+        count(lit(1)).as("__v"))
+      kept.crossJoin(broadcast(tv))
+        .select(col("piece"), col("cnt"),
+          lnMicro((col("cnt") + 1L).cast("double") /
+            (col("__tot") + col("__v")).cast("double")).as("score_micro"))
+        .localCheckpoint()
+    }
+  }
+
+  /**
+   * Tokenize with a TRAINED unigram vocabulary — the serving twin of
+   * [[unigramTrain]], stateless and stream-safe (the
+   * `bpeTokenizeStream` shape): the vocabulary collapses to one
+   * broadcast score map and each document segments in-row via the
+   * same Viterbi program the trainer used, so scoring the training
+   * corpus reproduces the final round's counts exactly.
+   *
+   * Output: `idCol`, `keep`*, `n_words`, `n_unigram_tokens`.
+   */
+  def unigramTokenize(docs: DataFrame, idCol: String, textCol: String,
+                      vocab: DataFrame, keep: Seq[String] = Nil,
+                      maxPieceLen: Int = 4): DataFrame = {
+    val out = (idCol +: keep).distinct
+    val m = vocab.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("score_micro")))).as("__sm"))
+    val ws = toks(col(textCol))
+    docs.crossJoin(broadcast(m))
+      .select(out.map(col) :+
+        size(ws).cast("long").as("n_words") :+
+        aggregate(transform(ws, w =>
+          size(viterbiPieces(w, col("__sm"), maxPieceLen)).cast("long")),
+          lit(0L), _ + _).as("n_unigram_tokens"): _*)
+      .filter(col("n_words") > 0)
+  }
 }

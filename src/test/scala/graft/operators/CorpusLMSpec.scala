@@ -180,4 +180,53 @@ class CorpusLMSpec extends SparkTestBase with Matchers {
     assert(out(("b", "d")) == ((1L, 0.215762)))
     assert(out(("b", "c")) == ((0L, 0.693147)))
   }
+
+  test("unigramTrain: hand-derived seed scores, Viterbi piece wins, " +
+    "add-one rescore at the fixed point") {
+    val ss = spark
+    import ss.implicits._
+    // one word type "ab" x3: seeds a/b/ab each cnt 3, total 9, all
+    // scored ln(1/3); Viterbi picks [ab] (one piece beats two equal
+    // ones); M-step: ab cnt 3, singles 0; smoothing over tot 3 + V 3
+    val v = CorpusLM.unigramTrain(Seq("ab ab ab").toDF("text"),
+        "text", rounds = 2, seedTopK = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(v == Map(
+      "a" -> ((0L, -1791759L)),   // ln(1/6) micro
+      "b" -> ((0L, -1791759L)),
+      "ab" -> ((3L, -405465L))))  // ln(4/6) micro
+  }
+
+  test("unigramTrain prunes multi-char pieces that fall off every " +
+    "Viterbi path (disuse pruning)") {
+    val ss = spark
+    import ss.implicits._
+    // corpus "aa aa b": seed a cnt 4, aa cnt 2, b cnt 1 (total 7) ->
+    // s(a) = ln(4/7), s(aa) = ln(2/7); [a,a] = 2 ln(4/7) beats [aa],
+    // so aa is never used and PRUNES; kept = {a: 4, b: 1}
+    val v = CorpusLM.unigramTrain(Seq("aa aa b").toDF("text"),
+        "text", rounds = 1, seedTopK = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(!v.contains("aa"))
+    assert(v == Map(
+      "a" -> ((4L, -336472L)),    // ln(5/7) micro
+      "b" -> ((1L, -1252763L))))  // ln(2/7) micro
+  }
+
+  test("unigramTokenize on the training corpus: per-doc Viterbi " +
+    "counts under the trained vocabulary") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq((1L, "ab ab ab"), (2L, "ab a")).toDF("doc_id", "text")
+    val vocab = CorpusLM.unigramTrain(docs, "text", rounds = 2,
+      seedTopK = 4)
+    val out = CorpusLM.unigramTokenize(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // "ab" segments as one piece under any vocab containing it with
+    // the dominant score; "a" is one piece trivially
+    assert(out == Map(1L -> ((3L, 3L)), 2L -> ((2L, 2L))))
+  }
 }

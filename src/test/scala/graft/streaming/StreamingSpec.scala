@@ -913,6 +913,44 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.length should be > 0
   }
 
+  test("unigramTokenize on a stream equals the batch tokenize under the trained vocabulary") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docsDf = spark.read.parquet(s"$sf0001/documents.parquet")
+    val vocab = graft.operators.CorpusLM.unigramTrain(docsDf, "text",
+      rounds = 2, seedTopK = 40)
+    val rows = docsDf.select("doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    val input = MemoryStream[(Long, String, String)]
+    val query = graft.operators.CorpusLM.unigramTokenize(
+        input.toDF().toDF("doc_id", "text", "lang"),
+        "doc_id", "text", vocab, keep = Seq("lang"))
+      .writeStream.format("memory").queryName("t_unigram")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq: _*); query.processAllAvailable()
+      input.addData(b2.toSeq: _*); query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("t_unigram")
+      .select("doc_id", "lang", "n_words", "n_unigram_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val want = graft.operators.CorpusLM.unigramTokenize(
+        docsDf, "doc_id", "text", vocab, keep = Seq("lang"))
+      .select("doc_id", "lang", "n_words", "n_unigram_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    got shouldBe want
+    got.length should be > 0
+  }
+
   test("stream-stream interval join (watermarked both sides) equals the batch join") {
     val ss = spark
     import ss.implicits._
