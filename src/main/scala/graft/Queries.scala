@@ -3327,6 +3327,34 @@ object Queries {
         rounds = 3, seedTopK = 40)
       .orderBy("piece")
 
+  /** Q258 REAL baseline-JPEG decode (north star multimodal): per doc
+    * a DC-only grayscale JPEG built from the spec tables (one flat
+    * 8×8 block per text byte — `Jpeg.encodeGrayBlocks`), pushed
+    * through the FULL decoder (marker walk, Huffman entropy decode,
+    * dequantize, IDCT, level shift) and reported like q108/q131/q174
+    * — the oracle replays the decoded-pixel stats from the raw text,
+    * so it only matches if the whole encode→decode pipeline is
+    * bit-exact. */
+  val q258: Q = (s, dir) => {
+    import graft.multimodal.{Asset, Jpeg, Multimodal}
+    val d = Tables.documents(s, dir)
+    val enc = org.apache.spark.sql.Encoders.product[Asset]
+    val assets = d.select(col("doc_id").as("asset_id"),
+        lit("image/jpeg").as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        (lit(1) + pmod(col("doc_id"), lit(3))).cast("int").as("width"),
+        (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("height"))
+      .as[Asset](enc)
+      .mapPartitions { it =>
+        it.map { a =>
+          val grays = Array.tabulate(a.width * a.height)(i =>
+            if (i < a.bytes.length) a.bytes(i) & 0xff else 32)
+          a.copy(bytes = Jpeg.encodeGrayBlocks(a.width, a.height, grays))
+        }
+      }(enc)
+    bmpFeatureReport(d, Multimodal.decodeJpegFeatures(assets))
+  }
+
   /** Q256 bounded-error sketch intersection: per-source bottom-k
     * vocabulary signatures composed with the q241 HLL union —
     * |A∩B| ≈ Ĵ·est(A∪B) with Var(Ĵ) ≤ J(1−J)/k, the certificate
@@ -5214,6 +5242,7 @@ object Queries {
     "q255_containment_incremental" -> q255,
     "q256_bottomk_intersect" -> q256,
     "q257_unigram_train" -> q257,
+    "q258_jpeg_decode" -> q258,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9148,6 +9177,27 @@ object Queries {
         + "round(jaccard_bk * est_union, 1) AS est_inter "
         + "FROM jj JOIN eu ON jj.g1 = eu.g1 AND jj.g2 = eu.g2 ORDER BY 1, 2"),
     "q257_unigram_train" -> unigramOracleSql(3, 40, 4),
+    "q258_jpeg_decode" ->
+      // replay the DECODED-pixel stats from the raw text: block i of
+      // doc is flat at byte i's codepoint (space-padded), 64 px per
+      // block, luma(g,g,g) = g, bin = g // 16 — matches only if the
+      // whole JPEG marker/Huffman/IDCT round trip is bit-exact
+      ("WITH dm AS (SELECT doc_id, lang, text, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh FROM documents), " +
+        "c AS (SELECT doc_id, lang, bw, bh, bw*bh AS nb, text, unnest(range(bw*bh)) AS i FROM dm), " +
+        "g AS (SELECT doc_id, lang, bw, bh, nb, " +
+        "CASE WHEN i < length(text) THEN ord(substr(text, CAST(i + 1 AS INT), 1)) ELSE 32 END AS gv FROM c), " +
+        "per AS (SELECT doc_id, lang, bw, bh, nb, CAST(SUM(gv) * 64 AS BIGINT) AS s, " +
+        "CAST(SUM(CASE WHEN gv // 16 = 2 THEN 64 ELSE 0 END) AS BIGINT) AS h2, " +
+        "CAST(SUM(CASE WHEN gv // 16 = 6 THEN 64 ELSE 0 END) AS BIGINT) AS h6, " +
+        "CAST(SUM(CASE WHEN gv // 16 = 7 THEN 64 ELSE 0 END) AS BIGINT) AS h7 " +
+        "FROM g GROUP BY doc_id, lang, bw, bh, nb) " +
+        "SELECT lang, COUNT(*) AS n, CAST(SUM(bw * 8) AS BIGINT) AS sum_w, " +
+        "CAST(SUM(bh * 8) AS BIGINT) AS sum_h, " +
+        "CAST(SUM(nb * 64) AS BIGINT) AS total_pixels, " +
+        "CAST(SUM(s * 1000000 // (nb * 64)) AS BIGINT) AS sum_mean_micro, " +
+        "CAST(SUM(h2) AS BIGINT) AS h2, CAST(SUM(h6) AS BIGINT) AS h6, " +
+        "CAST(SUM(h7) AS BIGINT) AS h7 " +
+        "FROM per GROUP BY lang ORDER BY lang"),
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

@@ -217,6 +217,31 @@ object Multimodal {
   }
 
   /**
+   * REAL baseline-JPEG decode through the same partition-batched
+   * seam: each asset's bytes are parsed as an actual JPEG file
+   * (`Jpeg.decode` — marker walk, DQT/DHT management, canonical-code
+   * Huffman entropy decode with byte unstuffing and restart
+   * intervals, dequantize + dezigzag, the reference float IDCT,
+   * chroma upsampling, YCbCr→BGR to the shared raster), and the
+   * features come from decoded PIXELS exactly like
+   * [[decodeBmpFeatures]] — the dominant web-image container under
+   * the one feature contract, one seam. Progressive/arithmetic files
+   * fail loudly inside the decode. Embarrassingly parallel, no
+   * shuffle.
+   */
+  def decodeJpegFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val raster = Jpeg.decode(a.bytes)
+        val (hist, sumLuma) = Bmp.lumaStats(raster, HistogramBins)
+        ImageFeatures(a.asset_id, raster.width, raster.height,
+          raster.width.toLong * raster.height, sumLuma, hist)
+      }
+    }
+  }
+
+  /**
    * REAL GIF decode through the same partition-batched seam: each
    * asset's bytes are parsed as an actual GIF file (`Gif.decode` —
    * signature, logical screen + global color table, extension walk,
@@ -366,6 +391,8 @@ object Multimodal {
         lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)),
         lit("image/png"))
       .when(substring(bytes, 1, 4) === lit("GIF8".getBytes), lit("image/gif"))
+      .when(substring(bytes, 1, 3) ===
+        lit(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)), lit("image/jpeg"))
       .when(substring(bytes, 1, 4) === lit("RIFF".getBytes) &&
         substring(bytes, 9, 4) === lit("WAVE".getBytes), lit("audio/wav"))
       .when(substring(bytes, 1, 4) === lit("RIFF".getBytes) &&
@@ -505,6 +532,9 @@ object Multimodal {
     val gif = decodeGifFeatures(typed(sniffed.filter(col("__sniffed") === "image/gif")))
       .select(col("asset_id"), col("n_pixels").as("n_units"),
         col("sum_luma").as("checksum"))
+    val jpg = decodeJpegFeatures(typed(sniffed.filter(col("__sniffed") === "image/jpeg")))
+      .select(col("asset_id"), col("n_pixels").as("n_units"),
+        col("sum_luma").as("checksum"))
     val aud = decodeWavSignal(typed(sniffed.filter(col("__sniffed") === "audio/wav")))
       .select(col("asset_id"), col("n_samples").as("n_units"),
         col("energy").as("checksum"))
@@ -512,8 +542,8 @@ object Multimodal {
       .select(col("asset_id"), lit(0L).as("n_units"), lit(0L).as("checksum"))
     sniffed.select(col("asset_id"), col("media_type").as("claimed"),
         col("__sniffed").as("sniffed"))
-      .join(img.unionByName(png).unionByName(gif).unionByName(aud)
-        .unionByName(other), "asset_id")
+      .join(img.unionByName(png).unionByName(gif).unionByName(jpg)
+        .unionByName(aud).unionByName(other), "asset_id")
   }
 
   /**
