@@ -1520,4 +1520,84 @@ object StreamingOps {
             (rmax - cum).toDouble / 1e6d, nUp, nDown)
       }
   }
+
+  /** One point of a [[survivalStream]] curve — the union of the batch
+    * `kaplanMeier` and `nelsonAalen` row fields at one event time. */
+  case class SurvivalPoint(t: Long, n_risk: Long, d_events: Long,
+                           n_censored: Long, na_micro: Long,
+                           cum_hazard: Double, surv_na: Double,
+                           ln_surv: Option[Double], surv: Double)
+
+  /** One emission of [[survivalStream]]: the group's full curve after
+    * a micro-batch; `n_obs` is monotone, so the row with a key's max
+    * `n_obs` carries its latest curve. */
+  case class SurvivalUpdate(key: String, n_obs: Long,
+                            curve: Seq[SurvivalPoint])
+
+  /**
+   * Streaming survival curves — the continuous twin of
+   * `Behavior.kaplanMeier` AND `Behavior.nelsonAalen` in one emission:
+   * per key, the state is a duration histogram t → (d_events,
+   * n_censored) — duration-cardinality-bounded exactly like the batch
+   * operators' exchanges — and histogram increments COMMUTE, so any
+   * arrival order lands on identical state. Each emission replays both
+   * batch programs over the CURRENT histogram: exact risk sets from
+   * suffix totals, the pure-integer Nelson–Aalen micro increments
+   * (d·10⁶ div n), the KM 6-dp-rounded ln terms summed in exact
+   * decimals with the n == d zero-mask — so after the same rows the
+   * emitted curve equals the batch rows field for field (StreamingSpec
+   * pins both, under split batches). Live churn/retention curves that
+   * update as spans close, no nightly rescan.
+   */
+  def survivalStream(df: DataFrame, keyCol: String, durationCol: String,
+                     eventCol: String): Dataset[SurvivalUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def pr6(x: Double): Double =
+      math.floor(x * 1e6d + 0.5d).toLong.toDouble / 1e6d
+    def rnd6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(durationCol).cast("long").as("__t"),
+        col(eventCol).cast("long").as("__e"))
+      .where(col("__k").isNotNull && col("__t").isNotNull &&
+        col("__e").isNotNull)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[Long, (Long, Long)], SurvivalUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Map[Long, (Long, Long)]]) =>
+          var hist = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
+          rows.foreach { case (_, t, e) =>
+            val (d, c) = hist.getOrElse(t, (0L, 0L))
+            hist = hist.updated(t, if (e != 0L) (d + 1L, c) else (d, c + 1L))
+          }
+          state.update(hist)
+          val ts = hist.toSeq.sortBy(_._1)
+          val total = ts.iterator.map { case (_, (d, c)) => d + c }.sum
+          var before = 0L
+          var naMicro = 0L
+          var lnSum = java.math.BigDecimal.ZERO
+          var zero = false
+          val curve = Seq.newBuilder[SurvivalPoint]
+          ts.foreach { case (t, (d, c)) =>
+            val nRisk = total - before
+            before += d + c
+            if (d > 0L) {
+              naMicro += d * 1000000L / nRisk
+              if (nRisk == d) zero = true
+              else lnSum = lnSum.add(java.math.BigDecimal.valueOf(
+                rnd6(math.log((nRisk - d).toDouble / nRisk.toDouble))))
+              curve += SurvivalPoint(t, nRisk, d, c, naMicro,
+                naMicro.toDouble / 1e6d,
+                pr6(math.exp(naMicro.toDouble / -1e6d)),
+                if (zero) None else Some(lnSum.doubleValue()),
+                if (zero) 0.0d else pr6(math.exp(lnSum.doubleValue())))
+            }
+          }
+          SurvivalUpdate(key, total, curve.result())
+      }
+  }
 }

@@ -913,6 +913,71 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got.length should be > 0
   }
 
+  test("survivalStream last emission equals batch kaplanMeier AND " +
+    "nelsonAalen, including the n == d extinction mask") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // key a: ties + censoring; key b: the whole risk set events out at
+    // t=9 (n == d) -> surv 0, ln_surv masked from there on
+    val rows = Seq(
+      ("a", 3L, 1L), ("a", 3L, 1L), ("a", 3L, 0L), ("a", 7L, 1L),
+      ("a", 9L, 0L), ("a", 12L, 1L), ("a", 15L, 0L),
+      ("b", 2L, 1L), ("b", 5L, 0L), ("b", 9L, 1L), ("b", 9L, 1L))
+    val batch = rows.toDF("grp", "dur", "ev")
+
+    val input = MemoryStream[(String, Long, Long)]
+    val query = StreamingOps.survivalStream(
+        input.toDF().toDF("grp", "dur", "ev"), "grp", "dur", "ev")
+      .writeStream.format("memory").queryName("t_surv")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      // deliberately interleave keys and split mid-curve
+      val (b1, b2) = rows.splitAt(5)
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+    } finally query.stop()
+
+    val wLatest = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("n_obs").desc)
+    val latest = spark.table("t_surv")
+      .withColumn("__rk", row_number().over(wLatest))
+      .where(col("__rk") === 1)
+      .select(col("key"), explode(col("curve")).as("p"))
+      .select(col("key"), col("p.*"))
+    val got = latest
+      .select("key", "t", "n_risk", "d_events", "n_censored", "na_micro",
+        "cum_hazard", "surv_na", "ln_surv", "surv")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7),
+          if (r.isNullAt(8)) None else Some(r.getDouble(8)),
+          r.getDouble(9)))).toMap
+
+    val km = graft.operators.Behavior.kaplanMeier(batch, Seq("grp"), "dur", "ev")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          r.getDouble(6)))).toMap
+    val na = graft.operators.Behavior.nelsonAalen(batch, Seq("grp"), "dur", "ev")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+
+    got.keySet shouldBe km.keySet
+    got.keySet shouldBe na.keySet
+    got.foreach { case (k, (nr, d, c, naM, cumH, survNa, lnS, surv)) =>
+      na(k) shouldBe ((nr, d, c, naM, cumH, survNa))
+      km(k) shouldBe ((nr, d, c, lnS, surv))
+    }
+    // the extinction row is present and masked
+    got(("b", 9L))._7 shouldBe None
+    got(("b", 9L))._8 shouldBe 0.0
+  }
+
   test("unigramTokenize on a stream equals the batch tokenize under the trained vocabulary") {
     val ss = spark
     import ss.implicits._
