@@ -123,6 +123,13 @@ object PlanAudit {
     // q242: neymanAllocation's ONE-row weight-total and ONE-row
     // leftover broadcasts onto the stratum-bounded quota table
     "q242_neyman_allocation",
+    // q256: bottomKIntersect's inequality joins of the signature table
+    // (≤ 256 rows/group) and HLL register table (≤ 512 rows/group)
+    // against the GROUP list — group-bounded, the q241 pair-grid shape
+    "q256_bottomk_intersect",
+    // q257: unigramTrain's per-round 1-row score-map broadcasts plus
+    // the 1-row vocab-total broadcasts (the q75/q105 round pattern)
+    "q257_unigram_train",
     // q244: logHistKs' reference sketch is a ≤ ~70-row bucket table
     // broadcast onto the group list (the q175/q221 PSI-grid shape)
     "q244_sketch_ks",

@@ -36,8 +36,15 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       rmrf(new java.io.File(s"$outDir/$name"))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query wall time on stderr: the large-SF sweep's timing
+        // source (one pass, no bench 3x protocol at sweep scale)
+        System.err.println(f"[verify] $name ok in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed += name
