@@ -3284,7 +3284,17 @@ object Queries {
     * connector config (README.md:88-109), this engine does for
     * training-data prep: the stages are config, the operators are the
     * gated library, and this query pins that the config path computes
-    * EXACTLY what the Scala path computes. */
+    * EXACTLY what the Scala path computes.
+    *
+    * Stage order is the q49 scale lesson expressed in config: the
+    * scan-side text stages (gate, lang-ID) run BEFORE `dedup_exact`,
+    * so Catalyst prunes `text` from the survivor join's exchange (the
+    * wide-payload audit pins this under the no-broadcast posture).
+    * Semantics are order-invariant here because both stages derive
+    * solely from the normalized text — every duplicate of a text
+    * passes or fails together, so the min-id survivor set is
+    * identical either way (q49's oracle, which dedups first, gates
+    * exactly this plan). */
   val q254: Q = (s, dir) => {
     val json =
       s"""{"name": "dataprep-q254",
@@ -3292,9 +3302,9 @@ object Queries {
          |  "format": "parquet", "path": "$dir/documents.parquet",
          |  "schema": "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"}},
          |"transforms": [
-         |  {"type": "dedup_exact", "options": {"id.field": "doc_id", "text.field": "text"}},
          |  {"type": "quality_gate", "options": {"text.field": "text"}},
-         |  {"type": "lang_id", "options": {"text.field": "text", "as": "predicted"}}],
+         |  {"type": "lang_id", "options": {"text.field": "text", "as": "predicted"}},
+         |  {"type": "dedup_exact", "options": {"id.field": "doc_id", "text.field": "text"}}],
          |"sink": {"type": "noop", "options": {}}}""".stripMargin
     Pipeline.build(s, PipelineSpec.fromJson(json), streaming = false)
       .groupBy("lang", "predicted")

@@ -432,6 +432,11 @@ object Pipeline {
       // watermark-bounded 16 B/key state (the dedupAgainstHistoryStream
       // divergence note) and REQUIRES watermark.field/watermark.delay —
       // unbounded dedup state is not a thing this engine configures.
+      // Scale posture: place this stage AFTER the scan-side text
+      // stages (quality_gate/lang_id) when downstream only consumes
+      // derived columns — Catalyst then prunes the text payload from
+      // the survivor join's exchange (the q49/q254 lesson; semantics
+      // are order-invariant for text-deterministic stages).
       val id = t.option("id.field")
       val text = t.option("text.field")
       if (df.isStreaming) {
