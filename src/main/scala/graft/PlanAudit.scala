@@ -130,6 +130,9 @@ object PlanAudit {
     // q257: unigramTrain's per-round 1-row score-map broadcasts plus
     // the 1-row vocab-total broadcasts (the q75/q105 round pattern)
     "q257_unigram_train",
+    // q259: q46's IVF shape (centroid-set broadcast + probe-set
+    // broadcast) with the stride derived by sqrtStride — C ≈ √N
+    "q259_ivf_sqrt",
     // q244: logHistKs' reference sketch is a ≤ ~70-row bucket table
     // broadcast onto the group list (the q175/q221 PSI-grid shape)
     "q244_sketch_ks",

@@ -817,6 +817,31 @@ object Queries {
       Tables.embeddings(s, dir).withColumn("e", col("embedding").cast("array<double>")),
       "vec_id", "e", targetId = 3L, k = 10, centroidStride = 37L, nprobe = 8)
 
+  /** q259's oracle: [[ivfOracle]] with the stride DERIVED exactly as
+    * `Similarity.sqrtStride` derives it — N div ceil(sqrt(N)) with the
+    * same floor-sqrt + one s² ≥ N adjust. */
+  private def ivfSqrtOracle: String = {
+    val s0 = "CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+      "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
+      "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e), " +
+      "st AS (SELECT CASE WHEN n <= 1 THEN 1 ELSE greatest(1, " +
+      s"n // (CASE WHEN $s0 * $s0 >= n THEN $s0 ELSE $s0 + 1 END)) END AS stride FROM nn), " +
+      "cent AS (SELECT vec_id AS cid, q AS cv FROM e, st WHERE vec_id % st.stride = 0), " +
+      "dist AS (SELECT e.vec_id, cent.cid, " +
+      "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, cent.cv) + " +
+      "list_dot_product(cent.cv, cent.cv) AS d2 FROM e, cent), " +
+      "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist) t WHERE rn = 1), " +
+      "probes AS (SELECT cid FROM dist WHERE vec_id = 3 ORDER BY d2, cid LIMIT 8), " +
+      "cand AS (SELECT a.vec_id FROM asg a JOIN probes p USING (cid) WHERE a.vec_id <> 3), " +
+      "tgt AS (SELECT MIN(v) AS t FROM e WHERE vec_id = 3), " +
+      "scored AS (SELECT e.vec_id, list_dot_product(e.v, (SELECT t FROM tgt)) / " +
+      "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product((SELECT t FROM tgt), (SELECT t FROM tgt)))) AS raw " +
+      "FROM e JOIN cand USING (vec_id)) " +
+      "SELECT vec_id, ROUND(raw, 4) AS score FROM scored ORDER BY score DESC, vec_id LIMIT 10"
+  }
+
   private def ivfOracle: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
       "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
@@ -3337,6 +3362,20 @@ object Queries {
         rounds = 3, seedTopK = 40)
       .orderBy("piece")
 
+  /** Q259 IVF search under the √N centroid discipline: q46's pipeline
+    * with the stride DERIVED from the corpus (stride = N div ⌈√N⌉, so
+    * C ≈ √N at every scale) — the 100 TB posture the r13 sweep showed
+    * a fixed stride cannot hold (C = N/37 grows linearly, making the
+    * O(N·C) assignment quadratic; measured 36× on 10× data). The
+    * fixed-stride queries stay as fixture pins; this gates the
+    * scale-correct gear. */
+  val q259: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    Similarity.ivfTopK(emb, "vec_id", "e", targetId = 3L, k = 10,
+      centroidStride = Similarity.sqrtStride(emb), nprobe = 8)
+  }
+
   /** Q258 REAL baseline-JPEG decode (north star multimodal): per doc
     * a DC-only grayscale JPEG built from the spec tables (one flat
     * 8×8 block per text byte — `Jpeg.encodeGrayBlocks`), pushed
@@ -5253,6 +5292,7 @@ object Queries {
     "q256_bottomk_intersect" -> q256,
     "q257_unigram_train" -> q257,
     "q258_jpeg_decode" -> q258,
+    "q259_ivf_sqrt" -> q259,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9208,6 +9248,7 @@ object Queries {
         "CAST(SUM(h2) AS BIGINT) AS h2, CAST(SUM(h6) AS BIGINT) AS h6, " +
         "CAST(SUM(h7) AS BIGINT) AS h7 " +
         "FROM per GROUP BY lang ORDER BY lang"),
+    "q259_ivf_sqrt" -> ivfSqrtOracle,
   )
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order

@@ -177,6 +177,28 @@ object Similarity {
    * bucketed layout (cell id = bucket key), turning every later probe
    * into partition pruning instead of a scan.
    */
+  /**
+   * The √N centroid-count discipline as a derived stride: id-stride
+   * seeding yields C ≈ N/stride centroids, so a FIXED stride makes C
+   * grow linearly with the corpus and the O(N·C) assignment quadratic
+   * — the r13 full-registry sweep measured exactly that (q76 at 36×
+   * on 10× data). stride = N div ⌈√N⌉ keeps C ≈ ⌈√N⌉, the standard
+   * IVF balance point where assignment work and per-probe cell size
+   * both grow as N^1.5/√N = N. One count() action; the ceil is an
+   * integer decision (floor-sqrt double, one exact s² ≥ N adjust) any
+   * engine replays. Assumes roughly dense ids (the id-stride seeding
+   * contract).
+   */
+  def sqrtStride(emb: DataFrame): Long = {
+    val n = emb.count()
+    if (n <= 1L) 1L
+    else {
+      val s0 = math.sqrt(n.toDouble).floor.toLong
+      val s = if (s0 * s0 >= n) s0 else s0 + 1L // ceil(sqrt(n)), exact
+      math.max(1L, n / s)
+    }
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, targetId: Long,
               k: Int, centroidStride: Long, nprobe: Int): DataFrame = {
     require(centroidStride >= 1, "centroidStride must be >= 1")
