@@ -3376,6 +3376,130 @@ object Queries {
       centroidStride = Similarity.sqrtStride(emb), nprobe = 8)
   }
 
+  /** Q270 simplified silhouette of the 1-round-trained kmeans model
+    * (q75's quantizer) — the "did k split anything real" readout at
+    * assignment-round cost: per cluster, the mean of
+    * (b − a)/b over integer-exact centroid distances, quantized to
+    * micro before the sum so the means are integer decisions. */
+  val q270: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "e",
+      centroidStride = 37L, iters = 1, dim = 64)
+    Similarity.simplifiedSilhouette(emb, "vec_id", "e", cents)
+      .orderBy("cid")
+  }
+
+  /** Q268 l-diversity distribution over (lang, length-bucket)
+    * equivalence classes with `source` as the sensitive attribute —
+    * q227 reports the worst class; this profiles the whole anonymity
+    * surface per distinct-count l, with entropy l-diversity
+    * (micro-nat exact) as the stricter readout. */
+  val q268: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("len_bucket", expr("n_chars div 100"))
+    Profile.lDiversityProfile(d, Seq("lang", "len_bucket"), "source")
+      .orderBy("l")
+  }
+
+  /** Q269 t-closeness over (nation, market-segment) classes with the
+    * bucketed account balance as the ORDERED sensitive attribute —
+    * the leak l-diversity misses: EMD between each class's balance
+    * distribution and the global one, integer-exact per class. */
+  val q269: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .withColumn("bal_bucket",
+        floor(col("c_acctbal").cast("double") / 1000.0d).cast("long"))
+    Profile.tCloseness(c, Seq("c_nationkey", "c_mktsegment"),
+      "bal_bucket").orderBy("n_rows")
+  }
+
+  /** Q267 single-changepoint detection per event-type daily series —
+    * q189's CUSUM says a drift started; this returns the exact split
+    * day maximizing the between-segment SSE reduction, with exact
+    * integer micro gains so the argmax is engine-independent. */
+  val q267: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_ev"))
+    Behavior.changepointSse(daily, Seq("event_type"), "day", "n_ev")
+      .orderBy("event_type")
+  }
+
+  /** Q260 one-way ANOVA of the hashed quality score across languages
+    * — the k-sample mean gate (q146 is two-sample): F with eta² so a
+    * large-corpus "significant" split reads against explained
+    * variance. Unit-exact SS via DECIMAL floor divisions. */
+  val q260: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("lang"))
+    Eval.anovaOneWay(scored, "lang", "score").orderBy("n")
+  }
+
+  /** Q261 Kruskal–Wallis H over the same language split — the
+    * rank-based distribution-shift companion to q260's mean test,
+    * immune to the score's heavy tails. Doubled-average-rank
+    * histogram machinery (q187's device, k-wide). */
+  val q261: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("lang"))
+    Eval.kruskalWallis(scored, "lang", "score").orderBy("n")
+  }
+
+  /** Q262 McNemar's paired test between two keep-gates — the length
+    * rule (n_chars ≥ 400) vs the hashed-score rule (score ≥ 0) on the
+    * SAME documents: are their disagreements symmetric, i.e. would
+    * swapping rules change the corpus keep rate? */
+  val q262: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("n_chars"))
+      .withColumn("g1", col("n_chars") >= 400L)
+      .withColumn("g2", col("score") >= 0L)
+    Eval.mcnemar(scored, "g1", "g2").orderBy("n")
+  }
+
+  /** Q263 G-test (log-likelihood ratio) of lang × source independence
+    * — q151's chi-square on the same grid, in additive
+    * information-theoretic form (G = 2n·MI, micro-nat exact). */
+  val q263: Q = (s, dir) =>
+    Eval.gTest(Tables.documents(s, dir), "lang", "source").orderBy("n")
+
+  /** Q264 Cohen's d (with Hedges' g) between the en and zh quality
+    * scores — the effect SIZE beside q260/q261's test statistics:
+    * how many pooled standard deviations apart are the means? */
+  val q264: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("lang"))
+    Eval.cohensD(scored, "lang", "score", "en", "zh").orderBy("n_a")
+  }
+
+  /** Q265 Brown–Forsythe variance-homogeneity test across languages —
+    * q260's equal-variance assumption, checked: one-way ANOVA over
+    * |score − lang-median| with the deterministic LOWER median. */
+  val q265: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("lang"))
+    Eval.brownForsythe(scored, "lang", "score").orderBy("n")
+  }
+
+  /** Q266 Cochran–Armitage trend test — is the positive-score rate
+    * MONOTONE in the document-length dose (n_chars div 100, capped at
+    * 5)? The curriculum/filtering question chi-square wastes power
+    * on; exact DECIMAL products, one division. */
+  val q266: Q = (s, dir) => {
+    val scored = TextMetrics.hashedLinearScoreInRow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 64,
+      keep = Seq("n_chars"))
+      .withColumn("dose", expr("least(n_chars div 100, 5)"))
+      .withColumn("pos", col("score") >= 0L)
+    Eval.cochranArmitage(scored, "dose", "pos").orderBy("n")
+  }
+
   /** Q258 REAL baseline-JPEG decode (north star multimodal): per doc
     * a DC-only grayscale JPEG built from the spec tables (one flat
     * 8×8 block per text byte — `Jpeg.encodeGrayBlocks`), pushed
@@ -5293,6 +5417,17 @@ object Queries {
     "q257_unigram_train" -> q257,
     "q258_jpeg_decode" -> q258,
     "q259_ivf_sqrt" -> q259,
+    "q260_anova" -> q260,
+    "q261_kruskal_wallis" -> q261,
+    "q262_mcnemar" -> q262,
+    "q263_g_test" -> q263,
+    "q264_cohens_d" -> q264,
+    "q265_brown_forsythe" -> q265,
+    "q266_cochran_armitage" -> q266,
+    "q267_changepoint" -> q267,
+    "q268_l_diversity" -> q268,
+    "q269_t_closeness" -> q269,
+    "q270_silhouette" -> q270,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9249,7 +9384,226 @@ object Queries {
         "CAST(SUM(h7) AS BIGINT) AS h7 " +
         "FROM per GROUP BY lang ORDER BY lang"),
     "q259_ivf_sqrt" -> ivfSqrtOracle,
+    "q260_anova" ->
+      // per-lang BIGINT moments, S_g^2 // n_g unit floors in HUGEINT,
+      // clamped SS, one double division each for F / eta2
+      (scoredDocCtes + ", " + anovaOracleSql(
+        "(SELECT lang AS g, score AS v FROM d)")),
+    "q261_kruskal_wallis" ->
+      // q187's doubled-average-rank histogram, k groups: per-value
+      // prefix ranks, per-group R2 sums, unit-floor R^2/n terms, one
+      // fixed-order double program for H and the tie correction
+      (scoredDocCtes
+        + ", cells AS (SELECT score AS v, lang AS g, COUNT(*) AS c FROM d GROUP BY 1, 2), "
+        + "vh AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY 1), "
+        + "ranked AS (SELECT v, t, COALESCE(SUM(t) OVER (ORDER BY v "
+        + "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM vh), "
+        + "r2t AS (SELECT v, t, below * 2 + t + 1 AS r2 FROM ranked), "
+        + "perg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng, CAST(SUM(c * r2) AS BIGINT) AS rg2 "
+        + "FROM cells JOIN r2t USING (v) GROUP BY 1), "
+        + "pb AS (SELECT g, ng, CAST((CAST(rg2 AS HUGEINT) * rg2) // (4 * ng) AS BIGINT) AS bg FROM perg), "
+        + "tt AS (SELECT COALESCE(CAST(SUM(t * t * t - t) AS BIGINT), 0) AS ties FROM r2t), "
+        + "m AS (SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(bg) AS BIGINT) AS sb FROM pb), "
+        + "h0 AS (SELECT k, n, ties, 12.0 * CAST(sb AS DOUBLE) / CAST(n * (n + 1) AS DOUBLE) "
+        + "- 3.0 * CAST(n + 1 AS DOUBLE) AS hraw, "
+        + "1.0 - CAST(ties AS DOUBLE) / CAST(n * n * n - n AS DOUBLE) AS corr "
+        + "FROM m CROSS JOIN tt) "
+        + "SELECT k, n, ties, "
+        + "CASE WHEN k > 1 AND n > 1 THEN round(hraw, 6) END AS h, "
+        + "CASE WHEN k > 1 AND n > 1 AND corr > 0 THEN round(hraw / corr, 6) END AS h_tie "
+        + "FROM h0 ORDER BY n"),
+    "q262_mcnemar" ->
+      // discordant-cell counts, continuity-corrected statistic as ONE
+      // double division of a HUGEINT square
+      (scoredDocCtes
+        + ", v AS (SELECT doc.n_chars >= 400 AS g1, d.score >= 0 AS g2 "
+        + "FROM d JOIN documents doc USING (doc_id)), "
+        + "m AS (SELECT COUNT(*) AS n, "
+        + "CAST(SUM(CASE WHEN g1 AND NOT g2 THEN 1 ELSE 0 END) AS BIGINT) AS b, "
+        + "CAST(SUM(CASE WHEN NOT g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS c FROM v), "
+        + "m2 AS (SELECT *, GREATEST(abs(b - c) - 1, 0) AS num FROM m) "
+        + "SELECT n, b, c, CASE WHEN b + c > 0 THEN "
+        + "round(CAST(CAST(num AS HUGEINT) * num AS DOUBLE) / CAST(b + c AS DOUBLE), 6) END AS chi2 "
+        + "FROM m2 ORDER BY n"),
+    "q263_g_test" ->
+      // the q192 micro-nat grid, summed to G = 2*sum(O*lnMicro) with
+      // empty cells contributing nothing; dof from the margins
+      ("WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS c FROM documents "
+        + "WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2), "
+        + "ma AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM cells GROUP BY 1), "
+        + "mb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY 1), "
+        + "nr AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(DISTINCT a) AS r_a, "
+        + "COUNT(DISTINCT b) AS r_b FROM cells), "
+        + "gs AS (SELECT COALESCE(CAST(SUM(c * CAST(floor(ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) / "
+        + "(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT), 0) AS sg "
+        + "FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nr) "
+        + "SELECT n, r_a, r_b, (r_a - 1) * (r_b - 1) AS dof, "
+        + "CAST(sg * 2 AS BIGINT) AS g_micro, CAST(sg AS DOUBLE) * 2.0 / 1000000.0 AS g "
+        + "FROM nr CROSS JOIN gs"),
+    "q264_cohens_d" ->
+      // en/zh moments, unit-floor within-SS, pooled-SD effect size
+      // with the Hedges small-sample factor — fixed-order doubles
+      (scoredDocCtes
+        + ", m AS (SELECT "
+        + "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
+        + "CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_b, "
+        + "CAST(SUM(CASE WHEN lang = 'en' THEN score ELSE 0 END) AS BIGINT) AS sa, "
+        + "CAST(SUM(CASE WHEN lang = 'zh' THEN score ELSE 0 END) AS BIGINT) AS sb, "
+        + "CAST(SUM(CASE WHEN lang = 'en' THEN CAST(score AS HUGEINT) * score ELSE 0 END) AS HUGEINT) AS qa, "
+        + "CAST(SUM(CASE WHEN lang = 'zh' THEN CAST(score AS HUGEINT) * score ELSE 0 END) AS HUGEINT) AS qb "
+        + "FROM d WHERE lang IN ('en', 'zh')), "
+        + "m2 AS (SELECT *, n_a + n_b AS n, "
+        + "CAST(GREATEST(qa - (CAST(sa AS HUGEINT) * sa) // n_a, 0) "
+        + "+ GREATEST(qb - (CAST(sb AS HUGEINT) * sb) // n_b, 0) AS BIGINT) AS ssw "
+        + "FROM m WHERE n_a > 0 AND n_b > 0), "
+        + "m3 AS (SELECT *, (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) "
+        + "- CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / "
+        + "sqrt(CAST(ssw AS DOUBLE) / CAST(n - 2 AS DOUBLE)) AS dval FROM m2) "
+        + "SELECT n_a, n_b, "
+        + "round(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_a, "
+        + "round(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_b, "
+        + "CASE WHEN n > 2 AND ssw > 0 THEN round(dval, 6) END AS d, "
+        + "CASE WHEN n > 2 AND ssw > 0 THEN "
+        + "round(dval * (1.0 - 3.0 / (4.0 * CAST(n AS DOUBLE) - 9.0)), 6) END AS g "
+        + "FROM m3 ORDER BY n_a"),
+    "q265_brown_forsythe" ->
+      // deterministic LOWER median per lang (rank (n+1)//2), absolute
+      // deviations, then the q260 ANOVA program over them
+      (scoredDocCtes
+        + ", rk AS (SELECT lang, score, row_number() OVER (PARTITION BY lang ORDER BY score) AS rn, "
+        + "COUNT(*) OVER (PARTITION BY lang) AS nn FROM d), "
+        + "med AS (SELECT lang, score AS med FROM rk WHERE rn = (nn + 1) // 2), "
+        + anovaOracleSql("(SELECT d.lang AS g, abs(d.score - med.med) AS v "
+          + "FROM d JOIN med USING (lang))")),
+    "q266_cochran_armitage" ->
+      // per-dose counts, A = N*Str - R*Stn and the variance product in
+      // HUGEINT, ONE double division; sign(A) = trend direction
+      (scoredDocCtes
+        + ", v AS (SELECT LEAST(doc.n_chars // 100, 5) AS t, "
+        + "CASE WHEN d.score >= 0 THEN 1 ELSE 0 END AS pos "
+        + "FROM d JOIN documents doc USING (doc_id)), "
+        + "pd AS (SELECT t, COUNT(*) AS nd, CAST(SUM(pos) AS BIGINT) AS rd FROM v GROUP BY 1), "
+        + "m AS (SELECT COUNT(*) AS k, CAST(SUM(nd) AS BIGINT) AS n, CAST(SUM(rd) AS BIGINT) AS r, "
+        + "CAST(SUM(t * nd) AS BIGINT) AS tn, CAST(SUM(t * t * nd) AS BIGINT) AS ttn, "
+        + "CAST(SUM(t * rd) AS BIGINT) AS tr FROM pd), "
+        + "m2 AS (SELECT *, CAST(n AS HUGEINT) * tr - CAST(r AS HUGEINT) * tn AS anum, "
+        + "(CAST(r AS HUGEINT) * (n - r)) * (CAST(n AS HUGEINT) * ttn - CAST(tn AS HUGEINT) * tn) AS denom "
+        + "FROM m) "
+        + "SELECT n, r, k, "
+        + "CASE WHEN r > 0 AND r < n AND denom > 0 THEN "
+        + "round(CAST(CAST(n AS HUGEINT) * anum * anum AS DOUBLE) / CAST(denom AS DOUBLE), 6) END AS z2, "
+        + "CAST(CASE WHEN anum > 0 THEN 1 WHEN anum < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction "
+        + "FROM m2"),
+    "q267_changepoint" ->
+      // prefix-sum SSE-reduction gains as exact HUGEINT micro floors,
+      // argmax by (gain desc, i asc) — the operator's tie-break
+      ("WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS v FROM events GROUP BY 1, 2), "
+        + "pre AS (SELECT event_type, day, v, "
+        + "row_number() OVER (PARTITION BY event_type ORDER BY day) AS i, "
+        + "SUM(v) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS si, "
+        + "COUNT(*) OVER (PARTITION BY event_type) AS n, "
+        + "SUM(v) OVER (PARTITION BY event_type) AS s FROM dly), "
+        + "g AS (SELECT event_type, day, CAST(i AS INTEGER) AS i, CAST(n AS BIGINT) AS n, si, s, "
+        + "CAST((CAST(si AS HUGEINT) * si * 1000000) // i "
+        + "+ (CAST(s - si AS HUGEINT) * (s - si) * 1000000) // (n - i) "
+        + "- (CAST(s AS HUGEINT) * s * 1000000) // n AS BIGINT) AS gain "
+        + "FROM pre WHERE i < n), "
+        + "pick AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY gain DESC, i ASC) AS rk FROM g) "
+        + "SELECT event_type, n, i AS cp_index, day AS cp_order, gain AS gain_micro, "
+        + "round(CAST(si AS DOUBLE) / CAST(i AS DOUBLE), 6) AS mean_left, "
+        + "round(CAST(s - si AS DOUBLE) / CAST(n - i AS DOUBLE), 6) AS mean_right "
+        + "FROM pick WHERE rk = 1 ORDER BY event_type"),
+    "q268_l_diversity" ->
+      // (quasi, sensitive) cells, per-class micro-nat entropy (the
+      // q192 ln program), per-l rollup with the worst entropy
+      ("WITH cells AS (SELECT lang, n_chars // 100 AS len_bucket, source, COUNT(*) AS c "
+        + "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2, 3), "
+        + "wn AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY lang, len_bucket) AS BIGINT) AS n FROM cells), "
+        + "cl AS (SELECT lang, len_bucket, COUNT(*) AS l, MAX(n) AS n, "
+        + "CAST(SUM(c * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hs "
+        + "FROM wn GROUP BY 1, 2), "
+        + "ch AS (SELECT l, n, CAST(floor(CAST(hs AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS h FROM cl) "
+        + "SELECT CAST(l AS BIGINT) AS l, COUNT(*) AS n_classes, "
+        + "CAST(SUM(n) AS BIGINT) AS n_rows, MIN(h) AS min_h_micro "
+        + "FROM ch GROUP BY 1 ORDER BY l"),
+    "q269_t_closeness" ->
+      // completed class x value grid, cross-multiplied cumulative
+      // gaps in HUGEINT, one integer micro division per class
+      ("WITH b AS (SELECT c_nationkey AS q1, c_mktsegment AS q2, "
+        + "CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS v FROM customer "
+        + "WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL), "
+        + "cells AS (SELECT q1, q2, v, COUNT(*) AS c FROM b GROUP BY 1, 2, 3), "
+        + "gv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS g FROM cells GROUP BY 1), "
+        + "ct AS (SELECT q1, q2, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1, 2), "
+        + "grid AS (SELECT ct.q1, ct.q2, ct.n, gv.v, gv.g, COALESCE(cells.c, 0) AS c "
+        + "FROM ct CROSS JOIN gv LEFT JOIN cells ON cells.q1 = ct.q1 AND cells.q2 = ct.q2 AND cells.v = gv.v), "
+        + "cum AS (SELECT *, SUM(c) OVER (PARTITION BY q1, q2 ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc, "
+        + "SUM(g) OVER (PARTITION BY q1, q2 ORDER BY v ROWS UNBOUNDED PRECEDING) AS cg, "
+        + "SUM(g) OVER (PARTITION BY q1, q2) AS gt, COUNT(*) OVER (PARTITION BY q1, q2) AS m, "
+        + "row_number() OVER (PARTITION BY q1, q2 ORDER BY v) AS rk FROM grid), "
+        + "nums AS (SELECT q1, q2, n, gt, m, abs(CAST(cc AS HUGEINT) * gt - CAST(cg AS HUGEINT) * n) AS num "
+        + "FROM cum WHERE rk < m), "
+        + "pc AS (SELECT q1, q2, MAX(n) AS n, CAST(MAX(gt) AS BIGINT) AS gt, CAST(MAX(m) AS BIGINT) AS m, "
+        + "CAST(SUM(num) AS HUGEINT) AS snum FROM nums GROUP BY 1, 2), "
+        + "pe AS (SELECT *, CAST((snum * 1000000) // (CAST(n AS HUGEINT) * gt * (m - 1)) AS BIGINT) AS emd FROM pc), "
+        + "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_classes FROM ct), "
+        + "ea AS (SELECT CAST(MAX(m) AS BIGINT) AS m, MAX(emd) AS tmax, "
+        + "CAST(SUM(n * emd) AS HUGEINT) AS wsum, "
+        + "CAST(SUM(CASE WHEN emd > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over FROM pe) "
+        + "SELECT n_rows, n_classes, COALESCE(m, 1) AS m, "
+        + "round(CAST(COALESCE(tmax, 0) AS DOUBLE) / 1000000.0, 6) AS t_max, "
+        + "COALESCE(CAST(wsum // n_rows AS BIGINT), 0) AS avg_micro, "
+        + "COALESCE(n_over, 0) AS n_over FROM tot CROSS JOIN ea ORDER BY n_rows"),
+    "q270_silhouette" ->
+      // q75's one Lloyd round verbatim, then the (d2, cid)-ordered
+      // two-best pivot, the fixed-order sqrt program, micro floors,
+      // and the integer per-cluster mean
+      ("WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), "
+        + "c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), "
+        + "p AS (SELECT unnest(range(1, 65)) AS i), "
+        + "a1 AS (SELECT e.vec_id, e.q, c0.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        + "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn FROM e, c0), "
+        + "m1 AS (SELECT vec_id, q, cid FROM a1 WHERE rn = 1), "
+        + "s1 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu FROM m1, p GROUP BY cid, i), "
+        + "n1 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s1 GROUP BY cid), "
+        + "c1 AS (SELECT c0.cid, COALESCE(n1.cv, c0.cv) AS cv FROM c0 LEFT JOIN n1 USING (cid)), "
+        + "a2 AS (SELECT e.vec_id, c1.cid, "
+        + "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c1.cv) + list_dot_product(c1.cv, c1.cv) AS d2, "
+        + "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        + "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c1.cv) + list_dot_product(c1.cv, c1.cv), c1.cid) AS rn FROM e, c1), "
+        + "b AS (SELECT vec_id, MAX(CASE WHEN rn = 1 THEN cid END) AS cid, "
+        + "MAX(CASE WHEN rn = 1 THEN d2 END) AS d2a, MAX(CASE WHEN rn = 2 THEN d2 END) AS d2b "
+        + "FROM a2 WHERE rn <= 2 GROUP BY 1), "
+        + "sm AS (SELECT cid, CAST(floor((CASE WHEN d2b IS NULL THEN 0.0 "
+        + "WHEN sqrt(d2b) > 0 THEN (sqrt(d2b) - sqrt(d2a)) / sqrt(d2b) ELSE 0.0 END) "
+        + "* 1000000.0 + 0.5) AS BIGINT) AS s FROM b) "
+        + "SELECT cid, COUNT(*) AS n, "
+        + "CAST(CAST(SUM(s) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_s_micro "
+        + "FROM sm GROUP BY cid ORDER BY cid"),
   )
+
+  /** The q260 one-way-ANOVA oracle tail: BIGINT group moments from a
+    * (g, v) relation, S_g² // n_g unit floors in HUGEINT, clamped
+    * ssb/ssw, one double division each for F and eta². `src` must be
+    * a parenthesized SELECT yielding columns (g, v). */
+  private def anovaOracleSql(src: String): String =
+    "gm AS (SELECT g, COUNT(*) AS ng, CAST(SUM(v) AS BIGINT) AS sg, " +
+      s"CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS qg FROM $src t0 " +
+      "WHERE g IS NOT NULL AND v IS NOT NULL GROUP BY 1), " +
+      "ga AS (SELECT *, (CAST(sg AS HUGEINT) * sg) // ng AS ag FROM gm), " +
+      "gt AS (SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n, " +
+      "CAST(SUM(sg) AS BIGINT) AS s, CAST(SUM(qg) AS HUGEINT) AS q, " +
+      "CAST(SUM(ag) AS HUGEINT) AS sa FROM ga), " +
+      "gs AS (SELECT k, n, " +
+      "CAST(GREATEST(sa - (CAST(s AS HUGEINT) * s) // n, 0) AS BIGINT) AS ssb, " +
+      "CAST(GREATEST(q - sa, 0) AS BIGINT) AS ssw FROM gt) " +
+      "SELECT k, n, ssb, ssw, " +
+      "CASE WHEN k > 1 AND n > k AND ssw > 0 THEN " +
+      "round(CAST(CAST(ssb AS HUGEINT) * (n - k) AS DOUBLE) / " +
+      "CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DOUBLE), 6) END AS f, " +
+      "CASE WHEN ssb + ssw > 0 THEN " +
+      "round(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6) END AS eta2 " +
+      "FROM gs ORDER BY n"
 
   /** q161's oracle: the same quantized DECIMAL moments and fixed-order
     * correlation program, generated per column pair. */

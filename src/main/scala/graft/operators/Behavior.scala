@@ -1281,4 +1281,60 @@ object Behavior {
         (max(col("__ie")) - min(col("__is"))).as("span"))
       .withColumn("coverage_ppm", expr("covered * 1000000 div span"))
   }
+
+  /**
+   * Single-changepoint detection per series — where did the level
+   * SHIFT? [[cusum]] flags that a drift started; this returns the
+   * exact split point: the index maximizing the between-segment SSE
+   * reduction, gain(i) = S_i²/i + (S−S_i)²/(n−i) − S²/n (the
+   * binary-segmentation step of the classic changepoint family, one
+   * level deep — recurse on the halves for more).
+   *
+   * Exactness: prefix sums S_i are pure BIGINT; each squared term
+   * routes through DECIMAL(38,0) with a ×10⁶ pre-scale and ONE `div`
+   * (nonnegative numerator), so every gain is an exact integer micro
+   * and the argmax is an integer decision — ties break to the
+   * EARLIEST index. Series sums must satisfy S²·10⁶ < 2⁶³ (|S| ≤
+   * ~3·10⁶ — daily matrices, not raw event values; pre-aggregate
+   * first). Segment means are one double division each, 6 dp.
+   * Single-point series (n = 1) have no interior split and drop.
+   *
+   * Output per `by` group: `n`, `cp_index` (points in the left
+   * segment), `cp_order` (the `orderCol` value of the LAST left
+   * point), `gain_micro`, `mean_left`, `mean_right`.
+   *
+   * Scale shape: one per-group sort window over the compact series
+   * (each partition orders only its own rows — the [[cusum]]
+   * posture), one argmax window on the same partitioning, zero
+   * joins. Feed it per-key daily matrices: the window never sees
+   * raw-event cardinality.
+   */
+  def changepointSse(df: DataFrame, by: Seq[String], orderCol: String,
+                     valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col(orderCol))
+    val wAll = Window.partitionBy(by.map(col): _*)
+    val pre = df.where(v.isNotNull)
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__si", sum(v).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(v).over(wAll))
+      .where(col("__i") < col("__n"))
+      .withColumn("__gain",
+        expr("(cast(__si as decimal(38,0)) * __si * 1000000) div __i") +
+          expr("(cast(__s - __si as decimal(38,0)) * (__s - __si) * 1000000) div (__n - __i)") -
+          expr("(cast(__s as decimal(38,0)) * __s * 1000000) div __n"))
+    val wPick = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__gain").desc, col("__i").asc)
+    pre.withColumn("__rk", row_number().over(wPick))
+      .where(col("__rk") === 1)
+      .select((by.map(col) :+ col("__n").as("n") :+
+        col("__i").as("cp_index") :+ col(orderCol).as("cp_order") :+
+        col("__gain").as("gain_micro") :+
+        round(col("__si").cast("double") / col("__i").cast("double"), 6)
+          .as("mean_left") :+
+        round((col("__s") - col("__si")).cast("double") /
+          (col("__n") - col("__i")).cast("double"), 6).as("mean_right")): _*)
+  }
 }

@@ -1589,4 +1589,350 @@ object Eval {
           .otherwise(0L).as("coverage_ppm"),
         lit(keepNum.toLong * 1000000L / alphaDen).as("target_ppm"))
   }
+
+  /**
+   * One-way ANOVA over an integer measure across k groups — the
+   * k-sample mean-difference test the two-sample [[twoProportionZ]] /
+   * [[cuped]] machinery can't give: does the measure's MEAN differ
+   * across languages / sources / shards at all? Reports the F
+   * statistic with eta-squared (SS_between / SS_total) as the effect
+   * size, so a 100 TB corpus's "statistically significant" hairline
+   * differences read against how much variance they actually explain.
+   *
+   * Exactness: per-group moments (n_g, S_g = Σv, Q_g = Σv² summed in
+   * DECIMAL — v² alone can hold 20 digits of headroom nowhere) are
+   * exact; each group's S_g²/n_g routes through DECIMAL(38,0) and ONE
+   * integer division (`div` — nonnegative numerator, so truncation ==
+   * floor in every engine), giving UNIT-precision sums of squares:
+   * `ssb` = ΣA_g − S² div n and `ssw` = Q − ΣA_g are exact integers,
+   * each within k units of the real SS (clamped at 0 where
+   * quantization could dip around a true zero) — BIGINT-safe to
+   * ~10¹³ rows at |v| ≤ 10⁵, vs a ×10⁶ pre-scale that overflows at
+   * ~10⁷. F and eta² are each ONE double division of DECIMAL
+   * products, 6 dp; F is NULL when k < 2, n ≤ k, or SSW = 0.
+   *
+   * Output per `by` group: `k`, `n`, `ssb`, `ssw`, `f`, `eta2`.
+   *
+   * Scale shape: ONE map-side-combined aggregation to (group,
+   * moments) — the only exchange carries ~40 B per group — then a
+   * groups-bounded reduction. No row ever re-enters an exchange.
+   */
+  def anovaOneWay(df: DataFrame, groupCol: String, valueCol: String,
+                  by: Seq[String] = Nil): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val g = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy((by.map(col) :+ col(groupCol).as("__g")): _*)
+      .agg(count(lit(1)).as("__ng"), sum(v).as("__sg"),
+        sum((v * v).cast("decimal(38,0)")).as("__qg"))
+      .withColumn("__ag",
+        expr("(cast(__sg as decimal(38,0)) * __sg) div __ng"))
+    val m = g.groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("k"), sum(col("__ng")).as("n"),
+        sum(col("__sg")).as("__s"), sum(col("__qg")).as("__q"),
+        sum(col("__ag")).as("__sa"))
+    val ssb = greatest(col("__sa") -
+      expr("(cast(__s as decimal(38,0)) * __s) div n"), lit(0L))
+    val ssw = greatest((col("__q") - col("__sa")).cast("long"), lit(0L))
+    m.withColumn("ssb", ssb).withColumn("ssw", ssw)
+      .select((by.map(col) :+ col("k") :+ col("n") :+
+        col("ssb") :+ col("ssw") :+
+        when(col("k") > 1L && col("n") > col("k") && col("ssw") > 0L,
+          round((col("ssb").cast("decimal(38,0)") *
+            (col("n") - col("k"))).cast("double") /
+            (col("ssw").cast("decimal(38,0)") *
+              (col("k") - 1L)).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("f") :+
+        when(col("ssb") + col("ssw") > 0L,
+          round(col("ssb").cast("double") /
+            (col("ssb") + col("ssw")).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("eta2")): _*)
+  }
+
+  /**
+   * Kruskal–Wallis H — [[anovaOneWay]]'s rank-based companion (and
+   * [[mannWhitney]]'s k-sample generalization): does the measure's
+   * DISTRIBUTION shift across k groups, without assuming normal
+   * errors? The readout a heavy-tailed quality-score column needs
+   * where ANOVA's F chases outliers.
+   *
+   * Exactness: the [[mannWhitney]] doubled-average-rank device —
+   * per-value histogram ranks r₂ = 2·below + t + 1 are pure BIGINT,
+   * each group's doubled rank-sum R₂_g = Σ c·r₂ likewise; R_g²/n_g
+   * routes through DECIMAL(38,0) with one UNIT-precision `div` by
+   * 4·n_g (nonnegative numerator; ≤ k units total quantization —
+   * ≤ 12k/(n(n+1)) absolute error in H, vanishing at corpus n, and
+   * the oracle replays the identical floors). H is then ONE
+   * fixed-order double program over the exact integers, and the tie
+   * correction divides the UNrounded H by (1 − T/(n³−n)); both round
+   * 6 dp. H is NULL when k < 2 or n < 2; `h_tie` additionally NULL
+   * when every value ties (correction 0). The per-group Σ terms are
+   * BIGINT-safe to ~10⁶ rows per call (R₂² ≈ 4n⁴ must fit
+   * DECIMAL(38,0), Σ R²/n ≈ n³ must fit BIGINT) — feed it a
+   * per-shard slice or pre-bucketed values beyond that.
+   *
+   * Output: one row — `k`, `n`, `ties` (T = Σ t³−t), `h`, `h_tie`.
+   *
+   * Scale shape: one (value, group) cell aggregation (distinct
+   * values × groups, not rows), a value-cardinality-bounded prefix
+   * window, one groups-bounded reduction. The [[mannWhitney]] shape,
+   * k-wide.
+   */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val cells = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(v.as("__v"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val vh = cells.groupBy("__v").agg(sum(col("__c")).as("__t"))
+    val wPrior = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vh
+      .withColumn("__below", coalesce(sum(col("__t")).over(wPrior), lit(0L)))
+      .withColumn("__r2", col("__below") * 2 + col("__t") + 1)
+    val perG = cells.join(ranked, "__v")
+      .groupBy("__g")
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c") * col("__r2")).as("__rg2"))
+      .withColumn("__bg",
+        expr("(cast(__rg2 as decimal(38,0)) * __rg2) div (4 * __ng)"))
+    val ties = ranked.agg(coalesce(sum(
+      col("__t") * col("__t") * col("__t") - col("__t")), lit(0L))
+      .as("ties"))
+    val m = perG.agg(count(lit(1)).as("k"), sum(col("__ng")).as("n"),
+        sum(col("__bg")).as("__sb"))
+      .crossJoin(broadcast(ties))
+    val n = col("n")
+    val hRaw = lit(12.0d) * col("__sb").cast("double") /
+      (n * (n + 1L)).cast("double") -
+      lit(3.0d) * (n + 1L).cast("double")
+    val corr = lit(1.0d) - col("ties").cast("double") /
+      (n * n * n - n).cast("double")
+    m.select(col("k"), col("n"), col("ties"),
+      when(col("k") > 1L && n > 1L, round(hRaw, 6))
+        .otherwise(lit(null).cast("double")).as("h"),
+      when(col("k") > 1L && n > 1L && corr > 0d, round(hRaw / corr, 6))
+        .otherwise(lit(null).cast("double")).as("h_tie"))
+  }
+
+  /**
+   * McNemar's test for PAIRED binary gates — [[cohensKappa]] says two
+   * label sources agree; McNemar says whether their DISAGREEMENTS are
+   * symmetric, i.e. whether swapping gate A for gate B would change
+   * the corpus's keep rate at all. The b/c discordant cells are the
+   * whole story: rows where exactly one gate fires.
+   *
+   * Exactness: b, c are pure BIGINT counters; the continuity-corrected
+   * statistic (max(|b−c|−1, 0))²/(b+c) is one DECIMAL(38,0) square and
+   * ONE double division, 6 dp; NULL when b+c = 0 (no discordant pairs
+   * — the test is undefined, not 0).
+   *
+   * Output per `by` group: `n`, `b`, `c`, `chi2`.
+   *
+   * Scale shape: ONE map-side-combined aggregation; the exchange
+   * carries three counters per group.
+   */
+  def mcnemar(df: DataFrame, gate1Col: String, gate2Col: String,
+              by: Seq[String] = Nil): DataFrame = {
+    val g1 = col(gate1Col)
+    val g2 = col(gate2Col)
+    val m = df.where(g1.isNotNull && g2.isNotNull)
+      .groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(g1 && !g2, 1L).otherwise(0L)).as("b"),
+        sum(when(!g1 && g2, 1L).otherwise(0L)).as("c"))
+    val num = greatest(abs(col("b") - col("c")) - 1L, lit(0L))
+    m.select((by.map(col) :+ col("n") :+ col("b") :+ col("c") :+
+      when(col("b") + col("c") > 0L,
+        round((num.cast("decimal(38,0)") * num).cast("double") /
+          (col("b") + col("c")).cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("chi2")): _*)
+  }
+
+  /**
+   * G-test of independence (log-likelihood ratio) over two
+   * categorical columns — [[chiSquareIndependence]]'s
+   * information-theoretic twin: G = 2·Σ O·ln(O·n / (r·c)) = 2n·MI,
+   * additive across partitions of the table (chi-square is not),
+   * which is why corpus-drift dashboards prefer it. Reported with
+   * the degrees of freedom so the caller reads it against the same
+   * chi-square reference distribution.
+   *
+   * Exactness: the [[mutualInformation]] micro-nat program — each ln
+   * is ONE fixed-order double over integer casts, portable-floored to
+   * integer micro-nats; `g_micro` = 2·Σ O·lnMicro is pure BIGINT
+   * (empty cells contribute nothing to G — unlike chi-square, the
+   * O = 0 grid completion has no term), `g` = g_micro/10⁶ exact in
+   * double far past any real table.
+   *
+   * Output: one row — `n`, `r_a`, `r_b`, `dof`, `g_micro`, `g`.
+   *
+   * Scale shape: ONE data pass to the (a, b) cell grid; margins and
+   * the total derive from the grid; everything after is grid-keyed
+   * joins plus 1-row broadcasts.
+   */
+  def gTest(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.where(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("__a"), col(colB).as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ma = cells.groupBy("__a").agg(sum(col("__c")).as("__ca"))
+    val mb = cells.groupBy("__b").agg(sum(col("__c")).as("__cb"))
+    val nr = cells.agg(sum(col("__c")).as("__n"),
+      count_distinct(col("__a")).as("r_a"),
+      count_distinct(col("__b")).as("r_b"))
+    def lnMicro(x: Column): Column =
+      floor(log(x) * 1e6d + 0.5d).cast("long")
+    def d(c: Column): Column = c.cast("double")
+    val gSum = cells.join(ma, "__a").join(mb, "__b")
+      .crossJoin(broadcast(nr.select(col("__n"))))
+      .select((col("__c") *
+        lnMicro((d(col("__c")) * d(col("__n"))) /
+          (d(col("__ca")) * d(col("__cb"))))).as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("__sg"))
+    nr.crossJoin(broadcast(gSum))
+      .select(col("__n").as("n"), col("r_a"), col("r_b"),
+        ((col("r_a") - 1L) * (col("r_b") - 1L)).as("dof"),
+        (col("__sg") * 2L).as("g_micro"),
+        (col("__sg").cast("double") * 2.0d / 1e6d).as("g"))
+  }
+
+  /**
+   * Cohen's d (with Hedges' g small-sample correction) between two
+   * groups of an integer measure — the effect SIZE companion to
+   * [[mannWhitney]]/[[anovaOneWay]]'s test statistics: a 100 TB corpus
+   * makes everything "significant"; d says how many pooled standard
+   * deviations apart the means actually are.
+   *
+   * Exactness: per-group BIGINT moments (Σv² in DECIMAL); each
+   * group's within-SS routes through the [[anovaOneWay]]
+   * DECIMAL(38,0) unit-precision `div` (clamped at 0); means are one
+   * double division each; d = (mean_a − mean_b) / √(SSW/(n−2)) and
+   * g = d·(1 − 3/(4n−9)) are fixed-order double programs, 6 dp.
+   * NULL d/g when n_a + n_b < 3 or the pooled SS is 0.
+   *
+   * Output per `by` group: `n_a`, `n_b`, `mean_a`, `mean_b`, `d`, `g`.
+   *
+   * Scale shape: ONE map-side-combined aggregation carrying six
+   * counters per group; nothing else touches the data.
+   */
+  def cohensD(df: DataFrame, groupCol: String, valueCol: String,
+              a: String, b: String, by: Seq[String] = Nil): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val isA = col(groupCol) === a
+    val m = df.where(v.isNotNull &&
+        (col(groupCol) === a || col(groupCol) === b))
+      .groupBy(by.map(col): _*)
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isA, v).otherwise(0L)).as("__sa"),
+        sum(when(!isA, v).otherwise(0L)).as("__sb"),
+        sum(when(isA, (v * v).cast("decimal(38,0)")).otherwise(lit(0L).cast("decimal(38,0)"))).as("__qa"),
+        sum(when(!isA, (v * v).cast("decimal(38,0)")).otherwise(lit(0L).cast("decimal(38,0)"))).as("__qb"))
+    val sswa = greatest((col("__qa") -
+      expr("(cast(__sa as decimal(38,0)) * __sa) div n_a")).cast("long"), lit(0L))
+    val sswb = greatest((col("__qb") -
+      expr("(cast(__sb as decimal(38,0)) * __sb) div n_b")).cast("long"), lit(0L))
+    val n = col("n_a") + col("n_b")
+    val meanA = col("__sa").cast("double") / col("n_a").cast("double")
+    val meanB = col("__sb").cast("double") / col("n_b").cast("double")
+    val withSs = m.where(col("n_a") > 0L && col("n_b") > 0L)
+      .withColumn("__ssw", sswa + sswb)
+    val s2 = col("__ssw").cast("double") / (n - 2L).cast("double")
+    val dVal = (meanA - meanB) / sqrt(s2)
+    withSs.select((by.map(col) :+ col("n_a") :+ col("n_b") :+
+      round(meanA, 6).as("mean_a") :+ round(meanB, 6).as("mean_b") :+
+      when(n > 2L && col("__ssw") > 0L, round(dVal, 6))
+        .otherwise(lit(null).cast("double")).as("d") :+
+      when(n > 2L && col("__ssw") > 0L,
+        round(dVal * (lit(1.0d) - lit(3.0d) /
+          (lit(4.0d) * n.cast("double") - 9.0d)), 6))
+        .otherwise(lit(null).cast("double")).as("g")): _*)
+  }
+
+  /**
+   * Brown–Forsythe test — variance-homogeneity check for
+   * [[anovaOneWay]]'s equal-variance assumption, and itself the
+   * "did the SPREAD change" gate a drift dashboard wants beside the
+   * mean shift: one-way ANOVA over |v − median_g|, the
+   * median-centered (robust) Levene variant.
+   *
+   * Exactness: the group median is the deterministic LOWER median —
+   * the value at rank (n_g+1) div 2 of the group's ascending order —
+   * so the absolute deviations stay pure integers and the whole
+   * [[anovaOneWay]] exactness contract applies to them unchanged.
+   * (The convention is stated here because both engines must replay
+   * it; quantile interpolation would leak doubles into the moments.)
+   *
+   * Output: [[anovaOneWay]]'s row over the deviations — `k`, `n`,
+   * `ssb`, `ssw`, `f`, `eta2`.
+   *
+   * Scale shape: one per-group sort-window pass for the rank-median
+   * (partitioned by group — each partition orders only its own rows),
+   * a groups-bounded median broadcast back onto the rows, then the
+   * [[anovaOneWay]] single-aggregation shape.
+   */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val base = df.where(v.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), v.as("__v"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val wc = Window.partitionBy(col("__g"))
+    val med = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .where(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col("__g"), col("__v").as("__med"))
+    val dev = base.join(broadcast(med), "__g")
+      .select(col("__g"), abs(col("__v") - col("__med")).as("__z"))
+    anovaOneWay(dev, "__g", "__z")
+  }
+
+  /**
+   * Cochran–Armitage trend test — is a binary outcome's rate
+   * MONOTONE in an ordered dose (length bucket, quality decile,
+   * dedup round)? The chi-square of independence burns its power on
+   * arbitrary differences; this spends all of it on the linear trend
+   * the curriculum / filtering question actually asks.
+   *
+   * Exactness: with integer dose scores t_i and per-dose (n_i, r_i)
+   * BIGINT counts, Z² = N·A² / (R(N−R)·(N·Σt²n − (Σtn)²)) where
+   * A = N·Σt·r − R·Σt·n — every product routed through DECIMAL(38,0),
+   * ONE double division, 6 dp. `direction` is sign(A): +1 means the
+   * positive rate rises with the dose. NULL z2 when the outcome is
+   * constant (R = 0 or R = N) or all doses coincide (denominator 0).
+   *
+   * Output: one row — `n`, `r`, `k`, `z2`, `direction`.
+   *
+   * Scale shape: ONE map-side-combined aggregation to per-dose
+   * counts (doses, not rows, cross the exchange), then a
+   * doses-bounded reduction.
+   */
+  def cochranArmitage(df: DataFrame, doseCol: String,
+                      labelCol: String): DataFrame = {
+    val t = col(doseCol).cast("long")
+    val pos = col(labelCol)
+    val perDose = df.where(t.isNotNull && pos.isNotNull)
+      .groupBy(t.as("__t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(pos, 1L).otherwise(0L)).as("__r"))
+    val m = perDose.agg(count(lit(1)).as("k"),
+      sum(col("__n")).as("n"), sum(col("__r")).as("r"),
+      sum(col("__t") * col("__n")).as("__tn"),
+      sum(col("__t") * col("__t") * col("__n")).as("__ttn"),
+      sum(col("__t") * col("__r")).as("__tr"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val aNum = dec(col("n")) * col("__tr") - dec(col("r")) * col("__tn")
+    val denom = (dec(col("r")) * (col("n") - col("r")))
+      .cast("decimal(38,0)") *
+      (dec(col("n")) * col("__ttn") - dec(col("__tn")) * col("__tn"))
+        .cast("decimal(38,0)")
+    m.select(col("n"), col("r"), col("k"),
+      when(col("r") > 0L && col("r") < col("n") && denom > 0,
+        round((dec(col("n")) * aNum * aNum).cast("double") /
+          denom.cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("z2"),
+      when(aNum > 0, 1L).when(aNum < 0, -1L).otherwise(0L)
+        .as("direction"))
+  }
 }

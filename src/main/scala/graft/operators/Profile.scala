@@ -551,4 +551,138 @@ object Profile {
       when(col("total") > 0L, expr("__top * 1000000 div total"))
         .as("top_decile_ppm")): _*)
   }
+
+  /**
+   * l-diversity distribution — [[kAnonymity]] reports the single worst
+   * class; this profiles the WHOLE anonymity surface: for every
+   * distinct-sensitive-count l, how many equivalence classes sit at
+   * that diversity, how many rows they hold, and the worst Shannon
+   * entropy among them (entropy l-diversity, the stricter variant:
+   * a class can have 5 distinct values and still be 99% one value).
+   *
+   * Exactness: class/cell counts are pure BIGINT; per-class entropy
+   * follows the [[Eval.mutualInformation]] micro-nat program — each
+   * ln is ONE fixed-order double over integer casts, portable-floored
+   * to micro-nats, weighted sums in BIGINT, one portable-rounded
+   * division per class (`min_h_micro` = the minimum of those exact
+   * integers, so the readout is engine-independent).
+   *
+   * Output: one row per observed l — `l`, `n_classes`, `n_rows`,
+   * `min_h_micro` (micro-nats; ln(l)·10⁶ is the ceiling).
+   *
+   * Scale shape: ONE pass to (quasi*, sensitive) cells, a
+   * cells-bounded class rollup, an l-bounded final rollup. The
+   * exchanges carry quasi-cardinality, never rows.
+   */
+  def lDiversityProfile(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty,
+      "lDiversityProfile: need quasi-identifier columns")
+    val cells = df
+      .where(col(sensitiveCol).isNotNull &&
+        quasiCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy((quasiCols.map(col) :+ col(sensitiveCol).as("__s")): _*)
+      .agg(count(lit(1)).as("__c"))
+    def lnMicro(x: Column): Column =
+      floor(log(x) * 1e6d + 0.5d).cast("long")
+    val withN = cells.withColumn("__n",
+      sum(col("__c")).over(Window.partitionBy(quasiCols.map(col): _*)))
+    val classes = withN
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__l"), max(col("__n")).as("__n"),
+        sum(col("__c") *
+          lnMicro(col("__n").cast("double") / col("__c").cast("double")))
+          .as("__hs"))
+    classes
+      .withColumn("__h",
+        floor(col("__hs").cast("double") / col("__n").cast("double") +
+          0.5d).cast("long"))
+      .groupBy(col("__l").as("l"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("__n")).as("n_rows"),
+        min(col("__h")).as("min_h_micro"))
+  }
+
+  /**
+   * t-closeness over an ORDERED sensitive attribute — the gate
+   * l-diversity can't give: a class can be perfectly diverse yet
+   * still leak ("every row in this class is in the top balance
+   * decile"). Per equivalence class, the earth-mover's distance
+   * between the class's sensitive distribution and the global one,
+   * EMD = Σᵢ |CumP_i − CumQ_i| / (m−1) over the m ordered values —
+   * the standard ordered-attribute form.
+   *
+   * Exactness: cumulative counts cross-multiply (|cum_c·G − cum_g·n|)
+   * in DECIMAL(38,0), each class's EMD quantizes by ONE integer
+   * division — `(Σ·10⁶) div (n·G·(m−1))` (nonnegative numerator) —
+   * so t_max, the row-weighted average, and the violation count are
+   * all integer decisions. m = 1 (constant attribute) yields EMD 0
+   * for every class.
+   *
+   * Output: one row — `n_rows`, `n_classes`, `m`, `t_max` (6 dp),
+   * `avg_micro` (row-weighted mean EMD in ppm), `n_over`
+   * (classes with EMD·10⁶ > `thresholdMicro`).
+   *
+   * Scale shape: one pass to (quasi*, value) cells, a completion
+   * join against the m-bounded global value list (zero cells carry
+   * cumulative mass), one per-class window over m rows, one
+   * classes-bounded rollup. Exchanges carry quasi-cardinality × m.
+   */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String,
+                 thresholdMicro: Long = 200000L): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness: need quasi-identifier columns")
+    val v = col(sensitiveCol).cast("long")
+    val base = df.where(v.isNotNull &&
+        quasiCols.map(col(_).isNotNull).reduce(_ && _))
+      .select((quasiCols.map(col) :+ v.as("__v")): _*)
+    val cells = base.groupBy((quasiCols.map(col) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val global = cells.groupBy("__v").agg(sum(col("__c")).as("__g"))
+    val classTot = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__n"))
+    // complete grid: every class x every global value (zero cells
+    // still move cumulative mass)
+    val grid = classTot.crossJoin(broadcast(global))
+      .join(cells, quasiCols :+ "__v", "left")
+      .na.fill(0L, Seq("__c"))
+    val wCum = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("__cc", sum(col("__c")).over(wCum))
+      .withColumn("__cg", sum(col("__g")).over(
+        Window.partitionBy(quasiCols.map(col): _*).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__gt", sum(col("__g")).over(
+        Window.partitionBy(quasiCols.map(col): _*)))
+      .withColumn("__m", count(lit(1)).over(
+        Window.partitionBy(quasiCols.map(col): _*)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(quasiCols.map(col): _*).orderBy(col("__v"))))
+      .where(col("__rk") < col("__m"))
+      .withColumn("__num",
+        abs(col("__cc").cast("decimal(38,0)") * col("__gt") -
+          col("__cg").cast("decimal(38,0)") * col("__n")))
+    val perClass = cum.groupBy((quasiCols.map(col) :+ col("__n") :+
+        col("__gt") :+ col("__m")): _*)
+      .agg(sum(col("__num")).as("__snum"))
+      .withColumn("__emd",
+        expr("(cast(__snum as decimal(38,0)) * 1000000) div " +
+          "(cast(__n as decimal(38,0)) * __gt * (__m - 1))"))
+    val single = classTot.agg(sum(col("__n")).as("n_rows"),
+      count(lit(1)).as("n_classes"))
+    val emdAgg = perClass.agg(
+      max(col("__m")).as("m"),
+      max(col("__emd")).as("__tmax"),
+      sum(col("__n") * col("__emd")).as("__wsum"),
+      sum(when(col("__emd") > thresholdMicro, 1L).otherwise(0L))
+        .as("n_over"))
+    single.crossJoin(broadcast(emdAgg))
+      .select(col("n_rows"), col("n_classes"),
+        coalesce(col("m"), lit(1L)).as("m"),
+        round(coalesce(col("__tmax"), lit(0L)).cast("double") / 1e6d, 6)
+          .as("t_max"),
+        coalesce(expr("__wsum div n_rows"), lit(0L)).as("avg_micro"),
+        coalesce(col("n_over"), lit(0L)).as("n_over"))
+  }
 }

@@ -1050,4 +1050,60 @@ object Similarity {
           (sqrt(col("__n2a").cast("double")) *
             sqrt(col("__n2b").cast("double"))), 6)).as("cos_centroid"))
   }
+
+  /**
+   * Simplified silhouette — clustering quality for a trained
+   * [[kmeansCentroids]] model without the classic silhouette's
+   * all-pairs distances: per point, a = distance to its OWN centroid,
+   * b = distance to the nearest OTHER centroid, s = (b − a) / b
+   * (b ≥ a by construction, so max(a, b) = b; s = 0 when b = 0).
+   * The standard readout for "did k split anything real" at corpus
+   * scale — O(N·C), the same cost as one assignment round.
+   *
+   * Determinism: quantized vectors keep every squared distance an
+   * integer-valued double, the (d2, cid) lexicographic fold breaks
+   * ties engine-independently, sqrt/subtract/divide is ONE
+   * fixed-order double program, and each point's s quantizes to
+   * integer micro before the per-cluster sum — so the cluster means
+   * are integer decisions (`mean_s_micro` = Σ s_micro div n).
+   *
+   * Output per cluster: `cid`, `n`, `mean_s_micro`.
+   *
+   * Scale shape: centroids broadcast as ONE collected array (C ≈ √N
+   * by the [[sqrtStride]] discipline — d-doubles-bounded driver
+   * state, the kmeans precedent); the two-best fold runs inside the
+   * scan; the only exchange carries (cid, n, Σ) per cluster.
+   */
+  def simplifiedSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame): DataFrame = {
+    val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+    val centArr = centroids
+      .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
+    val far = struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cid"))
+    val acc0 = struct(far.as("b1"), far.as("b2"))
+    val best2 = aggregate(col("__cents"), acc0, (acc, c) => {
+      val cv = c.getField("__cv")
+      val d2 = dot(col("__q"), col("__q")) -
+        lit(2.0) * dot(col("__q"), cv) + dot(cv, cv)
+      val cand = struct(d2.as("d2"), c.getField("__cid").as("cid"))
+      val b1 = acc.getField("b1")
+      val b2 = acc.getField("b2")
+      when(cand < b1, struct(cand.as("b1"), b1.as("b2")))
+        .otherwise(struct(b1.as("b1"),
+          when(cand < b2, cand).otherwise(b2).as("b2")))
+    })
+    val sa = sqrt(col("__b").getField("b1").getField("d2"))
+    val sb = sqrt(col("__b").getField("b2").getField("d2"))
+    // a single-centroid model has no "nearest other" — s defined 0
+    val s = when(col("__b").getField("b2").getField("cid") ===
+        lit(Long.MaxValue), lit(0.0d))
+      .when(sb > 0d, (sb - sa) / sb).otherwise(lit(0.0d))
+    q.crossJoin(broadcast(centArr))
+      .withColumn("__b", best2)
+      .withColumn("__s", floor(s * 1e6d + 0.5d).cast("long"))
+      .groupBy(col("__b").getField("b1").getField("cid").as("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ss"))
+      .withColumn("mean_s_micro", expr("__ss div n"))
+      .select(col("cid"), col("n"), col("mean_s_micro"))
+  }
 }

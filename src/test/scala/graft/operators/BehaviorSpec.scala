@@ -609,4 +609,30 @@ class BehaviorSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(s1.getDouble(6) == chi2)
   }
+
+  test("changepointSse: exact micro gains, earliest-index tie-break") {
+    val ss = spark
+    import ss.implicits._
+    // series {1,1,1,5,5}: S=13, gains (micro) at i=1..4:
+    //   3200000, 8533333, 19200000, 7200000 -> split after index 3
+    val df = Seq(("a", 1, 1), ("a", 2, 1), ("a", 3, 1), ("a", 4, 5),
+      ("a", 5, 5)).toDF("g", "t", "v")
+    val r = Behavior.changepointSse(df, Seq("g"), "t", "v").head()
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Int]("cp_index") == 3)
+    // cp_order = the LAST point of the left segment (t = 3)
+    assert(r.getAs[Int]("cp_order") == 3)
+    assert(r.getAs[Long]("gain_micro") == 19200000L)
+    assert(r.getAs[Double]("mean_left") == 1.0)
+    assert(r.getAs[Double]("mean_right") == 5.0)
+    // constant series: every gain 0, tie breaks to the EARLIEST split
+    val const = Behavior.changepointSse(
+      Seq(("c", 1, 2), ("c", 2, 2), ("c", 3, 2), ("c", 4, 2))
+        .toDF("g", "t", "v"), Seq("g"), "t", "v").head()
+    assert(const.getAs[Long]("gain_micro") == 0L)
+    assert(const.getAs[Int]("cp_index") == 1)
+    // single-point series has no interior split and drops
+    assert(Behavior.changepointSse(Seq(("s", 1, 9)).toDF("g", "t", "v"),
+      Seq("g"), "t", "v").count() == 0L)
+  }
 }

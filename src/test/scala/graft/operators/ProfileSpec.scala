@@ -281,4 +281,42 @@ class ProfileSpec extends SparkTestBase with Matchers {
     // zero total: undefined
     assert(out("z") == ((2L, 0L, None, None)))
   }
+
+  test("lDiversityProfile: per-l rollup with micro-nat worst entropy") {
+    val ss = spark
+    import ss.implicits._
+    // class A: {x,x,y} -> l=2, h = floor((2*ln(3/2)+ln(3))micro/3 + .5)
+    //   = floor((810930 + 1098612)/3 + .5) = 636514
+    // class B: {z,z} -> l=1, h = 0
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("B", "z"), ("B", "z"))
+      .toDF("q", "s")
+    val out = Profile.lDiversityProfile(df, Seq("q"), "s")
+      .collect().map(r => r.getAs[Long]("l") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("min_h_micro")))).toMap
+    out(1L) shouldBe ((1L, 2L, 0L))
+    out(2L) shouldBe ((1L, 3L, 636514L))
+  }
+
+  test("tCloseness: hand EMD, violation count, constant-attribute zero") {
+    val ss = spark
+    import ss.implicits._
+    // A = {1,1,2} (emd 266666 micro), B = {2,2} (emd 400000 micro)
+    // t_max = 0.4; avg = (3*266666 + 2*400000) div 5 = 319999; both > 0.2
+    val df = Seq(("A", 1), ("A", 1), ("A", 2), ("B", 2), ("B", 2))
+      .toDF("q", "v")
+    val r = Profile.tCloseness(df, Seq("q"), "v").head()
+    r.getAs[Long]("n_rows") shouldBe 5L
+    r.getAs[Long]("n_classes") shouldBe 2L
+    r.getAs[Long]("m") shouldBe 2L
+    r.getAs[Double]("t_max") shouldBe 0.4
+    r.getAs[Long]("avg_micro") shouldBe 319999L
+    r.getAs[Long]("n_over") shouldBe 2L
+    // constant sensitive attribute: no interior cut -> EMD 0 everywhere
+    val const = Profile.tCloseness(
+      Seq(("A", 7), ("B", 7)).toDF("q", "v"), Seq("q"), "v").head()
+    const.getAs[Long]("m") shouldBe 1L
+    const.getAs[Double]("t_max") shouldBe 0.0
+    const.getAs[Long]("n_over") shouldBe 0L
+  }
 }
