@@ -34,6 +34,18 @@ object PlanAudit {
     "q75_kmeans_refine", "q76_ivf_trained", "q78_ivf_knn_join",
     // q91: the histogram's global (min,max) is ONE broadcast row
     "q91_histogram",
+    // q261: Kruskal-Wallis' 1-row tie-total broadcast onto the 1-row
+    // moment aggregate (no-collect scalar pattern)
+    "q261_kruskal_wallis",
+    // q263: the G-test's 1-row grid-total and micro-nat-sum broadcasts
+    // (the q192 mutualInformation shape)
+    "q263_g_test",
+    // q269: t-closeness' class x value grid completion (classes x m,
+    // both quasi-bounded) + the 1-row EMD-aggregate broadcast
+    "q269_t_closeness",
+    // q270: the silhouette's centroid set collapses to ONE broadcast
+    // row (the q75 centroid pattern)
+    "q270_silhouette",
     // q99/q100/q101: the LM vocabulary size / bucket-histogram totals /
     // corpus token total are each ONE broadcast row
     "q99_lm_perplexity", "q100_dsir_weights", "q101_source_divergence",

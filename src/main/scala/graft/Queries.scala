@@ -3376,6 +3376,15 @@ object Queries {
       centroidStride = Similarity.sqrtStride(emb), nprobe = 8)
   }
 
+  /** Q271 RAKE keyphrase extraction with CORPUS-DERIVED stopwords
+    * (top-20 tokens): maximal non-stopword runs score degree/freq —
+    * the multi-word companion to q129's single-term tf-idf. Phrases
+    * assemble in-row (mark-and-split); every score is an integer
+    * micro decision. */
+  val q271: Q = (s, dir) =>
+    TextMetrics.rakeKeywords(Tables.documents(s, dir), "text",
+      k = 25, stopK = 20, maxPhraseLen = 4)
+
   /** Q270 simplified silhouette of the 1-round-trained kmeans model
     * (q75's quantizer) — the "did k split anything real" readout at
     * assignment-round cost: per cluster, the mean of
@@ -5428,6 +5437,7 @@ object Queries {
     "q268_l_diversity" -> q268,
     "q269_t_closeness" -> q269,
     "q270_silhouette" -> q270,
+    "q271_rake_keywords" -> q271,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9580,6 +9590,28 @@ object Queries {
         + "SELECT cid, COUNT(*) AS n, "
         + "CAST(CAST(SUM(s) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_s_micro "
         + "FROM sm GROUP BY cid ORDER BY cid"),
+    "q271_rake_keywords" ->
+      // corpus-top-20 stopword list, the same mark-and-split phrase
+      // assembly (chr(1) sentinel), integer degree/freq micro scores,
+      // (score desc, phrase asc) top-25
+      ("WITH w AS (SELECT doc_id, list_filter(str_split(lower(trim(text)), ' '), x -> x <> '') AS toks FROM documents), "
+        + "uni AS (SELECT unnest(toks) AS tok FROM w), "
+        + "uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1), "
+        + "st AS (SELECT tok FROM (SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn FROM uc) WHERE rn <= 20), "
+        + "sl AS (SELECT list(tok) AS stops FROM st), "
+        + "ph0 AS (SELECT unnest(str_split(array_to_string(list_transform(w.toks, "
+        + "x -> CASE WHEN list_contains(sl.stops, x) THEN chr(1) ELSE x END), ' '), chr(1))) AS p "
+        + "FROM w CROSS JOIN sl), "
+        + "phr AS (SELECT trim(p) AS phrase FROM ph0 WHERE trim(p) <> '' AND len(str_split(trim(p), ' ')) <= 4), "
+        + "pw AS (SELECT phrase, len(str_split(phrase, ' ')) AS plen, unnest(str_split(phrase, ' ')) AS wd FROM phr), "
+        + "ws AS (SELECT wd, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg FROM pw GROUP BY 1), "
+        + "ws2 AS (SELECT wd, (deg * 1000000) // freq AS wscore FROM ws), "
+        + "pc AS (SELECT phrase, COUNT(*) AS n FROM phr GROUP BY 1), "
+        + "pd AS (SELECT phrase, unnest(str_split(phrase, ' ')) AS wd FROM pc), "
+        + "ps AS (SELECT phrase, CAST(SUM(wscore) AS BIGINT) AS score_micro FROM pd JOIN ws2 USING (wd) GROUP BY 1) "
+        + "SELECT pc.phrase, pc.n, CAST(len(str_split(pc.phrase, ' ')) AS BIGINT) AS n_words, "
+        + "ps.score_micro, CAST(ps.score_micro AS DOUBLE) / 1000000.0 AS score "
+        + "FROM pc JOIN ps USING (phrase) ORDER BY score_micro DESC, phrase ASC LIMIT 25"),
   )
 
   /** The q260 one-way-ANOVA oracle tail: BIGINT group moments from a

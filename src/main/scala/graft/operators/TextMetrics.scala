@@ -564,6 +564,76 @@ object TextMetrics {
    * counts are vocab-bounded aggregations; two vocab-keyed joins and
    * two 1-row total broadcasts; TakeOrdered top-k.
    */
+  /**
+   * RAKE keyword extraction (Rapid Automatic Keyword Extraction,
+   * Rose et al. 2010) — multi-word keyphrases, corpus-wide: candidate
+   * phrases are maximal runs of non-stopword tokens; each word scores
+   * degree/frequency (degree = Σ length of phrases it appears in);
+   * a phrase scores the sum of its words' scores. The stopword list
+   * is CORPUS-DERIVED (the `stopK` most frequent tokens, ties
+   * lexicographic) — language-agnostic and side-channel-free, where
+   * a fixed English list would silently no-op on zh/de corpora.
+   *
+   * Phrases assemble IN-ROW by the mark-and-split device: stopwords
+   * rewrite to a U+0001 sentinel, the token array re-joins on spaces
+   * and splits on the sentinel — no positional explode, no doc-keyed
+   * token shuffle (tokens must not contain U+0001 — they come from
+   * whitespace splitting). Phrases longer than `maxPhraseLen` words
+   * drop (the standard RAKE cutoff; unbounded runs are boilerplate,
+   * not keyphrases).
+   *
+   * Exactness: word scores quantize by ONE integer division
+   * (`degree·10⁶ div freq`, nonnegative), phrase scores are BIGINT
+   * sums of those integers, and the top-k orders by
+   * (score_micro desc, phrase asc) — every decision integer.
+   *
+   * Output: top-`k` rows of (`phrase`, `n`, `n_words`,
+   * `score_micro`, `score`).
+   *
+   * Scale shape: one vocab-bounded frequency pass feeds a stopK-row
+   * TakeOrdered whose collected array broadcasts back (stopK ≈ 20
+   * strings — 1-row state, the kmeans-centroid precedent); ONE
+   * corpus pass emits phrases (short strings, vocab-bounded
+   * aggregations — the [[pmiCollocations]] posture); word stats,
+   * phrase counts, and scores derive from checkpointed phrase
+   * tables; TakeOrdered top-k.
+   */
+  def rakeKeywords(docs: DataFrame, textCol: String, k: Int = 25,
+                   stopK: Int = 20, maxPhraseLen: Int = 4): DataFrame = {
+    require(k >= 1 && stopK >= 1 && maxPhraseLen >= 1,
+      "rakeKeywords: k, stopK, maxPhraseLen must be >= 1")
+    val w = filter(split(lower(trim(col(textCol))), " "), t => t =!= "")
+    val uni = docs.select(explode(w).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+    val stopArr = uni.orderBy(col("__c").desc, col("tok").asc).limit(stopK)
+      .agg(sort_array(collect_list(col("tok"))).as("__stops"))
+    val marked = concat_ws(" ", transform(w, t =>
+      when(array_contains(col("__stops"), t), lit("\u0001")).otherwise(t)))
+    val phrases = filter(transform(split(marked, "\u0001"), p => trim(p)),
+      p => p =!= "" && size(split(p, " ")) <= maxPhraseLen)
+    val phr = docs.crossJoin(broadcast(stopArr))
+      .select(explode(phrases).as("phrase"))
+      .localCheckpoint()
+    val pw = phr
+      .select(col("phrase"), size(split(col("phrase"), " ")).as("__plen"))
+      .select(explode(split(col("phrase"), " ")).as("wd"), col("__plen"))
+    val ws = pw.groupBy("wd")
+      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
+      .withColumn("__wscore", expr("(__deg * 1000000) div __freq"))
+    val pc = phr.groupBy("phrase").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val pscore = pc.select(col("phrase"))
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("wd"))
+      .join(ws.select(col("wd"), col("__wscore")), "wd")
+      .groupBy("phrase").agg(sum(col("__wscore")).as("score_micro"))
+    pc.join(pscore, "phrase")
+      .select(col("phrase"), col("n"),
+        size(split(col("phrase"), " ")).cast("long").as("n_words"),
+        col("score_micro"),
+        (col("score_micro").cast("double") / 1e6d).as("score"))
+      .orderBy(col("score_micro").desc, col("phrase").asc).limit(k)
+  }
+
   def pmiCollocations(docs: DataFrame, textCol: String, k: Int = 20,
                       minCount: Long = 5L): DataFrame = {
     require(k >= 1, "pmiCollocations: k must be >= 1")

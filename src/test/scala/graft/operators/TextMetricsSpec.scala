@@ -579,4 +579,29 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
       .collect().map(_.getLong(2)).toSet
     assert(top2 == Set(2L, 3L))
   }
+
+  test("rakeKeywords: corpus stopwords, degree/freq scores, exact order") {
+    val ss = spark
+    import ss.implicits._
+    // corpus-top-1 stopword = "the"; phrases: "quick fox jumps",
+    // "lazy dog", "quick fox", "dog"
+    // word micro-scores: quick/fox (deg 5, freq 2) = 2500000,
+    // jumps 3000000, lazy 2000000, dog (deg 3, freq 2) = 1500000
+    val docs = Seq(
+      (1L, "the quick fox jumps the lazy dog"),
+      (2L, "the quick fox the dog")).toDF("doc_id", "text")
+    val out = TextMetrics.rakeKeywords(docs, "text", k = 10, stopK = 1)
+      .collect()
+    out.map(_.getAs[String]("phrase")).toSeq shouldBe
+      Seq("quick fox jumps", "quick fox", "lazy dog", "dog")
+    out.map(_.getAs[Long]("score_micro")).toSeq shouldBe
+      Seq(8000000L, 5000000L, 3500000L, 1500000L)
+    out.map(_.getAs[Long]("n")).toSeq shouldBe Seq(1L, 1L, 1L, 1L)
+    out.head.getAs[Long]("n_words") shouldBe 3L
+    // phrases longer than maxPhraseLen drop entirely
+    val capped = TextMetrics.rakeKeywords(docs, "text", k = 10,
+      stopK = 1, maxPhraseLen = 2).collect()
+    capped.map(_.getAs[String]("phrase")).toSeq shouldBe
+      Seq("quick fox", "lazy dog", "dog")
+  }
 }
