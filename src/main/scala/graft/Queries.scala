@@ -3376,6 +3376,76 @@ object Queries {
       centroidStride = Similarity.sqrtStride(emb), nprobe = 8)
   }
 
+  /** Q273 REAL QOI decode (north star multimodal): q131's text-byte
+    * truecolor pixels encoded as actual QOI files (`Qoi.encode` —
+    * run/index/diff/luma/rgb greedy ops) and pushed through the FULL
+    * decoder (header walk, all six chunk ops, the stateful 64-slot
+    * rolling index, end-marker verification), reported like
+    * q108/q131. The oracle replays the decoded-pixel stats from raw
+    * text, so it only matches if encode→decode is bit-exact —
+    * including the index-array bookkeeping on both sides. */
+  val q273: Q = (s, dir) => {
+    import graft.multimodal.{Asset, Multimodal, Qoi}
+    val d = Tables.documents(s, dir)
+    val enc = org.apache.spark.sql.Encoders.product[Asset]
+    val assets = d.select(col("doc_id").as("asset_id"),
+        lit("image/qoi").as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        (lit(7) + pmod(col("doc_id"), lit(8))).cast("int").as("width"),
+        (lit(4) + pmod(col("doc_id"), lit(6))).cast("int").as("height"))
+      .as[Asset](enc)
+      .mapPartitions { it =>
+        it.map { a =>
+          val n = a.width * a.height
+          def t(j: Int): Byte =
+            if (j < a.bytes.length) a.bytes(j) else 32.toByte
+          val bgr = new Array[Byte](n * 3)
+          var i = 0
+          while (i < n) {
+            bgr(i * 3) = t(i * 3 + 2)     // B
+            bgr(i * 3 + 1) = t(i * 3 + 1) // G
+            bgr(i * 3 + 2) = t(i * 3)     // R
+            i += 1
+          }
+          a.copy(bytes = Qoi.encode(a.width, a.height, bgr))
+        }
+      }(enc)
+    bmpFeatureReport(d, Multimodal.decodeQoiFeatures(assets))
+  }
+
+  /** Q272 TextRank keywords — q148's PageRank run on the word
+    * co-occurrence graph (adjacent non-stopword pairs, q271's
+    * corpus-derived stoplist, co-occurrence counts as edge weights):
+    * the graph-centrality companion to RAKE's degree/freq scores.
+    * 3 replayed iterations, top-25 by (pr desc, word asc). */
+  val q272: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val w = filter(split(lower(trim(col("text"))), " "), t => t =!= "")
+    val uni = d.select(explode(w).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+    val stopArr = uni.orderBy(col("__c").desc, col("tok").asc).limit(20)
+      .agg(sort_array(collect_list(col("tok"))).as("__stops"))
+    val biArr = when(size(w) >= 2,
+      filter(transform(sequence(lit(1), size(w) - 1),
+        i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))),
+        p => !array_contains(col("__stops"), p.getField("a")) &&
+          !array_contains(col("__stops"), p.getField("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val pairs = d.crossJoin(broadcast(stopArr))
+      .select(explode(biArr).as("p"))
+      .select(least(col("p.a"), col("p.b")).as("x"),
+        greatest(col("p.a"), col("p.b")).as("y"))
+      .where(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("x").as("src"), col("y").as("dst"), col("w"))
+      .unionByName(pairs.select(col("y").as("src"), col("x").as("dst"),
+        col("w")))
+    Graph.pageRankWeighted(edges, "src", "dst", "w", iters = 3)
+      .select(col("id").as("word"), col("degree").as("out_weight"),
+        round(col("rank"), 6).as("pr"))
+      .orderBy(col("pr").desc, col("word").asc).limit(25)
+  }
+
   /** Q271 RAKE keyphrase extraction with CORPUS-DERIVED stopwords
     * (top-20 tokens): maximal non-stopword runs score degree/freq —
     * the multi-word companion to q129's single-term tf-idf. Phrases
@@ -5438,6 +5508,8 @@ object Queries {
     "q269_t_closeness" -> q269,
     "q270_silhouette" -> q270,
     "q271_rake_keywords" -> q271,
+    "q272_textrank" -> q272,
+    "q273_qoi_decode" -> q273,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5633,6 +5705,32 @@ object Queries {
       "CAST(CAST(SUM(m * ntok) AS BIGINT) AS DOUBLE), 4) AS chars_per_token " +
       "FROM wl JOIN fin USING (word) GROUP BY lang ORDER BY lang"
   }
+
+  /** Shared by q131 (PNG) and q273 (QOI) — identical text->RGB pixel
+    * mapping, different container: replay the DECODED-pixel stats
+    * from the raw text; matching requires the container round-trip
+    * to be bit-exact. */
+  private val truecolorPixelReplayOracle: String =
+    ("WITH dm AS (SELECT doc_id, lang, 7 + doc_id % 8 AS w, 4 + doc_id % 6 AS h, "
+      + "rpad(substr(text, 1, CAST(3*(7 + doc_id % 8)*(4 + doc_id % 6) AS INT)), "
+      + "CAST(3*(7 + doc_id % 8)*(4 + doc_id % 6) AS INT), ' ') AS px FROM documents), "
+      + "c AS (SELECT doc_id, lang, w, h, w*h AS np, px, unnest(range(w*h)) AS p FROM dm), "
+      + "c2 AS (SELECT doc_id, lang, w, h, np, "
+      + "(ord(substr(px, CAST(3*p + 1 AS INT), 1)) * 299 + "
+      + "ord(substr(px, CAST(3*p + 2 AS INT), 1)) * 587 + "
+      + "ord(substr(px, CAST(3*p + 3 AS INT), 1)) * 114) // 1000 AS g FROM c), "
+      + "per AS (SELECT doc_id, lang, w, h, np, CAST(SUM(g) AS BIGINT) AS s, "
+      + "SUM(CASE WHEN g // 16 = 2 THEN 1 ELSE 0 END) AS h2, "
+      + "SUM(CASE WHEN g // 16 = 6 THEN 1 ELSE 0 END) AS h6, "
+      + "SUM(CASE WHEN g // 16 = 7 THEN 1 ELSE 0 END) AS h7 "
+      + "FROM c2 GROUP BY doc_id, lang, w, h, np) "
+      + "SELECT lang, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS sum_w, "
+      + "CAST(SUM(h) AS BIGINT) AS sum_h, "
+      + "CAST(SUM(np) AS BIGINT) AS total_pixels, "
+      + "CAST(SUM(s * 1000000 // np) AS BIGINT) AS sum_mean_micro, "
+      + "CAST(SUM(h2) AS BIGINT) AS h2, "
+      + "CAST(SUM(h6) AS BIGINT) AS h6, CAST(SUM(h7) AS BIGINT) AS h7 "
+      + "FROM per GROUP BY lang ORDER BY lang")
 
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -7140,26 +7238,7 @@ object Queries {
       // (r, g, b) = codepoints of chars 3p..3p+2 (space-padded),
       // luma = (299r + 587g + 114b) // 1000 — matches only if the PNG
       // chunk/CRC/inflate/unfilter round-trip is bit-exact
-      ("WITH dm AS (SELECT doc_id, lang, 7 + doc_id % 8 AS w, 4 + doc_id % 6 AS h, "
-        + "rpad(substr(text, 1, CAST(3*(7 + doc_id % 8)*(4 + doc_id % 6) AS INT)), "
-        + "CAST(3*(7 + doc_id % 8)*(4 + doc_id % 6) AS INT), ' ') AS px FROM documents), "
-        + "c AS (SELECT doc_id, lang, w, h, w*h AS np, px, unnest(range(w*h)) AS p FROM dm), "
-        + "c2 AS (SELECT doc_id, lang, w, h, np, "
-        + "(ord(substr(px, CAST(3*p + 1 AS INT), 1)) * 299 + "
-        + "ord(substr(px, CAST(3*p + 2 AS INT), 1)) * 587 + "
-        + "ord(substr(px, CAST(3*p + 3 AS INT), 1)) * 114) // 1000 AS g FROM c), "
-        + "per AS (SELECT doc_id, lang, w, h, np, CAST(SUM(g) AS BIGINT) AS s, "
-        + "SUM(CASE WHEN g // 16 = 2 THEN 1 ELSE 0 END) AS h2, "
-        + "SUM(CASE WHEN g // 16 = 6 THEN 1 ELSE 0 END) AS h6, "
-        + "SUM(CASE WHEN g // 16 = 7 THEN 1 ELSE 0 END) AS h7 "
-        + "FROM c2 GROUP BY doc_id, lang, w, h, np) "
-        + "SELECT lang, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS sum_w, "
-        + "CAST(SUM(h) AS BIGINT) AS sum_h, "
-        + "CAST(SUM(np) AS BIGINT) AS total_pixels, "
-        + "CAST(SUM(s * 1000000 // np) AS BIGINT) AS sum_mean_micro, "
-        + "CAST(SUM(h2) AS BIGINT) AS h2, "
-        + "CAST(SUM(h6) AS BIGINT) AS h6, CAST(SUM(h7) AS BIGINT) AS h7 "
-        + "FROM per GROUP BY lang ORDER BY lang"),
+      truecolorPixelReplayOracle,
     "q174_gif_decode" ->
       // replay the DECODED-pixel stats from the raw text through the
       // palette formula: index i = codepoint of char p (space-padded),
@@ -9612,6 +9691,41 @@ object Queries {
         + "SELECT pc.phrase, pc.n, CAST(len(str_split(pc.phrase, ' ')) AS BIGINT) AS n_words, "
         + "ps.score_micro, CAST(ps.score_micro AS DOUBLE) / 1000000.0 AS score "
         + "FROM pc JOIN ps USING (phrase) ORDER BY score_micro DESC, phrase ASC LIMIT 25"),
+    "q272_textrank" ->
+      // q159's unrolled weighted iterations over adjacent
+      // non-stopword token pairs (q271's corpus stoplist)
+      ("WITH w AS (SELECT doc_id, list_filter(str_split(lower(trim(text)), ' '), x -> x <> '') AS toks FROM documents), "
+        + "uni AS (SELECT unnest(toks) AS tok FROM w), "
+        + "uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1), "
+        + "st AS (SELECT tok FROM (SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn FROM uc) WHERE rn <= 20), "
+        + "sl AS (SELECT list(tok) AS stops FROM st), "
+        + "b0 AS (SELECT toks[CAST(u.i AS INT)] AS a, toks[CAST(u.i AS INT) + 1] AS b "
+        + "FROM w CROSS JOIN sl, UNNEST(range(1, len(toks))) AS u(i) "
+        + "WHERE NOT list_contains(sl.stops, toks[CAST(u.i AS INT)]) "
+        + "AND NOT list_contains(sl.stops, toks[CAST(u.i AS INT) + 1])), "
+        + "pr AS (SELECT LEAST(a, b) AS x, GREATEST(a, b) AS y, COUNT(*) AS w FROM b0 WHERE LEAST(a, b) < GREATEST(a, b) GROUP BY 1, 2), "
+        + "e AS (SELECT x AS src, y AS dst, w FROM pr UNION ALL SELECT y, x, w FROM pr), "
+        + "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS d FROM e GROUP BY 1), "
+        + "n AS (SELECT COUNT(*) AS nn FROM deg), "
+        + "r0 AS (SELECT src AS id, round(1.0 / nn, 12) AS r FROM deg CROSS JOIN n), "
+        + "c1 AS (SELECT e.dst AS id, SUM(CAST(round(r0.r * e.w / deg.d, 12) AS DECIMAL(28,12))) AS sc "
+        + "FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY 1), "
+        + "r1 AS (SELECT deg.src AS id, round(0.15 / nn + 0.85 * CAST(COALESCE(c1.sc, 0) AS DOUBLE), 12) AS r "
+        + "FROM deg LEFT JOIN c1 ON deg.src = c1.id CROSS JOIN n), "
+        + "c2 AS (SELECT e.dst AS id, SUM(CAST(round(r1.r * e.w / deg.d, 12) AS DECIMAL(28,12))) AS sc "
+        + "FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY 1), "
+        + "r2 AS (SELECT deg.src AS id, round(0.15 / nn + 0.85 * CAST(COALESCE(c2.sc, 0) AS DOUBLE), 12) AS r "
+        + "FROM deg LEFT JOIN c2 ON deg.src = c2.id CROSS JOIN n), "
+        + "c3 AS (SELECT e.dst AS id, SUM(CAST(round(r2.r * e.w / deg.d, 12) AS DECIMAL(28,12))) AS sc "
+        + "FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1), "
+        + "r3 AS (SELECT deg.src AS id, round(0.15 / nn + 0.85 * CAST(COALESCE(c3.sc, 0) AS DOUBLE), 12) AS r "
+        + "FROM deg LEFT JOIN c3 ON deg.src = c3.id CROSS JOIN n) "
+        + "SELECT r3.id AS word, deg.d AS out_weight, round(r3.r, 6) AS pr "
+        + "FROM r3 JOIN deg ON r3.id = deg.src ORDER BY pr DESC, word ASC LIMIT 25"),
+    // q273: the q131 pixel replay verbatim — same text->RGB mapping,
+    // different container; matches only if the QOI round-trip is
+    // bit-exact
+    "q273_qoi_decode" -> truecolorPixelReplayOracle,
   )
 
   /** The q260 one-way-ANOVA oracle tail: BIGINT group moments from a

@@ -229,6 +229,27 @@ object Multimodal {
    * fail loudly inside the decode. Embarrassingly parallel, no
    * shuffle.
    */
+  /**
+   * REAL QOI decode through the same partition-batched seam: each
+   * asset's bytes are parsed as an actual QOI file (`Qoi.decode` —
+   * magic/header walk, the six chunk ops including the stateful
+   * 64-slot rolling index array, end-marker verification), and the
+   * features come from decoded PIXELS exactly like
+   * [[decodeBmpFeatures]] — one more container under the one feature
+   * contract, one seam. Embarrassingly parallel, no shuffle.
+   */
+  def decodeQoiFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val raster = Qoi.decode(a.bytes)
+        val (hist, sumLuma) = Bmp.lumaStats(raster, HistogramBins)
+        ImageFeatures(a.asset_id, raster.width, raster.height,
+          raster.width.toLong * raster.height, sumLuma, hist)
+      }
+    }
+  }
+
   def decodeJpegFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -391,6 +412,7 @@ object Multimodal {
         lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)),
         lit("image/png"))
       .when(substring(bytes, 1, 4) === lit("GIF8".getBytes), lit("image/gif"))
+      .when(substring(bytes, 1, 4) === lit("qoif".getBytes), lit("image/qoi"))
       .when(substring(bytes, 1, 3) ===
         lit(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)), lit("image/jpeg"))
       .when(substring(bytes, 1, 4) === lit("RIFF".getBytes) &&
