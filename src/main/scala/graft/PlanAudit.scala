@@ -46,6 +46,9 @@ object PlanAudit {
     // q270: the silhouette's centroid set collapses to ONE broadcast
     // row (the q75 centroid pattern)
     "q270_silhouette",
+    // q275: k-core's 1-row core-size broadcast onto the surviving
+    // degrees (no-collect scalar pattern)
+    "q275_kcore",
     // q99/q100/q101: the LM vocabulary size / bucket-histogram totals /
     // corpus token total are each ONE broadcast row
     "q99_lm_perplexity", "q100_dsir_weights", "q101_source_divergence",

@@ -3376,6 +3376,31 @@ object Queries {
       centroidStride = Similarity.sqrtStride(emb), nprobe = 8)
   }
 
+  /** Q275 k-core of the near-dup pair graph (q30's exact-Jaccard
+    * pairs): the densely-duplicated document families — every
+    * surviving doc has ≥ k in-core near-dups, a property no single
+    * degree filter gives (peeling one doc can drag its neighbors
+    * below k). Fixed peel unrolling, loud convergence verify. */
+  val q275: Q = (s, dir) =>
+    Graph.kCore(
+        Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.8, shingleWidth = 3, bands = 16, rowsPerBand = 3),
+        "d1", "d2", k = 2, maxRounds = 4)
+      .orderBy("id")
+
+  /** Q274 Hilbert-curve layout audit — q209's write-time file-skipping
+    * audit with the Hilbert key beside the Morton key: the
+    * never-jumps curve clusters both dimensions strictly tighter than
+    * Morton's quadrant seams. Pure integer bit walk, one chained
+    * projection per level, exact-quantile file cuts. */
+  val q274: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .withColumn("__day", datediff(col("ts").cast("date"),
+        lit("2024-01-01").cast("date")).cast("long"))
+    Layout.hilbertAudit(e, "user_id", "__day", bits = 16, files = 16)
+      .orderBy("layout", "file")
+  }
+
   /** Q273 REAL QOI decode (north star multimodal): q131's text-byte
     * truecolor pixels encoded as actual QOI files (`Qoi.encode` —
     * run/index/diff/luma/rgb greedy ops) and pushed through the FULL
@@ -3918,6 +3943,49 @@ object Queries {
       s"k AS MATERIALIZED (SELECT x, y, $inter AS zkey, bx * $two + by AS lkey FROM k0), " +
       side("zorder", "zkey") + ", " + side("lex", "lkey") + " " +
       "SELECT * FROM (SELECT * FROM r_zorder UNION ALL SELECT * FROM r_lex) ORDER BY layout, file"
+  }
+
+  /** q274's oracle: [[zorderOracle]]'s frame with the Hilbert key
+    * generated as `bits` chained CTE steps — per level the quadrant
+    * digit xor(3·rx, ry)·s² and the reflect/transpose rotation,
+    * exactly the operator's walk. */
+  private def hilbertOracle(bits: Int, files: Int): String = {
+    val two = 1L << bits
+    val inter = (0 until bits).map(i =>
+      s"((bx >> $i) & 1) * ${1L << (2 * i)} + ((by >> $i) & 1) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+    val steps = (bits - 1 to 0 by -1).zipWithIndex.map { case (i, j) =>
+      val s = 1L << i
+      s"h${j + 1} AS (SELECT x, y, zkey, hd + CAST(${s * s} AS BIGINT) * xor(3 * rx, ry) AS hd, " +
+        s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END) ELSE hx END AS hx, " +
+        s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END) ELSE hy END AS hy " +
+        s"FROM (SELECT *, CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx, " +
+        s"CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry FROM h$j))"
+    }.mkString(", ")
+    def cuts(key: String) = (1 until files).map(i =>
+      s"quantile_cont(CAST($key AS DOUBLE), CAST($i AS DOUBLE) / $files) AS c$i")
+      .mkString(", ")
+    def fileOf(key: String) = (1 until files).map(i =>
+      s"CASE WHEN CAST($key AS DOUBLE) > c$i THEN 1 ELSE 0 END")
+      .mkString(" + ") + " + 1"
+    def side(l: String, key: String) =
+      s"c_$l AS (SELECT ${cuts(key)} FROM k), " +
+        s"a_$l AS (SELECT ${fileOf(key)} AS file, x, y FROM k CROSS JOIN c_$l), " +
+        s"g_$l AS (SELECT file, CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS fxmin, MAX(x) AS fxmax, " +
+        s"MIN(y) AS fymin, MAX(y) AS fymax FROM a_$l GROUP BY 1), " +
+        s"r_$l AS (SELECT '$l' AS layout, file, n, " +
+        s"CASE WHEN xmax > xmin THEN (fxmax - fxmin) * 1000000 // (xmax - xmin) ELSE 0 END AS x_span_ppm, " +
+        s"CASE WHEN ymax > ymin THEN (fymax - fymin) * 1000000 // (ymax - ymin) ELSE 0 END AS y_span_ppm " +
+        s"FROM g_$l, st)"
+    "WITH b AS (SELECT user_id AS x, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS y FROM events), " +
+      "st AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax FROM b), " +
+      s"k0 AS (SELECT x, y, (x - xmin) * $two // (xmax - xmin + 1) AS bx, " +
+      s"(y - ymin) * $two // (ymax - ymin + 1) AS by FROM b, st), " +
+      s"h0 AS (SELECT x, y, $inter AS zkey, bx AS hx, by AS hy, CAST(0 AS BIGINT) AS hd FROM k0), " +
+      steps + ", " +
+      s"k AS MATERIALIZED (SELECT x, y, zkey, hd AS hkey FROM h$bits), " +
+      side("hilbert", "hkey") + ", " + side("zorder", "zkey") + " " +
+      "SELECT * FROM (SELECT * FROM r_hilbert UNION ALL SELECT * FROM r_zorder) ORDER BY layout, file"
   }
 
   /** The q218 oracle: the q206 scored-doc CTEs + the SAME micro
@@ -5510,6 +5578,8 @@ object Queries {
     "q271_rake_keywords" -> q271,
     "q272_textrank" -> q272,
     "q273_qoi_decode" -> q273,
+    "q274_hilbert_audit" -> q274,
+    "q275_kcore" -> q275,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9726,7 +9796,38 @@ object Queries {
     // different container; matches only if the QOI round-trip is
     // bit-exact
     "q273_qoi_decode" -> truecolorPixelReplayOracle,
+    "q274_hilbert_audit" -> hilbertOracle(16, 16),
+    "q275_kcore" -> kCoreOracle(2, 4),
   )
+
+  /** q275's oracle: the q55 exact-Jaccard pair CTEs + `rounds`
+    * unrolled peel steps (degree filter, edge restriction) — the
+    * operator's fixed replay — then the surviving degrees. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { j =>
+      s"d$j AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM (SELECT x AS id FROM e${j - 1} " +
+        s"UNION ALL SELECT y FROM e${j - 1}) GROUP BY 1), " +
+        s"k$j AS MATERIALIZED (SELECT id FROM d$j WHERE d >= $k), " +
+        s"e$j AS MATERIALIZED (SELECT x, y FROM e${j - 1} WHERE x IN (SELECT id FROM k$j) " +
+        s"AND y IN (SELECT id FROM k$j))"
+    }.mkString(", ")
+    "WITH toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+      "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), " +
+      "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+      "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
+      "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 " +
+      "WHERE len(a.ts) > 0 AND len(b.ts) > 0), " +
+      "p AS (SELECT d1, d2 FROM j WHERE jac >= 0.8), " +
+      "e0 AS MATERIALIZED (SELECT LEAST(d1, d2) AS x, GREATEST(d1, d2) AS y FROM p WHERE d1 <> d2 GROUP BY 1, 2), " +
+      steps + ", " +
+      s"fd AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM " +
+      s"(SELECT x AS id FROM e$rounds UNION ALL SELECT y FROM e$rounds) GROUP BY 1), " +
+      "nc AS (SELECT COUNT(*) AS n_core FROM fd) " +
+      "SELECT id, degree, n_core FROM fd CROSS JOIN nc ORDER BY id"
+  }
 
   /** The q260 one-way-ANOVA oracle tail: BIGINT group moments from a
     * (g, v) relation, S_g² // n_g unit floors in HUGEINT, clamped

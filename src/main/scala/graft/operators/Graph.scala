@@ -312,4 +312,59 @@ object Graph {
     result.select((col("a").as("id") +:
       (1 to hops).map(k => col(s"n_hop$k"))): _*)
   }
+
+  /**
+   * k-core extraction — the standard "dense backbone" filter for
+   * entity/co-occurrence graphs (community seeds, spam-farm cores,
+   * tokenizer merge neighborhoods): iteratively peel every node whose
+   * degree in the REMAINING graph is below k, until nothing peels.
+   * What survives is the maximal subgraph where every node has ≥ k
+   * in-core neighbors — a property no single degree filter gives
+   * (removing one node can drag its neighbors below k).
+   *
+   * Runs exactly `maxRounds` peel rounds (idempotent once converged
+   * — replaying extra rounds is a no-op, so an external engine
+   * replays the identical fixed unrolling), then VERIFIES the
+   * fixpoint and fails loudly if the peel needed more rounds. Edges
+   * canonicalize to undirected distinct (x < y); self-loops drop.
+   *
+   * Output: one row per surviving node — `id`, `degree` (within the
+   * core), and `n_core` (the core's node count, same on every row).
+   *
+   * Scale shape: per round, one edge-list-bound degree aggregation
+   * and two semi-joins keyed on node ids, checkpointed (the
+   * [[pageRankImpl]] iteration posture). Peel depth, not data size,
+   * bounds the rounds; the verify is ONE count action.
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 6): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val und = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__x"),
+        greatest(col("__a"), col("__b")).as("__y"))
+      .distinct()
+      .localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("__x").as("id"))
+        .unionAll(e.select(col("__y").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+    val peeled = (1 to maxRounds).foldLeft(und) { (e, _) =>
+      val keep = degrees(e).where(col("d") >= k.toLong)
+        .select("id").localCheckpoint()
+      e.join(keep.withColumnRenamed("id", "__x"), Seq("__x"), "left_semi")
+        .join(keep.withColumnRenamed("id", "__y"), Seq("__y"), "left_semi")
+        .localCheckpoint()
+    }
+    val deg = degrees(peeled).localCheckpoint()
+    val unconverged = deg.where(col("d") < k.toLong).count()
+    require(unconverged == 0L,
+      s"kCore: peel not converged after $maxRounds rounds " +
+        s"($unconverged nodes still below k = $k); raise maxRounds")
+    val n = deg.agg(count(lit(1)).as("n_core"))
+    deg.crossJoin(broadcast(n))
+      .select(col("id"), col("d").as("degree"), col("n_core"))
+  }
 }

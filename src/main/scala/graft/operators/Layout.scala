@@ -103,4 +103,101 @@ object Layout {
 
     audit("zorder", "__zkey").unionByName(audit("lex", "__lkey"))
   }
+
+  /**
+   * Append a Hilbert-curve key over two bucketed non-negative integer
+   * columns (each in [0, 2^bits)): the classic bit-level walk — per
+   * level s = 2^(bits−1)..1, quadrant digit (3·rx) XOR ry scales by
+   * s², then the frame reflects/transposes for the next level. The
+   * Hilbert curve never jumps (consecutive keys are always grid
+   * neighbors), so file spans cluster strictly tighter than Morton's
+   * quadrant seams — the layout the Delta/Iceberg clustering papers
+   * reach for when both dimensions carry selective predicates.
+   *
+   * Each level lands as ONE chained projection (named columns, not
+   * nested expressions — the naive fold doubles the expression tree
+   * per level and detonates codegen at 4^bits nodes). Pure integer
+   * shift/mask/branch arithmetic: an external engine replays the key
+   * bit-for-bit with `bits` chained CTEs.
+   */
+  def hilbertAppend(df: DataFrame, xCol: String, yCol: String,
+                    bits: Int, outCol: String): DataFrame = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val start = df.withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn("__hd", lit(0L))
+    val walked = (bits - 1 to 0 by -1).foldLeft(start) { (acc, i) =>
+      val s = 1L << i
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0L, 1L).otherwise(0L)
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0L, 1L).otherwise(0L)
+      acc.withColumn("__hd",
+          col("__hd") + lit(s) * lit(s) *
+            (lit(3L) * rx).bitwiseXOR(ry))
+        .withColumn("__nx",
+          when(ry === 0L,
+            when(rx === 1L, lit(s - 1) - col("__hy")).otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__ny",
+          when(ry === 0L,
+            when(rx === 1L, lit(s - 1) - col("__hx")).otherwise(col("__hx")))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx")).withColumn("__hy", col("__ny"))
+        .drop("__nx", "__ny")
+    }
+    walked.withColumn(outCol, col("__hd")).drop("__hx", "__hy", "__hd")
+  }
+
+  /**
+   * [[layoutAudit]] for the Hilbert key vs the Morton key: same
+   * bucketing, same exact-quantile file cuts, same per-file span ppm
+   * — so the two curves' locality reads off one table. Output:
+   * (`layout` ∈ {hilbert, zorder}, `file`, `n`, `x_span_ppm`,
+   * `y_span_ppm`).
+   *
+   * Scale shape: identical to [[layoutAudit]] — the audit never
+   * sorts the data. Writing the layout is
+   * `repartitionByRange(files, hkey)` + sortWithinPartitions.
+   */
+  def hilbertAudit(df: DataFrame, xCol: String, yCol: String,
+                   bits: Int = 16, files: Int = 16): DataFrame = {
+    require(files >= 2, "files must be >= 2")
+    val base = df.select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(eager = false)
+    val stats = base.agg(min("__x").as("__xmin"), max("__x").as("__xmax"),
+      min("__y").as("__ymin"), max("__y").as("__ymax"))
+    val bucketed = base.crossJoin(broadcast(stats))
+      .withColumn("__bx",
+        expr(s"((__x - __xmin) * ${1L << bits}) div (__xmax - __xmin + 1)"))
+      .withColumn("__by",
+        expr(s"((__y - __ymin) * ${1L << bits}) div (__ymax - __ymin + 1)"))
+      .withColumn("__zkey", interleaveBits(col("__bx"), col("__by"), bits))
+    val keyed = hilbertAppend(bucketed, "__bx", "__by", bits, "__hkey")
+      .localCheckpoint(eager = false)
+
+    def audit(name: String, keyCol: String): DataFrame = {
+      val cuts = Relational.exactQuantiles(keyed, Nil, keyCol,
+        (1 until files).map(i => s"__c$i" -> i.toDouble / files))
+      val fileId = (1 until files).map(i =>
+        when(col(keyCol).cast("double") > col(s"__c$i"), 1)
+          .otherwise(0)).reduce(_ + _) + 1
+      keyed.crossJoin(broadcast(cuts))
+        .withColumn("file", fileId)
+        .groupBy("file")
+        .agg(count(lit(1)).as("n"),
+          min("__x").as("__fxmin"), max("__x").as("__fxmax"),
+          min("__y").as("__fymin"), max("__y").as("__fymax"))
+        .crossJoin(broadcast(stats))
+        .select(lit(name).as("layout"), col("file"), col("n"),
+          when(col("__xmax") > col("__xmin"),
+            expr("(__fxmax - __fxmin) * 1000000 div (__xmax - __xmin)"))
+            .otherwise(0L).as("x_span_ppm"),
+          when(col("__ymax") > col("__ymin"),
+            expr("(__fymax - __fymin) * 1000000 div (__ymax - __ymin)"))
+            .otherwise(0L).as("y_span_ppm"))
+    }
+
+    audit("hilbert", "__hkey").unionByName(audit("zorder", "__zkey"))
+  }
 }

@@ -149,4 +149,20 @@ class GraphSpec extends SparkTestBase with Matchers {
     assert(out(4L) == ((2L, 3L, 4L)))
     assert(out(5L) == ((1L, 2L, 3L)))
   }
+
+  test("kCore: cascading peel, canonicalization, loud non-convergence") {
+    val ss = spark
+    import ss.implicits._
+    // triangle {1,2,3} + tail 3-4-5: peel drops 5 (deg 1), THEN 4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (2L, 1L), (1L, 1L)) // reversed dup + self-loop must be ignored
+      .toDF("a", "b")
+    val out = Graph.kCore(edges, "a", "b", k = 2, maxRounds = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_core")))).toMap
+    out shouldBe Map(1L -> ((2L, 3L)), 2L -> ((2L, 3L)), 3L -> ((2L, 3L)))
+    // the same peel needs 2 rounds — maxRounds = 1 must fail loudly
+    an[IllegalArgumentException] should be thrownBy
+      Graph.kCore(edges, "a", "b", k = 2, maxRounds = 1).collect()
+  }
 }

@@ -42,4 +42,36 @@ class LayoutSpec extends SparkTestBase with Matchers {
       assert(out(("lex", f)) == ((16L, 0L, 1000000L)))
     }
   }
+
+  test("hilbertAppend: exact 4x4 walk matches the reference table") {
+    val ss = spark
+    import ss.implicits._
+    // xy2d with s-descending reflect/transpose rotation, bits = 2:
+    val expected = Map(
+      (0, 0) -> 0L, (1, 0) -> 1L, (1, 1) -> 2L, (0, 1) -> 3L,
+      (0, 2) -> 4L, (0, 3) -> 5L, (1, 3) -> 6L, (1, 2) -> 7L,
+      (2, 2) -> 8L, (2, 3) -> 9L, (3, 3) -> 10L, (3, 2) -> 11L,
+      (3, 1) -> 12L, (2, 1) -> 13L, (2, 0) -> 14L, (3, 0) -> 15L)
+    val grid = (for (x <- 0 to 3; y <- 0 to 3) yield (x, y)).toDF("x", "y")
+    val out = Layout.hilbertAppend(grid, "x", "y", bits = 2, "hkey")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getAs[Long]("hkey")).toMap
+    out shouldBe expected
+  }
+
+  test("hilbertAppend: bijective and never jumps (8x8 adjacency)") {
+    val ss = spark
+    import ss.implicits._
+    val grid = (for (x <- 0 to 7; y <- 0 to 7) yield (x, y)).toDF("x", "y")
+    val keyed = Layout.hilbertAppend(grid, "x", "y", bits = 3, "hkey")
+      .collect().map(r => r.getAs[Long]("hkey") -> (r.getInt(0), r.getInt(1)))
+    keyed.map(_._1).toSet shouldBe (0L until 64L).toSet
+    val byD = keyed.toMap
+    // the Hilbert property: consecutive keys are always GRID NEIGHBORS
+    // (Morton violates this at every quadrant seam)
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      (math.abs(x1 - x2) + math.abs(y1 - y2)) shouldBe 1
+    }
+  }
 }
