@@ -3376,6 +3376,16 @@ object Queries {
       centroidStride = Similarity.sqrtStride(emb), nprobe = 8)
   }
 
+  /** Q276 Kish effective sample size per language under
+    * length-proportional sampling (w = n_chars): how many docs is the
+    * weighted sample statistically WORTH — the design-efficiency
+    * diagnostic every mixture/DSIR scheme owes beside its weights,
+    * with ESS/n = 1/(1+cv²) as integer ppm. */
+  val q276: Q = (s, dir) =>
+    Sampling.effectiveSampleSize(Tables.documents(s, dir), Seq("lang"),
+        "n_chars")
+      .orderBy("lang")
+
   /** Q275 k-core of the near-dup pair graph (q30's exact-Jaccard
     * pairs): the densely-duplicated document families — every
     * surviving doc has ≥ k in-core near-dups, a property no single
@@ -5580,6 +5590,7 @@ object Queries {
     "q273_qoi_decode" -> q273,
     "q274_hilbert_audit" -> q274,
     "q275_kcore" -> q275,
+    "q276_ess" -> q276,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9798,6 +9809,18 @@ object Queries {
     "q273_qoi_decode" -> truecolorPixelReplayOracle,
     "q274_hilbert_audit" -> hilbertOracle(16, 16),
     "q275_kcore" -> kCoreOracle(2, 4),
+    "q276_ess" ->
+      // BIGINT/HUGEINT moments, one integer ppm division, fixed-order
+      // double programs for ess/cv
+      ("WITH m AS (SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_w, "
+        + "CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS w2 "
+        + "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0 GROUP BY 1) "
+        + "SELECT lang, n, sum_w, "
+        + "round(CAST(CAST(sum_w AS HUGEINT) * sum_w AS DOUBLE) / CAST(w2 AS DOUBLE), 6) AS ess, "
+        + "CAST((CAST(sum_w AS HUGEINT) * sum_w * 1000000) // (w2 * n) AS BIGINT) AS ess_ppm, "
+        + "CASE WHEN n > 1 THEN round(sqrt(GREATEST("
+        + "CAST(CAST(n AS HUGEINT) * w2 AS DOUBLE) / CAST(CAST(sum_w AS HUGEINT) * sum_w AS DOUBLE) - 1.0, 0.0)), 6) END AS cv "
+        + "FROM m ORDER BY lang"),
   )
 
   /** q275's oracle: the q55 exact-Jaccard pair CTEs + `rounds`

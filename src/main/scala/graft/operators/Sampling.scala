@@ -621,4 +621,46 @@ object Sampling {
           when(col("__rk") <= col("__left"), 1L).otherwise(0L))
           .as("n_alloc"))
   }
+
+  /**
+   * Effective sample size of a weighted sample — Kish's ESS =
+   * (Σw)²/Σw², the standard importance-weighting diagnostic: a
+   * mixture/DSIR/length-proportional sampling scheme that LOOKS like
+   * n rows may carry the statistical information of far fewer once
+   * the weights skew; ESS is that equivalent count, and ess_ppm =
+   * ESS/n the design-efficiency readout (10⁶ = equal weights). The
+   * weight coefficient of variation completes it: ESS/n =
+   * 1/(1 + cv²).
+   *
+   * Exactness: integer weights; Σw is BIGINT, Σw² sums in
+   * DECIMAL(38,0); `ess_ppm` = ((Σw)²·10⁶) div (Σw²·n) is a pure
+   * integer decision; `ess` and `cv` are each ONE fixed-order double
+   * program over the exact moments, 6 dp. Zero/negative weights are
+   * excluded (they are not sampling weights). NULL cv when n < 2.
+   *
+   * Output per `by` group: `n`, `sum_w`, `ess`, `ess_ppm`, `cv`.
+   *
+   * Scale shape: ONE map-side-combined aggregation; the exchange
+   * carries three counters per group.
+   */
+  def effectiveSampleSize(df: DataFrame, by: Seq[String],
+                          weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("long")
+    val m = df.where(w.isNotNull && w > 0L)
+      .groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(w).as("sum_w"),
+        sum((w * w).cast("decimal(38,0)")).as("__w2"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    m.select((by.map(col) :+ col("n") :+ col("sum_w") :+
+      round((dec(col("sum_w")) * col("sum_w")).cast("double") /
+        col("__w2").cast("double"), 6).as("ess") :+
+      expr("(cast(sum_w as decimal(38,0)) * sum_w * 1000000) div (__w2 * n)")
+        .as("ess_ppm") :+
+      when(col("n") > 1L,
+        round(sqrt(greatest(
+          (col("n").cast("decimal(38,0)") * col("__w2")).cast("double") /
+            (dec(col("sum_w")) * col("sum_w")).cast("double") - 1.0d,
+          lit(0.0d))), 6))
+        .otherwise(lit(null).cast("double")).as("cv")): _*)
+  }
 }

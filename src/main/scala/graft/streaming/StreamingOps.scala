@@ -1338,6 +1338,59 @@ object StreamingOps {
                          c: Long, d: Long, po_micro: Long,
                          kappa: Option[Double])
 
+  /** One emission of [[mcnemarStream]]: the group's paired-gate
+    * discordance state after a micro-batch, scored by the batch
+    * McNemar program. */
+  case class McnemarUpdate(key: String, n: Long, b: Long, c: Long,
+                           chi2: Option[Double])
+
+  /**
+   * Streaming McNemar — the continuous twin of `Eval.mcnemar`: per
+   * key, the state is (n, b, c) — the paired-gate discordance
+   * counters, which COMMUTE, so any arrival order lands on identical
+   * state. The live "would swapping gate A for gate B change the
+   * keep rate?" monitor beside [[kappaStream]]'s agreement monitor —
+   * kappa drifts when the gates stop agreeing; McNemar fires when
+   * their DISAGREEMENTS stop being symmetric.
+   *
+   * Each emission replays the batch program exactly: the
+   * continuity-corrected (max(|b−c|−1,0))²/(b+c) via exact BigInt
+   * squares, one double division, Spark-round(6); b + c = 0 → None.
+   * Last emission == the batch row bit for bit (StreamingSpec pins
+   * it under shuffled batches).
+   */
+  def mcnemarStream(df: DataFrame, keyCol: String, gate1Col: String,
+                    gate2Col: String): Dataset[McnemarUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(gate1Col).cast("boolean").as("__g1"),
+        col(gate2Col).cast("boolean").as("__g2"))
+      .where(col("__k").isNotNull && col("__g1").isNotNull &&
+        col("__g2").isNotNull)
+      .as[(String, Boolean, Boolean)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), McnemarUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Boolean, Boolean)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (n, b, c) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.foreach { case (_, g1, g2) =>
+            n += 1
+            if (g1 && !g2) b += 1
+            else if (!g1 && g2) c += 1
+          }
+          state.update((n, b, c))
+          val num = math.max(math.abs(b - c) - 1L, 0L)
+          val chi2 =
+            if (b + c == 0L) None
+            else Some(java.math.BigDecimal
+              .valueOf((BigInt(num) * num).toDouble / (b + c).toDouble)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+          McnemarUpdate(key, n, b, c, chi2)
+      }
+  }
+
   /**
    * Streaming Cohen's kappa — the continuous twin of
    * `Eval.cohensKappa`: per key, the state is the four 2×2 agreement

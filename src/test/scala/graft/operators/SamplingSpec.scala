@@ -384,4 +384,26 @@ class SamplingSpec extends SparkTestBase with Matchers {
       .collect()
     assert(nul.forall(_.isNullAt(5)))
   }
+
+  test("effectiveSampleSize: Kish hand values, equal-weight identity") {
+    val ss = spark
+    import ss.implicits._
+    // a: weights {3,1}: ess = 16/10 = 1.6, ppm = 800000,
+    //    cv = sqrt(2*10/16 - 1) = 0.5
+    // b: equal weights {5,5,5}: ess = n, ppm = 1000000, cv = 0
+    // zero/negative weights are excluded, not counted
+    val df = Seq(("a", 3), ("a", 1), ("b", 5), ("b", 5), ("b", 5),
+      ("b", 0), ("b", -2)).toDF("g", "w")
+    val out = Sampling.effectiveSampleSize(df, Seq("g"), "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_w"), r.getAs[Double]("ess"),
+          r.getAs[Long]("ess_ppm"), r.getAs[Double]("cv")))).toMap
+    out("a") shouldBe ((2L, 4L, 1.6, 800000L, 0.5))
+    out("b") shouldBe ((3L, 15L, 3.0, 1000000L, 0.0))
+    // single row: cv undefined
+    val one = Sampling.effectiveSampleSize(
+      Seq(("c", 7)).toDF("g", "w"), Seq("g"), "w").head()
+    one.isNullAt(one.fieldIndex("cv")) shouldBe true
+    one.getAs[Long]("ess_ppm") shouldBe 1000000L
+  }
 }

@@ -1701,4 +1701,46 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got shouldBe want
     assert(got("bursty")._5 == Some(1.166667) && got("dead")._5.isEmpty)
   }
+
+  test("mcnemarStream: last emission equals batch mcnemar, " +
+    "order-independent across shuffled batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // g: b=5, c=2 -> chi2 = 4/7; z: perfect agreement -> None
+    val rows = Seq.fill(2)(("g", true, true)) ++
+      Seq.fill(5)(("g", true, false)) ++ Seq.fill(2)(("g", false, true)) ++
+      Seq(("g", false, false)) ++ Seq.fill(3)(("z", true, true))
+    val input = MemoryStream[(String, Boolean, Boolean)]
+    val query = StreamingOps.mcnemarStream(
+        input.toDF().toDF("k", "g1", "g2"), "k", "g1", "g2")
+      .writeStream.format("memory").queryName("t_mcn")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(6)
+      Seq(b2.reverse, b1).foreach { b => // shuffled: counters commute
+        input.addData(b: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_mcn")
+      .groupBy("key").agg(last("n").as("n"), last("b").as("b"),
+        last("c").as("c"), last("chi2").as("chi2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getAs[java.lang.Double]("chi2"))))).toMap
+
+    val want = graft.operators.Eval.mcnemar(
+        rows.toDF("k", "g1", "g2"), "g1", "g2", by = Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+          Option(r.getAs[java.lang.Double]("chi2"))))).toMap
+
+    got shouldBe want
+    got("g")._4 shouldBe Some(0.571429)
+    got("z")._4 shouldBe None
+  }
 }
