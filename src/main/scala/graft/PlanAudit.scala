@@ -49,6 +49,9 @@ object PlanAudit {
     // q275: k-core's 1-row core-size broadcast onto the surviving
     // degrees (no-collect scalar pattern)
     "q275_kcore",
+    // q274: the layout audit's 1-row stats/quantile-cut broadcasts
+    // (the q209 shape)
+    "q274_hilbert_audit",
     // q99/q100/q101: the LM vocabulary size / bucket-histogram totals /
     // corpus token total are each ONE broadcast row
     "q99_lm_perplexity", "q100_dsir_weights", "q101_source_divergence",

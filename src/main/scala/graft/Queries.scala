@@ -3499,7 +3499,7 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
       .withColumn("e", col("embedding").cast("array<double>"))
     val cents = Similarity.kmeansCentroids(emb, "vec_id", "e",
-      centroidStride = 37L, iters = 1, dim = 64)
+      centroidStride = Similarity.sqrtStride(emb), iters = 1, dim = 64)
     Similarity.simplifiedSilhouette(emb, "vec_id", "e", cents)
       .orderBy("cid")
   }
@@ -9725,11 +9725,16 @@ object Queries {
         + "COALESCE(CAST(wsum // n_rows AS BIGINT), 0) AS avg_micro, "
         + "COALESCE(n_over, 0) AS n_over FROM tot CROSS JOIN ea ORDER BY n_rows"),
     "q270_silhouette" ->
-      // q75's one Lloyd round verbatim, then the (d2, cid)-ordered
-      // two-best pivot, the fixed-order sqrt program, micro floors,
-      // and the integer per-cluster mean
+      // one Lloyd round from the DERIVED sqrt-N stride seeds (the
+      // q259 scale discipline), then the (d2, cid)-ordered two-best
+      // pivot, the fixed-order sqrt program, micro floors, and the
+      // integer per-cluster mean
       ("WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), "
-        + "c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), "
+        + "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e), "
+        + "st AS (SELECT CASE WHEN n <= 1 THEN 1 ELSE greatest(1, "
+        + "n // (CASE WHEN CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) >= n "
+        + "THEN CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) ELSE CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) + 1 END)) END AS stride FROM nn), "
+        + "c0 AS (SELECT vec_id AS cid, q AS cv FROM e, st WHERE vec_id % st.stride = 0), "
         + "p AS (SELECT unnest(range(1, 65)) AS i), "
         + "a1 AS (SELECT e.vec_id, e.q, c0.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY "
         + "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn FROM e, c0), "
