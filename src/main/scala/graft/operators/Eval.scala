@@ -1808,7 +1808,10 @@ object Eval {
    * DECIMAL(38,0) unit-precision `div` (clamped at 0); means are one
    * double division each; d = (mean_a − mean_b) / √(SSW/(n−2)) and
    * g = d·(1 − 3/(4n−9)) are fixed-order double programs, 6 dp.
-   * NULL d/g when n_a + n_b < 3 or the pooled SS is 0.
+   * NULL d/g when n_a + n_b < 3 or the pooled SS is 0. A `by` group
+   * where EITHER sample is empty emits no row at all (an effect size
+   * between a sample and nothing is not 0 — absence is the honest
+   * answer).
    *
    * Output per `by` group: `n_a`, `n_b`, `mean_a`, `mean_b`, `d`, `g`.
    *
