@@ -3376,6 +3376,42 @@ object Queries {
       centroidStride = Similarity.sqrtStride(emb), nprobe = 8)
   }
 
+  /** Q277 REAL baseline-TIFF decode (north star multimodal): q131's
+    * text-byte truecolor pixels as actual TIFF files (`Tiff.encode` —
+    * II header, typed IFD, single uncompressed strip) pushed through
+    * the FULL decoder (byte-order dispatch, tag walk with
+    * inline-vs-offset values, strip assembly, RGB→BGR), reported like
+    * q108/q131/q273. The oracle replays the decoded-pixel stats from
+    * raw text — matching only if the IFD round-trip is bit-exact. */
+  val q277: Q = (s, dir) => {
+    import graft.multimodal.{Asset, Multimodal, Tiff}
+    val d = Tables.documents(s, dir)
+    val enc = org.apache.spark.sql.Encoders.product[Asset]
+    val assets = d.select(col("doc_id").as("asset_id"),
+        lit("image/tiff").as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        (lit(7) + pmod(col("doc_id"), lit(8))).cast("int").as("width"),
+        (lit(4) + pmod(col("doc_id"), lit(6))).cast("int").as("height"))
+      .as[Asset](enc)
+      .mapPartitions { it =>
+        it.map { a =>
+          val n = a.width * a.height
+          def t(j: Int): Byte =
+            if (j < a.bytes.length) a.bytes(j) else 32.toByte
+          val bgr = new Array[Byte](n * 3)
+          var i = 0
+          while (i < n) {
+            bgr(i * 3) = t(i * 3 + 2)     // B
+            bgr(i * 3 + 1) = t(i * 3 + 1) // G
+            bgr(i * 3 + 2) = t(i * 3)     // R
+            i += 1
+          }
+          a.copy(bytes = Tiff.encode(a.width, a.height, bgr))
+        }
+      }(enc)
+    bmpFeatureReport(d, Multimodal.decodeTiffFeatures(assets))
+  }
+
   /** Q276 Kish effective sample size per language under
     * length-proportional sampling (w = n_chars): how many docs is the
     * weighted sample statistically WORTH — the design-efficiency
@@ -5591,6 +5627,7 @@ object Queries {
     "q274_hilbert_audit" -> q274,
     "q275_kcore" -> q275,
     "q276_ess" -> q276,
+    "q277_tiff_decode" -> q277,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9826,6 +9863,10 @@ object Queries {
         + "CASE WHEN n > 1 THEN round(sqrt(GREATEST("
         + "CAST(CAST(n AS HUGEINT) * w2 AS DOUBLE) / CAST(CAST(sum_w AS HUGEINT) * sum_w AS DOUBLE) - 1.0, 0.0)), 6) END AS cv "
         + "FROM m ORDER BY lang"),
+    // q277: the q131/q273 pixel replay verbatim — same text->RGB
+    // mapping, TIFF container; matches only if the IFD round-trip is
+    // bit-exact
+    "q277_tiff_decode" -> truecolorPixelReplayOracle,
   )
 
   /** q275's oracle: the q55 exact-Jaccard pair CTEs + `rounds`

@@ -230,6 +230,27 @@ object Multimodal {
    * shuffle.
    */
   /**
+   * REAL baseline-TIFF decode through the same partition-batched
+   * seam: each asset's bytes are parsed as an actual TIFF file
+   * (`Tiff.decode` — II/MM byte-order header, the typed IFD tag walk
+   * with inline-vs-offset values, uncompressed strip assembly,
+   * gray/chunky-RGB to the shared raster; compression/tiles/planar
+   * fail loudly), and the features come from decoded PIXELS exactly
+   * like [[decodeBmpFeatures]]. Embarrassingly parallel, no shuffle.
+   */
+  def decodeTiffFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val raster = Tiff.decode(a.bytes)
+        val (hist, sumLuma) = Bmp.lumaStats(raster, HistogramBins)
+        ImageFeatures(a.asset_id, raster.width, raster.height,
+          raster.width.toLong * raster.height, sumLuma, hist)
+      }
+    }
+  }
+
+  /**
    * REAL QOI decode through the same partition-batched seam: each
    * asset's bytes are parsed as an actual QOI file (`Qoi.decode` —
    * magic/header walk, the six chunk ops including the stateful
@@ -413,6 +434,11 @@ object Multimodal {
         lit("image/png"))
       .when(substring(bytes, 1, 4) === lit("GIF8".getBytes), lit("image/gif"))
       .when(substring(bytes, 1, 4) === lit("qoif".getBytes), lit("image/qoi"))
+      .when(substring(bytes, 1, 4) ===
+        lit(Array('I'.toByte, 'I'.toByte, 42.toByte, 0.toByte)) ||
+        substring(bytes, 1, 4) ===
+        lit(Array('M'.toByte, 'M'.toByte, 0.toByte, 42.toByte)),
+        lit("image/tiff"))
       .when(substring(bytes, 1, 3) ===
         lit(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)), lit("image/jpeg"))
       .when(substring(bytes, 1, 4) === lit("RIFF".getBytes) &&

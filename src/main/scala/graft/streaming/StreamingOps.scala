@@ -1344,6 +1344,61 @@ object StreamingOps {
   case class McnemarUpdate(key: String, n: Long, b: Long, c: Long,
                            chi2: Option[Double])
 
+  /** One emission of [[essStream]]: the group's weight-moment state
+    * after a micro-batch, scored by the batch Kish program. */
+  case class EssUpdate(key: String, n: Long, sum_w: Long, ess: Double,
+                       ess_ppm: Long, cv: Option[Double])
+
+  /**
+   * Streaming effective sample size — the continuous twin of
+   * `Sampling.effectiveSampleSize`: per key, the state is
+   * (n, Σw, Σw²) — three commuting moments (Σw² as BigInt-in-string,
+   * the trendFitStream device: unbounded-magnitude-safe, still one
+   * fixed field) — so any arrival order lands on identical state.
+   * The live "is my weighted mixture still worth its row count?"
+   * monitor: a drifting upstream sampler skews the weights and ESS
+   * collapses long before row counts move.
+   *
+   * Each emission replays the batch program exactly: ess_ppm =
+   * ((Σw)²·10⁶) div (Σw²·n) in exact BigInt, ess and cv the same
+   * fixed-order double programs with Spark-round(6) semantics.
+   * Zero/negative weights are excluded, matching batch. Last
+   * emission == the batch row bit for bit (StreamingSpec pins it
+   * under shuffled batches).
+   */
+  def essStream(df: DataFrame, keyCol: String,
+                weightCol: String): Dataset[EssUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(weightCol).cast("long").as("__w"))
+      .where(col("__k").isNotNull && col("__w").isNotNull &&
+        col("__w") > 0L)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, String), EssUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Long, String)]) =>
+          var (n, sw, w2s) = state.getOption.getOrElse((0L, 0L, "0"))
+          var w2 = BigInt(w2s)
+          rows.foreach { case (_, w) =>
+            n += 1; sw += w; w2 += BigInt(w) * w
+          }
+          state.update((n, sw, w2.toString))
+          def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+          val sw2 = BigInt(sw) * sw
+          val ess = r6(sw2.toDouble / w2.toDouble)
+          val ppm = ((sw2 * 1000000) / (w2 * n)).toLong
+          val cv =
+            if (n < 2) None
+            else Some(r6(math.sqrt(math.max(
+              (BigInt(n) * w2).toDouble / sw2.toDouble - 1.0d, 0.0d))))
+          EssUpdate(key, n, sw, ess, ppm, cv)
+      }
+  }
+
   /**
    * Streaming McNemar — the continuous twin of `Eval.mcnemar`: per
    * key, the state is (n, b, c) — the paired-gate discordance

@@ -1743,4 +1743,47 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got("g")._4 shouldBe Some(0.571429)
     got("z")._4 shouldBe None
   }
+
+  test("essStream: last emission equals batch effectiveSampleSize, " +
+    "order-independent across shuffled batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // a: {3,1} -> ess 1.6 / 800000 ppm / cv 0.5; b: equal weights;
+    // zero/negative weights excluded in both paths
+    val rows = Seq(("a", 3), ("a", 1), ("b", 5), ("b", 5), ("b", 5),
+      ("b", 0), ("b", -2))
+    val input = MemoryStream[(String, Int)]
+    val query = StreamingOps.essStream(
+        input.toDF().toDF("k", "w"), "k", "w")
+      .writeStream.format("memory").queryName("t_ess")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(3)
+      Seq(b2.reverse, b1).foreach { b => // shuffled: moments commute
+        input.addData(b: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_ess")
+      .groupBy("key").agg(last("n").as("n"), last("sum_w").as("sum_w"),
+        last("ess").as("ess"), last("ess_ppm").as("ppm"),
+        last("cv").as("cv"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          Option(r.getAs[java.lang.Double]("cv"))))).toMap
+
+    val want = graft.operators.Sampling.effectiveSampleSize(
+        rows.toDF("k", "w"), Seq("k"), "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_w"),
+          r.getAs[Double]("ess"), r.getAs[Long]("ess_ppm"),
+          Option(r.getAs[java.lang.Double]("cv"))))).toMap
+
+    got shouldBe want
+    got("a")._4 shouldBe 800000L
+  }
 }
