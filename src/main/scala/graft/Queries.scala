@@ -3376,6 +3376,20 @@ object Queries {
       centroidStride = Similarity.sqrtStride(emb), nprobe = 8)
   }
 
+  /** Q278 Wald SPRT per variant — the SEQUENTIAL purchase-rate gate
+    * (H0: 10%, H1: 15%, α = β = 5%): pure-BIGINT log-likelihood over
+    * portable micro-nat literals the oracle embeds verbatim, decided
+    * against the Wald boundaries. The fixed-horizon q146 z-test's
+    * early-stopping sibling; `StreamingOps.sprtStream` serves the
+    * same state live. */
+  val q278: Q = (s, dir) =>
+    Eval.sprt(Tables.events(s, dir)
+        .withColumn("variant", pmod(col("user_id"), lit(2L)).cast("string"))
+        .withColumn("purchased", col("event_type") === "purchase"),
+      "purchased", p0Num = 1L, p0Den = 10L, p1Num = 3L, p1Den = 20L,
+      alphaMilli = 50L, betaMilli = 50L, by = Seq("variant"))
+      .orderBy("variant")
+
   /** Q277 REAL baseline-TIFF decode (north star multimodal): q131's
     * text-byte truecolor pixels as actual TIFF files (`Tiff.encode` —
     * II header, typed IFD, single uncompressed strip) pushed through
@@ -5628,6 +5642,7 @@ object Queries {
     "q275_kcore" -> q275,
     "q276_ess" -> q276,
     "q277_tiff_decode" -> q277,
+    "q278_sprt" -> q278,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9867,7 +9882,24 @@ object Queries {
     // mapping, TIFF container; matches only if the IFD round-trip is
     // bit-exact
     "q277_tiff_decode" -> truecolorPixelReplayOracle,
+    "q278_sprt" -> sprtOracle,
   )
+
+  /** q278's oracle: the operator's EXACT micro-nat literals
+    * (`Eval.sprtConstants` — the rankWeightsMicro shared-literal
+    * precedent) interpolated into a pure-BIGINT LLR program. */
+  private def sprtOracle: String = {
+    val (w1, w0, up, lo) = graft.operators.Eval.sprtConstants(
+      1L, 10L, 3L, 20L, 50L, 50L)
+    "WITH v AS (SELECT CAST(user_id % 2 AS VARCHAR) AS variant, " +
+      "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events), " +
+      "m AS (SELECT variant, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS k FROM v GROUP BY 1) " +
+      s"SELECT variant, n, k, k * ($w1) + (n - k) * ($w0) AS llr_micro, " +
+      s"CAST($up AS BIGINT) AS upper_micro, CAST($lo AS BIGINT) AS lower_micro, " +
+      s"CASE WHEN k * ($w1) + (n - k) * ($w0) >= $up THEN 'accept_h1' " +
+      s"WHEN k * ($w1) + (n - k) * ($w0) <= $lo THEN 'accept_h0' " +
+      "ELSE 'continue' END AS decision FROM m ORDER BY variant"
+  }
 
   /** q275's oracle: the q55 exact-Jaccard pair CTEs + `rounds`
     * unrolled peel steps (degree filter, edge restriction) — the

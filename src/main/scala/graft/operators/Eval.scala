@@ -1892,6 +1892,69 @@ object Eval {
   }
 
   /**
+   * Wald's sequential probability ratio test (SPRT) — the
+   * SEQUENTIAL two-hypothesis gate the fixed-horizon z-test
+   * ([[twoProportionZ]]) is not: for a Bernoulli outcome, the
+   * log-likelihood ratio of H1 (rate p1) vs H0 (rate p0) after n
+   * trials with k successes is k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)),
+   * compared against the Wald boundaries ln((1−β)/α) (accept H1) and
+   * ln(β/(1−α)) (accept H0) — the earliest-valid-stopping design for
+   * "did the new filter move the rate" checks that run WHILE data
+   * arrives.
+   *
+   * Exactness: the four ln constants are computed ONCE here as
+   * portable micro-nat literals (floor(ln·10⁶ + 0.5) — the
+   * [[rankWeightsMicro]] precedent: the oracle embeds the SAME
+   * literals), so the LLR is a pure BIGINT program k·w1 + (n−k)·w0
+   * and the decision is an integer comparison. Both weights carry
+   * sign; p0/p1 are exact rationals.
+   *
+   * Output per `by` group: `n`, `k`, `llr_micro`, `upper_micro`,
+   * `lower_micro`, `decision` ∈ {accept_h1, accept_h0, continue}.
+   *
+   * Scale shape: ONE map-side-combined aggregation (two counters per
+   * group); the LLR/decision is group-bounded arithmetic. The
+   * streaming twin serves the same state live.
+   */
+  def sprt(df: DataFrame, labelCol: String,
+           p0Num: Long, p0Den: Long, p1Num: Long, p1Den: Long,
+           alphaMilli: Long = 50L, betaMilli: Long = 50L,
+           by: Seq[String] = Nil): DataFrame = {
+    val (w1, w0, up, lo) = sprtConstants(p0Num, p0Den, p1Num, p1Den,
+      alphaMilli, betaMilli)
+    val pos = col(labelCol)
+    val m = df.where(pos.isNotNull)
+      .groupBy(by.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(pos, 1L).otherwise(0L)).as("k"))
+    val llr = col("k") * lit(w1) + (col("n") - col("k")) * lit(w0)
+    m.select((by.map(col) :+ col("n") :+ col("k") :+
+      llr.as("llr_micro") :+ lit(up).as("upper_micro") :+
+      lit(lo).as("lower_micro") :+
+      when(llr >= up, "accept_h1").when(llr <= lo, "accept_h0")
+        .otherwise("continue").as("decision")): _*)
+  }
+
+  /** The SPRT micro-nat literals (w1, w0, upper, lower) — shared by
+    * the batch op, the streaming twin, and the oracle generator. */
+  private[graft] def sprtConstants(p0Num: Long, p0Den: Long, p1Num: Long,
+                                   p1Den: Long, alphaMilli: Long,
+                                   betaMilli: Long): (Long, Long, Long, Long) = {
+    require(p0Num > 0 && p0Num < p0Den && p1Num > 0 && p1Num < p1Den,
+      "sprt: rates must be strict probabilities")
+    require(p1Num * p0Den != p0Num * p1Den, "sprt: p0 and p1 must differ")
+    require(alphaMilli > 0 && alphaMilli < 1000 &&
+      betaMilli > 0 && betaMilli < 1000, "sprt: alpha/beta in (0,1)")
+    def lnMicro(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val p0 = p0Num.toDouble / p0Den
+    val p1 = p1Num.toDouble / p1Den
+    val a = alphaMilli.toDouble / 1000
+    val b = betaMilli.toDouble / 1000
+    (lnMicro(p1 / p0), lnMicro((1 - p1) / (1 - p0)),
+      lnMicro((1 - b) / a), lnMicro(b / (1 - a)))
+  }
+
+  /**
    * Cochran–Armitage trend test — is a binary outcome's rate
    * MONOTONE in an ordered dose (length bucket, quality decile,
    * dedup round)? The chi-square of independence burns its power on

@@ -1344,6 +1344,51 @@ object StreamingOps {
   case class McnemarUpdate(key: String, n: Long, b: Long, c: Long,
                            chi2: Option[Double])
 
+  /** One emission of [[sprtStream]]: the group's trial state after a
+    * micro-batch, scored by the batch SPRT program. */
+  case class SprtUpdate(key: String, n: Long, k: Long, llr_micro: Long,
+                        decision: String)
+
+  /**
+   * Streaming SPRT — the test that was BORN sequential, served live:
+   * per key the state is (n, k), two commuting counters; each
+   * emission replays the batch LLR program over the SAME portable
+   * micro-nat literals (`Eval.sprtConstants`), so the decision
+   * column flips to accept_h1/accept_h0 at the earliest micro-batch
+   * the Wald boundary is crossed. Last emission == the batch row bit
+   * for bit (StreamingSpec pins it under shuffled batches —
+   * counters commute even though the DECISION HISTORY is the
+   * sequential object; the final state is order-free).
+   */
+  def sprtStream(df: DataFrame, keyCol: String, labelCol: String,
+                 p0Num: Long, p0Den: Long, p1Num: Long, p1Den: Long,
+                 alphaMilli: Long = 50L,
+                 betaMilli: Long = 50L): Dataset[SprtUpdate] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (w1, w0, up, lo) = graft.operators.Eval.sprtConstants(
+      p0Num, p0Den, p1Num, p1Den, alphaMilli, betaMilli)
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(col("__k").isNotNull && col("__y").isNotNull)
+      .as[(String, Boolean)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), SprtUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Boolean)],
+         state: GroupState[(Long, Long)]) =>
+          var (n, k) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, y) => n += 1; if (y) k += 1 }
+          state.update((n, k))
+          val llr = k * w1 + (n - k) * w0
+          val decision =
+            if (llr >= up) "accept_h1"
+            else if (llr <= lo) "accept_h0"
+            else "continue"
+          SprtUpdate(key, n, k, llr, decision)
+      }
+  }
+
   /** One emission of [[essStream]]: the group's weight-moment state
     * after a micro-batch, scored by the batch Kish program. */
   case class EssUpdate(key: String, n: Long, sum_w: Long, ess: Double,

@@ -178,4 +178,28 @@ class EvalStatsSpec extends SparkTestBase with Matchers {
     Eval.cochranArmitage(dec.toDF("dose", "y"), "dose", "y")
       .head().getAs[Long]("direction") shouldBe -1L
   }
+
+  test("sprt: micro-nat LLR literals, Wald boundaries, three decisions") {
+    val ss = spark
+    import ss.implicits._
+    // p0 = 1/4, p1 = 1/2: w1 = ln2 -> 693147, w0 = ln(2/3) -> -405465
+    // boundaries ln(19) -> +/-2944439
+    // h1: 8/10 -> 4734246 >= up; h0: 1/10 -> -2956038 <= lo;
+    // go: 2/4 -> 575364 continue
+    val rows =
+      (1 to 8).map(_ => ("h1", true)) ++ (1 to 2).map(_ => ("h1", false)) ++
+      Seq(("h0", true)) ++ (1 to 9).map(_ => ("h0", false)) ++
+      Seq(("go", true), ("go", true), ("go", false), ("go", false))
+    val out = Eval.sprt(rows.toDF("g", "y"), "y", 1L, 4L, 1L, 2L,
+        50L, 50L, by = Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("llr_micro"), r.getAs[String]("decision")))).toMap
+    out("h1") shouldBe ((4734246L, "accept_h1"))
+    out("h0") shouldBe ((-2956038L, "accept_h0"))
+    out("go") shouldBe ((575364L, "continue"))
+    val one = Eval.sprt(Seq(("x", true)).toDF("g", "y"), "y",
+      1L, 4L, 1L, 2L, 50L, 50L, by = Seq("g")).head()
+    one.getAs[Long]("upper_micro") shouldBe 2944439L
+    one.getAs[Long]("lower_micro") shouldBe -2944439L
+  }
 }

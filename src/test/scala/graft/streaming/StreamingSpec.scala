@@ -1786,4 +1786,44 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got shouldBe want
     got("a")._4 shouldBe 800000L
   }
+
+  test("sprtStream: last emission equals batch sprt, " +
+    "order-independent across shuffled batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = (1 to 8).map(_ => ("a", true)) ++
+      (1 to 2).map(_ => ("a", false)) ++
+      Seq(("b", true)) ++ (1 to 9).map(_ => ("b", false))
+    val input = MemoryStream[(String, Boolean)]
+    val query = StreamingOps.sprtStream(
+        input.toDF().toDF("k", "y"), "k", "y", 1L, 4L, 1L, 2L, 50L, 50L)
+      .writeStream.format("memory").queryName("t_sprt")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(7)
+      Seq(b2.reverse, b1).foreach { b =>
+        input.addData(b: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val got = spark.table("t_sprt")
+      .groupBy("key").agg(last("n").as("n"), last("k").as("kk"),
+        last("llr_micro").as("llr"), last("decision").as("d"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+
+    val want = graft.operators.Eval.sprt(rows.toDF("g", "y"), "y",
+        1L, 4L, 1L, 2L, 50L, 50L, by = Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("k"),
+          r.getAs[Long]("llr_micro"), r.getAs[String]("decision")))).toMap
+
+    got shouldBe want
+    got("a")._4 shouldBe "accept_h1"
+    got("b")._4 shouldBe "accept_h0"
+  }
 }
