@@ -3412,32 +3412,10 @@ object Queries {
     * q108/q131/q273. The oracle replays the decoded-pixel stats from
     * raw text — matching only if the IFD round-trip is bit-exact. */
   val q277: Q = (s, dir) => {
-    import graft.multimodal.{Asset, Multimodal, Tiff}
+    import graft.multimodal.{Multimodal, Tiff}
     val d = Tables.documents(s, dir)
-    val enc = org.apache.spark.sql.Encoders.product[Asset]
-    val assets = d.select(col("doc_id").as("asset_id"),
-        lit("image/tiff").as("media_type"),
-        col("text").cast("binary").as("bytes"),
-        (lit(7) + pmod(col("doc_id"), lit(8))).cast("int").as("width"),
-        (lit(4) + pmod(col("doc_id"), lit(6))).cast("int").as("height"))
-      .as[Asset](enc)
-      .mapPartitions { it =>
-        it.map { a =>
-          val n = a.width * a.height
-          def t(j: Int): Byte =
-            if (j < a.bytes.length) a.bytes(j) else 32.toByte
-          val bgr = new Array[Byte](n * 3)
-          var i = 0
-          while (i < n) {
-            bgr(i * 3) = t(i * 3 + 2)     // B
-            bgr(i * 3 + 1) = t(i * 3 + 1) // G
-            bgr(i * 3 + 2) = t(i * 3)     // R
-            i += 1
-          }
-          a.copy(bytes = Tiff.encode(a.width, a.height, bgr))
-        }
-      }(enc)
-    bmpFeatureReport(d, Multimodal.decodeTiffFeatures(assets))
+    bmpFeatureReport(d, Multimodal.decodeTiffFeatures(
+      textRasterAssets(d, "image/tiff", Tiff.encode)))
   }
 
   /** Q276 Kish effective sample size per language under
@@ -3484,32 +3462,10 @@ object Queries {
     * text, so it only matches if encode→decode is bit-exact —
     * including the index-array bookkeeping on both sides. */
   val q273: Q = (s, dir) => {
-    import graft.multimodal.{Asset, Multimodal, Qoi}
+    import graft.multimodal.{Multimodal, Qoi}
     val d = Tables.documents(s, dir)
-    val enc = org.apache.spark.sql.Encoders.product[Asset]
-    val assets = d.select(col("doc_id").as("asset_id"),
-        lit("image/qoi").as("media_type"),
-        col("text").cast("binary").as("bytes"),
-        (lit(7) + pmod(col("doc_id"), lit(8))).cast("int").as("width"),
-        (lit(4) + pmod(col("doc_id"), lit(6))).cast("int").as("height"))
-      .as[Asset](enc)
-      .mapPartitions { it =>
-        it.map { a =>
-          val n = a.width * a.height
-          def t(j: Int): Byte =
-            if (j < a.bytes.length) a.bytes(j) else 32.toByte
-          val bgr = new Array[Byte](n * 3)
-          var i = 0
-          while (i < n) {
-            bgr(i * 3) = t(i * 3 + 2)     // B
-            bgr(i * 3 + 1) = t(i * 3 + 1) // G
-            bgr(i * 3 + 2) = t(i * 3)     // R
-            i += 1
-          }
-          a.copy(bytes = Qoi.encode(a.width, a.height, bgr))
-        }
-      }(enc)
-    bmpFeatureReport(d, Multimodal.decodeQoiFeatures(assets))
+    bmpFeatureReport(d, Multimodal.decodeQoiFeatures(
+      textRasterAssets(d, "image/qoi", Qoi.encode)))
   }
 
   /** Q272 TextRank keywords — q148's PageRank run on the word
@@ -4720,11 +4676,22 @@ object Queries {
 
   /** Shared by q131: text byte triplets → truecolor PNG pixels. */
   private def textPngAssets(d: DataFrame):
+      org.apache.spark.sql.Dataset[graft.multimodal.Asset] =
+    textRasterAssets(d, "image/png", graft.multimodal.Png.encode)
+
+  /** The ONE text→BGR truecolor asset builder behind q131 (PNG),
+    * q273 (QOI), and q277 (TIFF): the (7 + id%8) × (4 + id%6) dims
+    * and the space-padded byte-triplet mapping are load-bearing for
+    * the shared `truecolorPixelReplayOracle` — parameterizing the
+    * ENCODER is the only per-container difference, so a mapping
+    * tweak can never silently diverge between containers. */
+  private def textRasterAssets(d: DataFrame, mediaType: String,
+      encodeRaster: (Int, Int, Array[Byte]) => Array[Byte]):
       org.apache.spark.sql.Dataset[graft.multimodal.Asset] = {
-    import graft.multimodal.{Asset, Png}
+    import graft.multimodal.Asset
     val enc = org.apache.spark.sql.Encoders.product[Asset]
     d.select(col("doc_id").as("asset_id"),
-        lit("image/png").as("media_type"),
+        lit(mediaType).as("media_type"),
         col("text").cast("binary").as("bytes"),
         (lit(7) + pmod(col("doc_id"), lit(8))).cast("int").as("width"),
         (lit(4) + pmod(col("doc_id"), lit(6))).cast("int").as("height"))
@@ -4742,7 +4709,7 @@ object Queries {
             bgr(i * 3 + 2) = t(i * 3)     // R
             i += 1
           }
-          a.copy(bytes = Png.encode(a.width, a.height, bgr))
+          a.copy(bytes = encodeRaster(a.width, a.height, bgr))
         }
       }(enc)
   }
@@ -9736,8 +9703,8 @@ object Queries {
       // argmax by (gain desc, i asc) — the operator's tie-break
       ("WITH dly AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS v FROM events GROUP BY 1, 2), "
         + "pre AS (SELECT event_type, day, v, "
-        + "row_number() OVER (PARTITION BY event_type ORDER BY day) AS i, "
-        + "SUM(v) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS si, "
+        + "row_number() OVER (PARTITION BY event_type ORDER BY day, v) AS i, "
+        + "SUM(v) OVER (PARTITION BY event_type ORDER BY day, v ROWS UNBOUNDED PRECEDING) AS si, "
         + "COUNT(*) OVER (PARTITION BY event_type) AS n, "
         + "SUM(v) OVER (PARTITION BY event_type) AS s FROM dly), "
         + "g AS (SELECT event_type, day, CAST(i AS INTEGER) AS i, CAST(n AS BIGINT) AS n, si, s, "

@@ -109,6 +109,10 @@ object Qoi {
     val channels = bytes(12) & 0xff
     require(width > 0 && height > 0, s"QOI: bad dimensions $width x $height")
     require(channels == 3 || channels == 4, s"QOI: bad channels $channels")
+    // Long math: a crafted header whose pixel count wraps Int would
+    // otherwise pass every check and return an empty raster silently
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"QOI: raster $width x $height exceeds the supported size")
     p = 14
     val n = width * height
     val out = new Array[Byte](n * 3)

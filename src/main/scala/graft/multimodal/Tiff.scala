@@ -150,6 +150,8 @@ object Tiff {
       case p => throw new IllegalArgumentException(
         s"TIFF: photometric $p not supported (1=gray, 2=RGB only)")
     }
+    require(w.toLong * h * 3 <= Int.MaxValue,
+      s"TIFF: raster $w x $h exceeds the supported size")
     val offsets = vector(TStripOffsets)
     val counts = vector(TStripByteCounts)
     require(offsets.length == counts.length, "TIFF: strip table mismatch")

@@ -1312,7 +1312,12 @@ object Behavior {
   def changepointSse(df: DataFrame, by: Seq[String], orderCol: String,
                      valueCol: String): DataFrame = {
     val v = col(valueCol).cast("long")
-    val w = Window.partitionBy(by.map(col): _*).orderBy(col(orderCol))
+    // secondary sort on the value keeps the walk deterministic even
+    // if the caller passes duplicate order keys: equal (t, v) rows
+    // are interchangeable (identical prefix sums), while a bare
+    // row_number over duplicate t would leave __si engine-dependent
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col(orderCol), v)
     val wAll = Window.partitionBy(by.map(col): _*)
     val pre = df.where(v.isNotNull)
       .withColumn("__i", row_number().over(w))

@@ -1606,9 +1606,11 @@ object Eval {
    * floor in every engine), giving UNIT-precision sums of squares:
    * `ssb` = ΣA_g − S² div n and `ssw` = Q − ΣA_g are exact integers,
    * each within k units of the real SS (clamped at 0 where
-   * quantization could dip around a true zero) — BIGINT-safe to
-   * ~10¹³ rows at |v| ≤ 10⁵, vs a ×10⁶ pre-scale that overflows at
-   * ~10⁷. F and eta² are each ONE double division of DECIMAL
+   * quantization could dip around a true zero) — BIGINT-safe while
+   * v²·n_g fits 2⁶³ (~10⁹ rows per group at |v| ≤ 10⁵; bucket or
+   * rescale beyond — the `div`'s LONG result is the binding limit,
+   * and a ×10⁶ pre-scale would bind 10⁶× earlier). F and eta² are
+   * each ONE double division of DECIMAL
    * products, 6 dp; F is NULL when k < 2, n ≤ k, or SSW = 0.
    *
    * Output per `by` group: `k`, `n`, `ssb`, `ssw`, `f`, `eta2`.
@@ -1805,7 +1807,8 @@ object Eval {
    *
    * Exactness: per-group BIGINT moments (Σv² in DECIMAL); each
    * group's within-SS routes through the [[anovaOneWay]]
-   * DECIMAL(38,0) unit-precision `div` (clamped at 0); means are one
+   * DECIMAL(38,0) unit-precision `div` (clamped at 0; the same
+   * v²·n_g < 2⁶³ envelope applies); means are one
    * double division each; d = (mean_a − mean_b) / √(SSW/(n−2)) and
    * g = d·(1 − 3/(4n−9)) are fixed-order double programs, 6 dp.
    * NULL d/g when n_a + n_b < 3 or the pooled SS is 0. A `by` group

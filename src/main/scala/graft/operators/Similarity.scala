@@ -1076,14 +1076,17 @@ object Similarity {
    */
   def simplifiedSilhouette(emb: DataFrame, idCol: String, vecCol: String,
                            centroids: DataFrame): DataFrame = {
+    // q·q is loop-invariant — hoisted to a column so the C-wide fold
+    // does one d-wide dot per centroid, not two
     val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+      .withColumn("__qq", dot(col("__q"), col("__q")))
     val centArr = centroids
       .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
     val far = struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cid"))
     val acc0 = struct(far.as("b1"), far.as("b2"))
     val best2 = aggregate(col("__cents"), acc0, (acc, c) => {
       val cv = c.getField("__cv")
-      val d2 = dot(col("__q"), col("__q")) -
+      val d2 = col("__qq") -
         lit(2.0) * dot(col("__q"), cv) + dot(cv, cv)
       val cand = struct(d2.as("d2"), c.getField("__cid").as("cid"))
       val b1 = acc.getField("b1")
@@ -1140,7 +1143,7 @@ object Similarity {
     // the parity hash resolves at PLAN time (pure integer arithmetic
     // — the oracle replays the same formula in SQL), so each output
     // coordinate is a flat codegen'd sum of ±q_j terms, not an
-    // interpreted nested-HOF walk (measured 25× faster)
+    // interpreted nested-HOF walk (measured ~30× faster — SWEEP_r13)
     def sign(i: Int, j: Int): Boolean =
       ((j.toLong * 2654435761L + i.toLong * 40503L) % 1000000007L) % 2L == 0L
     val q = quantize(col(vecCol))
