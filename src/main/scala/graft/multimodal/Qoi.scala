@@ -126,12 +126,10 @@ object Qoi {
       if (b1 == OpRgb) {
         r = bytes(p) & 0xff; g = bytes(p + 1) & 0xff; b = bytes(p + 2) & 0xff
         p += 3
-        index(hash(r, g, b, a)) = pack(r, g, b, a)
       } else if (b1 == OpRgba) {
         r = bytes(p) & 0xff; g = bytes(p + 1) & 0xff
         b = bytes(p + 2) & 0xff; a = bytes(p + 3) & 0xff
         p += 4
-        index(hash(r, g, b, a)) = pack(r, g, b, a)
       } else (b1 >>> 6) match {
         case 0 => // QOI_OP_INDEX
           val px = index(b1 & 0x3f)
@@ -141,18 +139,23 @@ object Qoi {
           r = (r + ((b1 >>> 4) & 0x03) - 2) & 0xff
           g = (g + ((b1 >>> 2) & 0x03) - 2) & 0xff
           b = (b + (b1 & 0x03) - 2) & 0xff
-          index(hash(r, g, b, a)) = pack(r, g, b, a)
         case 2 => // QOI_OP_LUMA
           val b2 = bytes(p) & 0xff; p += 1
           val dg = (b1 & 0x3f) - 32
           g = (g + dg) & 0xff
           r = (r + dg + ((b2 >>> 4) & 0x0f) - 8) & 0xff
           b = (b + dg + (b2 & 0x0f) - 8) & 0xff
-          index(hash(r, g, b, a)) = pack(r, g, b, a)
         case _ => // QOI_OP_RUN
           runLen = (b1 & 0x3f) + 1
           require(runLen <= 62, s"QOI: reserved run tag $b1")
       }
+      // index the CURRENT pixel after EVERY chunk — including RUN, where
+      // the reference decoder stores the run's pixel (the implicit
+      // (0,0,0,255) start pixel, if run-emitted first, becomes recallable
+      // at slot 53 by a later OP_INDEX in a spec-valid third-party stream;
+      // for INDEX/RGB/RGBA/DIFF/LUMA the write is what the per-op writes
+      // did before, so own-encoder streams decode unchanged)
+      index(hash(r, g, b, a)) = pack(r, g, b, a)
       require(i + runLen <= n, "QOI: chunk stream overruns the raster")
       var k = 0
       while (k < runLen) {

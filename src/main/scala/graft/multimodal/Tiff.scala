@@ -46,9 +46,12 @@ object Tiff {
     def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
     out.write('I'); out.write('I'); w16(42)
     val stripLen = width * height * 3
-    // layout: header(8) + strip + bits array(6) + IFD
+    // layout: header(8) + strip (+1 pad byte when the strip length is
+    // odd — TIFF 6.0 requires every offset, including the IFD and any
+    // out-of-entry value array, to be word-aligned) + bits array(6) + IFD
+    val pad = stripLen & 1
     val stripOff = 8
-    val bitsOff = stripOff + stripLen
+    val bitsOff = stripOff + stripLen + pad
     val ifdOff = bitsOff + 6
     w32(ifdOff)
     var i = 0
@@ -58,6 +61,7 @@ object Tiff {
       out.write(bgr(i * 3) & 0xff)
       i += 1
     }
+    if (pad == 1) out.write(0) // word-align bitsOff/ifdOff
     w16(8); w16(8); w16(8) // BitsPerSample values (count 3 > 2 bytes -> offset)
     val entries = Seq[(Int, Int, Int, Int)](
       (TWidth, 3, 1, width), (TLength, 3, 1, height),
@@ -125,6 +129,9 @@ object Tiff {
         }
         val base =
           if (count * width <= 4) off.toLong else u32(off)
+        require(base >= 0 && base + count * width <= bytes.length,
+          s"TIFF: tag $tag value array out of bounds " +
+            s"(offset $base, ${count}x$width bytes, file ${bytes.length})")
         (0L until count).map { i =>
           val o = (base + i * width).toInt
           if (typ == 3) u16(o).toLong else u32(o)

@@ -1667,10 +1667,11 @@ object Eval {
    * fixed-order double program over the exact integers, and the tie
    * correction divides the UNrounded H by (1 − T/(n³−n)); both round
    * 6 dp. H is NULL when k < 2 or n < 2; `h_tie` additionally NULL
-   * when every value ties (correction 0). The per-group Σ terms are
-   * BIGINT-safe to ~10⁶ rows per call (R₂² ≈ 4n⁴ must fit
-   * DECIMAL(38,0), Σ R²/n ≈ n³ must fit BIGINT) — feed it a
-   * per-shard slice or pre-bucketed values beyond that.
+   * when every value ties (correction 0). The Σ R²/n fold runs in
+   * DECIMAL(38,0) (an earlier BIGINT sum silently overflowed past
+   * ~2·10⁶ rows); the remaining envelope is R₂² ≈ 4n⁴ fitting
+   * DECIMAL(38,0) — ~10⁹ rows per call, loud (ANSI decimal overflow)
+   * past that, never a quietly wrong H.
    *
    * Output: one row — `k`, `n`, `ties` (T = Σ t³−t), `h`, `h_tie`.
    *
@@ -1701,14 +1702,18 @@ object Eval {
       col("__t") * col("__t") * col("__t") - col("__t")), lit(0L))
       .as("ties"))
     val m = perG.agg(count(lit(1)).as("k"), sum(col("__ng")).as("n"),
-        sum(col("__bg")).as("__sb"))
+        // Σ R²/n ≈ n³: DECIMAL(38,0), not BIGINT — a long sum wraps
+        // silently past ~2·10⁶ rows (ADVICE r13)
+        sum(col("__bg").cast("decimal(38,0)")).as("__sb"))
       .crossJoin(broadcast(ties))
     val n = col("n")
     val hRaw = lit(12.0d) * col("__sb").cast("double") /
       (n * (n + 1L)).cast("double") -
       lit(3.0d) * (n + 1L).cast("double")
+    // n³−n in DECIMAL: the long product overflows past n ≈ 2·10⁶ (ANSI
+    // aborts loudly); one exact integer, then one double division
     val corr = lit(1.0d) - col("ties").cast("double") /
-      (n * n * n - n).cast("double")
+      (n.cast("decimal(38,0)") * n * n - n).cast("double")
     m.select(col("k"), col("n"), col("ties"),
       when(col("k") > 1L && n > 1L, round(hRaw, 6))
         .otherwise(lit(null).cast("double")).as("h"),

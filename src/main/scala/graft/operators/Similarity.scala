@@ -1147,7 +1147,11 @@ object Similarity {
     def sign(i: Int, j: Int): Boolean =
       ((j.toLong * 2654435761L + i.toLong * 40503L) % 1000000007L) % 2L == 0L
     val q = quantize(col(vecCol))
+    // wrong-width vectors (mixed encoder versions) drop here — the
+    // effectiveDim/topComponent convention; element_at past the end
+    // would otherwise propagate silent NULL coordinates downstream
     emb.select(col(idCol).as("__id"), q.as("__q"))
+      .where(size(col("__q")) === inDims)
       .withColumn("__p", array((0 until outDims).map { i =>
         (1 to inDims).map { j =>
           if (sign(i, j)) element_at(col("__q"), j)

@@ -83,6 +83,24 @@ class QoiSpec extends AnyFunSuite with Matchers {
     Qoi.decode(Qoi.encode(130, 1, flat)).pixels.toSeq shouldBe flat.toSeq
   }
 
+  test("decode: RUN-first stream indexes the implicit start pixel " +
+    "(reference-decoder index bookkeeping after EVERY chunk)") {
+    // RUN(1) emits the implicit (0,0,0,255) and must store it at slot
+    // hash(0,0,0,255) = 53 with alpha 255. OP_INDEX(53) then recalls it
+    // — a pre-fix decoder yields (0,0,0,0) from the empty slot, whose
+    // alpha=0 poisons the NEXT hash: RGB(9,9,9) would index at slot 7
+    // instead of 60, so the final OP_INDEX(60) reads an empty slot.
+    val chunks = Array[Byte](
+      0xC0.toByte,             // QOI_OP_RUN len 1 -> implicit px
+      0x35.toByte,             // QOI_OP_INDEX slot 53
+      0xFE.toByte, 9, 9, 9,    // QOI_OP_RGB (9,9,9)
+      0x3C.toByte)             // QOI_OP_INDEX slot 60 = hash(9,9,9,255)
+    val r = Qoi.decode(header(4, 1) ++ chunks ++ endMarker)
+    val px = r.pixels.grouped(3).map(g =>
+      (g(2) & 0xff, g(1) & 0xff, g(0) & 0xff)).toSeq
+    px shouldBe Seq((0, 0, 0), (0, 0, 0), (9, 9, 9), (9, 9, 9))
+  }
+
   test("rejects bad magic, truncation, reserved tags, bad end marker") {
     val good = Qoi.encode(4, 4, Array.fill(48)(9.toByte))
     an[IllegalArgumentException] should be thrownBy

@@ -70,6 +70,38 @@ class TiffSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("encode: odd strip lengths pad so IFD/value-array offsets stay " +
+    "word-aligned (TIFF 6.0 offset rule)") {
+    for ((w, h) <- Seq((1, 1), (3, 3), (5, 1))) { // w*h*3 odd
+      val bgr = Array.tabulate(w * h * 3)(i => ((i * 31 + 3) % 256).toByte)
+      val b = Tiff.encode(w, h, bgr)
+      val ifd = (b(4) & 0xff) | ((b(5) & 0xff) << 8) |
+        ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24)
+      ifd % 2 shouldBe 0
+      // the out-of-entry BitsPerSample array sits 6 bytes before the IFD
+      (ifd - 6) % 2 shouldBe 0
+      Tiff.decode(b).pixels.toSeq shouldBe bgr.toSeq // padding is inert
+    }
+  }
+
+  test("rejects: value-array offset past EOF fails loudly, not AIOOBE") {
+    val good = Tiff.encode(4, 3, Array.fill(36)(5.toByte))
+    val b = good.clone()
+    val ifd = (b(4) & 0xff) | ((b(5) & 0xff) << 8) |
+      ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24)
+    val n = (b(ifd) & 0xff) | ((b(ifd + 1) & 0xff) << 8)
+    (0 until n).foreach { k =>
+      val e = ifd + 2 + k * 12
+      val t = (b(e) & 0xff) | ((b(e + 1) & 0xff) << 8)
+      if (t == 258) { // BitsPerSample: count 3 SHORTs -> offset-valued
+        b(e + 8) = 0xff.toByte; b(e + 9) = 0xff.toByte
+        b(e + 10) = 0xff.toByte; b(e + 11) = 0x7f.toByte
+      }
+    }
+    val ex = the[IllegalArgumentException] thrownBy Tiff.decode(b)
+    ex.getMessage should include("out of bounds")
+  }
+
   test("rejects: compression, tiles, planar, palette, 16-bit, bad header") {
     val good = Tiff.encode(4, 3, Array.fill(36)(5.toByte))
     an[IllegalArgumentException] should be thrownBy

@@ -957,4 +957,20 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     audit((1L, 2L)) shouldBe ((262144L, 524288L, Some(1000000L)))
     audit((1L, 1L)) shouldBe ((0L, 0L, None))
   }
+
+  test("randomProject drops wrong-width vectors instead of emitting " +
+    "silent NULL coordinates (mixed encoder versions)") {
+    val ss = spark
+    import ss.implicits._
+    // id 3 is 3-dim in a declared-2-dim corpus: element_at(.., 2) past
+    // its end would otherwise yield NULL projected coords (ADVICE r13)
+    val emb = Seq((1L, Seq(0.5, 0.25)), (2L, Seq(0.0, 0.25)),
+      (3L, Seq(0.5, 0.25, 0.125))).toDF("id", "v")
+    val proj = Similarity.randomProject(emb, "id", "v", inDims = 2, outDims = 2)
+      .collect().map(_.getAs[Long]("__id")).toSet
+    proj shouldBe Set(1L, 2L)
+    // and the audit over a pair touching the dropped vector emits no row
+    Similarity.jlDistanceAudit(emb, "id", "v", inDims = 2, outDims = 2,
+      pairs = Seq((1L, 3L))).count() shouldBe 0L
+  }
 }

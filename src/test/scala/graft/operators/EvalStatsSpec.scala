@@ -81,6 +81,29 @@ class EvalStatsSpec extends SparkTestBase with Matchers {
     allTied.isNullAt(allTied.fieldIndex("h_tie")) shouldBe true
   }
 
+  test("kruskalWallis: sum(R2/n) past BIGINT stays exact (DECIMAL fold)") {
+    // 2.2M distinct values by parity: sum R2g'/(4 n_g) ~ n^3 = 1.06e19 >
+    // Long.MaxValue — the r13 BIGINT fold wrapped silently here. Ranks
+    // of 0..n-1 are v+1; R_even = m^2 (first m odds), R_odd = m(m+1);
+    // H = 12 (R_e^2 + R_o^2)/(m n (n+1)) - 3(n+1) analytically, and the
+    // engine's <= 2-unit div floor perturbs H by ~1e-12.
+    val n = 2200000L
+    val m = n / 2
+    val df = spark.range(n).selectExpr("id % 2 as g", "id as v")
+    val r = Eval.kruskalWallis(df, "g", "v").head()
+    r.getAs[Long]("k") shouldBe 2L
+    r.getAs[Long]("n") shouldBe n
+    val re = BigDecimal(m) * BigDecimal(m)
+    val ro = BigDecimal(m) * BigDecimal(m + 1)
+    val exp = (BigDecimal(12) * (re * re + ro * ro) /
+      (BigDecimal(m) * BigDecimal(n) * BigDecimal(n + 1)) -
+      BigDecimal(3) * BigDecimal(n + 1)).toDouble
+    val h = r.getAs[Double]("h")
+    h should not be null.asInstanceOf[Any]
+    math.abs(h - exp) should be < 1e-5
+    (h >= 0.0) shouldBe true // a wrapped BIGINT fold goes wildly negative
+  }
+
   test("mcnemar: continuity-corrected discordant cells") {
     val ss = spark
     import ss.implicits._
