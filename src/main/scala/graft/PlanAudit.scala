@@ -151,6 +151,11 @@ object PlanAudit {
     // q259: q46's IVF shape (centroid-set broadcast + probe-set
     // broadcast) with the stride derived by sqrtStride — C ≈ √N
     "q259_ivf_sqrt",
+    // q280–q284: the √N-stride re-gates of q125/q126/q75/q76/q78 —
+    // identical intentional one-row codebook/LUT/centroid-set
+    // broadcasts, now C ≈ √N by construction
+    "q280_pq_encode_sqrt", "q281_pq_adc_sqrt", "q282_kmeans_sqrt",
+    "q283_ivf_trained_sqrt", "q284_ivf_knn_join_sqrt",
     // q244: logHistKs' reference sketch is a ≤ ~70-row bucket table
     // broadcast onto the group list (the q175/q221 PSI-grid shape)
     "q244_sketch_ks",

@@ -1446,7 +1446,8 @@ object Queries {
     * oracle replays both rounds bit-for-bit. Output per centroid: final
     * member count plus two integer checksums of the refined vector
     * (self-dot and component sum), which pin all 64 components without
-    * comparing arrays. */
+    * comparing arrays. Fixed-stride FIXTURE PIN — q282 gates the same
+    * pipeline under the scale-correct √N stride. */
   val q75: Q = (s, dir) => {
     val cents = Similarity.kmeansCentroids(
       Tables.embeddings(s, dir).withColumn("e", col("embedding").cast("array<double>")),
@@ -1462,7 +1463,8 @@ object Queries {
     * stride sample, then the nprobe-cell candidate search + exact
     * cosine rescore runs against the REFINED cells. Same contract as
     * q46 — approximate by construction, exact over the deterministic
-    * candidate set, and the oracle replays training AND search. */
+    * candidate set, and the oracle replays training AND search.
+    * Fixed-stride FIXTURE PIN — q283 is the √N-stride gate. */
   val q76: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
       .withColumn("e", col("embedding").cast("array<double>"))
@@ -1495,7 +1497,8 @@ object Queries {
   /** Q78 batch IVF-pruned kNN join (q54's exact batch join at the
     * 100 TB shape): the 5-probe batch searches only its nprobe nearest
     * stride cells, then exact-rescored and ranked like q54. The oracle
-    * replays assignment, per-probe cell ranking and the rescore. */
+    * replays assignment, per-probe cell ranking and the rescore.
+    * Fixed-stride FIXTURE PIN — q284 is the √N-stride gate. */
   val q78: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
       .withColumn("e", col("embedding").cast("array<double>"))
@@ -3390,6 +3393,86 @@ object Queries {
       .orderBy("a")
   }
 
+  /** Q280 PQ train + encode under the √N centroid discipline — q125's
+    * pipeline with `Similarity.sqrtStride` deriving the per-subspace
+    * seed stride (C ≈ √N at every scale), the 100 TB posture r13's
+    * sweep showed the fixed stride cannot hold (C = N/37 made q125
+    * 62× on 10× data). q125 stays as the fixed-stride fixture pin;
+    * THIS gates the scale-correct gear of the declared memory-scale
+    * ANN representation. */
+  val q280: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val stride = Similarity.sqrtStride(emb)
+    val book = Similarity.pqTrain(emb, "vec_id", "e", m = 4, dim = 64,
+      centroidStride = stride, iters = 1)
+    val codes = Similarity.pqEncode(emb, "vec_id", "e", book, m = 4, dim = 64)
+    val used = codes.select(posexplode(col("__code")).as(Seq("sub", "cid")))
+      .groupBy("sub", "cid").agg(count(lit(1)).as("n_docs"))
+    book.select(col("__sub").as("sub"), col("__cid").as("cid"),
+        Similarity.dot(col("__cv"), col("__cv")).cast("long").as("mu_dot"))
+      .join(used, Seq("sub", "cid"), "left")
+      .select(col("sub"), col("cid"), col("mu_dot"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("sub", "cid")
+  }
+
+  /** Q281 PQ asymmetric-distance search under the √N discipline —
+    * q126's ADC tail over q280's codebook: the LUT stays ONE broadcast
+    * row of m·C ≈ 4√N entries (vs 4N/37 under the fixed stride, which
+    * would eventually not broadcast at all), and the code-table scan
+    * shape is unchanged. */
+  val q281: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val book = Similarity.pqTrain(emb, "vec_id", "e", m = 4, dim = 64,
+      centroidStride = Similarity.sqrtStride(emb), iters = 1)
+    Similarity.pqAdcTopK(emb, "vec_id", "e", book,
+      targetId = 3L, k = 10, m = 4, dim = 64)
+  }
+
+  /** Q282 k-means refinement under the √N discipline — q75's two Lloyd
+    * rounds with the DERIVED stride: the O(N·C) assignment stays
+    * O(N^1.5) instead of quadratic (q75 measured 36× on 10× data
+    * under C = N/37). q75 stays as the fixed-stride fixture pin. */
+  val q282: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "e",
+      centroidStride = Similarity.sqrtStride(emb), iters = 2, dim = 64)
+    cents.select(col("__cid").as("cid"), col("__n").as("n"),
+        Similarity.dot(col("__cv"), col("__cv")).cast("long").as("mu_dot"),
+        aggregate(col("__cv"), lit(0.0d), (a, x) => a + x).cast("long").as("mu_sum"))
+      .orderBy("cid")
+  }
+
+  /** Q283 IVF train-then-search under the √N discipline — q76's full
+    * index pipeline (2 Lloyd rounds, then the nprobe-cell search +
+    * exact cosine rescore against the refined cells) with the derived
+    * stride. */
+  val q283: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val trained = Similarity.kmeansCentroids(emb, "vec_id", "e",
+        centroidStride = Similarity.sqrtStride(emb), iters = 2, dim = 64)
+      .select(col("__cid"), col("__cv"))
+    Similarity.ivfTopKWith(emb, "vec_id", "e", trained,
+      targetId = 3L, k = 10, nprobe = 8)
+  }
+
+  /** Q284 batch IVF-pruned kNN join under the √N discipline — q78's
+    * 5-probe batch search with the derived stride: per-probe candidate
+    * cells hold ~√N vectors, so the rescore stays probe-bounded at
+    * every scale. */
+  val q284: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    Similarity.ivfKnnJoin(e, e.filter(col("vec_id") < 5), "vec_id", "e",
+        centroidStride = Similarity.sqrtStride(e), k = 3, nprobe = 8)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Q278 Wald SPRT per variant — the SEQUENTIAL purchase-rate gate
     * (H0: 10%, H1: 15%, α = β = 5%): pure-BIGINT log-likelihood over
     * portable micro-nat literals the oracle embeds verbatim, decided
@@ -5184,7 +5267,8 @@ object Queries {
     * codebook (centroid checksum) plus the encode histogram — how
     * many docs each (subspace, centroid) code serves — so the oracle
     * replays training AND encoding. Integer-exact throughout: grid
-    * quantization, re-quantized means, (d2, cid) tie-break. */
+    * quantization, re-quantized means, (d2, cid) tie-break.
+    * Fixed-stride FIXTURE PIN — q280 gates the √N-stride gear. */
   val q125: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
       .withColumn("e", col("embedding").cast("array<double>"))
@@ -5207,7 +5291,8 @@ object Queries {
     * d2 is a fold over the one broadcast m·C-entry lookup table —
     * the float corpus is touched zero times at search, which is the
     * whole point of PQ at 100 TB. Every LUT entry is integer-valued,
-    * so the BIGINT sum and (adc_d2, id) ranking replay exactly. */
+    * so the BIGINT sum and (adc_d2, id) ranking replay exactly.
+    * Fixed-stride FIXTURE PIN — q281 gates the √N-stride gear. */
   val q126: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
       .withColumn("e", col("embedding").cast("array<double>"))
@@ -5625,6 +5710,11 @@ object Queries {
     "q277_tiff_decode" -> q277,
     "q278_sprt" -> q278,
     "q279_jl_projection" -> q279,
+    "q280_pq_encode_sqrt" -> q280,
+    "q281_pq_adc_sqrt" -> q281,
+    "q282_kmeans_sqrt" -> q282,
+    "q283_ivf_trained_sqrt" -> q283,
+    "q284_ivf_knn_join_sqrt" -> q284,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5638,16 +5728,121 @@ object Queries {
       "w AS (SELECT doc_id, lang, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h), " +
       "d AS (SELECT doc_id, lang, SUM(wt) AS score FROM w GROUP BY 1, 2)"
 
-  /** Shared by q125 (train + encode report) and q126 (ADC search):
-    * one PQ training round — the (id, sub, subvector) explode of the
-    * grid-quantized embeddings, a stride-37 init per subspace, the
+  /** The derived-stride CTE pair (q259's recipe, reused by every
+    * √N-discipline re-gate): stride = n div ⌈√n⌉ with the exact
+    * floor-sqrt + one s² ≥ n adjust `Similarity.sqrtStride` runs.
+    * Counts the `e` CTE (the embeddings view every consumer defines). */
+  private val strideCtes: String = {
+    val s0 = "CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"
+    "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e), " +
+      "st AS (SELECT CASE WHEN n <= 1 THEN 1 ELSE greatest(1, " +
+      s"n // (CASE WHEN $s0 * $s0 >= n THEN $s0 ELSE $s0 + 1 END)) END AS stride FROM nn)"
+  }
+
+  /** The q75/q282 oracle: replays both Lloyd rounds bit-for-bit —
+    * quantized vectors and re-quantized means keep every distance
+    * integer-valued, so the (d2, cid) assignment order is
+    * engine-independent. Seeding is the fixed 37 stride (q75, the
+    * fixture pin) or the derived √N stride (q282). */
+  private def kmeansRefineOracle(derivedStride: Boolean): String =
+    "WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
+      (if (derivedStride)
+        strideCtes +
+          ", c0 AS (SELECT vec_id AS cid, q AS cv FROM e, st WHERE vec_id % st.stride = 0), "
+      else
+        "c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), ") +
+      "p AS (SELECT unnest(range(1, 65)) AS i), " +
+      "a1 AS (SELECT e.vec_id, e.q, c0.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn FROM e, c0), " +
+      "m1 AS (SELECT vec_id, q, cid FROM a1 WHERE rn = 1), " +
+      "s1 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu, COUNT(*) AS n FROM m1, p GROUP BY cid, i), " +
+      "n1 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s1 GROUP BY cid), " +
+      "c1 AS (SELECT c0.cid, COALESCE(n1.cv, c0.cv) AS cv FROM c0 LEFT JOIN n1 USING (cid)), " +
+      "a2 AS (SELECT e.vec_id, e.q, c1.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c1.cv) + list_dot_product(c1.cv, c1.cv), c1.cid) AS rn FROM e, c1), " +
+      "m2 AS (SELECT vec_id, q, cid FROM a2 WHERE rn = 1), " +
+      "s2 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu, COUNT(*) AS n FROM m2, p GROUP BY cid, i), " +
+      "n2 AS (SELECT cid, list(mu ORDER BY i) AS cv, MAX(n) AS n FROM s2 GROUP BY cid), " +
+      "c2 AS (SELECT c1.cid, COALESCE(n2.cv, c1.cv) AS cv, COALESCE(n2.n, 0) AS n FROM c1 LEFT JOIN n2 USING (cid)) " +
+      "SELECT cid, CAST(n AS BIGINT) AS n, CAST(list_dot_product(cv, cv) AS BIGINT) AS mu_dot, " +
+      "CAST(list_aggregate(cv, 'sum') AS BIGINT) AS mu_sum FROM c2 ORDER BY cid"
+
+  /** The q76/q283 oracle: the two training rounds verbatim, then q46's
+    * search tail against the refined centroids. */
+  private def ivfTrainedOracle(derivedStride: Boolean): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+      "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
+      (if (derivedStride)
+        strideCtes +
+          ", c0 AS (SELECT vec_id AS cid, q AS cv FROM e, st WHERE vec_id % st.stride = 0), "
+      else
+        "c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), ") +
+      "p AS (SELECT unnest(range(1, 65)) AS i), " +
+      "a1 AS (SELECT e.vec_id, e.q, c0.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn FROM e, c0), " +
+      "m1 AS (SELECT vec_id, q, cid FROM a1 WHERE rn = 1), " +
+      "s1 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu FROM m1, p GROUP BY cid, i), " +
+      "n1 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s1 GROUP BY cid), " +
+      "c1 AS (SELECT c0.cid, COALESCE(n1.cv, c0.cv) AS cv FROM c0 LEFT JOIN n1 USING (cid)), " +
+      "a2 AS (SELECT e.vec_id, e.q, c1.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c1.cv) + list_dot_product(c1.cv, c1.cv), c1.cid) AS rn FROM e, c1), " +
+      "m2 AS (SELECT vec_id, q, cid FROM a2 WHERE rn = 1), " +
+      "s2 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu FROM m2, p GROUP BY cid, i), " +
+      "n2 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s2 GROUP BY cid), " +
+      "c2 AS (SELECT c1.cid, COALESCE(n2.cv, c1.cv) AS cv FROM c1 LEFT JOIN n2 USING (cid)), " +
+      "dist AS (SELECT e.vec_id, c2.cid, " +
+      "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c2.cv) + list_dot_product(c2.cv, c2.cv) AS d2 FROM e, c2), " +
+      "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist) t WHERE rn = 1), " +
+      "probes AS (SELECT cid FROM dist WHERE vec_id = 3 ORDER BY d2, cid LIMIT 8), " +
+      "cand AS (SELECT a.vec_id FROM asg a JOIN probes pr USING (cid) WHERE a.vec_id <> 3), " +
+      "tgt AS (SELECT MIN(v) AS t FROM e WHERE vec_id = 3), " +
+      "scored AS (SELECT e.vec_id, list_dot_product(e.v, (SELECT t FROM tgt)) / " +
+      "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product((SELECT t FROM tgt), (SELECT t FROM tgt)))) AS raw " +
+      "FROM e JOIN cand USING (vec_id)) " +
+      "SELECT vec_id, ROUND(raw, 4) AS score FROM scored ORDER BY score DESC, vec_id LIMIT 10"
+
+  /** The q78/q284 oracle: q46's assignment CTEs, then q54's scoring
+    * tail restricted to each probe's nprobe cells. */
+  private def ivfKnnJoinOracle(derivedStride: Boolean): String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+      "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
+      (if (derivedStride)
+        strideCtes +
+          ", cent AS (SELECT vec_id AS cid, q AS cv FROM e, st WHERE vec_id % st.stride = 0), "
+      else
+        "cent AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), ") +
+      "dist AS (SELECT e.vec_id, cent.cid, " +
+      "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, cent.cv) + list_dot_product(cent.cv, cent.cv) AS d2 FROM e, cent), " +
+      "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist) t WHERE rn = 1), " +
+      "pc AS (SELECT vec_id AS probe_id, cid FROM (SELECT vec_id, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist WHERE vec_id < 5) t WHERE rn <= 8), " +
+      "cand AS (SELECT pc.probe_id, a.vec_id FROM asg a JOIN pc USING (cid) WHERE a.vec_id <> pc.probe_id), " +
+      "p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5), " +
+      "scored AS (SELECT c.probe_id, c.vec_id AS neighbor_id, " +
+      "list_dot_product(e.v, p.pv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS raw " +
+      "FROM cand c JOIN e ON c.vec_id = e.vec_id JOIN p ON c.probe_id = p.probe_id), " +
+      "r AS (SELECT probe_id, neighbor_id, raw, ROW_NUMBER() OVER " +
+      "(PARTITION BY probe_id ORDER BY raw DESC, neighbor_id) AS rank FROM scored) " +
+      "SELECT probe_id, neighbor_id, ROUND(raw, 4) AS score, rank FROM r " +
+      "WHERE rank <= 3 ORDER BY probe_id, rank"
+
+  /** Shared by q125/q126 (fixed-stride fixture pins) and q280/q281
+    * (the √N-discipline re-gates): one PQ training round — the
+    * (id, sub, subvector) explode of the grid-quantized embeddings, a
+    * stride-seeded init per subspace (37 fixed, or derived ≈ √N), the
     * (d2, cid) argmin assignment, re-quantized means — and the encode
     * assignment `enc` against the refreshed codebook `c1`. */
-  private val pqOracleCtes: String =
+  private def pqOracleCtes(derivedStride: Boolean): String =
     "WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
+      (if (derivedStride) strideCtes + ", " else "") +
       "ss AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS s), " +
       "sub AS (SELECT e.vec_id, ss.s, list_slice(e.q, ss.s * 16 + 1, ss.s * 16 + 16) AS sv FROM e, ss), " +
-      "c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id % 37 = 0), " +
+      (if (derivedStride)
+        "c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sub, st WHERE vec_id % st.stride = 0), "
+      else
+        "c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id % 37 = 0), ") +
       "p AS (SELECT unnest(range(1, 17)) AS i), " +
       "a1 AS (SELECT sub.vec_id, sub.s, sub.sv, c0.cid, row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY " +
       "list_dot_product(sub.sv, sub.sv) - 2 * list_dot_product(sub.sv, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn " +
@@ -6359,53 +6554,11 @@ object Queries {
       // replays both Lloyd rounds bit-for-bit: quantized vectors and
       // re-quantized means keep every distance integer-valued, so the
       // (d2, cid) assignment order is engine-independent
-      ("WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
-        "c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), " +
-        "p AS (SELECT unnest(range(1, 65)) AS i), " +
-        "a1 AS (SELECT e.vec_id, e.q, c0.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
-        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn FROM e, c0), " +
-        "m1 AS (SELECT vec_id, q, cid FROM a1 WHERE rn = 1), " +
-        "s1 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu, COUNT(*) AS n FROM m1, p GROUP BY cid, i), " +
-        "n1 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s1 GROUP BY cid), " +
-        "c1 AS (SELECT c0.cid, COALESCE(n1.cv, c0.cv) AS cv FROM c0 LEFT JOIN n1 USING (cid)), " +
-        "a2 AS (SELECT e.vec_id, e.q, c1.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
-        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c1.cv) + list_dot_product(c1.cv, c1.cv), c1.cid) AS rn FROM e, c1), " +
-        "m2 AS (SELECT vec_id, q, cid FROM a2 WHERE rn = 1), " +
-        "s2 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu, COUNT(*) AS n FROM m2, p GROUP BY cid, i), " +
-        "n2 AS (SELECT cid, list(mu ORDER BY i) AS cv, MAX(n) AS n FROM s2 GROUP BY cid), " +
-        "c2 AS (SELECT c1.cid, COALESCE(n2.cv, c1.cv) AS cv, COALESCE(n2.n, 0) AS n FROM c1 LEFT JOIN n2 USING (cid)) " +
-        "SELECT cid, CAST(n AS BIGINT) AS n, CAST(list_dot_product(cv, cv) AS BIGINT) AS mu_dot, " +
-        "CAST(list_aggregate(cv, 'sum') AS BIGINT) AS mu_sum FROM c2 ORDER BY cid"),
+      kmeansRefineOracle(derivedStride = false),
     "q76_ivf_trained" ->
       // q75's two training rounds verbatim, then q46's search tail
       // against the refined centroids
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
-        "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
-        "c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), " +
-        "p AS (SELECT unnest(range(1, 65)) AS i), " +
-        "a1 AS (SELECT e.vec_id, e.q, c0.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
-        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn FROM e, c0), " +
-        "m1 AS (SELECT vec_id, q, cid FROM a1 WHERE rn = 1), " +
-        "s1 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu FROM m1, p GROUP BY cid, i), " +
-        "n1 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s1 GROUP BY cid), " +
-        "c1 AS (SELECT c0.cid, COALESCE(n1.cv, c0.cv) AS cv FROM c0 LEFT JOIN n1 USING (cid)), " +
-        "a2 AS (SELECT e.vec_id, e.q, c1.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
-        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c1.cv) + list_dot_product(c1.cv, c1.cv), c1.cid) AS rn FROM e, c1), " +
-        "m2 AS (SELECT vec_id, q, cid FROM a2 WHERE rn = 1), " +
-        "s2 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu FROM m2, p GROUP BY cid, i), " +
-        "n2 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s2 GROUP BY cid), " +
-        "c2 AS (SELECT c1.cid, COALESCE(n2.cv, c1.cv) AS cv FROM c1 LEFT JOIN n2 USING (cid)), " +
-        "dist AS (SELECT e.vec_id, c2.cid, " +
-        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c2.cv) + list_dot_product(c2.cv, c2.cv) AS d2 FROM e, c2), " +
-        "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist) t WHERE rn = 1), " +
-        "probes AS (SELECT cid FROM dist WHERE vec_id = 3 ORDER BY d2, cid LIMIT 8), " +
-        "cand AS (SELECT a.vec_id FROM asg a JOIN probes pr USING (cid) WHERE a.vec_id <> 3), " +
-        "tgt AS (SELECT MIN(v) AS t FROM e WHERE vec_id = 3), " +
-        "scored AS (SELECT e.vec_id, list_dot_product(e.v, (SELECT t FROM tgt)) / " +
-        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product((SELECT t FROM tgt), (SELECT t FROM tgt)))) AS raw " +
-        "FROM e JOIN cand USING (vec_id)) " +
-        "SELECT vec_id, ROUND(raw, 4) AS score FROM scored ORDER BY score DESC, vec_id LIMIT 10"),
+      ivfTrainedOracle(derivedStride = false),
     "q77_corpus_freq" ->
       // same bigram construction as q74; per-doc stats then per-lang
       // rollup, thresholds as exact integer cross-multiplications
@@ -6424,24 +6577,7 @@ object Queries {
     "q78_ivf_knn_join" ->
       // q46's assignment CTEs, then q54's scoring tail restricted to
       // each probe's nprobe cells
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
-        "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
-        "cent AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), " +
-        "dist AS (SELECT e.vec_id, cent.cid, " +
-        "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, cent.cv) + list_dot_product(cent.cv, cent.cv) AS d2 FROM e, cent), " +
-        "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist) t WHERE rn = 1), " +
-        "pc AS (SELECT vec_id AS probe_id, cid FROM (SELECT vec_id, cid, " +
-        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist WHERE vec_id < 5) t WHERE rn <= 8), " +
-        "cand AS (SELECT pc.probe_id, a.vec_id FROM asg a JOIN pc USING (cid) WHERE a.vec_id <> pc.probe_id), " +
-        "p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5), " +
-        "scored AS (SELECT c.probe_id, c.vec_id AS neighbor_id, " +
-        "list_dot_product(e.v, p.pv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS raw " +
-        "FROM cand c JOIN e ON c.vec_id = e.vec_id JOIN p ON c.probe_id = p.probe_id), " +
-        "r AS (SELECT probe_id, neighbor_id, raw, ROW_NUMBER() OVER " +
-        "(PARTITION BY probe_id ORDER BY raw DESC, neighbor_id) AS rank FROM scored) " +
-        "SELECT probe_id, neighbor_id, ROUND(raw, 4) AS score, rank FROM r " +
-        "WHERE rank <= 3 ORDER BY probe_id, rank"),
+      ivfKnnJoinOracle(derivedStride = false),
     "q79_bloom_semi_join" ->
       // the Bloom prune is invisible to semantics: plain IN-subquery
       ("SELECT l_returnflag AS rf, COUNT(*) AS n, " +
@@ -7257,7 +7393,7 @@ object Queries {
       // one PQ training round over the 4×16 subspace view, then the
       // encode assignment vs the refreshed codebook — shared CTEs
       // with q126, which searches what this query trains
-      (pqOracleCtes +
+      (pqOracleCtes(derivedStride = false) +
         ", us AS (SELECT s, cid, COUNT(*) AS n_docs FROM enc GROUP BY s, cid) " +
         "SELECT c1.s AS sub, c1.cid, " +
         "CAST(list_dot_product(c1.cv, c1.cv) AS BIGINT) AS mu_dot, " +
@@ -7266,7 +7402,7 @@ object Queries {
     "q126_pq_adc" ->
       // q125's training + encode verbatim, then the ADC tail: per-doc
       // approximate d2 = sum of the 4 LUT entries its codes select
-      (pqOracleCtes +
+      (pqOracleCtes(derivedStride = false) +
         ", tq AS (SELECT s, sv FROM sub WHERE vec_id = 3), " +
         "lut AS (SELECT c1.s, c1.cid, " +
         "list_dot_product(tq.sv, tq.sv) - 2 * list_dot_product(tq.sv, c1.cv) + list_dot_product(c1.cv, c1.cv) AS d2 " +
@@ -9588,6 +9724,28 @@ object Queries {
         "CAST(SUM(h7) AS BIGINT) AS h7 " +
         "FROM per GROUP BY lang ORDER BY lang"),
     "q259_ivf_sqrt" -> ivfSqrtOracle,
+    "q280_pq_encode_sqrt" ->
+      // q125's training + encode with the stride CTEs deriving
+      // N div ceil(sqrt(N)) exactly as Similarity.sqrtStride does
+      (pqOracleCtes(derivedStride = true) +
+        ", us AS (SELECT s, cid, COUNT(*) AS n_docs FROM enc GROUP BY s, cid) " +
+        "SELECT c1.s AS sub, c1.cid, " +
+        "CAST(list_dot_product(c1.cv, c1.cv) AS BIGINT) AS mu_dot, " +
+        "CAST(COALESCE(us.n_docs, 0) AS BIGINT) AS n_docs " +
+        "FROM c1 LEFT JOIN us USING (s, cid) ORDER BY sub, cid"),
+    "q281_pq_adc_sqrt" ->
+      // q126's ADC tail over the derived-stride codebook
+      (pqOracleCtes(derivedStride = true) +
+        ", tq AS (SELECT s, sv FROM sub WHERE vec_id = 3), " +
+        "lut AS (SELECT c1.s, c1.cid, " +
+        "list_dot_product(tq.sv, tq.sv) - 2 * list_dot_product(tq.sv, c1.cv) + list_dot_product(c1.cv, c1.cv) AS d2 " +
+        "FROM c1 JOIN tq USING (s)), " +
+        "sc AS (SELECT enc.vec_id, CAST(SUM(lut.d2) AS BIGINT) AS adc_d2 " +
+        "FROM enc JOIN lut USING (s, cid) WHERE enc.vec_id <> 3 GROUP BY enc.vec_id) " +
+        "SELECT vec_id, adc_d2 FROM sc ORDER BY adc_d2, vec_id LIMIT 10"),
+    "q282_kmeans_sqrt" -> kmeansRefineOracle(derivedStride = true),
+    "q283_ivf_trained_sqrt" -> ivfTrainedOracle(derivedStride = true),
+    "q284_ivf_knn_join_sqrt" -> ivfKnnJoinOracle(derivedStride = true),
     "q260_anova" ->
       // per-lang BIGINT moments, S_g^2 // n_g unit floors in HUGEINT,
       // clamped SS, one double division each for F / eta2
