@@ -3473,6 +3473,26 @@ object Queries {
       .orderBy("probe_id", "rank")
   }
 
+  /** Q285 MULTI-reference corpus BLEU — q253's eval with each doc
+    * scored against its TWO same-lang successors: per-gram clip is the
+    * max over the references (the Papineni multi-ref rule r13's
+    * single-ref guard deliberately rejected), and the brevity penalty
+    * uses the per-candidate closest reference length (ties shorter).
+    * Candidates with only one successor keep one reference — the mixed
+    * 1-and-2-ref corpus is the realistic eval-set shape. */
+  val q285: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val base = docs.select(col("doc_id"), col("lang"))
+      .withColumn("__r1", lead(col("doc_id"), 1).over(w))
+      .withColumn("__r2", lead(col("doc_id"), 2).over(w))
+    val pm = base.where(col("__r1").isNotNull)
+        .select(col("doc_id"), col("__r1").as("__rid"))
+      .unionByName(base.where(col("__r2").isNotNull)
+        .select(col("doc_id"), col("__r2").as("__rid")))
+    Eval.corpusBleuMulti(docs, "doc_id", "text", pm, "doc_id", "__rid")
+  }
+
   /** Q278 Wald SPRT per variant — the SEQUENTIAL purchase-rate gate
     * (H0: 10%, H1: 15%, α = β = 5%): pure-BIGINT log-likelihood over
     * portable micro-nat literals the oracle embeds verbatim, decided
@@ -5715,6 +5735,7 @@ object Queries {
     "q282_kmeans_sqrt" -> q282,
     "q283_ivf_trained_sqrt" -> q283,
     "q284_ivf_knn_join_sqrt" -> q284,
+    "q285_bleu_multiref" -> q285,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9746,6 +9767,61 @@ object Queries {
     "q282_kmeans_sqrt" -> kmeansRefineOracle(derivedStride = true),
     "q283_ivf_trained_sqrt" -> ivfTrainedOracle(derivedStride = true),
     "q284_ivf_knn_join_sqrt" -> ivfKnnJoinOracle(derivedStride = true),
+    "q285_bleu_multiref" ->
+      // q253's gram/score program with the multi-ref deltas: candidate
+      // grams join DISTINCT cids, ref counts take the per-(cid,n,gh)
+      // MAX over that candidate's references, and ref_tokens sums the
+      // per-candidate closest reference length (ties to the shorter)
+      ("WITH d AS (SELECT doc_id, lang, list_filter(str_split(lower(trim(text)), ' '), t -> t <> '') AS ws FROM documents), "
+        + "pm0 AS (SELECT doc_id, LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS r1, "
+        + "LEAD(doc_id, 2) OVER (PARTITION BY lang ORDER BY doc_id) AS r2 FROM d), "
+        + "pm AS (SELECT doc_id AS cid, r1 AS rid FROM pm0 WHERE r1 IS NOT NULL "
+        + "UNION ALL SELECT doc_id, r2 FROM pm0 WHERE r2 IS NOT NULL), "
+        + "dh AS (SELECT doc_id, list_transform(ws, t -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        + "list_transform(range(1, length(t) + 1), i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS BIGINT))), "
+        + "(a, b) -> (a * 31 + b) % 2147483647)) AS hs FROM d), "
+        + "g0 AS (SELECT doc_id, 1 AS n, unnest([hs[i:i] FOR i IN range(1, len(hs) + 1)]) AS gl FROM dh WHERE len(hs) >= 1 "
+        + "UNION ALL SELECT doc_id, 2, unnest([hs[i:i+1] FOR i IN range(1, len(hs))]) FROM dh WHERE len(hs) >= 2 "
+        + "UNION ALL SELECT doc_id, 3, unnest([hs[i:i+2] FOR i IN range(1, len(hs) - 1)]) FROM dh WHERE len(hs) >= 3 "
+        + "UNION ALL SELECT doc_id, 4, unnest([hs[i:i+3] FOR i IN range(1, len(hs) - 2)]) FROM dh WHERE len(hs) >= 4), "
+        + "gr AS (SELECT doc_id, n, gh, CAST(COUNT(*) AS BIGINT) AS c FROM ("
+        + "SELECT doc_id, n, list_reduce(list_prepend(CAST(0 AS BIGINT), gl), "
+        + "(a, b) -> (a * 31 + b) % 2147483647) AS gh FROM g0) GROUP BY 1, 2, 3), "
+        + "cd AS (SELECT DISTINCT cid FROM pm), "
+        + "cc2 AS (SELECT cd.cid AS p, n, gh, c AS cc FROM gr JOIN cd ON gr.doc_id = cd.cid), "
+        + "rr2 AS (SELECT p, n, gh, CAST(MAX(c) AS BIGINT) AS cr FROM ("
+        + "SELECT pm.cid AS p, n, gh, c FROM gr JOIN pm ON gr.doc_id = pm.rid) GROUP BY 1, 2, 3), "
+        + "j AS (SELECT cc2.n, cc2.cc, COALESCE(rr2.cr, 0) AS cr FROM cc2 LEFT JOIN rr2 "
+        + "ON cc2.p = rr2.p AND cc2.n = rr2.n AND cc2.gh = rr2.gh), "
+        + "pn AS (SELECT n, CAST(SUM(cc) AS BIGINT) AS tot, CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS clip FROM j GROUP BY 1), "
+        + "pv AS (SELECT "
+        + "COALESCE(CAST(SUM(CASE WHEN n = 1 THEN clip END) AS BIGINT), 0) AS c1, COALESCE(CAST(SUM(CASE WHEN n = 1 THEN tot END) AS BIGINT), 0) AS t1, "
+        + "COALESCE(CAST(SUM(CASE WHEN n = 2 THEN clip END) AS BIGINT), 0) AS c2, COALESCE(CAST(SUM(CASE WHEN n = 2 THEN tot END) AS BIGINT), 0) AS t2, "
+        + "COALESCE(CAST(SUM(CASE WHEN n = 3 THEN clip END) AS BIGINT), 0) AS c3, COALESCE(CAST(SUM(CASE WHEN n = 3 THEN tot END) AS BIGINT), 0) AS t3, "
+        + "COALESCE(CAST(SUM(CASE WHEN n = 4 THEN clip END) AS BIGINT), 0) AS c4, COALESCE(CAST(SUM(CASE WHEN n = 4 THEN tot END) AS BIGINT), 0) AS t4 FROM pn), "
+        + "dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS l FROM d), "
+        + "eff AS (SELECT cid, cl, rl FROM (SELECT pm.cid, c.l AS cl, r.l AS rl, "
+        + "row_number() OVER (PARTITION BY pm.cid ORDER BY abs(r.l - c.l), r.l) AS rn "
+        + "FROM pm JOIN dl c ON pm.cid = c.doc_id JOIN dl r ON pm.rid = r.doc_id) WHERE rn = 1), "
+        + "ln2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(cl) AS BIGINT) AS cand_tokens, "
+        + "CAST(SUM(rl) AS BIGINT) AS ref_tokens FROM eff), "
+        + "f AS (SELECT *, CASE WHEN cand_tokens >= ref_tokens THEN 0 "
+        + "ELSE CAST(floor((1.0 - CAST(ref_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) END AS bp_micro "
+        + "FROM ln2, pv) "
+        + "SELECT n_pairs, cand_tokens, ref_tokens, "
+        + "CASE WHEN t1 > 0 THEN round(CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE), 6) END AS p1, "
+        + "CASE WHEN t2 > 0 THEN round(CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE), 6) END AS p2, "
+        + "CASE WHEN t3 > 0 THEN round(CAST(c3 AS DOUBLE) / CAST(t3 AS DOUBLE), 6) END AS p3, "
+        + "CASE WHEN t4 > 0 THEN round(CAST(c4 AS DOUBLE) / CAST(t4 AS DOUBLE), 6) END AS p4, "
+        + "bp_micro, "
+        + "CASE WHEN c1 > 0 AND t1 > 0 AND c2 > 0 AND t2 > 0 AND c3 > 0 AND t3 > 0 AND c4 > 0 AND t4 > 0 THEN "
+        + "CAST(CAST(floor(exp((CAST(bp_micro AS DOUBLE) + "
+        + "CAST(CAST(floor(ln(CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+        + "+ CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+        + "+ CAST(floor(ln(CAST(c3 AS DOUBLE) / CAST(t3 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+        + "+ CAST(floor(ln(CAST(c4 AS DOUBLE) / CAST(t4 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 4.0) "
+        + "/ 1000000.0) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 ELSE 0.0 END AS bleu "
+        + "FROM f"),
     "q260_anova" ->
       // per-lang BIGINT moments, S_g^2 // n_g unit floors in HUGEINT,
       // clamped SS, one double division each for F / eta2

@@ -1199,8 +1199,8 @@ object Eval {
    * `p1`..`p4` (6 dp), `bp_micro` (≤ 0), `bleu`.
    *
    * SINGLE-reference BLEU: `pairMap` must carry exactly one reference
-   * per candidate id (checked eagerly — multi-reference BLEU takes a
-   * per-gram max over references, which this shape does not compute).
+   * per candidate id (checked eagerly); [[corpusBleuMulti]] is the
+   * several-references shape (per-gram max clip, effective ref length).
    *
    * Pairing is an ID-ONLY map (`pairMap`: candidate id → reference
    * id) against ONE per-doc gram table, so document TEXT never enters
@@ -1217,19 +1217,113 @@ object Eval {
   def corpusBleu(docs: DataFrame, idCol: String, textCol: String,
                  pairMap: DataFrame, candIdCol: String,
                  refIdCol: String): DataFrame = {
-    def lnMicro(x: Column): Column =
-      floor(log(x) * 1e6d + 0.5d).cast("long")
-    def pr6(c: Column): Column =
-      floor(c * lit(1000000.0) + lit(0.5)).cast("long").cast("double") /
-        lit(1000000.0)
-    val toks = filter(split(lower(trim(col(textCol))), " "),
-      t => t =!= "")
-    // gram identity = the 31-polynomial fold of the TOKEN hashes (one
-    // hash per token, composed per gram) — long keys instead of gram
-    // strings, so the count exchange ships 8 B keys; the ≤4-step fold
-    // is UNROLLED into plain codegen'd arithmetic (a generic
-    // `aggregate` lambda is CodegenFallback and measured slower than
-    // the string build it replaced)
+    val grams = bleuGramTable(docs, idCol, textCol)
+    val pm = pairMap.select(col(candIdCol).as("__cid"),
+      col(refIdCol).as("__rid"))
+    // SINGLE-reference contract (checked): a duplicated candidate id
+    // here would duplicate cand rows and double-count the clip and
+    // total sums, silently inflating precision — [[corpusBleuMulti]]
+    // is the shape that takes several references per candidate
+    require(pm.groupBy("__cid").count().where(col("count") > 1L).isEmpty,
+      "corpusBleu: pairMap must carry exactly one reference per " +
+        s"candidate id ('$candIdCol') — multi-reference input detected" +
+        " (use corpusBleuMulti)")
+    val cand = grams.join(pm.select(col("__cid")),
+        col("__id") === col("__cid"))
+      .select(col("__cid").as("__p"), col("__n"), col("__gh"),
+        col("__c").as("__cc"))
+    val ref = grams.join(pm, col("__id") === col("__rid"))
+      .select(col("__cid").as("__p"), col("__n"), col("__gh"),
+        col("__c").as("__cr"))
+    val joined = cand.join(ref, Seq("__p", "__n", "__gh"), "left")
+      .select(col("__n"), col("__cc"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    val dl = docs.select(col(idCol).as("__id"),
+      size(bleuToks(textCol)).cast("long").as("__len"))
+    val lens = pm
+      .join(dl.select(col("__id").as("__cid"), col("__len").as("__cl")),
+        Seq("__cid"))
+      .join(dl.select(col("__id").as("__rid"), col("__len").as("__rl")),
+        Seq("__rid"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__cl")).as("cand_tokens"),
+        sum(col("__rl")).as("ref_tokens"))
+    bleuReport(joined, lens)
+  }
+
+  /**
+   * Multi-reference corpus BLEU — [[corpusBleu]] for the standard
+   * several-references-per-candidate shape (Papineni et al. 2002 §2.1):
+   * each candidate gram's clip ceiling is the MAX of its count across
+   * that candidate's references (`greatest`-over-refs), and the brevity
+   * penalty uses the EFFECTIVE reference length — per candidate, the
+   * reference length closest to the candidate's, ties to the SHORTER
+   * (the NIST/sacrebleu convention, deterministic by construction).
+   * With exactly one reference per candidate it equals [[corpusBleu]].
+   *
+   * `pairMap` rows are (candidate id, reference id); duplicates
+   * dedup (a repeated pair must not double-count), and `n_pairs`
+   * reports DISTINCT CANDIDATES (each scored once, however many
+   * references it carries).
+   *
+   * Exactness: the per-(cand, n, gram) max is an integer decision;
+   * everything downstream is [[corpusBleu]]'s micro-nat program
+   * verbatim. The effective-length argmin is a lexicographic
+   * (|rl − cl|, rl) struct-min — pure integer comparison.
+   *
+   * Scale shape: [[corpusBleu]]'s id-only joins plus ONE extra
+   * (cand, n, gram)-keyed max aggregation (map-side combined); text
+   * still never enters an exchange.
+   */
+  def corpusBleuMulti(docs: DataFrame, idCol: String, textCol: String,
+                      pairMap: DataFrame, candIdCol: String,
+                      refIdCol: String): DataFrame = {
+    val grams = bleuGramTable(docs, idCol, textCol)
+    val pm = pairMap.select(col(candIdCol).as("__cid"),
+      col(refIdCol).as("__rid")).distinct()
+    val cands = pm.select(col("__cid")).distinct()
+    val cand = grams.join(cands, col("__id") === col("__cid"))
+      .select(col("__cid").as("__p"), col("__n"), col("__gh"),
+        col("__c").as("__cc"))
+    // per-gram clip ceiling = max over the candidate's references
+    val ref = grams.join(pm, col("__id") === col("__rid"))
+      .groupBy(col("__cid").as("__p"), col("__n"), col("__gh"))
+      .agg(max(col("__c")).as("__cr"))
+    val joined = cand.join(ref, Seq("__p", "__n", "__gh"), "left")
+      .select(col("__n"), col("__cc"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    val dl = docs.select(col(idCol).as("__id"),
+      size(bleuToks(textCol)).cast("long").as("__len"))
+    // effective reference length per candidate: closest, ties shorter
+    val perCand = pm
+      .join(dl.select(col("__id").as("__cid"), col("__len").as("__cl")),
+        Seq("__cid"))
+      .join(dl.select(col("__id").as("__rid"), col("__len").as("__rl")),
+        Seq("__rid"))
+      .groupBy(col("__cid"))
+      .agg(max(col("__cl")).as("__cl"), // constant within the group
+        min(struct(abs(col("__rl") - col("__cl")).as("d"),
+          col("__rl").as("rl"))).as("__best"))
+    val lens = perCand.agg(count(lit(1)).as("n_pairs"),
+      sum(col("__cl")).as("cand_tokens"),
+      sum(col("__best.rl")).as("ref_tokens"))
+    bleuReport(joined, lens)
+  }
+
+  /** BLEU tokenization: whitespace split of the lowercased trim. */
+  private def bleuToks(textCol: String): Column =
+    filter(split(lower(trim(col(textCol))), " "), t => t =!= "")
+
+  /** The per-doc (n, gram-hash) count table shared by the BLEU family.
+    *
+    * Gram identity = the 31-polynomial fold of the TOKEN hashes (one
+    * hash per token, composed per gram) — long keys instead of gram
+    * strings, so the count exchange ships 8 B keys; the ≤4-step fold
+    * is UNROLLED into plain codegen'd arithmetic (a generic
+    * `aggregate` lambda is CodegenFallback and measured slower than
+    * the string build it replaced). */
+  private def bleuGramTable(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
     val P = lit(2147483647L)
     def stepped(thc: Column, i: Column, n: Column): Column = {
       def h(k: Int) = element_at(thc, (i + (k - 1)).cast("int"))
@@ -1249,32 +1343,24 @@ object Eval {
         when(size(thc) >= n, sequence(lit(1), size(thc) - n + 1))
           .otherwise(array().cast("array<int>")),
         i => struct(n.as("n"), stepped(thc, i, n).as("gh"))))))
-    val grams = docs
+    docs
       .select(col(idCol).as("__id"),
-        transform(toks, t => TextMetrics.tokenHash(t)).as("__th"))
+        transform(bleuToks(textCol), t => TextMetrics.tokenHash(t)).as("__th"))
       .select(col("__id"), gramH.as("__g"))
       .groupBy(col("__id"), col("__g.n").as("__n"), col("__g.gh").as("__gh"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint(eager = false)
-    val pm = pairMap.select(col(candIdCol).as("__cid"),
-      col(refIdCol).as("__rid"))
-    // SINGLE-reference contract (checked): multi-reference BLEU takes
-    // a per-gram MAX over references; a duplicated candidate id here
-    // would instead duplicate cand rows and double-count the clip and
-    // total sums, silently inflating precision
-    require(pm.groupBy("__cid").count().where(col("count") > 1L).isEmpty,
-      "corpusBleu: pairMap must carry exactly one reference per " +
-        s"candidate id ('$candIdCol') — multi-reference input detected")
-    val cand = grams.join(pm.select(col("__cid")),
-        col("__id") === col("__cid"))
-      .select(col("__cid").as("__p"), col("__n"), col("__gh"),
-        col("__c").as("__cc"))
-    val ref = grams.join(pm, col("__id") === col("__rid"))
-      .select(col("__cid").as("__p"), col("__n"), col("__gh"),
-        col("__c").as("__cr"))
-    val joined = cand.join(ref, Seq("__p", "__n", "__gh"), "left")
-      .select(col("__n"), col("__cc"),
-        coalesce(col("__cr"), lit(0L)).as("__cr"))
+  }
+
+  /** The shared BLEU tail: per-n totals/clips, the 4-way pivot, and
+    * the micro-nat score program. `joined` = (__n, __cc, __cr) rows;
+    * `lens` = the 1-row (n_pairs, cand_tokens, ref_tokens). */
+  private def bleuReport(joined: DataFrame, lens: DataFrame): DataFrame = {
+    def lnMicro(x: Column): Column =
+      floor(log(x) * 1e6d + 0.5d).cast("long")
+    def pr6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long").cast("double") /
+        lit(1000000.0)
     val perN = joined.groupBy("__n")
       .agg(sum(col("__cc")).as("__tot"),
         sum(least(col("__cc"), col("__cr"))).as("__clip"))
@@ -1284,16 +1370,6 @@ object Eval {
       coalesce(sum(when(col("__n") === n, col("__tot"))), lit(0L))
         .as(s"__t$n")))
     val pivot = perN.agg(aggCols.head, aggCols.tail: _*)
-    val dl = docs.select(col(idCol).as("__id"),
-      size(toks).cast("long").as("__len"))
-    val lens = pm
-      .join(dl.select(col("__id").as("__cid"), col("__len").as("__cl")),
-        Seq("__cid"))
-      .join(dl.select(col("__id").as("__rid"), col("__len").as("__rl")),
-        Seq("__rid"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("__cl")).as("cand_tokens"),
-        sum(col("__rl")).as("ref_tokens"))
     val row = lens.crossJoin(broadcast(pivot))
     def p(n: Int): Column =
       when(col(s"__t$n") > 0L,

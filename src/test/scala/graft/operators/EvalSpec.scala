@@ -649,6 +649,43 @@ class EvalSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("corpusBleuMulti: per-gram max clip over references differs from " +
+    "single-ref; effective ref length is closest-then-shorter") {
+    val ss = spark
+    import ss.implicits._
+    // cand "a b": ref2 "a" covers a, ref3 "b" covers b — the per-gram
+    // MAX over refs clips BOTH unigrams (p1 = 1); single-ref against
+    // "a" alone clips only one (p1 = 0.5)
+    val docs = Seq((1L, "a b"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val single = Eval.corpusBleu(docs, "doc_id", "text",
+      Seq((1L, 2L)).toDF("cid", "rid"), "cid", "rid").head()
+    val multi = Eval.corpusBleuMulti(docs, "doc_id", "text",
+      Seq((1L, 2L), (1L, 3L)).toDF("cid", "rid"), "cid", "rid").head()
+    assert(single.getDouble(3) == 0.5)
+    assert(multi.getDouble(3) == 1.0)
+    // n_pairs counts DISTINCT candidates; effective ref length: both
+    // refs are 1 token from cl = 2 — tie resolves to the shorter (1)
+    assert(multi.getLong(0) == 1L && multi.getLong(1) == 2L &&
+      multi.getLong(2) == 1L)
+    // closest wins when not tied: refs of len 1 and 3 around cl = 2 —
+    // |1-2| = |3-2| ties -> shorter (1); refs 3 and 9 -> closest (3)
+    val docs2 = Seq((1L, "a b"), (2L, "x y z"),
+      (3L, "p q r s t u v w x")).toDF("doc_id", "text")
+    val m2 = Eval.corpusBleuMulti(docs2, "doc_id", "text",
+      Seq((1L, 2L), (1L, 3L)).toDF("cid", "rid"), "cid", "rid").head()
+    assert(m2.getLong(2) == 3L)
+    // exactly one ref per candidate: multi == single (same program)
+    val s1 = Eval.corpusBleu(docs, "doc_id", "text",
+      Seq((1L, 2L)).toDF("cid", "rid"), "cid", "rid").head()
+    val m1 = Eval.corpusBleuMulti(docs, "doc_id", "text",
+      Seq((1L, 2L)).toDF("cid", "rid"), "cid", "rid").head()
+    assert(s1.toSeq == m1.toSeq)
+    // a repeated (cand, ref) pair dedups instead of double-counting
+    val mdup = Eval.corpusBleuMulti(docs, "doc_id", "text",
+      Seq((1L, 2L), (1L, 2L)).toDF("cid", "rid"), "cid", "rid").head()
+    assert(mdup.toSeq == m1.toSeq)
+  }
+
   test("simpsonDirection: textbook reversal flagged, zero-sign group " +
     "counted separately") {
     val ss = spark
