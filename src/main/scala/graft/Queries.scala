@@ -3575,7 +3575,15 @@ object Queries {
     * co-occurrence graph (adjacent non-stopword pairs, q271's
     * corpus-derived stoplist, co-occurrence counts as edge weights):
     * the graph-centrality companion to RAKE's degree/freq scores.
-    * 3 replayed iterations, top-25 by (pr desc, word asc). */
+    * 3 replayed iterations, top-25 by (pr desc, word asc).
+    *
+    * The edge list rides a RELATIVE support cap (the q200 discipline,
+    * r13 sweep fix): only pairs occurring ≥ max(2, N·5000/10⁶) times
+    * survive — 5000 ppm of the doc count, so the PageRank graph keeps
+    * corpus-frequent collocations and its size stays ~support-bounded
+    * instead of growing with every novel adjacent pair (5.8× on 10×
+    * data before the cap). One count() action derives the cap, the
+    * sqrtStride convention; the oracle replays the identical floor. */
   val q272: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
     val w = filter(split(lower(trim(col("text"))), " "), t => t =!= "")
@@ -3589,12 +3597,14 @@ object Queries {
         p => !array_contains(col("__stops"), p.getField("a")) &&
           !array_contains(col("__stops"), p.getField("b"))))
       .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val minSupport = math.max(2L, d.count() * 5000L / 1000000L)
     val pairs = d.crossJoin(broadcast(stopArr))
       .select(explode(biArr).as("p"))
       .select(least(col("p.a"), col("p.b")).as("x"),
         greatest(col("p.a"), col("p.b")).as("y"))
       .where(col("x") < col("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("w"))
+      .where(col("w") >= minSupport)
     val edges = pairs.select(col("x").as("src"), col("y").as("dst"), col("w"))
       .unionByName(pairs.select(col("y").as("src"), col("x").as("dst"),
         col("w")))
@@ -10047,8 +10057,10 @@ object Queries {
         + "FROM pc JOIN ps USING (phrase) ORDER BY score_micro DESC, phrase ASC LIMIT 25"),
     "q272_textrank" ->
       // q159's unrolled weighted iterations over adjacent
-      // non-stopword token pairs (q271's corpus stoplist)
+      // non-stopword token pairs (q271's corpus stoplist), the edge
+      // list pruned to pairs with support >= max(2, ndocs*5000//1e6)
       ("WITH w AS (SELECT doc_id, list_filter(str_split(lower(trim(text)), ' '), x -> x <> '') AS toks FROM documents), "
+        + "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndocs FROM documents), "
         + "uni AS (SELECT unnest(toks) AS tok FROM w), "
         + "uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1), "
         + "st AS (SELECT tok FROM (SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn FROM uc) WHERE rn <= 20), "
@@ -10057,7 +10069,8 @@ object Queries {
         + "FROM w CROSS JOIN sl, UNNEST(range(1, len(toks))) AS u(i) "
         + "WHERE NOT list_contains(sl.stops, toks[CAST(u.i AS INT)]) "
         + "AND NOT list_contains(sl.stops, toks[CAST(u.i AS INT) + 1])), "
-        + "pr AS (SELECT LEAST(a, b) AS x, GREATEST(a, b) AS y, COUNT(*) AS w FROM b0 WHERE LEAST(a, b) < GREATEST(a, b) GROUP BY 1, 2), "
+        + "pr0 AS (SELECT LEAST(a, b) AS x, GREATEST(a, b) AS y, COUNT(*) AS w FROM b0 WHERE LEAST(a, b) < GREATEST(a, b) GROUP BY 1, 2), "
+        + "pr AS (SELECT x, y, w FROM pr0, nd WHERE w >= greatest(2, (ndocs * 5000) // 1000000)), "
         + "e AS (SELECT x AS src, y AS dst, w FROM pr UNION ALL SELECT y, x, w FROM pr), "
         + "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS d FROM e GROUP BY 1), "
         + "n AS (SELECT COUNT(*) AS nn FROM deg), "
