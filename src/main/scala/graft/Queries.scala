@@ -3493,6 +3493,50 @@ object Queries {
     Eval.corpusBleuMulti(docs, "doc_id", "text", pm, "doc_id", "__rid")
   }
 
+  /** Q286 declarative NEAR-DUP pipeline — q60's flagship dedup
+    * (exact survivors → MinHash/LSH near-dup pairs → CC clusters →
+    * min-id keeper) expressed entirely as JSON config through
+    * `Pipeline.build` (the q254 == q49 pattern): the `dedup_neardup`
+    * stage must compute EXACTLY what the q60 library composition
+    * computes, so this query reuses q60's oracle verbatim. */
+  val q286: Q = (s, dir) => {
+    val json =
+      s"""{"name": "neardup-q286",
+         |"source": {"type": "file", "options": {
+         |  "format": "parquet", "path": "$dir/documents.parquet",
+         |  "schema": "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"}},
+         |"transforms": [
+         |  {"type": "dedup_exact", "options": {"id.field": "doc_id", "text.field": "text"}},
+         |  {"type": "dedup_neardup", "options": {"id.field": "doc_id", "text.field": "text",
+         |    "threshold": "0.8", "shingle.width": "3", "bands": "16", "rows.per.band": "3"}}],
+         |"sink": {"type": "noop", "options": {}}}""".stripMargin
+    Pipeline.build(s, PipelineSpec.fromJson(json), streaming = false)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** Q287 declarative QUALITY-KEEPER pipeline — q225's
+    * highest-scored-member survivorship as a config stage: near-dup
+    * clusters keep their best hashed-quality member (score desc, id
+    * asc), unclustered docs always survive; the per-lang stats of the
+    * survivors gate the stage against the q225 closure replay. */
+  val q287: Q = (s, dir) => {
+    val json =
+      s"""{"name": "keeper-q287",
+         |"source": {"type": "file", "options": {
+         |  "format": "parquet", "path": "$dir/documents.parquet",
+         |  "schema": "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"}},
+         |"transforms": [
+         |  {"type": "quality_keeper", "options": {"id.field": "doc_id", "text.field": "text",
+         |    "score.dims": "64"}}],
+         |"sink": {"type": "noop", "options": {}}}""".stripMargin
+    Pipeline.build(s, PipelineSpec.fromJson(json), streaming = false)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Q278 Wald SPRT per variant — the SEQUENTIAL purchase-rate gate
     * (H0: 10%, H1: 15%, α = β = 5%): pure-BIGINT log-likelihood over
     * portable micro-nat literals the oracle embeds verbatim, decided
@@ -5746,6 +5790,8 @@ object Queries {
     "q283_ivf_trained_sqrt" -> q283,
     "q284_ivf_knn_join_sqrt" -> q284,
     "q285_bleu_multiref" -> q285,
+    "q286_pipeline_neardup" -> q286,
+    "q287_pipeline_keeper" -> q287,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -5769,6 +5815,65 @@ object Queries {
       "st AS (SELECT CASE WHEN n <= 1 THEN 1 ELSE greatest(1, " +
       s"n // (CASE WHEN $s0 * $s0 >= n THEN $s0 ELSE $s0 + 1 END)) END AS stride FROM nn)"
   }
+
+  /** The q60/q286 oracle: exact survivors → near-dup pairs over the
+    * survivors → recursive-CTE transitive closure → drop non-canonical
+    * members → per-lang stats. q286 reuses it VERBATIM — the q254==q49
+    * pattern: the declarative pipeline must compute exactly what the
+    * library composition computes. */
+  private val dedupPipelineOracle: String =
+    "WITH RECURSIVE surv AS (SELECT MIN(doc_id) AS doc_id FROM documents " +
+      "GROUP BY lower(trim(text))), " +
+      "docs2 AS (SELECT d.* FROM documents d JOIN surv USING (doc_id)), " +
+      "toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM docs2), " +
+      "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+      "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), " +
+      "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+      "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
+      "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 " +
+      "WHERE len(a.ts) > 0 AND len(b.ts) > 0), " +
+      "p AS (SELECT d1, d2 FROM j WHERE jac >= 0.8), " +
+      "nodes AS (SELECT d1 AS id FROM p UNION SELECT d2 FROM p), " +
+      "edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p), " +
+      "reach(id, lbl) AS (SELECT id, id FROM nodes " +
+      "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
+      "cc AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id) " +
+      "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM docs2 WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id) " +
+      "GROUP BY lang ORDER BY lang"
+
+  /** The q225/q287 shared CTE block: the q55 transitive-closure
+    * clusters + the q112 hashed score, ranked (score desc, id asc)
+    * within each cluster. q225 reports the keepers; q287 reports the
+    * per-lang stats of everything that survives keeper selection. */
+  private val qualityKeeperCtes: String =
+    "WITH RECURSIVE toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
+      "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), " +
+      "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+      "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
+      "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 " +
+      "WHERE len(a.ts) > 0 AND len(b.ts) > 0), " +
+      "p AS (SELECT d1, d2 FROM j WHERE jac >= 0.8), " +
+      "nodes AS (SELECT d1 AS id FROM p UNION SELECT d2 FROM p), " +
+      "edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p), " +
+      "reach(id, lbl) AS (SELECT id, id FROM nodes " +
+      "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
+      "cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id), " +
+      "t2 AS (SELECT doc_id, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), " +
+      "h2 AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t2 WHERE tok <> ''), " +
+      "w2 AS (SELECT doc_id, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h2), " +
+      "d2 AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score FROM w2 GROUP BY 1), " +
+      "m AS (SELECT cl.cluster_id, cl.doc_id, d2.score FROM cl JOIN d2 USING (doc_id)), " +
+      "r AS (SELECT cluster_id, doc_id, score, " +
+      "row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY cluster_id) AS nm FROM m) "
 
   /** The q75/q282 oracle: replays both Lloyd rounds bit-for-bit —
     * quantized vectors and re-quantized means keep every distance
@@ -6455,27 +6560,7 @@ object Queries {
     "q60_dedup_pipeline" ->
       // exact survivors → near-dup pairs over survivors → recursive-CTE
       // closure → drop non-canonical members → per-lang stats
-      ("WITH RECURSIVE surv AS (SELECT MIN(doc_id) AS doc_id FROM documents " +
-        "GROUP BY lower(trim(text))), " +
-        "docs2 AS (SELECT d.* FROM documents d JOIN surv USING (doc_id)), " +
-        "toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM docs2), " +
-        "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] " +
-        "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), " +
-        "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
-        "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / " +
-        "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac " +
-        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-        "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 " +
-        "WHERE len(a.ts) > 0 AND len(b.ts) > 0), " +
-        "p AS (SELECT d1, d2 FROM j WHERE jac >= 0.8), " +
-        "nodes AS (SELECT d1 AS id FROM p UNION SELECT d2 FROM p), " +
-        "edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p), " +
-        "reach(id, lbl) AS (SELECT id, id FROM nodes " +
-        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), " +
-        "cc AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id) " +
-        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
-        "FROM docs2 WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id) " +
-        "GROUP BY lang ORDER BY lang"),
+      dedupPipelineOracle,
     "q61_gapfill" ->
       ("WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo, " +
         "date_trunc('hour', MAX(ts)) AS hi FROM events), " +
@@ -8815,31 +8900,7 @@ object Queries {
     "q225_quality_keeper" ->
       // the q55 transitive-closure clusters + the q112 hashed score,
       // per-cluster (score desc, id asc) argmax
-      ("WITH RECURSIVE toks AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS w FROM documents), "
-        + "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
-        + "for i in range(1, len(w) - 1)]) AS ts FROM toks WHERE len(w) >= 3), "
-        + "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
-        + "CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / "
-        + "(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jac "
-        + "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-        + "AND least(len(a.ts), len(b.ts)) >= 0.8 * greatest(len(a.ts), len(b.ts)) - 1e-9 "
-        + "WHERE len(a.ts) > 0 AND len(b.ts) > 0), "
-        + "p AS (SELECT d1, d2 FROM j WHERE jac >= 0.8), "
-        + "nodes AS (SELECT d1 AS id FROM p UNION SELECT d2 FROM p), "
-        + "edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION SELECT d2, d1 FROM p), "
-        + "reach(id, lbl) AS (SELECT id, id FROM nodes "
-        + "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id), "
-        + "cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id), "
-        + "t2 AS (SELECT doc_id, unnest(str_split(lower(trim(text)), ' ')) AS tok FROM documents), "
-        + "h2 AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        + "list_transform(range(1, length(tok) + 1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
-        + "(a, b) -> (a * 31 + b) % 2147483647) AS th FROM t2 WHERE tok <> ''), "
-        + "w2 AS (SELECT doc_id, ((th % 64) * 2654435761) % 1000000007 % 2001 - 1000 AS wt FROM h2), "
-        + "d2 AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score FROM w2 GROUP BY 1), "
-        + "m AS (SELECT cl.cluster_id, cl.doc_id, d2.score FROM cl JOIN d2 USING (doc_id)), "
-        + "r AS (SELECT cluster_id, doc_id, score, "
-        + "row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rn, "
-        + "COUNT(*) OVER (PARTITION BY cluster_id) AS nm FROM m) "
+      (qualityKeeperCtes
         + "SELECT cluster_id, CAST(nm AS BIGINT) AS n_members, doc_id AS keeper_id, score AS keeper_score "
         + "FROM r WHERE rn = 1 ORDER BY cluster_id"),
     "q224_setsim_incremental" ->
@@ -9774,6 +9835,17 @@ object Queries {
         "sc AS (SELECT enc.vec_id, CAST(SUM(lut.d2) AS BIGINT) AS adc_d2 " +
         "FROM enc JOIN lut USING (s, cid) WHERE enc.vec_id <> 3 GROUP BY enc.vec_id) " +
         "SELECT vec_id, adc_d2 FROM sc ORDER BY adc_d2, vec_id LIMIT 10"),
+    "q286_pipeline_neardup" ->
+      // q60's oracle VERBATIM — the declarative near-dup pipeline must
+      // compute exactly what the library composition computes
+      dedupPipelineOracle,
+    "q287_pipeline_keeper" ->
+      // the q225 closure + score CTEs; survivors = everything except
+      // non-rank-1 cluster members, reported per lang
+      (qualityKeeperCtes
+        + "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+        + "FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM r WHERE rn > 1) "
+        + "GROUP BY lang ORDER BY lang"),
     "q282_kmeans_sqrt" -> kmeansRefineOracle(derivedStride = true),
     "q283_ivf_trained_sqrt" -> ivfTrainedOracle(derivedStride = true),
     "q284_ivf_knn_join_sqrt" -> ivfKnnJoinOracle(derivedStride = true),

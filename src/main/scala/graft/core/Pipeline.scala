@@ -34,9 +34,11 @@ import graft.sources.{FileSource, KafkaRelaySource, PromTextSource, Source}
  * name/version; the envelope encoder's `name` option is that seam).
  * Beyond the Connect catalog, the LLM corpus-prep operators are
  * stage types too — `dedup_exact`, `quality_gate`, `lang_id`,
- * `hash_sample` — so a user can drive exact-dedup → quality gate →
- * language-ID → keyed sink entirely by JSON config through the REST
- * facade (the reference's submit-a-config workflow, README.md:88-109),
+ * `hash_sample`, and the batch-only near-dup pair `dedup_neardup` /
+ * `quality_keeper` — so a user can drive exact-dedup → near-dup
+ * clustering → quality gate → language-ID → keyed sink entirely by
+ * JSON config through the REST facade (the reference's
+ * submit-a-config workflow, README.md:88-109),
  * each stage delegating to the oracle-gated operator library.
  * sinks: `file` (FileStreamSink twin), `noop` (bench), `memory`
  * (tests; streaming only).
@@ -59,7 +61,8 @@ object Pipeline {
     "timestamp_router", "value_to_key",
     "insert_header", "header_from", "drop_headers",
     "envelope_encode", "envelope_decode", "debezium_unwrap",
-    "dedup_exact", "quality_gate", "lang_id", "hash_sample")
+    "dedup_exact", "quality_gate", "lang_id", "hash_sample",
+    "dedup_neardup", "quality_keeper")
   val streamSinkTypes: Seq[String] = Seq("file", "memory", "upsert", "jdbc_upsert")
 
   def source(spec: StageSpec): Source = spec.stageType match {
@@ -503,8 +506,69 @@ object Pipeline {
       // engine-replayable, a pure filter (stream-safe).
       graft.operators.Sampling.hashSample(df, t.option("id.field"),
         t.option("permille").toInt)
+    case "dedup_neardup" =>
+      // the q60 flagship near-dup stage as config: MinHash/LSH candidate
+      // pairs (Dedup.nearDupPairs) -> connected-component clusters
+      // (dupClusters) -> keep each cluster's MINIMUM-id member plus every
+      // unclustered doc. BATCH-ONLY by construction (the pair graph needs
+      // the whole corpus; `validate` rejects it on the streaming path
+      // loudly). Scale posture: the drop list is cluster members only —
+      // a vanishing fraction of the corpus — and the text column never
+      // rides the anti-join exchange (id-keyed).
+      require(!df.isStreaming, "dedup_neardup: batch-only — near-dup " +
+        "clustering folds the whole corpus's pair graph; run it through " +
+        "runBatch, not a streaming submit")
+      val (id, pairs) = nearDupPairsFor(df, t)
+      val clusters = graft.operators.Dedup.dupClusters(pairs, "d1", "d2")
+      val dropIds = clusters.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as(id))
+      df.join(dropIds, Seq(id), "left_anti")
+    case "quality_keeper" =>
+      // the q225 keeper stage as config: same pair graph + clusters, but
+      // each cluster keeps its HIGHEST hashed-quality-score member
+      // (score desc, id asc — Dedup.qualityCanonical) instead of the
+      // minimum id; unclustered docs always survive. BATCH-ONLY like
+      // dedup_neardup.
+      require(!df.isStreaming, "quality_keeper: batch-only — near-dup " +
+        "clustering folds the whole corpus's pair graph; run it through " +
+        "runBatch, not a streaming submit")
+      val dims = t.optionOr("score.dims", "64").toInt
+      require(dims >= 1, s"quality_keeper: score.dims must be >= 1, got $dims")
+      val (id, pairs) = nearDupPairsFor(df, t)
+      val clusters = graft.operators.Dedup.dupClusters(pairs, "d1", "d2")
+      val scored = graft.operators.TextMetrics.hashedLinearScoreInRow(
+        df, id, t.option("text.field"), dims = dims)
+      val keepers = graft.operators.Dedup.qualityCanonical(
+        clusters, "id", "cluster_id", scored, id, "score")
+      val dropIds = clusters
+        .join(keepers.select(col("cluster_id"), col("keeper_id")),
+          "cluster_id")
+        .filter(col("id") =!= col("keeper_id"))
+        .select(col("id").as(id))
+      df.join(dropIds, Seq(id), "left_anti")
     case other =>
       throw new IllegalArgumentException(s"unknown transform type '$other'")
+  }
+
+  /** Shared option parsing + candidate-pair generation for the two
+    * near-dup stages: id/text fields, jaccard threshold in (0, 1],
+    * MinHash/LSH shape (defaults = the q60/q225 gate parameters). */
+  private def nearDupPairsFor(df: DataFrame, t: StageSpec)
+      : (String, DataFrame) = {
+    val id = t.option("id.field")
+    val text = t.option("text.field")
+    val threshold = t.optionOr("threshold", "0.8").toDouble
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"${t.stageType}: threshold must be in (0, 1], got $threshold")
+    val shingleWidth = t.optionOr("shingle.width", "3").toInt
+    val bands = t.optionOr("bands", "16").toInt
+    val rowsPerBand = t.optionOr("rows.per.band", "3").toInt
+    require(shingleWidth >= 1 && bands >= 1 && rowsPerBand >= 1,
+      s"${t.stageType}: shingle.width/bands/rows.per.band must be >= 1, " +
+        s"got $shingleWidth/$bands/$rowsPerBand")
+    (id, graft.operators.Dedup.nearDupPairs(df, id, text,
+      threshold = threshold, shingleWidth = shingleWidth,
+      bands = bands, rowsPerBand = rowsPerBand))
   }
 
   /** The (lazy) DataFrame program for a spec: source + transform chain.

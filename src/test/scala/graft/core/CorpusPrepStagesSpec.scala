@@ -104,6 +104,66 @@ class CorpusPrepStagesSpec extends SparkTestBase with Matchers {
       "permille" -> "1000")).count() shouldBe 1000L
   }
 
+  test("dedup_neardup == nearDupPairs -> dupClusters -> min-id keeper " +
+    "(the q60 composition); unclustered docs survive") {
+    // 1/2 are near-dups (one token differs over shared 3-shingles);
+    // 3 is unrelated; 4 is too short to shingle (always survives)
+    val nd = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "hi")).toDF("doc_id", "text")
+    val out = apply1(nd, t("dedup_neardup",
+      "id.field" -> "doc_id", "text.field" -> "text",
+      "threshold" -> "0.5"))
+    out.columns shouldBe nd.columns
+    out.select("doc_id").as[Long].collect().sorted shouldBe Seq(1L, 3L, 4L)
+    // pinned equal to the library composition it delegates to
+    val pairs = Dedup.nearDupPairs(nd, "doc_id", "text", threshold = 0.5)
+    val clusters = Dedup.dupClusters(pairs, "d1", "d2")
+    val drop = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val lib = nd.join(drop, Seq("doc_id"), "left_anti")
+    out.collect().toSet shouldBe lib.collect().toSet
+    // option validation is loud at build time
+    intercept[IllegalArgumentException] {
+      apply1(nd, t("dedup_neardup", "id.field" -> "doc_id",
+        "text.field" -> "text", "threshold" -> "1.5"))
+    }
+    intercept[IllegalArgumentException] {
+      apply1(nd, t("dedup_neardup", "text.field" -> "text"))
+    }
+  }
+
+  test("quality_keeper keeps each cluster's highest-scored member " +
+    "(score desc, id asc), not the min id; batch-only rejects a stream") {
+    val nd = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val out = apply1(nd, t("quality_keeper",
+      "id.field" -> "doc_id", "text.field" -> "text",
+      "threshold" -> "0.5"))
+    // the keeper of cluster {1, 2} is its argmax hashed score
+    val pairs = Dedup.nearDupPairs(nd, "doc_id", "text", threshold = 0.5)
+    val clusters = Dedup.dupClusters(pairs, "d1", "d2")
+    val scored = graft.operators.TextMetrics.hashedLinearScoreInRow(
+      nd, "doc_id", "text", dims = 64)
+    val keeper = Dedup.qualityCanonical(clusters, "id", "cluster_id",
+      scored, "doc_id", "score").select("keeper_id").as[Long].head()
+    out.select("doc_id").as[Long].collect().sorted shouldBe
+      Seq(keeper, 3L).sorted
+    // streaming submit rejects loudly (validate-path contract)
+    val rate = spark.readStream.format("rate").load()
+      .withColumn("text", concat(lit("t"), col("value")))
+    val err = intercept[IllegalArgumentException] {
+      apply1(rate, t("quality_keeper",
+        "id.field" -> "value", "text.field" -> "text"))
+    }
+    err.getMessage should include("batch-only")
+  }
+
   test("streaming dedup_exact REQUIRES the watermark options (bounded " +
     "state is not optional) and drops in-stream replays") {
     val rate = spark.readStream.format("rate").load()
