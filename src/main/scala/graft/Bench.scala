@@ -17,17 +17,150 @@ import graft.operators.Relational
   * projections); failed queries are reported in `failed`, never as
   * fake timings.
   *
-  * An untimed warm-up pass runs the full set first, so the timed pass
-  * measures steady-state plans instead of charging JVM/codegen/parquet-
-  * footer warm-up to whichever query sorts first (BENCH_r03's q01
-  * absorbed ~5 s of it).
+  * FORKED PROTOCOL (r14): the registry is chunked across
+  * SPARK_GRAFT_BENCH_FORKS (default 8) sequential CHILD JVMs, each
+  * benching ~N/forks queries with the per-chunk warm-up + median-of-3
+  * + scrub discipline below. One aging JVM across 279 × 4 executions
+  * accumulated codegen classes / JIT code-cache / GC pressure that the
+  * between-query scrub cannot undo — r13's overlap median drifted
+  * 1.66× vs r12 with zero code cause, which made the bench unable to
+  * answer "did this round get faster?". A fresh JVM per ~35 queries is
+  * the r06-era JVM age where round-over-round numbers were stable.
+  * The merged line records `protocol` so rounds compare like-for-like;
+  * set SPARK_GRAFT_BENCH_FORKS=1 to reproduce the legacy single-JVM
+  * run. Children reuse this main (args = query names) and write their
+  * chunk JSON to a temp file the parent merges.
+  *
+  * An untimed warm-up pass runs the chunk's set first, so the timed
+  * pass measures steady-state plans instead of charging JVM/codegen/
+  * parquet-footer warm-up to whichever query sorts first (BENCH_r03's
+  * q01 absorbed ~5 s of it).
   *
   * `throughput_rps` is the ingest micro-bench: events rows through the
   * reference's JDBC-source task shape — mask SMT + Connect JSON envelope
   * encode + parquet file sink (SURVEY §3.2) — giving BASELINE.md's
-  * 2.98–4.04 kops/s Source Record Write rate a measured counterpart. */
+  * 2.98–4.04 kops/s Source Record Write rate a measured counterpart.
+  * It runs in the FIRST child only, before any query sweep ages that
+  * JVM (measured in-run-after-124-queries vs isolated: ~25% tax). */
 object Bench {
+
   def main(args: Array[String]): Unit = {
+    val forks = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS", "8").toInt
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    if (args.isEmpty && forks > 1 && !isChild) parentMain(forks)
+    else childMain(args)
+  }
+
+  // ---------------------------------------------------------------- parent
+
+  /** Chunk the registry, run one child JVM per chunk sequentially
+    * (parallel children would contend for the 32 cores and time each
+    * other), merge the chunk JSONs into the one-line report. */
+  private def parentMain(forks: Int): Unit = {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val chunks = balancedChunks(names, forks)
+    val javaBin = new java.io.File(new java.io.File(
+      sys.props("java.home"), "bin"), "java").getPath
+    val cp = sys.props("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+
+    val wallT0 = System.nanoTime()
+    val chunkJsons = chunks.zipWithIndex.map { case (chunk, i) =>
+      val out = Files.createTempFile(s"graft-bench-chunk$i-", ".json")
+      val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq(
+        s"-Xmx$xmx", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.Bench", chunk.mkString(","))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      // ingest micro-bench: first (freshest) child only
+      pb.environment().put("SPARK_GRAFT_BENCH_INGEST",
+        if (i == 0) "1" else "0")
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD) // JSON: via file
+      System.err.println(s"[bench] chunk ${i + 1}/${chunks.size}: " +
+        s"${chunk.size} queries (${chunk.head}..${chunk.last})")
+      val rc = pb.start().waitFor()
+      val line = try Files.readString(out) catch { case _: Throwable => "" }
+      if (rc != 0) System.err.println(s"[bench] chunk ${i + 1} exited $rc")
+      (chunk, line)
+    }
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
+
+    // merge: a chunk that produced no JSON marks all its queries failed
+    var queries = Vector.empty[(String, Double)]
+    var failed = List.empty[String]
+    var throughput = 0.0
+    chunkJsons.foreach { case (chunk, line) =>
+      if (line.trim.isEmpty) failed :::= chunk.toList
+      else {
+        val (qs, fl, tp) = parseChunk(line)
+        queries ++= qs
+        failed :::= fl
+        if (tp > throughput) throughput = tp
+        // a query the child neither timed nor reported failed (crash
+        // mid-chunk) must not vanish silently
+        val seen = qs.map(_._1).toSet ++ fl
+        failed :::= chunk.filterNot(seen).toList
+      }
+    }
+    emit(queries.sortBy(_._1), failed, throughput, wallSec,
+      s"forked:${chunks.size}jvm,median3,scrub")
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  private def balancedChunks(names: Seq[String], forks: Int): Seq[Seq[String]] = {
+    val k = math.max(1, math.min(forks, names.size))
+    val base = names.size / k
+    val extra = names.size % k
+    val sizes = Seq.tabulate(k)(i => base + (if (i < extra) 1 else 0))
+    sizes.scanLeft(0)(_ + _).zip(sizes).map { case (off, len) =>
+      names.slice(off, off + len)
+    }.filter(_.nonEmpty)
+  }
+
+  /** Minimal parse of a child's one-line JSON (written by [[emit]] —
+    * a closed format, not arbitrary JSON): the `queries` object, the
+    * `failed` array, `throughput_rps`. json4s rides Spark's classpath. */
+  private def parseChunk(line: String): (Seq[(String, Double)], List[String], Double) = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(line)
+    val qs = (j \ "queries") match {
+      case JObject(fields) => fields.collect {
+        case (k, JDouble(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toDouble
+        case (k, JDecimal(v)) => k -> v.toDouble
+      }
+      case _ => Nil
+    }
+    val fl = (j \ "failed") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    val tp = (j \ "throughput_rps") match {
+      case JDouble(v) => v
+      case JInt(v) => v.toDouble
+      case JDecimal(v) => v.toDouble
+      case _ => 0.0
+    }
+    (qs, fl, tp)
+  }
+
+  // ---------------------------------------------------------------- child
+
+  private def childMain(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -39,8 +172,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Optional arg: comma-separated query names to bench (dev loop —
-    // timing one operator's change without the full 100-query sweep).
+    // Optional arg: comma-separated query names to bench (dev loop and
+    // the parent's chunk assignment).
     val queries = {
       val all = SparkEntry.queries.toSeq.sortBy(_._1)
       if (args.isEmpty) all
@@ -57,10 +190,11 @@ object Bench {
 
     // Drop state a query leaves behind: the dedup/CC family localCheckpoints
     // shingle/edge RDDs that linger in the block manager until GC. Inside a
-    // 68-query JVM those blocks accumulate and taxed later queries 4-5×
+    // multi-query JVM those blocks accumulate and taxed later queries 4-5×
     // (BENCH_r06 q55/q56 recorded ~8 s vs ~2 s isolated). Scrubbing between
     // queries (never inside a timed window) makes each measurement
-    // approximate an isolated run.
+    // approximate an isolated run. (What scrubbing CANNOT undo — codegen
+    // class accumulation, JIT code-cache aging — is why the parent forks.)
     def scrub(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
@@ -73,16 +207,12 @@ object Bench {
     // -------- ingest throughput FIRST, before the query sweep ages the
     // JVM: measured in-run-after-124-queries vs isolated on the same box,
     // the identical best-of-3 read 187 k vs 235 k rows/s — code-cache and
-    // GC aging taxed the pass by ~25% even with the scrub. Running it
-    // first (its own warm-up + scrub unchanged) keeps the official
-    // number at the isolated-run standard the bench documents.
-    // (mask + envelope encode + parquet sink; best of 3 with an untimed
-    // warm-up write and a scrub before every timed pass. BENCH_r07's
-    // official number halved vs the round's clean sweep run because
-    // best-of-2 with no scrub let whatever shared the box tax both
-    // passes; the count() warm-up keeps parquet footer reads and the
-    // first-touch page cache outside every timed window.)
-    val throughput = try {
+    // GC aging taxed the pass by ~25% even with the scrub. Under the
+    // forked protocol only the FIRST child runs it (freshest JVM = the
+    // isolated-run standard the bench documents); standalone/legacy runs
+    // keep it unconditionally.
+    val runIngest = sys.env.getOrElse("SPARK_GRAFT_BENCH_INGEST", "1") != "0"
+    val throughput = if (!runIngest) 0.0 else try {
       val out = Files.createTempDirectory("graft-ingest-bench").toString
       val events = Tables.events(spark, sfDir)
       val rows = events.count()
@@ -142,25 +272,33 @@ object Bench {
     }
     val wallSec = (System.nanoTime() - wallT0) / 1e9
 
-    // keep the one-line JSON compact (3 decimals ≈ ms precision): the
-    // driver's capture window truncated the head of BENCH_r06's longer line
+    emit(results, failed, throughput, wallSec, "single-jvm,median3,scrub")
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  // ---------------------------------------------------------------- report
+
+  /** Print the one-line JSON and write it to SPARK_GRAFT_BENCH_OUT.
+    * 3 decimals ≈ ms precision keeps the line compact (the driver's
+    * capture window truncated the head of BENCH_r06's longer line);
+    * the file copy is the truncation-proof artifact the repo commits
+    * (BENCH_r08 kept per-query times for only 73/106 queries). */
+  private def emit(results: Seq[(String, Double)], failed: List[String],
+                   throughput: Double, wallSec: Double,
+                   protocol: String): Unit = {
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fj = failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_runs":3,"stat":"median","wall_sec":${f3(wallSec)},"queries":$qs,"failed":$fj,"throughput_rps":${f3(throughput)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_runs":3,"stat":"median","protocol":"$protocol","wall_sec":${f3(wallSec)},"queries":$qs,"failed":$fj,"throughput_rps":${f3(throughput)},"sf":"$sfDir"}"""
     println(line)
-    // Truncation-proof artifact: the driver's stdout capture has clipped
-    // the tail of longer lines (BENCH_r08 kept per-query times for only
-    // 73/106 queries), so the full line also lands in a file the repo
-    // commits. Overridable for per-round snapshots (bench_full_rN.json).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
   }
 }
