@@ -3537,6 +3537,25 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Q288 RAKE serving against a persisted model — the q224/q255
+    * incremental split applied to keyword scoring: the stoplist +
+    * word-score tables train on the HISTORY corpus (doc_id % 10 ≠ 0)
+    * once, and each ARRIVING doc (doc_id % 10 = 0) scores statelessly
+    * against the broadcast model (per-doc phrase count, the
+    * (score desc, phrase asc) top phrase, and the total). The same
+    * plan runs as an append-mode stream — StreamingSpec pins
+    * stream == batch. */
+  val q288: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val stops = TextMetrics.rakeStopwords(hist, "text", stopK = 20)
+    val ws = TextMetrics.rakeWordScores(hist, "text", stops, maxPhraseLen = 4)
+    TextMetrics.rakeScoreAgainst(incoming, "doc_id", "text", stops, ws,
+        maxPhraseLen = 4)
+      .orderBy("doc_id")
+  }
+
   /** Q278 Wald SPRT per variant — the SEQUENTIAL purchase-rate gate
     * (H0: 10%, H1: 15%, α = β = 5%): pure-BIGINT log-likelihood over
     * portable micro-nat literals the oracle embeds verbatim, decided
@@ -5792,6 +5811,7 @@ object Queries {
     "q285_bleu_multiref" -> q285,
     "q286_pipeline_neardup" -> q286,
     "q287_pipeline_keeper" -> q287,
+    "q288_rake_serving" -> q288,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9846,6 +9866,42 @@ object Queries {
         + "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
         + "FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM r WHERE rn > 1) "
         + "GROUP BY lang ORDER BY lang"),
+    "q288_rake_serving" ->
+      // q271's stoplist + word-score program trained on the HISTORY
+      // split only, then per serving doc: per-occurrence phrase scores
+      // (unknown words 0 via LEFT JOIN), the (s desc, phrase asc) top,
+      // phrase count and total; no-phrase docs report 0/NULL
+      ("WITH w AS (SELECT doc_id, list_filter(str_split(lower(trim(text)), ' '), x -> x <> '') AS toks FROM documents), "
+        + "h AS (SELECT * FROM w WHERE doc_id % 10 <> 0), "
+        + "uni AS (SELECT unnest(toks) AS tok FROM h), "
+        + "uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1), "
+        + "st AS (SELECT tok FROM (SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn FROM uc) WHERE rn <= 20), "
+        + "sl AS (SELECT list(tok) AS stops FROM st), "
+        + "hp0 AS (SELECT unnest(str_split(array_to_string(list_transform(h.toks, "
+        + "x -> CASE WHEN list_contains(sl.stops, x) THEN chr(1) ELSE x END), ' '), chr(1))) AS p "
+        + "FROM h CROSS JOIN sl), "
+        + "hphr AS (SELECT trim(p) AS phrase FROM hp0 WHERE trim(p) <> '' AND len(str_split(trim(p), ' ')) <= 4), "
+        + "hpw AS (SELECT phrase, len(str_split(phrase, ' ')) AS plen, unnest(str_split(phrase, ' ')) AS wd FROM hphr), "
+        + "ws2 AS (SELECT wd, (CAST(SUM(plen) AS BIGINT) * 1000000) // COUNT(*) AS wscore FROM hpw GROUP BY wd), "
+        + "srv AS (SELECT * FROM w WHERE doc_id % 10 = 0), "
+        + "sarr AS (SELECT doc_id, str_split(array_to_string(list_transform(toks, "
+        + "x -> CASE WHEN list_contains(sl.stops, x) THEN chr(1) ELSE x END), ' '), chr(1)) AS arr "
+        + "FROM srv CROSS JOIN sl), "
+        + "sp0 AS (SELECT doc_id, CAST(u.i AS BIGINT) AS occ, arr[CAST(u.i AS INT)] AS p "
+        + "FROM sarr, UNNEST(range(1, len(arr) + 1)) AS u(i)), "
+        + "sphr AS (SELECT doc_id, occ, trim(p) AS phrase FROM sp0 "
+        + "WHERE trim(p) <> '' AND len(str_split(trim(p), ' ')) <= 4), "
+        + "swd AS (SELECT doc_id, occ, phrase, unnest(str_split(phrase, ' ')) AS wd FROM sphr), "
+        + "ssc AS (SELECT doc_id, occ, phrase, CAST(SUM(COALESCE(ws2.wscore, 0)) AS BIGINT) AS s "
+        + "FROM swd LEFT JOIN ws2 USING (wd) GROUP BY 1, 2, 3), "
+        + "ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrases, "
+        + "CAST(SUM(s) AS BIGINT) AS sum_score_micro FROM ssc GROUP BY 1), "
+        + "tp AS (SELECT doc_id, phrase AS top_phrase, s AS top_score_micro FROM "
+        + "(SELECT doc_id, phrase, s, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, phrase ASC) AS rn FROM ssc) WHERE rn = 1) "
+        + "SELECT srv.doc_id, COALESCE(ag.n_phrases, 0) AS n_phrases, "
+        + "tp.top_phrase, tp.top_score_micro, "
+        + "COALESCE(ag.sum_score_micro, 0) AS sum_score_micro "
+        + "FROM srv LEFT JOIN ag USING (doc_id) LEFT JOIN tp USING (doc_id) ORDER BY doc_id"),
     "q282_kmeans_sqrt" -> kmeansRefineOracle(derivedStride = true),
     "q283_ivf_trained_sqrt" -> ivfTrainedOracle(derivedStride = true),
     "q284_ivf_knn_join_sqrt" -> ivfKnnJoinOracle(derivedStride = true),

@@ -602,36 +602,121 @@ object TextMetrics {
                    stopK: Int = 20, maxPhraseLen: Int = 4): DataFrame = {
     require(k >= 1 && stopK >= 1 && maxPhraseLen >= 1,
       "rakeKeywords: k, stopK, maxPhraseLen must be >= 1")
-    val w = filter(split(lower(trim(col(textCol))), " "), t => t =!= "")
-    val uni = docs.select(explode(w).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("__c"))
-    val stopArr = uni.orderBy(col("__c").desc, col("tok").asc).limit(stopK)
-      .agg(sort_array(collect_list(col("tok"))).as("__stops"))
-    val marked = concat_ws(" ", transform(w, t =>
-      when(array_contains(col("__stops"), t), lit("\u0001")).otherwise(t)))
-    val phrases = filter(transform(split(marked, "\u0001"), p => trim(p)),
-      p => p =!= "" && size(split(p, " ")) <= maxPhraseLen)
-    val phr = docs.crossJoin(broadcast(stopArr))
-      .select(explode(phrases).as("phrase"))
+    val phr = rakePhrases(docs, textCol,
+        rakeStopwords(docs, textCol, stopK), maxPhraseLen)
       .localCheckpoint()
-    val pw = phr
-      .select(col("phrase"), size(split(col("phrase"), " ")).as("__plen"))
-      .select(explode(split(col("phrase"), " ")).as("wd"), col("__plen"))
-    val ws = pw.groupBy("wd")
-      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
-      .withColumn("__wscore", expr("(__deg * 1000000) div __freq"))
+    val ws = rakeWordScoresFrom(phr)
     val pc = phr.groupBy("phrase").agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val pscore = pc.select(col("phrase"))
       .select(col("phrase"), explode(split(col("phrase"), " ")).as("wd"))
-      .join(ws.select(col("wd"), col("__wscore")), "wd")
-      .groupBy("phrase").agg(sum(col("__wscore")).as("score_micro"))
+      .join(ws, "wd")
+      .groupBy("phrase").agg(sum(col("score_micro")).as("score_micro"))
     pc.join(pscore, "phrase")
       .select(col("phrase"), col("n"),
         size(split(col("phrase"), " ")).cast("long").as("n_words"),
         col("score_micro"),
         (col("score_micro").cast("double") / 1e6d).as("score"))
       .orderBy(col("score_micro").desc, col("phrase").asc).limit(k)
+  }
+
+  /** The corpus-derived RAKE stoplist as a TABLE (`tok`): the `stopK`
+    * most frequent tokens (count desc, token asc) — the persistable
+    * half of the RAKE model [[rakeScoreAgainst]] serves against. */
+  def rakeStopwords(docs: DataFrame, textCol: String,
+                    stopK: Int = 20): DataFrame = {
+    require(stopK >= 1, "rakeStopwords: stopK must be >= 1")
+    val w = filter(split(lower(trim(col(textCol))), " "), t => t =!= "")
+    docs.select(explode(w).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok").asc).limit(stopK)
+      .select(col("tok"))
+  }
+
+  /** The trained RAKE word-score table (`wd`, `score_micro` =
+    * degree·10⁶ div freq) — the other persistable model half. */
+  def rakeWordScores(docs: DataFrame, textCol: String,
+                     stopwords: DataFrame,
+                     maxPhraseLen: Int = 4): DataFrame =
+    rakeWordScoresFrom(rakePhrases(docs, textCol, stopwords, maxPhraseLen))
+
+  /** Candidate-phrase rows via the mark-and-split device (see
+    * [[rakeKeywords]]); `stopwords` is a (`tok`) table that collapses
+    * to ONE broadcast row. */
+  private def rakePhrases(docs: DataFrame, textCol: String,
+                          stopwords: DataFrame,
+                          maxPhraseLen: Int): DataFrame = {
+    val stopArr = stopwords
+      .agg(sort_array(collect_list(col("tok"))).as("__stops"))
+    docs.crossJoin(broadcast(stopArr))
+      .select(explode(rakePhraseArr(textCol, maxPhraseLen)).as("phrase"))
+  }
+
+  /** The in-row phrase array for one doc; requires the broadcast
+    * stoplist row's `__stops` column in scope. */
+  private def rakePhraseArr(textCol: String, maxPhraseLen: Int): Column = {
+    val w = filter(split(lower(trim(col(textCol))), " "), t => t =!= "")
+    val marked = concat_ws(" ", transform(w, t =>
+      when(array_contains(col("__stops"), t), lit("\u0001")).otherwise(t)))
+    filter(transform(split(marked, "\u0001"), p => trim(p)),
+      p => p =!= "" && size(split(p, " ")) <= maxPhraseLen)
+  }
+
+  private def rakeWordScoresFrom(phr: DataFrame): DataFrame =
+    phr.select(col("phrase"), size(split(col("phrase"), " ")).as("__plen"))
+      .select(explode(split(col("phrase"), " ")).as("wd"), col("__plen"))
+      .groupBy("wd")
+      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
+      .select(col("wd"), expr("(__deg * 1000000) div __freq").as("score_micro"))
+
+  /**
+   * RAKE SERVING — score arriving documents against a PERSISTED
+   * corpus-derived model (the [[rakeStopwords]] stoplist + the
+   * [[rakeWordScores]] table), the stream-static posture of
+   * `dropKnownBoilerplate`/`bigramNllAgainst`: the corpus trained
+   * once, each new doc scored statelessly, so the SAME plan runs
+   * batch or as an append-mode stream (StreamingSpec pins
+   * stream == batch).
+   *
+   * Fully IN-ROW: both model tables collapse to one broadcast row
+   * each (the stoplist array; the word-score MAP — vocab-bounded,
+   * the BPE-merge-table precedent), phrase assembly is the
+   * mark-and-split device, each phrase occurrence's score is an
+   * in-row fold of the word map (words the model never saw score 0 —
+   * the serving convention), and the per-doc top pick is a
+   * lexicographic (score desc, phrase asc) fold. No shuffle, no
+   * per-key state — the 100 TB serving shape is a map-only scan.
+   *
+   * Output per doc: (idCol, `n_phrases`, `top_phrase`,
+   * `top_score_micro`, `sum_score_micro`) — NULL top for docs with
+   * no candidate phrase (sum 0).
+   */
+  def rakeScoreAgainst(docs: DataFrame, idCol: String, textCol: String,
+                       stopwords: DataFrame, wordScores: DataFrame,
+                       maxPhraseLen: Int = 4): DataFrame = {
+    require(maxPhraseLen >= 1, "rakeScoreAgainst: maxPhraseLen must be >= 1")
+    val stopArr = stopwords
+      .agg(sort_array(collect_list(col("tok"))).as("__stops"))
+    val wmap = wordScores
+      .agg(map_from_entries(collect_list(
+        struct(col("wd"), col("score_micro")))).as("__wmap"))
+    val phrases = rakePhraseArr(textCol, maxPhraseLen)
+    val scored = transform(phrases, p => struct(
+      aggregate(split(p, " "), lit(0L), (acc, wd) =>
+        acc + coalesce(element_at(col("__wmap"), wd), lit(0L))).as("s"),
+      p.as("p")))
+    val sentinel = struct(lit(Long.MinValue).as("s"), lit("").as("p"))
+    val best = aggregate(scored, sentinel, (acc, c) =>
+      when(c.getField("s") > acc.getField("s") ||
+        (c.getField("s") === acc.getField("s") &&
+          c.getField("p") < acc.getField("p")), c).otherwise(acc))
+    docs.crossJoin(broadcast(stopArr)).crossJoin(broadcast(wmap))
+      .select(col(idCol),
+        size(phrases).cast("long").as("n_phrases"),
+        when(size(phrases) > 0, best.getField("p")).as("top_phrase"),
+        when(size(phrases) > 0, best.getField("s")).as("top_score_micro"),
+        aggregate(scored, lit(0L), (acc, c) => acc + c.getField("s"))
+          .as("sum_score_micro"))
   }
 
   def pmiCollocations(docs: DataFrame, textCol: String, k: Int = 20,

@@ -1264,6 +1264,45 @@ class StreamingSpec extends SparkTestBase with Matchers {
     streamed shouldBe batchCodes
   }
 
+  test("rakeScoreAgainst runs unchanged on a stream (stream-static " +
+    "broadcast model: stoplist + word-score map)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextMetrics
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val stops = TextMetrics.rakeStopwords(hist, "text", stopK = 20)
+      .localCheckpoint()
+    val wsTab = TextMetrics.rakeWordScores(hist, "text", stops)
+      .localCheckpoint()
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.getString(2)), Option(r.get(3)), r.getLong(4)))).toMap
+    val batch = keyed(TextMetrics.rakeScoreAgainst(
+      incoming, "doc_id", "text", stops, wsTab).collect())
+    // the same operator, input swapped for an unbounded source: both
+    // model tables are static 1-row broadcasts, scoring is in-row
+    val rows = incoming.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val served = TextMetrics.rakeScoreAgainst(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", stops, wsTab)
+    served.isStreaming shouldBe true
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rake-ckpt").toString
+    val query = served.writeStream.format("memory").queryName("t_rake")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    keyed(spark.table("t_rake").collect()) shouldBe batch
+  }
+
   test("funnelStream's final state reproduces batch Behavior.funnel " +
     "on an ordered replay across micro-batches") {
     val ss = spark
