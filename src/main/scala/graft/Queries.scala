@@ -5285,8 +5285,11 @@ object Queries {
       transform(col("e"),
         x => x + pmod(col("vec_id"), lit(10L)).cast("double") * 0.015).as("e"))
     val corpus = emb.unionByName(twins)
+    // r14: derived √N stride over the 2N-vector corpus — the last
+    // GATED fixed-stride pin (the r14 isolate sweep measured 8.9× on
+    // 10× data under stride 37; the oracle derives the same stride)
     val trained = Similarity.kmeansCentroids(corpus, "vec_id", "e",
-        centroidStride = 37L, iters = 2, dim = 64)
+        centroidStride = Similarity.sqrtStride(corpus), iters = 2, dim = 64)
       .select(col("__cid"), col("__cv"))
     Dedup.semanticDedup(corpus, "vec_id", "e", trained, threshold = 0.9)
       .orderBy("vec_id")
@@ -7442,7 +7445,8 @@ object Queries {
         "eu AS (SELECT vec_id, v FROM e0 " +
         "UNION ALL SELECT vec_id + 100000, list_transform(v, x -> x + (vec_id % 10) * 0.015) FROM e0), " +
         "e AS (SELECT vec_id, v, list_transform(v, x -> round(x * 1024)) AS q FROM eu), " +
-        "c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), " +
+        strideCtes + ", " +
+        "c0 AS (SELECT vec_id AS cid, q AS cv FROM e, st WHERE vec_id % st.stride = 0), " +
         "p AS (SELECT unnest(range(1, 65)) AS i), " +
         "a1 AS (SELECT e.vec_id, e.q, c0.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
         "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn FROM e, c0), " +

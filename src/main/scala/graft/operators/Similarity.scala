@@ -466,20 +466,24 @@ object Similarity {
     require(centroidStride >= 1, "centroidStride must be >= 1")
     require(iters >= 1, "iters must be >= 1")
     require(dim >= 1, "dim must be >= 1")
+    // q·q hoisted before the broadcast join (the silhouette trick: the
+    // Join blocks CollapseProject, so the fold does ONE d-wide dot per
+    // centroid); c·c rides the broadcast entry — both loop-invariant
     val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+      .withColumn("__qq", dot(col("__q"), col("__q")))
     val init = q.filter(pmod(col("__id"), lit(centroidStride)) === 0)
       .select(col("__id").as("__cid"), col("__q").as("__cv"), lit(0L).as("__n"))
     (1 to iters).foldLeft(init) { (cent, _) =>
       val centArr = cent
-        .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
+        .agg(collect_list(struct(col("__cid"), col("__cv"),
+          dot(col("__cv"), col("__cv")).as("__cvv"))).as("__cents"))
       // argmin over the broadcast centroid array, inside the scan: a
       // lexicographic (d2, cid) running minimum, so the fold's result
       // is independent of collect_list's nondeterministic order
       val far = struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cid"))
       val best = aggregate(col("__cents"), far, (acc, c) => {
-        val cv = c.getField("__cv")
-        val d2 = dot(col("__q"), col("__q")) -
-          lit(2.0) * dot(col("__q"), cv) + dot(cv, cv)
+        val d2 = col("__qq") -
+          lit(2.0) * dot(col("__q"), c.getField("__cv")) + c.getField("__cvv")
         val cand = struct(d2.as("d2"), c.getField("__cid").as("cid"))
         when(cand < acc, cand).otherwise(acc)
       })
@@ -632,17 +636,35 @@ object Similarity {
         round(col("__raw"), 4).as("score"), col("rank"))
   }
 
-  /** The (d2, cid) lexicographic argmin over a broadcast centroid
-    * array, restricted to subspace `sub` — the shared assignment step
-    * of the PQ family. Runs inside the scan as an `aggregate` fold, so
-    * its result is independent of `collect_list`'s order. */
-  private def pqBest(sv: Column, sub: Column): Column = {
+  /** The PQ codebook as ONE broadcast MAP row (`__cmap`: subspace →
+    * array of (cid, cv, cv·cv)): `element_at` hands each fold exactly
+    * its C-entry subspace array — the first cut FILTERED a flat 4C
+    * struct array per exploded row, and inside a CodegenFallback HOF
+    * that materialized m·C struct copies per row (the r14 isolate
+    * sweep measured q280 at 9.5× on 10× data from exactly this);
+    * cv·cv is hoisted into the broadcast entry because it is
+    * loop-invariant per centroid. Values and tie-breaks are
+    * bit-identical to the filtered form — the fold is a lexicographic
+    * min, order-independent by construction. */
+  private def pqCentMap(codebook: DataFrame): DataFrame =
+    codebook.groupBy(col("__sub"))
+      .agg(collect_list(struct(col("__cid"), col("__cv"),
+        dot(col("__cv"), col("__cv")).as("__cvv"))).as("__arr"))
+      .agg(map_from_entries(collect_list(struct(col("__sub"), col("__arr"))))
+        .as("__cmap"))
+
+  /** The (d2, cid) lexicographic argmin over `__cmap`'s subspace
+    * array — the shared assignment step of the PQ family. `svv` is
+    * the caller-hoisted sv·sv (loop-invariant; recomputing it per
+    * centroid inside the interpreted fold doubled the dot work).
+    * Runs inside the scan; result independent of collect order. */
+  private def pqBest(sv: Column, svv: Column, sub: Column): Column = {
     val far = struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cid"))
     aggregate(
-      filter(col("__cents"), c => c.getField("__sub") === sub), far,
+      element_at(col("__cmap"), sub), far,
       (acc, c) => {
-        val cv = c.getField("__cv")
-        val d2 = dot(sv, sv) - lit(2.0) * dot(sv, cv) + dot(cv, cv)
+        val d2 = svv - lit(2.0) * dot(sv, c.getField("__cv")) +
+          c.getField("__cvv")
         val cand = struct(d2.as("d2"), c.getField("__cid").as("cid"))
         when(cand < acc, cand).otherwise(acc)
       })
@@ -680,17 +702,20 @@ object Similarity {
     require(centroidStride >= 1, "centroidStride must be >= 1")
     require(iters >= 1, "iters must be >= 1")
     val width = dim / m
+    // __svv hoisted BEFORE the broadcast join: the Join node blocks
+    // CollapseProject from re-inlining the dot into the fold lambda
+    // (where it would re-evaluate per centroid — the silhouette
+    // precedent)
     val sub = pqSubvectors(emb, idCol, vecCol, m, width)
+      .withColumn("__svv", dot(col("__sv"), col("__sv")))
     val init = sub.filter(pmod(col("__id"), lit(centroidStride)) === 0)
       .select(col("__sub"), col("__id").as("__cid"), col("__sv").as("__cv"),
         lit(0L).as("__n"))
     (1 to iters).foldLeft(init) { (cent, _) =>
-      val centArr = cent
-        .agg(collect_list(struct(col("__sub"), col("__cid"), col("__cv")))
-          .as("__cents"))
-      val assigned = sub.crossJoin(broadcast(centArr))
+      val assigned = sub.crossJoin(broadcast(pqCentMap(cent)))
         .select(col("__sub"), col("__sv"),
-          pqBest(col("__sv"), col("__sub")).getField("cid").as("__cell"))
+          pqBest(col("__sv"), col("__svv"), col("__sub"))
+            .getField("cid").as("__cell"))
       val sums = assigned.groupBy(col("__sub"), col("__cell"))
         .agg(count(lit(1)).as("__nn"),
           (0 until width).map(i =>
@@ -737,14 +762,23 @@ object Similarity {
     require(m >= 1 && dim >= m && dim % m == 0,
       "dim must split into m equal-width subspaces")
     val width = dim / m
-    val centArr = codebook
-      .agg(collect_list(struct(col("__sub"), col("__cid"), col("__cv")))
-        .as("__cents"))
-    emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
-      .crossJoin(broadcast(centArr))
+    // subvector slices + their self-dots materialize ONCE per row in a
+    // codegen'd projection BEFORE the broadcast join (the Join blocks
+    // CollapseProject) — an inline slice would re-evaluate per fold
+    // element inside the CodegenFallback lambda
+    val sliced = emb
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+      .select(
+        col("__id") +:
+          (0 until m).map(s =>
+            slice(col("__q"), s * width + 1, width).as(s"__sv$s")): _*)
+    val hoisted = sliced.select(
+      col("__id") +:
+        (0 until m).flatMap(s => Seq(col(s"__sv$s"),
+          dot(col(s"__sv$s"), col(s"__sv$s")).as(s"__svv$s"))): _*)
+    hoisted.crossJoin(broadcast(pqCentMap(codebook)))
       .select(col("__id"), array((0 until m).map { s =>
-        pqBest(slice(col("__q"), s * width + 1, width), lit(s))
-          .getField("cid")
+        pqBest(col(s"__sv$s"), col(s"__svv$s"), lit(s)).getField("cid")
       }: _*).as("__code"))
   }
 
