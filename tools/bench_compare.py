@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Compare two one-line bench JSONs on their overlapping queries:
+per-query ratio (B/A), the overlap median/quartiles, and the worst
+movers. The r14 'is the bench comparable round-over-round' readout.
+
+Usage: bench_compare.py <benchA.json> <benchB.json> [topN=8]
+"""
+import json
+import statistics
+import sys
+
+
+def load(p):
+    with open(p) as f:
+        return json.loads(f.read())
+
+
+def main(a_path, b_path, top_n=8):
+    a, b = load(a_path), load(b_path)
+    qa, qb = a["queries"], b["queries"]
+    shared = sorted(set(qa) & set(qb))
+    ratios = {q: qb[q] / qa[q] for q in shared if qa[q] > 0}
+    vals = sorted(ratios.values())
+    med = statistics.median(vals)
+    q1 = vals[len(vals) // 4]
+    q3 = vals[(3 * len(vals)) // 4]
+    print(f"overlap n={len(vals)}  median={med:.3f}  "
+          f"q1={q1:.3f}  q3={q3:.3f}")
+    print(f"totals: A={a['value']:.1f}s  B={b['value']:.1f}s  "
+          f"ratio={b['value']/a['value']:.3f}")
+    print(f"protocols: A={a.get('protocol','?')}  B={b.get('protocol','?')}")
+    movers = sorted(ratios.items(), key=lambda kv: kv[1])
+    print("fastest (B vs A):")
+    for q, r in movers[:top_n]:
+        print(f"  {r:6.2f}x  {q}  ({qa[q]:.2f}s -> {qb[q]:.2f}s)")
+    print("slowest (B vs A):")
+    for q, r in movers[-top_n:]:
+        print(f"  {r:6.2f}x  {q}  ({qa[q]:.2f}s -> {qb[q]:.2f}s)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 8)

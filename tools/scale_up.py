@@ -49,40 +49,64 @@ M1 = 2654435761
 P1 = 1000000007
 
 
-def _mutate_text(text, doc_id, copy):
-    """Portable-hash token mutation for copy > 0: ~30% of token
-    positions (deterministic in (doc_id, position, copy)) swap to a
-    copy-specific synthetic token. 3-shingle survival across copies is
-    ~0.7^3 = 0.34, so cross-copy Jaccard ~ 0.34/1.66 = 0.21 — far
-    below every gate threshold (0.6/0.8): copies are NOT near-dups of
-    each other, and pair-emitting operators see ~linear growth (each
-    copy replicates the base corpus's internal pairs only)."""
+def _tok_hash(t):
+    h = 0
+    for ch in t:
+        h = (h * 31 + ord(ch)) % 2147483647
+    return h
+
+
+def _mutate_text(text, copy, cache):
+    """Per-copy VOCABULARY substitution for copy > 0: ~30% of the
+    vocabulary (deterministic in (token, copy)) relabels to a
+    copy-specific synthetic token. A consistent relabeling is an
+    (almost-)injection on shingle space, so WITHIN-copy pairwise
+    similarity — Jaccard, containment, simhash, n-gram — is preserved
+    essentially exactly and each copy replicates the base corpus's
+    internal pair structure (~linear pair growth). ACROSS copies a
+    token survives in both only when unmutated in both (0.7^2 = 0.49),
+    so 3-shingle survival is ~0.49^3 = 0.12 and cross-copy Jaccard
+    ~0.12/1.88 = 0.06 — far below every gate threshold. (The first
+    cut mutated per (doc, position): that broke within-copy pairs too,
+    and counts grew SUB-linearly — the wrong failure.)"""
     if text is None:
         return None
-    toks = text.split(" ")
     out = []
-    for j, t in enumerate(toks):
-        h = ((doc_id * 31 + j) * M1 + copy * 40503) % P1
-        out.append(f"z{h % 9973}" if h % 10 < 3 else t)
+    for t in text.split(" "):
+        r = cache.get(t)
+        if r is None:
+            h = (_tok_hash(t) * 31 + copy * 40503) % P1
+            r = f"z{h % 9973}" if h % 10 < 3 else t
+            cache[t] = r
+        out.append(r)
     return " ".join(out)
 
 
-def _mutate_embedding(vec, vec_id, copy):
-    """Deterministic per-component noise at ~1.5x the vector's own RMS:
-    cross-copy cosine drops to ~0.75 (below the near-dup gates), while
-    each copy keeps the base corpus's internal similarity structure."""
+def _signed_perm(d, copy):
+    """Copy-specific signed coordinate permutation (an orthogonal map):
+    coordinates reorder by a hash-keyed argsort, signs flip by hash
+    parity. Exactly preserves every within-copy dot/cosine/distance;
+    the same vector under two different copies' maps lands at
+    |cos| ~ 1/sqrt(d) — below the 0.3 gate for d = 64."""
+    keys = [(((j + 1) * M1 + copy * 40503) % P1, j) for j in range(d)]
+    perm = [j for _, j in sorted(keys)]
+    signs = [1 if (((j + 7) * 40503 + copy * M1) % P1) % 2 == 0 else -1
+             for j in range(d)]
+    return perm, signs
+
+
+def _mutate_embedding(vec, copy, perm_cache):
     if vec is None:
         return None
     d = len(vec)
     if d == 0:
         return vec
-    rms = (sum(x * x for x in vec) / d) ** 0.5 or 1.0
-    amp = 1.5 * rms
-    return [
-        x + amp * ((((vec_id * 31 + j) * M1 + copy * 40503) % P1 % 2001)
-                   - 1000) / 1000.0
-        for j, x in enumerate(vec)
-    ]
+    ps = perm_cache.get(d)
+    if ps is None:
+        ps = _signed_perm(d, copy)
+        perm_cache[d] = ps
+    perm, signs = ps
+    return [signs[j] * vec[perm[j]] for j in range(d)]
 
 
 def _perturb(table, t, copy):
@@ -93,10 +117,9 @@ def _perturb(table, t, copy):
     if copy == 0:
         return t
     if table == "documents":
-        ids = t.column("doc_id").to_pylist()
         texts = t.column("text").to_pylist()
-        mutated = [_mutate_text(x, i - copy * OFFSET, copy)
-                   for i, x in zip(ids, texts)]
+        vocab = {}
+        mutated = [_mutate_text(x, copy, vocab) for x in texts]
         ti = t.schema.get_field_index("text")
         t = t.set_column(ti, t.schema.field("text"),
                          pa.array(mutated, type=t.schema.field("text").type))
@@ -106,10 +129,9 @@ def _perturb(table, t, copy):
             t = t.set_column(ni, t.schema.field("n_chars"),
                              pa.array(lens, type=t.schema.field("n_chars").type))
     elif table == "embeddings":
-        ids = t.column("vec_id").to_pylist()
         vecs = t.column("embedding").to_pylist()
-        mutated = [_mutate_embedding(v, i - copy * OFFSET, copy)
-                   for i, v in zip(ids, vecs)]
+        perms = {}
+        mutated = [_mutate_embedding(v, copy, perms) for v in vecs]
         ei = t.schema.get_field_index("embedding")
         t = t.set_column(ei, t.schema.field("embedding"),
                          pa.array(mutated, type=t.schema.field("embedding").type))
