@@ -170,7 +170,12 @@ object PlanAudit {
     "q252_loo_ablation",
     // q253: corpusBleu's ONE-row clip/total pivot broadcast onto the
     // ONE-row lengths aggregate (1x1 crossJoin)
-    "q253_corpus_bleu")
+    "q253_corpus_bleu",
+    // q285: corpusBleuMulti's identical 1x1 pivot/lengths crossJoin
+    "q285_bleu_multiref",
+    // q288: rakeScoreAgainst's two ONE-row model broadcasts (stoplist
+    // array + word-score map — the stream-static serving shape)
+    "q288_rake_serving")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")
