@@ -130,31 +130,28 @@ object Bench {
     }.filter(_.nonEmpty)
   }
 
-  /** Minimal parse of a child's one-line JSON (written by [[emit]] —
-    * a closed format, not arbitrary JSON): the `queries` object, the
-    * `failed` array, `throughput_rps`. json4s rides Spark's classpath. */
+  /** Minimal parse of a child's one-line JSON — [[emit]]'s CLOSED
+    * format, not arbitrary JSON: query names and the protocol are
+    * [a-z0-9_:,]-class strings with no escapes, values are %.3f
+    * doubles. Hand-parsed so the library keeps its Spark/JDK-only
+    * import surface (no third-party JSON rider). */
   private def parseChunk(line: String): (Seq[(String, Double)], List[String], Double) = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    val j = JsonMethods.parse(line)
-    val qs = (j \ "queries") match {
-      case JObject(fields) => fields.collect {
-        case (k, JDouble(v)) => k -> v
-        case (k, JInt(v)) => k -> v.toDouble
-        case (k, JDecimal(v)) => k -> v.toDouble
+    def section(key: String, open: Char, close: Char): String = {
+      val k = "\"" + key + "\":" + open
+      val i = line.indexOf(k)
+      if (i < 0) "" else {
+        val start = i + k.length
+        val end = line.indexOf(close, start)
+        if (end < 0) "" else line.substring(start, end)
       }
-      case _ => Nil
     }
-    val fl = (j \ "failed") match {
-      case JArray(xs) => xs.collect { case JString(s) => s }
-      case _ => Nil
-    }
-    val tp = (j \ "throughput_rps") match {
-      case JDouble(v) => v
-      case JInt(v) => v.toDouble
-      case JDecimal(v) => v.toDouble
-      case _ => 0.0
-    }
+    val entry = """"([^"]+)":([-0-9.eE]+)""".r
+    val qs = entry.findAllMatchIn(section("queries", '{', '}'))
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    val fl = "\"([^\"]+)\"".r.findAllMatchIn(section("failed", '[', ']'))
+      .map(_.group(1)).toList
+    val tp = """"throughput_rps":([-0-9.eE]+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toDouble).getOrElse(0.0)
     (qs, fl, tp)
   }
 
