@@ -41,7 +41,29 @@ import graft.operators.Relational
   * encode + parquet file sink (SURVEY §3.2) — giving BASELINE.md's
   * 2.98–4.04 kops/s Source Record Write rate a measured counterpart.
   * It runs in the FIRST child only, before any query sweep ages that
-  * JVM (measured in-run-after-124-queries vs isolated: ~25% tax). */
+  * JVM (measured in-run-after-124-queries vs isolated: ~25% tax).
+  * If it was NOT measured (first chunk crashed), the merged line
+  * reports the sentinel -1 — never an unmeasured 0.000 as if real.
+  *
+  * NORMALIZATION (r15): two same-binary, same-protocol full runs on
+  * this box disagreed by ±50% on their overlap medians (r14: A 1.22×,
+  * B 0.69× vs r13) — a GLOBAL box factor (co-tenant load, thermal
+  * state) that per-query medians cannot reject and that masquerades
+  * as 6× per-query regressions on unchanged code. Two instruments are
+  * built into the emitted JSON so a reader can divide the box out:
+  *
+  *  - `queries_rel`: every query's time divided by the run's OWN
+  *    median query time (`query_median_sec`). A uniform box factor
+  *    cancels exactly in rel-space, so cross-round comparison of
+  *    `queries_rel` (tools/bench_compare.py prints the normalized
+  *    median) answers "did the CODE get faster?" — the raw `queries`
+  *    map remains the honest wall-clock record.
+  *  - `probe_sec` / `probe_median_sec`: a fixed-work, data-independent
+  *    calibration probe (64M-row xxhash64 two-stage aggregation —
+  *    constant work at every SF, codegen'd, one small shuffle) timed
+  *    median-of-3 in EVERY chunk's JVM before its query sweep. The
+  *    probe times measure the box alone; dividing two runs' probe
+  *    medians estimates the box factor independently of the queries. */
 object Bench {
 
   def main(args: Array[String]): Unit = {
@@ -102,21 +124,27 @@ object Bench {
     var queries = Vector.empty[(String, Double)]
     var failed = List.empty[String]
     var throughput = 0.0
+    var probes = Vector.empty[Double]
     chunkJsons.foreach { case (chunk, line) =>
       if (line.trim.isEmpty) failed :::= chunk.toList
       else {
-        val (qs, fl, tp) = parseChunk(line)
+        val (qs, fl, tp, probe) = parseChunk(line)
         queries ++= qs
         failed :::= fl
         if (tp > throughput) throughput = tp
+        probe.foreach(probes :+= _)
         // a query the child neither timed nor reported failed (crash
         // mid-chunk) must not vanish silently
         val seen = qs.map(_._1).toSet ++ fl
         failed :::= chunk.filterNot(seen).toList
       }
     }
+    // ingest ran in the first child only; if that child died, the merged
+    // line must say "unmeasured" (-1 sentinel + failed entry), never a
+    // real-looking 0.000
+    if (throughput <= 0.0) { failed ::= "ingest_throughput"; throughput = -1.0 }
     emit(queries.sortBy(_._1), failed, throughput, wallSec,
-      s"forked:${chunks.size}jvm,median3,scrub")
+      s"forked:${chunks.size}jvm,median3,scrub,probe", probes)
     if (failed.nonEmpty) sys.exit(1)
   }
 
@@ -135,7 +163,7 @@ object Bench {
     * [a-z0-9_:,]-class strings with no escapes, values are %.3f
     * doubles. Hand-parsed so the library keeps its Spark/JDK-only
     * import surface (no third-party JSON rider). */
-  private def parseChunk(line: String): (Seq[(String, Double)], List[String], Double) = {
+  private def parseChunk(line: String): (Seq[(String, Double)], List[String], Double, Option[Double]) = {
     def section(key: String, open: Char, close: Char): String = {
       val k = "\"" + key + "\":" + open
       val i = line.indexOf(k)
@@ -152,7 +180,9 @@ object Bench {
       .map(_.group(1)).toList
     val tp = """"throughput_rps":([-0-9.eE]+)""".r.findFirstMatchIn(line)
       .map(_.group(1).toDouble).getOrElse(0.0)
-    (qs, fl, tp)
+    val probe = """"probe_sec":([-0-9.eE]+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toDouble).filter(_ > 0)
+    (qs, fl, tp, probe)
   }
 
   // ---------------------------------------------------------------- child
@@ -230,6 +260,31 @@ object Bench {
         0.0
     }
 
+    // -------- calibration probe: fixed work, independent of SF and of
+    // the registry — 64M xxhash64 rows through a 4096-group two-stage
+    // aggregation (map-side combine + one small exchange), all codegen.
+    // Its median-of-3 time measures THE BOX during this chunk's JVM;
+    // two runs' probe medians divide to the run-over-run box factor
+    // (the ±50% co-tenant drift r14 measured on unchanged binaries).
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 64L << 20, 1, 32)
+        .groupBy(pmod(col("id"), lit(4096L)).as("g"))
+        // pmod bounds the per-group sum (64M × 1e9 « Long.Max): ANSI-safe
+        .agg(sum(pmod(xxhash64(col("id")), lit(1000000007L))).as("s"))
+        .agg(sum(col("s")))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probeSec = try {
+      probeOnce() // untimed: codegen + noop-sink classloading
+      val runs = Seq.fill(3) { scrub(); probeOnce() }.sorted
+      runs(1)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] calibration probe FAILED: ${e.getMessage}")
+      -1.0
+    }
+
     // -------- warm-up pass (untimed; failures deferred to the timed pass)
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -269,10 +324,19 @@ object Bench {
     }
     val wallSec = (System.nanoTime() - wallT0) / 1e9
 
-    emit(results, failed, throughput, wallSec, "single-jvm,median3,scrub")
+    // standalone (non-forked) runs: an ingest that was supposed to run
+    // but failed must surface as the -1 sentinel, not a real-looking 0
+    val tpOut = if (runIngest && throughput <= 0.0 && !isChildRun) {
+      failed = (failed :+ "ingest_throughput").distinct
+      -1.0
+    } else throughput
+    emit(results, failed, tpOut, wallSec, "single-jvm,median3,scrub,probe",
+      if (probeSec > 0) Seq(probeSec) else Nil)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
+
+  private def isChildRun: Boolean = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
 
   // ---------------------------------------------------------------- report
 
@@ -283,14 +347,37 @@ object Bench {
     * (BENCH_r08 kept per-query times for only 73/106 queries). */
   private def emit(results: Seq[(String, Double)], failed: List[String],
                    throughput: Double, wallSec: Double,
-                   protocol: String): Unit = {
+                   protocol: String, probes: Seq[Double] = Nil): Unit = {
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    // [[parseChunk]] assumes this CLOSED format (no escapes, no nested
+    // objects beyond the two fixed maps); enforce the contract at the
+    // producer so a future name/protocol addition cannot silently
+    // mis-parse chunks into false `failed` markings
+    val nameClass = "[A-Za-z0-9_.:-]+".r
+    (results.map(_._1) ++ failed :+ protocol).foreach { s =>
+      require(nameClass.pattern.matcher(s.replace(",", "")).matches(),
+        s"bench emit: '$s' leaves the closed [A-Za-z0-9_.:,-] format " +
+          "parseChunk assumes — rename the query/protocol token")
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // rel-space twin: each query over the run's own median — a uniform
+    // box factor cancels, so THESE are the cross-round comparables
+    val sortedT = results.map(_._2).sorted
+    val qMedian =
+      if (sortedT.isEmpty) 0.0 else sortedT((sortedT.length - 1) / 2)
+    val qr = if (qMedian <= 0) "{}" else results
+      .map { case (k, v) => "\"" + k + "\":" + f3(v / qMedian) }
+      .mkString("{", ",", "}")
+    val probeMedian = {
+      val p = probes.filter(_ > 0).sorted
+      if (p.isEmpty) -1.0 else p((p.length - 1) / 2)
+    }
+    val pj = probes.map(f3).mkString("[", ",", "]")
     val fj = failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_runs":3,"stat":"median","protocol":"$protocol","wall_sec":${f3(wallSec)},"queries":$qs,"failed":$fj,"throughput_rps":${f3(throughput)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_runs":3,"stat":"median","protocol":"$protocol","wall_sec":${f3(wallSec)},"query_median_sec":${f3(qMedian)},"probe_sec":${f3(probeMedian)},"probes":$pj,"queries":$qs,"queries_rel":$qr,"failed":$fj,"throughput_rps":${f3(throughput)},"sf":"$sfDir"}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")

@@ -199,12 +199,28 @@ object Similarity {
     }
   }
 
+  /** The stride the API DEFAULTS to: `centroidStride` < 0 (the -1
+    * default on [[ivfTopK]]/[[ivfKnnJoin]]/[[kmeansCentroids]]/
+    * [[pqTrain]]) derives [[sqrtStride]] from the corpus, so a caller
+    * who writes the obvious call inherits the scale-safe C ≈ √N
+    * discipline, not a quadratic pin. An explicit stride ≥ 1 is the
+    * override (small-fixture gates pin 37 so external oracles can
+    * replay the exact centroid set without a count). */
+  private def resolveStride(emb: DataFrame, centroidStride: Long): Long = {
+    if (centroidStride < 0) sqrtStride(emb)
+    else {
+      require(centroidStride >= 1, "centroidStride must be >= 1 (or " +
+        "negative to derive the scale-safe sqrtStride default)")
+      centroidStride
+    }
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, targetId: Long,
-              k: Int, centroidStride: Long, nprobe: Int): DataFrame = {
-    require(centroidStride >= 1, "centroidStride must be >= 1")
+              k: Int, centroidStride: Long = -1L, nprobe: Int = 8): DataFrame = {
+    val stride = resolveStride(emb, centroidStride)
     require(nprobe >= 1, "nprobe must be >= 1")
     val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
-    val cent = q.filter(pmod(col("__id"), lit(centroidStride)) === 0)
+    val cent = q.filter(pmod(col("__id"), lit(stride)) === 0)
       .select(col("__id").as("__cid"), col("__q").as("__cv"))
     // exact integer-valued squared L2: d2 = q·q − 2 q·c + c·c
     def d2: Column = dot(col("__q"), col("__q")) -
@@ -369,12 +385,11 @@ object Similarity {
    * keyed by id — output-bounded, never |probes|·N.
    */
   def ivfKnnJoin(emb: DataFrame, probes: DataFrame, idCol: String,
-                 vecCol: String, centroidStride: Long, k: Int,
+                 vecCol: String, centroidStride: Long = -1L, k: Int,
                  nprobe: Int): DataFrame = {
-    require(centroidStride >= 1, "centroidStride must be >= 1")
     require(nprobe >= 1, "nprobe must be >= 1")
     val cand = ivfCandidates(emb, probes, idCol, vecCol,
-      centroidStride, nprobe)
+      resolveStride(emb, centroidStride), nprobe)
     val scored = cand
       .join(emb.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__id")
       .join(broadcast(probes.select(col(idCol).as("probe_id"),
@@ -462,8 +477,8 @@ object Similarity {
    * below ~10^9 members; far past any realistic cell at 100 TB.
    */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                      centroidStride: Long, iters: Int, dim: Int): DataFrame = {
-    require(centroidStride >= 1, "centroidStride must be >= 1")
+                      centroidStride: Long = -1L, iters: Int, dim: Int): DataFrame = {
+    val stride = resolveStride(emb, centroidStride)
     require(iters >= 1, "iters must be >= 1")
     require(dim >= 1, "dim must be >= 1")
     // q·q hoisted before the broadcast join (the silhouette trick: the
@@ -471,7 +486,7 @@ object Similarity {
     // centroid); c·c rides the broadcast entry — both loop-invariant
     val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
       .withColumn("__qq", dot(col("__q"), col("__q")))
-    val init = q.filter(pmod(col("__id"), lit(centroidStride)) === 0)
+    val init = q.filter(pmod(col("__id"), lit(stride)) === 0)
       .select(col("__id").as("__cid"), col("__q").as("__cv"), lit(0L).as("__n"))
     (1 to iters).foldLeft(init) { (cent, _) =>
       val centArr = cent
@@ -696,10 +711,10 @@ object Similarity {
    * their previous centroid with `__n` = 0).
    */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String, m: Int,
-              dim: Int, centroidStride: Long, iters: Int): DataFrame = {
+              dim: Int, centroidStride: Long = -1L, iters: Int = 3): DataFrame = {
     require(m >= 1 && dim >= m && dim % m == 0,
       "dim must split into m equal-width subspaces")
-    require(centroidStride >= 1, "centroidStride must be >= 1")
+    val stride = resolveStride(emb, centroidStride)
     require(iters >= 1, "iters must be >= 1")
     val width = dim / m
     // __svv hoisted BEFORE the broadcast join: the Join node blocks
@@ -708,7 +723,7 @@ object Similarity {
     // precedent)
     val sub = pqSubvectors(emb, idCol, vecCol, m, width)
       .withColumn("__svv", dot(col("__sv"), col("__sv")))
-    val init = sub.filter(pmod(col("__id"), lit(centroidStride)) === 0)
+    val init = sub.filter(pmod(col("__id"), lit(stride)) === 0)
       .select(col("__sub"), col("__id").as("__cid"), col("__sv").as("__cv"),
         lit(0L).as("__n"))
     (1 to iters).foldLeft(init) { (cent, _) =>

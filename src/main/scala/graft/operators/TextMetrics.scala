@@ -689,7 +689,10 @@ object TextMetrics {
    *
    * Output per doc: (idCol, `n_phrases`, `top_phrase`,
    * `top_score_micro`, `sum_score_micro`) — NULL top for docs with
-   * no candidate phrase (sum 0).
+   * no candidate phrase (sum 0). A NULL text column counts as "no
+   * candidate phrase" too (the phrase array coalesces to empty, so
+   * n_phrases/sum report 0, not NULL — the oracle's COALESCE(..,0)
+   * convention).
    */
   def rakeScoreAgainst(docs: DataFrame, idCol: String, textCol: String,
                        stopwords: DataFrame, wordScores: DataFrame,
@@ -700,7 +703,8 @@ object TextMetrics {
     val wmap = wordScores
       .agg(map_from_entries(collect_list(
         struct(col("wd"), col("score_micro")))).as("__wmap"))
-    val phrases = rakePhraseArr(textCol, maxPhraseLen)
+    val phrases = coalesce(rakePhraseArr(textCol, maxPhraseLen),
+      array().cast("array<string>"))
     val scored = transform(phrases, p => struct(
       aggregate(split(p, " "), lit(0L), (acc, wd) =>
         acc + coalesce(element_at(col("__wmap"), wd), lit(0L))).as("s"),

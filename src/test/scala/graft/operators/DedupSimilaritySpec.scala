@@ -406,6 +406,39 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     partial.map(_._2).toSeq shouldBe partial.map(_._2).toSeq.sorted.reverse
   }
 
+  test("omitting centroidStride derives sqrtStride: the obvious call " +
+    "inherits the scale-safe C ~ sqrt(N) gear, not a pin") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val derived = Similarity.sqrtStride(emb)
+    derived should be > 1L
+    val defaulted = Similarity.ivfTopK(emb, "vec_id", "e", targetId = 3L,
+        k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val explicit = Similarity.ivfTopK(emb, "vec_id", "e", targetId = 3L,
+        k = 10, centroidStride = derived, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    defaulted should contain theSameElementsInOrderAs explicit
+    // the other three default-deriving entry points agree with their
+    // explicit-sqrtStride calls too (kmeans seeds / PQ codebook rows)
+    val kmDef = Similarity.kmeansCentroids(emb, "vec_id", "e",
+        iters = 1, dim = 64).collect().map(_.getLong(0)).sorted
+    val kmExp = Similarity.kmeansCentroids(emb, "vec_id", "e",
+        centroidStride = derived, iters = 1, dim = 64)
+      .collect().map(_.getLong(0)).sorted
+    kmDef shouldBe kmExp
+    val pqDef = Similarity.pqTrain(emb, "vec_id", "e", m = 4, dim = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    val pqExp = Similarity.pqTrain(emb, "vec_id", "e", m = 4, dim = 64,
+        centroidStride = derived, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    pqDef shouldBe pqExp
+    // an explicit nonsense stride still fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.ivfTopK(emb, "vec_id", "e", targetId = 3L, k = 10,
+        centroidStride = 0L, nprobe = 8)
+  }
+
   test("boundedExactKnn equals brute-force cosine top-k at sf0.001") {
     val emb = Tables.embeddings(spark, sf0001)
       .withColumn("e", col("embedding").cast("array<double>"))

@@ -604,4 +604,28 @@ class TextMetricsSpec extends SparkTestBase with Matchers {
     capped.map(_.getAs[String]("phrase")).toSeq shouldBe
       Seq("quick fox", "lazy dog", "dog")
   }
+
+  test("rakeScoreAgainst: a NULL text doc reports n_phrases=0 / sum 0, " +
+    "not NULLs (the oracle's COALESCE(..,0) convention)") {
+    val ss = spark
+    import ss.implicits._
+    val hist = Seq((1L, "the quick fox jumps the lazy dog"),
+      (2L, "the quick fox the dog")).toDF("doc_id", "text")
+    val stops = TextMetrics.rakeStopwords(hist, "text", stopK = 1)
+    val wsTab = TextMetrics.rakeWordScores(hist, "text", stops)
+    val incoming = Seq((10L, Some("the quick fox")), (11L, None))
+      .toDF("doc_id", "text")
+    val out = TextMetrics.rakeScoreAgainst(
+        incoming, "doc_id", "text", stops, wsTab)
+      .orderBy("doc_id").collect()
+    out.length shouldBe 2
+    out(0).getLong(1) shouldBe 1L          // "quick fox" survives the stoplist
+    out(0).getString(2) shouldBe "quick fox"
+    // NULL text = zero candidate phrases, zero sums, NULL top — never a
+    // NULL count (size/aggregate over a NULL array would propagate it)
+    out(1).getLong(1) shouldBe 0L
+    out(1).isNullAt(2) shouldBe true
+    out(1).isNullAt(3) shouldBe true
+    out(1).getLong(4) shouldBe 0L
+  }
 }

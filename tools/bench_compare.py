@@ -29,6 +29,23 @@ def main(a_path, b_path, top_n=8):
     print(f"totals: A={a['value']:.1f}s  B={b['value']:.1f}s  "
           f"ratio={b['value']/a['value']:.3f}")
     print(f"protocols: A={a.get('protocol','?')}  B={b.get('protocol','?')}")
+    # rel-space (r15): each run's queries divided by its own median —
+    # a uniform box factor cancels, so THIS median answers "did the
+    # code get faster?" (the raw median above measures box+code).
+    ra, rb = a.get("queries_rel"), b.get("queries_rel")
+    if ra and rb:
+        rel_shared = [q for q in shared if ra.get(q, 0) > 0 and q in rb]
+        rel_ratios = sorted(rb[q] / ra[q] for q in rel_shared)
+        rmed = statistics.median(rel_ratios)
+        r1 = rel_ratios[len(rel_ratios) // 4]
+        r3 = rel_ratios[(3 * len(rel_ratios)) // 4]
+        print(f"NORMALIZED overlap n={len(rel_ratios)}  median={rmed:.3f}  "
+              f"q1={r1:.3f}  q3={r3:.3f}  (box factor divided out)")
+    pa, pb = a.get("probe_sec", -1), b.get("probe_sec", -1)
+    if pa and pb and pa > 0 and pb > 0:
+        print(f"calibration probes: A={pa:.3f}s  B={pb:.3f}s  "
+              f"box factor B/A={pb/pa:.3f}  "
+              f"(fixed work — this ratio is pure box)")
     movers = sorted(ratios.items(), key=lambda kv: kv[1])
     print("fastest (B vs A):")
     for q, r in movers[:top_n]:

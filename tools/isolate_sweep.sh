@@ -12,10 +12,13 @@ for Q in ${QS//,/ }; do
     [ "$SF" = "-" ] && continue
     D=$(mktemp -d /tmp/iso-XXXX)
     T0=$(date +%s.%N)
+    # PIPESTATUS: the java exit code, not grep's — a crashed isolate must
+    # be distinguishable from a fast one in the triage log (rc= below)
     SPARK_GRAFT_CPUS=32 java $JOPTS -Xmx24g \
       -Dspark.sql.session.timeZone=UTC -Dspark.ui.enabled=false \
       -cp "$CP" graft.Verify "$SF" "$D" "$Q" 2>&1 \
       | grep -E "\[verify\] $Q" >> "$OUT"
+    RC=${PIPESTATUS[0]}
     T1=$(date +%s.%N)
     ROWS=$(python3 - "$D/$Q" <<'EOF'
 import sys, glob
@@ -27,7 +30,7 @@ except Exception:
     print(-1)
 EOF
 )
-    echo "ISO $Q $SF wall=$(echo "$T1 - $T0" | bc) rows=$ROWS" >> "$OUT"
+    echo "ISO $Q $SF wall=$(echo "$T1 - $T0" | bc) rows=$ROWS rc=$RC" >> "$OUT"
     rm -rf "$D"
   done
 done
