@@ -539,7 +539,11 @@ object Queries {
     * deterministic sign-LSH code blocking (radius 2 of 8 bits, exact
     * pigeonhole) + exact cosine ≥ 0.3 residual. The code filter is part
     * of the contract, so the DuckDB oracle reproduces the result
-    * exactly from the same inlined hyperplanes. */
+    * exactly from the same inlined hyperplanes. BOUNDED-CORPUS
+    * semantics by declaration: at cosine ≥ 0.3 in 64 dims ~1% of
+    * RANDOM pairs qualify, so the full pair list is Ω(N²/100) — an
+    * answer, not a plan, that cannot ship at 100 TB. q289 is the
+    * production posture (per-doc top-⌈log₂N⌉ cap, output ≤ N·k). */
   val q37: Q = (s, dir) =>
     Dedup.embeddingNearDupPairs(
         Tables.embeddings(s, dir).withColumn("e", col("embedding").cast("array<double>")),
@@ -3556,6 +3560,62 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Q289 BOUNDED embedding near-dup: q37's blocking + threshold with
+    * the per-doc top-⌈log₂N⌉ neighbor cap — the 100 TB output
+    * contract (q37's threshold-only answer grows Ω(N²/100) at
+    * cosine ≥ 0.3 in 64 dims; this one is ≤ N·k by construction, the
+    * hierarchical per-bucket-then-global cap bounding every
+    * exchange). k derives from the corpus like sqrtStride; the
+    * oracle re-derives it and replays the 4-dp rank grid. q37 stays
+    * as the exact-threshold semantics for bounded corpora. */
+  val q289: Q = (s, dir) =>
+    Dedup.embeddingNearDupTopK(
+        Tables.embeddings(s, dir).withColumn("e", col("embedding").cast("array<double>")),
+        "vec_id", "e", planes = lshPlanes, codeRadius = 2, threshold = 0.3)
+      .orderBy("doc_id", "rank")
+
+  /** Q290 BOUNDED concurrent-session profile: q152's expanded session
+    * intervals through `intervalOverlapPartnerTopK` — per user the
+    * top-5 co-active partners by shared overlapping-session-pair
+    * count (partner-id tie-break). q152's exact semantics are
+    * density-unbounded on a hot time axis (r14 sweep: 10.5× on 10×
+    * data, the ANSWER growing); this is the profile posture whose
+    * output is ≤ N·k and whose only wide exchange carries (user,
+    * partner, count) rows, never pair lists. */
+  val q290: Q = (s, dir) => {
+    val ms = unix_millis(col("ts").cast("timestamp"))
+    val sess = Behavior.sessionize(Tables.events(s, dir), "user_id", "ts",
+        gapSeconds = 1800L)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg((min(ms) - 900000L).as("s_ms"), (max(ms) + 900000L).as("e_ms"))
+      .select(col("user_id"), col("s_ms"), col("e_ms"))
+    Relational.intervalOverlapPartnerTopK(sess, "user_id", "s_ms", "e_ms",
+        bucketWidth = 1800000.0, k = 5)
+      .select(col("user_id"), col("partner"), col("n_shared"), col("rank"))
+      .orderBy("user_id", "rank")
+  }
+
+  private def embNearDupTopKOracle: String = {
+    def codeExpr(vecSql: String): String =
+      lshPlanes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(list_transform($vecSql, x -> round(x * 1024)), " +
+          s"[${p.map(c => s"$c.0").mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, " +
+      s"${codeExpr("CAST(embedding AS DOUBLE[])")} AS code FROM embeddings), " +
+      // ceil(log2(N)) = bit length of N-1 (bin() has no leading zeros)
+      "k AS (SELECT CAST(length(bin(GREATEST(COUNT(*), 2) - 1)) AS INT) AS kk FROM c), " +
+      "p AS (SELECT a.vec_id AS doc_id, b.vec_id AS neighbor_id, " +
+      "ROUND(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * " +
+      "sqrt(list_dot_product(b.e, b.e))), 4) AS cosine FROM c a JOIN c b " +
+      "ON a.vec_id <> b.vec_id AND bit_count(xor(a.code, b.code)) <= 2), " +
+      "r AS (SELECT doc_id, neighbor_id, cosine, ROW_NUMBER() OVER " +
+      "(PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id) AS rn " +
+      "FROM p WHERE cosine >= 0.3) " +
+      "SELECT doc_id, neighbor_id, cosine, CAST(rn AS INT) AS rank " +
+      "FROM r CROSS JOIN k WHERE rn <= kk ORDER BY doc_id, rank"
+  }
+
   /** Q278 Wald SPRT per variant — the SEQUENTIAL purchase-rate gate
     * (H0: 10%, H1: 15%, α = β = 5%): pure-BIGINT log-likelihood over
     * portable micro-nat literals the oracle embeds verbatim, decided
@@ -5815,6 +5875,8 @@ object Queries {
     "q286_pipeline_neardup" -> q286,
     "q287_pipeline_keeper" -> q287,
     "q288_rake_serving" -> q288,
+    "q289_embedding_neardup_topk" -> q289,
+    "q290_session_overlap_topk" -> q290,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -10266,6 +10328,38 @@ object Queries {
         + "CAST((CAST(CAST(list_dot_product(va, va) - 2 * list_dot_product(va, vb) + list_dot_product(vb, vb) AS BIGINT) AS HUGEINT) * 1000000) "
         + "// (CAST(CAST(list_dot_product(qa, qa) - 2 * list_dot_product(qa, qb) + list_dot_product(qb, qb) AS BIGINT) AS HUGEINT) * 16) AS BIGINT) "
         + "END AS ratio_ppm FROM j ORDER BY a"),
+    "q289_embedding_neardup_topk" ->
+      // q37's inlined-hyperplane blocking, DIRECTED pairs, rank on the
+      // 4-dp cosine grid (neighbor tie-break), k = ceil(log2 N) derived
+      // as the bit length of N-1 — the cap replayed, not pinned
+      embNearDupTopKOracle,
+    "q290_session_overlap_topk" ->
+      // q152's session/bucket CTEs; per-(u1,u2) COUNT(*) of the
+      // exactly-once canonical-bucket session pairs, then the top-5
+      // partners per user (count desc, partner asc)
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events), "
+        + "t AS (SELECT user_id, ms, CASE WHEN lag(ms) OVER w IS NULL "
+        + "OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS nw "
+        + "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)), "
+        + "sx AS (SELECT user_id, ms, SUM(nw) OVER (PARTITION BY user_id ORDER BY ms "
+        + "ROWS UNBOUNDED PRECEDING) AS si FROM t), "
+        + "sess AS (SELECT user_id, si, MIN(ms) - 900000 AS s_ms, MAX(ms) + 900000 AS e_ms "
+        + "FROM sx GROUP BY 1, 2), "
+        + "lb AS (SELECT user_id AS u1, s_ms AS s1, e_ms AS e1, "
+        + "unnest(range(CAST(floor(s_ms / 1800000.0) AS BIGINT), "
+        + "CAST(floor(e_ms / 1800000.0) AS BIGINT) + 1)) AS bk FROM sess), "
+        + "rb AS (SELECT user_id AS u2, s_ms AS s2, e_ms AS e2, "
+        + "unnest(range(CAST(floor(s_ms / 1800000.0) AS BIGINT), "
+        + "CAST(floor(e_ms / 1800000.0) AS BIGINT) + 1)) AS bk FROM sess), "
+        + "ov AS (SELECT u1, u2 FROM lb JOIN rb USING (bk) "
+        + "WHERE s1 <= e2 AND s2 <= e1 "
+        + "AND bk = CAST(floor(greatest(s1, s2) / 1800000.0) AS BIGINT) "
+        + "AND u1 <> u2), "
+        + "cnt AS (SELECT u1, u2, CAST(COUNT(*) AS BIGINT) AS n_shared FROM ov GROUP BY 1, 2), "
+        + "rk AS (SELECT u1, u2, n_shared, ROW_NUMBER() OVER "
+        + "(PARTITION BY u1 ORDER BY n_shared DESC, u2) AS rn FROM cnt) "
+        + "SELECT u1 AS user_id, u2 AS partner, n_shared, CAST(rn AS INT) AS rank "
+        + "FROM rk WHERE rn <= 5 ORDER BY user_id, rank"),
   )
 
   /** q278's oracle: the operator's EXACT micro-nat literals

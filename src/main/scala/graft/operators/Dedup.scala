@@ -589,6 +589,77 @@ object Dedup {
   }
 
   /**
+   * Per-document TOP-K embedding near-dup neighbors — the BOUNDED
+   * output contract beside [[embeddingNearDupPairs]]'s threshold
+   * semantics. Threshold-only near-dup emits every qualifying pair,
+   * and a collision-prone threshold makes that answer itself
+   * super-linear (cosine ≥ 0.3 in 64 dims holds for ~1% of RANDOM
+   * pairs, so the pair list is Ω(N²/100) no matter how good the
+   * plan is — the r14 perturbed-replica sweep measured 106× pair
+   * growth on 10× data). At 100 TB the pair list IS the job, so the
+   * profile-grade operator caps it: each document reports its k best
+   * neighbors above the threshold, both directions, output ≤ N·k.
+   *
+   * `k` < 0 (the default) derives ⌈log₂N⌉ from the corpus — the
+   * [[graft.operators.Similarity.sqrtStride]] precedent: derive,
+   * don't pin — so the cap scales with the corpus and an external
+   * oracle can re-derive it.
+   *
+   * The cap is HIERARCHICAL and exact: candidates are first capped
+   * per (pigeonhole bucket, doc) and only then globally per doc. No
+   * candidate in a doc's true top-k is lost — within any bucket
+   * containing the pair, the neighbors outranking it are global
+   * outrankers too, so it sits within that bucket's top-k as well.
+   * This bounds EVERY exchange: the per-bucket join output is capped
+   * before the dedup/global-rank shuffles see it (≤ chunks·N·k rows),
+   * so an adversarial corpus can clog one bucket's local sort but
+   * never an exchange. Ranking uses the 4-dp-rounded cosine
+   * (neighbor-id tie-break) — a replayable grid decision where raw
+   * doubles could flip on their last ulp between engines.
+   *
+   * Output: (`doc_id`, `neighbor_id`, `cosine` 4 dp, `rank` 1..k).
+   */
+  def embeddingNearDupTopK(emb: DataFrame, idCol: String, vecCol: String,
+                           planes: Array[Array[Int]], codeRadius: Int,
+                           threshold: Double, k: Int = -1): DataFrame = {
+    val kEff =
+      if (k >= 1) k
+      else { // ceil(log2(N)) via bit length: integer-exact at any N
+        val n = math.max(2L, emb.count())
+        64 - java.lang.Long.numberOfLeadingZeros(n - 1L)
+      }
+    val nChunks = codeRadius + 1
+    // vectors + norms attach to the LINEAR bucket rows (id-keyed join),
+    // so the quadratic in-bucket pair stream computes cosine in-row and
+    // caps before any further exchange
+    val vecs = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("__n"))
+    val buckets = signCodeBuckets(emb, idCol, vecCol, planes, codeRadius)
+      .join(vecs, Seq("__id"))
+    val bucketPairs = buckets.alias("a")
+      .join(buckets.alias("b"),
+        col("a.__ck") === col("b.__ck") && col("a.__id") =!= col("b.__id"))
+      .filter(bit_count(col("a.__c").bitwiseXOR(col("b.__c"))) <= codeRadius)
+      .select(col("a.__ck").as("__ck"), col("a.__id").as("doc_id"),
+        col("b.__id").as("neighbor_id"),
+        round(Similarity.dot(col("a.__v"), col("b.__v")) /
+          (col("a.__n") * col("b.__n")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    // stage 1: per-(bucket, doc) cap — rides the bucket join's existing
+    // hash partitioning (window keys ⊇ join key), no new exchange
+    val perBucket = Relational.topKPerGroup(bucketPairs,
+        Seq("__ck", "doc_id"),
+        Seq(col("cosine").desc, col("neighbor_id").asc), kEff)
+      .drop("__ck")
+    // stage 2: dedupe multi-bucket survivors (≤ chunks·N·k rows), then
+    // the global per-doc cap
+    Relational.topKPerGroup(perBucket.distinct(), Seq("doc_id"),
+        Seq(col("cosine").desc, col("neighbor_id").asc), kEff,
+        rankCol = Some("rank"))
+      .select(col("doc_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /**
    * Shared sign-LSH blocking backbone: per-id code + exploded
    * pigeonhole chunk keys. Bucket joins over this carry only
    * (id, code) — 16 bytes/row.

@@ -443,6 +443,47 @@ object Relational {
   }
 
   /**
+   * BOUNDED concurrency profile over [[intervalOverlapJoin]] — the
+   * per-entity output discipline for the "who is co-active with whom"
+   * use case. The exact overlap join's answer is density-unbounded: a
+   * hot key on a shared time axis (one busy user, one busy hour)
+   * legitimately overlaps EVERYONE, so per-key output grows with the
+   * corpus (the r14 perturbed-replica sweep measured q152 at 10.5× on
+   * 10× data — the answer, not the plan). This variant emits, per
+   * key, only its top-`k` partners by shared-overlap count.
+   *
+   * Scale shape: the covered-bucket pair join is unchanged
+   * (exactly-once canonical-bucket emission), but the pair STREAM
+   * collapses immediately into (key, partner) counts — a map-side
+   * combinable aggregate, so the exchange carries one row per
+   * DISTINCT partner pair with a count, never the pair list — and the
+   * final per-key rank caps output at N·k. Ties break on the partner
+   * id: integer-deterministic, replayable by any engine.
+   *
+   * Output: (`keyCol`, `partner`, `n_shared` = overlapping interval
+   * pairs between the two keys, `rank` 1..k).
+   */
+  def intervalOverlapPartnerTopK(intervals: DataFrame, keyCol: String,
+                                 loCol: String, hiCol: String,
+                                 bucketWidth: Double, k: Int,
+                                 maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val l = intervals.select(col(keyCol).as("__k1"),
+      col(loCol).as("__lo1"), col(hiCol).as("__hi1"))
+    val r = intervals.select(col(keyCol).as("__k2"),
+      col(loCol).as("__lo2"), col(hiCol).as("__hi2"))
+    val counts = intervalOverlapJoin(l, col("__lo1"), col("__hi1"),
+        r, col("__lo2"), col("__hi2"), bucketWidth, maxBucketsPerInterval)
+      .filter(col("__k1") =!= col("__k2"))
+      .groupBy(col("__k1"), col("__k2"))
+      .agg(count(lit(1)).as("n_shared"))
+    topKPerGroup(counts, Seq("__k1"),
+        Seq(col("n_shared").desc, col("__k2").asc), k, rankCol = Some("rank"))
+      .select(col("__k1").as(keyCol), col("__k2").as("partner"),
+        col("n_shared"), col("rank"))
+  }
+
+  /**
    * Bloom-pruned semi-join (an explicit runtime filter): keep `big` rows
    * whose `bigKey` appears in `keys.keyCol`, pruning the big side with a
    * compact Bloom filter BEFORE the join's exchange ever sees it.

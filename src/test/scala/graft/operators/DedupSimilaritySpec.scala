@@ -362,6 +362,42 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     banded.length should be > 0
   }
 
+  test("embeddingNearDupTopK: hierarchical per-bucket cap equals the " +
+    "brute-force global per-doc top-k; output bounded by N*k") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    val k = 3 // explicit small k forces real capping at sf0.001
+    val capped = Dedup.embeddingNearDupTopK(emb, "vec_id", "e", planes,
+        codeRadius = 2, threshold = 0.3, k = k)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // brute-force reference: directed qualifying pairs under the same
+    // code filter, ranked globally per doc on the same 4-dp grid
+    val codes = emb.select(col("vec_id"), col("e"),
+      Similarity.signCode(col("e"), planes).as("c"))
+    val directed = codes.alias("a")
+      .join(codes.alias("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .filter(bit_count(col("a.c").bitwiseXOR(col("b.c"))) <= 2)
+      .select(col("a.vec_id").as("doc_id"), col("b.vec_id").as("neighbor_id"),
+        round(Similarity.cosine(col("a.e"), col("b.e")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+    val brute = Relational.topKPerGroup(directed, Seq("doc_id"),
+        Seq(col("cosine").desc, col("neighbor_id").asc), k,
+        rankCol = Some("rank"))
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    capped should contain theSameElementsInOrderAs brute
+    capped.length should be > 0
+    capped.groupBy(_._1).values.foreach(_.length should be <= k)
+    // derived default: k = ceil(log2 N), so output stays <= N*k
+    val derived = Dedup.embeddingNearDupTopK(emb, "vec_id", "e", planes,
+      codeRadius = 2, threshold = 0.3)
+    val n = emb.count()
+    val kDer = 64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, n) - 1L)
+    derived.count() should be <= n * kDer
+  }
+
   test("lshTopK returns the exact top-k of its deterministic candidate set") {
     val emb = Tables.embeddings(spark, sf0001)
       .withColumn("e", col("embedding").cast("array<double>"))

@@ -337,6 +337,38 @@ class RelationalSpec extends SparkTestBase {
     assert(want.nonEmpty)
   }
 
+  test("intervalOverlapPartnerTopK equals the naive per-key partner " +
+    "ranking; per-key output capped at k") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(23)
+    // few keys on a SHARED axis: the hot-axis case the cap is for
+    val iv = (1 to 150).map { i =>
+      val lo = rnd.nextInt(400).toDouble
+      (("u" + rnd.nextInt(8)): String, lo, lo + rnd.nextInt(60))
+    }
+    val df = iv.toDF("k", "lo", "hi")
+    val k = 3
+    val got = Relational.intervalOverlapPartnerTopK(df, "k", "lo", "hi",
+        bucketWidth = 25.0, k = k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // naive: count overlapping interval pairs per ordered key pair,
+    // rank (count desc, partner asc), keep <= k
+    val counts = (for {
+      (k1, l1, h1) <- iv; (k2, l2, h2) <- iv
+      if k1 != k2 && l1 <= h2 && l2 <= h1
+    } yield (k1, k2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.groupBy(_._1._1).toSeq.flatMap { case (k1, m) =>
+      m.toSeq.map { case ((_, k2), n) => (k2, n) }
+        .sortBy { case (k2, n) => (-n, k2) }
+        .take(k).zipWithIndex
+        .map { case ((k2, n), i) => (k1, k2, n, i + 1) }
+    }
+    assert(got.sorted.toSeq == want.sorted)
+    assert(got.groupBy(_._1).values.forall(_.length <= k))
+    assert(got.nonEmpty)
+  }
+
   test("editBlockedPairs: finds every same-length Hamming<=k pair, " +
     "reports exact levenshtein, dedups by string") {
     val ss = spark
