@@ -3595,6 +3595,53 @@ object Queries {
       .orderBy("user_id", "rank")
   }
 
+  /** Q291 INCREMENTAL near-dup as declarative config — the
+    * `dedup_neardup_incremental` stage (the r14 verdict's missing
+    * streaming posture for the near-dup pipeline family): the history
+    * shingle index persists once, the pipeline's `filter` stage keeps
+    * the arriving split, and the stage scores each doc IN-ROW against
+    * the broadcast index (`Dedup.containmentAgainstIndexInRow`, the
+    * bigramNllAgainst stream-static shape — map-only, append-safe;
+    * StreamingSpec pins stream == batch). Must equal q255's library
+    * composition, so it shares q255's oracle verbatim. */
+  val q291: Q = (s, dir) => {
+    val hist = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-q291-idx").toString
+    Dedup.shingleHashRows(hist, "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(idxPath)
+    val json =
+      s"""{"name": "neardup-incr-q291",
+         |"source": {"type": "file", "options": {
+         |  "format": "parquet", "path": "$dir/documents.parquet",
+         |  "schema": "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"}},
+         |"transforms": [
+         |  {"type": "filter", "options": {"predicate": "doc_id % 10 = 0"}},
+         |  {"type": "dedup_neardup_incremental", "options": {
+         |    "id.field": "doc_id", "text.field": "text",
+         |    "index.path": "$idxPath",
+         |    "threshold.num": "7", "threshold.den": "10", "shingle.width": "3"}}],
+         |"sink": {"type": "noop", "options": {}}}""".stripMargin
+    Pipeline.build(s, PipelineSpec.fromJson(json), streaming = false)
+      .orderBy("d1", "d2")
+  }
+
+  /** q255's AND q291's oracle (the two postures compute the same
+    * answer): q231's brute-force reference restricted to cross-split
+    * pairs — directed containment |A∩B|/|A| with the exact 7/10 gate,
+    * A and B on opposite sides of the doc_id % 10 split. */
+  private def containmentIncrOracle: String =
+    "WITH w AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+      "t AS (SELECT DISTINCT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])) AS sh " +
+      "FROM w WHERE len(ws) >= 3), " +
+      "sig AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1), " +
+      "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS ni " +
+      "FROM t a JOIN t b ON a.sh = b.sh AND (a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0) GROUP BY 1, 2) " +
+      "SELECT d1, d2, s1.n AS n1, ni AS n_inter, " +
+      "round(CAST(ni AS DOUBLE) / s1.n, 6) AS containment " +
+      "FROM j JOIN sig s1 ON j.d1 = s1.doc_id " +
+      "WHERE ni * 10 >= s1.n * 7 ORDER BY d1, d2"
+
   private def embNearDupTopKOracle: String = {
     def codeExpr(vecSql: String): String =
       lshPlanes.zipWithIndex.map { case (p, i) =>
@@ -5877,6 +5924,7 @@ object Queries {
     "q288_rake_serving" -> q288,
     "q289_embedding_neardup_topk" -> q289,
     "q290_session_overlap_topk" -> q290,
+    "q291_pipeline_neardup_incremental" -> q291,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -9835,20 +9883,7 @@ object Queries {
         "FROM m WHERE n_tok >= 10 AND 2 * n_stop < n_tok) " +
         "SELECT lang, predicted, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
         "FROM f GROUP BY lang, predicted ORDER BY lang, predicted"),
-    "q255_containment_incremental" ->
-      // q231's brute-force reference restricted to cross-split pairs:
-      // directed containment |A∩B|/|A| with the exact 7/10 gate, A and
-      // B on opposite sides of the doc_id % 10 split
-      ("WITH w AS (SELECT doc_id, str_split(lower(trim(text)), ' ') AS ws FROM documents), "
-        + "t AS (SELECT DISTINCT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)])) AS sh "
-        + "FROM w WHERE len(ws) >= 3), "
-        + "sig AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1), "
-        + "j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS ni "
-        + "FROM t a JOIN t b ON a.sh = b.sh AND (a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0) GROUP BY 1, 2) "
-        + "SELECT d1, d2, s1.n AS n1, ni AS n_inter, "
-        + "round(CAST(ni AS DOUBLE) / s1.n, 6) AS containment "
-        + "FROM j JOIN sig s1 ON j.d1 = s1.doc_id "
-        + "WHERE ni * 10 >= s1.n * 7 ORDER BY d1, d2"),
+    "q255_containment_incremental" -> containmentIncrOracle,
     "q256_bottomk_intersect" ->
       // bottom-k signature program (mid-square hv, per-source rank
       // <= 256, pair-merged rank <= 256, flag sums) + q241's HLL
@@ -10360,6 +10395,9 @@ object Queries {
         + "(PARTITION BY u1 ORDER BY n_shared DESC, u2) AS rn FROM cnt) "
         + "SELECT u1 AS user_id, u2 AS partner, n_shared, CAST(rn AS INT) AS rank "
         + "FROM rk WHERE rn <= 5 ORDER BY user_id, rank"),
+    "q291_pipeline_neardup_incremental" ->
+      // the stage must equal q255's library composition exactly
+      containmentIncrOracle,
   )
 
   /** q278's oracle: the operator's EXACT micro-nat literals

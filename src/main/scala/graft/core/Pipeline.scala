@@ -34,8 +34,10 @@ import graft.sources.{FileSource, KafkaRelaySource, PromTextSource, Source}
  * name/version; the envelope encoder's `name` option is that seam).
  * Beyond the Connect catalog, the LLM corpus-prep operators are
  * stage types too — `dedup_exact`, `quality_gate`, `lang_id`,
- * `hash_sample`, and the batch-only near-dup pair `dedup_neardup` /
- * `quality_keeper` — so a user can drive exact-dedup → near-dup
+ * `hash_sample`, the batch-only near-dup pair `dedup_neardup` /
+ * `quality_keeper`, and the stream-safe
+ * `dedup_neardup_incremental` (arriving docs scored in-row against
+ * a persisted shingle index) — so a user can drive exact-dedup → near-dup
  * clustering → quality gate → language-ID → keyed sink entirely by
  * JSON config through the REST facade (the reference's
  * submit-a-config workflow, README.md:88-109),
@@ -62,7 +64,7 @@ object Pipeline {
     "insert_header", "header_from", "drop_headers",
     "envelope_encode", "envelope_decode", "debezium_unwrap",
     "dedup_exact", "quality_gate", "lang_id", "hash_sample",
-    "dedup_neardup", "quality_keeper")
+    "dedup_neardup", "quality_keeper", "dedup_neardup_incremental")
   val streamSinkTypes: Seq[String] = Seq("file", "memory", "upsert", "jdbc_upsert")
 
   def source(spec: StageSpec): Source = spec.stageType match {
@@ -546,6 +548,22 @@ object Pipeline {
         .filter(col("id") =!= col("keeper_id"))
         .select(col("id").as(id))
       df.join(dropIds, Seq(id), "left_anti")
+    case "dedup_neardup_incremental" =>
+      // q255's incremental posture as config: arriving docs score
+      // against a PERSISTED shingle index (Dedup.shingleHashRows
+      // output at index.path — columns __id/__sh) folded to two
+      // one-row broadcasts; each doc shingles and counts candidates
+      // IN-ROW and the stage emits the directed containment pairs at
+      // threshold.num/threshold.den in both directions. Map-only (the
+      // bigramNllAgainst stream-static posture), so unlike
+      // dedup_neardup this stage is STREAM-SAFE in append mode: the
+      // index never re-shingles, state never accumulates.
+      val idx = df.sparkSession.read.parquet(t.option("index.path"))
+      graft.operators.Dedup.containmentAgainstIndexInRow(
+        df, t.option("id.field"), t.option("text.field"), idx,
+        tNum = t.optionOr("threshold.num", "7").toInt,
+        tDen = t.optionOr("threshold.den", "10").toInt,
+        shingleWidth = t.optionOr("shingle.width", "3").toInt)
     case other =>
       throw new IllegalArgumentException(s"unknown transform type '$other'")
   }

@@ -1388,4 +1388,85 @@ object Dedup {
         round(col("n_inter").cast("double") / col("n1"), 6)
           .as("containment"))
   }
+
+  /**
+   * STREAM-SERVING twin of [[containmentAgainstIndex]] — the
+   * `bigramNllAgainst` stream-static posture applied to incremental
+   * near-dup: the persisted shingle index ([[shingleHashRows]] output)
+   * folds to TWO one-row broadcasts (shingle → sorted posting list of
+   * history ids; history id → shingle count), each ARRIVING document
+   * shingles and scores fully IN-ROW (the same `xxhash64(t₀..tₖ)`
+   * values the index holds), and every directed containment pair
+   * ≥ tNum/tDen is emitted in BOTH directions. No stream-side
+   * aggregation, no shuffle, no per-key state — the plan is map +
+   * explode over two broadcast model rows, so it runs unchanged in
+   * append mode on an unbounded stream, scoring each micro-batch
+   * against the index without ever re-shingling history.
+   *
+   * Result-identical to [[containmentAgainstIndex]] on the same
+   * inputs (the batch prefix filter is exact, so both compute "all
+   * cross pairs at threshold"); gated against the same oracle.
+   *
+   * The broadcast maps bound this to indexes that fit an executor —
+   * past that, use the batch join form (the `bigramNllAgainst`
+   * caveat verbatim). Per-doc candidate counting is a fold over the
+   * doc's own posting lists: serving cost scales with how duplicated
+   * the arriving doc actually is, not with the corpus.
+   *
+   * Output: (`d1`, `d2`, `n1`, `n_inter`, `containment`) — d1 ⊆ d2
+   * directed pairs, n1 = |shingles(d1)|.
+   */
+  def containmentAgainstIndexInRow(newDocs: DataFrame, idCol: String,
+                                   textCol: String, index: DataFrame,
+                                   tNum: Int, tDen: Int,
+                                   shingleWidth: Int = 3): DataFrame = {
+    require(tNum >= 1 && tDen >= tNum, "threshold must be in (0, 1]")
+    require(shingleWidth >= 1, "shingle width must be >= 1")
+    val sizes = index.groupBy("__id").agg(count(lit(1)).as("__n"))
+      .agg(map_from_entries(collect_list(struct(col("__id"), col("__n"))))
+        .as("__sizes"))
+    val postings = index.groupBy("__sh")
+      .agg(sort_array(collect_list(col("__id"))).as("__pl"))
+      .agg(map_from_entries(collect_list(struct(col("__sh"), col("__pl"))))
+        .as("__post"))
+
+    // in-row distinct shingle hashes: the same windows and the same
+    // multi-arg xxhash64 recurrence shingleHashRows computes
+    val w = split(normText(col(textCol)), " ")
+    val windows = transform(
+      sequence(lit(0), size(w) - shingleWidth),
+      i => xxhash64((0 until shingleWidth)
+        .map(k => element_at(w, i + k + 1)): _*))
+    val shings = array_distinct(
+      when(size(w) >= shingleWidth, windows)
+        .otherwise(array().cast("array<bigint>")))
+
+    // candidate history ids with multiplicity = |A ∩ B|: flatten the
+    // doc's own posting lists, then count per distinct id in-row
+    val scored = newDocs
+      .select(col(idCol).as("__nid"), shings.as("__shs"))
+      .crossJoin(broadcast(postings))
+      .crossJoin(broadcast(sizes))
+      .withColumn("__na", size(col("__shs")).cast("long"))
+      .withColumn("__ids", flatten(transform(col("__shs"),
+        s => coalesce(element_at(col("__post"), s),
+          array().cast("array<bigint>")))))
+      .select(col("__nid"), col("__na"),
+        explode(transform(array_distinct(col("__ids")), d => struct(
+          d.as("hid"),
+          size(filter(col("__ids"), x => x === d)).cast("long").as("ni"),
+          element_at(col("__sizes"), d).as("nb")))).as("__v"))
+    val newInHist = scored
+      .filter(col("__v.ni") * tDen >= col("__na") * tNum)
+      .select(col("__nid").as("d1"), col("__v.hid").as("d2"),
+        col("__na").as("n1"), col("__v.ni").as("n_inter"))
+    val histInNew = scored
+      .filter(col("__v.ni") * tDen >= col("__v.nb") * tNum)
+      .select(col("__v.hid").as("d1"), col("__nid").as("d2"),
+        col("__v.nb").as("n1"), col("__v.ni").as("n_inter"))
+    newInHist.unionByName(histInNew)
+      .select(col("d1"), col("d2"), col("n1"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("n1"), 6)
+          .as("containment"))
+  }
 }

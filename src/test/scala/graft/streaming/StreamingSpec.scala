@@ -1303,6 +1303,50 @@ class StreamingSpec extends SparkTestBase with Matchers {
     keyed(spark.table("t_rake").collect()) shouldBe batch
   }
 
+  test("containmentAgainstIndexInRow on a stream equals batch " +
+    "containmentAgainstIndex (persisted index, in-row scoring)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val index = Dedup.shingleHashRows(hist, "doc_id", "text", 3)
+      .localCheckpoint()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val batch = keyed(Dedup.containmentAgainstIndex(
+      incoming, "doc_id", "text", index, tNum = 7, tDen = 10).collect())
+    batch should not be empty
+    // in-row twin on a bounded input first: both postures must agree
+    keyed(Dedup.containmentAgainstIndexInRow(
+      incoming, "doc_id", "text", index, tNum = 7, tDen = 10)
+      .collect()) shouldBe batch
+    // then the SAME operator on an unbounded source, split across two
+    // micro-batches: two one-row broadcast models, map-only, append mode
+    val rows = incoming.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val served = Dedup.containmentAgainstIndexInRow(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", index,
+      tNum = 7, tDen = 10)
+    served.isStreaming shouldBe true
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cont-ckpt").toString
+    val query = served.writeStream.format("memory").queryName("t_cont")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    keyed(spark.table("t_cont").collect()) shouldBe batch
+  }
+
   test("funnelStream's final state reproduces batch Behavior.funnel " +
     "on an ordered replay across micro-batches") {
     val ss = spark
