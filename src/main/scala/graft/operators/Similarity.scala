@@ -199,6 +199,30 @@ object Similarity {
     }
   }
 
+  /**
+   * LOUD vector-width guard — the centralized fix for the silent
+   * mixed-width failure class (the r13 randomProject advisory
+   * generalized): `slice`/`element_at` past a short vector's end and
+   * `zip_with` over unequal lengths produce NULL coordinates that
+   * flow through distance folds as silently wrong numbers. Every
+   * declared-dim entry point ([[kmeansCentroids]], [[pqTrain]],
+   * [[pqEncode]], [[pqAdcTopK]]) routes its corpus through this: a
+   * row whose vector is not exactly `dims` wide (or is NULL) fails
+   * the scan with a row-addressed message instead of poisoning the
+   * model. [[randomProject]] keeps its documented DROP semantics
+   * (the effectiveDim/topComponent convention) — filtering is a
+   * declared behavior there, not a silent one.
+   */
+  def requireVecDims(emb: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    emb.withColumn(vecCol,
+      when(size(col(vecCol)) === dims, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"requireVecDims: '$vecCol' must be exactly $dims wide, found "),
+          coalesce(size(col(vecCol)).cast("string"), lit("NULL")),
+          lit(" — mixed encoder versions? filter or re-embed before indexing")))))
+  }
+
   /** The stride the API DEFAULTS to: `centroidStride` < 0 (the -1
     * default on [[ivfTopK]]/[[ivfKnnJoin]]/[[kmeansCentroids]]/
     * [[pqTrain]]) derives [[sqrtStride]] from the corpus, so a caller
@@ -481,10 +505,11 @@ object Similarity {
     val stride = resolveStride(emb, centroidStride)
     require(iters >= 1, "iters must be >= 1")
     require(dim >= 1, "dim must be >= 1")
+    val embG = requireVecDims(emb, vecCol, dim)
     // q·q hoisted before the broadcast join (the silhouette trick: the
     // Join blocks CollapseProject, so the fold does ONE d-wide dot per
     // centroid); c·c rides the broadcast entry — both loop-invariant
-    val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+    val q = embG.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
       .withColumn("__qq", dot(col("__q"), col("__q")))
     val init = q.filter(pmod(col("__id"), lit(stride)) === 0)
       .select(col("__id").as("__cid"), col("__q").as("__cv"), lit(0L).as("__n"))
@@ -717,11 +742,12 @@ object Similarity {
     val stride = resolveStride(emb, centroidStride)
     require(iters >= 1, "iters must be >= 1")
     val width = dim / m
+    val embG = requireVecDims(emb, vecCol, dim)
     // __svv hoisted BEFORE the broadcast join: the Join node blocks
     // CollapseProject from re-inlining the dot into the fold lambda
     // (where it would re-evaluate per centroid — the silhouette
     // precedent)
-    val sub = pqSubvectors(emb, idCol, vecCol, m, width)
+    val sub = pqSubvectors(embG, idCol, vecCol, m, width)
       .withColumn("__svv", dot(col("__sv"), col("__sv")))
     val init = sub.filter(pmod(col("__id"), lit(stride)) === 0)
       .select(col("__sub"), col("__id").as("__cid"), col("__sv").as("__cv"),
@@ -781,7 +807,7 @@ object Similarity {
     // codegen'd projection BEFORE the broadcast join (the Join blocks
     // CollapseProject) — an inline slice would re-evaluate per fold
     // element inside the CodegenFallback lambda
-    val sliced = emb
+    val sliced = requireVecDims(emb, vecCol, dim)
       .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
       .select(
         col("__id") +:

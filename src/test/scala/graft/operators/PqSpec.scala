@@ -87,4 +87,42 @@ class PqSpec extends SparkTestBase with Matchers {
     byCid(2L)._2 shouldBe 0L
     byCid(2L)._1 shouldBe Array(1.0, 1.0) // init centroid survives
   }
+
+  test("requireVecDims: mixed-width corpora fail LOUDLY at every " +
+    "declared-dim entry point, never as silent NULL coordinates") {
+    val ss = spark
+    import ss.implicits._
+    // one 64-wide + one truncated 32-wide vector: the mixed-encoder case
+    val mixed = Seq(
+      (1L, Vector.fill(64)(0.5)), (2L, Vector.fill(32)(0.5)))
+      .toDF("vec_id", "e")
+      .withColumn("e", col("e").cast("array<double>"))
+    def messageOf(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && !String.valueOf(c.getMessage)
+        .contains("requireVecDims")) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    // the guard itself: clean corpus passes through value-identical
+    Similarity.requireVecDims(emb, "e", 64).collect() should
+      contain theSameElementsAs emb.collect()
+    // kmeansCentroids / pqTrain / pqEncode all route through the guard
+    val kEx = intercept[Throwable] {
+      Similarity.kmeansCentroids(mixed, "vec_id", "e",
+        centroidStride = 1L, iters = 1, dim = 64).collect()
+    }
+    messageOf(kEx) should include("requireVecDims")
+    val tEx = intercept[Throwable] {
+      Similarity.pqTrain(mixed, "vec_id", "e", m = 4, dim = 64,
+        centroidStride = 1L, iters = 1).collect()
+    }
+    messageOf(tEx) should include("requireVecDims")
+    val book = Similarity.pqTrain(emb, "vec_id", "e", m = M, dim = Dim,
+      centroidStride = 37L, iters = 1)
+    val eEx = intercept[Throwable] {
+      Similarity.pqEncode(mixed, "vec_id", "e", book, m = M, dim = Dim)
+        .collect()
+    }
+    messageOf(eEx) should include("requireVecDims")
+  }
 }
