@@ -175,10 +175,7 @@ object PlanAudit {
     "q285_bleu_multiref",
     // q288: rakeScoreAgainst's two ONE-row model broadcasts (stoplist
     // array + word-score map — the stream-static serving shape)
-    "q288_rake_serving",
-    // q291: containmentAgainstIndexInRow's two ONE-row model broadcasts
-    // (shingle-postings map + index-size map — the same serving shape)
-    "q291_pipeline_neardup_incremental")
+    "q288_rake_serving")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -3599,11 +3599,15 @@ object Queries {
     * `dedup_neardup_incremental` stage (the r14 verdict's missing
     * streaming posture for the near-dup pipeline family): the history
     * shingle index persists once, the pipeline's `filter` stage keeps
-    * the arriving split, and the stage scores each doc IN-ROW against
-    * the broadcast index (`Dedup.containmentAgainstIndexInRow`, the
-    * bigramNllAgainst stream-static shape — map-only, append-safe;
-    * StreamingSpec pins stream == batch). Must equal q255's library
-    * composition, so it shares q255's oracle verbatim. */
+    * the arriving split, and the stage scores arriving docs against
+    * the index without re-shingling history. Two result-identical
+    * gears: batch submits (this gate) take the prefix-filtered JOIN
+    * form (`containmentAgainstIndex` — index size unbounded); streams
+    * take the IN-ROW broadcast form
+    * (`Dedup.containmentAgainstIndexInRow`, the bigramNllAgainst
+    * stream-static shape — map-only, append-safe, executor-bounded
+    * index; StreamingSpec pins stream == batch). Must equal q255's
+    * library composition, so it shares q255's oracle verbatim. */
   val q291: Q = (s, dir) => {
     val hist = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
     val idxPath = java.nio.file.Files

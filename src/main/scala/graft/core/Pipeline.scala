@@ -551,19 +551,28 @@ object Pipeline {
     case "dedup_neardup_incremental" =>
       // q255's incremental posture as config: arriving docs score
       // against a PERSISTED shingle index (Dedup.shingleHashRows
-      // output at index.path — columns __id/__sh) folded to two
-      // one-row broadcasts; each doc shingles and counts candidates
-      // IN-ROW and the stage emits the directed containment pairs at
-      // threshold.num/threshold.den in both directions. Map-only (the
-      // bigramNllAgainst stream-static posture), so unlike
-      // dedup_neardup this stage is STREAM-SAFE in append mode: the
-      // index never re-shingles, state never accumulates.
+      // output at index.path — columns __id/__sh) and the stage emits
+      // the directed containment pairs at threshold.num/threshold.den
+      // in both directions. TWO result-identical gears (spec-pinned
+      // equal): batch inputs take the prefix-filtered JOIN form
+      // (containmentAgainstIndex — index size unbounded, hash rows
+      // only on the exchanges); streams take the IN-ROW form
+      // (containmentAgainstIndexInRow — the index folds to two
+      // one-row broadcasts, scoring is map-only, so append mode runs
+      // it unchanged; bounded to executor-fitting indexes, the
+      // bigramNllAgainst caveat). The index never re-shingles either
+      // way.
       val idx = df.sparkSession.read.parquet(t.option("index.path"))
-      graft.operators.Dedup.containmentAgainstIndexInRow(
-        df, t.option("id.field"), t.option("text.field"), idx,
-        tNum = t.optionOr("threshold.num", "7").toInt,
-        tDen = t.optionOr("threshold.den", "10").toInt,
-        shingleWidth = t.optionOr("shingle.width", "3").toInt)
+      val (id2, text2) = (t.option("id.field"), t.option("text.field"))
+      val (tn, td) = (t.optionOr("threshold.num", "7").toInt,
+        t.optionOr("threshold.den", "10").toInt)
+      val sw = t.optionOr("shingle.width", "3").toInt
+      if (df.isStreaming)
+        graft.operators.Dedup.containmentAgainstIndexInRow(
+          df, id2, text2, idx, tNum = tn, tDen = td, shingleWidth = sw)
+      else
+        graft.operators.Dedup.containmentAgainstIndex(
+          df, id2, text2, idx, tNum = tn, tDen = td, shingleWidth = sw)
     case other =>
       throw new IllegalArgumentException(s"unknown transform type '$other'")
   }

@@ -30,7 +30,8 @@ except Exception:
     print(-1)
 EOF
 )
-    echo "ISO $Q $SF wall=$(echo "$T1 - $T0" | bc) rows=$ROWS rc=$RC" >> "$OUT"
+    WALL=$(awk -v a="$T0" -v b="$T1" 'BEGIN{printf "%.1f", b-a}')
+    echo "ISO $Q $SF wall=$WALL rows=$ROWS rc=$RC" >> "$OUT"
     rm -rf "$D"
   done
 done

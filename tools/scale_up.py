@@ -138,10 +138,33 @@ def _perturb(table, t, copy):
     return t
 
 
-def main(src, out, copies=10, perturb=False):
+def _timeshift(table, t, copy, span):
+    """Shift copy > 0 of events by copy*(span + 1h): a 10x corpus that
+    covers 10x WALL TIME instead of 10x density on one shared axis.
+    The clone replica multiplies concurrency (every time bucket gets
+    10x the users => overlap-pair families grow ~quadratically BY
+    SEMANTICS); this mode models organic corpus growth, where copies
+    occupy disjoint time windows and interval/session operators should
+    scale ~linearly. Only events shifts - other tables carry no time
+    axis the overlap family reads."""
+    if copy == 0 or table != "events":
+        return t
+    ti = t.schema.get_field_index("ts")
+    fld = t.schema.field("ts")
+    gap_ns = 3_600_000_000_000  # 1h guard so sessions cannot straddle copies
+    delta = pa.scalar(copy * (span + gap_ns), type=pa.int64())
+    shifted = pc.add(t.column("ts").cast(pa.int64()), delta).cast(fld.type)
+    return t.set_column(ti, fld, shifted)
+
+
+def main(src, out, copies=10, perturb=False, timeshift=False):
     os.makedirs(out, exist_ok=True)
     for table, keys in SHIFT.items():
         base = pq.read_table(f"{src}/{table}.parquet")
+        span = None
+        if timeshift and table == "events":
+            ts64 = base.column("ts").cast(pa.int64())
+            span = (pc.max(ts64).as_py() - pc.min(ts64).as_py())
         if not keys:
             scaled = base
         else:
@@ -155,6 +178,8 @@ def main(src, out, copies=10, perturb=False):
                     t = t.set_column(idx, t.schema.field(k), shifted)
                 if perturb:
                     t = _perturb(table, t, i)
+                if timeshift:
+                    t = _timeshift(table, t, i, span)
                 parts.append(t)
             scaled = pa.concat_tables(parts)
         # version 2.6 keeps TIMESTAMP(NANOS) as-is (no us coercion); strip
@@ -167,7 +192,8 @@ def main(src, out, copies=10, perturb=False):
 
 
 if __name__ == "__main__":
-    # Usage: scale_up.py <srcSfDir> <outDir> [copies=10] [perturb]
+    # Usage: scale_up.py <srcSfDir> <outDir> [copies=10] [perturb|timeshift]
+    mode = sys.argv[4] if len(sys.argv) > 4 else ""
     main(sys.argv[1], sys.argv[2],
          int(sys.argv[3]) if len(sys.argv) > 3 else 10,
-         perturb=(len(sys.argv) > 4 and sys.argv[4] == "perturb"))
+         perturb=(mode == "perturb"), timeshift=(mode == "timeshift"))
