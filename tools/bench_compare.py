@@ -32,7 +32,15 @@ def main(a_path, b_path, top_n=8):
     # rel-space (r15): each run's queries divided by its own median —
     # a uniform box factor cancels, so THIS median answers "did the
     # code get faster?" (the raw median above measures box+code).
-    ra, rb = a.get("queries_rel"), b.get("queries_rel")
+    # Pre-r15 JSONs carry no queries_rel; derive it from the raw map so
+    # the normalized read works against any archived BENCH_rN.
+    def rel_of(run):
+        if run.get("queries_rel"):
+            return run["queries_rel"]
+        qs = run["queries"]
+        med = statistics.median(qs.values())
+        return {q: t / med for q, t in qs.items()} if med > 0 else None
+    ra, rb = rel_of(a), rel_of(b)
     if ra and rb:
         rel_shared = [q for q in shared if ra.get(q, 0) > 0 and q in rb]
         rel_ratios = sorted(rb[q] / ra[q] for q in rel_shared)
