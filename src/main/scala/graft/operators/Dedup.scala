@@ -549,6 +549,16 @@ object Dedup {
    * The code filter is part of the contract — with integer-quantized
    * projections it is engine-independent, so an external oracle can
    * replicate the result exactly.
+   *
+   * OUTPUT-SIZE caveat (bounded corpora only): the threshold-only pair
+   * list is itself super-linear — cosine ≥ 0.3 in 64 dims holds for
+   * ~1% of RANDOM pairs, so the answer is Ω(N²/100) regardless of how
+   * good the blocking is (the r14 perturbed-replica sweep measured
+   * 106× pair growth on 10× data). At 100 TB use
+   * [[embeddingNearDupTopK]], whose per-doc top-k cap bounds the
+   * output (and every exchange) at N·k; this form is retained for the
+   * exact-threshold semantics on corpora small enough to hold the
+   * full pair list.
    */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             planes: Array[Array[Int]], codeRadius: Int,
@@ -603,7 +613,10 @@ object Dedup {
    * `k` < 0 (the default) derives ⌈log₂N⌉ from the corpus — the
    * [[graft.operators.Similarity.sqrtStride]] precedent: derive,
    * don't pin — so the cap scales with the corpus and an external
-   * oracle can re-derive it.
+   * oracle can re-derive it. The derivation costs one count() job;
+   * callers that already know the corpus size pass `knownN` and the
+   * default path costs ZERO extra passes over the corpus (the r15
+   * derived-parameter-scan finding).
    *
    * The cap is HIERARCHICAL and exact: candidates are first capped
    * per (pigeonhole bucket, doc) and only then globally per doc. No
@@ -621,14 +634,14 @@ object Dedup {
    */
   def embeddingNearDupTopK(emb: DataFrame, idCol: String, vecCol: String,
                            planes: Array[Array[Int]], codeRadius: Int,
-                           threshold: Double, k: Int = -1): DataFrame = {
+                           threshold: Double, k: Int = -1,
+                           knownN: Long = -1L): DataFrame = {
     val kEff =
       if (k >= 1) k
       else { // ceil(log2(N)) via bit length: integer-exact at any N
-        val n = math.max(2L, emb.count())
+        val n = math.max(2L, if (knownN >= 0) knownN else emb.count())
         64 - java.lang.Long.numberOfLeadingZeros(n - 1L)
       }
-    val nChunks = codeRadius + 1
     // vectors + norms attach to the LINEAR bucket rows (id-keyed join),
     // so the quadratic in-bucket pair stream computes cosine in-row and
     // caps before any further exchange

@@ -414,6 +414,14 @@ object Relational {
    * skew-join), and `bucketWidth` trades fan-out against bucket
    * density exactly as in [[intervalPointJoin]]. Same loud failure on
    * an interval spanning more than `maxBucketsPerInterval` buckets.
+   *
+   * OUTPUT-SIZE caveat (bounded corpora only): the exact overlap
+   * join's ANSWER is density-unbounded — a hot key on a shared time
+   * axis legitimately overlaps everyone, so per-key output grows with
+   * the corpus (the r14 sweep measured 10.5× output on 10× data). At
+   * 100 TB use [[intervalOverlapPartnerTopK]], whose per-key partner
+   * cap bounds the output at N·k and collapses the pair stream into
+   * map-side-combined counts before any wide exchange.
    */
   def intervalOverlapJoin(left: DataFrame, lLo: Column, lHi: Column,
                           right: DataFrame, rLo: Column, rHi: Column,
@@ -460,19 +468,52 @@ object Relational {
    * final per-key rank caps output at N·k. Ties break on the partner
    * id: integer-deterministic, replayable by any engine.
    *
+   * HOT-BUCKET guard: output and exchanges are bounded, but the
+   * covered-bucket self-join still ENUMERATES O(n²) pairs inside a
+   * bucket before the map-side combine — a pathological shared time
+   * axis (one bucket covered by most of the corpus) would run a
+   * silent quadratic task. A pre-pass counts intervals per bucket
+   * (one map-side-combined aggregate over the exploded bucket keys —
+   * interval-table-sized, never pair-sized) and the job fails LOUDLY
+   * (raise_error, the [[intervalPointJoin]] `maxBucketsPerInterval`
+   * precedent) when any bucket's population exceeds
+   * `maxKeysPerBucket` — widen `bucketWidth` or pre-aggregate the hot
+   * key instead of paying its square. The guard broadcast gates the
+   * join's build side, so the failure fires before the enumeration.
+   *
    * Output: (`keyCol`, `partner`, `n_shared` = overlapping interval
    * pairs between the two keys, `rank` 1..k).
    */
   def intervalOverlapPartnerTopK(intervals: DataFrame, keyCol: String,
                                  loCol: String, hiCol: String,
                                  bucketWidth: Double, k: Int,
-                                 maxBucketsPerInterval: Int = 4096): DataFrame = {
+                                 maxBucketsPerInterval: Int = 4096,
+                                 maxKeysPerBucket: Int = 1 << 16): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(maxKeysPerBucket >= 1, "maxKeysPerBucket must be >= 1")
     val l = intervals.select(col(keyCol).as("__k1"),
       col(loCol).as("__lo1"), col(hiCol).as("__hi1"))
     val r = intervals.select(col(keyCol).as("__k2"),
       col(loCol).as("__lo2"), col(hiCol).as("__hi2"))
-    val counts = intervalOverlapJoin(l, col("__lo1"), col("__hi1"),
+    // per-bucket population of the interval set (both join sides are
+    // this same set): explode to covered buckets, count, keep the max
+    val guard = l.filter(col("__hi1") >= col("__lo1"))
+      .select(explode(sequence(
+        floor(col("__lo1") / bucketWidth).cast("long"),
+        floor(col("__hi1") / bucketWidth).cast("long"))).as("__pb"))
+      .groupBy("__pb").agg(count(lit(1)).as("__pop"))
+      .agg(max(col("__pop")).as("__maxpop"))
+      .select(when(col("__maxpop") > maxKeysPerBucket.toLong,
+        raise_error(concat(
+          lit("intervalOverlapPartnerTopK: a single time bucket holds "),
+          col("__maxpop").cast("string"),
+          lit(s" intervals > maxKeysPerBucket $maxKeysPerBucket — the " +
+            "in-bucket pair enumeration would be quadratic; widen " +
+            "bucketWidth or pre-aggregate the hot key"))))
+        .otherwise(lit(1L)).as("__ok"))
+    val lg = l.crossJoin(broadcast(guard)).where(col("__ok") === 1L)
+      .drop("__ok")
+    val counts = intervalOverlapJoin(lg, col("__lo1"), col("__hi1"),
         r, col("__lo2"), col("__hi2"), bucketWidth, maxBucketsPerInterval)
       .filter(col("__k1") =!= col("__k2"))
       .groupBy(col("__k1"), col("__k2"))

@@ -81,11 +81,22 @@ object Similarity {
   def knnJoin(emb: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
               k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+    // width guard (the requireVecDims discipline, pairwise form — zero
+    // extra jobs): zip_with over unequal lengths yields NULL
+    // coordinates that flow through the dot fold as silently wrong
+    // scores; a (corpus, probe) pair of unequal widths fails loudly
+    // instead. NULL vectors keep their legacy null-score degrade.
+    val raw = when(col(vecCol).isNull || col("__pv").isNull ||
+        size(col(vecCol)) === size(col("__pv")),
+        cosine(col(vecCol), col("__pv")))
+      .otherwise(raise_error(concat(
+        lit("knnJoin: corpus vector width "), size(col(vecCol)).cast("string"),
+        lit(" != probe vector width "), size(col("__pv")).cast("string"),
+        lit(" — mixed encoder versions? filter or re-embed before scoring"))))
     val scored = emb
       .crossJoin(broadcast(p))
       .filter(col(idCol) =!= col("probe_id"))
-      .select(col("probe_id"), col(idCol).as("neighbor_id"),
-        cosine(col(vecCol), col("__pv")).as("__raw"))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), raw.as("__raw"))
     Relational.topKPerGroup(scored, Seq("probe_id"),
         Seq(col("__raw").desc, col("neighbor_id").asc), k, rankCol = Some("rank"))
       .select(col("probe_id"), col("neighbor_id"),
@@ -107,13 +118,30 @@ object Similarity {
   def quantize(vec: Column): Column = transform(vec, x => round(x * 1024))
 
   /** Packed sign-LSH bucket code: bit p set iff ⟨quantized vec,
-    * plane_p⟩ ≥ 0. */
+    * plane_p⟩ ≥ 0.
+    *
+    * Width-guarded (the [[requireVecDims]] discipline, derived from
+    * the planes — zero extra jobs): the hyperplanes index fixed dims,
+    * so a vector of any OTHER width would silently mis-code into a
+    * wrong bucket (mixed encoder versions); such a row fails the scan
+    * loudly instead. A NULL vector keeps its legacy deterministic
+    * degrade (all sign decisions null-reject to 0), matching the
+    * `targetRow` absent-id contract. This guard wires every sign-LSH
+    * entry point at once: [[lshTopK]] and the
+    * `Dedup.embeddingNearDup*` / `Dedup.crossEmbeddingNearDupPairs`
+    * blocking family. */
   def signCode(vec: Column, planes: Array[Array[Int]]): Column = {
+    val dim = planes.head.length
     val qv = quantize(vec)
-    planes.zipWithIndex.map { case (p, i) =>
+    val code = planes.zipWithIndex.map { case (p, i) =>
       when(dot(qv, typedLit(p.map(_.toDouble).toSeq)) >= 0, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+    when(vec.isNull || size(vec) === dim, code)
+      .otherwise(raise_error(concat(
+        lit(s"signCode: vector must be exactly $dim wide (the hyperplane " +
+          "dim), found "), size(vec).cast("string"),
+        lit(" — mixed encoder versions? filter or re-embed before coding"))))
   }
 
   /**
@@ -189,8 +217,15 @@ object Similarity {
    * engine replays. Assumes roughly dense ids (the id-stride seeding
    * contract).
    */
-  def sqrtStride(emb: DataFrame): Long = {
-    val n = emb.count()
+  def sqrtStride(emb: DataFrame): Long = sqrtStride(emb.count())
+
+  /** [[sqrtStride]] from a KNOWN corpus size — zero Spark jobs. The
+    * count() overload is a convenience for one-off calls; pipelines
+    * that already track N (or run several derived-stride operators
+    * over one corpus) pass it here / via the entry points' `knownN`
+    * so the derivation never costs an extra pass over 100 TB (the
+    * r15 derived-parameter-scan finding). */
+  def sqrtStride(n: Long): Long = {
     if (n <= 1L) 1L
     else {
       val s0 = math.sqrt(n.toDouble).floor.toLong
@@ -229,9 +264,13 @@ object Similarity {
     * who writes the obvious call inherits the scale-safe C ≈ √N
     * discipline, not a quadratic pin. An explicit stride ≥ 1 is the
     * override (small-fixture gates pin 37 so external oracles can
-    * replay the exact centroid set without a count). */
-  private def resolveStride(emb: DataFrame, centroidStride: Long): Long = {
-    if (centroidStride < 0) sqrtStride(emb)
+    * replay the exact centroid set without a count). `knownN` ≥ 0
+    * skips the derivation's count() job entirely — pass it when the
+    * corpus size is already known. */
+  private def resolveStride(emb: DataFrame, centroidStride: Long,
+                            knownN: Long = -1L): Long = {
+    if (centroidStride < 0)
+      sqrtStride(if (knownN >= 0) knownN else emb.count())
     else {
       require(centroidStride >= 1, "centroidStride must be >= 1 (or " +
         "negative to derive the scale-safe sqrtStride default)")
@@ -240,8 +279,9 @@ object Similarity {
   }
 
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, targetId: Long,
-              k: Int, centroidStride: Long = -1L, nprobe: Int = 8): DataFrame = {
-    val stride = resolveStride(emb, centroidStride)
+              k: Int, centroidStride: Long = -1L, nprobe: Int = 8,
+              knownN: Long = -1L): DataFrame = {
+    val stride = resolveStride(emb, centroidStride, knownN)
     require(nprobe >= 1, "nprobe must be >= 1")
     val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
     val cent = q.filter(pmod(col("__id"), lit(stride)) === 0)
@@ -410,10 +450,10 @@ object Similarity {
    */
   def ivfKnnJoin(emb: DataFrame, probes: DataFrame, idCol: String,
                  vecCol: String, centroidStride: Long = -1L, k: Int,
-                 nprobe: Int): DataFrame = {
+                 nprobe: Int, knownN: Long = -1L): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val cand = ivfCandidates(emb, probes, idCol, vecCol,
-      resolveStride(emb, centroidStride), nprobe)
+      resolveStride(emb, centroidStride, knownN), nprobe)
     val scored = cand
       .join(emb.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__id")
       .join(broadcast(probes.select(col(idCol).as("probe_id"),
@@ -501,8 +541,9 @@ object Similarity {
    * below ~10^9 members; far past any realistic cell at 100 TB.
    */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                      centroidStride: Long = -1L, iters: Int, dim: Int): DataFrame = {
-    val stride = resolveStride(emb, centroidStride)
+                      centroidStride: Long = -1L, iters: Int, dim: Int,
+                      knownN: Long = -1L): DataFrame = {
+    val stride = resolveStride(emb, centroidStride, knownN)
     require(iters >= 1, "iters must be >= 1")
     require(dim >= 1, "dim must be >= 1")
     val embG = requireVecDims(emb, vecCol, dim)
@@ -736,10 +777,11 @@ object Similarity {
    * their previous centroid with `__n` = 0).
    */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String, m: Int,
-              dim: Int, centroidStride: Long = -1L, iters: Int = 3): DataFrame = {
+              dim: Int, centroidStride: Long = -1L, iters: Int = 3,
+              knownN: Long = -1L): DataFrame = {
     require(m >= 1 && dim >= m && dim % m == 0,
       "dim must split into m equal-width subspaces")
-    val stride = resolveStride(emb, centroidStride)
+    val stride = resolveStride(emb, centroidStride, knownN)
     require(iters >= 1, "iters must be >= 1")
     val width = dim / m
     val embG = requireVecDims(emb, vecCol, dim)

@@ -475,6 +475,79 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
         centroidStride = 0L, nprobe = 8)
   }
 
+  test("knownN skips the derived-parameter corpus scan: fewer jobs, " +
+    "identical results (sqrtStride and the near-dup top-k cap)") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val n = emb.count()
+    var gotDerived: Seq[(Long, Double)] = Nil
+    var gotKnown: Seq[(Long, Double)] = Nil
+    val jobsDerived = countJobs("ivf-derived-n") {
+      gotDerived = Similarity.ivfTopK(emb, "vec_id", "e", targetId = 3L,
+        k = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val jobsKnown = countJobs("ivf-known-n") {
+      gotKnown = Similarity.ivfTopK(emb, "vec_id", "e", targetId = 3L,
+          k = 10, knownN = n)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    gotKnown should contain theSameElementsInOrderAs gotDerived
+    jobsKnown should be < jobsDerived
+    // the bounded near-dup top-k's ceil(log2 N) derivation too
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    var tkDerived = -1L
+    var tkKnown = -1L
+    val jD = countJobs("topk-derived-n") {
+      tkDerived = Dedup.embeddingNearDupTopK(emb, "vec_id", "e", planes,
+        codeRadius = 2, threshold = 0.3).count()
+    }
+    val jK = countJobs("topk-known-n") {
+      tkKnown = Dedup.embeddingNearDupTopK(emb, "vec_id", "e", planes,
+        codeRadius = 2, threshold = 0.3, knownN = n).count()
+    }
+    tkKnown shouldBe tkDerived
+    jK should be < jD
+  }
+
+  test("width guards: a ragged corpus fails signCode entry points " +
+    "(lshTopK, embedding near-dup) and knnJoin loudly") {
+    val ss = spark
+    import ss.implicits._
+    def messageOf(t: Throwable): String = {
+      var c = t
+      while (c.getCause != null && !String.valueOf(c.getMessage)
+        .matches("(?s).*(signCode|knnJoin).*")) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    val planes = Similarity.hyperplanes(8, 4, 42L)
+    // one 3-wide row in a 4-wide corpus: the mixed-encoder case
+    val ragged = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "e")
+      .union(Seq((3L, Array(1.0, 0.0, 0.0))).toDF("vec_id", "e"))
+    val lshEx = intercept[Exception] {
+      Similarity.lshTopK(ragged, "vec_id", "e", targetId = 0L, k = 2,
+        planes = planes, radius = 4).collect()
+    }
+    messageOf(lshEx) should include("signCode")
+    val ndEx = intercept[Exception] {
+      Dedup.embeddingNearDupPairs(ragged, "vec_id", "e", planes,
+        codeRadius = 4, threshold = -1.0).collect()
+    }
+    messageOf(ndEx) should include("signCode")
+    val knnEx = intercept[Exception] {
+      Similarity.knnJoin(ragged, ragged.filter(col("vec_id") === 0L),
+        "vec_id", "e", k = 2).collect()
+    }
+    messageOf(knnEx) should include("knnJoin")
+    // clean corpora are untouched by the guards
+    val clean = ragged.filter(col("vec_id") < 3L)
+    Similarity.lshTopK(clean, "vec_id", "e", targetId = 0L, k = 2,
+      planes = planes, radius = 8).count() shouldBe 2L
+    Similarity.knnJoin(clean, clean.filter(col("vec_id") === 0L),
+      "vec_id", "e", k = 2).count() shouldBe 2L
+  }
+
   test("boundedExactKnn equals brute-force cosine top-k at sf0.001") {
     val emb = Tables.embeddings(spark, sf0001)
       .withColumn("e", col("embedding").cast("array<double>"))

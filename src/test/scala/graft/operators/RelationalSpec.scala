@@ -369,6 +369,31 @@ class RelationalSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("intervalOverlapPartnerTopK hot-bucket guard: a bucket whose " +
+    "population exceeds maxKeysPerBucket fails loudly; under the cap " +
+    "the result is unchanged") {
+    val ss = spark
+    import ss.implicits._
+    // 6 keys, every interval covering the SAME bucket: population 6
+    val iv = (1 to 6).map(i => (s"u$i", 10.0, 20.0))
+    val df = iv.toDF("k", "lo", "hi")
+    val e = intercept[Exception] {
+      Relational.intervalOverlapPartnerTopK(df, "k", "lo", "hi",
+        bucketWidth = 100.0, k = 2, maxKeysPerBucket = 3).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("maxKeysPerBucket"),
+      s"expected the hot-bucket guard message, got: ${messages(e)}")
+    // graceful path: population == cap does not trip, result matches
+    // the unguarded ranking (everyone overlaps everyone here)
+    val ok = Relational.intervalOverlapPartnerTopK(df, "k", "lo", "hi",
+        bucketWidth = 100.0, k = 2, maxKeysPerBucket = 6)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3)))
+    assert(ok.length == 6 * 2) // every key reports exactly k partners
+    assert(ok.forall { case (k1, k2, rank) => k1 != k2 && rank <= 2 })
+  }
+
   test("editBlockedPairs: finds every same-length Hamming<=k pair, " +
     "reports exact levenshtein, dedups by string") {
     val ss = spark

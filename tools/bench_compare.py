@@ -38,17 +38,23 @@ def main(a_path, b_path, top_n=8):
         if run.get("queries_rel"):
             return run["queries_rel"]
         qs = run["queries"]
-        med = statistics.median(qs.values())
+        # the PRODUCER's median definition (Bench.emit): lower-mid of the
+        # sorted times, NOT statistics.median's even-count interpolation —
+        # mixing the two definitions when one side is a derived pre-r15
+        # JSON would bias exactly the normalized readout this tool adds
+        ts = sorted(qs.values())
+        med = ts[(len(ts) - 1) // 2] if ts else 0
         return {q: t / med for q, t in qs.items()} if med > 0 else None
     ra, rb = rel_of(a), rel_of(b)
     if ra and rb:
         rel_shared = [q for q in shared if ra.get(q, 0) > 0 and q in rb]
         rel_ratios = sorted(rb[q] / ra[q] for q in rel_shared)
-        rmed = statistics.median(rel_ratios)
-        r1 = rel_ratios[len(rel_ratios) // 4]
-        r3 = rel_ratios[(3 * len(rel_ratios)) // 4]
-        print(f"NORMALIZED overlap n={len(rel_ratios)}  median={rmed:.3f}  "
-              f"q1={r1:.3f}  q3={r3:.3f}  (box factor divided out)")
+        if rel_ratios:
+            rmed = statistics.median(rel_ratios)
+            r1 = rel_ratios[len(rel_ratios) // 4]
+            r3 = rel_ratios[(3 * len(rel_ratios)) // 4]
+            print(f"NORMALIZED overlap n={len(rel_ratios)}  median={rmed:.3f}  "
+                  f"q1={r1:.3f}  q3={r3:.3f}  (box factor divided out)")
     pa, pb = a.get("probe_sec", -1), b.get("probe_sec", -1)
     if pa and pb and pa > 0 and pb > 0:
         print(f"calibration probes: A={pa:.3f}s  B={pb:.3f}s  "
