@@ -175,7 +175,15 @@ object PlanAudit {
     "q285_bleu_multiref",
     // q288: rakeScoreAgainst's two ONE-row model broadcasts (stoplist
     // array + word-score map — the stream-static serving shape)
-    "q288_rake_serving")
+    "q288_rake_serving",
+    // q290: intervalOverlapPartnerTopK's ONE-row hot-bucket guard
+    // broadcast (max per-bucket population, raise_error over the cap)
+    // gating the join input — the loud-guard shape, data-sized nothing
+    "q290_session_overlap_topk",
+    // q293: ivfServe's centroid-set broadcast onto the probe split
+    // (C ≈ N/37 rows — the q259/q284 intentional IVF shape) feeding
+    // the probe-cell ranking; the cell index joins by equi-key
+    "q293_ivf_serving")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -3648,6 +3648,139 @@ object Queries {
       .orderBy("d1", "d2")
   }
 
+  /** Q292 incremental EMBEDDING near-dup against a PERSISTED sign-LSH
+    * code table — the q255 serving posture for embedding space (the
+    * r15 verdict's one named capability gap): the history corpus
+    * (vec_id % 10 ≠ 0) codes ONCE into `Dedup.embeddingCodeRows`
+    * parquet; each arriving batch (vec_id % 10 = 0) codes itself
+    * in-row against the same planes and emits every (arriving,
+    * history) pair with code Hamming ≤ 2 and exact cosine ≥ 0.3 —
+    * history vectors read from the index, never re-coded or
+    * re-scanned. The streaming gear
+    * (`embeddingNearDupAgainstIndexInRow`) is pinned
+    * result-identical by spec. */
+  val q292: Q = (s, dir) => {
+    val idxPath = persistedAsset("q292", dir) { p =>
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      Dedup.embeddingCodeRows(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "e", lshPlanes)
+        .write.mode("overwrite").parquet(p)
+    }
+    val arriving = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .filter(col("vec_id") % 10 === 0)
+    Dedup.embeddingNearDupAgainstIndex(arriving, "vec_id", "e",
+        s.read.parquet(idxPath), lshPlanes, codeRadius = 2,
+        threshold = 0.3)
+      .orderBy("d1", "d2")
+  }
+
+  /** Q293 ANN serving against a PERSISTED IVF model — the train/serve
+    * split for the q283 family: a 1-round k-means coarse quantizer
+    * (fixed stride 37 so the oracle replays the seed set without a
+    * count) and the `Similarity.ivfCellIndex` assignment both persist
+    * ONCE over the history split; each arriving probe
+    * (vec_id % 10 = 0) ranks its 4 nearest cells against the stored
+    * centroids and scores only those cells' members (exact cosine
+    * from the index's frozen vectors). The corpus is never
+    * re-assigned at query time. The streaming gear
+    * (`ivfServeInRow` — two one-row model broadcasts, map-only) is
+    * pinned result-identical by spec. */
+  val q293: Q = (s, dir) => {
+    val modelPath = persistedAsset("q293", dir) { p =>
+      val hist = Tables.embeddings(s, dir)
+        .withColumn("e", col("embedding").cast("array<double>"))
+        .filter(col("vec_id") % 10 =!= 0)
+      val cents = Similarity.kmeansCentroids(hist, "vec_id", "e",
+          centroidStride = 37, iters = 1, dim = 64)
+        .select(col("__cid"), col("__cv"))
+      cents.write.mode("overwrite").parquet(s"$p/centroids")
+      Similarity.ivfCellIndex(hist, "vec_id", "e", cents)
+        .write.mode("overwrite").parquet(s"$p/cells")
+    }
+    val probes = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .filter(col("vec_id") % 10 === 0)
+    Similarity.ivfServe(s.read.parquet(s"$modelPath/cells"),
+        s.read.parquet(s"$modelPath/centroids"), probes, "vec_id", "e",
+        k = 3, nprobe = 4)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Q294 the EMBEDDING incremental near-dup as declarative config —
+    * the q291 == q255 pattern for q292: the
+    * `dedup_neardup_embedding_incremental` stage (planes re-derived
+    * from config — hyperplanes is deterministic, so config IS the
+    * geometry) must equal q292's library composition exactly, so this
+    * gate shares q292's oracle verbatim. Batch submits take the
+    * chunk-key join gear; streams take the in-row broadcast gear
+    * (StreamingSpec pins stream == batch). */
+  val q294: Q = (s, dir) => {
+    val idxPath = persistedAsset("q292", dir) { p =>
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      Dedup.embeddingCodeRows(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "e", lshPlanes)
+        .write.mode("overwrite").parquet(p)
+    }
+    val json =
+      s"""{"name": "neardup-emb-incr-q294",
+         |"source": {"type": "file", "options": {
+         |  "format": "parquet", "path": "$dir/embeddings.parquet",
+         |  "schema": "vec_id BIGINT, embedding ARRAY<FLOAT>"}},
+         |"transforms": [
+         |  {"type": "filter", "options": {"predicate": "vec_id % 10 = 0"}},
+         |  {"type": "dedup_neardup_embedding_incremental", "options": {
+         |    "id.field": "vec_id", "vec.field": "embedding",
+         |    "index.path": "$idxPath",
+         |    "planes.bits": "8", "dim": "64", "seed": "42",
+         |    "code.radius": "2", "threshold": "0.3"}}],
+         |"sink": {"type": "noop", "options": {}}}""".stripMargin
+    Pipeline.build(s, PipelineSpec.fromJson(json), streaming = false)
+      .orderBy("d1", "d2")
+  }
+
+  /** q292's AND q294's oracle: the q37 brute-force replay (inlined
+    * hyperplanes, Hamming ≤ 2, exact cosine ≥ 0.3) restricted to
+    * DIRECTED cross-split pairs — d1 arriving (vec_id % 10 = 0), d2
+    * history. */
+  private def embServingOracle: String =
+    embPairOracle("a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0", "d1", "d2")
+
+  /** q293's oracle: one Lloyd round over the history split (the
+    * kmeansRefineOracle CTEs, stride 37), the cell assignment of the
+    * history corpus and each probe's 4 nearest cells replayed from
+    * the SAME refined centroid set, then q284's scoring tail over the
+    * probed cells' members. */
+  private def ivfServeOracle: String =
+    "WITH eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+      "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
+      "e AS (SELECT * FROM eall WHERE vec_id % 10 <> 0), " +
+      "c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id % 37 = 0), " +
+      "p AS (SELECT unnest(range(1, 65)) AS i), " +
+      "a1 AS (SELECT e.vec_id, e.q, c0.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn FROM e, c0), " +
+      "m1 AS (SELECT vec_id, q, cid FROM a1 WHERE rn = 1), " +
+      "s1 AS (SELECT cid, i, round(SUM(q[i]) / COUNT(*)) AS mu FROM m1, p GROUP BY cid, i), " +
+      "n1 AS (SELECT cid, list(mu ORDER BY i) AS cv FROM s1 GROUP BY cid), " +
+      "c1 AS (SELECT c0.cid, COALESCE(n1.cv, c0.cv) AS cv FROM c0 LEFT JOIN n1 USING (cid)), " +
+      "dist AS (SELECT eall.vec_id, c1.cid, " +
+      "list_dot_product(eall.q, eall.q) - 2 * list_dot_product(eall.q, c1.cv) + list_dot_product(c1.cv, c1.cv) AS d2 FROM eall, c1), " +
+      "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist WHERE vec_id % 10 <> 0) t WHERE rn = 1), " +
+      "pc AS (SELECT vec_id AS probe_id, cid FROM (SELECT vec_id, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist WHERE vec_id % 10 = 0) t WHERE rn <= 4), " +
+      "cand AS (SELECT pc.probe_id, a.vec_id FROM asg a JOIN pc USING (cid) WHERE a.vec_id <> pc.probe_id), " +
+      "pvv AS (SELECT vec_id AS probe_id, v AS pv FROM eall WHERE vec_id % 10 = 0), " +
+      "scored AS (SELECT c.probe_id, c.vec_id AS neighbor_id, " +
+      "list_dot_product(e2.v, pvv.pv) / (sqrt(list_dot_product(e2.v, e2.v)) * sqrt(list_dot_product(pvv.pv, pvv.pv))) AS raw " +
+      "FROM cand c JOIN eall e2 ON c.vec_id = e2.vec_id JOIN pvv ON c.probe_id = pvv.probe_id), " +
+      "r AS (SELECT probe_id, neighbor_id, raw, ROW_NUMBER() OVER " +
+      "(PARTITION BY probe_id ORDER BY raw DESC, neighbor_id) AS rn FROM scored) " +
+      "SELECT probe_id, neighbor_id, ROUND(raw, 4) AS score, CAST(rn AS INT) AS rank " +
+      "FROM r WHERE rn <= 3 ORDER BY probe_id, rank"
+
   /** q255's AND q291's oracle (the two postures compute the same
     * answer): q231's brute-force reference restricted to cross-split
     * pairs — directed containment |A∩B|/|A| with the exact 7/10 gate,
@@ -5947,6 +6080,9 @@ object Queries {
     "q289_embedding_neardup_topk" -> q289,
     "q290_session_overlap_topk" -> q290,
     "q291_pipeline_neardup_incremental" -> q291,
+    "q292_embedding_neardup_serving" -> q292,
+    "q293_ivf_serving" -> q293,
+    "q294_pipeline_embedding_serving" -> q294,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -10420,6 +10556,18 @@ object Queries {
     "q291_pipeline_neardup_incremental" ->
       // the stage must equal q255's library composition exactly
       containmentIncrOracle,
+    "q292_embedding_neardup_serving" ->
+      // q37's brute-force replay restricted to directed cross-split
+      // (arriving, history) pairs — the persisted code table changes
+      // the PLAN, never the answer
+      embServingOracle,
+    "q293_ivf_serving" ->
+      // one Lloyd round + cell assignment + probe cells + scoring
+      // tail, all replayed from the same refined centroid set
+      ivfServeOracle,
+    "q294_pipeline_embedding_serving" ->
+      // the stage must equal q292's library composition exactly
+      embServingOracle,
   )
 
   /** q278's oracle: the operator's EXACT micro-nat literals

@@ -573,6 +573,39 @@ object Pipeline {
       else
         graft.operators.Dedup.containmentAgainstIndex(
           df, id2, text2, idx, tNum = tn, tDen = td, shingleWidth = sw)
+    case "dedup_neardup_embedding_incremental" =>
+      // the dedup_neardup_incremental posture for EMBEDDING space:
+      // arriving vectors score against a PERSISTED sign-LSH code table
+      // (Dedup.embeddingCodeRows output at index.path — columns
+      // __id/__c/__v/__n) and the stage emits (d1 = arriving, d2 =
+      // history, cosine) pairs whose codes differ in <= code.radius
+      // bits and whose exact cosine >= threshold. The hyperplane
+      // geometry is RE-DERIVED from (planes.bits, dim, seed) —
+      // Similarity.hyperplanes is deterministic, so the config IS the
+      // geometry and the index never stores planes. Two
+      // result-identical gears (spec-pinned equal): batch inputs take
+      // the chunk-key JOIN form (embeddingNearDupAgainstIndex — index
+      // size unbounded, hash rows only on the exchanges); streams
+      // take the IN-ROW form (embeddingNearDupAgainstIndexInRow — the
+      // index folds to one broadcast posting map, scoring is
+      // map-only, append-safe; executor-bounded index, the
+      // bigramNllAgainst caveat). History is never re-coded.
+      val eIdx = df.sparkSession.read.parquet(t.option("index.path"))
+      val ePlanes = graft.operators.Similarity.hyperplanes(
+        t.optionOr("planes.bits", "8").toInt,
+        t.optionOr("dim", "64").toInt,
+        t.optionOr("seed", "42").toLong)
+      val eId = t.option("id.field")
+      val eRadius = t.optionOr("code.radius", "2").toInt
+      val eThr = t.optionOr("threshold", "0.3").toDouble
+      val eSrc = df.withColumn("__vecd",
+        col(t.option("vec.field")).cast("array<double>"))
+      if (df.isStreaming)
+        graft.operators.Dedup.embeddingNearDupAgainstIndexInRow(
+          eSrc, eId, "__vecd", eIdx, ePlanes, eRadius, eThr)
+      else
+        graft.operators.Dedup.embeddingNearDupAgainstIndex(
+          eSrc, eId, "__vecd", eIdx, ePlanes, eRadius, eThr)
     case other =>
       throw new IllegalArgumentException(s"unknown transform type '$other'")
   }

@@ -677,6 +677,152 @@ object Dedup {
    * pigeonhole chunk keys. Bucket joins over this carry only
    * (id, code) — 16 bytes/row.
    */
+  /**
+   * PERSISTABLE sign-LSH code table — the embedding family's index
+   * asset (the [[shingleHashRows]] analog for vectors): one row per
+   * vector with its packed sign-LSH code, the raw vector, and its
+   * precomputed norm (the exact operand `exactCosineResidual` uses,
+   * frozen at index time — IEEE-identical to recomputing it). Store
+   * this ONCE (parquet); [[embeddingNearDupAgainstIndex]] /
+   * [[embeddingNearDupAgainstIndexInRow]] then score every arriving
+   * batch against it without re-coding or re-scanning the history
+   * corpus — the serving posture the text side already had
+   * ([[shingleHashRows]] → [[containmentAgainstIndex]]), closed for
+   * embedding space.
+   *
+   * Columns: (`__id`, `__c` packed code, `__v` vector, `__n` norm).
+   */
+  def embeddingCodeRows(emb: DataFrame, idCol: String, vecCol: String,
+                        planes: Array[Array[Int]]): DataFrame =
+    emb.select(col(idCol).as("__id"),
+      Similarity.signCode(col(vecCol), planes).as("__c"),
+      col(vecCol).as("__v"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("__n"))
+
+  /** Pigeonhole chunk keys of a packed code, LONG-encoded as
+    * chunkIdx·2^nBits + chunkBits (unique across chunks, map-key and
+    * equi-join friendly — the [[signCodeBuckets]] chunking with a flat
+    * key). Two codes within `codeRadius` Hamming bits share at least
+    * one key (pigeonhole over codeRadius+1 chunks). */
+  private def flatChunkKeys(codeCol: Column, nBits: Int,
+                            codeRadius: Int): Seq[Column] = {
+    val nChunks = codeRadius + 1
+    require(nBits >= nChunks, "need at least codeRadius+1 code bits")
+    require(nBits <= 56, "flat chunk keys need nBits <= 56")
+    val width = nBits / nChunks
+    (0 until nChunks).map { i =>
+      val lo = i * width
+      val bits =
+        if (i == nChunks - 1) shiftrightunsigned(codeCol, lo)
+        else shiftrightunsigned(codeCol, lo).bitwiseAND((1L << width) - 1)
+      lit(i.toLong * (1L << nBits)) + bits
+    }
+  }
+
+  /**
+   * Incremental embedding near-dup against a PERSISTED code table —
+   * the [[containmentAgainstIndex]] posture for embedding space:
+   * the history corpus's [[embeddingCodeRows]] are stored once; each
+   * arriving batch codes ITSELF in-row (same planes — config is the
+   * geometry), equi-joins its pigeonhole chunk keys against the
+   * index's, and emits every (arriving, history) pair whose codes
+   * differ in at most `codeRadius` bits AND whose exact cosine ≥
+   * `threshold`. History vectors are read from the index — the
+   * history corpus is never re-coded, re-projected, or re-scanned.
+   *
+   * Output: (`d1` = arriving id, `d2` = history id, `cosine` 4 dp).
+   *
+   * Scale shape: the chunk join carries (id, code) rows only
+   * (16 B/row); candidate pairs dedup BEFORE vectors rejoin
+   * (id-keyed), so each surviving pair pays exactly one dot product
+   * and vectors never ride a pair-sized exchange. Caller contract:
+   * arriving ids are disjoint from history ids (the
+   * survivorsAgainstHistory contract).
+   */
+  def embeddingNearDupAgainstIndex(newEmb: DataFrame, idCol: String,
+                                   vecCol: String, index: DataFrame,
+                                   planes: Array[Array[Int]], codeRadius: Int,
+                                   threshold: Double): DataFrame = {
+    val nBits = planes.length
+    val newCoded = embeddingCodeRows(newEmb, idCol, vecCol, planes)
+      .localCheckpoint(eager = false) // coded once: chunks + residual
+    def chunked(coded: DataFrame): DataFrame =
+      coded.select(col("__id"), col("__c"),
+        explode(array(flatChunkKeys(col("__c"), nBits, codeRadius): _*))
+          .as("__ck"))
+    val pairs = chunked(newCoded).alias("a")
+      .join(chunked(index).alias("b"), col("a.__ck") === col("b.__ck"))
+      .filter(bit_count(col("a.__c").bitwiseXOR(col("b.__c"))) <= codeRadius)
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
+      .distinct()
+    val nv = newCoded.select(col("__id").as("d1"),
+      col("__v").as("__v1"), col("__n").as("__n1"))
+    val hv = index.select(col("__id").as("d2"),
+      col("__v").as("__v2"), col("__n").as("__n2"))
+    pairs.join(nv, Seq("d1")).join(hv, Seq("d2"))
+      .withColumn("__cs", Similarity.dot(col("__v1"), col("__v2")) /
+        (col("__n1") * col("__n2")))
+      .filter(col("__cs") >= threshold)
+      .select(col("d1"), col("d2"), round(col("__cs"), 4).as("cosine"))
+  }
+
+  /**
+   * STREAM-SERVING twin of [[embeddingNearDupAgainstIndex]] — the
+   * [[containmentAgainstIndexInRow]] shape for embedding space: the
+   * persisted code table folds to ONE broadcast posting map
+   * (chunk key → members with code, vector, norm), each ARRIVING
+   * vector codes itself in-row, looks up its own codeRadius+1 chunk
+   * keys, filters candidates by Hamming radius and exact cosine
+   * in-row, and explodes the hits. No stream-side aggregation, no
+   * shuffle, no per-key state — map + explode over one broadcast
+   * model row, so it runs unchanged in append mode on an unbounded
+   * stream. Result-identical to the batch join gear on the same
+   * inputs (spec-pinned).
+   *
+   * The broadcast map bounds this to indexes that fit an executor —
+   * past that, use the batch join form (the `bigramNllAgainst`
+   * caveat verbatim). Per-doc serving cost scales with how many
+   * near-neighbors the arriving doc actually has, not with the
+   * corpus.
+   */
+  def embeddingNearDupAgainstIndexInRow(newEmb: DataFrame, idCol: String,
+                                        vecCol: String, index: DataFrame,
+                                        planes: Array[Array[Int]],
+                                        codeRadius: Int,
+                                        threshold: Double): DataFrame = {
+    val nBits = planes.length
+    val postings = index
+      .select(col("__id"), col("__c"), col("__v"), col("__n"),
+        explode(array(flatChunkKeys(col("__c"), nBits, codeRadius): _*))
+          .as("__ck"))
+      .groupBy("__ck")
+      .agg(collect_list(struct(col("__id"), col("__c"), col("__v"),
+        col("__n"))).as("__pl"))
+      .agg(map_from_entries(collect_list(struct(col("__ck"), col("__pl"))))
+        .as("__post"))
+    val myKeys = array(flatChunkKeys(col("__nc"), nBits, codeRadius): _*)
+    // candidate dedup: the same member struct rides every shared chunk
+    // list, so array_distinct on full structs is exact
+    val cands = array_distinct(flatten(filter(
+      transform(myKeys, k => element_at(col("__post"), k)),
+      l => l.isNotNull)))
+    val matched = filter(cands, c =>
+      bit_count(c.getField("__c").bitwiseXOR(col("__nc"))) <= codeRadius)
+    val scored = transform(matched, c => struct(
+      c.getField("__id").as("d2"),
+      (Similarity.dot(col("__nv"), c.getField("__v")) /
+        (col("__nn") * c.getField("__n"))).as("cs")))
+    newEmb
+      .select(col(idCol).as("__nid"), col(vecCol).as("__nv"),
+        Similarity.signCode(col(vecCol), planes).as("__nc"))
+      .withColumn("__nn", sqrt(Similarity.dot(col("__nv"), col("__nv"))))
+      .crossJoin(broadcast(postings))
+      .select(col("__nid").as("d1"),
+        explode(filter(scored, s => s.getField("cs") >= threshold)).as("__h"))
+      .select(col("d1"), col("__h.d2").as("d2"),
+        round(col("__h.cs"), 4).as("cosine"))
+  }
+
   private def signCodeBuckets(emb: DataFrame, idCol: String, vecCol: String,
                               planes: Array[Array[Int]],
                               codeRadius: Int): DataFrame = {

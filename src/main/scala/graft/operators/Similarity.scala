@@ -513,6 +513,151 @@ object Similarity {
   }
 
   /**
+   * PERSISTABLE IVF cell index — the serving-side half of a trained
+   * IVF model (the [[graft.operators.Dedup.embeddingCodeRows]] asset
+   * class for ANN): every corpus vector assigned to its nearest
+   * trained centroid via the in-scan argmin fold (ONE broadcast
+   * centroid row — the corpus never shuffles for assignment), stored
+   * with its raw vector and precomputed norm. Persist this next to
+   * the [[kmeansCentroids]] output ONCE; [[ivfServe]] /
+   * [[ivfServeInRow]] then answer probe batches and probe STREAMS
+   * against the pair of assets without re-assigning the corpus per
+   * query — the missing embedding-space serving posture (text-space
+   * precedent: shingle index → containmentAgainstIndex).
+   *
+   * `centroids`: (`__cid`, `__cv`) — [[kmeansCentroids]] output (or
+   * any quantized-grid centroid set). Output: (`__id`, `__cell`,
+   * `__v`, `__n`).
+   */
+  def ivfCellIndex(emb: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame): DataFrame = {
+    val q = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      quantize(col(vecCol)).as("__q"))
+    def d2(cv: Column): Column = dot(col("__q"), col("__q")) -
+      lit(2.0) * dot(col("__q"), cv) + dot(cv, cv)
+    val centArr = centroids.select(col("__cid"), col("__cv"))
+      .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
+    val far = struct(lit(Double.MaxValue).as("d2"),
+      lit(Long.MaxValue).as("cid"))
+    val best = aggregate(col("__cents"), far, (acc, c) => {
+      val cand = struct(d2(c.getField("__cv")).as("d2"),
+        c.getField("__cid").as("cid"))
+      when(cand < acc, cand).otherwise(acc)
+    })
+    q.crossJoin(broadcast(centArr))
+      .select(col("__id"), best.getField("cid").as("__cell"), col("__v"),
+        sqrt(dot(col("__v"), col("__v"))).as("__n"))
+  }
+
+  /**
+   * Batch ANN serving against a PERSISTED IVF model — `ivfKnnJoin`
+   * with the train/serve split made real: `centroids` and `cellIndex`
+   * are the stored assets ([[kmeansCentroids]] + [[ivfCellIndex]]
+   * parquet), probes rank their `nprobe` nearest cells against the
+   * broadcast centroid set, and only the matching cells' members are
+   * scored (exact cosine from the index's frozen vectors/norms) and
+   * ranked (raw score desc, id asc — deterministic).
+   *
+   * Output: (`probe_id`, `neighbor_id`, `score` 4 dp, `rank` 1..k).
+   *
+   * Scale shape: the probe-cell set (|probes|·nprobe rows) and the
+   * probe vectors broadcast; the cell-index scan is pruned to the
+   * probed cells by the broadcast join (a bucketed-by-cell layout
+   * turns that into partition pruning); the only wide exchange is the
+   * per-probe rank over candidate-bounded (probe, id, score) rows.
+   * The corpus is NEVER re-assigned — that cost was paid once at
+   * index time.
+   */
+  def ivfServe(cellIndex: DataFrame, centroids: DataFrame,
+               probes: DataFrame, idCol: String, vecCol: String,
+               k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val pq = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+      quantize(col(vecCol)).as("__q"))
+    def d2(cv: Column): Column = dot(col("__q"), col("__q")) -
+      lit(2.0) * dot(col("__q"), cv) + dot(cv, cv)
+    val pcells = Relational.topKPerGroup(
+      pq.crossJoin(broadcast(centroids.select(col("__cid"), col("__cv"))))
+        .select(col("probe_id"),
+          struct(d2(col("__cv")).as("d2"), col("__cid").as("cid")).as("__dc")),
+      Seq("probe_id"), Seq(col("__dc").asc), nprobe)
+      .select(col("probe_id"), col("__dc.cid").as("__cell"))
+    val scored = cellIndex
+      .join(broadcast(pcells), Seq("__cell"))
+      .filter(col("__id") =!= col("probe_id"))
+      .join(broadcast(pq.select(col("probe_id"), col("__pv"),
+        sqrt(dot(col("__pv"), col("__pv"))).as("__pn"))), Seq("probe_id"))
+      .select(col("probe_id"), col("__id").as("neighbor_id"),
+        (dot(col("__v"), col("__pv")) / (col("__n") * col("__pn")))
+          .as("__raw"))
+    Relational.topKPerGroup(scored, Seq("probe_id"),
+        Seq(col("__raw").desc, col("neighbor_id").asc), k,
+        rankCol = Some("rank"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("__raw"), 4).as("score"), col("rank"))
+  }
+
+  /**
+   * STREAM-SERVING twin of [[ivfServe]] — the
+   * `containmentAgainstIndexInRow` shape for ANN: the persisted model
+   * folds to TWO one-row broadcasts (the centroid array; a cell →
+   * members map with vectors and norms), and each ARRIVING probe does
+   * everything in-row — ranks its `nprobe` nearest cells
+   * (array_sort over the centroid distances), flattens those cells'
+   * members, scores them by exact cosine, and keeps its top-k
+   * ((score desc, id asc) — the sort key is (−score, id) asc, the
+   * same total order). No stream-side aggregation, no shuffle, no
+   * per-key state: map + explode over two broadcast model rows, so
+   * the plan runs unchanged in append mode on an unbounded probe
+   * stream. Result-identical to [[ivfServe]] on the same inputs
+   * (spec-pinned).
+   *
+   * The broadcast members map bounds this to indexes that fit an
+   * executor — past that, use the batch join form (the
+   * `bigramNllAgainst` caveat verbatim).
+   */
+  def ivfServeInRow(probes: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, cellIndex: DataFrame,
+                    k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val centArr = centroids.select(col("__cid"), col("__cv"))
+      .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
+    val cellMap = cellIndex.groupBy("__cell")
+      .agg(collect_list(struct(col("__id"), col("__v"), col("__n")))
+        .as("__members"))
+      .agg(map_from_entries(collect_list(struct(col("__cell"),
+        col("__members")))).as("__cells"))
+    def d2(cv: Column): Column = dot(col("__q"), col("__q")) -
+      lit(2.0) * dot(col("__q"), cv) + dot(cv, cv)
+    val probedCells = slice(array_sort(transform(col("__cents"), c =>
+      struct(d2(c.getField("__cv")).as("d2"),
+        c.getField("__cid").as("cid")))), 1, nprobe)
+    val members = flatten(filter(
+      transform(probedCells, pc => element_at(col("__cells"),
+        pc.getField("cid"))),
+      l => l.isNotNull))
+    val keyed = transform(
+      filter(members, m => m.getField("__id") =!= col("probe_id")),
+      m => struct(
+        (-(dot(col("__pv"), m.getField("__v")) /
+          (col("__pn") * m.getField("__n")))).as("nr"),
+        m.getField("__id").as("neighbor_id")))
+    probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+        quantize(col(vecCol)).as("__q"))
+      .withColumn("__pn", sqrt(dot(col("__pv"), col("__pv"))))
+      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(cellMap))
+      .select(col("probe_id"),
+        posexplode(slice(array_sort(keyed), 1, k)).as(Seq("__pos", "__h")))
+      .select(col("probe_id"), col("__h.neighbor_id").as("neighbor_id"),
+        round(-col("__h.nr"), 4).as("score"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
+  /**
    * K-means (Lloyd) refinement of the IVF coarse quantizer: start from
    * `ivfTopK`'s deterministic stride sample, run `iters` rounds of
    * assign-to-nearest + recompute-mean. Output one row per centroid:

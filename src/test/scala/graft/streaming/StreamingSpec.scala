@@ -1347,6 +1347,94 @@ class StreamingSpec extends SparkTestBase with Matchers {
     keyed(spark.table("t_cont").collect()) shouldBe batch
   }
 
+  test("embeddingNearDupAgainstIndexInRow on a stream equals batch " +
+    "embeddingNearDupAgainstIndex (persisted code table, in-row scoring)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Dedup, Similarity}
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val hist = emb.filter(col("vec_id") % 10 =!= 0)
+    val incoming = emb.filter(col("vec_id") % 10 === 0)
+    val index = Dedup.embeddingCodeRows(hist, "vec_id", "e", planes)
+      .localCheckpoint()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batch = keyed(Dedup.embeddingNearDupAgainstIndex(
+      incoming, "vec_id", "e", index, planes, codeRadius = 2,
+      threshold = 0.3).collect())
+    batch should not be empty
+    // in-row twin on a bounded input first: both gears must agree
+    keyed(Dedup.embeddingNearDupAgainstIndexInRow(
+      incoming, "vec_id", "e", index, planes, codeRadius = 2,
+      threshold = 0.3).collect()) shouldBe batch
+    // then the SAME operator on an unbounded source across two
+    // micro-batches: one broadcast posting map, map-only, append mode
+    val rows = incoming.as[(Long, Seq[Double])].collect()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val served = Dedup.embeddingNearDupAgainstIndexInRow(
+      input.toDF().toDF("vec_id", "e"), "vec_id", "e", index, planes,
+      codeRadius = 2, threshold = 0.3)
+    served.isStreaming shouldBe true
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-embserve-ckpt").toString
+    val query = served.writeStream.format("memory").queryName("t_embserve")
+      .outputMode("append").option("checkpointLocation", ck).start()
+    try {
+      input.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    keyed(spark.table("t_embserve").collect()) shouldBe batch
+  }
+
+  test("ivfServeInRow on a probe stream equals batch ivfServe " +
+    "(persisted centroids + cell index, two broadcast model rows)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val hist = emb.filter(col("vec_id") % 10 =!= 0)
+    val probes = emb.filter(col("vec_id") % 10 === 0)
+    val cents = Similarity.kmeansCentroids(hist, "vec_id", "e",
+        centroidStride = 37, iters = 1, dim = 64)
+      .select(col("__cid"), col("__cv")).localCheckpoint()
+    val cells = Similarity.ivfCellIndex(hist, "vec_id", "e", cents)
+      .localCheckpoint()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(3)) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = keyed(Similarity.ivfServe(cells, cents, probes,
+      "vec_id", "e", k = 3, nprobe = 4).collect())
+    batch should not be empty
+    keyed(Similarity.ivfServeInRow(probes, "vec_id", "e", cents, cells,
+      k = 3, nprobe = 4).collect()) shouldBe batch
+    val rows = probes.as[(Long, Seq[Double])].collect()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val served = Similarity.ivfServeInRow(
+      input.toDF().toDF("vec_id", "e"), "vec_id", "e", cents, cells,
+      k = 3, nprobe = 4)
+    served.isStreaming shouldBe true
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-ivfserve-ckpt").toString
+    val query = served.writeStream.format("memory").queryName("t_ivfserve")
+      .outputMode("append").option("checkpointLocation", ck).start()
+    try {
+      input.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    keyed(spark.table("t_ivfserve").collect()) shouldBe batch
+  }
+
   test("funnelStream's final state reproduces batch Behavior.funnel " +
     "on an ordered replay across micro-batches") {
     val ss = spark
