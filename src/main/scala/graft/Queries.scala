@@ -3741,6 +3741,20 @@ object Queries {
       .orderBy("d1", "d2")
   }
 
+  /** Q295 windowed co-activity profile — the BOUNDED live-profile
+    * batch twin (q290's session-interval profile re-expressed on
+    * tumbling windows so it can ALSO run watermarked on a stream —
+    * `StreamingOps.coActivityProfileStream` is pinned
+    * result-identical by StreamingSpec): per hour window each active
+    * user's top-5 co-active partners by the partner's in-window
+    * event count (count desc, partner asc; keys compared as strings
+    * — one binary collation across Spark, the stream's Scala sort,
+    * and DuckDB). Output ≤ actives·k per window. */
+  val q295: Q = (s, dir) =>
+    Behavior.coActivityProfile(Tables.events(s, dir), "user_id", "ts",
+        windowMs = 3600000L, k = 5)
+      .orderBy("window_start", "user_id", "rank")
+
   /** q292's AND q294's oracle: the q37 brute-force replay (inlined
     * hyperplanes, Hamming ≤ 2, exact cosine ≥ 0.3) restricted to
     * DIRECTED cross-split pairs — d1 arriving (vec_id % 10 = 0), d2
@@ -6083,6 +6097,7 @@ object Queries {
     "q292_embedding_neardup_serving" -> q292,
     "q293_ivf_serving" -> q293,
     "q294_pipeline_embedding_serving" -> q294,
+    "q295_coactivity_profile" -> q295,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -10568,6 +10583,18 @@ object Queries {
     "q294_pipeline_embedding_serving" ->
       // the stage must equal q292's library composition exactly
       embServingOracle,
+    "q295_coactivity_profile" ->
+      // tumbling-window per-user counts, windowed partner pairs, the
+      // top-5 rank on (count desc, partner asc) — string keys so the
+      // tie-break is one binary collation in every engine
+      ("WITH e AS (SELECT CAST(user_id AS VARCHAR) AS u, epoch_ms(ts) AS ms FROM events), "
+        + "w AS (SELECT u, ms - (ms % 3600000) AS window_start FROM e), "
+        + "c AS (SELECT window_start, u, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1, 2), "
+        + "p AS (SELECT a.window_start, a.u AS user_id, b.u AS partner, b.n AS n_events, "
+        + "ROW_NUMBER() OVER (PARTITION BY a.window_start, a.u ORDER BY b.n DESC, b.u) AS rn "
+        + "FROM c a JOIN c b ON a.window_start = b.window_start AND a.u <> b.u) "
+        + "SELECT window_start, user_id, partner, n_events, CAST(rn AS INT) AS rank "
+        + "FROM p WHERE rn <= 5 ORDER BY window_start, user_id, rank"),
   )
 
   /** q278's oracle: the operator's EXACT micro-nat literals

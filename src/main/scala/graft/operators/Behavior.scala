@@ -1342,4 +1342,54 @@ object Behavior {
         round((col("__s") - col("__si")).cast("double") /
           (col("__n") - col("__i")).cast("double"), 6).as("mean_right")): _*)
   }
+
+  /**
+   * Windowed co-activity profile — the BOUNDED live-profile batch twin
+   * of `StreamingOps.coActivityProfileStream`: per tumbling event-time
+   * window, each active key reports its top-`k` co-active partners
+   * ranked by the partner's event count in that window (count desc,
+   * partner asc — deterministic). The window-scoped complement to
+   * [[graft.operators.Relational.intervalOverlapPartnerTopK]]'s
+   * session-interval profile: same top-k output discipline (≤
+   * active-keys·k rows per window), with the window boundary standing
+   * in for the overlap predicate so the profile can run LIVE on a
+   * watermarked stream.
+   *
+   * Keys are compared AS STRINGS (cast once, both gears) so the rank
+   * tie-break is one binary collation everywhere — Spark, the
+   * streaming twin's Scala sort, and an external SQL oracle.
+   *
+   * Scale shape: one map-side-combined (window, key) count aggregate
+   * (events collapse before any join), then a windowed self-join of
+   * the COUNT table (active-users-sized, never events-sized) and the
+   * per-(window, key) rank. A pathologically hot window makes that
+   * self-join quadratic in its active-user count — the
+   * intervalOverlapPartnerTopK hot-bucket caveat, window form.
+   *
+   * Output: (`window_start` epoch ms, keyCol string, `partner`,
+   * `n_events` = partner's in-window count, `rank` 1..k).
+   */
+  def coActivityProfile(events: DataFrame, keyCol: String, tsCol: String,
+                        windowMs: Long, k: Int): DataFrame = {
+    require(windowMs > 0, "windowMs must be positive")
+    require(k >= 1, "k must be >= 1")
+    val ms = unix_millis(col(tsCol).cast("timestamp"))
+    val counts = events
+      .select((ms - pmod(ms, lit(windowMs))).as("window_start"),
+        col(keyCol).cast("string").as("__k"))
+      .groupBy("window_start", "__k")
+      .agg(count(lit(1)).as("n_events"))
+    val pairs = counts.alias("a")
+      .join(counts.alias("b"),
+        col("a.window_start") === col("b.window_start") &&
+          col("a.__k") =!= col("b.__k"))
+      .select(col("a.window_start").as("window_start"),
+        col("a.__k").as("__u"), col("b.__k").as("partner"),
+        col("b.n_events").as("n_events"))
+    Relational.topKPerGroup(pairs, Seq("window_start", "__u"),
+        Seq(col("n_events").desc, col("partner").asc), k,
+        rankCol = Some("rank"))
+      .select(col("window_start"), col("__u").as(keyCol), col("partner"),
+        col("n_events"), col("rank"))
+  }
 }

@@ -741,6 +741,75 @@ object StreamingOps {
       }
   }
 
+  /** One row of [[coActivityProfileStream]]'s per-window profile:
+    * `partner` is `key`'s rank-`rank` co-active partner in the window
+    * starting at `window_start` (epoch ms). */
+  case class CoActivity(window_start: Long, key: String, partner: String,
+                        n_events: Long, rank: Int)
+
+  /**
+   * Streaming windowed co-activity profile — the LIVE twin of
+   * `Behavior.coActivityProfile` and the watermarked counterpart of
+   * the q290 bounded partner profile: per tumbling event-time window,
+   * each active key reports its top-`k` co-active partners ranked by
+   * the partner's in-window event count (count desc, partner asc).
+   *
+   * State per open window (`flatMapGroupsWithState`, event-time
+   * timeout): ONE key → count map of the window's active keys — the
+   * top-k discipline bounds the OUTPUT at active-keys·k, and the map
+   * is bounded by the window's distinct actives (the
+   * fits-an-executor contract the broadcast `*Against` twins carry;
+   * a pathologically hot window is the intervalOverlapPartnerTopK
+   * hot-bucket caveat in window form). When the watermark passes the
+   * window end the timeout fires exactly once, every key's profile
+   * emits, and the state drops — append-safe, exactly-once per
+   * window.
+   *
+   * Keys compare AS STRINGS (cast once, both gears) so the
+   * rank tie-break is one binary collation in Spark, in this Scala
+   * sort, and in an external SQL oracle. Per key, the global
+   * (count desc, partner asc) order with the key itself filtered out
+   * IS its partner ranking — one sort serves every key in the window.
+   */
+  def coActivityProfileStream(events: DataFrame, keyCol: String,
+                              tsCol: String, windowMs: Long, k: Int,
+                              watermarkDelay: String): Dataset[CoActivity] = {
+    require(windowMs > 0, "windowMs must be positive")
+    require(k >= 1, "k must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events
+      .select(col(tsCol).cast("timestamp").as("__ts"),
+        col(keyCol).cast("string").as("__k"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(java.sql.Timestamp, String)]
+    rows
+      .groupByKey { case (ts, _) => ts.getTime / windowMs * windowMs }
+      .flatMapGroupsWithState[Map[String, Long], CoActivity](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (windowStart: Long, it: Iterator[(java.sql.Timestamp, String)],
+         state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            val ranked = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+            counts.keysIterator.toSeq.sorted.iterator.flatMap { u =>
+              ranked.iterator.filter(_._1 != u).take(k).zipWithIndex.map {
+                case ((p, n), i) => CoActivity(windowStart, u, p, n, i + 1)
+              }
+            }
+          } else {
+            var counts = state.getOption.getOrElse(Map.empty[String, Long])
+            it.foreach { case (_, u) =>
+              counts = counts.updated(u, counts.getOrElse(u, 0L) + 1L)
+            }
+            state.update(counts)
+            state.setTimeoutTimestamp(windowStart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One admission verdict from [[domainCapStream]]: the row with
     * ordinal `ordinal` under key `key` is admitted iff `kept`. */
   case class CapVerdict(key: String, ordinal: Long, kept: Boolean)

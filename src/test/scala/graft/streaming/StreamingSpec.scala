@@ -1435,6 +1435,52 @@ class StreamingSpec extends SparkTestBase with Matchers {
     keyed(spark.table("t_ivfserve").collect()) shouldBe batch
   }
 
+  test("coActivityProfileStream closed windows equal batch " +
+    "Behavior.coActivityProfile row for row") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val W = 3600000L
+    val rows = eventRows
+    // flush events: far enough in the future to advance the watermark
+    // past every real window end; their own window must NOT emit
+    val maxTs = rows.map(_.ts).max(Ordering.fromLessThan[LocalDateTime](_ isBefore _))
+    val flush1 = rows.head.copy(event_id = 99901L, ts = maxTs.plusHours(40))
+    val flush2 = rows.head.copy(event_id = 99902L, ts = maxTs.plusHours(41))
+
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.coActivityProfileStream(
+        input.toDF(), "user_id", "ts", W, k = 3,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("t_coact")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toIndexedSeq: _*)
+      query.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*)
+      query.processAllAvailable()
+      input.addData(flush1)
+      query.processAllAvailable()
+      // timeouts fire on the batch AFTER the watermark advances
+      input.addData(flush2)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getInt(4)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    val got = keyed(spark.table("t_coact").collect())
+    val want = keyed(graft.operators.Behavior.coActivityProfile(
+        Tables.events(spark, sf0001), "user_id", "ts", W, k = 3)
+      .collect())
+    want should not be empty
+    got shouldBe want
+  }
+
   test("funnelStream's final state reproduces batch Behavior.funnel " +
     "on an ordered replay across micro-batches") {
     val ss = spark
