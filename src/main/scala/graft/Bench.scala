@@ -69,7 +69,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val forks = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKS", "8").toInt
     val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
-    if (args.isEmpty && forks > 1 && !isChild) parentMain(forks)
+    // parent honors an optional comma-separated subset too (dev loop /
+    // probe-gate smoke); children are recognized by the env marker, so
+    // a subset arg never collapses the forked protocol to single-JVM
+    if (forks > 1 && !isChild) parentMain(forks, args.headOption)
     else childMain(args)
   }
 
@@ -77,9 +80,37 @@ object Bench {
 
   /** Chunk the registry, run one child JVM per chunk sequentially
     * (parallel children would contend for the 32 cores and time each
-    * other), merge the chunk JSONs into the one-line report. */
-  private def parentMain(forks: Int): Unit = {
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    * other), merge the chunk JSONs into the one-line report.
+    *
+    * PROBE GATE (r16): a committed bench whose box was dirty during one
+    * chunk reports 3-6× per-query "regressions" on unchanged code (the
+    * r15 driver run's q255 read 13.5 s vs 2.6-3.8 s on quiet same-binary
+    * runs; its chunk probe read 1.48 s vs ~0.8 s quiet). The instruments
+    * (probe_sec per chunk) detect this — the gate makes the harness ACT
+    * on them: after the full sweep, any chunk whose probe deviates more
+    * than SPARK_GRAFT_BENCH_PROBE_BAND (default 20%) from the SESSION
+    * median probe is re-run (up to SPARK_GRAFT_BENCH_REQUIET times,
+    * default 2), keeping whichever run's probe sits closest to the
+    * session median. A chunk that never lands in band stays in the
+    * merged line but is flagged in `dirty_chunks` (chunk index + final
+    * probe), so a reader knows exactly which timings to distrust. A
+    * UNIFORMLY loaded box leaves all probes mutually in band — no
+    * re-runs fire, and probe_sec still records the global factor for
+    * bench_compare.py to divide out; the gate targets per-chunk
+    * transients, which are exactly the failures rel-space cannot fix. */
+  private def parentMain(forks: Int, onlyArg: Option[String] = None): Unit = {
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      onlyArg match {
+        case None => all
+        case Some(csv) =>
+          val only = csv.split(",").toSet
+          val unknown = only.diff(all.toSet)
+          require(unknown.isEmpty,
+            s"unknown query name(s): ${unknown.toSeq.sorted.mkString(",")}")
+          all.filter(only)
+      }
+    }
     val chunks = balancedChunks(names, forks)
     val javaBin = new java.io.File(new java.io.File(
       sys.props("java.home"), "bin"), "java").getPath
@@ -95,8 +126,7 @@ object Bench {
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
 
-    val wallT0 = System.nanoTime()
-    val chunkJsons = chunks.zipWithIndex.map { case (chunk, i) =>
+    def runChunk(chunk: Seq[String], i: Int): String = {
       val out = Files.createTempFile(s"graft-bench-chunk$i-", ".json")
       val cmd: Seq[String] = Seq(javaBin) ++ addOpens ++ Seq(
         s"-Xmx$xmx", "-Dspark.ui.enabled=false",
@@ -105,7 +135,8 @@ object Bench {
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
-      // ingest micro-bench: first (freshest) child only
+      // ingest micro-bench: first (freshest) child only — a re-run of
+      // chunk 0 re-measures it on the re-run's (presumably quieter) box
       pb.environment().put("SPARK_GRAFT_BENCH_INGEST",
         if (i == 0) "1" else "0")
       pb.redirectErrorStream(false)
@@ -116,7 +147,52 @@ object Bench {
       val rc = pb.start().waitFor()
       val line = try Files.readString(out) catch { case _: Throwable => "" }
       if (rc != 0) System.err.println(s"[bench] chunk ${i + 1} exited $rc")
-      (chunk, line)
+      line
+    }
+    def probeOf(line: String): Option[Double] =
+      """"probe_sec":([-0-9.eE]+)""".r.findFirstMatchIn(line)
+        .map(_.group(1).toDouble).filter(_ > 0)
+
+    val wallT0 = System.nanoTime()
+    var chunkJsons = chunks.zipWithIndex.map { case (chunk, i) =>
+      (chunk, runChunk(chunk, i))
+    }
+
+    // -------- probe gate: re-run out-of-band chunks, flag unfixable ones
+    val band = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_BAND", "0.20").toDouble
+    val maxRequiet = sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUIET", "2").toInt
+    var dirtyChunks = List.empty[(Int, Double)]
+    val probes0 = chunkJsons.flatMap { case (_, l) => probeOf(l) }.sorted
+    if (probes0.nonEmpty && maxRequiet > 0 && band > 0) {
+      // lower-mid median: the producer's definition throughout the repo
+      val sessionMedian = probes0((probes0.length - 1) / 2)
+      def inBand(p: Double) = math.abs(p / sessionMedian - 1.0) <= band
+      chunkJsons = chunkJsons.zipWithIndex.map { case ((chunk, line0), i) =>
+        var cur = line0
+        var p = probeOf(cur)
+        var tries = 0
+        while (tries < maxRequiet && !p.exists(inBand)) {
+          System.err.println(("[bench] chunk %d probe %.3fs outside " +
+            "+/-%.0f%% of session median %.3fs -- re-running (%d/%d)")
+            .formatLocal(java.util.Locale.ROOT, i + 1, p.getOrElse(-1.0),
+              band * 100, sessionMedian, tries + 1, maxRequiet))
+          val re = runChunk(chunk, i)
+          val rp = probeOf(re)
+          // keep whichever run's probe sits closer to the session median:
+          // a re-run on a still-dirty box must not replace a cleaner
+          // original, and a probe-less re-run (child crash) never wins
+          val takeRe = (rp, p) match {
+            case (Some(a), Some(b)) =>
+              math.abs(a - sessionMedian) <= math.abs(b - sessionMedian)
+            case (Some(_), None) => true
+            case _               => false
+          }
+          if (takeRe) { cur = re; p = rp }
+          tries += 1
+        }
+        if (!p.exists(inBand)) dirtyChunks ::= (i + 1, p.getOrElse(-1.0))
+        (chunk, cur)
+      }
     }
     val wallSec = (System.nanoTime() - wallT0) / 1e9
 
@@ -144,7 +220,8 @@ object Bench {
     // real-looking 0.000
     if (throughput <= 0.0) { failed ::= "ingest_throughput"; throughput = -1.0 }
     emit(queries.sortBy(_._1), failed, throughput, wallSec,
-      s"forked:${chunks.size}jvm,median3,scrub,probe", probes)
+      s"forked:${chunks.size}jvm,median3,scrub,probe,probegate", probes,
+      dirtyChunks.sortBy(_._1))
     if (failed.nonEmpty) sys.exit(1)
   }
 
@@ -347,7 +424,8 @@ object Bench {
     * (BENCH_r08 kept per-query times for only 73/106 queries). */
   private def emit(results: Seq[(String, Double)], failed: List[String],
                    throughput: Double, wallSec: Double,
-                   protocol: String, probes: Seq[Double] = Nil): Unit = {
+                   protocol: String, probes: Seq[Double] = Nil,
+                   dirtyChunks: Seq[(Int, Double)] = Nil): Unit = {
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     // [[parseChunk]] assumes this CLOSED format (no escapes, no nested
     // objects beyond the two fixed maps); enforce the contract at the
@@ -375,9 +453,15 @@ object Bench {
       if (p.isEmpty) -1.0 else p((p.length - 1) / 2)
     }
     val pj = probes.map(f3).mkString("[", ",", "]")
+    // parent-line only (children never set it): chunks whose probe never
+    // landed in the session band even after re-runs — their query times
+    // are box-polluted and a reader must not trust them in isolation
+    val dj = dirtyChunks.map { case (c, p) =>
+      s"""{"chunk":$c,"probe_sec":${f3(p)}}"""
+    }.mkString("[", ",", "]")
     val fj = failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_runs":3,"stat":"median","protocol":"$protocol","wall_sec":${f3(wallSec)},"query_median_sec":${f3(qMedian)},"probe_sec":${f3(probeMedian)},"probes":$pj,"queries":$qs,"queries_rel":$qr,"failed":$fj,"throughput_rps":${f3(throughput)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_runs":3,"stat":"median","protocol":"$protocol","wall_sec":${f3(wallSec)},"query_median_sec":${f3(qMedian)},"probe_sec":${f3(probeMedian)},"probes":$pj,"dirty_chunks":$dj,"queries":$qs,"queries_rel":$qr,"failed":$fj,"throughput_rps":${f3(throughput)},"sf":"$sfDir"}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")

@@ -60,6 +60,16 @@ def main(a_path, b_path, top_n=8):
         print(f"calibration probes: A={pa:.3f}s  B={pb:.3f}s  "
               f"box factor B/A={pb/pa:.3f}  "
               f"(fixed work — this ratio is pure box)")
+    # probe-gate flags (r16): chunks whose probe never landed in the
+    # session band even after re-runs — those chunks' query times are
+    # box-polluted and must not drive per-query conclusions
+    for label, run in (("A", a), ("B", b)):
+        dirty = run.get("dirty_chunks") or []
+        if dirty:
+            desc = ", ".join(f"chunk {d['chunk']} probe {d['probe_sec']:.3f}s"
+                             for d in dirty)
+            print(f"WARNING {label} has out-of-band chunks after the "
+                  f"probe gate: {desc}")
     movers = sorted(ratios.items(), key=lambda kv: kv[1])
     print("fastest (B vs A):")
     for q, r in movers[:top_n]:
