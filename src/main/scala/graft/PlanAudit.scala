@@ -183,7 +183,11 @@ object PlanAudit {
     // q293: ivfServe's centroid-set broadcast onto the probe split
     // (C ≈ N/37 rows — the q259/q284 intentional IVF shape) feeding
     // the probe-cell ranking; the cell index joins by equi-key
-    "q293_ivf_serving")
+    "q293_ivf_serving",
+    // q296: ivfPqServe's coarse-centroid broadcast onto the probe
+    // split (the q293 shape) + the ONE-row codebook-array broadcast
+    // building each probe's ADC LUT; code cells join by equi-key
+    "q296_ivfpq_serving")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

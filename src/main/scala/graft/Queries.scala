@@ -3755,6 +3755,71 @@ object Queries {
         windowMs = 3600000L, k = 5)
       .orderBy("window_start", "user_id", "rank")
 
+  /** Q296 ANN serving against a PERSISTED IVF-PQ model (Jégou et al.
+    * 2011's IVFADC) — the memory-scale completion of q293: the
+    * history split persists THREE assets once (the stride-37 coarse
+    * centroid set, a 1-round PQ codebook, and `pqCodeCells` — cell +
+    * m-code per doc, NO raw vectors), and each arriving probe
+    * (vec_id % 10 = 0) ranks its 4 nearest cells and ADC-scores only
+    * those cells' members through its own (sub, cid) → d2 LUT. The
+    * float corpus is read zero times at search; every LUT entry is
+    * an integer-valued double, so adc_d2 is exact BIGINT and the
+    * (adc_d2, id) rank replays in SQL. The streaming gear
+    * (`ivfPqServeInRow` — three one-row model broadcasts, the
+    * PQ-compressed members map, map-only) is pinned result-identical
+    * by spec. */
+  val q296: Q = (s, dir) => {
+    val modelPath = persistedAsset("q296", dir) { p =>
+      val hist = Tables.embeddings(s, dir)
+        .withColumn("e", col("embedding").cast("array<double>"))
+        .filter(col("vec_id") % 10 =!= 0)
+      val coarse = Similarity.strideCentroids(hist, "vec_id", "e",
+        centroidStride = 37)
+      coarse.write.mode("overwrite").parquet(s"$p/coarse")
+      val book = Similarity.pqTrain(hist, "vec_id", "e", m = 4, dim = 64,
+        centroidStride = 37, iters = 1)
+      book.write.mode("overwrite").parquet(s"$p/codebook")
+      Similarity.pqCodeCells(hist, "vec_id", "e", coarse, book,
+          m = 4, dim = 64)
+        .write.mode("overwrite").parquet(s"$p/codes")
+    }
+    val probes = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .filter(col("vec_id") % 10 === 0)
+    Similarity.ivfPqServe(s.read.parquet(s"$modelPath/codes"),
+        s.read.parquet(s"$modelPath/coarse"),
+        s.read.parquet(s"$modelPath/codebook"), probes, "vec_id", "e",
+        k = 3, nprobe = 4, m = 4, dim = 64)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Q297 BOUNDED embedding near-dup serving — q292's incremental
+    * gear with the q289 output contract: each arriving doc keeps its
+    * 3 best history matches (rounded-cosine desc, history id asc), so
+    * serving output is ≤ |batch|·k regardless of history density. The
+    * r16 perturbed-replica sweep measured q292's threshold output at
+    * ~100× on 10× data (every copy of a vector stays near-dup of
+    * every copy of its neighbors — the q37 semantics inherited by
+    * serving); the production dedup-serving question is "what is the
+    * closest existing doc", which this answers with a bounded plan.
+    * q292 stays as the exact threshold semantics. */
+  val q297: Q = (s, dir) => {
+    val idxPath = persistedAsset("q292", dir) { p =>
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      Dedup.embeddingCodeRows(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "e", lshPlanes)
+        .write.mode("overwrite").parquet(p)
+    }
+    val arriving = Tables.embeddings(s, dir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .filter(col("vec_id") % 10 === 0)
+    Dedup.embeddingNearDupAgainstIndexTopK(arriving, "vec_id", "e",
+        s.read.parquet(idxPath), lshPlanes, codeRadius = 2,
+        threshold = 0.3, k = 3)
+      .orderBy("d1", "rank")
+  }
+
   /** q292's AND q294's oracle: the q37 brute-force replay (inlined
     * hyperplanes, Hamming ≤ 2, exact cosine ≥ 0.3) restricted to
     * DIRECTED cross-split pairs — d1 arriving (vec_id % 10 = 0), d2
@@ -3794,6 +3859,68 @@ object Queries {
       "(PARTITION BY probe_id ORDER BY raw DESC, neighbor_id) AS rn FROM scored) " +
       "SELECT probe_id, neighbor_id, ROUND(raw, 4) AS score, CAST(rn AS INT) AS rank " +
       "FROM r WHERE rn <= 3 ORDER BY probe_id, rank"
+
+  /** q296's oracle: the IVFADC pipeline replayed end-to-end in SQL —
+    * the stride-37 coarse set and its history assignment (the
+    * ivfServeOracle shape, unrefined), one PQ training round + encode
+    * (the pqOracleCtes program restricted to the history split), each
+    * probe's 4 nearest cells, the per-probe (sub, cid) → d2 LUT, and
+    * the exact-BIGINT ADC sums ranked (adc_d2, neighbor_id). */
+  private def ivfPqServeOracle: String =
+    "WITH eall AS (SELECT vec_id, " +
+      "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS q FROM embeddings), " +
+      "cent AS (SELECT vec_id AS cid, q AS cv FROM eall WHERE vec_id % 37 = 0 AND vec_id % 10 <> 0), " +
+      "dist AS (SELECT eall.vec_id, cent.cid, " +
+      "list_dot_product(eall.q, eall.q) - 2 * list_dot_product(eall.q, cent.cv) + list_dot_product(cent.cv, cent.cv) AS d2 FROM eall, cent), " +
+      "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist WHERE vec_id % 10 <> 0) t WHERE rn = 1), " +
+      "pc AS (SELECT vec_id AS probe_id, cid FROM (SELECT vec_id, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dist WHERE vec_id % 10 = 0) t WHERE rn <= 4), " +
+      "ss AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS s), " +
+      "sub AS (SELECT eall.vec_id, ss.s, list_slice(eall.q, ss.s * 16 + 1, ss.s * 16 + 16) AS sv FROM eall, ss), " +
+      "c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id % 37 = 0 AND vec_id % 10 <> 0), " +
+      "p AS (SELECT unnest(range(1, 17)) AS i), " +
+      "a1 AS (SELECT sub.vec_id, sub.s, sub.sv, c0.cid, row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY " +
+      "list_dot_product(sub.sv, sub.sv) - 2 * list_dot_product(sub.sv, c0.cv) + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn " +
+      "FROM sub JOIN c0 USING (s) WHERE sub.vec_id % 10 <> 0), " +
+      "m1 AS (SELECT vec_id, s, sv, cid FROM a1 WHERE rn = 1), " +
+      "s1 AS (SELECT s, cid, i, round(SUM(sv[i]) / COUNT(*)) AS mu FROM m1, p GROUP BY s, cid, i), " +
+      "n1 AS (SELECT s, cid, list(mu ORDER BY i) AS cv FROM s1 GROUP BY s, cid), " +
+      "c1 AS (SELECT c0.s, c0.cid, COALESCE(n1.cv, c0.cv) AS cv FROM c0 LEFT JOIN n1 USING (s, cid)), " +
+      "enc AS (SELECT vec_id, s, cid FROM (SELECT sub.vec_id, sub.s, c1.cid, row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY " +
+      "list_dot_product(sub.sv, sub.sv) - 2 * list_dot_product(sub.sv, c1.cv) + list_dot_product(c1.cv, c1.cv), c1.cid) AS rn " +
+      "FROM sub JOIN c1 USING (s) WHERE sub.vec_id % 10 <> 0) t WHERE rn = 1), " +
+      "cand AS (SELECT pc.probe_id, a.vec_id FROM asg a JOIN pc USING (cid) WHERE a.vec_id <> pc.probe_id), " +
+      "psub AS (SELECT vec_id AS probe_id, s, sv FROM sub WHERE vec_id % 10 = 0), " +
+      "lut AS (SELECT psub.probe_id, c1.s, c1.cid, " +
+      "list_dot_product(psub.sv, psub.sv) - 2 * list_dot_product(psub.sv, c1.cv) + list_dot_product(c1.cv, c1.cv) AS d2 " +
+      "FROM c1 JOIN psub USING (s)), " +
+      "sc AS (SELECT cand.probe_id, cand.vec_id AS neighbor_id, CAST(SUM(lut.d2) AS BIGINT) AS adc_d2 " +
+      "FROM cand JOIN enc ON cand.vec_id = enc.vec_id " +
+      "JOIN lut ON lut.probe_id = cand.probe_id AND lut.s = enc.s AND lut.cid = enc.cid GROUP BY 1, 2), " +
+      "r AS (SELECT probe_id, neighbor_id, adc_d2, ROW_NUMBER() OVER " +
+      "(PARTITION BY probe_id ORDER BY adc_d2, neighbor_id) AS rn FROM sc) " +
+      "SELECT probe_id, neighbor_id, adc_d2, CAST(rn AS INT) AS rank " +
+      "FROM r WHERE rn <= 3 ORDER BY probe_id, rank"
+
+  /** q297's oracle: the q292 directed cross-split pair program with
+    * the per-arriving top-3 rank on (rounded cosine desc, d2 asc). */
+  private def embServingTopKOracle: String = {
+    def codeExpr(vecSql: String): String =
+      lshPlanes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(list_transform($vecSql, x -> round(x * 1024)), " +
+          s"[${p.map(c => s"$c.0").mkString(",")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, " +
+      s"${codeExpr("CAST(embedding AS DOUBLE[])")} AS code FROM embeddings), " +
+      "p AS (SELECT a.vec_id AS d1, b.vec_id AS d2, a.e AS ae, b.e AS be FROM c a JOIN c b " +
+      "ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0 AND bit_count(xor(a.code, b.code)) <= 2), " +
+      "s AS (SELECT d1, d2, list_dot_product(ae, be) / " +
+      "(sqrt(list_dot_product(ae, ae)) * sqrt(list_dot_product(be, be))) AS cs FROM p), " +
+      "r AS (SELECT d1, d2, ROUND(cs, 4) AS cosine, ROW_NUMBER() OVER " +
+      "(PARTITION BY d1 ORDER BY ROUND(cs, 4) DESC, d2) AS rn FROM s WHERE cs >= 0.3) " +
+      "SELECT d1, d2, cosine, CAST(rn AS INT) AS rank FROM r WHERE rn <= 3 ORDER BY d1, rank"
+  }
 
   /** q255's AND q291's oracle (the two postures compute the same
     * answer): q231's brute-force reference restricted to cross-split
@@ -6098,6 +6225,8 @@ object Queries {
     "q293_ivf_serving" -> q293,
     "q294_pipeline_embedding_serving" -> q294,
     "q295_coactivity_profile" -> q295,
+    "q296_ivfpq_serving" -> q296,
+    "q297_embedding_serving_topk" -> q297,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -10595,6 +10724,15 @@ object Queries {
         + "FROM c a JOIN c b ON a.window_start = b.window_start AND a.u <> b.u) "
         + "SELECT window_start, user_id, partner, n_events, CAST(rn AS INT) AS rank "
         + "FROM p WHERE rn <= 5 ORDER BY window_start, user_id, rank"),
+    "q296_ivfpq_serving" ->
+      // the full IVFADC replay: stride-37 coarse cells + assignment,
+      // one PQ training round + encode (all on the history split),
+      // probe cells, per-probe LUT, BIGINT ADC sums, (adc_d2, id) rank
+      ivfPqServeOracle,
+    "q297_embedding_serving_topk" ->
+      // q292's directed cross-split pair program + the per-arriving
+      // top-3 rank on (rounded cosine desc, history id asc)
+      embServingTopKOracle,
   )
 
   /** q278's oracle: the operator's EXACT micro-nat literals

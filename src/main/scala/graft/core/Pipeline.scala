@@ -598,14 +598,30 @@ object Pipeline {
       val eId = t.option("id.field")
       val eRadius = t.optionOr("code.radius", "2").toInt
       val eThr = t.optionOr("threshold", "0.3").toDouble
+      // optional bounded posture: top.k keeps each arriving doc's k
+      // best history matches (output <= batch*k regardless of history
+      // density — the q297 contract). Per-key ranking is an
+      // aggregation, so the bounded form is batch-only; a streaming
+      // submit with top.k must fail loudly at build, not emit the
+      // unbounded threshold pairs under a bounding name.
+      val eTopK = t.options.get("top.k").map(_.toInt)
       val eSrc = df.withColumn("__vecd",
         col(t.option("vec.field")).cast("array<double>"))
-      if (df.isStreaming)
+      if (df.isStreaming) {
+        require(eTopK.isEmpty,
+          s"${t.stageType}: top.k is batch-only (per-doc ranking needs " +
+            "an aggregation; append-mode streams take the threshold " +
+            "form) — drop top.k or submit as batch")
         graft.operators.Dedup.embeddingNearDupAgainstIndexInRow(
           eSrc, eId, "__vecd", eIdx, ePlanes, eRadius, eThr)
-      else
-        graft.operators.Dedup.embeddingNearDupAgainstIndex(
-          eSrc, eId, "__vecd", eIdx, ePlanes, eRadius, eThr)
+      } else eTopK match {
+        case Some(kk) =>
+          graft.operators.Dedup.embeddingNearDupAgainstIndexTopK(
+            eSrc, eId, "__vecd", eIdx, ePlanes, eRadius, eThr, kk)
+        case None =>
+          graft.operators.Dedup.embeddingNearDupAgainstIndex(
+            eSrc, eId, "__vecd", eIdx, ePlanes, eRadius, eThr)
+      }
     case other =>
       throw new IllegalArgumentException(s"unknown transform type '$other'")
   }

@@ -823,6 +823,34 @@ object Dedup {
         round(col("__h.cs"), 4).as("cosine"))
   }
 
+  /**
+   * BOUNDED serving twin of [[embeddingNearDupAgainstIndex]] — the
+   * [[embeddingNearDupTopK]] posture applied to the incremental gear:
+   * each ARRIVING doc keeps only its `k` best history matches
+   * (rounded-cosine desc, history id asc — the replayable 4-dp grid),
+   * so output is ≤ |batch|·k REGARDLESS of history density. The r16
+   * perturbed-replica sweep measured the threshold form's output
+   * growing ~100× on 10× data (every copy of a vector stays within
+   * cosine 0.3 of every copy of its neighbors — the q37 semantics,
+   * inherited by serving); a dedup-serving caller almost always wants
+   * "the closest existing doc(s)", which THIS bounds by contract.
+   * The threshold form stays beside it as the exact-semantics gear.
+   *
+   * Output: (`d1`, `d2`, `cosine` 4 dp, `rank` 1..k).
+   */
+  def embeddingNearDupAgainstIndexTopK(newEmb: DataFrame, idCol: String,
+                                       vecCol: String, index: DataFrame,
+                                       planes: Array[Array[Int]],
+                                       codeRadius: Int, threshold: Double,
+                                       k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    Relational.topKPerGroup(
+      embeddingNearDupAgainstIndex(newEmb, idCol, vecCol, index, planes,
+        codeRadius, threshold),
+      Seq("d1"), Seq(col("cosine").desc, col("d2").asc), k,
+      rankCol = Some("rank"))
+  }
+
   private def signCodeBuckets(emb: DataFrame, idCol: String, vecCol: String,
                               planes: Array[Array[Int]],
                               codeRadius: Int): DataFrame = {

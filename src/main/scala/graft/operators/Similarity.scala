@@ -658,6 +658,242 @@ object Similarity {
   }
 
   /**
+   * Deterministic stride-sampled centroid set on the integer grid —
+   * the UNREFINED coarse quantizer every IVF entry point seeds from
+   * ([[ivfTopK]]'s `cent` step as a first-class asset): one row per
+   * corpus id divisible by the stride, quantized. Use as the
+   * `centroids` input of [[ivfCellIndex]]/[[pqCodeCells]] when the
+   * replayable seed set is wanted without a Lloyd round
+   * ([[kmeansCentroids]] is the refined alternative — both produce
+   * the same (`__cid`, `__cv`) shape). Output: (`__cid`, `__cv`).
+   */
+  def strideCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      centroidStride: Long = -1L,
+                      knownN: Long = -1L): DataFrame = {
+    val stride = resolveStride(emb, centroidStride, knownN)
+    emb.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("__cid"), quantize(col(vecCol)).as("__cv"))
+  }
+
+  /**
+   * PERSISTABLE IVF-PQ corpus table — the memory-scale serving asset
+   * ([[ivfCellIndex]] without the float vectors): one row per corpus
+   * vector with its coarse-cell assignment and its `m`-code PQ
+   * encoding, ~m small ints + one long per doc. At 100 TB of
+   * embeddings the float corpus cannot stay resident; THIS table can,
+   * and [[ivfPqServe]]/[[ivfPqServeInRow]] answer top-k probes from
+   * it without reading a single raw vector (Jégou et al. 2011's
+   * IVFADC layout). Store it once next to the coarse centroid set and
+   * the PQ codebook; all three together are the model.
+   *
+   * One corpus scan: the coarse argmin ((d2, cid) lexicographic, the
+   * [[ivfCellIndex]] fold) and the m per-subspace encode argmins run
+   * in the same projection over two broadcast model rows — the corpus
+   * never shuffles at index time either.
+   *
+   * Output: (`__id`, `__cell`, `__code` array<long> of length m).
+   */
+  def pqCodeCells(emb: DataFrame, idCol: String, vecCol: String,
+                  coarse: DataFrame, codebook: DataFrame,
+                  m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim >= m && dim % m == 0,
+      "dim must split into m equal-width subspaces")
+    val width = dim / m
+    val q = requireVecDims(emb, vecCol, dim)
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+    // subvector slices + self-dots hoisted BEFORE the broadcast joins
+    // (the Join blocks CollapseProject — the pqEncode discipline)
+    val sliced = q.select(
+      col("__id") +: col("__q") +:
+        (0 until m).flatMap { s =>
+          val sv = slice(col("__q"), s * width + 1, width)
+          Seq(sv.as(s"__sv$s"), dot(sv, sv).as(s"__svv$s"))
+        }: _*)
+    val centArr = coarse.select(col("__cid"), col("__cv"))
+      .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
+    val far = struct(lit(Double.MaxValue).as("d2"),
+      lit(Long.MaxValue).as("cid"))
+    def d2c(cv: Column): Column = dot(col("__q"), col("__q")) -
+      lit(2.0) * dot(col("__q"), cv) + dot(cv, cv)
+    val best = aggregate(col("__cents"), far, (acc, c) => {
+      val cand = struct(d2c(c.getField("__cv")).as("d2"),
+        c.getField("__cid").as("cid"))
+      when(cand < acc, cand).otherwise(acc)
+    })
+    sliced.crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(pqCentMap(codebook)))
+      .select(col("__id"), best.getField("cid").as("__cell"),
+        array((0 until m).map { s =>
+          pqBest(col(s"__sv$s"), col(s"__svv$s"), lit(s)).getField("cid")
+        }: _*).as("__code"))
+  }
+
+  /** Per-row asymmetric-distance LUT as a map column: (subspace,
+    * centroid id) → d2(probe subvector, codebook centroid). Built
+    * from the one-row broadcast codebook array `cbCol` against the
+    * caller's hoisted per-subspace array `subsCol` (structs of
+    * (`sv`, `svv`)). Struct map keys, so centroid ids of any range
+    * compose without a packing assumption. */
+  private def adcLut(cbCol: Column, subsCol: Column): Column =
+    map_from_entries(transform(cbCol, c => {
+      val me = element_at(subsCol, c.getField("__sub") + 1)
+      struct(
+        struct(c.getField("__sub").as("s"), c.getField("__cid").as("cid"))
+          .as("key"),
+        (me.getField("svv") -
+          lit(2.0) * dot(me.getField("sv"), c.getField("__cv")) +
+          c.getField("__cvv")).as("value"))
+    }))
+
+  /** The caller-hoisted per-subspace (`sv`, `svv`) array [[adcLut]]
+    * folds against — one projection, loop-invariant self-dots. */
+  private def subSlices(qCol: Column, m: Int, width: Int): Column =
+    array((0 until m).map { s =>
+      val sv = slice(qCol, s * width + 1, width)
+      struct(sv.as("sv"), dot(sv, sv).as("svv"))
+    }: _*)
+
+  /** ADC fold: sum over the m subspaces of the LUT entry at
+    * (s, code[s]) — integer-valued doubles throughout, cast BIGINT by
+    * the callers. Nested-lambda-free on the code side: the loop rides
+    * `sequence(0, m-1)`. */
+  private def adcSum(lutCol: Column, codeCol: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, s) =>
+      acc + element_at(lutCol,
+        struct(s.cast("int").as("s"),
+          element_at(codeCol, s.cast("int") + 1).as("cid"))))
+
+  /**
+   * Batch ANN serving against a PERSISTED IVF-PQ model (Jégou et al.
+   * 2011, the IVFADC search): `coarse` + `codebook` + `codeCells`
+   * ([[strideCentroids]]/[[kmeansCentroids]], [[pqTrain]],
+   * [[pqCodeCells]] parquet) are the stored assets; each probe ranks
+   * its `nprobe` nearest coarse cells, and only those cells' members
+   * are scored — by the probe's asymmetric-distance LUT over their
+   * PQ codes, never their raw vectors. The float corpus is read ZERO
+   * times at search; candidates cost m map lookups each.
+   *
+   * Every LUT entry is an integer-valued double (grid arithmetic), so
+   * the per-candidate sum is exact in BIGINT and the (adc_d2, id)
+   * ranking replays engine-independently ([[pqAdcTopK]]'s contract,
+   * with the train/serve split and cell pruning made real).
+   *
+   * Output: (`probe_id`, `neighbor_id`, `adc_d2` bigint, `rank` 1..k)
+   * — ranked (adc_d2 asc, neighbor_id asc). Approximate by contract
+   * twice over (cell pruning + PQ quantization), exact over the
+   * deterministic candidate set and code assignment.
+   *
+   * Scale shape: probe cells and per-probe LUTs broadcast (|probes| ·
+   * (nprobe + m·C) entries); the code-cells scan is pruned to the
+   * probed cells by the broadcast join; the only wide exchange is the
+   * per-probe rank over candidate-bounded (probe, id, adc) rows.
+   */
+  def ivfPqServe(codeCells: DataFrame, coarse: DataFrame,
+                 codebook: DataFrame, probes: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nprobe: Int, m: Int,
+                 dim: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(m >= 1 && dim >= m && dim % m == 0,
+      "dim must split into m equal-width subspaces")
+    val width = dim / m
+    val pq = requireVecDims(probes, vecCol, dim)
+      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("__q"))
+    def d2(cv: Column): Column = dot(col("__q"), col("__q")) -
+      lit(2.0) * dot(col("__q"), cv) + dot(cv, cv)
+    val pcells = Relational.topKPerGroup(
+      pq.crossJoin(broadcast(coarse.select(col("__cid"), col("__cv"))))
+        .select(col("probe_id"),
+          struct(d2(col("__cv")).as("d2"), col("__cid").as("cid")).as("__dc")),
+      Seq("probe_id"), Seq(col("__dc").asc), nprobe)
+      .select(col("probe_id"), col("__dc.cid").as("__cell"))
+    val cbArr = codebook
+      .agg(collect_list(struct(col("__sub"), col("__cid"), col("__cv"),
+        dot(col("__cv"), col("__cv")).as("__cvv"))).as("__cb"))
+    val plut = pq.crossJoin(broadcast(cbArr))
+      .withColumn("__subs", subSlices(col("__q"), m, width))
+      .select(col("probe_id"), adcLut(col("__cb"), col("__subs")).as("__lut"))
+    val scored = codeCells
+      .join(broadcast(pcells), Seq("__cell"))
+      .filter(col("__id") =!= col("probe_id"))
+      .join(broadcast(plut), Seq("probe_id"))
+      .select(col("probe_id"), col("__id").as("neighbor_id"),
+        adcSum(col("__lut"), col("__code"), m).cast("long").as("adc_d2"))
+    Relational.topKPerGroup(scored, Seq("probe_id"),
+        Seq(col("adc_d2").asc, col("neighbor_id").asc), k,
+        rankCol = Some("rank"))
+      .select(col("probe_id"), col("neighbor_id"), col("adc_d2"),
+        col("rank"))
+  }
+
+  /**
+   * STREAM-SERVING twin of [[ivfPqServe]] — the [[ivfServeInRow]]
+   * shape for the PQ model: the persisted assets fold to THREE
+   * one-row broadcasts (coarse centroid array; codebook array; a
+   * cell → members map of (id, code) pairs — codes, not vectors, so
+   * the map is the PQ-compressed size), and each ARRIVING probe does
+   * everything in-row: ranks its `nprobe` nearest cells, builds its
+   * own ADC LUT, scores the probed cells' members by code lookup,
+   * and keeps its top-k by (adc_d2 asc, id asc). Map + explode over
+   * broadcast model rows — no shuffle, no per-key state, append-safe
+   * on an unbounded probe stream. Result-identical to [[ivfPqServe]]
+   * on the same inputs (spec-pinned).
+   *
+   * The broadcast members map bounds this to code tables that fit an
+   * executor — which is exactly what PQ buys: m longs per corpus
+   * vector instead of dim floats, ~8× more corpus per executor at
+   * m=4/dim=64 than [[ivfServeInRow]]'s raw-vector map.
+   */
+  def ivfPqServeInRow(probes: DataFrame, idCol: String, vecCol: String,
+                      coarse: DataFrame, codebook: DataFrame,
+                      codeCells: DataFrame, k: Int, nprobe: Int, m: Int,
+                      dim: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(m >= 1 && dim >= m && dim % m == 0,
+      "dim must split into m equal-width subspaces")
+    val width = dim / m
+    val centArr = coarse.select(col("__cid"), col("__cv"))
+      .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
+    val cbArr = codebook
+      .agg(collect_list(struct(col("__sub"), col("__cid"), col("__cv"),
+        dot(col("__cv"), col("__cv")).as("__cvv"))).as("__cb"))
+    val cellMap = codeCells.groupBy("__cell")
+      .agg(collect_list(struct(col("__id"), col("__code"))).as("__members"))
+      .agg(map_from_entries(collect_list(struct(col("__cell"),
+        col("__members")))).as("__cells"))
+    def d2p(cv: Column): Column = dot(col("__q"), col("__q")) -
+      lit(2.0) * dot(col("__q"), cv) + dot(cv, cv)
+    val probedCells = slice(array_sort(transform(col("__cents"), c =>
+      struct(d2p(c.getField("__cv")).as("d2"),
+        c.getField("__cid").as("cid")))), 1, nprobe)
+    val members = flatten(filter(
+      transform(probedCells, pc => element_at(col("__cells"),
+        pc.getField("cid"))),
+      l => l.isNotNull))
+    // (adc_d2, id) structs sort ascending lexicographically — the same
+    // total order as the batch gear's (adc_d2 asc, neighbor_id asc)
+    val keyed = transform(
+      filter(members, mm => mm.getField("__id") =!= col("probe_id")),
+      mm => struct(
+        adcSum(col("__lut"), mm.getField("__code"), m).cast("long")
+          .as("adc_d2"),
+        mm.getField("__id").as("neighbor_id")))
+    requireVecDims(probes, vecCol, dim)
+      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("__q"))
+      .withColumn("__subs", subSlices(col("__q"), m, width))
+      .crossJoin(broadcast(cbArr))
+      .withColumn("__lut", adcLut(col("__cb"), col("__subs")))
+      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(cellMap))
+      .select(col("probe_id"),
+        posexplode(slice(array_sort(keyed), 1, k)).as(Seq("__pos", "__h")))
+      .select(col("probe_id"), col("__h.neighbor_id").as("neighbor_id"),
+        col("__h.adc_d2").as("adc_d2"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
+  /**
    * K-means (Lloyd) refinement of the IVF coarse quantizer: start from
    * `ivfTopK`'s deterministic stride sample, run `iters` rounds of
    * assign-to-nearest + recompute-mean. Output one row per centroid:

@@ -164,6 +164,45 @@ class CorpusPrepStagesSpec extends SparkTestBase with Matchers {
     err.getMessage should include("batch-only")
   }
 
+  test("dedup_neardup_embedding_incremental top.k bounds each arriving " +
+    "doc to its k best matches; streaming submit with top.k rejects") {
+    import graft.operators.Similarity
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-cps-embidx").toString
+    Dedup.embeddingCodeRows(emb.filter(col("vec_id") % 10 =!= 0),
+      "vec_id", "e", planes).write.mode("overwrite").parquet(idx)
+    val arriving = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val out = apply1(arriving, t("dedup_neardup_embedding_incremental",
+        "id.field" -> "vec_id", "vec.field" -> "embedding",
+        "index.path" -> idx, "top.k" -> "3"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val lib = Dedup.embeddingNearDupAgainstIndexTopK(
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "e",
+        spark.read.parquet(idx), planes, codeRadius = 2,
+        threshold = 0.3, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    out should not be empty
+    out.sorted shouldBe lib.sorted
+    out.groupBy(_._1).values.foreach(_.length should be <= 3)
+    // a streaming submit with top.k must reject loudly — per-doc
+    // ranking is an aggregation, not an append-safe map
+    val rate = spark.readStream.format("rate").load()
+      .withColumn("embedding",
+        array_repeat(col("value").cast("double"), 64))
+    val err = intercept[IllegalArgumentException] {
+      apply1(rate, t("dedup_neardup_embedding_incremental",
+        "id.field" -> "value", "vec.field" -> "embedding",
+        "index.path" -> idx, "top.k" -> "3"))
+    }
+    err.getMessage should include("batch-only")
+  }
+
   test("streaming dedup_exact REQUIRES the watermark options (bounded " +
     "state is not optional) and drops in-stream replays") {
     val rate = spark.readStream.format("rate").load()

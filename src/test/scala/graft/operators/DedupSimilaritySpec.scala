@@ -398,6 +398,35 @@ class DedupSimilaritySpec extends SparkTestBase with Matchers {
     derived.count() should be <= n * kDer
   }
 
+  test("embeddingNearDupAgainstIndexTopK equals the threshold serving " +
+    "gear re-ranked per arriving doc; output bounded by batch*k") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    val hist = emb.filter(col("vec_id") % 10 =!= 0)
+    val arriving = emb.filter(col("vec_id") % 10 === 0)
+    val index = Dedup.embeddingCodeRows(hist, "vec_id", "e", planes)
+      .localCheckpoint()
+    val k = 3
+    val bounded = Dedup.embeddingNearDupAgainstIndexTopK(arriving,
+        "vec_id", "e", index, planes, codeRadius = 2, threshold = 0.3,
+        k = k)
+      .orderBy("d1", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val reference = Relational.topKPerGroup(
+        Dedup.embeddingNearDupAgainstIndex(arriving, "vec_id", "e",
+          index, planes, codeRadius = 2, threshold = 0.3),
+        Seq("d1"), Seq(col("cosine").desc, col("d2").asc), k,
+        rankCol = Some("rank"))
+      .orderBy("d1", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    bounded should contain theSameElementsInOrderAs reference
+    bounded.length should be > 0
+    bounded.groupBy(_._1).values.foreach(_.length should be <= k)
+  }
+
   test("lshTopK returns the exact top-k of its deterministic candidate set") {
     val emb = Tables.embeddings(spark, sf0001)
       .withColumn("e", col("embedding").cast("array<double>"))

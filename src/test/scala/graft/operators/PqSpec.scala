@@ -125,4 +125,52 @@ class PqSpec extends SparkTestBase with Matchers {
     }
     messageOf(eEx) should include("requireVecDims")
   }
+
+  test("pqCodeCells fused scan equals ivfCellIndex cell + pqEncode code") {
+    val coarse = Similarity.strideCentroids(emb, "vec_id", "e",
+      centroidStride = 37L)
+    val book = Similarity.pqTrain(emb, "vec_id", "e", m = M, dim = Dim,
+      centroidStride = 37L, iters = 1)
+    val fused = Similarity.pqCodeCells(emb, "vec_id", "e", coarse, book,
+        m = M, dim = Dim)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toList)))
+      .toMap
+    val cells = Similarity.ivfCellIndex(emb, "vec_id", "e", coarse)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val codes = Similarity.pqEncode(emb, "vec_id", "e", book, m = M, dim = Dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    fused.keySet shouldBe cells.keySet
+    fused.foreach { case (id, (cell, code)) =>
+      cell shouldBe cells(id)
+      code shouldBe codes(id)
+    }
+  }
+
+  test("ivfPqServe with one covering cell equals pqAdcTopK per probe " +
+    "(cell pruning off => the IVFADC tail IS the flat ADC search)") {
+    val ss = spark
+    import ss.implicits._
+    // one coarse centroid (only vec_id 0 on a stride past every id) =>
+    // the whole corpus lands in one cell and nprobe = 1 covers it; the
+    // serve ranking must then equal the flat ADC top-k for that probe
+    val probeId = 0L
+    val hist = emb.filter(col("vec_id") =!= probeId)
+    val book = Similarity.pqTrain(emb, "vec_id", "e", m = M, dim = Dim,
+      centroidStride = 37L, iters = 1)
+    val coarse = emb.filter(col("vec_id") === probeId)
+      .select(lit(0L).as("__cid"),
+        Similarity.quantize(col("e")).as("__cv"))
+    val cells = Similarity.pqCodeCells(hist, "vec_id", "e", coarse, book,
+      m = M, dim = Dim)
+    val probes = emb.filter(col("vec_id") === probeId)
+    val served = Similarity.ivfPqServe(cells, coarse, book, probes,
+        "vec_id", "e", k = 10, nprobe = 1, m = M, dim = Dim)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val flat = Similarity.pqAdcTopK(emb, "vec_id", "e", book,
+        targetId = probeId, k = 10, m = M, dim = Dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    served should contain theSameElementsInOrderAs flat
+  }
 }

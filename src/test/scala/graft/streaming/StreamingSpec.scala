@@ -1435,6 +1435,50 @@ class StreamingSpec extends SparkTestBase with Matchers {
     keyed(spark.table("t_ivfserve").collect()) shouldBe batch
   }
 
+  test("ivfPqServeInRow on a probe stream equals batch ivfPqServe " +
+    "(persisted coarse + codebook + code cells, three broadcast model rows)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val hist = emb.filter(col("vec_id") % 10 =!= 0)
+    val probes = emb.filter(col("vec_id") % 10 === 0)
+    val coarse = Similarity.strideCentroids(hist, "vec_id", "e",
+      centroidStride = 37).localCheckpoint()
+    val book = Similarity.pqTrain(hist, "vec_id", "e", m = 4, dim = 64,
+      centroidStride = 37, iters = 1).localCheckpoint()
+    val cells = Similarity.pqCodeCells(hist, "vec_id", "e", coarse, book,
+      m = 4, dim = 64).localCheckpoint()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(3)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = keyed(Similarity.ivfPqServe(cells, coarse, book, probes,
+      "vec_id", "e", k = 3, nprobe = 4, m = 4, dim = 64).collect())
+    batch should not be empty
+    keyed(Similarity.ivfPqServeInRow(probes, "vec_id", "e", coarse, book,
+      cells, k = 3, nprobe = 4, m = 4, dim = 64).collect()) shouldBe batch
+    val rows = probes.as[(Long, Seq[Double])].collect()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val served = Similarity.ivfPqServeInRow(
+      input.toDF().toDF("vec_id", "e"), "vec_id", "e", coarse, book,
+      cells, k = 3, nprobe = 4, m = 4, dim = 64)
+    served.isStreaming shouldBe true
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-ivfpqserve-ckpt").toString
+    val query = served.writeStream.format("memory").queryName("t_ivfpqserve")
+      .outputMode("append").option("checkpointLocation", ck).start()
+    try {
+      input.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    keyed(spark.table("t_ivfpqserve").collect()) shouldBe batch
+  }
+
   test("coActivityProfileStream closed windows equal batch " +
     "Behavior.coActivityProfile row for row") {
     val ss = spark
