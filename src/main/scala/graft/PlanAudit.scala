@@ -187,7 +187,11 @@ object PlanAudit {
     // q296: ivfPqServe's coarse-centroid broadcast onto the probe
     // split (the q293 shape) + the ONE-row codebook-array broadcast
     // building each probe's ADC LUT; code cells join by equi-key
-    "q296_ivfpq_serving")
+    "q296_ivfpq_serving",
+    // q295: coActivityProfile's ONE-row hot-window guard broadcast
+    // (max per-window active count, raise_error over the cap) gating
+    // the self-join's build side — the q290 loud-guard shape
+    "q295_coactivity_profile")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -1362,24 +1362,49 @@ object Behavior {
    * Scale shape: one map-side-combined (window, key) count aggregate
    * (events collapse before any join), then a windowed self-join of
    * the COUNT table (active-users-sized, never events-sized) and the
-   * per-(window, key) rank. A pathologically hot window makes that
-   * self-join quadratic in its active-user count — the
-   * intervalOverlapPartnerTopK hot-bucket caveat, window form.
+   * per-(window, key) rank.
+   *
+   * HOT-WINDOW guard (the intervalOverlapPartnerTopK hot-bucket
+   * discipline, window form — the r16 density replica measured 19× on
+   * 10× data when every copy's users landed in the SAME windows):
+   * output is bounded at actives·k, but the count-table self-join
+   * still ENUMERATES O(actives²) rows inside a window before the
+   * rank. A pre-pass counts actives per window (one aggregate over
+   * the count table — actives-sized, never pair-sized) and the job
+   * fails LOUDLY (raise_error) when any window's population exceeds
+   * `maxActivesPerWindow` — shrink `windowMs` or pre-segment the key
+   * space instead of paying the square. The guard broadcast gates the
+   * join's build side, so the failure fires before the enumeration.
    *
    * Output: (`window_start` epoch ms, keyCol string, `partner`,
    * `n_events` = partner's in-window count, `rank` 1..k).
    */
   def coActivityProfile(events: DataFrame, keyCol: String, tsCol: String,
-                        windowMs: Long, k: Int): DataFrame = {
+                        windowMs: Long, k: Int,
+                        maxActivesPerWindow: Int = 1 << 16): DataFrame = {
     require(windowMs > 0, "windowMs must be positive")
     require(k >= 1, "k must be >= 1")
+    require(maxActivesPerWindow >= 1, "maxActivesPerWindow must be >= 1")
     val ms = unix_millis(col(tsCol).cast("timestamp"))
     val counts = events
       .select((ms - pmod(ms, lit(windowMs))).as("window_start"),
         col(keyCol).cast("string").as("__k"))
       .groupBy("window_start", "__k")
       .agg(count(lit(1)).as("n_events"))
-    val pairs = counts.alias("a")
+    val guard = counts
+      .groupBy("window_start").agg(count(lit(1)).as("__pop"))
+      .agg(max(col("__pop")).as("__maxpop"))
+      .select(when(col("__maxpop") > maxActivesPerWindow.toLong,
+        raise_error(concat(
+          lit("coActivityProfile: a single window holds "),
+          col("__maxpop").cast("string"),
+          lit(s" active keys > maxActivesPerWindow $maxActivesPerWindow" +
+            " — the in-window pair enumeration would be quadratic; " +
+            "shrink windowMs or pre-segment the key space"))))
+        .otherwise(lit(1L)).as("__ok"))
+    val gated = counts.crossJoin(broadcast(guard))
+      .where(col("__ok") === 1L).drop("__ok")
+    val pairs = gated.alias("a")
       .join(counts.alias("b"),
         col("a.window_start") === col("b.window_start") &&
           col("a.__k") =!= col("b.__k"))

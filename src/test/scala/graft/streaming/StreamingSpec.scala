@@ -1525,6 +1525,31 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got shouldBe want
   }
 
+  test("coActivityProfile hot-window guard trips LOUDLY past " +
+    "maxActivesPerWindow and leaves the in-bound result unchanged") {
+    val events = Tables.events(spark, sf0001)
+    val base = graft.operators.Behavior.coActivityProfile(
+        events, "user_id", "ts", 3600000L, k = 3)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    // a cap above every window's population: result identical
+    graft.operators.Behavior.coActivityProfile(events, "user_id", "ts",
+        3600000L, k = 3, maxActivesPerWindow = 1 << 20)
+      .collect().map(_.toSeq).sortBy(_.toString) shouldBe base
+    // a cap of 1 active per window must fail loudly, not enumerate
+    val ex = intercept[Throwable] {
+      graft.operators.Behavior.coActivityProfile(events, "user_id", "ts",
+        3600000L, k = 3, maxActivesPerWindow = 1).collect()
+    }
+    def messageOf(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && !String.valueOf(c.getMessage)
+        .contains("maxActivesPerWindow")) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    messageOf(ex) should include("maxActivesPerWindow")
+    messageOf(ex) should include("shrink windowMs")
+  }
+
   test("funnelStream's final state reproduces batch Behavior.funnel " +
     "on an ordered replay across micro-batches") {
     val ss = spark
