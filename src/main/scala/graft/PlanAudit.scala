@@ -191,7 +191,10 @@ object PlanAudit {
     // q295: coActivityProfile's ONE-row hot-window guard broadcast
     // (max per-window active count, raise_error over the cap) gating
     // the self-join's build side — the q290 loud-guard shape
-    "q295_coactivity_profile")
+    "q295_coactivity_profile",
+    // q298: the ann_serve stage delegates to ivfPqServe — q296's
+    // intentional model broadcasts through the config path
+    "q298_pipeline_ann_serving")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(8, "plan-audit")

@@ -3820,6 +3820,45 @@ object Queries {
       .orderBy("d1", "rank")
   }
 
+  /** Q298 ANN serving as declarative config — the q294 == q292
+    * pattern for retrieval: the `ann_serve` stage (model.type =
+    * ivfpq) over q296's persisted (coarse, codebook, codes) assets
+    * must equal q296's library composition exactly, so this gate
+    * shares q296's oracle verbatim. Batch submits take the
+    * cell-pruned join gear; probe streams take the in-row
+    * three-broadcast gear (StreamingSpec pins the operators
+    * stream == batch). */
+  val q298: Q = (s, dir) => {
+    val modelPath = persistedAsset("q296", dir) { p =>
+      val hist = Tables.embeddings(s, dir)
+        .withColumn("e", col("embedding").cast("array<double>"))
+        .filter(col("vec_id") % 10 =!= 0)
+      val coarse = Similarity.strideCentroids(hist, "vec_id", "e",
+        centroidStride = 37)
+      coarse.write.mode("overwrite").parquet(s"$p/coarse")
+      val book = Similarity.pqTrain(hist, "vec_id", "e", m = 4, dim = 64,
+        centroidStride = 37, iters = 1)
+      book.write.mode("overwrite").parquet(s"$p/codebook")
+      Similarity.pqCodeCells(hist, "vec_id", "e", coarse, book,
+          m = 4, dim = 64)
+        .write.mode("overwrite").parquet(s"$p/codes")
+    }
+    val json =
+      s"""{"name": "ann-serve-q298",
+         |"source": {"type": "file", "options": {
+         |  "format": "parquet", "path": "$dir/embeddings.parquet",
+         |  "schema": "vec_id BIGINT, embedding ARRAY<FLOAT>"}},
+         |"transforms": [
+         |  {"type": "filter", "options": {"predicate": "vec_id % 10 = 0"}},
+         |  {"type": "ann_serve", "options": {
+         |    "model.type": "ivfpq", "model.path": "$modelPath",
+         |    "id.field": "vec_id", "vec.field": "embedding",
+         |    "k": "3", "nprobe": "4", "pq.m": "4", "dim": "64"}}],
+         |"sink": {"type": "noop", "options": {}}}""".stripMargin
+    Pipeline.build(s, PipelineSpec.fromJson(json), streaming = false)
+      .orderBy("probe_id", "rank")
+  }
+
   /** q292's AND q294's oracle: the q37 brute-force replay (inlined
     * hyperplanes, Hamming ≤ 2, exact cosine ≥ 0.3) restricted to
     * DIRECTED cross-split pairs — d1 arriving (vec_id % 10 = 0), d2
@@ -6227,6 +6266,7 @@ object Queries {
     "q295_coactivity_profile" -> q295,
     "q296_ivfpq_serving" -> q296,
     "q297_embedding_serving_topk" -> q297,
+    "q298_pipeline_ann_serving" -> q298,
   )
 
   /** The q112/q139 scored-documents CTE block (tokenize → portable
@@ -10733,6 +10773,10 @@ object Queries {
       // q292's directed cross-split pair program + the per-arriving
       // top-3 rank on (rounded cosine desc, history id asc)
       embServingTopKOracle,
+    "q298_pipeline_ann_serving" ->
+      // the ann_serve stage must equal q296's library composition
+      // exactly (the q294 == q292 pattern for retrieval)
+      ivfPqServeOracle,
   )
 
   /** q278's oracle: the operator's EXACT micro-nat literals

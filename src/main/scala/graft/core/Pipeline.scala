@@ -64,7 +64,8 @@ object Pipeline {
     "insert_header", "header_from", "drop_headers",
     "envelope_encode", "envelope_decode", "debezium_unwrap",
     "dedup_exact", "quality_gate", "lang_id", "hash_sample",
-    "dedup_neardup", "quality_keeper", "dedup_neardup_incremental")
+    "dedup_neardup", "quality_keeper", "dedup_neardup_incremental",
+    "dedup_neardup_embedding_incremental", "ann_serve")
   val streamSinkTypes: Seq[String] = Seq("file", "memory", "upsert", "jdbc_upsert")
 
   def source(spec: StageSpec): Source = spec.stageType match {
@@ -621,6 +622,50 @@ object Pipeline {
         case None =>
           graft.operators.Dedup.embeddingNearDupAgainstIndex(
             eSrc, eId, "__vecd", eIdx, ePlanes, eRadius, eThr)
+      }
+    case "ann_serve" =>
+      // REST-declarable ANN serving over PERSISTED model assets — the
+      // dedup_neardup_embedding_incremental posture for retrieval: the
+      // pipeline's relation is the PROBE stream/batch, `model.path`
+      // holds the trained assets, and the gear picks by posture
+      // (batch = cell-pruned join; stream = in-row over broadcast
+      // model rows — map-only, append-safe, executor-bounded index by
+      // the documented caveat). model.type selects the representation:
+      //  - "ivf":   model.path/{centroids,cells} — raw-vector cell
+      //             index (Similarity.ivfCellIndex), exact cosine
+      //  - "ivfpq": model.path/{coarse,codebook,codes} — PQ codes
+      //             only (Similarity.pqCodeCells), exact-BIGINT ADC;
+      //             the float corpus is read zero times at serve
+      val mPath = t.option("model.path")
+      val (mId, mVec) = (t.option("id.field"), t.option("vec.field"))
+      val mK = t.optionOr("k", "3").toInt
+      val mNp = t.optionOr("nprobe", "4").toInt
+      val mSrc = df.withColumn("__vecd", col(mVec).cast("array<double>"))
+      val rd = df.sparkSession.read
+      t.optionOr("model.type", "ivf") match {
+        case "ivf" =>
+          val cents = rd.parquet(s"$mPath/centroids")
+          val cells = rd.parquet(s"$mPath/cells")
+          if (df.isStreaming)
+            graft.operators.Similarity.ivfServeInRow(
+              mSrc, mId, "__vecd", cents, cells, mK, mNp)
+          else
+            graft.operators.Similarity.ivfServe(
+              cells, cents, mSrc, mId, "__vecd", mK, mNp)
+        case "ivfpq" =>
+          val pm = t.optionOr("pq.m", "4").toInt
+          val pDim = t.optionOr("dim", "64").toInt
+          val coarse = rd.parquet(s"$mPath/coarse")
+          val book = rd.parquet(s"$mPath/codebook")
+          val codes = rd.parquet(s"$mPath/codes")
+          if (df.isStreaming)
+            graft.operators.Similarity.ivfPqServeInRow(
+              mSrc, mId, "__vecd", coarse, book, codes, mK, mNp, pm, pDim)
+          else
+            graft.operators.Similarity.ivfPqServe(
+              codes, coarse, book, mSrc, mId, "__vecd", mK, mNp, pm, pDim)
+        case other => throw new IllegalArgumentException(
+          s"ann_serve: unknown model.type '$other' (expected ivf | ivfpq)")
       }
     case other =>
       throw new IllegalArgumentException(s"unknown transform type '$other'")

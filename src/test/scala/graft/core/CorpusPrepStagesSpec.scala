@@ -203,6 +203,45 @@ class CorpusPrepStagesSpec extends SparkTestBase with Matchers {
     err.getMessage should include("batch-only")
   }
 
+  test("ann_serve stage == the library serve it delegates to (ivf " +
+    "gear); unknown model.type rejects loudly") {
+    import graft.operators.Similarity
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val hist = emb.filter(col("vec_id") % 10 =!= 0)
+    val model = java.nio.file.Files
+      .createTempDirectory("graft-cps-annmodel").toString
+    val cents = Similarity.kmeansCentroids(hist, "vec_id", "e",
+        centroidStride = 37, iters = 1, dim = 64)
+      .select(col("__cid"), col("__cv"))
+    cents.write.mode("overwrite").parquet(s"$model/centroids")
+    Similarity.ivfCellIndex(hist, "vec_id", "e", cents)
+      .write.mode("overwrite").parquet(s"$model/cells")
+    val probes = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val out = apply1(probes, t("ann_serve",
+        "model.type" -> "ivf", "model.path" -> model,
+        "id.field" -> "vec_id", "vec.field" -> "embedding",
+        "k" -> "3", "nprobe" -> "4"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val lib = Similarity.ivfServe(
+        spark.read.parquet(s"$model/cells"),
+        spark.read.parquet(s"$model/centroids"),
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "e",
+        k = 3, nprobe = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    out should not be empty
+    out.sorted shouldBe lib.sorted
+    val err = intercept[IllegalArgumentException] {
+      apply1(probes, t("ann_serve",
+        "model.type" -> "hnsw", "model.path" -> model,
+        "id.field" -> "vec_id", "vec.field" -> "embedding"))
+    }
+    err.getMessage should include("unknown model.type")
+  }
+
   test("streaming dedup_exact REQUIRES the watermark options (bounded " +
     "state is not optional) and drops in-stream replays") {
     val rate = spark.readStream.format("rate").load()
