@@ -691,7 +691,15 @@ object Similarity {
    * in the same projection over two broadcast model rows — the corpus
    * never shuffles at index time either.
    *
-   * Output: (`__id`, `__cell`, `__code` array<long> of length m).
+   * Output: (`__id`, `__cell`, `__code` array<long> of length m,
+   * `__cpos` array<int> of length m). `__code` carries the winning
+   * CENTROID IDS (the [[pqEncode]]-compatible, human-debuggable
+   * form); `__cpos` carries the same winners as DENSE POSITIONS in
+   * each subspace's cid-sorted centroid array — what the serve path
+   * actually indexes its LUT arrays with (O(1) per lookup; FAISS
+   * stores positions for the same reason). A production table that
+   * only serves can drop `__code` — positions + the codebook
+   * reproduce the cids.
    */
   def pqCodeCells(emb: DataFrame, idCol: String, vecCol: String,
                   coarse: DataFrame, codebook: DataFrame,
@@ -721,47 +729,87 @@ object Similarity {
       when(cand < acc, cand).otherwise(acc)
     })
     sliced.crossJoin(broadcast(centArr))
-      .crossJoin(broadcast(pqCentMap(codebook)))
+      .crossJoin(broadcast(cbSortedArr(codebook)))
       .select(col("__id"), best.getField("cid").as("__cell"),
         array((0 until m).map { s =>
-          pqBest(col(s"__sv$s"), col(s"__svv$s"), lit(s)).getField("cid")
-        }: _*).as("__code"))
+          pqBestPos(col(s"__sv$s"), col(s"__svv$s"), lit(s))
+            .getField("cid")
+        }: _*).as("__code"),
+        array((0 until m).map { s =>
+          pqBestPos(col(s"__sv$s"), col(s"__svv$s"), lit(s))
+            .getField("pos")
+        }: _*).as("__cpos"))
   }
 
-  /** Per-row asymmetric-distance LUT as a map column: (subspace,
-    * centroid id) → d2(probe subvector, codebook centroid). Built
-    * from the one-row broadcast codebook array `cbCol` against the
-    * caller's hoisted per-subspace array `subsCol` (structs of
-    * (`sv`, `svv`)). Struct map keys, so centroid ids of any range
-    * compose without a packing assumption. */
-  private def adcLut(cbCol: Column, subsCol: Column): Column =
-    map_from_entries(transform(cbCol, c => {
-      val me = element_at(subsCol, c.getField("__sub") + 1)
-      struct(
-        struct(c.getField("__sub").as("s"), c.getField("__cid").as("cid"))
-          .as("key"),
-        (me.getField("svv") -
-          lit(2.0) * dot(me.getField("sv"), c.getField("__cv")) +
-          c.getField("__cvv")).as("value"))
-    }))
+  /** The serving codebook as ONE row: an array over subspaces (sub
+    * asc) of per-subspace centroid arrays SORTED BY cid — the shared
+    * total order that makes a centroid's POSITION in its subspace
+    * array a stable dense code ([[pqCodeCells]] stores exactly these
+    * positions as `__cpos`). Each entry carries (cid, cv, cvv). */
+  private def cbSortedArr(codebook: DataFrame): DataFrame =
+    codebook.groupBy(col("__sub"))
+      .agg(array_sort(collect_list(struct(col("__cid"), col("__cv"),
+        dot(col("__cv"), col("__cv")).as("__cvv")))).as("__sa"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__sub"), col("__sa")))),
+        x => x.getField("__sa")).as("__cbs"))
 
-  /** The caller-hoisted per-subspace (`sv`, `svv`) array [[adcLut]]
-    * folds against — one projection, loop-invariant self-dots. */
+  /** Per-probe DENSE asymmetric-distance LUT: `lut[s][pos]` =
+    * d2(probe subvector s, centroid at position pos of subspace s's
+    * cid-sorted array). Position-indexed arrays, NOT a map — Spark's
+    * map `element_at` is a LINEAR scan of the entries (the r16
+    * serving sweep measured the map-keyed form at 54× on 10× data:
+    * every candidate lookup paid O(C) struct comparisons), while
+    * array indexing is O(1), which is what makes ADC's
+    * lookups-not-dot-products bargain real (FAISS stores positions
+    * for the same reason). */
+  private def adcLutDense(cbsCol: Column, subsCol: Column): Column =
+    transform(cbsCol, (subArr, s) => {
+      val me = element_at(subsCol, s + 1)
+      transform(subArr, c =>
+        me.getField("svv") -
+          lit(2.0) * dot(me.getField("sv"), c.getField("__cv")) +
+          c.getField("__cvv"))
+    })
+
+  /** The caller-hoisted per-subspace (`sv`, `svv`) array
+    * [[adcLutDense]] folds against — one projection, loop-invariant
+    * self-dots. */
   private def subSlices(qCol: Column, m: Int, width: Int): Column =
     array((0 until m).map { s =>
       val sv = slice(qCol, s * width + 1, width)
       struct(sv.as("sv"), dot(sv, sv).as("svv"))
     }: _*)
 
-  /** ADC fold: sum over the m subspaces of the LUT entry at
-    * (s, code[s]) — integer-valued doubles throughout, cast BIGINT by
-    * the callers. Nested-lambda-free on the code side: the loop rides
-    * `sequence(0, m-1)`. */
-  private def adcSum(lutCol: Column, codeCol: Column, m: Int): Column =
+  /** ADC fold: sum over the m subspaces of `lut[s][cpos[s]]` — two
+    * O(1) array indexes per term, integer-valued doubles throughout,
+    * cast BIGINT by the callers. */
+  private def adcSumDense(lutCol: Column, cposCol: Column, m: Int): Column =
     aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, s) =>
-      acc + element_at(lutCol,
-        struct(s.cast("int").as("s"),
-          element_at(codeCol, s.cast("int") + 1).as("cid"))))
+      acc + element_at(element_at(lutCol, s + 1),
+        element_at(cposCol, s + 1) + 1))
+
+  /** The (d2, cid, pos) argmin over subspace `sub`'s CID-SORTED
+    * centroid array — [[pqBest]] with the winner's dense POSITION
+    * carried along (ties cannot reach `pos`: (d2, cid) is already
+    * unique per centroid). `__cmapS` is [[cbSortedArr]]'s one row. */
+  private def pqBestPos(sv: Column, svv: Column, sub: Column): Column = {
+    val arr = element_at(col("__cbs"), sub + 1)
+    val far = struct(lit(Double.MaxValue).as("d2"),
+      lit(Long.MaxValue).as("cid"), lit(-1).as("pos"))
+    aggregate(
+      zip_with(arr, sequence(lit(1), size(arr)), (c, i) => struct(
+        c.getField("__cid").as("cid"), c.getField("__cv").as("cv"),
+        c.getField("__cvv").as("cvv"), (i - 1).cast("int").as("pos"))),
+      far,
+      (acc, c) => {
+        val d2 = svv - lit(2.0) * dot(sv, c.getField("cv")) +
+          c.getField("cvv")
+        val cand = struct(d2.as("d2"), c.getField("cid").as("cid"),
+          c.getField("pos").as("pos"))
+        when(cand < acc, cand).otherwise(acc)
+      })
+  }
 
   /**
    * Batch ANN serving against a PERSISTED IVF-PQ model (Jégou et al.
@@ -807,18 +855,17 @@ object Similarity {
           struct(d2(col("__cv")).as("d2"), col("__cid").as("cid")).as("__dc")),
       Seq("probe_id"), Seq(col("__dc").asc), nprobe)
       .select(col("probe_id"), col("__dc.cid").as("__cell"))
-    val cbArr = codebook
-      .agg(collect_list(struct(col("__sub"), col("__cid"), col("__cv"),
-        dot(col("__cv"), col("__cv")).as("__cvv"))).as("__cb"))
-    val plut = pq.crossJoin(broadcast(cbArr))
+    val plut = pq.crossJoin(broadcast(cbSortedArr(codebook)))
       .withColumn("__subs", subSlices(col("__q"), m, width))
-      .select(col("probe_id"), adcLut(col("__cb"), col("__subs")).as("__lut"))
+      .select(col("probe_id"),
+        adcLutDense(col("__cbs"), col("__subs")).as("__lut"))
     val scored = codeCells
       .join(broadcast(pcells), Seq("__cell"))
       .filter(col("__id") =!= col("probe_id"))
       .join(broadcast(plut), Seq("probe_id"))
       .select(col("probe_id"), col("__id").as("neighbor_id"),
-        adcSum(col("__lut"), col("__code"), m).cast("long").as("adc_d2"))
+        adcSumDense(col("__lut"), col("__cpos"), m).cast("long")
+          .as("adc_d2"))
     Relational.topKPerGroup(scored, Seq("probe_id"),
         Seq(col("adc_d2").asc, col("neighbor_id").asc), k,
         rankCol = Some("rank"))
@@ -830,8 +877,8 @@ object Similarity {
    * STREAM-SERVING twin of [[ivfPqServe]] — the [[ivfServeInRow]]
    * shape for the PQ model: the persisted assets fold to THREE
    * one-row broadcasts (coarse centroid array; codebook array; a
-   * cell → members map of (id, code) pairs — codes, not vectors, so
-   * the map is the PQ-compressed size), and each ARRIVING probe does
+   * cell → members map of (id, cpos) pairs — dense position codes,
+   * not vectors, so the map is the PQ-compressed size), and each ARRIVING probe does
    * everything in-row: ranks its `nprobe` nearest cells, builds its
    * own ADC LUT, scores the probed cells' members by code lookup,
    * and keeps its top-k by (adc_d2 asc, id asc). Map + explode over
@@ -855,11 +902,8 @@ object Similarity {
     val width = dim / m
     val centArr = coarse.select(col("__cid"), col("__cv"))
       .agg(collect_list(struct(col("__cid"), col("__cv"))).as("__cents"))
-    val cbArr = codebook
-      .agg(collect_list(struct(col("__sub"), col("__cid"), col("__cv"),
-        dot(col("__cv"), col("__cv")).as("__cvv"))).as("__cb"))
     val cellMap = codeCells.groupBy("__cell")
-      .agg(collect_list(struct(col("__id"), col("__code"))).as("__members"))
+      .agg(collect_list(struct(col("__id"), col("__cpos"))).as("__members"))
       .agg(map_from_entries(collect_list(struct(col("__cell"),
         col("__members")))).as("__cells"))
     def d2p(cv: Column): Column = dot(col("__q"), col("__q")) -
@@ -876,14 +920,14 @@ object Similarity {
     val keyed = transform(
       filter(members, mm => mm.getField("__id") =!= col("probe_id")),
       mm => struct(
-        adcSum(col("__lut"), mm.getField("__code"), m).cast("long")
+        adcSumDense(col("__lut"), mm.getField("__cpos"), m).cast("long")
           .as("adc_d2"),
         mm.getField("__id").as("neighbor_id")))
     requireVecDims(probes, vecCol, dim)
       .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("__q"))
       .withColumn("__subs", subSlices(col("__q"), m, width))
-      .crossJoin(broadcast(cbArr))
-      .withColumn("__lut", adcLut(col("__cb"), col("__subs")))
+      .crossJoin(broadcast(cbSortedArr(codebook)))
+      .withColumn("__lut", adcLutDense(col("__cbs"), col("__subs")))
       .crossJoin(broadcast(centArr))
       .crossJoin(broadcast(cellMap))
       .select(col("probe_id"),
