@@ -188,10 +188,6 @@ object PlanAudit {
     // split (the q293 shape) + the ONE-row codebook-array broadcast
     // building each probe's ADC LUT; code cells join by equi-key
     "q296_ivfpq_serving",
-    // q295: coActivityProfile's ONE-row hot-window guard broadcast
-    // (max per-window active count, raise_error over the cap) gating
-    // the self-join's build side — the q290 loud-guard shape
-    "q295_coactivity_profile",
     // q298: the ann_serve stage delegates to ivfPqServe — q296's
     // intentional model broadcasts through the config path
     "q298_pipeline_ann_serving")

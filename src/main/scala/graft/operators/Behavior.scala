@@ -1359,58 +1359,44 @@ object Behavior {
    * tie-break is one binary collation everywhere — Spark, the
    * streaming twin's Scala sort, and an external SQL oracle.
    *
-   * Scale shape: one map-side-combined (window, key) count aggregate
-   * (events collapse before any join), then a windowed self-join of
-   * the COUNT table (active-users-sized, never events-sized) and the
-   * per-(window, key) rank.
-   *
-   * HOT-WINDOW guard (the intervalOverlapPartnerTopK hot-bucket
-   * discipline, window form — the r16 density replica measured 19× on
-   * 10× data when every copy's users landed in the SAME windows):
-   * output is bounded at actives·k, but the count-table self-join
-   * still ENUMERATES O(actives²) rows inside a window before the
-   * rank. A pre-pass counts actives per window (one aggregate over
-   * the count table — actives-sized, never pair-sized) and the job
-   * fails LOUDLY (raise_error) when any window's population exceeds
-   * `maxActivesPerWindow` — shrink `windowMs` or pre-segment the key
-   * space instead of paying the square. The guard broadcast gates the
-   * join's build side, so the failure fires before the enumeration.
+   * Scale shape (r16): one map-side-combined (window, key) count
+   * aggregate (events collapse before any join), then — because the
+   * ranking key (the PARTNER's in-window count) does not depend on
+   * which key is asking — each key's top-k partner list is exactly
+   * the window's GLOBAL top-(k+1) actives minus the key itself. So
+   * the per-window candidate set is k+1 rows (a broadcastable
+   * windows·(k+1) table), each active joins against those k+1
+   * candidates instead of against every co-active partner, and the
+   * enumeration is actives·(k+1) rows TOTAL — linear in the count
+   * table where the r16-mid-build self-join was O(actives²) per
+   * window (the density replica measured 19× on 10× data; its
+   * hot-window raise_error guard is gone because there is no longer
+   * a quadratic task to guard — a window with a million actives is
+   * now a million×(k+1)-row join, not a 10¹²-pair enumeration).
    *
    * Output: (`window_start` epoch ms, keyCol string, `partner`,
    * `n_events` = partner's in-window count, `rank` 1..k).
    */
   def coActivityProfile(events: DataFrame, keyCol: String, tsCol: String,
-                        windowMs: Long, k: Int,
-                        maxActivesPerWindow: Int = 1 << 16): DataFrame = {
+                        windowMs: Long, k: Int): DataFrame = {
     require(windowMs > 0, "windowMs must be positive")
     require(k >= 1, "k must be >= 1")
-    require(maxActivesPerWindow >= 1, "maxActivesPerWindow must be >= 1")
     val ms = unix_millis(col(tsCol).cast("timestamp"))
     val counts = events
       .select((ms - pmod(ms, lit(windowMs))).as("window_start"),
         col(keyCol).cast("string").as("__k"))
       .groupBy("window_start", "__k")
       .agg(count(lit(1)).as("n_events"))
-    val guard = counts
-      .groupBy("window_start").agg(count(lit(1)).as("__pop"))
-      .agg(max(col("__pop")).as("__maxpop"))
-      .select(when(col("__maxpop") > maxActivesPerWindow.toLong,
-        raise_error(concat(
-          lit("coActivityProfile: a single window holds "),
-          col("__maxpop").cast("string"),
-          lit(s" active keys > maxActivesPerWindow $maxActivesPerWindow" +
-            " — the in-window pair enumeration would be quadratic; " +
-            "shrink windowMs or pre-segment the key space"))))
-        .otherwise(lit(1L)).as("__ok"))
-    val gated = counts.crossJoin(broadcast(guard))
-      .where(col("__ok") === 1L).drop("__ok")
-    val pairs = gated.alias("a")
-      .join(counts.alias("b"),
-        col("a.window_start") === col("b.window_start") &&
-          col("a.__k") =!= col("b.__k"))
-      .select(col("a.window_start").as("window_start"),
-        col("a.__k").as("__u"), col("b.__k").as("partner"),
-        col("b.n_events").as("n_events"))
+    // global per-window top-(k+1) candidates: for ANY asking key u,
+    // the true top-k over partners ≠ u is contained in this set (u
+    // occupies at most one of the k+1 slots). windows·(k+1) rows.
+    val topPartners = Relational.topKPerGroup(counts, Seq("window_start"),
+        Seq(col("n_events").desc, col("__k").asc), k + 1)
+      .select(col("window_start"), col("__k").as("partner"),
+        col("n_events"))
+    val pairs = counts.select(col("window_start"), col("__k").as("__u"))
+      .join(broadcast(topPartners), Seq("window_start"))
+      .where(col("__u") =!= col("partner"))
     Relational.topKPerGroup(pairs, Seq("window_start", "__u"),
         Seq(col("n_events").desc, col("partner").asc), k,
         rankCol = Some("rank"))

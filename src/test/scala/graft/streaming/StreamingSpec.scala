@@ -1525,29 +1525,42 @@ class StreamingSpec extends SparkTestBase with Matchers {
     got shouldBe want
   }
 
-  test("coActivityProfile hot-window guard trips LOUDLY past " +
-    "maxActivesPerWindow and leaves the in-bound result unchanged") {
+  test("coActivityProfile's global-top-(k+1) candidate plan equals the " +
+    "naive per-window pair-enumeration ranking row for row") {
+    // r16 optimization pin: the partner ranking key (the partner's own
+    // in-window count) is independent of the asking key, so each key's
+    // top-k is the window's global top-(k+1) minus itself. This replays
+    // the pre-r16 O(actives²) self-join + rank shape and requires exact
+    // equality — including rank values and count ties broken on the
+    // string-collated partner id.
     val events = Tables.events(spark, sf0001)
-    val base = graft.operators.Behavior.coActivityProfile(
-        events, "user_id", "ts", 3600000L, k = 3)
+    val W = 3600000L
+    val k = 3
+    val got = graft.operators.Behavior.coActivityProfile(
+        events, "user_id", "ts", W, k)
       .collect().map(_.toSeq).sortBy(_.toString)
-    // a cap above every window's population: result identical
-    graft.operators.Behavior.coActivityProfile(events, "user_id", "ts",
-        3600000L, k = 3, maxActivesPerWindow = 1 << 20)
-      .collect().map(_.toSeq).sortBy(_.toString) shouldBe base
-    // a cap of 1 active per window must fail loudly, not enumerate
-    val ex = intercept[Throwable] {
-      graft.operators.Behavior.coActivityProfile(events, "user_id", "ts",
-        3600000L, k = 3, maxActivesPerWindow = 1).collect()
-    }
-    def messageOf(t: Throwable): String = {
-      var c: Throwable = t
-      while (c.getCause != null && !String.valueOf(c.getMessage)
-        .contains("maxActivesPerWindow")) c = c.getCause
-      String.valueOf(c.getMessage)
-    }
-    messageOf(ex) should include("maxActivesPerWindow")
-    messageOf(ex) should include("shrink windowMs")
+    val ms = unix_millis(col("ts").cast("timestamp"))
+    val counts = events
+      .select((ms - pmod(ms, lit(W))).as("window_start"),
+        col("user_id").cast("string").as("__k"))
+      .groupBy("window_start", "__k")
+      .agg(count(lit(1)).as("n_events"))
+    val pairs = counts.alias("a")
+      .join(counts.alias("b"),
+        col("a.window_start") === col("b.window_start") &&
+          col("a.__k") =!= col("b.__k"))
+      .select(col("a.window_start").as("window_start"),
+        col("a.__k").as("__u"), col("b.__k").as("partner"),
+        col("b.n_events").as("n_events"))
+    val want = graft.operators.Relational.topKPerGroup(pairs,
+        Seq("window_start", "__u"),
+        Seq(col("n_events").desc, col("partner").asc), k,
+        rankCol = Some("rank"))
+      .select(col("window_start"), col("__u").as("user_id"), col("partner"),
+        col("n_events"), col("rank"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    want should not be empty
+    got shouldBe want
   }
 
   test("funnelStream's final state reproduces batch Behavior.funnel " +
