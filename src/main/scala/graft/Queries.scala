@@ -2425,6 +2425,8 @@ object Queries {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("b"), col("p_brand").as("i"))
       .distinct()
+      // both self-join sides read bi (r16): materialize it once
+      .localCheckpoint(eager = false)
     val pairs = bi.join(bi.select(col("b"), col("i").as("j")), "b")
       .where(col("i") < col("j"))
       .select(col("i").as("x"), col("j").as("y"))
@@ -2456,6 +2458,8 @@ object Queries {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("b"), col("p_brand").as("i"))
       .distinct()
+      // both self-join sides read bi (r16): materialize it once
+      .localCheckpoint(eager = false)
     val pairs = bi.join(bi.select(col("b"), col("i").as("j")), "b")
       .where(col("i") < col("j"))
       .select(col("i").as("x"), col("j").as("y"))
@@ -2488,6 +2492,9 @@ object Queries {
         gapSeconds = 1800L)
       .groupBy(col("user_id"), col("session_idx"))
       .agg((min(ms) - 900000L).as("s_ms"), (max(ms) + 900000L).as("e_ms"))
+      // consumed by BOTH overlap-join sides and the per-user session
+      // count: materialize the sessionize window pass once (r16)
+      .localCheckpoint(eager = false)
     val l = sess.select(col("user_id").as("u1"), col("session_idx").as("x1"),
       col("s_ms").as("s1"), col("e_ms").as("e1"))
     val r = sess.select(col("user_id").as("u2"), col("s_ms").as("s2"),
@@ -3063,6 +3070,8 @@ object Queries {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("b"), col("p_brand").as("i"))
       .distinct()
+      // both self-join sides read bi (r16): materialize it once
+      .localCheckpoint(eager = false)
     val pairs = bi.join(bi.select(col("b"), col("i").as("j")), "b")
       .where(col("i") < col("j"))
       .select(col("i").as("x"), col("j").as("y"))
@@ -4813,6 +4822,8 @@ object Queries {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("b"), col("p_brand").as("i"))
       .distinct()
+      // both self-join sides read bi (r16): materialize it once
+      .localCheckpoint(eager = false)
     val pairs = bi.join(bi.select(col("b"), col("i").as("j")), "b")
       .where(col("i") < col("j"))
       .groupBy(col("i").as("x"), col("j").as("y"))
@@ -4863,10 +4874,15 @@ object Queries {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("b"), col("p_brand").as("i"))
       .distinct()
+      // both self-join sides read bi (r16): materialize it once
+      .localCheckpoint(eager = false)
     val pairs = bi.join(bi.select(col("b"), col("i").as("j")), "b")
       .where(col("i") < col("j"))
       .select(col("i").as("x"), col("j").as("y"))
       .distinct()
+      // consumed by THREE branches (triangles, edge count, components):
+      // without this the pair build ran three times (r16)
+      .localCheckpoint(eager = false)
     val tri = Graph.triangles(pairs, "x", "y")
     val nodeStats = tri.agg(count(lit(1)).as("n_nodes"),
       sum(col("degree")).as("__sumdeg"),

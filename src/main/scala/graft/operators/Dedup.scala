@@ -563,7 +563,11 @@ object Dedup {
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             planes: Array[Array[Int]], codeRadius: Int,
                             threshold: Double): DataFrame = {
+    // both self-join sides reference this subtree: materialize it once
+    // (lazy localCheckpoint) instead of running the scan + sign-coding
+    // twice (r16 — the coding pass is the family's per-row hot loop)
     val buckets = signCodeBuckets(emb, idCol, vecCol, planes, codeRadius)
+      .localCheckpoint(eager = false)
     val pairs = buckets.alias("a")
       .join(buckets.alias("b"),
         col("a.__ck") === col("b.__ck") && col("a.__id") < col("b.__id"))
@@ -588,7 +592,10 @@ object Dedup {
                                  planes: Array[Array[Int]], codeRadius: Int,
                                  threshold: Double,
                                  isLeftId: Column => Column): DataFrame = {
+    // codes computed ONCE (lazy localCheckpoint): both split filters
+    // read the materialized rows instead of re-coding the corpus (r16)
     val buckets = signCodeBuckets(emb, idCol, vecCol, planes, codeRadius)
+      .localCheckpoint(eager = false)
     val pairs = buckets.filter(isLeftId(col("__id"))).alias("a")
       .join(buckets.filter(!isLeftId(col("__id"))).alias("b"),
         col("a.__ck") === col("b.__ck"))
@@ -649,6 +656,9 @@ object Dedup {
       sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("__n"))
     val buckets = signCodeBuckets(emb, idCol, vecCol, planes, codeRadius)
       .join(vecs, Seq("__id"))
+      // both self-join sides reference this subtree: materialize once
+      // (lazy localCheckpoint) instead of coding + vector-joining twice
+      .localCheckpoint(eager = false)
     val bucketPairs = buckets.alias("a")
       .join(buckets.alias("b"),
         col("a.__ck") === col("b.__ck") && col("a.__id") =!= col("b.__id"))

@@ -86,15 +86,22 @@ object Graph {
     }
     val deg = e.groupBy("__src").agg(sum(col("__w")).as("__d"))
       .localCheckpoint()
+    // loop-invariant hoist (r16): every iteration used to re-join the
+    // edge list to the out-degree table; (__w, __d) never change, so
+    // attach them once and each round pays ONE join (edges ⋈ ranks).
+    // The share arithmetic is untouched (still __r · __w / __d on the
+    // original columns), so rounding replays bit-for-bit.
+    val ed = e.join(deg, "__src")
+      .select(col("__src"), col("__dst"), col("__w"), col("__d"))
+      .localCheckpoint()
     val nn = deg.agg(count(lit(1)).as("__nn"))
     var ranks = deg.select(col("__src").as("__id"))
       .crossJoin(broadcast(nn))
       .select(col("__id"), round(lit(1.0d) / col("__nn"), 12).as("__r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = e.join(ranks, e("__src") === ranks("__id"))
-        .join(deg, "__src")
-        .select(e("__dst").as("__id"),
+      val contrib = ed.join(ranks, ed("__src") === ranks("__id"))
+        .select(ed("__dst").as("__id"),
           round(col("__r") * col("__w") / col("__d"), 12)
             .cast("decimal(28,12)").as("__c"))
         .groupBy("__id").agg(sum(col("__c")).as("__s"))

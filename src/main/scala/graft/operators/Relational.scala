@@ -259,6 +259,14 @@ object Relational {
     val counts = df.filter(v.isNotNull)
       .groupBy((gcols :+ v.as(valueCol)): _*)
       .agg(count(lit(1)).as("__cnt"))
+      // FOUR consumers reference this subtree (stats, withStats, and —
+      // via bucketed — the offsets branch and the window pass): without
+      // materializing the distinct-value compression once, the whole
+      // upstream (often a corpus scan, or a previous quantile pass in
+      // madOutliers) re-evaluated four times per call — q154's plan
+      // carried 160 Exchanges from exactly this (r16). The cache is
+      // distinct-value-sized, never corpus-sized.
+      .localCheckpoint(eager = false)
     val stats = counts.groupBy(gcols: _*)
       .agg(min(v).as("__vmin"), max(v).as("__vmax"), sum(col("__cnt")).as("__n"))
     val withStats = counts.join(broadcast(stats), groupCols)
@@ -491,9 +499,14 @@ object Relational {
                                  maxKeysPerBucket: Int = 1 << 16): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxKeysPerBucket >= 1, "maxKeysPerBucket must be >= 1")
-    val l = intervals.select(col(keyCol).as("__k1"),
+    // the interval set feeds THREE consumers (guard pre-pass + both
+    // overlap-join sides): materialize it once instead of re-running
+    // the caller's upstream (typically a sessionize window pass) three
+    // times (r16)
+    val base = intervals.localCheckpoint(eager = false)
+    val l = base.select(col(keyCol).as("__k1"),
       col(loCol).as("__lo1"), col(hiCol).as("__hi1"))
-    val r = intervals.select(col(keyCol).as("__k2"),
+    val r = base.select(col(keyCol).as("__k2"),
       col(loCol).as("__lo2"), col(hiCol).as("__hi2"))
     // per-bucket population of the interval set (both join sides are
     // this same set): explode to covered buckets, count, keep the max

@@ -115,6 +115,11 @@ object Similarity {
     * integers in doubles. Sign decisions computed from these are
     * bit-identical across engines — float summation order can never
     * flip a bucket bit, unlike projecting the raw floats. */
+  // NOTE (r16): kept as the HOF column program — some callers quantize
+  // raw array<float> embeddings, whose float-typed round semantics the
+  // oracles pin (a fused double-only expression broke q196); the fused
+  // codegen path exists where it matters: [[signCode]]'s
+  // graft.functions.SignCode quantizes inline over array<double>.
   def quantize(vec: Column): Column = transform(vec, x => round(x * 1024))
 
   /** Packed sign-LSH bucket code: bit p set iff ⟨quantized vec,
@@ -132,12 +137,13 @@ object Similarity {
     * blocking family. */
   def signCode(vec: Column, planes: Array[Array[Int]]): Column = {
     val dim = planes.head.length
-    val qv = quantize(vec)
-    val code = planes.zipWithIndex.map { case (p, i) =>
-      when(dot(qv, typedLit(p.map(_.toDouble).toSeq)) >= 0, lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
-    when(vec.isNull || size(vec) === dim, code)
+    // fused codegen'd quantize + plane loop (graft.functions.SignCode,
+    // r16): bit-identical to the Σ when(dot(quantize(vec), p) ≥ 0, 2^p)
+    // column program it replaces (DotProductSpec pins equality); a NULL
+    // vector keeps the legacy all-bits-0 degrade via the when-wrapper
+    val code = graft.functions.SignCode(vec, planes)
+    when(vec.isNull, lit(0L))
+      .when(size(vec) === dim, code)
       .otherwise(raise_error(concat(
         lit(s"signCode: vector must be exactly $dim wide (the hyperplane " +
           "dim), found "), size(vec).cast("string"),

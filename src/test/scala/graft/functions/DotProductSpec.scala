@@ -63,4 +63,55 @@ class DotProductSpec extends SparkTestBase with Matchers {
     ss.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect().head.getDouble(0) shouldBe 11.0
   }
+
+  // r16: the fused SignCode / QuantizeVec expressions must replay the
+  // HOF column programs they replaced BIT-FOR-BIT — the sign-LSH oracle
+  // gates inline the same arithmetic, so a single flipped bucket bit is
+  // an oracle regression.
+  private def legacyQuantize(vec: org.apache.spark.sql.Column) =
+    transform(vec, x => round(x * 1024))
+
+  private def legacySignCode(vec: org.apache.spark.sql.Column,
+                             planes: Array[Array[Int]]) = {
+    val qv = legacyQuantize(vec)
+    planes.zipWithIndex.map { case (p, i) =>
+      when(DotProduct(qv, typedLit(p.map(_.toDouble).toSeq)) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  test("SignCode equals the quantize+dot+when column program bit-for-bit " +
+    "on random and adversarial half-boundary vectors") {
+    val ss = spark
+    import ss.implicits._
+    val planes = graft.operators.Similarity.hyperplanes(8, 64, seed = 42L)
+    val rng = new scala.util.Random(11)
+    // adversarial rows: values whose x*1024 lands exactly on .5 decimal
+    // boundaries, where HALF_UP vs any other rounding flips the grid
+    val half = Array.tabulate(64)(i => (i - 32).toDouble / 2048.0)
+    val rows = Seq.fill(500)(Array.fill(64)(rng.nextDouble() * 2 - 1)) :+
+      half :+ Array.fill(64)(0.0) :+ Array.tabulate(64)(_ * 0.0009765625)
+    val df = rows.toDF("v")
+    val out = df.select(
+      SignCode(col("v"), planes).as("fused"),
+      legacySignCode(col("v"), planes).as("legacy")).collect()
+    out.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
+  test("SignCode projects inside whole-stage codegen and null semantics " +
+    "match the HOF pipeline") {
+    val ss = spark
+    import ss.implicits._
+    val planes4 = graft.operators.Similarity.hyperplanes(4, 2, seed = 1L)
+    val df = Seq(Some(Array(1.0, -2.0)), None).toDF("v")
+    val out = df.select(SignCode(col("v"), planes4).as("c")).collect()
+    out(0).isNullAt(0) shouldBe false
+    out(1).isNullAt(0) shouldBe true // callers wrap the 0L degrade
+    val plan = spark.range(100)
+      .select(array(col("id").cast("double") / 7.0,
+        col("id").cast("double") / 11.0).as("v"))
+      .select(SignCode(col("v"), planes4).as("c"))
+      .queryExecution.executedPlan.toString
+    plan should include("*(1) Project")
+  }
 }
