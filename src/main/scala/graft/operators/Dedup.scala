@@ -163,6 +163,10 @@ object Dedup {
         col(idCol),
         posexplode(transform(sequence(lit(0L), nChunks - 1),
           i => chunkHashStruct(col("__ws"), i, cw))).as(Seq("__idx", "__h")))
+      // both the keeper aggregate and the verdict join read the chunk
+      // stream: materialize the 28 B/occurrence rows once instead of
+      // re-running the tokenize + hash explode per consumer (r16)
+      .localCheckpoint(eager = false)
     val keepers = hashes
       .groupBy(col("__h.h1"), col("__h.h2"))
       .agg(min(col(idCol)).as("__keeper"))
@@ -302,6 +306,10 @@ object Dedup {
         xxhash64(spanAt(col("__ws"), col("__start"), sw)).as("__h1"),
         xxhash64(lit(0x9e3779b9L),
           spanAt(col("__ws"), col("__start"), sw)).as("__h2"))
+      // the dup-keeper aggregate and the occurrence join both read the
+      // span stream: materialize the 28 B/occurrence rows once instead
+      // of re-running the stride-1 explode + span hashing twice (r16)
+      .localCheckpoint(eager = false)
     // Only spans seen more than once matter downstream: filtering the
     // aggregate here keeps the occurrence join's build side at the
     // duplicated fraction of the corpus, not all of it.
@@ -1212,14 +1220,25 @@ object Dedup {
       .filter(least(col("__n1"), col("__n2")).cast("double") >=
         lit(threshold) * greatest(col("__n1"), col("__n2")) - lit(1e-9))
 
-    // exact |intersection| per surviving pair via the hash rows; |union|
-    // from the per-doc distinct counts carried alongside
+    // exact |intersection| per surviving pair, computed IN-ROW (r16):
+    // each doc's distinct hash set rides as one array row and the
+    // codegen'd array_intersect (hash-set build, O(|A|+|B|)) counts the
+    // overlap — where the previous shape exploded candidates × |A|
+    // rows through two equi-joins and a count aggregate (three
+    // pair-fan-out exchanges). Same integer |A∩B| (both arrays are
+    // distinct hash sets), same |union| from the carried counts; pairs
+    // with an empty intersection never joined before, so the __i > 0
+    // guard keeps the output set identical at any threshold. Per-row
+    // payload is bounded by the two docs' shingle-set sizes.
+    val docArr = sh.groupBy("__id").agg(collect_list(col("__sh")).as("__arr"))
     sized
-      .join(sh.alias("s1"), col("d1") === col("s1.__id"))
-      .join(sh.alias("s2"),
-        col("d2") === col("s2.__id") && col("s1.__sh") === col("s2.__sh"))
-      .groupBy("d1", "d2", "__n1", "__n2")
-      .agg(count(lit(1)).as("__i"))
+      .join(docArr.select(col("__id").as("d1"), col("__arr").as("__a1")),
+        Seq("d1"))
+      .join(docArr.select(col("__id").as("d2"), col("__arr").as("__a2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"), col("__n1"), col("__n2"),
+        size(array_intersect(col("__a1"), col("__a2"))).cast("long").as("__i"))
+      .where(col("__i") > 0L)
       .select(col("d1"), col("d2"),
         (col("__i").cast("double") /
           (col("__n1") + col("__n2") - col("__i"))).as("jaccard"))
@@ -1495,12 +1514,20 @@ object Dedup {
       .select(col("a.__id").as("d1"), col("a.__n").cast("long").as("n1"),
         col("b.__id").as("d2"))
       .distinct()
-    val inter = candidates
-      .join(sh.select(col("__id").as("d1"), col("__sh")), Seq("d1"))
-      .join(sh.select(col("__id").as("d2"), col("__sh")), Seq("d2", "__sh"))
-      .groupBy("d1", "d2", "n1")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
+    // in-row exact intersection (r16, the exactJaccardResidual shape):
+    // doc hash sets ride as one array row each; the codegen'd
+    // array_intersect counts |A∩B| without exploding candidates × |A|
+    // rows through two joins and a count aggregate. n_inter ≥ ⌈t·n1⌉ ≥ 1
+    // keeps zero-intersection pairs out exactly as the inner join did.
+    val docArr = sh.groupBy("__id").agg(collect_list(col("__sh")).as("__arr"))
+    candidates
+      .join(docArr.select(col("__id").as("d1"), col("__arr").as("__a1")),
+        Seq("d1"))
+      .join(docArr.select(col("__id").as("d2"), col("__arr").as("__a2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"), col("n1"),
+        size(array_intersect(col("__a1"), col("__a2"))).cast("long")
+          .as("n_inter"))
       .where(col("n_inter") * tDen >= col("n1") * tNum)
       .select(col("d1"), col("d2"), col("n1"), col("n_inter"),
         round(col("n_inter").cast("double") / col("n1"), 6)
@@ -1574,12 +1601,18 @@ object Dedup {
     val candidates = newInHist.unionByName(histInNew).distinct()
 
     val sh = newSh.unionByName(histSh)
-    val inter = candidates
-      .join(sh.select(col("__id").as("d1"), col("__sh")), Seq("d1"))
-      .join(sh.select(col("__id").as("d2"), col("__sh")), Seq("d2", "__sh"))
-      .groupBy("d1", "d2", "n1")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
+    // in-row exact intersection (r16, the containmentJoin shape): see
+    // the batch operator — array_intersect over the two docs' hash-set
+    // rows replaces the candidates × |A| double-join + count aggregate.
+    val docArr = sh.groupBy("__id").agg(collect_list(col("__sh")).as("__arr"))
+    candidates
+      .join(docArr.select(col("__id").as("d1"), col("__arr").as("__a1")),
+        Seq("d1"))
+      .join(docArr.select(col("__id").as("d2"), col("__arr").as("__a2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"), col("n1"),
+        size(array_intersect(col("__a1"), col("__a2"))).cast("long")
+          .as("n_inter"))
       .where(col("n_inter") * tDen >= col("n1") * tNum)
       .select(col("d1"), col("d2"), col("n1"), col("n_inter"),
         round(col("n_inter").cast("double") / col("n1"), 6)
