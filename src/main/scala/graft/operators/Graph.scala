@@ -93,7 +93,9 @@ object Graph {
     // original columns), so rounding replays bit-for-bit.
     val ed = e.join(deg, "__src")
       .select(col("__src"), col("__dst"), col("__w"), col("__d"))
-      .localCheckpoint()
+      // lazy: materializes with the first iteration's job instead of
+      // paying a separate eager materialization pass (r16 A/B)
+      .localCheckpoint(eager = false)
     val nn = deg.agg(count(lit(1)).as("__nn"))
     var ranks = deg.select(col("__src").as("__id"))
       .crossJoin(broadcast(nn))

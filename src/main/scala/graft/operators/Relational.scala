@@ -259,14 +259,16 @@ object Relational {
     val counts = df.filter(v.isNotNull)
       .groupBy((gcols :+ v.as(valueCol)): _*)
       .agg(count(lit(1)).as("__cnt"))
-      // FOUR consumers reference this subtree (stats, withStats, and —
-      // via bucketed — the offsets branch and the window pass): without
-      // materializing the distinct-value compression once, the whole
-      // upstream (often a corpus scan, or a previous quantile pass in
-      // madOutliers) re-evaluated four times per call — q154's plan
-      // carried 160 Exchanges from exactly this (r16). The cache is
-      // distinct-value-sized, never corpus-sized.
-      .localCheckpoint(eager = false)
+    // NOTE (r16, measured): four consumers re-evaluate this subtree
+    // (stats, withStats, and — via bucketed — the offsets branch and
+    // the window pass), and a localCheckpoint here LOOKS like the
+    // obvious dedup. It is a wall-clock pessimization (q154 5.2 s →
+    // 8.1 s, q209/q136/q274/q153 all +10-25% at sf0.1): on a
+    // distinct-heavy value column the materialized compression is
+    // ~corpus-sized, so cache write + 4 cache reads cost more than
+    // the 4 parallel re-aggregations, locally AND at scale (a 100 TB
+    // near-unique column caches ~100 TB to local disk). The r8 note
+    // below records the same lesson for the window-derived variant.
     val stats = counts.groupBy(gcols: _*)
       .agg(min(v).as("__vmin"), max(v).as("__vmax"), sum(col("__cnt")).as("__n"))
     val withStats = counts.join(broadcast(stats), groupCols)
